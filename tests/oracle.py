@@ -1,0 +1,98 @@
+"""Local mirror of the driver's DuckDB oracle comparison.
+
+Runs a registered Spark query and its oracle SQL side by side and compares
+row count, column names, and (column-name-sorted, row-sorted) values with a
+small float tolerance — strictly stricter discipline than the driver's
+order-insensitive value hash, so passing here predicts passing there.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+
+import duckdb
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat(timespec="microseconds")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _sort_key(row):
+    return tuple(str(v) for v in row)
+
+
+def compare(spark_df, con, sql: str, float_tol: float = 1e-9) -> list[str]:
+    """Return a list of mismatch descriptions (empty == match)."""
+    errs: list[str] = []
+    spark_cols = list(spark_df.columns)
+    spark_rows = [tuple(r) for r in spark_df.collect()]
+
+    res = con.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    if sorted(spark_cols) != sorted(duck_cols):
+        errs.append(f"columns differ: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        return errs
+    if len(spark_rows) != len(duck_rows):
+        errs.append(f"row count differs: spark={len(spark_rows)} duck={len(duck_rows)}")
+
+    # Reorder both to column-name-sorted order (driver behavior).
+    order_s = [spark_cols.index(c) for c in sorted(spark_cols)]
+    order_d = [duck_cols.index(c) for c in sorted(duck_cols)]
+    s_rows = sorted(
+        (tuple(_norm(r[i]) for i in order_s) for r in spark_rows), key=_sort_key
+    )
+    d_rows = sorted(
+        (tuple(_norm(r[i]) for i in order_d) for r in duck_rows), key=_sort_key
+    )
+    for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
+        if sr == dr:
+            continue
+        for c, (sv, dv) in zip(sorted(spark_cols), zip(sr, dr)):
+            if sv == dv:
+                continue
+            if (
+                isinstance(sv, float)
+                and isinstance(dv, float)
+                and math.isclose(sv, dv, rel_tol=float_tol, abs_tol=float_tol)
+            ):
+                continue
+            errs.append(f"row {i} col {c}: spark={sv!r} duck={dv!r}")
+            if len(errs) > 10:
+                return errs
+    return errs

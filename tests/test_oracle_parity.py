@@ -1,0 +1,30 @@
+"""Every registered query with an oracle must hash-match DuckDB at sf0.001.
+
+This mirrors the driver's sf0.01 gate (same comparison, smaller data for
+speed); queries without an oracle are smoke-run for rows>=0 and a stable
+schema.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from satellite_data_ingestion_spark import registry
+from tests.conftest import SF_SMOKE
+from tests.oracle import compare
+
+registry.load_all()
+ALL = sorted(registry.queries())
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_query(name, spark, duck):
+    spec = registry.spec(name)
+    df = spec.fn(spark, SF_SMOKE)
+    if spec.oracle is None:
+        rows = df.collect()
+        assert rows is not None
+        assert len(df.columns) > 0
+    else:
+        errs = compare(df, duck, spec.oracle)
+        assert not errs, f"{name}: " + "; ".join(errs[:10])
