@@ -10,8 +10,41 @@ into the parquet scan.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SHIPPED_APPS: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Distribute this package to executor Python workers via addPyFile.
+
+    Pandas-UDF closures reference functions in this package; workers
+    un-pickle them by module reference, so the package must be importable
+    on every executor.  On a real cluster this is exactly the deployment
+    path (zip → addPyFile); locally it makes the engine independent of
+    the driver process's cwd/sys.path.
+    """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED_APPS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"sdis_pkg_{os.getpid()}_{app_id}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dirpath, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        z.write(full, os.path.relpath(full, root))
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED_APPS.add(app_id)
 
 TABLES = (
     "region",
@@ -35,6 +68,10 @@ def _prepare(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos timestamp, so
+    # read it as a raw long and rescale to microseconds ourselves (below).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ship_package(spark)
 
 
 def path(sf_dir: str, name: str) -> str:
@@ -44,6 +81,16 @@ def path(sf_dir: str, name: str) -> str:
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one corpus table as a DataFrame (lazy parquet scan)."""
+    """Load one corpus table as a DataFrame (lazy parquet scan).
+
+    ``events.ts`` arrives as nanos-since-epoch (see ``_prepare``); rescale
+    with integer division (``DIV 1000`` — exact on longs, where a double
+    divide would lose sub-µs bits at 1e18 magnitudes) back to a proper
+    microsecond timestamp.  The corpus has no sub-µs components, so this is
+    lossless and matches DuckDB's value view.
+    """
     _prepare(spark)
-    return spark.read.parquet(path(sf_dir, name))
+    df = spark.read.parquet(path(sf_dir, name))
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df

@@ -1,0 +1,297 @@
+"""Scalar function surface (SURVEY.md §2.7).
+
+One registered query per scalar-function family the reference exercises:
+timestamp truncation/format/parse/arithmetic (``sources/meteosat.py:74,90,
+106-107,111,161``), string building and splitting (``sources/meteosat.py:
+127,153,163,182``, ``utils/eumdacapi.py:56``), regex capture
+(``utils/eumdacapi.py:70-71,81-83``), URL encoding (``utils/eumdacapi.py:75``),
+JSON field access (``utils/eumdacapi.py:49-61``), map lookup with default
+(``sources/meteosat.py:85-86,177``), array ops (``sources/meteosat.py:21-22,
+180-181``) and grid math (``utils/conversion.py:15``).
+
+Everything here is a built-in Catalyst expression — whole-stage-codegen'd,
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+
+@register(
+    "fn_date_trunc",
+    oracle="""
+SELECT event_id,
+       CAST(date_trunc('minute', ts) AS TIMESTAMP) AS ts_minute,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP)   AS ts_hour,
+       CAST(date_trunc('day', ts) AS TIMESTAMP)    AS ts_day
+FROM events
+""",
+)
+def fn_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp truncation — the reference's minute-normalization of every
+    key timestamp (sources/meteosat.py:74,111; utils/eumdacapi.py:58)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_trunc("minute", "ts").alias("ts_minute"),
+        F.date_trunc("hour", "ts").alias("ts_hour"),
+        F.date_trunc("day", "ts").alias("ts_day"),
+    )
+
+
+@register(
+    "fn_date_format",
+    oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ')     AS iso_z,
+       strftime(o_orderdate, '%Y-%m-%dT%H:%M:00.000Z') AS iso_ms
+FROM orders
+""",
+)
+def fn_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """strftime-style formatting with the reference's two exact patterns
+    (sources/meteosat.py:74,111,117 and :161)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("iso_z"),
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:'00.000Z'").alias("iso_ms"),
+    )
+
+
+@register(
+    "fn_date_parse",
+    oracle="""
+SELECT o_orderkey,
+       strptime(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ'),
+                '%Y-%m-%dT%H:%M:%SZ') AS parsed_ts
+FROM orders
+""",
+)
+def fn_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-8601 round-trip: format then parse back (the reference parses
+    ISO strings everywhere: sources/meteosat.py:90, utils/eumdacapi.py:56,62)."""
+    o = table(spark, sf_dir, "orders")
+    iso = F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    return o.select(
+        "o_orderkey",
+        F.to_timestamp(iso, "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("parsed_ts"),
+    )
+
+
+@register(
+    "fn_ts_arith",
+    oracle="""
+SELECT o_orderkey,
+       o_orderdate + INTERVAL 15 MINUTE AS next_slot,
+       o_orderdate - INTERVAL 45 MINUTE AS lookback,
+       o_orderdate + INTERVAL 90 DAY    AS horizon
+FROM orders
+""",
+)
+def fn_ts_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp ± interval — the slot advance (+15 min), bootstrap
+    lookback (−45 min) and window arithmetic of sources/meteosat.py:90,93,
+    106-107."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 15 MINUTES")).alias("next_slot"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 45 MINUTES")).alias("lookback"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("horizon"),
+    )
+
+
+@register(
+    "fn_str_concat_fmt",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       'band' || CAST(l_linenumber AS VARCHAR) || '_' || l_returnflag || '_' ||
+       strftime(l_shipdate, '%Y-%m-%d') || '.tif' AS file_name
+FROM lineitem
+""",
+)
+def fn_str_concat_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filename construction via concatenation — the f-string building of
+    sources/meteosat.py:127,153,163,182."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat(
+            F.lit("band"),
+            F.col("l_linenumber").cast("string"),
+            F.lit("_"),
+            F.col("l_returnflag"),
+            F.lit("_"),
+            F.date_format("l_shipdate", "yyyy-MM-dd"),
+            F.lit(".tif"),
+        ).alias("file_name"),
+    )
+
+
+@register(
+    "fn_str_split",
+    oracle="""
+SELECT p_partkey,
+       split_part(p_name, ' ', 1) AS first_word,
+       split_part(p_name, ' ', 2) AS second_word
+FROM part
+""",
+)
+def fn_str_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-and-take — `props["date"].split("/")[0]`
+    (utils/eumdacapi.py:56)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.split("p_name", " ").getItem(1).alias("second_word"),
+    )
+
+
+@register(
+    "fn_regex_extract",
+    oracle="""
+SELECT p_partkey,
+       regexp_extract('attachment; filename="' || p_name || '.zip"',
+                      'filename="(.*?)"', 1) AS file_name
+FROM part
+""",
+)
+def fn_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy-group regex capture — the Content-Disposition filename
+    extraction (utils/eumdacapi.py:70-71,81-83)."""
+    p = table(spark, sf_dir, "part")
+    header = F.concat(F.lit('attachment; filename="'), F.col("p_name"), F.lit('.zip"'))
+    return p.select(
+        "p_partkey",
+        F.regexp_extract(header, r'filename="(.*?)"', 1).alias("file_name"),
+    )
+
+
+@register("fn_urlencode")  # DuckDB 1.0 has no url_encode → rows-only
+def fn_urlencode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL path-segment encoding (utils/eumdacapi.py:75).  Spark's
+    built-in url_encode (JVM-side); no DuckDB counterpart → rows-only."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.url_encode(F.concat(F.col("p_brand"), F.lit("/"), F.col("p_name"))).alias(
+            "encoded"
+        ),
+    )
+
+
+@register(
+    "fn_json_get",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+       json_extract_string(props, '$.missing')           AS prop_missing
+FROM events
+""",
+)
+def fn_json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field access on a string column — response/props parsing
+    (utils/eumdacapi.py:49,54-61; state JSON sources/meteosat.py:64-69).
+    Missing keys yield NULL on both engines."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+        F.get_json_object("props", "$.missing").alias("prop_missing"),
+    )
+
+
+@register(
+    "fn_map_get_default",
+    oracle="""
+SELECT event_id, event_type,
+       CASE event_type
+         WHEN 'purchase' THEN 10
+         WHEN 'signup'   THEN 5
+         WHEN 'error'    THEN -1
+         ELSE 0
+       END AS type_weight
+FROM events
+""",
+)
+def fn_map_get_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map lookup with a default — the `.get(key, default)` chains of
+    sources/meteosat.py:85-86,177, done as a literal MapType lookup +
+    coalesce (JVM-side; the oracle states the same function as CASE)."""
+    ev = table(spark, sf_dir, "events")
+    weights = F.create_map(
+        F.lit("purchase"), F.lit(10),
+        F.lit("signup"), F.lit(5),
+        F.lit("error"), F.lit(-1),
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.coalesce(F.element_at(weights, F.col("event_type")), F.lit(0)).alias(
+            "type_weight"
+        ),
+    )
+
+
+@register(
+    "fn_array_ops",
+    oracle="""
+SELECT vec_id,
+       len(embedding)                                   AS dim,
+       CAST(embedding[1] AS DOUBLE)                     AS first_elem,
+       CAST(embedding[len(embedding)] AS DOUBLE)        AS last_elem,
+       round(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> x * 2.0)), 4) AS sum_doubled
+FROM embeddings
+""",
+)
+def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array literal/iteration surface — size, element access, transform,
+    fold (the reference iterates band lists, sources/meteosat.py:180-181)."""
+    emb = table(spark, sf_dir, "embeddings")
+    doubled = F.transform(
+        F.col("embedding").cast("array<double>"), lambda x: x * F.lit(2.0)
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_elem"),
+        F.element_at("embedding", -1).cast("double").alias("last_elem"),
+        F.round(
+            F.aggregate(doubled, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("sum_doubled"),
+    )
+
+
+@register(
+    "fn_math_grid",
+    oracle="""
+SELECT event_id,
+       CAST(floor((value + 180.0) / 0.035) AS BIGINT) AS cell,
+       round(value, 2)                                AS val_round,
+       abs(value - 50.0)                              AS val_dist,
+       CAST(ceil(value) AS BIGINT)                    AS val_ceil,
+       value % 7.0                                    AS val_mod
+FROM events
+""",
+)
+def fn_math_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-cell math: floor/scale at the reference's 0.035° resolution
+    (utils/conversion.py:15) plus round/abs/ceil/mod."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.floor((F.col("value") + 180.0) / 0.035).alias("cell"),
+        F.round("value", 2).alias("val_round"),
+        F.abs(F.col("value") - 50.0).alias("val_dist"),
+        F.ceil("value").cast("long").alias("val_ceil"),
+        (F.col("value") % 7.0).alias("val_mod"),
+    )

@@ -1,0 +1,283 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, all designed 100-TB-first:
+
+- ``ext_dedup_exact``      hash groupBy on the full text (one shuffle).
+- ``ext_ngram_jaccard``    exact token-set Jaccard on candidate pairs,
+                           pruned by a cheap equality key (here: source)
+                           so the pair space never goes quadratic globally.
+- ``ext_dedup_minhash``    MinHash signatures + banded LSH: the classic
+                           shingle → minhash → band → bucket-join pipeline.
+                           Pairwise work happens only inside buckets, and
+                           degenerate (hot) buckets are capped — the two
+                           properties that keep this linear-ish at 100 TB.
+- ``ext_dedup_simhash``    SimHash bit-signature + banded hamming match;
+                           signature computed in a vectorized pandas UDF
+                           from JVM-side per-token hashes.
+
+Everything deterministic: hash = xxhash64 (fixed Spark seed 42), no RNG.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from ..catalog import table
+from ..registry import register
+
+# MinHash / LSH parameters: 16 hashes in 4 bands of 4 rows → the S-curve
+# crosses ~0.5 at s ≈ (1/4)^(1/4) ≈ 0.71; with verification at 0.9 the
+# bands only need to surface candidates, not be precise.
+_N_HASHES = 16
+_N_BANDS = 4
+_ROWS_PER_BAND = _N_HASHES // _N_BANDS
+_JACCARD_THRESHOLD = 0.9
+_MAX_BUCKET = 100  # degenerate-bucket cap: drop buckets hotter than this
+
+
+def _token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+
+
+@register(
+    "ext_dedup_exact",
+    oracle="""
+SELECT text,
+       min(doc_id) AS keep_id,
+       count(*)    AS n_copies
+FROM documents
+GROUP BY text
+""",
+)
+def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one hash-groupBy on the full text, deterministic
+    representative = min doc_id.  At 100 TB, group on a fixed-width
+    xxhash64(text) first so the shuffle carries 8-byte keys, then break
+    the (vanishingly rare) hash collisions inside each group."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
+    "ext_ngram_jaccard",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, list_distinct(str_split(text, ' ')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+FROM d a
+JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.toks, b.toks))) >= {_JACCARD_THRESHOLD}
+""",
+)
+def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (token-set) Jaccard near-dup detection on candidate
+    pairs pruned by an equality key.
+
+    The equality key (source) bounds each join partition; the quadratic
+    blow-up is per-group, never global.  For unkeyed corpora the minhash
+    variant below supplies the candidate pairs instead.
+    """
+    d = _token_sets(spark, sf_dir)
+    a = d.alias("a")
+    b = d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    jacc = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jacc >= _JACCARD_THRESHOLD)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jacc, 4).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id → array<long> MinHash signature, entirely JVM-side.
+
+    Per seed s: sig[s] = min over tokens of xxhash64(token ⊕ seed-tag).
+    transform/array_min stay inside whole-stage codegen — no Python row
+    loop, no UDF serialization.
+    """
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("toks"),
+                    lambda t, s=s: F.xxhash64(F.concat(t, F.lit(f"#seed{s}"))),
+                )
+            )
+            for s in range(_N_HASHES)
+        ]
+    )
+    return docs.select("doc_id", "toks", sig.alias("sig"))
+
+
+@register("ext_dedup_minhash")  # LSH candidates + exact verify → rows-only
+def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
+
+    Pipeline: shingle (distinct tokens) → 16 minhashes → 4 bands of 4 →
+    explode to (band_id, band_key, doc_id) → self-join per bucket →
+    distinct candidate pairs → exact-Jaccard verification ≥ 0.9.
+
+    Scale properties: the only shuffles are the bucket groupBy/join keyed
+    on (band_id, band_key) and the final distinct; buckets hotter than
+    _MAX_BUCKET docs are dropped (degenerate content — e.g. empty docs —
+    would otherwise go quadratic); verification touches only surviving
+    candidates.  No global pairwise stage anywhere.
+    """
+    d = minhash_signatures(_token_sets(spark, sf_dir))
+
+    bands = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * _ROWS_PER_BAND + r].cast("string")
+                                    for r in range(_ROWS_PER_BAND)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+
+    # Cap degenerate buckets before the pairwise self-join.
+    sized = bands.join(
+        bands.groupBy("band_id", "band_key").agg(F.count(F.lit(1)).alias("bn")),
+        ["band_id", "band_key"],
+    ).filter(F.col("bn") <= _MAX_BUCKET)
+
+    l = sized.alias("l")
+    r = sized.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    toks = _token_sets(spark, sf_dir).select("doc_id", "toks")
+    cand = (
+        cand.join(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
+        .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    jacc = inter.cast("double") / union
+    return (
+        cand.filter(jacc >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
+    )
+
+
+_SIMHASH_BITS = 64
+_SIMHASH_BAND_BITS = 16
+_SIMHASH_MAX_HAMMING = 6
+
+
+@register("ext_dedup_simhash")  # bit-signature similarity → rows-only
+def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit sign-aggregated signature, banded
+    into 4×16-bit keys for candidate generation, hamming-verified.
+
+    Per-token hashes come from JVM-side xxhash64 (transform — codegen);
+    only the bit-vote fold runs in an Arrow-vectorized pandas UDF (numpy
+    unpackbits over int64 → column sums), so Python sees one batch per
+    Arrow chunk, never per row.  Candidate join is banded exactly like
+    minhash; verification = popcount(xor) ≤ 6 via F.bit_count.
+    """
+    d = _token_sets(spark, sf_dir).select(
+        "doc_id",
+        F.transform(F.col("toks"), lambda t: F.xxhash64(t)).alias("tok_hashes"),
+    )
+
+    @F.pandas_udf(LongType())
+    def simhash(tok_hashes: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.empty(len(tok_hashes), dtype=np.int64)
+        for i, hs in enumerate(tok_hashes):
+            arr = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            # bit j of signature = majority vote of bit j across token hashes
+            bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).sum(axis=0)
+            sig = np.where(bits * 2 >= len(arr), np.uint64(1), np.uint64(0))
+            out[i] = (sig << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64).astype(np.int64)
+        return pd.Series(out)
+
+    sigs = d.select("doc_id", simhash("tok_hashes").alias("sig"))
+
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned(F.col("sig"), b * _SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << _SIMHASH_BAND_BITS) - 1))
+                        .alias("band_key"),
+                    )
+                    for b in range(_SIMHASH_BITS // _SIMHASH_BAND_BITS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_id", "band.band_key")
+
+    l = bands.alias("l")
+    r = bands.alias("r")
+    ham = F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig")))
+    return (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .filter(ham <= _SIMHASH_MAX_HAMMING)
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )

@@ -1,0 +1,156 @@
+"""Text-analysis operators for training-data pipelines.
+
+- ``ext_text_stats``   per-document quality metrics (token counts, length
+                       ratios, stopword ratio) — the signals behind
+                       quality filtering.
+- ``ext_token_count``  whitespace + BPE-ish regex token counting.
+- ``ext_fingerprint``  document fingerprinting: whole-text digest + a
+                       rolling-window min-hash (winnowing-style) over
+                       character 8-grams.
+- ``ext_lang_id``      n-gram-profile language heuristic (rows-only: the
+                       corpus' lang labels are synthetic, so the heuristic
+                       is scored against itself, not the label).
+
+All expressions are built-in Catalyst functions over the tokenized array —
+one narrow projection pass, no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+_STOPWORDS = ("the", "a", "of", "and")
+_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@register(
+    "ext_text_stats",
+    oracle=f"""
+SELECT doc_id, lang, source,
+       len(str_split(text, ' ')) AS n_tokens,
+       len(list_distinct(str_split(text, ' '))) AS n_distinct,
+       length(text) AS text_len,
+       n_chars,
+       round(list_sum(list_transform(str_split(text, ' '),
+                                     t -> CAST(length(t) AS DOUBLE)))
+             / len(str_split(text, ' ')), 4) AS avg_token_len,
+       round(CAST(len(list_filter(str_split(text, ' '),
+                                  t -> t IN {_STOPWORDS})) AS DOUBLE)
+             / len(str_split(text, ' ')), 4) AS stopword_ratio
+FROM documents
+""",
+)
+def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics: token/distinct counts, lengths, mean
+    token length, stopword ratio — the standard quality-scoring features,
+    all as codegen'd array expressions in a single projection."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    tok_len_sum = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length("text").alias("text_len"),
+        "n_chars",
+        F.round(tok_len_sum / n_tokens, 4).alias("avg_token_len"),
+        F.round(n_stop.cast("double") / n_tokens, 4).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "ext_token_count",
+    oracle=f"""
+SELECT doc_id,
+       len(str_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '{_TOKEN_RE}')) AS re_tokens
+FROM documents
+""",
+)
+def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs | digit runs | single punctuation) — the cheap proxy for
+    tokenizer cost used to budget training corpora."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0)).alias("re_tokens"),
+    )
+
+
+@register(
+    "ext_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS digest,
+       list_min(list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+                               i -> md5(text[i:i+7]))) AS rolling_min_hash
+FROM documents
+""",
+)
+def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-text md5 plus a rolling min-hash
+    over character 8-grams (the winnowing primitive — the minimum digest
+    over a sliding window is shift-invariant, so near-identical documents
+    collide).  The window fold is a JVM-side transform over a position
+    sequence; no UDF."""
+    docs = table(spark, sf_dir, "documents")
+    rolling = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1))),
+            lambda i: F.md5(F.col("text").substr(i, F.lit(8))),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("digest"),
+        rolling.alias("rolling_min_hash"),
+    )
+
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+_LANG_PROFILES = {
+    "en": ("the", "a", "of", "and", "fast", "slow"),
+    "es": ("el", "la", "de", "y"),
+    "fr": ("le", "la", "de", "et"),
+    "de": ("der", "die", "das", "und"),
+    "zh": ("zh",),
+}
+
+
+@register("ext_lang_id")  # heuristic classifier → rows-only
+def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: score each document's token set against
+    per-language stopword profiles, predict the argmax (ties → 'und').
+    The corpus' lang labels are synthetic word-soup, so this is registered
+    rows-only; the operator shape (profile scoring via array intersection,
+    argmax via greatest-struct) is the production pattern."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    scores = [
+        F.struct(
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(_LANG_PROFILES.items())
+    ]
+    best = F.greatest(*scores)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("label_lang"),
+        F.when(best["score"] > 0, best["lang"]).otherwise("und").alias("predicted_lang"),
+        best["score"].alias("profile_hits"),
+    )

@@ -1,0 +1,211 @@
+"""Join operators (SURVEY.md §2.3).
+
+The reference's one true join is matching the desired slot timestamp
+against the catalog product list on a minute-normalized key — a
+nested-loop equi-join with early exit (``sources/meteosat.py:111-120``).
+Its "no product → skip" branch is the anti-join side
+(``sources/meteosat.py:101-103``) and "is there a product?" is the
+semi-join (``sources/meteosat.py:105-122``).  The rest generalizes that
+surface for the star-schema corpus.
+
+Scale notes: dimension sides (region/nation/one-row targets) are
+explicitly ``broadcast()`` — zero shuffle of the fact side.  Large-large
+joins shuffle both sides on the key; AQE converts to broadcast at runtime
+when a side turns out small and splits skewed partitions.  The as-of join
+is the union+window formulation — one shuffle on the partition key, no
+pairwise range explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+
+@register(
+    "join_equi_inner",
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def join_equi_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join on the foreign key (general form of the slot-vs-
+    catalog match, sources/meteosat.py:117-118).  Catalyst picks broadcast
+    vs sort-merge from statistics; AQE re-plans at runtime."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+SELECT c.c_custkey, n.n_name, r.r_name
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+""",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema dimension joins with explicit broadcast hints: the
+    25-row nation and 5-row region tables replicate to every executor —
+    the fact side never shuffles.  This is the 100 TB pattern for any
+    dimension under spark.sql.autoBroadcastJoinThreshold."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+""",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join — keep unmatched build rows with NULL payload
+    (the relational form of the reference's skip-vs-process branching)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: existence check, the direct relational form of
+    check_should_update — "is there a product for this slot?"
+    (sources/meteosat.py:105-122).  Probe rows emit at most once; the
+    right side reduces to its distinct keys before shuffling."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: "slots with no product" — the skip branch of
+    sources/meteosat.py:101-103 as an operator."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_range",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate, l.l_shipdate
+FROM lineitem l
+JOIN orders o
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 90 DAY
+""",
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + interval-containment join — "product date within the ±window
+    of the target" (sources/meteosat.py:106-107) generalized to a join
+    predicate.  The equi key carries the shuffle; the range predicate is
+    evaluated post-match, so there is no quadratic pair blow-up."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & li.l_shipdate.between(
+                o.o_orderdate, o.o_orderdate + F.expr("INTERVAL 90 DAYS")
+            ),
+        )
+        .select("l_orderkey", "l_linenumber", "o_orderdate", "l_shipdate")
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+WITH u AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN event_id END AS purchase_id,
+         CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side
+  FROM events
+  WHERE event_type IN ('purchase', 'error')
+), w AS (
+  SELECT *,
+         last_value(purchase_id IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts, side, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS matched_purchase
+  FROM u
+)
+SELECT event_id, user_id, ts, matched_purchase
+FROM w WHERE side = 1
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (nearest-earlier match) — the generalization of "pick the
+    product for this slot".
+
+    Implemented scale-first as the union+ordered-window formulation: tag
+    both streams, union, and carry the last non-null left key forward per
+    partition.  One shuffle on user_id + one sort — no range-pair
+    explosion, unlike a naive (ts <= ts') theta join whose worst case is
+    |A|x|B| per key.  Ties (purchase at the same ts as the error) match,
+    ordered purchase-before-error with event_id as final tie-break.
+    """
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    u = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.col("event_id")).alias(
+            "purchase_id"
+        ),
+        F.when(F.col("event_type") == "purchase", F.lit(0)).otherwise(1).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("matched_purchase", F.last("purchase_id", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select("event_id", "user_id", "ts", "matched_purchase")
+    )

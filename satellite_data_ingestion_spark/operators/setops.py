@@ -1,0 +1,59 @@
+"""Set operations (SURVEY.md §2.6) — all [EXT], none in the reference."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+
+@register(
+    "setop_union",
+    oracle="""
+SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 1000.0
+""",
+)
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics, by-name resolution; overlapping slices keep
+    duplicates).  Union is a zero-shuffle plan merge in Spark."""
+    c = table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_mktsegment")
+    b = c.filter(F.col("c_acctbal") > 1000.0).select("c_custkey", "c_mktsegment")
+    return a.unionByName(b)
+
+
+@register(
+    "setop_intersect",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics) — customers having both open and
+    finished orders.  Planned as an aggregate + semi-join shuffle on the key."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "setop_except",
+    oracle="""
+SELECT c_custkey FROM customer
+EXCEPT ALL
+SELECT o_custkey AS c_custkey FROM orders
+""",
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag difference): customer keys minus one occurrence per
+    order — surfaces customers with no orders plus multiplicity semantics."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o)

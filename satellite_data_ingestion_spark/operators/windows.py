@@ -1,0 +1,138 @@
+"""Window-function operators (SURVEY.md §2.5).
+
+The reference's product-per-slot selection (``sources/meteosat.py:115-120``)
+is a rank-1-per-partition; its state advance ``prev + 15 min``
+(``sources/meteosat.py:90``) is a lag; the ±30-min availability window
+(``sources/meteosat.py:106-107``) is a range frame.
+
+Scale notes: every window here shuffles once on its partition key and
+sorts within partitions.  Partition keys are chosen with bounded
+cardinality per group (orders per customer, events per user) so no single
+partition explodes; for skewed keys the salting pattern in
+``llm/dedup.py`` applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+
+@register(
+    "win_rank",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn = 1
+""",
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 per group via row_number — "latest product per slot"
+    (sources/meteosat.py:115-120) as rank-then-filter, with a key
+    tie-break for determinism."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+SELECT event_id, user_id, ts,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+       lead(event_id) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id) AS next_event
+FROM events
+""",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag/lead analytics — the state advance `prev_date + 15 min`
+    (sources/meteosat.py:90) generalized to gap detection.  Gaps are
+    computed in integer microseconds (unix_micros) on both engines —
+    exact, no float truncation mismatches."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lead("event_id").over(w).alias("next_event"),
+    )
+
+
+@register(
+    "win_running",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey
+         ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+       count(*) OVER (
+         PARTITION BY o_custkey
+         ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+FROM orders
+""",
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) frame aggregate per customer over order time."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+SELECT event_id, user_id, ts,
+       count(*) OVER (
+         PARTITION BY user_id
+         ORDER BY epoch_us(ts)
+         RANGE BETWEEN 1800000000 PRECEDING AND 1800000000 FOLLOWING
+       ) AS n_neighbors
+FROM events
+""",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """±30-minute range frame — the availability search window of
+    sources/meteosat.py:106-107 as a sliding value-range count, ordered on
+    integer microseconds so the frame bounds are exact on both engines."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-1_800_000_000, 1_800_000_000)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_neighbors"),
+    )

@@ -1,0 +1,94 @@
+"""End-to-end ingestion pipeline parity (SURVEY.md §7, milestone 5).
+
+The reference's full tick (EP1-EP3): binary product in → decode →
+composite → resample onto a 0.035° grid → clip to the Africa bbox →
+project declared bands → partitioned write (``sources/meteosat.py:
+124-197``, ``utils/conversion.py:9-37``).
+
+``pipeline_ingest`` composes the Spark forms of every stage into ONE lazy
+plan: binary payload column → Arrow-batched decode (``llm/multimodal``
+kernel) → derived coordinates → bbox filter → grid-cell aggregation.
+Crucially the clip sits BELOW the grid aggregation in this plan — the
+optimization the reference misses (it resamples the whole world, then
+crops; SURVEY.md §4) — and Catalyst keeps it pushed down.  The oracle
+restates the whole chain in SQL, so the composition is hash-checked
+end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
+
+from ..catalog import table
+from ..llm.multimodal import decoded_features
+from ..registry import register
+
+_RES = 0.35  # coarser grid than the raster's 0.035° — feature space is smaller
+_BBOX = (-25.36, -34.82, 63.50, 37.34)  # sources/meteosat.py:36
+
+
+@register(
+    "pipeline_ingest",
+    oracle=f"""
+WITH decoded AS (
+  SELECT doc_id,
+         octet_length(encode(text))       AS n_bytes,
+         octet_length(encode(text)) % 640 AS width,
+         octet_length(encode(text)) % 480 AS height
+  FROM documents
+), located AS (
+  SELECT doc_id, n_bytes,
+         CAST(width  AS DOUBLE) * 360.0 / 640.0 - 180.0 AS lon,
+         CAST(height AS DOUBLE) * 180.0 / 480.0 - 90.0  AS lat
+  FROM decoded
+)
+SELECT CAST(floor((lon + 180.0) / {_RES}) AS BIGINT) AS cell_x,
+       CAST(floor((lat + 90.0) / {_RES}) AS BIGINT)  AS cell_y,
+       count(*)                                      AS n_obs,
+       round(avg(n_bytes), 4)                        AS mean_bytes
+FROM located
+WHERE lon BETWEEN {_BBOX[0]} AND {_BBOX[2]}
+  AND lat BETWEEN {_BBOX[1]} AND {_BBOX[3]}
+GROUP BY 1, 2
+""",
+)
+def pipeline_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ingestion-pipeline composition as one lazy Spark plan:
+
+    binary scan → mapInPandas decode → coordinate projection → bbox clip
+    (filter BEFORE the aggregation — the pushdown the reference's eager
+    pipeline can't do) → 0.35° grid binning.
+
+    At 100 TB: decode is embarrassingly parallel per Arrow batch; the only
+    shuffle is the final bounded-cardinality cell groupBy; the bbox filter
+    cuts shuffle input before it happens.
+    """
+    docs = table(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id", F.encode("text", "utf-8").cast(BinaryType()).alias("payload")
+    )
+    decoded = decoded_features(blobs)
+    located = decoded.select(
+        "doc_id",
+        "n_bytes",
+        (F.col("width").cast("double") * 360.0 / 640.0 - 180.0).alias("lon"),
+        (F.col("height").cast("double") * 180.0 / 480.0 - 90.0).alias("lat"),
+    )
+    clipped = located.filter(
+        F.col("lon").between(_BBOX[0], _BBOX[2])
+        & F.col("lat").between(_BBOX[1], _BBOX[3])
+    )
+    return (
+        clipped.select(
+            F.floor((F.col("lon") + 180.0) / _RES).alias("cell_x"),
+            F.floor((F.col("lat") + 90.0) / _RES).alias("cell_y"),
+            "n_bytes",
+        )
+        .groupBy("cell_x", "cell_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(F.avg("n_bytes"), 4).alias("mean_bytes"),
+        )
+    )

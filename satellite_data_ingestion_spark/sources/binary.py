@@ -1,0 +1,37 @@
+"""Binary product scan (SURVEY.md §2.1, `scan_binary`).
+
+The reference streams a product zip to disk and unzips it to a ``.nat``
+blob (``utils/eumdacapi.py:73-87``, ``sources/meteosat.py:131-144``).  The
+Spark form is the ``binaryFile`` source: (path, modificationTime, length,
+content) rows, splittable across executors, with decompression/decoding
+downstream in ``mapInPandas`` (see ``llm/multimodal.py`` and
+``plans/pipeline.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import _prepare
+from ..registry import register
+
+
+@register("scan_binary")  # filesystem metadata → rows-only
+def scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile scan over the corpus directory: one row per blob with
+    name/size plus a content digest (computed distributed, JVM-side).
+    Demonstrates the ingest-stage scan; file contents never move to the
+    driver.  At 100 TB: binaryFile splits by file, so parallelism = file
+    count — pack blobs into few-hundred-MB archives upstream."""
+    _prepare(spark)
+    return (
+        spark.read.format("binaryFile")
+        .load(f"{sf_dir.rstrip('/')}/*.parquet")
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("length").alias("n_bytes"),
+            F.md5("content").alias("digest"),
+        )
+        .orderBy("file_name")
+    )

@@ -1,0 +1,65 @@
+"""Partitioned file sink (SURVEY.md §2.1, `sink_partitioned`).
+
+The reference writes per-layer/per-band/per-date GeoTIFFs into a layer-
+partitioned directory tree, creating directories on demand
+(``sources/meteosat.py:159,174-185``).  The Spark form is
+``write.partitionBy(...).parquet`` — directory layout and atomic task
+commit come from the FileOutputCommitter, the analog of the reference's
+temp-file + rename discipline (``utils/fs.py:21-48``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+
+def write_partitioned(df: DataFrame, out_dir: str, partition_cols: list[str]) -> None:
+    """Partitioned parquet write, overwrite mode (idempotent re-runs —
+    the batch analog of the reference's replace-on-success state commit)."""
+    df.write.partitionBy(*partition_cols).mode("overwrite").parquet(out_dir)
+
+
+@register(
+    "sink_partitioned",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*)                 AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through a partitioned sink: write lineitem partitioned
+    by (returnflag, linestatus), read the tree back, aggregate per
+    partition.  Matching the oracle (computed on the ORIGINAL table)
+    proves the sink is lossless, the partition columns survive the
+    directory encoding, and partition pruning stays available for readers.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    out = os.path.join(
+        tempfile.gettempdir(), f"sdis_sink_partitioned_{os.getpid()}"
+    )
+    try:
+        write_partitioned(li, out, ["l_returnflag", "l_linestatus"])
+        back = spark.read.parquet(out)
+        result = (
+            back.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            )
+        )
+        # Materialize before the temp dir vanishes.
+        result = spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return result

@@ -1,0 +1,259 @@
+"""Stateful streaming surface: incremental source, watermark, dedup state,
+checkpoint recovery, atomic state commit (SURVEY.md §2.1, §2.8).
+
+These run REAL Structured Streaming queries (file source → transformations
+→ memory/foreachBatch sink) under ``Trigger.AvailableNow`` so they are
+deterministic and finite in tests, while exercising the production code
+path: offsets, state store, watermark bookkeeping, commit log.
+
+Reference mapping:
+- scheduler tick, one slot per run           → maxFilesPerTrigger=1
+  (``main.py:28-29``, ``sources/meteosat.py:88-93``)
+- JSON state file advanced only on success   → checkpointLocation +
+  idempotent sink (``sources/meteosat.py:61-80,187-188``)
+- atomic temp-write + fsync + rename         → Spark's checkpoint commit
+  protocol; batch analog below keeps the same replace-on-success contract
+  (``utils/fs.py:21-48``)
+- 45-min bootstrap lookback                  → watermark delay
+  (``sources/meteosat.py:93``)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import _prepare, table
+from ..registry import register
+
+_SLOT_SEC = 900
+
+
+def atomic_write_json(payload: dict, dest: str) -> None:
+    """Atomic small-state commit: write to a temp file in the destination
+    directory, flush+fsync, then rename over the target.  Readers see the
+    old state or the new state, never a torn write — the same contract the
+    reference's state file keeps (utils/fs.py:21-48), used here for
+    driver-side high-watermark records outside streaming checkpoints."""
+    d = os.path.dirname(dest) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, dest)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+@register(
+    "sink_atomic_state",
+    oracle=f"""
+SELECT CAST(floor(epoch(max(ts)) / {_SLOT_SEC}) AS BIGINT) * {_SLOT_SEC} AS last_slot_epoch,
+       count(*) AS n_ingested
+FROM events
+""",
+)
+def sink_atomic_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-watermark state record: the last complete 15-minute slot seen
+    plus the ingested row count — what the reference persists to its JSON
+    state file after each successful run (sources/meteosat.py:71-80).
+    The record round-trips through :func:`atomic_write_json` so the
+    commit path itself is exercised."""
+    ev = table(spark, sf_dir, "events")
+    state = ev.agg(
+        (
+            F.floor(F.unix_timestamp(F.max("ts")) / _SLOT_SEC).cast("long") * _SLOT_SEC
+        ).alias("last_slot_epoch"),
+        F.count(F.lit(1)).alias("n_ingested"),
+    )
+    row = state.collect()[0]
+    dest = os.path.join(tempfile.gettempdir(), f"sdis_state_{os.getpid()}.json")
+    atomic_write_json({"last_slot_epoch": row[0], "n_ingested": row[1]}, dest)
+    with open(dest) as f:
+        persisted = json.load(f)
+    os.unlink(dest)
+    return spark.createDataFrame([persisted], schema=state.schema)
+
+
+def _stage_events(spark: SparkSession, sf_dir: str, n_files: int, tag: str) -> str:
+    """Copy events into a temp staging dir as n_files parquet files — the
+    'slot files arriving' fixture for file-source streaming."""
+    staging = os.path.join(
+        tempfile.gettempdir(), f"sdis_staging_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+    table(spark, sf_dir, "events").repartition(n_files).write.mode("overwrite").parquet(staging)
+    return staging
+
+
+@register("source_rate_incremental")  # streaming offsets → rows-only
+def source_rate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slot-at-a-time incremental file source: maxFilesPerTrigger=1 makes
+    each micro-batch ingest exactly one staged file — the Spark form of
+    'advance one 15-minute slot per scheduler tick' (main.py:28-29,
+    sources/meteosat.py:88-93).  Returns the per-batch ingestion log the
+    file-source offsets produced."""
+    _prepare(spark)
+    staging = _stage_events(spark, sf_dir, 4, "incr")
+    schema = spark.read.parquet(staging).schema
+    batches: list[tuple[int, int]] = []
+
+    def log_batch(df: DataFrame, batch_id: int) -> None:
+        batches.append((batch_id, df.count()))
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+        .writeStream.foreachBatch(log_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join(staging, "_checkpoint"),
+        )
+        .start()
+    )
+    q.awaitTermination(120)
+    shutil.rmtree(staging, ignore_errors=True)
+    return spark.createDataFrame(
+        [(b, n) for b, n in sorted(batches)], "batch_id long, n_rows long"
+    )
+
+
+@register("stream_trigger")  # micro-batch cadence → rows-only
+def stream_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch trigger cadence: the production query runs
+    trigger(processingTime='15 minutes') (the reference's scheduler
+    interval, main.py:28-29); here AvailableNow drains the same plan
+    deterministically and reports rows ingested per trigger."""
+    _prepare(spark)
+    staging = _stage_events(spark, sf_dir, 2, "trig")
+    schema = spark.read.parquet(staging).schema
+    batches: list[tuple[int, int]] = []
+
+    def log_batch(df: DataFrame, batch_id: int) -> None:
+        batches.append((batch_id, df.count()))
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(staging)
+        .writeStream.foreachBatch(log_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
+        .start()
+    )
+    q.awaitTermination(120)
+    shutil.rmtree(staging, ignore_errors=True)
+    return spark.createDataFrame(
+        [(b, n) for b, n in sorted(batches)], "batch_id long, n_rows long"
+    )
+
+
+@register("stream_watermark")  # stateful windowed agg → rows-only
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling aggregate as a real stream: 45-minute late-data
+    bound (the reference's bootstrap lookback, sources/meteosat.py:93) on
+    15-minute windows.  State for windows older than the watermark is
+    dropped — bounded memory at any scale; AvailableNow drains the staged
+    files through the stateful operator."""
+    _prepare(spark)
+    staging = _stage_events(spark, sf_dir, 2, "wm")
+    schema = spark.read.parquet(staging).schema
+    sink = f"wm_sink_{os.getpid()}"
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(staging)
+        .withWatermark("ts", "45 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("slot_epoch"), "n_events"
+        )
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table(sink)
+    result = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(staging, ignore_errors=True)
+    return result
+
+
+@register("stream_dedup_state")  # stateful dedup → rows-only
+def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful exactly-once dedup: dropDuplicatesWithinWatermark on the
+    (user_id, minute-slot) key — the streaming form of the reference's
+    'skip a slot already in the state file' (sources/meteosat.py:71-80,
+    188).  Watermark bounds the dedup state exactly like the state file
+    bounds reprocessing."""
+    _prepare(spark)
+    staging = _stage_events(spark, sf_dir, 2, "dedup")
+    schema = spark.read.parquet(staging).schema
+    sink = f"dedup_sink_{os.getpid()}"
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(staging)
+        .withColumn("slot", F.date_trunc("minute", "ts"))
+        .withWatermark("slot", "45 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "slot"])
+        .select("user_id", F.unix_timestamp("slot").alias("slot_epoch"), "event_id")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table(sink)
+    result = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(staging, ignore_errors=True)
+    return result
+
+
+@register("stream_recovery")  # checkpoint replay → rows-only
+def stream_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crash-consistency contract: run a checkpointed stream to completion,
+    then start it AGAIN over the same checkpoint — the second run must
+    ingest zero new rows (offsets committed), mirroring 'state only
+    advances after a successful write, failed slots are retried'
+    (sources/meteosat.py:187-197, atomic rename utils/fs.py:42).
+    Returns (run_id, rows_ingested) — run 2 proving idempotence."""
+    _prepare(spark)
+    staging = _stage_events(spark, sf_dir, 2, "recov")
+    schema = spark.read.parquet(staging).schema
+    checkpoint = os.path.join(staging, "_checkpoint")
+    runs: list[tuple[int, int]] = []
+
+    for run_id in (1, 2):
+        ingested = {"n": 0}
+
+        def log_batch(df: DataFrame, batch_id: int) -> None:
+            ingested["n"] += df.count()
+
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(staging)
+            .writeStream.foreachBatch(log_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+        q.awaitTermination(120)
+        runs.append((run_id, ingested["n"]))
+
+    shutil.rmtree(staging, ignore_errors=True)
+    return spark.createDataFrame(runs, "run_id long, n_rows long")
