@@ -80,6 +80,35 @@ def path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def events_in_range(
+    spark: SparkSession, sf_dir: str, lo_utc: str, hi_utc: str
+) -> DataFrame:
+    """events constrained to [lo, hi] with the predicate PUSHED into the
+    parquet scan.
+
+    ``table(...,"events")`` converts the raw nanos long to a timestamp;
+    a filter on the converted column cannot reach the scan (Catalyst
+    can't invert the expression), which would cost row-group pruning at
+    100 TB.  The conversion is monotonic, so this helper applies the
+    equivalent bounds on the RAW nanos column first — .explain shows
+    GreaterThanOrEqual/LessThanOrEqual in PushedFilters — then converts.
+    Bounds are 'YYYY-MM-DD HH:MM:SS' UTC strings.
+    """
+    from datetime import datetime, timezone
+
+    _prepare(spark)
+
+    def _ns(s: str) -> int:
+        dt = datetime.fromisoformat(s).replace(tzinfo=timezone.utc)
+        return int(dt.timestamp()) * 1_000_000_000
+
+    raw = spark.read.parquet(path(sf_dir, "events"))
+    raw = raw.filter(
+        (F.col("ts") >= F.lit(_ns(lo_utc))) & (F.col("ts") <= F.lit(_ns(hi_utc)))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table as a DataFrame (lazy parquet scan).
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import events_in_range, table
 from ..registry import register
 
 # Africa bounding box from the reference (sources/meteosat.py:36).
@@ -88,16 +88,14 @@ WHERE ts BETWEEN TIMESTAMP '2024-01-15 11:30:00' AND TIMESTAMP '2024-01-15 12:30
 )
 def filter_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """±30 min interval-containment predicate around a target slot — the
-    catalog availability window (sources/meteosat.py:106-109).  Pushed to
-    the parquet scan as two range filters → row-group pruning on ts
-    statistics at scale."""
-    ev = table(spark, sf_dir, "events")
-    return ev.select("event_id", "ts", "user_id", "event_type", "value").filter(
-        F.col("ts").between(
-            F.to_timestamp(F.lit("2024-01-15 11:30:00")),
-            F.to_timestamp(F.lit("2024-01-15 12:30:00")),
-        )
+    catalog availability window (sources/meteosat.py:106-109).  Routed
+    through :func:`events_in_range` so the bounds land on the raw nanos
+    column and reach the parquet scan (PushedFilters) → row-group pruning
+    on ts statistics at scale."""
+    ev = events_in_range(
+        spark, sf_dir, "2024-01-15 11:30:00", "2024-01-15 12:30:00"
     )
+    return ev.select("event_id", "ts", "user_id", "event_type", "value")
 
 
 @register(

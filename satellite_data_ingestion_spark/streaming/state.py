@@ -84,6 +84,31 @@ def sink_atomic_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([persisted], schema=state.schema)
 
 
+class _few_shuffle_partitions:
+    """Temporarily cap spark.sql.shuffle.partitions for a stateful stream.
+
+    A stateful streaming query materializes one state store per shuffle
+    partition and pins the count into its checkpoint; with a default of
+    200 that is 200 state stores for a test-scale stream.  Production
+    sizing belongs in the session config — this scopes a sane small value
+    to the self-contained staged streams below.
+    """
+
+    def __init__(self, spark: SparkSession, n: int = 8):
+        self.spark = spark
+        self.n = n
+        self.prev: str | None = None
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
 def _stage_events(spark: SparkSession, sf_dir: str, n_files: int, tag: str) -> str:
     """Copy events into a temp staging dir as n_files parquet files — the
     'slot files arriving' fixture for file-source streaming."""
@@ -110,19 +135,20 @@ def source_rate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     def log_batch(df: DataFrame, batch_id: int) -> None:
         batches.append((batch_id, df.count()))
 
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staging)
-        .writeStream.foreachBatch(log_batch)
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            os.path.join(staging, "_checkpoint"),
+    with _few_shuffle_partitions(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+            .writeStream.foreachBatch(log_batch)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                os.path.join(staging, "_checkpoint"),
+            )
+            .start()
         )
-        .start()
-    )
-    q.awaitTermination(120)
+        q.awaitTermination(120)
     shutil.rmtree(staging, ignore_errors=True)
     return spark.createDataFrame(
         [(b, n) for b, n in sorted(batches)], "batch_id long, n_rows long"
@@ -143,15 +169,16 @@ def stream_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     def log_batch(df: DataFrame, batch_id: int) -> None:
         batches.append((batch_id, df.count()))
 
-    q = (
-        spark.readStream.schema(schema)
-        .parquet(staging)
-        .writeStream.foreachBatch(log_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
-        .start()
-    )
-    q.awaitTermination(120)
+    with _few_shuffle_partitions(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(staging)
+            .writeStream.foreachBatch(log_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
+            .start()
+        )
+        q.awaitTermination(120)
     shutil.rmtree(staging, ignore_errors=True)
     return spark.createDataFrame(
         [(b, n) for b, n in sorted(batches)], "batch_id long, n_rows long"
@@ -169,23 +196,24 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     staging = _stage_events(spark, sf_dir, 2, "wm")
     schema = spark.read.parquet(staging).schema
     sink = f"wm_sink_{os.getpid()}"
-    q = (
-        spark.readStream.schema(schema)
-        .parquet(staging)
-        .withWatermark("ts", "45 minutes")
-        .groupBy(F.window("ts", "15 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            F.unix_timestamp(F.col("w.start")).alias("slot_epoch"), "n_events"
+    with _few_shuffle_partitions(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(staging)
+            .withWatermark("ts", "45 minutes")
+            .groupBy(F.window("ts", "15 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.unix_timestamp(F.col("w.start")).alias("slot_epoch"), "n_events"
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
-        .start()
-    )
-    q.awaitTermination(120)
+        q.awaitTermination(120)
     out = spark.table(sink)
     result = spark.createDataFrame(out.collect(), out.schema)
     shutil.rmtree(staging, ignore_errors=True)
@@ -203,21 +231,22 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     staging = _stage_events(spark, sf_dir, 2, "dedup")
     schema = spark.read.parquet(staging).schema
     sink = f"dedup_sink_{os.getpid()}"
-    q = (
-        spark.readStream.schema(schema)
-        .parquet(staging)
-        .withColumn("slot", F.date_trunc("minute", "ts"))
-        .withWatermark("slot", "45 minutes")
-        .dropDuplicatesWithinWatermark(["user_id", "slot"])
-        .select("user_id", F.unix_timestamp("slot").alias("slot_epoch"), "event_id")
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
-        .start()
-    )
-    q.awaitTermination(120)
+    with _few_shuffle_partitions(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(staging)
+            .withColumn("slot", F.date_trunc("minute", "ts"))
+            .withWatermark("slot", "45 minutes")
+            .dropDuplicatesWithinWatermark(["user_id", "slot"])
+            .select("user_id", F.unix_timestamp("slot").alias("slot_epoch"), "event_id")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
+            .start()
+        )
+        q.awaitTermination(120)
     out = spark.table(sink)
     result = spark.createDataFrame(out.collect(), out.schema)
     shutil.rmtree(staging, ignore_errors=True)
@@ -238,22 +267,23 @@ def stream_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint = os.path.join(staging, "_checkpoint")
     runs: list[tuple[int, int]] = []
 
-    for run_id in (1, 2):
-        ingested = {"n": 0}
+    with _few_shuffle_partitions(spark):
+        for run_id in (1, 2):
+            ingested = {"n": 0}
 
-        def log_batch(df: DataFrame, batch_id: int) -> None:
-            ingested["n"] += df.count()
+            def log_batch(df: DataFrame, batch_id: int) -> None:
+                ingested["n"] += df.count()
 
-        q = (
-            spark.readStream.schema(schema)
-            .parquet(staging)
-            .writeStream.foreachBatch(log_batch)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", checkpoint)
-            .start()
-        )
-        q.awaitTermination(120)
-        runs.append((run_id, ingested["n"]))
+            q = (
+                spark.readStream.schema(schema)
+                .parquet(staging)
+                .writeStream.foreachBatch(log_batch)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", checkpoint)
+                .start()
+            )
+            q.awaitTermination(120)
+            runs.append((run_id, ingested["n"]))
 
     shutil.rmtree(staging, ignore_errors=True)
     return spark.createDataFrame(runs, "run_id long, n_rows long")

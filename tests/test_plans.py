@@ -1,0 +1,79 @@
+"""Physical-plan assertions: the scale properties the engine promises.
+
+Correctness tests prove values; these prove the PLAN — pushdown reaching
+the scan, dimensions broadcast, single-shuffle aggregates — so a refactor
+that silently de-optimizes a query fails CI even though values still match.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from satellite_data_ingestion_spark import registry
+from tests.conftest import SF_SMOKE
+
+registry.load_all()
+
+
+def formatted_plan(spark, df) -> str:
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def plan_of(spark, name: str) -> str:
+    df = registry.spec(name).fn(spark, SF_SMOKE)
+    return formatted_plan(spark, df)
+
+
+def test_time_window_pushdown(spark):
+    """The ±30-min bounds must reach the parquet scan on the raw column."""
+    plan = plan_of(spark, "filter_time_window")
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThanOrEqual(ts" in pushed, pushed
+
+
+def test_q1_filter_pushdown_and_single_shuffle(spark):
+    plan = plan_of(spark, "agg_hash_group")
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "LessThanOrEqual(l_shipdate" in pushed, pushed
+    # tree section lists each node once before the details section
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "partial_sum" in plan  # map-side combine present
+
+
+def test_q1_column_pruning(spark):
+    plan = plan_of(spark, "agg_hash_group")
+    schema = re.search(r"ReadSchema: (\S+)", plan).group(1)
+    assert "l_orderkey" not in schema and "l_partkey" not in schema, schema
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = plan_of(spark, "join_broadcast")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") == 2, tree
+    assert "SortMergeJoin" not in tree and "CartesianProduct" not in tree
+
+
+def test_topn_avoids_global_sort(spark):
+    plan = plan_of(spark, "limit_topn")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["join_equi_inner", "join_semi", "join_anti", "join_range", "win_rank"],
+)
+def test_no_cartesian_products(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_minhash_no_cartesian(spark):
+    """The LSH pipeline must join on bucket keys, never cross-join docs."""
+    plan = plan_of(spark, "ext_dedup_minhash")
+    assert "CartesianProduct" not in plan
