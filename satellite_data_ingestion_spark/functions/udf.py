@@ -1,0 +1,97 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.9).
+
+The reference's "UDFs" are library calls a relational engine can't express:
+satpy composite math (``utils/conversion.py:11-13``), per-scene processing
+loops (``sources/meteosat.py:150-185``), and the 1-response→N-products
+explode (``utils/eumdacapi.py:53-65``).  Spark forms, in preference order:
+
+1. built-in expressions (always first choice — see every other module),
+2. Arrow-vectorized ``pandas_udf`` for scalar math over batches,
+3. ``applyInPandas`` for whole-group transforms,
+4. ``explode``/UDTF for row-generating functions.
+
+Each query's oracle restates the same math in SQL, proving the
+UDF path is value-identical to the relational path — the guarantee that
+lets the engine swap a slow Python kernel for a builtin when one appears.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from ..catalog import table
+from ..registry import register
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x))), 4) AS l2_norm
+FROM embeddings
+""",
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar transform: L2 norm of the embedding column via an
+    Arrow-batched pandas UDF — the band-math analog of the reference's
+    composite generation (utils/conversion.py:13).  Arrow moves whole
+    columns; numpy reduces each batch without a Python row loop."""
+
+    @F.pandas_udf(DoubleType())
+    def l2_norm(embs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return embs.map(
+            lambda v: round(float(np.sqrt(np.sum(np.asarray(v, dtype=np.float64) ** 2))), 4)
+        )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", l2_norm("embedding").alias("l2_norm"))
+
+
+@register(
+    "udf_grouped_map",
+    oracle="""
+SELECT doc_id, lang,
+       round(n_chars - avg(n_chars) OVER (PARTITION BY lang), 4) AS chars_delta
+FROM documents
+""",
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group DataFrame transform via applyInPandas: demean n_chars
+    within each language — the per-scene processing loop of
+    sources/meteosat.py:150-185 as a grouped-map kernel.  One shuffle on
+    the group key; each group arrives as a single pandas frame, so group
+    cardinality must bound memory (languages, scenes — not user ids)."""
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[["doc_id", "lang"]].copy()
+        out["chars_delta"] = (pdf["n_chars"] - pdf["n_chars"].mean()).round(4)
+        return out
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return docs.groupBy("lang").applyInPandas(
+        demean, schema="doc_id long, lang string, chars_delta double"
+    )
+
+
+@register(
+    "udtf_explode_products",
+    oracle="""
+SELECT p_partkey, u.word AS word
+FROM part, unnest(str_split(p_name, ' ')) AS u(word)
+""",
+)
+def udtf_explode_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-generating transform (1 → N): explode the name tokens — the
+    shape of parsing one catalog response into N product rows
+    (utils/eumdacapi.py:53-65).  Built-in explode keeps it JVM-side; a
+    Python UDTF would only be warranted for imperative parsing."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", F.explode(F.split("p_name", " ")).alias("word")
+    )

@@ -42,6 +42,7 @@ _QUERY_MODULES = [
     "satellite_data_ingestion_spark.operators.windows",
     "satellite_data_ingestion_spark.operators.setops",
     "satellite_data_ingestion_spark.functions.scalar",
+    "satellite_data_ingestion_spark.functions.udf",
     "satellite_data_ingestion_spark.sources.binary",
     "satellite_data_ingestion_spark.sources.catalog_json",
     "satellite_data_ingestion_spark.sources.sinks",
