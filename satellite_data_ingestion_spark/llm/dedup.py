@@ -119,20 +119,18 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 
     Per seed s: sig[s] = min over tokens of xxhash64(token ⊕ seed-tag).
     transform/array_min stay inside whole-stage codegen — no Python row
-    loop, no UDF serialization.
+    loop, no UDF serialization.  The expression tree is built as ONE
+    parsed SQL string: constructing 16 nested lambda expressions through
+    the py4j column API costs seconds of driver time per plan; parsing a
+    string is ~free.
     """
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("toks"),
-                    lambda t, s=s: F.xxhash64(F.concat(t, F.lit(f"#seed{s}"))),
-                )
-            )
+    sig_sql = "array({})".format(
+        ",".join(
+            f"array_min(transform(toks, t -> xxhash64(concat(t, '#seed{s}'))))"
             for s in range(_N_HASHES)
-        ]
+        )
     )
-    return docs.select("doc_id", "toks", sig.alias("sig"))
+    return docs.select("doc_id", "toks", F.expr(sig_sql).alias("sig"))
 
 
 @register("ext_dedup_minhash")  # LSH candidates + exact verify → rows-only
@@ -151,34 +149,27 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = minhash_signatures(_token_sets(spark, sf_dir))
 
+    band_structs = ",".join(
+        "struct({b} AS band_id, xxhash64(concat_ws(',', {parts})) AS band_key)".format(
+            b=b,
+            parts=",".join(
+                f"cast(sig[{b * _ROWS_PER_BAND + r}] AS string)"
+                for r in range(_ROWS_PER_BAND)
+            ),
+        )
+        for b in range(_N_BANDS)
+    )
     bands = d.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[b * _ROWS_PER_BAND + r].cast("string")
-                                    for r in range(_ROWS_PER_BAND)
-                                ],
-                            )
-                        ).alias("band_key"),
-                    )
-                    for b in range(_N_BANDS)
-                ]
-            )
-        ).alias("band"),
+        "doc_id", F.expr(f"explode(array({band_structs}))").alias("band")
     ).select("doc_id", "band.band_id", "band.band_key")
 
-    # Cap degenerate buckets before the pairwise self-join.
-    sized = bands.join(
-        bands.groupBy("band_id", "band_key").agg(F.count(F.lit(1)).alias("bn")),
-        ["band_id", "band_key"],
-    ).filter(F.col("bn") <= _MAX_BUCKET)
+    # Cap degenerate buckets before the pairwise self-join: a window count
+    # over the bucket key costs one shuffle (vs groupBy + re-join's two)
+    # and keeps the row payload intact.
+    from pyspark.sql import Window
+
+    bn = F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_key"))
+    sized = bands.withColumn("bn", bn).filter(F.col("bn") <= _MAX_BUCKET)
 
     l = sized.alias("l")
     r = sized.alias("r")

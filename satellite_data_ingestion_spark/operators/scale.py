@@ -1,0 +1,163 @@
+"""Scale-pattern operators: the techniques that keep joins and aggregates
+alive at 100 TB (SURVEY.md §2.3 scale notes, BASELINE.json's 100 TB
+mandate).
+
+- ``join_salted``    key-salting for skewed join keys: replicate the small
+                     side N ways, split each hot key of the big side across
+                     N shuffle partitions.  The manual form of what AQE's
+                     skew-join does for sort-merge joins — needed when the
+                     small side is broadcast-sized but a single key floods
+                     one task.
+- ``join_bucketed``  co-located join on pre-bucketed tables: both sides
+                     bucketed by the join key into the same bucket count →
+                     the join runs with NO Exchange (asserted in
+                     tests/test_plans.py).  The amortize-one-shuffle-
+                     forever pattern for repeatedly-joined fact tables.
+- ``agg_quantile``   exact interpolated percentiles (matches DuckDB
+                     quantile_cont).
+- ``agg_approx_quantile`` GK-sketch percentiles — fixed memory, mergeable,
+                     the 100 TB path (approximate → rows-only).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+_N_SALT = 8
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_source: Column,
+    n_salt: int = _N_SALT,
+) -> DataFrame:
+    """Inner equi-join with key salting.
+
+    big rows get a deterministic salt in [0, n_salt) derived from
+    ``salt_source`` (any well-distributed column — NOT the join key);
+    small rows replicate across all salts.  A key holding X% of the big
+    side now spreads over n_salt tasks instead of one.  Costs: small side
+    × n_salt (bounded — it's small), join key widens by one int.
+    """
+    big_s = big.withColumn("_salt", F.pmod(F.xxhash64(salt_source), F.lit(n_salt)))
+    small_s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    joined = big_s.join(small_s, [key, "_salt"]).drop("_salt")
+    return joined
+
+
+@register(
+    "join_salted",
+    oracle="""
+WITH user_stats AS (
+  SELECT user_id, count(*) AS n_user_events
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, u.n_user_events
+FROM events e JOIN user_stats u ON e.user_id = u.user_id
+""",
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-to-dim join on the (deliberately low-cardinality, i.e.
+    skew-shaped) user_id key.  The oracle is the UNSALTED join — value
+    equality proves salting is a pure execution-strategy change."""
+    ev = table(spark, sf_dir, "events")
+    user_stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_user_events")
+    )
+    out = salted_join(
+        ev.select("event_id", "user_id"),
+        user_stats,
+        key="user_id",
+        salt_source=F.col("event_id"),
+    )
+    return out.select("event_id", "user_id", "n_user_events")
+
+
+@register(
+    "join_bucketed",
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice, count(l.l_linenumber) AS n_items
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey, o.o_totalprice
+""",
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free co-located join via bucketing.
+
+    Both tables are written once bucketed by the join key (8 buckets,
+    sorted); the subsequent join needs no shuffle on either side — the
+    physical plan contains zero Exchange nodes below the aggregate's.
+    At 100 TB this converts every future orders⋈lineitem from two
+    full-table shuffles into a free zip of co-located buckets.
+    """
+    warehouse = os.path.join(tempfile.gettempdir(), f"sdis_buckets_{os.getpid()}")
+    o_name = "sdis_orders_b"
+    l_name = "sdis_lineitem_b"
+    for name, tbl, key in ((o_name, "orders", "o_orderkey"), (l_name, "lineitem", "l_orderkey")):
+        if not spark.catalog.tableExists(name):
+            (
+                table(spark, sf_dir, tbl)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", os.path.join(warehouse, name))
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+    o = spark.table(o_name)
+    li = spark.table(l_name)
+    # hint("merge"): at corpus scale Catalyst would broadcast the small
+    # side, hiding the property under test; at 100 TB both sides are far
+    # past broadcast size and sort-merge is what bucketing accelerates.
+    return (
+        o.hint("merge")
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.count("l_linenumber").alias("n_items"))
+    )
+
+
+@register(
+    "agg_quantile",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 4) AS p25,
+       round(quantile_cont(value, 0.50), 4) AS p50,
+       round(quantile_cont(value, 0.75), 4) AS p75
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont` semantics).  Exact quantiles need the full
+    value multiset per group — fine for bounded groups; the sketch
+    variant below is the unbounded-cardinality path."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.25), 4).alias("p25"),
+        F.round(F.percentile("value", 0.50), 4).alias("p50"),
+        F.round(F.percentile("value", 0.75), 4).alias("p75"),
+    )
+
+
+@register("agg_approx_quantile")  # sketch-based → rows-only
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the Greenwald-Khanna sketch
+    (percentile_approx): fixed memory per group, associative merge across
+    partitions — the only quantile that scales to 100 TB groups."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.count(F.lit(1)).alias("n"),
+    )

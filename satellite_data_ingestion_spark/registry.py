@@ -41,6 +41,7 @@ _QUERY_MODULES = [
     "satellite_data_ingestion_spark.operators.aggregates",
     "satellite_data_ingestion_spark.operators.windows",
     "satellite_data_ingestion_spark.operators.setops",
+    "satellite_data_ingestion_spark.operators.scale",
     "satellite_data_ingestion_spark.functions.scalar",
     "satellite_data_ingestion_spark.functions.udf",
     "satellite_data_ingestion_spark.sources.binary",
@@ -53,6 +54,7 @@ _QUERY_MODULES = [
     "satellite_data_ingestion_spark.llm.textstats",
     "satellite_data_ingestion_spark.llm.multimodal",
     "satellite_data_ingestion_spark.plans.pipeline",
+    "satellite_data_ingestion_spark.plans.tpch",
 ]
 
 

@@ -77,3 +77,12 @@ def test_minhash_no_cartesian(spark):
     """The LSH pipeline must join on bucket keys, never cross-join docs."""
     plan = plan_of(spark, "ext_dedup_minhash")
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Co-located bucketed join: zero Exchange nodes in the whole plan —
+    the join and the keyed aggregate both reuse the bucket partitioning."""
+    plan = plan_of(spark, "join_bucketed")
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" in tree, tree
+    assert "Exchange" not in tree, tree
