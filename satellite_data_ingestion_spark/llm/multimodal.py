@@ -92,6 +92,77 @@ def decoded_features(binary_df: DataFrame, kernel=decode_fake) -> DataFrame:
     return binary_df.mapInPandas(decode, schema=DECODED_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_offset", LongType()),
+        StructField("frame_bytes", LongType()),
+    ]
+)
+
+_FRAME_SIZE = 32  # bytes per fake "frame"
+_SAMPLE_EVERY = 4  # keep every 4th frame
+
+
+def sampled_frames(binary_df: DataFrame) -> DataFrame:
+    """Video-style frame sampling: one blob row → N sampled frame rows.
+
+    The mapInPandas kernel is row-expanding (unlike the scalar decode):
+    each payload yields len/32 frames, downsampled 4:1 — the plumbing
+    (schema, batch iteration, 1→N expansion inside Arrow batches) is what
+    a real ffmpeg frame extractor plugs into.  Deterministic fake: frame
+    k covers bytes [32k, 32k+32)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(payload) // _FRAME_SIZE
+                for k in range(0, n_frames, _SAMPLE_EVERY):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": k,
+                            "frame_offset": k * _FRAME_SIZE,
+                            "frame_bytes": min(
+                                _FRAME_SIZE, len(payload) - k * _FRAME_SIZE
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return binary_df.mapInPandas(extract, schema=FRAME_SCHEMA)
+
+
+@register(
+    "ext_multimodal_frames",
+    oracle=f"""
+SELECT doc_id,
+       k                             AS frame_idx,
+       k * {_FRAME_SIZE}             AS frame_offset,
+       CAST({_FRAME_SIZE} AS BIGINT) AS frame_bytes
+FROM (
+    SELECT doc_id,
+           unnest(range(0, octet_length(encode(text)) // {_FRAME_SIZE},
+                        {_SAMPLE_EVERY})) AS k
+    FROM documents
+)
+""",
+)
+def ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling over binary payloads: blob → every-4th 32-byte
+    'frame' with typed offsets.  The oracle recomputes the sampling
+    arithmetic relationally, checking the 1→N expansion row-for-row.
+    (Full trailing frames only, matching the kernel's integer division;
+    all payloads here exceed one frame.)"""
+    docs = table(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id", F.encode("text", "utf-8").cast(BinaryType()).alias("payload")
+    )
+    return sampled_frames(blobs).filter(F.col("frame_bytes") == _FRAME_SIZE)
+
+
 @register(
     "ext_multimodal_col",
     oracle="""

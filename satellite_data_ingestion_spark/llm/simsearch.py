@@ -170,3 +170,89 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cos_sim"),
         )
     )
+
+
+_IVF_K = 16
+_IVF_NPROBE = 4
+_IVF_TRAIN_SAMPLE = 1024
+_IVF_ITERS = 5
+
+
+def _train_centroids(emb: DataFrame) -> np.ndarray:
+    """Train the IVF coarse quantizer: k-means (Lloyd, fixed seed/iters) on
+    a bounded, deterministic sample collected to the driver.
+
+    This is the honest 100 TB pattern (and how Faiss-on-Spark does it): the
+    quantizer trains on a driver-sized sample — a few thousand rows no
+    matter the corpus size — and ships back to executors as literals, so
+    the full corpus is never shuffled for training."""
+    sample = (
+        emb.orderBy("vec_id")
+        .limit(_IVF_TRAIN_SAMPLE)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    X = np.array([r.v for r in sample])
+    rng = np.random.default_rng(_LSH_SEED)
+    cents = X[rng.choice(len(X), size=_IVF_K, replace=False)]
+    for _ in range(_IVF_ITERS):
+        # cosine k-means: assign on normalized dot product, recenter
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        Cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        assign = np.argmax(Xn @ Cn.T, axis=1)
+        for k in range(_IVF_K):
+            members = X[assign == k]
+            if len(members):
+                cents[k] = members.mean(axis=0)
+    return cents
+
+
+def ivf_assign(vec: Column, cents: np.ndarray) -> Column:
+    """Nearest-centroid id for an array<double> column, computed in one
+    JVM-side fold over centroid literals — no shuffle, no Python."""
+    Cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    scored = F.array(
+        *[
+            F.struct(
+                _dot(vec, F.array(*[F.lit(float(x)) for x in c])).alias("score"),
+                F.lit(k).alias("cid"),
+            )
+            for k, c in enumerate(Cn)
+        ]
+    )
+    return F.array_max(scored)["cid"]
+
+
+@register("ext_sim_ivf")  # approximate by construction → rows-only
+def ext_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: k-means coarse quantizer (trained
+    driver-side on a bounded sample), corpus partitioned into K inverted
+    lists by nearest centroid, query probes its NPROBE closest lists and
+    exact-cosine re-ranks only those candidates.
+
+    Per-query work drops from |corpus| to ~NPROBE/K of it (here 4/16 =
+    25%); at 100 TB the assignment is a scan-speed projection and the
+    probed fraction is the only data read if the corpus is written
+    partitioned by cluster id (`partitionBy("ivf_cluster")` → partition
+    pruning does the skip)."""
+    emb = table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    cents = _train_centroids(emb)
+
+    qrow = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        vec.alias("qv")
+    ).collect()[0]
+    qv = np.array(qrow.qv)
+    Cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    probe = np.argsort(-(Cn @ (qv / np.linalg.norm(qv))))[:_IVF_NPROBE].tolist()
+
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(vec.alias("qv"))
+    cos = F.round(cosine(F.col("v"), F.col("qv")), 6)
+    return (
+        emb.select("vec_id", "label", vec.alias("v"), ivf_assign(vec, cents).alias("cid"))
+        .filter(F.col("cid").isin(probe) & (F.col("vec_id") != _QUERY_VEC_ID))
+        .join(F.broadcast(q))
+        .select("vec_id", "label", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(_TOP_K)
+    )

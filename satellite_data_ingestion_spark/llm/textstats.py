@@ -154,3 +154,73 @@ def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(best["score"] > 0, best["lang"]).otherwise("und").alias("predicted_lang"),
         best["score"].alias("profile_hits"),
     )
+
+
+_MIN_TOKENS = 5
+_MAX_AVG_TOKEN_LEN = 12.0
+_MAX_PUNCT_RATIO = 0.2
+_MIN_DISTINCT_RATIO = 0.3
+
+
+@register(
+    "ext_quality_score",
+    oracle=f"""
+WITH feats AS (
+    SELECT doc_id,
+           len(str_split(text, ' ')) AS n_tokens,
+           list_sum(list_transform(str_split(text, ' '),
+                                   t -> CAST(length(t) AS DOUBLE)))
+               / len(str_split(text, ' ')) AS avg_tok,
+           CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+           CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+               / len(str_split(text, ' ')) AS distinct_ratio
+    FROM documents
+)
+SELECT doc_id,
+       round((CASE WHEN n_tokens >= {_MIN_TOKENS} THEN 0.25 ELSE 0 END)
+           + (CASE WHEN avg_tok <= {_MAX_AVG_TOKEN_LEN} THEN 0.25 ELSE 0 END)
+           + (CASE WHEN punct_ratio <= {_MAX_PUNCT_RATIO} THEN 0.25 ELSE 0 END)
+           + (CASE WHEN distinct_ratio >= {_MIN_DISTINCT_RATIO} THEN 0.25 ELSE 0 END),
+             2) AS quality,
+       (n_tokens >= {_MIN_TOKENS} AND avg_tok <= {_MAX_AVG_TOKEN_LEN}
+        AND punct_ratio <= {_MAX_PUNCT_RATIO}
+        AND distinct_ratio >= {_MIN_DISTINCT_RATIO}) AS keep
+FROM feats
+""",
+)
+def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score + keep/drop gate — the filtering
+    pass of a training-data pipeline.  Four heuristic signals (enough
+    tokens, sane token length, low punctuation density, lexical diversity)
+    each contribute 0.25; `keep` is the conjunctive gate.  One codegen'd
+    projection, no shuffle: at 100 TB this runs scan-speed and the `keep`
+    filter feeds directly into the dedup/sink stages downstream."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    avg_tok = (
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / n_tokens
+    )
+    punct_ratio = (
+        F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).cast("double")
+        / F.length("text")
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    c_tok = n_tokens >= _MIN_TOKENS
+    c_avg = avg_tok <= _MAX_AVG_TOKEN_LEN
+    c_punct = punct_ratio <= _MAX_PUNCT_RATIO
+    c_dist = distinct_ratio >= _MIN_DISTINCT_RATIO
+    quarter = lambda c: F.when(c, F.lit(0.25)).otherwise(F.lit(0.0))  # noqa: E731
+    return docs.select(
+        "doc_id",
+        F.round(quarter(c_tok) + quarter(c_avg) + quarter(c_punct) + quarter(c_dist), 2).alias(
+            "quality"
+        ),
+        (c_tok & c_avg & c_punct & c_dist).alias("keep"),
+    )

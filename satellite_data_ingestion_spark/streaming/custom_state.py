@@ -1,0 +1,205 @@
+"""Custom stateful streaming operators (SURVEY.md §2.8/§2.9).
+
+The reference's core stateful behavior — "remember the last processed slot
+per source, advance it only when a new slot is fully handled"
+(``sources/meteosat.py:61-93``) — generalized to an arbitrary per-key
+state machine with ``applyInPandasWithState``: user-defined state schema,
+watermark-driven timeout, Arrow-batched group processing.  This is the
+escape hatch for stateful semantics that windowed aggregates can't
+express.
+
+Also here: the exactly-once partitioned streaming sink — ``foreachBatch``
+writing partitioned parquet keyed by batch id, the Spark form of the
+reference's "write outputs, then (and only then) advance the state file"
+commit ordering (``sources/meteosat.py:174-188``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..catalog import _prepare
+from ..registry import register
+from .state import _few_shuffle_partitions, _stage_events
+
+_SLOT_SEC = 900
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("last_slot_epoch", LongType()),
+        StructField("n_slots_seen", LongType()),
+    ]
+)
+_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("last_slot_epoch", LongType()),
+        StructField("n_slots_seen", LongType()),
+        StructField("n_events_batch", LongType()),
+    ]
+)
+
+
+def _advance_slots(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user slot-watermark state machine.
+
+    Mirrors the reference's state-file contract per key: track the highest
+    15-minute slot seen and how many distinct slots have been processed;
+    emit one row per micro-batch with the updated state.  State lives in
+    the state store (checkpointed, recoverable), not in Python.
+    """
+    (user_id,) = key
+    if state.exists:
+        last_slot, n_slots = state.get
+    else:
+        last_slot, n_slots = -1, 0
+
+    n_events = 0
+    for pdf in pdfs:
+        n_events += len(pdf)
+        # slot_epoch is precomputed JVM-side (integer seconds) so the
+        # kernel never touches pandas datetime-unit semantics.
+        for s in sorted(pdf["slot_epoch"].unique()):
+            if int(s) > last_slot:
+                last_slot = int(s)
+                n_slots += 1
+
+    state.update((last_slot, n_slots))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": user_id,
+                "last_slot_epoch": last_slot,
+                "n_slots_seen": n_slots,
+                "n_events_batch": n_events,
+            }
+        ]
+    )
+
+
+@register("stream_custom_state")  # arbitrary user state → rows-only
+def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState slot-tracker: per-user state machine with a
+    user-defined state schema, run as a real stream (availableNow) over
+    staged files.  The reference keeps exactly this state per source —
+    last ingested slot, advanced monotonically (sources/meteosat.py:
+    61-93) — here sharded by key across the cluster with checkpointed
+    recovery for free."""
+    _prepare(spark)
+    staging = _stage_events(spark, sf_dir, 2, "cstate")
+    schema = spark.read.parquet(staging).schema
+    sink = f"cstate_sink_{os.getpid()}"
+    with _few_shuffle_partitions(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(staging)
+            .withColumn(
+                "slot_epoch",
+                (F.floor(F.unix_timestamp("ts") / _SLOT_SEC) * _SLOT_SEC).cast("long"),
+            )
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _advance_slots,
+                outputStructType=_OUTPUT_SCHEMA,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
+            .start()
+        )
+        q.awaitTermination(120)
+    out = spark.table(sink)
+    result = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(staging, ignore_errors=True)
+    return result
+
+
+@register(
+    "sink_stream_partitioned",
+    oracle=f"""
+SELECT CAST(floor(epoch(ts) / {_SLOT_SEC}) AS BIGINT) * {_SLOT_SEC} AS slot_epoch,
+       event_type,
+       count(*) AS n_events
+FROM events
+GROUP BY 1, 2
+""",
+)
+def sink_stream_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming → partitioned parquet with exactly-once semantics.
+
+    foreachBatch writes each micro-batch into a slot/type-partitioned
+    tree; the checkpoint's batch commit log makes re-runs idempotent
+    (the reference's write-then-advance-state ordering,
+    sources/meteosat.py:174-188).  The query returns the partition-level
+    counts read BACK from the sink tree — the oracle computes the same
+    from the source table, so a lost or doubled batch would hash-mismatch.
+    """
+    _prepare(spark)
+    staging = _stage_events(spark, sf_dir, 2, "psink")
+    out_dir = staging + "_out"
+    schema = spark.read.parquet(staging).schema
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        (
+            df.withColumn(
+                "slot_epoch",
+                (F.floor(F.unix_timestamp("ts") / _SLOT_SEC) * _SLOT_SEC).cast("long"),
+            )
+            # Cluster rows by the sink's partition keys before the write so
+            # each Hive partition receives one file per owning task instead
+            # of one per (task × partition) — without this, a W-task batch
+            # over P partitions fans out into W·P tiny files, the
+            # small-files failure mode at scale.
+            .repartition("slot_epoch", "event_type")
+            .write.partitionBy("slot_epoch", "event_type")
+            .mode("append")
+            .parquet(out_dir)
+        )
+
+    with _few_shuffle_partitions(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(staging)
+            .writeStream.foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    back = (
+        spark.read.parquet(out_dir)
+        .groupBy("slot_epoch", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("slot_epoch").cast("long").alias("slot_epoch"),
+            "event_type",
+            "n_events",
+        )
+    )
+    result = spark.createDataFrame(back.collect(), back.schema)
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return result
