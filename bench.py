@@ -28,6 +28,8 @@ HEADLINE = [
     "join_broadcast",
     "join_asof",
     "win_rank",
+    "q5_local_supplier_volume",
+    "agg_grid_resample_nn",
     "stream_tumbling",
     "ext_dedup_exact",
     "ext_dedup_minhash",

@@ -256,3 +256,60 @@ def ext_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(_TOP_K)
     )
+
+
+_N_BATCH_QUERIES = 5
+_BATCH_TOP_K = 5
+
+
+@register(
+    "ext_sim_batch_topk",
+    oracle=f"""
+SELECT query_id, vec_id, cos_sim
+FROM (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 CAST(q.embedding AS DOUBLE[])), 6) DESC,
+                    e.vec_id) AS rn
+  FROM embeddings e
+  JOIN embeddings q ON q.vec_id < {_N_BATCH_QUERIES} AND e.vec_id <> q.vec_id
+)
+WHERE rn <= {_BATCH_TOP_K}
+""",
+)
+def ext_sim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch similarity search: top-k neighbors for EACH of a set of query
+    vectors in one pass — the shape of production retrieval (dedup against
+    a seed set, k-NN labeling, RAG eval).
+
+    The query set broadcasts (it is small by construction); every corpus
+    partition scores its rows against all queries locally — one scan of
+    the corpus total, NOT one scan per query — then a window rank keyed by
+    query_id keeps k per query.  At 100 TB the corpus side never shuffles:
+    only (n_queries × k) candidate rows move."""
+    emb = table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    corpus = emb.select("vec_id", vec.alias("v"))
+    queries = emb.filter(F.col("vec_id") < _N_BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), vec.alias("qv")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _BATCH_TOP_K)
+        .select("query_id", "vec_id", "cos_sim")
+    )

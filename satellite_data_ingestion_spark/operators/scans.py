@@ -45,3 +45,55 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linestatus",
         "l_shipdate",
     )
+
+
+def _stage_format(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Materialize the nation table in another file format under a temp
+    dir (once per process) — the fixture for multi-format source scans."""
+    import os
+    import tempfile
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    staged = os.path.join(
+        tempfile.gettempdir(), f"sdis_fmt_{fmt}_{sf_tag}_{os.getpid()}"
+    )
+    if not os.path.exists(staged):
+        table(spark, sf_dir, "nation").coalesce(1).write.mode("overwrite").format(
+            fmt
+        ).option("header", "true").save(staged)
+    return staged
+
+
+_NATION_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
+@register("scan_csv", oracle=_NATION_ORACLE)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source scan with an explicit schema (never inferSchema in
+    production — schema inference is a full extra pass over 100 TB).
+    CSV is splittable uncompressed, so large files still parallelize;
+    the explicit DDL schema makes malformed rows fail loudly
+    (mode=FAILFAST) instead of silently nulling."""
+    staged = _stage_format(spark, sf_dir, "csv")
+    return (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .option("header", "true")
+        .option("mode", "FAILFAST")
+        .csv(staged)
+    )
+
+
+@register("scan_jsonl", oracle=_NATION_ORACLE)
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source scan with explicit schema — the landing format of
+    the reference's catalog responses (utils/eumdacapi.py:49-66) when
+    staged to disk.  Explicit schema skips the inference pass and keeps
+    int widths stable (inference would widen to bigint)."""
+    staged = _stage_format(spark, sf_dir, "json")
+    return (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .json(staged)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )

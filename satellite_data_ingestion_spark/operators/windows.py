@@ -136,3 +136,34 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.count(F.lit(1)).over(w).alias("n_neighbors"),
     )
+
+
+@register(
+    "win_ntile_dist",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       ntile(4)       OVER w AS price_quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist()    OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def win_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile bucketing, percent_rank,
+    cume_dist — per order status.  One shuffle on the partition key, one
+    in-partition sort serves all three functions (single Window node).
+    The ntile quartile is the standard price-band feature; percent_rank /
+    cume_dist are the normalized forms robust to group size."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

@@ -86,3 +86,58 @@ def test_bucketed_join_has_no_exchange(spark):
     tree = plan.split("\n\n")[0]
     assert "SortMergeJoin" in tree, tree
     assert "Exchange" not in tree, tree
+
+
+def test_q6_pushdown_and_pruning(spark):
+    """All three Q6 predicates reach the lineitem scan; only the four
+    referenced columns are read."""
+    plan = plan_of(spark, "q6_forecast_revenue")
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount",
+        "LessThan(l_quantity",
+    ):
+        assert frag in pushed, pushed
+    schema = re.search(r"ReadSchema: (\S+)", plan).group(1)
+    assert "l_extendedprice" in schema and "l_orderkey" not in schema, schema
+
+
+def test_q3_selective_filters_pushed(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "EqualTo(c_mktsegment,BUILDING)" in pushed, pushed
+    assert "LessThan(o_orderdate" in pushed, pushed
+    assert "GreaterThan(l_shipdate" in pushed, pushed
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name,min_broadcasts",
+    [
+        ("q5_local_supplier_volume", 3),  # supplier, nation, region hinted
+        ("q14_promo_effect", 1),  # part
+        ("q19_discounted_revenue", 1),  # part
+    ],
+)
+def test_composite_dimensions_broadcast(spark, name, min_broadcasts):
+    plan = plan_of(spark, name)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") >= min_broadcasts, tree
+    assert "CartesianProduct" not in tree
+
+
+def test_q18_semi_join_for_having_subquery(spark):
+    """The IN (… HAVING …) subquery must plan as a semi join, not a
+    row-multiplying inner join + distinct."""
+    plan = plan_of(spark, "q18_large_volume_customer")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_score_is_shuffle_free(spark):
+    """The quality gate is a pure projection: scan → project, no Exchange."""
+    plan = plan_of(spark, "ext_quality_score")
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree, tree
