@@ -203,3 +203,109 @@ def sink_stream_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(staging, ignore_errors=True)
     shutil.rmtree(out_dir, ignore_errors=True)
     return result
+
+
+def _make_processor():
+    """StatefulProcessor for transformWithStateInPandas, built lazily so
+    the module stays importable on Spark builds without the API.  Keeps
+    one ValueState row per user — running event count and value sum —
+    updated every micro-batch; emits the post-update totals."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timer_values):
+            (user_id,) = key
+            if self._totals.exists():
+                prev = self._totals.get()
+                n, total = int(prev[0]), float(prev[1])
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                [{"user_id": user_id, "n_events": n, "total_value": round(total, 4)}]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserTotals()
+
+
+def _protobuf_available() -> bool:
+    """transformWithStateInPandas speaks protobuf to the JVM state server;
+    gate registration on the dependency so the query surface never
+    advertises an operator the runtime cannot execute."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas (the arbitrary-state successor to
+    applyInPandasWithState): per-user ValueState accumulating count and
+    value sum across micro-batches.  Update mode emits the running totals
+    each batch; after the availableNow drain the LAST emission per user
+    is exactly the batch aggregate — the SQL oracle — so state
+    accumulation across batches is value-verified, not just row-counted.
+    """
+    _prepare(spark)
+    staging = _stage_events(spark, sf_dir, 2, "tws")
+    schema = spark.read.parquet(staging).schema
+    sink = f"tws_sink_{os.getpid()}"
+    with _few_shuffle_partitions(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(staging)
+            .select("user_id", "value")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                _make_processor(),
+                outputStructType="user_id long, n_events long, total_value double",
+                outputMode="Update",
+                timeMode="None",
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
+            .start()
+        )
+        q.awaitTermination(180)
+    out = spark.table(sink)
+    # keep the final (highest-count) emission per user
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    result = spark.createDataFrame(final.collect(), final.schema)
+    shutil.rmtree(staging, ignore_errors=True)
+    return result
+
+
+if _protobuf_available():  # pragma: no cover — absent in this container
+    stream_transform_with_state = register(
+        "stream_transform_with_state",
+        oracle="""
+SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events
+GROUP BY user_id
+""",
+    )(stream_transform_with_state)
