@@ -47,6 +47,12 @@ def main() -> None:
     registry.load_all()
     qs = registry.queries()
 
+    # Warm the JVM once (task scheduler, codegen, noop sink) so the first
+    # timed query measures the engine, not startup.
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]

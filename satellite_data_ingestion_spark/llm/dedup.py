@@ -272,3 +272,96 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+_CC_MAX_ITERS = 10
+
+
+@register(
+    "ext_dedup_cluster",
+    oracle=f"""
+WITH RECURSIVE
+d AS (
+  SELECT doc_id, source, list_distinct(str_split(text, ' ')) AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM d a
+  JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.toks, b.toks))) >= {_JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT doc_id,
+       least(doc_id, coalesce(min(dst), doc_id)) AS component_id,
+       doc_id = least(doc_id, coalesce(min(dst), doc_id)) AS is_canonical
+FROM documents LEFT JOIN reach ON src = doc_id
+GROUP BY doc_id
+""",
+)
+def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clustering: connected components over the near-dup
+    pair graph, each document labeled with its component's min doc_id and
+    a canonical flag — the step that turns pairwise dedup into "keep one
+    per duplicate cluster".
+
+    Distributed as iterative min-label propagation: each round every node
+    takes the min label among itself and its neighbors; convergence in
+    O(component diameter) rounds (near-dup clusters are clique-ish, so
+    2-3).  Each round is one shuffle-join on doc_id; the loop exits early
+    when a round changes nothing (count of changed labels == 0 — the only
+    driver-side value per round).  The oracle computes the same components
+    via a recursive-CTE transitive closure, so the iterative distributed
+    algorithm is value-checked against a declarative fixpoint."""
+    pairs = ext_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.select("doc_id", F.col("doc_id").alias("component_id"))
+    edges = edges.persist()
+    labels = labels.persist()
+    try:
+        for _ in range(_CC_MAX_ITERS):
+            neighbor_min = (
+                edges.join(labels, edges.doc_b == labels.doc_id)
+                .groupBy("doc_a")
+                .agg(F.min("component_id").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("component_id"), F.coalesce("nbr_min", F.col("component_id"))
+                    ).alias("component_id"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.component_id") != F.col("o.component_id"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(
+            "doc_id",
+            "component_id",
+            (F.col("doc_id") == F.col("component_id")).alias("is_canonical"),
+        )
+    finally:
+        edges.unpersist()

@@ -31,12 +31,14 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 from ..catalog import table
@@ -258,3 +260,115 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.createDataFrame(out.dropDuplicates(["slot_idx"]).collect(), out.schema)
     shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class AtomicJsonWriter(DataSourceWriter):
+    """Two-phase-commit JSON-lines writer (Python Data Source API write
+    path).  Phase 1: every task writes its partition to a STAGED file and
+    returns a commit message naming it.  Phase 2 (driver, all tasks
+    succeeded): staged files are renamed into the final directory and a
+    manifest is fsync'd — readers see either the complete dataset or
+    nothing.  ``abort`` removes staged files.  This is the reference's
+    temp-write + fsync + atomic-rename contract (utils/fs.py:21-48)
+    promoted to a distributed commit protocol; on a cluster the staging
+    dir lives on the shared store, exactly like FileOutputCommitter."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        staged_dir = _os.path.join(self.path, "_staging")
+        _os.makedirs(staged_dir, exist_ok=True)
+        staged = _os.path.join(staged_dir, f"part-{_uuid.uuid4().hex}.json")
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+            f.flush()
+            _os.fsync(f.fileno())
+        return _FileCommit(staged, n)
+
+    def commit(self, messages):
+        import json as _json
+        import os as _os
+
+        total = 0
+        for i, m in enumerate(messages):
+            final = _os.path.join(self.path, f"part-{i:05d}.json")
+            _os.replace(m.path, final)
+            total += m.n_rows
+        manifest = _os.path.join(self.path, "_SUCCESS")
+        with open(manifest, "w") as f:
+            _json.dump({"n_files": len(messages), "n_rows": total}, f)
+            f.flush()
+            _os.fsync(f.fileno())
+
+    def abort(self, messages):
+        import os as _os
+
+        for m in messages:
+            if m is not None and _os.path.exists(m.path):
+                _os.unlink(m.path)
+
+
+class AtomicJsonSink(DataSource):
+    @classmethod
+    def name(cls):
+        return "atomic_json"
+
+    def schema(self):
+        return "event_type string, n_events bigint, total_value double"
+
+    def writer(self, schema, overwrite: bool):
+        return AtomicJsonWriter(self.options, overwrite)
+
+
+@register(
+    "sink_python_datasource",
+    oracle="""
+SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events
+GROUP BY event_type
+""",
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the custom two-phase-commit sink: aggregate
+    events per type, write via the atomic_json writer, read the committed
+    files back.  The oracle recomputes the aggregate from the source —
+    a lost, duplicated, or torn partition file would hash-mismatch."""
+    import os
+    import shutil
+    import tempfile
+
+    spark.dataSource.register(AtomicJsonSink)
+    out_dir = tempfile.mkdtemp(prefix="sdis_atomic_json_")
+    try:
+        agg = (
+            table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            )
+        )
+        agg.write.format("atomic_json").option("path", out_dir).mode("append").save()
+        assert os.path.exists(os.path.join(out_dir, "_SUCCESS"))
+        back = (
+            spark.read.schema("event_type string, n_events bigint, total_value double")
+            .json(out_dir + "/part-*.json")
+        )
+        return spark.createDataFrame(back.collect(), back.schema)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

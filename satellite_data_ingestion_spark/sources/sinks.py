@@ -63,3 +63,51 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(out, ignore_errors=True)
     return result
+
+
+@register(
+    "sink_upsert_partition",
+    oracle="""
+SELECT l_returnflag, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def sink_upsert_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level upsert via dynamic partition overwrite — the
+    idempotent re-ingest pattern: reprocessing one slot replaces exactly
+    that slot's partition, leaving the rest untouched (the reference's
+    one-slot-per-run re-run contract, sources/meteosat.py:88-93,187-188).
+
+    Sequence under test: (1) write all partitions, with the 'R' partition
+    deliberately CORRUPTED (rows doubled); (2) re-write ONLY the correct
+    'R' slice with partitionOverwriteMode=dynamic — static mode would
+    wipe the other partitions; a doubled append would inflate counts.
+    The read-back matching the clean oracle proves surgical replacement.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), f"sdis_sink_upsert_{os.getpid()}"
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        corrupted = li.union(li.filter(F.col("l_returnflag") == "R"))
+        corrupted.write.partitionBy("l_returnflag").mode("overwrite").parquet(out)
+
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        li.filter(F.col("l_returnflag") == "R").write.partitionBy(
+            "l_returnflag"
+        ).mode("overwrite").parquet(out)
+
+        back = spark.read.parquet(out)
+        result = back.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        result = spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        shutil.rmtree(out, ignore_errors=True)
+    return result

@@ -127,3 +127,36 @@ def test_asof_tie_purchase_at_same_ts_matches(spark):
     }
     assert out[2] == 1  # same-ts purchase matched
     assert out[3] is None  # user with no purchase → null
+
+
+def test_slot_reader_pushdown_prunes_partitions():
+    """pushFilters must tighten the generated range: filtered slots are
+    never materialized, and unsupported filters are handed back."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, IsNotNull, LessThan
+
+    from satellite_data_ingestion_spark.sources.python_source import (
+        SlotTimelineReader,
+    )
+
+    opts = {"start_epoch": "0", "end_epoch": "9000", "n_partitions": "4"}
+    full = SlotTimelineReader(opts)
+    n_full = sum(
+        len(list(full.read(p))) for p in full.partitions()
+    )
+    assert n_full == 11  # slots 0..9000 step 900 inclusive
+
+    pushed = SlotTimelineReader(opts)
+    leftover = list(
+        pushed.pushFilters(
+            [
+                GreaterThanOrEqual(("slot_epoch",), 3600),
+                LessThan(("slot_epoch",), 8100),
+                IsNotNull(("slot_epoch",)),  # unsupported → returned
+            ]
+        )
+    )
+    assert len(leftover) == 1 and isinstance(leftover[0], IsNotNull)
+    rows = [r for p in pushed.partitions() for r in pushed.read(p)]
+    assert [r[0] for r in rows] == [3600, 4500, 5400, 6300, 7200]
+    # slot_idx stays anchored to the ORIGINAL start, not the tightened one
+    assert [r[1] for r in rows] == [4, 5, 6, 7, 8]
