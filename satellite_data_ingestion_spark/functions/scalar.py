@@ -295,3 +295,34 @@ def fn_math_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil("value").cast("long").alias("val_ceil"),
         (F.col("value") % 7.0).alias("val_mod"),
     )
+
+
+@register(
+    "fn_str_distance",
+    oracle="""
+SELECT d.doc_id,
+       levenshtein(d.source, 'src1') AS lev_to_src1,
+       CASE WHEN d.source = 'src1' THEN 0.0
+            ELSE round(1.0 - CAST(levenshtein(d.source, 'src1') AS DOUBLE)
+                       / greatest(length(d.source), 4), 4) END AS similarity
+FROM documents d
+""",
+)
+def fn_str_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance scalar: levenshtein against a probe string plus the
+    normalized similarity used for fuzzy key matching — entity resolution
+    and near-key joins do this before resorting to pairwise dedup."""
+    docs = table(spark, sf_dir, "documents")
+    lev = F.levenshtein("source", F.lit("src1"))
+    return docs.select(
+        "doc_id",
+        lev.alias("lev_to_src1"),
+        F.when(F.col("source") == "src1", F.lit(0.0))
+        .otherwise(
+            F.round(
+                1.0 - lev.cast("double") / F.greatest(F.length("source"), F.lit(4)),
+                4,
+            )
+        )
+        .alias("similarity"),
+    )

@@ -224,3 +224,112 @@ def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (c_tok & c_avg & c_punct & c_dist).alias("keep"),
     )
+
+
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_DIGITS_RE = r"[0-9]{6,}"
+
+
+@register(
+    "ext_pii_mask",
+    oracle=f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_DIGITS_RE}', '<NUM>', 'g') AS masked,
+       len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{_DIGITS_RE}')) AS n_long_numbers
+FROM documents
+""",
+)
+def ext_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: mask email addresses and long digit runs
+    (phone/account-number shaped), and count what was masked for audit.
+    Pure regexp_replace/extract_all projections — scan-speed, no shuffle;
+    the per-doc hit counts are what a compliance report aggregates."""
+    docs = table(spark, sf_dir, "documents")
+    masked = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _DIGITS_RE, "<NUM>"
+    )
+    return docs.select(
+        "doc_id",
+        masked.alias("masked"),
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_DIGITS_RE), 0)).alias(
+            "n_long_numbers"
+        ),
+    )
+
+
+_TOP_NGRAMS = 20
+
+
+@register(
+    "ext_ngram_profile",
+    oracle=f"""
+SELECT bigram, n
+FROM (
+  SELECT bigram, count(*) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, bigram) AS rn
+  FROM (
+    SELECT unnest(list_transform(
+             range(1, len(str_split(text, ' '))),
+             i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i + 1]
+           )) AS bigram
+    FROM documents
+  )
+  GROUP BY bigram
+)
+WHERE rn <= {_TOP_NGRAMS}
+""",
+)
+def ext_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram profile: top-20 adjacent-token pairs by frequency —
+    the n-gram census behind contamination checks and boilerplate
+    detection.  Bigrams are formed JVM-side by zipping the token array
+    with its own tail (no window, no per-token shuffle); only the bigram
+    counts shuffle, and the top-k is a TakeOrdered, not a global sort."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(_TOP_NGRAMS)
+    )
+
+
+@register(
+    "ext_dataset_split",
+    oracle="""
+SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+            WHEN doc_id % 10 = 8 THEN 'valid'
+            ELSE 'test' END AS split,
+       lang,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+""",
+)
+def ext_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split keyed on doc_id —
+    reproducible across runs and engines with no RNG state to ship (for
+    unkeyed data, hash a stable column first).  Returns the split x lang
+    census, the table a data card reports.  The split column is a pure
+    projection, so downstream training readers filter on it scan-side."""
+    docs = table(spark, sf_dir, "documents")
+    split = (
+        F.when(F.col("doc_id") % 10 < 8, "train")
+        .when(F.col("doc_id") % 10 == 8, "valid")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

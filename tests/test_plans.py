@@ -141,3 +141,21 @@ def test_quality_score_is_shuffle_free(spark):
     plan = plan_of(spark, "ext_quality_score")
     tree = plan.split("\n\n")[0]
     assert "Exchange" not in tree, tree
+
+
+def test_ngram_profile_topk_no_global_sort(spark):
+    """Corpus bigram top-k must be TakeOrderedAndProject above the count
+    aggregate — per-partition heaps, not a full sort of the census."""
+    plan = plan_of(spark, "ext_ngram_profile")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+@pytest.mark.parametrize("name", ["ext_pii_mask", "ext_dataset_split", "fn_str_distance"])
+def test_text_ops_scan_shaped(spark, name):
+    """Text projections stay shuffle-free (dataset_split's single exchange
+    is its census aggregate); none may plan a join or cartesian."""
+    plan = plan_of(spark, name)
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree and "Join" not in tree, tree
+    max_exchanges = 1 if name == "ext_dataset_split" else 0
+    assert tree.count("Exchange") <= max_exchanges, tree
