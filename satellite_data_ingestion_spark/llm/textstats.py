@@ -333,3 +333,90 @@ def ext_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+_TFIDF_TOP_TERMS = 3
+
+
+@register(
+    "ext_tfidf",
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+df AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, tok,
+       round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+FROM (
+  SELECT t.doc_id, t.tok,
+         t.tf, d.df, n.n_docs,
+         row_number() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)) DESC, t.tok
+         ) AS rn
+  FROM tf t JOIN df d ON t.tok = d.tok CROSS JOIN n
+)
+WHERE rn <= {_TFIDF_TOP_TERMS}
+""",
+)
+def ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 highest-scoring terms per document (smoothed IDF).
+    Term frequencies shuffle on (doc, term); document frequencies on term;
+    the IDF side is vocabulary-sized, so it BROADCASTS back onto the TF
+    rows — the fact table is never reshuffled for the join.  The standard
+    keyword-extraction / relevance primitive of a text pipeline."""
+    docs = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df), "tok").select(
+        "doc_id",
+        "tok",
+        (F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0))).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TFIDF_TOP_TERMS)
+        .select("doc_id", "tok", F.round("score", 6).alias("tfidf"))
+    )
+
+
+@register(
+    "ext_canonicalize",
+    oracle="""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           ' +', ' ', 'g')) AS canonical,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g'))) AS canonical_hash
+FROM documents
+""",
+)
+def ext_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text canonicalization before dedup: lowercase, strip non-alnum,
+    collapse whitespace, trim — then hash the canonical form.  Dedup on
+    canonical_hash catches case/punctuation-variant duplicates that
+    byte-exact dedup misses; one codegen projection, no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    canonical = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        canonical.alias("canonical"),
+        F.md5(canonical).alias("canonical_hash"),
+    )

@@ -304,3 +304,70 @@ def agg_grid_resample_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replicated.groupBy("tx", "ty").applyInPandas(
         nn_kernel, schema="cell_x long, cell_y long, nn_pt long, nn_val double"
     )
+
+
+@register("agg_hll_merge")  # sketch estimates are approximate → rows-only
+def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-day HLL sketches of distinct users,
+    union-merged into a running total WITHOUT rescanning history — the
+    datasketches pattern that makes incremental distinct-count rollups
+    possible at 100 TB (store tiny daily sketches, merge on demand;
+    never re-aggregate raw events).  Emits per-day exact vs sketch
+    estimates plus the merged all-time estimate on every row for
+    self-check."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sketch"),
+            F.countDistinct("user_id").alias("exact_distinct"),
+        )
+    )
+    merged = daily.agg(
+        F.round(F.hll_sketch_estimate(F.hll_union_agg("sketch"))).alias(
+            "alltime_estimate"
+        )
+    )
+    return (
+        daily.select(
+            "day",
+            "exact_distinct",
+            F.round(F.hll_sketch_estimate("sketch")).alias("day_estimate"),
+        )
+        .join(F.broadcast(merged))
+        .orderBy("day")
+    )
+
+
+_PIVOT_TYPES = ["signup", "purchase", "error", "click", "view"]
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+SELECT user_id,
+       count(*) FILTER (event_type = 'signup')   AS signup,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'error')    AS error,
+       count(*) FILTER (event_type = 'click')    AS click,
+       count(*) FILTER (event_type = 'view')     AS view
+FROM events
+GROUP BY user_id
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): per-user event counts, one column per event
+    type.  The pivot values are DECLARED, not discovered — passing the
+    list skips the extra distinct-scan Spark otherwise runs, and at 100 TB
+    an undeclared pivot on a high-cardinality column is a schema
+    explosion.  Plans as a single hash aggregate with one count per
+    declared value (same shape as the oracle's FILTER clauses)."""
+    ev = table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _PIVOT_TYPES)
+    )
+    return out

@@ -57,3 +57,44 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select("c_custkey")
     o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
     return c.exceptAll(o)
+
+
+@register(
+    "setop_union_byname",
+    oracle="""
+SELECT o_orderkey AS record_key, o_totalprice AS amount, o_orderstatus AS status,
+       NULL AS linenumber
+FROM orders
+WHERE o_totalprice > 400000
+UNION ALL BY NAME
+SELECT l_orderkey AS record_key, l_extendedprice AS amount,
+       l_linenumber AS linenumber, NULL AS status
+FROM lineitem
+WHERE l_extendedprice > 90000
+""",
+)
+def setop_union_byname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two sources with overlapping-but-different
+    schemas combined by COLUMN NAME with missing columns null-filled
+    (unionByName + allowMissingColumns) — how a pipeline appends a new
+    file generation that gained/lost columns without rewriting history.
+    Positional union would silently misalign; by-name is the contract."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(
+            F.col("o_orderkey").alias("record_key"),
+            F.col("o_totalprice").alias("amount"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice") > 90000)
+        .select(
+            F.col("l_orderkey").alias("record_key"),
+            F.col("l_extendedprice").alias("amount"),
+            F.col("l_linenumber").alias("linenumber"),
+        )
+    )
+    return o.unionByName(li, allowMissingColumns=True)

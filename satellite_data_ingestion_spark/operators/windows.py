@@ -167,3 +167,53 @@ def win_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+_SESSION_GAP_SEC = 1800
+
+
+@register(
+    "win_sessionize",
+    oracle=f"""
+SELECT event_id, user_id, session_id,
+       count(*) OVER (PARTITION BY user_id, session_id) AS session_events
+FROM (
+  SELECT event_id, user_id,
+         sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM (
+    SELECT event_id, user_id, ts,
+           CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                     - lag(CAST(floor(epoch(ts)) AS BIGINT), 1,
+                           CAST(floor(epoch(ts)) AS BIGINT) - {_SESSION_GAP_SEC} - 1)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > {_SESSION_GAP_SEC}
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+  )
+)
+""",
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a new session starts when the gap to the
+    previous event of the same user exceeds 30 minutes; session_id is the
+    running count of session starts — the lag + cumulative-sum idiom,
+    the batch twin of streaming's session_window (stream_session).
+    One shuffle on user_id; both window passes share the same partitioning
+    and sort, so the second adds no exchange."""
+    ev = table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = epoch - F.lag(epoch, 1, None).over(w)
+    is_new = F.when(gap.isNull() | (gap > _SESSION_GAP_SEC), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessioned = ev.select(
+        "event_id",
+        "user_id",
+        F.sum(is_new).over(run).alias("session_id"),
+    )
+    return sessioned.withColumn(
+        "session_events",
+        F.count(F.lit(1)).over(Window.partitionBy("user_id", "session_id")),
+    )
