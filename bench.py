@@ -36,6 +36,7 @@ HEADLINE = [
     "ext_sim_cosine",
     "ext_text_stats",
     "pipeline_ingest",
+    "pipeline_training_data",
 ]
 
 

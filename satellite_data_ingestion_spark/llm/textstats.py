@@ -420,3 +420,77 @@ def ext_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         canonical.alias("canonical"),
         F.md5(canonical).alias("canonical_hash"),
     )
+
+
+_CONTAM_NGRAM = 3
+_CONTAM_BENCH_SOURCE = "src0"
+
+
+@register(
+    "ext_contamination_check",
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+           range(1, len(str_split(text, ' ')) - {_CONTAM_NGRAM - 2}),
+           i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i + 1]
+                || ' ' || str_split(text, ' ')[i + 2]
+         ))) AS gram
+  FROM documents
+),
+bench AS (
+  SELECT DISTINCT gram FROM grams WHERE source = '{_CONTAM_BENCH_SOURCE}'
+),
+corpus AS (
+  SELECT doc_id, gram FROM grams WHERE source <> '{_CONTAM_BENCH_SOURCE}'
+)
+SELECT c.doc_id,
+       count(*)                                    AS n_grams,
+       count(*) FILTER (b.gram IS NOT NULL)        AS n_contaminated,
+       round(CAST(count(*) FILTER (b.gram IS NOT NULL) AS DOUBLE)
+             / count(*), 4)                        AS contamination
+FROM corpus c LEFT JOIN bench b ON c.gram = b.gram
+GROUP BY c.doc_id
+""",
+)
+def ext_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: fraction of each training doc's
+    distinct 3-grams that also appear in the held-out benchmark set
+    (here: documents from src0).  The benchmark n-gram set is DISTINCT
+    and vocabulary-sized, so it broadcasts; each corpus doc then scores
+    with a broadcast left join + conditional count — the corpus never
+    reshuffles on the n-gram key.  This is the decontamination gate every
+    training pipeline runs before release."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    grams = F.array_distinct(
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 2, F.lit(0))),
+            F.zip_with(
+                F.slice(toks, 2, F.greatest(n - 2, F.lit(0))),
+                F.slice(toks, 3, F.greatest(n - 2, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+            lambda a, bc: F.concat_ws(" ", a, bc),
+        )
+    )
+    exploded = docs.select("doc_id", "source", F.explode(grams).alias("gram"))
+    bench = (
+        exploded.filter(F.col("source") == _CONTAM_BENCH_SOURCE)
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = exploded.filter(F.col("source") != _CONTAM_BENCH_SOURCE)
+    return (
+        corpus.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_contaminated"),
+            F.round(F.count("hit").cast("double") / F.count(F.lit(1)), 4).alias(
+                "contamination"
+            ),
+        )
+    )

@@ -209,3 +209,36 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("side") == 1)
         .select("event_id", "user_id", "ts", "matched_purchase")
     )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+       c.n_customers, s.n_suppliers
+FROM (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY 1) c
+FULL OUTER JOIN
+     (SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1) s
+  ON c.c_nationkey = s.s_nationkey
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: nations that have customers, suppliers, or both —
+    unmatched sides null-fill.  Full outer forces a shuffle join (no
+    broadcast variant exists: both sides must see all keys), so at scale
+    the pre-aggregation here is what keeps the shuffled sides small."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full_outer").select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        "n_customers",
+        "n_suppliers",
+    )

@@ -97,3 +97,95 @@ def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(staged)
         .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+
+def _stage_day_partitioned(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events partitioned by day (once per process per sf) — the
+    fixture for partition-pruning demonstrations."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    staged = os.path.join(
+        tempfile.gettempdir(), f"sdis_daypart_{sf_tag}_{os.getpid()}"
+    )
+    if not os.path.exists(staged):
+        (
+            table(spark, sf_dir, "events")
+            .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+            .repartition("day")
+            .write.partitionBy("day")
+            .mode("overwrite")
+            .parquet(staged)
+        )
+    return staged
+
+
+@register(
+    "scan_partition_pruned",
+    oracle="""
+SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events
+WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-05' AND '2024-01-09'
+GROUP BY event_type
+""",
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan: events staged as day-partitioned parquet,
+    then read with a day-range filter that resolves at PLANNING time to a
+    directory subset — files outside the range are never listed into
+    tasks (PartitionFilters in the plan, asserted in tests/test_plans.py).
+    At 100 TB with date partitions this is the difference between reading
+    5 days and reading 10 years."""
+    from pyspark.sql import functions as F
+
+    staged = _stage_day_partitioned(spark, sf_dir)
+    return (
+        spark.read.parquet(staged)
+        .filter(F.col("day").between("2024-01-05", "2024-01-09"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "join_dpp",
+    oracle="""
+WITH hot_days AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS day_events
+  FROM events GROUP BY 1
+  HAVING count(*) > 36
+)
+SELECT e.event_type, count(*) AS n_events
+FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day FROM events) e
+JOIN hot_days h ON e.day = h.day
+GROUP BY e.event_type
+""",
+)
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is day-partitioned; the
+    dim side (busy days) is only known at RUNTIME after its aggregate
+    runs.  Spark injects the dim's day values as a subquery filter into
+    the fact's partition listing (dynamicpruning expression in the scan),
+    so only qualifying day directories are read — the runtime twin of
+    static partition pruning, and the reason to partition fact tables by
+    the keys dimension filters arrive on."""
+    from pyspark.sql import functions as F
+
+    staged = _stage_day_partitioned(spark, sf_dir)
+    fact = spark.read.parquet(staged)
+    hot_days = (
+        fact.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("day_events"))
+        .filter(F.col("day_events") > 36)
+    )
+    return (
+        fact.join(hot_days.select("day"), "day")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

@@ -92,3 +92,72 @@ def pipeline_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_bytes"), 4).alias("mean_bytes"),
         )
     )
+
+
+@register(
+    "pipeline_training_data",
+    oracle="""
+WITH canon AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS canonical,
+         len(str_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+kept AS (
+  SELECT * FROM canon WHERE n_tokens >= 5
+),
+deduped AS (
+  SELECT canonical, lang, min(doc_id) AS keep_id, count(*) AS n_copies
+  FROM kept
+  GROUP BY canonical, lang
+)
+SELECT CASE WHEN keep_id % 10 < 8 THEN 'train'
+            WHEN keep_id % 10 = 8 THEN 'valid'
+            ELSE 'test' END AS split,
+       lang,
+       count(*)        AS n_docs,
+       sum(n_copies - 1) AS n_dupes_removed
+FROM deduped
+GROUP BY 1, 2
+""",
+)
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline in ONE lazy plan: canonicalize →
+    quality gate → canonical-key dedup (keep min doc_id, count removed
+    copies) → deterministic train/valid/test split → per-split census.
+
+    The whole chain is a single Catalyst plan: the canonicalization and
+    gate fuse into the scan projection, dedup is the only wide shuffle
+    (on the canonical key), and the split census reuses the dedup
+    output — at 100 TB this runs as scan → one shuffle → small agg,
+    which is the minimum any dedup pipeline can do."""
+    docs = table(spark, sf_dir, "documents")
+    canonical = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    kept = docs.select(
+        "doc_id",
+        "lang",
+        canonical.alias("canonical"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= 5)
+    deduped = kept.groupBy("canonical", "lang").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    split = (
+        F.when(F.col("keep_id") % 10 < 8, "train")
+        .when(F.col("keep_id") % 10 == 8, "valid")
+        .otherwise("test")
+    )
+    return (
+        deduped.select(split.alias("split"), "lang", "n_copies")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_copies") - 1).alias("n_dupes_removed"),
+        )
+    )

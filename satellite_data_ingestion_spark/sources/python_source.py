@@ -253,6 +253,10 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     deadline = time.time() + 120
     while time.time() < deadline:
         if spark.table(sink).count() >= n_slots:
+            # The source is saturated (latestOffset stays put once every
+            # slot is emitted) — drain in-flight batches so stop() never
+            # interrupts one mid-plan, then shut down.
+            q.processAllAvailable()
             break
         time.sleep(0.5)
     q.stop()

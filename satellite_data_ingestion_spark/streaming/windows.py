@@ -14,11 +14,15 @@ on both engines, no timezone/precision ambiguity in the oracle hash.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import _prepare, table
 from ..registry import register
+from .state import _few_shuffle_partitions, _stage_events
 
 _SLOT_SEC = 900  # the reference's 15-minute slot (config/base.py:14)
 _SESSION_GAP_SEC = 1800
@@ -136,3 +140,42 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.withColumn("session_id", rn.cast("long")).select(
         "user_id", "session_id", "session_start_us", "session_end_us", "n_events"
     )
+
+
+@register(
+    "stream_complete_mode",
+    oracle="""
+SELECT event_type, count(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def stream_complete_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-output-mode streaming aggregate: every trigger re-emits
+    the FULL aggregate state (vs append's finalized-only, update's
+    changed-only) — the mode for live dashboards over small keyed state.
+    After the availableNow drain the memory sink holds exactly the batch
+    group-by (the SQL oracle); complete mode is why no dedup of partial
+    emissions is needed."""
+    _prepare(spark)
+    staging = _stage_events(spark, sf_dir, 2, "cmode")
+    schema = spark.read.parquet(staging).schema
+    sink = f"cmode_sink_{os.getpid()}"
+    with _few_shuffle_partitions(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(staging)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
+            .start()
+        )
+        q.awaitTermination(120)
+    out = spark.table(sink)
+    result = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(staging, ignore_errors=True)
+    return result

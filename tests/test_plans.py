@@ -159,3 +159,19 @@ def test_text_ops_scan_shaped(spark, name):
     assert "CartesianProduct" not in tree and "Join" not in tree, tree
     max_exchanges = 1 if name == "ext_dataset_split" else 0
     assert tree.count("Exchange") <= max_exchanges, tree
+
+
+def test_static_partition_pruning(spark):
+    """The day-range filter must become PartitionFilters on the staged
+    day-partitioned scan — pruned directories are never listed."""
+    df = registry.spec("scan_partition_pruned").fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan, plan
+
+
+def test_dynamic_partition_pruning(spark):
+    """The runtime dim filter must inject a dynamicpruning subquery into
+    the fact scan's partition listing."""
+    df = registry.spec("join_dpp").fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
