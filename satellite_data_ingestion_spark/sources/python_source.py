@@ -175,8 +175,19 @@ def _register_sources(spark: SparkSession) -> None:
     # runtime SQL conf, so enable it here — the driver hands us a plain
     # session.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # DataSource classes normally pickle BY REFERENCE, but the worker that
+    # instantiates a Python data source is a driver-side process that does
+    # NOT see addPyFile-shipped packages — so ship the class code inside
+    # the pickle itself (by-value) or the worker dies with
+    # ModuleNotFoundError whenever this package isn't on its sys.path.
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
     spark.dataSource.register(SlotTimelineSource)
     spark.dataSource.register(SlotTimelineStreamSource)
+    spark.dataSource.register(AtomicJsonSink)
 
 
 def _event_slot_bounds(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
@@ -235,35 +246,57 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_sources(spark)
     s, e = _event_slot_bounds(spark, sf_dir)
     n_slots = (e - s) // _SLOT_SEC + 1
-    sink = f"pyds_sink_{os.getpid()}"
-    ckpt = tempfile.mkdtemp(prefix="sdis_pyds_ckpt_")
-    q = (
-        spark.readStream.format("slot_timeline_stream")
-        .option("start_epoch", s)
-        .option("end_epoch", e)
-        .option("slots_per_batch", 64)
-        .load()
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    deadline = time.time() + 120
-    while time.time() < deadline:
-        if spark.table(sink).count() >= n_slots:
-            # The source is saturated (latestOffset stays put once every
-            # slot is emitted) — drain in-flight batches so stop() never
-            # interrupts one mid-plan, then shut down.
-            q.processAllAvailable()
-            break
-        time.sleep(0.5)
-    q.stop()
-    out = spark.table(sink)
-    result = spark.createDataFrame(out.dropDuplicates(["slot_idx"]).collect(), out.schema)
-    shutil.rmtree(ckpt, ignore_errors=True)
-    return result
+
+    # One retry with a fresh checkpoint: stream startup can fail
+    # transiently in a heavily-loaded session (python runner init); the
+    # reference's contract for a failed slot is the same — clean up and
+    # retry the run (sources/meteosat.py:194-197).
+    last_error: Exception | None = None
+    for attempt in (1, 2):
+        sink = f"pyds_sink_{os.getpid()}_{attempt}"
+        ckpt = tempfile.mkdtemp(prefix="sdis_pyds_ckpt_")
+        q = (
+            spark.readStream.format("slot_timeline_stream")
+            .option("start_epoch", s)
+            .option("end_epoch", e)
+            .option("slots_per_batch", 512)
+            .load()
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + 90
+        try:
+            while time.time() < deadline:
+                if q.exception() is not None:
+                    raise q.exception()
+                if spark.table(sink).count() >= n_slots:
+                    # The source is saturated (latestOffset stays put once
+                    # every slot is emitted) — drain in-flight batches so
+                    # stop() never interrupts one mid-plan, then shut down.
+                    q.processAllAvailable()
+                    break
+                time.sleep(0.5)
+            q.stop()
+            out = spark.table(sink)
+            rows = out.dropDuplicates(["slot_idx"]).collect()
+            if len(rows) >= n_slots:
+                return spark.createDataFrame(rows, out.schema)
+            last_error = RuntimeError(
+                f"stream drained {len(rows)}/{n_slots} slots (attempt {attempt})"
+            )
+        except Exception as ex:  # failed attempt → clean stop, fresh retry
+            last_error = ex
+            try:
+                q.stop()
+            except Exception:
+                pass
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+    raise last_error
 
 
 class _FileCommit(WriterCommitMessage):
@@ -356,7 +389,7 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    spark.dataSource.register(AtomicJsonSink)
+    _register_sources(spark)
     out_dir = tempfile.mkdtemp(prefix="sdis_atomic_json_")
     try:
         agg = (

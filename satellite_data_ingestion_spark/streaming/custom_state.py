@@ -138,8 +138,8 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sink_stream_partitioned",
-    oracle=f"""
-SELECT CAST(floor(epoch(ts) / {_SLOT_SEC}) AS BIGINT) * {_SLOT_SEC} AS slot_epoch,
+    oracle="""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
        event_type,
        count(*) AS n_events
 FROM events
@@ -163,17 +163,17 @@ def sink_stream_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
         (
-            df.withColumn(
-                "slot_epoch",
-                (F.floor(F.unix_timestamp("ts") / _SLOT_SEC) * _SLOT_SEC).cast("long"),
-            )
+            df.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
             # Cluster rows by the sink's partition keys before the write so
             # each Hive partition receives one file per owning task instead
             # of one per (task × partition) — without this, a W-task batch
             # over P partitions fans out into W·P tiny files, the
-            # small-files failure mode at scale.
-            .repartition("slot_epoch", "event_type")
-            .write.partitionBy("slot_epoch", "event_type")
+            # small-files failure mode at scale.  Partition granularity is
+            # DAY, not slot: a partition key should bound directory count
+            # (30/month), while slot-level keys (96/day) explode the
+            # namespace — the other half of the small-files discipline.
+            .repartition("day", "event_type")
+            .write.partitionBy("day", "event_type")
             .mode("append")
             .parquet(out_dir)
         )
@@ -191,13 +191,9 @@ def sink_stream_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     back = (
         spark.read.parquet(out_dir)
-        .groupBy("slot_epoch", "event_type")
+        .groupBy("day", "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            F.col("slot_epoch").cast("long").alias("slot_epoch"),
-            "event_type",
-            "n_events",
-        )
+        .select(F.col("day").cast("string").alias("day"), "event_type", "n_events")
     )
     result = spark.createDataFrame(back.collect(), back.schema)
     shutil.rmtree(staging, ignore_errors=True)
