@@ -371,3 +371,30 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0, _PIVOT_TYPES)
     )
     return out
+
+
+@register(
+    "agg_min_max_by",
+    oracle="""
+SELECT o_orderstatus,
+       min_by(o_orderkey, o_totalprice) AS cheapest_order,
+       max_by(o_orderkey, o_totalprice) AS priciest_order,
+       round(min(o_totalprice), 2)      AS min_price,
+       round(max(o_totalprice), 2)      AS max_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax aggregation (min_by / max_by): the order carrying the
+    extreme price per status, in ONE aggregation pass — the pattern that
+    replaces a window-rank + filter when only the extreme row's key is
+    needed (one shuffle, no sort).  o_totalprice values are distinct reals
+    in this corpus, so the argmin/argmax are well-defined for the oracle."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )

@@ -217,3 +217,36 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_events",
         F.count(F.lit(1)).over(Window.partitionBy("user_id", "session_id")),
     )
+
+
+@register(
+    "win_first_last",
+    oracle="""
+SELECT event_id, user_id,
+       first_value(event_id) OVER w AS first_event,
+       last_value(event_id)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND UNBOUNDED FOLLOWING) AS last_event,
+       nth_value(event_id, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND UNBOUNDED FOLLOWING) AS second_event
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value per user timeline.  The frame
+    matters: last/nth need the FULL frame (unbounded both ways) or they
+    silently mean 'last so far'; the default growing frame is one of the
+    classic window-function bugs — pinned explicitly here and checked by
+    the oracle."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(full).alias("last_event"),
+        F.nth_value("event_id", 2).over(full).alias("second_event"),
+    )
