@@ -326,3 +326,27 @@ def fn_str_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("similarity"),
     )
+
+
+@register(
+    "fn_hash_ids",
+    oracle="""
+SELECT o_orderkey,
+       md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus) AS row_md5,
+       sha256(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus) AS row_sha256
+FROM orders
+""",
+)
+def fn_hash_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-derived row IDs: md5 / sha-256 over a
+    delimited key projection — the stable surrogate-key pattern for
+    cross-system record matching (both digests are engine-independent,
+    unlike xxhash64, which is Spark-specific and kept for internal
+    bucketing only)."""
+    o = table(spark, sf_dir, "orders")
+    keyed = F.concat_ws("|", F.col("o_orderkey").cast("string"), "o_orderstatus")
+    return o.select(
+        "o_orderkey",
+        F.md5(keyed).alias("row_md5"),
+        F.sha2(keyed, 256).alias("row_sha256"),
+    )
