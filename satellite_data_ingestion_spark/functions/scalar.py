@@ -350,3 +350,39 @@ def fn_hash_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(keyed).alias("row_md5"),
         F.sha2(keyed, 256).alias("row_sha256"),
     )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+SELECT event_id,
+       CASE WHEN value >= 66 THEN 'high' WHEN value >= 33 THEN 'mid'
+            ELSE 'low' END                              AS band,
+       coalesce(nullif(event_type, 'error'), 'masked')  AS type_masked,
+       least(value, 50.0)                               AS capped,
+       greatest(value, 50.0)                            AS floored,
+       CASE WHEN value = 0 THEN NULL ELSE round(100.0 / value, 6) END AS inv_pct
+FROM events
+""",
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null-safe scalar battery: CASE banding, nullif+coalesce
+    masking, least/greatest clamping, and division guarded against zero
+    (the try_divide pattern written portably).  All fold into one codegen
+    projection — branchy row logic does NOT need a UDF."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("value") >= 66, "high")
+        .when(F.col("value") >= 33, "mid")
+        .otherwise("low")
+        .alias("band"),
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("masked")).alias(
+            "type_masked"
+        ),
+        F.least("value", F.lit(50.0)).alias("capped"),
+        F.greatest("value", F.lit(50.0)).alias("floored"),
+        F.when(F.col("value") == 0, F.lit(None)).otherwise(
+            F.round(100.0 / F.col("value"), 6)
+        ).alias("inv_pct"),
+    )

@@ -427,3 +427,45 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_price_covar"
         ),
     )
+
+
+_HIST_BINS = 10
+_HIST_LO, _HIST_HI = 0.0, 100.0
+
+
+@register(
+    "agg_histogram",
+    oracle=f"""
+SELECT CASE WHEN value < {_HIST_LO} THEN 0
+            WHEN value >= {_HIST_HI} THEN {_HIST_BINS + 1}
+            ELSE CAST(floor((value - {_HIST_LO})
+                            / (({_HIST_HI} - {_HIST_LO}) / {_HIST_BINS})) AS BIGINT) + 1
+       END AS bucket,
+       count(*) AS n,
+       round(min(value), 4) AS lo,
+       round(max(value), 4) AS hi
+FROM events
+GROUP BY 1
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram via width_bucket: 10 equal bins over [0, 100)
+    with underflow (0) and overflow (11) buckets.  Binning is a scan-side
+    projection; the aggregate shuffles only #buckets rows per partition —
+    the constant-memory distribution sketch for dashboards at any scale
+    (vs exact quantiles, which need the value multiset)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.width_bucket("value", F.lit(_HIST_LO), F.lit(_HIST_HI), F.lit(_HIST_BINS))
+            .cast("long")
+            .alias("bucket"),
+            "value",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )
