@@ -95,3 +95,41 @@ def udtf_explode_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey", F.explode(F.split("p_name", " ")).alias("word")
     )
+
+
+@register(
+    "udtf_python_parse",
+    oracle="""
+SELECT event_id, k AS prop_key,
+       json_extract_string(props, '$.' || k) AS prop_value
+FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+""",
+)
+def udtf_python_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Python UDTF (Spark 4 @udtf): imperatively parse each event's
+    JSON props string into (key, value) rows — the 1-response→N-rows
+    catalog parse (utils/eumdacapi.py:53-65) where the parsing logic is
+    genuinely imperative.  The UDTF runs lateral per input row; contrast
+    with udtf_explode_products where built-in explode suffices.  Use a
+    UDTF only when the row-generation needs Python — it is Arrow-batched
+    but still off the codegen path."""
+    import json
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="event_id bigint, prop_key string, prop_value string")
+    class ParseProps:
+        def eval(self, event_id, props):
+            for k, v in json.loads(props).items():
+                yield event_id, k, str(v)
+
+    spark.udtf.register("parse_props", ParseProps)
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("sdis_events_for_udtf")
+    return spark.sql(
+        """
+        SELECT p.event_id, p.prop_key, p.prop_value
+        FROM sdis_events_for_udtf e,
+             LATERAL parse_props(e.event_id, e.props) p
+        """
+    )
