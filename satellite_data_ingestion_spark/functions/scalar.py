@@ -386,3 +386,37 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(100.0 / F.col("value"), 6)
         ).alias("inv_pct"),
     )
+
+
+@register(
+    "fn_datetime_extract",
+    oracle="""
+SELECT event_id,
+       CAST(year(ts) AS INT)      AS y,
+       CAST(month(ts) AS INT)     AS mo,
+       CAST(day(ts) AS INT)       AS d,
+       CAST(hour(ts) AS INT)      AS h,
+       CAST(minute(ts) AS INT)    AS mi,
+       CAST(isodow(ts) AS INT)    AS iso_dow,
+       CAST(weekofyear(ts) AS INT) AS iso_week,
+       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+FROM events
+""",
+)
+def fn_datetime_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime field extraction battery: calendar parts, ISO day-of-week
+    and week number, epoch seconds.  All codegen'd; note dayofweek() is
+    Sunday=1 in Spark, so ISO semantics need weekday()+1 — pinned by the
+    oracle against DuckDB's isodow."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        (F.weekday("ts") + 1).cast("int").alias("iso_dow"),
+        F.weekofyear("ts").alias("iso_week"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+    )

@@ -185,3 +185,43 @@ def ext_multimodal_col(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").cast(BinaryType()).alias("payload")
     )
     return decoded_features(binary_df)
+
+
+_MAGIC = [
+    ("ff d8 ff", "image/jpeg"),
+    ("89 50 4e", "image/png"),
+    ("47 49 46", "image/gif"),
+    ("25 50 44", "application/pdf"),
+]
+
+
+@register(
+    "ext_mime_detect",
+    oracle="""
+SELECT doc_id,
+       CASE
+         WHEN substring(hex(encode(text)), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+         WHEN substring(hex(encode(text)), 1, 6) = '89504E' THEN 'image/png'
+         WHEN substring(hex(encode(text)), 1, 6) = '474946' THEN 'image/gif'
+         WHEN substring(hex(encode(text)), 1, 6) = '255044' THEN 'application/pdf'
+         ELSE 'application/octet-stream'
+       END AS mime,
+       substring(hex(encode(text)), 1, 6) AS magic_hex
+FROM documents
+""",
+)
+def ext_mime_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-type sniffing over binary payloads: classify each blob by
+    its magic-byte prefix (JPEG/PNG/GIF/PDF signatures) before routing to
+    a decoder — the dispatch step of a multimodal ingest pipeline, done
+    JVM-side on the first 3 bytes so misrouted blobs never reach a
+    decode kernel.  (Corpus blobs are text-derived, so nearly all fall
+    through to octet-stream; the routing logic is what is under test.)"""
+    docs = table(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8").cast(BinaryType())
+    magic = F.upper(F.hex(F.substring(payload, 1, 3)))
+    mime = F.lit("application/octet-stream")
+    for sig, name in reversed(_MAGIC):
+        sig_hex = sig.replace(" ", "").upper()
+        mime = F.when(magic == sig_hex, name).otherwise(mime)
+    return docs.select("doc_id", mime.alias("mime"), magic.alias("magic_hex"))
