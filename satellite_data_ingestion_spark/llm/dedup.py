@@ -35,7 +35,10 @@ _N_HASHES = 16
 _N_BANDS = 4
 _ROWS_PER_BAND = _N_HASHES // _N_BANDS
 _JACCARD_THRESHOLD = 0.9
-_MAX_BUCKET = 100  # degenerate-bucket cap: drop buckets hotter than this
+# Buckets up to this size do exact all-pairs candidate generation
+# (n²/2 pairs, bounded); hotter buckets switch to star linking instead of
+# being dropped — see ext_dedup_minhash.
+_MAX_BUCKET = 500
 
 
 def _token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,20 +120,26 @@ def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """doc_id → array<long> MinHash signature, entirely JVM-side.
 
-    Per seed s: sig[s] = min over tokens of xxhash64(token ⊕ seed-tag).
-    transform/array_min stay inside whole-stage codegen — no Python row
-    loop, no UDF serialization.  The expression tree is built as ONE
-    parsed SQL string: constructing 16 nested lambda expressions through
-    the py4j column API costs seconds of driver time per plan; parsing a
-    string is ~free.
+    Each token STRING is hashed once (xxhash64); the 16 per-seed hashes
+    re-hash that 8-byte base long with the seed as a second argument —
+    so variable-length string hashing happens in 1 pass and the 16 seed
+    passes touch only fixed-width longs (no string concat, no wrapping
+    arithmetic that ANSI mode rejects).  transform/array_min stay inside
+    whole-stage codegen — no Python row loop, no UDF serialization.  The
+    expression tree is built as ONE parsed SQL string: constructing 16
+    nested lambda expressions through the py4j column API costs seconds
+    of driver time per plan; parsing a string is ~free.
     """
     sig_sql = "array({})".format(
         ",".join(
-            f"array_min(transform(toks, t -> xxhash64(concat(t, '#seed{s}'))))"
+            f"array_min(transform(hs, h -> xxhash64(h, {s})))"
             for s in range(_N_HASHES)
         )
     )
-    return docs.select("doc_id", "toks", F.expr(sig_sql).alias("sig"))
+    hashed = docs.select(
+        "doc_id", "toks", F.expr("transform(toks, t -> xxhash64(t))").alias("hs")
+    )
+    return hashed.select("doc_id", "toks", F.expr(sig_sql).alias("sig"))
 
 
 @register("ext_dedup_minhash")  # LSH candidates + exact verify → rows-only
@@ -141,11 +150,15 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode to (band_id, band_key, doc_id) → self-join per bucket →
     distinct candidate pairs → exact-Jaccard verification ≥ 0.9.
 
-    Scale properties: the only shuffles are the bucket groupBy/join keyed
-    on (band_id, band_key) and the final distinct; buckets hotter than
-    _MAX_BUCKET docs are dropped (degenerate content — e.g. empty docs —
-    would otherwise go quadratic); verification touches only surviving
-    candidates.  No global pairwise stage anywhere.
+    Scale properties: the only shuffles are the bucket window/join keyed
+    on (band_id, band_key) and the final distinct; buckets up to
+    _MAX_BUCKET docs generate exact all-pairs candidates, HOTTER buckets
+    switch to star linking (every doc pairs with the bucket's min doc_id
+    only — n-1 candidates instead of n²/2), so worst-case candidate count
+    stays linear in bucket size while hot duplicate CLUSTERS still link
+    through their representative (transitive closure via
+    ext_dedup_cluster recovers full cluster membership).  Verification
+    touches only surviving candidates.  No global pairwise stage.
     """
     d = minhash_signatures(_token_sets(spark, sf_dir))
 
@@ -163,28 +176,30 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.expr(f"explode(array({band_structs}))").alias("band")
     ).select("doc_id", "band.band_id", "band.band_key")
 
-    # Cap degenerate buckets before the pairwise self-join: a window count
-    # over the bucket key costs one shuffle (vs groupBy + re-join's two)
-    # and keeps the row payload intact.
+    # Size each bucket with a window (one shuffle, payload intact) and
+    # compute its min-doc representative in the same pass.
     from pyspark.sql import Window
 
-    bn = F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_key"))
-    sized = bands.withColumn("bn", bn).filter(F.col("bn") <= _MAX_BUCKET)
-
-    l = sized.alias("l")
-    r = sized.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
-        )
-        .distinct()
+    w = Window.partitionBy("band_id", "band_key")
+    sized = bands.withColumn("bn", F.count(F.lit(1)).over(w)).withColumn(
+        "rep", F.min("doc_id").over(w)
     )
+
+    small = sized.filter(F.col("bn") <= _MAX_BUCKET)
+    l = small.alias("l")
+    r = small.alias("r")
+    pair_cand = l.join(
+        r,
+        (F.col("l.band_id") == F.col("r.band_id"))
+        & (F.col("l.band_key") == F.col("r.band_key"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    ).select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+
+    star_cand = (
+        sized.filter((F.col("bn") > _MAX_BUCKET) & (F.col("doc_id") != F.col("rep")))
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    cand = pair_cand.union(star_cand).distinct()
 
     toks = _token_sets(spark, sf_dir).select("doc_id", "toks")
     cand = (

@@ -160,3 +160,25 @@ def test_slot_reader_pushdown_prunes_partitions():
     assert [r[0] for r in rows] == [3600, 4500, 5400, 6300, 7200]
     # slot_idx stays anchored to the ORIGINAL start, not the tightened one
     assert [r[1] for r in rows] == [4, 5, 6, 7, 8]
+
+
+def test_minhash_recall_against_ground_truth(spark, duck):
+    """LSH + verification must find ~all true near-dup pairs (>=0.95
+    recall vs exact all-pairs Jaccard).  Guards the hot-bucket path: a
+    cap that silently DROPS large duplicate clusters once collapsed
+    recall to 4% while every other check stayed green."""
+    from satellite_data_ingestion_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    truth = duck.execute(
+        """
+        WITH d AS (SELECT doc_id, list_distinct(str_split(text,' ')) toks
+                   FROM documents)
+        SELECT count(*) FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+        """
+    ).fetchone()[0]
+    found = registry.spec("ext_dedup_minhash").fn(spark, SF_SMOKE).count()
+    assert truth > 0, "corpus should contain near-dup pairs"
+    assert found / truth >= 0.95, f"recall {found}/{truth} too low"
