@@ -115,10 +115,13 @@ def ext_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = bucketed.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
     )
-    # multi-probe: exact bucket or any single-bit flip
+    # multi-probe: exact bucket or up to two flipped bits (37/256 buckets,
+    # ~14% of the corpus on average) — the probe budget IS the recall knob
+    # on weakly-clustered data; recall ~= probed fraction in the random
+    # limit, so widening from hamming<=1 (3.5%) tripled measured recall.
     probe = F.bit_count(
         F.col("bucket").bitwiseXOR(F.col("qbucket"))
-    ) <= 1
+    ) <= 2
     cos = F.round(cosine(F.col("v"), F.col("qv")), 6)
     return (
         bucketed.filter(F.col("vec_id") != _QUERY_VEC_ID)
@@ -173,7 +176,7 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_K = 16
-_IVF_NPROBE = 4
+_IVF_NPROBE = 6
 _IVF_TRAIN_SAMPLE = 1024
 _IVF_ITERS = 5
 
@@ -230,8 +233,8 @@ def ext_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists by nearest centroid, query probes its NPROBE closest lists and
     exact-cosine re-ranks only those candidates.
 
-    Per-query work drops from |corpus| to ~NPROBE/K of it (here 4/16 =
-    25%); at 100 TB the assignment is a scan-speed projection and the
+    Per-query work drops from |corpus| to ~NPROBE/K of it (here 6/16 ~
+    38%); at 100 TB the assignment is a scan-speed projection and the
     probed fraction is the only data read if the corpus is written
     partitioned by cluster id (`partitionBy("ivf_cluster")` → partition
     pruning does the skip)."""
