@@ -197,3 +197,31 @@ def test_ann_recall_vs_brute_force(spark):
     lsh = {r.vec_id for r in registry.spec("ext_sim_lsh").fn(spark, SF_SMOKE).collect()}
     assert len(exact & ivf) / 10 >= 0.4, f"IVF recall collapsed: {len(exact & ivf)}/10"
     assert len(exact & lsh) / 10 >= 0.2, f"LSH recall collapsed: {len(exact & lsh)}/10"
+
+
+def test_simhash_recall_against_ground_truth(spark, duck):
+    """SimHash banded matching must recover most true near-dup pairs
+    (measured ~0.83 at 8-bit bands / hamming<=10; was 0.30 with 16-bit
+    bands).  Precision is intentionally looser — hamming<=10 is a
+    cosine-style band, wider than Jaccard>=0.9 — so only recall is
+    pinned."""
+    from satellite_data_ingestion_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    truth_pairs = duck.execute(
+        """
+        WITH d AS (SELECT doc_id, list_distinct(str_split(text,' ')) toks
+                   FROM documents)
+        SELECT a.doc_id, b.doc_id FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+        """
+    ).fetchall()
+    truth = set(map(tuple, truth_pairs))
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in registry.spec("ext_dedup_simhash").fn(spark, SF_SMOKE).collect()
+    }
+    assert truth, "corpus should contain near-dup pairs"
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.6, f"simhash recall {recall:.2f} too low"
