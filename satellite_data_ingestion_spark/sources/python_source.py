@@ -69,7 +69,28 @@ class SlotTimelineReader(DataSourceReader):
         self.n_partitions = int(options.get("n_partitions", 8))
         self.base = self.start  # slot_idx stays anchored to the original start
 
+    def _grid_ge(self, v: int) -> int:
+        """Smallest grid value >= v (integer ceil onto the slot grid)."""
+        return self.base + (-((self.base - v) // self.slot)) * self.slot
+
+    def _grid_gt(self, v: int) -> int:
+        """Smallest grid value > v."""
+        return self.base + ((v - self.base) // self.slot + 1) * self.slot
+
+    def _grid_le(self, v: int) -> int:
+        """Largest grid value <= v (integer floor onto the slot grid)."""
+        return self.base + ((v - self.base) // self.slot) * self.slot
+
+    def _grid_lt(self, v: int) -> int:
+        """Largest grid value < v."""
+        return self.base + ((v - self.base - 1) // self.slot) * self.slot
+
     def pushFilters(self, filters):
+        # An absorbed filter is NEVER re-applied by Spark above the scan,
+        # so each bound must be rounded onto the slot grid exactly: a
+        # non-aligned literal (e.g. >= base+450 with slot=900) must not
+        # admit the slot below it (ceil for >=, >) nor prune the valid
+        # slot below it (floor for <=, <).
         supported = (
             GreaterThanOrEqual,
             GreaterThan,
@@ -84,16 +105,18 @@ class SlotTimelineReader(DataSourceReader):
                 continue
             v = int(f.value)
             if isinstance(f, GreaterThanOrEqual):
-                self.start = max(self.start, v)
+                self.start = max(self.start, self._grid_ge(v))
             elif isinstance(f, GreaterThan):
-                self.start = max(self.start, v + self.slot)
+                self.start = max(self.start, self._grid_gt(v))
             elif isinstance(f, LessThanOrEqual):
-                self.end = min(self.end, v)
+                self.end = min(self.end, self._grid_le(v))
             elif isinstance(f, LessThan):
-                self.end = min(self.end, v - self.slot)
-            else:  # EqualTo
+                self.end = min(self.end, self._grid_lt(v))
+            elif (v - self.base) % self.slot == 0:  # EqualTo, on-grid
                 self.start = max(self.start, v)
                 self.end = min(self.end, v)
+            else:  # EqualTo off the grid matches no slot → empty range
+                self.start = self.end + self.slot
 
     def partitions(self):
         lo = (self.start - self.base) // self.slot
@@ -141,13 +164,22 @@ class SlotTimelineStreamReader(DataSourceStreamReader):
         return {"idx": 0}
 
     def latestOffset(self):
-        # advance at most per_batch slots per micro-batch, never past end
+        # Advance at most per_batch slots per micro-batch, never past end.
+        # self._current is driver-memory progress; after a
+        # restart-from-checkpoint it restarts at 0 while the committed
+        # offset may be higher — partitions()/commit() re-seed it from the
+        # planner's offsets below so it is monotonic across restarts.
         current = getattr(self, "_current", 0)
         nxt = min(current + self.per_batch, self.n_slots)
         self._current = nxt
         return {"idx": nxt}
 
     def partitions(self, start, end):
+        # Seed in-memory progress from the checkpointed range: on restart
+        # the first planned batch carries the committed start offset, so
+        # clamping here guarantees the next latestOffset() is >= committed
+        # (one idle trigger at worst, never a stalled/regressing stream).
+        self._current = max(getattr(self, "_current", 0), start["idx"], end["idx"])
         return [_SlotRange(start["idx"], end["idx"])]
 
     def read(self, partition: _SlotRange):
@@ -155,7 +187,7 @@ class SlotTimelineStreamReader(DataSourceStreamReader):
             yield (self.start + idx * self.slot, idx)
 
     def commit(self, end):
-        pass
+        self._current = max(getattr(self, "_current", 0), end["idx"])
 
 
 class SlotTimelineStreamSource(DataSource):
@@ -241,7 +273,6 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
-    import time
 
     _register_sources(spark)
     s, e = _event_slot_bounds(spark, sf_dir)
@@ -268,20 +299,17 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(processingTime="0 seconds")
             .start()
         )
-        deadline = time.time() + 90
         try:
-            while time.time() < deadline:
-                if q.exception() is not None:
-                    raise q.exception()
-                if spark.table(sink).count() >= n_slots:
-                    # The source is saturated (latestOffset stays put once
-                    # every slot is emitted) — drain in-flight batches so
-                    # stop() never interrupts one mid-plan, then shut down.
-                    q.processAllAvailable()
-                    break
-                time.sleep(0.5)
+            # The source is bounded: latestOffset() saturates at n_slots,
+            # so processAllAvailable() drains every micro-batch and
+            # returns — no polling loop needed.
+            q.processAllAvailable()
             q.stop()
+            if q.exception() is not None:
+                raise q.exception()
             out = spark.table(sink)
+            # Bounded collect: exactly n_slots rows (2,880 at sf0.01) —
+            # memory-sink output materialized once to hand back a batch DF.
             rows = out.dropDuplicates(["slot_idx"]).collect()
             if len(rows) >= n_slots:
                 return spark.createDataFrame(rows, out.schema)

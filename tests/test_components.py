@@ -162,6 +162,48 @@ def test_slot_reader_pushdown_prunes_partitions():
     assert [r[1] for r in rows] == [4, 5, 6, 7, 8]
 
 
+def test_slot_reader_pushdown_non_aligned_literals():
+    """Absorbed filters are never re-applied by Spark, so a literal that
+    is NOT on the slot grid must round to the exact surviving slot set:
+    >= rounds up, < keeps the largest strictly-below slot, = off the grid
+    matches nothing.  (A floor on a >= bound once admitted one slot BELOW
+    the predicate.)"""
+    import operator
+
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    from satellite_data_ingestion_spark.sources.python_source import (
+        SlotTimelineReader,
+    )
+
+    opts = {"start_epoch": "0", "end_epoch": "9000", "n_partitions": "4"}
+    all_slots = list(range(0, 9001, 900))
+    cases = [
+        (GreaterThanOrEqual, operator.ge, 3601),   # just above a slot
+        (GreaterThanOrEqual, operator.ge, 3599),   # just below a slot
+        (GreaterThan, operator.gt, 3600),          # aligned, strict
+        (GreaterThan, operator.gt, 3599),
+        (LessThanOrEqual, operator.le, 8099),
+        (LessThan, operator.lt, 8100),             # aligned, strict
+        (LessThan, operator.lt, 8101),
+        (EqualTo, operator.eq, 4500),              # aligned → one slot
+        (EqualTo, operator.eq, 4501),              # off-grid → no slot
+    ]
+    for fcls, op, lit in cases:
+        rdr = SlotTimelineReader(opts)
+        leftover = list(rdr.pushFilters([fcls(("slot_epoch",), lit)]))
+        assert leftover == []
+        got = sorted(r[0] for p in rdr.partitions() for r in rdr.read(p))
+        want = [s for s in all_slots if op(s, lit)]
+        assert got == want, f"{fcls.__name__}({lit}): got {got} want {want}"
+
+
 def test_minhash_recall_against_ground_truth(spark, duck):
     """LSH + verification must find ~all true near-dup pairs (>=0.95
     recall vs exact all-pairs Jaccard).  Guards the hot-bucket path: a
