@@ -95,16 +95,56 @@ _SURVEY2_BASE_IDS = [
 ]
 
 
-def _sweep_order() -> list[str]:
-    """Registry keys: §2 base inventory first, then extensions.
+def _driver_verified_ids() -> set[str]:
+    """IDs with a green driver row in any prior ``CORRECTNESS_r*.json``.
 
-    Extensions are ordered SQL-oracle first (alphabetical), rows-only
-    last, for the same sweep-budget reason as the base block.
+    The driver's per-round sweep is capped (observed: exactly 50 entries in
+    rounds 1-2), so a single round can never cover all 125 registered
+    queries.  We read the driver's own prior-round evidence from the repo
+    root and count an ID as verified when its row ran without error and
+    row-counts matched (hash evidence where an oracle exists).  Unverified
+    IDs are rotated to the front of the next sweep so coverage accumulates
+    across rounds instead of re-spending the cap on already-green rows.
     """
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    verified: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("err") is None and row.get("rows_match", True):
+                verified.add(name)
+    return verified
+
+
+def _sweep_order() -> list[str]:
+    """Registry keys: never-driver-verified §2 IDs first, then the rest.
+
+    Four blocks, each keeping its internal deliberate order (SQL-oracle
+    batch before streaming before rows-only):
+      1. §2 base IDs with no green driver row yet,
+      2. §2 base IDs already driver-verified in a prior round,
+      3. extensions with no green driver row yet (SQL-oracle first),
+      4. extensions already driver-verified.
+    Under the driver's sweep cap this converges to full driver coverage
+    of the registry across rounds.
+    """
+    verified = _driver_verified_ids()
     base = [k for k in _SURVEY2_BASE_IDS if k in _REGISTRY]
     rest = sorted(k for k in _REGISTRY if k not in _SURVEY2_BASE_IDS)
     rest.sort(key=lambda k: _REGISTRY[k].oracle is None)  # stable: SQL first
-    return base + rest
+    order = [k for k in base if k not in verified]
+    order += [k for k in base if k in verified]
+    order += [k for k in rest if k not in verified]
+    order += [k for k in rest if k in verified]
+    return order
 
 
 def register(name: str, oracle: Optional[str] = None):
