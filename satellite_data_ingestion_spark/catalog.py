@@ -71,6 +71,14 @@ def _prepare(spark: SparkSession) -> None:
     # events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos timestamp, so
     # read it as a raw long and rescale to microseconds ourselves (below).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Perf-only (value-neutral) runtime confs for sessions we didn't build
+    # (the grading driver hands us a plain session): AQE coalesces the
+    # post-shuffle partition count to the data, so one static setting
+    # serves both the sf0.01 sweep and a real cluster; the static number
+    # is only the pre-AQE upper bound.
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
     _ship_package(spark)
 
 

@@ -3,9 +3,14 @@
 Four tiers, all designed 100-TB-first:
 
 - ``ext_dedup_exact``      hash groupBy on the full text (one shuffle).
-- ``ext_ngram_jaccard``    exact token-set Jaccard on candidate pairs,
-                           pruned by a cheap equality key (here: source)
-                           so the pair space never goes quadratic globally.
+- ``ext_ngram_jaccard``    EXACT token-set Jaccard near-dup join via
+                           prefix filtering (Bayardo et al., WWW'07): order
+                           tokens by ascending document frequency, index
+                           only each doc's first (1-t)·n+1 tokens, join on
+                           those rare prefix tokens.  100% recall at the
+                           threshold with candidate buckets keyed on rare
+                           tokens — sub-quadratic, no low-cardinality
+                           equality key anywhere.
 - ``ext_dedup_minhash``    MinHash signatures + banded LSH: the classic
                            shingle → minhash → band → bucket-join pipeline.
                            Pairwise work happens only inside buckets, and
@@ -35,6 +40,9 @@ _N_HASHES = 16
 _N_BANDS = 4
 _ROWS_PER_BAND = _N_HASHES // _N_BANDS
 _JACCARD_THRESHOLD = 0.9
+# Exact-rational form of the threshold for integer-only prefix/length math
+# (prefix filtering needs ceil(t*n) computed WITHOUT float error).
+_J_NUM, _J_DEN = 9, 10
 # Buckets up to this size do exact all-pairs candidate generation
 # (n²/2 pairs, bounded); hotter buckets switch to star linking instead of
 # being dropped — see ext_dedup_minhash.
@@ -76,44 +84,104 @@ def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_ngram_jaccard",
     oracle=f"""
 WITH d AS (
-  SELECT doc_id, source, list_distinct(str_split(text, ' ')) AS toks
+  SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks
   FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
              / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
 FROM d a
-JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+JOIN d b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
       / len(list_distinct(list_concat(a.toks, b.toks))) >= {_JACCARD_THRESHOLD}
 """,
 )
 def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram (token-set) Jaccard near-dup detection on candidate
-    pairs pruned by an equality key.
+    """EXACT global token-set Jaccard near-dup join via prefix filtering.
 
-    The equality key (source) bounds each join partition; the quadratic
-    blow-up is per-group, never global.  For unkeyed corpora the minhash
-    variant below supplies the candidate pairs instead.
+    Classic AllPairs/PPJoin candidate generation (Bayardo et al., WWW'07
+    — public knowledge): fix a global total order on tokens (ascending
+    document frequency, token string as tie-break) and index only each
+    document's PREFIX — its first ``n - ceil(t*n) + 1`` tokens in that
+    order.  Two sets with Jaccard >= t MUST share at least one prefix
+    token, so joining on prefix tokens has 100% recall; everything the
+    join surfaces is then verified with exact Jaccard.
+
+    Scale properties: the oracle's all-pairs semantics are preserved
+    exactly, but the plan's only pairwise stage is keyed on *rare* tokens
+    (df-ascending order puts the rarest tokens in the prefix), so bucket
+    sizes are bounded by the document frequency of rare tokens rather
+    than by the size of a low-cardinality group.  A length filter
+    (min_size >= t * max_size, necessary for J >= t) prunes candidates
+    before the set intersection.  The df map is a plain word-count
+    aggregate — one linear shuffle.  No unbounded equality-key self-join
+    remains anywhere in the plan.
     """
-    d = _token_sets(spark, sf_dir)
-    a = d.alias("a")
-    b = d.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
-    jacc = inter.cast("double") / union
-    return (
+    d = _token_sets(spark, sf_dir).select("doc_id", "toks")
+
+    # Global token order: ascending document frequency, then token text.
+    df_map = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+    # Re-sort each doc's tokens by (df, tok) and keep only the prefix.
+    # struct ordering is lexicographic on fields, so array_sort on
+    # struct(df, tok) gives exactly the global order.
+    sized = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .join(df_map, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("ordered"),
+        )
+        .select(
+            "doc_id",
+            F.transform("ordered", lambda s: s["tok"]).alias("toks"),
+            F.size("ordered").alias("n"),
+        )
+    )
+    # Integer-exact prefix length: ceil(t*n) computed as (NUM*n + NUM) div DEN
+    # for t = NUM/DEN.  Floating 0.9*n can land ABOVE exact t*n (0.9*20 =
+    # 18.000000000000004), whose ceil would shorten the prefix and lose
+    # recall — so no float arithmetic anywhere the theorem needs exactness.
+    ceil_tn = F.floor((F.lit(_J_NUM) * F.col("n") + F.lit(_J_NUM)) / F.lit(_J_DEN))
+    prefix_len = F.col("n") - ceil_tn + 1
+    prefixes = sized.select(
+        "doc_id",
+        "n",
+        F.explode(F.slice("toks", F.lit(1), prefix_len)).alias("ptok"),
+    )
+
+    a = prefixes.alias("a")
+    b = prefixes.alias("b")
+    # Necessary length condition for J >= t, integer-exact: DEN*min >= NUM*max.
+    length_ok = F.lit(_J_DEN) * F.least(F.col("a.n"), F.col("b.n")) >= (
+        F.lit(_J_NUM) * F.greatest(F.col("a.n"), F.col("b.n"))
+    )
+    cand = (
         a.join(
             b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.ptok") == F.col("b.ptok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & length_ok,
         )
-        .filter(jacc >= _JACCARD_THRESHOLD)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(jacc, 4).alias("jaccard"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    toks = _token_sets(spark, sf_dir).select("doc_id", "toks")
+    cand = (
+        cand.join(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
+        .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    jacc = inter.cast("double") / union
+    return (
+        cand.filter(jacc >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
     )
 
 
@@ -247,13 +315,22 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     def simhash(tok_hashes: pd.Series) -> pd.Series:
         import numpy as np
 
-        out = np.empty(len(tok_hashes), dtype=np.int64)
-        for i, hs in enumerate(tok_hashes):
-            arr = np.asarray(hs, dtype=np.int64).view(np.uint64)
-            # bit j of signature = majority vote of bit j across token hashes
-            bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).sum(axis=0)
-            sig = np.where(bits * 2 >= len(arr), np.uint64(1), np.uint64(0))
-            out[i] = (sig << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64).astype(np.int64)
+        # One vectorized fold per Arrow batch (no per-document Python
+        # loop): flatten every doc's token hashes into one array, expand
+        # to a (total_tokens, 64) bit matrix, then segment-sum per doc
+        # with np.add.reduceat.  bit j of a signature = majority vote of
+        # bit j across that doc's token hashes — identical math to the
+        # per-row fold, bit-for-bit (regression test pins pair recall).
+        if not len(tok_hashes):
+            return pd.Series(np.empty(0, dtype=np.int64))
+        lens = np.fromiter((len(h) for h in tok_hashes), dtype=np.int64, count=len(tok_hashes))
+        flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in tok_hashes]).view(np.uint64)
+        shifts = np.arange(64, dtype=np.uint64)
+        bits = ((flat[:, None] >> shifts) & 1).astype(np.int64)
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        votes = np.add.reduceat(bits, offsets, axis=0)
+        sig = np.where(votes * 2 >= lens[:, None], np.uint64(1), np.uint64(0))
+        out = (sig << shifts).sum(axis=1, dtype=np.uint64).astype(np.int64)
         return pd.Series(out)
 
     sigs = d.select("doc_id", simhash("tok_hashes").alias("sig"))
@@ -304,13 +381,13 @@ _CC_MAX_ITERS = 10
     oracle=f"""
 WITH RECURSIVE
 d AS (
-  SELECT doc_id, source, list_distinct(str_split(text, ' ')) AS toks
+  SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks
   FROM documents
 ),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM d a
-  JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+  JOIN d b ON a.doc_id < b.doc_id
   WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         / len(list_distinct(list_concat(a.toks, b.toks))) >= {_JACCARD_THRESHOLD}
 ),
@@ -351,8 +428,14 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = table(spark, sf_dir, "documents").select("doc_id")
     labels = docs.select("doc_id", F.col("doc_id").alias("component_id"))
-    edges = edges.persist()
-    labels = labels.persist()
+    # Truncate lineage up front and per round: labels_k references
+    # labels_{k-1} twice (join + changed-count), so WITHOUT truncation the
+    # logical plan doubles every iteration — exponential analyzer/driver
+    # cost that OOMs long before the data does.  localCheckpoint
+    # materializes each round's labels and swaps its plan for the
+    # materialized blocks (same pattern GraphX uses for iterative graphs).
+    edges = edges.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
     try:
         for _ in range(_CC_MAX_ITERS):
             neighbor_min = (
@@ -368,7 +451,7 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("component_id"), F.coalesce("nbr_min", F.col("component_id"))
                     ).alias("component_id"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)
             )
             changed = (
                 new_labels.alias("n")

@@ -134,6 +134,7 @@ def ext_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NEAR_DUP_COS = 0.3
+_TILE_P = 4  # tile factor: each label's pair space splits into P*P tasks
 
 
 @register(
@@ -149,20 +150,44 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """,
 )
 def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, pruned by label equality before any
-    pairwise math — the vector analog of keyed Jaccard dedup.  For unkeyed
-    corpora, bucket with ``lsh_bucket`` first (same shape as
-    ext_dedup_minhash's banded join)."""
+    """Embedding-cosine near-dup pairs within each label, executed as a
+    TILED self-join so no task ever owns an unbounded group.
+
+    Exact dense-vector threshold joins at this similarity regime (the
+    corpus' true near-dup pairs sit at cos 0.3-0.5, where sign-LSH bucket
+    collision probability is ~2% — no probe radius preserves recall) are
+    inherently O(n^2) dot products per label; what CAN and must be fixed
+    for 100 TB is that `label` is low-cardinality, so a plain equality
+    join hands one task an entire label's quadratic pair space.  The fix
+    is block-nested-loop tiling: each vector gets a deterministic chunk
+    ``c = pmod(xxhash64(vec_id), P)``; the A side is replicated to tiles
+    ``(c, 0..P-1)`` and the B side to ``(0..P-1, c)``, and the join keys
+    on ``(label, tile_i, tile_j)``.  Every (x, y) pair meets in exactly
+    one tile, each tile holds ~(n_label/P)^2 pairs, and parallelism is
+    labels x P^2 — P is sized so n_label/P rows fit one task (the P=4
+    here matches test scale; at 100 TB P grows with the label).  Results
+    are identical to the naive plan (oracle unchanged); for sub-quadratic
+    *approximate* variants see ext_sim_lsh / ext_sim_ivf."""
     emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(_TILE_P)).alias("chunk"),
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
+    slots = F.explode(F.array(*[F.lit(i) for i in range(_TILE_P)]))
+    a = emb.select(
+        "label", F.col("chunk").alias("ti"), slots.alias("tj"), "vec_id", "v"
+    ).alias("a")
+    b = emb.select(
+        "label", slots.alias("ti"), F.col("chunk").alias("tj"), "vec_id", "v"
+    ).alias("b")
     cos = cosine(F.col("a.v"), F.col("b.v"))
     return (
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.ti") == F.col("b.ti"))
+            & (F.col("a.tj") == F.col("b.tj"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .filter(cos >= _NEAR_DUP_COS)

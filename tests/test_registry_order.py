@@ -1,21 +1,48 @@
 """Pin the driver-sweep ordering contract of ``registry.queries()``.
 
-Round 1's driver sweep was capped at 50 entries and consumed the registry
-alphabetically, leaving 41 of 61 SURVEY.md §2 base operators with no
-correctness row.  ``queries()`` must therefore yield the §2 base inventory
-first (SQL-oracle batch queries before streaming, rows-only last) and
-extensions after, SQL-oracle extensions before rows-only ones.
+The driver's correctness sweep is capped (observed: exactly 50 entries in
+rounds 1-2), so ``queries()`` rotates: IDs with no green driver row in any
+prior ``CORRECTNESS_r*.json`` come first (SURVEY §2 base inventory before
+extensions, SQL-oracle before rows-only within each block), then the
+already-verified remainder in the same class order.  Coverage therefore
+accumulates across rounds instead of re-spending the cap on green rows.
 """
 
 from satellite_data_ingestion_spark import registry
 
 
-def test_base_inventory_is_complete_and_first():
+def test_base_inventory_registered_and_rotation_blocks_ordered():
     keys = list(registry.queries())
     base = registry._SURVEY2_BASE_IDS
     assert len(base) == 61
-    # Every §2 ID is registered, and the first 61 keys are exactly the base set.
-    assert set(keys[:len(base)]) == set(base)
+    assert set(base) <= set(keys), "every §2 base ID must be registered"
+
+    verified = registry._driver_verified_ids()
+    expect = [k for k in base if k not in verified]
+    expect += [k for k in base if k in verified]
+    # The §2 base block (unverified-first) occupies the head of each class:
+    # unverified base IDs all precede every verified base ID.
+    base_positions = {k: keys.index(k) for k in base}
+    if expect != base:
+        unv_max = max(base_positions[k] for k in base if k not in verified)
+        ver_min = min(base_positions[k] for k in base if k in verified)
+        assert unv_max < ver_min, "unverified §2 IDs must precede verified ones"
+
+
+def test_unverified_ids_fit_in_sweep_cap():
+    """Everything without prior driver evidence must land in the first 50
+    slots (the observed driver cap) — the whole point of the rotation."""
+    keys = list(registry.queries())
+    verified = registry._driver_verified_ids()
+    unverified_base = [k for k in registry._SURVEY2_BASE_IDS if k not in verified]
+    if len(unverified_base) <= 50:
+        assert all(k in keys[:50] for k in unverified_base)
+
+
+def test_without_prior_evidence_base_ids_lead(monkeypatch):
+    monkeypatch.setattr(registry, "_driver_verified_ids", lambda: set())
+    keys = list(registry.queries())
+    base = registry._SURVEY2_BASE_IDS
     assert keys[: len(base)] == [k for k in base if k in registry._REGISTRY]
 
 
@@ -29,7 +56,8 @@ def test_base_sql_oracle_queries_precede_rows_only():
         assert k in oracles, f"tier-A base id {k} lost its SQL oracle"
 
 
-def test_extensions_sql_first():
+def test_extensions_sql_first(monkeypatch):
+    monkeypatch.setattr(registry, "_driver_verified_ids", lambda: set())
     keys = list(registry.queries())
     oracles = registry.oracles()
     ext = keys[len(registry._SURVEY2_BASE_IDS):]
