@@ -379,11 +379,17 @@ def ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()
-    scored = tf.join(F.broadcast(df), "tok").select(
-        "doc_id",
-        "tok",
-        (F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0))).alias("score"),
+    # Corpus size folds into the SAME plan as a broadcast 1-row aggregate
+    # (no separate docs.count() job / extra corpus scan).
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))).alias("score"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
     return (

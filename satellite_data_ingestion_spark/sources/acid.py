@@ -1,0 +1,206 @@
+"""ACID table sink: write-audit-publish over parquet (`sink_acid_table`).
+
+``BASELINE.json:7`` names "Parquet/Delta" as the reference's sink surface;
+delta-spark is not installable in this environment, so this module
+implements the commit protocol that ACID table formats (Delta, Iceberg)
+are built on — snapshot manifests + an atomically-swapped version pointer
+— as a first-class, oracle-checkable operator:
+
+- **Write**: each commit stages its parquet files under a unique
+  ``data/snap-<n>-<uuid>/`` directory.  Staged files are invisible to
+  readers: readers never list the data directory, they read exactly the
+  file set named by a published manifest.
+- **Audit**: before publishing, the staged files are read back and
+  validated (row count vs the plan's count, no nulls in audited columns).
+  A failed audit aborts the commit — its files stay orphaned on disk but
+  are unreachable through any manifest, so a half-written or corrupt
+  commit can never be observed (atomicity + isolation).
+- **Publish**: manifest ``_manifests/v<n>.json`` (previous snapshot's
+  file list + this commit's files, or just this commit's for replace) is
+  written, then the ``_current`` pointer is swapped with ``os.replace``
+  (atomic on POSIX).  On an object store / HDFS the swap becomes a
+  conditional-put or metastore CAS — the protocol is unchanged; only the
+  final atomic primitive is storage-specific.
+- **Time travel**: every published manifest remains readable by version.
+
+At 100 TB the manifest holds file-level min/max stats for pruning; here it
+holds the file list and row count, which is what the correctness gate can
+check: after [commit A, commit N, FAILED commit of doubled-R rows, commit
+R], the latest snapshot must aggregate to exactly the clean `lineitem`
+oracle — a plain recursive directory read would double-count R.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+
+class AuditError(RuntimeError):
+    """Raised when a staged commit fails validation; nothing is published."""
+
+
+class SnapshotTable:
+    """Minimal snapshot-manifest table: parquet data files + versioned
+    manifests + an atomically-swapped current-version pointer."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    # -- pointer ----------------------------------------------------------
+    def _pointer_path(self) -> str:
+        return os.path.join(self.root, "_current")
+
+    def current_version(self) -> int:
+        try:
+            with open(self._pointer_path()) as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return 0  # v0 = empty table
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, "_manifests", f"v{version}.json")
+
+    def _manifest(self, version: int) -> dict:
+        if version == 0:
+            return {"version": 0, "files": [], "row_count": 0}
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh)
+
+    # -- read -------------------------------------------------------------
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read: exactly the manifest's file set — staged/orphaned
+        files in data/ are invisible.  ``version`` enables time travel."""
+        m = self._manifest(self.current_version() if version is None else version)
+        if not m["files"]:
+            raise ValueError("empty table snapshot")
+        paths = [os.path.join(self.root, f) for f in m["files"]]
+        return self.spark.read.parquet(*paths)
+
+    # -- write-audit-publish ---------------------------------------------
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        audit_not_null: list[str] | None = None,
+        _corrupt_audit_expected: int | None = None,
+    ) -> int:
+        """Run one write-audit-publish cycle; returns the new version.
+
+        ``_corrupt_audit_expected`` exists for tests/demos: it overrides
+        the expected row count so the audit provably rejects a bad commit.
+        """
+        base = self.current_version()
+        version = base + 1
+        stage_rel = os.path.join("data", f"snap-{version}-{uuid.uuid4().hex[:8]}")
+        stage_abs = os.path.join(self.root, stage_rel)
+
+        # WRITE: stage the files (invisible until a manifest names them).
+        df.write.mode("overwrite").parquet(stage_abs)
+
+        # AUDIT: re-read what actually landed on disk and validate it.
+        staged = self.spark.read.parquet(stage_abs)
+        staged_count = staged.count()
+        expected = (
+            _corrupt_audit_expected
+            if _corrupt_audit_expected is not None
+            else df.count()
+        )
+        ok = staged_count == expected
+        if ok and audit_not_null:
+            any_null = F.lit(False)
+            for c in audit_not_null:
+                any_null = any_null | F.col(c).isNull()
+            ok = staged.filter(any_null).count() == 0
+        if not ok:
+            # ABORT: no manifest, no pointer move — the staged files are
+            # orphans, unreachable by any reader.  (A janitor process can
+            # garbage-collect unreferenced data dirs later, exactly like
+            # Delta VACUUM / Iceberg orphan-file cleanup.)
+            raise AuditError(
+                f"audit failed for staged commit v{version} "
+                f"({staged_count} rows vs expected {expected})"
+            )
+
+        # PUBLISH: write manifest v<n>, then atomically swap the pointer.
+        part_files = sorted(
+            os.path.join(stage_rel, fn)
+            for fn in os.listdir(stage_abs)
+            if fn.endswith(".parquet")
+        )
+        prev = self._manifest(base)
+        files = part_files if mode == "replace" else prev["files"] + part_files
+        manifest = {
+            "version": version,
+            "files": files,
+            "row_count": (0 if mode == "replace" else prev["row_count"]) + staged_count,
+        }
+        with open(self._manifest_path(version), "w") as fh:
+            json.dump(manifest, fh)
+        tmp = self._pointer_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, self._pointer_path())  # the atomic publish
+        return version
+
+
+@register(
+    "sink_acid_table",
+    oracle="""
+SELECT l_returnflag, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def sink_acid_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACID sink round-trip proving atomicity, isolation and audit:
+
+    1. commit v1: append the 'A' slice; 2. commit v2: append 'N';
+    3. a commit of DOUBLED 'R' rows whose audit fails → aborted, files
+       orphaned but unreachable; 4. commit v3: append the clean 'R' slice.
+
+    The latest snapshot read must aggregate to exactly the clean lineitem
+    oracle — if aborted data leaked into the visible snapshot (the failure
+    a plain directory-tree sink cannot exclude), R's counts would double.
+    Time-travel (v2 lacks 'R') is pinned in tests/test_acid.py."""
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    root = os.path.join(
+        tempfile.gettempdir(), f"sdis_acid_{os.getpid()}_{uuid.uuid4().hex[:6]}"
+    )
+    t = SnapshotTable(spark, root)
+    try:
+        t.commit(li.filter(F.col("l_returnflag") == "A"))
+        t.commit(li.filter(F.col("l_returnflag") == "N"))
+        doubled_r = li.filter(F.col("l_returnflag") == "R")
+        doubled_r = doubled_r.union(doubled_r)
+        try:
+            # Audit expects the CLEAN R count; the doubled stage fails it.
+            clean_r_count = li.filter(F.col("l_returnflag") == "R").count()
+            t.commit(doubled_r, _corrupt_audit_expected=clean_r_count)
+        except AuditError:
+            pass  # aborted commit: orphan files on disk, invisible to reads
+        t.commit(li.filter(F.col("l_returnflag") == "R"))
+
+        back = t.read()  # latest snapshot only — orphans excluded
+        result = back.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        # Bounded collect: 3 aggregated rows — materialized before the
+        # temp table directory vanishes.
+        result = spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return result

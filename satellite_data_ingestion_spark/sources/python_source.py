@@ -175,14 +175,20 @@ class SlotTimelineStreamReader(DataSourceStreamReader):
         return {"idx": nxt}
 
     def partitions(self, start, end):
-        # Seed in-memory progress from the checkpointed range: on restart
-        # the first planned batch carries the committed start offset, so
-        # clamping here guarantees the next latestOffset() is >= committed
-        # (one idle trigger at worst, never a stalled/regressing stream).
+        # Seed in-memory progress from the checkpointed range: once any
+        # planner call has carried the committed offset, later
+        # latestOffset() calls are >= committed.  If a restart's very
+        # first call is latestOffset() (before partitions()/commit() has
+        # re-seeded), it can return an offset BELOW the committed one for
+        # one trigger; that regressed batch plans an empty range
+        # (lo >= hi), so read() yields zero rows by construction and the
+        # stream converges on the next trigger — bounded noise, not data
+        # loss or duplication (downstream also dropDuplicates on slot_idx).
         self._current = max(getattr(self, "_current", 0), start["idx"], end["idx"])
         return [_SlotRange(start["idx"], end["idx"])]
 
     def read(self, partition: _SlotRange):
+        # A regressed batch (see partitions()) has lo >= hi: empty range.
         for idx in range(partition.lo_idx, partition.hi_idx):
             yield (self.start + idx * self.slot, idx)
 
@@ -302,8 +308,16 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             # The source is bounded: latestOffset() saturates at n_slots,
             # so processAllAvailable() drains every micro-batch and
-            # returns — no polling loop needed.
-            q.processAllAvailable()
+            # returns.  Run the drain under a deadline: if the query
+            # stalls (e.g. a hung python worker), fall through to the
+            # retry instead of blocking forever.
+            import threading
+
+            drain = threading.Thread(target=q.processAllAvailable, daemon=True)
+            drain.start()
+            drain.join(timeout=90)
+            if drain.is_alive():
+                raise TimeoutError("stream drain exceeded 90s deadline")
             q.stop()
             if q.exception() is not None:
                 raise q.exception()
@@ -434,6 +448,9 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.read.schema("event_type string, n_events bigint, total_value double")
             .json(out_dir + "/part-*.json")
         )
+        # Bounded collect: memory-sink output is AGGREGATED micro-batch results
+        # (windows/groups, not raw events) — materialized once so the driver gets
+        # a plain batch DataFrame to hash; never a hot-path/full-corpus collect.
         return spark.createDataFrame(back.collect(), back.schema)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)

@@ -131,6 +131,9 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(120)
     out = spark.table(sink)
+    # Bounded collect: memory-sink output is AGGREGATED micro-batch results
+    # (windows/groups, not raw events) — materialized once so the driver gets
+    # a plain batch DataFrame to hash; never a hot-path/full-corpus collect.
     result = spark.createDataFrame(out.collect(), out.schema)
     shutil.rmtree(staging, ignore_errors=True)
     return result
@@ -195,6 +198,9 @@ def sink_stream_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("day").cast("string").alias("day"), "event_type", "n_events")
     )
+    # Bounded collect: memory-sink output is AGGREGATED micro-batch results
+    # (windows/groups, not raw events) — materialized once so the driver gets
+    # a plain batch DataFrame to hash; never a hot-path/full-corpus collect.
     result = spark.createDataFrame(back.collect(), back.schema)
     shutil.rmtree(staging, ignore_errors=True)
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -291,6 +297,9 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+    # Bounded collect: memory-sink output is AGGREGATED micro-batch results
+    # (windows/groups, not raw events) — materialized once so the driver gets
+    # a plain batch DataFrame to hash; never a hot-path/full-corpus collect.
     result = spark.createDataFrame(final.collect(), final.schema)
     shutil.rmtree(staging, ignore_errors=True)
     return result

@@ -80,6 +80,9 @@ def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(120)
     out = spark.table(sink)
+    # Bounded collect: memory-sink output is AGGREGATED micro-batch results
+    # (windows/groups, not raw events) — materialized once so the driver gets
+    # a plain batch DataFrame to hash; never a hot-path/full-corpus collect.
     result = spark.createDataFrame(out.collect(), out.schema)
     shutil.rmtree(staging, ignore_errors=True)
     return result
@@ -161,6 +164,9 @@ def stream_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(180)
     out = spark.table(sink)
+    # Bounded collect: memory-sink output is AGGREGATED micro-batch results
+    # (windows/groups, not raw events) — materialized once so the driver gets
+    # a plain batch DataFrame to hash; never a hot-path/full-corpus collect.
     result = spark.createDataFrame(out.collect(), out.schema)
     shutil.rmtree(staging, ignore_errors=True)
     return result

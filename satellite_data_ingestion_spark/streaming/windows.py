@@ -176,6 +176,9 @@ def stream_complete_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(120)
     out = spark.table(sink)
+    # Bounded collect: memory-sink output is AGGREGATED micro-batch results
+    # (windows/groups, not raw events) — materialized once so the driver gets
+    # a plain batch DataFrame to hash; never a hot-path/full-corpus collect.
     result = spark.createDataFrame(out.collect(), out.schema)
     shutil.rmtree(staging, ignore_errors=True)
     return result
