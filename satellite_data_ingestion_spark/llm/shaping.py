@@ -1,0 +1,243 @@
+"""Dataset-shaping operators: the steps between "filtered corpus" and
+"training batches" in a large-scale LLM data pipeline.
+
+- ``ext_repetition_score``  Gopher-style intra-document repetition
+                            signals (duplicate-token ratio, top-bigram
+                            dominance) — the quality gate that catches
+                            boilerplate/spam that inter-doc dedup misses.
+- ``ext_doc_chunk``         overlapping fixed-size token windows per
+                            document (context-length chunking for
+                            training/embedding).
+- ``ext_seq_pack``          contiguous sequence packing: deterministic
+                            running-sum binning of documents into fixed
+                            token budgets per source.
+- ``ext_mix_sample``        deterministic mixture sampling: per-source
+                            keep rates applied via an engine-independent
+                            md5 threshold (no RNG state to ship).
+
+All four are pure DataFrame plans with DuckDB oracles; every ratio is
+rounded identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+_PACK_BUDGET = 256
+# Mixture weights: per-source keep probability, applied deterministically.
+_MIX_EVEN_RATE = 1.0   # src0, src2, ... (kept fully)
+_MIX_ODD_RATE = 0.25   # src1, src3, ... (downsampled 4x)
+
+
+@register(
+    "ext_repetition_score",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, str_split(text, ' ') AS toks, len(str_split(text, ' ')) AS n
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, max(c) AS top_bigram_n
+  FROM (
+    SELECT doc_id, bigram, count(*) AS c
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, n), i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM d
+    )
+    GROUP BY doc_id, bigram
+  )
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       d.n AS n_tokens,
+       round(1.0 - CAST(len(list_distinct(d.toks)) AS DOUBLE) / d.n, 6) AS dup_token_ratio,
+       CASE WHEN d.n < 2 THEN NULL
+            ELSE round(CAST(bi.top_bigram_n AS DOUBLE) / (d.n - 1), 6) END AS top_bigram_ratio
+FROM d LEFT JOIN bi ON d.doc_id = bi.doc_id
+""",
+)
+def ext_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (the Gopher repetition rules'
+    Spark shape): duplicate-token ratio (1 - distinct/total) and the
+    dominance of the single most frequent bigram.  High values flag
+    boilerplate, keyword spam and template text that document-level
+    dedup cannot catch because each copy is unique.
+
+    Plan shape: the token ratios are pure projections; the bigram
+    dominance explodes bigrams and takes two hash aggregates keyed on
+    doc_id — linear, map-side-combinable, no self-join anywhere."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    bigrams = d.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    top_bi = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_n"))
+    )
+    return (
+        d.join(top_bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            F.round(
+                1.0 - F.size(F.array_distinct("toks")).cast("double") / F.col("n"), 6
+            ).alias("dup_token_ratio"),
+            F.when(F.col("n") < 2, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(F.col("top_bigram_n").cast("double") / (F.col("n") - 1), 6)
+            )
+            .alias("top_bigram_ratio"),
+        )
+    )
+
+
+@register(
+    "ext_doc_chunk",
+    oracle=f"""
+SELECT doc_id,
+       CAST((s - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       array_to_string(list_slice(toks, s, s + {_CHUNK_SIZE} - 1), ' ') AS chunk_text,
+       len(list_slice(toks, s, s + {_CHUNK_SIZE} - 1)) AS n_tokens
+FROM (
+  SELECT doc_id, toks, unnest(range(1, len(toks) + 1, {_CHUNK_STRIDE})) AS s
+  FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+)
+""",
+)
+def ext_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking: every document becomes
+    ceil(n/stride) windows of up to {size} tokens starting every
+    {stride} tokens (size > stride → consecutive chunks overlap, the
+    standard context-window prep for embedding / training readers).
+
+    One generate-explode projection — no shuffle at all; chunk count
+    scales with corpus token count, not document count, and each chunk
+    row carries its provenance (doc_id, chunk_idx)."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    # starts are 1-based so Spark slice() and DuckDB list_slice() agree.
+    starts = F.explode(
+        F.sequence(F.lit(1), F.size("toks"), F.lit(_CHUNK_STRIDE))
+    ).alias("s")
+    chunk = F.slice("toks", F.col("s"), F.lit(_CHUNK_SIZE))
+    return (
+        d.select("doc_id", "toks", starts)
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / _CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+            F.size(chunk).alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "ext_seq_pack",
+    oracle=f"""
+SELECT doc_id, source, n_tokens,
+       CAST(floor(coalesce(cum_before, 0) / {_PACK_BUDGET}.0) AS BIGINT) AS bin_id,
+       coalesce(cum_before, 0) - CAST(floor(coalesce(cum_before, 0) / {_PACK_BUDGET}.0) AS BIGINT) * {_PACK_BUDGET} AS offset_in_bin
+FROM (
+  SELECT doc_id, source, len(str_split(text, ' ')) AS n_tokens,
+         sum(len(str_split(text, ' '))) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_before
+  FROM documents
+)
+""",
+)
+def ext_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing: assign documents (in deterministic
+    doc_id order, independently per source) to fixed token-budget bins
+    via an exclusive running token sum — the shuffle-free form of
+    training-batch packing.  A document whose tokens straddle a budget
+    boundary stays in the bin its first token falls in (bins can
+    overflow by at most one document; readers that need hard budgets
+    split the straddler with ext_doc_chunk).
+
+    Scale: one window keyed on source — to bound window width on a
+    low-cardinality source column, sub-partition the window key the same
+    way ext_dedup_embedding tiles (pack per (source, shard) with
+    shard = pmod(hash, P)); bin ids then namespace by shard."""
+    docs = table(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(n).over(w), F.lit(0))
+    bin_id = F.floor(cum_before / float(_PACK_BUDGET)).cast("bigint")
+    return docs.select(
+        "doc_id",
+        "source",
+        n.alias("n_tokens"),
+        bin_id.alias("bin_id"),
+        (cum_before - bin_id * _PACK_BUDGET).alias("offset_in_bin"),
+    )
+
+
+def _rate_hex(rate: float) -> str:
+    """Keep threshold string; md5 4-hex prefixes strictly below it are
+    kept.  Lowercase hex compares identically in Spark and DuckDB, so
+    the sample is engine-independent and reproducible with no RNG.
+    rate >= 1.0 → 'g', which every hex string sorts below (keep all);
+    otherwise the rate maps onto the 65536 4-digit prefixes."""
+    if rate >= 1.0:
+        return "g"
+    return format(int(rate * 65536), "04x")
+
+
+@register(
+    "ext_mix_sample",
+    oracle=f"""
+SELECT source,
+       count(*) AS n_total,
+       count(*) FILTER (
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+               CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                    THEN '{_rate_hex(_MIX_EVEN_RATE)}' ELSE '{_rate_hex(_MIX_ODD_RATE)}' END
+       ) AS n_kept
+FROM documents
+GROUP BY source
+""",
+)
+def ext_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: each source gets a keep rate
+    (here: even-numbered sources 100%, odd 25% — the up/down-weighting
+    step that turns a raw crawl into a training mixture), applied by
+    comparing an md5 prefix of the stable doc key against the rate's
+    hex threshold.  Engine-independent (md5, not xxhash64), stateless,
+    reproducible, and a pure scan-side projection — the filter costs
+    one hash per row and no shuffle; the census here is one aggregate.
+    """
+    docs = table(spark, sf_dir, "documents")
+    rate_hex = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(_rate_hex(_MIX_EVEN_RATE))
+    ).otherwise(F.lit(_rate_hex(_MIX_ODD_RATE)))
+    kept = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < rate_hex
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+    )
