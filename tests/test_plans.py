@@ -175,3 +175,45 @@ def test_dynamic_partition_pruning(spark):
     df = registry.spec("join_dpp").fn(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_prefix_filter_join_keys_on_tokens_not_source(spark):
+    """ext_ngram_jaccard's only pairwise stage must be an equi-join keyed
+    on prefix tokens (rare by df-ordering) — no cartesian, no join keyed
+    solely on a low-cardinality column."""
+    plan = plan_of(spark, "ext_ngram_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "ptok" in plan  # candidate join carries the prefix-token key
+
+
+def test_tiled_embedding_join_keys_include_tiles(spark):
+    """ext_dedup_embedding must join on (label, ti, tj) — the bounded
+    tile key — never on label alone."""
+    plan = plan_of(spark, "ext_dedup_embedding")
+    assert "CartesianProduct" not in plan
+    assert "ti" in plan and "tj" in plan
+
+
+def test_tfidf_is_single_job_with_broadcasts(spark):
+    """Corpus count must be folded into the plan (broadcast 1-row agg),
+    and the vocabulary side must broadcast onto the tf rows."""
+    plan = plan_of(spark, "ext_tfidf")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastExchange") >= 2, tree
+
+
+def test_doc_chunk_is_shuffle_free(spark):
+    tree = plan_of(spark, "ext_doc_chunk").split("\n\n")[0]
+    assert "Exchange" not in tree, tree
+
+
+def test_seq_pack_single_shuffle(spark):
+    """One window over source: exactly one exchange, no join."""
+    tree = plan_of(spark, "ext_seq_pack").split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+
+
+def test_mix_sample_single_aggregate(spark):
+    tree = plan_of(spark, "ext_mix_sample").split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "partial_count" in plan_of(spark, "ext_mix_sample")
