@@ -121,30 +121,39 @@ def _driver_verified_ids() -> set[str]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            if isinstance(row, dict) and row.get("err") is None and row.get("rows_match", True):
+            if not isinstance(row, dict):
+                continue
+            hash_green = row.get("err") is None and row.get("rows_match") is True
+            # Rows-only queries record err='no_oracle' with the executed
+            # row count — that IS the driver's full check for them ("ran").
+            ran_green = row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            if hash_green or ran_green:
                 verified.add(name)
     return verified
 
 
 def _sweep_order() -> list[str]:
-    """Registry keys: never-driver-verified §2 IDs first, then the rest.
+    """Registry keys: never-driver-verified IDs first, then the rest.
 
     Four blocks, each keeping its internal deliberate order (SQL-oracle
     batch before streaming before rows-only):
       1. §2 base IDs with no green driver row yet,
-      2. §2 base IDs already driver-verified in a prior round,
-      3. extensions with no green driver row yet (SQL-oracle first),
+      2. extensions with no green driver row yet (SQL-oracle first),
+      3. §2 base IDs already driver-verified in a prior round,
       4. extensions already driver-verified.
-    Under the driver's sweep cap this converges to full driver coverage
-    of the registry across rounds.
+    All unverified work precedes all verified work so a count-capped
+    sweep spends every slot on NEW evidence: cumulative driver coverage
+    of the whole registry converges in ceil(unverified/cap) rounds, and
+    once everything is covered each subsequent round re-confirms from
+    the §2 base inventory forward.
     """
     verified = _driver_verified_ids()
     base = [k for k in _SURVEY2_BASE_IDS if k in _REGISTRY]
     rest = sorted(k for k in _REGISTRY if k not in _SURVEY2_BASE_IDS)
     rest.sort(key=lambda k: _REGISTRY[k].oracle is None)  # stable: SQL first
     order = [k for k in base if k not in verified]
-    order += [k for k in base if k in verified]
     order += [k for k in rest if k not in verified]
+    order += [k for k in base if k in verified]
     order += [k for k in rest if k in verified]
     return order
 
