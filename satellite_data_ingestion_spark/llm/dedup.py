@@ -385,6 +385,49 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ext_dedup_keep",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks
+  FROM documents
+),
+dropped AS (
+  SELECT b.doc_id, min(a.doc_id) AS dup_of
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.toks, b.toks))) >= {_JACCARD_THRESHOLD}
+  GROUP BY b.doc_id
+)
+SELECT doc_id,
+       dropped.doc_id IS NULL AS keep,
+       dup_of
+FROM documents LEFT JOIN dropped USING (doc_id)
+""",
+)
+def ext_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION materialization: keep the first occurrence
+    (lowest doc_id), drop every later near-duplicate, recording which
+    earlier document it duplicates — the column a training reader
+    actually filters on, and the incremental-ingest contract (a new
+    batch keeps a doc iff nothing earlier — corpus or batch — matches).
+
+    Built on the exact prefix-filtered pair join: one extra aggregate
+    keyed on the later doc of each pair (min earlier partner), then a
+    left join back onto the corpus.  Same linear-shuffle profile as
+    ext_ngram_jaccard."""
+    pairs = ext_ngram_jaccard(spark, sf_dir)
+    dropped = pairs.groupBy(F.col("doc_b").alias("doc_id")).agg(
+        F.min("doc_a").alias("dup_of")
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(dropped, "doc_id", "left").select(
+        "doc_id",
+        F.col("dup_of").isNull().alias("keep"),
+        "dup_of",
+    )
+
+
 _CC_MAX_ITERS = 10
 
 

@@ -269,6 +269,82 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(F.col("slot_epoch") >= s + 4 * _SLOT_SEC)
 
 
+@register(
+    "source_retry_backoff",
+    oracle=f"""
+WITH b AS (
+  SELECT CAST(floor(epoch(min(ts)) / {_SLOT_SEC}) AS BIGINT) * {_SLOT_SEC} AS s,
+         CAST(floor(epoch(max(ts)) / {_SLOT_SEC}) AS BIGINT) * {_SLOT_SEC} AS e
+  FROM events
+)
+SELECT slot_epoch, (slot_epoch - s) // {_SLOT_SEC} AS slot_idx, 2 AS attempts
+FROM (SELECT s, unnest(range(s, e + {_SLOT_SEC}, {_SLOT_SEC})) AS slot_epoch FROM b)
+""",
+)
+def source_retry_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transient-failure retry with exponential backoff at the fetch
+    layer — the reference's HTTP resilience semantics (token refresh +
+    re-request on transient failure, ``utils/eumdacapi.py:10-28``) mapped
+    to the right Spark altitude: INSIDE the partition fetch kernel, not
+    around the job.  Task-level retry (spark.task.maxFailures) re-runs a
+    whole partition and re-pays its full fetch; request-level retry with
+    backoff re-pays one call, which is what a catalog/API source needs.
+
+    Each partition's first fetch deterministically raises a transient
+    error; the kernel retries with exponential backoff (5ms base,
+    doubling, bounded attempts) and annotates every row with the attempt
+    count — so the oracle can pin retry behavior relationally (attempts
+    = 2 everywhere: exactly one transient failure, one success, no
+    over-retry).  The retry loop is per-partition state inside
+    mapInPandas; nothing touches the driver."""
+    import pandas as pd
+
+    s, e = _event_slot_bounds(spark, sf_dir)
+    n_slots = (e - s) // _SLOT_SEC + 1
+    slots = spark.range(0, n_slots, 1, 8).select(
+        (F.lit(s) + F.col("id") * _SLOT_SEC).alias("slot_epoch"),
+        F.col("id").alias("slot_idx"),
+    )
+
+    def fetch_with_retry(batches):
+        import time as _time
+
+        class _Transient(RuntimeError):
+            pass
+
+        def make_flaky_fetch():
+            calls = {"n": 0}
+
+            def flaky_fetch(pdf: pd.DataFrame) -> pd.DataFrame:
+                calls["n"] += 1
+                if calls["n"] == 1:  # every request transiently fails once
+                    raise _Transient("simulated transient fetch failure")
+                return pdf
+
+            return flaky_fetch
+
+        for pdf in batches:
+            flaky_fetch = make_flaky_fetch()
+            attempt, backoff = 0, 0.005
+            while True:
+                attempt += 1
+                try:
+                    out = flaky_fetch(pdf)
+                    break
+                except _Transient:
+                    if attempt >= 5:
+                        raise
+                    _time.sleep(backoff)
+                    backoff *= 2
+            out = out.copy()
+            out["attempts"] = attempt
+            yield out
+
+    return slots.mapInPandas(
+        fetch_with_retry, schema="slot_epoch long, slot_idx long, attempts int"
+    )
+
+
 @register("stream_python_datasource")  # offset-driven custom stream → rows-only
 def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom streaming source drained to completion: micro-batches of 4
