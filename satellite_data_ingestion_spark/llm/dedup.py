@@ -80,45 +80,29 @@ def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ext_ngram_jaccard",
-    oracle=f"""
-WITH d AS (
-  SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks
-  FROM documents
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
-FROM d a
-JOIN d b ON a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-      / len(list_distinct(list_concat(a.toks, b.toks))) >= {_JACCARD_THRESHOLD}
-""",
-)
-def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT global token-set Jaccard near-dup join via prefix filtering.
+def jaccard_pairs(d: DataFrame) -> DataFrame:
+    """EXACT global token-set Jaccard near-dup join via prefix filtering,
+    over any (doc_id, toks) frame with distinct tokens per doc.
 
     Classic AllPairs/PPJoin candidate generation (Bayardo et al., WWW'07
     — public knowledge): fix a global total order on tokens (ascending
     document frequency, token string as tie-break) and index only each
     document's PREFIX — its first ``n - ceil(t*n) + 1`` tokens in that
     order.  Two sets with Jaccard >= t MUST share at least one prefix
-    token, so joining on prefix tokens has 100% recall; everything the
-    join surfaces is then verified with exact Jaccard.
+    token (the minimal common token under the global order sits inside
+    both prefixes), so joining on prefix tokens has 100% recall;
+    everything the join surfaces is then verified with exact Jaccard.
 
-    Scale properties: the oracle's all-pairs semantics are preserved
-    exactly, but the plan's only pairwise stage is keyed on *rare* tokens
-    (df-ascending order puts the rarest tokens in the prefix), so bucket
-    sizes are bounded by the document frequency of rare tokens rather
-    than by the size of a low-cardinality group.  A length filter
-    (min_size >= t * max_size, necessary for J >= t) prunes candidates
-    before the set intersection.  The df map is a plain word-count
-    aggregate — one linear shuffle.  No unbounded equality-key self-join
-    remains anywhere in the plan.
+    Scale properties: all-pairs semantics are preserved exactly, but the
+    plan's only pairwise stage is keyed on *rare* tokens (df-ascending
+    order puts the rarest tokens in the prefix), so bucket sizes are
+    bounded by the document frequency of rare tokens rather than by the
+    size of a low-cardinality group.  A length filter (min_size >=
+    t * max_size, necessary for J >= t) prunes candidates before the set
+    intersection.  The df map is a plain word-count aggregate — one
+    linear shuffle.  No unbounded equality-key self-join remains
+    anywhere in the plan.
     """
-    d = _token_sets(spark, sf_dir).select("doc_id", "toks")
-
     # Global token order: ascending document frequency, then token text.
     df_map = (
         d.select("doc_id", F.explode("toks").alias("tok"))
@@ -171,10 +155,9 @@ def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    toks = _token_sets(spark, sf_dir).select("doc_id", "toks")
     cand = (
-        cand.join(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
-        .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")
+        cand.join(d.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
+        .join(d.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.size(F.array_union("toks_a", "toks_b"))
@@ -183,6 +166,28 @@ def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.filter(jacc >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
     )
+
+
+@register(
+    "ext_ngram_jaccard",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+FROM d a
+JOIN d b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.toks, b.toks))) >= {_JACCARD_THRESHOLD}
+""",
+)
+def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry: exact prefix-filtered Jaccard pairs over the
+    documents table (see :func:`jaccard_pairs` for the construction)."""
+    return jaccard_pairs(_token_sets(spark, sf_dir).select("doc_id", "toks"))
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:

@@ -267,3 +267,77 @@ def test_simhash_recall_against_ground_truth(spark, duck):
     assert truth, "corpus should contain near-dup pairs"
     recall = len(truth & found) / len(truth)
     assert recall >= 0.6, f"simhash recall {recall:.2f} too low"
+
+
+def _brute_jaccard_pairs(docs: dict[int, set[str]], t: float = 0.9):
+    out = set()
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(docs[a] & docs[b])
+            union = len(docs[a] | docs[b])
+            if union and inter / union >= t:
+                out.add((a, b))
+    return out
+
+
+def test_prefix_filter_exact_at_threshold_boundaries(spark):
+    """Prefix filtering must be EXACT: pairs sitting precisely at
+    J = 0.9 (18-subset-of-20: 18/20) are found, pairs just below
+    (17-subset-of-19: ~0.8947) are excluded, plus identical docs,
+    disjoint docs, single-token docs, and shared-rare-token decoys."""
+    from satellite_data_ingestion_spark.llm.dedup import jaccard_pairs
+
+    base20 = [f"w{i}" for i in range(20)]
+    base19 = [f"v{i}" for i in range(19)]
+    docs = {
+        1: set(base20),            # (1,2): J = 18/20 = 0.9 exactly -> IN
+        2: set(base20[:18]),
+        3: set(base19),            # (3,4): J = 17/19 ~ 0.8947 -> OUT
+        4: set(base19[:17]),
+        5: {"same", "tokens", "here"},   # (5,6): identical -> J = 1 -> IN
+        6: {"same", "tokens", "here"},
+        7: {"lonely"},             # single-token; (7,8) disjoint -> OUT
+        8: {"hermit"},
+        9: {"lonely", "extra"},    # shares rare 'lonely' with 7: J=0.5 -> OUT
+    }
+    df = spark.createDataFrame(
+        [(k, sorted(v)) for k, v in docs.items()], "doc_id int, toks array<string>"
+    )
+    got = {(r.doc_a, r.doc_b) for r in jaccard_pairs(df).collect()}
+    assert got == _brute_jaccard_pairs(docs)
+
+
+def test_prefix_filter_matches_brute_force_on_random_corpus(spark):
+    """Deterministic pseudo-random corpus (overlapping token subsets at
+    many sizes) — the planted generator hits prefix/length boundaries a
+    hand-written case list can miss."""
+    import random
+
+    from satellite_data_ingestion_spark.llm.dedup import jaccard_pairs
+
+    rng = random.Random(42)
+    vocab = [f"t{i}" for i in range(120)]
+    docs: dict[int, set[str]] = {}
+    did = 0
+    for _ in range(25):
+        n = rng.randint(1, 40)
+        base = set(rng.sample(vocab, n))
+        docs[did] = base
+        did += 1
+        # a family of perturbations around the base set
+        for _ in range(rng.randint(0, 3)):
+            mutated = set(base)
+            for _ in range(rng.randint(0, 3)):
+                if mutated and rng.random() < 0.5:
+                    mutated.discard(rng.choice(sorted(mutated)))
+                else:
+                    mutated.add(rng.choice(vocab))
+            if mutated:
+                docs[did] = mutated
+                did += 1
+    df = spark.createDataFrame(
+        [(k, sorted(v)) for k, v in docs.items()], "doc_id int, toks array<string>"
+    )
+    got = {(r.doc_a, r.doc_b) for r in jaccard_pairs(df).collect()}
+    assert got == _brute_jaccard_pairs(docs)
