@@ -212,6 +212,85 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_tolerance",
+    oracle="""
+WITH u AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN event_id END AS purchase_id,
+         CASE WHEN event_type = 'purchase' THEN ts END AS purchase_ts,
+         CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side
+  FROM events
+  WHERE event_type IN ('purchase', 'error')
+), w AS (
+  SELECT *,
+         last_value(purchase_id IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts, side, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cand_purchase,
+         last_value(purchase_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts, side, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cand_ts
+  FROM u
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN cand_ts >= ts - INTERVAL 30 MINUTE THEN cand_purchase END
+         AS matched_purchase,
+       CASE WHEN cand_ts >= ts - INTERVAL 30 MINUTE
+            THEN CAST(floor(epoch(ts)) AS BIGINT)
+               - CAST(floor(epoch(cand_ts)) AS BIGINT) END AS gap_sec
+FROM w WHERE side = 1
+""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance (pandas ``merge_asof(...,
+    tolerance=30min)`` semantics): each error event matches the nearest
+    earlier purchase by the same user ONLY if it happened within the
+    last 30 minutes; staler candidates yield a null match.
+
+    Same scale shape as join_asof — union + one ordered window per key,
+    carrying the candidate's event time alongside its id so the
+    tolerance is a post-window projection, not a second join.  The gap
+    column makes the tolerance auditable row-by-row."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    u = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.col("event_id")).alias(
+            "purchase_id"
+        ),
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("purchase_ts"),
+        F.when(F.col("event_type") == "purchase", F.lit(0)).otherwise(1).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_tol = F.col("cand_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES")
+    return (
+        u.withColumn("cand_purchase", F.last("purchase_id", ignorenulls=True).over(w))
+        .withColumn("cand_ts", F.last("purchase_ts", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(in_tol, F.col("cand_purchase")).alias("matched_purchase"),
+            F.when(
+                in_tol,
+                F.unix_timestamp("ts") - F.unix_timestamp("cand_ts"),
+            ).alias("gap_sec"),
+        )
+    )
+
+
+@register(
     "join_full_outer",
     oracle="""
 SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
