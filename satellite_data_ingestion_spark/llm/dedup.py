@@ -135,21 +135,31 @@ def jaccard_pairs(d: DataFrame) -> DataFrame:
     prefixes = sized.select(
         "doc_id",
         "n",
-        F.explode(F.slice("toks", F.lit(1), prefix_len)).alias("ptok"),
+        F.posexplode(F.slice("toks", F.lit(1), prefix_len)).alias("pos", "ptok"),
     )
 
     a = prefixes.alias("a")
     b = prefixes.alias("b")
+    na, nb = F.col("a.n"), F.col("b.n")
     # Necessary length condition for J >= t, integer-exact: DEN*min >= NUM*max.
-    length_ok = F.lit(_J_DEN) * F.least(F.col("a.n"), F.col("b.n")) >= (
-        F.lit(_J_NUM) * F.greatest(F.col("a.n"), F.col("b.n"))
-    )
+    length_ok = F.lit(_J_DEN) * F.least(na, nb) >= F.lit(_J_NUM) * F.greatest(na, nb)
+    # PPJoin positional filter: J >= t needs overlap alpha =
+    # ceil(NUM*(na+nb)/(NUM+DEN)); a token at 0-based positions (i, j)
+    # leaves at most min(na - i, nb - j) items (itself included) that
+    # could still be common.  Filtering per shared-token ROW is exact:
+    # for a true pair the MINIMAL common token's row always passes (all
+    # its common tokens sit at or after it in the global order), and the
+    # distinct() keeps a pair if any row survives.
+    nd = _J_NUM + _J_DEN
+    alpha = F.floor((F.lit(_J_NUM) * (na + nb) + F.lit(nd - 1)) / F.lit(nd))
+    pos_ok = F.least(na - F.col("a.pos"), nb - F.col("b.pos")) >= alpha
     cand = (
         a.join(
             b,
             (F.col("a.ptok") == F.col("b.ptok"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & length_ok,
+            & length_ok
+            & pos_ok,
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
