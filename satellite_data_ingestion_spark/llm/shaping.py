@@ -152,16 +152,20 @@ def ext_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_SHARDS = 4
+
+
 @register(
     "ext_seq_pack",
     oracle=f"""
-SELECT doc_id, source, n_tokens,
+SELECT doc_id, source, shard, n_tokens,
        CAST(floor(coalesce(cum_before, 0) / {_PACK_BUDGET}.0) AS BIGINT) AS bin_id,
        coalesce(cum_before, 0) - CAST(floor(coalesce(cum_before, 0) / {_PACK_BUDGET}.0) AS BIGINT) * {_PACK_BUDGET} AS offset_in_bin
 FROM (
-  SELECT doc_id, source, len(str_split(text, ' ')) AS n_tokens,
+  SELECT doc_id, source, doc_id % {_PACK_SHARDS} AS shard,
+         len(str_split(text, ' ')) AS n_tokens,
          sum(len(str_split(text, ' '))) OVER (
-           PARTITION BY source ORDER BY doc_id
+           PARTITION BY source, doc_id % {_PACK_SHARDS} ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_before
   FROM documents
 )
@@ -169,21 +173,23 @@ FROM (
 )
 def ext_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous sequence packing: assign documents (in deterministic
-    doc_id order, independently per source) to fixed token-budget bins
-    via an exclusive running token sum — the shuffle-free form of
-    training-batch packing.  A document whose tokens straddle a budget
-    boundary stays in the bin its first token falls in (bins can
-    overflow by at most one document; readers that need hard budgets
-    split the straddler with ext_doc_chunk).
+    doc_id order) to fixed token-budget bins via an exclusive running
+    token sum — the shuffle-light form of training-batch packing.  A
+    document whose tokens straddle a budget boundary stays in the bin
+    its first token falls in (bins can overflow by at most one document;
+    readers that need hard budgets split the straddler with
+    ext_doc_chunk).
 
-    Scale: one window keyed on source — to bound window width on a
-    low-cardinality source column, sub-partition the window key the same
-    way ext_dedup_embedding tiles (pack per (source, shard) with
-    shard = pmod(hash, P)); bin ids then namespace by shard."""
+    Scale: `source` alone is low-cardinality, so the window key is
+    sub-sharded with an engine-independent deterministic shard
+    (doc_id % P) — each (source, shard) window is 1/P of a source and P
+    scales with corpus size; bins namespace by (source, shard), which
+    packing semantics permit (bins never needed to span shards)."""
     docs = table(spark, sf_dir, "documents")
     n = F.size(F.split("text", " "))
+    shard = F.col("doc_id") % _PACK_SHARDS
     w = (
-        Window.partitionBy("source")
+        Window.partitionBy("source", shard)
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -192,6 +198,7 @@ def ext_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         "source",
+        shard.alias("shard"),
         n.alias("n_tokens"),
         bin_id.alias("bin_id"),
         (cum_before - bin_id * _PACK_BUDGET).alias("offset_in_bin"),

@@ -36,10 +36,11 @@ def test_pack_offsets_stay_under_budget_and_bins_are_contiguous(spark):
     packed = registry.spec("ext_seq_pack").fn(spark, SF_DIR)
     rows = packed.orderBy("source", "doc_id").collect()
     assert all(0 <= r.offset_in_bin < shaping._PACK_BUDGET for r in rows)
-    by_source: dict[str, list] = {}
+    assert all(r.shard == r.doc_id % shaping._PACK_SHARDS for r in rows)
+    by_window: dict[tuple, list] = {}
     for r in rows:
-        by_source.setdefault(r.source, []).append(r)
-    for rs in by_source.values():
+        by_window.setdefault((r.source, r.shard), []).append(r)
+    for rs in by_window.values():
         bins = [r.bin_id for r in rs]
         assert bins == sorted(bins), "bin ids must be nondecreasing in doc order"
         assert bins[0] == 0
