@@ -217,3 +217,15 @@ def test_mix_sample_single_aggregate(spark):
     tree = plan_of(spark, "ext_mix_sample").split("\n\n")[0]
     assert tree.count("Exchange") == 1, tree
     assert "partial_count" in plan_of(spark, "ext_mix_sample")
+
+
+@pytest.mark.parametrize("name", ["ext_sim_batch_topk", "win_rank"])
+def test_topk_windows_get_partial_group_limit(spark, name):
+    """rank-filtered windows must plan a Partial WindowGroupLimit below
+    the exchange (Spark 3.5+): only k rows per group per input partition
+    reach the shuffle — the property that keeps batch top-k from
+    shuffling the whole scored corpus."""
+    df = registry.spec(name).fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan.split("Exchange", 1)[-1], plan
