@@ -420,3 +420,44 @@ def fn_datetime_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekofyear("ts").alias("iso_week"),
         F.unix_timestamp("ts").alias("epoch_s"),
     )
+
+
+@register(
+    "fn_haversine",
+    oracle="""
+SELECT event_id,
+       round(2 * 6371.0 * asin(sqrt(
+         sin(radians(((user_id % 60) - 30.0) - ((value % 60.0) - 30.0)) / 2)
+           * sin(radians(((user_id % 60) - 30.0) - ((value % 60.0) - 30.0)) / 2)
+         + cos(radians((value % 60.0) - 30.0)) * cos(radians((user_id % 60) - 30.0))
+           * sin(radians(((event_id % 360) - 180.0) - ((value % 360.0) - 180.0)) / 2)
+           * sin(radians(((event_id % 360) - 180.0) - ((value % 360.0) - 180.0)) / 2)
+       )), 4) AS dist_km
+FROM events
+""",
+)
+def fn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle (haversine) distance battery — the geo scalar a
+    satellite-data engine needs beyond bbox filters (reference clips to
+    a lat/lon extent, sources/meteosat.py:36; distance-to-target is the
+    next question users ask).  Coordinates are derived deterministically
+    from event columns (value/user_id/event_id modular arithmetic, the
+    same synthetic-coordinate trick the resample operators use); the
+    whole expression is one codegen projection — no UDF, no shuffle.
+    Rounded to 4 decimals so the engines' last-ulp libm differences
+    cannot surface."""
+    ev = table(spark, sf_dir, "events")
+    lat1 = (F.col("value") % 60.0) - 30.0
+    lat2 = ((F.col("user_id") % 60).cast("double")) - 30.0
+    lon1 = (F.col("value") % 360.0) - 180.0
+    lon2 = ((F.col("event_id") % 360).cast("double")) - 180.0
+    dphi = F.radians(lat2 - lat1) / 2
+    dlmb = F.radians(lon2 - lon1) / 2
+    h = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlmb) * F.sin(dlmb)
+    )
+    return ev.select(
+        "event_id",
+        F.round(2 * 6371.0 * F.asin(F.sqrt(h)), 4).alias("dist_km"),
+    )

@@ -225,3 +225,35 @@ def ext_mime_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig_hex = sig.replace(" ", "").upper()
         mime = F.when(magic == sig_hex, name).otherwise(mime)
     return docs.select("doc_id", mime.alias("mime"), magic.alias("magic_hex"))
+
+
+@register(
+    "ext_multimodal_dedup",
+    oracle="""
+SELECT md5(substr(text, 1, 64)) AS thumb_key,
+       min(doc_id) AS keep_id,
+       count(*)    AS n_copies
+FROM documents
+GROUP BY md5(substr(text, 1, 64))
+""",
+)
+def ext_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup over binary payloads: fingerprint each blob by
+    the md5 of its leading 64 bytes (the 'thumbnail prefix' — the cheap
+    screen production image dedup applies before any perceptual hash)
+    and census the collisions with a deterministic representative.
+
+    One hash-groupBy on a 16-byte key — the shuffle carries fingerprints,
+    never payloads; at 100 TB the prefix read alone can be pushed to the
+    storage layer (range request) so whole blobs are never fetched for
+    the first-pass dedup.  Corpus payloads are ASCII text bytes, so the
+    oracle's character-domain md5 equals the byte-domain one."""
+    docs = table(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8").cast(BinaryType())
+    thumb = F.md5(F.expr("substring(payload, 1, 64)"))
+    return (
+        docs.select("doc_id", payload.alias("payload"))
+        .select("doc_id", thumb.alias("thumb_key"))
+        .groupBy("thumb_key")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
