@@ -64,11 +64,20 @@ class SnapshotTable:
         return os.path.join(self.root, "_current")
 
     def current_version(self) -> int:
-        try:
-            with open(self._pointer_path()) as fh:
-                return int(fh.read().strip())
-        except FileNotFoundError:
-            return 0  # v0 = empty table
+        """Latest PUBLISHED version = max manifest present.
+
+        Manifests are created with O_EXCL only after a successful audit,
+        so their listing is the commit log (exactly how Delta resolves
+        the latest snapshot from _delta_log).  The ``_current`` pointer
+        is a fast-path cache of the same answer — never trusted over the
+        listing, so a slow committer overwriting the pointer last cannot
+        roll visible state backward."""
+        versions = [
+            int(fn[1:-5])
+            for fn in os.listdir(os.path.join(self.root, "_manifests"))
+            if fn.startswith("v") and fn.endswith(".json")
+        ]
+        return max(versions, default=0)
 
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.root, "_manifests", f"v{version}.json")
@@ -134,21 +143,34 @@ class SnapshotTable:
                 f"({staged_count} rows vs expected {expected})"
             )
 
-        # PUBLISH: write manifest v<n>, then atomically swap the pointer.
+        # PUBLISH: claim version v<n> by creating its manifest EXCLUSIVELY
+        # (open 'x' — fails if a concurrent committer claimed it first:
+        # the optimistic-concurrency CAS every table format needs; on an
+        # object store this is a conditional PUT / metastore CAS).  On
+        # conflict, rebase onto the winner's snapshot and retry with the
+        # SAME staged files — only the manifest merge re-runs.
         part_files = sorted(
             os.path.join(stage_rel, fn)
             for fn in os.listdir(stage_abs)
             if fn.endswith(".parquet")
         )
-        prev = self._manifest(base)
-        files = part_files if mode == "replace" else prev["files"] + part_files
-        manifest = {
-            "version": version,
-            "files": files,
-            "row_count": (0 if mode == "replace" else prev["row_count"]) + staged_count,
-        }
-        with open(self._manifest_path(version), "w") as fh:
-            json.dump(manifest, fh)
+        while True:
+            prev = self._manifest(base)
+            files = part_files if mode == "replace" else prev["files"] + part_files
+            manifest = {
+                "version": version,
+                "files": files,
+                "row_count": (0 if mode == "replace" else prev["row_count"])
+                + staged_count,
+            }
+            try:
+                with open(self._manifest_path(version), "x") as fh:
+                    json.dump(manifest, fh)
+            except FileExistsError:
+                base = self.current_version()  # lost the race — rebase
+                version = base + 1
+                continue
+            break
         tmp = self._pointer_path() + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             fh.write(str(version))

@@ -71,3 +71,53 @@ def test_registered_query_matches_clean_aggregate(spark):
         .collect()
     }
     assert got == want
+
+
+def test_concurrent_commits_never_lose_updates(spark, tmp_path_factory):
+    """A committer that loses the version-claim race (its target manifest
+    already exists) must rebase onto the winner's snapshot and retry, so
+    both commits land in the final snapshot."""
+    import json as _json
+
+    root = str(tmp_path_factory.mktemp("acid_race"))
+    t1 = SnapshotTable(spark, root)
+    t2 = SnapshotTable(spark, root)  # separate handle, same table
+
+    t2.commit(_df(spark, [100]))  # claims v1
+
+    # Simulate a racing winner publishing v2 BETWEEN t1 reading the
+    # current version and t1 claiming its manifest: wrap t1's version
+    # resolution so the conflicting manifest appears mid-commit.
+    real_current = t1.current_version
+    raced = {"done": False}
+
+    def current_with_race():
+        v = real_current()
+        if not raced["done"]:
+            raced["done"] = True
+            m1 = t1._manifest(v)
+            with open(t1._manifest_path(v + 1), "x") as fh:
+                _json.dump(
+                    {"version": v + 1, "files": m1["files"], "row_count": m1["row_count"]},
+                    fh,
+                )
+        return v
+
+    t1.current_version = current_with_race
+    v = t1.commit(_df(spark, [200]))  # target v2 taken -> rebases to v3
+    t1.current_version = real_current
+    assert v == 3
+    assert sorted(r.x for r in t1.read().collect()) == [100, 200]
+    assert t1.current_version() == t2.current_version() == 3
+
+
+def test_stale_pointer_cannot_roll_back_visible_state(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("acid_ptr"))
+    t = SnapshotTable(spark, root)
+    t.commit(_df(spark, [1]))
+    t.commit(_df(spark, [2]))
+    # Simulate a slow loser overwriting the pointer cache with an old value.
+    with open(t._pointer_path(), "w") as fh:
+        fh.write("1")
+    assert t.current_version() == 2  # listing wins over the stale cache
+    assert sorted(r.x for r in t.read().collect()) == [1, 2]
