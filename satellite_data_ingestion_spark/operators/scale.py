@@ -161,3 +161,53 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "join_runtime_filter",
+    oracle="""
+SELECT o.o_orderpriority, count(*) AS n_items, round(sum(l.l_quantity), 2) AS sum_qty
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY o.o_orderpriority
+""",
+)
+def join_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semi-join reduction (Catalyst
+    InjectRuntimeFilter): the selective orders side builds a bloom filter
+    of its join keys at runtime, and the lineitem scan applies
+    `might_contain` BEFORE the shuffle — at 100 TB this is the difference
+    between shuffling the whole fact table and shuffling only rows that
+    can possibly match.  Spark's default thresholds target production
+    sizes (application side >= 10 GB); they are lowered here only so the
+    optimization fires at test scale, and restored after the bounded
+    materialization so no other query inherits them.  Oracle = the plain
+    join (pure execution-strategy change, like join_salted)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    plan = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # shuffle join, so the filter applies
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # Bounded collect: one row per order priority (here: exactly 1) —
+        # executed WHILE the runtime-filter confs are active.
+        rows = plan.collect()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return spark.createDataFrame(rows, plan.schema)

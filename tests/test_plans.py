@@ -229,3 +229,34 @@ def test_topk_windows_get_partial_group_limit(spark, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
     assert "Partial" in plan.split("Exchange", 1)[-1], plan
+
+
+def test_runtime_bloom_filter_injects(spark):
+    """Under the op's confs, the optimized plan must carry a bloom-filter
+    aggregate on the creation side and a might_contain probe on the
+    application side."""
+    from satellite_data_ingestion_spark.catalog import table as _table
+
+    import pyspark.sql.functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = _table(spark, SF_SMOKE, "lineitem")
+        o = _table(spark, SF_SMOKE, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
