@@ -126,11 +126,12 @@ def jaccard_pairs(d: DataFrame) -> DataFrame:
             F.size("ordered").alias("n"),
         )
     )
-    # Integer-exact prefix length: ceil(t*n) computed as (NUM*n + NUM) div DEN
-    # for t = NUM/DEN.  Floating 0.9*n can land ABOVE exact t*n (0.9*20 =
-    # 18.000000000000004), whose ceil would shorten the prefix and lose
-    # recall — so no float arithmetic anywhere the theorem needs exactness.
-    ceil_tn = F.floor((F.lit(_J_NUM) * F.col("n") + F.lit(_J_NUM)) / F.lit(_J_DEN))
+    # Integer-exact prefix length: ceil(t*n) = (NUM*n + DEN-1) div DEN for
+    # t = NUM/DEN (the general ceil identity — not +NUM, which only
+    # coincides when NUM = DEN-1).  Floating 0.9*n can land ABOVE exact
+    # t*n (0.9*20 = 18.000000000000004), whose ceil would shorten the
+    # prefix and lose recall, so the quotient uses SQL integer `div`.
+    ceil_tn = F.expr(f"({_J_NUM} * n + {_J_DEN} - 1) div {_J_DEN}")
     prefix_len = F.col("n") - ceil_tn + 1
     prefixes = sized.select(
         "doc_id",
@@ -151,6 +152,9 @@ def jaccard_pairs(d: DataFrame) -> DataFrame:
     # its common tokens sit at or after it in the global order), and the
     # distinct() keeps a pair if any row survives.
     nd = _J_NUM + _J_DEN
+    # ceil via the +(nd-1) identity; floor-of-double-divide is exact here:
+    # the operands are exact integers << 2^53 and a non-integer quotient
+    # sits at least 1/nd away from any integer — far outside one ulp.
     alpha = F.floor((F.lit(_J_NUM) * (na + nb) + F.lit(nd - 1)) / F.lit(nd))
     pos_ok = F.least(na - F.col("a.pos"), nb - F.col("b.pos")) >= alpha
     cand = (
@@ -217,6 +221,12 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     partial aggregate completes map-side — the exchange carries exactly
     one 16-long row per document, so the extra shuffle is payload-free
     at any scale.
+
+    Contract: documents must carry at least one token (a whitespace
+    split of any string yields >= 1).  A doc with an EMPTY toks array
+    has no minhash under any definition — explode drops it here, so it
+    gets no signature row and never enters LSH banding; callers feeding
+    arbitrary frames should filter or expect absence.
     """
     hashed = docs.select("doc_id", F.explode("toks").alias("t")).select(
         "doc_id", F.xxhash64("t").alias("h")
@@ -351,13 +361,24 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not len(tok_hashes):
             return pd.Series(np.empty(0, dtype=np.int64))
         lens = np.fromiter((len(h) for h in tok_hashes), dtype=np.int64, count=len(tok_hashes))
-        flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in tok_hashes]).view(np.uint64)
-        shifts = np.arange(64, dtype=np.uint64)
-        bits = ((flat[:, None] >> shifts) & 1).astype(np.int64)
-        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        votes = np.add.reduceat(bits, offsets, axis=0)
-        sig = np.where(votes * 2 >= lens[:, None], np.uint64(1), np.uint64(0))
-        out = (sig << shifts).sum(axis=1, dtype=np.uint64).astype(np.int64)
+        # reduceat cannot express zero-length segments (an offset equal to
+        # len(flat) raises; an empty middle segment returns the NEXT
+        # segment's first row) — fold only non-empty docs and fill empty
+        # ones with the per-row loop's value: 0 votes vs len 0 → all bits
+        # set → signature -1.
+        out = np.full(len(lens), -1, dtype=np.int64)
+        nonempty = lens > 0
+        if nonempty.any():
+            ne_lens = lens[nonempty]
+            flat = np.concatenate(
+                [np.asarray(h, dtype=np.int64) for h in tok_hashes if len(h)]
+            ).view(np.uint64)
+            shifts = np.arange(64, dtype=np.uint64)
+            bits = ((flat[:, None] >> shifts) & 1).astype(np.int64)
+            offsets = np.concatenate(([0], np.cumsum(ne_lens)[:-1]))
+            votes = np.add.reduceat(bits, offsets, axis=0)
+            sig = np.where(votes * 2 >= ne_lens[:, None], np.uint64(1), np.uint64(0))
+            out[nonempty] = (sig << shifts).sum(axis=1, dtype=np.uint64).astype(np.int64)
         return pd.Series(out)
 
     sigs = d.select("doc_id", simhash("tok_hashes").alias("sig"))
@@ -506,37 +527,41 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized blocks (same pattern GraphX uses for iterative graphs).
     edges = edges.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
-    try:
-        for _ in range(_CC_MAX_ITERS):
-            neighbor_min = (
-                edges.join(labels, edges.doc_b == labels.doc_id)
-                .groupBy("doc_a")
-                .agg(F.min("component_id").alias("nbr_min"))
-            )
-            new_labels = (
-                labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
-                .select(
-                    "doc_id",
-                    F.least(
-                        F.col("component_id"), F.coalesce("nbr_min", F.col("component_id"))
-                    ).alias("component_id"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.component_id") != F.col("o.component_id"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        return labels.select(
-            "doc_id",
-            "component_id",
-            (F.col("doc_id") == F.col("component_id")).alias("is_canonical"),
+    for _ in range(_CC_MAX_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("component_id").alias("nbr_min"))
         )
-    finally:
-        edges.unpersist()
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"), F.coalesce("nbr_min", F.col("component_id"))
+                ).alias("component_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        # Dropping the previous round's reference IS the release:
+        # DataFrame.unpersist() would be a no-op on localCheckpoint
+        # blocks (it only clears cache-manager entries); instead the old
+        # RDD becomes unreferenced here and Spark's ContextCleaner frees
+        # its blocks asynchronously, so at most a couple of
+        # (doc_id, label) tables — 16 bytes/doc — are live at once.
+        # The edges blocks are reclaimed the same way when the function
+        # returns and the reference drops.
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        "component_id",
+        (F.col("doc_id") == F.col("component_id")).alias("is_canonical"),
+    )

@@ -79,7 +79,17 @@ def ext_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("text", " ").alias("toks"),
         F.size(F.split("text", " ")).alias("n"),
     )
-    bigrams = d.select(
+    return repetition_scores(d)
+
+
+def repetition_scores(d: DataFrame) -> DataFrame:
+    """Repetition signals over any (doc_id, toks, n) frame — see
+    :func:`ext_repetition_score` for semantics."""
+    # Guard n >= 2 BEFORE generating bigram indices: Spark's
+    # sequence(1, 0) auto-steps DOWN to [1, 0] and element_at(toks, 0)
+    # throws — a single-token document would crash the query (the
+    # oracle's range(1, 1) is just empty).
+    bigrams = d.filter(F.col("n") >= 2).select(
         "doc_id",
         "n",
         F.explode(

@@ -123,7 +123,13 @@ def _driver_verified_ids() -> set[str]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            hash_green = row.get("err") is None and row.get("rows_match") is True
+            # Oracle-checked rows are green only if EVERY check passed —
+            # a rows_match-but-hash-mismatch row must be re-swept, not
+            # rotated out of sight.
+            hash_green = row.get("err") is None and all(
+                row.get(k) is True
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
             # Rows-only queries record err='no_oracle' with the executed
             # row count — that IS the driver's full check for them ("ran").
             ran_green = row.get("err") == "no_oracle" and row.get("spark_rows") is not None

@@ -143,12 +143,16 @@ class SnapshotTable:
                 f"({staged_count} rows vs expected {expected})"
             )
 
-        # PUBLISH: claim version v<n> by creating its manifest EXCLUSIVELY
-        # (open 'x' — fails if a concurrent committer claimed it first:
-        # the optimistic-concurrency CAS every table format needs; on an
-        # object store this is a conditional PUT / metastore CAS).  On
-        # conflict, rebase onto the winner's snapshot and retry with the
-        # SAME staged files — only the manifest merge re-runs.
+        # PUBLISH: claim version v<n> by linking a fully-written temp
+        # manifest to its final name.  os.link is atomic AND fails with
+        # EEXIST if a concurrent committer claimed the version first —
+        # the optimistic-concurrency CAS every table format needs (a
+        # conditional PUT / metastore CAS on object stores).  Writing
+        # the temp file FIRST means a manifest visible in the listing is
+        # always complete: a committer that dies mid-write leaves only a
+        # temp file, never a truncated published manifest.  On conflict,
+        # rebase onto the winner's snapshot and retry with the SAME
+        # staged files — only the manifest merge re-runs.
         part_files = sorted(
             os.path.join(stage_rel, fn)
             for fn in os.listdir(stage_abs)
@@ -163,13 +167,19 @@ class SnapshotTable:
                 "row_count": (0 if mode == "replace" else prev["row_count"])
                 + staged_count,
             }
+            tmp_manifest = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp_manifest, "w") as fh:
+                json.dump(manifest, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
             try:
-                with open(self._manifest_path(version), "x") as fh:
-                    json.dump(manifest, fh)
+                os.link(tmp_manifest, self._manifest_path(version))
             except FileExistsError:
                 base = self.current_version()  # lost the race — rebase
                 version = base + 1
                 continue
+            finally:
+                os.unlink(tmp_manifest)
             break
         tmp = self._pointer_path() + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:

@@ -85,3 +85,15 @@ def test_repetition_score_flags_planted_boilerplate(spark):
     }
     assert out[1].dup_token_ratio > 0.8
     assert out[2].dup_token_ratio == 0.0
+
+
+def test_repetition_score_handles_single_token_docs(spark):
+    """sequence(1, 0) in Spark auto-steps DOWN — a single-token doc must
+    not crash the bigram expansion (regression for the n>=2 guard)."""
+    df = spark.createDataFrame(
+        [(1, ["only"], 1), (2, ["a", "b", "a", "b"], 4)],
+        "doc_id int, toks array<string>, n int",
+    )
+    rows = {r.doc_id: r for r in shaping.repetition_scores(df).collect()}
+    assert rows[1].top_bigram_ratio is None and rows[1].n_tokens == 1
+    assert rows[2].top_bigram_ratio == round(2 / 3, 6)
