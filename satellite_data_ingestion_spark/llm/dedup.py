@@ -169,15 +169,29 @@ def jaccard_pairs(d: DataFrame) -> DataFrame:
         .distinct()
     )
 
-    cand = (
-        cand.join(d.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
-        .join(d.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")
+    return _verify_exact_jaccard(cand, d, "toks")
+
+
+def _verify_exact_jaccard(cand: DataFrame, sets: DataFrame, set_col: str) -> DataFrame:
+    """Exact set-Jaccard verification of candidate (doc_a, doc_b) pairs:
+    rejoin each side's element array by doc_id, keep pairs at or above
+    the threshold, round for the oracle.  Shared by the prefix-filter
+    (string tokens) and minhash (token-hash longs) paths so threshold /
+    rounding semantics cannot drift between them."""
+    joined = (
+        cand.join(
+            sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(set_col, "_sa"),
+            "doc_a",
+        ).join(
+            sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(set_col, "_sb"),
+            "doc_b",
+        )
     )
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    union = F.size(F.array_union("toks_a", "toks_b"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size(F.array_union("_sa", "_sb"))
     jacc = inter.cast("double") / union
     return (
-        cand.filter(jacc >= _JACCARD_THRESHOLD)
+        joined.filter(jacc >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
     )
 
@@ -307,17 +321,7 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hsets = _token_sets(spark, sf_dir).select(
         "doc_id", F.expr("transform(toks, t -> xxhash64(t))").alias("hs")
     )
-    cand = (
-        cand.join(hsets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "hs_a"), "doc_a")
-        .join(hsets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "hs_b"), "doc_b")
-    )
-    inter = F.size(F.array_intersect("hs_a", "hs_b"))
-    union = F.size(F.array_union("hs_a", "hs_b"))
-    jacc = inter.cast("double") / union
-    return (
-        cand.filter(jacc >= _JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
-    )
+    return _verify_exact_jaccard(cand, hsets, "hs")
 
 
 _SIMHASH_BITS = 64
@@ -339,9 +343,10 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per-token hashes come from JVM-side xxhash64 (transform — codegen);
     only the bit-vote fold runs in an Arrow-vectorized pandas UDF (numpy
-    unpackbits over int64 → column sums), so Python sees one batch per
-    Arrow chunk, never per row.  Candidate join is banded exactly like
-    minhash; verification = popcount(xor) ≤ 6 via F.bit_count.
+    bit expansion → segment sums), so Python sees one batch per Arrow
+    chunk, never per row.  Candidate join is banded exactly like minhash
+    — including the hot-bucket star-linking cap; verification =
+    popcount(xor) <= _SIMHASH_MAX_HAMMING (10) via F.bit_count.
     """
     d = _token_sets(spark, sf_dir).select(
         "doc_id",
@@ -385,7 +390,6 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bands = sigs.select(
         "doc_id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -399,25 +403,42 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "sig", "band.band_id", "band.band_key")
+    ).select("doc_id", "band.band_id", "band.band_key")
 
-    l = bands.alias("l")
-    r = bands.alias("r")
-    ham = F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig")))
+    # Same hot-bucket discipline as minhash: an 8-bit band key has only
+    # 256 values, so at corpus scale every bucket is "hot" by count alone
+    # — without a cap the banded self-join degenerates to ~N²/64 pairs.
+    # Buckets over _MAX_BUCKET star-link through their min-doc rep
+    # (linear candidates; hamming verification still gates every pair).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_id", "band_key")
+    sized = bands.withColumn("bn", F.count(F.lit(1)).over(w)).withColumn(
+        "rep", F.min("doc_id").over(w)
+    )
+    small = sized.filter(F.col("bn") <= _MAX_BUCKET)
+    l = small.alias("l")
+    r = small.alias("r")
+    pair_cand = l.join(
+        r,
+        (F.col("l.band_id") == F.col("r.band_id"))
+        & (F.col("l.band_key") == F.col("r.band_key"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    ).select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+    star_cand = (
+        sized.filter((F.col("bn") > _MAX_BUCKET) & (F.col("doc_id") != F.col("rep")))
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    cand = pair_cand.union(star_cand).distinct()
+
+    sa = sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a")
+    sb = sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b")
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
-        l.join(
-            r,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(ham <= _SIMHASH_MAX_HAMMING)
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
-        )
-        .distinct()
+        .select("doc_a", "doc_b", ham.alias("hamming"))
     )
 
 
@@ -560,6 +581,15 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Loud beats silently wrong: min-label propagation needs one
+        # round per hop of component eccentricity, so a 12+ doc CHAIN of
+        # near-dups would exceed the cap and return non-minimal labels.
+        raise RuntimeError(
+            f"connected components did not converge in {_CC_MAX_ITERS} rounds "
+            f"({changed} labels still changing) — raise _CC_MAX_ITERS for "
+            "high-diameter duplicate graphs"
+        )
     return labels.select(
         "doc_id",
         "component_id",

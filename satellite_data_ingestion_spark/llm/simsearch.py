@@ -40,8 +40,13 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity between two array<double> columns, JVM-side."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity between two array<double> columns, JVM-side.
+
+    try_divide, not `/`: under Spark 4's default ANSI mode a zero-norm
+    vector (padding row, failed encoder) would otherwise kill the whole
+    query with DIVIDE_BY_ZERO.  A null cosine ranks last / fails every
+    threshold filter — the row is skipped, not fatal."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 @register(
@@ -102,13 +107,19 @@ def ext_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbors for the query vector.
 
     Sign-random-projection: 8 fixed hyperplanes → 256 buckets; candidates
-    are vectors whose bucket is within hamming distance 1 of the query's
-    (probing 9 of 256 buckets ≈ 3.5% of the corpus on average).  Exact
-    cosine re-ranks the candidates.  Approximate recall → rows-only check;
-    the brute-force twin above is the accuracy baseline.
+    are vectors whose bucket is within hamming distance 2 of the query's
+    (probing 37 of 256 buckets ≈ 14% of the corpus on average — the probe
+    budget is the recall knob, see the inline comment).  Exact cosine
+    re-ranks the candidates.  Approximate recall → rows-only check; the
+    brute-force twin above is the accuracy baseline.
     """
-    planes = _hyperplanes()
     emb = table(spark, sf_dir, "embeddings")
+    # Hyperplane dimensionality must match the data: a mismatched plane
+    # length makes zip_with null-pad, every projection null, and every
+    # vector silently lands in bucket 0 (LSH off).  One 1-row probe pins
+    # the true dim.
+    dim = len(emb.select("embedding").first().embedding)
+    planes = _hyperplanes(dim)
     vec = F.col("embedding").cast("array<double>")
     bucketed = emb.select("vec_id", "label", vec.alias("v"), lsh_bucket(vec, planes).alias("bucket"))
 
@@ -222,13 +233,16 @@ def _train_centroids(emb: DataFrame) -> np.ndarray:
     )
     X = np.array([r.v for r in sample])
     rng = np.random.default_rng(_LSH_SEED)
-    cents = X[rng.choice(len(X), size=_IVF_K, replace=False)]
+    # A tiny corpus caps the list count (choice with replace=False would
+    # raise for k > |sample|); probes are capped to match downstream.
+    k_lists = min(_IVF_K, len(X))
+    cents = X[rng.choice(len(X), size=k_lists, replace=False)]
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)  # loop-invariant
     for _ in range(_IVF_ITERS):
         # cosine k-means: assign on normalized dot product, recenter
-        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
         Cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
         assign = np.argmax(Xn @ Cn.T, axis=1)
-        for k in range(_IVF_K):
+        for k in range(k_lists):
             members = X[assign == k]
             if len(members):
                 cents[k] = members.mean(axis=0)

@@ -17,10 +17,11 @@ are built on — snapshot manifests + an atomically-swapped version pointer
   commit can never be observed (atomicity + isolation).
 - **Publish**: manifest ``_manifests/v<n>.json`` (previous snapshot's
   file list + this commit's files, or just this commit's for replace) is
-  written, then the ``_current`` pointer is swapped with ``os.replace``
-  (atomic on POSIX).  On an object store / HDFS the swap becomes a
-  conditional-put or metastore CAS — the protocol is unchanged; only the
-  final atomic primitive is storage-specific.
+  fully written to a temp file, then atomically linked to its versioned
+  name — ``os.link`` both publishes and CASes (EEXIST = a concurrent
+  committer won; rebase and retry).  On an object store / HDFS this
+  becomes a conditional-put or metastore CAS — the protocol is
+  unchanged; only the atomic primitive is storage-specific.
 - **Time travel**: every published manifest remains readable by version.
 
 At 100 TB the manifest holds file-level min/max stats for pruning; here it
@@ -59,19 +60,16 @@ class SnapshotTable:
         os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
-    # -- pointer ----------------------------------------------------------
-    def _pointer_path(self) -> str:
-        return os.path.join(self.root, "_current")
-
+    # -- version resolution -----------------------------------------------
     def current_version(self) -> int:
         """Latest PUBLISHED version = max manifest present.
 
-        Manifests are created with O_EXCL only after a successful audit,
-        so their listing is the commit log (exactly how Delta resolves
-        the latest snapshot from _delta_log).  The ``_current`` pointer
-        is a fast-path cache of the same answer — never trusted over the
-        listing, so a slow committer overwriting the pointer last cannot
-        roll visible state backward."""
+        Manifests appear atomically (os.link of a fully-written temp
+        file) only after a successful audit, so their listing IS the
+        commit log — exactly how Delta resolves the latest snapshot from
+        _delta_log.  No separate pointer file exists to go stale: a
+        slow losing committer has nothing it could overwrite to roll
+        visible state backward."""
         versions = [
             int(fn[1:-5])
             for fn in os.listdir(os.path.join(self.root, "_manifests"))
@@ -111,6 +109,8 @@ class SnapshotTable:
         ``_corrupt_audit_expected`` exists for tests/demos: it overrides
         the expected row count so the audit provably rejects a bad commit.
         """
+        if mode not in ("append", "replace"):
+            raise ValueError(f"unknown commit mode {mode!r}; use 'append' or 'replace'")
         base = self.current_version()
         version = base + 1
         stage_rel = os.path.join("data", f"snap-{version}-{uuid.uuid4().hex[:8]}")
@@ -180,11 +180,7 @@ class SnapshotTable:
                 continue
             finally:
                 os.unlink(tmp_manifest)
-            break
-        tmp = self._pointer_path() + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            fh.write(str(version))
-        os.replace(tmp, self._pointer_path())  # the atomic publish
+            break  # the os.link above WAS the atomic publish
         return version
 
 

@@ -111,13 +111,20 @@ def test_concurrent_commits_never_lose_updates(spark, tmp_path_factory):
     assert t1.current_version() == t2.current_version() == 3
 
 
-def test_stale_pointer_cannot_roll_back_visible_state(spark, tmp_path_factory):
+def test_version_resolves_from_manifest_listing_and_mode_is_validated(
+    spark, tmp_path_factory
+):
+    import os as _os
+
     root = str(tmp_path_factory.mktemp("acid_ptr"))
     t = SnapshotTable(spark, root)
     t.commit(_df(spark, [1]))
     t.commit(_df(spark, [2]))
-    # Simulate a slow loser overwriting the pointer cache with an old value.
-    with open(t._pointer_path(), "w") as fh:
-        fh.write("1")
-    assert t.current_version() == 2  # listing wins over the stale cache
+    # The manifest listing IS the commit log — stray temp files in the
+    # manifests dir (a committer that died mid-write) are invisible.
+    with open(_os.path.join(root, "_manifests", "v9.json.tmp-dead"), "w") as fh:
+        fh.write("{")
+    assert t.current_version() == 2
     assert sorted(r.x for r in t.read().collect()) == [1, 2]
+    with pytest.raises(ValueError, match="unknown commit mode"):
+        t.commit(_df(spark, [3]), mode="overwrite")
