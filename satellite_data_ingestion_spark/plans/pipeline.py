@@ -161,3 +161,82 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_copies") - 1).alias("n_dupes_removed"),
         )
     )
+
+
+_SH_MAX_DUP_RATIO = 0.5   # repetition gate: drop docs over 50% duplicate tokens
+_SH_PACK_BUDGET = 256
+_SH_SHARDS = 4
+
+
+@register(
+    "pipeline_shaping",
+    oracle=f"""
+WITH gated AS (
+  SELECT doc_id, source,
+         len(str_split(text, ' ')) AS n_tokens
+  FROM documents
+  WHERE 1.0 - CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+              / len(str_split(text, ' ')) <= {_SH_MAX_DUP_RATIO}
+    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 'g' ELSE '4000' END
+),
+packed AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(floor(coalesce(sum(n_tokens) OVER (
+             PARTITION BY source, doc_id % {_SH_SHARDS} ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {_SH_PACK_BUDGET}.0) AS BIGINT) AS bin_id
+  FROM gated
+)
+SELECT source,
+       count(*)                       AS n_docs_kept,
+       CAST(sum(n_tokens) AS BIGINT)  AS n_tokens_total,
+       count(DISTINCT (doc_id % {_SH_SHARDS}, bin_id)) AS n_bins
+FROM packed
+GROUP BY source
+""",
+)
+def pipeline_shaping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus→batches shaping pipeline in ONE lazy plan: repetition gate
+    (Gopher dup-token screen) → deterministic mixture sampling (even
+    sources kept, odd downsampled to 25% via md5 threshold) → sharded
+    sequence packing → per-source census (docs kept, tokens, bins).
+
+    Composition story: the gate and the sample are scan-side projections
+    that fuse into the parquet read; the ONLY wide stage is the packing
+    window keyed on (source, shard); the census aggregates its output.
+    scan → one shuffle → small agg — the minimum shape for a pipeline
+    that must order documents within packing windows."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    dup_ratio = 1.0 - F.size(F.array_distinct(toks)).cast("double") / n
+    rate_hex = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit("g")
+    ).otherwise(F.lit("4000"))
+    kept = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < rate_hex
+    gated = docs.filter((dup_ratio <= _SH_MAX_DUP_RATIO) & kept).select(
+        "doc_id", "source", n.alias("n_tokens")
+    )
+
+    from pyspark.sql import Window
+
+    shard = F.col("doc_id") % _SH_SHARDS
+    w = (
+        Window.partitionBy("source", shard)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    packed = gated.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        shard.alias("shard"),
+        F.floor(cum_before / float(_SH_PACK_BUDGET)).cast("bigint").alias("bin_id"),
+    )
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").alias("n_tokens_total"),
+        F.countDistinct("shard", "bin_id").alias("n_bins"),
+    )
