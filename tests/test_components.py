@@ -341,3 +341,43 @@ def test_prefix_filter_matches_brute_force_on_random_corpus(spark):
     )
     got = {(r.doc_a, r.doc_b) for r in jaccard_pairs(df).collect()}
     assert got == _brute_jaccard_pairs(docs)
+
+
+def test_cosine_zero_norm_vector_yields_null_not_crash(spark):
+    """ANSI mode throws DIVIDE_BY_ZERO on double /0 — a zero-norm
+    embedding must yield a null cosine (skipped by filters/ranking),
+    not kill the query (regression for the try_divide guard)."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 1.0])],
+        "vec_id int, v array<double>",
+    )
+    q = F.array(F.lit(1.0), F.lit(0.0))
+    rows = {r.vec_id: r.c for r in df.select("vec_id", cosine(F.col("v"), q).alias("c")).collect()}
+    assert rows[1] is None
+    assert abs(rows[2] - 1.0) < 1e-12
+    assert abs(rows[3] - 0.7071067811865475) < 1e-12
+
+
+def test_ivf_quantizer_survives_tiny_corpus():
+    """k-means training must not crash when the sample is smaller than
+    the configured list count (choice with replace=False would raise)."""
+    import numpy as np
+
+    from satellite_data_ingestion_spark.llm import simsearch
+
+    class _FakeDF:
+        def __init__(self, X):
+            self._X = X
+        def orderBy(self, *_):
+            return self
+        def limit(self, *_):
+            return self
+        def select(self, *_):
+            return self
+        def collect(self):
+            import types
+            return [types.SimpleNamespace(v=list(row)) for row in self._X]
+
+    X = np.random.default_rng(0).standard_normal((5, 8))
+    cents = simsearch._train_centroids(_FakeDF(X))
+    assert cents.shape == (5, 8)  # capped to the corpus size, not _IVF_K
