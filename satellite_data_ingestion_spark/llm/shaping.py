@@ -170,7 +170,7 @@ _PACK_SHARDS = 4
     oracle=f"""
 SELECT doc_id, source, shard, n_tokens,
        CAST(floor(coalesce(cum_before, 0) / {_PACK_BUDGET}.0) AS BIGINT) AS bin_id,
-       coalesce(cum_before, 0) - CAST(floor(coalesce(cum_before, 0) / {_PACK_BUDGET}.0) AS BIGINT) * {_PACK_BUDGET} AS offset_in_bin
+       CAST(coalesce(cum_before, 0) - CAST(floor(coalesce(cum_before, 0) / {_PACK_BUDGET}.0) AS BIGINT) * {_PACK_BUDGET} AS BIGINT) AS offset_in_bin
 FROM (
   SELECT doc_id, source, doc_id % {_PACK_SHARDS} AS shard,
          len(str_split(text, ' ')) AS n_tokens,

@@ -179,9 +179,9 @@ SELECT event_id, user_id, session_id,
        count(*) OVER (PARTITION BY user_id, session_id) AS session_events
 FROM (
   SELECT event_id, user_id,
-         sum(is_new) OVER (
+         CAST(sum(is_new) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM (
     SELECT event_id, user_id, ts,
            CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)

@@ -23,6 +23,7 @@ from pyspark.sql.types import BinaryType
 
 from ..catalog import table
 from ..llm.multimodal import decoded_features
+from ..llm.shaping import _MIX_EVEN_RATE, _MIX_ODD_RATE, _rate_hex
 from ..registry import register
 
 _RES = 0.35  # coarser grid than the raster's 0.035° — feature space is smaller
@@ -117,7 +118,7 @@ SELECT CASE WHEN keep_id % 10 < 8 THEN 'train'
             ELSE 'test' END AS split,
        lang,
        count(*)        AS n_docs,
-       sum(n_copies - 1) AS n_dupes_removed
+       CAST(sum(n_copies - 1) AS BIGINT) AS n_dupes_removed
 FROM deduped
 GROUP BY 1, 2
 """,
@@ -178,7 +179,8 @@ WITH gated AS (
   WHERE 1.0 - CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
               / len(str_split(text, ' ')) <= {_SH_MAX_DUP_RATIO}
     AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
-        CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 'g' ELSE '4000' END
+        CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+             THEN '{_rate_hex(_MIX_EVEN_RATE)}' ELSE '{_rate_hex(_MIX_ODD_RATE)}' END
 ),
 packed AS (
   SELECT doc_id, source, n_tokens,
@@ -212,8 +214,9 @@ def pipeline_shaping(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(toks)
     dup_ratio = 1.0 - F.size(F.array_distinct(toks)).cast("double") / n
     rate_hex = F.when(
-        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit("g")
-    ).otherwise(F.lit("4000"))
+        F.substring("source", 4, 10).cast("int") % 2 == 0,
+        F.lit(_rate_hex(_MIX_EVEN_RATE)),
+    ).otherwise(F.lit(_rate_hex(_MIX_ODD_RATE)))
     kept = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < rate_hex
     gated = docs.filter((dup_ratio <= _SH_MAX_DUP_RATIO) & kept).select(
         "doc_id", "source", n.alias("n_tokens")

@@ -55,9 +55,32 @@ def _sort_key(row):
     return tuple(str(v) for v in row)
 
 
+# DuckDB result types with no Spark equivalent. The driver's value hash is
+# type-sensitive, so an oracle column of e.g. HUGEINT (DuckDB's default for
+# windowed/aggregated integer SUMs) hash-mismatches a Spark BIGINT even when
+# every value is identical — cast such expressions to BIGINT in the oracle.
+_NON_SPARK_TYPES = ("HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT")
+
+
+def _check_duck_types(con, sql: str) -> list[str]:
+    errs = []
+    rel = con.sql(sql)
+    for name, t in zip(rel.columns, rel.types):
+        ts = str(t).upper()
+        if any(bad in ts for bad in _NON_SPARK_TYPES):
+            errs.append(
+                f"oracle col {name} has non-Spark-representable DuckDB type {ts}; "
+                "add an explicit CAST in the oracle SQL"
+            )
+    return errs
+
+
 def compare(spark_df, con, sql: str, float_tol: float = 1e-9) -> list[str]:
     """Return a list of mismatch descriptions (empty == match)."""
     errs: list[str] = []
+    errs.extend(_check_duck_types(con, sql))
+    if errs:
+        return errs
     spark_cols = list(spark_df.columns)
     spark_rows = [tuple(r) for r in spark_df.collect()]
 

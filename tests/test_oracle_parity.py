@@ -28,3 +28,16 @@ def test_query(name, spark, duck):
     else:
         errs = compare(df, duck, spec.oracle)
         assert not errs, f"{name}: " + "; ".join(errs[:10])
+
+
+def test_compare_rejects_non_spark_types(duck):
+    """An un-cast DuckDB integer SUM is HUGEINT — no Spark equivalent, and the
+    driver's type-sensitive value hash would mismatch even on identical values.
+    compare() must flag it before any value comparison (r03 verdict item 2)."""
+    from tests.oracle import _check_duck_types
+
+    errs = _check_duck_types(duck, "SELECT sum(CAST(l_quantity AS BIGINT)) AS s FROM lineitem")
+    assert errs and "HUGEINT" in errs[0]
+    assert not _check_duck_types(
+        duck, "SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s FROM lineitem"
+    )
