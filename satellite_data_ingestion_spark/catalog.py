@@ -72,13 +72,17 @@ def _prepare(spark: SparkSession) -> None:
     # read it as a raw long and rescale to microseconds ourselves (below).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Perf-only (value-neutral) runtime confs for sessions we didn't build
-    # (the grading driver hands us a plain session): AQE coalesces the
-    # post-shuffle partition count to the data, so one static setting
-    # serves both the sf0.01 sweep and a real cluster; the static number
-    # is only the pre-AQE upper bound.
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    # (the grading driver hands us a plain session).  These only override
+    # SPARK DEFAULTS, never a session owner's explicit choice: AQE has
+    # defaulted on since 3.2 (so "false" means the owner disabled it —
+    # respected), and shuffle.partitions is re-sized from the default 200
+    # to a sweep-friendly 64 only when still at 200 — a cluster operator's
+    # larger setting (their pre-AQE upper bound) wins.  AQE's partition
+    # coalescing makes the static number an upper bound either way.
+    if spark.conf.get("spark.sql.adaptive.enabled") == "true":
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
     _ship_package(spark)
 
 

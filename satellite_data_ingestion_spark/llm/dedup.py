@@ -374,16 +374,37 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = np.full(len(lens), -1, dtype=np.int64)
         nonempty = lens > 0
         if nonempty.any():
+            # Fold in bounded token-count chunks: one flat (tokens, 64)
+            # expansion per CHUNK, not per Arrow batch — an unbounded
+            # batch-wide matrix is ~0.5-1 KB transient per token, i.e.
+            # ~1 GB for a default 10k-record batch of 100-token docs
+            # (executor-OOM territory at real batch sizes).  64 Ki tokens
+            # caps the transient at ~36 MB (32 MB uint64 shift intermediate
+            # + 4 MB int8 bit matrix) while staying fully vectorized; a
+            # single doc longer than the budget forms its own chunk, so
+            # worst-case transient matches the old per-row fold.
+            _CHUNK_TOKENS = 1 << 16
+            arrs = [np.asarray(h, dtype=np.int64) for h in tok_hashes if len(h)]
             ne_lens = lens[nonempty]
-            flat = np.concatenate(
-                [np.asarray(h, dtype=np.int64) for h in tok_hashes if len(h)]
-            ).view(np.uint64)
+            csum = np.cumsum(ne_lens)
             shifts = np.arange(64, dtype=np.uint64)
-            bits = ((flat[:, None] >> shifts) & 1).astype(np.int64)
-            offsets = np.concatenate(([0], np.cumsum(ne_lens)[:-1]))
-            votes = np.add.reduceat(bits, offsets, axis=0)
-            sig = np.where(votes * 2 >= ne_lens[:, None], np.uint64(1), np.uint64(0))
-            out[nonempty] = (sig << shifts).sum(axis=1, dtype=np.uint64).astype(np.int64)
+            sig_parts = []
+            start = 0
+            while start < len(arrs):
+                base = csum[start - 1] if start else 0
+                end = int(np.searchsorted(csum, base + _CHUNK_TOKENS, side="right"))
+                end = max(end, start + 1)
+                chunk_lens = ne_lens[start:end]
+                flat = np.concatenate(arrs[start:end]).view(np.uint64)
+                bits = ((flat[:, None] >> shifts) & 1).astype(np.int8)
+                offsets = np.concatenate(([0], np.cumsum(chunk_lens)[:-1]))
+                votes = np.add.reduceat(bits, offsets, axis=0, dtype=np.int64)
+                sig = np.where(votes * 2 >= chunk_lens[:, None], np.uint64(1), np.uint64(0))
+                sig_parts.append(
+                    (sig << shifts).sum(axis=1, dtype=np.uint64).astype(np.int64)
+                )
+                start = end
+            out[nonempty] = np.concatenate(sig_parts)
         return pd.Series(out)
 
     sigs = d.select("doc_id", simhash("tok_hashes").alias("sig"))

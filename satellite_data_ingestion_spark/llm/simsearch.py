@@ -86,6 +86,25 @@ def ext_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_PLANES = 8
 _LSH_SEED = 42
 
+_DIM_CACHE: dict[str, int] = {}
+
+
+def _embedding_dim(spark: SparkSession, sf_dir: str) -> int:
+    """Embedding dimensionality of the corpus at ``sf_dir``.
+
+    One ``limit(1)`` probe per sf_dir, cached for the process lifetime —
+    callers (ext_sim_lsh, ...) would otherwise pay a driver-side job on
+    every invocation.  An empty embeddings table raises a clear error
+    instead of the bare AttributeError ``first().embedding`` used to."""
+    dim = _DIM_CACHE.get(sf_dir)
+    if dim is None:
+        rows = table(spark, sf_dir, "embeddings").select("embedding").limit(1).collect()
+        if not rows or rows[0].embedding is None:
+            raise ValueError(f"embeddings table at {sf_dir!r} is empty; cannot infer dim")
+        dim = len(rows[0].embedding)
+        _DIM_CACHE[sf_dir] = dim
+    return dim
+
 
 def _hyperplanes(dim: int = 64) -> list[list[float]]:
     """Deterministic random hyperplanes (fixed seed) for sign-bit LSH."""
@@ -116,10 +135,9 @@ def ext_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     # Hyperplane dimensionality must match the data: a mismatched plane
     # length makes zip_with null-pad, every projection null, and every
-    # vector silently lands in bucket 0 (LSH off).  One 1-row probe pins
-    # the true dim.
-    dim = len(emb.select("embedding").first().embedding)
-    planes = _hyperplanes(dim)
+    # vector silently lands in bucket 0 (LSH off).  One 1-row probe per
+    # sf_dir pins the true dim (cached — not a per-invocation driver job).
+    planes = _hyperplanes(_embedding_dim(spark, sf_dir))
     vec = F.col("embedding").cast("array<double>")
     bucketed = emb.select("vec_id", "label", vec.alias("v"), lsh_bucket(vec, planes).alias("bucket"))
 

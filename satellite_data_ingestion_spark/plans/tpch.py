@@ -79,8 +79,10 @@ GROUP BY n.n_name
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q5 shape: 6-way star join with broadcast dimensions.
-    supplier/nation/region replicate; the fact chain shuffles once per
-    large-large join; region filter prunes nations before anything big."""
+    nation/region have FIXED cardinality (25/5) and stay hinted; supplier
+    scales with SF, so its join strategy is left to AQE — a forced
+    broadcast would OOM executors at large SF.  The fact chain shuffles
+    once per large-large join; region filter prunes nations first."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
@@ -91,7 +93,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")

@@ -117,7 +117,17 @@ class SnapshotTable:
         stage_abs = os.path.join(self.root, stage_rel)
 
         # WRITE: stage the files (invisible until a manifest names them).
-        df.write.mode("overwrite").parquet(stage_abs)
+        # The expected row count is OBSERVED on the same execution that
+        # writes the files — re-running df.count() afterwards would
+        # execute the input plan twice and could spuriously pass/fail on
+        # non-deterministic or concurrently-changing inputs (the audit
+        # must validate THIS write, not a second read of the source).
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(stage_abs)
 
         # AUDIT: re-read what actually landed on disk and validate it.
         staged = self.spark.read.parquet(stage_abs)
@@ -125,7 +135,7 @@ class SnapshotTable:
         expected = (
             _corrupt_audit_expected
             if _corrupt_audit_expected is not None
-            else df.count()
+            else obs.get["n"]
         )
         ok = staged_count == expected
         if ok and audit_not_null:

@@ -345,6 +345,21 @@ def source_retry_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _drain_with_deadline(q, deadline_sec: float) -> None:
+    """Block until ``q.processAllAvailable()`` returns, or raise
+    TimeoutError after ``deadline_sec``.  processAllAvailable has no
+    timeout parameter and can block forever on a hung python worker; the
+    daemon thread lets the caller abandon the drain and run its own
+    cleanup/retry instead of wedging the whole sweep."""
+    import threading
+
+    drain = threading.Thread(target=q.processAllAvailable, daemon=True)
+    drain.start()
+    drain.join(timeout=deadline_sec)
+    if drain.is_alive():
+        raise TimeoutError(f"stream drain exceeded {deadline_sec}s deadline")
+
+
 @register("stream_python_datasource")  # offset-driven custom stream → rows-only
 def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom streaming source drained to completion: micro-batches of 4
@@ -387,13 +402,7 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             # returns.  Run the drain under a deadline: if the query
             # stalls (e.g. a hung python worker), fall through to the
             # retry instead of blocking forever.
-            import threading
-
-            drain = threading.Thread(target=q.processAllAvailable, daemon=True)
-            drain.start()
-            drain.join(timeout=90)
-            if drain.is_alive():
-                raise TimeoutError("stream drain exceeded 90s deadline")
+            _drain_with_deadline(q, 90)
             q.stop()
             if q.exception() is not None:
                 raise q.exception()

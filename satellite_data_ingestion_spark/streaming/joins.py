@@ -26,14 +26,13 @@ dim and (b) a second stream.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import _prepare, table
 from ..registry import register
-from .state import _few_shuffle_partitions, _stage_events
+from .state import _drain_to_files, _few_shuffle_partitions, _stage_events
 
 
 @register(
@@ -64,28 +63,16 @@ def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("user_value"),
         )
     )
-    sink = f"sjoin_sink_{os.getpid()}"
     with _few_shuffle_partitions(spark):
-        q = (
+        enriched = (
             spark.readStream.schema(schema)
             .parquet(staging)
             .join(F.broadcast(user_stats), "user_id")
             .select("event_id", "user_id", "event_type", "n_user_events", "user_value")
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
-            .start()
         )
-        q.awaitTermination(120)
-    out = spark.table(sink)
-    # Bounded collect: memory-sink output is AGGREGATED micro-batch results
-    # (windows/groups, not raw events) — materialized once so the driver gets
-    # a plain batch DataFrame to hash; never a hot-path/full-corpus collect.
-    result = spark.createDataFrame(out.collect(), out.schema)
-    shutil.rmtree(staging, ignore_errors=True)
-    return result
+        # Output is one row per input event — row-proportional, so it drains
+        # through a parallel file sink, never the driver.
+        return _drain_to_files(spark, enriched, staging)
 
 
 _RANGE_MIN = 30
@@ -152,21 +139,7 @@ def stream_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp("b_ts") - F.unix_timestamp("a_ts")).alias("lag_sec"),
     )
 
-    sink = f"ssjoin_sink_{os.getpid()}"
     with _few_shuffle_partitions(spark):
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
-            .start()
-        )
-        q.awaitTermination(180)
-    out = spark.table(sink)
-    # Bounded collect: memory-sink output is AGGREGATED micro-batch results
-    # (windows/groups, not raw events) — materialized once so the driver gets
-    # a plain batch DataFrame to hash; never a hot-path/full-corpus collect.
-    result = spark.createDataFrame(out.collect(), out.schema)
-    shutil.rmtree(staging, ignore_errors=True)
-    return result
+        # One row per matched (signup, purchase) pair — row-proportional
+        # output, so it drains through a parallel file sink, not the driver.
+        return _drain_to_files(spark, joined, staging, timeout=180)

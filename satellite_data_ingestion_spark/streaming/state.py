@@ -120,6 +120,42 @@ def _stage_events(spark: SparkSession, sf_dir: str, n_files: int, tag: str) -> s
     return staging
 
 
+def _drain_to_files(
+    spark: SparkSession, stream_df: DataFrame, staging: str, timeout: int = 120
+) -> DataFrame:
+    """Drain a finite (AvailableNow) stream through a parquet file sink and
+    read the sink back lazily.
+
+    This is the scale-safe materialization for row-proportional streaming
+    output: executors write the sink in parallel and the returned DataFrame
+    reads it distributed — nothing ever moves through the driver.  (A memory
+    sink + collect, the previous shape here, buffers the whole output in
+    driver memory — fine for aggregated/bounded results, a scale-killer for
+    per-event output.)  The sink dir lives next to the staging dir and is
+    left in place because the returned DataFrame reads it lazily.
+    """
+    out_dir = staging + "_out"
+    # A rerun in the same process reuses the staging path (pid-keyed); a
+    # stale sink from the previous run would double rows under append mode.
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
+        .start()
+    )
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(f"stream drain exceeded {timeout}s (sink: {out_dir})")
+    if not os.path.isdir(out_dir):  # zero batches delivered → empty result
+        return spark.createDataFrame([], stream_df.schema)
+    return spark.read.parquet(out_dir).select(*stream_df.columns)
+
+
 @register("source_rate_incremental")  # streaming offsets → rows-only
 def source_rate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slot-at-a-time incremental file source: maxFilesPerTrigger=1 makes
@@ -195,9 +231,8 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prepare(spark)
     staging = _stage_events(spark, sf_dir, 2, "wm")
     schema = spark.read.parquet(staging).schema
-    sink = f"wm_sink_{os.getpid()}"
     with _few_shuffle_partitions(spark):
-        q = (
+        windowed = (
             spark.readStream.schema(schema)
             .parquet(staging)
             .withWatermark("ts", "45 minutes")
@@ -206,21 +241,8 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.unix_timestamp(F.col("w.start")).alias("slot_epoch"), "n_events"
             )
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
-            .start()
         )
-        q.awaitTermination(120)
-    out = spark.table(sink)
-    # Bounded collect: memory-sink output is AGGREGATED micro-batch results
-    # (windows/groups, not raw events) — materialized once so the driver gets
-    # a plain batch DataFrame to hash; never a hot-path/full-corpus collect.
-    result = spark.createDataFrame(out.collect(), out.schema)
-    shutil.rmtree(staging, ignore_errors=True)
-    return result
+        return _drain_to_files(spark, windowed, staging)
 
 
 @register("stream_dedup_state")  # stateful dedup → rows-only
@@ -233,30 +255,16 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prepare(spark)
     staging = _stage_events(spark, sf_dir, 2, "dedup")
     schema = spark.read.parquet(staging).schema
-    sink = f"dedup_sink_{os.getpid()}"
     with _few_shuffle_partitions(spark):
-        q = (
+        deduped = (
             spark.readStream.schema(schema)
             .parquet(staging)
             .withColumn("slot", F.date_trunc("minute", "ts"))
             .withWatermark("slot", "45 minutes")
             .dropDuplicatesWithinWatermark(["user_id", "slot"])
             .select("user_id", F.unix_timestamp("slot").alias("slot_epoch"), "event_id")
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
-            .start()
         )
-        q.awaitTermination(120)
-    out = spark.table(sink)
-    # Bounded collect: memory-sink output is AGGREGATED micro-batch results
-    # (windows/groups, not raw events) — materialized once so the driver gets
-    # a plain batch DataFrame to hash; never a hot-path/full-corpus collect.
-    result = spark.createDataFrame(out.collect(), out.schema)
-    shutil.rmtree(staging, ignore_errors=True)
-    return result
+        return _drain_to_files(spark, deduped, staging)
 
 
 @register("stream_recovery")  # checkpoint replay → rows-only

@@ -381,3 +381,26 @@ def test_ivf_quantizer_survives_tiny_corpus():
     X = np.random.default_rng(0).standard_normal((5, 8))
     cents = simsearch._train_centroids(_FakeDF(X))
     assert cents.shape == (5, 8)  # capped to the corpus size, not _IVF_K
+
+
+def test_drain_deadline_raises_on_hung_query():
+    """A hung processAllAvailable (e.g. dead python worker) must surface as
+    TimeoutError so stream_python_datasource's retry loop gets control back
+    instead of blocking the whole sweep (r03 verdict item 7)."""
+    import threading
+
+    from satellite_data_ingestion_spark.sources.python_source import _drain_with_deadline
+
+    class HungQuery:
+        def processAllAvailable(self):
+            threading.Event().wait()  # blocks forever
+
+    class PromptQuery:
+        def processAllAvailable(self):
+            return None
+
+    import pytest as _pytest
+
+    with _pytest.raises(TimeoutError):
+        _drain_with_deadline(HungQuery(), 0.2)
+    _drain_with_deadline(PromptQuery(), 5)  # must not raise
