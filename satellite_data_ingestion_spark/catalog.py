@@ -15,6 +15,7 @@ import zipfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _SHIPPED_APPS: set[str] = set()
 
@@ -68,8 +69,10 @@ def _prepare(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    # events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos timestamp, so
-    # read it as a raw long and rescale to microseconds ourselves (below).
+    # Some corpus generations write events.ts as parquet TIMESTAMP(NANOS);
+    # Spark has no nanos timestamp, so read that encoding as a raw long and
+    # rescale to microseconds ourselves (see _events_ts).  Generations that
+    # write timestamp[us] are unaffected by this conf.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Perf-only (value-neutral) runtime confs for sessions we didn't build
     # (the grading driver hands us a plain session).  These only override
@@ -92,19 +95,40 @@ def path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a session-tz TIMESTAMP.
+
+    The driver corpus has shipped ``ts`` two ways across generations:
+    parquet TIMESTAMP(NANOS) — surfaced as a raw nanos long under
+    ``nanosAsLong`` (rescaled here with integer ``DIV 1000``, exact on
+    longs where a double divide would lose sub-µs bits at 1e18
+    magnitudes) — and plain timestamp[us], surfaced as TIMESTAMP_NTZ
+    (cast here; session tz is pinned UTC so the wall-clock values are
+    identical).  Every query reads through this one normalization, so
+    downstream semantics don't depend on which encoding the corpus has.
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return df
+
+
 def events_in_range(
     spark: SparkSession, sf_dir: str, lo_utc: str, hi_utc: str
 ) -> DataFrame:
     """events constrained to [lo, hi] with the predicate PUSHED into the
     parquet scan.
 
-    ``table(...,"events")`` converts the raw nanos long to a timestamp;
-    a filter on the converted column cannot reach the scan (Catalyst
-    can't invert the expression), which would cost row-group pruning at
-    100 TB.  The conversion is monotonic, so this helper applies the
-    equivalent bounds on the RAW nanos column first — .explain shows
+    When ``ts`` arrives as a raw nanos long, a filter on the converted
+    timestamp cannot reach the scan (Catalyst can't invert the
+    expression), which would cost row-group pruning at 100 TB.  The
+    conversion is monotonic, so this helper applies the equivalent
+    bounds on the RAW column first — .explain shows
     GreaterThanOrEqual/LessThanOrEqual in PushedFilters — then converts.
-    Bounds are 'YYYY-MM-DD HH:MM:SS' UTC strings.
+    When ``ts`` is already a parquet timestamp the native predicate
+    pushes down as-is.  Bounds are 'YYYY-MM-DD HH:MM:SS' UTC strings.
     """
     from datetime import datetime, timezone
 
@@ -115,23 +139,28 @@ def events_in_range(
         return int(dt.timestamp()) * 1_000_000_000
 
     raw = spark.read.parquet(path(sf_dir, "events"))
-    raw = raw.filter(
-        (F.col("ts") >= F.lit(_ns(lo_utc))) & (F.col("ts") <= F.lit(_ns(hi_utc)))
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    dt = raw.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        lo, hi = F.lit(_ns(lo_utc)), F.lit(_ns(hi_utc))
+    else:
+        # Bound with literals of the SCAN column's own type (NTZ wall-clock
+        # == UTC instant here) so the comparison is on the bare attribute
+        # and reaches PushedFilters — a bound on the post-cast column would
+        # not.
+        lo = F.lit(lo_utc).cast(dt)
+        hi = F.lit(hi_utc).cast(dt)
+    raw = raw.filter((F.col("ts") >= lo) & (F.col("ts") <= hi))
+    return _events_ts(raw)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table as a DataFrame (lazy parquet scan).
 
-    ``events.ts`` arrives as nanos-since-epoch (see ``_prepare``); rescale
-    with integer division (``DIV 1000`` — exact on longs, where a double
-    divide would lose sub-µs bits at 1e18 magnitudes) back to a proper
-    microsecond timestamp.  The corpus has no sub-µs components, so this is
-    lossless and matches DuckDB's value view.
+    ``events.ts`` is normalized to a session-tz TIMESTAMP whichever way
+    the corpus generation encoded it (see :func:`_events_ts`).
     """
     _prepare(spark)
     df = spark.read.parquet(path(sf_dir, name))
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        df = _events_ts(df)
     return df

@@ -212,8 +212,9 @@ WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 )
 def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q14 shape: conditional aggregation over a fact-dim join.
-    part broadcasts (200 rows → replicated hash map, zero shuffle on the
-    fact side); the CASE folds into the single aggregation pass."""
+    part scales with SF, so its join strategy is left to AQE (which picks
+    a broadcast when the dim fits); the CASE folds into the single
+    aggregation pass."""
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
         & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-07-01 00:00:00")))
@@ -222,7 +223,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias("promo_pct")
         )
@@ -249,8 +250,9 @@ LIMIT 100
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q18 shape: IN-subquery with HAVING → aggregate once, semi-join
     the qualifying keys back.  The heavy groupBy(l_orderkey) happens on the
-    lineitem shuffle key; the qualifying-key set is small → broadcast-semi;
-    the final agg reuses the same key so AQE can coalesce."""
+    lineitem shuffle key; the qualifying-key set is selective but scales
+    with SF, so the semi-join strategy is left to AQE; the final agg
+    reuses the same key so AQE can coalesce."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
@@ -261,7 +263,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     return (
-        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey, "left_semi")
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
         .join(c, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
@@ -285,8 +287,8 @@ WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
 )
 def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q19 shape: disjunctive join predicate (brand/size/quantity
-    alternatives).  Expressed as broadcast equi-join on partkey with the
-    OR-of-ANDs as a post-join filter — Catalyst still prunes part columns
+    alternatives).  Expressed as an equi-join on partkey (strategy left
+    to AQE — part scales with SF) with the OR-of-ANDs as a post-join filter — Catalyst still prunes part columns
     and pushes the derivable per-side conjuncts (size ranges to the part
     scan, quantity range to lineitem) below the join."""
     li = table(spark, sf_dir, "lineitem")
@@ -302,7 +304,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 40)
     )
     return (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        li.join(p, p.p_partkey == li.l_partkey)
         .filter(cond1 | cond2)
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -394,8 +396,9 @@ GROUP BY l_year
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q8 shape: one nation's share of promo-part trade volume per
     year — conditional aggregation over a selective dimension filter
-    (p_type) that prunes the fact rows before the wide joins; part,
-    supplier, and nation all broadcast."""
+    (p_type) that prunes the fact rows before the wide joins; nation
+    broadcasts (fixed 25 rows), while part/supplier scale with SF so
+    their join strategy is left to AQE."""
     p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
@@ -404,9 +407,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     national = F.when(F.col("n_name") == "NATION_3", volume).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             F.year("o_orderdate").alias("l_year"),

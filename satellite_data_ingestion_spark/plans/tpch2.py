@@ -1,0 +1,613 @@
+"""TPC-H-shaped suite, part 2 — the remaining classic query shapes.
+
+``plans/tpch.py`` covers Q3-Q8, Q10, Q14, Q18, Q19; this module completes
+the suite with the shapes those miss: full-scan aggregate summary (Q1),
+min-over-group correlated selection (Q2), derived-dimension profit rollup
+(Q9), scalar-subquery threshold (Q11), conditional counting (Q12),
+outer-join histogram (Q13), argmax-over-aggregate (Q15), distinct-count
+over an excluded set (Q16), correlated-average filter (Q17), semi-join
+chain (Q20), exists/not-exists double correlation (Q21), and
+anti-join + scalar threshold (Q22).
+
+The corpus has no ``partsupp`` table, so where a query needs the
+part-supplier relation it is DERIVED from lineitem
+(``distinct (l_partkey, l_suppkey)``, with ``min(unit price)`` standing in
+for ps_supplycost) — same join topology, same scale shape (the derived
+relation is built by one map-side-combined groupBy on the fact table).
+
+Scale notes: only fixed-cardinality dimensions (nation 25, region 5) carry
+explicit ``F.broadcast`` hints; part/supplier/customer scale with SF and
+their join strategy is left to AQE.  Scalar-subquery thresholds become
+1-row aggregate crossJoins (broadcast by construction).  Integer-valued
+doubles (quantities) sum exactly in IEEE double regardless of partition
+order, so threshold comparisons against quantity sums/averages are
+engine-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+
+def _derived_ps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partsupp stand-in from lineitem: one row per (part, supplier) with
+    min unit price as the supply-cost analog.  One map-side-combined
+    groupBy over the fact table; at 100 TB this is the same shuffle the
+    downstream join would need anyway (keyed on l_partkey)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost")
+    )
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1 shape: the canonical full-scan aggregate — 8 aggregates
+    over 2 grouping keys, shipdate predicate pushed to the scan.  The
+    plan to want at 100 TB: scan → partial hash agg (map-side, 6 groups)
+    → one tiny shuffle → final agg.  No joins, no windows."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("2001-09-01 00:00:00"))
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         min(l_extendedprice / l_quantity) AS ps_supplycost
+  FROM lineitem GROUP BY 1, 2
+), rps AS (
+  SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name,
+         min(ps_supplycost) OVER (PARTITION BY ps_partkey) AS min_cost
+  FROM ps
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM rps JOIN part ON p_partkey = ps_partkey
+WHERE p_type = 'LARGE' AND p_size < 25 AND ps_supplycost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2 shape: for each qualifying part, the supplier(s) achieving
+    the regional minimum cost — the correlated-min subquery re-expressed
+    as a window min over the partkey partition (one shuffle, no
+    re-aggregation join).  The min is selected from values present in the
+    partition, so the equality filter is IEEE-exact in both engines."""
+    ps = _derived_ps(spark, sf_dir)
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") < 25)
+    )
+    rps = (
+        ps.join(s, ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .withColumn(
+            "min_cost", F.min("ps_supplycost").over(Window.partitionBy("l_partkey"))
+        )
+    )
+    return (
+        rps.join(p, p.p_partkey == rps.l_partkey)
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         min(l_extendedprice / l_quantity) AS ps_supplycost
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(year(o.o_orderdate) AS INT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount)
+           - ps.ps_supplycost * l.l_quantity AS amount
+  FROM lineitem l
+  JOIN part p     ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN ps         ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '%red%'
+)
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9 shape: profit (revenue minus derived supply cost) by
+    nation and order year for name-matched parts.  The fact table joins
+    its own aggregate (the derived ps) on the (partkey, suppkey) pair —
+    both sides shuffle on the same composite key, so the join adds no
+    extra exchange beyond the agg's own; the p_name LIKE prune happens
+    before the wide joins."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    n = table(spark, sf_dir, "nation")
+    ps = _derived_ps(spark, sf_dir).withColumnsRenamed(
+        {"l_partkey": "ps_partkey", "l_suppkey": "ps_suppkey"}
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * F.col("l_quantity")
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            ps,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+WITH natsupp AS (
+  SELECT l_partkey, l_extendedprice
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_5'
+)
+SELECT l_partkey AS ps_partkey, round(sum(l_extendedprice), 2) AS part_value
+FROM natsupp
+GROUP BY 1
+HAVING sum(l_extendedprice) > (SELECT sum(l_extendedprice) * 0.002 FROM natsupp)
+ORDER BY part_value DESC, ps_partkey
+""",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11 shape: per-part value within one nation's suppliers,
+    kept only above a fraction of the nation total — the scalar subquery
+    becomes a 1-row aggregate crossJoined (broadcast by construction)
+    against the grouped values, so the fact table is scanned once per
+    aggregate, never per row."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    natsupp = (
+        li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_partkey", "l_extendedprice")
+    )
+    grouped = natsupp.groupBy("l_partkey").agg(
+        F.sum("l_extendedprice").alias("raw_value")
+    )
+    thresh = natsupp.agg((F.sum("l_extendedprice") * F.lit(0.002)).alias("thresh"))
+    return (
+        grouped.crossJoin(F.broadcast(thresh))
+        .filter(F.col("raw_value") > F.col("thresh"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.round("raw_value", 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
+
+
+@register(
+    "q12_late_priority_count",
+    oracle="""
+SELECT l.l_returnflag AS ship_class,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+  AND l.l_shipdate <  o.o_orderdate + INTERVAL 365 DAY
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+""",
+)
+def q12_late_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12 shape: conditional counting of order priorities over a
+    late-shipment band (the corpus has no commit/receipt dates or ship
+    mode; lateness is shipdate relative to orderdate and the class key is
+    the return flag).  The band predicate compares two columns of the
+    SAME joined row, so it evaluates post-join without a shuffle of its
+    own; both counts come from one pass (sum of CASE)."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = o.join(li, F.col("o_orderkey") == F.col("l_orderkey")).filter(
+        (F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS"))
+    )
+    return (
+        joined.groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                     AND o.o_orderpriority <> '5-LOW'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13 shape: histogram of per-customer order counts, with the
+    priority exclusion INSIDE the outer-join condition (so excluded-only
+    customers still appear with count 0).  Two aggregations: the first
+    shuffles on custkey (same key as the join — no extra exchange), the
+    second on the tiny count domain."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "5-LOW"),
+            "left",
+        )
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15 shape: argmax over an aggregate (the revenue view's max,
+    ties kept).  The view is computed ONCE; its scalar max joins back as
+    a broadcast 1-row aggregate rather than re-running the view, and the
+    equality compares the same rounded doubles both engines produced
+    from their own sums."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01 00:00:00")))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    maxrev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        s.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(maxrev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16_parts_supplier_relation",
+    oracle="""
+WITH ps AS (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+            FROM lineitem)
+SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM ps JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type NOT IN ('PROMO', 'ECONOMY')
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 49)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def q16_parts_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16 shape: distinct-supplier counts per part class, minus an
+    excluded supplier set (negative balance standing in for complaints).
+    The NOT IN becomes a left_anti join against the small excluded set;
+    the distinct count shuffles once on the 3-part class key."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").isin("PROMO", "ECONOMY"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34, 39, 49))
+    )
+    excluded = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    ps = li.select(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).distinct()
+    return (
+        ps.join(excluded, ps.ps_suppkey == excluded.s_suppkey, "left_anti")
+        .join(p, F.col("p_partkey") == F.col("ps_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle="""
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN (SELECT l_partkey AS t_partkey, 0.5 * avg(l_quantity) AS qty_thresh
+      FROM lineitem GROUP BY l_partkey) t ON t.t_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#2' AND p.p_size < 10
+  AND l.l_quantity < t.qty_thresh
+""",
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17 shape: revenue from below-half-average-quantity line
+    items — the correlated per-part average re-expressed as a groupBy
+    joined back on partkey.  Quantities are integer-valued doubles, so
+    the per-part sums (hence averages and the 0.5× threshold) are exact
+    in both engines regardless of aggregation order."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#2") & (F.col("p_size") < 10)
+    )
+    thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(thresh, F.col("t_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    oracle="""
+SELECT s_name, s_suppkey
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'red%'
+    GROUP BY l_suppkey
+    HAVING sum(l_quantity) > 100
+  )
+ORDER BY s_suppkey
+""",
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20 shape: suppliers qualified through a nested aggregate
+    membership test (shipped enough of the name-matched parts).  The IN
+    becomes a left_semi join against the HAVING-filtered aggregate; the
+    quantity threshold is exact (integer-valued doubles)."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    qualified = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_suppkey")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+SELECT s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21 shape: the sole-late-supplier double correlation —
+    EXISTS another supplier on the order, NOT EXISTS another LATE
+    supplier (lateness: shipped >60 days after ordering on a finished
+    order; the corpus has no commit/receipt dates).  Both correlations
+    become one semi and one anti join keyed on l_orderkey — the same key
+    as the orders join, so the chain re-uses one partitioning end to
+    end."""
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+
+    l1 = li.join(o, F.col("o_orderkey") == F.col("l_orderkey")).filter(late)
+    # Any other supplier on the same order (order multi-supplier test).
+    others = li.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    ).dropDuplicates()
+    # Other LATE suppliers on the same (finished) order.
+    late_others = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(late)
+        .select(
+            F.col("l_orderkey").alias("y_orderkey"),
+            F.col("l_suppkey").alias("y_suppkey"),
+        )
+        .dropDuplicates()
+    )
+    return (
+        l1.join(
+            others,
+            (F.col("x_orderkey") == F.col("l_orderkey"))
+            & (F.col("x_suppkey") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("y_orderkey") == F.col("l_orderkey"))
+            & (F.col("y_suppkey") != F.col("l_suppkey")),
+            "left_anti",
+        )
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+@register(
+    "q22_sales_opportunity",
+    oracle="""
+SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM (
+  SELECT CAST(c_custkey % 10 AS BIGINT) AS cntrycode, c_acctbal
+  FROM customer c
+  WHERE (c_custkey % 10) IN (1, 2, 3, 4, 5, 6, 7)
+    AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                     WHERE c_acctbal > 0
+                       AND (c_custkey % 10) IN (1, 2, 3, 4, 5, 6, 7))
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+)
+GROUP BY cntrycode
+ORDER BY cntrycode
+""",
+)
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22 shape: above-average-balance customers with no urgent
+    orders, grouped by a derived code (custkey mod 10 stands in for the
+    phone country code; every customer has orders in this corpus, so the
+    no-orders test becomes no-URGENT-orders).  Scalar average →
+    broadcast 1-row crossJoin; NOT EXISTS → left_anti against the
+    distinct urgent-customer keys."""
+    c = table(spark, sf_dir, "customer")
+    code = F.col("c_custkey") % 10
+    cand = c.filter(code.isin(1, 2, 3, 4, 5, 6, 7))
+    avg_bal = (
+        c.filter((F.col("c_acctbal") > 0) & code.isin(1, 2, 3, 4, 5, 6, 7))
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    urgent = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cand.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .select(code.cast("long").alias("cntrycode"), "c_acctbal")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

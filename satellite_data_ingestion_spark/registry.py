@@ -42,6 +42,7 @@ _QUERY_MODULES = [
     "satellite_data_ingestion_spark.operators.windows",
     "satellite_data_ingestion_spark.operators.setops",
     "satellite_data_ingestion_spark.operators.scale",
+    "satellite_data_ingestion_spark.operators.pipe",
     "satellite_data_ingestion_spark.functions.scalar",
     "satellite_data_ingestion_spark.functions.udf",
     "satellite_data_ingestion_spark.sources.binary",
@@ -60,6 +61,7 @@ _QUERY_MODULES = [
     "satellite_data_ingestion_spark.llm.shaping",
     "satellite_data_ingestion_spark.plans.pipeline",
     "satellite_data_ingestion_spark.plans.tpch",
+    "satellite_data_ingestion_spark.plans.tpch2",
 ]
 
 
