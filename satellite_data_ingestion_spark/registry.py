@@ -59,6 +59,7 @@ _QUERY_MODULES = [
     "satellite_data_ingestion_spark.llm.textstats",
     "satellite_data_ingestion_spark.llm.multimodal",
     "satellite_data_ingestion_spark.llm.shaping",
+    "satellite_data_ingestion_spark.llm.sampling",
     "satellite_data_ingestion_spark.plans.pipeline",
     "satellite_data_ingestion_spark.plans.tpch",
     "satellite_data_ingestion_spark.plans.tpch2",

@@ -327,3 +327,33 @@ def test_pipe_transform_prunes_to_piped_columns(spark):
     assert "text" in schema, schema
     assert "lang" not in schema and "source" not in schema, schema
     assert "MapInPandas" in plan, plan
+
+
+def test_group_sample_uses_window_group_limit(spark):
+    """The per-group cap must plan WindowGroupLimit (per-partition top-N
+    heaps before the shuffle), so the exchange carries at most N rows per
+    group — and nothing may funnel through a single partition."""
+    df = registry.spec("ext_group_sample").fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_corpus_sample_is_heap_topk(spark):
+    """The global hash-ordered sample must be TakeOrderedAndProject —
+    per-partition heaps, no full sort, no single-partition exchange."""
+    df = registry.spec("ext_corpus_sample").fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_shuffle_index_avoids_global_window(spark):
+    """Global example indices must come from range partitioning + offset
+    arithmetic, never a row_number over an empty-partition window (which
+    executes in ONE task)."""
+    df = registry.spec("ext_shuffle_index").fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "MapInPandas" in plan, plan
+    assert "SinglePartition" not in plan, plan
