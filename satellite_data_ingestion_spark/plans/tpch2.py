@@ -33,17 +33,6 @@ from ..catalog import table
 from ..registry import register
 
 
-def _derived_ps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """partsupp stand-in from lineitem: one row per (part, supplier) with
-    min unit price as the supply-cost analog.  One map-side-combined
-    groupBy over the fact table; at 100 TB this is the same shuffle the
-    downstream join would need anyway (keyed on l_partkey)."""
-    li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost")
-    )
-
-
 @register(
     "q1_pricing_summary",
     oracle="""
@@ -114,10 +103,17 @@ LIMIT 100
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q2 shape: for each qualifying part, the supplier(s) achieving
     the regional minimum cost — the correlated-min subquery re-expressed
-    as a window min over the partkey partition (one shuffle, no
-    re-aggregation join).  The min is selected from values present in the
-    partition, so the equality filter is IEEE-exact in both engines."""
-    ps = _derived_ps(spark, sf_dir)
+    as a window min over the partkey partition.  The fact table is
+    explicitly hash-partitioned on l_partkey FIRST: that single exchange
+    satisfies both the (partkey, suppkey) groupBy (a subset partitioning
+    co-locates every pair group) and the partkey window above it, so the
+    derived-ps aggregation and the correlated min share one shuffle.
+    The min is selected from values present in the partition, so the
+    equality filter is IEEE-exact in both engines."""
+    li = table(spark, sf_dir, "lineitem").repartition(F.col("l_partkey"))
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost")
+    )
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
@@ -169,18 +165,23 @@ ORDER BY nation, o_year DESC
 )
 def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q9 shape: profit (revenue minus derived supply cost) by
-    nation and order year for name-matched parts.  The fact table joins
-    its own aggregate (the derived ps) on the (partkey, suppkey) pair —
-    both sides shuffle on the same composite key, so the join adds no
-    extra exchange beyond the agg's own; the p_name LIKE prune happens
-    before the wide joins."""
+    nation and order year for name-matched parts.
+
+    The derived supply cost (min unit price per (partkey, suppkey)) is
+    attached with a WINDOW over the fact table instead of aggregating a
+    second lineitem scan and joining it back — one shuffle on the pair
+    key replaces scan + agg-shuffle + join.  A pair group never straddles
+    parts, so the p_name filter (applied via the part join afterwards)
+    keeps or drops whole groups and cannot change any group's min."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     s = table(spark, sf_dir, "supplier")
     o = table(spark, sf_dir, "orders")
     n = table(spark, sf_dir, "nation")
-    ps = _derived_ps(spark, sf_dir).withColumnsRenamed(
-        {"l_partkey": "ps_partkey", "l_suppkey": "ps_suppkey"}
+    pair = Window.partitionBy("l_partkey", "l_suppkey")
+    li = li.withColumn(
+        "ps_supplycost",
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).over(pair),
     )
     amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
         "ps_supplycost"
@@ -188,11 +189,6 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(
-            ps,
-            (F.col("ps_partkey") == F.col("l_partkey"))
-            & (F.col("ps_suppkey") == F.col("l_suppkey")),
-        )
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
@@ -438,12 +434,17 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#2") & (F.col("p_size") < 10)
     )
-    thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        (F.lit(0.5) * F.avg("l_quantity")).alias("qty_thresh")
+    # The correlated per-part average attaches as a window over the
+    # partkey partition — one fact shuffle, no second scan, no join of
+    # an aggregate back to the fact table.  The brand/size filter is at
+    # part granularity, so applying it via the join afterwards cannot
+    # change any part's average.
+    li = li.withColumn(
+        "qty_thresh",
+        F.lit(0.5) * F.avg("l_quantity").over(Window.partitionBy("l_partkey")),
     )
     return (
         li.join(p, F.col("p_partkey") == F.col("l_partkey"))
-        .join(thresh, F.col("t_partkey") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
     )

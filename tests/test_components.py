@@ -404,3 +404,74 @@ def test_drain_deadline_raises_on_hung_query():
     with _pytest.raises(TimeoutError):
         _drain_with_deadline(HungQuery(), 0.2)
     _drain_with_deadline(PromptQuery(), 5)  # must not raise
+
+
+# ---------------------------------------------------------------- pipe
+
+
+def test_pipe_transform_row_expanding_and_filtering(spark):
+    """The child may emit more or fewer lines than it receives (RDD.pipe
+    semantics): a filtering awk drops rows; a duplicating awk expands."""
+    from satellite_data_ingestion_spark.operators.pipe import pipe_transform
+
+    df = spark.createDataFrame([(i, i * 10) for i in range(20)], "id long, v long")
+    kept = pipe_transform(
+        df, ["awk", "-F", "\t", "$2 >= 100 { print $1 \"\\t\" $2 }"], "id long, v long"
+    )
+    rows = {r.id for r in kept.collect()}
+    assert rows == set(range(10, 20))
+
+    doubled = pipe_transform(
+        df, ["awk", "-F", "\t", "{ print $1 \"\\t\" $2; print $1 \"\\t\" $2 }"],
+        "id long, v long",
+    )
+    assert doubled.count() == 40
+
+
+def test_pipe_transform_failing_command_raises(spark):
+    from satellite_data_ingestion_spark.operators.pipe import pipe_transform
+    from py4j.protocol import Py4JJavaError
+
+    df = spark.createDataFrame([(1,)], "id long")
+    bad = pipe_transform(df, ["false"], "id long")
+    with pytest.raises(Exception) as exc:
+        bad.collect()
+    assert "exited" in str(exc.value) or "PythonException" in type(exc.value).__name__
+
+
+def test_pipe_transform_empty_input(spark):
+    from satellite_data_ingestion_spark.operators.pipe import pipe_transform
+
+    df = spark.createDataFrame([], "id long").filter("id > 0")
+    out = pipe_transform(df, ["cat"], "id long")
+    assert out.count() == 0
+
+
+# ------------------------------------------------- events.ts encodings
+
+
+def test_events_ts_normalizes_both_corpus_encodings(spark, tmp_path):
+    """The corpus has shipped events.ts as TIMESTAMP(NANOS) (read as a
+    nanos long under nanosAsLong) and as timestamp[us] (read as NTZ);
+    both must surface as identical session-tz timestamps."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from satellite_data_ingestion_spark.catalog import _events_ts
+
+    micros = [1_700_000_000_000_000, 1_700_000_123_456_789]
+    us_path = str(tmp_path / "ev_us.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array(micros, type=pa.timestamp("us"))}), us_path
+    )
+    ns_path = str(tmp_path / "ev_ns.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array([m * 1000 for m in micros], type=pa.int64())}),
+        ns_path,
+    )
+
+    got_us = [r.ts for r in _events_ts(spark.read.parquet(us_path)).collect()]
+    got_ns = [r.ts for r in _events_ts(spark.read.parquet(ns_path)).collect()]
+    assert sorted(got_us) == sorted(got_ns)
+    assert str(_events_ts(spark.read.parquet(us_path)).schema["ts"].dataType) == (
+        "TimestampType()"
+    )

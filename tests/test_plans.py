@@ -357,3 +357,30 @@ def test_shuffle_index_avoids_global_window(spark):
     assert "rangepartitioning" in plan.lower(), plan
     assert "MapInPandas" in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_q2_single_exchange_shared_by_agg_and_window(spark):
+    """q2 hash-partitions lineitem on l_partkey once; the (partkey,
+    suppkey) groupBy and the partkey window must BOTH reuse it — exactly
+    one hashpartitioning exchange in the whole plan."""
+    df = registry.spec("q2_min_cost_supplier").fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q9_derived_cost_via_window_not_second_scan(spark):
+    """q9's supply cost comes from a window over the fact table — the
+    plan must read lineitem ONCE (an agg-and-join-back would scan twice)."""
+    df = registry.spec("q9_product_type_profit").fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_q17_threshold_via_window_not_join(spark):
+    """q17's correlated average attaches as a window — one lineitem scan,
+    no aggregate joined back."""
+    df = registry.spec("q17_small_qty_revenue").fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Window" in plan, plan
