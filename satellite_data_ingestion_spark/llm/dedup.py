@@ -616,3 +616,43 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component_id",
         (F.col("doc_id") == F.col("component_id")).alias("is_canonical"),
     )
+
+
+@register(
+    "ext_dedup_incremental",
+    oracle="""
+WITH corpus AS (
+  SELECT DISTINCT md5(coalesce(text, '')) AS h
+  FROM documents WHERE doc_id % 5 <> 0
+),
+batch AS (
+  SELECT doc_id, md5(coalesce(text, '')) AS h
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT b.doc_id
+FROM batch b
+ANTI JOIN corpus c ON b.h = c.h
+ORDER BY b.doc_id
+""",
+)
+def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: admit only the batch documents whose
+    content hash is NOT already in the standing corpus — the every-tick
+    shape of a growing training corpus (dedup against what you already
+    have, never re-deduping the whole corpus).
+
+    Scale shape: both sides reduce to 16-byte md5 keys BEFORE the
+    left_anti join, so the shuffle carries hashes, never text; the corpus
+    side is pre-distinct (one hash per unique content).  At 100 TB the
+    standing-corpus hash set lives as its own compacted table and the
+    anti-join shuffles only the new batch — here both sides derive from
+    the documents table split 80/20 by key to make the oracle exact."""
+    docs = table(spark, sf_dir, "documents")
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    corpus = (
+        docs.filter(F.col("doc_id") % 5 != 0).select(h.alias("h")).distinct()
+    )
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", h.alias("h"))
+    return (
+        batch.join(corpus, "h", "left_anti").select("doc_id").orderBy("doc_id")
+    )

@@ -189,3 +189,59 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "scan_merge_schema",
+    oracle="""
+SELECT count(*) AS n_rows,
+       count(o_orderpriority) AS n_with_priority,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM (
+  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+""",
+)
+def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: two parquet generations of the same table —
+    the newer one carries an added column — read as ONE relation with
+    ``mergeSchema``, old files null-filling the new column.
+
+    This is the on-read half of schema evolution (the write half is
+    ``setop_union_byname``): a 100-TB table is never rewritten when a
+    column is added, so the scan layer must reconcile footers.  The
+    census (row count, non-null count of the evolved column, value sum)
+    matching an oracle built from the SOURCE table proves no rows or
+    values are lost or misaligned across generations."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    o = table(spark, sf_dir, "orders")
+    root = os.path.join(tempfile.gettempdir(), f"sdis_evolve_{os.getpid()}")
+    try:
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(os.path.join(root, "gen=1"))
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ).write.mode("overwrite").parquet(os.path.join(root, "gen=2"))
+
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(root, "gen=1"), os.path.join(root, "gen=2")
+        )
+        result = merged.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_orderpriority").alias("n_with_priority"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        result = spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return result

@@ -111,3 +111,51 @@ def sink_upsert_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         shutil.rmtree(out, ignore_errors=True)
     return result
+
+
+@register(
+    "sink_compact",
+    oracle="""
+SELECT CAST(4 AS INT) AS n_files,
+       count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+""",
+)
+def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance op every streaming
+    or per-slot ingest eventually needs (the reference writes one file
+    per band per tick forever, ``sources/meteosat.py:174-185``; at 100 TB
+    that's millions of KB-sized files whose per-file open/footer cost
+    dominates scans).
+
+    Sequence under test: (1) scatter lineitem into 50 deliberately tiny
+    files; (2) compact by rewriting to 4 right-sized files (repartition →
+    overwrite of a SEPARATE dir + atomic swap is the production shape;
+    here the rewrite lands in a fresh dir read back directly).  The
+    census matching the oracle proves the rewrite is lossless, and the
+    file count is pinned IN the result row so a silent no-op compaction
+    hash-mismatches."""
+    li = table(spark, sf_dir, "lineitem").select("l_quantity")
+    scatter = os.path.join(tempfile.gettempdir(), f"sdis_scatter_{os.getpid()}")
+    compact = os.path.join(tempfile.gettempdir(), f"sdis_compact_{os.getpid()}")
+    try:
+        li.repartition(50).write.mode("overwrite").parquet(scatter)
+        small = spark.read.parquet(scatter)
+        # Production sizing: ceil(total_bytes / target_file_bytes); the
+        # corpus slice is small so the target count is pinned at 4.
+        small.repartition(4).write.mode("overwrite").parquet(compact)
+        n_files = len(
+            [f for f in os.listdir(compact) if f.endswith(".parquet")]
+        )
+        back = spark.read.parquet(compact)
+        result = back.agg(
+            F.lit(n_files).alias("n_files"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        result = spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(scatter, ignore_errors=True)
+        shutil.rmtree(compact, ignore_errors=True)
+    return result
