@@ -120,6 +120,13 @@ def ext_shuffle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = keyed.repartitionByRange(
         _SHUFFLE_PARTITIONS, F.col("_k"), F.col("doc_id")
     ).sortWithinPartitions("_k", "doc_id")
+    # The counts job and the indexing job are separate actions; each
+    # would otherwise re-execute the range exchange, whose boundary
+    # sampling is not guaranteed identical across compilations — offsets
+    # measured on one set of boundaries must never be applied to
+    # another.  Checkpointing pins ONE materialization (narrow: 8-byte
+    # id + 32-byte key per row) that both jobs read.
+    parts = parts.localCheckpoint(eager=True)
 
     counts = (
         parts.groupBy(F.spark_partition_id().alias("pid"))

@@ -384,3 +384,13 @@ def test_q17_threshold_via_window_not_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("lineitem.parquet") == 1, plan
     assert "Window" in plan, plan
+
+
+def test_gap_fill_generates_grid_without_cartesian(spark):
+    """The slot grid comes from explode(sequence(...)) per key — a
+    Generate node — never a cartesian product; the fill is one window."""
+    df = registry.spec("ext_gap_fill").fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate" in plan, plan
+    assert "Window" in plan, plan
