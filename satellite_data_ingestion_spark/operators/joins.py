@@ -321,3 +321,69 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_customers",
         "n_suppliers",
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+WITH a AS (
+  SELECT event_type, event_id AS a_id,
+         ts AS a_lo, ts + INTERVAL 30 MINUTE AS a_hi
+  FROM events WHERE event_id % 11 = 0
+),
+b AS (
+  SELECT event_type, event_id AS b_id,
+         ts AS b_lo, ts + INTERVAL 45 MINUTE AS b_hi
+  FROM events WHERE event_id % 13 = 1
+)
+SELECT a.a_id, b.b_id
+FROM a JOIN b ON a.event_type = b.event_type
+           AND a.a_lo <= b.b_hi AND b.b_lo <= a.a_hi
+ORDER BY a_id, b_id
+""",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (interval × interval), the sibling of
+    `join_range` (point × interval): two derived interval sets match when
+    they share an event type and their [lo, hi] spans intersect.
+
+    Scale shape: a naive inequality-only join is a per-type cartesian.
+    Instead each interval EXPLODES to the hour buckets it covers (≤ 2
+    here — bounded by interval length / bucket width), the join is EQUI
+    on (event_type, hour bucket) with the exact overlap predicate as a
+    post-filter, and `distinct` collapses pairs that met in two buckets.
+    Bucket width is the tuning knob: candidates per task stay bounded by
+    per-bucket density, never by table size."""
+    ev = table(spark, sf_dir, "events")
+
+    def intervals(mod: int, rem: int, minutes: int, prefix: str) -> DataFrame:
+        iv = ev.filter(F.col("event_id") % mod == rem).select(
+            "event_type",
+            F.col("event_id").alias(f"{prefix}_id"),
+            F.col("ts").alias(f"{prefix}_lo"),
+            (F.col("ts") + F.expr(f"INTERVAL {minutes} MINUTES")).alias(
+                f"{prefix}_hi"
+            ),
+        )
+        return iv.withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.date_trunc("hour", F.col(f"{prefix}_lo")),
+                    F.date_trunc("hour", F.col(f"{prefix}_hi")),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ),
+        )
+
+    a = intervals(11, 0, 30, "a")
+    b = intervals(13, 1, 45, "b")
+    return (
+        a.join(b, ["event_type", "bucket"])
+        .filter(
+            (F.col("a_lo") <= F.col("b_hi")) & (F.col("b_lo") <= F.col("a_hi"))
+        )
+        .select("a_id", "b_id")
+        .distinct()
+        .orderBy("a_id", "b_id")
+    )

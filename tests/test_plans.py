@@ -394,3 +394,23 @@ def test_gap_fill_generates_grid_without_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     assert "Generate" in plan, plan
     assert "Window" in plan, plan
+
+
+def test_interval_overlap_joins_on_buckets_not_cartesian(spark):
+    """The interval-overlap join must be an equi hash/merge join on
+    (event_type, hour bucket) with the overlap predicate as a filter —
+    never a cartesian or nested-loop over the interval sets."""
+    df = registry.spec("join_interval_overlap").fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "Generate" in plan, plan  # the bucket explode
+
+
+def test_grouping_sets_single_expand_single_exchange(spark):
+    """GROUPING SETS plans one Expand + one aggregation exchange — not a
+    union of per-set aggregates re-scanning the fact table."""
+    df = registry.spec("agg_grouping_sets").fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") >= 1, plan
+    assert plan.count("lineitem.parquet") == 1, plan
