@@ -45,8 +45,8 @@ ORDER BY source, rk
 """,
 )
 def ext_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cap every source at {_GROUP_CAP} documents, chosen by content-hash
-    order (a deterministic uniform draw within each group).
+    """Cap every source at _GROUP_CAP (= 50) documents, chosen by
+    content-hash order (a deterministic uniform draw within each group).
 
     Scale shape: one shuffle on the group key, then a per-partition
     window — and because the predicate is ``row_number <= N``, Spark
@@ -74,8 +74,8 @@ LIMIT {_SAMPLE_N}
 """,
 )
 def ext_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One global uniform {_SAMPLE_N}-document sample, drawn by content
-    hash — the deterministic replacement for reservoir sampling.
+    """One global uniform _SAMPLE_N (= 200) document sample, drawn by
+    content hash — the deterministic replacement for reservoir sampling.
 
     Scale shape: ORDER BY hash LIMIT N plans as TakeOrderedAndProject —
     per-partition N-element heaps merged on the driver; no global sort,
@@ -124,8 +124,14 @@ def ext_shuffle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would otherwise re-execute the range exchange, whose boundary
     # sampling is not guaranteed identical across compilations — offsets
     # measured on one set of boundaries must never be applied to
-    # another.  Checkpointing pins ONE materialization (narrow: 8-byte
-    # id + 32-byte key per row) that both jobs read.
+    # another.  localCheckpoint pins ONE materialization (narrow: 8-byte
+    # id + 32-byte key per row) that both jobs read.  Tradeoffs, stated
+    # honestly: the blocks live in executor storage (not fault-tolerant
+    # — a production 100-TB run stages this projection to durable
+    # parquet instead, same two-job shape) and are freed by the
+    # ContextCleaner when the frame becomes unreferenced (explicit
+    # unpersist is a no-op on checkpoint blocks, see llm/dedup.py's
+    # label-propagation note).
     parts = parts.localCheckpoint(eager=True)
 
     counts = (

@@ -430,7 +430,6 @@ def test_pipe_transform_row_expanding_and_filtering(spark):
 
 def test_pipe_transform_failing_command_raises(spark):
     from satellite_data_ingestion_spark.operators.pipe import pipe_transform
-    from py4j.protocol import Py4JJavaError
 
     df = spark.createDataFrame([(1,)], "id long")
     bad = pipe_transform(df, ["false"], "id long")

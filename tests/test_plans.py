@@ -267,13 +267,14 @@ def test_runtime_bloom_filter_injects(spark):
 
 
 def test_tpch2_q1_single_shuffle_with_pushdown(spark):
-    """Q1: scan → partial agg → ONE exchange → final agg; shipdate pushed."""
+    """Q1: scan → partial agg → ONE hash exchange → final agg (the final
+    orderBy's range exchange is separate); shipdate pushed."""
     plan = plan_of(spark, "q1_pricing_summary")
     pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
     assert "LessThanOrEqual(l_shipdate" in pushed, pushed
     tree = plan.split("\n\n")[0]
-    # one exchange for the group-by, one inside the final orderBy is OK —
-    # but the aggregate itself must be map-side combined
+    assert tree.count("Exchange hashpartitioning") == 1, tree
+    # the aggregate itself must be map-side combined
     assert "partial_" in plan, plan
 
 
@@ -351,12 +352,16 @@ def test_corpus_sample_is_heap_topk(spark):
 def test_shuffle_index_avoids_global_window(spark):
     """Global example indices must come from range partitioning + offset
     arithmetic, never a row_number over an empty-partition window (which
-    executes in ONE task)."""
+    executes in ONE task).  The range exchange itself hides behind the
+    checkpoint in the final plan, so the real assertions are behavioral:
+    no single-partition funnel anywhere, and the offsets produce exactly
+    the contiguous 0..N-1 sequence."""
     df = registry.spec("ext_shuffle_index").fn(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan.lower(), plan
     assert "MapInPandas" in plan, plan
     assert "SinglePartition" not in plan, plan
+    idxs = [r.example_idx for r in df.select("example_idx").collect()]
+    assert idxs == list(range(len(idxs))), idxs[:10]
 
 
 def test_q2_single_exchange_shared_by_agg_and_window(spark):
