@@ -272,8 +272,12 @@ def test_tpch2_q1_single_shuffle_with_pushdown(spark):
     plan = plan_of(spark, "q1_pricing_summary")
     pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
     assert "LessThanOrEqual(l_shipdate" in pushed, pushed
-    tree = plan.split("\n\n")[0]
-    assert tree.count("Exchange hashpartitioning") == 1, tree
+    # the simple plan string inlines each exchange's partitioning
+    # (formatted mode's tree section lists bare node names only)
+    df = registry.spec("q1_pricing_summary").fn(spark, SF_SMOKE)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert simple.count("Exchange hashpartitioning") == 1, simple
+    assert simple.count("Exchange rangepartitioning") <= 1, simple
     # the aggregate itself must be map-side combined
     assert "partial_" in plan, plan
 
