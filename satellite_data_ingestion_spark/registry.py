@@ -105,8 +105,7 @@ def _driver_verified_ids() -> set[str]:
     """IDs with a green driver row in any prior ``CORRECTNESS_r*.json``.
 
     The driver's per-round sweep is capped (observed: exactly 50 entries in
-    rounds 1-2), so a single round can never cover all 125 registered
-    queries.  We read the driver's own prior-round evidence from the repo
+    rounds 1-3), so a single round can never cover the whole registry.  We read the driver's own prior-round evidence from the repo
     root and count an ID as verified when its row ran without error and
     row-counts matched (hash evidence where an oracle exists).  Unverified
     IDs are rotated to the front of the next sweep so coverage accumulates
