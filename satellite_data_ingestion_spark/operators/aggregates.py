@@ -15,7 +15,7 @@ holding the key set.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -505,4 +505,55 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n_rows")
         .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+SELECT user_bucket, event_type AS mode_type, cnt AS mode_count
+FROM (
+  SELECT user_bucket, event_type, cnt,
+         row_number() OVER (PARTITION BY user_bucket
+                            ORDER BY cnt DESC, event_type) AS rn
+  FROM (
+    SELECT CAST(user_id % 20 AS BIGINT) AS user_bucket, event_type,
+           count(*) AS cnt
+    FROM events
+    GROUP BY user_id % 20, event_type
+  )
+)
+WHERE rn = 1
+ORDER BY user_bucket
+""",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent value) with a DETERMINISTIC tie-break
+    (higher count, then lexicographic value) — the built-in `mode()` of
+    either engine leaves ties unspecified, so it can never hash-match
+    across engines; the explicit count → rank → filter form can.
+
+    Scale shape: count aggregate shuffles once on (group, value); the
+    rank-then-filter plans a WindowGroupLimit over groups whose
+    cardinality is |values| per group, not row count."""
+    ev = table(spark, sf_dir, "events")
+    counted = (
+        ev.groupBy(
+            (F.col("user_id") % 20).cast("long").alias("user_bucket"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("user_bucket").orderBy(
+        F.desc("cnt"), F.asc("event_type")
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_bucket",
+            F.col("event_type").alias("mode_type"),
+            F.col("cnt").alias("mode_count"),
+        )
+        .orderBy("user_bucket")
     )
