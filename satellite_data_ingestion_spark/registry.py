@@ -101,27 +101,28 @@ _SURVEY2_BASE_IDS = [
 ]
 
 
-def _driver_verified_ids() -> set[str]:
-    """IDs with a green driver row in any prior ``CORRECTNESS_r*.json``.
+def _latest_green_round() -> dict[str, int]:
+    """Map each ID to the latest round with a green ``CORRECTNESS_r*`` row.
 
     The driver's per-round sweep is capped (observed: exactly 50 entries in
-    rounds 1-3), so a single round can never cover the whole registry.  We read the driver's own prior-round evidence from the repo
-    root and count an ID as verified when its row ran without error and
-    row-counts matched (hash evidence where an oracle exists).  Unverified
-    IDs are rotated to the front of the next sweep so coverage accumulates
-    across rounds instead of re-spending the cap on already-green rows.
+    rounds 1-4), so a single round can never cover the whole registry.  We
+    read the driver's own prior-round evidence from the repo root; an ID is
+    green in a round when its row ran without error and every check passed
+    (hash evidence where an oracle exists).  IDs absent from the map have
+    never been driver-verified.
     """
     import glob
     import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    verified: set[str] = set()
+    latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
+            rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
             with open(path) as fh:
                 rows = json.load(fh)
-        except (OSError, ValueError):
+        except (OSError, ValueError, IndexError):
             continue
         for name, row in rows.items():
             if not isinstance(row, dict):
@@ -137,34 +138,43 @@ def _driver_verified_ids() -> set[str]:
             # row count — that IS the driver's full check for them ("ran").
             ran_green = row.get("err") == "no_oracle" and row.get("spark_rows") is not None
             if hash_green or ran_green:
-                verified.add(name)
-    return verified
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 def _sweep_order() -> list[str]:
-    """Registry keys: never-driver-verified IDs first, then the rest.
+    """Registry keys ordered so a count-capped sweep maximizes evidence value.
 
-    Four blocks, each keeping its internal deliberate order (SQL-oracle
-    batch before streaming before rows-only):
-      1. §2 base IDs with no green driver row yet,
-      2. extensions with no green driver row yet (SQL-oracle first),
-      3. §2 base IDs already driver-verified in a prior round,
-      4. extensions already driver-verified.
-    All unverified work precedes all verified work so a count-capped
-    sweep spends every slot on NEW evidence: cumulative driver coverage
-    of the whole registry converges in ceil(unverified/cap) rounds, and
-    once everything is covered each subsequent round re-confirms from
-    the §2 base inventory forward.
+    Sort key, most significant first:
+      1. never-driver-verified IDs (new evidence beats re-confirmation),
+      2. among verified IDs, rows-only (no SQL oracle) before hash-oracle —
+         "ran" is the weakest evidence class, so it goes stale fastest when
+         the driver regenerates the corpus between rounds,
+      3. latest green round ASCENDING — refresh the oldest evidence first,
+         so records that predate a corpus regeneration are re-proved before
+         slots are spent re-confirming last round's rows,
+      4. canonical order (§2 base inventory in its deliberate order —
+         SQL-oracle batch, then streaming, then rows-only — followed by
+         extensions, SQL-oracle first) as the deterministic tie-break.
+    With a 50-slot cap this converges to full coverage in
+    ceil(unverified/cap) rounds, then rotates as a freshness LRU: every
+    entry's driver evidence is at most ceil(registry/cap) rounds old.
     """
-    verified = _driver_verified_ids()
+    latest = _latest_green_round()
     base = [k for k in _SURVEY2_BASE_IDS if k in _REGISTRY]
     rest = sorted(k for k in _REGISTRY if k not in _SURVEY2_BASE_IDS)
     rest.sort(key=lambda k: _REGISTRY[k].oracle is None)  # stable: SQL first
-    order = [k for k in base if k not in verified]
-    order += [k for k in rest if k not in verified]
-    order += [k for k in base if k in verified]
-    order += [k for k in rest if k in verified]
-    return order
+    canonical = base + rest
+    idx = {k: i for i, k in enumerate(canonical)}
+
+    def key(k: str):
+        if k not in latest:
+            # Unverified: canonical order (SQL-oracle first — strongest
+            # evidence for brand-new rows).
+            return (0, 0, 0, idx[k])
+        return (1, _REGISTRY[k].oracle is not None, latest[k], idx[k])
+
+    return sorted(canonical, key=key)
 
 
 def register(name: str, oracle: Optional[str] = None):

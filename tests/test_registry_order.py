@@ -1,46 +1,79 @@
 """Pin the driver-sweep ordering contract of ``registry.queries()``.
 
 The driver's correctness sweep is capped (observed: exactly 50 entries in
-rounds 1-2), so ``queries()`` rotates: IDs with no green driver row in any
-prior ``CORRECTNESS_r*.json`` come first (SURVEY §2 base inventory before
-extensions, SQL-oracle before rows-only within each block), then the
-already-verified remainder in the same class order.  Coverage therefore
-accumulates across rounds instead of re-spending the cap on green rows.
+rounds 1-4), so ``queries()`` orders the registry as a freshness LRU:
+
+  1. never-driver-verified IDs first, in canonical order (§2 base inventory
+     before extensions, SQL-oracle before rows-only within each block);
+  2. then verified rows-only IDs (weakest evidence class — goes stale when
+     the driver regenerates the corpus between rounds), oldest green round
+     first;
+  3. then verified hash-oracle IDs, oldest green round first.
+
+Coverage therefore accumulates across rounds, and once complete every
+entry's driver evidence is refreshed at most ceil(registry/cap) rounds
+after it was last recorded.
 """
 
 from satellite_data_ingestion_spark import registry
 
 
-def test_base_inventory_registered_and_rotation_blocks_ordered():
+def test_base_inventory_registered():
     keys = list(registry.queries())
     base = registry._SURVEY2_BASE_IDS
     assert len(base) == 61
     assert set(base) <= set(keys), "every §2 base ID must be registered"
-
-    verified = registry._driver_verified_ids()
-    expect = [k for k in base if k not in verified]
-    expect += [k for k in base if k in verified]
-    # The §2 base block (unverified-first) occupies the head of each class:
-    # unverified base IDs all precede every verified base ID.
-    base_positions = {k: keys.index(k) for k in base}
-    if expect != base:
-        unv_max = max(base_positions[k] for k in base if k not in verified)
-        ver_min = min(base_positions[k] for k in base if k in verified)
-        assert unv_max < ver_min, "unverified §2 IDs must precede verified ones"
 
 
 def test_unverified_ids_fit_in_sweep_cap():
     """Everything without prior driver evidence must land in the first 50
     slots (the observed driver cap) — the whole point of the rotation."""
     keys = list(registry.queries())
-    verified = registry._driver_verified_ids()
-    unverified_base = [k for k in registry._SURVEY2_BASE_IDS if k not in verified]
-    if len(unverified_base) <= 50:
-        assert all(k in keys[:50] for k in unverified_base)
+    latest = registry._latest_green_round()
+    unverified = [k for k in keys if k not in latest]
+    if len(unverified) <= 50:
+        assert all(k in keys[:50] for k in unverified)
+
+
+def test_unverified_precede_verified():
+    keys = list(registry.queries())
+    latest = registry._latest_green_round()
+    if not latest or all(k in latest for k in keys):
+        return
+    unv_max = max(keys.index(k) for k in keys if k not in latest)
+    ver_min = min(keys.index(k) for k in keys if k in latest)
+    assert unv_max < ver_min, "unverified IDs must precede verified ones"
+
+
+def test_verified_rows_only_precede_verified_hash_oracle():
+    """Among verified IDs, rows-only evidence is refreshed first."""
+    keys = list(registry.queries())
+    latest = registry._latest_green_round()
+    oracles = registry.oracles()
+    verified = [k for k in keys if k in latest]
+    seen_hash_oracle = False
+    for k in verified:
+        if k in oracles:
+            seen_hash_oracle = True
+        else:
+            assert not seen_hash_oracle, (
+                f"verified rows-only {k} ordered after a verified hash-oracle ID"
+            )
+
+
+def test_verified_ordered_oldest_evidence_first():
+    keys = list(registry.queries())
+    latest = registry._latest_green_round()
+    oracles = registry.oracles()
+    for cls in (False, True):  # rows-only block, then hash-oracle block
+        rounds = [latest[k] for k in keys if k in latest and (k in oracles) == cls]
+        assert rounds == sorted(rounds), (
+            "verified IDs must be swept oldest-green-round first"
+        )
 
 
 def test_without_prior_evidence_base_ids_lead(monkeypatch):
-    monkeypatch.setattr(registry, "_driver_verified_ids", lambda: set())
+    monkeypatch.setattr(registry, "_latest_green_round", lambda: {})
     keys = list(registry.queries())
     base = registry._SURVEY2_BASE_IDS
     assert keys[: len(base)] == [k for k in base if k in registry._REGISTRY]
@@ -57,7 +90,7 @@ def test_base_sql_oracle_queries_precede_rows_only():
 
 
 def test_extensions_sql_first(monkeypatch):
-    monkeypatch.setattr(registry, "_driver_verified_ids", lambda: set())
+    monkeypatch.setattr(registry, "_latest_green_round", lambda: {})
     keys = list(registry.queries())
     oracles = registry.oracles()
     ext = keys[len(registry._SURVEY2_BASE_IDS):]
