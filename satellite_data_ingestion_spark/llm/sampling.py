@@ -21,12 +21,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .. import settings
 from ..catalog import table
 from ..registry import register
 
 _GROUP_CAP = 50
 _SAMPLE_N = 200
-_SHUFFLE_PARTITIONS = 16
+_SHUFFLE_PARTITIONS = settings.SHUFFLE_PARTITIONS
 
 
 @register(

@@ -27,10 +27,11 @@ import tempfile
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import settings
 from ..catalog import table
 from ..registry import register
 
-_N_SALT = 8
+_N_SALT = settings.N_SALT
 
 
 def salted_join(

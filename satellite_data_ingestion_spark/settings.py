@@ -1,0 +1,106 @@
+"""Runtime configuration: the engine's scale knobs in one env-layered module.
+
+Mirrors the reference's settings layering (``config/__init__.py:11-15``
+selects a dev/prod profile from an env var; ``config/base.py:14`` holds the
+base constants): a BASE dict carries the test-scale defaults, ``SDIS_ENV``
+overlays a named profile, and any single knob is overridable with
+``SDIS_<NAME>`` (highest precedence).  Retuning for a real cluster is an
+environment change, not a source edit.
+
+Resolution order (later wins):  BASE  →  profile[SDIS_ENV]  →  SDIS_<NAME>.
+
+Knobs are resolved once at import (standard env-config semantics — a
+process sees one consistent configuration).  Defaults are the values every
+test and oracle was pinned against; the ``prod`` profile is a documented
+1000-executor starting posture, not a tested configuration.
+
+Only SCALE knobs live here — parallelism caps, probe budgets, sketch
+widths.  Constants that define query SEMANTICS (thresholds baked into both
+a Spark plan and its DuckDB oracle, grid resolutions, slot widths) stay in
+their operator modules: tuning those changes the answer, not the plan.
+"""
+
+from __future__ import annotations
+
+import os
+
+_BASE: dict[str, int] = {
+    # Dedup (llm/dedup.py): exact all-pairs cap per LSH bucket before the
+    # candidate generator switches to star linking; minhash sketch shape;
+    # label-propagation round cap for ext_dedup_cluster.
+    "MAX_BUCKET": 500,
+    "MINHASH_N_HASHES": 16,
+    "MINHASH_N_BANDS": 4,
+    "CC_MAX_ITERS": 10,
+    # Embedding dedup (llm/simsearch.py): block-nested-loop tile factor —
+    # each label's pair space splits into TILE_P^2 tasks.
+    "TILE_P": 4,
+    # ANN probe budgets (llm/simsearch.py).  The LSH trio was fitted by
+    # offline simulation on this corpus: 32 tables x 24 sign bits with
+    # per-table multiprobe hamming<=5 → recall@10 1.0/0.8 probing 17%/14%
+    # of the corpus at sf0.01/sf0.1.
+    "LSH_N_TABLES": 32,
+    "LSH_N_PLANES": 24,
+    "LSH_PROBE_HAMMING": 5,
+    "IVF_K": 16,
+    "IVF_NPROBE": 6,
+    "IVF_TRAIN_SAMPLE": 1024,
+    "IVF_ITERS": 5,
+    # Range-partition width for the driver-free global shuffle_index
+    # (llm/sampling.py) and the salting fan-out for skewed keys
+    # (operators/scale.py).
+    "SHUFFLE_PARTITIONS": 16,
+    "N_SALT": 8,
+}
+
+_PROFILES: dict[str, dict[str, int]] = {
+    # dev == the tested defaults (local[32], sf<=0.1 parquet).
+    "dev": {},
+    # prod: documented starting points for a 1000-executor / 100 TB run.
+    # Sized so per-task state stays bounded: buckets and tiles grow with
+    # the data, probe budgets grow with the list count, and partition
+    # counts approach 2-3x total cores.  Tune per workload via SDIS_*.
+    "prod": {
+        "MAX_BUCKET": 100_000,
+        "CC_MAX_ITERS": 30,
+        "TILE_P": 64,
+        "IVF_K": 4096,
+        "IVF_NPROBE": 64,
+        "IVF_TRAIN_SAMPLE": 262_144,
+        "IVF_ITERS": 10,
+        "SHUFFLE_PARTITIONS": 2000,
+        "N_SALT": 64,
+    },
+}
+
+
+def _resolve() -> dict[str, int]:
+    profile = os.environ.get("SDIS_ENV", "dev")
+    if profile not in _PROFILES:
+        raise ValueError(
+            f"SDIS_ENV={profile!r}: unknown profile (have {sorted(_PROFILES)})"
+        )
+    merged = {**_BASE, **_PROFILES[profile]}
+    for name in merged:
+        raw = os.environ.get(f"SDIS_{name}")
+        if raw is not None:
+            merged[name] = int(raw)
+    return merged
+
+
+_SETTINGS = _resolve()
+
+MAX_BUCKET: int = _SETTINGS["MAX_BUCKET"]
+MINHASH_N_HASHES: int = _SETTINGS["MINHASH_N_HASHES"]
+MINHASH_N_BANDS: int = _SETTINGS["MINHASH_N_BANDS"]
+CC_MAX_ITERS: int = _SETTINGS["CC_MAX_ITERS"]
+TILE_P: int = _SETTINGS["TILE_P"]
+LSH_N_TABLES: int = _SETTINGS["LSH_N_TABLES"]
+LSH_N_PLANES: int = _SETTINGS["LSH_N_PLANES"]
+LSH_PROBE_HAMMING: int = _SETTINGS["LSH_PROBE_HAMMING"]
+IVF_K: int = _SETTINGS["IVF_K"]
+IVF_NPROBE: int = _SETTINGS["IVF_NPROBE"]
+IVF_TRAIN_SAMPLE: int = _SETTINGS["IVF_TRAIN_SAMPLE"]
+IVF_ITERS: int = _SETTINGS["IVF_ITERS"]
+SHUFFLE_PARTITIONS: int = _SETTINGS["SHUFFLE_PARTITIONS"]
+N_SALT: int = _SETTINGS["N_SALT"]
