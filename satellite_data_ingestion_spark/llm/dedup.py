@@ -30,14 +30,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
+from .. import settings
 from ..catalog import table
 from ..registry import register
 
-# MinHash / LSH parameters: 16 hashes in 4 bands of 4 rows → the S-curve
-# crosses ~0.5 at s ≈ (1/4)^(1/4) ≈ 0.71; with verification at 0.9 the
-# bands only need to surface candidates, not be precise.
-_N_HASHES = 16
-_N_BANDS = 4
+# MinHash / LSH parameters (env-tunable via settings.py): 16 hashes in 4
+# bands of 4 rows → the S-curve crosses ~0.5 at s ≈ (1/4)^(1/4) ≈ 0.71;
+# with verification at 0.9 the bands only need to surface candidates, not
+# be precise.
+_N_HASHES = settings.MINHASH_N_HASHES
+_N_BANDS = settings.MINHASH_N_BANDS
 _ROWS_PER_BAND = _N_HASHES // _N_BANDS
 _JACCARD_THRESHOLD = 0.9
 # Exact-rational form of the threshold for integer-only prefix/length math
@@ -46,7 +48,7 @@ _J_NUM, _J_DEN = 9, 10
 # Buckets up to this size do exact all-pairs candidate generation
 # (n²/2 pairs, bounded); hotter buckets switch to star linking instead of
 # being dropped — see ext_dedup_minhash.
-_MAX_BUCKET = 500
+_MAX_BUCKET = settings.MAX_BUCKET
 
 
 def _token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,14 +71,31 @@ GROUP BY text
 """,
 )
 def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: one hash-groupBy on the full text, deterministic
-    representative = min doc_id.  At 100 TB, group on a fixed-width
-    xxhash64(text) first so the shuffle carries 8-byte keys, then break
-    the (vanishingly rare) hash collisions inside each group."""
+    """Exact dedup: one hash-groupBy, deterministic representative =
+    min doc_id.
+
+    The GROUP KEY is the 16-byte ``unhex(md5(text))``, not the text
+    itself: the exchange hash/compare cost per row is O(1) instead of
+    O(len(text)), and the aggregate's grouping state is fixed-width.  The
+    text still rides along once per distinct key per map partition (it is
+    in the output contract), carried as a ``min(text)`` partial — map-side
+    combine collapses duplicate copies before the wire either way, so the
+    payload bytes match the old text-keyed plan while the key itself is
+    fixed-width.  128-bit keys make collisions (two texts, one key)
+    practically impossible at any corpus size — the birthday bound at
+    10^12 documents is < 2^-64, the same stance ``ext_dedup_incremental``
+    takes; a 64-bit key would NOT survive 100 TB (collisions expected past
+    ~4e9 distinct docs)."""
     docs = table(spark, sf_dir, "documents")
-    return docs.groupBy("text").agg(
-        F.min("doc_id").alias("keep_id"),
-        F.count(F.lit(1)).alias("n_copies"),
+    return (
+        docs.select(F.unhex(F.md5("text")).alias("_k"), "text", "doc_id")
+        .groupBy("_k")
+        .agg(
+            F.min("text").alias("text"),
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("text", "keep_id", "n_copies")
     )
 
 
@@ -506,8 +525,98 @@ def ext_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CC_MAX_ITERS = 10
+_CC_MAX_ITERS = settings.CC_MAX_ITERS
 
+
+def connected_components(
+    labels: DataFrame, edges: DataFrame, max_iters: int = _CC_MAX_ITERS
+) -> DataFrame:
+    """Distributed connected components: min-label propagation with
+    POINTER DOUBLING, over ``labels (doc_id, component_id)`` (initially
+    component_id = doc_id) and directed ``edges (doc_a, doc_b)`` (callers
+    pass both directions of each undirected pair).
+
+    Each round does two monotone label-shrinking steps:
+
+    1. neighbor-min: every node takes the min label among itself and its
+       neighbors (one hop of propagation);
+    2. pointer doubling: label ← label-of-label (a node pointing at x
+       jumps to x's label).  Labels are always doc_ids of real nodes, so
+       the lookup is a self-join of the label table.
+
+    Step 1 alone needs one round per hop of component eccentricity — a
+    d-doc duplicate CHAIN needs d-1 rounds.  Step 2 roughly halves every
+    node's distance-to-minimum each round, so convergence is O(log d)
+    (the classic parallel-CC shortcutting, e.g. Shiloach-Vishkin):
+    a 30-doc chain converges in ~6 rounds, well inside the default cap.
+    The loop exits early when a round changes nothing (count of changed
+    labels == 0 — the only driver-side value per round) and raises loudly
+    if the cap is hit with labels still moving."""
+    # Truncate lineage up front and per round: labels_k references
+    # labels_{k-1} several times (neighbor join, self-join, changed-count),
+    # so WITHOUT truncation the logical plan multiplies every iteration —
+    # exponential analyzer/driver cost that OOMs long before the data
+    # does.  localCheckpoint materializes each round's labels and swaps
+    # its plan for the materialized blocks (same pattern GraphX uses for
+    # iterative graphs).
+    edges = edges.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+    changed = -1
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        tentative = labels.join(
+            neighbor_min, labels.doc_id == neighbor_min.doc_a, "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("component_id"), F.coalesce("nbr_min", F.col("component_id"))
+            ).alias("component_id"),
+        )
+        # Pointer doubling: component_id ← label(component_id).  The left
+        # join is defensive (labels of real corpora always resolve — every
+        # label IS some doc's id); least() keeps monotonicity even so.
+        parent = tentative.select(
+            F.col("doc_id").alias("p_id"), F.col("component_id").alias("p_label")
+        )
+        new_labels = (
+            tentative.join(parent, tentative.component_id == parent.p_id, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce("p_label", F.col("component_id")),
+                ).alias("component_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        # Dropping the previous round's reference IS the release:
+        # DataFrame.unpersist() would be a no-op on localCheckpoint
+        # blocks (it only clears cache-manager entries); instead the old
+        # RDD becomes unreferenced here and Spark's ContextCleaner frees
+        # its blocks asynchronously, so at most a couple of
+        # (doc_id, label) tables — 16 bytes/doc — are live at once.
+        # The edges blocks are reclaimed the same way when the function
+        # returns and the reference drops.
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — raise SDIS_CC_MAX_ITERS "
+            "for pathologically deep duplicate graphs"
+        )
+    return labels
 
 @register(
     "ext_dedup_cluster",
@@ -547,70 +656,19 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     a canonical flag — the step that turns pairwise dedup into "keep one
     per duplicate cluster".
 
-    Distributed as iterative min-label propagation: each round every node
-    takes the min label among itself and its neighbors; convergence in
-    O(component diameter) rounds (near-dup clusters are clique-ish, so
-    2-3).  Each round is one shuffle-join on doc_id; the loop exits early
-    when a round changes nothing (count of changed labels == 0 — the only
-    driver-side value per round).  The oracle computes the same components
-    via a recursive-CTE transitive closure, so the iterative distributed
-    algorithm is value-checked against a declarative fixpoint."""
+    Distributed via :func:`connected_components` (min-label propagation
+    with pointer doubling — O(log diameter) rounds, each one shuffle-join
+    on doc_id plus a label self-join).  The oracle computes the same
+    components via a recursive-CTE transitive closure, so the iterative
+    distributed algorithm is value-checked against a declarative
+    fixpoint."""
     pairs = ext_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
     docs = table(spark, sf_dir, "documents").select("doc_id")
     labels = docs.select("doc_id", F.col("doc_id").alias("component_id"))
-    # Truncate lineage up front and per round: labels_k references
-    # labels_{k-1} twice (join + changed-count), so WITHOUT truncation the
-    # logical plan doubles every iteration — exponential analyzer/driver
-    # cost that OOMs long before the data does.  localCheckpoint
-    # materializes each round's labels and swaps its plan for the
-    # materialized blocks (same pattern GraphX uses for iterative graphs).
-    edges = edges.localCheckpoint(eager=True)
-    labels = labels.localCheckpoint(eager=True)
-    for _ in range(_CC_MAX_ITERS):
-        neighbor_min = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy("doc_a")
-            .agg(F.min("component_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component_id"), F.coalesce("nbr_min", F.col("component_id"))
-                ).alias("component_id"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component_id") != F.col("o.component_id"))
-            .count()
-        )
-        # Dropping the previous round's reference IS the release:
-        # DataFrame.unpersist() would be a no-op on localCheckpoint
-        # blocks (it only clears cache-manager entries); instead the old
-        # RDD becomes unreferenced here and Spark's ContextCleaner frees
-        # its blocks asynchronously, so at most a couple of
-        # (doc_id, label) tables — 16 bytes/doc — are live at once.
-        # The edges blocks are reclaimed the same way when the function
-        # returns and the reference drops.
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        # Loud beats silently wrong: min-label propagation needs one
-        # round per hop of component eccentricity, so a 12+ doc CHAIN of
-        # near-dups would exceed the cap and return non-minimal labels.
-        raise RuntimeError(
-            f"connected components did not converge in {_CC_MAX_ITERS} rounds "
-            f"({changed} labels still changing) — raise _CC_MAX_ITERS for "
-            "high-diameter duplicate graphs"
-        )
+    labels = connected_components(labels, edges)
     return labels.select(
         "doc_id",
         "component_id",

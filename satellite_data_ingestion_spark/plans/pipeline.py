@@ -129,10 +129,18 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies) → deterministic train/valid/test split → per-split census.
 
     The whole chain is a single Catalyst plan: the canonicalization and
-    gate fuse into the scan projection, dedup is the only wide shuffle
-    (on the canonical key), and the split census reuses the dedup
-    output — at 100 TB this runs as scan → one shuffle → small agg,
-    which is the minimum any dedup pipeline can do."""
+    gate fuse into the scan projection, dedup is the only wide shuffle,
+    and the split census reuses the dedup output — at 100 TB this runs
+    as scan → one shuffle → small agg, which is the minimum any dedup
+    pipeline can do.
+
+    The dedup shuffle is keyed on the 16-byte ``unhex(md5(canonical))``,
+    NOT the canonical string: the census output never needs the string,
+    so hashing first cuts the only wide exchange's payload from the full
+    canonicalized corpus to fixed-width keys.  128-bit keys keep this
+    exact in practice (collision odds < 2^-64 even at 10^12 docs — a
+    64-bit key would not survive 100 TB); the oracle groups on the string
+    and derives identical censuses."""
     docs = table(spark, sf_dir, "documents")
     canonical = F.trim(
         F.regexp_replace(
@@ -142,10 +150,10 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = docs.select(
         "doc_id",
         "lang",
-        canonical.alias("canonical"),
+        F.unhex(F.md5(canonical)).alias("canon_key"),
         F.size(F.split("text", " ")).alias("n_tokens"),
     ).filter(F.col("n_tokens") >= 5)
-    deduped = kept.groupBy("canonical", "lang").agg(
+    deduped = kept.groupBy("canon_key", "lang").agg(
         F.min("doc_id").alias("keep_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )

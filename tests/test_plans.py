@@ -416,6 +416,29 @@ def test_interval_overlap_joins_on_buckets_not_cartesian(spark):
     assert "Generate" in plan, plan  # the bucket explode
 
 
+def test_dedup_exact_exchange_keyed_on_fixed_width_hash(spark):
+    """ext_dedup_exact's dedup shuffle must hash-partition on the 16-byte
+    md5 key, never on the raw text column."""
+    df = registry.spec("ext_dedup_exact").fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts, plan
+    for p in parts:
+        assert "_k" in p, plan
+        assert not p.startswith("text"), plan
+
+
+def test_training_pipeline_exchange_keyed_on_fixed_width_hash(spark):
+    """pipeline_training_data's only wide shuffle must carry the 16-byte
+    canon_key (+ lang), not the canonicalized document string."""
+    df = registry.spec("pipeline_training_data").fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts, plan
+    assert any("canon_key" in p for p in parts), plan
+    assert "canonical" not in plan, plan
+
+
 def test_grouping_sets_single_expand_single_exchange(spark):
     """GROUPING SETS plans one Expand + one aggregation exchange — not a
     union of per-set aggregates re-scanning the fact table."""
