@@ -22,6 +22,7 @@ declared result schema.
 
 from __future__ import annotations
 
+import shutil
 import subprocess
 
 import pandas as pd
@@ -56,6 +57,14 @@ def pipe_transform(df: DataFrame, argv: list[str], schema: str) -> DataFrame:
     must emit exactly as many fields per line as ``schema`` has columns;
     it may emit any number of lines (filtering and expanding transforms
     are legal, as with ``RDD.pipe``).
+
+    Protocol contract on the INPUT side: cells are serialized with
+    ``str(v)``, so input columns must be non-null and free of tabs and
+    newlines — a null would reach the child as the literal string
+    ``'None'``, and an embedded separator would shift every following
+    field.  Callers coalesce nulls and strip separators in the scan
+    projection first (see ``ext_pipe_transform``); map None to '' there
+    explicitly if empty-string semantics are wanted.
     """
     out_schema = StructType.fromDDL(schema)
     names = [f.name for f in out_schema.fields]
@@ -129,6 +138,13 @@ def ext_pipe_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema.  The oracle recomputes the count in SQL on the identically
     escaped text.
     """
+    if shutil.which("awk") is None:
+        # Fail fast in the driver with a clear message instead of a
+        # mid-job executor subprocess error on minimal images.
+        raise RuntimeError(
+            "ext_pipe_transform needs a POSIX awk on PATH (checked on the "
+            "driver; executors must match)"
+        )
     docs = table(spark, sf_dir, "documents").select(
         "doc_id",
         F.trim(

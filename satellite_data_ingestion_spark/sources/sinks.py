@@ -135,7 +135,14 @@ def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     here the rewrite lands in a fresh dir read back directly).  The
     census matching the oracle proves the rewrite is lossless, and the
     file count is pinned IN the result row so a silent no-op compaction
-    hash-mismatches."""
+    hash-mismatches.
+
+    LOCAL-MODE assumption (like ``scan_merge_schema``): the scratch dirs
+    live under the driver's ``tempfile.gettempdir()`` and the file count
+    comes from driver-side ``os.listdir`` — valid only when driver and
+    executors share a filesystem (local[N], as here).  Distributed, the
+    output root must be a shared/staging location (object store, HDFS)
+    and the count must come from the filesystem client, not os."""
     li = table(spark, sf_dir, "lineitem").select("l_quantity")
     scatter = os.path.join(tempfile.gettempdir(), f"sdis_scatter_{os.getpid()}")
     compact = os.path.join(tempfile.gettempdir(), f"sdis_compact_{os.getpid()}")
