@@ -55,6 +55,7 @@ _QUERY_MODULES = [
     "satellite_data_ingestion_spark.streaming.custom_state",
     "satellite_data_ingestion_spark.streaming.joins",
     "satellite_data_ingestion_spark.sources.python_source",
+    "satellite_data_ingestion_spark.sources.rest_catalog",
     "satellite_data_ingestion_spark.llm.dedup",
     "satellite_data_ingestion_spark.llm.simsearch",
     "satellite_data_ingestion_spark.llm.textstats",

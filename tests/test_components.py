@@ -542,3 +542,53 @@ def test_connected_components_still_raises_past_cap(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(labels, edges, max_iters=2)
+
+
+def test_rest_catalog_page_index_pruning():
+    """A pushed ts_epoch range must prune whole pages via the index —
+    pages outside [dtstart, dtend] are never fetched."""
+    import json as _json
+
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from satellite_data_ingestion_spark.sources import rest_catalog as rc
+    from tests.conftest import SF_ORACLE
+
+    endpoint = rc._stage_catalog(SF_ORACLE)
+    with open(os.path.join(endpoint, "index.json")) as f:
+        index = _json.load(f)
+    assert len(index) >= 10, "need enough pages for pruning to be visible"
+
+    reader = rc.RestCatalogReader({"endpoint": endpoint})
+    lo = index[3]["min_ts"]
+    hi = index[5]["max_ts"]
+    unsupported = list(
+        reader.pushFilters(
+            [GreaterThanOrEqual(("ts_epoch",), lo), LessThan(("ts_epoch",), hi)]
+        )
+    )
+    assert unsupported == [], "range filters must be absorbed"
+    parts = reader.partitions()
+    assert 0 < len(parts) <= 4, f"expected ~3 surviving pages, got {len(parts)}"
+    names = {p.fname for p in parts}
+    assert index[0]["file"] not in names and index[-1]["file"] not in names
+
+    # The absorbed bounds are row-exact at the fetch layer.
+    rows = [r for p in parts for r in reader.read(p)]
+    assert rows and all(lo <= r[1] < hi for r in rows)
+
+
+def test_rest_catalog_filter_absorbed_in_plan(spark):
+    """The registered query's plan must carry no ts_epoch comparison above
+    the BatchScan — only the null-check Spark always keeps."""
+    from satellite_data_ingestion_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    df = registry.spec("scan_rest_catalog").fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    filters = _re.findall(r"Filter \(?([^\n]*)", plan)
+    assert filters, plan
+    for cond in filters:
+        assert ">=" not in cond and "<" not in cond, plan
