@@ -271,6 +271,67 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ext_dedup_embedding_cluster",
+    oracle=f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= {_NEAR_DUP_COS}
+),
+edges AS (
+  SELECT a, b FROM pairs
+  UNION ALL
+  SELECT b, a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT vec_id,
+       least(vec_id, coalesce(min(dst), vec_id)) AS component_id,
+       vec_id = least(vec_id, coalesce(min(dst), vec_id)) AS is_canonical
+FROM embeddings LEFT JOIN reach ON src = vec_id
+GROUP BY vec_id
+""",
+)
+def ext_dedup_embedding_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup at CLUSTER granularity: connected components over
+    the embedding near-dup pair graph, every vector labeled with its
+    component's min vec_id and a canonical flag — "keep one per semantic
+    duplicate cluster", the embedding analog of ``ext_dedup_cluster``.
+
+    Composes two verified components: the tiled exact pair join
+    (``ext_dedup_embedding`` — bounded tasks at any label skew) feeds
+    ``llm.dedup.connected_components`` (min-label propagation with
+    pointer doubling, O(log diameter) rounds).  The oracle recomputes the
+    same components declaratively with a recursive-CTE closure over the
+    same pair predicate."""
+    from .dedup import connected_components
+
+    pairs = ext_dedup_embedding(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    vecs = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    labels = connected_components(
+        vecs.select("doc_id", F.col("doc_id").alias("component_id")), edges
+    )
+    return labels.select(
+        F.col("doc_id").alias("vec_id"),
+        "component_id",
+        (F.col("doc_id") == F.col("component_id")).alias("is_canonical"),
+    )
+
+
 _IVF_K = settings.IVF_K
 _IVF_NPROBE = settings.IVF_NPROBE
 _IVF_TRAIN_SAMPLE = settings.IVF_TRAIN_SAMPLE
