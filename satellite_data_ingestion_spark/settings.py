@@ -42,8 +42,11 @@ _BASE: dict[str, int] = {
     "LSH_N_TABLES": 32,
     "LSH_N_PLANES": 24,
     "LSH_PROBE_HAMMING": 5,
-    "IVF_K": 16,
-    "IVF_NPROBE": 6,
+    # IVF: 128 lists / 32 probed (25% of lists) measures recall@10
+    # 0.9/0.9/1.0 at sf0.001/0.01/0.1 probing ~26% of rows — replacing
+    # the old 16/6 posture (0.7 recall at ~38% probed).
+    "IVF_K": 128,
+    "IVF_NPROBE": 32,
     "IVF_TRAIN_SAMPLE": 1024,
     "IVF_ITERS": 5,
     # Range-partition width for the driver-free global shuffle_index

@@ -229,14 +229,14 @@ def test_minhash_recall_against_ground_truth(spark, duck):
 def test_ann_recall_vs_brute_force(spark):
     """Approximate NN must overlap the exact top-10 meaningfully; recall
     tracks the probed fraction on this weakly-clustered corpus (measured:
-    IVF ~0.7 at nprobe 6/16).  Thresholds sit below measurement noise but
-    far above the broken-probe regime."""
+    IVF 0.9 at 128 lists / 32 probed, ~26% of rows).  The threshold sits
+    below measurement noise but far above the broken-probe regime."""
     from satellite_data_ingestion_spark import registry
     from tests.conftest import SF_SMOKE
 
     exact = {r.vec_id for r in registry.spec("ext_sim_cosine").fn(spark, SF_SMOKE).collect()}
     ivf = {r.vec_id for r in registry.spec("ext_sim_ivf").fn(spark, SF_SMOKE).collect()}
-    assert len(exact & ivf) / 10 >= 0.4, f"IVF recall collapsed: {len(exact & ivf)}/10"
+    assert len(exact & ivf) / 10 >= 0.6, f"IVF recall collapsed: {len(exact & ivf)}/10"
 
 
 def test_lsh_recall_and_probe_budget(spark):
