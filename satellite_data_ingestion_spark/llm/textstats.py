@@ -131,13 +131,47 @@ _LANG_PROFILES = {
 }
 
 
-@register("ext_lang_id")  # heuristic classifier → rows-only
+def _lang_id_oracle() -> str:
+    """DuckDB twin of the greatest-struct argmax: list_max over
+    (score, lang) structs compares lexicographically — same score-then-
+    lang-descending tie-break as Spark's greatest()."""
+    items = ",\n           ".join(
+        "{'score': CAST(len(list_intersect(toks, ["
+        + ", ".join(f"'{w}'" for w in words)
+        + f"])) AS INT), 'lang': '{lang}'}}"
+        for lang, words in sorted(_LANG_PROFILES.items())
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, list_distinct(str_split(text, ' ')) AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         list_max([
+           {items}
+         ]) AS best
+  FROM t
+)
+SELECT doc_id,
+       lang AS label_lang,
+       CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS predicted_lang,
+       best.score AS profile_hits
+FROM scored
+"""
+
+
+@register("ext_lang_id", oracle=_lang_id_oracle())
 def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: score each document's token set against
     per-language stopword profiles, predict the argmax (ties → 'und').
-    The corpus' lang labels are synthetic word-soup, so this is registered
-    rows-only; the operator shape (profile scoring via array intersection,
-    argmax via greatest-struct) is the production pattern."""
+    The scoring is fully deterministic (array-intersect counts, argmax
+    via greatest-struct with score-then-lang tie-break), so the oracle
+    hash-checks it: DuckDB's list_max over the same (score, lang) structs
+    reproduces Spark's greatest() ordering exactly.  The corpus' lang
+    labels are synthetic word-soup — predicted_lang is graded against the
+    PROFILES, not the labels; the operator shape is the production
+    pattern."""
     docs = table(spark, sf_dir, "documents")
     toks = F.array_distinct(F.split("text", " "))
     scores = [
