@@ -185,6 +185,8 @@ def ext_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("int")
     def min_table_hamming(col: pd.Series) -> pd.Series:
+        if len(col) == 0:  # empty Arrow batch: np.array([]) is (0,), not (0, dim)
+            return pd.Series([], dtype="int32")
         M = np.array(col.tolist(), dtype=np.float64)  # (batch, dim)
         bits = (M @ flat.T) > 0  # one GEMM for all tables
         ham = (bits.reshape(len(M), _N_TABLES, _N_PLANES) ^ qbits[None]).sum(axis=2)
@@ -418,6 +420,8 @@ def ext_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("int")
     def nearest_centroid(col: pd.Series) -> pd.Series:
+        if len(col) == 0:  # empty Arrow batch: np.array([]) is (0,), not (0, dim)
+            return pd.Series([], dtype="int32")
         M = np.array(col.tolist(), dtype=np.float64)
         # argmax of v·(c/|c|) == argmax cosine: |v| is constant across k.
         return pd.Series(np.argmax(M @ Cn.T, axis=1).astype("int32"))
