@@ -280,8 +280,8 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode to (band_id, band_key, doc_id) → self-join per bucket →
     distinct candidate pairs → exact-Jaccard verification ≥ 0.9.
 
-    Scale properties: the only shuffles are the bucket window/join keyed
-    on (band_id, band_key) and the final distinct; buckets up to
+    Scale properties: the only shuffles are ONE bucket groupBy keyed on
+    (band_id, band_key) and the final distinct; buckets up to
     _MAX_BUCKET docs generate exact all-pairs candidates, HOTTER buckets
     switch to star linking (every doc pairs with the bucket's min doc_id
     only — n-1 candidates instead of n²/2), so worst-case candidate count
@@ -289,7 +289,15 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     through their representative (transitive closure via
     ext_dedup_cluster recovers full cluster membership).  Verification
     touches only surviving candidates.  No global pairwise stage.
-    """
+
+    Candidate generation is MAP-SIDE array math over each bucket's
+    collected doc_id list (JVM transform/filter/flatten) instead of a
+    bucket self-join: a self-join's two sides (plus the hot-bucket
+    branch) each re-derive the whole signature pipeline — the old plan
+    computed the 16-minhash aggregate THREE times and paid three band
+    exchanges; this shape computes it once and shuffles once.  The
+    collected lists are bounded: a bucket's pair array is capped by
+    _MAX_BUCKET² structs and hot buckets only materialize n-1."""
     d = minhash_signatures(_token_sets(spark, sf_dir))
 
     band_structs = ",".join(
@@ -306,30 +314,28 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.expr(f"explode(array({band_structs}))").alias("band")
     ).select("doc_id", "band.band_id", "band.band_key")
 
-    # Size each bucket with a window (one shuffle, payload intact) and
-    # compute its min-doc representative in the same pass.
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("band_id", "band_key")
-    sized = bands.withColumn("bn", F.count(F.lit(1)).over(w)).withColumn(
-        "rep", F.min("doc_id").over(w)
+    buckets = bands.groupBy("band_id", "band_key").agg(
+        F.collect_list("doc_id").alias("docs"),
+        F.count(F.lit(1)).alias("bn"),
+        F.min("doc_id").alias("rep"),
     )
-
-    small = sized.filter(F.col("bn") <= _MAX_BUCKET)
-    l = small.alias("l")
-    r = small.alias("r")
-    pair_cand = l.join(
-        r,
-        (F.col("l.band_id") == F.col("r.band_id"))
-        & (F.col("l.band_key") == F.col("r.band_key"))
-        & (F.col("l.doc_id") < F.col("r.doc_id")),
-    ).select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-
-    star_cand = (
-        sized.filter((F.col("bn") > _MAX_BUCKET) & (F.col("doc_id") != F.col("rep")))
-        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    pairs = F.expr(
+        f"""
+        CASE WHEN bn <= {_MAX_BUCKET} THEN
+          flatten(transform(docs, x ->
+            transform(filter(docs, y -> x < y),
+                      y -> named_struct('doc_a', x, 'doc_b', y))))
+        ELSE
+          transform(filter(docs, y -> y != rep),
+                    y -> named_struct('doc_a', rep, 'doc_b', y))
+        END
+        """
     )
-    cand = pair_cand.union(star_cand).distinct()
+    cand = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
 
     # Exact-Jaccard verification on xxhash64 TOKEN-HASH sets, not string
     # sets: tokens are distinct per doc, so intersecting 8-byte hashes
