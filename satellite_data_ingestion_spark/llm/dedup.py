@@ -157,6 +157,12 @@ def jaccard_pairs(d: DataFrame) -> DataFrame:
         "n",
         F.posexplode(F.slice("toks", F.lit(1), prefix_len)).alias("pos", "ptok"),
     )
+    # Materialize the prefix index ONCE (lazy localCheckpoint): the
+    # self-join below otherwise re-derives the whole df-map + re-sort
+    # pipeline on BOTH sides — Spark plans no ReusedExchange across the
+    # aliases.  At 100 TB this is exactly "persist the prefix index,
+    # then join it to itself".
+    prefixes = prefixes.localCheckpoint(eager=False)
 
     a = prefixes.alias("a")
     b = prefixes.alias("b")
