@@ -438,7 +438,13 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             out[nonempty] = np.concatenate(sig_parts)
         return pd.Series(out)
 
-    sigs = d.select("doc_id", simhash("tok_hashes").alias("sig"))
+    # Materialize signatures ONCE (lazy localCheckpoint): the banded
+    # candidate branches and both verification join sides otherwise each
+    # re-run the Arrow-batched vote fold — the old plan executed the
+    # pandas UDF five times per query.
+    sigs = d.select("doc_id", simhash("tok_hashes").alias("sig")).localCheckpoint(
+        eager=False
+    )
 
     bands = sigs.select(
         "doc_id",
@@ -459,29 +465,33 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Same hot-bucket discipline as minhash: an 8-bit band key has only
     # 256 values, so at corpus scale every bucket is "hot" by count alone
-    # — without a cap the banded self-join degenerates to ~N²/64 pairs.
+    # — without a cap the banded candidates degenerate to ~N²/64 pairs.
     # Buckets over _MAX_BUCKET star-link through their min-doc rep
     # (linear candidates; hamming verification still gates every pair).
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("band_id", "band_key")
-    sized = bands.withColumn("bn", F.count(F.lit(1)).over(w)).withColumn(
-        "rep", F.min("doc_id").over(w)
+    # Candidate generation is map-side array math over each bucket's
+    # collected doc list (one groupBy shuffle), like ext_dedup_minhash.
+    buckets = bands.groupBy("band_id", "band_key").agg(
+        F.collect_list("doc_id").alias("docs"),
+        F.count(F.lit(1)).alias("bn"),
+        F.min("doc_id").alias("rep"),
     )
-    small = sized.filter(F.col("bn") <= _MAX_BUCKET)
-    l = small.alias("l")
-    r = small.alias("r")
-    pair_cand = l.join(
-        r,
-        (F.col("l.band_id") == F.col("r.band_id"))
-        & (F.col("l.band_key") == F.col("r.band_key"))
-        & (F.col("l.doc_id") < F.col("r.doc_id")),
-    ).select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-    star_cand = (
-        sized.filter((F.col("bn") > _MAX_BUCKET) & (F.col("doc_id") != F.col("rep")))
-        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    pairs = F.expr(
+        f"""
+        CASE WHEN bn <= {_MAX_BUCKET} THEN
+          flatten(transform(docs, x ->
+            transform(filter(docs, y -> x < y),
+                      y -> named_struct('doc_a', x, 'doc_b', y))))
+        ELSE
+          transform(filter(docs, y -> y != rep),
+                    y -> named_struct('doc_a', rep, 'doc_b', y))
+        END
+        """
     )
-    cand = pair_cand.union(star_cand).distinct()
+    cand = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
 
     sa = sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a")
     sb = sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b")
