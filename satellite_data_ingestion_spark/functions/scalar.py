@@ -175,10 +175,26 @@ def fn_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("fn_urlencode")  # DuckDB 1.0 has no url_encode → rows-only
+@register(
+    "fn_urlencode",
+    oracle="""
+SELECT p_partkey,
+       replace(replace(replace(p_brand || '/' || p_name,
+                               '#', '%23'),
+                       '/', '%2F'),
+               ' ', '+') AS encoded
+FROM part
+""",
+)
 def fn_urlencode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL path-segment encoding (utils/eumdacapi.py:75).  Spark's
-    built-in url_encode (JVM-side); no DuckDB counterpart → rows-only."""
+    """URL form-encoding (utils/eumdacapi.py:75) via Spark's built-in
+    url_encode (JVM-side java.net.URLEncoder semantics: space → '+',
+    reserved bytes → %XX).  DuckDB has no url_encode, but the input's
+    non-alphanumeric charset is exactly {#, /, space} (pinned by
+    tests/test_components.py::test_urlencode_oracle_charset_assumption),
+    so a three-step replace chain IS the exact oracle; if the corpus ever
+    grows new reserved characters the charset test fails before the hash
+    does."""
     p = table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",

@@ -592,3 +592,15 @@ def test_rest_catalog_filter_absorbed_in_plan(spark):
     assert filters, plan
     for cond in filters:
         assert ">=" not in cond and "<" not in cond, plan
+
+
+def test_urlencode_oracle_charset_assumption(duck):
+    """fn_urlencode's oracle is a replace chain covering exactly the
+    reserved characters present in the corpus ({#, /, space}); this pins
+    that assumption so a corpus regeneration that introduces new reserved
+    characters fails HERE with a clear message, not as a hash mismatch."""
+    rows = duck.sql(
+        "SELECT DISTINCT unnest(str_split(regexp_replace("
+        "p_brand || '/' || p_name, '[a-zA-Z0-9]', '', 'g'), '')) FROM part"
+    ).fetchall()
+    assert {r[0] for r in rows} <= {"#", "/", " "}, rows

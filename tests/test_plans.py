@@ -416,6 +416,28 @@ def test_interval_overlap_joins_on_buckets_not_cartesian(spark):
     assert "Generate" in plan, plan  # the bucket explode
 
 
+def test_minhash_single_signature_pipeline(spark):
+    """The 16-minhash aggregate must appear ONCE in the physical plan
+    (map-side candidate generation) — the bucket-self-join shape computed
+    it three times and paid three band exchanges."""
+    df = registry.spec("ext_dedup_minhash").fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_pipelines = len(re.findall(r"partial_min\(xxhash64\(h", plan)) // 16
+    assert n_pipelines == 1, plan
+    assert plan.count("hashpartitioning(band_id") == 1, plan
+
+
+def test_simhash_single_signature_compute(spark):
+    """The Arrow-batched simhash vote fold must execute at most once:
+    either one ArrowEvalPython node (pre-materialization) or references
+    to the already-checkpointed signature RDD — never multiple live UDF
+    evaluations, and exactly one band exchange."""
+    df = registry.spec("ext_dedup_simhash").fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") <= 1, plan
+    assert plan.count("hashpartitioning(band_id") == 1, plan
+
+
 def test_dedup_exact_exchange_keyed_on_fixed_width_hash(spark):
     """ext_dedup_exact's dedup shuffle must hash-partition on the 16-byte
     md5 key, never on the raw text column."""
