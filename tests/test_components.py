@@ -604,3 +604,18 @@ def test_urlencode_oracle_charset_assumption(duck):
         "p_brand || '/' || p_name, '[a-zA-Z0-9]', '', 'g'), '')) FROM part"
     ).fetchall()
     assert {r[0] for r in rows} <= {"#", "/", " "}, rows
+
+
+def test_rest_catalog_empty_range_yields_no_rows():
+    """A pushed range matching no page must produce zero rows through the
+    no-op partition path, not an error."""
+    from pyspark.sql.datasource import EqualTo
+
+    from satellite_data_ingestion_spark.sources import rest_catalog as rc
+    from tests.conftest import SF_ORACLE
+
+    endpoint = rc._stage_catalog(SF_ORACLE)
+    reader = rc.RestCatalogReader({"endpoint": endpoint})
+    list(reader.pushFilters([EqualTo(("ts_epoch",), -5)]))
+    parts = reader.partitions()
+    assert [r for p in parts for r in reader.read(p)] == []

@@ -3,6 +3,8 @@ per-knob SDIS_<NAME> override, resolved once at import."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from satellite_data_ingestion_spark import settings
@@ -40,3 +42,43 @@ def test_unknown_profile_raises(monkeypatch):
 def test_every_knob_is_exported():
     for name in settings._BASE:
         assert getattr(settings, name) == settings._SETTINGS[name]
+
+
+def test_prod_profile_runs_end_to_end():
+    """SDIS_ENV=prod must be a WORKING configuration, not just documented:
+    run knob-dependent operators (minhash bucket cap, IVF quantizer, tiled
+    embedding join, range-partitioned shuffle index) under the prod
+    overlay in a subprocess (settings resolve at import) and require sane
+    row counts.  Catches a profile value that breaks an operator shape
+    (e.g. a partition count that starves a kernel of rows)."""
+    import subprocess
+    import sys
+
+    code = """
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4").getOrCreate())
+spark.sparkContext.setLogLevel("OFF")
+from satellite_data_ingestion_spark import registry, settings
+assert settings.MAX_BUCKET == 100000 and settings.TILE_P == 64
+registry.load_all()
+sf = "/root/testdata/sf0.001"
+for name, min_rows in [("ext_dedup_minhash", 1), ("ext_sim_ivf", 10),
+                       ("ext_dedup_embedding", 1), ("ext_shuffle_index", 500)]:
+    n = registry.spec(name).fn(spark, sf).count()
+    assert n >= min_rows, f"{name}: {n} rows under prod profile"
+print("PROD_OK")
+"""
+    env = {"SDIS_ENV": "prod", "PATH": os.environ["PATH"]}
+    for k in ("JAVA_HOME", "HOME", "SPARK_HOME", "PYSPARK_PYTHON", "TMPDIR"):
+        if k in os.environ:
+            env[k] = os.environ[k]
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, timeout=420
+    )
+    assert out.returncode == 0 and b"PROD_OK" in out.stdout, (
+        out.stdout[-2000:],
+        out.stderr[-2000:],
+    )
