@@ -372,6 +372,16 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     level the regression test pins, at the cost of more (still bounded)
     candidates per bucket.
 
+    Measured operating point (sf0.01, round 5): the verify threshold —
+    not banding — caps recall: 8-bit bands surface 99.3% of true
+    (Jaccard>=0.9) pairs but hamming<=10 keeps 83% of them, <=14 would
+    keep 99%.  Raising it is NOT worth it on this corpus: same-vocabulary
+    word-soup concentrates signatures, so 22% of ALL pairs already sit at
+    hamming<=10 and 50% at <=14 — the looser gate doubles an already
+    precision-light output (2.8M pairs at sf0.1) for +16 recall points.
+    SimHash is the cheap screen here; the exact paths (ext_ngram_jaccard,
+    ext_dedup_minhash's verified pairs) are the precision tools.
+
     Per-token hashes come from JVM-side xxhash64 (transform — codegen);
     only the bit-vote fold runs in an Arrow-vectorized pandas UDF (numpy
     bit expansion → segment sums), so Python sees one batch per Arrow
