@@ -18,6 +18,9 @@ parallel, one pass); the LSH variant cuts the scan to matching buckets.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -270,6 +273,104 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.label").alias("label"),
             F.round(cos, 6).alias("cos_sim"),
         )
+    )
+
+
+_SIG_CACHE: dict[str, str] = {}
+
+
+def _stage_lsh_signatures(spark: SparkSession, sf_dir: str) -> str:
+    """Precompute and store the multi-table LSH signature column — the
+    ingest-time half of the 100 TB story: one pass over the corpus writes
+    (vec_id, label, sig: array<int> of _N_TABLES b-bit keys) to parquet,
+    so query time never touches raw embeddings until re-rank.  Cached per
+    (process, sf_dir); in production this column lives beside the corpus
+    and is maintained by the ingest pipeline."""
+    key = os.path.abspath(sf_dir)
+    cached = _SIG_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    dim = _embedding_dim(spark, sf_dir)
+    planes = _lsh_tables(dim)
+    flat = planes.reshape(_N_TABLES * _N_PLANES, dim)
+    weights = (1 << np.arange(_N_PLANES, dtype=np.int64))  # bit-pack per table
+
+    @pandas_udf("array<int>")
+    def table_keys(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        M = np.array(col.tolist(), dtype=np.float64)
+        bits = ((M @ flat.T) > 0).reshape(len(M), _N_TABLES, _N_PLANES)
+        keys = (bits * weights[None, None, :]).sum(axis=2).astype(np.int32)
+        return pd.Series(list(keys))
+
+    out = tempfile.mkdtemp(prefix="sdis_lsh_sigs_")
+    (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            table_keys(F.col("embedding").cast("array<double>")).alias("sig"),
+        )
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    _SIG_CACHE[key] = out
+    return out
+
+
+@register("ext_sim_lsh_indexed")  # approximate by construction → rows-only
+def ext_sim_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over STORED LSH signatures — the production query shape that
+    ``ext_sim_lsh`` (which signs the corpus inline) only describes:
+
+    1. ingest wrote the (vec_id, sig) table once (`_stage_lsh_signatures`);
+    2. the query scans SIGNATURES ONLY — 32 ints/row instead of the
+       64-float embedding, ~4x less IO before any pruning — and computes
+       per-table hamming to the query's keys fully JVM-side
+       (zip_with + bit_count over a 32-element array, codegen-friendly);
+    3. only the surviving ~15% of vec_ids join back to the embeddings
+       table for exact-cosine re-rank — the join is a semi-shaped inner
+       on vec_id, so raw vectors are read once for candidates only.
+
+    Same planes/seed as ext_sim_lsh → identical candidates and identical
+    top-k (pinned by test); rows-only like every approximate op."""
+    emb = table(spark, sf_dir, "embeddings")
+    dim = _embedding_dim(spark, sf_dir)
+    planes = _lsh_tables(dim)
+    sig_path = _stage_lsh_signatures(spark, sf_dir)
+
+    qrow = (
+        emb.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select(F.col("embedding").cast("array<double>").alias("qv"))
+        .collect()
+    )  # bounded collect: exactly one query row
+    if not qrow:
+        raise ValueError(f"query vector {_QUERY_VEC_ID} not found in {sf_dir!r}")
+    qv = np.asarray(qrow[0].qv, dtype=np.float64)
+    qbits = np.einsum("lbd,d->lb", planes, qv) > 0
+    qkeys = (qbits * (1 << np.arange(_N_PLANES, dtype=np.int64))[None, :]).sum(axis=1)
+
+    sigs = spark.read.parquet(sig_path)
+    qarr = F.array(*[F.lit(int(k)) for k in qkeys])
+    minham = F.array_min(
+        F.zip_with("sig", qarr, lambda s, q: F.bit_count(s.bitwiseXOR(q)))
+    )
+    cand = sigs.filter(
+        (minham <= _PROBE_H) & (F.col("vec_id") != _QUERY_VEC_ID)
+    ).select("vec_id", "label")
+
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    vec = F.col("embedding").cast("array<double>")
+    cos = F.round(cosine(F.col("v"), F.col("qv")), 6)
+    return (
+        cand.join(emb.select("vec_id", vec.alias("v")), "vec_id")
+        .join(F.broadcast(q))
+        .select("vec_id", "label", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(_TOP_K)
     )
 
 

@@ -619,3 +619,21 @@ def test_rest_catalog_empty_range_yields_no_rows():
     list(reader.pushFilters([EqualTo(("ts_epoch",), -5)]))
     parts = reader.partitions()
     assert [r for p in parts for r in reader.read(p)] == []
+
+
+def test_lsh_indexed_matches_inline(spark):
+    """The stored-signature ANN variant must return EXACTLY the inline
+    variant's top-k (same planes, same seed, same probe budget) — the
+    index changes the IO shape, never the answer."""
+    from satellite_data_ingestion_spark import registry
+    from tests.conftest import SF_ORACLE
+
+    inline = [
+        (r.vec_id, r.label, r.cos_sim)
+        for r in registry.spec("ext_sim_lsh").fn(spark, SF_ORACLE).collect()
+    ]
+    indexed = [
+        (r.vec_id, r.label, r.cos_sim)
+        for r in registry.spec("ext_sim_lsh_indexed").fn(spark, SF_ORACLE).collect()
+    ]
+    assert inline == indexed
