@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.window import Window
 
 from .. import settings
 from ..catalog import table
@@ -57,6 +58,62 @@ def _token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+
+
+def banded_candidate_pairs(
+    bands: DataFrame, max_bucket: int = _MAX_BUCKET
+) -> DataFrame:
+    """Distinct candidate pairs from ``(doc_id, band_id, band_key)`` band
+    rows, with per-row AND per-task memory bounded at ANY bucket size —
+    shared by the minhash and simhash LSH paths.
+
+    Shape: ONE band-key exchange feeding two chained window passes, then
+    a per-row pair projection — no groupBy, no branch, no union:
+
+    1. ``count``/``min`` over the band partition annotate every row with
+       its bucket size ``bn`` and representative ``rep``.
+    2. A second window (same partitioning — the exchange and sort are
+       reused) computes ``collect_list(when(bn <= max_bucket, doc_id))``:
+       the CONDITIONAL input means a hot bucket's aggregation buffer
+       collects NOTHING — a degenerate band key owning half the corpus
+       costs n fixed-width rows, never an n-element array, so window
+       state stays <= max_bucket longs (~800 KB at the prod profile's
+       100k) regardless of corpus size.
+    3. Each row then emits only ITS OWN pairs: all-pairs buckets emit
+       ``(doc_id, y)`` for the y > doc_id in the bucket list (<= bn
+       structs, linear per row — the quadratic bucket-wide flatten of the
+       old shape, up to MAX_BUCKET²/2 structs in ONE array value, is
+       gone); hot buckets emit the single star link ``(rep, doc_id)``.
+
+    The quadratic cost of all-pairs semantics lands only in the OUTPUT
+    cardinality the caller asked for at ``max_bucket``, never in any one
+    row, aggregation buffer, or task."""
+    w = Window.partitionBy("band_id", "band_key")
+    ann = bands.withColumn("bn", F.count(F.lit(1)).over(w)).withColumn(
+        "rep", F.min("doc_id").over(w)
+    )
+    ann = ann.withColumn(
+        "docs",
+        F.collect_list(
+            F.when(F.col("bn") <= F.lit(max_bucket), F.col("doc_id"))
+        ).over(w),
+    )
+    pairs = F.expr(
+        f"""
+        CASE WHEN bn <= {max_bucket} THEN
+          transform(filter(docs, y -> y > doc_id),
+                    y -> named_struct('doc_a', doc_id, 'doc_b', y))
+        WHEN doc_id != rep THEN
+          array(named_struct('doc_a', rep, 'doc_b', doc_id))
+        ELSE array()
+        END
+        """
+    )
+    return (
+        ann.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
     )
 
 
@@ -286,7 +343,7 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode to (band_id, band_key, doc_id) → self-join per bucket →
     distinct candidate pairs → exact-Jaccard verification ≥ 0.9.
 
-    Scale properties: the only shuffles are ONE bucket groupBy keyed on
+    Scale properties: the only shuffles are ONE window exchange keyed on
     (band_id, band_key) and the final distinct; buckets up to
     _MAX_BUCKET docs generate exact all-pairs candidates, HOTTER buckets
     switch to star linking (every doc pairs with the bucket's min doc_id
@@ -296,14 +353,13 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext_dedup_cluster recovers full cluster membership).  Verification
     touches only surviving candidates.  No global pairwise stage.
 
-    Candidate generation is MAP-SIDE array math over each bucket's
-    collected doc_id list (JVM transform/filter/flatten) instead of a
-    bucket self-join: a self-join's two sides (plus the hot-bucket
-    branch) each re-derive the whole signature pipeline — the old plan
-    computed the 16-minhash aggregate THREE times and paid three band
-    exchanges; this shape computes it once and shuffles once.  The
-    collected lists are bounded: a bucket's pair array is capped by
-    _MAX_BUCKET² structs and hot buckets only materialize n-1."""
+    Candidate generation runs through ``banded_candidate_pairs``: a
+    single band exchange (the signature pipeline computes ONCE — the old
+    bucket-self-join shape computed the 16-minhash aggregate three times
+    and paid three band exchanges), windowed bucket stats, and per-row
+    pair emission whose memory is bounded at any bucket size — no row or
+    aggregation buffer ever holds a quadratic pair array, and hot
+    buckets are never collected at all (see the helper's docstring)."""
     d = minhash_signatures(_token_sets(spark, sf_dir))
 
     band_structs = ",".join(
@@ -320,28 +376,7 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.expr(f"explode(array({band_structs}))").alias("band")
     ).select("doc_id", "band.band_id", "band.band_key")
 
-    buckets = bands.groupBy("band_id", "band_key").agg(
-        F.collect_list("doc_id").alias("docs"),
-        F.count(F.lit(1)).alias("bn"),
-        F.min("doc_id").alias("rep"),
-    )
-    pairs = F.expr(
-        f"""
-        CASE WHEN bn <= {_MAX_BUCKET} THEN
-          flatten(transform(docs, x ->
-            transform(filter(docs, y -> x < y),
-                      y -> named_struct('doc_a', x, 'doc_b', y))))
-        ELSE
-          transform(filter(docs, y -> y != rep),
-                    y -> named_struct('doc_a', rep, 'doc_b', y))
-        END
-        """
-    )
-    cand = (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    cand = banded_candidate_pairs(bands)
 
     # Exact-Jaccard verification on xxhash64 TOKEN-HASH sets, not string
     # sets: tokens are distinct per doc, so intersecting 8-byte hashes
@@ -477,31 +512,11 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 256 values, so at corpus scale every bucket is "hot" by count alone
     # — without a cap the banded candidates degenerate to ~N²/64 pairs.
     # Buckets over _MAX_BUCKET star-link through their min-doc rep
-    # (linear candidates; hamming verification still gates every pair).
-    # Candidate generation is map-side array math over each bucket's
-    # collected doc list (one groupBy shuffle), like ext_dedup_minhash.
-    buckets = bands.groupBy("band_id", "band_key").agg(
-        F.collect_list("doc_id").alias("docs"),
-        F.count(F.lit(1)).alias("bn"),
-        F.min("doc_id").alias("rep"),
-    )
-    pairs = F.expr(
-        f"""
-        CASE WHEN bn <= {_MAX_BUCKET} THEN
-          flatten(transform(docs, x ->
-            transform(filter(docs, y -> x < y),
-                      y -> named_struct('doc_a', x, 'doc_b', y))))
-        ELSE
-          transform(filter(docs, y -> y != rep),
-                    y -> named_struct('doc_a', rep, 'doc_b', y))
-        END
-        """
-    )
-    cand = (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    # (linear candidates; hamming verification still gates every pair),
+    # and — critically for 256-value band keys — are never collected:
+    # banded_candidate_pairs' conditional collect keeps window state
+    # bounded by _MAX_BUCKET even when one key owns half the corpus.
+    cand = banded_candidate_pairs(bands)
 
     sa = sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a")
     sb = sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b")

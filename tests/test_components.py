@@ -637,3 +637,44 @@ def test_lsh_indexed_matches_inline(spark):
         for r in registry.spec("ext_sim_lsh_indexed").fn(spark, SF_ORACLE).collect()
     ]
     assert inline == indexed
+
+
+def test_banded_candidates_adversarial_hot_key(spark):
+    """Worst-case skew: ONE band key owns >50% of all docs.  The
+    candidate generator must (a) emit exactly n-1 star-link pairs for
+    the hot bucket — linear, never n²/2 — and (b) never materialize the
+    hot bucket into an array (the conditional collect keeps window state
+    bounded by max_bucket), which we check by asserting total candidate
+    count matches the exact linear+quadratic-only-under-cap bound."""
+    from satellite_data_ingestion_spark.llm.dedup import banded_candidate_pairs
+
+    hot_n, cold_n, cap = 600, 10, 20
+    rows = [(i, 0, 777) for i in range(hot_n)]  # one key owns 98% of docs
+    rows += [(1000 + i, 0, 888) for i in range(cold_n)]  # small all-pairs bucket
+    bands = spark.createDataFrame(rows, "doc_id long, band_id int, band_key long")
+    got = banded_candidate_pairs(bands, max_bucket=cap).collect()
+    star = {(a, b) for a, b in [(r.doc_a, r.doc_b) for r in got] if b < 1000}
+    allp = {(r.doc_a, r.doc_b) for r in got if r.doc_b >= 1000}
+    # hot bucket: exactly n-1 pairs, all anchored at the min doc_id
+    assert len(star) == hot_n - 1
+    assert all(a == 0 and 0 < b < hot_n for a, b in star)
+    # cold bucket under the cap: exact all-pairs
+    assert len(allp) == cold_n * (cold_n - 1) // 2
+    # global bound: nothing quadratic leaked from the hot key
+    assert len(got) == (hot_n - 1) + cold_n * (cold_n - 1) // 2
+
+
+def test_banded_candidates_doc_in_hot_and_cold_buckets(spark):
+    """A doc appearing in BOTH a hot bucket (star-linked) and a small
+    bucket (all-pairs) contributes to both regimes; the final distinct
+    dedups pairs surfaced by multiple bands."""
+    from satellite_data_ingestion_spark.llm.dedup import banded_candidate_pairs
+
+    rows = [(i, 0, 1) for i in range(50)]  # hot under cap=10 → star
+    rows += [(1, 1, 2), (2, 1, 2), (3, 1, 2)]  # small bucket in band 1
+    rows += [(1, 2, 3), (2, 2, 3)]  # band 2 re-surfaces (1,2)
+    bands = spark.createDataFrame(rows, "doc_id long, band_id int, band_key long")
+    got = {(r.doc_a, r.doc_b) for r in banded_candidate_pairs(bands, max_bucket=10).collect()}
+    assert {(0, i) for i in range(1, 50)} <= got  # star links
+    assert {(1, 2), (1, 3), (2, 3)} <= got  # all-pairs (deduped across bands)
+    assert len(got) == 49 + 3
