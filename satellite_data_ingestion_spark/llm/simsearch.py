@@ -91,6 +91,16 @@ def ext_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_TABLES = settings.LSH_N_TABLES
 _N_PLANES = settings.LSH_N_PLANES
+if not 1 <= _N_PLANES <= 31:
+    # Stored signatures bit-pack each table's sign bits into an int32
+    # (_stage_lsh_signatures writes array<int>); 32+ planes would silently
+    # overflow the stored side while the query-side int64 literals stay
+    # exact — hamming would compare garbage and return zero candidates.
+    # Fail at import, naming the knob, instead.
+    raise ValueError(
+        f"SDIS_LSH_N_PLANES={_N_PLANES}: must be in [1, 31] — signatures "
+        "are bit-packed per table into a 32-bit int (sign bit reserved)"
+    )
 _PROBE_H = settings.LSH_PROBE_HAMMING
 _LSH_SEED = 42
 

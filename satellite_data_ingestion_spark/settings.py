@@ -84,10 +84,24 @@ def _resolve() -> dict[str, int]:
             f"SDIS_ENV={profile!r}: unknown profile (have {sorted(_PROFILES)})"
         )
     merged = {**_BASE, **_PROFILES[profile]}
+    # A misspelled override (SDIS_LSH_NTABLES for SDIS_LSH_N_TABLES) must
+    # fail loudly, not silently run on defaults: reject any SDIS_* key
+    # that is not a known knob.
+    known = {f"SDIS_{name}" for name in merged} | {"SDIS_ENV"}
+    unknown = sorted(k for k in os.environ if k.startswith("SDIS_") and k not in known)
+    if unknown:
+        raise ValueError(
+            f"unrecognized settings override(s) {unknown}; known knobs: {sorted(known)}"
+        )
     for name in merged:
         raw = os.environ.get(f"SDIS_{name}")
         if raw is not None:
-            merged[name] = int(raw)
+            try:
+                merged[name] = int(raw)
+            except ValueError:
+                raise ValueError(
+                    f"SDIS_{name}={raw!r}: expected an integer"
+                ) from None
     return merged
 
 

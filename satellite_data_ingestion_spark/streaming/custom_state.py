@@ -220,21 +220,28 @@ def _make_processor():
 
     class UserTotals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._totals = handle.getValueState("totals", "n long, total double")
+            # The running sum is held as an INTEGER count of decimal
+            # ten-thousandths, not a double: cross-batch float addition is
+            # order-dependent, and a sum landing within a half-ulp of a
+            # .00005 boundary could round differently from the oracle's
+            # one-shot SQL sum depending on how events split into
+            # micro-batches.  Integer accumulation is exact and
+            # batch-split-insensitive (corpus values carry <= 4 decimals).
+            self._totals = handle.getValueState("totals", "n long, total_e4 long")
 
         def handleInputRows(self, key, rows, timer_values):
             (user_id,) = key
             if self._totals.exists():
                 prev = self._totals.get()
-                n, total = int(prev[0]), float(prev[1])
+                n, total_e4 = int(prev[0]), int(prev[1])
             else:
-                n, total = 0, 0.0
+                n, total_e4 = 0, 0
             for pdf in rows:
                 n += len(pdf)
-                total += float(pdf["value"].sum())
-            self._totals.update((n, total))
+                total_e4 += int((pdf["value"] * 10000).round().astype("int64").sum())
+            self._totals.update((n, total_e4))
             yield pd.DataFrame(
-                [{"user_id": user_id, "n_events": n, "total_value": round(total, 4)}]
+                [{"user_id": user_id, "n_events": n, "total_value": total_e4 / 10000.0}]
             )
 
         def close(self) -> None:
@@ -265,16 +272,18 @@ def _totals_state(
     totals emitted after the update — byte-identical output contract."""
     (user_id,) = key
     if state.exists:
-        n, total = state.get
-        n, total = int(n), float(total)
+        n, total_e4 = state.get
+        n, total_e4 = int(n), int(total_e4)
     else:
-        n, total = 0, 0.0
+        n, total_e4 = 0, 0
+    # Integer ten-thousandths, like UserTotals: exact, order-insensitive
+    # accumulation so the emitted total cannot flake on batch splits.
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, float(total)))
+        total_e4 += int((pdf["value"] * 10000).round().astype("int64").sum())
+    state.update((n, int(total_e4)))
     yield pd.DataFrame(
-        [{"user_id": user_id, "n_events": n, "total_value": round(total, 4)}]
+        [{"user_id": user_id, "n_events": n, "total_value": total_e4 / 10000.0}]
     )
 
 
@@ -324,7 +333,7 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             staged = grouped.applyInPandasWithState(
                 _totals_state,
                 outputStructType="user_id long, n_events long, total_value double",
-                stateStructType="n long, total double",
+                stateStructType="n long, total_e4 long",
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             )

@@ -82,3 +82,47 @@ print("PROD_OK")
         out.stdout[-2000:],
         out.stderr[-2000:],
     )
+
+
+def test_unknown_override_key_raises(monkeypatch):
+    """A misspelled SDIS_* override must fail loudly, not silently run on
+    defaults."""
+    monkeypatch.setenv("SDIS_LSH_NTABLES", "64")  # typo for SDIS_LSH_N_TABLES
+    with pytest.raises(ValueError, match="SDIS_LSH_NTABLES"):
+        settings._resolve()
+
+
+def test_non_integer_override_names_the_knob(monkeypatch):
+    monkeypatch.setenv("SDIS_MAX_BUCKET", "lots")
+    with pytest.raises(ValueError, match="SDIS_MAX_BUCKET"):
+        settings._resolve()
+
+
+def test_lsh_n_planes_overflow_guard():
+    """Stored LSH signatures bit-pack into int32: 32+ planes would silently
+    overflow the stored side while query keys stay int64 (zero candidates,
+    no error).  The module must refuse to import, naming the knob."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "try:\n"
+        "    import satellite_data_ingestion_spark.llm.simsearch\n"
+        "except ValueError as e:\n"
+        "    assert 'SDIS_LSH_N_PLANES' in str(e), e\n"
+        "    print('GUARD_OK')\n"
+        "else:\n"
+        "    print('NO_RAISE')\n"
+    )
+    env = {"SDIS_LSH_N_PLANES": "32", "PATH": os.environ["PATH"]}
+    for k in ("JAVA_HOME", "HOME", "SPARK_HOME", "PYSPARK_PYTHON", "TMPDIR"):
+        if k in os.environ:
+            env[k] = os.environ[k]
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, timeout=120
+    )
+    assert out.returncode == 0 and b"GUARD_OK" in out.stdout, (
+        out.stdout[-2000:],
+        out.stderr[-2000:],
+    )
