@@ -514,10 +514,11 @@ def ext_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall@10 0.9/0.9/1.0 at sf0.001/0.01/0.1; knobs env-tunable via
     settings.py).  Assignment is one (batch x dim)@(dim x K) GEMM per
     Arrow batch — at K=128 a per-centroid JVM literal fold would blow
-    past codegen limits (see ivf_assign).  At 100 TB the assignment is a
-    scan-speed projection and the probed fraction is the only data read
-    if the corpus is written partitioned by cluster id
-    (`partitionBy("ivf_cluster")` → partition pruning does the skip)."""
+    past codegen limits (see ivf_assign).  At 100 TB the probed fraction
+    is the only data READ, not just the only data kept: see
+    ``ext_sim_ivf_indexed``, which stages the corpus
+    ``partitionBy(ivf_cluster)`` at ingest and probes via statically
+    partition-pruned scan (identical top-k, pinned by test)."""
     emb = table(spark, sf_dir, "embeddings")
     vec = F.col("embedding").cast("array<double>")
     cents = _train_centroids(emb)
@@ -542,6 +543,98 @@ def ext_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.select("vec_id", "label", vec.alias("v"), nearest_centroid(vec).alias("cid"))
         .filter(F.col("cid").isin(sorted(probe)) & (F.col("vec_id") != _QUERY_VEC_ID))
+        .join(F.broadcast(q))
+        .select("vec_id", "label", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(_TOP_K)
+    )
+
+
+_IVF_DIR_CACHE: dict[str, str] = {}
+
+
+def _stage_ivf_partitions(spark: SparkSession, sf_dir: str, cents: np.ndarray) -> str:
+    """Write the corpus parquet PARTITIONED BY inverted-list id — the
+    ingest-time half of the IVF 100 TB story that ``ext_sim_ivf`` only
+    describes: one pass assigns every vector to its nearest centroid (one
+    GEMM per Arrow batch) and lays rows out as
+    ``ivf_cluster=<cid>/part-*.parquet``.  A probe then reads ONLY its
+    NPROBE list directories via static partition pruning — unprobed lists
+    are never opened, so per-query IO is the probed fraction of the
+    corpus by construction, not by filter luck.  Cached per (process,
+    sf_dir); in production this layout is maintained by the ingest
+    pipeline and the quantizer is versioned alongside it."""
+    key = os.path.abspath(sf_dir)
+    cached = _IVF_DIR_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    Cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    @pandas_udf("int")
+    def nearest_centroid(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="int32")
+        M = np.array(col.tolist(), dtype=np.float64)
+        return pd.Series(np.argmax(M @ Cn.T, axis=1).astype("int32"))
+
+    out = tempfile.mkdtemp(prefix="sdis_ivf_lists_")
+    (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            nearest_centroid(F.col("embedding").cast("array<double>")).alias(
+                "ivf_cluster"
+            ),
+        )
+        .write.mode("overwrite")
+        .partitionBy("ivf_cluster")
+        .parquet(out)
+    )
+    _IVF_DIR_CACHE[key] = out
+    return out
+
+
+@register("ext_sim_ivf_indexed")  # approximate by construction → rows-only
+def ext_sim_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over a STORED cluster-partitioned layout — the production
+    query shape whose skip ``ext_sim_ivf`` computes with a filter:
+
+    1. ingest wrote the corpus ``partitionBy(ivf_cluster)`` once
+       (`_stage_ivf_partitions`), one directory per inverted list;
+    2. the query ranks centroids driver-side (K dot products on the
+       already-trained quantizer) and scans ONLY its NPROBE list
+       directories — the ``ivf_cluster IN (...)`` predicate is a static
+       PartitionFilter, so unprobed lists contribute zero files to the
+       scan (pinned by plan test), zero bytes read;
+    3. surviving rows get exact-cosine re-ranked against the broadcast
+       query vector, exactly like the inline variant.
+
+    Same quantizer/seed as ext_sim_ivf → identical probe set and
+    identical top-k (pinned by test); rows-only like every approximate
+    op."""
+    emb = table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    cents = _train_centroids(emb)
+    staged = _stage_ivf_partitions(spark, sf_dir, cents)
+
+    qrow = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(vec.alias("qv")).collect()
+    if not qrow:
+        raise ValueError(f"query vector {_QUERY_VEC_ID} not found in {sf_dir!r}")
+    qv = np.array(qrow[0].qv)
+    Cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    probe = np.argsort(-(Cn @ (qv / np.linalg.norm(qv))))[:_IVF_NPROBE].tolist()
+
+    lists = spark.read.parquet(staged)
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(vec.alias("qv"))
+    cos = F.round(cosine(F.col("v"), F.col("qv")), 6)
+    return (
+        lists.filter(
+            F.col("ivf_cluster").isin(sorted(int(c) for c in probe))
+            & (F.col("vec_id") != _QUERY_VEC_ID)
+        )
+        .select("vec_id", "label", vec.alias("v"))
         .join(F.broadcast(q))
         .select("vec_id", "label", cos.alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))

@@ -678,3 +678,21 @@ def test_banded_candidates_doc_in_hot_and_cold_buckets(spark):
     assert {(0, i) for i in range(1, 50)} <= got  # star links
     assert {(1, 2), (1, 3), (2, 3)} <= got  # all-pairs (deduped across bands)
     assert len(got) == 49 + 3
+
+
+def test_ivf_indexed_matches_inline(spark):
+    """The cluster-partitioned IVF layout must return EXACTLY the inline
+    variant's top-k (same quantizer, same seed, same probe set) — the
+    partitioned layout changes which FILES are read, never the answer."""
+    from satellite_data_ingestion_spark import registry
+    from tests.conftest import SF_ORACLE
+
+    inline = [
+        (r.vec_id, r.label, r.cos_sim)
+        for r in registry.spec("ext_sim_ivf").fn(spark, SF_ORACLE).collect()
+    ]
+    indexed = [
+        (r.vec_id, r.label, r.cos_sim)
+        for r in registry.spec("ext_sim_ivf_indexed").fn(spark, SF_ORACLE).collect()
+    ]
+    assert inline == indexed

@@ -100,3 +100,20 @@ def test_extensions_sql_first(monkeypatch):
             seen_rows_only = True
         else:
             assert not seen_rows_only, f"SQL-oracle extension {k} after rows-only"
+
+
+def test_docs_registry_count_in_sync():
+    """BASELINE.md's registry-size line must equal the live registry —
+    the count drifted by one in two consecutive rounds when maintained
+    by hand, so it is now generated evidence: update the doc when this
+    fails."""
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "BASELINE.md")) as fh:
+        m = re.search(r"Registry size: \*\*(\d+)\*\* registered queries", fh.read())
+    assert m, "BASELINE.md lost its generated registry-size line"
+    assert int(m.group(1)) == len(registry.queries()), (
+        f"BASELINE.md says {m.group(1)}, registry holds {len(registry.queries())}"
+    )
