@@ -155,30 +155,32 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
 def ext_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table sign-LSH approximate nearest neighbors (AND-OR
     composition, the minhash-band construction transplanted to cosine):
-    L=32 independent tables of b=24 sign bits; a vector is a CANDIDATE
-    when ANY table puts it within hamming distance 5 of the query's
+    L=64 independent tables of b=28 sign bits; a vector is a CANDIDATE
+    when ANY table puts it within hamming distance 6 of the query's
     signature.  Exact cosine re-ranks the candidates.
 
     Parameters were fitted by offline simulation on this corpus (true
     top-10 neighbors sit at cos 0.28-0.41 → per-bit flip prob 0.37-0.41,
     i.e. weakly clustered — a single table's per-bit lift is only ~1.2x,
     which is why the old single-table 8-bit/hamming<=2 variant capped at
-    recall 0.4-0.6): L=32/b=24/h<=5 measures recall@10 = 1.0 probing 17%
-    at sf0.01 and 0.8 probing 14% at sf0.1.  Quality knobs env-tunable
-    (settings.py: SDIS_LSH_N_TABLES / SDIS_LSH_N_PLANES /
+    recall 0.4-0.6): L=64/b=28/h<=6 measures recall@10 = 1.0/0.9/0.9
+    probing 18.8%/18.2%/18.3% of the corpus at sf0.001/0.01/0.1 (the
+    round-5 32x24/h<=5 point was 0.8 at sf0.1).  Quality knobs
+    env-tunable (settings.py: SDIS_LSH_N_TABLES / SDIS_LSH_N_PLANES /
     SDIS_LSH_PROBE_HAMMING).
 
     Execution shape: signatures are a vectorized numpy matmul per Arrow
     batch (one scalar pandas UDF computing the min-over-tables hamming to
-    the query — the 768 projections per row would defeat JVM expression
-    codegen, and in numpy they are one (batch x dim)@(dim x 768) GEMM).
-    At 100 TB the signature tensor (L x b bits = 96 bytes/row) is
+    the query — the 1792 projections per row would defeat JVM expression
+    codegen, and in numpy they are one (batch x dim)@(dim x 1792) GEMM).
+    At 100 TB the signature tensor (L ints = 256 bytes/row) is
     precomputed once at ingest and stored columnar beside the corpus;
-    query-time work is then a scan of SIGNATURES (13x less IO than the
-    raw float64 vectors) that prunes ~85% of rows before the exact
-    re-rank touches a single embedding — the standard binary-quantization
-    prefilter.  Approximate recall → rows-only check; the brute-force
-    twin above is the accuracy baseline."""
+    query-time work is then a scan of SIGNATURES (2x less IO than the
+    raw float64 vectors, before parquet's far better compression of
+    int keys) that prunes ~82% of rows before the exact re-rank touches
+    a single embedding — the standard binary-quantization prefilter.
+    Approximate recall → rows-only check; the brute-force twin above is
+    the accuracy baseline."""
     emb = table(spark, sf_dir, "embeddings")
     # Hyperplane dimensionality must match the data: a mismatched plane
     # tensor would silently zero every projection.  One 1-row probe per
@@ -335,11 +337,12 @@ def ext_sim_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ext_sim_lsh`` (which signs the corpus inline) only describes:
 
     1. ingest wrote the (vec_id, sig) table once (`_stage_lsh_signatures`);
-    2. the query scans SIGNATURES ONLY — 32 ints/row instead of the
-       64-float embedding, ~4x less IO before any pruning — and computes
-       per-table hamming to the query's keys fully JVM-side
-       (zip_with + bit_count over a 32-element array, codegen-friendly);
-    3. only the surviving ~15% of vec_ids join back to the embeddings
+    2. the query scans SIGNATURES ONLY — 64 ints/row instead of the
+       64-float embedding, 2x less IO before any pruning (more after
+       parquet compression of the int keys) — and computes per-table
+       hamming to the query's keys fully JVM-side
+       (zip_with + bit_count over a 64-element array, codegen-friendly);
+    3. only the surviving ~18% of vec_ids join back to the embeddings
        table for exact-cosine re-rank — the join is a semi-shaped inner
        on vec_id, so raw vectors are read once for candidates only.
 

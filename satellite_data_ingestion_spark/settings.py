@@ -36,12 +36,14 @@ _BASE: dict[str, int] = {
     # each label's pair space splits into TILE_P^2 tasks.
     "TILE_P": 4,
     # ANN probe budgets (llm/simsearch.py).  The LSH trio was fitted by
-    # offline simulation on this corpus: 32 tables x 24 sign bits with
-    # per-table multiprobe hamming<=5 → recall@10 1.0/0.8 probing 17%/14%
-    # of the corpus at sf0.01/sf0.1.
-    "LSH_N_TABLES": 32,
-    "LSH_N_PLANES": 24,
-    "LSH_PROBE_HAMMING": 5,
+    # offline simulation on this corpus (round 6): 64 tables x 28 sign
+    # bits with per-table multiprobe hamming<=6 → recall@10 1.0/0.9/0.9
+    # probing 18.8%/18.2%/18.3% at sf0.001/0.01/0.1 — the round-5
+    # 32x24/h<=5 point measured 0.8 at sf0.1.  Planes must stay <= 31
+    # (int32 bit-packing guard in simsearch.py).
+    "LSH_N_TABLES": 64,
+    "LSH_N_PLANES": 28,
+    "LSH_PROBE_HAMMING": 6,
     # IVF: 128 lists / 32 probed (25% of lists) measures recall@10
     # 0.9/0.9/1.0 at sf0.001/0.01/0.1 probing ~26% of rows — replacing
     # the old 16/6 posture (0.7 recall at ~38% probed).
