@@ -42,6 +42,17 @@ HEADLINE = [
     "ext_text_stats",
     "pipeline_ingest",
     "pipeline_training_data",
+    # Round 6: the heaviest registered plan families, so a regression in
+    # the most expensive operators is visible round-over-round.  For the
+    # *_indexed variants the one-time ingest staging (signature /
+    # cluster-partitioned layout write) happens in the plan-warm call;
+    # the timed number is query-time work, as in production.
+    "ext_ngram_jaccard",
+    "ext_dedup_cluster",
+    "ext_dedup_embedding_cluster",
+    "ext_sim_ivf",
+    "ext_sim_lsh_indexed",
+    "ext_sim_ivf_indexed",
 ]
 
 
@@ -63,12 +74,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        # warm the plan (file listing, schema inference) once
-        df = fn(spark, sf_dir)
+        # Warm once: first-touch costs that are one-time per process
+        # (ingest staging for *_indexed variants, schema/dim probes,
+        # codegen) land here, NOT in the timed samples.
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         samples = []
         for _ in range(iters):
+            # Time fn() + execution: several operators do their real work
+            # EAGERLY inside fn (iterative connected components, streaming
+            # micro-batch drains) — timing only the final noop write of a
+            # pre-built frame would measure a checkpoint re-read, not the
+            # operator (the round-6 lesson: ext_dedup_cluster "ran" in
+            # 0.025s that way).
             t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)

@@ -392,7 +392,9 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIMHASH_BITS = 64
 _SIMHASH_BAND_BITS = 8
-_SIMHASH_MAX_HAMMING = 10
+# Verify gate, env-tunable (SDIS_SIMHASH_MAX_HAMMING): the measured
+# recall/precision curve on this corpus lives in BASELINE.md.
+_SIMHASH_MAX_HAMMING = settings.SIMHASH_MAX_HAMMING
 
 
 @register("ext_dedup_simhash")  # bit-signature similarity → rows-only
@@ -407,15 +409,17 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     level the regression test pins, at the cost of more (still bounded)
     candidates per bucket.
 
-    Measured operating point (sf0.01, round 5): the verify threshold —
-    not banding — caps recall: 8-bit bands surface 99.3% of true
-    (Jaccard>=0.9) pairs but hamming<=10 keeps 83% of them, <=14 would
-    keep 99%.  Raising it is NOT worth it on this corpus: same-vocabulary
-    word-soup concentrates signatures, so 22% of ALL pairs already sit at
-    hamming<=10 and 50% at <=14 — the looser gate doubles an already
-    precision-light output (2.8M pairs at sf0.1) for +16 recall points.
-    SimHash is the cheap screen here; the exact paths (ext_ngram_jaccard,
-    ext_dedup_minhash's verified pairs) are the precision tools.
+    Measured operating point (sf0.01, round 6): the verify threshold —
+    not banding — caps recall: 8-bit bands surface 99%+ of true
+    (Jaccard>=0.9) pairs but hamming<=10 keeps 83% of them, <=12 keeps
+    96%, <=14 keeps 99% (full curve in BASELINE.md).  The gate is a
+    settings knob (SDIS_SIMHASH_MAX_HAMMING, default 10): the default
+    keeps simhash a cheap precision-leaning SCREEN — same-vocabulary
+    word-soup concentrates signatures, so the looser gates double an
+    already precision-light output (0.27 precision at 10, 0.15 at 14) —
+    while a recall-first user dials it up per run.  The exact paths
+    (ext_ngram_jaccard, ext_dedup_minhash's verified pairs) are the
+    precision tools.
 
     Per-token hashes come from JVM-side xxhash64 (transform — codegen);
     only the bit-vote fold runs in an Arrow-vectorized pandas UDF (numpy
@@ -592,16 +596,24 @@ def connected_components(
        the lookup is a self-join of the label table.
 
     Step 1 alone needs one round per hop of component eccentricity — a
-    d-doc duplicate CHAIN needs d-1 rounds.  Step 2 roughly halves every
-    node's distance-to-minimum each round, so convergence is O(log d)
-    (the classic parallel-CC shortcutting, e.g. Shiloach-Vishkin):
-    a 30-doc chain converges in ~6 rounds, well inside the default cap.
-    The loop exits early when a round changes nothing (count of changed
-    labels == 0 — the only driver-side value per round) and raises loudly
-    if the cap is hit with labels still moving."""
+    d-doc duplicate CHAIN needs d-1 rounds.  Step 2 runs TWICE per round:
+    each doubling roughly halves every node's distance-to-minimum, so a
+    round shrinks it ~4x and convergence is O(log d) with half the rounds
+    of single-doubling (the classic parallel-CC shortcutting, e.g.
+    Shiloach-Vishkin).  At local/bench scale each round's fixed cost
+    (shuffles, checkpoint, count job) dominates the tiny label table, so
+    fewer-but-fatter rounds is the right trade at EVERY scale: a shuffle
+    of the label table costs the same per round regardless of depth.
+
+    Per-round driver work is ONE count over the already-checkpointed
+    frame: the round's output carries a ``moved`` flag computed inline,
+    so no old-vs-new join (the pre-round-6 shape paid an extra shuffle
+    join per round just to count changes).  The loop exits early when a
+    round moves nothing and raises loudly if the cap is hit with labels
+    still moving."""
     # Truncate lineage up front and per round: labels_k references
-    # labels_{k-1} several times (neighbor join, self-join, changed-count),
-    # so WITHOUT truncation the logical plan multiplies every iteration —
+    # labels_{k-1} several times (neighbor join, self-joins), so WITHOUT
+    # truncation the logical plan multiplies every iteration —
     # exponential analyzer/driver cost that OOMs long before the data
     # does.  localCheckpoint materializes each round's labels and swaps
     # its plan for the materialized blocks (same pattern GraphX uses for
@@ -619,42 +631,46 @@ def connected_components(
             neighbor_min, labels.doc_id == neighbor_min.doc_a, "left"
         ).select(
             "doc_id",
+            F.col("component_id").alias("old_label"),
             F.least(
                 F.col("component_id"), F.coalesce("nbr_min", F.col("component_id"))
             ).alias("component_id"),
         )
-        # Pointer doubling: component_id ← label(component_id).  The left
-        # join is defensive (labels of real corpora always resolve — every
-        # label IS some doc's id); least() keeps monotonicity even so.
-        parent = tentative.select(
-            F.col("doc_id").alias("p_id"), F.col("component_id").alias("p_label")
-        )
-        new_labels = (
-            tentative.join(parent, tentative.component_id == parent.p_id, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component_id"),
-                    F.coalesce("p_label", F.col("component_id")),
-                ).alias("component_id"),
+        # Pointer doubling, twice: component_id ← label(component_id).
+        # The left join is defensive (labels of real corpora always
+        # resolve — every label IS some doc's id); least() keeps
+        # monotonicity even so.
+        for _d in range(2):
+            parent = tentative.select(
+                F.col("doc_id").alias("p_id"), F.col("component_id").alias("p_label")
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component_id") != F.col("o.component_id"))
-            .count()
-        )
+            tentative = (
+                tentative.join(parent, tentative.component_id == parent.p_id, "left")
+                .select(
+                    "doc_id",
+                    "old_label",
+                    F.least(
+                        F.col("component_id"),
+                        F.coalesce("p_label", F.col("component_id")),
+                    ).alias("component_id"),
+                )
+            )
+        new_labels = tentative.select(
+            "doc_id",
+            "component_id",
+            (F.col("component_id") != F.col("old_label")).alias("moved"),
+        ).localCheckpoint(eager=True)
+        # One cheap count over the checkpointed blocks — no join.
+        changed = new_labels.filter("moved").count()
         # Dropping the previous round's reference IS the release:
         # DataFrame.unpersist() would be a no-op on localCheckpoint
         # blocks (it only clears cache-manager entries); instead the old
         # RDD becomes unreferenced here and Spark's ContextCleaner frees
         # its blocks asynchronously, so at most a couple of
-        # (doc_id, label) tables — 16 bytes/doc — are live at once.
+        # (doc_id, label) tables — ~17 bytes/doc — are live at once.
         # The edges blocks are reclaimed the same way when the function
         # returns and the reference drops.
-        labels = new_labels
+        labels = new_labels.select("doc_id", "component_id")
         if changed == 0:
             break
     else:

@@ -31,7 +31,18 @@ _BASE: dict[str, int] = {
     "MAX_BUCKET": 500,
     "MINHASH_N_HASHES": 16,
     "MINHASH_N_BANDS": 4,
-    "CC_MAX_ITERS": 10,
+    # SimHash verify gate (popcount(xor) <= H).  The quality dial of a
+    # rows-only SCREEN operator, so it lives here with the other
+    # recall/probe knobs (LSH_PROBE_HAMMING is the same kind of gate):
+    # the measured recall/precision curve on this corpus is in
+    # BASELINE.md — 10 keeps simhash a cheap precision-leaning screen
+    # (recall 0.83); 14 buys +0.16 recall at ~2x the pair output.
+    "SIMHASH_MAX_HAMMING": 10,
+    # 20 rounds close any duplicate graph up to ~1M hops deep under
+    # pointer doubling (O(log d)); the early exit makes headroom free.
+    # 10 was enough at sf0.01 but the sf0.1 corpus chains ~2k docs deep
+    # (caught by the round-6 bench, not the sf0.01 sweep).
+    "CC_MAX_ITERS": 20,
     # Embedding dedup (llm/simsearch.py): block-nested-loop tile factor —
     # each label's pair space splits into TILE_P^2 tasks.
     "TILE_P": 4,
@@ -112,6 +123,7 @@ _SETTINGS = _resolve()
 MAX_BUCKET: int = _SETTINGS["MAX_BUCKET"]
 MINHASH_N_HASHES: int = _SETTINGS["MINHASH_N_HASHES"]
 MINHASH_N_BANDS: int = _SETTINGS["MINHASH_N_BANDS"]
+SIMHASH_MAX_HAMMING: int = _SETTINGS["SIMHASH_MAX_HAMMING"]
 CC_MAX_ITERS: int = _SETTINGS["CC_MAX_ITERS"]
 TILE_P: int = _SETTINGS["TILE_P"]
 LSH_N_TABLES: int = _SETTINGS["LSH_N_TABLES"]

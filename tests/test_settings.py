@@ -15,7 +15,7 @@ def test_defaults_match_base():
     # The tested defaults every oracle was pinned against.
     assert settings.MAX_BUCKET == 500
     assert settings.TILE_P == 4
-    assert settings.CC_MAX_ITERS == 10
+    assert settings.CC_MAX_ITERS == 20
     assert settings.SHUFFLE_PARTITIONS == 16
 
 
