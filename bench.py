@@ -91,6 +91,14 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
+        # Progress to stderr (stdout carries ONLY the one JSON line): a
+        # stuck or regressed query is identifiable mid-run.
+        print(
+            f"[bench] {name}: median {timings[name]}s "
+            f"(samples {[round(s, 3) for s in samples]})",
+            file=sys.stderr,
+            flush=True,
+        )
 
     total = round(sum(timings.values()), 3)
     print(

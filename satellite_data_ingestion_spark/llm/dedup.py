@@ -579,6 +579,41 @@ def ext_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_MAX_ITERS = settings.CC_MAX_ITERS
 
 
+def _checkpoint_reset_stats(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` that also RESETS planner statistics.
+
+    ``Dataset.localCheckpoint`` truncates the lineage but the resulting
+    ``LogicalRDD`` INHERITS the truncated plan's estimated
+    ``sizeInBytes``.  In an iterative join loop that inheritance
+    compounds: each self-join MULTIPLIES the estimates of its two sides
+    (``SizeInBytesOnlyStatsPlanVisitor`` has no column stats to do
+    better), the checkpoint carries the product into the next round, and
+    the estimate's DIGIT COUNT doubles per self-join — after ~10 rounds
+    the driver is multiplying million-digit BigIntegers inside every
+    stats call (``canBroadcastBySize``, ``InjectRuntimeFilter``) and
+    planning a single round takes minutes while executing it takes a
+    second (observed live: the round-6 bench "hang" on
+    ext_dedup_embedding_cluster; jstack showed the planner thread inside
+    ``BigInteger.multiplyToomCook3``).
+
+    Rebuilding the frame from the checkpointed JVM RDD (``RDD[Row]`` —
+    never crosses into Python) gives a fresh ``LogicalRDD`` whose stats
+    fall back to the constant ``spark.sql.defaultSizeInBytes``, so
+    per-round planning cost is flat forever.  The JVM row re-encode is a
+    few ns/row on the small label table; falls back to the plain
+    checkpoint if the JVM surface ever changes."""
+    cp = df.localCheckpoint(eager=True)
+    try:
+        spark = cp.sparkSession
+        jdf = cp._jdf
+        jfresh = spark._jsparkSession.createDataFrame(
+            jdf.toJavaRDD(), jdf.schema()
+        )
+        return DataFrame(jfresh, spark)
+    except Exception:  # pragma: no cover - depends on private JVM surface
+        return cp
+
+
 def connected_components(
     labels: DataFrame, edges: DataFrame, max_iters: int = _CC_MAX_ITERS
 ) -> DataFrame:
@@ -618,8 +653,8 @@ def connected_components(
     # does.  localCheckpoint materializes each round's labels and swaps
     # its plan for the materialized blocks (same pattern GraphX uses for
     # iterative graphs).
-    edges = edges.localCheckpoint(eager=True)
-    labels = labels.localCheckpoint(eager=True)
+    edges = _checkpoint_reset_stats(edges)
+    labels = _checkpoint_reset_stats(labels)
     changed = -1
     for _ in range(max_iters):
         neighbor_min = (
@@ -655,11 +690,13 @@ def connected_components(
                     ).alias("component_id"),
                 )
             )
-        new_labels = tentative.select(
-            "doc_id",
-            "component_id",
-            (F.col("component_id") != F.col("old_label")).alias("moved"),
-        ).localCheckpoint(eager=True)
+        new_labels = _checkpoint_reset_stats(
+            tentative.select(
+                "doc_id",
+                "component_id",
+                (F.col("component_id") != F.col("old_label")).alias("moved"),
+            )
+        )
         # One cheap count over the checkpointed blocks — no join.
         changed = new_labels.filter("moved").count()
         # Dropping the previous round's reference IS the release:
@@ -776,4 +813,106 @@ def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", h.alias("h"))
     return (
         batch.join(corpus, "h", "left_anti").select("doc_id").orderBy("doc_id")
+    )
+
+
+# Segment width (words) for ext_segment_dedup.  SEMANTIC constant — it is
+# baked into both the Spark plan and the DuckDB oracle (changing it changes
+# the answer, not the plan), so per the settings.py policy it lives here.
+_SEGMENT_WORDS = 10
+
+
+@register(
+    "ext_segment_dedup",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), c AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(
+           words[i*{_SEGMENT_WORDS}+1 : (i+1)*{_SEGMENT_WORDS}], ' '
+         ) AS chunk_text
+  FROM w, UNNEST(range(CAST(ceil(len(words)/{_SEGMENT_WORDS}.0) AS BIGINT))) AS t(i)
+), m AS (
+  SELECT doc_id, chunk_idx, chunk_text,
+         row_number() OVER (
+           PARTITION BY chunk_text ORDER BY doc_id, chunk_idx
+         ) AS rn
+  FROM c
+)
+SELECT doc_id,
+       coalesce(
+         string_agg(chunk_text, ' ' ORDER BY chunk_idx) FILTER (WHERE rn = 1),
+         ''
+       ) AS clean_text,
+       count(*) FILTER (WHERE rn > 1) AS n_removed
+FROM m
+GROUP BY doc_id
+""",
+)
+def ext_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level exact dedup with document reconstruction — the
+    CCNet-style "drop duplicated paragraphs, keep the document" pipeline
+    stage (our corpus has no newlines, so a segment is a fixed
+    ``_SEGMENT_WORDS``-word chunk).  The globally FIRST occurrence of
+    each distinct segment (ordered by ``(doc_id, chunk_idx)``) survives;
+    later occurrences are cut from their documents, and every document
+    comes back with its surviving segments re-joined in order plus a
+    removed-segment count.
+
+    Scale shape — two bounded exchanges, no joins:
+
+    1. Chunking is JVM-side (``sequence``/``slice``/``array_join`` inside
+       codegen, one explode) — no shuffle, no Python.
+    2. First-occurrence marking is a ``row_number`` window PARTITIONED ON
+       the 16-byte ``unhex(md5(chunk_text))``: the exchange carries a
+       fixed-width key, and row_number over a sort-based window holds
+       O(1) state per partition, so even a degenerate segment owning half
+       the corpus costs a spillable sort, never a buffered array.
+    3. Reassembly is one groupBy(doc_id) whose state is the document's
+       own surviving chunks — bounded by document length.
+
+    Capability mapping: the reference's ``check_should_update``
+    (``sources/meteosat.py:105-122``) scans a ±30-min window of products
+    and keeps exactly ONE — the first whose date matches the target slot;
+    this is the same keep-first-of-key semantics applied inside documents
+    at corpus scale."""
+    docs = table(spark, sf_dir, "documents")
+    n = _SEGMENT_WORDS
+    chunks = F.expr(
+        f"""
+        transform(
+          sequence(0, cast(ceil(size(words)/{n}.0) as int) - 1),
+          i -> named_struct(
+            'chunk_idx', cast(i as bigint),
+            'chunk_text', array_join(slice(words, i*{n}+1, {n}), ' '))
+        )
+        """
+    )
+    c = (
+        docs.select("doc_id", F.split("text", " ").alias("words"))
+        .select("doc_id", F.explode(chunks).alias("ch"))
+        .select("doc_id", "ch.chunk_idx", "ch.chunk_text")
+    )
+    w = Window.partitionBy(F.unhex(F.md5("chunk_text"))).orderBy(
+        "doc_id", "chunk_idx"
+    )
+    m = c.withColumn("rn", F.row_number().over(w))
+    kept = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("rn") == 1,
+                        F.struct("chunk_idx", "chunk_text"),
+                    )
+                )
+            ),
+            lambda x: x["chunk_text"],
+        ),
+        " ",
+    )
+    return m.groupBy("doc_id").agg(
+        kept.alias("clean_text"),
+        F.count(F.when(F.col("rn") > 1, 1)).alias("n_removed"),
     )

@@ -697,3 +697,124 @@ def test_ivf_indexed_matches_inline(spark):
         for r in registry.spec("ext_sim_ivf_indexed").fn(spark, SF_ORACLE).collect()
     ]
     assert inline == indexed
+
+
+def test_zorder_layout_skips_row_groups(spark):
+    """The Z-ordered layout must make the 32x32 bucket box (1/64 of the
+    key space) skippable from parquet footers alone: the box's pushed
+    range filters on (xb, yb) may intersect only a minority of row
+    groups, while a one-dimensional date-sorted layout leaves the partkey
+    axis unclustered (every row group spans ~the full xb range)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from satellite_data_ingestion_spark.operators import layout
+
+    staged = layout.stage_zorder(spark, "/root/testdata/sf0.001")
+
+    # sanity: the adaptive bucketing must put data IN the box (a fixed
+    # epoch once left the box empty and the skip assertions vacuous)
+    assert (
+        layout.ext_zorder_layout(spark, "/root/testdata/sf0.001").count() > 0
+    )
+
+    def intersecting_fraction(path_glob):
+        total = hit = 0
+        for path in glob.glob(path_glob):
+            md = pq.ParquetFile(path).metadata
+            cols = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                sx = row.column(cols["xb"]).statistics
+                sy = row.column(cols["yb"]).statistics
+                total += 1
+                if (
+                    sx.min <= layout._X_HI
+                    and sx.max >= layout._X_LO
+                    and sy.min <= layout._Y_HI
+                    and sy.max >= layout._Y_LO
+                ):
+                    hit += 1
+        assert total > 0
+        return hit / total, total
+
+    frac, total = intersecting_fraction(staged + "/part-*.parquet")
+    assert total >= 16  # the layout actually fanned out into many files
+    # 1/64 of the key space; Morton tiling keeps the touched fraction an
+    # order of magnitude under "read everything".
+    assert frac <= 0.35, f"z-order skipped too little: {frac:.2f} of {total}"
+
+    # Baseline: same data sorted ONLY by shipdate bucket — the secondary
+    # (partkey) axis stays unclustered, so footer stats cannot skip on it
+    # and nearly every row group intersects the partkey range.
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="sdis_datesort_")
+    (
+        spark.read.parquet(staged)
+        .repartitionByRange(32, "yb")
+        .sortWithinPartitions("yb")
+        .write.mode("overwrite")
+        .parquet(base)
+    )
+    frac_1d, _ = intersecting_fraction(base + "/part-*.parquet")
+    assert frac < frac_1d, (
+        f"z-order ({frac:.2f}) must beat single-dim sort ({frac_1d:.2f})"
+    )
+
+
+def test_segment_dedup_reconstruction_invariants(spark):
+    """Documents that lost no segments must reconstruct EXACTLY; exact
+    duplicate documents (the corpus plants them) must lose all their
+    segments to the first copy; kept segments across the corpus equal the
+    number of DISTINCT segments."""
+    from satellite_data_ingestion_spark.llm.dedup import ext_segment_dedup
+    from satellite_data_ingestion_spark.catalog import table
+
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    out = ext_segment_dedup(spark, sf)
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    j = out.join(docs, "doc_id").cache()
+
+    # untouched docs round-trip byte-for-byte
+    untouched = j.filter(F.col("n_removed") == 0)
+    assert untouched.count() > 0
+    assert untouched.filter(F.col("clean_text") != F.col("text")).count() == 0
+
+    # when the corpus contains exact duplicate docs, the later copy of a
+    # duplicated text must come back fully emptied (every segment already
+    # seen in the first copy) — conditional: not every SF plants exact
+    # dups (sf0.001 has none; near-dups only)
+    dup_losers = (
+        docs.groupBy("text")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("keep"))
+        .filter(F.col("n") > 1)
+    )
+    if dup_losers.count() > 0:
+        emptied = (
+            docs.join(dup_losers, "text")
+            .filter(F.col("doc_id") != F.col("keep"))
+            .join(out, "doc_id")
+        )
+        assert emptied.filter(F.col("clean_text") != "").count() == 0
+
+    # global accounting: kept segments == distinct segments
+    n_words = 10
+    chunks = docs.select(
+        F.explode(
+            F.expr(
+                f"""transform(sequence(0, cast(ceil(size(split(text, ' '))/{n_words}.0) as int) - 1),
+                    i -> array_join(slice(split(text, ' '), i*{n_words}+1, {n_words}), ' '))"""
+            )
+        ).alias("c")
+    )
+    n_distinct = chunks.distinct().count()
+    n_total = chunks.count()
+    removed = out.agg(F.sum("n_removed")).collect()[0][0]
+    assert n_total - removed == n_distinct
+    j.unpersist()
