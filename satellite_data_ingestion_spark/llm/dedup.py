@@ -617,104 +617,131 @@ def _checkpoint_reset_stats(df: DataFrame) -> DataFrame:
 def connected_components(
     labels: DataFrame, edges: DataFrame, max_iters: int = _CC_MAX_ITERS
 ) -> DataFrame:
-    """Distributed connected components: min-label propagation with
-    POINTER DOUBLING, over ``labels (doc_id, component_id)`` (initially
-    component_id = doc_id) and directed ``edges (doc_a, doc_b)`` (callers
-    pass both directions of each undirected pair).
+    """Distributed connected components: min-label propagation with EDGE
+    CONTRACTION and pointer doubling, over ``labels (doc_id,
+    component_id)`` (initially component_id = doc_id) and directed
+    ``edges (doc_a, doc_b)`` (callers pass both directions of each
+    undirected pair).
 
-    Each round does two monotone label-shrinking steps:
+    Each round:
 
-    1. neighbor-min: every node takes the min label among itself and its
-       neighbors (one hop of propagation);
-    2. pointer doubling: label ← label-of-label (a node pointing at x
-       jumps to x's label).  Labels are always doc_ids of real nodes, so
-       the lookup is a self-join of the label table.
+    1. CONTRACT: rewrite every edge endpoint to its current label and
+       drop edges that fall inside one component (``(l(a), l(b))``,
+       ``l(a) != l(b)``, distinct).  The graph the next steps see is the
+       quotient graph over current components — its diameter shrinks
+       geometrically, which static-edge min-propagation (O(diameter)
+       rounds) cannot do.  This is the contraction idea of the
+       MapReduce-CC literature (Kiveris et al., "Connected Components in
+       MapReduce and Beyond", SOCC'14 — public knowledge); measured on
+       the sf0.1 embedding near-dup graph it converges in 4 rounds where
+       the round-5 static-edge loop needed 16.
+    2. HOOK: every representative takes the min label among its
+       contracted neighbors (one groupBy + one join back to nodes).
+    3. SHORTCUT: ``settings.CC_DOUBLINGS`` pointer-doubling passes
+       (label <- label(label), the Shiloach-Vishkin shortcut).  Doubling
+       covers contraction's deterministic worst case — a monotone id
+       chain, where min-hooking shifts labels by one per round and the
+       quotient graph stays a same-length path; each doubling pass
+       doubles the per-round jump instead.
 
-    Step 1 alone needs one round per hop of component eccentricity — a
-    d-doc duplicate CHAIN needs d-1 rounds.  Step 2 runs TWICE per round:
-    each doubling roughly halves every node's distance-to-minimum, so a
-    round shrinks it ~4x and convergence is O(log d) with half the rounds
-    of single-doubling (the classic parallel-CC shortcutting, e.g.
-    Shiloach-Vishkin).  At local/bench scale each round's fixed cost
-    (shuffles, checkpoint, count job) dominates the tiny label table, so
-    fewer-but-fatter rounds is the right trade at EVERY scale: a shuffle
-    of the label table costs the same per round regardless of depth.
+    The loop exits when the contracted graph has no edges left: every
+    component has collapsed to its representative.  A short flatten loop
+    then compresses the remaining label forest (depth <= round count, so
+    it terminates fast) until every node carries its component's global
+    min — pointers always strictly decrease toward the component min, so
+    compression converges to it.  Raises loudly if either loop hits the
+    cap.
 
-    Per-round driver work is ONE count over the already-checkpointed
-    frame: the round's output carries a ``moved`` flag computed inline,
-    so no old-vs-new join (the pre-round-6 shape paid an extra shuffle
-    join per round just to count changes).  The loop exits early when a
-    round moves nothing and raises loudly if the cap is hit with labels
-    still moving."""
-    # Truncate lineage up front and per round: labels_k references
-    # labels_{k-1} several times (neighbor join, self-joins), so WITHOUT
-    # truncation the logical plan multiplies every iteration —
-    # exponential analyzer/driver cost that OOMs long before the data
-    # does.  localCheckpoint materializes each round's labels and swaps
-    # its plan for the materialized blocks (same pattern GraphX uses for
-    # iterative graphs).
-    edges = _checkpoint_reset_stats(edges)
+    Per-round work is 4-5 small-table joins plus TWO actions (edge
+    checkpoint + count); every iteration boundary runs through
+    ``_checkpoint_reset_stats`` — plain localCheckpoint inherits the
+    round's multiplied size estimate and the BigInteger digit count
+    would double per self-join (the round-6 "hang")."""
     labels = _checkpoint_reset_stats(labels)
-    changed = -1
+    e = _checkpoint_reset_stats(edges)
+    n_edges = -1
     for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy("doc_a")
-            .agg(F.min("component_id").alias("nbr_min"))
+        la = labels.select(
+            F.col("doc_id").alias("doc_a"), F.col("component_id").alias("la")
         )
+        lb = labels.select(
+            F.col("doc_id").alias("doc_b"), F.col("component_id").alias("lb")
+        )
+        e = _checkpoint_reset_stats(
+            e.join(la, "doc_a")
+            .join(lb, "doc_b")
+            .filter("la != lb")
+            .select(F.col("la").alias("doc_a"), F.col("lb").alias("doc_b"))
+            .distinct()
+        )
+        # Old rounds' blocks are released by dropping the reference:
+        # unpersist() is a no-op on localCheckpoint blocks; the
+        # ContextCleaner frees unreferenced block RDDs asynchronously,
+        # so at most a couple of small label/edge tables are live.
+        n_edges = e.count()
+        if n_edges == 0:
+            break
+        nm = e.groupBy("doc_a").agg(F.min("doc_b").alias("nbr_min"))
+        rep_upd = nm.select(F.col("doc_a").alias("rep"), "nbr_min")
         tentative = labels.join(
-            neighbor_min, labels.doc_id == neighbor_min.doc_a, "left"
+            rep_upd, labels.component_id == rep_upd.rep, "left"
         ).select(
             "doc_id",
-            F.col("component_id").alias("old_label"),
             F.least(
                 F.col("component_id"), F.coalesce("nbr_min", F.col("component_id"))
             ).alias("component_id"),
         )
-        # Pointer doubling, twice: component_id ← label(component_id).
-        # The left join is defensive (labels of real corpora always
-        # resolve — every label IS some doc's id); least() keeps
-        # monotonicity even so.
-        for _d in range(2):
+        for _d in range(settings.CC_DOUBLINGS):
             parent = tentative.select(
                 F.col("doc_id").alias("p_id"), F.col("component_id").alias("p_label")
             )
-            tentative = (
-                tentative.join(parent, tentative.component_id == parent.p_id, "left")
-                .select(
-                    "doc_id",
-                    "old_label",
-                    F.least(
-                        F.col("component_id"),
-                        F.coalesce("p_label", F.col("component_id")),
-                    ).alias("component_id"),
-                )
-            )
-        new_labels = _checkpoint_reset_stats(
-            tentative.select(
+            tentative = tentative.join(
+                parent, tentative.component_id == parent.p_id, "left"
+            ).select(
                 "doc_id",
-                "component_id",
-                (F.col("component_id") != F.col("old_label")).alias("moved"),
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce("p_label", F.col("component_id")),
+                ).alias("component_id"),
+            )
+        labels = _checkpoint_reset_stats(tentative)
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {max_iters} rounds "
+            f"({n_edges} quotient-graph edges remain) — raise "
+            "SDIS_CC_MAX_ITERS for pathologically deep duplicate graphs"
+        )
+    # Flatten the label forest: component_id <- label(component_id) until
+    # stable.  Each pass halves the remaining pointer depth, which is
+    # bounded by the contraction round count, so this is a handful of
+    # cheap one-join rounds.
+    changed = -1
+    for _ in range(max_iters):
+        parent = labels.select(
+            F.col("doc_id").alias("p_id"), F.col("component_id").alias("p_label")
+        )
+        flat = _checkpoint_reset_stats(
+            labels.join(parent, labels.component_id == parent.p_id, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce("p_label", F.col("component_id")),
+                ).alias("component_id"),
+                (
+                    F.coalesce("p_label", F.col("component_id"))
+                    < F.col("component_id")
+                ).alias("moved"),
             )
         )
-        # One cheap count over the checkpointed blocks — no join.
-        changed = new_labels.filter("moved").count()
-        # Dropping the previous round's reference IS the release:
-        # DataFrame.unpersist() would be a no-op on localCheckpoint
-        # blocks (it only clears cache-manager entries); instead the old
-        # RDD becomes unreferenced here and Spark's ContextCleaner frees
-        # its blocks asynchronously, so at most a couple of
-        # (doc_id, label) tables — ~17 bytes/doc — are live at once.
-        # The edges blocks are reclaimed the same way when the function
-        # returns and the reference drops.
-        labels = new_labels.select("doc_id", "component_id")
+        changed = flat.filter("moved").count()
+        labels = flat.select("doc_id", "component_id")
         if changed == 0:
             break
     else:
         raise RuntimeError(
-            f"connected components did not converge in {max_iters} rounds "
-            f"({changed} labels still changing) — raise SDIS_CC_MAX_ITERS "
-            "for pathologically deep duplicate graphs"
+            f"connected components label flattening did not converge in "
+            f"{max_iters} rounds ({changed} labels still moving)"
         )
     return labels
 
@@ -762,7 +789,14 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     components via a recursive-CTE transitive closure, so the iterative
     distributed algorithm is value-checked against a declarative
     fixpoint."""
-    pairs = ext_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # Materialize the expensive pair join ONCE before the both-directions
+    # union: the union's two branches each embed the full prefix-filtered
+    # join plan, and whole-plan exchange reuse is not guaranteed across
+    # them — without this the join can execute twice inside the CC edge
+    # checkpoint.
+    pairs = _checkpoint_reset_stats(
+        ext_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    )
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )

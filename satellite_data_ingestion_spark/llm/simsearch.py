@@ -263,12 +263,29 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.xxhash64("vec_id"), F.lit(_TILE_P)).alias("chunk"),
     )
     slots = F.explode(F.array(*[F.lit(i) for i in range(_TILE_P)]))
-    a = emb.select(
-        "label", F.col("chunk").alias("ti"), slots.alias("tj"), "vec_id", "v"
-    ).alias("a")
-    b = emb.select(
-        "label", slots.alias("ti"), F.col("chunk").alias("tj"), "vec_id", "v"
-    ).alias("b")
+    # EXPLICIT-count repartition on the join keys, both sides: the join
+    # stage is compute-bound (each row pair costs a dim-length cosine
+    # fold) but its shuffle bytes are tiny, so AQE's size-based
+    # coalescing would run the whole pairwise stage in 1-2 tasks
+    # (measured: 9.3s in 2 tasks at sf0.1 vs ~1s spread).  A
+    # user-specified partition COUNT is exempt from AQE coalescing, and
+    # identical (count, keys) on both sides co-partitions the join with
+    # no extra exchange.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = (
+        emb.select(
+            "label", F.col("chunk").alias("ti"), slots.alias("tj"), "vec_id", "v"
+        )
+        .repartition(n_part, "label", "ti", "tj")
+        .alias("a")
+    )
+    b = (
+        emb.select(
+            "label", slots.alias("ti"), F.col("chunk").alias("tj"), "vec_id", "v"
+        )
+        .repartition(n_part, "label", "ti", "tj")
+        .alias("b")
+    )
     cos = cosine(F.col("a.v"), F.col("b.v"))
     return (
         a.join(
@@ -427,10 +444,14 @@ def ext_dedup_embedding_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     pointer doubling, O(log diameter) rounds).  The oracle recomputes the
     same components declaratively with a recursive-CTE closure over the
     same pair predicate."""
-    from .dedup import connected_components
+    from .dedup import _checkpoint_reset_stats, connected_components
 
-    pairs = ext_dedup_embedding(spark, sf_dir).select(
-        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    # Materialize the tiled pair join ONCE before the both-directions
+    # union (its two branches each embed the full join plan).
+    pairs = _checkpoint_reset_stats(
+        ext_dedup_embedding(spark, sf_dir).select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
     )
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))

@@ -43,6 +43,12 @@ _BASE: dict[str, int] = {
     # 10 was enough at sf0.01 but the sf0.1 corpus chains ~2k docs deep
     # (caught by the round-6 bench, not the sf0.01 sweep).
     "CC_MAX_ITERS": 20,
+    # Pointer doublings per CC round: distance-to-minimum shrinks ~2^d
+    # per round, so total joins ~ (1+d)/d * log2(diameter) DECREASES in d
+    # while the per-round plan gets d joins deeper.  3 halves the round
+    # count of the round-5 d=2 posture on the sf0.1 graphs (measured);
+    # past ~4 the extra join outweighs the saved rounds at bench scale.
+    "CC_DOUBLINGS": 3,
     # Embedding dedup (llm/simsearch.py): block-nested-loop tile factor —
     # each label's pair space splits into TILE_P^2 tasks.
     "TILE_P": 4,
@@ -125,6 +131,7 @@ MINHASH_N_HASHES: int = _SETTINGS["MINHASH_N_HASHES"]
 MINHASH_N_BANDS: int = _SETTINGS["MINHASH_N_BANDS"]
 SIMHASH_MAX_HAMMING: int = _SETTINGS["SIMHASH_MAX_HAMMING"]
 CC_MAX_ITERS: int = _SETTINGS["CC_MAX_ITERS"]
+CC_DOUBLINGS: int = _SETTINGS["CC_DOUBLINGS"]
 TILE_P: int = _SETTINGS["TILE_P"]
 LSH_N_TABLES: int = _SETTINGS["LSH_N_TABLES"]
 LSH_N_PLANES: int = _SETTINGS["LSH_N_PLANES"]
