@@ -53,6 +53,8 @@ HEADLINE = [
     "ext_sim_ivf",
     "ext_sim_lsh_indexed",
     "ext_sim_ivf_indexed",
+    "ext_segment_dedup",
+    "ext_zorder_layout",
 ]
 
 
