@@ -51,6 +51,7 @@ _QUERY_MODULES = [
     "satellite_data_ingestion_spark.sources.catalog_json",
     "satellite_data_ingestion_spark.sources.sinks",
     "satellite_data_ingestion_spark.sources.acid",
+    "satellite_data_ingestion_spark.sources.delta_log",
     "satellite_data_ingestion_spark.streaming.windows",
     "satellite_data_ingestion_spark.streaming.state",
     "satellite_data_ingestion_spark.streaming.custom_state",

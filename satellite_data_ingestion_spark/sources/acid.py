@@ -4,7 +4,10 @@
 delta-spark is not installable in this environment, so this module
 implements the commit protocol that ACID table formats (Delta, Iceberg)
 are built on — snapshot manifests + an atomically-swapped version pointer
-— as a first-class, oracle-checkable operator:
+— as a first-class, oracle-checkable operator (the sibling
+``sources/delta_log.py`` additionally writes the REAL on-disk Delta
+`_delta_log` format per the public protocol spec, closing the
+format-interop side):
 
 - **Write**: each commit stages its parquet files under a unique
   ``data/snap-<n>-<uuid>/`` directory.  Staged files are invisible to

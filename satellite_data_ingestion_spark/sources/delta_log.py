@@ -1,0 +1,236 @@
+"""Delta-protocol table sink: a real ``_delta_log`` transaction log
+(`sink_delta_table`).
+
+``BASELINE.json:7`` names "Parquet/Delta" as the reference's sink
+surface.  ``sink_acid_table`` (acid.py) implements the write-audit-
+publish COMMIT PROTOCOL in a bespoke manifest format; this module closes
+the remaining interop gap by writing the actual on-disk format of the
+open Delta Lake protocol (delta.io PROTOCOL.md — public knowledge), so
+any standard Delta reader could open the table.  delta-spark is not
+installable in this container, so conformance is exercised by this
+module's own log-replay reader plus structural tests over the JSON
+actions; the format itself follows the public spec:
+
+- table root holds parquet data files and ``_delta_log/``;
+- commit ``n`` is ``_delta_log/<n padded to 20 digits>.json`` —
+  newline-delimited JSON actions;
+- version 0 carries ``protocol`` (minReaderVersion 1 / minWriterVersion
+  2: plain append/overwrite needs no higher feature level) and
+  ``metaData`` (table id, ``format: parquet``, ``schemaString`` — the
+  Spark StructType JSON, which IS Delta's schema encoding,
+  ``partitionColumns``);
+- every commit carries ``add`` actions (path, partitionValues, size,
+  modificationTime, dataChange) and, for overwrite, ``remove``
+  tombstones for the files it displaces;
+- a reader replays actions of versions 0..v in order: live files =
+  adds minus removes; reading at v < latest is time travel.
+
+Commit atomicity is the same primitive acid.py uses: the fully-written
+log entry is ``os.link``ed to its versioned name — EEXIST means a
+concurrent committer won that version, so rebase and retry (on an object
+store this is the conditional-put the Delta spec requires of the log
+store).
+
+At 100 TB: the log grows one small JSON per commit regardless of data
+volume, appends never rewrite data, and ``add.stats`` (per-file min/max,
+omitted here) is where data-skipping stats would ride — the layout work
+(`ext_zorder_layout`) composes with this sink unchanged.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+_PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+class DeltaLogTable:
+    """Minimal Delta-protocol table: parquet data files + ``_delta_log``
+    newline-JSON commits, with append / overwrite / versioned read."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.log_dir = os.path.join(root, "_delta_log")
+        os.makedirs(self.log_dir, exist_ok=True)
+
+    # -- log plumbing -------------------------------------------------
+
+    def _version_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:020d}.json")
+
+    def latest_version(self) -> int:
+        versions = [
+            int(os.path.basename(p).split(".")[0])
+            for p in glob.glob(os.path.join(self.log_dir, "*.json"))
+        ]
+        return max(versions) if versions else -1
+
+    def _actions(self, version: int) -> list[dict]:
+        with open(self._version_path(version)) as fh:
+            return [json.loads(line) for line in fh if line.strip()]
+
+    def _replay(self, version: int) -> tuple[list[str], str | None]:
+        """Live file list + schemaString after replaying commits 0..version."""
+        live: dict[str, bool] = {}
+        schema = None
+        for v in range(version + 1):
+            for action in self._actions(v):
+                if "metaData" in action:
+                    schema = action["metaData"]["schemaString"]
+                elif "add" in action:
+                    live[action["add"]["path"]] = True
+                elif "remove" in action:
+                    live.pop(action["remove"]["path"], None)
+        return sorted(live), schema
+
+    # -- write path ---------------------------------------------------
+
+    def _stage_files(self, df: DataFrame) -> list[dict]:
+        """Write ``df`` as parquet and move the part files into the table
+        root under fresh names; returns their ``add`` actions."""
+        staged = os.path.join(self.root, f".staged-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staged)
+        adds = []
+        for part in sorted(glob.glob(os.path.join(staged, "part-*.parquet"))):
+            name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+            dest = os.path.join(self.root, name)
+            shutil.move(part, dest)
+            st = os.stat(dest)
+            adds.append(
+                {
+                    "add": {
+                        "path": name,
+                        "partitionValues": {},
+                        "size": st.st_size,
+                        "modificationTime": int(st.st_mtime * 1000),
+                        "dataChange": True,
+                    }
+                }
+            )
+        shutil.rmtree(staged, ignore_errors=True)
+        return adds
+
+    def _publish(self, actions: list[dict]) -> int:
+        """Atomically publish ``actions`` as the next log version.
+
+        The entry is fully written to a temp file first, then ``os.link``
+        both publishes it and detects a lost race (EEXIST -> another
+        committer took the version; rebase by retrying on the new head).
+        """
+        while True:
+            version = self.latest_version() + 1
+            payload = list(actions)
+            if version == 0:
+                payload = [
+                    {"protocol": dict(_PROTOCOL)},
+                    {
+                        "metaData": {
+                            "id": str(uuid.uuid4()),
+                            "format": {"provider": "parquet", "options": {}},
+                            "schemaString": self._schema_string,
+                            "partitionColumns": [],
+                            "configuration": {},
+                        }
+                    },
+                ] + payload
+            tmp = tempfile.NamedTemporaryFile(
+                mode="w", dir=self.log_dir, suffix=".tmp", delete=False
+            )
+            with tmp as fh:
+                for action in payload:
+                    fh.write(json.dumps(action) + "\n")
+            try:
+                os.link(tmp.name, self._version_path(version))
+                os.unlink(tmp.name)
+                return version
+            except FileExistsError:
+                os.unlink(tmp.name)  # lost the race: rebase onto new head
+
+    def commit_append(self, df: DataFrame) -> int:
+        self._schema_string = df.schema.json()
+        return self._publish(self._stage_files(df))
+
+    def commit_overwrite(self, df: DataFrame) -> int:
+        """Replace the table contents: adds for the new files plus remove
+        tombstones for every file live at the current head."""
+        self._schema_string = df.schema.json()
+        head = self.latest_version()
+        removes = []
+        if head >= 0:
+            live, _ = self._replay(head)
+            removes = [
+                {"remove": {"path": p, "dataChange": True}} for p in live
+            ]
+        return self._publish(self._stage_files(df) + removes)
+
+    # -- read path ----------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        head = self.latest_version()
+        if head < 0:
+            raise ValueError(f"{self.root!r} has no Delta log")
+        v = head if version is None else version
+        live, schema = self._replay(v)
+        if not live:
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema))
+            )
+        return self.spark.read.parquet(
+            *[os.path.join(self.root, p) for p in live]
+        )
+
+
+@register(
+    "sink_delta_table",
+    oracle="""
+SELECT l_returnflag,
+       count(*)                  AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def sink_delta_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through a Delta-protocol table: three appends split the
+    fact table by line number, an overwrite is committed and then
+    time-travel-read PAST (proving tombstone replay), and the final read
+    of the pre-overwrite version must aggregate to exactly the clean
+    lineitem oracle — a raw recursive parquet read of the table root
+    would also sweep in the overwrite's files and double-count.
+
+    Capability mapping: the reference publishes each processed slot as
+    per-band files under the output dir and trusts the directory listing
+    (``sources/meteosat.py:174-185``); the log-replay read is the
+    atomic, versioned form of that publish step."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    root = tempfile.mkdtemp(prefix="sdis_delta_")
+    t = DeltaLogTable(spark, root)
+    t.commit_append(li.filter(F.col("l_linenumber") <= 2))
+    t.commit_append(li.filter(F.col("l_linenumber").between(3, 4)))
+    v_full = t.commit_append(li.filter(F.col("l_linenumber") >= 5))
+    # A later overwrite must be invisible when reading v_full.
+    t.commit_overwrite(li.filter(F.col("l_linenumber") == 1).limit(1))
+    return (
+        t.read(version=v_full)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
