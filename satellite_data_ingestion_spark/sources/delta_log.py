@@ -175,6 +175,60 @@ class DeltaLogTable:
             ]
         return self._publish(self._stage_files(df) + removes)
 
+    def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+        """OPTIMIZE-style bin-packing compaction: rewrite the live file
+        set into ~``target_file_bytes`` files and commit adds + removes
+        with ``dataChange: false`` — table CONTENTS are untouched (the
+        spec's signal that incremental consumers may skip the commit),
+        only the physical layout changes.
+
+        This is the maintenance half of the 100 TB ingest story: a
+        streaming or micro-batch append pipeline accretes many small
+        files (one+ per trigger per partition); scan cost and driver
+        file-listing state grow with file COUNT, not bytes.  Periodic
+        bin-packing keeps the file count ~bytes/target regardless of how
+        the data arrived.  The rewrite reads only live files (log
+        replay), writes through the same staged path as any commit, and
+        publishes atomically — readers at any version never see a
+        half-compacted table."""
+        head = self.latest_version()
+        live, _ = self._replay(head)
+        if not live:
+            return head
+        total = sum(
+            os.stat(os.path.join(self.root, p)).st_size for p in live
+        )
+        n_out = max(1, -(-total // target_file_bytes))  # ceil
+        df = self.spark.read.parquet(
+            *[os.path.join(self.root, p) for p in live]
+        ).repartition(n_out)
+        self._schema_string = df.schema.json()
+        adds = self._stage_files(df)
+        for a in adds:
+            a["add"]["dataChange"] = False
+        removes = [
+            {"remove": {"path": p, "dataChange": False}} for p in live
+        ]
+        return self._publish(adds + removes)
+
+    def vacuum(self) -> list[str]:
+        """Delete data files referenced by NO live version's replay —
+        the retention-expired cleanup step (retention window collapsed to
+        'not reachable from the head', the only sane policy without
+        wall-clock dependence in tests; production adds a tombstone-age
+        check before each delete).  Time travel to versions whose files
+        were vacuumed stops working, exactly as in the real protocol."""
+        head = self.latest_version()
+        live, _ = self._replay(head)
+        keep = set(live)
+        deleted = []
+        for path in glob.glob(os.path.join(self.root, "part-*.parquet")):
+            name = os.path.basename(path)
+            if name not in keep:
+                os.unlink(path)
+                deleted.append(name)
+        return sorted(deleted)
+
     # -- read path ----------------------------------------------------
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -228,6 +282,46 @@ def sink_delta_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.commit_overwrite(li.filter(F.col("l_linenumber") == 1).limit(1))
     return (
         t.read(version=v_full)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "sink_delta_compaction",
+    oracle="""
+SELECT l_returnflag,
+       count(*)                  AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_linenumber <= 4
+GROUP BY l_returnflag
+""",
+)
+def sink_delta_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round-trip: four fragmenting appends (each
+    multi-file), an OPTIMIZE-style ``compact()``, then ``vacuum()`` of
+    the now-unreferenced fragments — and the head read must STILL
+    aggregate to exactly the oracle, proving compaction changed layout,
+    never contents, and vacuum deleted only unreachable files.
+
+    The pytest side additionally pins the physics: file count shrinks,
+    compaction adds carry ``dataChange: false``, and vacuum leaves every
+    live file on disk (tests/test_delta_log.py)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    root = tempfile.mkdtemp(prefix="sdis_delta_opt_")
+    t = DeltaLogTable(spark, root)
+    for ln in range(1, 5):  # four appends, each repartitioned into shards
+        t.commit_append(li.filter(F.col("l_linenumber") == ln).repartition(4))
+    t.compact()
+    t.vacuum()
+    return (
+        t.read()
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

@@ -102,3 +102,38 @@ def test_empty_after_overwrite_with_empty_frame(spark, tbl):
     assert tbl.read().count() == 0
     # schema survives through metaData replay
     assert tbl.read().columns == ["x"]
+
+
+def test_compact_binpacks_without_changing_contents(spark, tbl):
+    for i in range(4):
+        tbl.commit_append(_df(spark, list(range(i * 10, i * 10 + 10))).repartition(3))
+    live_before, _ = tbl._replay(tbl.latest_version())
+    assert len(live_before) >= 8
+    before = sorted(r.x for r in tbl.read().collect())
+    v = tbl.compact()
+    live_after, _ = tbl._replay(v)
+    assert len(live_after) < len(live_before)
+    assert sorted(r.x for r in tbl.read().collect()) == before
+    # spec signal: layout-only commits carry dataChange: false on every action
+    actions = [
+        json.loads(line) for line in open(tbl._version_path(v)) if line.strip()
+    ]
+    for a in actions:
+        body = a.get("add") or a.get("remove")
+        assert body["dataChange"] is False
+
+
+def test_vacuum_deletes_only_unreachable_files(spark, tbl):
+    tbl.commit_append(_df(spark, [1, 2, 3]).repartition(2))
+    tbl.commit_append(_df(spark, [4]).repartition(2))
+    before = sorted(r.x for r in tbl.read().collect())
+    tbl.compact()
+    on_disk_before = set(glob.glob(os.path.join(tbl.root, "part-*.parquet")))
+    deleted = tbl.vacuum()
+    assert deleted, "fragments must be vacuumed"
+    live, _ = tbl._replay(tbl.latest_version())
+    # every live file survived; every deleted file was unreachable
+    for p in live:
+        assert os.path.isfile(os.path.join(tbl.root, p))
+    assert sorted(r.x for r in tbl.read().collect()) == before
+    assert set(glob.glob(os.path.join(tbl.root, "part-*.parquet"))) < on_disk_before
