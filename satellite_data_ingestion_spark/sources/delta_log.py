@@ -32,9 +32,11 @@ store this is the conditional-put the Delta spec requires of the log
 store).
 
 At 100 TB: the log grows one small JSON per commit regardless of data
-volume, appends never rewrite data, and ``add.stats`` (per-file min/max,
-omitted here) is where data-skipping stats would ride — the layout work
-(`ext_zorder_layout`) composes with this sink unchanged.
+volume, appends never rewrite data, and every ``add`` carries the
+spec's ``stats`` JSON (numRecords + column min/max from the parquet
+footer), which the reader uses for file skipping from log metadata
+alone — the layout work (`ext_zorder_layout`) composes with this sink
+unchanged.
 """
 
 from __future__ import annotations
@@ -81,41 +83,101 @@ class DeltaLogTable:
         with open(self._version_path(version)) as fh:
             return [json.loads(line) for line in fh if line.strip()]
 
-    def _replay(self, version: int) -> tuple[list[str], str | None]:
-        """Live file list + schemaString after replaying commits 0..version."""
-        live: dict[str, bool] = {}
+    def _replay_actions(
+        self, version: int
+    ) -> tuple[dict[str, dict], str | None, list[str]]:
+        """Live ``path -> add action`` map, schemaString, and partition
+        columns after replaying commits 0..version."""
+        live: dict[str, dict] = {}
         schema = None
+        partition_cols: list[str] = []
         for v in range(version + 1):
             for action in self._actions(v):
                 if "metaData" in action:
                     schema = action["metaData"]["schemaString"]
+                    partition_cols = action["metaData"].get(
+                        "partitionColumns", []
+                    )
                 elif "add" in action:
-                    live[action["add"]["path"]] = True
+                    live[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     live.pop(action["remove"]["path"], None)
+        return live, schema, partition_cols
+
+    def _replay(self, version: int) -> tuple[list[str], str | None]:
+        """Live file list + schemaString after replaying commits 0..version."""
+        live, schema, _ = self._replay_actions(version)
         return sorted(live), schema
 
     # -- write path ---------------------------------------------------
 
-    def _stage_files(self, df: DataFrame) -> list[dict]:
-        """Write ``df`` as parquet and move the part files into the table
-        root under fresh names; returns their ``add`` actions."""
+    @staticmethod
+    def _file_stats(path: str) -> str:
+        """Delta-style per-file ``stats`` JSON (numRecords + column
+        min/max from the parquet footer) — the payload a Delta reader
+        uses for file skipping without opening data files."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        mins: dict = {}
+        maxs: dict = {}
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for i in range(row.num_columns):
+                col = row.column(i)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                name = md.schema.column(i).name
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    lo, hi = lo.decode("utf-8", "replace"), hi.decode(
+                        "utf-8", "replace"
+                    )
+                if hasattr(lo, "isoformat"):
+                    lo, hi = lo.isoformat(), hi.isoformat()
+                mins[name] = lo if name not in mins else min(mins[name], lo)
+                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+        return json.dumps(
+            {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs}
+        )
+
+    def _stage_files(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> list[dict]:
+        """Write ``df`` as parquet (optionally Hive-partitioned) and move
+        the part files into the table root under fresh names; returns
+        their ``add`` actions with partitionValues and footer stats."""
         staged = os.path.join(self.root, f".staged-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(staged)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staged)
         adds = []
-        for part in sorted(glob.glob(os.path.join(staged, "part-*.parquet"))):
+        for part in sorted(
+            glob.glob(os.path.join(staged, "**", "part-*.parquet"), recursive=True)
+        ):
+            rel_dir = os.path.relpath(os.path.dirname(part), staged)
+            pvals: dict[str, str] = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, _, v = seg.partition("=")
+                    pvals[k] = v
             name = f"part-{uuid.uuid4().hex}.snappy.parquet"
-            dest = os.path.join(self.root, name)
+            rel = name if rel_dir == "." else os.path.join(rel_dir, name)
+            dest = os.path.join(self.root, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
             shutil.move(part, dest)
             st = os.stat(dest)
             adds.append(
                 {
                     "add": {
-                        "path": name,
-                        "partitionValues": {},
+                        "path": rel,
+                        "partitionValues": pvals,
                         "size": st.st_size,
                         "modificationTime": int(st.st_mtime * 1000),
                         "dataChange": True,
+                        "stats": self._file_stats(dest),
                     }
                 }
             )
@@ -140,7 +202,9 @@ class DeltaLogTable:
                             "id": str(uuid.uuid4()),
                             "format": {"provider": "parquet", "options": {}},
                             "schemaString": self._schema_string,
-                            "partitionColumns": [],
+                            "partitionColumns": getattr(
+                                self, "_partition_columns", []
+                            ),
                             "configuration": {},
                         }
                     },
@@ -158,22 +222,30 @@ class DeltaLogTable:
             except FileExistsError:
                 os.unlink(tmp.name)  # lost the race: rebase onto new head
 
-    def commit_append(self, df: DataFrame) -> int:
+    def commit_append(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> int:
         self._schema_string = df.schema.json()
-        return self._publish(self._stage_files(df))
+        self._partition_columns = list(partition_by or [])
+        return self._publish(self._stage_files(df, partition_by))
 
     def commit_overwrite(self, df: DataFrame) -> int:
         """Replace the table contents: adds for the new files plus remove
         tombstones for every file live at the current head."""
         self._schema_string = df.schema.json()
         head = self.latest_version()
+        partition_by: list[str] = []
         removes = []
         if head >= 0:
-            live, _ = self._replay(head)
+            live_map, _, partition_by = self._replay_actions(head)
             removes = [
-                {"remove": {"path": p, "dataChange": True}} for p in live
+                {"remove": {"path": p, "dataChange": True}}
+                for p in sorted(live_map)
             ]
-        return self._publish(self._stage_files(df) + removes)
+        self._partition_columns = partition_by
+        return self._publish(
+            self._stage_files(df, partition_by or None) + removes
+        )
 
     def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
         """OPTIMIZE-style bin-packing compaction: rewrite the live file
@@ -192,18 +264,18 @@ class DeltaLogTable:
         publishes atomically — readers at any version never see a
         half-compacted table."""
         head = self.latest_version()
-        live, _ = self._replay(head)
-        if not live:
+        live_map, _, partition_cols = self._replay_actions(head)
+        if not live_map:
             return head
+        live = sorted(live_map)
         total = sum(
             os.stat(os.path.join(self.root, p)).st_size for p in live
         )
         n_out = max(1, -(-total // target_file_bytes))  # ceil
-        df = self.spark.read.parquet(
-            *[os.path.join(self.root, p) for p in live]
-        ).repartition(n_out)
+        df = self.read().repartition(n_out)
         self._schema_string = df.schema.json()
-        adds = self._stage_files(df)
+        self._partition_columns = partition_cols
+        adds = self._stage_files(df, partition_cols or None)
         for a in adds:
             a["add"]["dataChange"] = False
         removes = [
@@ -222,30 +294,99 @@ class DeltaLogTable:
         live, _ = self._replay(head)
         keep = set(live)
         deleted = []
-        for path in glob.glob(os.path.join(self.root, "part-*.parquet")):
-            name = os.path.basename(path)
-            if name not in keep:
+        for path in glob.glob(
+            os.path.join(self.root, "**", "part-*.parquet"), recursive=True
+        ):
+            rel = os.path.relpath(path, self.root)
+            if rel not in keep:
                 os.unlink(path)
-                deleted.append(name)
+                deleted.append(rel)
         return sorted(deleted)
 
     # -- read path ----------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def _prune(
+        self, adds: dict[str, dict], where: dict | None
+    ) -> list[str]:
+        """File skipping from LOG METADATA alone: drop files whose
+        partitionValues mismatch an exact predicate or whose stats
+        min/max range excludes a range predicate.  ``where`` maps column
+        -> exact value, or column -> (lo, hi) inclusive range.  Files
+        with no stats for a predicated column are conservatively kept."""
+        if not where:
+            return sorted(adds)
+        kept = []
+        for path, add in adds.items():
+            ok = True
+            stats = json.loads(add["stats"]) if "stats" in add else {}
+            for col, pred in where.items():
+                if col in add.get("partitionValues", {}):
+                    want = pred if not isinstance(pred, tuple) else None
+                    if want is not None and add["partitionValues"][col] != str(
+                        want
+                    ):
+                        ok = False
+                        break
+                    continue
+                lo_hi = (
+                    pred if isinstance(pred, tuple) else (pred, pred)
+                )
+                mn = stats.get("minValues", {}).get(col)
+                mx = stats.get("maxValues", {}).get(col)
+                if mn is None or mx is None:
+                    continue  # no stats: must read the file
+                if mx < lo_hi[0] or mn > lo_hi[1]:
+                    ok = False
+                    break
+            if ok:
+                kept.append(path)
+        return sorted(kept)
+
+    def read(
+        self, version: int | None = None, where: dict | None = None
+    ) -> DataFrame:
+        """Read at ``version`` (head when None).  ``where`` enables
+        LOG-METADATA file skipping (partitionValues equality + stats
+        ranges) — it prunes the file list, it does not apply the row
+        filter; callers still ``.filter()`` for exact semantics, exactly
+        like a real Delta reader.  Partition columns are reconstructed
+        from partitionValues (Hive-partitioned data files do not store
+        them), cast through the metaData schema."""
         head = self.latest_version()
         if head < 0:
             raise ValueError(f"{self.root!r} has no Delta log")
         v = head if version is None else version
-        live, schema = self._replay(v)
-        if not live:
-            from pyspark.sql.types import StructType
+        adds, schema, partition_cols = self._replay_actions(v)
+        live = self._prune(adds, where)
+        from pyspark.sql.types import StructType
 
-            return self.spark.createDataFrame(
-                [], StructType.fromJson(json.loads(schema))
+        full_schema = StructType.fromJson(json.loads(schema))
+        if not live:
+            return self.spark.createDataFrame([], full_schema)
+        if not partition_cols:
+            return self.spark.read.parquet(
+                *[os.path.join(self.root, p) for p in live]
             )
-        return self.spark.read.parquet(
-            *[os.path.join(self.root, p) for p in live]
-        )
+        # group live files by partition tuple, rebuild the columns
+        groups: dict[tuple, list[str]] = {}
+        for path in live:
+            key = tuple(
+                adds[path]["partitionValues"][c] for c in partition_cols
+            )
+            groups.setdefault(key, []).append(path)
+        types = {f.name: f.dataType for f in full_schema.fields}
+        parts = []
+        for key, paths in sorted(groups.items()):
+            df = self.spark.read.parquet(
+                *[os.path.join(self.root, p) for p in paths]
+            )
+            for c, val in zip(partition_cols, key):
+                df = df.withColumn(c, F.lit(val).cast(types[c]))
+            parts.append(df.select([f.name for f in full_schema.fields]))
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.union(df)
+        return out
 
 
 @register(
@@ -323,6 +464,53 @@ def sink_delta_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.read()
         .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "sink_delta_partitioned",
+    oracle="""
+SELECT l_linenumber,
+       count(*)                  AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_returnflag = 'A'
+GROUP BY l_linenumber
+""",
+)
+def sink_delta_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned Delta table + log-metadata file skipping: two
+    appends write lineitem ``partitionBy(l_returnflag)`` (partitionValues
+    in every add action, partitionColumns in metaData, partition columns
+    NOT stored in the data files — the spec's layout), then the read
+    prunes to the ``l_returnflag = 'A'`` partition from the LOG alone
+    and reconstructs the partition column through the metaData schema.
+    The residual ``.filter`` keeps exact semantics, as in a real Delta
+    reader; the oracle is the same filtered aggregate on raw lineitem.
+
+    At 100 TB the predicate opens only its partition directories' files
+    — zero bytes read outside them, by metadata, not by filter luck
+    (tests pin that the pruned file list is exactly the partition's and
+    that stats ranges skip non-overlapping files)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    root = tempfile.mkdtemp(prefix="sdis_delta_part_")
+    t = DeltaLogTable(spark, root)
+    t.commit_append(
+        li.filter(F.col("l_orderkey") % 2 == 0), partition_by=["l_returnflag"]
+    )
+    t.commit_append(
+        li.filter(F.col("l_orderkey") % 2 == 1), partition_by=["l_returnflag"]
+    )
+    return (
+        t.read(where={"l_returnflag": "A"})
+        .filter(F.col("l_returnflag") == "A")
+        .groupBy("l_linenumber")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),

@@ -137,3 +137,53 @@ def test_vacuum_deletes_only_unreachable_files(spark, tbl):
         assert os.path.isfile(os.path.join(tbl.root, p))
     assert sorted(r.x for r in tbl.read().collect()) == before
     assert set(glob.glob(os.path.join(tbl.root, "part-*.parquet"))) < on_disk_before
+
+
+def test_partitioned_write_layout_and_pruning(spark, tbl):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (40, "c")], "x long, k string"
+    )
+    tbl.commit_append(df, partition_by=["k"])
+    adds, schema, pcols = tbl._replay_actions(tbl.latest_version())
+    assert pcols == ["k"]
+    # spec layout: Hive dirs, partitionValues on every add, partition
+    # column absent from the data file but present in stats? (stats only
+    # cover stored columns)
+    for path, add in adds.items():
+        assert path.startswith("k=")
+        assert add["partitionValues"] == {"k": path.split("=")[1].split("/")[0]}
+        stats = json.loads(add["stats"])
+        assert "x" in stats["minValues"] and "k" not in stats["minValues"]
+        assert stats["numRecords"] >= 1
+    # partition pruning from log metadata alone
+    pruned = tbl._prune(adds, {"k": "a"})
+    assert pruned and all(p.startswith("k=a/") for p in pruned)
+    # stats-range pruning on a non-partition column
+    pruned = tbl._prune(adds, {"x": (35, 50)})
+    assert pruned == [p for p in sorted(adds) if p.startswith("k=c/")]
+    # read reconstructs the partition column with the schema type
+    out = tbl.read(where={"k": "a"})
+    assert sorted((r.x, r.k) for r in out.collect()) == [(1, "a"), (2, "a")]
+    assert dict(out.dtypes)["k"] == "string"
+
+
+def test_partitioned_compact_and_vacuum_preserve_layout(spark, tbl):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(20)], "x long, k string"
+    )
+    tbl.commit_append(df.repartition(3), partition_by=["k"])
+    tbl.commit_append(
+        spark.createDataFrame([(100, "a")], "x long, k string"),
+        partition_by=["k"],
+    )
+    before = sorted(r.x for r in tbl.read().collect())
+    tbl.compact()
+    tbl.vacuum()
+    adds, _, pcols = tbl._replay_actions(tbl.latest_version())
+    assert pcols == ["k"]
+    assert all(p.startswith("k=") for p in adds)
+    assert sorted(r.x for r in tbl.read().collect()) == before
+    # pruned read still correct post-compaction
+    assert sorted(
+        r.x for r in tbl.read(where={"k": "b"}).collect()
+    ) == [i for i in range(20) if i % 2 == 0]
