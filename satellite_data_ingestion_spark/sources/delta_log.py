@@ -222,12 +222,39 @@ class DeltaLogTable:
             except FileExistsError:
                 os.unlink(tmp.name)  # lost the race: rebase onto new head
 
+    def last_txn_version(self, app_id: str) -> int:
+        """Highest committed ``txn`` version for ``app_id`` (-1 if none)
+        — the spec's idempotent-writer handshake: a streaming writer
+        stamps each commit with (appId, epoch) and SKIPS epochs at or
+        below this watermark, so micro-batch retries cannot double-write."""
+        head = self.latest_version()
+        last = -1
+        for v in range(head + 1):
+            for action in self._actions(v):
+                if "txn" in action and action["txn"]["appId"] == app_id:
+                    last = max(last, action["txn"]["version"])
+        return last
+
     def commit_append(
-        self, df: DataFrame, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
+        """Append commit; with ``txn=(appId, epoch)`` the commit is
+        IDEMPOTENT: an epoch at or below the app's committed watermark is
+        skipped entirely (no files staged, no log entry) and the current
+        head is returned — exactly-once for at-least-once callers."""
+        if txn is not None and txn[1] <= self.last_txn_version(txn[0]):
+            return self.latest_version()
         self._schema_string = df.schema.json()
         self._partition_columns = list(partition_by or [])
-        return self._publish(self._stage_files(df, partition_by))
+        actions: list[dict] = []
+        if txn is not None:
+            actions.append(
+                {"txn": {"appId": txn[0], "version": txn[1]}}
+            )
+        return self._publish(actions + self._stage_files(df, partition_by))
 
     def commit_overwrite(self, df: DataFrame) -> int:
         """Replace the table contents: adds for the new files plus remove
@@ -516,3 +543,78 @@ def sink_delta_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
     )
+
+
+@register(
+    "sink_delta_stream",
+    oracle="""
+SELECT event_type,
+       count(*)            AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY event_type
+""",
+)
+def sink_delta_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once STREAMING ingest into the Delta table — the spec's
+    ``txn`` action in anger: a foreachBatch writer stamps every commit
+    with (appId, batch epoch); after the stream drains, the LAST batch
+    is re-delivered by hand (the at-least-once retry Structured
+    Streaming can issue after a crash between sink write and checkpoint
+    commit), and the idempotent commit path must SKIP it — the table
+    then aggregates to exactly the source oracle, where a double-write
+    would hash-mismatch.
+
+    This composes the engine's streaming checkpoint semantics with the
+    table format's writer watermark: two independent exactly-once
+    mechanisms, which is precisely how production Delta streaming sinks
+    work (checkpoint for restarts, txn for sink-side replays)."""
+    from ..catalog import _prepare
+    from ..streaming.state import _few_shuffle_partitions, _stage_events
+
+    _prepare(spark)
+    staging = _stage_events(spark, sf_dir, 3, "deltastream")
+    schema = spark.read.parquet(staging).schema
+    root = tempfile.mkdtemp(prefix="sdis_delta_stream_")
+    t = DeltaLogTable(spark, root)
+    app = "sdis-events-ingest"
+    seen: list[tuple[int, DataFrame]] = []
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        batch = df.select("event_id", "event_type", "value")
+        t.commit_append(batch, txn=(app, batch_id))
+        seen.append((batch_id, batch))
+
+    with _few_shuffle_partitions(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(staging)
+            .writeStream.foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    assert seen, "stream delivered no batches"
+    head_before = t.latest_version()
+    # Simulated post-crash re-delivery of the final batch: the txn
+    # watermark must swallow it.
+    last_id, last_df = seen[-1]
+    write_batch(last_df, last_id)
+    if t.latest_version() != head_before:
+        raise RuntimeError("txn watermark failed: replayed batch committed")
+
+    out = (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    # Bounded collect: aggregated per-type totals (handful of rows),
+    # materialized so the staging/table dirs can be torn down.
+    result = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(staging, ignore_errors=True)
+    return result

@@ -187,3 +187,20 @@ def test_partitioned_compact_and_vacuum_preserve_layout(spark, tbl):
     assert sorted(
         r.x for r in tbl.read(where={"k": "b"}).collect()
     ) == [i for i in range(20) if i % 2 == 0]
+
+
+def test_txn_watermark_makes_appends_idempotent(spark, tbl):
+    df1, df2 = _df(spark, [1]), _df(spark, [2])
+    v0 = tbl.commit_append(df1, txn=("app", 0))
+    v1 = tbl.commit_append(df2, txn=("app", 1))
+    assert (v0, v1) == (0, 1)
+    assert tbl.last_txn_version("app") == 1
+    # replays at or below the watermark are swallowed — no log entry,
+    # no files, head unchanged
+    assert tbl.commit_append(df2, txn=("app", 1)) == 1
+    assert tbl.commit_append(df1, txn=("app", 0)) == 1
+    assert tbl.latest_version() == 1
+    assert sorted(r.x for r in tbl.read().collect()) == [1, 2]
+    # other apps have their own watermark
+    assert tbl.last_txn_version("other") == -1
+    assert tbl.commit_append(_df(spark, [3]), txn=("other", 0)) == 2
