@@ -131,9 +131,14 @@ class DeltaLogTable:
                 name = md.schema.column(i).name
                 lo, hi = st.min, st.max
                 if isinstance(lo, bytes):
-                    lo, hi = lo.decode("utf-8", "replace"), hi.decode(
-                        "utf-8", "replace"
-                    )
+                    # Stats order must be EXACT or pruning skips wrongly:
+                    # record byte stats only when they round-trip as
+                    # UTF-8 (true strings); raw binary columns get no
+                    # stats and are conservatively never skipped.
+                    try:
+                        lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                    except UnicodeDecodeError:
+                        continue
                 if hasattr(lo, "isoformat"):
                     lo, hi = lo.isoformat(), hi.isoformat()
                 mins[name] = lo if name not in mins else min(mins[name], lo)

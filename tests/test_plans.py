@@ -486,3 +486,14 @@ def test_ivf_indexed_partition_pruning(spark):
     m = _re.search(r"partition count: (\d+)", plan)
     if m:  # format differs across Spark versions; the filter assert holds regardless
         assert int(m.group(1)) <= settings.IVF_NPROBE, plan
+
+
+def test_zorder_box_filters_pushed_to_staged_scan(spark):
+    """The z-order box predicates must reach the staged parquet scan as
+    pushed range filters on BOTH bucket columns — with the Morton-sorted
+    layout these are exactly the filters row-group stats can satisfy."""
+    plan = plan_of(spark, "ext_zorder_layout")
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    for col in ("xb", "yb"):
+        assert f"GreaterThanOrEqual({col}" in pushed, pushed
+        assert f"LessThanOrEqual({col}" in pushed, pushed
