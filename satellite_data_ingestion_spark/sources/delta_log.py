@@ -199,6 +199,35 @@ class DeltaLogTable:
         while True:
             version = self.latest_version() + 1
             payload = list(actions)
+            if version > 0:
+                # Schema evolution: when this commit's schema differs
+                # from the last committed metaData, re-emit the metaData
+                # action (the spec's mechanism — readers use the LATEST
+                # metaData and project older files through it, absent
+                # columns reading as null).
+                _, prev_schema, prev_parts = self._replay_actions(
+                    version - 1
+                )
+                if prev_schema is not None and (
+                    json.loads(prev_schema)
+                    != json.loads(self._schema_string)
+                ):
+                    payload = [
+                        {
+                            "metaData": {
+                                "id": str(uuid.uuid4()),
+                                "format": {
+                                    "provider": "parquet",
+                                    "options": {},
+                                },
+                                "schemaString": self._schema_string,
+                                "partitionColumns": getattr(
+                                    self, "_partition_columns", prev_parts
+                                ),
+                                "configuration": {},
+                            }
+                        }
+                    ] + payload
             if version == 0:
                 payload = [
                     {"protocol": dict(_PROTOCOL)},
@@ -396,7 +425,9 @@ class DeltaLogTable:
         if not live:
             return self.spark.createDataFrame([], full_schema)
         if not partition_cols:
-            return self.spark.read.parquet(
+            # Explicit schema projects older files through the evolved
+            # table schema: columns they predate read as null.
+            return self.spark.read.schema(full_schema).parquet(
                 *[os.path.join(self.root, p) for p in live]
             )
         # group live files by partition tuple, rebuild the columns
@@ -407,9 +438,14 @@ class DeltaLogTable:
             )
             groups.setdefault(key, []).append(path)
         types = {f.name: f.dataType for f in full_schema.fields}
+        from pyspark.sql.types import StructType as _St
+
+        data_schema = _St(
+            [f for f in full_schema.fields if f.name not in partition_cols]
+        )
         parts = []
         for key, paths in sorted(groups.items()):
-            df = self.spark.read.parquet(
+            df = self.spark.read.schema(data_schema).parquet(
                 *[os.path.join(self.root, p) for p in paths]
             )
             for c, val in zip(partition_cols, key):

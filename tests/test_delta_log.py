@@ -204,3 +204,24 @@ def test_txn_watermark_makes_appends_idempotent(spark, tbl):
     # other apps have their own watermark
     assert tbl.last_txn_version("other") == -1
     assert tbl.commit_append(_df(spark, [3]), txn=("other", 0)) == 2
+
+
+def test_schema_evolution_null_fills_old_files(spark, tbl):
+    """Adding a column re-emits metaData (the spec's evolution
+    mechanism); readers project OLD files through the latest schema with
+    the new column null, and time travel still sees the old schema."""
+    tbl.commit_append(_df(spark, [1, 2]))
+    v1 = tbl.commit_append(
+        spark.createDataFrame([(3, "c")], "x long, tag string")
+    )
+    out = tbl.read()
+    assert set(out.columns) == {"x", "tag"}
+    rows = {r.x: r.tag for r in out.collect()}
+    assert rows == {1: None, 2: None, 3: "c"}
+    # the evolving commit carries a fresh metaData action
+    actions = [
+        json.loads(line) for line in open(tbl._version_path(v1)) if line.strip()
+    ]
+    assert any("metaData" in a for a in actions)
+    # time travel to v0: original schema
+    assert tbl.read(version=0).columns == ["x"]
