@@ -119,3 +119,124 @@ def ext_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "slot")
     )
+
+
+# Subsequence-search constants — SEMANTIC (baked into the oracle).
+_TS_M = 16  # query/window length, in points
+_TS_K = 10  # top-k windows returned
+_TS_QUERY_TYPE = "click"  # the series whose first _TS_M points are the query
+
+
+@register(
+    "ext_ts_subseq_search",
+    oracle=f"""
+WITH s AS (
+  SELECT event_type,
+         array_agg(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS arr
+  FROM events GROUP BY event_type
+),
+q AS (SELECT arr[1:{_TS_M}] AS qv FROM s WHERE event_type = '{_TS_QUERY_TYPE}'),
+qs AS (
+  SELECT qv,
+         list_aggregate(qv, 'sum') / {_TS_M} AS mq,
+         sqrt(greatest(
+           list_aggregate([x * x FOR x IN qv], 'sum') / {_TS_M}
+             - (list_aggregate(qv, 'sum') / {_TS_M})
+               * (list_aggregate(qv, 'sum') / {_TS_M}),
+           0)) AS sq
+  FROM q
+),
+w AS (
+  SELECT event_type, i AS start_idx, arr[i + 1 : i + {_TS_M}] AS wv
+  FROM s, UNNEST(range(len(arr) - {_TS_M} + 1)) AS t(i)
+),
+d AS (
+  SELECT event_type, start_idx,
+         list_aggregate(wv, 'sum') / {_TS_M}            AS mw,
+         list_aggregate([x * x FOR x IN wv], 'sum') / {_TS_M} AS sw2,
+         list_inner_product(wv, qs.qv) / {_TS_M}        AS dotm,
+         qs.mq, qs.sq
+  FROM w, qs
+)
+SELECT event_type, start_idx,
+       round(sqrt(greatest(2 * {_TS_M} * (1 - CASE
+         WHEN sqrt(greatest(sw2 - mw * mw, 0)) * sq = 0 THEN 0
+         ELSE (dotm - mw * mq) / (sqrt(greatest(sw2 - mw * mw, 0)) * sq)
+       END), 0)), 6) AS dist
+FROM d
+ORDER BY dist, event_type, start_idx
+LIMIT {_TS_K}
+""",
+)
+def ext_ts_subseq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence similarity search (UCR-style): find the
+    top-k sliding windows, across every per-type value series, most
+    similar to a fixed query pattern under Z-NORMALIZED Euclidean
+    distance — the primitive behind pattern matching / motif query over
+    telemetry (cf. the distributed streaming-similarity line of work in
+    PAPERS.md; public knowledge).
+
+    Both engines compute the identical algebra via the correlation
+    identity ``dist^2 = 2m(1 - rho)`` with population moments — one pass
+    of sums per window, no per-element normalization arrays — so the
+    DuckDB oracle hash-matches the JVM fold exactly; flat windows
+    (zero variance) define rho = 0.
+
+    Scale shape: one exchange partitions each series (at 100 TB: by
+    series id); windows materialize per-row via a BOUNDED window frame
+    (m values of state), the distance is whole-stage-codegen arithmetic
+    on that array, and the global top-k is a TakeOrderedAndProject heap
+    — no quadratic stage, no driver loop.  The m-point query vector is
+    the only collect (bounded).  The matrix-profile all-pairs variant
+    would bucket windows the way the ANN ops bucket vectors."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", F.col("value").cast("double").alias("v")
+    )
+    order = ["ts", "event_id"]
+    w_ord = Window.partitionBy("event_type").orderBy(*order)
+    frame = w_ord.rowsBetween(Window.currentRow, _TS_M - 1)
+    wins = (
+        ev.withColumn("start_idx", (F.row_number().over(w_ord) - 1).cast("long"))
+        .withColumn("wv", F.collect_list("v").over(frame))
+        .filter(F.size("wv") == _TS_M)
+    )
+    # Bounded collect: the m-point query pattern (first m clicks).
+    qv = [
+        r.v
+        for r in ev.filter(F.col("event_type") == _TS_QUERY_TYPE)
+        .orderBy(*order)
+        .limit(_TS_M)
+        .collect()
+    ]
+    m = float(_TS_M)
+    mq = sum(qv) / m  # sequential IEEE adds — same fold as the oracle
+    sq_var = sum(x * x for x in qv) / m - mq * mq
+    sq = max(sq_var, 0.0) ** 0.5
+    q_arr = F.array(*[F.lit(x) for x in qv])
+    dotm = (
+        F.aggregate(
+            F.zip_with("wv", q_arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / m
+    )
+    mw = F.aggregate("wv", F.lit(0.0), lambda a, x: a + x) / m
+    sw2 = (
+        F.aggregate(
+            F.transform("wv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+        / m
+    )
+    sw = F.sqrt(F.greatest(sw2 - mw * mw, F.lit(0.0)))
+    rho = F.when(sw * F.lit(sq) == 0, F.lit(0.0)).otherwise(
+        (dotm - mw * F.lit(mq)) / (sw * F.lit(sq))
+    )
+    dist = F.round(
+        F.sqrt(F.greatest(F.lit(2.0 * m) * (1 - rho), F.lit(0.0))), 6
+    )
+    return (
+        wins.select("event_type", "start_idx", dist.alias("dist"))
+        .orderBy("dist", "event_type", "start_idx")
+        .limit(_TS_K)
+    )
