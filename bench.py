@@ -55,6 +55,8 @@ HEADLINE = [
     "ext_sim_ivf_indexed",
     "ext_segment_dedup",
     "ext_zorder_layout",
+    # Table-format overhead (log write + replay read) tracked per round.
+    "sink_delta_table",
 ]
 
 

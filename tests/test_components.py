@@ -818,3 +818,25 @@ def test_segment_dedup_reconstruction_invariants(spark):
     removed = out.agg(F.sum("n_removed")).collect()[0][0]
     assert n_total - removed == n_distinct
     j.unpersist()
+
+
+def test_connected_components_deep_monotone_chain(spark):
+    """Contraction's deterministic worst case at depth: a 4000-node
+    MONOTONE id chain (min-hooking alone shifts labels one hop per
+    round, so static-edge propagation would need ~4000 rounds).  Edge
+    contraction + CC_DOUBLINGS pointer doubling must close it within the
+    default 20-round cap — the shape of the sf0.1 corpus' ~2k-deep
+    duplicate chains at 2x depth."""
+    from satellite_data_ingestion_spark.llm.dedup import connected_components
+
+    n = 4000
+    undirected = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(
+        undirected + [(b, a) for a, b in undirected], "doc_a long, doc_b long"
+    )
+    labels = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("component_id")
+    )
+    out = connected_components(labels, edges)
+    assert out.filter(F.col("component_id") != 0).count() == 0
+    assert out.count() == n
