@@ -104,8 +104,9 @@ _SURVEY2_BASE_IDS = [
 ]
 
 
-def _latest_green_round() -> dict[str, int]:
-    """Map each ID to the latest round with a green ``CORRECTNESS_r*`` row.
+def _latest_green_round() -> dict[str, tuple[int, bool]]:
+    """Map each ID to ``(latest green round, evidence was hash-PASS)``
+    from the driver's ``CORRECTNESS_r*`` rows.
 
     The driver's per-round sweep is capped (observed: exactly 50 entries in
     rounds 1-4), so a single round can never cover the whole registry.  We
@@ -119,7 +120,7 @@ def _latest_green_round() -> dict[str, int]:
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    latest: dict[str, int] = {}
+    latest: dict[str, tuple[int, bool]] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
@@ -141,7 +142,9 @@ def _latest_green_round() -> dict[str, int]:
             # row count — that IS the driver's full check for them ("ran").
             ran_green = row.get("err") == "no_oracle" and row.get("spark_rows") is not None
             if hash_green or ran_green:
-                latest[name] = max(latest.get(name, 0), rnd)
+                prev = latest.get(name, (0, False))
+                if rnd >= prev[0]:
+                    latest[name] = (rnd, hash_green or (rnd == prev[0] and prev[1]))
     return latest
 
 
@@ -175,7 +178,15 @@ def _sweep_order() -> list[str]:
             # Unverified: canonical order (SQL-oracle first — strongest
             # evidence for brand-new rows).
             return (0, 0, 0, idx[k])
-        return (1, _REGISTRY[k].oracle is not None, latest[k], idx[k])
+        rnd, was_hash = latest[k]
+        if _REGISTRY[k].oracle is not None and not was_hash:
+            # The oracle was ADDED after the last sweep (evidence is a
+            # stale rows-only row): the hash check has never run, which
+            # is nearly as urgent as never-swept — front it so a 50-slot
+            # cap cannot rotate it out of reach (the round-5 verdict's
+            # fn_urlencode case).
+            return (0, 1, rnd, idx[k])
+        return (1, _REGISTRY[k].oracle is not None, rnd, idx[k])
 
     return sorted(canonical, key=key)
 

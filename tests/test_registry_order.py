@@ -46,11 +46,16 @@ def test_unverified_precede_verified():
 
 
 def test_verified_rows_only_precede_verified_hash_oracle():
-    """Among verified IDs, rows-only evidence is refreshed first."""
+    """Among verified IDs, rows-only evidence is refreshed first.
+    Exception: an ID whose oracle was added AFTER its last sweep
+    (evidence rows-only, oracle present) fronts even earlier — its hash
+    check has never run (round-5 verdict, fn_urlencode)."""
     keys = list(registry.queries())
     latest = registry._latest_green_round()
     oracles = registry.oracles()
-    verified = [k for k in keys if k in latest]
+    verified = [
+        k for k in keys if k in latest and not (k in oracles and not latest[k][1])
+    ]
     seen_hash_oracle = False
     for k in verified:
         if k in oracles:
@@ -65,8 +70,16 @@ def test_verified_ordered_oldest_evidence_first():
     keys = list(registry.queries())
     latest = registry._latest_green_round()
     oracles = registry.oracles()
+    # hash-pending entries (oracle added after the last sweep) front
+    # separately; within each remaining class, oldest green round first
     for cls in (False, True):  # rows-only block, then hash-oracle block
-        rounds = [latest[k] for k in keys if k in latest and (k in oracles) == cls]
+        rounds = [
+            latest[k][0]
+            for k in keys
+            if k in latest
+            and (k in oracles) == cls
+            and not (k in oracles and not latest[k][1])
+        ]
         assert rounds == sorted(rounds), (
             "verified IDs must be swept oldest-green-round first"
         )
