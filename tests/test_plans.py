@@ -497,3 +497,23 @@ def test_zorder_box_filters_pushed_to_staged_scan(spark):
     for col in ("xb", "yb"):
         assert f"GreaterThanOrEqual({col}" in pushed, pushed
         assert f"LessThanOrEqual({col}" in pushed, pushed
+
+
+def test_segment_dedup_two_exchanges(spark):
+    """ext_segment_dedup's contract: JVM-side chunking (no shuffle), ONE
+    fixed-width chunk-hash window exchange, ONE doc_id reassembly
+    exchange — nothing else."""
+    plan = plan_of(spark, "ext_segment_dedup")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 2, tree
+    assert "Window" in tree, tree
+
+
+def test_ts_subseq_search_shape(spark):
+    """ext_ts_subseq_search: one series exchange feeding the bounded
+    window frame, global top-k as a TakeOrderedAndProject heap — never a
+    global sort."""
+    plan = plan_of(spark, "ext_ts_subseq_search")
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree, tree
+    assert tree.count("Exchange") == 1, tree
