@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import tempfile
 from collections.abc import Iterator
 from typing import Any
 
@@ -26,7 +27,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -359,6 +363,203 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bounded collect: memory-sink output is AGGREGATED micro-batch results
     # (windows/groups, not raw events) — materialized once so the driver gets
     # a plain batch DataFrame to hash; never a hot-path/full-corpus collect.
+    result = spark.createDataFrame(final.collect(), final.schema)
+    shutil.rmtree(staging, ignore_errors=True)
+    return result
+
+
+# ---- streaming subsequence search (distributed streaming-similarity, cf.
+# the EDBT'19 time-series-similarity-for-streaming-data line in PAPERS.md)
+
+_SUBSEQ_STATE = StructType(
+    [
+        StructField("buffer", ArrayType(DoubleType()), True),
+        StructField("n_points", LongType(), True),
+        StructField("min_dist", DoubleType(), True),
+        StructField("min_start", LongType(), True),
+    ]
+)
+_SUBSEQ_OUTPUT = StructType(
+    [
+        StructField("event_type", StringType(), True),
+        StructField("n_points", LongType(), True),
+        StructField("n_windows", LongType(), True),
+        StructField("min_dist", DoubleType(), True),
+        StructField("min_start", LongType(), True),
+    ]
+)
+
+
+def _make_subseq_tracker(qv: list, m: int):
+    """Build the per-key kernel with the query pattern baked in: carry the
+    last m-1 values across micro-batches so every window spanning a batch
+    boundary is still evaluated exactly once."""
+    import numpy as np
+
+    q = np.asarray(qv, dtype=np.float64)
+    mq = float(q.sum() / m)
+    sq = float(max(float((q * q).sum()) / m - mq * mq, 0.0) ** 0.5)
+
+    def tracker(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        (event_type,) = key
+        if state.exists:
+            buffer, n_points, min_dist, min_start = state.get
+            buffer = list(buffer)
+        else:
+            buffer, n_points, min_dist, min_start = [], 0, None, None
+        for pdf in pdfs:
+            # arrival order within a batch is not guaranteed: restore the
+            # series order before windowing
+            pdf = pdf.sort_values(["ts", "event_id"])
+            vals = pdf["value"].to_numpy(dtype=np.float64)
+            if len(vals) == 0:
+                continue
+            ext = np.concatenate([np.asarray(buffer), vals])
+            # windows that END in this batch: starts offset by what the
+            # buffer already covered
+            if len(ext) >= m:
+                w = np.lib.stride_tricks.sliding_window_view(ext, m)
+                sw1 = w.sum(axis=1) / m
+                sw2 = (w * w).sum(axis=1) / m
+                sw = np.sqrt(np.maximum(sw2 - sw1 * sw1, 0.0))
+                dot = (w @ q) / m
+                denom = sw * sq
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    rho = np.where(denom == 0, 0.0, (dot - sw1 * mq) / denom)
+                dist = np.round(
+                    np.sqrt(np.maximum(2.0 * m * (1.0 - rho), 0.0)), 6
+                )
+                first_global_start = n_points - len(buffer)
+                for j in range(len(dist)):
+                    d, s = float(dist[j]), int(first_global_start + j)
+                    if (
+                        min_dist is None
+                        or d < min_dist
+                        or (d == min_dist and s < min_start)
+                    ):
+                        min_dist, min_start = d, s
+            n_points += len(vals)
+            # state must hold pure-Python scalars (numpy types do not
+            # survive the state-store pickle boundary)
+            buffer = [float(x) for x in ext[-(m - 1):]] if m > 1 else []
+        state.update((buffer, n_points, min_dist, min_start))
+        n_windows = max(0, n_points - m + 1)
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": event_type,
+                    "n_points": n_points,
+                    "n_windows": n_windows,
+                    "min_dist": min_dist,
+                    "min_start": min_start,
+                }
+            ]
+        )
+
+    return tracker
+
+
+@register("stream_ts_subseq")  # streaming state → rows-only
+def stream_ts_subseq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING subsequence similarity search: the batch
+    ``ext_ts_subseq_search`` semantics run incrementally — per-series
+    state carries the last m-1 values across micro-batches, so every
+    window (including those SPANNING a batch boundary) is scored exactly
+    once against the fixed query pattern, and each batch emits the
+    per-series running (n_points, n_windows, min_dist, min_start).
+
+    Staging is range-partitioned by ts into 3 files streamed oldest
+    first one per trigger, so the micro-batches genuinely arrive in time
+    order and the boundary-spanning windows exercise the carried buffer
+    (pinned against an offline numpy recomputation in
+    tests/test_components.py).
+
+    Scale shape: state per series is m-1 doubles + 3 scalars regardless
+    of stream length; each batch's kernel is one vectorized numpy pass
+    over (batch points + buffer); series shard across the cluster by
+    group key — the distributed-streaming-similarity shape of the
+    PAPERS.md EDBT'19 line."""
+    from ..operators.timeseries import _TS_M, _TS_QUERY_TYPE
+    from ..catalog import table
+
+    _prepare(spark)
+    ev = table(spark, sf_dir, "events")
+    # Bounded collect: the m-point query pattern.
+    qv = [
+        r.v
+        for r in ev.filter(F.col("event_type") == _TS_QUERY_TYPE)
+        .select("ts", "event_id", F.col("value").cast("double").alias("v"))
+        .orderBy("ts", "event_id")
+        .limit(_TS_M)
+        .collect()
+    ]
+    staging = os.path.join(
+        tempfile.gettempdir(), f"sdis_staging_subseq_{os.getpid()}"
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        ev.repartitionByRange(3, "ts")
+        .sortWithinPartitions("ts", "event_id")
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    # FileStreamSource orders files by (modification time, path); a single
+    # write stamps every part identically, which let batches arrive out of
+    # time order (observed: rotated series, windows scored against the
+    # wrong history).  Stamp strictly increasing mtimes in range order so
+    # batch k is exactly time-range k.
+    import glob as _glob
+
+    base = int(os.path.getmtime(staging))
+    for i, part in enumerate(
+        sorted(_glob.glob(os.path.join(staging, "part-*.parquet")))
+    ):
+        os.utime(part, (base + 10 * i, base + 10 * i))
+    schema = spark.read.parquet(staging).schema
+    sink = f"subseq_sink_{os.getpid()}"
+    with _few_shuffle_partitions(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(staging)
+            .select("event_type", "ts", "event_id", F.col("value").cast("double").alias("value"))
+            .groupBy("event_type")
+            .applyInPandasWithState(
+                _make_subseq_tracker(qv, _TS_M),
+                outputStructType=_SUBSEQ_OUTPUT,
+                stateStructType=_SUBSEQ_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
+            .start()
+        )
+        q.awaitTermination(120)
+    out = spark.table(sink)
+    # Final running totals per series: the row with the max n_points.
+    from pyspark.sql.window import Window as W
+
+    final = (
+        out.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy(F.desc("n_points"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("event_type")
+    )
+    # Bounded collect: one row per series.
     result = spark.createDataFrame(final.collect(), final.schema)
     shutil.rmtree(staging, ignore_errors=True)
     return result

@@ -840,3 +840,46 @@ def test_connected_components_deep_monotone_chain(spark):
     out = connected_components(labels, edges)
     assert out.filter(F.col("component_id") != 0).count() == 0
     assert out.count() == n
+
+
+def test_stream_ts_subseq_matches_offline_recompute(spark):
+    """The streaming subsequence tracker must agree with a one-shot numpy
+    recomputation over each full series — including windows that SPAN
+    micro-batch boundaries (the carried m-1 buffer), and the batch
+    operator's global top-1 must be the min over the streaming per-series
+    minima."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from satellite_data_ingestion_spark.operators.timeseries import (
+        _TS_M,
+        _TS_QUERY_TYPE,
+    )
+    from satellite_data_ingestion_spark.streaming.custom_state import (
+        stream_ts_subseq,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.event_type: r for r in stream_ts_subseq(spark, sf).collect()}
+
+    t = pq.read_table(sf + "/events.parquet").to_pandas()
+    t = t.sort_values(["ts", "event_id"])
+    m = _TS_M
+    q = t[t.event_type == _TS_QUERY_TYPE]["value"].to_numpy(np.float64)[:m]
+    mq = q.sum() / m
+    sq = max((q * q).sum() / m - mq * mq, 0.0) ** 0.5
+    for etype, grp in t.groupby("event_type"):
+        vals = grp["value"].to_numpy(np.float64)
+        row = out[etype]
+        assert row.n_points == len(vals)
+        assert row.n_windows == max(0, len(vals) - m + 1)
+        w = np.lib.stride_tricks.sliding_window_view(vals, m)
+        sw1 = w.sum(axis=1) / m
+        sw2 = (w * w).sum(axis=1) / m
+        sw = np.sqrt(np.maximum(sw2 - sw1 * sw1, 0.0))
+        denom = sw * sq
+        rho = np.where(denom == 0, 0.0, ((w @ q) / m - sw1 * mq) / denom)
+        dist = np.round(np.sqrt(np.maximum(2.0 * m * (1.0 - rho), 0.0)), 6)
+        j = int(np.lexsort((np.arange(len(dist)), dist))[0])
+        assert row.min_dist == pytest.approx(float(dist[j]), abs=1e-9)
+        assert row.min_start == j
