@@ -23,7 +23,15 @@ actions; the format itself follows the public spec:
   modificationTime, dataChange) and, for overwrite, ``remove``
   tombstones for the files it displaces;
 - a reader replays actions of versions 0..v in order: live files =
-  adds minus removes; reading at v < latest is time travel.
+  adds minus removes; reading at v < latest is time travel;
+- ``checkpoint()`` writes the replayed state as
+  ``<v>.checkpoint.parquet`` (one action per row: protocol / metaData /
+  add / remove / txn columns, the spec's checkpoint schema) and points
+  ``_last_checkpoint`` at it; readers then load the checkpoint and
+  replay only the JSON commits AFTER it, and ``clean_log()`` may delete
+  the superseded commit files — replay cost becomes O(commits since
+  checkpoint), not O(table lifetime), which is what keeps a
+  years-running 100 TB ingest table openable.
 
 Commit atomicity is the same primitive acid.py uses: the fully-written
 log entry is ``os.link``ed to its versioned name — EEXIST means a
@@ -72,37 +80,101 @@ class DeltaLogTable:
     def _version_path(self, version: int) -> str:
         return os.path.join(self.log_dir, f"{version:020d}.json")
 
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:020d}.checkpoint.parquet")
+
     def latest_version(self) -> int:
         versions = [
             int(os.path.basename(p).split(".")[0])
             for p in glob.glob(os.path.join(self.log_dir, "*.json"))
         ]
+        cp = self._checkpoint_info()
+        if cp is not None:
+            versions.append(cp["version"])
         return max(versions) if versions else -1
 
     def _actions(self, version: int) -> list[dict]:
-        with open(self._version_path(version)) as fh:
+        path = self._version_path(version)
+        if not os.path.exists(path):
+            cp = self._checkpoint_info()
+            raise ValueError(
+                f"commit {version} is missing from {self.log_dir!r}"
+                + (
+                    f" (cleaned; earliest replayable state is checkpoint "
+                    f"version {cp['version']})"
+                    if cp is not None
+                    else ""
+                )
+            )
+        with open(path) as fh:
             return [json.loads(line) for line in fh if line.strip()]
+
+    def _checkpoint_info(self) -> dict | None:
+        """Parsed ``_last_checkpoint`` pointer ({version, size}) or None."""
+        path = os.path.join(self.log_dir, "_last_checkpoint")
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return json.load(fh)
+
+    @staticmethod
+    def _apply(state: dict, action: dict) -> None:
+        """Fold one log action into the mutable replay ``state``."""
+        if "protocol" in action:
+            state["protocol"] = action["protocol"]
+        elif "metaData" in action:
+            state["metaData"] = action["metaData"]
+        elif "add" in action:
+            state["live"][action["add"]["path"]] = action["add"]
+            state["removed"].pop(action["add"]["path"], None)
+        elif "remove" in action:
+            state["live"].pop(action["remove"]["path"], None)
+            state["removed"][action["remove"]["path"]] = action["remove"]
+        elif "txn" in action:
+            txn = action["txn"]
+            state["txns"][txn["appId"]] = max(
+                state["txns"].get(txn["appId"], -1), txn["version"]
+            )
+
+    def _state(self, version: int) -> dict:
+        """Full replayed state at ``version``: live adds, remove
+        tombstones, metaData, protocol, per-app txn watermarks.
+
+        Starts from the newest checkpoint at or below ``version`` when
+        one exists (replaying only the JSON commits after it — the O(1)
+        open path); otherwise replays JSON from 0, which requires those
+        commits to still exist (time travel below a checkpoint fails
+        loudly once ``clean_log()`` removed them)."""
+        state: dict = {
+            "live": {},
+            "removed": {},
+            "metaData": None,
+            "protocol": None,
+            "txns": {},
+        }
+        start = 0
+        cp = self._checkpoint_info()
+        if cp is not None and cp["version"] <= version:
+            for action in self._read_checkpoint(cp["version"]):
+                self._apply(state, action)
+            start = cp["version"] + 1
+        for v in range(start, version + 1):
+            for action in self._actions(v):
+                self._apply(state, action)
+        return state
 
     def _replay_actions(
         self, version: int
     ) -> tuple[dict[str, dict], str | None, list[str]]:
         """Live ``path -> add action`` map, schemaString, and partition
         columns after replaying commits 0..version."""
-        live: dict[str, dict] = {}
-        schema = None
-        partition_cols: list[str] = []
-        for v in range(version + 1):
-            for action in self._actions(v):
-                if "metaData" in action:
-                    schema = action["metaData"]["schemaString"]
-                    partition_cols = action["metaData"].get(
-                        "partitionColumns", []
-                    )
-                elif "add" in action:
-                    live[action["add"]["path"]] = action["add"]
-                elif "remove" in action:
-                    live.pop(action["remove"]["path"], None)
-        return live, schema, partition_cols
+        state = self._state(version)
+        md = state["metaData"] or {}
+        return (
+            state["live"],
+            md.get("schemaString"),
+            md.get("partitionColumns", []),
+        )
 
     def _replay(self, version: int) -> tuple[list[str], str | None]:
         """Live file list + schemaString after replaying commits 0..version."""
@@ -260,14 +332,196 @@ class DeltaLogTable:
         """Highest committed ``txn`` version for ``app_id`` (-1 if none)
         — the spec's idempotent-writer handshake: a streaming writer
         stamps each commit with (appId, epoch) and SKIPS epochs at or
-        below this watermark, so micro-batch retries cannot double-write."""
+        below this watermark, so micro-batch retries cannot double-write.
+        Watermarks survive checkpointing: the checkpoint carries one txn
+        row per app, so exactly-once holds across log cleanup."""
         head = self.latest_version()
-        last = -1
-        for v in range(head + 1):
-            for action in self._actions(v):
-                if "txn" in action and action["txn"]["appId"] == app_id:
-                    last = max(last, action["txn"]["version"])
-        return last
+        if head < 0:
+            return -1
+        return self._state(head)["txns"].get(app_id, -1)
+
+    # -- checkpointing ------------------------------------------------
+
+    _CP_SCHEMA = None  # built lazily; pyarrow import stays off cold path
+
+    @classmethod
+    def _cp_schema(cls):
+        import pyarrow as pa
+
+        if cls._CP_SCHEMA is None:
+            str_map = pa.map_(pa.string(), pa.string())
+            cls._CP_SCHEMA = pa.schema(
+                [
+                    (
+                        "protocol",
+                        pa.struct(
+                            [
+                                ("minReaderVersion", pa.int32()),
+                                ("minWriterVersion", pa.int32()),
+                            ]
+                        ),
+                    ),
+                    (
+                        "metaData",
+                        pa.struct(
+                            [
+                                ("id", pa.string()),
+                                (
+                                    "format",
+                                    pa.struct([("provider", pa.string())]),
+                                ),
+                                ("schemaString", pa.string()),
+                                ("partitionColumns", pa.list_(pa.string())),
+                                ("configuration", str_map),
+                            ]
+                        ),
+                    ),
+                    (
+                        "add",
+                        pa.struct(
+                            [
+                                ("path", pa.string()),
+                                ("partitionValues", str_map),
+                                ("size", pa.int64()),
+                                ("modificationTime", pa.int64()),
+                                ("dataChange", pa.bool_()),
+                                ("stats", pa.string()),
+                            ]
+                        ),
+                    ),
+                    (
+                        "remove",
+                        pa.struct(
+                            [
+                                ("path", pa.string()),
+                                ("dataChange", pa.bool_()),
+                            ]
+                        ),
+                    ),
+                    (
+                        "txn",
+                        pa.struct(
+                            [("appId", pa.string()), ("version", pa.int64())]
+                        ),
+                    ),
+                ]
+            )
+        return cls._CP_SCHEMA
+
+    def checkpoint(self) -> int:
+        """Write the replayed head state as ``<head>.checkpoint.parquet``
+        (the spec's checkpoint schema: one action per row, one non-null
+        action column per row) and atomically repoint
+        ``_last_checkpoint``.  Returns the checkpointed version.
+
+        After this, opening the table replays the checkpoint plus only
+        the commits AFTER it — O(commits since checkpoint) instead of
+        O(commits ever) — and ``clean_log()`` may delete the superseded
+        JSON files.  State is one row per live file / tombstone / app,
+        written driver-side: log metadata is KB-to-MB scale even for a
+        100 TB table (file count, not byte count)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        head = self.latest_version()
+        if head < 0:
+            raise ValueError("cannot checkpoint an empty log")
+        state = self._state(head)
+
+        def _map(d: dict | None) -> list[tuple] | None:
+            return sorted((d or {}).items()) if d is not None else None
+
+        rows: list[dict] = [
+            {"protocol": state["protocol"]},
+        ]
+        md = dict(state["metaData"])
+        md["format"] = {"provider": md["format"]["provider"]}
+        md["configuration"] = _map(md.get("configuration", {}))
+        rows.append({"metaData": md})
+        for app_id, ver in sorted(state["txns"].items()):
+            rows.append({"txn": {"appId": app_id, "version": ver}})
+        for path in sorted(state["removed"]):
+            r = state["removed"][path]
+            rows.append(
+                {
+                    "remove": {
+                        "path": r["path"],
+                        "dataChange": bool(r.get("dataChange", True)),
+                    }
+                }
+            )
+        for path in sorted(state["live"]):
+            add = dict(state["live"][path])
+            add["partitionValues"] = _map(add.get("partitionValues", {}))
+            rows.append(
+                {
+                    "add": {
+                        k: add.get(k)
+                        for k in (
+                            "path",
+                            "partitionValues",
+                            "size",
+                            "modificationTime",
+                            "dataChange",
+                            "stats",
+                        )
+                    }
+                }
+            )
+        schema = self._cp_schema()
+        cols = {f.name: [row.get(f.name) for row in rows] for f in schema}
+        tbl = pa.table(
+            {n: pa.array(v, type=schema.field(n).type) for n, v in cols.items()}
+        )
+        cp_path = self._checkpoint_path(head)
+        tmp = cp_path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, cp_path)
+        ptr = os.path.join(self.log_dir, "_last_checkpoint")
+        with open(ptr + ".tmp", "w") as fh:
+            json.dump({"version": head, "size": len(rows)}, fh)
+        os.replace(ptr + ".tmp", ptr)
+        return head
+
+    def _read_checkpoint(self, version: int) -> list[dict]:
+        """Checkpoint rows back as plain log actions (nulls dropped,
+        map columns re-dicted)."""
+        import pyarrow.parquet as pq
+
+        actions: list[dict] = []
+        for row in pq.read_table(self._checkpoint_path(version)).to_pylist():
+            for kind, payload in row.items():
+                if payload is None:
+                    continue
+                payload = dict(payload)
+                for mk in ("partitionValues", "configuration"):
+                    if isinstance(payload.get(mk), list):
+                        payload[mk] = dict(payload[mk])
+                if kind == "metaData":
+                    payload["format"] = {
+                        "provider": payload["format"]["provider"],
+                        "options": {},
+                    }
+                if kind == "add" and payload.get("partitionValues") is None:
+                    payload["partitionValues"] = {}
+                actions.append({kind: payload})
+        return actions
+
+    def clean_log(self) -> list[str]:
+        """Delete JSON commit files at or below the checkpoint version —
+        the spec's metadata cleanup.  Replay at or after the checkpoint
+        is unaffected (it starts from the checkpoint); time travel BELOW
+        it now fails loudly.  Returns the deleted file names."""
+        cp = self._checkpoint_info()
+        if cp is None:
+            return []
+        deleted = []
+        for v in range(cp["version"] + 1):
+            path = self._version_path(v)
+            if os.path.exists(path):
+                os.unlink(path)
+                deleted.append(os.path.basename(path))
+        return deleted
 
     def commit_append(
         self,
@@ -579,6 +833,62 @@ def sink_delta_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.read(where={"l_returnflag": "A"})
         .filter(F.col("l_returnflag") == "A")
         .groupBy("l_linenumber")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "sink_delta_checkpoint",
+    oracle="""
+SELECT l_returnflag,
+       count(*)                  AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def sink_delta_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet checkpoint + log cleanup round-trip: lineitem lands in
+    SEVEN append commits (one per line number), an overwrite-and-restore
+    pair exercises tombstones, ``checkpoint()`` snapshots the replayed
+    state, ``clean_log()`` DELETES every superseded JSON commit, two
+    more appends land on top — and the head read must still aggregate
+    to exactly the full-lineitem oracle, proving the reader rebuilt the
+    pre-cleanup state (live files, schema, tombstones) from the
+    checkpoint parquet alone and replayed only the two commits after it.
+
+    This is the open-at-scale half of the Delta story: a years-running
+    ingest table accretes millions of commits; without checkpoints every
+    reader replays them all (O(table lifetime)); with them, open cost is
+    O(commits since last checkpoint) and old JSON is garbage.  The
+    pytest side pins the physics (pointer file, cleaned log, time travel
+    below the checkpoint failing loudly, txn watermarks surviving —
+    tests/test_delta_log.py)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    root = tempfile.mkdtemp(prefix="sdis_delta_cp_")
+    t = DeltaLogTable(spark, root)
+    for ln in range(1, 6):
+        t.commit_append(li.filter(F.col("l_linenumber") == ln))
+    # Overwrite then restore lines 1-5: the checkpoint must carry the
+    # tombstones of the overwritten files, not just live adds.
+    t.commit_overwrite(li.filter(F.col("l_linenumber") == 1))
+    t.commit_overwrite(li.filter(F.col("l_linenumber") <= 5))
+    cp_version = t.checkpoint()
+    cleaned = t.clean_log()
+    if len(cleaned) != cp_version + 1:
+        raise RuntimeError(
+            f"expected {cp_version + 1} cleaned commits, got {len(cleaned)}"
+        )
+    t.commit_append(li.filter(F.col("l_linenumber") == 6))
+    t.commit_append(li.filter(F.col("l_linenumber") == 7))
+    return (
+        t.read()
+        .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),

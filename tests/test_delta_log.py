@@ -225,3 +225,72 @@ def test_schema_evolution_null_fills_old_files(spark, tbl):
     assert any("metaData" in a for a in actions)
     # time travel to v0: original schema
     assert tbl.read(version=0).columns == ["x"]
+
+
+def test_checkpoint_pointer_and_o1_reopen(spark, tbl):
+    """checkpoint() writes <v>.checkpoint.parquet plus _last_checkpoint,
+    and after clean_log() deletes every superseded JSON commit the table
+    still reads identically — the state was rebuilt from the checkpoint
+    alone."""
+    for i in range(5):
+        tbl.commit_append(_df(spark, [i]))
+    before = sorted(r.x for r in tbl.read().collect())
+    v = tbl.checkpoint()
+    assert v == 4
+    assert os.path.exists(tbl._checkpoint_path(4))
+    ptr = json.load(open(os.path.join(tbl.log_dir, "_last_checkpoint")))
+    assert ptr["version"] == 4
+    cleaned = tbl.clean_log()
+    assert len(cleaned) == 5
+    assert not glob.glob(os.path.join(tbl.log_dir, "*.json"))
+    assert tbl.latest_version() == 4
+    assert sorted(r.x for r in tbl.read().collect()) == before
+    # appends continue from the checkpointed head
+    assert tbl.commit_append(_df(spark, [99])) == 5
+    assert sorted(r.x for r in tbl.read().collect()) == before + [99]
+
+
+def test_checkpoint_preserves_tombstones_and_partitions(spark, tbl):
+    """Overwrite tombstones and Hive partitionValues round-trip through
+    the checkpoint: after cleanup a raw directory listing would
+    double-count the overwritten files, so matching the pre-cleanup read
+    proves tombstones were replayed from parquet."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "x long, part string"
+    )
+    tbl.commit_append(df, partition_by=["part"])
+    tbl.commit_overwrite(spark.createDataFrame([(9, "a")], "x long, part string"))
+    before = sorted((r.x, r.part) for r in tbl.read().collect())
+    assert before == [(9, "a")]
+    tbl.checkpoint()
+    tbl.clean_log()
+    assert sorted((r.x, r.part) for r in tbl.read().collect()) == before
+    # data files of the overwritten commit are still un-referenced
+    assert sorted(
+        (r.x, r.part) for r in tbl.read(version=tbl.latest_version()).collect()
+    ) == before
+
+
+def test_time_travel_below_checkpoint_fails_loudly_after_clean(spark, tbl):
+    tbl.commit_append(_df(spark, [1]))
+    tbl.commit_append(_df(spark, [2]))
+    tbl.checkpoint()
+    # before cleanup, time travel below the checkpoint still works
+    assert sorted(r.x for r in tbl.read(version=0).collect()) == [1]
+    tbl.clean_log()
+    with pytest.raises(ValueError, match="cleaned"):
+        tbl.read(version=0)
+
+
+def test_txn_watermark_survives_checkpoint_cleanup(spark, tbl):
+    """Exactly-once must hold across log cleanup: the checkpoint carries
+    one txn row per app, so a replayed epoch is still swallowed after
+    every JSON commit that recorded it is gone."""
+    tbl.commit_append(_df(spark, [1]), txn=("app", 7))
+    tbl.checkpoint()
+    tbl.clean_log()
+    assert tbl.last_txn_version("app") == 7
+    head = tbl.latest_version()
+    assert tbl.commit_append(_df(spark, [1]), txn=("app", 7)) == head
+    assert tbl.latest_version() == head
+    assert tbl.commit_append(_df(spark, [2]), txn=("app", 8)) == head + 1
