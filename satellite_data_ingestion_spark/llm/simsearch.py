@@ -666,6 +666,148 @@ def ext_sim_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M = settings.PQ_M
+_PQ_KS = settings.PQ_KS
+_PQ_NPROBE = settings.PQ_NPROBE
+_PQ_REFINE = settings.PQ_REFINE
+
+
+def _train_pq_codebooks(emb: DataFrame) -> np.ndarray:
+    """Train the product-quantization codebooks driver-side on the same
+    bounded sample as the coarse quantizer: the embedding space splits
+    into PQ_M contiguous subspaces and each gets an independent
+    PQ_KS-centroid L2 k-means (Lloyd, fixed seed/iters) over the
+    NORMALIZED sample — normalization first makes the per-subspace inner
+    products sum to the cosine estimate.  Returns (M, KS, dim/M)."""
+    sample = (
+        emb.orderBy("vec_id")
+        .limit(_IVF_TRAIN_SAMPLE)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    X = np.array([r.v for r in sample])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    dim = X.shape[1]
+    if dim % _PQ_M:
+        raise ValueError(
+            f"SDIS_PQ_M={_PQ_M} must divide the embedding dim {dim}"
+        )
+    d = dim // _PQ_M
+    rng = np.random.default_rng(_LSH_SEED)
+    Xs = Xn.reshape(len(X), _PQ_M, d)
+    books = np.zeros((_PQ_M, _PQ_KS, d))
+    for m in range(_PQ_M):
+        sub = Xs[:, m, :]
+        ks = min(_PQ_KS, len(sub))
+        cb = sub[rng.choice(len(sub), size=ks, replace=False)].copy()
+        for _ in range(_IVF_ITERS):
+            dist = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+            assign = np.argmin(dist, axis=1)
+            for j in range(ks):
+                members = sub[assign == j]
+                if len(members):
+                    cb[j] = members.mean(axis=0)
+        books[m, :ks] = cb
+    return books
+
+
+@register("ext_sim_ivf_pq")  # approximate by construction → rows-only
+def ext_sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate nearest neighbors (the Faiss ``IVFx,PQy``
+    scale path): coarse quantizer routes the query to its PQ_NPROBE
+    inverted lists, candidates in those lists are ranked by ASYMMETRIC
+    DISTANCE COMPUTATION over 16-byte PQ codes — one (M x KS)
+    inner-product lookup table built driver-side from the query, scored
+    per Arrow batch as a vectorized numpy gather — and only the ADC
+    top REFINE*k survivors get their raw vectors read back for the
+    exact-cosine re-rank.
+
+    Why this is the 100 TB shape: the 64-dim float corpus is 256 B/row;
+    codes are 16 B/row (32x), so the ADC pass over ~1.5x IVF's probe
+    budget still reads ~6% of the bytes an IVF-Flat probe would, and
+    raw vectors are fetched for a CONSTANT number of rows (REFINE*k)
+    regardless of corpus size.  In production the (cid, codes) columns
+    are written at ingest exactly like ``ext_sim_ivf_indexed``'s
+    partitioned layout / ``ext_sim_lsh_indexed``'s stored signatures —
+    this operator demonstrates the query math; those demonstrate the
+    storage split.  Training is the same bounded driver sample as IVF
+    (never a corpus shuffle).  Codebooks/centroids ship to executors
+    inside the UDF closure (KB-scale).  Measured recall@10 vs brute
+    force is pinned in tests and tracked in BASELINE.md; knobs are
+    env-tunable (SDIS_PQ_M / _KS / _NPROBE / _REFINE)."""
+    emb = table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    cents = _train_centroids(emb)
+    books = _train_pq_codebooks(emb)
+    M, KS, d = books.shape
+
+    qrow = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        vec.alias("qv")
+    ).collect()
+    if not qrow:
+        raise ValueError(f"query vector {_QUERY_VEC_ID} not found in {sf_dir!r}")
+    qv = np.array(qrow[0].qv)
+    qn = qv / np.linalg.norm(qv)
+    Cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    probe = sorted(
+        int(c)
+        for c in np.argsort(-(Cn @ qn))[: min(_PQ_NPROBE, len(Cn))]
+    )
+    # The query-side ADC lookup table: LUT[m][j] = <q_m, codebook_m[j]>;
+    # a candidate's estimated cosine is sum_m LUT[m][code_m].
+    LUT = np.einsum("md,mkd->mk", qn.reshape(M, d), books)
+
+    @pandas_udf("int")
+    def nearest_centroid(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.array(col.tolist(), dtype=np.float64)
+        return pd.Series(np.argmax(X @ Cn.T, axis=1).astype("int32"))
+
+    @pandas_udf("double")
+    def adc_score(col: pd.Series) -> pd.Series:
+        """ADC over the ENCODED vector: encode (per-subspace argmin to
+        the codebook) then gather from the LUT — one numpy pass per
+        Arrow batch.  Inline encode keeps the op self-contained; a
+        stored-codes layout skips straight to the gather."""
+        if len(col) == 0:
+            return pd.Series([], dtype="float64")
+        X = np.array(col.tolist(), dtype=np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        Xs = Xn.reshape(len(X), M, d)
+        est = np.zeros(len(X))
+        for m in range(M):
+            # ||x - c||^2 argmin via the expansion: argmax (2<x,c> - |c|^2)
+            cb = books[m]
+            codes = np.argmax(
+                2.0 * (Xs[:, m, :] @ cb.T) - (cb * cb).sum(axis=1)[None, :],
+                axis=1,
+            )
+            est += LUT[m, codes]
+        return pd.Series(est)
+
+    cand = (
+        emb.select("vec_id", vec.alias("v"))
+        .withColumn("cid", nearest_centroid(F.col("v")))
+        .filter(F.col("cid").isin(probe) & (F.col("vec_id") != _QUERY_VEC_ID))
+        .select("vec_id", adc_score(F.col("v")).alias("adc"))
+        .orderBy(F.desc("adc"), F.asc("vec_id"))
+        .limit(_PQ_REFINE * _TOP_K)
+    )
+    # Refine: raw vectors re-read ONLY for the broadcast-small ADC
+    # survivors; exact cosine decides the final top-k.
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(vec.alias("qv"))
+    cos = F.round(cosine(F.col("v"), F.col("qv")), 6)
+    return (
+        emb.join(F.broadcast(cand.select("vec_id")), "vec_id")
+        .select("vec_id", "label", vec.alias("v"))
+        .join(F.broadcast(q))
+        .select("vec_id", "label", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(_TOP_K)
+    )
+
+
 _N_BATCH_QUERIES = 5
 _BATCH_TOP_K = 5
 

@@ -68,6 +68,15 @@ _BASE: dict[str, int] = {
     "IVF_NPROBE": 32,
     "IVF_TRAIN_SAMPLE": 1024,
     "IVF_ITERS": 5,
+    # IVF-PQ (llm/simsearch.py): 16 subspaces x 32 codes compresses the
+    # 64-dim float corpus 32x (16-byte codes), so the probe budget can
+    # be ~1.5x IVF's for far less IO; ADC keeps the top REFINE*k
+    # candidates for exact re-rank (raw vectors read only for those).
+    # Measured through the implementation: recall@10 table in BASELINE.md.
+    "PQ_M": 16,
+    "PQ_KS": 32,
+    "PQ_NPROBE": 48,
+    "PQ_REFINE": 20,
     # Range-partition width for the driver-free global shuffle_index
     # (llm/sampling.py) and the salting fan-out for skewed keys
     # (operators/scale.py).
@@ -90,6 +99,11 @@ _PROFILES: dict[str, dict[str, int]] = {
         "IVF_NPROBE": 64,
         "IVF_TRAIN_SAMPLE": 262_144,
         "IVF_ITERS": 10,
+        # 256-code books (8-bit codes) once the train sample supports
+        # them; probe budget scales with the larger list count.
+        "PQ_KS": 256,
+        "PQ_NPROBE": 512,
+        "PQ_REFINE": 50,
         "SHUFFLE_PARTITIONS": 2000,
         "N_SALT": 64,
     },
@@ -140,5 +154,9 @@ IVF_K: int = _SETTINGS["IVF_K"]
 IVF_NPROBE: int = _SETTINGS["IVF_NPROBE"]
 IVF_TRAIN_SAMPLE: int = _SETTINGS["IVF_TRAIN_SAMPLE"]
 IVF_ITERS: int = _SETTINGS["IVF_ITERS"]
+PQ_M: int = _SETTINGS["PQ_M"]
+PQ_KS: int = _SETTINGS["PQ_KS"]
+PQ_NPROBE: int = _SETTINGS["PQ_NPROBE"]
+PQ_REFINE: int = _SETTINGS["PQ_REFINE"]
 SHUFFLE_PARTITIONS: int = _SETTINGS["SHUFFLE_PARTITIONS"]
 N_SALT: int = _SETTINGS["N_SALT"]

