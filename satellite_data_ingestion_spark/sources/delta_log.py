@@ -231,9 +231,16 @@ class DeltaLogTable:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(staged)
         adds = []
+        import pyarrow.parquet as pq
+
         for part in sorted(
             glob.glob(os.path.join(staged, "**", "part-*.parquet"), recursive=True)
         ):
+            # Zero-row task outputs add log entries with no stats (so
+            # merge pruning must conservatively rewrite them forever);
+            # real Delta writers drop them and so do we.
+            if pq.ParquetFile(part).metadata.num_rows == 0:
+                continue
             rel_dir = os.path.relpath(os.path.dirname(part), staged)
             pvals: dict[str, str] = {}
             if rel_dir != ".":
@@ -598,6 +605,76 @@ class DeltaLogTable:
         ]
         return self._publish(adds + removes)
 
+    def commit_merge(self, source: DataFrame, keys: list[str]) -> int:
+        """MERGE (upsert) by ``keys``: target rows whose key matches a
+        source row are REPLACED by the source row, unmatched source rows
+        are INSERTED, all in one atomic commit — the canonical CDC
+        ingest op (Delta's ``MERGE INTO`` with matched-update +
+        not-matched-insert).
+
+        Copy-on-write with STATS-BASED FILE PRUNING: a data file is
+        rewritten only if its per-column min/max range (from the add
+        action's ``stats``) overlaps the source's key bounds on EVERY
+        key column — files that cannot contain a matching key carry
+        their add actions over untouched.  At 100 TB with key-clustered
+        layout (ext_zorder_layout composes here) a trickle of CDC
+        rewrites only the files it actually touches; rewrite volume
+        follows the UPDATE's locality, not the table size.  Files with
+        no stats on a key column are conservatively rewritten."""
+        head = self.latest_version()
+        if head < 0:
+            self._schema_string = source.schema.json()
+            self._partition_columns = []
+            return self._publish(self._stage_files(source))
+        live, schema_s, partition_cols = self._replay_actions(head)
+        if partition_cols:
+            raise NotImplementedError(
+                "merge on a Hive-partitioned table: partition columns in "
+                "the merge keys prune by partitionValues instead; not "
+                "needed by current callers"
+            )
+        # Bounded collect: one row of source key min/max bounds.
+        bounds = source.agg(
+            *[F.min(k).alias(f"lo_{k}") for k in keys],
+            *[F.max(k).alias(f"hi_{k}") for k in keys],
+        ).collect()[0]
+
+        def overlaps(add: dict) -> bool:
+            stats = json.loads(add["stats"]) if "stats" in add else {}
+            for k in keys:
+                mn = stats.get("minValues", {}).get(k)
+                mx = stats.get("maxValues", {}).get(k)
+                if mn is None or mx is None:
+                    return True  # no stats: must assume a match
+                lo, hi = bounds[f"lo_{k}"], bounds[f"hi_{k}"]
+                if lo is None:
+                    return False  # empty source: nothing matches
+                if mx < lo or mn > hi:
+                    return False
+            return True
+
+        affected = sorted(p for p, a in live.items() if overlaps(a))
+        untouched = [live[p] for p in sorted(live) if p not in affected]
+        self._schema_string = source.schema.json()
+        self._partition_columns = []
+        if affected:
+            from pyspark.sql.types import StructType
+
+            full_schema = StructType.fromJson(json.loads(schema_s))
+            target = self.spark.read.schema(full_schema).parquet(
+                *[os.path.join(self.root, p) for p in affected]
+            )
+            merged = target.join(source.select(keys), keys, "left_anti").select(
+                [f.name for f in full_schema.fields]
+            ).union(source.select([f.name for f in full_schema.fields]))
+        else:
+            merged = source
+        adds = self._stage_files(merged)
+        removes = [
+            {"remove": {"path": p, "dataChange": True}} for p in affected
+        ]
+        return self._publish(adds + removes)
+
     def vacuum(self) -> list[str]:
         """Delete data files referenced by NO live version's replay —
         the retention-expired cleanup step (retention window collapsed to
@@ -833,6 +910,86 @@ def sink_delta_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.read(where={"l_returnflag": "A"})
         .filter(F.col("l_returnflag") == "A")
         .groupBy("l_linenumber")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "sink_delta_merge",
+    oracle="""
+WITH b AS (
+  SELECT CAST(floor(max(l_orderkey) / 3) AS BIGINT) AS b1 FROM lineitem
+)
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       round(sum(l_quantity
+                 + CASE WHEN l_linenumber = 3 AND l_orderkey <= b.b1
+                        THEN 100 ELSE 0 END), 2) AS sum_qty
+FROM lineitem, b
+WHERE l_linenumber <= 3
+   OR (l_linenumber = 4 AND l_orderkey <= b.b1)
+GROUP BY l_returnflag
+""",
+)
+def sink_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (CDC upsert) with stats-pruned copy-on-write: the
+    target lands as three appends range-split on l_orderkey (disjoint
+    per-file key ranges), then one merge UPDATES line-3 rows of the low
+    orderkey third (quantity +100) and INSERTS that third's line-4 rows
+    — matched rows replaced, unmatched inserted, one atomic commit.
+
+    The scale claim this query PROVES in-line: only data files whose
+    stats key-range overlaps the source's key bounds are rewritten — the
+    run raises unless the middle/high-third files carried over by path.
+    The oracle recomputes the post-merge table from raw lineitem in SQL,
+    so a lost update, double insert, or clobbered untouched row all
+    hash-mismatch."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    # Bounded collect: one scalar, the orderkey tertile boundary.
+    b1 = li.agg((F.floor(F.max("l_orderkey") / 3)).cast("long")).collect()[0][0]
+    root = tempfile.mkdtemp(prefix="sdis_delta_merge_")
+    t = DeltaLogTable(spark, root)
+    target = li.filter(F.col("l_linenumber") <= 3)
+    t.commit_append(
+        target.filter(F.col("l_orderkey") <= b1).repartitionByRange(
+            2, "l_orderkey"
+        )
+    )
+    t.commit_append(
+        target.filter(
+            (F.col("l_orderkey") > b1) & (F.col("l_orderkey") <= 2 * b1)
+        ).repartitionByRange(2, "l_orderkey")
+    )
+    t.commit_append(
+        target.filter(F.col("l_orderkey") > 2 * b1).repartitionByRange(
+            2, "l_orderkey"
+        )
+    )
+    live_before, _, _ = t._replay_actions(t.latest_version())
+    source = (
+        li.filter((F.col("l_orderkey") <= b1) & (F.col("l_linenumber") == 3))
+        .withColumn("l_quantity", F.col("l_quantity") + 100)
+        .union(
+            li.filter(
+                (F.col("l_orderkey") <= b1) & (F.col("l_linenumber") == 4)
+            )
+        )
+    )
+    t.commit_merge(source, keys=["l_orderkey", "l_linenumber"])
+    live_after, _, _ = t._replay_actions(t.latest_version())
+    carried = set(live_before) & set(live_after)
+    if not carried:
+        raise RuntimeError(
+            "stats pruning failed: every target file was rewritten"
+        )
+    return (
+        t.read()
+        .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),

@@ -294,3 +294,45 @@ def test_txn_watermark_survives_checkpoint_cleanup(spark, tbl):
     assert tbl.commit_append(_df(spark, [1]), txn=("app", 7)) == head
     assert tbl.latest_version() == head
     assert tbl.commit_append(_df(spark, [2]), txn=("app", 8)) == head + 1
+
+
+def test_merge_upserts_and_prunes_by_stats(spark, tbl):
+    """MERGE replaces matched rows, inserts unmatched ones, and rewrites
+    ONLY the files whose stats key-range overlaps the source keys — the
+    disjoint-range file must carry over by path."""
+    lo = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    hi = spark.createDataFrame([(100, "x"), (200, "y")], "k long, v string")
+    tbl.commit_append(lo.coalesce(1))
+    tbl.commit_append(hi.coalesce(1))
+    before, _, _ = tbl._replay_actions(tbl.latest_version())
+    hi_files = {
+        p
+        for p, a in before.items()
+        if json.loads(a["stats"])["minValues"].get("k", -1) >= 100
+    }
+    assert hi_files
+    source = spark.createDataFrame(
+        [(2, "B"), (3, "c")], "k long, v string"  # update k=2, insert k=3
+    )
+    tbl.commit_merge(source, keys=["k"])
+    after, _, _ = tbl._replay_actions(tbl.latest_version())
+    assert hi_files <= set(after), "disjoint-range files were rewritten"
+    assert not (set(before) - hi_files) & set(after), "overlapping file kept"
+    rows = {r.k: r.v for r in tbl.read().collect()}
+    assert rows == {1: "a", 2: "B", 3: "c", 100: "x", 200: "y"}
+
+
+def test_merge_into_empty_table_and_empty_source(spark, tbl):
+    source = spark.createDataFrame([(1, "a")], "k long, v string")
+    tbl.commit_merge(source, keys=["k"])
+    assert {r.k: r.v for r in tbl.read().collect()} == {1: "a"}
+    empty = spark.createDataFrame([], "k long, v string")
+    tbl.commit_merge(empty, keys=["k"])
+    assert {r.k: r.v for r in tbl.read().collect()} == {1: "a"}
+
+
+def test_merge_on_partitioned_table_raises(spark, tbl):
+    df = spark.createDataFrame([(1, "a")], "k long, part string")
+    tbl.commit_append(df, partition_by=["part"])
+    with pytest.raises(NotImplementedError, match="partition"):
+        tbl.commit_merge(df, keys=["k"])
