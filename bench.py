@@ -57,6 +57,11 @@ HEADLINE = [
     "ext_zorder_layout",
     # Table-format overhead (log write + replay read) tracked per round.
     "sink_delta_table",
+    # Round 6 additions: PQ-coded ANN and the two heaviest table-format
+    # paths (stats-pruned MERGE rewrite; checkpoint write + O(1) reopen).
+    "ext_sim_ivf_pq",
+    "sink_delta_merge",
+    "sink_delta_checkpoint",
 ]
 
 

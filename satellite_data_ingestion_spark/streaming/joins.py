@@ -12,6 +12,11 @@ don't cover:
                           state store buffers each side only within the
                           watermark+range bound, which is what makes the
                           join feasible on unbounded inputs.
+- ``stream_join_outer``   stream ⋈ stream LEFT OUTER join: same bounds,
+                          plus null-row emission for unmatched left rows
+                          at state eviction — outer joins are the reason
+                          the watermark+range bound is REQUIRED, not just
+                          an optimization.
 
 Both drain under ``Trigger.AvailableNow``, so their output equals the
 batch join on the same data — full SQL oracles, not rows-only: a dropped
@@ -142,4 +147,68 @@ def stream_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _few_shuffle_partitions(spark):
         # One row per matched (signup, purchase) pair — row-proportional
         # output, so it drains through a parallel file sink, not the driver.
+        return _drain_to_files(spark, joined, staging, timeout=180)
+
+
+@register("stream_join_outer")  # eviction-timing-bounded → see oracle note
+def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every signup emits — matched with
+    its purchases inside the 30-minute window, or ONCE with nulls when
+    the watermark passes the end of its match window and the state store
+    evicts it (the abandoned-cart shape; inner results emit eagerly,
+    null results only at eviction, which is why outer joins REQUIRE the
+    watermark + time-range bound that the inner variant merely exploits).
+
+    Drained under AvailableNow: the closing no-data micro-batch advances
+    the watermark to max(ts) - delay and flushes evictions below it, so
+    signups whose window closed before that final watermark have emitted
+    their null row; signups still inside it remain buffered at shutdown
+    and are withheld — exactly the semantics a restart would resume.
+    Registered rows-only: the emitted-vs-withheld boundary is the state
+    store's eviction instant, which SQL cannot express; the pytest side
+    pins both populations against the batch join (matched rows equal the
+    inner join, null rows are exactly the evicted unmatched signups)."""
+    _prepare(spark)
+    staging = _stage_events(spark, sf_dir, 2, "sojoin")
+    schema = spark.read.parquet(staging).schema
+
+    signups = (
+        spark.readStream.schema(schema)
+        .parquet(staging)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("event_id").alias("signup_event"),
+            F.col("ts").alias("a_ts"),
+        )
+        .withWatermark("a_ts", "1 hour")
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(staging)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("purchase_event"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", "1 hour")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (
+            F.col("b_ts")
+            <= F.col("a_ts") + F.expr(f"INTERVAL {_RANGE_MIN} MINUTES")
+        ),
+        "left_outer",
+    ).select(
+        F.col("a_user").alias("user_id"),
+        "signup_event",
+        "purchase_event",
+        (F.unix_timestamp("b_ts") - F.unix_timestamp("a_ts")).alias("lag_sec"),
+    )
+
+    with _few_shuffle_partitions(spark):
         return _drain_to_files(spark, joined, staging, timeout=180)

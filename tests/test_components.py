@@ -901,3 +901,51 @@ def test_stream_ts_subseq_matches_offline_recompute(spark):
         j = int(np.lexsort((np.arange(len(dist)), dist))[0])
         assert row.min_dist == pytest.approx(float(dist[j]), abs=1e-9)
         assert row.min_start == j
+
+
+def test_stream_join_outer_matches_batch_semantics(spark):
+    """The left-outer stream-stream join must emit (a) matched rows
+    identical to the batch interval join and (b) a null row for exactly
+    the unmatched signups the state store evicted — those whose match
+    window closed before the final watermark.  The watermark tracks the
+    FILTERED signup/purchase rows (not the whole event table), and the
+    left state watermark subtracts the 30-minute range upper bound; both
+    subtleties are recomputed batch-side here."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from satellite_data_ingestion_spark.streaming.joins import (
+        _RANGE_MIN,
+        stream_join_outer,
+    )
+
+    out = stream_join_outer(spark, "/root/testdata/sf0.001").cache()
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet").to_pandas()
+    sig = t[t.event_type == "signup"]
+    pur = t[t.event_type == "purchase"]
+    rng = pd.Timedelta(minutes=_RANGE_MIN)
+
+    m = sig.merge(pur, on="user_id", suffixes=("_a", "_b"))
+    m = m[(m.ts_b >= m.ts_a) & (m.ts_b <= m.ts_a + rng)]
+    expect_matched = set(zip(m.event_id_a, m.event_id_b))
+    got_matched = {
+        (r.signup_event, r.purchase_event)
+        for r in out.filter(F.col("purchase_event").isNotNull()).collect()
+    }
+    assert got_matched == expect_matched
+
+    # the global watermark is the MIN across the two sides' watermark
+    # operators (multipleWatermarkPolicy=min), each over its FILTERED
+    # input — the slower side (signups here) gates eviction
+    wm = min(sig.ts.max(), pur.ts.max()) - pd.Timedelta(hours=1)
+    un = sig[~sig.event_id.isin({a for a, _ in expect_matched})]
+    expect_null = set(un[un.ts + rng < wm].event_id)
+    got_null = {
+        r.signup_event
+        for r in out.filter(F.col("purchase_event").isNull()).collect()
+    }
+    assert got_null == expect_null
+    # the withheld tail is exactly the still-open windows
+    assert set(un.event_id) - expect_null == set(
+        un[un.ts + rng >= wm].event_id
+    )
