@@ -1,0 +1,207 @@
+"""Byte-pair-encoding tokenizer training and application — the
+vocabulary-building step of a training-data pipeline.
+
+The scalable shape (how GPT-2-era BPE/sentencepiece trainers handle
+web-scale corpora) splits the work by data volume:
+
+- ``ext_bpe_train``     the ONLY corpus-sized pass is a distributed
+                        word-frequency count (one shuffle of compact
+                        (word, count) pairs with map-side combine);
+                        merge learning then runs driver-side over the
+                        bounded word HISTOGRAM — vocab-sized, not
+                        corpus-sized — so 100 TB of text trains on the
+                        same few-MB histogram as 100 MB of text does.
+- ``ext_bpe_tokenize``  applies the learned merge table distributively:
+                        the rank dict broadcasts inside a pandas-UDF
+                        closure, each Arrow batch tokenizes its
+                        documents with a per-batch word→tokens memo (web
+                        text repeats words heavily, so the greedy merge
+                        loop runs once per DISTINCT word per batch).
+
+Both are registered rows-only: merge learning is an iterative fixpoint
+no SQL oracle can express.  The pytest side pins the algorithm against
+an independently-written reference implementation and hand-computed
+merges on a synthetic corpus, plus the tokenizer's lossless round-trip
+(concatenating a word's tokens reproduces the word).
+
+Capability mapping: the reference repo has no tokenizer; this extends
+the SURVEY §2.10 LLM-data surface alongside ext_token_count
+(llm/textstats.py), whose regex heuristic this replaces with a real
+learned vocabulary.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .. import settings
+from ..catalog import table
+from ..registry import register
+
+_N_MERGES = settings.BPE_N_MERGES
+_MAX_WORDS = settings.BPE_MAX_WORDS
+_END = "</w>"  # end-of-word sentinel: merges cannot cross word ends
+
+
+def _word_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed word-frequency count over ``documents.text`` — the
+    one corpus-sized stage.  Lowercased whitespace words; the shuffle
+    carries (word, partial_count) after map-side combine, so bytes
+    exchanged scale with DISTINCT words per partition, not corpus rows."""
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def learn_merges(
+    histogram: list[tuple[str, int]], n_merges: int = _N_MERGES
+) -> list[tuple[str, str]]:
+    """Classic BPE merge learning over a (word, freq) histogram: start
+    from character symbols (plus the end-of-word sentinel), repeatedly
+    merge the most frequent adjacent symbol pair.  Ties break
+    lexicographically so the learned vocabulary is deterministic.
+    Cost is O(n_merges * distinct_words * avg_word_len) — independent
+    of corpus size, which is the point."""
+    words: dict[tuple[str, ...], int] = {}
+    for word, freq in histogram:
+        sym = tuple(word) + (_END,)
+        words[sym] = words.get(sym, 0) + freq
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for sym, freq in words.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += freq
+        if not pairs:
+            break
+        # deterministic tie-break: highest count, then lexicographically
+        # smallest pair
+        top = max(pairs.values())
+        best_pair = min(p for p, c in pairs.items() if c == top)
+        merges.append(best_pair)
+        merged = "".join(best_pair)
+        out: dict[tuple[str, ...], int] = {}
+        for sym, freq in words.items():
+            i, new = 0, []
+            while i < len(sym):
+                if (
+                    i + 1 < len(sym)
+                    and (sym[i], sym[i + 1]) == best_pair
+                ):
+                    new.append(merged)
+                    i += 2
+                else:
+                    new.append(sym[i])
+                    i += 1
+            key = tuple(new)
+            out[key] = out.get(key, 0) + freq
+        words = out
+    return merges
+
+
+def tokenize_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy BPE apply: repeatedly merge the adjacent pair with the
+    lowest learned rank until none applies — the standard inference
+    loop (identical to the training merge order by construction)."""
+    sym = list(word) + [_END]
+    while len(sym) > 1:
+        ranked = [
+            (ranks.get((a, b)), i)
+            for i, (a, b) in enumerate(zip(sym, sym[1:]))
+            if (a, b) in ranks
+        ]
+        if not ranked:
+            break
+        _, i = min(ranked)
+        sym[i : i + 2] = [sym[i] + sym[i + 1]]
+    return sym
+
+
+@register("ext_bpe_train")  # iterative fixpoint → rows-only
+def ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a BPE merge table on the document corpus: distributed word
+    histogram (the only corpus pass), driver-side merge learning on the
+    top-``BPE_MAX_WORDS`` histogram rows (bounded collect — vocab-sized
+    by construction; the cap plus deterministic (freq desc, word asc)
+    ordering keeps the collect identical at any corpus size), returning
+    one row per learned merge: (rank, left, right, merged).
+
+    Output is vocab-sized (``BPE_N_MERGES`` rows), so this IS the
+    pattern for 100 TB: one word-count shuffle, a few-MB driver
+    histogram, a broadcastable merge table out."""
+    # Bounded collect: top MAX_WORDS histogram rows, deterministic order.
+    hist = [
+        (r.word, r.freq)
+        for r in _word_histogram(spark, sf_dir)
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(_MAX_WORDS)
+        .collect()
+    ]
+    merges = learn_merges(hist)
+    return spark.createDataFrame(
+        [
+            (rank, left, right, left + right)
+            for rank, (left, right) in enumerate(merges)
+        ],
+        "rank int, left string, right string, merged string",
+    )
+
+
+@register("ext_bpe_tokenize")  # depends on learned merges → rows-only
+def ext_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize every document with the corpus-trained BPE vocabulary
+    and report per-document (n_words, n_tokens, n_chars) — the token
+    accounting that sizes a training run.
+
+    The merge-rank dict rides the pandas-UDF closure (vocab-sized, KB);
+    each Arrow batch keeps a word→tokens memo so the greedy merge loop
+    runs once per DISTINCT word per batch — web text's Zipfian repeat
+    structure makes this the dominant saving.  One narrow projection
+    pass over the corpus, no shuffle."""
+    train = ext_bpe_train(spark, sf_dir)
+    # Bounded collect: the vocab-sized merge table.
+    ranks = {
+        (r.left, r.right): r.rank for r in train.collect()
+    }
+
+    @pandas_udf("struct<n_words: long, n_tokens: long>")
+    def counts(texts: pd.Series) -> pd.DataFrame:
+        memo: dict[str, int] = {}
+
+        def doc_counts(text):
+            words = [w for w in (text or "").lower().split() if w]
+            total = 0
+            for w in words:
+                n = memo.get(w)
+                if n is None:
+                    n = len(tokenize_word(w, ranks))
+                    memo[w] = n
+                total += n
+            return len(words), total
+
+        out = [doc_counts(t) for t in texts]
+        return pd.DataFrame(out, columns=["n_words", "n_tokens"])
+
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.length(F.coalesce(F.col("text"), F.lit(""))).alias("n_chars"),
+            counts(F.col("text")).alias("c"),
+        )
+        .select("doc_id", "c.n_words", "c.n_tokens", "n_chars")
+        .orderBy("doc_id")
+    )

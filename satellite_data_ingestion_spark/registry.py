@@ -62,6 +62,7 @@ _QUERY_MODULES = [
     "satellite_data_ingestion_spark.llm.simsearch",
     "satellite_data_ingestion_spark.llm.textstats",
     "satellite_data_ingestion_spark.llm.multimodal",
+    "satellite_data_ingestion_spark.llm.bpe",
     "satellite_data_ingestion_spark.llm.shaping",
     "satellite_data_ingestion_spark.llm.sampling",
     "satellite_data_ingestion_spark.plans.pipeline",

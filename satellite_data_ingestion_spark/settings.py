@@ -77,6 +77,11 @@ _BASE: dict[str, int] = {
     "PQ_KS": 32,
     "PQ_NPROBE": 48,
     "PQ_REFINE": 20,
+    # BPE trainer (llm/bpe.py): merge count and histogram cap.  The
+    # histogram collect is bounded by MAX_WORDS regardless of corpus
+    # size; prod raises both for a real vocabulary.
+    "BPE_N_MERGES": 64,
+    "BPE_MAX_WORDS": 8192,
     # Range-partition width for the driver-free global shuffle_index
     # (llm/sampling.py) and the salting fan-out for skewed keys
     # (operators/scale.py).
@@ -104,6 +109,8 @@ _PROFILES: dict[str, dict[str, int]] = {
         "PQ_KS": 256,
         "PQ_NPROBE": 512,
         "PQ_REFINE": 50,
+        "BPE_N_MERGES": 32_000,
+        "BPE_MAX_WORDS": 4_000_000,
         "SHUFFLE_PARTITIONS": 2000,
         "N_SALT": 64,
     },
@@ -158,5 +165,7 @@ PQ_M: int = _SETTINGS["PQ_M"]
 PQ_KS: int = _SETTINGS["PQ_KS"]
 PQ_NPROBE: int = _SETTINGS["PQ_NPROBE"]
 PQ_REFINE: int = _SETTINGS["PQ_REFINE"]
+BPE_N_MERGES: int = _SETTINGS["BPE_N_MERGES"]
+BPE_MAX_WORDS: int = _SETTINGS["BPE_MAX_WORDS"]
 SHUFFLE_PARTITIONS: int = _SETTINGS["SHUFFLE_PARTITIONS"]
 N_SALT: int = _SETTINGS["N_SALT"]

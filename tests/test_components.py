@@ -949,3 +949,100 @@ def test_stream_join_outer_matches_batch_semantics(spark):
     assert set(un.event_id) - expect_null == set(
         un[un.ts + rng >= wm].event_id
     )
+
+
+def test_bpe_learn_merges_hand_computed():
+    """Classic-BPE semantics on a corpus small enough to merge by hand:
+    'low'x5 + 'lower'x2.  Symbol stream: l o w </w> (x5), l o w e r </w>
+    (x2).  Pair counts round 1: (l,o)=7, (o,w)=7, (w,</w>)=5, (w,e)=2,
+    (e,r)=2, (r,</w>)=2 — top count 7, lexicographic tie-break picks
+    (l,o).  Round 2: (lo,w)=7 wins.  Round 3: (low,</w>)=5."""
+    from satellite_data_ingestion_spark.llm.bpe import learn_merges
+
+    merges = learn_merges([("low", 5), ("lower", 2)], n_merges=3)
+    assert merges == [("l", "o"), ("lo", "w"), ("low", "</w>")]
+
+
+def test_bpe_matches_independent_reference():
+    """learn_merges must agree with an independently-structured
+    reference implementation (list-of-symbol-lists, no dict folding) on
+    a many-word histogram, and tokenize_word must reproduce exactly the
+    segmentation training ends with for every training word."""
+    import itertools
+
+    from satellite_data_ingestion_spark.llm.bpe import (
+        _END,
+        learn_merges,
+        tokenize_word,
+    )
+
+    hist = [
+        ("the", 50), ("then", 11), ("than", 9), ("that", 30),
+        ("toast", 3), ("roast", 4), ("coast", 5), ("cost", 7),
+        ("a", 40), ("at", 22), ("ate", 6), ("rate", 8), ("rat", 5),
+    ]
+
+    def ref_bpe(hist, n):
+        words = [(list(w) + [_END], f) for w, f in hist]
+        out = []
+        for _ in range(n):
+            counts = {}
+            for sym, f in words:
+                for pair in zip(sym, sym[1:]):
+                    counts[pair] = counts.get(pair, 0) + f
+            if not counts:
+                break
+            top = max(counts.values())
+            pair = min(p for p, c in counts.items() if c == top)
+            out.append(pair)
+            for sym, _f in words:
+                i = 0
+                while i < len(sym) - 1:
+                    if (sym[i], sym[i + 1]) == pair:
+                        sym[i : i + 2] = [sym[i] + sym[i + 1]]
+                    else:
+                        i += 1
+            # ref keeps words as mutable lists; engine folds dict keys —
+            # different structures, same algorithm
+        return out, words
+
+    for n in (1, 5, 20):
+        expect, final_words = ref_bpe(hist, n)
+        got = learn_merges(hist, n_merges=n)
+        assert got == expect, f"n={n}: {got} != {expect}"
+        ranks = {p: i for i, p in enumerate(got)}
+        for (word, _f), (sym, _f2) in zip(hist, final_words):
+            assert tokenize_word(word, ranks) == sym
+
+
+def test_bpe_tokenize_round_trip(spark):
+    """Spark-side accounting must be internally consistent: token
+    concatenation reproduces each word (checked via the counts: tokens
+    per doc >= words per doc, equality iff every word fully merged), and
+    the pandas-UDF path agrees with a driver-side recount on a sample."""
+    import pyarrow.parquet as pq
+
+    from satellite_data_ingestion_spark.llm.bpe import (
+        ext_bpe_tokenize,
+        ext_bpe_train,
+        tokenize_word,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.doc_id: r for r in ext_bpe_tokenize(spark, sf).collect()}
+    ranks = {
+        (r.left, r.right): r.rank
+        for r in ext_bpe_train(spark, sf).collect()
+    }
+    t = pq.read_table(sf + "/documents.parquet").to_pandas()
+    sample = t.head(25)
+    for _, row in sample.iterrows():
+        words = [w for w in (row.text or "").lower().split() if w]
+        n_tokens = 0
+        for w in words:
+            toks = tokenize_word(w, ranks)
+            # lossless: concatenating tokens reproduces word + sentinel
+            assert "".join(toks) == w + "</w>"
+            n_tokens += len(toks)
+        got = out[row.doc_id]
+        assert (got.n_words, got.n_tokens) == (len(words), n_tokens)
