@@ -557,3 +557,39 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_bucket")
     )
+
+
+@register(
+    "agg_stats_moments",
+    oracle="""
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6)        AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 2)  AS qty_price_covar,
+       round(stddev_samp(l_quantity), 6)                  AS qty_stddev,
+       round(var_samp(l_extendedprice), 2)                AS price_var
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-moment aggregates per group: Pearson correlation,
+    sample covariance, sample stddev/variance — the data-profiling
+    bundle (feature QA, drift checks) over the fact table.
+
+    All four are single-pass algebraic aggregates in Spark (Welford-style
+    partial moments merged associatively), so the shuffle carries one
+    fixed-width moment tuple per (partition, group) — the same map-side
+    partial shape as sum/count, scale-safe by construction.  Values hash
+    against DuckDB's identical sample-moment definitions, rounded to
+    absorb summation-order float noise."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("price_var"),
+    )

@@ -734,8 +734,32 @@ class DeltaLogTable:
                 kept.append(path)
         return sorted(kept)
 
+    def version_at_timestamp(self, ts_ms: int) -> int:
+        """Latest version committed at or before ``ts_ms`` — Delta's
+        ``timestampAsOf`` resolution: a commit's timestamp is its log
+        file's modification time (exactly the spec's rule, with its
+        documented caveat that log cleanup makes older timestamps
+        unresolvable)."""
+        commits = sorted(
+            (int(os.path.basename(p).split(".")[0]), os.path.getmtime(p) * 1000)
+            for p in glob.glob(os.path.join(self.log_dir, "*.json"))
+        )
+        cp = self._checkpoint_info()
+        eligible = [v for v, mt in commits if mt <= ts_ms]
+        if eligible:
+            return max(eligible)
+        if cp is not None:
+            raise ValueError(
+                f"no commit at or before timestamp {ts_ms}; commits at or "
+                f"below checkpoint version {cp['version']} were cleaned"
+            )
+        raise ValueError(f"no commit at or before timestamp {ts_ms}")
+
     def read(
-        self, version: int | None = None, where: dict | None = None
+        self,
+        version: int | None = None,
+        where: dict | None = None,
+        timestamp_ms: int | None = None,
     ) -> DataFrame:
         """Read at ``version`` (head when None).  ``where`` enables
         LOG-METADATA file skipping (partitionValues equality + stats
@@ -747,6 +771,10 @@ class DeltaLogTable:
         head = self.latest_version()
         if head < 0:
             raise ValueError(f"{self.root!r} has no Delta log")
+        if timestamp_ms is not None:
+            if version is not None:
+                raise ValueError("pass version or timestamp_ms, not both")
+            version = self.version_at_timestamp(timestamp_ms)
         v = head if version is None else version
         adds, schema, partition_cols = self._replay_actions(v)
         live = self._prune(adds, where)

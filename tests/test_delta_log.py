@@ -336,3 +336,23 @@ def test_merge_on_partitioned_table_raises(spark, tbl):
     tbl.commit_append(df, partition_by=["part"])
     with pytest.raises(NotImplementedError, match="partition"):
         tbl.commit_merge(df, keys=["k"])
+
+
+def test_timestamp_time_travel(spark, tbl):
+    """timestampAsOf semantics: commit time = log file mtime; a query
+    timestamp resolves to the latest commit at or before it."""
+    tbl.commit_append(_df(spark, [1]))
+    tbl.commit_append(_df(spark, [2]))
+    # pin distinct, known commit times
+    t0, t1 = 1_700_000_000, 1_700_000_100
+    os.utime(tbl._version_path(0), (t0, t0))
+    os.utime(tbl._version_path(1), (t1, t1))
+    between = (t0 + 50) * 1000
+    assert sorted(r.x for r in tbl.read(timestamp_ms=between).collect()) == [1]
+    after = (t1 + 50) * 1000
+    assert sorted(r.x for r in tbl.read(timestamp_ms=after).collect()) == [1, 2]
+    assert tbl.read(timestamp_ms=t1 * 1000).count() == 2  # inclusive
+    with pytest.raises(ValueError, match="no commit at or before"):
+        tbl.read(timestamp_ms=(t0 - 50) * 1000)
+    with pytest.raises(ValueError, match="not both"):
+        tbl.read(version=0, timestamp_ms=after)
