@@ -1046,3 +1046,21 @@ def test_bpe_tokenize_round_trip(spark):
             n_tokens += len(toks)
         got = out[row.doc_id]
         assert (got.n_words, got.n_tokens) == (len(words), n_tokens)
+
+
+def test_pq_indexed_matches_inline(spark):
+    """The stored-code PQ layout must return EXACTLY the inline
+    ext_sim_ivf_pq top-k (same quantizer, codebooks, seed, probe set) —
+    the layout changes which BYTES are read, never the answer."""
+    from satellite_data_ingestion_spark import registry
+    from tests.conftest import SF_ORACLE
+
+    inline = [
+        (r.vec_id, r.label, r.cos_sim)
+        for r in registry.spec("ext_sim_ivf_pq").fn(spark, SF_ORACLE).collect()
+    ]
+    indexed = [
+        (r.vec_id, r.label, r.cos_sim)
+        for r in registry.spec("ext_sim_pq_indexed").fn(spark, SF_ORACLE).collect()
+    ]
+    assert inline == indexed

@@ -517,3 +517,27 @@ def test_ts_subseq_search_shape(spark):
     tree = plan.split("\n\n")[0]
     assert "TakeOrderedAndProject" in tree, tree
     assert tree.count("Exchange") == 1, tree
+
+
+def test_pq_indexed_partition_pruning_and_code_scan(spark):
+    """ext_sim_pq_indexed must probe via a static PartitionFilter on the
+    stored code layout, and the candidate scan must read CODES, never
+    raw embeddings (the 32x byte win is the point of the layout)."""
+    import re as _re
+
+    from satellite_data_ingestion_spark import settings
+
+    df = registry.spec("ext_sim_pq_indexed").fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cluster" in plan, plan
+    m = _re.search(r"partition count: (\d+)", plan)
+    if m:
+        assert int(m.group(1)) <= settings.PQ_NPROBE, plan
+    # the staged-layout scan projects codes, not embeddings
+    staged_scans = [
+        seg for seg in plan.split("FileScan") if "sdis_pq_codes_" in seg
+    ]
+    assert staged_scans, plan
+    for seg in staged_scans:
+        head = seg.split("PushedFilters")[0]
+        assert "codes" in head and "embedding" not in head, seg[:400]
