@@ -98,3 +98,22 @@ def setop_union_byname(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return o.unionByName(li, allowMissingColumns=True)
+
+
+@register(
+    "setop_intersect_all",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics): each customer key survives
+    min(open-count, finished-count) times — completing the §2.6 bag/set
+    matrix alongside EXCEPT ALL.  Plans as a partial-count aggregate per
+    side then a min; one key shuffle, no row explosion."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersectAll(b)

@@ -250,3 +250,31 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_id").over(full).alias("last_event"),
         F.nth_value("event_id", 2).over(full).alias("second_event"),
     )
+
+
+@register(
+    "win_distribution",
+    oracle="""
+SELECT event_id, event_type,
+       ntile(4)       OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist()    OVER w, 6) AS cume
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+""",
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions per group: quartile bucketing
+    (ntile), percent_rank, cume_dist over event values — the ranking
+    trio behind percentile-based quality cuts (e.g. 'drop the bottom
+    quartile by quality score').  One partition-key shuffle serves all
+    three; the key tie-break pins determinism."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
