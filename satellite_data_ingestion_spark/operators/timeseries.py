@@ -240,3 +240,54 @@ def ext_ts_subseq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist", "event_type", "start_idx")
         .limit(_TS_K)
     )
+
+
+_ANOM_WIN = 20  # trailing baseline width, in points
+_ANOM_Z = 3.0  # |z| flag threshold
+
+
+@register(
+    "ext_ts_anomaly",
+    oracle=f"""
+SELECT event_id, event_type, round(z, 6) AS zscore
+FROM (
+  SELECT event_id, event_type,
+         (value - avg(value) OVER w) / NULLIF(stddev_samp(value) OVER w, 0) AS z,
+         count(*) OVER w AS n_base
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN {_ANOM_WIN} PRECEDING AND 1 PRECEDING)
+)
+WHERE n_base >= {_ANOM_WIN} AND abs(z) > {_ANOM_Z}
+""",
+)
+def ext_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection per series: each point scores
+    against the mean/stddev of its TRAILING {win}-point baseline (the
+    point itself excluded — a spike must not dampen its own baseline),
+    flagging |z| > {z}; warm-up points with short baselines are skipped.
+
+    One partition-key shuffle serves both window aggregates (same frame,
+    shared sort); per-row state is the fixed-width rolling frame, so the
+    scan streams at any series length — the standard telemetry/quality
+    anomaly gate in front of a training-data pipeline.  NULLIF guards
+    constant baselines (stddev 0)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-_ANOM_WIN, -1)
+    )
+    z = (F.col("value") - F.avg("value").over(w)) / F.nullif(
+        F.stddev_samp("value").over(w), F.lit(0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            z.alias("z"),
+            F.count(F.lit(1)).over(w).alias("n_base"),
+        )
+        .filter((F.col("n_base") >= _ANOM_WIN) & (F.abs("z") > _ANOM_Z))
+        .select("event_id", "event_type", F.round("z", 6).alias("zscore"))
+    )
