@@ -950,3 +950,74 @@ def ext_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.alias("clean_text"),
         F.count(F.when(F.col("rn") > 1, 1)).alias("n_removed"),
     )
+
+
+_SUBSTR_W = 16  # shingle width, tokens (the exact-substring dedup unit)
+_SUBSTR_MIN_SHARED = 3  # pairs must share at least this many shingles
+
+
+@register(
+    "ext_substring_dedup",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(t[i:i+{_SUBSTR_W - 1}], ' ')) AS h
+  FROM (
+    SELECT doc_id, t,
+           unnest(generate_series(1, len(t) - {_SUBSTR_W - 1})) AS i
+    FROM toks
+  )
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM sh a
+JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {_SUBSTR_MIN_SHARED}
+ORDER BY doc_a, doc_b
+""",
+)
+def ext_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup (the "Deduplicating Training Data Makes
+    Language Models Better" unit, Lee et al. 2022 — public knowledge):
+    two documents are near-dups when they share verbatim
+    {w}-token runs.  Every document explodes into its sliding
+    {w}-gram shingles, hashed JVM-side (one ``transform`` over a
+    ``sequence`` — no Python, no quadratic expansion), pairs form on
+    shingle-hash equality and survive at >= {m} shared shingles.
+
+    Differs from ext_segment_dedup (fixed disjoint segments — CCNet
+    style) by catching copies at ANY alignment, and from
+    ext_ngram_jaccard (bag-of-tokens similarity) by demanding verbatim
+    contiguous runs — the right tool for boilerplate/quote removal.
+
+    Scale: the shuffle keys are 16-byte md5 shingle hashes; per-doc
+    shingle count is linear in length.  A shingle shared by k docs
+    yields k(k-1)/2 pairs — the same hot-bucket physics as the LSH
+    paths, and the same ``banded_candidate_pairs`` star-link cap
+    composes here in production; this query keeps exact all-pairs
+    semantics so the DuckDB oracle can replay it verbatim."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_sh = F.size(toks) - (_SUBSTR_W - 1)
+    shingles = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, _SUBSTR_W), " ")),
+    )
+    sh = (
+        docs.filter(n_sh >= 1)
+        .select("doc_id", F.explode(shingles).alias("h"))
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _SUBSTR_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )

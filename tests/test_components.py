@@ -1064,3 +1064,43 @@ def test_pq_indexed_matches_inline(spark):
         for r in registry.spec("ext_sim_pq_indexed").fn(spark, SF_ORACLE).collect()
     ]
     assert inline == indexed
+
+
+def test_substring_dedup_alignment_and_threshold(spark, tmp_path):
+    """Exact-substring dedup must catch a verbatim run at ANY alignment
+    (the property segment dedup lacks) and ignore runs shorter than
+    W + MIN_SHARED - 1 tokens (fewer than MIN_SHARED shingles)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from satellite_data_ingestion_spark.llm.dedup import (
+        _SUBSTR_MIN_SHARED,
+        _SUBSTR_W,
+        ext_substring_dedup,
+    )
+
+    run = " ".join(f"tok{i}" for i in range(_SUBSTR_W + _SUBSTR_MIN_SHARED - 1))
+    short = " ".join(f"sok{i}" for i in range(_SUBSTR_W + _SUBSTR_MIN_SHARED - 2))
+    fillers = [" ".join(f"f{d}x{i}" for i in range(3 + 2 * d)) for d in range(4)]
+    docs = [
+        (0, fillers[0] + " " + run),         # run at offset 3
+        (1, fillers[1] + " " + run),         # same run at offset 5
+        (2, fillers[2] + " " + short),       # one shingle short of the gate
+        (3, fillers[3] + " " + short),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [d for d, _ in docs],
+                "text": [t for _, t in docs],
+                "source": ["t"] * len(docs),
+                "lang": ["en"] * len(docs),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = [
+        (r.doc_a, r.doc_b, r.n_shared)
+        for r in ext_substring_dedup(spark, str(tmp_path)).collect()
+    ]
+    assert out == [(0, 1, _SUBSTR_MIN_SHARED)]
