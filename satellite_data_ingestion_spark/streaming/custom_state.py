@@ -563,3 +563,152 @@ def stream_ts_subseq(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.createDataFrame(final.collect(), final.schema)
     shutil.rmtree(staging, ignore_errors=True)
     return result
+
+
+# ---- streaming rolling z-score anomaly gate (the batch ext_ts_anomaly
+# semantics run incrementally per series)
+
+_ANOM_STATE = StructType(
+    [
+        StructField("buffer", ArrayType(DoubleType()), True),
+        StructField("n_points", LongType(), True),
+    ]
+)
+_ANOM_OUTPUT = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("zscore", DoubleType(), True),
+    ]
+)
+
+
+def _make_anomaly_tracker(win: int, z_gate: float):
+    """Per-series kernel: carry the trailing ``win`` values across
+    micro-batches so every point scores against its exact trailing
+    baseline even when that baseline spans a batch boundary.  State is
+    min(win, points-seen) doubles + one counter, independent of stream
+    length."""
+
+    def tracker(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        (event_type,) = key
+        if state.exists:
+            buffer, n_points = state.get
+            buffer = list(buffer)
+        else:
+            buffer, n_points = [], 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            vals = pdf["value"].to_numpy(np.float64)
+            ids = pdf["event_id"].to_numpy(np.int64)
+            out_ids, out_z = [], []
+            concat = np.concatenate([np.asarray(buffer), vals])
+            n_buf = len(buffer)
+            if len(concat) >= win + 1:
+                w = np.lib.stride_tricks.sliding_window_view(concat, win)
+            else:
+                w = None
+            for k in range(len(vals)):
+                if n_points + k < win:
+                    continue  # warm-up: fewer than `win` priors exist
+                base_start = n_buf + k - win
+                mu = float(w[base_start].mean())
+                sd = float(w[base_start].std(ddof=1))
+                if sd == 0.0:
+                    continue  # NULLIF semantics of the batch operator
+                z = (vals[k] - mu) / sd
+                if abs(z) > z_gate:
+                    out_ids.append(int(ids[k]))
+                    out_z.append(round(z, 6))
+            n_points += len(vals)
+            # state holds pure-Python floats (numpy scalars do not
+            # survive the state-store pickle boundary)
+            buffer = [float(x) for x in concat[-win:]]
+            yield pd.DataFrame(
+                {
+                    "event_id": pd.Series(out_ids, dtype="int64"),
+                    "event_type": event_type,
+                    "zscore": pd.Series(out_z, dtype="float64"),
+                }
+            )
+        state.update((buffer, n_points))
+
+    return tracker
+
+
+@register("stream_ts_anomaly")  # streaming state → rows-only
+def stream_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING rolling z-score anomaly gate: the batch
+    ``ext_ts_anomaly`` semantics run incrementally — per-series state
+    carries the trailing 20-value baseline across micro-batches, so a
+    point arriving in batch k scores against priors from batch k-1
+    exactly as the one-shot window plan would.  Emits anomalies in the
+    batch they arrive (append mode), the telemetry-gate deployment shape.
+
+    Staging mirrors ``stream_ts_subseq``: range-partitioned by ts with
+    strictly increasing file mtimes so batches arrive in time order.
+    Pinned equal to the batch operator's output in
+    tests/test_components.py — the strongest evidence the carried
+    baseline is exact at the boundaries."""
+    from ..operators.timeseries import _ANOM_WIN, _ANOM_Z
+    from ..catalog import table
+
+    _prepare(spark)
+    ev = table(spark, sf_dir, "events")
+    staging = os.path.join(
+        tempfile.gettempdir(), f"sdis_staging_anom_{os.getpid()}"
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        ev.repartitionByRange(3, "ts")
+        .sortWithinPartitions("ts", "event_id")
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    import glob as _glob
+
+    base = int(os.path.getmtime(staging))
+    for i, part in enumerate(
+        sorted(_glob.glob(os.path.join(staging, "part-*.parquet")))
+    ):
+        os.utime(part, (base + 10 * i, base + 10 * i))
+    schema = spark.read.parquet(staging).schema
+    sink = f"anom_sink_{os.getpid()}"
+    with _few_shuffle_partitions(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(staging)
+            .select(
+                "event_type",
+                "ts",
+                "event_id",
+                F.col("value").cast("double").alias("value"),
+            )
+            .groupBy("event_type")
+            .applyInPandasWithState(
+                _make_anomaly_tracker(_ANOM_WIN, _ANOM_Z),
+                outputStructType=_ANOM_OUTPUT,
+                stateStructType=_ANOM_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
+            .start()
+        )
+        q.awaitTermination(120)
+    out = spark.table(sink).orderBy("event_type", "event_id")
+    # Bounded collect: anomalies are a small fraction of the stream by
+    # construction (|z| > 3 gate).
+    result = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(staging, ignore_errors=True)
+    return result

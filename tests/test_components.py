@@ -1104,3 +1104,29 @@ def test_substring_dedup_alignment_and_threshold(spark, tmp_path):
         for r in ext_substring_dedup(spark, str(tmp_path)).collect()
     ]
     assert out == [(0, 1, _SUBSTR_MIN_SHARED)]
+
+
+def test_stream_ts_anomaly_matches_batch_operator(spark):
+    """The streaming anomaly gate must emit EXACTLY the batch
+    ext_ts_anomaly rows — including points whose 20-value baseline spans
+    a micro-batch boundary (the carried buffer)."""
+    from satellite_data_ingestion_spark.operators.timeseries import (
+        ext_ts_anomaly,
+    )
+    from satellite_data_ingestion_spark.streaming.custom_state import (
+        stream_ts_anomaly,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream = sorted(
+        (r.event_id, r.event_type, r.zscore)
+        for r in stream_ts_anomaly(spark, sf).collect()
+    )
+    batch = sorted(
+        (r.event_id, r.event_type, r.zscore)
+        for r in ext_ts_anomaly(spark, sf).collect()
+    )
+    assert len(stream) == len(batch) > 0
+    for (sid, sty, sz), (bid, bty, bz) in zip(stream, batch):
+        assert (sid, sty) == (bid, bty)
+        assert sz == pytest.approx(bz, abs=1e-6)
