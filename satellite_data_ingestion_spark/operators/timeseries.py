@@ -291,3 +291,132 @@ def ext_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_base") >= _ANOM_WIN) & (F.abs("z") > _ANOM_Z))
         .select("event_id", "event_type", F.round("z", 6).alias("zscore"))
     )
+
+
+@register(
+    "ext_ts_interp",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_type, time_bucket(INTERVAL 15 MINUTE, ts) AS slot, value
+  FROM events
+  WHERE ts >= TIMESTAMP '{_DAY_LO}' AND ts < TIMESTAMP '{_DAY_HI}'
+),
+observed AS (
+  SELECT event_type, slot, avg(value) AS avg_value
+  FROM ev GROUP BY event_type, slot
+),
+grid AS (
+  SELECT t.event_type, g.slot
+  FROM (SELECT DISTINCT event_type FROM ev) t
+  CROSS JOIN (
+    SELECT unnest(generate_series(TIMESTAMP '{_DAY_LO}',
+                                  TIMESTAMP '{_LAST_SLOT}',
+                                  INTERVAL 15 MINUTE)) AS slot
+  ) g
+),
+nb AS (
+  SELECT g.event_type, g.slot, o.avg_value,
+         last_value(o.avg_value IGNORE NULLS) OVER wp AS prev_val,
+         last_value(CASE WHEN o.avg_value IS NOT NULL THEN g.slot END
+                    IGNORE NULLS) OVER wp AS prev_slot,
+         first_value(o.avg_value IGNORE NULLS) OVER wf AS next_val,
+         first_value(CASE WHEN o.avg_value IS NOT NULL THEN g.slot END
+                     IGNORE NULLS) OVER wf AS next_slot
+  FROM grid g LEFT JOIN observed o USING (event_type, slot)
+  WINDOW wp AS (PARTITION BY g.event_type ORDER BY g.slot
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY g.event_type ORDER BY g.slot
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, slot,
+       round(CASE
+         WHEN avg_value IS NOT NULL THEN avg_value
+         WHEN prev_val IS NOT NULL AND next_val IS NOT NULL THEN
+           prev_val + (next_val - prev_val)
+             * (epoch(slot) - epoch(prev_slot))
+             / (epoch(next_slot) - epoch(prev_slot))
+         ELSE coalesce(prev_val, next_val)
+       END, 6) AS interp_value,
+       (avg_value IS NULL) AS is_interpolated
+FROM nb
+ORDER BY event_type, slot
+""",
+)
+def ext_ts_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill on the 15-minute slot grid: missing
+    slots take the time-weighted blend of the nearest observed slot
+    averages on either side (edges clamp to the single available
+    neighbor) — the resampling step before any fixed-cadence model
+    input, upgrading ``ext_gap_fill``'s step-function carry-forward.
+
+    Two window passes over the SAME (key, slot-order) sort — Catalyst
+    plans one exchange + one sort, the forward frame reuses them — and
+    the grid is a generate per key, never a cartesian."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(
+            (F.col("ts") >= F.to_timestamp(F.lit(_DAY_LO)))
+            & (F.col("ts") < F.to_timestamp(F.lit(_DAY_HI)))
+        )
+        .select(
+            "event_type",
+            F.timestamp_seconds(
+                F.floor(F.unix_timestamp("ts") / _SLOT_SEC) * _SLOT_SEC
+            ).alias("slot"),
+            "value",
+        )
+    )
+    observed = ev.groupBy("event_type", "slot").agg(
+        F.avg("value").alias("avg_value")
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.to_timestamp(F.lit(_DAY_LO)),
+                    F.to_timestamp(F.lit(_LAST_SLOT)),
+                    F.expr("INTERVAL 15 MINUTES"),
+                )
+            ).alias("slot"),
+        )
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("slot")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_slot = F.when(F.col("avg_value").isNotNull(), F.col("slot"))
+    nb = grid.join(observed, ["event_type", "slot"], "left").select(
+        "event_type",
+        "slot",
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(wp).alias("prev_val"),
+        F.last(obs_slot, ignorenulls=True).over(wp).alias("prev_slot"),
+        F.first("avg_value", ignorenulls=True).over(wf).alias("next_val"),
+        F.first(obs_slot, ignorenulls=True).over(wf).alias("next_slot"),
+    )
+    frac = (
+        F.unix_timestamp("slot") - F.unix_timestamp("prev_slot")
+    ) / (F.unix_timestamp("next_slot") - F.unix_timestamp("prev_slot"))
+    interp = (
+        F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
+        .when(
+            F.col("prev_val").isNotNull() & F.col("next_val").isNotNull(),
+            F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * frac,
+        )
+        .otherwise(F.coalesce("prev_val", "next_val"))
+    )
+    return nb.select(
+        "event_type",
+        "slot",
+        F.round(interp, 6).alias("interp_value"),
+        F.col("avg_value").isNull().alias("is_interpolated"),
+    ).orderBy("event_type", "slot")
