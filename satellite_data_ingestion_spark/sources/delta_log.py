@@ -569,7 +569,11 @@ class DeltaLogTable:
             self._stage_files(df, partition_by or None) + removes
         )
 
-    def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    def compact(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        zorder_by: list[str] | None = None,
+    ) -> int:
         """OPTIMIZE-style bin-packing compaction: rewrite the live file
         set into ~``target_file_bytes`` files and commit adds + removes
         with ``dataChange: false`` — table CONTENTS are untouched (the
@@ -594,7 +598,18 @@ class DeltaLogTable:
             os.stat(os.path.join(self.root, p)).st_size for p in live
         )
         n_out = max(1, -(-total // target_file_bytes))  # ceil
-        df = self.read().repartition(n_out)
+        df = self.read()
+        if zorder_by:
+            # OPTIMIZE ZORDER: cluster the rewrite on the given key(s)
+            # (typically a precomputed space-filling-curve column, cf.
+            # operators/layout.py) so every output file covers a TIGHT
+            # range of the clustered dimensions — the add actions' stats
+            # then prune files for box predicates from the log alone.
+            df = df.repartitionByRange(n_out, *zorder_by).sortWithinPartitions(
+                *zorder_by
+            )
+        else:
+            df = df.repartition(n_out)
         self._schema_string = df.schema.json()
         self._partition_columns = partition_cols
         adds = self._stage_files(df, partition_cols or None)
@@ -1154,3 +1169,79 @@ def sink_delta_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.createDataFrame(out.collect(), out.schema)
     shutil.rmtree(staging, ignore_errors=True)
     return result
+
+
+@register(
+    "sink_delta_zorder",
+    oracle="""
+WITH b AS (SELECT max(l_partkey) AS mpk,
+                  CAST(min(l_shipdate) AS DATE) AS d0,
+                  CAST(max(l_shipdate) AS DATE) AS d1
+           FROM lineitem)
+SELECT l_returnflag,
+       count(*)                       AS n_rows,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem, b
+WHERE (l_partkey * 256) // (mpk + 1) BETWEEN 64 AND 95
+  AND (date_diff('day', d0, CAST(l_shipdate AS DATE)) * 256)
+        // (date_diff('day', d0, d1) + 1) BETWEEN 32 AND 63
+GROUP BY l_returnflag
+""",
+)
+def sink_delta_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER on the Delta table: three unsorted appends land
+    lineitem (with its Morton key precomputed, operators/layout.py
+    arithmetic), ``compact(zorder_by=["zval"])`` rewrites the table
+    clustered on the curve, and the box query then prunes FILES from
+    the log's add-action stats alone — the run raises unless the pruned
+    file list is a strict subset of the live set, proving the clustered
+    rewrite gave each file a tight (xb, yb) footprint where the
+    unsorted appends' stats spanned everything.
+
+    This composes the two halves already proven separately: the
+    ext_zorder_layout curve (row-group skipping via parquet footers)
+    and the Delta log's stats pruning (file skipping via add actions) —
+    at 100 TB the log prunes files before any footer is opened, then
+    footers prune row groups within the survivors.  The oracle is the
+    identical integer arithmetic on the raw table: layout changes IO,
+    never answers."""
+    from ..operators.layout import _dim_bounds, _morton16
+
+    mpk, d0, d1 = _dim_bounds(spark, sf_dir)
+    xq = f"cast((l_partkey * 256) div ({mpk} + 1) as int)"
+    yq = (
+        f"cast((datediff(l_shipdate, date'{d0}') * 256) div "
+        f"(datediff(date'{d1}', date'{d0}') + 1) as int)"
+    )
+    li = table(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_extendedprice",
+        f"{xq} as xb",
+        f"{yq} as yb",
+    )
+    li = li.selectExpr("*", _morton16("xb", "yb", "spark") + " as zval")
+    root = tempfile.mkdtemp(prefix="sdis_delta_z_")
+    t = DeltaLogTable(spark, root)
+    for ln in ((1, 2), (3, 4), (5, 7)):
+        t.commit_append(li.filter(F.col("l_linenumber").between(*ln)))
+    t.compact(target_file_bytes=256 * 1024, zorder_by=["zval"])
+    box = {"xb": (64, 95), "yb": (32, 63)}
+    live, _, _ = t._replay_actions(t.latest_version())
+    pruned = t._prune(live, box)
+    if not len(pruned) < len(live):
+        raise RuntimeError(
+            f"zorder stats pruning failed: {len(pruned)}/{len(live)} files kept"
+        )
+    return (
+        t.read(where=box)
+        .filter(
+            F.col("xb").between(*box["xb"]) & F.col("yb").between(*box["yb"])
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )

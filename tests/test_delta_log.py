@@ -356,3 +356,27 @@ def test_timestamp_time_travel(spark, tbl):
         tbl.read(timestamp_ms=(t0 - 50) * 1000)
     with pytest.raises(ValueError, match="not both"):
         tbl.read(version=0, timestamp_ms=after)
+
+
+def test_compact_zorder_tightens_file_stats(spark, tbl):
+    """OPTIMIZE ZORDER: after a clustered rewrite each file's stats
+    cover a tight key range, so a range predicate prunes files from the
+    log; the unsorted appends' stats span everything and prune nothing."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(1000),) for _ in range(4000)]
+    df = spark.createDataFrame(rows, "k long")
+    tbl.commit_append(df.repartition(4))
+    live, _, _ = tbl._replay_actions(tbl.latest_version())
+    assert len(tbl._prune(live, {"k": (0, 99)})) == len(live), (
+        "unsorted appends should not prune"
+    )
+    tbl.compact(target_file_bytes=8 * 1024, zorder_by=["k"])
+    live, _, _ = tbl._replay_actions(tbl.latest_version())
+    pruned = tbl._prune(live, {"k": (0, 99)})
+    assert len(live) > 1 and len(pruned) < len(live)
+    # contents invariant under the clustered rewrite
+    assert sorted(r.k for r in tbl.read().collect()) == sorted(
+        k for (k,) in rows
+    )
