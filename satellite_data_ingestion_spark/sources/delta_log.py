@@ -690,6 +690,81 @@ class DeltaLogTable:
         ]
         return self._publish(adds + removes)
 
+    def commit_delete(self, column: str, lo, hi) -> int:
+        """DELETE rows with ``column`` in [lo, hi] — the GDPR/retention
+        primitive — as stats-pruned copy-on-write: only files whose
+        stats range intersects [lo, hi] are rewritten (minus the doomed
+        rows); disjoint files carry over untouched, and a rewrite that
+        would come back empty becomes a pure remove.  One atomic commit;
+        at 100 TB a key-clustered layout (compact(zorder_by=...)) makes
+        the rewrite volume follow the delete's locality."""
+        head = self.latest_version()
+        if head < 0:
+            raise ValueError("cannot delete from an empty table")
+        live, schema_s, partition_cols = self._replay_actions(head)
+        if partition_cols:
+            raise NotImplementedError(
+                "delete on a Hive-partitioned table: partition-column "
+                "predicates drop whole directories instead; not needed "
+                "by current callers"
+            )
+
+        def intersects(add: dict) -> bool:
+            stats = json.loads(add["stats"]) if "stats" in add else {}
+            mn = stats.get("minValues", {}).get(column)
+            mx = stats.get("maxValues", {}).get(column)
+            if mn is None or mx is None:
+                return True  # no stats: must assume doomed rows inside
+            return not (mx < lo or mn > hi)
+
+        affected = sorted(p for p, a in live.items() if intersects(a))
+        if not affected:
+            return head  # nothing to delete, no commit
+        from pyspark.sql.types import StructType
+
+        full_schema = StructType.fromJson(json.loads(schema_s))
+        kept = (
+            self.spark.read.schema(full_schema)
+            .parquet(*[os.path.join(self.root, p) for p in affected])
+            .filter(~F.col(column).between(lo, hi))
+        )
+        self._schema_string = schema_s
+        self._partition_columns = []
+        adds = self._stage_files(kept)  # zero-row outputs are dropped
+        removes = [
+            {"remove": {"path": p, "dataChange": True}} for p in affected
+        ]
+        return self._publish(adds + removes)
+
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE to ``version`` as a NEW commit: adds for the
+        files live at the target version, removes for current-only
+        files — history is preserved (the restore itself is
+        time-travelable), exactly the spec command's behavior.  Fails
+        loudly if the target's files were already vacuumed."""
+        head = self.latest_version()
+        target, schema_s, partition_cols = self._replay_actions(version)
+        current, _, _ = self._replay_actions(head)
+        missing = [
+            p
+            for p in target
+            if not os.path.isfile(os.path.join(self.root, p))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot restore to version {version}: {len(missing)} data "
+                f"file(s) were vacuumed (e.g. {missing[0]!r})"
+            )
+        self._schema_string = schema_s
+        self._partition_columns = partition_cols
+        adds = [{"add": target[p]} for p in sorted(target) if p not in current]
+        removes = [
+            {"remove": {"path": p, "dataChange": True}}
+            for p in sorted(current)
+            if p not in target
+        ]
+        return self._publish(adds + removes)
+
     def vacuum(self) -> list[str]:
         """Delete data files referenced by NO live version's replay —
         the retention-expired cleanup step (retention window collapsed to
@@ -1243,5 +1318,59 @@ def sink_delta_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "sink_delta_delete",
+    oracle="""
+WITH b AS (
+  SELECT CAST(floor(max(l_orderkey) / 3) AS BIGINT) AS b1 FROM lineitem
+)
+SELECT l_returnflag,
+       count(*)                  AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem, b
+WHERE l_orderkey < CAST(floor(b.b1 / 2) AS BIGINT) OR l_orderkey > b.b1
+GROUP BY l_returnflag
+""",
+)
+def sink_delta_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE with stats-pruned copy-on-write: the target
+    lands as three orderkey-range-clustered appends, one delete removes
+    the [b1/2, b1] key band — only files whose stats range intersects
+    the band are rewritten (the run raises unless the upper thirds
+    carried over by path), and the head read must equal the raw-table
+    oracle minus exactly the deleted rows.  A second, disjoint-range
+    delete must be a metadata no-op (no new commit)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    # Bounded collect: one scalar boundary.
+    b1 = li.agg((F.floor(F.max("l_orderkey") / 3)).cast("long")).collect()[0][0]
+    root = tempfile.mkdtemp(prefix="sdis_delta_del_")
+    t = DeltaLogTable(spark, root)
+    for lo, hi in ((None, b1), (b1 + 1, 2 * b1), (2 * b1 + 1, None)):
+        seg = li
+        if lo is not None:
+            seg = seg.filter(F.col("l_orderkey") >= lo)
+        if hi is not None:
+            seg = seg.filter(F.col("l_orderkey") <= hi)
+        t.commit_append(seg.repartitionByRange(2, "l_orderkey"))
+    before, _, _ = t._replay_actions(t.latest_version())
+    v_del = t.commit_delete("l_orderkey", b1 // 2, b1)
+    after, _, _ = t._replay_actions(v_del)
+    if not set(before) & set(after):
+        raise RuntimeError("stats pruning failed: every file was rewritten")
+    # disjoint delete range → pure metadata no-op
+    if t.commit_delete("l_orderkey", -10, -1) != v_del:
+        raise RuntimeError("no-op delete committed a new version")
+    return (
+        t.read()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
     )

@@ -380,3 +380,38 @@ def test_compact_zorder_tightens_file_stats(spark, tbl):
     assert sorted(r.k for r in tbl.read().collect()) == sorted(
         k for (k,) in rows
     )
+
+
+def test_delete_prunes_and_removes_only_doomed_rows(spark, tbl):
+    lo = spark.createDataFrame([(i, f"v{i}") for i in range(10)], "k long, v string")
+    hi = spark.createDataFrame([(i, f"v{i}") for i in range(100, 110)], "k long, v string")
+    tbl.commit_append(lo.coalesce(1))
+    tbl.commit_append(hi.coalesce(1))
+    before, _, _ = tbl._replay_actions(tbl.latest_version())
+    tbl.commit_delete("k", 3, 5)
+    after, _, _ = tbl._replay_actions(tbl.latest_version())
+    # the hi file is disjoint from [3, 5] and must carry over by path
+    assert set(before) & set(after)
+    assert sorted(r.k for r in tbl.read().collect()) == (
+        [0, 1, 2, 6, 7, 8, 9] + list(range(100, 110))
+    )
+    # deleting everything in a file leaves a pure remove (no empty add)
+    tbl.commit_delete("k", 100, 109)
+    assert sorted(r.k for r in tbl.read().collect()) == [0, 1, 2, 6, 7, 8, 9]
+
+
+def test_restore_re_materializes_old_version_as_new_commit(spark, tbl):
+    tbl.commit_append(_df(spark, [1, 2]))
+    v1 = tbl.commit_append(_df(spark, [3]))
+    tbl.commit_overwrite(_df(spark, [9]))
+    head = tbl.latest_version()
+    v_restore = tbl.restore(v1)
+    assert v_restore == head + 1
+    assert sorted(r.x for r in tbl.read().collect()) == [1, 2, 3]
+    # history preserved: the overwrite state is still reachable
+    assert sorted(r.x for r in tbl.read(version=head).collect()) == [9]
+    # restore after vacuum of the target's files fails loudly
+    tbl.commit_overwrite(_df(spark, [7]))
+    tbl.vacuum()
+    with pytest.raises(ValueError, match="vacuumed"):
+        tbl.restore(v1)
