@@ -1374,3 +1374,88 @@ def sink_delta_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
     )
+
+
+def _changes_since(
+    t: DeltaLogTable, from_version: int, to_version: int
+) -> DataFrame:
+    """Rows ADDED in commits (from_version, to_version] — the Delta
+    streaming-source contract: each incremental read consumes only the
+    new files (O(new data), never a table rescan).  Non-append changes
+    (remove actions with dataChange=true — overwrite/delete/merge)
+    raise, exactly as the real source does without ignoreChanges:
+    rewritten files would re-emit rows the consumer already saw."""
+    from pyspark.sql.types import StructType
+
+    _, schema_s, _ = t._replay_actions(to_version)
+    new_files: list[str] = []
+    for v in range(from_version + 1, to_version + 1):
+        for action in t._actions(v):
+            if "remove" in action and action["remove"].get("dataChange", True):
+                raise ValueError(
+                    f"commit {v} is not append-only (data-changing remove); "
+                    "incremental consumers must restart or opt into "
+                    "re-emitted rows"
+                )
+            if "add" in action and action["add"].get("dataChange", True):
+                new_files.append(action["add"]["path"])
+    full_schema = StructType.fromJson(json.loads(schema_s))
+    if not new_files:
+        return t.spark.createDataFrame([], full_schema)
+    return t.spark.read.schema(full_schema).parquet(
+        *[os.path.join(t.root, p) for p in sorted(new_files)]
+    )
+
+
+@register(
+    "source_delta_incremental",
+    oracle="""
+SELECT l_returnflag,
+       count(*)                  AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_linenumber <= 6
+GROUP BY l_returnflag
+""",
+)
+def source_delta_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Delta table as an INCREMENTAL SOURCE: a consumer checkpoints
+    the last version it processed and each poll reads only the commits
+    after it — three polls over six appends here, whose union must
+    aggregate to exactly the full table (a skipped or re-read file
+    hash-mismatches).  A compaction commit between polls must be
+    INVISIBLE to the consumer (dataChange: false — the spec's signal),
+    and a data-changing rewrite must raise rather than silently re-emit
+    consumed rows (pinned in-line)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    root = tempfile.mkdtemp(prefix="sdis_delta_src_")
+    t = DeltaLogTable(spark, root)
+    batches = []
+    cursor = t.latest_version()  # -1: consume from table creation
+    for group in ((1, 2), (3, 4), (5, 6)):
+        for ln in group:
+            t.commit_append(li.filter(F.col("l_linenumber") == ln))
+        if group == (3, 4):
+            # Maintenance between polls: dataChange=false commits are
+            # skipped by incremental consumers per spec.
+            t.compact(target_file_bytes=64 * 1024 * 1024)
+        head = t.latest_version()
+        batches.append(_changes_since(t, cursor, head))
+        cursor = head
+    # A data-changing rewrite breaks append-only consumption: must raise.
+    t.commit_delete("l_linenumber", 6, 6)
+    try:
+        _changes_since(t, cursor, t.latest_version())
+    except ValueError:
+        pass
+    else:
+        raise RuntimeError("non-append change did not raise")
+    out = batches[0]
+    for b in batches[1:]:
+        out = out.union(b)
+    return out.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
