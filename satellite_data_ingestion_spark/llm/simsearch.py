@@ -988,3 +988,44 @@ def ext_sim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _BATCH_TOP_K)
         .select("query_id", "vec_id", "cos_sim")
     )
+
+
+_RANGE_SIM = 0.3  # radius-search threshold — SEMANTIC (in the oracle;
+# the corpus' true neighbors sit at cos 0.28-0.41, so 0.3 yields a real set)
+
+
+@register(
+    "ext_sim_range_search",
+    oracle=f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+  WHERE vec_id = {_QUERY_VEC_ID}
+)
+SELECT e.vec_id, e.label,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos_sim
+FROM embeddings e, q
+WHERE e.vec_id <> {_QUERY_VEC_ID}
+  AND round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+        >= {_RANGE_SIM}
+ORDER BY cos_sim DESC, e.vec_id
+""",
+)
+def ext_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (radius) similarity search: every neighbor with cosine >=
+    the threshold, not a fixed top-k — the retrieval shape for
+    contamination screens and "find all near-matches" audits where the
+    answer SIZE is the signal.  Same broadcast-query one-pass scan as
+    ext_sim_cosine, but the filter replaces the heap: output is
+    row-proportional to matches, so no TakeOrderedAndProject cap — at
+    100 TB the threshold, not a k, bounds the result."""
+    emb = table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(vec.alias("qv"))
+    cos = F.round(cosine(vec, F.col("qv")), 6)
+    return (
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select("vec_id", "label", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _RANGE_SIM)
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    )
