@@ -593,37 +593,3 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
         F.round(F.var_samp("l_extendedprice"), 2).alias("price_var"),
     )
-
-
-@register(
-    "agg_grouping_sets",
-    oracle="""
-SELECT l_returnflag, l_linestatus,
-       CAST(grouping(l_returnflag) AS INT) * 2
-         + CAST(grouping(l_linestatus) AS INT) AS gid,
-       count(*)                  AS n_rows,
-       round(sum(l_quantity), 2) AS sum_qty
-FROM lineitem
-GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-""",
-)
-def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arbitrary GROUPING SETS — the general form rollup/cube specialize:
-    the (flag, status) detail, the per-flag subtotal, and the grand
-    total in ONE pass (Catalyst expands the sets into a single Expand +
-    aggregate — the input is scanned once, not once per set), with
-    grouping() bits disambiguating real NULLs from subtotal rows."""
-    li = table(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("lineitem_gs")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               CAST(grouping(l_returnflag) AS INT) * 2
-                 + CAST(grouping(l_linestatus) AS INT) AS gid,
-               count(*)                  AS n_rows,
-               round(sum(l_quantity), 2) AS sum_qty
-        FROM lineitem_gs
-        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
-                                (l_returnflag), ())
-        """
-    )
