@@ -196,6 +196,16 @@ def register(name: str, oracle: Optional[str] = None):
     """Register ``fn`` as query ``name`` with an optional DuckDB oracle."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        prev = _REGISTRY.get(name)
+        if prev is not None and prev.fn.__module__ != fn.__module__:
+            # A second registration from a DIFFERENT module is a collision
+            # (it silently shadowed an existing operator twice in round 6);
+            # same-module re-registration stays allowed so importlib.reload
+            # and interactive redefinition keep working.
+            raise ValueError(
+                f"query id {name!r} already registered by "
+                f"{prev.fn.__module__}; duplicate in {fn.__module__}"
+            )
         _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
         return fn
 

@@ -130,3 +130,20 @@ def test_docs_registry_count_in_sync():
     assert int(m.group(1)) == len(registry.queries()), (
         f"BASELINE.md says {m.group(1)}, registry holds {len(registry.queries())}"
     )
+
+
+def test_register_rejects_cross_module_duplicates():
+    """A second registration of an existing query id from a different
+    module must raise — it silently shadowed existing operators twice
+    during development; same-module redefinition stays allowed."""
+    import types
+
+    import pytest as _pytest
+
+    from satellite_data_ingestion_spark import registry
+
+    registry.load_all()
+    fake = types.FunctionType((lambda s, d: None).__code__, {}, "dup")
+    fake.__module__ = "tests.other_module"
+    with _pytest.raises(ValueError, match="already registered"):
+        registry.register("scan_parquet")(fake)
