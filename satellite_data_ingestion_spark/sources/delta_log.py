@@ -1301,7 +1301,13 @@ def sink_delta_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = DeltaLogTable(spark, root)
     for ln in ((1, 2), (3, 4), (5, 7)):
         t.commit_append(li.filter(F.col("l_linenumber").between(*ln)))
-    t.compact(target_file_bytes=256 * 1024, zorder_by=["zval"])
+    live0, _, _ = t._replay_actions(t.latest_version())
+    total = sum(
+        os.stat(os.path.join(t.root, p)).st_size for p in live0
+    )
+    # data-relative target: ~16 clustered files at ANY scale factor (a
+    # fixed byte target left one file at small SFs — nothing to prune)
+    t.compact(target_file_bytes=max(1, total // 16), zorder_by=["zval"])
     box = {"xb": (64, 95), "yb": (32, 63)}
     live, _, _ = t._replay_actions(t.latest_version())
     pruned = t._prune(live, box)
