@@ -593,3 +593,39 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
         F.round(F.var_samp("l_extendedprice"), 2).alias("price_var"),
     )
+
+
+@register(
+    "agg_conditional",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count_if(l_quantity >= 25) AS BIGINT)       AS n_bulk,
+       CAST(count_if(l_discount = 0) AS BIGINT)         AS n_undiscounted,
+       bool_and(l_quantity > 0)                         AS all_positive,
+       bool_or(l_tax > 0.07)                            AS any_high_tax,
+       round(sum(CASE WHEN l_discount >= 0.05
+                      THEN l_extendedprice END), 2)     AS discounted_revenue
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregate bundle per group: count_if, bool_and /
+    bool_or (the every/any quantifiers), and a filtered sum — the
+    assert-style data-quality checks ("all rows positive?", "any
+    outlier?") expressed as one aggregation pass.  All algebraic:
+    fixed-width partial state per (partition, group), map-side
+    combined, one key shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),
+        F.count_if(F.col("l_discount") == 0).alias("n_undiscounted"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        F.round(
+            F.sum(
+                F.when(F.col("l_discount") >= 0.05, F.col("l_extendedprice"))
+            ),
+            2,
+        ).alias("discounted_revenue"),
+    )
