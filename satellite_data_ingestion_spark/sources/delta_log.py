@@ -1465,3 +1465,90 @@ def source_delta_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
+
+
+@register(
+    "pipeline_lakehouse",
+    oracle="""
+SELECT event_type,
+       count(*)             AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY event_type
+""",
+)
+def pipeline_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE table-format story as one loop — the reference's
+    ingest-publish-consume cycle (``main.py`` poll loop +
+    ``sources/meteosat.py`` publish + downstream readers) on the Delta
+    log:
+
+    1. INGEST: three event micro-batches land with (appId, epoch) txn
+       stamps — exactly-once under redelivery;
+    2. CONSUME incrementally: after every batch a version-checkpointed
+       consumer reads only the new files (`_changes_since`),
+       accumulating its own copy;
+    3. MAINTAIN mid-stream: between polls the table is compacted
+       (dataChange: false — invisible to the consumer), checkpointed,
+       and its superseded JSON commits CLEANED;
+    4. VERIFY: the final batch is re-delivered by hand (swallowed by
+       the txn watermark), and BOTH the table head read (through the
+       checkpoint) and the consumer's accumulated union must aggregate
+       to exactly the source oracle — a dropped batch, double write,
+       re-emitted compaction file, or checkpoint replay bug each
+       hash-mismatches."""
+    from ..catalog import _prepare
+    from ..streaming.state import _stage_events
+
+    _prepare(spark)
+    staging = _stage_events(spark, sf_dir, 3, "lakehouse")
+    files = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+    root = tempfile.mkdtemp(prefix="sdis_lakehouse_")
+    t = DeltaLogTable(spark, root)
+    app = "sdis-lakehouse"
+    consumed: list[DataFrame] = []
+    cursor = t.latest_version()
+    last_batch = None
+    for epoch, path in enumerate(files):
+        batch = spark.read.parquet(path).select(
+            "event_id", "event_type", "value"
+        )
+        t.commit_append(batch, txn=(app, epoch))
+        last_batch, last_epoch = batch, epoch
+        head = t.latest_version()
+        inc = _changes_since(t, cursor, head)
+        # Materialize NOW: maintenance below rewrites files and cleans
+        # the log; a lazy plan would read compacted paths and double rows.
+        consumed.append(spark.createDataFrame(inc.collect(), inc.schema))
+        cursor = head
+        if epoch == 1:
+            t.compact()
+            cursor = t.latest_version()  # dataChange:false — skip, don't re-read
+            t.checkpoint()
+            t.clean_log()
+    # Post-crash redelivery of the final epoch: swallowed by the txn
+    # watermark, which itself survived checkpoint + log cleanup.
+    head_before = t.latest_version()
+    t.commit_append(last_batch, txn=(app, last_epoch))
+    if t.latest_version() != head_before:
+        raise RuntimeError("txn watermark failed after checkpoint cleanup")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+
+    # Both views must agree with the source: the head read (state
+    # rebuilt through the checkpoint) and the consumer's union.
+    head_rows = sorted(map(tuple, agg(t.read()).collect()))
+    union = consumed[0]
+    for b in consumed[1:]:
+        union = union.union(b)
+    out = agg(union)
+    rows = out.collect()
+    if sorted(map(tuple, rows)) != head_rows:
+        raise RuntimeError("incremental consumer diverged from table head")
+    result = spark.createDataFrame(rows, out.schema)
+    shutil.rmtree(staging, ignore_errors=True)
+    return result
