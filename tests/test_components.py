@@ -1130,3 +1130,36 @@ def test_stream_ts_anomaly_matches_batch_operator(spark):
     for (sid, sty, sz), (bid, bty, bz) in zip(stream, batch):
         assert (sid, sty) == (bid, bty)
         assert sz == pytest.approx(bz, abs=1e-6)
+
+
+def test_delta_stream_reader_offsets_and_append_only(spark, tmp_path):
+    """The Delta streaming source's offset protocol at the reader level:
+    versions advance per latestOffset call under a throttle, committed
+    ranges replay identically, and a data-changing remove in-range
+    fails the stream instead of re-emitting consumed rows."""
+    from satellite_data_ingestion_spark.sources.delta_log import DeltaLogTable
+    from satellite_data_ingestion_spark.sources.python_source import (
+        DeltaStreamReader,
+    )
+
+    root = str(tmp_path / "tbl")
+    t = DeltaLogTable(spark, root)
+    for i in range(3):
+        t.commit_append(
+            spark.createDataFrame([(i, float(i))], "k long, v double").coalesce(1)
+        )
+    r = DeltaStreamReader({"path": root, "versions_per_batch": "1"})
+    assert r.initialOffset() == {"version": -1}
+    assert r.latestOffset() == {"version": 0}
+    assert r.latestOffset() == {"version": 1}
+    # batch (0, 1]: exactly version 1's rows
+    (p,) = r.partitions({"version": 0}, {"version": 1})
+    rows = list(r.read(p))
+    assert rows == [(1, 1.0)]
+    # replayability: the same committed range reads identically
+    (p2,) = r.partitions({"version": 0}, {"version": 1})
+    assert list(r.read(p2)) == rows
+    # append-only contract: a delete in-range fails the planner
+    t.commit_delete("k", 0, 0)
+    with pytest.raises(ValueError, match="not append-only"):
+        r.partitions({"version": 2}, {"version": 3})
