@@ -154,12 +154,16 @@ def _sweep_order() -> list[str]:
 
     Sort key, most significant first:
       1. never-driver-verified IDs (new evidence beats re-confirmation),
-      2. among verified IDs, rows-only (no SQL oracle) before hash-oracle —
-         "ran" is the weakest evidence class, so it goes stale fastest when
-         the driver regenerates the corpus between rounds,
-      3. latest green round ASCENDING — refresh the oldest evidence first,
-         so records that predate a corpus regeneration are re-proved before
-         slots are spent re-confirming last round's rows,
+      2. latest green round ASCENDING — evidence AGE dominates: rows that
+         predate a corpus regeneration (or a code rewrite, like the round-5
+         ext_dedup_exact key change) are re-proved before slots are spent
+         re-confirming last round's rows.  (Until round 7 the rows-only
+         class fronted regardless of age, which let 24 fresh r06 rows-only
+         IDs crowd the 62-deep r02/r03 hash-oracle backlog out of the
+         window — the round-6 verdict's staleness finding.)
+      3. within a round, rows-only (no SQL oracle) before hash-oracle —
+         "ran" is the weakest evidence class, so among equally-old rows it
+         goes stale fastest,
       4. canonical order (§2 base inventory in its deliberate order —
          SQL-oracle batch, then streaming, then rows-only — followed by
          extensions, SQL-oracle first) as the deterministic tie-break.
@@ -187,7 +191,7 @@ def _sweep_order() -> list[str]:
             # cap cannot rotate it out of reach (the round-5 verdict's
             # fn_urlencode case).
             return (0, 1, rnd, idx[k])
-        return (1, _REGISTRY[k].oracle is not None, rnd, idx[k])
+        return (1, rnd, _REGISTRY[k].oracle is not None, idx[k])
 
     return sorted(canonical, key=key)
 

@@ -5,10 +5,11 @@ rounds 1-4), so ``queries()`` orders the registry as a freshness LRU:
 
   1. never-driver-verified IDs first, in canonical order (§2 base inventory
      before extensions, SQL-oracle before rows-only within each block);
-  2. then verified rows-only IDs (weakest evidence class — goes stale when
-     the driver regenerates the corpus between rounds), oldest green round
-     first;
-  3. then verified hash-oracle IDs, oldest green round first.
+  2. then verified IDs, oldest green round first (evidence AGE dominates —
+     the round-6 verdict found fresh rows-only evidence crowding a 62-deep
+     r02/r03 backlog out of the 50-slot window);
+  3. within a round, rows-only before hash-oracle (weakest evidence class
+     goes stale fastest among equally-old rows).
 
 Coverage therefore accumulates across rounds, and once complete every
 entry's driver evidence is refreshed at most ceil(registry/cap) rounds
@@ -45,44 +46,59 @@ def test_unverified_precede_verified():
     assert unv_max < ver_min, "unverified IDs must precede verified ones"
 
 
-def test_verified_rows_only_precede_verified_hash_oracle():
-    """Among verified IDs, rows-only evidence is refreshed first.
-    Exception: an ID whose oracle was added AFTER its last sweep
-    (evidence rows-only, oracle present) fronts even earlier — its hash
-    check has never run (round-5 verdict, fn_urlencode)."""
+def test_verified_rows_only_precede_hash_oracle_within_round():
+    """Within one green round, rows-only evidence is refreshed first —
+    but round AGE dominates (an r02 hash-oracle ID fronts an r06
+    rows-only one).  Exception: an ID whose oracle was added AFTER its
+    last sweep (evidence rows-only, oracle present) fronts even earlier —
+    its hash check has never run (round-5 verdict, fn_urlencode)."""
     keys = list(registry.queries())
     latest = registry._latest_green_round()
     oracles = registry.oracles()
     verified = [
         k for k in keys if k in latest and not (k in oracles and not latest[k][1])
     ]
-    seen_hash_oracle = False
+    by_round: dict[int, list[str]] = {}
     for k in verified:
-        if k in oracles:
-            seen_hash_oracle = True
-        else:
-            assert not seen_hash_oracle, (
-                f"verified rows-only {k} ordered after a verified hash-oracle ID"
-            )
+        by_round.setdefault(latest[k][0], []).append(k)
+    for rnd, ks in by_round.items():
+        seen_hash_oracle = False
+        for k in ks:
+            if k in oracles:
+                seen_hash_oracle = True
+            else:
+                assert not seen_hash_oracle, (
+                    f"rows-only {k} after a hash-oracle ID within round {rnd}"
+                )
 
 
 def test_verified_ordered_oldest_evidence_first():
+    """Evidence age dominates across ALL verified IDs regardless of
+    oracle class — the whole point of the round-7 rotation fix."""
     keys = list(registry.queries())
     latest = registry._latest_green_round()
     oracles = registry.oracles()
-    # hash-pending entries (oracle added after the last sweep) front
-    # separately; within each remaining class, oldest green round first
-    for cls in (False, True):  # rows-only block, then hash-oracle block
-        rounds = [
-            latest[k][0]
-            for k in keys
-            if k in latest
-            and (k in oracles) == cls
-            and not (k in oracles and not latest[k][1])
-        ]
-        assert rounds == sorted(rounds), (
-            "verified IDs must be swept oldest-green-round first"
-        )
+    rounds = [
+        latest[k][0]
+        for k in keys
+        if k in latest and not (k in oracles and not latest[k][1])
+    ]
+    assert rounds == sorted(rounds), (
+        "verified IDs must be swept oldest-green-round first"
+    )
+
+
+def test_stale_cohort_fills_sweep_window():
+    """With the r01-r06 evidence on disk, the 50-slot window must be
+    spent on the OLDEST evidence: no verified ID in the first 50 slots
+    may be fresher than a verified ID outside them (new, never-swept IDs
+    excepted — they legitimately front)."""
+    keys = list(registry.queries())
+    latest = registry._latest_green_round()
+    inside = [latest[k][0] for k in keys[:50] if k in latest]
+    outside = [latest[k][0] for k in keys[50:] if k in latest]
+    if inside and outside:
+        assert max(inside) <= min(outside)
 
 
 def test_without_prior_evidence_base_ids_lead(monkeypatch):
