@@ -35,9 +35,13 @@ actions; the format itself follows the public spec:
 
 Commit atomicity is the same primitive acid.py uses: the fully-written
 log entry is ``os.link``ed to its versioned name — EEXIST means a
-concurrent committer won that version, so rebase and retry (on an object
-store this is the conditional-put the Delta spec requires of the log
-store).
+concurrent committer won that version (on an object store this is the
+conditional-put the Delta spec requires of the log store).  Plain
+appends commute and simply rebase onto the next version; every
+state-dependent command (overwrite/merge/delete/compact/restore)
+RE-DERIVES its actions from the new head instead — its tombstones and
+rewrites were computed against the old head and are invalid after the
+race (see :class:`DeltaConcurrentCommit`).
 
 At 100 TB: the log grows one small JSON per commit regardless of data
 volume, appends never rewrite data, and every ``add`` carries the
@@ -63,6 +67,16 @@ from ..catalog import table
 from ..registry import register
 
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+class DeltaConcurrentCommit(Exception):
+    """A concurrent committer advanced the log past the head this
+    commit's actions were derived from.  Plain appends commute and are
+    retried transparently; every state-dependent command (overwrite,
+    merge, delete, compact, restore) must RE-DERIVE its actions from
+    the new head — republishing the stale actions would let the racer's
+    files survive an overwrite untombstoned or lose its rows in a
+    merge/delete rewrite."""
 
 
 class DeltaLogTable:
@@ -193,14 +207,22 @@ class DeltaLogTable:
         md = pq.ParquetFile(path).metadata
         mins: dict = {}
         maxs: dict = {}
+        # Per-column COMPLETENESS: a column's recorded range must cover
+        # EVERY row group, or stats-based pruning (_prune, commit_merge,
+        # commit_delete) could skip a file that does contain matching
+        # rows — lost DELETEs / MERGE updates.  Any row group with a
+        # missing or non-UTF-8 min/max poisons the whole column: it is
+        # dropped from the stats entirely (conservative never-skip).
+        incomplete: set[str] = set()
         for rg in range(md.num_row_groups):
             row = md.row_group(rg)
             for i in range(row.num_columns):
                 col = row.column(i)
+                name = md.schema.column(i).name
                 st = col.statistics
                 if st is None or not st.has_min_max:
+                    incomplete.add(name)
                     continue
-                name = md.schema.column(i).name
                 lo, hi = st.min, st.max
                 if isinstance(lo, bytes):
                     # Stats order must be EXACT or pruning skips wrongly:
@@ -210,14 +232,40 @@ class DeltaLogTable:
                     try:
                         lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
                     except UnicodeDecodeError:
+                        incomplete.add(name)
                         continue
                 if hasattr(lo, "isoformat"):
                     lo, hi = lo.isoformat(), hi.isoformat()
                 mins[name] = lo if name not in mins else min(mins[name], lo)
                 maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+        for name in incomplete:
+            mins.pop(name, None)
+            maxs.pop(name, None)
         return json.dumps(
             {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs}
         )
+
+    @staticmethod
+    def _norm_bound(v):
+        """Normalize a caller-supplied predicate bound for comparison
+        with JSON-decoded stats values — date/timestamp stats are stored
+        as ISO-8601 strings (see ``_file_stats``), so datetime-like
+        bounds compare as their isoformat."""
+        return v.isoformat() if hasattr(v, "isoformat") else v
+
+    @staticmethod
+    def _stats_disjoint(mn, mx, lo, hi) -> bool:
+        """True only when the file range [mn, mx] PROVABLY misses the
+        predicate range [lo, hi].  A type mismatch between stats and
+        bounds (e.g. numeric stats probed with a string bound) is never
+        provably disjoint — the file is conservatively kept/rewritten
+        instead of raising mid-commit."""
+        lo = DeltaLogTable._norm_bound(lo)
+        hi = DeltaLogTable._norm_bound(hi)
+        try:
+            return mx < lo or mn > hi
+        except TypeError:
+            return False
 
     def _stage_files(
         self, df: DataFrame, partition_by: list[str] | None = None
@@ -268,25 +316,42 @@ class DeltaLogTable:
         shutil.rmtree(staged, ignore_errors=True)
         return adds
 
-    def _publish(self, actions: list[dict]) -> int:
+    def _publish(
+        self, actions: list[dict], derived_from: int | None = None
+    ) -> int:
         """Atomically publish ``actions`` as the next log version.
 
         The entry is fully written to a temp file first, then ``os.link``
         both publishes it and detects a lost race (EEXIST -> another
-        committer took the version; rebase by retrying on the new head).
+        committer took the version).  ``derived_from`` is the head
+        version the actions were computed against: when given and the
+        head has moved, :class:`DeltaConcurrentCommit` is raised so the
+        caller re-derives (tombstones/rewrites computed against the old
+        head are NOT valid against the new one); when None the actions
+        are head-independent (plain appends) and the publish simply
+        rebases onto the next free version.
         """
         while True:
-            version = self.latest_version() + 1
+            head = self.latest_version()
+            if derived_from is not None and head != derived_from:
+                raise DeltaConcurrentCommit(
+                    f"actions derived at version {derived_from} but head "
+                    f"is now {head}; re-derive and retry"
+                )
+            version = head + 1
             payload = list(actions)
             if version > 0:
                 # Schema evolution: when this commit's schema differs
                 # from the last committed metaData, re-emit the metaData
                 # action (the spec's mechanism — readers use the LATEST
                 # metaData and project older files through it, absent
-                # columns reading as null).
-                _, prev_schema, prev_parts = self._replay_actions(
-                    version - 1
-                )
+                # columns reading as null).  The table id CARRIES OVER:
+                # the spec keeps it stable for the table's lifetime, so
+                # identity-tracking readers see one table across schema
+                # changes.
+                prev_md = self._state(version - 1)["metaData"] or {}
+                prev_schema = prev_md.get("schemaString")
+                prev_parts = prev_md.get("partitionColumns", [])
                 if prev_schema is not None and (
                     json.loads(prev_schema)
                     != json.loads(self._schema_string)
@@ -294,7 +359,7 @@ class DeltaLogTable:
                     payload = [
                         {
                             "metaData": {
-                                "id": str(uuid.uuid4()),
+                                "id": prev_md.get("id") or str(uuid.uuid4()),
                                 "format": {
                                     "provider": "parquet",
                                     "options": {},
@@ -333,7 +398,9 @@ class DeltaLogTable:
                 os.unlink(tmp.name)
                 return version
             except FileExistsError:
-                os.unlink(tmp.name)  # lost the race: rebase onto new head
+                os.unlink(tmp.name)  # lost the race
+                # loop: head is re-read; derived_from (if any) is
+                # re-checked there and raises DeltaConcurrentCommit.
 
     def last_txn_version(self, app_id: str) -> int:
         """Highest committed ``txn`` version for ``app_id`` (-1 if none)
@@ -544,30 +611,52 @@ class DeltaLogTable:
             return self.latest_version()
         self._schema_string = df.schema.json()
         self._partition_columns = list(partition_by or [])
-        actions: list[dict] = []
-        if txn is not None:
-            actions.append(
-                {"txn": {"appId": txn[0], "version": txn[1]}}
-            )
-        return self._publish(actions + self._stage_files(df, partition_by))
+        adds = self._stage_files(df, partition_by)
+        if txn is None:
+            # Plain appends commute with any concurrent commit: publish
+            # rebases onto the next free version transparently.
+            return self._publish(adds)
+        while True:
+            head = self.latest_version()
+            if txn[1] <= self.last_txn_version(txn[0]):
+                # A concurrent instance of the same app committed this
+                # epoch while we raced: idempotence wins, drop ours.
+                return head
+            try:
+                return self._publish(
+                    [{"txn": {"appId": txn[0], "version": txn[1]}}] + adds,
+                    derived_from=head,
+                )
+            except DeltaConcurrentCommit:
+                continue  # re-check the racer's txn watermark
 
     def commit_overwrite(self, df: DataFrame) -> int:
         """Replace the table contents: adds for the new files plus remove
         tombstones for every file live at the current head."""
         self._schema_string = df.schema.json()
-        head = self.latest_version()
-        partition_by: list[str] = []
-        removes = []
-        if head >= 0:
-            live_map, _, partition_by = self._replay_actions(head)
-            removes = [
-                {"remove": {"path": p, "dataChange": True}}
-                for p in sorted(live_map)
-            ]
-        self._partition_columns = partition_by
-        return self._publish(
-            self._stage_files(df, partition_by or None) + removes
-        )
+        while True:
+            head = self.latest_version()
+            partition_by: list[str] = []
+            removes = []
+            if head >= 0:
+                live_map, _, partition_by = self._replay_actions(head)
+                removes = [
+                    {"remove": {"path": p, "dataChange": True}}
+                    for p in sorted(live_map)
+                ]
+            self._partition_columns = partition_by
+            try:
+                return self._publish(
+                    self._stage_files(df, partition_by or None) + removes,
+                    derived_from=head,
+                )
+            except DeltaConcurrentCommit:
+                # Tombstones were computed against a stale head — the
+                # racer's files would survive the overwrite untombstoned.
+                # Re-derive everything; the lost attempt's staged files
+                # are unreferenced by any commit and vacuum() removes
+                # them.
+                continue
 
     def compact(
         self,
@@ -589,6 +678,20 @@ class DeltaLogTable:
         replay), writes through the same staged path as any commit, and
         publishes atomically — readers at any version never see a
         half-compacted table."""
+        while True:
+            try:
+                return self._compact_once(target_file_bytes, zorder_by)
+            except DeltaConcurrentCommit:
+                # The rewrite snapshotted a stale live set; a racer's
+                # commit (e.g. an append) must not be tombstoned away or
+                # double-counted — re-derive from the new head.
+                continue
+
+    def _compact_once(
+        self,
+        target_file_bytes: int,
+        zorder_by: list[str] | None,
+    ) -> int:
         head = self.latest_version()
         live_map, _, partition_cols = self._replay_actions(head)
         if not live_map:
@@ -598,7 +701,7 @@ class DeltaLogTable:
             os.stat(os.path.join(self.root, p)).st_size for p in live
         )
         n_out = max(1, -(-total // target_file_bytes))  # ceil
-        df = self.read()
+        df = self.read(version=head)
         if zorder_by:
             # OPTIMIZE ZORDER: cluster the rewrite on the given key(s)
             # (typically a precomputed space-filling-curve column, cf.
@@ -618,7 +721,7 @@ class DeltaLogTable:
         removes = [
             {"remove": {"path": p, "dataChange": False}} for p in live
         ]
-        return self._publish(adds + removes)
+        return self._publish(adds + removes, derived_from=head)
 
     def commit_merge(self, source: DataFrame, keys: list[str]) -> int:
         """MERGE (upsert) by ``keys``: target rows whose key matches a
@@ -636,11 +739,22 @@ class DeltaLogTable:
         rewrites only the files it actually touches; rewrite volume
         follows the UPDATE's locality, not the table size.  Files with
         no stats on a key column are conservatively rewritten."""
+        while True:
+            try:
+                return self._commit_merge_once(source, keys)
+            except DeltaConcurrentCommit:
+                # The rewrite was computed against a stale head — a
+                # racer's rows would be silently lost; re-derive.
+                continue
+
+    def _commit_merge_once(self, source: DataFrame, keys: list[str]) -> int:
         head = self.latest_version()
         if head < 0:
             self._schema_string = source.schema.json()
             self._partition_columns = []
-            return self._publish(self._stage_files(source))
+            return self._publish(
+                self._stage_files(source), derived_from=head
+            )
         live, schema_s, partition_cols = self._replay_actions(head)
         if partition_cols:
             raise NotImplementedError(
@@ -664,7 +778,7 @@ class DeltaLogTable:
                 lo, hi = bounds[f"lo_{k}"], bounds[f"hi_{k}"]
                 if lo is None:
                     return False  # empty source: nothing matches
-                if mx < lo or mn > hi:
+                if self._stats_disjoint(mn, mx, lo, hi):
                     return False
             return True
 
@@ -688,7 +802,7 @@ class DeltaLogTable:
         removes = [
             {"remove": {"path": p, "dataChange": True}} for p in affected
         ]
-        return self._publish(adds + removes)
+        return self._publish(adds + removes, derived_from=head)
 
     def commit_delete(self, column: str, lo, hi) -> int:
         """DELETE rows with ``column`` in [lo, hi] — the GDPR/retention
@@ -698,6 +812,13 @@ class DeltaLogTable:
         would come back empty becomes a pure remove.  One atomic commit;
         at 100 TB a key-clustered layout (compact(zorder_by=...)) makes
         the rewrite volume follow the delete's locality."""
+        while True:
+            try:
+                return self._commit_delete_once(column, lo, hi)
+            except DeltaConcurrentCommit:
+                continue  # stale rewrite would lose the racer's rows
+
+    def _commit_delete_once(self, column: str, lo, hi) -> int:
         head = self.latest_version()
         if head < 0:
             raise ValueError("cannot delete from an empty table")
@@ -715,7 +836,7 @@ class DeltaLogTable:
             mx = stats.get("maxValues", {}).get(column)
             if mn is None or mx is None:
                 return True  # no stats: must assume doomed rows inside
-            return not (mx < lo or mn > hi)
+            return not self._stats_disjoint(mn, mx, lo, hi)
 
         affected = sorted(p for p, a in live.items() if intersects(a))
         if not affected:
@@ -734,7 +855,7 @@ class DeltaLogTable:
         removes = [
             {"remove": {"path": p, "dataChange": True}} for p in affected
         ]
-        return self._publish(adds + removes)
+        return self._publish(adds + removes, derived_from=head)
 
     def restore(self, version: int) -> int:
         """RESTORE TABLE to ``version`` as a NEW commit: adds for the
@@ -742,6 +863,13 @@ class DeltaLogTable:
         files — history is preserved (the restore itself is
         time-travelable), exactly the spec command's behavior.  Fails
         loudly if the target's files were already vacuumed."""
+        while True:
+            try:
+                return self._restore_once(version)
+            except DeltaConcurrentCommit:
+                continue  # diff vs the head must be recomputed
+
+    def _restore_once(self, version: int) -> int:
         head = self.latest_version()
         target, schema_s, partition_cols = self._replay_actions(version)
         current, _, _ = self._replay_actions(head)
@@ -763,7 +891,7 @@ class DeltaLogTable:
             for p in sorted(current)
             if p not in target
         ]
-        return self._publish(adds + removes)
+        return self._publish(adds + removes, derived_from=head)
 
     def vacuum(self) -> list[str]:
         """Delete data files referenced by NO live version's replay —
@@ -817,7 +945,7 @@ class DeltaLogTable:
                 mx = stats.get("maxValues", {}).get(col)
                 if mn is None or mx is None:
                     continue  # no stats: must read the file
-                if mx < lo_hi[0] or mn > lo_hi[1]:
+                if self._stats_disjoint(mn, mx, lo_hi[0], lo_hi[1]):
                     ok = False
                     break
             if ok:

@@ -415,3 +415,100 @@ def test_restore_re_materializes_old_version_as_new_commit(spark, tbl):
     tbl.vacuum()
     with pytest.raises(ValueError, match="vacuumed"):
         tbl.restore(v1)
+
+
+# -- round-7 concurrency + stats-soundness fixes -----------------------
+
+
+def test_overwrite_race_rederives_tombstones(spark, tbl, monkeypatch):
+    """A commit that races with a concurrent append must tombstone the
+    racer's files too: the retry used to republish tombstones computed
+    against the pre-race head, leaving the racer's rows alive under an
+    'overwrite' (round-7 ADVICE finding)."""
+    tbl.commit_append(_df(spark, [1, 2]))
+    racer = DeltaLogTable(spark, tbl.root)
+    orig = DeltaLogTable._stage_files
+    raced = {"done": False}
+
+    def stage_with_race(self, df, partition_by=None):
+        adds = orig(self, df, partition_by)
+        if self is tbl and not raced["done"]:
+            raced["done"] = True
+            racer.commit_append(_df(spark, [99]))  # concurrent winner
+        return adds
+
+    monkeypatch.setattr(DeltaLogTable, "_stage_files", stage_with_race)
+    tbl.commit_overwrite(_df(spark, [7]))
+    assert sorted(r.x for r in tbl.read().collect()) == [7], (
+        "the racer's append must not survive the overwrite"
+    )
+
+
+def test_merge_race_rederives_rewrite(spark, tbl, monkeypatch):
+    """MERGE racing with an append must keep the racer's rows."""
+    tbl.commit_append(_df(spark, [1, 2]))
+    racer = DeltaLogTable(spark, tbl.root)
+    orig = DeltaLogTable._stage_files
+    raced = {"done": False}
+
+    def stage_with_race(self, df, partition_by=None):
+        adds = orig(self, df, partition_by)
+        if self is tbl and not raced["done"]:
+            raced["done"] = True
+            racer.commit_append(_df(spark, [99]))
+        return adds
+
+    monkeypatch.setattr(DeltaLogTable, "_stage_files", stage_with_race)
+    tbl.commit_merge(_df(spark, [2]), keys=["x"])
+    assert sorted(r.x for r in tbl.read().collect()) == [1, 2, 99]
+
+
+def test_schema_evolution_keeps_table_id(spark, tbl):
+    """The spec keeps the table id stable for the table's lifetime; the
+    schema-evolution metaData re-emission must carry it forward, not
+    mint a fresh uuid (round-7 ADVICE finding)."""
+    tbl.commit_append(_df(spark, [1]))
+    v = tbl.commit_append(
+        spark.createDataFrame([(2, "b")], "x long, y string")
+    )
+    ids = {
+        a["metaData"]["id"]
+        for ver in range(v + 1)
+        for a in tbl._actions(ver)
+        if "metaData" in a
+    }
+    assert len(ids) == 1, f"table id changed across schema evolution: {ids}"
+
+
+def test_file_stats_drop_columns_not_covered_by_every_row_group(tmp_path):
+    """A column whose min/max is unusable in ANY row group must be
+    absent from the file stats entirely — recording the other row
+    groups' range under-covers the file and lets pruning skip rows that
+    exist (lost DELETEs / MERGE updates; round-7 ADVICE finding)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "n": pa.array([1, 2, 3, 4], pa.int64()),
+            "s": pa.array([b"aa", b"bb", b"\xff\xfe", b"\xff\xff"], pa.binary()),
+        }
+    )
+    path = str(tmp_path / "f.parquet")
+    pq.write_table(t, path, row_group_size=2)  # rg0 utf-8, rg1 not
+    stats = json.loads(DeltaLogTable._file_stats(path))
+    assert stats["numRecords"] == 4
+    assert stats["minValues"]["n"] == 1 and stats["maxValues"]["n"] == 4
+    assert "s" not in stats["minValues"] and "s" not in stats["maxValues"]
+
+
+def test_delete_with_timestamp_bounds_prunes_by_iso_stats(spark, tbl):
+    """Date/timestamp stats are ISO strings in the log; datetime bounds
+    used to raise TypeError in the pruning comparison (round-7 ADVICE
+    finding) — they must normalize and delete correctly."""
+    from datetime import datetime
+
+    rows = [(i, datetime(2026, 1, 1 + i, 12, 0)) for i in range(4)]
+    tbl.commit_append(spark.createDataFrame(rows, "x long, ts timestamp"))
+    tbl.commit_delete("ts", datetime(2026, 1, 2), datetime(2026, 1, 3, 23))
+    assert sorted(r.x for r in tbl.read().collect()) == [0, 3]
