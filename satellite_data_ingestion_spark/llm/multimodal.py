@@ -73,18 +73,70 @@ def decode_fake(payload: bytes) -> dict:
     }
 
 
-def decoded_features(binary_df: DataFrame, kernel=decode_fake) -> DataFrame:
+# -- codec registry seam ------------------------------------------------
+#
+# A user with real codec libraries plugs a decoder in per MIME type
+# without editing this module — the same seam shape as rest_catalog's
+# ``_fetch_page`` transport.  Blobs are routed by magic-byte sniff (the
+# ext_mime_detect logic, Python-side) to the registered kernel; anything
+# unmatched falls back to the synthetic default, so pipelines keep
+# running when only some modalities have real codecs.
+
+_FEATURE_CODECS: dict = {"application/octet-stream": decode_fake}
+_FRAME_CODECS: dict = {}
+
+
+def register_codec(mime: str, kernel) -> None:
+    """Bind ``kernel(payload: bytes) -> dict`` (DECODED_SCHEMA feature
+    fields minus doc_id) as the feature decoder for ``mime`` — e.g.
+    ``register_codec("image/jpeg", decode_image_real)`` once PIL exists.
+    Replaces any previous binding."""
+    _FEATURE_CODECS[mime] = kernel
+
+
+def register_frame_codec(mime: str, kernel) -> None:
+    """Bind ``kernel(payload: bytes) -> list[dict]`` (FRAME_SCHEMA fields
+    minus doc_id) as the 1→N frame extractor for ``mime`` — the ffmpeg
+    seam.  Replaces any previous binding."""
+    _FRAME_CODECS[mime] = kernel
+
+
+def _sniff_mime(payload: bytes) -> str:
+    """Magic-byte content type (Python-side twin of ext_mime_detect)."""
+    head = bytes(payload[:3]).hex()
+    for sig, name in _MAGIC:
+        if head == sig.replace(" ", ""):
+            return name
+    return "application/octet-stream"
+
+
+def decoded_features(binary_df: DataFrame, kernel=None) -> DataFrame:
     """binary (doc_id, payload) → typed feature rows via mapInPandas.
 
     One Python invocation per Arrow batch (not per row); the iterator
     signature streams batches so executor memory stays bounded no matter
     the partition size — the property that lets this run over 100 TB of
     blobs with fixed-size executors.
+
+    With ``kernel=None`` each blob routes through the codec registry by
+    magic-byte sniff.  The registry is SNAPSHOTTED into the closure at
+    plan-build time: driver-side ``register_codec`` calls ship to the
+    executors with the serialized kernel instead of relying on the
+    workers' own module import (which would silently drop runtime
+    registrations).
     """
+    codecs = dict(_FEATURE_CODECS) if kernel is None else None
+    fallback = (codecs or {}).get("application/octet-stream", decode_fake)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [kernel(p) for p in pdf["payload"]]
+            if kernel is not None:
+                feats = [kernel(p) for p in pdf["payload"]]
+            else:
+                feats = [
+                    codecs.get(_sniff_mime(p), fallback)(p)
+                    for p in pdf["payload"]
+                ]
             out = pd.DataFrame(feats)
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out
@@ -105,31 +157,44 @@ _FRAME_SIZE = 32  # bytes per fake "frame"
 _SAMPLE_EVERY = 4  # keep every 4th frame
 
 
+def fake_frames(payload: bytes) -> list[dict]:
+    """Deterministic fake frame extractor: frame k covers bytes
+    [32k, 32k+32), downsampled 4:1 — the default frame codec."""
+    n_frames = len(payload) // _FRAME_SIZE
+    return [
+        {
+            "frame_idx": k,
+            "frame_offset": k * _FRAME_SIZE,
+            "frame_bytes": min(_FRAME_SIZE, len(payload) - k * _FRAME_SIZE),
+        }
+        for k in range(0, n_frames, _SAMPLE_EVERY)
+    ]
+
+
 def sampled_frames(binary_df: DataFrame) -> DataFrame:
     """Video-style frame sampling: one blob row → N sampled frame rows.
 
     The mapInPandas kernel is row-expanding (unlike the scalar decode):
-    each payload yields len/32 frames, downsampled 4:1 — the plumbing
-    (schema, batch iteration, 1→N expansion inside Arrow batches) is what
-    a real ffmpeg frame extractor plugs into.  Deterministic fake: frame
-    k covers bytes [32k, 32k+32)."""
+    the plumbing (schema, batch iteration, 1→N expansion inside Arrow
+    batches) is what a real ffmpeg frame extractor plugs into via
+    ``register_frame_codec`` — blobs route to it by magic-byte sniff;
+    unmatched MIME types fall back to the deterministic fake.  Like
+    ``decoded_features``, the registry snapshot ships inside the closure
+    so driver-side registrations reach the executors."""
+    codecs = dict(_FRAME_CODECS)
+    fallback = codecs.get("application/octet-stream", fake_frames)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n_frames = len(payload) // _FRAME_SIZE
-                for k in range(0, n_frames, _SAMPLE_EVERY):
-                    rows.append(
-                        {
-                            "doc_id": doc_id,
-                            "frame_idx": k,
-                            "frame_offset": k * _FRAME_SIZE,
-                            "frame_bytes": min(
-                                _FRAME_SIZE, len(payload) - k * _FRAME_SIZE
-                            ),
-                        }
-                    )
+                kern = (
+                    codecs.get(_sniff_mime(payload), fallback)
+                    if codecs
+                    else fallback
+                )
+                for frame in kern(payload):
+                    rows.append({"doc_id": doc_id, **frame})
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return binary_df.mapInPandas(extract, schema=FRAME_SCHEMA)

@@ -381,16 +381,25 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     # retry the run (sources/meteosat.py:194-197).
     last_error: Exception | None = None
     for attempt in (1, 2):
-        sink = f"pyds_sink_{os.getpid()}_{attempt}"
         ckpt = tempfile.mkdtemp(prefix="sdis_pyds_ckpt_")
+        # Row-proportional output (one row per slot) drains through a
+        # PARQUET sink, not a memory sink + collect: executors write the
+        # sink in parallel and the returned DataFrame reads it lazily —
+        # nothing moves through the driver (scale-clean even when the
+        # timeline is the whole corpus).  The sink dir outlives this
+        # call because the result reads it lazily.
+        out_dir = ckpt + "_out"
+
+        def write_batch(df: DataFrame, batch_id: int) -> None:
+            df.write.mode("append").parquet(out_dir)
+
         q = (
             spark.readStream.format("slot_timeline_stream")
             .option("start_epoch", s)
             .option("end_epoch", e)
             .option("slots_per_batch", 512)
             .load()
-            .writeStream.format("memory")
-            .queryName(sink)
+            .writeStream.foreachBatch(write_batch)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
             .trigger(processingTime="0 seconds")
@@ -406,14 +415,12 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
             if q.exception() is not None:
                 raise q.exception()
-            out = spark.table(sink)
-            # Bounded collect: exactly n_slots rows (2,880 at sf0.01) —
-            # memory-sink output materialized once to hand back a batch DF.
-            rows = out.dropDuplicates(["slot_idx"]).collect()
-            if len(rows) >= n_slots:
-                return spark.createDataFrame(rows, out.schema)
+            out = spark.read.parquet(out_dir).dropDuplicates(["slot_idx"])
+            n = out.count()
+            if n >= n_slots:
+                return out
             last_error = RuntimeError(
-                f"stream drained {len(rows)}/{n_slots} slots (attempt {attempt})"
+                f"stream drained {n}/{n_slots} slots (attempt {attempt})"
             )
         except Exception as ex:  # failed attempt → clean stop, fresh retry
             last_error = ex

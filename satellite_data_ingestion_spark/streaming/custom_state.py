@@ -411,13 +411,18 @@ def _make_subseq_tracker(qv: list, m: int):
             buffer = list(buffer)
         else:
             buffer, n_points, min_dist, min_start = [], 0, None, None
-        for pdf in pdfs:
-            # arrival order within a batch is not guaranteed: restore the
-            # series order before windowing
-            pdf = pdf.sort_values(["ts", "event_id"])
-            vals = pdf["value"].to_numpy(dtype=np.float64)
-            if len(vals) == 0:
-                continue
+        # applyInPandasWithState hands the group's micro-batch as an
+        # ITERATOR of Arrow chunks (~10k rows each) whose relative order
+        # is not guaranteed — the pre-stateful sort orders by key only.
+        # Sorting per chunk is not enough once a group spans chunks:
+        # accumulate every chunk and restore series order ONCE before
+        # windowing (round-7 ADVICE finding).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = (
+                pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            ).sort_values(["ts", "event_id"])
+            vals = batch["value"].to_numpy(dtype=np.float64)
             ext = np.concatenate([np.asarray(buffer), vals])
             # windows that END in this batch: starts offset by what the
             # buffer already covered
@@ -601,11 +606,19 @@ def _make_anomaly_tracker(win: int, z_gate: float):
             buffer = list(buffer)
         else:
             buffer, n_points = [], 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            vals = pdf["value"].to_numpy(np.float64)
-            ids = pdf["event_id"].to_numpy(np.int64)
-            out_ids, out_z = [], []
+        # Accumulate EVERY Arrow chunk and restore series order once:
+        # chunk-relative order is not guaranteed by the pre-stateful
+        # key-only sort, so per-chunk sorting could score points against
+        # an out-of-order baseline once a group spans multiple chunks
+        # (round-7 ADVICE finding).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        out_ids, out_z = [], []
+        if chunks:
+            batch = (
+                pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            ).sort_values(["ts", "event_id"])
+            vals = batch["value"].to_numpy(np.float64)
+            ids = batch["event_id"].to_numpy(np.int64)
             concat = np.concatenate([np.asarray(buffer), vals])
             n_buf = len(buffer)
             if len(concat) >= win + 1:
@@ -628,14 +641,14 @@ def _make_anomaly_tracker(win: int, z_gate: float):
             # state holds pure-Python floats (numpy scalars do not
             # survive the state-store pickle boundary)
             buffer = [float(x) for x in concat[-win:]]
-            yield pd.DataFrame(
-                {
-                    "event_id": pd.Series(out_ids, dtype="int64"),
-                    "event_type": event_type,
-                    "zscore": pd.Series(out_z, dtype="float64"),
-                }
-            )
         state.update((buffer, n_points))
+        yield pd.DataFrame(
+            {
+                "event_id": pd.Series(out_ids, dtype="int64"),
+                "event_type": event_type,
+                "zscore": pd.Series(out_z, dtype="float64"),
+            }
+        )
 
     return tracker
 

@@ -1163,3 +1163,102 @@ def test_delta_stream_reader_offsets_and_append_only(spark, tmp_path):
     t.commit_delete("k", 0, 0)
     with pytest.raises(ValueError, match="not append-only"):
         r.partitions({"version": 2}, {"version": 3})
+
+
+def test_stateful_trackers_restore_order_across_arrow_chunks():
+    """applyInPandasWithState delivers a group's micro-batch as multiple
+    Arrow chunks whose RELATIVE order is not guaranteed (the pre-stateful
+    sort orders by key only).  The trackers must produce identical output
+    and state no matter how the batch is chunked or in what order the
+    chunks arrive (round-7 ADVICE finding; sf0.001 streams only ever
+    exercised single-chunk groups)."""
+    import numpy as np
+    import pandas as pd
+
+    from satellite_data_ingestion_spark.streaming.custom_state import (
+        _make_anomaly_tracker,
+        _make_subseq_tracker,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    rng = np.random.RandomState(7)
+    n = 60
+    full = pd.DataFrame(
+        {
+            "ts": np.arange(n, dtype=np.int64),
+            "event_id": np.arange(n, dtype=np.int64),
+            "value": rng.randn(n).round(3),
+        }
+    )
+    parts = [full.iloc[0:20], full.iloc[20:40], full.iloc[40:60]]
+
+    def run(make, chunks):
+        st = FakeState()
+        outs = list(make()(("t",), iter(chunks), st))
+        return pd.concat(outs, ignore_index=True), st._v
+
+    for make in (
+        lambda: _make_anomaly_tracker(20, 1.0),
+        lambda: _make_subseq_tracker(list(full["value"][:8]), 8),
+    ):
+        ordered, st_ordered = run(make, [full])
+        scrambled, st_scrambled = run(make, [parts[2], parts[0], parts[1]])
+        pd.testing.assert_frame_equal(
+            ordered.sort_values(list(ordered.columns)).reset_index(drop=True),
+            scrambled.sort_values(list(scrambled.columns)).reset_index(drop=True),
+        )
+        assert st_ordered == st_scrambled
+
+
+def test_codec_registry_routes_by_mime_end_to_end(spark):
+    """Registering a codec for a MIME type routes matching blobs through
+    it INSIDE the Spark job (registry snapshot ships with the closure),
+    while unmatched blobs fall back to the synthetic default — the
+    pluggable-codec seam of the round-6 verdict, no module editing."""
+    from satellite_data_ingestion_spark.llm import multimodal as mm
+
+    png = bytes([0x89, 0x50, 0x4E]) + b"png-ish payload " * 8  # sniffs image/png
+    txt = b"plain text payload, several frames long.." * 4
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(txt))], "doc_id long, payload binary"
+    )
+
+    def png_frames(payload):
+        return [{"frame_idx": 0, "frame_offset": 0, "frame_bytes": len(payload)}]
+
+    def png_features(payload):
+        return {"n_bytes": len(payload), "width": 1920, "height": 1080,
+                "first_byte": payload[0]}
+
+    mm.register_frame_codec("image/png", png_frames)
+    mm.register_codec("image/png", png_features)
+    try:
+        frames = mm.sampled_frames(df).collect()
+        by_doc = {}
+        for r in frames:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # doc 1 routed to the registered extractor: ONE frame, whole blob
+        assert len(by_doc[1]) == 1 and by_doc[1][0].frame_bytes == len(png)
+        # doc 2 fell back to the synthetic 32-byte/4:1 sampler
+        assert len(by_doc[2]) == len(mm.fake_frames(txt))
+
+        feats = {r.doc_id: r for r in mm.decoded_features(df).collect()}
+        assert (feats[1].width, feats[1].height) == (1920, 1080)
+        assert feats[2].width == len(txt) % 640  # synthetic fallback
+    finally:
+        mm._FRAME_CODECS.pop("image/png", None)
+        mm._FEATURE_CODECS.pop("image/png", None)
