@@ -66,7 +66,11 @@ assert settings.MAX_BUCKET == 100000 and settings.TILE_P == 64
 registry.load_all()
 sf = "/root/testdata/sf0.001"
 for name, min_rows in [("ext_dedup_minhash", 1), ("ext_sim_ivf", 10),
-                       ("ext_dedup_embedding", 1), ("ext_shuffle_index", 500)]:
+                       ("ext_dedup_embedding", 1), ("ext_shuffle_index", 500),
+                       # round-6 additions: the SDIS_PQ_* knobs and the
+                       # Delta-table family landed after the original
+                       # prod smoke — cover one PQ and one Delta path.
+                       ("ext_sim_pq_indexed", 10), ("sink_delta_merge", 1)]:
     n = registry.spec(name).fn(spark, sf).count()
     assert n >= min_rows, f"{name}: {n} rows under prod profile"
 print("PROD_OK")
