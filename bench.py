@@ -11,6 +11,15 @@ Each query runs ``SPARK_GRAFT_BENCH_ITERS`` times (default 3) and the
 reported number is the per-query MEDIAN — one slow iteration under machine
 load no longer poisons the committed artifact (the r04 lesson: a single
 noisy run recorded 18.85s against three controlled runs of 16.4/16.5/18.3).
+
+A fixed-size CALIBRATION PROBE (constant work, independent of SF and of
+the engine's own code) runs first and last; its timings ride along in the
+JSON as ``probe_first_sec`` / ``probe_last_sec`` / ``probe_sec``.  Machine
+load inflates the probe and the queries together, so a run's numbers can
+be normalized by ``probe_sec / PROBE_REF_SEC`` (the unloaded-machine
+reference pinned in BASELINE.md) to separate load noise from genuine plan
+regressions — the round-6 lesson: a 1.51× shared-subset inflation was
+unattributable because the committed artifact carried no load signal.
 """
 
 from __future__ import annotations
@@ -65,6 +74,21 @@ HEADLINE = [
 ]
 
 
+def _probe(spark) -> float:
+    """Median-of-3 fixed workload: a 30M-row generated aggregate through
+    the noop sink — no file I/O, no SF dependence, whole-stage codegen
+    only, so its runtime moves with machine load and nothing else."""
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(30_000_000).selectExpr("sum(id % 7) AS s").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    return round(samples[1], 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -78,6 +102,9 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite"
     ).save()
+
+    probe_first = _probe(spark)
+    print(f"[bench] calibration probe (pre): {probe_first}s", file=sys.stderr)
 
     iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
     timings: dict[str, float] = {}
@@ -109,6 +136,9 @@ def main() -> None:
             flush=True,
         )
 
+    probe_last = _probe(spark)
+    print(f"[bench] calibration probe (post): {probe_last}s", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -118,6 +148,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "probe_first_sec": probe_first,
+                "probe_last_sec": probe_last,
+                "probe_sec": round((probe_first + probe_last) / 2, 3),
             }
         )
     )
