@@ -534,3 +534,61 @@ def ext_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "ext_lm_score",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_corpus,
+         CAST(count(*) AS BIGINT) AS vocab
+  FROM counts
+)
+SELECT t.doc_id,
+       count(*)                                                  AS n_tokens,
+       round(-avg(ln((c + 1.0) / (n_corpus + vocab))), 4)        AS lm_score
+FROM toks t JOIN counts USING (tok) CROSS JOIN tot
+GROUP BY t.doc_id
+""",
+)
+def ext_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score per document (the CCNet/
+    Gopher-style "LM perplexity" gate, with the n-gram LM trained on the
+    corpus itself): per-token negative mean log-likelihood under a
+    Laplace-smoothed unigram model, ``-avg(ln((c_w + 1) / (N + V)))``.
+    Low scores = likely-natural text, high scores = rare-token noise —
+    the standard cheap proxy where a real pipeline would plug a KenLM.
+
+    Scale shape: ONE token shuffle builds the count table; the model is
+    vocabulary-sized (Zipf: ~sqrt-ish of corpus tokens), so it BROADCASTS
+    back onto the token stream — the corpus is never reshuffled for the
+    scoring join, exactly the ext_tfidf vocabulary-join layout.  Corpus
+    totals (N, V) fold in as a broadcast 1-row aggregate, not a separate
+    count job."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(
+        F.sum("c").alias("n_corpus"), F.count(F.lit(1)).alias("vocab")
+    )
+    return (
+        toks.join(F.broadcast(counts), "tok")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                -F.avg(
+                    F.log(
+                        (F.col("c") + 1.0)
+                        / (F.col("n_corpus") + F.col("vocab"))
+                    )
+                ),
+                4,
+            ).alias("lm_score"),
+        )
+    )

@@ -723,7 +723,12 @@ class DeltaLogTable:
         ]
         return self._publish(adds + removes, derived_from=head)
 
-    def commit_merge(self, source: DataFrame, keys: list[str]) -> int:
+    def commit_merge(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        txn: tuple[str, int] | None = None,
+    ) -> int:
         """MERGE (upsert) by ``keys``: target rows whose key matches a
         source row are REPLACED by the source row, unmatched source rows
         are INSERTED, all in one atomic commit — the canonical CDC
@@ -738,22 +743,39 @@ class DeltaLogTable:
         layout (ext_zorder_layout composes here) a trickle of CDC
         rewrites only the files it actually touches; rewrite volume
         follows the UPDATE's locality, not the table size.  Files with
-        no stats on a key column are conservatively rewritten."""
+        no stats on a key column are conservatively rewritten.
+
+        With ``txn=(appId, epoch)`` the merge is IDEMPOTENT exactly like
+        :meth:`commit_append`: an epoch at or below the app's committed
+        watermark is skipped — the streaming-CDC exactly-once handshake
+        (a replayed micro-batch upsert must not double-apply)."""
         while True:
             try:
-                return self._commit_merge_once(source, keys)
+                return self._commit_merge_once(source, keys, txn)
             except DeltaConcurrentCommit:
                 # The rewrite was computed against a stale head — a
                 # racer's rows would be silently lost; re-derive.
                 continue
 
-    def _commit_merge_once(self, source: DataFrame, keys: list[str]) -> int:
+    def _commit_merge_once(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        txn: tuple[str, int] | None = None,
+    ) -> int:
         head = self.latest_version()
+        # Watermark check INSIDE the retry loop: a racing instance of the
+        # same app may have committed this very epoch.
+        if txn is not None and txn[1] <= self.last_txn_version(txn[0]):
+            return head
+        txn_actions = (
+            [{"txn": {"appId": txn[0], "version": txn[1]}}] if txn else []
+        )
         if head < 0:
             self._schema_string = source.schema.json()
             self._partition_columns = []
             return self._publish(
-                self._stage_files(source), derived_from=head
+                txn_actions + self._stage_files(source), derived_from=head
             )
         live, schema_s, partition_cols = self._replay_actions(head)
         if partition_cols:
@@ -802,7 +824,7 @@ class DeltaLogTable:
         removes = [
             {"remove": {"path": p, "dataChange": True}} for p in affected
         ]
-        return self._publish(adds + removes, derived_from=head)
+        return self._publish(txn_actions + adds + removes, derived_from=head)
 
     def commit_delete(self, column: str, lo, hi) -> int:
         """DELETE rows with ``column`` in [lo, hi] — the GDPR/retention
@@ -1372,6 +1394,125 @@ def sink_delta_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.createDataFrame(out.collect(), out.schema)
     shutil.rmtree(staging, ignore_errors=True)
     return result
+
+
+@register(
+    "sink_delta_cdc",
+    oracle="""
+WITH latest AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+)
+SELECT user_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS last_ts_epoch,
+       event_id                         AS last_event_id,
+       round(value, 4)                  AS last_value
+FROM latest
+WHERE rn = 1
+""",
+)
+def sink_delta_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC upsert: each micro-batch's per-key latest row is
+    MERGEd into the Delta table (matched keys replaced, new keys
+    inserted) with a ``txn`` (appId, epoch) stamp, so a replayed
+    micro-batch — hand-redelivered after the drain, the at-least-once
+    crash retry — is swallowed by the writer watermark.  The final table
+    must hash-match the batch argmax oracle: the per-user LATEST event
+    across the whole stream, which only holds if every upsert applied
+    exactly once and the stats-pruned copy-on-write rewrite lost no
+    racer-free rows.
+
+    This is the canonical lakehouse CDC shape (Kafka upserts → MERGE
+    INTO per trigger): at 100 TB the per-batch rewrite volume follows
+    the batch's key locality via stats pruning (commit_merge), state for
+    exactly-once is one txn watermark row per app in the log, and
+    micro-batches arrive time-ordered here (range-staged files with
+    increasing mtimes) exactly as a CDC log would deliver them."""
+    import glob as _glob
+
+    from ..catalog import _prepare, table
+    from ..streaming.state import _few_shuffle_partitions
+
+    _prepare(spark)
+    ev = table(spark, sf_dir, "events")
+    staging = os.path.join(
+        tempfile.gettempdir(), f"sdis_staging_cdc_{os.getpid()}"
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        ev.repartitionByRange(3, "ts")
+        .sortWithinPartitions("ts", "event_id")
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    # FileStreamSource orders files by (mtime, path): stamp strictly
+    # increasing mtimes so batch k is exactly time-range k (the CDC
+    # delivery order; same pattern as the stream_ts_* fixtures).
+    base = int(os.path.getmtime(staging))
+    for i, part in enumerate(
+        sorted(_glob.glob(os.path.join(staging, "part-*.parquet")))
+    ):
+        os.utime(part, (base + 10 * i, base + 10 * i))
+    schema = spark.read.parquet(staging).schema
+    root = tempfile.mkdtemp(prefix="sdis_delta_cdc_")
+    t = DeltaLogTable(spark, root)
+    app = "sdis-cdc-upsert"
+    seen: list[tuple[int, DataFrame]] = []
+
+    def upsert_batch(df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window as W
+
+        latest = (
+            df.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("user_id").orderBy(
+                        F.desc("ts"), F.desc("event_id")
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.unix_timestamp("ts").alias("last_ts_epoch"),
+                F.col("event_id").alias("last_event_id"),
+                F.round("value", 4).alias("last_value"),
+            )
+        )
+        t.commit_merge(latest, keys=["user_id"], txn=(app, batch_id))
+        seen.append((batch_id, latest))
+
+    with _few_shuffle_partitions(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(staging)
+            .writeStream.foreachBatch(upsert_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    assert len(seen) >= 2, "CDC stream must deliver multiple micro-batches"
+    head_before = t.latest_version()
+    # Post-crash at-least-once redelivery of the final upsert batch
+    # (already reduced to its per-key latest rows): the merge's txn
+    # watermark must swallow it without a new commit.
+    last_id, last_latest = seen[-1]
+    t.commit_merge(last_latest, keys=["user_id"], txn=(app, last_id))
+    if t.latest_version() != head_before:
+        raise RuntimeError("txn watermark failed: replayed CDC batch merged")
+
+    # Per-user final state is row-proportional in the user dimension:
+    # return the table read LAZILY (the temp table root stays in place,
+    # like every file-drained streaming result) — no driver round-trip.
+    shutil.rmtree(staging, ignore_errors=True)
+    return t.read()
 
 
 @register(

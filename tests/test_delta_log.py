@@ -512,3 +512,21 @@ def test_delete_with_timestamp_bounds_prunes_by_iso_stats(spark, tbl):
     tbl.commit_append(spark.createDataFrame(rows, "x long, ts timestamp"))
     tbl.commit_delete("ts", datetime(2026, 1, 2), datetime(2026, 1, 3, 23))
     assert sorted(r.x for r in tbl.read().collect()) == [0, 3]
+
+
+def test_merge_txn_watermark_is_idempotent(spark, tbl):
+    """commit_merge with txn=(appId, epoch) must skip an epoch at or
+    below the committed watermark — the streaming-CDC exactly-once
+    handshake (sink_delta_cdc's replay guard)."""
+    tbl.commit_append(_df(spark, [1, 2, 3]))
+    src = spark.createDataFrame([(2,)], "x long")
+    v1 = tbl.commit_merge(src, keys=["x"], txn=("cdc", 0))
+    assert tbl.latest_version() == v1
+    # replay of the same epoch: no new commit, same head
+    assert tbl.commit_merge(src, keys=["x"], txn=("cdc", 0)) == v1
+    assert tbl.latest_version() == v1
+    # the next epoch commits normally
+    v2 = tbl.commit_merge(spark.createDataFrame([(4,)], "x long"),
+                          keys=["x"], txn=("cdc", 1))
+    assert v2 == v1 + 1
+    assert sorted(r.x for r in tbl.read().collect()) == [1, 2, 3, 4]

@@ -541,3 +541,14 @@ def test_pq_indexed_partition_pruning_and_code_scan(spark):
     for seg in staged_scans:
         head = seg.split("PushedFilters")[0]
         assert "codes" in head and "embedding" not in head, seg[:400]
+
+
+def test_lm_score_broadcasts_model_never_reshuffles_corpus(spark):
+    """The vocabulary-sized count table and the 1-row (N, V) totals must
+    both BROADCAST onto the token stream — the corpus is shuffled once
+    to build the model (token groupBy) and once for the per-doc
+    aggregate, never for the scoring join."""
+    plan = plan_of(spark, "ext_lm_score")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastExchange") >= 2, tree
+    assert "SortMergeJoin" not in tree, tree
