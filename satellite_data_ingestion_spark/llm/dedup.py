@@ -615,7 +615,10 @@ def _checkpoint_reset_stats(df: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    labels: DataFrame, edges: DataFrame, max_iters: int = _CC_MAX_ITERS
+    labels: DataFrame,
+    edges: DataFrame,
+    max_iters: int = _CC_MAX_ITERS,
+    identity_start: bool = False,
 ) -> DataFrame:
     """Distributed connected components: min-label propagation with EDGE
     CONTRACTION and pointer doubling, over ``labels (doc_id,
@@ -656,24 +659,32 @@ def connected_components(
     checkpoint + count); every iteration boundary runs through
     ``_checkpoint_reset_stats`` — plain localCheckpoint inherits the
     round's multiplied size estimate and the BigInteger digit count
-    would double per self-join (the round-6 "hang")."""
+    would double per self-join (the round-6 "hang").
+
+    ``identity_start=True`` asserts the caller's labels are the identity
+    (component_id = doc_id) and the edges are already loop-free and
+    distinct: round 1's contraction would rewrite every endpoint through
+    an identity map, so it is skipped — two joins and a distinct over
+    the FULL edge set (the loop's largest table) saved.  Later rounds
+    contract normally."""
     labels = _checkpoint_reset_stats(labels)
     e = _checkpoint_reset_stats(edges)
     n_edges = -1
-    for _ in range(max_iters):
-        la = labels.select(
-            F.col("doc_id").alias("doc_a"), F.col("component_id").alias("la")
-        )
-        lb = labels.select(
-            F.col("doc_id").alias("doc_b"), F.col("component_id").alias("lb")
-        )
-        e = _checkpoint_reset_stats(
-            e.join(la, "doc_a")
-            .join(lb, "doc_b")
-            .filter("la != lb")
-            .select(F.col("la").alias("doc_a"), F.col("lb").alias("doc_b"))
-            .distinct()
-        )
+    for rnd in range(max_iters):
+        if rnd > 0 or not identity_start:
+            la = labels.select(
+                F.col("doc_id").alias("doc_a"), F.col("component_id").alias("la")
+            )
+            lb = labels.select(
+                F.col("doc_id").alias("doc_b"), F.col("component_id").alias("lb")
+            )
+            e = _checkpoint_reset_stats(
+                e.join(la, "doc_a")
+                .join(lb, "doc_b")
+                .filter("la != lb")
+                .select(F.col("la").alias("doc_a"), F.col("lb").alias("doc_b"))
+                .distinct()
+            )
         # Old rounds' blocks are released by dropping the reference:
         # unpersist() is a no-op on localCheckpoint blocks; the
         # ContextCleaner frees unreferenced block RDDs asynchronously,
@@ -802,7 +813,10 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = table(spark, sf_dir, "documents").select("doc_id")
     labels = docs.select("doc_id", F.col("doc_id").alias("component_id"))
-    labels = connected_components(labels, edges)
+    # identity_start: labels initialize to doc_id and the verified pairs
+    # are distinct with doc_a < doc_b, so round 1's identity contraction
+    # is skippable.
+    labels = connected_components(labels, edges, identity_start=True)
     return labels.select(
         "doc_id",
         "component_id",

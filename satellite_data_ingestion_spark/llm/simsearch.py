@@ -460,7 +460,9 @@ def ext_dedup_embedding_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id")
     )
     labels = connected_components(
-        vecs.select("doc_id", F.col("doc_id").alias("component_id")), edges
+        vecs.select("doc_id", F.col("doc_id").alias("component_id")),
+        edges,
+        identity_start=True,  # identity labels + distinct a<b pairs
     )
     return labels.select(
         F.col("doc_id").alias("vec_id"),

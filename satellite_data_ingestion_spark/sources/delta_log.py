@@ -58,6 +58,7 @@ import json
 import os
 import shutil
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -316,8 +317,26 @@ class DeltaLogTable:
         shutil.rmtree(staged, ignore_errors=True)
         return adds
 
+    @staticmethod
+    def _remove_action(path: str, data_change: bool) -> dict:
+        """Spec-shaped remove tombstone: ``deletionTimestamp`` (ms) is
+        the spec's optional field that retention-aware VACUUM consults —
+        a tombstone younger than the retention window keeps its file on
+        disk so concurrent readers of recent versions don't lose data
+        files mid-scan."""
+        return {
+            "remove": {
+                "path": path,
+                "deletionTimestamp": int(time.time() * 1000),
+                "dataChange": data_change,
+            }
+        }
+
     def _publish(
-        self, actions: list[dict], derived_from: int | None = None
+        self,
+        actions: list[dict],
+        derived_from: int | None = None,
+        operation: str | None = None,
     ) -> int:
         """Atomically publish ``actions`` as the next log version.
 
@@ -330,7 +349,24 @@ class DeltaLogTable:
         head are NOT valid against the new one); when None the actions
         are head-independent (plain appends) and the publish simply
         rebases onto the next free version.
+
+        ``operation`` (when given) is recorded as the spec's optional
+        ``commitInfo`` action — the first line of the commit, carrying
+        the wall-clock timestamp and operation name that DESCRIBE
+        HISTORY surfaces; replay ignores it (it is informational).
         """
+        info = (
+            [
+                {
+                    "commitInfo": {
+                        "timestamp": int(time.time() * 1000),
+                        "operation": operation,
+                    }
+                }
+            ]
+            if operation is not None
+            else []
+        )
         while True:
             head = self.latest_version()
             if derived_from is not None and head != derived_from:
@@ -391,7 +427,7 @@ class DeltaLogTable:
                 mode="w", dir=self.log_dir, suffix=".tmp", delete=False
             )
             with tmp as fh:
-                for action in payload:
+                for action in info + payload:
                     fh.write(json.dumps(action) + "\n")
             try:
                 os.link(tmp.name, self._version_path(version))
@@ -468,6 +504,7 @@ class DeltaLogTable:
                         pa.struct(
                             [
                                 ("path", pa.string()),
+                                ("deletionTimestamp", pa.int64()),
                                 ("dataChange", pa.bool_()),
                             ]
                         ),
@@ -520,6 +557,7 @@ class DeltaLogTable:
                 {
                     "remove": {
                         "path": r["path"],
+                        "deletionTimestamp": r.get("deletionTimestamp"),
                         "dataChange": bool(r.get("dataChange", True)),
                     }
                 }
@@ -615,7 +653,7 @@ class DeltaLogTable:
         if txn is None:
             # Plain appends commute with any concurrent commit: publish
             # rebases onto the next free version transparently.
-            return self._publish(adds)
+            return self._publish(adds, operation="WRITE")
         while True:
             head = self.latest_version()
             if txn[1] <= self.last_txn_version(txn[0]):
@@ -626,6 +664,7 @@ class DeltaLogTable:
                 return self._publish(
                     [{"txn": {"appId": txn[0], "version": txn[1]}}] + adds,
                     derived_from=head,
+                    operation="STREAMING UPDATE",
                 )
             except DeltaConcurrentCommit:
                 continue  # re-check the racer's txn watermark
@@ -641,7 +680,7 @@ class DeltaLogTable:
             if head >= 0:
                 live_map, _, partition_by = self._replay_actions(head)
                 removes = [
-                    {"remove": {"path": p, "dataChange": True}}
+                    self._remove_action(p, True)
                     for p in sorted(live_map)
                 ]
             self._partition_columns = partition_by
@@ -649,6 +688,7 @@ class DeltaLogTable:
                 return self._publish(
                     self._stage_files(df, partition_by or None) + removes,
                     derived_from=head,
+                    operation="WRITE",
                 )
             except DeltaConcurrentCommit:
                 # Tombstones were computed against a stale head — the
@@ -718,10 +758,8 @@ class DeltaLogTable:
         adds = self._stage_files(df, partition_cols or None)
         for a in adds:
             a["add"]["dataChange"] = False
-        removes = [
-            {"remove": {"path": p, "dataChange": False}} for p in live
-        ]
-        return self._publish(adds + removes, derived_from=head)
+        removes = [self._remove_action(p, False) for p in live]
+        return self._publish(adds + removes, derived_from=head, operation="OPTIMIZE")
 
     def commit_merge(
         self,
@@ -775,7 +813,9 @@ class DeltaLogTable:
             self._schema_string = source.schema.json()
             self._partition_columns = []
             return self._publish(
-                txn_actions + self._stage_files(source), derived_from=head
+                txn_actions + self._stage_files(source),
+                derived_from=head,
+                operation="MERGE",
             )
         live, schema_s, partition_cols = self._replay_actions(head)
         if partition_cols:
@@ -821,10 +861,10 @@ class DeltaLogTable:
         else:
             merged = source
         adds = self._stage_files(merged)
-        removes = [
-            {"remove": {"path": p, "dataChange": True}} for p in affected
-        ]
-        return self._publish(txn_actions + adds + removes, derived_from=head)
+        removes = [self._remove_action(p, True) for p in affected]
+        return self._publish(
+            txn_actions + adds + removes, derived_from=head, operation="MERGE"
+        )
 
     def commit_delete(self, column: str, lo, hi) -> int:
         """DELETE rows with ``column`` in [lo, hi] — the GDPR/retention
@@ -874,10 +914,8 @@ class DeltaLogTable:
         self._schema_string = schema_s
         self._partition_columns = []
         adds = self._stage_files(kept)  # zero-row outputs are dropped
-        removes = [
-            {"remove": {"path": p, "dataChange": True}} for p in affected
-        ]
-        return self._publish(adds + removes, derived_from=head)
+        removes = [self._remove_action(p, True) for p in affected]
+        return self._publish(adds + removes, derived_from=head, operation="DELETE")
 
     def restore(self, version: int) -> int:
         """RESTORE TABLE to ``version`` as a NEW commit: adds for the
@@ -909,22 +947,32 @@ class DeltaLogTable:
         self._partition_columns = partition_cols
         adds = [{"add": target[p]} for p in sorted(target) if p not in current]
         removes = [
-            {"remove": {"path": p, "dataChange": True}}
+            self._remove_action(p, True)
             for p in sorted(current)
             if p not in target
         ]
-        return self._publish(adds + removes, derived_from=head)
+        return self._publish(adds + removes, derived_from=head, operation="RESTORE")
 
-    def vacuum(self) -> list[str]:
-        """Delete data files referenced by NO live version's replay —
-        the retention-expired cleanup step (retention window collapsed to
-        'not reachable from the head', the only sane policy without
-        wall-clock dependence in tests; production adds a tombstone-age
-        check before each delete).  Time travel to versions whose files
-        were vacuumed stops working, exactly as in the real protocol."""
+    def vacuum(self, retention_ms: int | None = None) -> list[str]:
+        """Delete data files not live at the head — the retention-expired
+        cleanup step.  With ``retention_ms`` given, a tombstoned file
+        whose ``deletionTimestamp`` is still inside the window SURVIVES
+        (the spec's retention check: readers of recent versions may still
+        be scanning it); with None the window collapses to 'not reachable
+        from the head' (the wall-clock-free policy tests pin).  Files on
+        disk with neither an add nor a tombstone (orphans of a lost
+        commit race) are invisible to every reader and always deleted.
+        Time travel to versions whose files were vacuumed stops working,
+        exactly as in the real protocol."""
         head = self.latest_version()
-        live, _ = self._replay(head)
-        keep = set(live)
+        state = self._state(head)
+        keep = set(state["live"])
+        if retention_ms is not None:
+            cutoff = int(time.time() * 1000) - retention_ms
+            for path, r in state["removed"].items():
+                ts = r.get("deletionTimestamp")
+                if ts is not None and ts > cutoff:
+                    keep.add(path)  # tombstone younger than the window
         deleted = []
         for path in glob.glob(
             os.path.join(self.root, "**", "part-*.parquet"), recursive=True
@@ -934,6 +982,33 @@ class DeltaLogTable:
                 os.unlink(path)
                 deleted.append(rel)
         return sorted(deleted)
+
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY: one row per reachable JSON commit, newest
+        first — version, timestamp (the commit file's mtime, the spec's
+        commit-time rule), and the ``commitInfo`` operation name when the
+        commit recorded one.  Driver-side and log-sized (KBs even for a
+        100 TB table); commits below a cleaned checkpoint are gone,
+        exactly as in the real protocol."""
+        rows = []
+        for p in glob.glob(os.path.join(self.log_dir, "*.json")):
+            version = int(os.path.basename(p).split(".")[0])
+            operation = None
+            with open(p) as fh:
+                for line in fh:
+                    if line.strip():
+                        first = json.loads(line)
+                        if "commitInfo" in first:
+                            operation = first["commitInfo"].get("operation")
+                        break  # commitInfo is the first line when present
+            rows.append(
+                {
+                    "version": version,
+                    "timestamp": int(os.path.getmtime(p) * 1000),
+                    "operation": operation,
+                }
+            )
+        return sorted(rows, key=lambda r: -r["version"])
 
     # -- read path ----------------------------------------------------
 

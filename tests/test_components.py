@@ -1262,3 +1262,34 @@ def test_codec_registry_routes_by_mime_end_to_end(spark):
     finally:
         mm._FRAME_CODECS.pop("image/png", None)
         mm._FEATURE_CODECS.pop("image/png", None)
+
+
+def test_connected_components_identity_start_equivalence(spark):
+    """identity_start=True (skip round-1's identity contraction) must
+    produce exactly the same labels as the general path on the same
+    graph — it is a pure plan-shape optimization for callers that
+    initialize component_id = doc_id over distinct a<b pair edges."""
+    from pyspark.sql import functions as F
+
+    from satellite_data_ingestion_spark.llm.dedup import connected_components
+
+    # chain 1-2-3, pair (10,11), singleton 20, plus a 4-cycle 30..33
+    base_pairs = [(1, 2), (2, 3), (10, 11), (30, 31), (31, 32), (32, 33), (30, 33)]
+    pairs = spark.createDataFrame(base_pairs, "doc_a long, doc_b long")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in (1, 2, 3, 10, 11, 20, 30, 31, 32, 33)], "doc_id long"
+    )
+    labels = nodes.select("doc_id", F.col("doc_id").alias("component_id"))
+    general = {
+        (r.doc_id, r.component_id)
+        for r in connected_components(labels, edges).collect()
+    }
+    fast = {
+        (r.doc_id, r.component_id)
+        for r in connected_components(labels, edges, identity_start=True).collect()
+    }
+    assert fast == general
+    assert {(20, 20), (1, 1), (3, 1), (33, 30)} <= fast

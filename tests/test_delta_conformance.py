@@ -246,3 +246,27 @@ def test_data_files_exist_and_are_parquet(conformance_table):
             p = os.path.join(conformance_table.root, a["add"]["path"])
             assert os.path.isfile(p)
             assert pq.ParquetFile(p).metadata.num_rows > 0
+
+
+def test_commit_info_fields_and_types(conformance_table):
+    infos = [
+        a["commitInfo"]
+        for _, a in _raw_actions(conformance_table)
+        if "commitInfo" in a
+    ]
+    assert infos, "commits must record commitInfo"
+    for ci in infos:
+        assert isinstance(ci["timestamp"], int) and ci["timestamp"] > 0
+        assert isinstance(ci["operation"], str) and ci["operation"]
+
+
+def test_remove_deletion_timestamp_is_millis(conformance_table):
+    removes = [
+        a["remove"] for _, a in _raw_actions(conformance_table) if "remove" in a
+    ]
+    assert removes
+    for rm in removes:
+        ts = rm.get("deletionTimestamp")
+        assert isinstance(ts, int) and ts > 1_000_000_000_000, (
+            "spec: deletionTimestamp is epoch milliseconds"
+        )

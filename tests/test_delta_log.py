@@ -30,7 +30,10 @@ def test_log_layout_matches_public_protocol(spark, tbl):
     tbl.commit_append(_df(spark, [1, 2, 3]))
     logs = sorted(glob.glob(os.path.join(tbl.log_dir, "*.json")))
     assert [os.path.basename(p) for p in logs] == ["0" * 20 + ".json"]
-    actions = [json.loads(line) for line in open(logs[0]) if line.strip()]
+    all_actions = [json.loads(line) for line in open(logs[0]) if line.strip()]
+    # commitInfo (informational) leads the commit, like delta-spark's
+    actions = [a for a in all_actions if "commitInfo" not in a]
+    assert "commitInfo" in all_actions[0]
     assert actions[0]["protocol"] == {
         "minReaderVersion": 1,
         "minWriterVersion": 2,
@@ -120,7 +123,8 @@ def test_compact_binpacks_without_changing_contents(spark, tbl):
     ]
     for a in actions:
         body = a.get("add") or a.get("remove")
-        assert body["dataChange"] is False
+        if body is not None:  # commitInfo/metaData are not data actions
+            assert body["dataChange"] is False
 
 
 def test_vacuum_deletes_only_unreachable_files(spark, tbl):
@@ -530,3 +534,37 @@ def test_merge_txn_watermark_is_idempotent(spark, tbl):
                           keys=["x"], txn=("cdc", 1))
     assert v2 == v1 + 1
     assert sorted(r.x for r in tbl.read().collect()) == [1, 2, 3, 4]
+
+
+def test_commit_info_and_history(spark, tbl):
+    """Every command records the spec's commitInfo (first line:
+    timestamp + operation); history() surfaces them newest-first."""
+    tbl.commit_append(_df(spark, [1, 2]))
+    tbl.commit_merge(_df(spark, [2]), keys=["x"])
+    tbl.commit_delete("x", 2, 2)
+    tbl.compact()
+    hist = tbl.history()
+    assert [h["version"] for h in hist] == [3, 2, 1, 0]
+    assert [h["operation"] for h in hist] == [
+        "OPTIMIZE", "DELETE", "MERGE", "WRITE",
+    ]
+    assert all(isinstance(h["timestamp"], int) for h in hist)
+    # commitInfo is the FIRST action line of each commit
+    first = json.loads(open(tbl._version_path(0)).readline())
+    assert "commitInfo" in first and first["commitInfo"]["operation"] == "WRITE"
+
+
+def test_vacuum_retention_window_keeps_young_tombstones(spark, tbl):
+    """A tombstoned file whose deletionTimestamp is inside the retention
+    window must survive vacuum (readers of recent versions may still
+    scan it); an expired window deletes it."""
+    tbl.commit_append(_df(spark, [1, 2]))
+    v0 = tbl.latest_version()
+    tbl.commit_overwrite(_df(spark, [9]))
+    live_v0, _ = tbl._replay(v0)
+    # 1-hour retention: the just-tombstoned files are younger -> kept
+    assert tbl.vacuum(retention_ms=3_600_000) == []
+    assert sorted(r.x for r in tbl.read(version=v0).collect()) == [1, 2]
+    # collapsed window (None) deletes everything not live at head
+    deleted = tbl.vacuum()
+    assert set(deleted) == set(live_v0)
