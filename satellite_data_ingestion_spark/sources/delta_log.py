@@ -84,11 +84,28 @@ class DeltaLogTable:
     """Minimal Delta-protocol table: parquet data files + ``_delta_log``
     newline-JSON commits, with append / overwrite / versioned read."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        change_data_feed: bool = False,
+    ):
         self.spark = spark
         self.root = root
         self.log_dir = os.path.join(root, "_delta_log")
+        # Mirrors delta.enableChangeDataFeed: when set, MERGE and DELETE
+        # write spec-shaped ``cdc`` actions (change rows under
+        # ``_change_data/``) so ``table_changes`` can emit row-level
+        # diffs without misreading copy-on-write rewrites as changes.
+        self.change_data_feed = change_data_feed
         os.makedirs(self.log_dir, exist_ok=True)
+
+    def _table_config(self) -> dict:
+        return (
+            {"delta.enableChangeDataFeed": "true"}
+            if self.change_data_feed
+            else {}
+        )
 
     # -- log plumbing -------------------------------------------------
 
@@ -150,6 +167,8 @@ class DeltaLogTable:
             state["txns"][txn["appId"]] = max(
                 state["txns"].get(txn["appId"], -1), txn["version"]
             )
+        # "cdc" and "commitInfo" actions are per-commit payloads, not
+        # table state: replay ignores them, per spec.
 
     def _state(self, version: int) -> dict:
         """Full replayed state at ``version``: live adds, remove
@@ -317,6 +336,40 @@ class DeltaLogTable:
         shutil.rmtree(staged, ignore_errors=True)
         return adds
 
+    def _stage_cdc_files(self, changes: DataFrame) -> list[dict]:
+        """Write ``changes`` (table columns + ``_change_type``) as CDC
+        parquet under ``_change_data/`` and return the spec's ``cdc``
+        actions (Add CDC File: path, partitionValues, size, dataChange
+        false — CDC files never contribute to table state; a commit that
+        carries them tells CDF readers to use these rows EXCLUSIVELY
+        instead of deriving changes from add/remove)."""
+        staged = os.path.join(self.root, f".staged-cdc-{uuid.uuid4().hex}")
+        changes.write.mode("overwrite").parquet(staged)
+        actions = []
+        import pyarrow.parquet as pq
+
+        for part in sorted(glob.glob(os.path.join(staged, "part-*.parquet"))):
+            if pq.ParquetFile(part).metadata.num_rows == 0:
+                continue
+            rel = os.path.join(
+                "_change_data", f"cdc-{uuid.uuid4().hex}.snappy.parquet"
+            )
+            dest = os.path.join(self.root, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            shutil.move(part, dest)
+            actions.append(
+                {
+                    "cdc": {
+                        "path": rel,
+                        "partitionValues": {},
+                        "size": os.stat(dest).st_size,
+                        "dataChange": False,
+                    }
+                }
+            )
+        shutil.rmtree(staged, ignore_errors=True)
+        return actions
+
     @staticmethod
     def _remove_action(path: str, data_change: bool) -> dict:
         """Spec-shaped remove tombstone: ``deletionTimestamp`` (ms) is
@@ -404,7 +457,11 @@ class DeltaLogTable:
                                 "partitionColumns": getattr(
                                     self, "_partition_columns", prev_parts
                                 ),
-                                "configuration": {},
+                                # table properties carry over: a schema
+                                # change must not drop the CDF flag
+                                "configuration": prev_md.get(
+                                    "configuration", self._table_config()
+                                ),
                             }
                         }
                     ] + payload
@@ -419,7 +476,7 @@ class DeltaLogTable:
                             "partitionColumns": getattr(
                                 self, "_partition_columns", []
                             ),
-                            "configuration": {},
+                            "configuration": self._table_config(),
                         }
                     },
                 ] + payload
@@ -848,22 +905,55 @@ class DeltaLogTable:
         untouched = [live[p] for p in sorted(live) if p not in affected]
         self._schema_string = source.schema.json()
         self._partition_columns = []
+        cdc_actions: list[dict] = []
         if affected:
             from pyspark.sql.types import StructType
 
             full_schema = StructType.fromJson(json.loads(schema_s))
+            cols = [f.name for f in full_schema.fields]
             target = self.spark.read.schema(full_schema).parquet(
                 *[os.path.join(self.root, p) for p in affected]
             )
             merged = target.join(source.select(keys), keys, "left_anti").select(
-                [f.name for f in full_schema.fields]
-            ).union(source.select([f.name for f in full_schema.fields]))
+                cols
+            ).union(source.select(cols))
+            if self.change_data_feed:
+                # Change rows for this commit: matched target rows are
+                # update pre/postimages, unmatched source rows inserts.
+                # Stats pruning guarantees any file holding a matching
+                # key is in ``affected``, so ``target`` sees every
+                # possible match.  Carried-over (anti-joined) rewrite
+                # rows are deliberately NOT changes — that is the whole
+                # point of the cdc action vs the add/remove fallback.
+                tkeys = target.select(keys)
+                changes = (
+                    target.join(source.select(keys), keys, "left_semi")
+                    .select(cols)
+                    .withColumn("_change_type", F.lit("update_preimage"))
+                    .unionByName(
+                        source.join(tkeys, keys, "left_semi")
+                        .select(cols)
+                        .withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
+                    )
+                    .unionByName(
+                        source.join(tkeys, keys, "left_anti")
+                        .select(cols)
+                        .withColumn("_change_type", F.lit("insert"))
+                    )
+                )
+                cdc_actions = self._stage_cdc_files(changes)
         else:
+            # Adds-only commit: CDF readers derive inserts from the add
+            # files themselves (the spec's fallback) — no cdc file.
             merged = source
         adds = self._stage_files(merged)
         removes = [self._remove_action(p, True) for p in affected]
         return self._publish(
-            txn_actions + adds + removes, derived_from=head, operation="MERGE"
+            txn_actions + adds + removes + cdc_actions,
+            derived_from=head,
+            operation="MERGE",
         )
 
     def commit_delete(self, column: str, lo, hi) -> int:
@@ -906,16 +996,29 @@ class DeltaLogTable:
         from pyspark.sql.types import StructType
 
         full_schema = StructType.fromJson(json.loads(schema_s))
-        kept = (
-            self.spark.read.schema(full_schema)
-            .parquet(*[os.path.join(self.root, p) for p in affected])
-            .filter(~F.col(column).between(lo, hi))
+        target = self.spark.read.schema(full_schema).parquet(
+            *[os.path.join(self.root, p) for p in affected]
         )
+        kept = target.filter(~F.col(column).between(lo, hi))
         self._schema_string = schema_s
         self._partition_columns = []
+        cdc_actions: list[dict] = []
+        if self.change_data_feed:
+            # The doomed rows ARE the change set; surviving rewrite rows
+            # are not changes (vs the add/remove fallback, which would
+            # misreport every rewritten row as delete+insert).
+            cdc_actions = self._stage_cdc_files(
+                target.filter(F.col(column).between(lo, hi)).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+            )
         adds = self._stage_files(kept)  # zero-row outputs are dropped
         removes = [self._remove_action(p, True) for p in affected]
-        return self._publish(adds + removes, derived_from=head, operation="DELETE")
+        return self._publish(
+            adds + removes + cdc_actions,
+            derived_from=head,
+            operation="DELETE",
+        )
 
     def restore(self, version: int) -> int:
         """RESTORE TABLE to ``version`` as a NEW commit: adds for the
@@ -973,10 +1076,24 @@ class DeltaLogTable:
                 ts = r.get("deletionTimestamp")
                 if ts is not None and ts > cutoff:
                     keep.add(path)  # tombstone younger than the window
+        # CDC files referenced by a still-readable commit stay (the
+        # change feed for those versions remains consumable); orphans of
+        # a lost commit race are unreferenced and go.
+        referenced_cdc = set()
+        for p in glob.glob(os.path.join(self.log_dir, "*.json")):
+            with open(p) as fh:
+                for line in fh:
+                    if line.strip():
+                        a = json.loads(line)
+                        if "cdc" in a:
+                            referenced_cdc.add(a["cdc"]["path"])
+        keep |= referenced_cdc
         deleted = []
         for path in glob.glob(
-            os.path.join(self.root, "**", "part-*.parquet"), recursive=True
+            os.path.join(self.root, "**", "*.parquet"), recursive=True
         ):
+            if os.sep + "_delta_log" + os.sep in path:
+                continue  # checkpoints are log artifacts, never data
             rel = os.path.relpath(path, self.root)
             if rel not in keep:
                 os.unlink(path)
@@ -1009,6 +1126,107 @@ class DeltaLogTable:
                 }
             )
         return sorted(rows, key=lambda r: -r["version"])
+
+    def table_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """CHANGE DATA FEED: row-level changes in commits
+        (``from_version``, ``to_version``] — the spec's
+        ``table_changes`` read.  Output = table columns at
+        ``to_version`` plus ``_change_type`` (insert / delete /
+        update_preimage / update_postimage) and ``_commit_version``.
+
+        Per commit, exactly the real reader's dispatch: when the commit
+        carries ``cdc`` actions their files are used EXCLUSIVELY;
+        otherwise changes derive from the data actions — dataChange adds
+        are inserts, dataChange removes are deletes (sound only because
+        MERGE/DELETE on a CDF table always write cdc actions; a
+        copy-on-write rewrite read through the fallback would misreport
+        carried-over rows).  dataChange=false commits (OPTIMIZE) emit
+        nothing.  Needs the JSON commits (CDF below a cleaned checkpoint
+        is gone) and the tombstoned data files (vacuum ends the feed for
+        the versions it touches) — both exactly as in the real protocol.
+
+        Scale: one pass over the change volume itself; log iteration is
+        driver-side and log-sized.  Older files project through the
+        ``to_version`` schema (absent columns null), so schema evolution
+        inside the range is readable."""
+        head = self.latest_version()
+        to = head if to_version is None else to_version
+        _, schema_s, partition_cols = self._replay_actions(to)
+        if partition_cols:
+            raise NotImplementedError(
+                "CDF read on a Hive-partitioned table: partition columns "
+                "would need reconstruction per file; not needed by "
+                "current callers"
+            )
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        full_schema = StructType.fromJson(json.loads(schema_s))
+        cdc_schema = StructType(
+            list(full_schema.fields)
+            + [StructField("_change_type", StringType())]
+        )
+
+        def _read(paths: list[str], schema) -> DataFrame:
+            return self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, p) for p in sorted(paths)]
+            )
+
+        frames = []
+        for v in range(from_version + 1, to + 1):
+            actions = self._actions(v)
+            cdc_paths = [a["cdc"]["path"] for a in actions if "cdc" in a]
+            if cdc_paths:
+                df = _read(cdc_paths, cdc_schema)
+            else:
+                adds = [
+                    a["add"]["path"]
+                    for a in actions
+                    if "add" in a and a["add"].get("dataChange", True)
+                ]
+                removes = [
+                    a["remove"]["path"]
+                    for a in actions
+                    if "remove" in a
+                    and a["remove"].get("dataChange", True)
+                ]
+                parts = []
+                if adds:
+                    parts.append(
+                        _read(adds, full_schema).withColumn(
+                            "_change_type", F.lit("insert")
+                        )
+                    )
+                if removes:
+                    parts.append(
+                        _read(removes, full_schema).withColumn(
+                            "_change_type", F.lit("delete")
+                        )
+                    )
+                if not parts:
+                    continue  # metadata-only or OPTIMIZE commit
+                df = parts[0]
+                for p in parts[1:]:
+                    df = df.unionByName(p)
+            frames.append(
+                df.withColumn("_commit_version", F.lit(v).cast("long"))
+            )
+        out_schema = StructType(
+            list(cdc_schema.fields)
+            + [StructField("_commit_version", LongType())]
+        )
+        if not frames:
+            return self.spark.createDataFrame([], out_schema)
+        out = frames[0]
+        for df in frames[1:]:
+            out = out.unionByName(df)
+        return out
 
     # -- read path ----------------------------------------------------
 
@@ -1806,6 +2024,84 @@ def source_delta_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in batches[1:]:
         out = out.union(b)
     return out.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "source_delta_cdf",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_quantity
+  FROM lineitem WHERE l_linenumber <= 2
+),
+upd AS (
+  SELECT l_orderkey, l_quantity FROM li
+  WHERE l_linenumber = 1 AND l_orderkey % 7 = 0
+),
+state1 AS (
+  SELECT l_orderkey,
+         CASE WHEN l_linenumber = 1 AND l_orderkey % 7 = 0
+              THEN l_quantity + 1000 ELSE l_quantity END AS l_quantity
+  FROM li
+),
+changes AS (
+  SELECT 'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version,
+         l_quantity
+  FROM li WHERE l_linenumber = 1
+  UNION ALL
+  SELECT 'update_preimage', 1, l_quantity FROM upd
+  UNION ALL
+  SELECT 'update_postimage', 1, l_quantity + 1000 FROM upd
+  UNION ALL
+  SELECT 'insert', 1, l_quantity FROM li WHERE l_linenumber = 2
+  UNION ALL
+  SELECT 'delete', 2, l_quantity FROM state1
+  WHERE l_orderkey BETWEEN 100 AND 2000
+)
+SELECT change_type, commit_version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM changes
+GROUP BY change_type, commit_version
+""",
+)
+def source_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED end-to-end: a CDF-enabled table takes an append
+    (v0), a MERGE that both updates and inserts (v1), and a row-band
+    DELETE (v2); ``table_changes(-1)`` must reconstruct the exact
+    row-level history — appends as inserts via the add-action fallback,
+    the merge as update_preimage / update_postimage / insert rows from
+    its ``cdc`` files (carried-over rewrite rows must NOT appear), the
+    delete as exactly the doomed rows.  The change census per
+    (change_type, commit_version) hash-matches an oracle that recomputes
+    every change set relationally from the raw table.
+
+    The 100 TB shape: downstream consumers (index refresh, aggregate
+    maintenance, replication) read O(change volume) per poll instead of
+    diffing two table snapshots — the same contract as delta-spark's
+    ``table_changes``, produced from the same on-disk actions."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") <= 2)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+    root = tempfile.mkdtemp(prefix="sdis_delta_cdf_")
+    t = DeltaLogTable(spark, root, change_data_feed=True)
+    t.commit_append(li.filter(F.col("l_linenumber") == 1))
+    upd = li.filter(
+        (F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 7 == 0)
+    ).withColumn("l_quantity", F.col("l_quantity") + 1000)
+    ins = li.filter(F.col("l_linenumber") == 2)
+    t.commit_merge(
+        upd.unionByName(ins), keys=["l_orderkey", "l_linenumber"]
+    )
+    t.commit_delete("l_orderkey", 100, 2000)
+    return t.table_changes(-1).groupBy(
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+    ).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )

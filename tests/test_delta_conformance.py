@@ -39,7 +39,9 @@ import pytest
 
 from satellite_data_ingestion_spark.sources.delta_log import DeltaLogTable
 
-_ACTION_KEYS = {"protocol", "metaData", "add", "remove", "txn", "commitInfo"}
+_ACTION_KEYS = {
+    "protocol", "metaData", "add", "remove", "txn", "commitInfo", "cdc",
+}
 
 
 def _df(spark, rows):
@@ -270,3 +272,31 @@ def test_remove_deletion_timestamp_is_millis(conformance_table):
         assert isinstance(ts, int) and ts > 1_000_000_000_000, (
             "spec: deletionTimestamp is epoch milliseconds"
         )
+
+
+def test_cdc_action_fields_and_types(spark, tmp_path_factory):
+    """Add CDC File action per PROTOCOL.md: path (relative, under
+    _change_data/), partitionValues (object), size (bytes), dataChange
+    false; the referenced file is real parquet carrying _change_type."""
+    t = DeltaLogTable(
+        spark, str(tmp_path_factory.mktemp("delta_cdc_conf")),
+        change_data_feed=True,
+    )
+    t.commit_append(_df(spark, [(1, "2026-01-01"), (2, "2026-01-02")]))
+    t.commit_merge(
+        spark.createDataFrame([(2, "2026-02-02")], "k long, day string"),
+        keys=["k"],
+    )
+    import pyarrow.parquet as pq
+
+    cdcs = [a["cdc"] for _, a in _raw_actions(t) if "cdc" in a]
+    assert cdcs, "CDF merge must record cdc actions"
+    for c in cdcs:
+        assert c["path"].startswith("_change_data/")
+        assert not os.path.isabs(c["path"])
+        assert isinstance(c["partitionValues"], dict)
+        assert isinstance(c["size"], int) and c["size"] > 0
+        assert c["dataChange"] is False
+        f = pq.ParquetFile(os.path.join(t.root, c["path"]))
+        assert "_change_type" in f.schema_arrow.names
+        assert f.metadata.num_rows > 0

@@ -568,3 +568,98 @@ def test_vacuum_retention_window_keeps_young_tombstones(spark, tbl):
     # collapsed window (None) deletes everything not live at head
     deleted = tbl.vacuum()
     assert set(deleted) == set(live_v0)
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "x long, v double")
+
+
+@pytest.fixture()
+def cdf_tbl(spark, tmp_path_factory):
+    return DeltaLogTable(
+        spark, str(tmp_path_factory.mktemp("delta_cdf")), change_data_feed=True
+    )
+
+
+def test_cdf_merge_emits_cdc_not_rewrite_rows(spark, cdf_tbl):
+    """MERGE on a CDF table reports exactly the matched rows (pre/post
+    image) and the inserted rows — carried-over copy-on-write rewrite
+    rows must NOT appear as changes."""
+    cdf_tbl.commit_append(_kv(spark, [(1, 1.0), (2, 2.0), (3, 3.0)]))
+    cdf_tbl.commit_merge(_kv(spark, [(2, 20.0), (4, 40.0)]), keys=["x"])
+    ch = {
+        (r["x"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in cdf_tbl.table_changes(0).collect()
+    }
+    assert ch == {
+        (2, 2.0, "update_preimage", 1),
+        (2, 20.0, "update_postimage", 1),
+        (4, 40.0, "insert", 1),
+    }
+    # the full feed reports rows 1 and 3 only once: their v0 insert
+    full = cdf_tbl.table_changes(-1)
+    assert [
+        r["_change_type"] for r in full.filter("x = 1").collect()
+    ] == ["insert"]
+    # and the commit carries a real cdc action on disk
+    actions = [
+        json.loads(line)
+        for line in open(cdf_tbl._version_path(1))
+        if line.strip()
+    ]
+    cdcs = [a["cdc"] for a in actions if "cdc" in a]
+    assert cdcs and all(c["path"].startswith("_change_data/") for c in cdcs)
+    assert all(c["dataChange"] is False for c in cdcs)
+
+
+def test_cdf_delete_emits_doomed_rows_only(spark, cdf_tbl):
+    cdf_tbl.commit_append(_kv(spark, [(i, float(i)) for i in range(1, 6)]))
+    cdf_tbl.commit_delete("x", 2, 3)
+    ch = {
+        (r["x"], r["_change_type"])
+        for r in cdf_tbl.table_changes(0).collect()
+    }
+    assert ch == {(2, "delete"), (3, "delete")}
+    assert sorted(r.x for r in cdf_tbl.read().collect()) == [1, 4, 5]
+
+
+def test_cdf_fallback_appends_and_silent_optimize(spark, cdf_tbl):
+    """Append commits need no cdc files: the add-action fallback reports
+    them as inserts.  OPTIMIZE (dataChange=false) emits nothing.  An
+    overwrite reads as full-file delete + insert through the fallback."""
+    cdf_tbl.commit_append(_kv(spark, [(1, 1.0)]))
+    cdf_tbl.commit_append(_kv(spark, [(2, 2.0)]))
+    cdf_tbl.compact()
+    ch = [
+        (r["x"], r["_change_type"], r["_commit_version"])
+        for r in cdf_tbl.table_changes(-1).orderBy("x").collect()
+    ]
+    assert ch == [(1, "insert", 0), (2, "insert", 1)]  # nothing from v2
+    v = cdf_tbl.commit_overwrite(_kv(spark, [(9, 9.0)]))
+    ch2 = {
+        (r["x"], r["_change_type"])
+        for r in cdf_tbl.table_changes(v - 1, v).collect()
+    }
+    assert ch2 == {(1, "delete"), (2, "delete"), (9, "insert")}
+
+
+def test_cdf_metadata_flag_and_vacuum_keeps_referenced_cdc(spark, cdf_tbl):
+    cdf_tbl.commit_append(_kv(spark, [(1, 1.0), (2, 2.0)]))
+    cdf_tbl.commit_merge(_kv(spark, [(2, 20.0)]), keys=["x"])
+    md = json.loads(
+        [
+            line
+            for line in open(cdf_tbl._version_path(0))
+            if "metaData" in line
+        ][0]
+    )["metaData"]
+    assert md["configuration"] == {"delta.enableChangeDataFeed": "true"}
+    deleted = cdf_tbl.vacuum()  # collapsed window: v0 data file goes
+    assert deleted  # the rewritten pre-merge file
+    assert not any(p.startswith("_change_data/") for p in deleted)
+    # the merge's feed stays consumable from its kept cdc file
+    ch = {
+        (r["x"], r["_change_type"])
+        for r in cdf_tbl.table_changes(0).collect()
+    }
+    assert ch == {(2, "update_preimage"), (2, "update_postimage")}
