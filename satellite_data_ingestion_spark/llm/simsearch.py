@@ -1031,3 +1031,188 @@ def ext_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= _RANGE_SIM)
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     )
+
+
+_KNN_K = 5  # neighbors per vector in the kNN self-join
+
+
+@register(
+    "ext_knn_join",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6)
+           AS cos_sim
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT qid, nid, cos_sim,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid)
+           AS rnk
+  FROM pairs
+)
+SELECT qid, nid, cos_sim, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {_KNN_K}
+""",
+)
+def ext_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT kNN self-join: every vector's k nearest neighbors by
+    cosine — the all-pairs retrieval SemDeDup-style semantic dedup and
+    per-example hard-negative mining need (every doc gets neighbors, not
+    one broadcast query).
+
+    Execution: the same block-nested-loop tiling as
+    ``ext_dedup_embedding`` — chunk ``c = pmod(xxhash64(vec_id), P)``,
+    A replicated to tiles (c, 0..P-1), B to (0..P-1, c), join on the
+    tile key — but over the WHOLE corpus (no label restriction, both
+    directions), so no task ever owns more than ~(N/P)^2 pairs.  Top-k
+    per query is a rank-over-window filter: Spark rewrites row_number <=
+    k into WindowGroupLimit — per-partition k-heaps BEFORE the exchange,
+    so the shuffle carries O(k·N) survivors, never the O(N^2) pair
+    stream.  Ranking compares the ROUNDED cosine (with nid as the total
+    tie-break) so both engines rank identical keys — raw doubles differ
+    in the last ulp across summation orders.
+
+    Honest 100 TB posture: the pair space is O(N^2/P) per task and
+    exact; for corpora where even that is too much, ``ext_knn_join_ivf``
+    is the same contract over IVF-probed candidates at a measured
+    recall."""
+    vraw = F.col("embedding").cast("array<double>")
+    # Normalize ONCE per row at scan time (norm materialized as its own
+    # column so it folds once per row, not per element): the pair stage
+    # then costs a single dot per pair instead of dot + two norm folds —
+    # it is the O(N^2/P) hot loop, so this is a ~3x traversal cut.
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", vraw.alias("v0"))
+        .withColumn("nrm", _norm(F.col("v0")))
+        .select(
+            "vec_id",
+            F.transform(
+                "v0", lambda x: F.try_divide(x, F.col("nrm"))
+            ).alias("v"),
+            F.pmod(F.xxhash64("vec_id"), F.lit(_TILE_P)).alias("chunk"),
+        )
+    )
+    slots = F.explode(F.array(*[F.lit(i) for i in range(_TILE_P)]))
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = (
+        emb.select(F.col("chunk").alias("ti"), slots.alias("tj"), "vec_id", "v")
+        .repartition(n_part, "ti", "tj")
+        .alias("a")
+    )
+    b = (
+        emb.select(slots.alias("ti"), F.col("chunk").alias("tj"), "vec_id", "v")
+        .repartition(n_part, "ti", "tj")
+        .alias("b")
+    )
+    from pyspark.sql.window import Window
+
+    cos = F.round(_dot(F.col("a.v"), F.col("b.v")), 6)
+    pairs = a.join(
+        b,
+        (F.col("a.ti") == F.col("b.ti"))
+        & (F.col("a.tj") == F.col("b.tj"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("qid"),
+        F.col("b.vec_id").alias("nid"),
+        cos.alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KNN_K)
+        .select("qid", "nid", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+@register("ext_knn_join_ivf")  # approximate by construction → rows-only
+def ext_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed kNN self-join — the sub-quadratic scale path for
+    ``ext_knn_join``: every vector is assigned to its nearest-centroid
+    inverted list (one GEMM per Arrow batch); as a QUERY it probes its
+    NPROBE closest lists; candidates are the probe x member join WITHIN
+    each list, so per-query work is the probed lists' rows, not N.
+
+    Skew control: list sizes are data-dependent, so the join key is
+    ``(cid, tile)`` — members carry a deterministic tile
+    ``pmod(xxhash64(vec_id), P)`` and each probe replicates across the
+    P tiles; a hot list splits into P bounded tasks instead of one
+    straggler.  Same rank-over-window top-k (WindowGroupLimit heaps) as
+    the exact join.  Recall vs ext_knn_join is pinned in
+    tests/test_components.py; at 100 TB the probed fraction is also the
+    only data READ when composed with the ext_sim_ivf_indexed stored
+    layout."""
+    emb = table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    cents = _train_centroids(emb)
+    Cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    nprobe = min(_IVF_NPROBE, len(Cn))
+
+    @pandas_udf("int")
+    def nearest_centroid(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="int32")
+        M = np.array(col.tolist(), dtype=np.float64)
+        return pd.Series(np.argmax(M @ Cn.T, axis=1).astype("int32"))
+
+    @pandas_udf("array<int>")
+    def probe_centroids(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="object")
+        M = np.array(col.tolist(), dtype=np.float64)
+        order = np.argsort(-(M @ Cn.T), axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(list(order))
+
+    from pyspark.sql.window import Window
+
+    # Pre-normalized vectors: the candidate stage pays one dot per pair
+    # (see ext_knn_join); centroid assignment is norm-invariant.
+    base = (
+        emb.select("vec_id", vec.alias("v0"))
+        .withColumn("nrm", _norm(F.col("v0")))
+        .select(
+            "vec_id",
+            F.transform(
+                "v0", lambda x: F.try_divide(x, F.col("nrm"))
+            ).alias("v"),
+        )
+    )
+    members = base.select(
+        F.col("vec_id").alias("nid"),
+        F.col("v").alias("nv"),
+        nearest_centroid("v").alias("cid"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(_TILE_P)).alias("tile"),
+    )
+    tiles = F.explode(F.array(*[F.lit(i) for i in range(_TILE_P)]))
+    queries = (
+        base.select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.explode(probe_centroids("v")).alias("cid"),
+        )
+        .select("qid", "qv", "cid", tiles.alias("tile"))
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cand = (
+        queries.repartition(n_part, "cid", "tile")
+        .join(
+            members.repartition(n_part, "cid", "tile"),
+            ["cid", "tile"],
+        )
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(_dot(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KNN_K)
+        .select("qid", "nid", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
+    )

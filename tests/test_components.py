@@ -1293,3 +1293,47 @@ def test_connected_components_identity_start_equivalence(spark):
     }
     assert fast == general
     assert {(20, 20), (1, 1), (3, 1), (33, 30)} <= fast
+
+
+def test_knn_join_exact_contract(spark):
+    """Every vector gets exactly K ranked neighbors (1..K, rounded-cosine
+    descending) and its own id never appears among them."""
+    from satellite_data_ingestion_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    from satellite_data_ingestion_spark.llm.simsearch import _KNN_K
+
+    rows = registry.spec("ext_knn_join").fn(spark, SF_SMOKE).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    for q, nbrs in by_q.items():
+        assert sorted(n.rnk for n in nbrs) == list(range(1, _KNN_K + 1))
+        assert all(n.nid != q for n in nbrs)
+        ranked = sorted(nbrs, key=lambda n: n.rnk)
+        sims = [n.cos_sim for n in ranked]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_knn_join_ivf_recall_and_coverage(spark):
+    """The IVF kNN self-join must cover EVERY query vector with K
+    neighbors and keep mean recall@K >= 0.8 vs the exact join (measured
+    0.89 at sf0.01; sf0.001's tiny corpus caps the list count, so probes
+    cover most of it)."""
+    from satellite_data_ingestion_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    from satellite_data_ingestion_spark.llm.simsearch import _KNN_K
+
+    exact = {}
+    for r in registry.spec("ext_knn_join").fn(spark, SF_SMOKE).collect():
+        exact.setdefault(r.qid, set()).add(r.nid)
+    approx = {}
+    for r in registry.spec("ext_knn_join_ivf").fn(spark, SF_SMOKE).collect():
+        approx.setdefault(r.qid, set()).add(r.nid)
+    assert set(approx) == set(exact), "every vector must be a query"
+    assert all(len(v) == _KNN_K for v in approx.values())
+    recall = sum(
+        len(exact[q] & approx[q]) / len(exact[q]) for q in exact
+    ) / len(exact)
+    assert recall >= 0.8, f"recall@{_KNN_K} collapsed: {recall:.3f}"

@@ -223,7 +223,10 @@ def test_mix_sample_single_aggregate(spark):
     assert "partial_count" in plan_of(spark, "ext_mix_sample")
 
 
-@pytest.mark.parametrize("name", ["ext_sim_batch_topk", "win_rank"])
+@pytest.mark.parametrize(
+    "name",
+    ["ext_sim_batch_topk", "win_rank", "ext_knn_join", "ext_knn_join_ivf"],
+)
 def test_topk_windows_get_partial_group_limit(spark, name):
     """rank-filtered windows must plan a Partial WindowGroupLimit below
     the exchange (Spark 3.5+): only k rows per group per input partition
