@@ -80,6 +80,13 @@ class DeltaConcurrentCommit(Exception):
     merge/delete rewrite."""
 
 
+class DeltaConstraintViolation(Exception):
+    """A write contained rows failing a ``delta.constraints.*`` CHECK
+    expression — the whole commit is rejected (spec: writers must
+    validate every constraint on every added row; violation fails the
+    transaction, never a partial write)."""
+
+
 class DeltaLogTable:
     """Minimal Delta-protocol table: parquet data files + ``_delta_log``
     newline-JSON commits, with append / overwrite / versioned read."""
@@ -692,6 +699,114 @@ class DeltaLogTable:
                 deleted.append(os.path.basename(path))
         return deleted
 
+    # -- table properties / invariants --------------------------------
+
+    def set_property(self, key: str, value: str) -> int:
+        """SET TBLPROPERTIES as a metaData re-emission commit.  Setting a
+        ``delta.constraints.<name>`` CHECK expression upgrades the
+        protocol to minWriterVersion 3 in the same commit, exactly as
+        the spec requires (writers below 3 would not enforce it)."""
+        while True:
+            head = self.latest_version()
+            if head < 0:
+                raise ValueError(
+                    "set_property on an empty table: commit data first"
+                )
+            st = self._state(head)
+            md = dict(st["metaData"])
+            cfg = dict(md.get("configuration") or {})
+            cfg[key] = value
+            md["configuration"] = cfg
+            self._schema_string = md["schemaString"]
+            self._partition_columns = md.get("partitionColumns", [])
+            actions: list[dict] = [{"metaData": md}]
+            proto = st["protocol"] or dict(_PROTOCOL)
+            if (
+                key.startswith("delta.constraints.")
+                and proto.get("minWriterVersion", 2) < 3
+            ):
+                actions = [
+                    {
+                        "protocol": {
+                            "minReaderVersion": proto.get(
+                                "minReaderVersion", 1
+                            ),
+                            "minWriterVersion": 3,
+                        }
+                    }
+                ] + actions
+            try:
+                return self._publish(
+                    actions, derived_from=head, operation="SET TBLPROPERTIES"
+                )
+            except DeltaConcurrentCommit:
+                continue
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """ADD CONSTRAINT <name> CHECK (<expr>): stored as the spec's
+        ``delta.constraints.<name>`` table property; every subsequent
+        data-adding commit validates its rows against the expression."""
+        return self.set_property(f"delta.constraints.{name}", expr)
+
+    def _config_at(self, head: int) -> dict:
+        if head < 0:
+            return {}
+        md = self._state(head)["metaData"] or {}
+        return md.get("configuration") or {}
+
+    def _check_constraints(self, df: DataFrame, head: int) -> None:
+        """Reject the write if any row fails a CHECK constraint.  One
+        scan regardless of constraint count (violations OR-ed into a
+        single predicate, limit 1); NULL satisfies, per SQL CHECK
+        semantics.  At 100 TB this is a map-only pass over the batch
+        being written, never the table."""
+        cons = {
+            k[len("delta.constraints.") :]: v
+            for k, v in self._config_at(head).items()
+            if k.startswith("delta.constraints.")
+        }
+        if not cons:
+            return
+        pred = None
+        for expr in cons.values():
+            c = ~F.expr(expr)
+            pred = c if pred is None else (pred | c)
+        bad = (
+            df.filter(pred)
+            .select(
+                "*",
+                *[
+                    F.expr(e).alias(f"__check_{n}")
+                    for n, e in sorted(cons.items())
+                ],
+            )
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            row = bad[0].asDict()
+            failed = sorted(
+                n
+                for n in cons
+                if row.pop(f"__check_{n}", None) is False
+            ) or sorted(cons)
+            raise DeltaConstraintViolation(
+                f"CHECK constraint(s) {failed} "
+                f"({ {n: cons[n] for n in failed} }) violated by row {row}"
+            )
+
+    def _guard_append_only(self, head: int, command: str) -> None:
+        """delta.appendOnly=true forbids data-changing removes: any
+        command that would tombstone live rows (overwrite, merge
+        rewrite, delete, restore) must fail; layout-only commits
+        (OPTIMIZE, dataChange=false) stay legal per spec."""
+        if self._config_at(head).get("delta.appendOnly") == "true":
+            raise ValueError(
+                f"{command} on an appendOnly table "
+                "(delta.appendOnly=true): data-changing removes are "
+                "forbidden"
+            )
+
     def commit_append(
         self,
         df: DataFrame,
@@ -704,6 +819,7 @@ class DeltaLogTable:
         head is returned — exactly-once for at-least-once callers."""
         if txn is not None and txn[1] <= self.last_txn_version(txn[0]):
             return self.latest_version()
+        self._check_constraints(df, self.latest_version())
         self._schema_string = df.schema.json()
         self._partition_columns = list(partition_by or [])
         adds = self._stage_files(df, partition_by)
@@ -735,6 +851,8 @@ class DeltaLogTable:
             partition_by: list[str] = []
             removes = []
             if head >= 0:
+                self._guard_append_only(head, "overwrite")
+                self._check_constraints(df, head)
                 live_map, _, partition_by = self._replay_actions(head)
                 removes = [
                     self._remove_action(p, True)
@@ -874,6 +992,8 @@ class DeltaLogTable:
                 derived_from=head,
                 operation="MERGE",
             )
+        self._guard_append_only(head, "MERGE")
+        self._check_constraints(source, head)
         live, schema_s, partition_cols = self._replay_actions(head)
         if partition_cols:
             raise NotImplementedError(
@@ -974,6 +1094,7 @@ class DeltaLogTable:
         head = self.latest_version()
         if head < 0:
             raise ValueError("cannot delete from an empty table")
+        self._guard_append_only(head, "DELETE")
         live, schema_s, partition_cols = self._replay_actions(head)
         if partition_cols:
             raise NotImplementedError(
@@ -1034,6 +1155,7 @@ class DeltaLogTable:
 
     def _restore_once(self, version: int) -> int:
         head = self.latest_version()
+        self._guard_append_only(head, "RESTORE")
         target, schema_s, partition_cols = self._replay_actions(version)
         current, _, _ = self._replay_actions(head)
         missing = [
@@ -2103,6 +2225,69 @@ def source_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_commit_version").alias("commit_version"),
     ).agg(
         F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "sink_delta_constraints",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT)  AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_linenumber <= 2
+GROUP BY l_returnflag
+""",
+)
+def sink_delta_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer-enforced table invariants, the ingest-quality gate: ADD
+    CONSTRAINT stores a CHECK expression as the spec's
+    ``delta.constraints.<name>`` property (upgrading the protocol to
+    minWriterVersion 3 in the same commit), and every later data-adding
+    commit validates its rows in ONE map-only pass over the batch —
+    a violating batch fails the whole transaction BEFORE any file is
+    staged, leaving the log untouched.  ``delta.appendOnly=true`` then
+    forbids every data-changing remove (DELETE here must raise; OPTIMIZE
+    stays legal).  Both rejections are asserted in-line; the surviving
+    table must hash-match the clean-append oracle — a leaked bad row or
+    a lost good batch shows up as a mismatch.
+
+    The 100 TB shape: constraint checks cost O(batch), never O(table),
+    and appendOnly turns the immutable-audit-log contract into a
+    writer-enforced property instead of a convention."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") <= 2)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    )
+    root = tempfile.mkdtemp(prefix="sdis_delta_chk_")
+    t = DeltaLogTable(spark, root)
+    t.commit_append(li.filter(F.col("l_linenumber") == 1))
+    t.add_constraint("qty_positive", "l_quantity > 0 AND l_quantity <= 60")
+    t.commit_append(li.filter(F.col("l_linenumber") == 2))  # all valid
+    v_ok = t.latest_version()
+    bad = li.filter(F.col("l_linenumber") == 2).withColumn(
+        "l_quantity", -F.col("l_quantity")
+    )
+    try:
+        t.commit_append(bad)
+    except DeltaConstraintViolation:
+        pass
+    else:
+        raise RuntimeError("constraint violation did not raise")
+    if t.latest_version() != v_ok:
+        raise RuntimeError("rejected batch must leave the log untouched")
+    t.set_property("delta.appendOnly", "true")
+    try:
+        t.commit_delete("l_orderkey", 1, 10)
+    except ValueError:
+        pass
+    else:
+        raise RuntimeError("appendOnly DELETE did not raise")
+    t.compact()  # layout-only maintenance stays legal under appendOnly
+    return t.read().groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
 

@@ -663,3 +663,52 @@ def test_cdf_metadata_flag_and_vacuum_keeps_referenced_cdc(spark, cdf_tbl):
         for r in cdf_tbl.table_changes(0).collect()
     }
     assert ch == {(2, "update_preimage"), (2, "update_postimage")}
+
+
+def test_check_constraint_enforced_and_protocol_upgraded(spark, tbl):
+    """ADD CONSTRAINT stores delta.constraints.* and upgrades the
+    protocol to minWriterVersion 3 in the same commit; every data-adding
+    command then rejects violating batches whole, leaving the log
+    untouched."""
+    from satellite_data_ingestion_spark.sources.delta_log import (
+        DeltaConstraintViolation,
+    )
+
+    tbl.commit_append(_df(spark, [1, 2]))
+    v = tbl.add_constraint("x_small", "x < 100")
+    actions = [
+        json.loads(line) for line in open(tbl._version_path(v)) if line.strip()
+    ]
+    assert [a["protocol"] for a in actions if "protocol" in a] == [
+        {"minReaderVersion": 1, "minWriterVersion": 3}
+    ]
+    md = [a["metaData"] for a in actions if "metaData" in a][0]
+    assert md["configuration"]["delta.constraints.x_small"] == "x < 100"
+    tbl.commit_append(_df(spark, [3]))  # valid
+    head = tbl.latest_version()
+    with pytest.raises(DeltaConstraintViolation):
+        tbl.commit_append(_df(spark, [5, 200]))
+    assert tbl.latest_version() == head  # whole batch rejected, no commit
+    with pytest.raises(DeltaConstraintViolation):
+        tbl.commit_merge(_df(spark, [150]), keys=["x"])
+    with pytest.raises(DeltaConstraintViolation):
+        tbl.commit_overwrite(_df(spark, [500]))
+    assert sorted(r.x for r in tbl.read().collect()) == [1, 2, 3]
+
+
+def test_append_only_blocks_data_changing_removes(spark, tbl):
+    """delta.appendOnly=true: overwrite/delete/merge-rewrite/restore all
+    raise; appends and layout-only OPTIMIZE stay legal."""
+    tbl.commit_append(_df(spark, [1, 2, 3]))
+    tbl.set_property("delta.appendOnly", "true")
+    for op in (
+        lambda: tbl.commit_overwrite(_df(spark, [9])),
+        lambda: tbl.commit_delete("x", 1, 1),
+        lambda: tbl.commit_merge(_df(spark, [1]), keys=["x"]),
+        lambda: tbl.restore(0),
+    ):
+        with pytest.raises(ValueError, match="appendOnly"):
+            op()
+    tbl.commit_append(_df(spark, [4]))
+    tbl.compact()
+    assert sorted(r.x for r in tbl.read().collect()) == [1, 2, 3, 4]
