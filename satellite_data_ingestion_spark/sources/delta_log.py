@@ -1846,6 +1846,29 @@ def sink_delta_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly-once is one txn watermark row per app in the log, and
     micro-batches arrive time-ordered here (range-staged files with
     increasing mtimes) exactly as a CDC log would deliver them."""
+    t, seen = _run_cdc_upsert_stream(spark, sf_dir)
+    head_before = t.latest_version()
+    # Post-crash at-least-once redelivery of the final upsert batch
+    # (already reduced to its per-key latest rows): the merge's txn
+    # watermark must swallow it without a new commit.
+    last_id, last_latest = seen[-1]
+    t.commit_merge(last_latest, keys=["user_id"], txn=("sdis-cdc-upsert", last_id))
+    if t.latest_version() != head_before:
+        raise RuntimeError("txn watermark failed: replayed CDC batch merged")
+
+    # Per-user final state is row-proportional in the user dimension:
+    # return the table read LAZILY (the temp table root stays in place,
+    # like every file-drained streaming result) — no driver round-trip.
+    return t.read()
+
+
+def _run_cdc_upsert_stream(
+    spark: SparkSession, sf_dir: str, change_data_feed: bool = False
+) -> tuple[DeltaLogTable, list[tuple[int, DataFrame]]]:
+    """The shared CDC-ingest harness: stage ``events`` as a time-ordered
+    file stream, MERGE each micro-batch's per-key latest rows into a
+    fresh Delta table with (appId, batch_id) txn stamps; returns the
+    table and the (batch_id, latest-rows) log for redelivery tests."""
     import glob as _glob
 
     from ..catalog import _prepare, table
@@ -1873,7 +1896,7 @@ def sink_delta_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.utime(part, (base + 10 * i, base + 10 * i))
     schema = spark.read.parquet(staging).schema
     root = tempfile.mkdtemp(prefix="sdis_delta_cdc_")
-    t = DeltaLogTable(spark, root)
+    t = DeltaLogTable(spark, root, change_data_feed=change_data_feed)
     app = "sdis-cdc-upsert"
     seen: list[tuple[int, DataFrame]] = []
 
@@ -1914,20 +1937,65 @@ def sink_delta_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(120)
 
     assert len(seen) >= 2, "CDC stream must deliver multiple micro-batches"
-    head_before = t.latest_version()
-    # Post-crash at-least-once redelivery of the final upsert batch
-    # (already reduced to its per-key latest rows): the merge's txn
-    # watermark must swallow it without a new commit.
-    last_id, last_latest = seen[-1]
-    t.commit_merge(last_latest, keys=["user_id"], txn=(app, last_id))
-    if t.latest_version() != head_before:
-        raise RuntimeError("txn watermark failed: replayed CDC batch merged")
-
-    # Per-user final state is row-proportional in the user dimension:
-    # return the table read LAZILY (the temp table root stays in place,
-    # like every file-drained streaming result) — no driver round-trip.
     shutil.rmtree(staging, ignore_errors=True)
-    return t.read()
+    return t, seen
+
+
+@register(
+    "pipeline_cdc_roundtrip",
+    oracle="""
+WITH latest AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+)
+SELECT user_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS last_ts_epoch,
+       event_id                         AS last_event_id,
+       round(value, 4)                  AS last_value
+FROM latest
+WHERE rn = 1
+""",
+)
+def pipeline_cdc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC in, CDC out — the full lakehouse replication loop: the
+    streaming upsert harness MERGEs micro-batches into a CDF-ENABLED
+    table, then a downstream replica is rebuilt from ``table_changes``
+    ALONE: per key, the newest non-preimage change wins (one
+    WindowGroupLimit pass over the feed), a 'delete' winner means
+    absent.  The replica must (a) equal the table head exactly —
+    asserted in-line by symmetric anti-joins, so a change feed that
+    missed an upsert, re-emitted a carried-over rewrite row, or leaked a
+    preimage fails loudly — and (b) hash-match the batch argmax oracle.
+
+    The 100 TB shape this proves: a downstream consumer (search index,
+    cache, read replica) can follow a CDC table by reading O(change
+    volume) per poll and NEVER rescanning the table — correctness of
+    the feed, not just its plumbing, is the pinned contract."""
+    from pyspark.sql.window import Window as W
+
+    t, _ = _run_cdc_upsert_stream(spark, sf_dir, change_data_feed=True)
+    feed = t.table_changes(-1)
+    w = W.partitionBy("user_id").orderBy(F.desc("_commit_version"))
+    replica = (
+        feed.filter(F.col("_change_type") != "update_preimage")
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("_change_type") != "delete"))
+        .select("user_id", "last_ts_epoch", "last_event_id", "last_value")
+    )
+    head = t.read()
+    cols = head.columns
+    drift = (
+        replica.select(cols).exceptAll(head.select(cols)).count()
+        + head.select(cols).exceptAll(replica.select(cols)).count()
+    )
+    if drift:
+        raise RuntimeError(
+            f"CDF replica drifted from the table head by {drift} rows"
+        )
+    return replica
 
 
 @register(
