@@ -592,3 +592,98 @@ def ext_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lm_score"),
         )
     )
+
+
+# Gopher rule battery (Rae et al. 2021, Table A1) — published bounds,
+# adjusted only where the synthetic corpus makes a bound degenerate.
+_GR_MIN_WORDS = 40
+_GR_MAX_WORDS = 100_000
+_GR_MIN_MEAN_WLEN = 3.0
+_GR_MAX_MEAN_WLEN = 10.0
+_GR_MIN_ALPHA_RATIO = 0.8
+_GR_MIN_STOPWORD_HITS = 2
+_GR_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+@register(
+    "ext_gopher_rules",
+    oracle=f"""
+WITH feats AS (
+    SELECT doc_id,
+           len(str_split(text, ' ')) AS n_words,
+           list_sum(list_transform(str_split(text, ' '),
+                                   w -> CAST(length(w) AS DOUBLE)))
+               / len(str_split(text, ' ')) AS mean_wlen,
+           CAST(list_sum(list_transform(str_split(text, ' '),
+                    w -> CASE WHEN regexp_full_match(w, '[a-z]+')
+                              THEN 1 ELSE 0 END)) AS DOUBLE)
+               / len(str_split(text, ' ')) AS alpha_ratio,
+           list_sum(list_transform(str_split(text, ' '),
+                    w -> CASE WHEN w IN {_GR_STOPWORDS}
+                              THEN 1 ELSE 0 END)) AS stopword_hits
+    FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT)                    AS n_words,
+       round(mean_wlen, 4)                        AS mean_wlen,
+       round(alpha_ratio, 4)                      AS alpha_ratio,
+       CAST(stopword_hits AS BIGINT)              AS stopword_hits,
+       n_words BETWEEN {_GR_MIN_WORDS} AND {_GR_MAX_WORDS}    AS r_words,
+       mean_wlen BETWEEN {_GR_MIN_MEAN_WLEN} AND {_GR_MAX_MEAN_WLEN}
+                                                  AS r_word_len,
+       alpha_ratio >= {_GR_MIN_ALPHA_RATIO}       AS r_alpha,
+       stopword_hits >= {_GR_MIN_STOPWORD_HITS}   AS r_stopwords,
+       (n_words BETWEEN {_GR_MIN_WORDS} AND {_GR_MAX_WORDS}
+        AND mean_wlen BETWEEN {_GR_MIN_MEAN_WLEN} AND {_GR_MAX_MEAN_WLEN}
+        AND alpha_ratio >= {_GR_MIN_ALPHA_RATIO}
+        AND stopword_hits >= {_GR_MIN_STOPWORD_HITS}) AS keep
+FROM feats
+""",
+)
+def ext_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021 Table A1 — the
+    published heuristic gate most open-corpus pipelines start from):
+    word-count bounds, mean-word-length bounds, alphabetic-word ratio,
+    and minimum stop-word hits, each emitted as its own flag plus the
+    conjunctive ``keep`` so downstream can audit WHICH rule fired, not
+    just that one did (the operational difference from the composite
+    ``ext_quality_score``).
+
+    All four signals fold over one ``split(text)`` array in a single
+    codegen'd projection — no shuffle, no UDF; at 100 TB this is a
+    scan-speed map pass whose `keep` feeds the dedup/mix stages."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_words = F.size(toks)
+    mean_wlen = (
+        F.aggregate(
+            F.transform(toks, lambda w: F.length(w).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / n_words
+    )
+    alpha_ratio = (
+        F.size(F.filter(toks, lambda w: w.rlike("^[a-z]+$"))).cast("double")
+        / n_words
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _GR_STOPWORDS])
+    stopword_hits = F.size(
+        F.filter(toks, lambda w: F.array_contains(stop_arr, w))
+    ).cast("long")
+    r_words = n_words.between(_GR_MIN_WORDS, _GR_MAX_WORDS)
+    r_word_len = mean_wlen.between(_GR_MIN_MEAN_WLEN, _GR_MAX_MEAN_WLEN)
+    r_alpha = alpha_ratio >= _GR_MIN_ALPHA_RATIO
+    r_stop = stopword_hits >= _GR_MIN_STOPWORD_HITS
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wlen, 4).alias("mean_wlen"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        stopword_hits.alias("stopword_hits"),
+        r_words.alias("r_words"),
+        r_word_len.alias("r_word_len"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stopwords"),
+        (r_words & r_word_len & r_alpha & r_stop).alias("keep"),
+    )
