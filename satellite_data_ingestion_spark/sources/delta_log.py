@@ -807,6 +807,149 @@ class DeltaLogTable:
                 "forbidden"
             )
 
+    # -- column mapping (rename / drop without rewrite) ---------------
+
+    def _mapping_at(self, head: int) -> dict | None:
+        """``logical name -> physical name`` when the table has
+        ``delta.columnMapping.mode = name``; None otherwise.  Parsed
+        from the spec's per-field schema metadata
+        (``delta.columnMapping.physicalName`` / ``.id``)."""
+        if head < 0:
+            return None
+        if self._config_at(head).get("delta.columnMapping.mode") != "name":
+            return None
+        md = self._state(head)["metaData"]
+        fields = json.loads(md["schemaString"])["fields"]
+        return {
+            f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
+            for f in fields
+        }
+
+    def _guard_unmapped(self, head: int, command: str) -> None:
+        if self._mapping_at(head) is not None:
+            raise NotImplementedError(
+                f"{command} on a column-mapped table: mapped tables "
+                "support append / read / rename_column / drop_column "
+                "here; rewrite commands are future work"
+            )
+
+    def enable_column_mapping(self) -> int:
+        """ALTER TABLE ... SET delta.columnMapping.mode = 'name': every
+        field gets the spec's stable ``delta.columnMapping.id`` and a
+        ``physicalName`` (the CURRENT name, so files already on disk
+        stay readable — delta-spark's upgrade rule), the protocol rises
+        to (minReader 2, minWriter 5), and renames/drops become
+        metaData-only commits: zero data files rewritten no matter the
+        table size."""
+        from pyspark.sql.types import StructField, StructType
+
+        while True:
+            head = self.latest_version()
+            if head < 0:
+                raise ValueError("enable_column_mapping: commit data first")
+            if self._mapping_at(head) is not None:
+                return head
+            st = self._state(head)
+            md = dict(st["metaData"])
+            if md.get("partitionColumns"):
+                raise NotImplementedError(
+                    "column mapping on a Hive-partitioned table: "
+                    "physical partition dirs would need renaming rules; "
+                    "not needed by current callers"
+                )
+            schema = StructType.fromJson(json.loads(md["schemaString"]))
+            new_fields = []
+            for i, f in enumerate(schema.fields):
+                meta = dict(f.metadata or {})
+                meta["delta.columnMapping.id"] = i + 1
+                meta["delta.columnMapping.physicalName"] = f.name
+                new_fields.append(
+                    StructField(f.name, f.dataType, f.nullable, meta)
+                )
+            md["schemaString"] = StructType(new_fields).json()
+            cfg = dict(md.get("configuration") or {})
+            cfg["delta.columnMapping.mode"] = "name"
+            cfg["delta.columnMapping.maxColumnId"] = str(len(new_fields))
+            md["configuration"] = cfg
+            self._schema_string = md["schemaString"]
+            proto = st["protocol"] or dict(_PROTOCOL)
+            actions = [
+                {
+                    "protocol": {
+                        "minReaderVersion": max(
+                            2, proto.get("minReaderVersion", 1)
+                        ),
+                        "minWriterVersion": max(
+                            5, proto.get("minWriterVersion", 2)
+                        ),
+                    }
+                },
+                {"metaData": md},
+            ]
+            try:
+                return self._publish(
+                    actions, derived_from=head, operation="SET TBLPROPERTIES"
+                )
+            except DeltaConcurrentCommit:
+                continue
+
+    def _alter_mapped_schema(self, mutate, operation: str) -> int:
+        """Shared rename/drop path: a metaData-only commit rewriting the
+        LOGICAL schema while physical names (and therefore every data
+        file) stay untouched."""
+        from pyspark.sql.types import StructType
+
+        while True:
+            head = self.latest_version()
+            if self._mapping_at(head) is None:
+                raise ValueError(f"{operation} requires column mapping")
+            st = self._state(head)
+            md = dict(st["metaData"])
+            schema = StructType.fromJson(json.loads(md["schemaString"]))
+            md["schemaString"] = StructType(
+                mutate(list(schema.fields))
+            ).json()
+            self._schema_string = md["schemaString"]
+            try:
+                return self._publish(
+                    [{"metaData": md}], derived_from=head, operation=operation
+                )
+            except DeltaConcurrentCommit:
+                continue
+
+    def rename_column(self, old: str, new: str) -> int:
+        """RENAME COLUMN as a metaData-only commit (no data rewrite):
+        the logical name changes, the physical name in the files does
+        not."""
+        from pyspark.sql.types import StructField
+
+        def mutate(fields):
+            if old not in {f.name for f in fields}:
+                raise ValueError(f"no such column: {old}")
+            return [
+                StructField(new, f.dataType, f.nullable, f.metadata)
+                if f.name == old
+                else f
+                for f in fields
+            ]
+
+        return self._alter_mapped_schema(mutate, "RENAME COLUMN")
+
+    def drop_column(self, name: str) -> int:
+        """DROP COLUMN as a metaData-only commit: the field leaves the
+        logical schema; its physical column stays in the files and is
+        simply never read again (the spec's drop semantics)."""
+
+        def mutate(fields):
+            kept = [f for f in fields if f.name != name]
+            if len(kept) == len(fields):
+                raise ValueError(f"no such column: {name}")
+            if not kept:
+                raise ValueError("cannot drop the last column")
+            return kept
+
+        return self._alter_mapped_schema(mutate, "DROP COLUMNS")
+
     def commit_append(
         self,
         df: DataFrame,
@@ -819,9 +962,31 @@ class DeltaLogTable:
         head is returned — exactly-once for at-least-once callers."""
         if txn is not None and txn[1] <= self.last_txn_version(txn[0]):
             return self.latest_version()
-        self._check_constraints(df, self.latest_version())
-        self._schema_string = df.schema.json()
-        self._partition_columns = list(partition_by or [])
+        head0 = self.latest_version()
+        self._check_constraints(df, head0)  # constraints see LOGICAL names
+        mapping = self._mapping_at(head0)
+        if mapping is not None:
+            if partition_by:
+                raise NotImplementedError(
+                    "partitioned append on a column-mapped table"
+                )
+            if set(df.columns) != set(mapping):
+                raise ValueError(
+                    f"mapped append needs exactly the logical columns "
+                    f"{sorted(mapping)}, got {sorted(df.columns)}"
+                )
+            # Files store PHYSICAL names; the table schema (with its
+            # mapping metadata) is authoritative, not the batch's.
+            df = df.select(
+                [F.col(lg).alias(ph) for lg, ph in mapping.items()]
+            )
+            self._schema_string = self._state(head0)["metaData"][
+                "schemaString"
+            ]
+            self._partition_columns = []
+        else:
+            self._schema_string = df.schema.json()
+            self._partition_columns = list(partition_by or [])
         adds = self._stage_files(df, partition_by)
         if txn is None:
             # Plain appends commute with any concurrent commit: publish
@@ -852,6 +1017,7 @@ class DeltaLogTable:
             removes = []
             if head >= 0:
                 self._guard_append_only(head, "overwrite")
+                self._guard_unmapped(head, "overwrite")
                 self._check_constraints(df, head)
                 live_map, _, partition_by = self._replay_actions(head)
                 removes = [
@@ -908,6 +1074,7 @@ class DeltaLogTable:
         zorder_by: list[str] | None,
     ) -> int:
         head = self.latest_version()
+        self._guard_unmapped(head, "OPTIMIZE")
         live_map, _, partition_cols = self._replay_actions(head)
         if not live_map:
             return head
@@ -993,6 +1160,7 @@ class DeltaLogTable:
                 operation="MERGE",
             )
         self._guard_append_only(head, "MERGE")
+        self._guard_unmapped(head, "MERGE")
         self._check_constraints(source, head)
         live, schema_s, partition_cols = self._replay_actions(head)
         if partition_cols:
@@ -1095,6 +1263,7 @@ class DeltaLogTable:
         if head < 0:
             raise ValueError("cannot delete from an empty table")
         self._guard_append_only(head, "DELETE")
+        self._guard_unmapped(head, "DELETE")
         live, schema_s, partition_cols = self._replay_actions(head)
         if partition_cols:
             raise NotImplementedError(
@@ -1156,6 +1325,7 @@ class DeltaLogTable:
     def _restore_once(self, version: int) -> int:
         head = self.latest_version()
         self._guard_append_only(head, "RESTORE")
+        self._guard_unmapped(head, "RESTORE")
         target, schema_s, partition_cols = self._replay_actions(version)
         current, _, _ = self._replay_actions(head)
         missing = [
@@ -1432,12 +1602,47 @@ class DeltaLogTable:
             version = self.version_at_timestamp(timestamp_ms)
         v = head if version is None else version
         adds, schema, partition_cols = self._replay_actions(v)
-        live = self._prune(adds, where)
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructField, StructType
 
         full_schema = StructType.fromJson(json.loads(schema))
+        mapping = {
+            f.name: (f.metadata or {}).get("delta.columnMapping.physicalName")
+            for f in full_schema.fields
+        }
+        mapped = all(mapping.values()) and len(mapping) > 0
+        if mapped and where:
+            # Stats and partitionValues are keyed by PHYSICAL names in a
+            # mapped table (files written pre-enablement have physical ==
+            # logical, so the translation is the identity for them).
+            where = {mapping.get(k, k): v2 for k, v2 in where.items()}
+        live = self._prune(adds, where)
         if not live:
-            return self.spark.createDataFrame([], full_schema)
+            return self.spark.createDataFrame(
+                [],
+                StructType(
+                    [
+                        StructField(f.name, f.dataType, True)
+                        for f in full_schema.fields
+                    ]
+                ),
+            )
+        if mapped:
+            phys_schema = StructType(
+                [
+                    StructField(mapping[f.name], f.dataType, True)
+                    for f in full_schema.fields
+                ]
+            )
+            return (
+                self.spark.read.schema(phys_schema)
+                .parquet(*[os.path.join(self.root, p) for p in live])
+                .select(
+                    [
+                        F.col(mapping[f.name]).alias(f.name)
+                        for f in full_schema.fields
+                    ]
+                )
+            )
         if not partition_cols:
             # Explicit schema projects older files through the evolved
             # table schema: columns they predate read as null.
@@ -2355,6 +2560,63 @@ def sink_delta_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("appendOnly DELETE did not raise")
     t.compact()  # layout-only maintenance stays legal under appendOnly
     return t.read().groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "sink_delta_column_mapping",
+    oracle="""
+SELECT l_returnflag                  AS flag,
+       CAST(count(*) AS BIGINT)      AS n_rows,
+       round(sum(l_quantity), 2)     AS sum_qty
+FROM lineitem
+WHERE l_linenumber <= 2
+GROUP BY l_returnflag
+""",
+)
+def sink_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN MAPPING (spec: reader 2 / writer 5): enabling
+    ``delta.columnMapping.mode = name`` stamps every field with a stable
+    id and a physicalName, after which RENAME COLUMN and DROP COLUMN are
+    METADATA-ONLY commits — asserted in-line by comparing the live file
+    list across enable + rename + drop (zero data files touched; at
+    100 TB that is the difference between an instant DDL and a
+    table-sized rewrite).  Appends after the rename use the new LOGICAL
+    name and land under the unchanged physical name, so files written
+    before enablement and after the rename read back through one
+    schema; the dropped column's bytes stay in old files but never load
+    again.  The final aggregate over the renamed column must hash-match
+    the oracle computed under the original name."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") <= 2)
+        .select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_tax"
+        )
+    )
+    root = tempfile.mkdtemp(prefix="sdis_delta_cm_")
+    t = DeltaLogTable(spark, root)
+    t.commit_append(li.filter(F.col("l_linenumber") == 1))
+    files_before, _ = t._replay(t.latest_version())
+    t.enable_column_mapping()
+    t.rename_column("l_returnflag", "flag")
+    t.drop_column("l_tax")
+    files_after, _ = t._replay(t.latest_version())
+    if files_after != files_before:
+        raise RuntimeError(
+            "enable/rename/drop must be metaData-only: file list changed"
+        )
+    t.commit_append(
+        li.filter(F.col("l_linenumber") == 2).select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_returnflag").alias("flag"),
+            "l_quantity",
+        )
+    )
+    return t.read().groupBy("flag").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )

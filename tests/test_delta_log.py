@@ -712,3 +712,49 @@ def test_append_only_blocks_data_changing_removes(spark, tbl):
     tbl.commit_append(_df(spark, [4]))
     tbl.compact()
     assert sorted(r.x for r in tbl.read().collect()) == [1, 2, 3, 4]
+
+
+def test_column_mapping_rename_drop_metadata_only(spark, tbl):
+    """enable/rename/drop touch no data files; the protocol rises to
+    (2, 5); old files read through the renamed logical schema; rewrite
+    commands on a mapped table refuse loudly."""
+    df = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)],
+                               "x long, y string, z double")
+    tbl.commit_append(df)
+    files_v0, _ = tbl._replay(tbl.latest_version())
+    tbl.enable_column_mapping()
+    tbl.rename_column("y", "label")
+    tbl.drop_column("z")
+    files_now, _ = tbl._replay(tbl.latest_version())
+    assert files_now == files_v0  # metaData-only commits
+    st = tbl._state(tbl.latest_version())
+    assert st["protocol"] == {"minReaderVersion": 2, "minWriterVersion": 5}
+    cfg = st["metaData"]["configuration"]
+    assert cfg["delta.columnMapping.mode"] == "name"
+    fields = json.loads(st["metaData"]["schemaString"])["fields"]
+    assert [f["name"] for f in fields] == ["x", "label"]
+    assert [
+        f["metadata"]["delta.columnMapping.physicalName"] for f in fields
+    ] == ["x", "y"]  # physical names never change
+    assert [f["metadata"]["delta.columnMapping.id"] for f in fields] == [1, 2]
+    # appends use the NEW logical name; reads see one coherent schema
+    tbl.commit_append(
+        spark.createDataFrame([(3, "c")], "x long, label string")
+    )
+    out = tbl.read()
+    assert out.columns == ["x", "label"]
+    assert sorted((r.x, r.label) for r in out.collect()) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+    # time travel BEFORE enablement keeps the original schema
+    old = tbl.read(version=0)
+    assert old.columns == ["x", "y", "z"]
+    # rewrite commands are out of scope on mapped tables: refuse loudly
+    with pytest.raises(NotImplementedError):
+        tbl.commit_delete("x", 1, 1)
+    with pytest.raises(NotImplementedError):
+        tbl.compact()
+    # appends must supply exactly the logical columns
+    with pytest.raises(ValueError, match="logical columns"):
+        tbl.commit_append(spark.createDataFrame([(9, "d", 9.0)],
+                                                "x long, y string, z double"))
