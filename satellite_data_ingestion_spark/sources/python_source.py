@@ -726,3 +726,238 @@ def stream_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.createDataFrame(out.collect(), out.schema)
     shutil.rmtree(ck, ignore_errors=True)
     return result
+
+
+class _DeltaCdfPartition(InputPartition):
+    def __init__(self, files: list[tuple]):
+        self.files = files  # (abs_path, change_type_or_None, version)
+
+
+def _delta_latest_schema_fields(log_dir: str) -> list[dict]:
+    schema_s = None
+    for v in _delta_versions(log_dir):
+        for action in _delta_actions(log_dir, v):
+            if "metaData" in action:
+                schema_s = action["metaData"]["schemaString"]
+    if schema_s is None:
+        raise ValueError(f"no Delta metaData under {log_dir!r}")
+    import json as _json
+
+    return _json.loads(schema_s)["fields"]
+
+
+class DeltaCdfStreamReader(DataSourceStreamReader):
+    """Micro-batch CHANGE DATA FEED reader: offset = {"version": v},
+    batch (start, end] = that range's row-level changes, dispatched per
+    commit exactly like DeltaLogTable.table_changes — ``cdc`` files
+    exclusively when the commit wrote them (their rows carry
+    _change_type), otherwise dataChange adds as inserts / dataChange
+    removes as deletes; dataChange=false commits contribute nothing.
+    Unlike the append-only sdis_delta_stream, MERGE and DELETE commits
+    are CONSUMABLE, so a downstream replica can follow an upsert table
+    through the engine's own checkpointed offsets.  Offsets replay from
+    the immutable log; vacuum of a consumed range's tombstoned files
+    only breaks REPLAY below the checkpoint, as in the real source."""
+
+    def __init__(self, options):
+        self.root = options["path"]
+        import os as _os
+
+        self.log_dir = _os.path.join(self.root, "_delta_log")
+        self.fields = [
+            f["name"] for f in _delta_latest_schema_fields(self.log_dir)
+        ]
+        self.per_batch = int(options.get("versions_per_batch", 1 << 30))
+
+    def initialOffset(self):
+        return {"version": -1}
+
+    def latestOffset(self):
+        versions = _delta_versions(self.log_dir)
+        head = versions[-1] if versions else -1
+        current = getattr(self, "_current", -1)
+        nxt = min(current + self.per_batch, head)
+        self._current = max(current, nxt)
+        return {"version": self._current}
+
+    def partitions(self, start, end):
+        self._current = max(
+            getattr(self, "_current", -1), start["version"], end["version"]
+        )
+        import os as _os
+
+        entries = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            actions = _delta_actions(self.log_dir, v)
+            cdcs = [a["cdc"] for a in actions if "cdc" in a]
+            if cdcs:
+                entries.extend(
+                    (_os.path.join(self.root, c["path"]), None, v)
+                    for c in cdcs
+                )
+                continue
+            for a in actions:
+                if "add" in a and a["add"].get("dataChange", True):
+                    entries.append(
+                        (_os.path.join(self.root, a["add"]["path"]), "insert", v)
+                    )
+                elif "remove" in a and a["remove"].get("dataChange", True):
+                    entries.append(
+                        (
+                            _os.path.join(self.root, a["remove"]["path"]),
+                            "delete",
+                            v,
+                        )
+                    )
+        return [_DeltaCdfPartition(sorted(entries))]
+
+    def read(self, partition: _DeltaCdfPartition):
+        import pyarrow.parquet as _pq
+
+        for path, ctype, version in partition.files:
+            t = _pq.read_table(path)
+            names = set(t.column_names)
+            n = t.num_rows
+            cols = [
+                t.column(f).to_pylist() if f in names else [None] * n
+                for f in self.fields
+            ]
+            ct = (
+                t.column("_change_type").to_pylist()
+                if "_change_type" in names
+                else [ctype] * n
+            )
+            for i in range(n):
+                yield tuple(c[i] for c in cols) + (ct[i], version)
+
+    def commit(self, end):
+        self._current = max(getattr(self, "_current", -1), end["version"])
+
+
+class DeltaCdfStreamSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "sdis_delta_cdf_stream"
+
+    def schema(self):
+        import os as _os
+
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        log_dir = _os.path.join(self.options["path"], "_delta_log")
+        base = StructType.fromJson(
+            {
+                "type": "struct",
+                "fields": _delta_latest_schema_fields(log_dir),
+            }
+        )
+        return StructType(
+            [StructField(f.name, f.dataType, True) for f in base.fields]
+            + [
+                StructField("_change_type", StringType()),
+                StructField("_commit_version", LongType()),
+            ]
+        )
+
+    def streamReader(self, schema):
+        return DeltaCdfStreamReader(self.options)
+
+
+@register(
+    "stream_delta_cdf",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_quantity
+  FROM lineitem WHERE l_linenumber <= 2
+),
+upd AS (
+  SELECT l_orderkey, l_quantity FROM li
+  WHERE l_linenumber = 1 AND l_orderkey % 7 = 0
+),
+state1 AS (
+  SELECT l_orderkey,
+         CASE WHEN l_linenumber = 1 AND l_orderkey % 7 = 0
+              THEN l_quantity + 1000 ELSE l_quantity END AS l_quantity
+  FROM li
+),
+changes AS (
+  SELECT 'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version,
+         l_quantity
+  FROM li WHERE l_linenumber = 1
+  UNION ALL
+  SELECT 'update_preimage', 1, l_quantity FROM upd
+  UNION ALL
+  SELECT 'update_postimage', 1, l_quantity + 1000 FROM upd
+  UNION ALL
+  SELECT 'insert', 1, l_quantity FROM li WHERE l_linenumber = 2
+  UNION ALL
+  SELECT 'delete', 2, l_quantity FROM state1
+  WHERE l_orderkey BETWEEN 100 AND 2000
+)
+SELECT change_type, commit_version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM changes
+GROUP BY change_type, commit_version
+""",
+)
+def stream_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CHANGE DATA FEED as a REAL Structured Streaming source: the
+    same append → MERGE → DELETE history as ``source_delta_cdf``, but
+    consumed through ``spark.readStream.format("sdis_delta_cdf_stream")``
+    — the engine's checkpoint carries the consumer's log-version offset,
+    and unlike the append-only Delta stream source, upsert and delete
+    commits FLOW as pre/postimage and delete rows instead of failing the
+    stream.  The drained feed's census must hash-match the relational
+    recompute of every change set; the raw feed drains through a parquet
+    file sink (never the driver)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .delta_log import DeltaLogTable
+    from ..streaming.state import _drain_to_files, _few_shuffle_partitions
+
+    _register_sources(spark)
+    spark.dataSource.register(DeltaCdfStreamSource)
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") <= 2)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+    root = tempfile.mkdtemp(prefix="sdis_delta_cdfs_")
+    t = DeltaLogTable(spark, root, change_data_feed=True)
+    t.commit_append(li.filter(F.col("l_linenumber") == 1))
+    upd = li.filter(
+        (F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 7 == 0)
+    ).withColumn("l_quantity", F.col("l_quantity") + 1000)
+    t.commit_merge(
+        upd.unionByName(li.filter(F.col("l_linenumber") == 2)),
+        keys=["l_orderkey", "l_linenumber"],
+    )
+    t.commit_delete("l_orderkey", 100, 2000)
+    staging = os.path.join(
+        tempfile.gettempdir(), f"sdis_cdf_stream_{os.getpid()}"
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+    with _few_shuffle_partitions(spark):
+        feed = _drain_to_files(
+            spark,
+            spark.readStream.format("sdis_delta_cdf_stream")
+            .option("path", root)
+            .load(),
+            staging,
+        )
+    return feed.groupBy(
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )

@@ -1337,3 +1337,50 @@ def test_knn_join_ivf_recall_and_coverage(spark):
         len(exact[q] & approx[q]) / len(exact[q]) for q in exact
     ) / len(exact)
     assert recall >= 0.8, f"recall@{_KNN_K} collapsed: {recall:.3f}"
+
+
+def test_delta_cdf_stream_reader_dispatch_and_replay(spark, tmp_path):
+    """The CDF streaming reader at the reader level: append commits read
+    as inserts via the fallback, a MERGE commit's cdc files flow as
+    pre/postimage + insert rows (carried-over rewrite rows absent), a
+    DELETE commit flows as deletes instead of failing the stream, and a
+    committed range replays identically."""
+    from satellite_data_ingestion_spark.sources.delta_log import DeltaLogTable
+    from satellite_data_ingestion_spark.sources.python_source import (
+        DeltaCdfStreamReader,
+    )
+
+    root = str(tmp_path / "tbl")
+    t = DeltaLogTable(spark, root, change_data_feed=True)
+    t.commit_append(
+        spark.createDataFrame(
+            [(1, 1.0), (2, 2.0), (3, 3.0)], "k long, v double"
+        ).coalesce(1)
+    )
+    t.commit_merge(
+        spark.createDataFrame([(2, 20.0), (4, 40.0)], "k long, v double"),
+        keys=["k"],
+    )
+    t.commit_delete("k", 3, 4)
+    r = DeltaCdfStreamReader({"path": root, "versions_per_batch": "1"})
+    assert r.initialOffset() == {"version": -1}
+    (p0,) = r.partitions({"version": -1}, {"version": 0})
+    assert sorted(list(r.read(p0))) == [
+        (1, 1.0, "insert", 0), (2, 2.0, "insert", 0), (3, 3.0, "insert", 0),
+    ]
+    (p1,) = r.partitions({"version": 0}, {"version": 1})
+    assert sorted(list(r.read(p1)), key=str) == sorted(
+        [
+            (2, 2.0, "update_preimage", 1),
+            (2, 20.0, "update_postimage", 1),
+            (4, 40.0, "insert", 1),
+        ],
+        key=str,
+    )
+    (p2,) = r.partitions({"version": 1}, {"version": 2})
+    assert sorted(list(r.read(p2))) == [
+        (3, 3.0, "delete", 2), (4, 40.0, "delete", 2),
+    ]
+    # replay: same committed range reads identically
+    (p1b,) = r.partitions({"version": 0}, {"version": 1})
+    assert sorted(list(r.read(p1b)), key=str) == sorted(list(r.read(p1)), key=str)
