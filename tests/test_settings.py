@@ -70,7 +70,10 @@ for name, min_rows in [("ext_dedup_minhash", 1), ("ext_sim_ivf", 10),
                        # round-6 additions: the SDIS_PQ_* knobs and the
                        # Delta-table family landed after the original
                        # prod smoke — cover one PQ and one Delta path.
-                       ("ext_sim_pq_indexed", 10), ("sink_delta_merge", 1)]:
+                       ("ext_sim_pq_indexed", 10), ("sink_delta_merge", 1),
+                       # round-7 additions: CDF write/read path and the
+                       # IVF-probed kNN self-join under the prod knobs.
+                       ("source_delta_cdf", 1), ("ext_knn_join_ivf", 10)]:
     n = registry.spec(name).fn(spark, sf).count()
     assert n >= min_rows, f"{name}: {n} rows under prod profile"
 print("PROD_OK")
