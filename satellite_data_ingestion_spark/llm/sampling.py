@@ -169,3 +169,119 @@ def ext_shuffle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts.mapInPandas(index_partition, schema=out_schema).orderBy(
         "example_idx"
     )
+
+
+# DSIR (Xie et al. 2023): hashed-feature importance resampling toward a
+# target distribution.  B buckets bound the model size; K docs selected.
+_DSIR_BUCKETS = 512
+_DSIR_K = 100
+_DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "ext_dsir_sample",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+           % {_DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, lang, unnest(str_split(text, ' ')) AS tok
+        FROM documents)
+),
+raw AS (SELECT b, count(*) AS r FROM toks GROUP BY b),
+tgt AS (SELECT b, count(*) AS t FROM toks
+        WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b),
+tot AS (SELECT (SELECT count(*) FROM toks) AS nr,
+               (SELECT count(*) FROM toks
+                WHERE lang = '{_DSIR_TARGET_LANG}') AS nt),
+model AS (
+  SELECT raw.b,
+         ln((coalesce(t, 0) + 1) / (nt + {_DSIR_BUCKETS}.0))
+           - ln((r + 1) / (nr + {_DSIR_BUCKETS}.0)) AS ratio
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot
+),
+scored AS (
+  SELECT doc_id, lang, round(sum(ratio), 4) AS dsir_weight
+  FROM toks JOIN model USING (b)
+  GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, dsir_weight,
+       row_number() OVER (ORDER BY dsir_weight DESC, doc_id)
+         <= {_DSIR_K} AS selected
+FROM scored
+""",
+)
+def ext_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al., NeurIPS 2023 — the
+    published recipe for tilting a raw crawl toward a target domain):
+    hashed unigram features into B buckets, a bag-of-buckets model for
+    the target slice (here ``lang = 'en'``) and the raw corpus, and a
+    per-document importance weight ``sum_tokens[ln p_target(b) −
+    ln p_raw(b)]`` (Laplace-smoothed); the top-K by weight are the
+    selected training subset.
+
+    Scale shape (mirrors ext_lm_score): ONE token-histogram shuffle
+    builds both bucket models, the B-row model (B = {_DSIR_BUCKETS})
+    broadcasts back onto the token stream so the corpus never
+    reshuffles for scoring, and selection avoids a single-partition
+    global window: the K-th (weight, doc_id) threshold comes from a
+    TakeOrderedAndProject heap (bounded K-row collect) and the selected
+    flag is a broadcast comparison — at 100 TB nothing global ever
+    sorts.  md5-derived buckets keep the features engine-independent;
+    the weight rounds to 4 decimals before ranking so both engines rank
+    identical keys."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).withColumn(
+        "b",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        % _DSIR_BUCKETS,
+    )
+    raw = toks.groupBy("b").agg(F.count(F.lit(1)).alias("r"))
+    tgt = (
+        toks.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    tot = toks.agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.count(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)
+        ).alias("nt"),
+    )
+    model = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("t"), F.lit(0)) + 1)
+                    / (F.col("nt") + float(_DSIR_BUCKETS))
+                )
+                - F.log(
+                    (F.col("r") + 1) / (F.col("nr") + float(_DSIR_BUCKETS))
+                )
+            ).alias("ratio"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(model), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.sum("ratio"), 4).alias("dsir_weight"))
+    )
+    # K-th (weight desc, doc_id asc) threshold via TakeOrderedAndProject
+    # heaps — bounded K-row collect, no single-partition window.
+    kth = scored.orderBy(
+        F.desc("dsir_weight"), F.asc("doc_id")
+    ).limit(_DSIR_K).collect()[-1]
+    selected = (F.col("dsir_weight") > kth.dsir_weight) | (
+        (F.col("dsir_weight") == kth.dsir_weight)
+        & (F.col("doc_id") <= kth.doc_id)
+    )
+    return scored.select(
+        "doc_id", "lang", "dsir_weight", selected.alias("selected")
+    )

@@ -1384,3 +1384,23 @@ def test_delta_cdf_stream_reader_dispatch_and_replay(spark, tmp_path):
     # replay: same committed range reads identically
     (p1b,) = r.partitions({"version": 0}, {"version": 1})
     assert sorted(list(r.read(p1b)), key=str) == sorted(list(r.read(p1)), key=str)
+
+
+def test_dsir_sample_tilts_toward_target(spark):
+    """DSIR's whole point: the selected subset must be enriched in the
+    target slice (lang='en') relative to the corpus base rate, and
+    exactly K docs are selected."""
+    from satellite_data_ingestion_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    from satellite_data_ingestion_spark.llm.sampling import (
+        _DSIR_K,
+        _DSIR_TARGET_LANG,
+    )
+
+    rows = registry.spec("ext_dsir_sample").fn(spark, SF_SMOKE).collect()
+    sel = [r for r in rows if r.selected]
+    assert len(sel) == min(_DSIR_K, len(rows))
+    base = sum(r.lang == _DSIR_TARGET_LANG for r in rows) / len(rows)
+    tilt = sum(r.lang == _DSIR_TARGET_LANG for r in sel) / len(sel)
+    assert tilt > base, f"no enrichment: {tilt:.2f} vs base {base:.2f}"
