@@ -71,6 +71,12 @@ HEADLINE = [
     "ext_sim_ivf_pq",
     "sink_delta_merge",
     "sink_delta_checkpoint",
+    # Round 7 additions: the exact kNN self-join (the new heaviest
+    # pairwise family) with its sub-quadratic IVF variant, and the CDF
+    # write+read round-trip (cdc staging joins + change-feed scan).
+    "ext_knn_join",
+    "ext_knn_join_ivf",
+    "source_delta_cdf",
 ]
 
 
