@@ -245,3 +245,56 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return result
+
+
+def _stage_lineitem_orc(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a lineitem slice as ORC (once per process) — the
+    fixture for the columnar-format scan.  Timestamp columns are left
+    out deliberately: ORC's timestamp semantics are writer-local-time,
+    so a cross-engine oracle over them would pin a timezone, not the
+    scan."""
+    import os
+    import tempfile
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    staged = os.path.join(
+        tempfile.gettempdir(), f"sdis_fmt_orc_li_{sf_tag}_{os.getpid()}"
+    )
+    if not os.path.exists(staged):
+        table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+        ).write.mode("overwrite").orc(staged)
+    return staged
+
+
+@register(
+    "scan_orc",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT)       AS n_rows,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+WHERE l_quantity >= 30
+GROUP BY l_returnflag
+""",
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source scan — the other columnar lake format Spark reads
+    natively.  Unlike the row formats (scan_csv / scan_jsonl), ORC
+    carries min/max statistics and a typed schema in its footer, so the
+    quantity predicate pushes INTO the scan (PushedFilters, pinned in
+    tests/test_plans.py) and only the three referenced columns
+    materialize — the same pruning contract as parquet, proving the
+    engine is format-agnostic about its scan-side optimizations."""
+    staged = _stage_lineitem_orc(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.orc(staged)
+        .filter(F.col("l_quantity") >= 30)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )

@@ -555,3 +555,15 @@ def test_lm_score_broadcasts_model_never_reshuffles_corpus(spark):
     tree = plan.split("\n\n")[0]
     assert tree.count("BroadcastExchange") >= 2, tree
     assert "SortMergeJoin" not in tree, tree
+
+
+def test_orc_scan_pushdown_and_pruning(spark):
+    """The quantity predicate must push into the ORC scan and only the
+    referenced columns may materialize — parquet's pruning contract,
+    format-agnostic."""
+    plan = plan_of(spark, "scan_orc")
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "GreaterThanOrEqual(l_quantity" in pushed, plan
+    read = " ".join(re.findall(r"ReadSchema: (.*)", plan))
+    assert "l_orderkey" not in read, read  # unreferenced column pruned
+    assert "l_extendedprice" in read and "l_returnflag" in read, read
