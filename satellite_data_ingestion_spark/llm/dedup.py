@@ -1035,3 +1035,98 @@ def ext_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= _SUBSTR_MIN_SHARED)
         .orderBy("doc_a", "doc_b")
     )
+
+
+_INC_SIG_CACHE: dict[tuple, str] = {}
+
+
+def _band_rows(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) rows from signature rows — the shared
+    banding projection of the minhash paths."""
+    band_structs = ",".join(
+        "struct({b} AS band_id, xxhash64(concat_ws(',', {parts})) AS band_key)".format(
+            b=b,
+            parts=",".join(
+                f"cast(sig[{b * _ROWS_PER_BAND + r}] AS string)"
+                for r in range(_ROWS_PER_BAND)
+            ),
+        )
+        for b in range(_N_BANDS)
+    )
+    return sigs.select(
+        "doc_id", F.expr(f"explode(array({band_structs}))").alias("band")
+    ).select("doc_id", "band.band_id", "band.band_key")
+
+
+def _stage_corpus_minhash(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the STANDING corpus' minhash index once per session: band
+    rows annotated with bucket size + representative, plus token-hash
+    sets for verification — what a production ingest pipeline persists
+    at write time so nightly batches never re-shingle the corpus."""
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key in _INC_SIG_CACHE:
+        return _INC_SIG_CACHE[key]
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="sdis_minhash_idx_")
+    corpus = _token_sets(spark, sf_dir).filter(F.col("doc_id") % 5 != 0)
+    bands = _band_rows(minhash_signatures(corpus))
+    w = Window.partitionBy("band_id", "band_key")
+    (
+        bands.withColumn("bn", F.count(F.lit(1)).over(w))
+        .withColumn("rep", F.min("doc_id").over(w))
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "bands"))
+    )
+    corpus.select(
+        "doc_id", F.expr("transform(toks, t -> xxhash64(t))").alias("hs")
+    ).write.mode("overwrite").parquet(os.path.join(root, "hsets"))
+    _INC_SIG_CACHE[key] = root
+    return root
+
+
+@register("ext_dedup_minhash_incremental")  # LSH candidates → rows-only
+def ext_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup detection: a new batch (doc_id % 5 == 0)
+    against the STANDING corpus' stored MinHash index — the production
+    every-tick shape (``ext_dedup_incremental`` is its exact-hash
+    sibling; this one catches near-duplicates).
+
+    The corpus never re-shingles: its band rows (annotated with bucket
+    size ``bn`` and representative ``rep`` at ingest) and token-hash
+    sets are staged parquet, exactly what a 100 TB pipeline persists at
+    write time.  Per batch, the ONLY signature work is the batch's own
+    16 minhashes; candidates come from an equi-join batch-bands ⨝
+    stored-bands on (band_id, band_key) — only buckets containing a
+    batch doc produce any work, so per-tick cost follows the BATCH, not
+    the corpus.  Hot corpus buckets degrade to their stored
+    representative (``bn > cap → rep only``), the same star-link
+    posture as ext_dedup_minhash.  Exact-Jaccard verification touches
+    surviving candidates only; recall vs the exact batch×corpus join is
+    pinned in tests."""
+    import os
+
+    root = _stage_corpus_minhash(spark, sf_dir)
+    stored = spark.read.parquet(os.path.join(root, "bands"))
+    stored = stored.filter(
+        (F.col("bn") <= _MAX_BUCKET) | (F.col("doc_id") == F.col("rep"))
+    ).select(
+        F.col("doc_id").alias("doc_a"), "band_id", "band_key"
+    )
+    batch = _token_sets(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    batch_bands = _band_rows(minhash_signatures(batch)).select(
+        F.col("doc_id").alias("doc_b"), "band_id", "band_key"
+    )
+    cand = (
+        batch_bands.join(stored, ["band_id", "band_key"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    corpus_hsets = spark.read.parquet(os.path.join(root, "hsets"))
+    batch_hsets = batch.select(
+        "doc_id", F.expr("transform(toks, t -> xxhash64(t))").alias("hs")
+    )
+    return _verify_exact_jaccard(
+        cand, corpus_hsets.unionByName(batch_hsets), "hs"
+    )

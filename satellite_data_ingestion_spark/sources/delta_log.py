@@ -1392,6 +1392,32 @@ class DeltaLogTable:
                 deleted.append(rel)
         return sorted(deleted)
 
+    def fsck(self, dry_run: bool = False) -> list[str]:
+        """FSCK REPAIR TABLE: find live add entries whose data files are
+        MISSING from storage (manual deletion, failed restore, storage
+        loss) and publish remove tombstones for them so reads stop
+        failing on dead references.  ``dry_run`` lists the orphaned
+        entries without committing.  Driver-side and log-sized: it
+        stats each live file's existence, never opens data."""
+        while True:
+            head = self.latest_version()
+            if head < 0:
+                return []
+            live, _, _ = self._replay_actions(head)
+            missing = sorted(
+                p
+                for p in live
+                if not os.path.isfile(os.path.join(self.root, p))
+            )
+            if dry_run or not missing:
+                return missing
+            removes = [self._remove_action(p, True) for p in missing]
+            try:
+                self._publish(removes, derived_from=head, operation="FSCK")
+                return missing
+            except DeltaConcurrentCommit:
+                continue  # a racer changed the live set; re-scan
+
     def history(self) -> list[dict]:
         """DESCRIBE HISTORY: one row per reachable JSON commit, newest
         first — version, timestamp (the commit file's mtime, the spec's

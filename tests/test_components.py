@@ -1404,3 +1404,31 @@ def test_dsir_sample_tilts_toward_target(spark):
     base = sum(r.lang == _DSIR_TARGET_LANG for r in rows) / len(rows)
     tilt = sum(r.lang == _DSIR_TARGET_LANG for r in sel) / len(sel)
     assert tilt > base, f"no enrichment: {tilt:.2f} vs base {base:.2f}"
+
+
+def test_minhash_incremental_recall_vs_exact(spark, duck):
+    """Batch-vs-corpus near-dup detection through the STORED index must
+    find ~all true cross-set near-dup pairs (>= 0.95 recall vs exact
+    batch x corpus Jaccard), and emit only cross-set pairs (corpus doc
+    on the a side, batch doc on the b side)."""
+    from satellite_data_ingestion_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    truth = duck.execute(
+        """
+        WITH d AS (
+          SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks
+          FROM documents
+        )
+        SELECT count(*) FROM d a JOIN d b
+        ON a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+        """
+    ).fetchone()[0]
+    rows = registry.spec("ext_dedup_minhash_incremental").fn(
+        spark, SF_SMOKE
+    ).collect()
+    assert all(r.doc_a % 5 != 0 and r.doc_b % 5 == 0 for r in rows)
+    assert truth > 0
+    assert len(rows) / truth >= 0.95, f"recall {len(rows)}/{truth} too low"

@@ -758,3 +758,27 @@ def test_column_mapping_rename_drop_metadata_only(spark, tbl):
     with pytest.raises(ValueError, match="logical columns"):
         tbl.commit_append(spark.createDataFrame([(9, "d", 9.0)],
                                                 "x long, y string, z double"))
+
+
+def test_fsck_tombstones_missing_files(spark, tbl):
+    """FSCK: a live add whose file vanished from storage gets a remove
+    tombstone so reads recover; dry_run only reports; healthy tables
+    commit nothing."""
+    tbl.commit_append(_df(spark, [1, 2]))
+    tbl.commit_append(_df(spark, [3]))
+    assert tbl.fsck() == []  # healthy: no commit
+    head = tbl.latest_version()
+    live, _ = tbl._replay(head)
+    victim = live[0]
+    os.unlink(os.path.join(tbl.root, victim))
+    assert tbl.fsck(dry_run=True) == [victim]
+    assert tbl.latest_version() == head  # dry run commits nothing
+    assert tbl.fsck() == [victim]
+    assert tbl.latest_version() == head + 1
+    survivors = {
+        r.x for r in tbl.read().collect()
+    }
+    # the surviving rows are exactly the other files' contents
+    assert survivors and survivors <= {1, 2, 3}
+    ops = [h["operation"] for h in tbl.history()]
+    assert ops[0] == "FSCK"
