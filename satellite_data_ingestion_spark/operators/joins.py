@@ -387,3 +387,93 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("a_id", "b_id")
     )
+
+
+_N_STATIONS = 50  # stations come from supplier keys <= this bound
+
+
+@register(
+    "join_spatial_nearest",
+    oracle=f"""
+WITH obs AS (
+  SELECT event_id,
+         (event_id % 360) - 180.0 AS lon,
+         (event_id % 170) - 85.0  AS lat
+  FROM events
+),
+st AS (
+  SELECT s_suppkey,
+         ((s_suppkey * 37) % 360) - 180.0 AS slon,
+         ((s_suppkey * 53) % 170) - 85.0  AS slat
+  FROM supplier WHERE s_suppkey <= {_N_STATIONS}
+),
+pairs AS (
+  SELECT event_id, s_suppkey,
+         round(2 * 6371.0 * asin(sqrt(
+           sin(radians(slat - lat) / 2) * sin(radians(slat - lat) / 2)
+           + cos(radians(lat)) * cos(radians(slat))
+             * sin(radians(slon - lon) / 2) * sin(radians(slon - lon) / 2)
+         )), 4) AS dist_km
+  FROM obs, st
+)
+SELECT event_id, s_suppkey AS nearest_station, dist_km
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY event_id ORDER BY dist_km, s_suppkey) AS rn
+      FROM pairs)
+WHERE rn = 1
+""",
+)
+def join_spatial_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-station spatial join — the geo lookup a satellite pipeline
+    runs constantly (which ground station / grid anchor is closest to
+    each observation).  The station dimension is SMALL by nature, so the
+    scale-correct plan is not a join at all: the stations ship to every
+    task as an array literal (a bounded station-count collect — the
+    broadcast-variable pattern) and each observation computes its argmin
+    in ONE codegen projection fold — zero shuffle, zero join, cost
+    O(rows x stations) map-side.  ``array_min`` over (rounded_dist,
+    station_id) structs gives the deterministic lexicographic argmin
+    both engines agree on; distances round to 4 decimals so libm ulp
+    differences cannot flip a winner.  The plan's no-Exchange/no-Join
+    shape is pinned in tests/test_plans.py."""
+    stations = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= _N_STATIONS)
+        .select(
+            "s_suppkey",
+            (((F.col("s_suppkey") * 37) % 360) - 180.0).alias("slon"),
+            (((F.col("s_suppkey") * 53) % 170) - 85.0).alias("slat"),
+        )
+        .collect()  # bounded: the station dim is <= _N_STATIONS rows
+    )
+    ev = table(spark, sf_dir, "events")
+    lon = (F.col("event_id") % 360) - 180.0
+    lat = (F.col("event_id") % 170) - 85.0
+
+    def hav(slat: float, slon: float):
+        dphi = F.radians(F.lit(slat) - lat) / 2
+        dlmb = F.radians(F.lit(slon) - lon) / 2
+        h = (
+            F.sin(dphi) * F.sin(dphi)
+            + F.cos(F.radians(lat))
+            * F.cos(F.radians(F.lit(slat)))
+            * F.sin(dlmb)
+            * F.sin(dlmb)
+        )
+        return F.round(2 * 6371.0 * F.asin(F.sqrt(h)), 4)
+
+    scored = F.array(
+        *[
+            F.struct(
+                hav(s.slat, s.slon).alias("dist_km"),
+                F.lit(s.s_suppkey).alias("k"),
+            )
+            for s in sorted(stations, key=lambda s: s.s_suppkey)
+        ]
+    )
+    best = F.array_min(scored)
+    return ev.select(
+        "event_id",
+        best["k"].alias("nearest_station"),
+        best["dist_km"].alias("dist_km"),
+    )

@@ -567,3 +567,12 @@ def test_orc_scan_pushdown_and_pruning(spark):
     read = " ".join(re.findall(r"ReadSchema: (.*)", plan))
     assert "l_orderkey" not in read, read  # unreferenced column pruned
     assert "l_extendedprice" in read and "l_returnflag" in read, read
+
+
+def test_spatial_nearest_is_shuffle_free(spark):
+    """The nearest-station argmin must be a pure projection: stations
+    ride as literals, so the plan has no Exchange and no Join node."""
+    plan = plan_of(spark, "join_spatial_nearest")
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree, tree
+    assert "Join" not in tree and "CartesianProduct" not in tree, tree
