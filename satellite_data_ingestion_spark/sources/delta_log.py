@@ -2592,6 +2592,65 @@ def sink_delta_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_corpus_ingest",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, md5(coalesce(text, '')) AS h, doc_id % 3 AS b
+  FROM documents
+),
+first_b AS (SELECT h, min(b) AS fb FROM d GROUP BY h)
+SELECT d.h, min(d.doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_batch_copies
+FROM d JOIN first_b ON d.h = first_b.h AND d.b = first_b.fb
+GROUP BY d.h
+""",
+)
+def pipeline_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROWING TRAINING CORPUS loop — what a 100 TB dedup shop runs
+    every tick, end-to-end: three document batches arrive in order; each
+    batch (a) dedupes WITHIN itself (keep min doc_id per content hash),
+    (b) anti-joins against the STANDING corpus' hashes read from the
+    Delta table (never re-deduping the corpus — the shuffle carries
+    16-byte keys and only batch rows), and (c) lands in one atomic
+    (appId, epoch)-stamped commit, so the hand-replayed final batch (the
+    at-least-once crash retry) is swallowed.
+
+    The final table must hash-match an oracle computing first-batch-wins
+    keep semantics relationally: a doc admitted twice (broken anti-join
+    or double-applied replay), a lost batch, or wrong within-batch
+    keep-first each mismatches.  Scale: standing-corpus hashes live IN
+    the table (read O(live files)); per-tick work follows the batch."""
+    docs = table(spark, sf_dir, "documents")
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    root = tempfile.mkdtemp(prefix="sdis_corpus_")
+    t = DeltaLogTable(spark, root)
+    app = "sdis-corpus-ingest"
+    last = None
+    for i in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == i).select(
+            "doc_id", h.alias("h")
+        )
+        # within-batch keep-first + per-hash copy count
+        batch = batch.groupBy("h").agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_batch_copies"),
+        )
+        if t.latest_version() >= 0:
+            standing = t.read().select("h")
+            batch = batch.join(standing, "h", "left_anti")
+        t.commit_append(
+            batch.select("h", "keep_id", "n_batch_copies"), txn=(app, i)
+        )
+        last = batch
+    head = t.latest_version()
+    t.commit_append(
+        last.select("h", "keep_id", "n_batch_copies"), txn=(app, 2)
+    )  # crash replay of the final batch: watermark must swallow it
+    if t.latest_version() != head:
+        raise RuntimeError("replayed corpus batch double-applied")
+    return t.read()
+
+
+@register(
     "sink_delta_column_mapping",
     oracle="""
 SELECT l_returnflag                  AS flag,
