@@ -184,3 +184,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         df = _events_ts(df)
     return df
+
+
+def table_fresh(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """A NON-cached scan with FRESH attribute ids — required for the
+    right side of a self-cogroup.  When both children of a cogrouped
+    pandas UDF share a plan lineage (which the scan cache guarantees for
+    two ``table()`` calls), Spark's attribute de-duplication mis-binds
+    the right child under column pruning: a pruned parent (``count()``,
+    a narrow select) silently drops the right side's NON-GROUPING
+    columns before they reach the UDF — the pdf arrives without them
+    (reproduced on Spark 4.1; the left child is unaffected).  A fresh
+    scan gives the right side disjoint expression ids, which sidesteps
+    the bug at the cost of one extra footer read."""
+    _prepare(spark)
+    df = spark.read.parquet(path(sf_dir, name))
+    if name == "events":
+        df = _events_ts(df)
+    return df

@@ -255,52 +255,76 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels x P^2 — P is sized so n_label/P rows fit one task (the P=4
     here matches test scale; at 100 TB P grows with the label).  Results
     are identical to the naive plan (oracle unchanged); for sub-quadratic
-    *approximate* variants see ext_sim_lsh / ext_sim_ivf."""
+    *approximate* variants see ext_sim_lsh / ext_sim_ivf.
+
+    Execution (round-7 rewrite): each (label, ti, tj) tile COGROUPS its
+    two sides into one Arrow batch pair and scores them with a single
+    BLAS GEMM — the per-pair cosine previously ran through
+    zip_with/aggregate higher-order functions, which are interpreted
+    per element, not codegen'd (same finding as ext_knn_join's 10x).
+    Only the surviving threshold pairs materialize as rows; the
+    vec_a < vec_b mask keeps each unordered pair from the one tile
+    where both orderings meet."""
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.col("embedding").cast("array<double>").alias("v"),
         F.pmod(F.xxhash64("vec_id"), F.lit(_TILE_P)).alias("chunk"),
     )
+    # The RIGHT side must come from a FRESH scan (disjoint expression
+    # ids): a self-cogroup sharing one lineage hits a Spark
+    # attribute-dedup bug where column pruning silently strips the right
+    # side's data columns before the UDF sees them (catalog.table_fresh).
+    from ..catalog import table_fresh
+
+    emb_r = table_fresh(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(_TILE_P)).alias("chunk"),
+    )
     slots = F.explode(F.array(*[F.lit(i) for i in range(_TILE_P)]))
-    # EXPLICIT-count repartition on the join keys, both sides: the join
-    # stage is compute-bound (each row pair costs a dim-length cosine
-    # fold) but its shuffle bytes are tiny, so AQE's size-based
-    # coalescing would run the whole pairwise stage in 1-2 tasks
-    # (measured: 9.3s in 2 tasks at sf0.1 vs ~1s spread).  A
-    # user-specified partition COUNT is exempt from AQE coalescing, and
-    # identical (count, keys) on both sides co-partitions the join with
-    # no extra exchange.
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    a = (
-        emb.select(
-            "label", F.col("chunk").alias("ti"), slots.alias("tj"), "vec_id", "v"
-        )
-        .repartition(n_part, "label", "ti", "tj")
-        .alias("a")
+    a = emb.select(
+        "label", F.col("chunk").alias("ti"), slots.alias("tj"), "vec_id", "v"
     )
-    b = (
-        emb.select(
-            "label", slots.alias("ti"), F.col("chunk").alias("tj"), "vec_id", "v"
-        )
-        .repartition(n_part, "label", "ti", "tj")
-        .alias("b")
+    b = emb_r.select(
+        "label", slots.alias("ti"), F.col("chunk").alias("tj"), "vec_id", "v"
     )
-    cos = cosine(F.col("a.v"), F.col("b.v"))
+
+    def tile_pairs(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series([], dtype="int64"),
+                    "vec_b": pd.Series([], dtype="int64"),
+                    "label": pd.Series([], dtype="int32"),
+                    "cos_sim": pd.Series([], dtype="float64"),
+                }
+            )
+        A = np.array(left["v"].tolist(), dtype=np.float64)
+        B = np.array(right["v"].tolist(), dtype=np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        qids = left["vec_id"].to_numpy()
+        nids = right["vec_id"].to_numpy()
+        S = A @ B.T
+        ia, ib = np.where(
+            (qids[:, None] < nids[None, :]) & (S >= _NEAR_DUP_COS)
+        )
+        return pd.DataFrame(
+            {
+                "vec_a": qids[ia],
+                "vec_b": nids[ib],
+                "label": left["label"].iloc[0],
+                "cos_sim": np.round(S[ia, ib], 6),
+            }
+        )
+
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.ti") == F.col("b.ti"))
-            & (F.col("a.tj") == F.col("b.tj"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(cos >= _NEAR_DUP_COS)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
-            F.round(cos, 6).alias("cos_sim"),
+        a.groupBy("label", "ti", "tj")
+        .cogroup(b.groupBy("label", "ti", "tj"))
+        .applyInPandas(
+            tile_pairs, "vec_a long, vec_b long, label int, cos_sim double"
         )
     )
 
@@ -1096,11 +1120,29 @@ def ext_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pmod(F.xxhash64("vec_id"), F.lit(_TILE_P)).alias("chunk"),
         )
     )
+    from ..catalog import table_fresh
+
+    # Fresh-scan right side: see ext_dedup_embedding — a self-cogroup
+    # sharing one lineage loses its right-side data columns under
+    # column pruning (Spark attribute-dedup bug).
+    vraw_r = F.col("embedding").cast("array<double>")
+    emb_r = (
+        table_fresh(spark, sf_dir, "embeddings")
+        .select("vec_id", vraw_r.alias("v0"))
+        .withColumn("nrm", _norm(F.col("v0")))
+        .select(
+            "vec_id",
+            F.transform(
+                "v0", lambda x: F.try_divide(x, F.col("nrm"))
+            ).alias("v"),
+            F.pmod(F.xxhash64("vec_id"), F.lit(_TILE_P)).alias("chunk"),
+        )
+    )
     slots = F.explode(F.array(*[F.lit(i) for i in range(_TILE_P)]))
     a = emb.select(
         F.col("chunk").alias("ti"), slots.alias("tj"), "vec_id", "v"
     )
-    b = emb.select(
+    b = emb_r.select(
         slots.alias("ti"), F.col("chunk").alias("tj"), "vec_id", "v"
     )
 

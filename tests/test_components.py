@@ -1432,3 +1432,18 @@ def test_minhash_incremental_recall_vs_exact(spark, duck):
     assert all(r.doc_a % 5 != 0 and r.doc_b % 5 == 0 for r in rows)
     assert truth > 0
     assert len(rows) / truth >= 0.95, f"recall {len(rows)}/{truth} too low"
+
+
+@pytest.mark.parametrize("name", ["ext_dedup_embedding", "ext_knn_join"])
+def test_cogroup_ops_survive_column_pruned_parents(spark, name):
+    """Regression: a self-cogroup whose two sides share one plan lineage
+    loses the RIGHT side's non-grouping columns under a column-pruned
+    parent (count(), narrow selects) — Spark's attribute de-duplication
+    mis-binds the right child.  Both cogrouped operators build their
+    right side from a fresh scan (catalog.table_fresh) so pruned parents
+    must work and agree with the unpruned row count."""
+    from satellite_data_ingestion_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    df = registry.spec(name).fn(spark, SF_SMOKE)
+    assert df.count() == len(df.collect())
