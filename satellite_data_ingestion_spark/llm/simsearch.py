@@ -265,11 +265,18 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     Only the surviving threshold pairs materialize as rows; the
     vec_a < vec_b mask keeps each unordered pair from the one tile
     where both orderings meet."""
+    # chunk MUST be int, not the pmod's natural bigint: the cogroup keys
+    # are (ti, tj) with ti=chunk/tj=slot on one side and the REVERSE on
+    # the other, and Spark hashes int 2 and bigint 2 differently — with
+    # mixed types each side partitions by its own key hash and the two
+    # sides' identical-VALUE groups land in different partitions, so the
+    # UDF sees one-sided groups and silently drops every cross-chunk
+    # tile (caught by the driver-sim sweep as missing kNN candidates).
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.col("embedding").cast("array<double>").alias("v"),
-        F.pmod(F.xxhash64("vec_id"), F.lit(_TILE_P)).alias("chunk"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(_TILE_P)).cast("int").alias("chunk"),
     )
     # The RIGHT side must come from a FRESH scan (disjoint expression
     # ids): a self-cogroup sharing one lineage hits a Spark
@@ -281,7 +288,7 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.col("embedding").cast("array<double>").alias("v"),
-        F.pmod(F.xxhash64("vec_id"), F.lit(_TILE_P)).alias("chunk"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(_TILE_P)).cast("int").alias("chunk"),
     )
     slots = F.explode(F.array(*[F.lit(i) for i in range(_TILE_P)]))
     a = emb.select(
@@ -1117,7 +1124,7 @@ def ext_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(
                 "v0", lambda x: F.try_divide(x, F.col("nrm"))
             ).alias("v"),
-            F.pmod(F.xxhash64("vec_id"), F.lit(_TILE_P)).alias("chunk"),
+            F.pmod(F.xxhash64("vec_id"), F.lit(_TILE_P)).cast("int").alias("chunk"),
         )
     )
     from ..catalog import table_fresh
@@ -1135,7 +1142,7 @@ def ext_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(
                 "v0", lambda x: F.try_divide(x, F.col("nrm"))
             ).alias("v"),
-            F.pmod(F.xxhash64("vec_id"), F.lit(_TILE_P)).alias("chunk"),
+            F.pmod(F.xxhash64("vec_id"), F.lit(_TILE_P)).cast("int").alias("chunk"),
         )
     )
     slots = F.explode(F.array(*[F.lit(i) for i in range(_TILE_P)]))

@@ -1447,3 +1447,36 @@ def test_cogroup_ops_survive_column_pruned_parents(spark, name):
 
     df = registry.spec(name).fn(spark, SF_SMOKE)
     assert df.count() == len(df.collect())
+
+
+def test_knn_join_matches_numpy_brute_force(spark):
+    """Partition-layout-independent ground truth: the distributed kNN
+    join must equal a single-machine numpy brute force on the same
+    ranking keys — catches tile co-location bugs (mixed-type cogroup
+    keys once sent each side's groups to different partitions and
+    silently dropped every cross-chunk tile)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from satellite_data_ingestion_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    from satellite_data_ingestion_spark.llm.simsearch import _KNN_K
+
+    t = pq.read_table(SF_SMOKE + "/embeddings.parquet")
+    ids = np.array(t.column("vec_id").to_pylist())
+    X = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    S = np.round(X @ X.T, 6)
+    np.fill_diagonal(S, -np.inf)
+    truth = {}
+    for i in range(len(ids)):
+        order = np.lexsort((ids, -S[i]))[:_KNN_K]
+        truth[ids[i]] = [(ids[j], S[i, j]) for j in order]
+    got = {}
+    for r in registry.spec("ext_knn_join").fn(spark, SF_SMOKE).collect():
+        got.setdefault(r.qid, []).append((r.rnk, r.nid, r.cos_sim))
+    assert set(got) == set(truth)
+    for q, nbrs in truth.items():
+        mine = [(n, c) for _, n, c in sorted(got[q])]
+        assert mine == [(n, round(c, 6)) for n, c in nbrs], (q, mine, nbrs)
