@@ -31,6 +31,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     GreaterThan,
@@ -960,4 +961,163 @@ def stream_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+class AtomicJsonStreamWriter(DataSourceStreamWriter):
+    """EXACTLY-ONCE streaming sink (Python Data Source API streaming
+    write path): per epoch, tasks stage JSON-lines files and return
+    commit messages; the driver's ``commit(messages, batchId)`` renames
+    them to epoch-prefixed finals and publishes an epoch marker with the
+    same os.link atomic-create the Delta log uses.  A REPLAYED epoch
+    (at-least-once redelivery after a sink-side crash) finds its marker
+    already present and discards its staged files — the idempotence half
+    of exactly-once that the engine's checkpoint alone cannot provide
+    for an external sink.  ``abort`` removes staged files."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        staged_dir = _os.path.join(self.path, "_staging")
+        _os.makedirs(staged_dir, exist_ok=True)
+        staged = _os.path.join(staged_dir, f"part-{_uuid.uuid4().hex}.json")
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+            f.flush()
+            _os.fsync(f.fileno())
+        return _FileCommit(staged, n)
+
+    def commit(self, messages, batchId):
+        import os as _os
+        import tempfile as _tempfile
+
+        epochs = _os.path.join(self.path, "_epochs")
+        _os.makedirs(epochs, exist_ok=True)
+        marker = _os.path.join(epochs, f"{batchId:020d}")
+        if _os.path.exists(marker):
+            # replayed epoch: the previous attempt committed — discard
+            for m in messages:
+                if m is not None and _os.path.exists(m.path):
+                    _os.unlink(m.path)
+            return
+        for i, m in enumerate(messages):
+            final = _os.path.join(
+                self.path, f"part-{batchId:05d}-{i:05d}.json"
+            )
+            _os.replace(m.path, final)
+        tmp = _tempfile.NamedTemporaryFile(
+            mode="w", dir=epochs, suffix=".tmp", delete=False
+        )
+        with tmp as f:
+            f.write(str(sum(m.n_rows for m in messages)))
+            f.flush()
+            _os.fsync(f.fileno())
+        try:
+            _os.link(tmp.name, marker)
+        except FileExistsError:
+            pass  # concurrent attempt won; files already final
+        finally:
+            _os.unlink(tmp.name)
+
+    def abort(self, messages, batchId):
+        import os as _os
+
+        for m in messages:
+            if m is not None and _os.path.exists(m.path):
+                _os.unlink(m.path)
+
+
+class AtomicJsonStreamSink(DataSource):
+    @classmethod
+    def name(cls):
+        return "atomic_json_stream"
+
+    def schema(self):
+        return "event_id bigint, event_type string, value double"
+
+    def streamWriter(self, schema, overwrite):
+        return AtomicJsonStreamWriter(self.options)
+
+
+@register(
+    "sink_python_stream",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4)     AS total_value
+FROM events
+WHERE value > 0.5
+GROUP BY event_type
+""",
+)
+def sink_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming write through a CUSTOM Python sink with exactly-once
+    epoch semantics — the streaming half of ``sink_python_datasource``'s
+    two-phase commit: three event micro-batches flow through a
+    projection into ``atomic_json_stream``; each epoch stages, renames,
+    and publishes an os.link epoch marker.  A hand-replayed commit of
+    the final epoch (the at-least-once crash retry) must be swallowed by
+    its marker — asserted in-line by file count — and the sink's JSON
+    files must aggregate to exactly the filtered-source oracle: a
+    dropped epoch, double-committed replay, or torn file each
+    hash-mismatches."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.state import _few_shuffle_partitions, _stage_events
+
+    _register_sources(spark)
+    spark.dataSource.register(AtomicJsonStreamSink)
+    staging = _stage_events(spark, sf_dir, 3, "pysink")
+    out = tempfile.mkdtemp(prefix="sdis_pysink_out_")
+    ck = tempfile.mkdtemp(prefix="sdis_pysink_ck_")
+    schema = spark.read.parquet(staging).schema
+    with _few_shuffle_partitions(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staging)
+            .filter(F.col("value") > 0.5)
+            .select("event_id", "event_type", "value")
+            .writeStream.format("atomic_json_stream")
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination(120)
+    finals = sorted(_glob.glob(os.path.join(out, "part-*.json")))
+    assert finals, "stream sink produced no files"
+    # Hand-replay the last committed epoch: stage a fake task file and
+    # re-commit with the same batchId — the epoch marker must swallow it.
+    epochs = sorted(os.listdir(os.path.join(out, "_epochs")))
+    last_epoch = int(epochs[-1])
+    w = AtomicJsonStreamWriter({"path": out})
+    staged_dir = os.path.join(out, "_staging")
+    os.makedirs(staged_dir, exist_ok=True)
+    fake = os.path.join(staged_dir, "part-replayed.json")
+    with open(fake, "w") as f:
+        f.write('{"event_id": 0, "event_type": "dup", "value": 99.0}\n')
+    w.commit([_FileCommit(fake, 1)], last_epoch)
+    if sorted(_glob.glob(os.path.join(out, "part-*.json"))) != finals:
+        raise RuntimeError("replayed epoch was not swallowed by its marker")
+    back = (
+        spark.read.schema("event_id bigint, event_type string, value double")
+        .json(os.path.join(out, "part-*.json"))
+    )
+    shutil.rmtree(ck, ignore_errors=True)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
     )
