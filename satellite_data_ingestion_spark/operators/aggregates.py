@@ -629,3 +629,56 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("discounted_revenue"),
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+SELECT strftime(ts, '%Y-%m-%d')          AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY strftime(ts, '%Y-%m-%d')
+UNION ALL
+SELECT 'TOTAL' AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+""",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via bitmap aggregates — the
+    rollup-friendly alternative to approx HLL when ids fit an integer
+    domain: per (day, bitmap bucket) a ``bitmap_construct_agg`` packs
+    the day's user ids into a 4 KB bitmap, per-day counts sum
+    ``bitmap_count`` over buckets, and the ALL-TIME distinct comes from
+    ``bitmap_or_agg`` MERGING the stored day bitmaps — no rescan of
+    history, and unlike HLL the answer is exact.  Bucketing by
+    ``bitmap_bucket_number`` is what keeps it exact: positions repeat
+    across buckets, so the bucket id must be part of the merge key.
+
+    At 100 TB: daily bitmap segments live beside the fact table
+    (bytes per active-id-range per day); the total/backfill rollup is a
+    bucket-keyed OR over segments — the same maintenance shape as
+    ``agg_hll_merge`` with exactness instead of a 2% error bar."""
+    ev = table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    segments = ev.groupBy(
+        "day", F.expr("bitmap_bucket_number(user_id)").alias("bucket")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm")
+    )
+    per_day = (
+        segments.groupBy("day", "bucket")
+        .agg(F.expr("bitmap_count(bitmap_or_agg(bm))").alias("c"))
+        .groupBy("day")
+        .agg(F.sum("c").cast("long").alias("n_users"))
+    )
+    total = (
+        segments.groupBy("bucket")
+        .agg(F.expr("bitmap_count(bitmap_or_agg(bm))").alias("c"))
+        .agg(
+            F.lit("TOTAL").alias("day"),
+            F.sum("c").cast("long").alias("n_users"),
+        )
+    )
+    return per_day.unionByName(total)

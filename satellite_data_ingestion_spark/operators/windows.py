@@ -115,7 +115,7 @@ SELECT event_id, user_id, ts,
        count(*) OVER (
          PARTITION BY user_id
          ORDER BY epoch_us(ts)
-         RANGE BETWEEN 1800000000 PRECEDING AND 1800000000 FOLLOWING
+         RANGE BETWEEN 21600000000 PRECEDING AND 21600000000 FOLLOWING
        ) AS n_neighbors
 FROM events
 """,
@@ -277,4 +277,108 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+_FUNNEL_WINDOW_US = 21_600_000_000  # 6-hour stage deadline (µs)
+
+
+@register(
+    "win_funnel",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+),
+v AS (
+  SELECT user_id, min(t) AS vt FROM e
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.t) AS ct
+  FROM e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.t > v.vt
+    AND e.t <= v.vt + 21600000000
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.t) AS pt
+  FROM e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.t > c.ct
+    AND e.t <= c.ct + 21600000000
+  GROUP BY e.user_id
+)
+SELECT v.user_id,
+       v.vt AS first_view_us,
+       c.ct AS first_click_us,
+       p.pt AS first_purchase_us,
+       CAST(1 + CASE WHEN c.ct IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN p.pt IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS reached_stage
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+""",
+)
+def win_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (view → click → purchase): per user, the
+    first view, the first click within 6 hours AFTER that view, and
+    the first purchase within 6 hours after that click (strict
+    ordering + a stage deadline) — the product-analytics staple
+    whose ordering constraint defeats plain conditional aggregation
+    (each stage's window starts where the previous stage landed).
+
+    Execution: three chained projections over ONE user-partitioned
+    window — stage k's conditional min references stage k-1's window
+    column, and because all three Window nodes share the partitioning,
+    Catalyst plans a SINGLE exchange; the per-user dedup reuses it.  At
+    100 TB this is one shuffle of (user, type, t) triples, no joins, no
+    self-scans — compare the oracle's three-join relational phrasing.
+    Timestamps compare as integer MICROS (engine-stable)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "vt",
+            F.min(F.when(F.col("event_type") == "view", F.col("t"))).over(w),
+        )
+        .withColumn(
+            "ct",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("t") > F.col("vt"))
+                    & (F.col("t") <= F.col("vt") + _FUNNEL_WINDOW_US),
+                    F.col("t"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "pt",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("t") > F.col("ct"))
+                    & (F.col("t") <= F.col("ct") + _FUNNEL_WINDOW_US),
+                    F.col("t"),
+                )
+            ).over(w),
+        )
+    )
+    return (
+        staged.filter(F.col("vt").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min("vt").alias("first_view_us"),
+            F.min("ct").alias("first_click_us"),
+            F.min("pt").alias("first_purchase_us"),
+            (
+                F.lit(1)
+                + F.min("ct").isNotNull().cast("int")
+                + F.min("pt").isNotNull().cast("int")
+            )
+            .cast("long")
+            .alias("reached_stage"),
+        )
     )

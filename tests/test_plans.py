@@ -576,3 +576,12 @@ def test_spatial_nearest_is_shuffle_free(spark):
     tree = plan.split("\n\n")[0]
     assert "Exchange" not in tree, tree
     assert "Join" not in tree and "CartesianProduct" not in tree, tree
+
+
+def test_funnel_single_exchange(spark):
+    """The three chained stage windows share one user partitioning and
+    the dedup aggregate reuses it: exactly one Exchange, no Join."""
+    plan = plan_of(spark, "win_funnel")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "Join" not in tree, tree
