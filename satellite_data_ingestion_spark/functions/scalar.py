@@ -477,3 +477,53 @@ def fn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(2 * 6371.0 * F.asin(F.sqrt(h)), 4).alias("dist_km"),
     )
+
+
+@register(
+    "fn_observe_metrics",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT)                        AS n_rows,
+       CAST(count_if(value IS NULL) AS BIGINT)         AS n_null_value,
+       CAST(count_if(value > 0.9) AS BIGINT)           AS n_high,
+       round(sum(coalesce(value, 0)), 4)               AS sum_value
+FROM events
+""",
+)
+def fn_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline OBSERVABILITY via ``df.observe()``: named metrics ride
+    along with a real pass over the data and surface on the driver after
+    the action — row counts, null counts, threshold counts, checksums —
+    WITHOUT a second scan.  This is how a 100 TB ingest job emits its
+    data-quality counters: the metrics are accumulator-style (computed
+    inside the same tasks that do the real work), so auditing costs
+    nothing beyond the expressions themselves.  Here the observed batch
+    is written through a noop-equivalent count and the observation dict
+    is returned as the result row; the oracle recomputes every metric
+    relationally — a drifted counter (lost task, double-counted retry)
+    hash-mismatches."""
+    from pyspark.sql import Observation
+
+    ev = table(spark, sf_dir, "events")
+    obs = Observation("ingest_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("value").isNull()).alias("n_null_value"),
+        F.count_if(F.col("value") > 0.9).alias("n_high"),
+        F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 4).alias(
+            "sum_value"
+        ),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the real pass
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["n_null_value"]),
+                int(m["n_high"]),
+                float(m["sum_value"]),
+            )
+        ],
+        "n_rows long, n_null_value long, n_high long, sum_value double",
+    )

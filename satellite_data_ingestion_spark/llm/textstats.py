@@ -687,3 +687,43 @@ def ext_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_stop.alias("r_stopwords"),
         (r_words & r_word_len & r_alpha & r_stop).alias("keep"),
     )
+
+
+@register(
+    "ext_data_card",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT)               AS n_docs,
+       round(avg(n_chars), 4)                 AS avg_chars,
+       round(median(CAST(n_chars AS DOUBLE)), 4) AS p50_chars,
+       CAST(count(DISTINCT text) AS BIGINT)   AS n_unique,
+       round(1 - count(DISTINCT text)
+               / CAST(count(*) AS DOUBLE), 4) AS dup_rate
+FROM documents
+GROUP BY lang
+""",
+)
+def ext_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset DATA CARD (the datasheet every released corpus ships):
+    per-language volume, mean and median document length, unique-content
+    count, and exact duplicate rate — one grouped aggregate, one
+    shuffle.  ``percentile`` here is the EXACT interpolated median
+    (matching DuckDB's quantile_cont), not the approximate sketch; the
+    distinct-count term shares the same exchange.  At 100 TB this is
+    the audit a corpus release runs nightly; every number hash-matches
+    the relational recompute."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(
+            F.expr("percentile(CAST(n_chars AS DOUBLE), 0.5)"), 4
+        ).alias("p50_chars"),
+        F.countDistinct("text").cast("long").alias("n_unique"),
+        F.round(
+            1
+            - F.countDistinct("text")
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("dup_rate"),
+    )
