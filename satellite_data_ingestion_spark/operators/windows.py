@@ -115,7 +115,7 @@ SELECT event_id, user_id, ts,
        count(*) OVER (
          PARTITION BY user_id
          ORDER BY epoch_us(ts)
-         RANGE BETWEEN 21600000000 PRECEDING AND 21600000000 FOLLOWING
+         RANGE BETWEEN 1800000000 PRECEDING AND 1800000000 FOLLOWING
        ) AS n_neighbors
 FROM events
 """,
