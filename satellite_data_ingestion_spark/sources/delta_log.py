@@ -415,18 +415,6 @@ class DeltaLogTable:
         the wall-clock timestamp and operation name that DESCRIBE
         HISTORY surfaces; replay ignores it (it is informational).
         """
-        info = (
-            [
-                {
-                    "commitInfo": {
-                        "timestamp": int(time.time() * 1000),
-                        "operation": operation,
-                    }
-                }
-            ]
-            if operation is not None
-            else []
-        )
         while True:
             head = self.latest_version()
             if derived_from is not None and head != derived_from:
@@ -436,6 +424,39 @@ class DeltaLogTable:
                 )
             version = head + 1
             payload = list(actions)
+            # commitInfo (inside the loop: the inCommitTimestamp depends
+            # on the PREVIOUS commit, which changes on a lost race).
+            ict_enabled = False
+            if version > 0:
+                prev_cfg = (
+                    self._state(version - 1)["metaData"] or {}
+                ).get("configuration") or {}
+                ict_enabled = (
+                    prev_cfg.get("delta.enableInCommitTimestamps") == "true"
+                )
+            if not ict_enabled:
+                # The enablement commit itself must already carry an ICT.
+                for a in actions:
+                    a_cfg = (a.get("metaData") or {}).get("configuration") or {}
+                    if a_cfg.get("delta.enableInCommitTimestamps") == "true":
+                        ict_enabled = True
+            info = []
+            if operation is not None or ict_enabled:
+                ci: dict = {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": operation or "WRITE",
+                }
+                if ict_enabled:
+                    prev_ict = (
+                        self._commit_timestamp(version - 1)
+                        if version > 0
+                        else None
+                    )
+                    # Spec: strictly greater than the previous commit's.
+                    ci["inCommitTimestamp"] = max(
+                        int(time.time() * 1000), (prev_ict or 0) + 1
+                    )
+                info = [{"commitInfo": ci}]
             if version > 0:
                 # Schema evolution: when this commit's schema differs
                 # from the last committed metaData, re-emit the metaData
@@ -741,6 +762,84 @@ class DeltaLogTable:
                 )
             except DeltaConcurrentCommit:
                 continue
+
+    # Spec mapping: legacy minWriterVersion → the writer features it
+    # implies, needed when upgrading a table to the table-features
+    # protocol (minWriterVersion 7 must LIST everything the table uses).
+    _LEGACY_WRITER_FEATURES = {
+        2: ("appendOnly", "invariants"),
+        3: ("checkConstraints",),
+        4: ("changeDataFeed", "generatedColumns"),
+        5: ("columnMapping",),
+        6: ("identityColumns",),
+    }
+
+    def enable_in_commit_timestamps(self) -> int:
+        """Enable the spec's inCommitTimestamp WRITER FEATURE: the
+        protocol rises to the table-features form (minWriterVersion 7 +
+        ``writerFeatures`` listing every implied legacy feature plus
+        ``inCommitTimestamp``), the table property
+        ``delta.enableInCommitTimestamps`` is set with the spec's
+        enablement-provenance keys, and from this commit on EVERY commit
+        records a strictly monotonic ``inCommitTimestamp`` in its
+        commitInfo — the commit clock that makes timestampAsOf immune to
+        log-file mtime perturbation (copies, backups, restores)."""
+        while True:
+            head = self.latest_version()
+            if head < 0:
+                raise ValueError("enable ICT on an empty table: commit first")
+            st = self._state(head)
+            cfg0 = (st["metaData"] or {}).get("configuration") or {}
+            if cfg0.get("delta.enableInCommitTimestamps") == "true":
+                return head
+            proto = st["protocol"] or dict(_PROTOCOL)
+            feats = set(proto.get("writerFeatures") or [])
+            mw = proto.get("minWriterVersion", 2)
+            if mw < 7:
+                for v, fs in self._LEGACY_WRITER_FEATURES.items():
+                    if mw >= v:
+                        feats.update(fs)
+            feats.add("inCommitTimestamp")
+            md = dict(st["metaData"])
+            cfg = dict(md.get("configuration") or {})
+            cfg["delta.enableInCommitTimestamps"] = "true"
+            cfg["delta.inCommitTimestampEnablementVersion"] = str(head + 1)
+            cfg["delta.inCommitTimestampEnablementTimestamp"] = str(
+                int(time.time() * 1000)
+            )
+            md["configuration"] = cfg
+            self._schema_string = md["schemaString"]
+            self._partition_columns = md.get("partitionColumns", [])
+            actions = [
+                {
+                    "protocol": {
+                        "minReaderVersion": proto.get("minReaderVersion", 1),
+                        "minWriterVersion": 7,
+                        "writerFeatures": sorted(feats),
+                    }
+                },
+                {"metaData": md},
+            ]
+            try:
+                return self._publish(
+                    actions, derived_from=head, operation="SET TBLPROPERTIES"
+                )
+            except DeltaConcurrentCommit:
+                continue
+
+    def _commit_timestamp(self, version: int) -> int | None:
+        """The commit's inCommitTimestamp when its commitInfo carries
+        one (ICT-enabled commits), else None."""
+        path = self._version_path(version)
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            for line in fh:
+                if line.strip():
+                    first = json.loads(line)
+                    ci = first.get("commitInfo")
+                    return ci.get("inCommitTimestamp") if ci else None
+        return None
 
     def add_constraint(self, name: str, expr: str) -> int:
         """ADD CONSTRAINT <name> CHECK (<expr>): stored as the spec's
@@ -1429,17 +1528,19 @@ class DeltaLogTable:
         for p in glob.glob(os.path.join(self.log_dir, "*.json")):
             version = int(os.path.basename(p).split(".")[0])
             operation = None
+            ict = None
             with open(p) as fh:
                 for line in fh:
                     if line.strip():
                         first = json.loads(line)
                         if "commitInfo" in first:
                             operation = first["commitInfo"].get("operation")
+                            ict = first["commitInfo"].get("inCommitTimestamp")
                         break  # commitInfo is the first line when present
             rows.append(
                 {
                     "version": version,
-                    "timestamp": int(os.path.getmtime(p) * 1000),
+                    "timestamp": int(ict or os.path.getmtime(p) * 1000),
                     "operation": operation,
                 }
             )
@@ -1587,12 +1688,20 @@ class DeltaLogTable:
 
     def version_at_timestamp(self, ts_ms: int) -> int:
         """Latest version committed at or before ``ts_ms`` — Delta's
-        ``timestampAsOf`` resolution: a commit's timestamp is its log
-        file's modification time (exactly the spec's rule, with its
-        documented caveat that log cleanup makes older timestamps
-        unresolvable)."""
+        ``timestampAsOf`` resolution: a commit's timestamp is its
+        ``inCommitTimestamp`` when the commit recorded one (the ICT
+        writer feature — immune to file-copy/restore mtime perturbation)
+        and otherwise its log file's modification time (the legacy
+        rule), with the spec's documented caveat that log cleanup makes
+        older timestamps unresolvable."""
         commits = sorted(
-            (int(os.path.basename(p).split(".")[0]), os.path.getmtime(p) * 1000)
+            (
+                int(os.path.basename(p).split(".")[0]),
+                self._commit_timestamp(
+                    int(os.path.basename(p).split(".")[0])
+                )
+                or os.path.getmtime(p) * 1000,
+            )
             for p in glob.glob(os.path.join(self.log_dir, "*.json"))
         )
         cp = self._checkpoint_info()
@@ -2585,6 +2694,54 @@ def sink_delta_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         raise RuntimeError("appendOnly DELETE did not raise")
     t.compact()  # layout-only maintenance stays legal under appendOnly
+    return t.read().groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "sink_delta_ict",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT)  AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_linenumber = 1
+GROUP BY l_returnflag
+""",
+)
+def sink_delta_ict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-COMMIT TIMESTAMPS end-to-end: the table upgrades to the
+    table-features protocol (writer 7 + writerFeatures) and every later
+    commit carries a strictly monotonic ``inCommitTimestamp`` in its
+    commitInfo; the log files' mtimes are then deliberately SCRAMBLED
+    (the file-copy/backup/restore hazard that breaks mtime-based
+    timestampAsOf) and time travel by the enablement commit's ICT must
+    still land exactly there — asserted in-line by row count.  The head
+    read hash-matches the full-slice oracle.  The 100 TB shape: commit
+    time lives IN the log, so replication and restores cannot corrupt
+    time travel."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") == 1)
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+    )
+    part_a = li.filter(F.col("l_orderkey") % 2 == 0)
+    root = tempfile.mkdtemp(prefix="sdis_delta_ict_")
+    t = DeltaLogTable(spark, root)
+    t.commit_append(part_a)
+    v_on = t.enable_in_commit_timestamps()
+    t.commit_append(li.filter(F.col("l_orderkey") % 2 == 1))
+    head = t.latest_version()
+    for v in range(head + 1):
+        os.utime(t._version_path(v), (1, 1))  # scramble every mtime
+    n_a = part_a.count()
+    at_enable = t.read(timestamp_ms=t._commit_timestamp(v_on))
+    if at_enable.count() != n_a:
+        raise RuntimeError(
+            "ICT time travel drifted: expected the pre-enablement rows"
+        )
     return t.read().groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),

@@ -782,3 +782,39 @@ def test_fsck_tombstones_missing_files(spark, tbl):
     assert survivors and survivors <= {1, 2, 3}
     ops = [h["operation"] for h in tbl.history()]
     assert ops[0] == "FSCK"
+
+
+def test_in_commit_timestamps_and_table_features(spark, tbl):
+    """ICT enablement upgrades the protocol to the table-features form
+    (minWriterVersion 7, writerFeatures listing implied legacy features
+    + inCommitTimestamp); every later commit's commitInfo carries a
+    STRICTLY monotonic inCommitTimestamp, and timestampAsOf resolves by
+    ICT — immune to log-file mtime perturbation."""
+    tbl.commit_append(_df(spark, [1]))
+    v_on = tbl.enable_in_commit_timestamps()
+    st = tbl._state(tbl.latest_version())
+    proto = st["protocol"]
+    assert proto["minWriterVersion"] == 7
+    assert "inCommitTimestamp" in proto["writerFeatures"]
+    assert {"appendOnly", "invariants"} <= set(proto["writerFeatures"])
+    cfg = st["metaData"]["configuration"]
+    assert cfg["delta.enableInCommitTimestamps"] == "true"
+    assert cfg["delta.inCommitTimestampEnablementVersion"] == str(v_on)
+    tbl.commit_append(_df(spark, [2]))
+    tbl.commit_append(_df(spark, [3]))
+    icts = [
+        tbl._commit_timestamp(v) for v in range(v_on, tbl.latest_version() + 1)
+    ]
+    assert all(t is not None for t in icts)
+    assert all(b > a for a, b in zip(icts, icts[1:])), icts  # strict
+    # timestampAsOf resolves by ICT even if the log files' mtimes are
+    # scrambled (file copy / restore) — the whole point of the feature.
+    head = tbl.latest_version()
+    for v in range(head + 1):
+        os.utime(tbl._version_path(v), (1, 1))  # mtime nonsense
+    mid_ict = tbl._commit_timestamp(head - 1)
+    assert tbl.version_at_timestamp(mid_ict) == head - 1
+    assert sorted(
+        r.x for r in tbl.read(timestamp_ms=mid_ict).collect()
+    ) == [1, 2]
+    assert tbl.history()[0]["timestamp"] == tbl._commit_timestamp(head)
