@@ -553,6 +553,12 @@ class DeltaLogTable:
                             [
                                 ("minReaderVersion", pa.int32()),
                                 ("minWriterVersion", pa.int32()),
+                                # table-features form (reader 3/writer 7):
+                                # the feature lists MUST survive the
+                                # checkpoint round-trip or clean_log would
+                                # silently downgrade the table's contract
+                                ("readerFeatures", pa.list_(pa.string())),
+                                ("writerFeatures", pa.list_(pa.string())),
                             ]
                         ),
                     ),
@@ -694,6 +700,12 @@ class DeltaLogTable:
                 for mk in ("partitionValues", "configuration"):
                     if isinstance(payload.get(mk), list):
                         payload[mk] = dict(payload[mk])
+                if kind == "protocol":
+                    # legacy protocols have no feature lists: drop the
+                    # nulls so the round-tripped dict equals the original
+                    payload = {
+                        k: v for k, v in payload.items() if v is not None
+                    }
                 if kind == "metaData":
                     payload["format"] = {
                         "provider": payload["format"]["provider"],

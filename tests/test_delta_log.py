@@ -818,3 +818,25 @@ def test_in_commit_timestamps_and_table_features(spark, tbl):
         r.x for r in tbl.read(timestamp_ms=mid_ict).collect()
     ) == [1, 2]
     assert tbl.history()[0]["timestamp"] == tbl._commit_timestamp(head)
+
+
+def test_checkpoint_preserves_table_features(spark, tbl):
+    """The table-features protocol (writer 7 + feature lists) must
+    survive checkpoint + clean_log: a dropped writerFeatures list would
+    silently downgrade the table's contract for post-checkpoint
+    readers, and ICT commits must keep flowing after the round-trip."""
+    tbl.commit_append(_df(spark, [1]))
+    tbl.enable_in_commit_timestamps()
+    tbl.commit_append(_df(spark, [2]))
+    tbl.checkpoint()
+    tbl.clean_log()
+    st = tbl._state(tbl.latest_version())
+    assert st["protocol"]["minWriterVersion"] == 7
+    assert "inCommitTimestamp" in st["protocol"]["writerFeatures"]
+    assert (
+        st["metaData"]["configuration"]["delta.enableInCommitTimestamps"]
+        == "true"
+    )
+    v = tbl.commit_append(_df(spark, [3]))  # post-checkpoint commit
+    assert tbl._commit_timestamp(v) is not None  # ICT still recorded
+    assert sorted(r.x for r in tbl.read().collect()) == [1, 2, 3]
