@@ -424,16 +424,22 @@ class DeltaLogTable:
                 )
             version = head + 1
             payload = list(actions)
+            # Previous-commit state is needed twice below (ICT detection
+            # and schema-evolution re-emission) — replay it ONCE per
+            # attempt; it is driver-side and log-sized.
+            prev_md = (
+                (self._state(version - 1)["metaData"] or {})
+                if version > 0
+                else {}
+            )
             # commitInfo (inside the loop: the inCommitTimestamp depends
             # on the PREVIOUS commit, which changes on a lost race).
-            ict_enabled = False
-            if version > 0:
-                prev_cfg = (
-                    self._state(version - 1)["metaData"] or {}
-                ).get("configuration") or {}
-                ict_enabled = (
-                    prev_cfg.get("delta.enableInCommitTimestamps") == "true"
+            ict_enabled = (
+                (prev_md.get("configuration") or {}).get(
+                    "delta.enableInCommitTimestamps"
                 )
+                == "true"
+            )
             if not ict_enabled:
                 # The enablement commit itself must already carry an ICT.
                 for a in actions:
@@ -466,7 +472,6 @@ class DeltaLogTable:
                 # the spec keeps it stable for the table's lifetime, so
                 # identity-tracking readers see one table across schema
                 # changes.
-                prev_md = self._state(version - 1)["metaData"] or {}
                 prev_schema = prev_md.get("schemaString")
                 prev_parts = prev_md.get("partitionColumns", [])
                 if prev_schema is not None and (
