@@ -1130,3 +1130,49 @@ def ext_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     return _verify_exact_jaccard(
         cand, corpus_hsets.unionByName(batch_hsets), "hs"
     )
+
+
+@register(
+    "ext_source_overlap",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, list_distinct(str_split(text, ' ')) AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.toks, b.toks)))
+          >= {_JACCARD_THRESHOLD}
+)
+SELECT least(source_a, source_b)    AS src_lo,
+       greatest(source_a, source_b) AS src_hi,
+       CAST(count(*) AS BIGINT)     AS n_dup_pairs
+FROM pairs
+GROUP BY least(source_a, source_b), greatest(source_a, source_b)
+""",
+)
+def ext_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROVENANCE contamination matrix: near-dup pair counts per
+    unordered SOURCE pair — the audit that tells a corpus team which
+    feeds copy from each other (mirror sites, scraped re-posts,
+    cross-source syndication) before mixture weights are chosen.
+    Composes the exact prefix-filtered Jaccard join with one
+    source-census aggregate; the unordered (least, greatest) key folds
+    A→B and B→A duplication into one cell.  Output is
+    |sources|²-bounded — at 100 TB this is the same pair volume the
+    dedup pass already produces, aggregated instead of materialized."""
+    pairs = jaccard_pairs(_token_sets(spark, sf_dir).select("doc_id", "toks"))
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("src_lo"),
+            F.greatest("sa", "sb").alias("src_hi"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
+    )
