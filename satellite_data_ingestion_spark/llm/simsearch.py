@@ -1250,46 +1250,75 @@ def ext_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.window import Window
 
-    # Pre-normalized vectors: the candidate stage pays one dot per pair
-    # (see ext_knn_join); centroid assignment is norm-invariant.
-    base = (
-        emb.select("vec_id", vec.alias("v0"))
-        .withColumn("nrm", _norm(F.col("v0")))
-        .select(
-            "vec_id",
-            F.transform(
-                "v0", lambda x: F.try_divide(x, F.col("nrm"))
-            ).alias("v"),
+    # Pre-normalized vectors; the candidate stage is a cogrouped GEMM
+    # per (cid, tile) — same rewrite as ext_knn_join (interpreted
+    # zip_with folds paid per pair), same self-cogroup rules: fresh-scan
+    # lineage for the right side, identical INT key types on both sides.
+    def normed(t):
+        vraw = F.col("embedding").cast("array<double>")
+        return (
+            t.select("vec_id", vraw.alias("v0"))
+            .withColumn("nrm", _norm(F.col("v0")))
+            .select(
+                "vec_id",
+                F.transform(
+                    "v0", lambda x: F.try_divide(x, F.col("nrm"))
+                ).alias("v"),
+            )
         )
-    )
-    members = base.select(
+
+    from ..catalog import table_fresh
+
+    base = normed(emb)
+    base_r = normed(table_fresh(spark, sf_dir, "embeddings"))
+    members = base_r.select(
         F.col("vec_id").alias("nid"),
         F.col("v").alias("nv"),
         nearest_centroid("v").alias("cid"),
-        F.pmod(F.xxhash64("vec_id"), F.lit(_TILE_P)).alias("tile"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(_TILE_P))
+        .cast("int")
+        .alias("tile"),
     )
     tiles = F.explode(F.array(*[F.lit(i) for i in range(_TILE_P)]))
-    queries = (
-        base.select(
-            F.col("vec_id").alias("qid"),
-            F.col("v").alias("qv"),
-            F.explode(probe_centroids("v")).alias("cid"),
-        )
-        .select("qid", "qv", "cid", tiles.alias("tile"))
-    )
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    queries = base.select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.explode(probe_centroids("v")).alias("cid"),
+    ).select("qid", "qv", "cid", tiles.alias("tile"))
+
+    def list_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {
+                    "qid": pd.Series([], dtype="int64"),
+                    "nid": pd.Series([], dtype="int64"),
+                    "cos_sim": pd.Series([], dtype="float64"),
+                }
+            )
+        Q = np.array(left["qv"].tolist(), dtype=np.float64)
+        M = np.array(right["nv"].tolist(), dtype=np.float64)
+        qids = left["qid"].to_numpy()
+        nids = right["nid"].to_numpy()
+        S = np.round(Q @ M.T, 6)
+        S[qids[:, None] == nids[None, :]] = -np.inf
+        oq: list = []
+        on: list = []
+        oc: list = []
+        for i in range(S.shape[0]):
+            row = S[i]
+            order = np.lexsort((nids, -row))[:_KNN_K]
+            for j in order:
+                if row[j] == -np.inf:
+                    break
+                oq.append(qids[i])
+                on.append(nids[j])
+                oc.append(row[j])
+        return pd.DataFrame({"qid": oq, "nid": on, "cos_sim": oc})
+
     cand = (
-        queries.repartition(n_part, "cid", "tile")
-        .join(
-            members.repartition(n_part, "cid", "tile"),
-            ["cid", "tile"],
-        )
-        .filter(F.col("qid") != F.col("nid"))
-        .select(
-            "qid",
-            "nid",
-            F.round(_dot(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
-        )
+        queries.groupBy("cid", "tile")
+        .cogroup(members.groupBy("cid", "tile"))
+        .applyInPandas(list_topk, "qid long, nid long, cos_sim double")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
     return (
