@@ -527,3 +527,36 @@ def fn_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows long, n_null_value long, n_high long, sum_value double",
     )
+
+
+@register(
+    "fn_variant",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       CAST(count(*) AS BIGINT)                               AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT)                                        AS sum_k
+FROM events
+GROUP BY CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+""",
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT type (Spark 4 / the open-lakehouse semi-structured
+    story): ``parse_json`` parses each payload ONCE into the binary
+    variant encoding, and ``variant_get`` extracts typed fields without
+    re-parsing — the difference from ``fn_json_get``'s per-extraction
+    string parsing that dominates at many-fields-per-row scale.  The
+    extraction, bucketing, and aggregate all hash-match a plain JSON
+    oracle, proving the encoded round-trip is lossless."""
+    ev = table(spark, sf_dir, "events").select(
+        F.parse_json("props").alias("v")
+    )
+    k = F.expr('variant_get(v, "$.k", "bigint")')
+    return (
+        ev.select((k % 10).alias("k_bucket"), k.alias("kval"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("kval").cast("long").alias("sum_k"),
+        )
+    )
