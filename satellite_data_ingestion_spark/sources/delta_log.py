@@ -66,6 +66,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
+from .dv_bitmap import dv_descriptor, dv_positions, dv_union
 
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
@@ -592,6 +593,21 @@ class DeltaLogTable:
                                 ("modificationTime", pa.int64()),
                                 ("dataChange", pa.bool_()),
                                 ("stats", pa.string()),
+                                # Spec checkpoint schema carries the DV
+                                # descriptor; dropping it here would
+                                # resurrect deleted rows after clean_log.
+                                (
+                                    "deletionVector",
+                                    pa.struct(
+                                        [
+                                            ("storageType", pa.string()),
+                                            ("pathOrInlineDv", pa.string()),
+                                            ("offset", pa.int32()),
+                                            ("sizeInBytes", pa.int32()),
+                                            ("cardinality", pa.int64()),
+                                        ]
+                                    ),
+                                ),
                             ]
                         ),
                     ),
@@ -672,6 +688,7 @@ class DeltaLogTable:
                             "modificationTime",
                             "dataChange",
                             "stats",
+                            "deletionVector",
                         )
                     }
                 }
@@ -718,6 +735,15 @@ class DeltaLogTable:
                     }
                 if kind == "add" and payload.get("partitionValues") is None:
                     payload["partitionValues"] = {}
+                if kind == "add":
+                    dv = payload.get("deletionVector")
+                    if dv is None or dv.get("storageType") is None:
+                        # DV-less adds round-trip without the key at all.
+                        payload.pop("deletionVector", None)
+                    else:
+                        payload["deletionVector"] = {
+                            k: v for k, v in dv.items() if v is not None
+                        }
                 actions.append({kind: payload})
         return actions
 
@@ -948,6 +974,75 @@ class DeltaLogTable:
                 "support append / read / rename_column / drop_column "
                 "here; rewrite commands are future work"
             )
+
+    def _guard_no_dv(self, live: dict, command: str) -> None:
+        """Copy-on-write rewrite commands read the affected parquet files
+        RAW — on a file carrying a deletion vector that would resurrect
+        its dead rows into the rewrite.  ``compact()`` reads through the
+        DV-aware :meth:`read` and is the supported purge path."""
+        dvd = [p for p, a in live.items() if a.get("deletionVector")]
+        if dvd:
+            raise NotImplementedError(
+                f"{command} on a table with deletion vectors "
+                f"({len(dvd)} file(s), e.g. {dvd[0]!r}): run compact() "
+                "first to purge DVs into a rewrite, then retry"
+            )
+
+    def enable_deletion_vectors(self) -> int:
+        """Enable the spec's DELETION VECTORS table feature: the
+        protocol rises to the table-features form on BOTH axes
+        (minReaderVersion 3 + ``readerFeatures``, minWriterVersion 7 +
+        ``writerFeatures``, each listing the legacy-implied features
+        plus ``deletionVectors``) and ``delta.enableDeletionVectors``
+        is set — the property the spec requires writers to check before
+        attaching a DV to any file.  Readers below the feature level
+        must refuse the table; that is exactly the point of the reader
+        feature (a DV-blind reader would silently resurrect deleted
+        rows)."""
+        while True:
+            head = self.latest_version()
+            if head < 0:
+                raise ValueError("enable DVs on an empty table: commit first")
+            st = self._state(head)
+            cfg0 = (st["metaData"] or {}).get("configuration") or {}
+            if cfg0.get("delta.enableDeletionVectors") == "true":
+                return head
+            proto = st["protocol"] or dict(_PROTOCOL)
+            wfeats = set(proto.get("writerFeatures") or [])
+            mw = proto.get("minWriterVersion", 2)
+            if mw < 7:
+                for v, fs in self._LEGACY_WRITER_FEATURES.items():
+                    if mw >= v:
+                        wfeats.update(fs)
+            wfeats.add("deletionVectors")
+            rfeats = set(proto.get("readerFeatures") or [])
+            if proto.get("minReaderVersion", 1) >= 2:
+                # Legacy reader version 2's implied feature.
+                rfeats.add("columnMapping")
+            rfeats.add("deletionVectors")
+            md = dict(st["metaData"])
+            cfg = dict(md.get("configuration") or {})
+            cfg["delta.enableDeletionVectors"] = "true"
+            md["configuration"] = cfg
+            self._schema_string = md["schemaString"]
+            self._partition_columns = md.get("partitionColumns", [])
+            actions = [
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": sorted(rfeats),
+                        "writerFeatures": sorted(wfeats),
+                    }
+                },
+                {"metaData": md},
+            ]
+            try:
+                return self._publish(
+                    actions, derived_from=head, operation="SET TBLPROPERTIES"
+                )
+            except DeltaConcurrentCommit:
+                continue
 
     def enable_column_mapping(self) -> int:
         """ALTER TABLE ... SET delta.columnMapping.mode = 'name': every
@@ -1279,6 +1374,7 @@ class DeltaLogTable:
         self._guard_unmapped(head, "MERGE")
         self._check_constraints(source, head)
         live, schema_s, partition_cols = self._replay_actions(head)
+        self._guard_no_dv(live, "MERGE")
         if partition_cols:
             raise NotImplementedError(
                 "merge on a Hive-partitioned table: partition columns in "
@@ -1381,6 +1477,7 @@ class DeltaLogTable:
         self._guard_append_only(head, "DELETE")
         self._guard_unmapped(head, "DELETE")
         live, schema_s, partition_cols = self._replay_actions(head)
+        self._guard_no_dv(live, "copy-on-write DELETE")
         if partition_cols:
             raise NotImplementedError(
                 "delete on a Hive-partitioned table: partition-column "
@@ -1422,6 +1519,157 @@ class DeltaLogTable:
         removes = [self._remove_action(p, True) for p in affected]
         return self._publish(
             adds + removes + cdc_actions,
+            derived_from=head,
+            operation="DELETE",
+        )
+
+    def delete_rows_dv(self, column: str, lo, hi) -> int:
+        """MERGE-ON-READ DELETE of rows with ``column`` in [lo, hi] via
+        the spec's deletion-vectors feature: NO data file is rewritten —
+        each affected file gets an inline roaring-bitmap DV
+        (dv_bitmap.py) marking its doomed row indexes, committed as the
+        spec's update pair (``remove`` of the old file version, then
+        ``add`` of the SAME path carrying the new ``deletionVector``
+        descriptor; a file already carrying a DV gets the union).  A
+        file whose every row dies becomes a pure remove.
+
+        This is the 100 TB DELETE shape copy-on-write cannot reach:
+        work is one pruned scan computing doomed row positions plus
+        O(deleted rows) of driver-side bitmap metadata — rewrite volume
+        ZERO, where :meth:`commit_delete` rewrites every intersecting
+        file.  The trade moves to read time (an anti-join against the
+        bitmap positions) until ``compact()`` purges the DVs into a
+        rewrite.  Requires :meth:`enable_deletion_vectors` first (the
+        spec's writer obligation).  Returns the new version (or the
+        head unchanged when nothing matched)."""
+        while True:
+            try:
+                return self._delete_rows_dv_once(column, lo, hi)
+            except DeltaConcurrentCommit:
+                continue  # DVs were derived against a stale head
+
+    def _delete_rows_dv_once(self, column: str, lo, hi) -> int:
+        head = self.latest_version()
+        if head < 0:
+            raise ValueError("cannot delete from an empty table")
+        st = self._state(head)
+        cfg = (st["metaData"] or {}).get("configuration") or {}
+        if cfg.get("delta.enableDeletionVectors") != "true":
+            raise ValueError(
+                "deletion vectors are not enabled on this table; call "
+                "enable_deletion_vectors() first (spec: writers must "
+                "check delta.enableDeletionVectors before attaching DVs)"
+            )
+        self._guard_append_only(head, "DELETE")
+        self._guard_unmapped(head, "DELETE")
+        live, schema_s, partition_cols = self._replay_actions(head)
+        if partition_cols:
+            raise NotImplementedError(
+                "DV delete on a Hive-partitioned table: partition-column "
+                "predicates drop whole directories instead; not needed "
+                "by current callers"
+            )
+
+        def intersects(add: dict) -> bool:
+            stats = json.loads(add["stats"]) if "stats" in add else {}
+            mn = stats.get("minValues", {}).get(column)
+            mx = stats.get("maxValues", {}).get(column)
+            if mn is None or mx is None:
+                return True
+            return not self._stats_disjoint(mn, mx, lo, hi)
+
+        affected = sorted(p for p, a in live.items() if intersects(a))
+        if not affected:
+            return head
+        from pyspark.sql.types import StructType
+
+        full_schema = StructType.fromJson(json.loads(schema_s))
+        # One pruned scan over the stats-intersecting files, projecting
+        # ONLY the predicate column plus the parquet row index — the
+        # collect is bounded by the count of rows this DELETE dooms (the
+        # change volume), never by table size.
+        doomed_rows = (
+            self.spark.read.schema(full_schema)
+            .parquet(*[os.path.join(self.root, p) for p in affected])
+            .select(
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("f"),
+                F.col("_metadata.row_index").alias("pos"),
+                F.col(column).alias("v"),
+            )
+            .filter(F.col("v").between(lo, hi))
+            .select("f", "pos")
+            .collect()
+        )
+        by_file: dict[str, list[int]] = {}
+        for r in doomed_rows:
+            by_file.setdefault(r["f"], []).append(int(r["pos"]))
+        removes: list[dict] = []
+        adds: list[dict] = []
+        cdc_doomed: list[tuple[str, set[int]]] = []
+        for path in affected:
+            base = os.path.basename(path)
+            fresh = set(by_file.get(base, ()))
+            if not fresh:
+                continue  # stats intersected but no row matched
+            old_add = live[path]
+            old_dv = old_add.get("deletionVector")
+            prior = set(dv_positions(old_dv)) if old_dv else set()
+            new_positions = prior | fresh
+            cdc_doomed.append((path, fresh - prior))
+            n_records = json.loads(old_add.get("stats", "{}")).get(
+                "numRecords"
+            )
+            removes.append(self._remove_action(path, True))
+            if n_records is not None and len(new_positions) >= n_records:
+                continue  # whole file dead: pure remove
+            new_add = dict(old_add)
+            new_add["deletionVector"] = dv_descriptor(new_positions)
+            new_add["dataChange"] = True
+            adds.append({"add": new_add})
+        if not removes:
+            return head
+        cdc_actions: list[dict] = []
+        if self.change_data_feed:
+            # Change rows = THIS delete's doomed rows only (positions
+            # already dead under a prior DV must not re-emit).
+            pairs = [
+                (os.path.basename(p), int(pos))
+                for p, fresh in cdc_doomed
+                for pos in fresh
+            ]
+            if pairs:
+                pos_df = self.spark.createDataFrame(
+                    pairs, "f string, pos bigint"
+                )
+                changed = (
+                    self.spark.read.schema(full_schema)
+                    .parquet(
+                        *[
+                            os.path.join(self.root, p)
+                            for p, fresh in cdc_doomed
+                            if fresh
+                        ]
+                    )
+                    .withColumn(
+                        "f",
+                        F.element_at(
+                            F.split(F.col("_metadata.file_path"), "/"), -1
+                        ),
+                    )
+                    .withColumn("pos", F.col("_metadata.row_index"))
+                    .join(F.broadcast(pos_df), ["f", "pos"], "left_semi")
+                    .drop("f", "pos")
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+                cdc_actions = self._stage_cdc_files(changed)
+        self._schema_string = schema_s
+        self._partition_columns = []
+        # Removes BEFORE the same-path adds: replay folds actions in
+        # order, so [remove(p), add(p)] leaves the NEW add live.
+        return self._publish(
+            removes + adds + cdc_actions,
             derived_from=head,
             operation="DELETE",
         )
@@ -1732,6 +1980,41 @@ class DeltaLogTable:
             )
         raise ValueError(f"no commit at or before timestamp {ts_ms}")
 
+    def _read_dv_files(self, dv_live: dict, full_schema) -> DataFrame:
+        """Read files carrying deletion vectors: decode each file's
+        bitmap to its doomed row indexes (driver-side, O(deleted rows)
+        in the live files — change volume, not table volume), then
+        LEFT-ANTI join the scan against the broadcast doomed-position
+        set on (file basename, parquet ``_metadata.row_index``).  Staged
+        file names are uuid-fresh, so basenames identify files uniquely
+        within a table.  The anti-join is a broadcast hash join — no
+        shuffle of the data side — which is exactly how engines apply
+        DVs at scale (position-filter per file, table scan untouched)."""
+        doomed = [
+            (os.path.basename(p), int(pos))
+            for p, a in dv_live.items()
+            for pos in dv_positions(a["deletionVector"])
+        ]
+        pos_df = self.spark.createDataFrame(
+            doomed, "__dv_file string, __dv_pos bigint"
+        )
+        src = (
+            self.spark.read.schema(full_schema)
+            .parquet(*[os.path.join(self.root, p) for p in sorted(dv_live)])
+            .withColumn(
+                "__dv_file",
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+            )
+            .withColumn("__dv_pos", F.col("_metadata.row_index"))
+        )
+        return (
+            src.join(
+                F.broadcast(pos_df), ["__dv_file", "__dv_pos"], "left_anti"
+            )
+            .drop("__dv_file", "__dv_pos")
+            .select([f.name for f in full_schema.fields])
+        )
+
     def read(
         self,
         version: int | None = None,
@@ -1795,12 +2078,30 @@ class DeltaLogTable:
                     ]
                 )
             )
-        if not partition_cols:
-            # Explicit schema projects older files through the evolved
-            # table schema: columns they predate read as null.
-            return self.spark.read.schema(full_schema).parquet(
-                *[os.path.join(self.root, p) for p in live]
+        dv_live = {
+            p: adds[p] for p in live if adds[p].get("deletionVector")
+        }
+        if dv_live and (mapped or partition_cols):
+            raise NotImplementedError(
+                "deletion vectors on a mapped or partitioned table"
             )
+        if not partition_cols:
+            plain = [p for p in live if p not in dv_live]
+            parts = []
+            if plain:
+                # Explicit schema projects older files through the
+                # evolved table schema: columns they predate read null.
+                parts.append(
+                    self.spark.read.schema(full_schema).parquet(
+                        *[os.path.join(self.root, p) for p in plain]
+                    )
+                )
+            if dv_live:
+                parts.append(self._read_dv_files(dv_live, full_schema))
+            out = parts[0]
+            for df in parts[1:]:
+                out = out.unionByName(df)
+            return out
         # group live files by partition tuple, rebuild the columns
         groups: dict[tuple, list[str]] = {}
         for path in live:
@@ -2481,6 +2782,74 @@ def sink_delta_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     # disjoint delete range → pure metadata no-op
     if t.commit_delete("l_orderkey", -10, -1) != v_del:
         raise RuntimeError("no-op delete committed a new version")
+    return (
+        t.read()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "sink_delta_dv",
+    oracle="""
+WITH b AS (
+  SELECT CAST(floor(max(l_orderkey) / 3) AS BIGINT) AS b1 FROM lineitem
+)
+SELECT l_returnflag,
+       count(*)                  AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem, b
+WHERE NOT (l_orderkey BETWEEN CAST(floor(b.b1 / 2) AS BIGINT) AND b.b1)
+  AND NOT (l_quantity BETWEEN 1 AND 10)
+GROUP BY l_returnflag
+""",
+)
+def sink_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ DELETE via spec-format deletion vectors
+    (delta.io PROTOCOL.md "Deletion Vectors"; codec in dv_bitmap.py):
+    the same three range-clustered appends as ``sink_delta_delete``,
+    then TWO DV deletes — a key-band delete (stats-pruned to the middle
+    files) and a quantity delete touching every file, so files hit by
+    both carry the UNION of their bitmaps.  The run raises unless ZERO
+    data files were rewritten (every surviving live path predates the
+    deletes — the whole point of merge-on-read vs ``sink_delta_delete``'s
+    copy-on-write), and the head read must equal the raw-table oracle
+    minus exactly the doomed rows.  A disjoint-range DV delete must be
+    a metadata no-op.
+
+    Capability mapping: the reference can only drop bad slots by
+    rewriting their files (`sources/meteosat.py:187-197`); a DV delete
+    retracts rows from a 100 TB table with zero rewrite I/O."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    b1 = li.agg((F.floor(F.max("l_orderkey") / 3)).cast("long")).collect()[0][0]
+    root = tempfile.mkdtemp(prefix="sdis_delta_dv_")
+    t = DeltaLogTable(spark, root)
+    for lo, hi in ((None, b1), (b1 + 1, 2 * b1), (2 * b1 + 1, None)):
+        seg = li
+        if lo is not None:
+            seg = seg.filter(F.col("l_orderkey") >= lo)
+        if hi is not None:
+            seg = seg.filter(F.col("l_orderkey") <= hi)
+        t.commit_append(seg.repartitionByRange(2, "l_orderkey"))
+    t.enable_deletion_vectors()
+    before, _, _ = t._replay_actions(t.latest_version())
+    t.delete_rows_dv("l_orderkey", b1 // 2, b1)
+    v2 = t.delete_rows_dv("l_quantity", 1, 10)
+    after, _, _ = t._replay_actions(v2)
+    if not set(after) <= set(before):
+        raise RuntimeError(
+            "merge-on-read delete rewrote data files: "
+            f"{sorted(set(after) - set(before))}"
+        )
+    if not any(a.get("deletionVector") for a in after.values()):
+        raise RuntimeError("no live file carries a deletion vector")
+    if t.delete_rows_dv("l_orderkey", -10, -1) != v2:
+        raise RuntimeError("no-op DV delete committed a new version")
     return (
         t.read()
         .groupBy("l_returnflag")
