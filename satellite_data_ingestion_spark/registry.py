@@ -45,6 +45,7 @@ _QUERY_MODULES = [
     "satellite_data_ingestion_spark.operators.pipe",
     "satellite_data_ingestion_spark.operators.timeseries",
     "satellite_data_ingestion_spark.operators.layout",
+    "satellite_data_ingestion_spark.operators.graph",
     "satellite_data_ingestion_spark.functions.scalar",
     "satellite_data_ingestion_spark.functions.udf",
     "satellite_data_ingestion_spark.sources.binary",

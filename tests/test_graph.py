@@ -1,0 +1,77 @@
+"""Structural invariants of the graph family (operators/graph.py).
+
+Value-level correctness is covered by the DuckDB oracle parity suite
+(test_oracle_parity.py picks the new IDs up automatically); these tests
+pin the graph-theoretic invariants that an oracle built from the same
+edge definition cannot independently witness.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from satellite_data_ingestion_spark.operators.graph import (
+    _MIN_COPURCHASES,
+    _copurchase_edges,
+    graph_degree_dist,
+    graph_pagerank,
+    graph_triangles,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    return _copurchase_edges(spark, SF_DIR).cache()
+
+
+def test_edges_are_ordered_supported_and_unique(edges):
+    rows = edges.collect()
+    assert rows, "support-filtered graph is empty at sf0.001"
+    assert all(r.x < r.y for r in rows)
+    assert all(r.w >= _MIN_COPURCHASES for r in rows)
+    assert len({(r.x, r.y) for r in rows}) == len(rows)
+
+
+def test_degree_dist_accounts_for_every_node(spark, edges):
+    dist = graph_degree_dist(spark, SF_DIR).collect()
+    n_nodes = edges.select(
+        F.explode(F.array("x", "y")).alias("n")
+    ).distinct().count()
+    assert sum(r.n_nodes for r in dist) == n_nodes
+    # Handshake lemma: sum(degree * count) = 2 * |E|.
+    assert sum(r.degree * r.n_nodes for r in dist) == 2 * edges.count()
+
+
+def test_pagerank_mass_conservation_and_positivity(spark, edges):
+    ranks = graph_pagerank(spark, SF_DIR).collect()
+    n_nodes = edges.select(
+        F.explode(F.array("x", "y")).alias("n")
+    ).distinct().count()
+    assert len(ranks) == n_nodes
+    assert all(r.pagerank > 0 for r in ranks)
+    # The symmetrized graph has no dangling nodes, so rank mass is
+    # conserved exactly (up to the published rounding).
+    assert math.isclose(
+        sum(r.pagerank for r in ranks), 1.0, abs_tol=n_nodes * 1e-7
+    )
+
+
+def test_triangle_counts_bounded_by_wedges(spark, edges):
+    tri = {r.part_key: r.n_triangles for r in graph_triangles(spark, SF_DIR).collect()}
+    deg = {
+        r.n: r.d
+        for r in edges.select(F.explode(F.array("x", "y")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .collect()
+    }
+    assert tri, "no triangles at sf0.001 — fixture drifted"
+    for node, t in tri.items():
+        # A node participates in at most C(deg, 2) triangles.
+        d = deg[node]
+        assert t <= d * (d - 1) // 2
+    # Total membership divides by 3 (each triangle contributes 3 rows).
+    assert sum(tri.values()) % 3 == 0
