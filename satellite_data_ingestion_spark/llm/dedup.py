@@ -1176,3 +1176,77 @@ def ext_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
     )
+
+
+# -- leakage-safe dataset split -----------------------------------------
+
+
+@register(
+    "ext_split_leakage_safe",
+    oracle=f"""
+WITH RECURSIVE
+d AS (
+  SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM d a
+  JOIN d b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.toks, b.toks))) >= {_JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (
+  SELECT doc_id,
+         least(doc_id, coalesce(min(dst), doc_id)) AS component_id
+  FROM documents LEFT JOIN reach ON src = doc_id
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       component_id,
+       CASE WHEN substring(md5(CAST(component_id AS VARCHAR)), 1, 1) = 'd'
+              THEN 'valid'
+            WHEN substring(md5(CAST(component_id AS VARCHAR)), 1, 1) IN ('e', 'f')
+              THEN 'test'
+            ELSE 'train' END AS split
+FROM comp
+""",
+)
+def ext_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/valid/test split: every near-duplicate CLUSTER
+    is assigned atomically to one split, so no document in the test set
+    has a near-duplicate in the training set — the contamination mode a
+    plain per-document hash split (`ext_dataset_split`) cannot prevent
+    (Lee et al. 2022 measure the resulting eval inflation).
+
+    Composition: the transitive near-dup components from
+    :func:`ext_dedup_cluster` (edge-contraction CC over the verified
+    Jaccard>=0.9 pair graph) keyed by the component representative's
+    md5 — the split is a pure function of ``component_id``, so cluster
+    atomicity holds by construction and the property is testable from
+    the output alone.  Budget ~81/6/13% via the first hex nibble
+    (0-c / d / e-f): deterministic, seed-free, stable under corpus
+    growth (a cluster's split never changes when unrelated docs arrive).
+
+    The 100 TB shape: one md5 projection over the CC labels — the split
+    adds NO shuffle beyond the clustering it composes with."""
+    labels = ext_dedup_cluster(spark, sf_dir)
+    nib = F.substring(F.md5(F.col("component_id").cast("string")), 1, 1)
+    return labels.select(
+        "doc_id",
+        "component_id",
+        F.when(nib == "d", "valid")
+        .when(nib.isin("e", "f"), "test")
+        .otherwise("train")
+        .alias("split"),
+    )

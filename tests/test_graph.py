@@ -75,3 +75,24 @@ def test_triangle_counts_bounded_by_wedges(spark, edges):
         assert t <= d * (d - 1) // 2
     # Total membership divides by 3 (each triangle contributes 3 rows).
     assert sum(tri.values()) % 3 == 0
+
+
+def test_leakage_safe_split_keeps_pairs_together(spark):
+    """The property the split exists for: no verified near-dup pair
+    straddles two splits (a plain per-doc hash split violates this)."""
+    from satellite_data_ingestion_spark.llm.dedup import (
+        ext_ngram_jaccard,
+        ext_split_leakage_safe,
+    )
+
+    split = ext_split_leakage_safe(spark, SF_DIR).select("doc_id", "split")
+    pairs = ext_ngram_jaccard(spark, SF_DIR).select("doc_a", "doc_b")
+    a = split.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("split", "sa")
+    b = split.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("split", "sb")
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    assert joined.count() > 0, "no near-dup pairs at sf0.001 — fixture drifted"
+    assert joined.filter(F.col("sa") != F.col("sb")).count() == 0
+    # All three splits exist and budgets are sane (train dominates).
+    census = {r.split: r.n for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(census) == {"train", "valid", "test"}
+    assert census["train"] > census["valid"] and census["train"] > census["test"]
