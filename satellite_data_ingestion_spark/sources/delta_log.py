@@ -1782,6 +1782,54 @@ class DeltaLogTable:
             except DeltaConcurrentCommit:
                 continue  # a racer changed the live set; re-scan
 
+    def replicate_to(self, replica_root: str, last_synced: int = -1) -> int:
+        """Incremental LOG-SHIPPING replication: copy commits
+        ``last_synced+1 .. head`` (data files first, the 20-digit commit
+        JSON last — the commit file is the publish point, so a replica
+        reader never sees a version whose data files are still in
+        flight) into ``replica_root``, which becomes a byte-identical,
+        independently-openable Delta table at the same versions.
+
+        This works ONLY because the log is self-contained — every data
+        file an add/cdc action references lives under the table root at
+        the action's relative path, and inline deletion vectors ride in
+        the descriptor itself — which is the property that makes
+        cross-region lakehouse replication a FILE COPY problem instead
+        of a query problem.  Per sync the work is O(new change volume):
+        a 100 TB table with a trickle of commits ships the trickle.
+        Commits below a cleaned checkpoint cannot be shipped this way
+        (``_actions`` raises); bootstrap-from-checkpoint is the
+        documented recovery path, not silent partial sync.
+
+        Returns the new high-water mark (the head version shipped);
+        re-shipping an already-synced version is idempotent (same
+        bytes, atomic ``os.replace``)."""
+        head = self.latest_version()
+        log_dst = os.path.join(replica_root, "_delta_log")
+        os.makedirs(log_dst, exist_ok=True)
+        for v in range(last_synced + 1, head + 1):
+            for a in self._actions(v):
+                payload = a.get("add") or a.get("cdc")
+                if payload is None:
+                    continue
+                dv = (payload.get("deletionVector") or {})
+                if dv.get("storageType") not in (None, "i"):
+                    raise NotImplementedError(
+                        "replicating on-disk deletion vectors: only "
+                        "inline ('i') DVs are written here"
+                    )
+                rel = payload["path"]
+                dst = os.path.join(replica_root, rel)
+                if not os.path.exists(dst):
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    tmp = dst + f".inflight-{uuid.uuid4().hex}"
+                    shutil.copyfile(os.path.join(self.root, rel), tmp)
+                    os.replace(tmp, dst)
+            tmp = os.path.join(log_dst, f".inflight-{uuid.uuid4().hex}")
+            shutil.copyfile(self._version_path(v), tmp)
+            os.replace(tmp, os.path.join(log_dst, f"{v:020d}.json"))
+        return head
+
     def history(self) -> list[dict]:
         """DESCRIBE HISTORY: one row per reachable JSON commit, newest
         first — version, timestamp (the commit file's mtime, the spec's
@@ -3335,3 +3383,71 @@ def pipeline_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.createDataFrame(rows, out.schema)
     shutil.rmtree(staging, ignore_errors=True)
     return result
+
+
+@register(
+    "pipeline_delta_replicate",
+    oracle="""
+WITH base AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 10.0
+              ELSE c_acctbal END AS bal
+  FROM customer WHERE c_custkey % 2 = 0
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, c_acctbal AS bal
+  FROM customer WHERE c_custkey % 2 = 1
+),
+fin AS (SELECT * FROM base WHERE c_custkey NOT BETWEEN 10 AND 200)
+SELECT c_mktsegment,
+       count(*)           AS n_customers,
+       round(sum(bal), 2) AS sum_bal
+FROM fin GROUP BY c_mktsegment
+""",
+)
+def pipeline_delta_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-region replication as incremental LOG SHIPPING: a source
+    table takes an append, a MERGE (update + insert), and a range
+    DELETE; after EVERY commit the replica syncs via
+    :meth:`DeltaLogTable.replicate_to` with a version high-water mark
+    (each sync ships only the new commits' files).  The replica is then
+    opened as an INDEPENDENT table — no shared state with the source —
+    and its head read must aggregate to the relational recompute of the
+    source's final state.  A dropped data file, missed commit, or
+    wrong-order publish (JSON before data) breaks the replica read or
+    hash-mismatches.
+
+    The 100 TB shape: replication cost follows commit volume, never
+    table size, and the replica stays a spec-valid Delta table any
+    reader can open mid-sync at its own consistent version."""
+    src = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    root = tempfile.mkdtemp(prefix="sdis_repl_src_")
+    replica_root = tempfile.mkdtemp(prefix="sdis_repl_dst_")
+    t = DeltaLogTable(spark, root)
+    watermark = -1
+
+    t.commit_append(src.filter(F.col("c_custkey") % 2 == 0))
+    watermark = t.replicate_to(replica_root, watermark)
+    upd = (
+        t.read()
+        .filter(F.col("c_custkey") % 3 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 10.0)
+    )
+    ins = src.filter(F.col("c_custkey") % 2 == 1)
+    t.commit_merge(upd.unionByName(ins), keys=["c_custkey"])
+    watermark = t.replicate_to(replica_root, watermark)
+    t.commit_delete("c_custkey", 10, 200)
+    watermark = t.replicate_to(replica_root, watermark)
+
+    replica = DeltaLogTable(spark, replica_root)
+    if replica.latest_version() != watermark:
+        raise RuntimeError("replica head diverged from shipped watermark")
+    return (
+        replica.read()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )

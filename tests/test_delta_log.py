@@ -840,3 +840,46 @@ def test_checkpoint_preserves_table_features(spark, tbl):
     v = tbl.commit_append(_df(spark, [3]))  # post-checkpoint commit
     assert tbl._commit_timestamp(v) is not None  # ICT still recorded
     assert sorted(r.x for r in tbl.read().collect()) == [1, 2, 3]
+
+
+def test_replicate_to_ships_incrementally_and_idempotently(
+    spark, tbl, tmp_path_factory
+):
+    """Log shipping: each sync moves only the new commits; a replica is
+    independently openable at every synced version; re-shipping a synced
+    range is a no-op; deletes/merges replicate exactly."""
+    replica_root = str(tmp_path_factory.mktemp("replica"))
+    tbl.commit_append(_df(spark, [1, 2, 3]))
+    wm = tbl.replicate_to(replica_root, -1)
+    assert wm == 0
+    replica = DeltaLogTable(spark, replica_root)
+    assert sorted(r.x for r in replica.read().collect()) == [1, 2, 3]
+
+    # Source advances; replica (not yet synced) still serves v0.
+    tbl.commit_append(_df(spark, [4, 5]))
+    tbl.commit_delete("x", 2, 4)
+    assert sorted(r.x for r in replica.read().collect()) == [1, 2, 3]
+
+    wm = tbl.replicate_to(replica_root, wm)
+    assert wm == 2
+    assert sorted(r.x for r in DeltaLogTable(spark, replica_root).read().collect()) == [1, 5]
+    # Time travel on the replica: the shipped log carries full history.
+    assert sorted(
+        r.x for r in DeltaLogTable(spark, replica_root).read(version=1).collect()
+    ) == [1, 2, 3, 4, 5]
+
+    # Idempotent re-ship of the whole range.
+    assert tbl.replicate_to(replica_root, -1) == 2
+    assert sorted(r.x for r in DeltaLogTable(spark, replica_root).read().collect()) == [1, 5]
+
+
+def test_replicate_refuses_cleaned_history(spark, tbl, tmp_path_factory):
+    """Commits below a cleaned checkpoint cannot be log-shipped — the
+    sync must raise, not silently produce a hole in the replica."""
+    replica_root = str(tmp_path_factory.mktemp("replica2"))
+    tbl.commit_append(_df(spark, [1]))
+    tbl.commit_append(_df(spark, [2]))
+    tbl.checkpoint()
+    tbl.clean_log()
+    with pytest.raises(ValueError, match="cleaned|missing"):
+        tbl.replicate_to(replica_root, -1)
