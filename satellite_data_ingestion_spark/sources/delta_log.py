@@ -3451,3 +3451,108 @@ def pipeline_delta_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
         )
     )
+
+
+def _scd2_apply(
+    t: "DeltaLogTable", changes: DataFrame, epoch: int
+) -> None:
+    """One SCD Type-2 epoch: for every changed key, CLOSE the current
+    row (valid_to = epoch) and INSERT the new version (valid_from =
+    epoch, open-ended) — both in ONE atomic MERGE keyed on
+    (c_custkey, valid_from), since closing rewrites an existing
+    composite key and the new version mints a fresh one.  History rows
+    (valid_to already set) are never touched, so rewrite volume follows
+    the change set, not the accumulated history."""
+    cur = t.read().filter(F.col("valid_to").isNull())
+    joined = cur.alias("c").join(changes.alias("n"), "c_custkey")
+    closed = joined.select(
+        "c_custkey",
+        F.col("c.c_mktsegment").alias("c_mktsegment"),
+        F.col("c.c_acctbal").alias("c_acctbal"),
+        F.col("c.valid_from").alias("valid_from"),
+        F.lit(epoch).alias("valid_to"),
+    )
+    fresh = joined.select(
+        "c_custkey",
+        F.col("n.c_mktsegment").alias("c_mktsegment"),
+        F.col("n.c_acctbal").alias("c_acctbal"),
+        F.lit(epoch).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+    )
+    t.commit_merge(
+        closed.unionByName(fresh), keys=["c_custkey", "valid_from"]
+    )
+
+
+@register(
+    "sink_delta_scd2",
+    oracle="""
+SELECT c_custkey,
+       c_mktsegment,
+       round(c_acctbal, 2) AS acctbal,
+       0 AS valid_from,
+       CASE WHEN c_custkey % 4 = 0 THEN 1
+            WHEN c_custkey % 6 = 0 THEN 2 END AS valid_to
+FROM customer
+UNION ALL
+SELECT c_custkey, 'SCD-E1', round(c_acctbal + 5.0, 2), 1,
+       CASE WHEN c_custkey % 12 = 0 THEN 2 END
+FROM customer WHERE c_custkey % 4 = 0
+UNION ALL
+SELECT c_custkey,
+       CASE WHEN c_custkey % 4 = 0 THEN 'SCD-E1' ELSE c_mktsegment END,
+       round(c_acctbal + CASE WHEN c_custkey % 4 = 0 THEN 12.0 ELSE 7.0 END, 2),
+       2, NULL
+FROM customer WHERE c_custkey % 6 = 0
+""",
+)
+def sink_delta_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLOWLY CHANGING DIMENSION Type 2 on the Delta table: the full
+    version history of every dimension row is kept as
+    (valid_from, valid_to] epochs, each change epoch applied as one
+    atomic close-and-insert MERGE (see :func:`_scd2_apply`).  Epoch 1
+    re-segments every 4th customer (+5 balance); epoch 2 reprices every
+    6th — keys divisible by both accumulate THREE versions, which is
+    exactly the overlap the oracle pins (a wrong close order or a
+    replaced-instead-of-closed row shifts the valid_to lattice and
+    hash-mismatches).  Effective times are integer epochs, not
+    wall-clock, so the full history is deterministic.
+
+    The fact-join contract this maintains at 100 TB: facts join the
+    dimension AS OF their event epoch
+    (``valid_from <= e < coalesce(valid_to, inf)``) — `join_range`'s
+    interval pattern — while current-state readers filter
+    ``valid_to IS NULL``, a stats-prunable predicate."""
+    src = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    root = tempfile.mkdtemp(prefix="sdis_scd2_")
+    t = DeltaLogTable(spark, root)
+    t.commit_append(
+        src.withColumn("valid_from", F.lit(0)).withColumn(
+            "valid_to", F.lit(None).cast("int")
+        )
+    )
+    # Epoch 1: segment migration of every 4th customer.
+    ch1 = (
+        src.filter(F.col("c_custkey") % 4 == 0)
+        .withColumn("c_mktsegment", F.lit("SCD-E1"))
+        .withColumn("c_acctbal", F.col("c_acctbal") + 5.0)
+    )
+    _scd2_apply(t, ch1, epoch=1)
+    # Epoch 2: repricing of every 6th customer — based on the CURRENT
+    # state, so keys hit by epoch 1 compound (+5 then +7).
+    cur = t.read().filter(F.col("valid_to").isNull())
+    ch2 = cur.filter(F.col("c_custkey") % 6 == 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") + 7.0).alias("c_acctbal"),
+    )
+    _scd2_apply(t, ch2, epoch=2)
+    return t.read().select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        "valid_from",
+        "valid_to",
+    )
