@@ -682,3 +682,50 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_day.unionByName(total)
+
+
+@register(
+    "agg_cohort_retention",
+    oracle="""
+WITH fs AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS w0
+  FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT e.user_id, fs.w0, date_trunc('week', e.ts) AS w
+  FROM events e JOIN fs USING (user_id)
+)
+SELECT CAST(w0 AS DATE) AS cohort_week,
+       CAST(floor(date_diff('day', w0, w) / 7) AS BIGINT) AS week_offset,
+       count(*) AS n_active
+FROM act GROUP BY 1, 2
+""",
+)
+def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen week, one
+    cell per (cohort_week, week_offset) counting members active that
+    week — the standard growth-analytics readout.
+
+    Two map-side-combinable aggregations and one join: the first-seen
+    pass reduces events to one row per user (the small side — broadcast
+    at this scale, shuffle-join on user_id at 100 TB where both sides
+    are user-keyed and co-partition), and the distinct activity pass is
+    keyed by (user, week) so the triangle itself is tiny (cohorts ×
+    offsets).  No window functions — retention is pure aggregation."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("w0")
+    )
+    act = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id", "w0", F.date_trunc("week", F.col("ts")).alias("w")
+        )
+        .distinct()
+    )
+    return act.groupBy(
+        F.to_date("w0").alias("cohort_week"),
+        (F.datediff(F.to_date("w"), F.to_date("w0")) / 7)
+        .cast("long")
+        .alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_active"))

@@ -3556,3 +3556,57 @@ def sink_delta_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from",
         "valid_to",
     )
+
+
+@register(
+    "source_delta_diff",
+    oracle="""
+SELECT 'added' AS change, l_returnflag,
+       count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_linenumber = 2 AND NOT (l_orderkey BETWEEN 500 AND 5000)
+GROUP BY l_returnflag
+UNION ALL
+SELECT 'removed', l_returnflag, count(*), round(sum(l_quantity), 2)
+FROM lineitem
+WHERE l_linenumber = 1 AND l_orderkey BETWEEN 500 AND 5000
+GROUP BY l_returnflag
+""",
+)
+def source_delta_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT DIFF between two table versions WITHOUT a change feed:
+    ``read(vA) EXCEPT ALL read(vB)`` both ways classifies every row as
+    added or removed — the table-diff primitive for tables that never
+    enabled CDF (audit "what changed since the snapshot I validated?").
+
+    Here: v0 loads line-1 rows, v1 appends line-2 rows, v2 deletes the
+    [500, 5000] orderkey band; the v0→head diff must show exactly the
+    surviving line-2 rows as added and the deleted line-1 band as
+    removed.  EXCEPT ALL is bag semantics — duplicate rows diff by
+    multiplicity, which a DISTINCT-based diff would silently collapse.
+
+    Scale shape: one co-partitioned anti-semantics shuffle over the two
+    snapshots (Spark plans ExceptAll as a single hash-partitioned
+    count-diff), reading both versions' file lists from log metadata;
+    there is no driver-side state.  CDF remains the O(changes) path
+    when enabled (`source_delta_cdf`); this is the O(snapshots)
+    fallback that needs nothing but the log."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    root = tempfile.mkdtemp(prefix="sdis_diff_")
+    t = DeltaLogTable(spark, root)
+    t.commit_append(li.filter(F.col("l_linenumber") == 1))
+    t.commit_append(li.filter(F.col("l_linenumber") == 2))
+    t.commit_delete("l_orderkey", 500, 5000)
+    va, vb = t.read(version=0), t.read()
+    added = vb.exceptAll(va).withColumn("change", F.lit("added"))
+    removed = va.exceptAll(vb).withColumn("change", F.lit("removed"))
+    return (
+        added.unionByName(removed)
+        .groupBy("change", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
