@@ -3484,6 +3484,37 @@ def _scd2_apply(
     )
 
 
+def _build_scd2(spark: SparkSession, sf_dir: str) -> "DeltaLogTable":
+    """The shared SCD2 fixture: customer dim loaded at epoch 0, segment
+    migration of every 4th key at epoch 1 (+5 balance), repricing of
+    every 6th at epoch 2 (+7 on the then-current balance, so keys hit
+    by both epochs compound)."""
+    src = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    root = tempfile.mkdtemp(prefix="sdis_scd2_")
+    t = DeltaLogTable(spark, root)
+    t.commit_append(
+        src.withColumn("valid_from", F.lit(0)).withColumn(
+            "valid_to", F.lit(None).cast("int")
+        )
+    )
+    ch1 = (
+        src.filter(F.col("c_custkey") % 4 == 0)
+        .withColumn("c_mktsegment", F.lit("SCD-E1"))
+        .withColumn("c_acctbal", F.col("c_acctbal") + 5.0)
+    )
+    _scd2_apply(t, ch1, epoch=1)
+    cur = t.read().filter(F.col("valid_to").isNull())
+    ch2 = cur.filter(F.col("c_custkey") % 6 == 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") + 7.0).alias("c_acctbal"),
+    )
+    _scd2_apply(t, ch2, epoch=2)
+    return t
+
+
 @register(
     "sink_delta_scd2",
     oracle="""
@@ -3523,32 +3554,7 @@ def sink_delta_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``valid_from <= e < coalesce(valid_to, inf)``) — `join_range`'s
     interval pattern — while current-state readers filter
     ``valid_to IS NULL``, a stats-prunable predicate."""
-    src = table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment", "c_acctbal"
-    )
-    root = tempfile.mkdtemp(prefix="sdis_scd2_")
-    t = DeltaLogTable(spark, root)
-    t.commit_append(
-        src.withColumn("valid_from", F.lit(0)).withColumn(
-            "valid_to", F.lit(None).cast("int")
-        )
-    )
-    # Epoch 1: segment migration of every 4th customer.
-    ch1 = (
-        src.filter(F.col("c_custkey") % 4 == 0)
-        .withColumn("c_mktsegment", F.lit("SCD-E1"))
-        .withColumn("c_acctbal", F.col("c_acctbal") + 5.0)
-    )
-    _scd2_apply(t, ch1, epoch=1)
-    # Epoch 2: repricing of every 6th customer — based on the CURRENT
-    # state, so keys hit by epoch 1 compound (+5 then +7).
-    cur = t.read().filter(F.col("valid_to").isNull())
-    ch2 = cur.filter(F.col("c_custkey") % 6 == 0).select(
-        "c_custkey",
-        "c_mktsegment",
-        (F.col("c_acctbal") + 7.0).alias("c_acctbal"),
-    )
-    _scd2_apply(t, ch2, epoch=2)
+    t = _build_scd2(spark, sf_dir)
     return t.read().select(
         "c_custkey",
         "c_mktsegment",
