@@ -126,6 +126,60 @@ _TS_M = 16  # query/window length, in points
 _TS_K = 10  # top-k windows returned
 _TS_QUERY_TYPE = "click"  # the series whose first _TS_M points are the query
 
+# Oracle for the STREAMING subsequence search (stream_ts_subseq): the final
+# per-series state frame — (n_points, n_windows, best-window distance and
+# position) — recomputed relationally over the whole series.  Ties on dist
+# break toward the smaller start index, exactly the kernel's rule.
+SUBSEQ_STATE_ORACLE = f"""
+WITH s AS (
+  SELECT event_type,
+         array_agg(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS arr
+  FROM events GROUP BY event_type
+),
+q AS (SELECT arr[1:{_TS_M}] AS qv FROM s WHERE event_type = '{_TS_QUERY_TYPE}'),
+qs AS (
+  SELECT qv,
+         list_aggregate(qv, 'sum') / {_TS_M} AS mq,
+         sqrt(greatest(
+           list_aggregate([x * x FOR x IN qv], 'sum') / {_TS_M}
+             - (list_aggregate(qv, 'sum') / {_TS_M})
+               * (list_aggregate(qv, 'sum') / {_TS_M}),
+           0)) AS sq
+  FROM q
+),
+w AS (
+  SELECT event_type, i AS start_idx, arr[i + 1 : i + {_TS_M}] AS wv
+  FROM s, UNNEST(range(len(arr) - {_TS_M} + 1)) AS t(i)
+),
+d AS (
+  SELECT event_type, start_idx,
+         round(sqrt(greatest(2 * {_TS_M} * (1 - CASE
+           WHEN sqrt(greatest(sw2 - mw * mw, 0)) * sq = 0 THEN 0
+           ELSE (dotm - mw * mq) / (sqrt(greatest(sw2 - mw * mw, 0)) * sq)
+         END), 0)), 6) AS dist
+  FROM (
+    SELECT event_type, start_idx,
+           list_aggregate(wv, 'sum') / {_TS_M}                  AS mw,
+           list_aggregate([x * x FOR x IN wv], 'sum') / {_TS_M} AS sw2,
+           list_inner_product(wv, qs.qv) / {_TS_M}              AS dotm,
+           qs.mq, qs.sq
+    FROM w, qs
+  )
+),
+best AS (
+  SELECT event_type, dist AS min_dist, start_idx AS min_start
+  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY dist, start_idx) AS rn FROM d)
+  WHERE rn = 1
+)
+SELECT s.event_type,
+       CAST(len(s.arr) AS BIGINT) AS n_points,
+       CAST(greatest(len(s.arr) - {_TS_M} + 1, 0) AS BIGINT) AS n_windows,
+       b.min_dist,
+       CAST(b.min_start AS BIGINT) AS min_start
+FROM s LEFT JOIN best b USING (event_type)
+"""
+
 
 @register(
     "ext_ts_subseq_search",
@@ -245,10 +299,10 @@ def ext_ts_subseq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANOM_WIN = 20  # trailing baseline width, in points
 _ANOM_Z = 3.0  # |z| flag threshold
 
-
-@register(
-    "ext_ts_anomaly",
-    oracle=f"""
+# Shared with the streaming twin: stream_ts_anomaly is pinned exactly equal
+# to the batch operator (tests/test_components.py), so the same relational
+# oracle verifies both.
+ANOM_ORACLE = f"""
 SELECT event_id, event_type, round(z, 6) AS zscore
 FROM (
   SELECT event_id, event_type,
@@ -259,8 +313,10 @@ FROM (
                ROWS BETWEEN {_ANOM_WIN} PRECEDING AND 1 PRECEDING)
 )
 WHERE n_base >= {_ANOM_WIN} AND abs(z) > {_ANOM_Z}
-""",
-)
+"""
+
+
+@register("ext_ts_anomaly", oracle=ANOM_ORACLE)
 def ext_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly detection per series: each point scores
     against the mean/stddev of its TRAILING {win}-point baseline (the

@@ -17,7 +17,21 @@ from ..catalog import _prepare
 from ..registry import register
 
 
-@register("scan_binary")  # filesystem metadata → rows-only
+# Oracle: DuckDB's read_blob over the same directory.  Its md5() only takes
+# VARCHAR (and BLOB→VARCHAR casting escapes non-printables), so both engines
+# digest the UPPERCASE HEX encoding of the bytes — identical hex on both
+# sides, still computed distributed JVM-side in Spark.  The driver compares
+# at sf=0.01, hence the literal path (the only oracle input that is a
+# directory, not a registered view).
+@register(
+    "scan_binary",
+    oracle="""
+SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+       CAST(size AS BIGINT) AS n_bytes,
+       md5(hex(content)) AS digest
+FROM read_blob('/root/testdata/sf0.01/*.parquet')
+""",
+)
 def scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binaryFile scan over the corpus directory: one row per blob with
     name/size plus a content digest (computed distributed, JVM-side).
@@ -31,7 +45,7 @@ def scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.element_at(F.split("path", "/"), -1).alias("file_name"),
             F.col("length").alias("n_bytes"),
-            F.md5("content").alias("digest"),
+            F.md5(F.hex("content")).alias("digest"),
         )
         .orderBy("file_name")
     )

@@ -361,7 +361,21 @@ def _drain_with_deadline(q, deadline_sec: float) -> None:
         raise TimeoutError(f"stream drain exceeded {deadline_sec}s deadline")
 
 
-@register("stream_python_datasource")  # offset-driven custom stream → rows-only
+# Oracle: the drained timeline is the full slot range spanning the events
+# table — offsets advance to n_slots and stop, so the union of micro-batches
+# is exactly the relational slot grid.
+@register(
+    "stream_python_datasource",
+    oracle=f"""
+WITH b AS (
+  SELECT CAST(floor(epoch(min(ts)) / {_SLOT_SEC}) AS BIGINT) * {_SLOT_SEC} AS s,
+         CAST(floor(epoch(max(ts)) / {_SLOT_SEC}) AS BIGINT) * {_SLOT_SEC} AS e
+  FROM events
+)
+SELECT slot_epoch, (slot_epoch - s) // {_SLOT_SEC} AS slot_idx
+FROM (SELECT s, unnest(range(s, e + {_SLOT_SEC}, {_SLOT_SEC})) AS slot_epoch FROM b)
+""",
+)
 def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom streaming source drained to completion: micro-batches of 4
     slots per trigger, offsets checkpoint-tracked, stops once the bounded

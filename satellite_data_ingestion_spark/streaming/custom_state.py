@@ -36,6 +36,7 @@ from pyspark.sql.types import (
 )
 
 from ..catalog import _prepare
+from ..operators.timeseries import ANOM_ORACLE, SUBSEQ_STATE_ORACLE
 from ..registry import register
 from .state import _few_shuffle_partitions, _stage_events
 
@@ -98,7 +99,21 @@ def _advance_slots(
     )
 
 
-@register("stream_custom_state")  # arbitrary user state → rows-only
+# Oracle: the staged files drain in one AvailableNow micro-batch (2 files,
+# below the file-source per-trigger limit), so the per-user state row equals
+# the relational per-user aggregate — max slot, distinct-slot count, row
+# count.  A multi-batch drain would emit one row per batch and break this;
+# the staging is sized to keep the drain single-batch.
+@register(
+    "stream_custom_state",
+    oracle=f"""
+SELECT user_id,
+       CAST(max(floor(epoch(ts) / {_SLOT_SEC}) * {_SLOT_SEC}) AS BIGINT) AS last_slot_epoch,
+       CAST(count(DISTINCT floor(epoch(ts) / {_SLOT_SEC})) AS BIGINT) AS n_slots_seen,
+       CAST(count(*) AS BIGINT) AS n_events_batch
+FROM events GROUP BY user_id
+""",
+)
 def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState slot-tracker: per-user state machine with a
     user-defined state schema, run as a real stream (availableNow) over
@@ -468,7 +483,11 @@ def _make_subseq_tracker(qv: list, m: int):
     return tracker
 
 
-@register("stream_ts_subseq")  # streaming state → rows-only
+# Oracle = the batch recomputation of the final per-series state frame
+# (operators/timeseries.py:SUBSEQ_STATE_ORACLE); the stream is pinned equal
+# to an offline recomputation in tests, and both engines fold the same
+# sequential IEEE sums, so the driver hash-matches despite the stateful plan.
+@register("stream_ts_subseq", oracle=SUBSEQ_STATE_ORACLE)
 def stream_ts_subseq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING subsequence similarity search: the batch
     ``ext_ts_subseq_search`` semantics run incrementally — per-series
@@ -653,7 +672,10 @@ def _make_anomaly_tracker(win: int, z_gate: float):
     return tracker
 
 
-@register("stream_ts_anomaly")  # streaming state → rows-only
+# Oracle = the batch twin's SQL verbatim (operators/timeseries.py): the
+# stream is pinned exactly equal to ext_ts_anomaly, so the same relational
+# recomputation verifies the incremental state path.
+@register("stream_ts_anomaly", oracle=ANOM_ORACLE)
 def stream_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING rolling z-score anomaly gate: the batch
     ``ext_ts_anomaly`` semantics run incrementally — per-series state

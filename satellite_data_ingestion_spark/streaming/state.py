@@ -120,6 +120,41 @@ def _stage_events(spark: SparkSession, sf_dir: str, n_files: int, tag: str) -> s
     return staging
 
 
+def _stage_events_bucketed(
+    spark: SparkSession, sf_dir: str, n_files: int, tag: str
+) -> str:
+    """Stage events as ``n_files`` parquet files with DETERMINISTIC
+    contents — file i holds exactly the rows with ``event_id % n_files ==
+    i`` — and strictly increasing mtimes, so a ``maxFilesPerTrigger=1``
+    drain ingests bucket i as micro-batch i.  Round-robin ``repartition``
+    file contents depend on input split layout (environment-dependent);
+    this keys each file relationally so the per-batch ingestion log has a
+    SQL oracle.  Driver work is one bounded loop over n_files writes."""
+    import glob as _glob
+
+    staging = os.path.join(
+        tempfile.gettempdir(), f"sdis_staging_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+    ev = table(spark, sf_dir, "events")
+    tmp = staging + "_tmp"
+    base = int(os.path.getmtime(staging))
+    for i in range(n_files):
+        (
+            ev.filter(F.pmod("event_id", F.lit(n_files)) == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(staging, f"{i:05d}.parquet")
+        os.replace(part, dest)
+        os.utime(dest, (base + 10 * i, base + 10 * i))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return staging
+
+
 def _drain_to_files(
     spark: SparkSession, stream_df: DataFrame, staging: str, timeout: int = 120
 ) -> DataFrame:
@@ -156,7 +191,17 @@ def _drain_to_files(
     return spark.read.parquet(out_dir).select(*stream_df.columns)
 
 
-@register("source_rate_incremental")  # streaming offsets → rows-only
+# Oracle: batch i ingests exactly the event_id % 4 == i bucket (staging is
+# bucketed with mtime-ordered files; maxFilesPerTrigger=1 → one file per
+# micro-batch in mtime order), so the ingestion log is the bucket histogram.
+@register(
+    "source_rate_incremental",
+    oracle="""
+SELECT CAST(event_id % 4 AS BIGINT) AS batch_id,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM events GROUP BY 1
+""",
+)
 def source_rate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slot-at-a-time incremental file source: maxFilesPerTrigger=1 makes
     each micro-batch ingest exactly one staged file — the Spark form of
@@ -164,7 +209,7 @@ def source_rate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources/meteosat.py:88-93).  Returns the per-batch ingestion log the
     file-source offsets produced."""
     _prepare(spark)
-    staging = _stage_events(spark, sf_dir, 4, "incr")
+    staging = _stage_events_bucketed(spark, sf_dir, 4, "incr")
     schema = spark.read.parquet(staging).schema
     batches: list[tuple[int, int]] = []
 
@@ -191,7 +236,17 @@ def source_rate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_trigger")  # micro-batch cadence → rows-only
+# Oracle: AvailableNow with 2 staged files (below the file-source
+# per-trigger limit) drains in exactly one micro-batch, and a stateless
+# sink gets no trailing no-data batch — so the ingestion log is the single
+# row (batch 0, total row count).
+@register(
+    "stream_trigger",
+    oracle="""
+SELECT CAST(0 AS BIGINT) AS batch_id, CAST(count(*) AS BIGINT) AS n_rows
+FROM events
+""",
+)
 def stream_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Micro-batch trigger cadence: the production query runs
     trigger(processingTime='15 minutes') (the reference's scheduler
@@ -221,7 +276,21 @@ def stream_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_watermark")  # stateful windowed agg → rows-only
+# Oracle: append-mode windows emit once the final watermark (max event time
+# minus the 45-minute delay, advanced by the closing no-data batch) passes
+# their end; windows still inside the watermark stay buffered and are
+# withheld — exactly the HAVING bound below.
+@register(
+    "stream_watermark",
+    oracle="""
+WITH m AS (SELECT max(ts) - INTERVAL 45 MINUTE AS wm FROM events)
+SELECT CAST(epoch(time_bucket(INTERVAL 15 MINUTE, ts)) AS BIGINT) AS slot_epoch,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events, m
+WHERE time_bucket(INTERVAL 15 MINUTE, ts) + INTERVAL 15 MINUTE <= m.wm
+GROUP BY 1
+""",
+)
 def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling aggregate as a real stream: 45-minute late-data
     bound (the reference's bootstrap lookback, sources/meteosat.py:93) on
@@ -245,7 +314,19 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _drain_to_files(spark, windowed, staging)
 
 
-@register("stream_dedup_state")  # stateful dedup → rows-only
+# Oracle: the stateful dedup emits exactly one row per distinct
+# (user_id, minute-slot) key.  The output projects the KEY columns only —
+# WHICH duplicate row survives is arrival-order-dependent (a real cluster
+# property, not a defect), so carrying e.g. event_id would make the frame
+# nondeterministic; the key set itself is exact and hash-stable.
+@register(
+    "stream_dedup_state",
+    oracle="""
+SELECT DISTINCT user_id,
+       CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS slot_epoch
+FROM events
+""",
+)
 def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful exactly-once dedup: dropDuplicatesWithinWatermark on the
     (user_id, minute-slot) key — the streaming form of the reference's
@@ -262,12 +343,22 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("slot", F.date_trunc("minute", "ts"))
             .withWatermark("slot", "45 minutes")
             .dropDuplicatesWithinWatermark(["user_id", "slot"])
-            .select("user_id", F.unix_timestamp("slot").alias("slot_epoch"), "event_id")
+            .select("user_id", F.unix_timestamp("slot").alias("slot_epoch"))
         )
         return _drain_to_files(spark, deduped, staging)
 
 
-@register("stream_recovery")  # checkpoint replay → rows-only
+# Oracle: run 1 ingests the whole staged corpus; run 2 restarts over the
+# same checkpoint and must ingest zero rows (offsets committed) — the
+# idempotence contract stated relationally.
+@register(
+    "stream_recovery",
+    oracle="""
+SELECT CAST(1 AS BIGINT) AS run_id, CAST(count(*) AS BIGINT) AS n_rows FROM events
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+""",
+)
 def stream_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crash-consistency contract: run a checkpointed stream to completion,
     then start it AGAIN over the same checkpoint — the second run must

@@ -16,10 +16,25 @@ from tests.oracle import compare
 registry.load_all()
 ALL = sorted(registry.queries())
 
+# Oracles that read raw FILES (not the registered views) embed the driver's
+# sf0.01 directory literally; compare those at sf0.01 like the driver does.
+_DRIVER_SF_ONLY = {"scan_binary"}
+
 
 @pytest.mark.parametrize("name", ALL)
 def test_query(name, spark, duck):
     spec = registry.spec(name)
+    if name in _DRIVER_SF_ONLY:
+        from tests.conftest import SF_ORACLE
+        from tests.oracle import duck_con
+
+        con = duck_con(SF_ORACLE)
+        try:
+            errs = compare(spec.fn(spark, SF_ORACLE), con, spec.oracle)
+        finally:
+            con.close()
+        assert not errs, f"{name}: " + "; ".join(errs[:10])
+        return
     df = spec.fn(spark, SF_SMOKE)
     if spec.oracle is None:
         rows = df.collect()
