@@ -77,6 +77,16 @@ HEADLINE = [
     "ext_knn_join",
     "ext_knn_join_ivf",
     "source_delta_cdf",
+    # Round 10 additions (round-8 operators that had no perf signal): the
+    # iterative-join graph family, incremental view maintenance, and the
+    # merge-on-read / diff / SCD2 table-format paths — exactly where silent
+    # plan regressions hide.
+    "graph_pagerank",
+    "graph_triangles",
+    "pipeline_ivm",
+    "sink_delta_dv",
+    "source_delta_diff",
+    "sink_delta_scd2",
 ]
 
 

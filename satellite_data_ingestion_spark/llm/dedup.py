@@ -186,6 +186,21 @@ def jaccard_pairs(d: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("df"))
     )
 
+    # Verification representation: token sets as 8-byte xxhash64 longs IF
+    # the hash is injective on this corpus's vocabulary — one cheap
+    # aggregate over the (already-built) df map proves it, and then
+    # long-array intersection is EXACTLY string-set intersection with
+    # none of the per-pair string hashing.  On the astronomically rare
+    # colliding corpus (P ~ |vocab|²/2^65) this falls back to the string
+    # arrays — exactness is checked, never assumed.  The check is a
+    # bounded single-row collect; at any scale it rides the vocabulary
+    # aggregate the prefix order needs anyway.
+    hrow = df_map.agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.count_distinct(F.xxhash64("tok")).alias("n_hash"),
+    ).collect()[0]
+    hash_injective = int(hrow.n_tok) == int(hrow.n_hash)
+
     # Re-sort each doc's tokens by (df, tok) and keep only the prefix.
     # struct ordering is lexicographic on fields, so array_sort on
     # struct(df, tok) gives exactly the global order.
@@ -209,11 +224,17 @@ def jaccard_pairs(d: DataFrame) -> DataFrame:
     # prefix and lose recall, so the quotient uses SQL integer `div`.
     ceil_tn = F.expr(f"({_J_NUM} * n + {_J_DEN} - 1) div {_J_DEN}")
     prefix_len = F.col("n") - ceil_tn + 1
+    # Join key is the 8-byte xxhash64 of the prefix token, not the string:
+    # equal tokens always hash equal, so candidate RECALL is exactly
+    # preserved (a cross-token collision can only ADD a candidate, which
+    # exact verification then rejects) — while the self-join's shuffle
+    # carries fixed-width longs and its key comparisons skip string
+    # hashing.  Verification below still intersects the true STRING sets.
     prefixes = sized.select(
         "doc_id",
         "n",
         F.posexplode(F.slice("toks", F.lit(1), prefix_len)).alias("pos", "ptok"),
-    )
+    ).select("doc_id", "n", "pos", F.xxhash64("ptok").alias("ptok"))
     # Materialize the prefix index ONCE (lazy localCheckpoint): the
     # self-join below otherwise re-derives the whole df-map + re-sort
     # pipeline on BOTH sides — Spark plans no ReusedExchange across the
@@ -251,7 +272,14 @@ def jaccard_pairs(d: DataFrame) -> DataFrame:
         .distinct()
     )
 
-    return _verify_exact_jaccard(cand, d, "toks")
+    sets = (
+        d.select(
+            "doc_id", F.transform("toks", lambda t: F.xxhash64(t)).alias("toks")
+        )
+        if hash_injective
+        else d
+    )
+    return _verify_exact_jaccard(cand, sets, "toks")
 
 
 def _verify_exact_jaccard(cand: DataFrame, sets: DataFrame, set_col: str) -> DataFrame:
@@ -269,12 +297,21 @@ def _verify_exact_jaccard(cand: DataFrame, sets: DataFrame, set_col: str) -> Dat
             "doc_b",
         )
     )
+    # One array scan per pair: |A∪B| = |A| + |B| - |A∩B| (elements are
+    # distinct per doc), and size() is O(1) on Spark arrays — building
+    # the union ARRAY per pair (the old array_union) doubled the hot
+    # path's work.  Materializing jacc as a column before filter/round
+    # keeps the intersection evaluated once, not re-derived per use.
     inter = F.size(F.array_intersect("_sa", "_sb"))
-    union = F.size(F.array_union("_sa", "_sb"))
-    jacc = inter.cast("double") / union
+    union = F.size("_sa") + F.size("_sb") - inter
     return (
-        joined.filter(jacc >= _JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
+        joined.select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union).alias("_jacc"),
+        )
+        .filter(F.col("_jacc") >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("_jacc", 4).alias("jaccard"))
     )
 
 
@@ -614,6 +651,106 @@ def _checkpoint_reset_stats(df: DataFrame) -> DataFrame:
         return cp
 
 
+def star_precontract(
+    docs: DataFrame, pairs: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Pre-contract a near-dup pair graph with its keep-first STAR edges
+    before handing it to :func:`connected_components`.
+
+    Every node that appears as the LATER side of a pair gets a star
+    parent — its minimum earlier partner, exactly the ``ext_dedup_keep``
+    mapping.  Rewriting both endpoints of every pair through that map
+    collapses clique-shaped duplicate clusters to nothing up front (all
+    of a clique's pairs map to (min, min) and drop), so the iterative
+    loop starts from the residual star-to-star graph instead of the raw
+    pair set: on the sf0.1 corpus ~965k verified pairs contract to a few
+    thousand residual edges and CC converges in 1-2 rounds over tiny
+    tables.  Cost is one aggregate plus two joins and a distinct over
+    the pair set — work CC's first contraction round would have done
+    anyway, minus the label-table self-joins.
+
+    ``docs``: one row per node (``doc_id``); ``pairs``: distinct pairs
+    with ``doc_a < doc_b``.  Returns ``(labels0, edges)`` — the initial
+    label table (component_id = star parent, or self) and the contracted
+    BOTH-DIRECTIONS edge set, ready for ``connected_components(...,
+    identity_start=False)`` (labels0 is not the identity, so round 1
+    must contract through it; the edge set is small by then)."""
+    rep = pairs.groupBy(F.col("doc_b").alias("doc_id")).agg(
+        F.min("doc_a").alias("star")
+    )
+    labels0 = docs.join(rep, "doc_id", "left").select(
+        "doc_id", F.coalesce("star", F.col("doc_id")).alias("component_id")
+    )
+    ra = rep.select(F.col("doc_id").alias("doc_a"), F.col("star").alias("sa"))
+    rb = rep.select(F.col("doc_id").alias("doc_b"), F.col("star").alias("sb"))
+    contracted = (
+        pairs.join(ra, "doc_a", "left")
+        .join(rb, "doc_b", "left")
+        .select(
+            F.coalesce("sa", F.col("doc_a")).alias("ca"),
+            F.coalesce("sb", F.col("doc_b")).alias("cb"),
+        )
+        .filter("ca != cb")
+        .select(F.col("ca").alias("doc_a"), F.col("cb").alias("doc_b"))
+        .distinct()
+    )
+    edges = contracted.union(
+        contracted.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    return labels0, edges
+
+
+def _apply_local_cc(labels: DataFrame, edge_rows) -> DataFrame:
+    """Finish CC locally: union-find over the (bounded) quotient-graph
+    edges, then rewrite every label through the resolved old-label →
+    component-min map with one broadcast join.
+
+    Invariants this relies on: label values are doc ids inside their own
+    component and label(x) <= x, so each component's global min is its
+    own fixed point and appears as a quotient node whenever the
+    component is not yet converged; contraction preserves connectivity,
+    so the quotient component's min IS the global component min.  Labels
+    not touched by any remaining edge pass through unchanged — pointer
+    chains among them are the flatten loop's job, as before."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edge_rows:
+        a, b = row[0], row[1]
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # Union by MIN root so the representative is the component min.
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    remap = {}
+    for row in edge_rows:
+        for v in (row[0], row[1]):
+            if v not in remap:
+                remap[v] = find(v)
+    spark = labels.sparkSession
+    map_df = spark.createDataFrame(
+        list(remap.items()), schema=labels.schema
+    ).select(
+        F.col("doc_id").alias("old_label"),
+        F.col("component_id").alias("new_label"),
+    )
+    return labels.join(
+        F.broadcast(map_df), labels.component_id == map_df.old_label, "left"
+    ).select(
+        "doc_id",
+        F.coalesce("new_label", F.col("component_id")).alias("component_id"),
+    )
+
+
 def connected_components(
     labels: DataFrame,
     edges: DataFrame,
@@ -691,6 +828,16 @@ def connected_components(
         # so at most a couple of small label/edge tables are live.
         n_edges = e.count()
         if n_edges == 0:
+            break
+        if n_edges <= settings.CC_LOCAL_EDGES:
+            # LOCAL FINISH (the "solve on one machine once it fits" step
+            # of the MapReduce-CC literature): the quotient graph is now
+            # a bounded handful of label-to-label edges — union-find on
+            # the driver replaces the remaining O(log d) rounds, each of
+            # which would cost 4-5 full-label-table shuffles.  The
+            # collect is bounded by CC_LOCAL_EDGES (~2 MB at the default)
+            # and the result re-enters the plan as one broadcast map.
+            labels = _apply_local_cc(labels, e.collect())
             break
         nm = e.groupBy("doc_a").agg(F.min("doc_b").alias("nbr_min"))
         rep_upd = nm.select(F.col("doc_a").alias("rep"), "nbr_min")
@@ -808,15 +955,12 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _checkpoint_reset_stats(
         ext_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     )
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    labels = docs.select("doc_id", F.col("doc_id").alias("component_id"))
-    # identity_start: labels initialize to doc_id and the verified pairs
-    # are distinct with doc_a < doc_b, so round 1's identity contraction
-    # is skippable.
-    labels = connected_components(labels, edges, identity_start=True)
+    # Star pre-contraction: collapse clique-shaped clusters through the
+    # keep-first mapping before the iterative loop — CC then runs over
+    # the few residual star-to-star edges instead of ~1M raw pairs.
+    labels0, edges = star_precontract(docs, pairs)
+    labels = connected_components(labels0, edges)
     return labels.select(
         "doc_id",
         "component_id",

@@ -475,26 +475,27 @@ def ext_dedup_embedding_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     pointer doubling, O(log diameter) rounds).  The oracle recomputes the
     same components declaratively with a recursive-CTE closure over the
     same pair predicate."""
-    from .dedup import _checkpoint_reset_stats, connected_components
+    from .dedup import (
+        _checkpoint_reset_stats,
+        connected_components,
+        star_precontract,
+    )
 
-    # Materialize the tiled pair join ONCE before the both-directions
-    # union (its two branches each embed the full join plan).
+    # Materialize the tiled pair join ONCE (both the star aggregate and
+    # the contraction joins reuse it).
     pairs = _checkpoint_reset_stats(
         ext_dedup_embedding(spark, sf_dir).select(
             F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
         )
     )
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
     vecs = table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id")
     )
-    labels = connected_components(
-        vecs.select("doc_id", F.col("doc_id").alias("component_id")),
-        edges,
-        identity_start=True,  # identity labels + distinct a<b pairs
-    )
+    # Star pre-contraction (see dedup.star_precontract): clique-shaped
+    # semantic clusters collapse through the keep-first mapping before
+    # the iterative loop ever runs.
+    labels0, edges = star_precontract(vecs, pairs)
+    labels = connected_components(labels0, edges)
     return labels.select(
         F.col("doc_id").alias("vec_id"),
         "component_id",

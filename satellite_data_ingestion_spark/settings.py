@@ -49,6 +49,13 @@ _BASE: dict[str, int] = {
     # count of the round-5 d=2 posture on the sf0.1 graphs (measured);
     # past ~4 the extra join outweighs the saved rounds at bench scale.
     "CC_DOUBLINGS": 3,
+    # Quotient-graph size at which CC finishes LOCALLY: once contraction
+    # shrinks the edge set under this bound, one bounded collect +
+    # union-find + broadcast join replaces the remaining iterative
+    # rounds (the "solve on one machine when it fits" step of the
+    # MapReduce-CC literature).  100k edges = ~2 MB on the driver; each
+    # avoided round costs 4-5 shuffles of the full label table.
+    "CC_LOCAL_EDGES": 100_000,
     # Embedding dedup (llm/simsearch.py): block-nested-loop tile factor —
     # each label's pair space splits into TILE_P^2 tasks.
     "TILE_P": 4,
@@ -99,6 +106,7 @@ _PROFILES: dict[str, dict[str, int]] = {
     "prod": {
         "MAX_BUCKET": 100_000,
         "CC_MAX_ITERS": 30,
+        "CC_LOCAL_EDGES": 1_000_000,
         "TILE_P": 64,
         "IVF_K": 4096,
         "IVF_NPROBE": 64,
@@ -153,6 +161,7 @@ MINHASH_N_BANDS: int = _SETTINGS["MINHASH_N_BANDS"]
 SIMHASH_MAX_HAMMING: int = _SETTINGS["SIMHASH_MAX_HAMMING"]
 CC_MAX_ITERS: int = _SETTINGS["CC_MAX_ITERS"]
 CC_DOUBLINGS: int = _SETTINGS["CC_DOUBLINGS"]
+CC_LOCAL_EDGES: int = _SETTINGS["CC_LOCAL_EDGES"]
 TILE_P: int = _SETTINGS["TILE_P"]
 LSH_N_TABLES: int = _SETTINGS["LSH_N_TABLES"]
 LSH_N_PLANES: int = _SETTINGS["LSH_N_PLANES"]

@@ -1674,6 +1674,82 @@ class DeltaLogTable:
             operation="DELETE",
         )
 
+    def purge_dvs(self, min_dv_fraction: float = 0.0) -> int:
+        """REORG-PURGE (Delta's ``REORG TABLE ... APPLY (PURGE)``): rewrite
+        live files whose deletion-vector fraction is at or above
+        ``min_dv_fraction`` into clean files WITHOUT their soft-deleted
+        rows, dropping the DV descriptors.  Committed with ``dataChange:
+        false`` — logical table content is unchanged (the rows were
+        already deleted), so incremental consumers skip the commit
+        exactly like a compaction.
+
+        This is the second half of the merge-on-read lifecycle:
+        :meth:`delete_rows_dv` makes DELETE O(change volume) but leaves
+        read amplification behind (every scan anti-joins the bitmaps);
+        a periodic threshold purge bounds that amplification — files
+        that accumulated heavy DVs pay one rewrite and return to plain
+        scans, lightly-vectored files are left alone.  Returns the new
+        version (head unchanged when nothing crosses the threshold)."""
+        while True:
+            try:
+                return self._purge_dvs_once(min_dv_fraction)
+            except DeltaConcurrentCommit:
+                continue  # the target set was derived against a stale head
+
+    def _purge_dvs_once(self, min_dv_fraction: float) -> int:
+        head = self.latest_version()
+        self._guard_unmapped(head, "REORG")
+        live, schema_s, partition_cols = self._replay_actions(head)
+        if partition_cols:
+            raise NotImplementedError(
+                "REORG PURGE on a Hive-partitioned table (DV delete "
+                "refuses partitioned tables, so none can carry DVs)"
+            )
+        targets: list[str] = []
+        for p, a in sorted(live.items()):
+            dv = a.get("deletionVector")
+            if not dv:
+                continue
+            n_rec = json.loads(a.get("stats", "{}")).get("numRecords")
+            n_del = dv.get("cardinality") or len(dv_positions(dv))
+            frac = (n_del / n_rec) if n_rec else 1.0
+            if frac >= min_dv_fraction:
+                targets.append(p)
+        if not targets:
+            return head
+        from pyspark.sql.types import StructType
+
+        full_schema = StructType.fromJson(json.loads(schema_s))
+        pos_pairs = [
+            (os.path.basename(p), int(pos))
+            for p in targets
+            for pos in dv_positions(live[p]["deletionVector"])
+        ]
+        pos_df = self.spark.createDataFrame(pos_pairs, "f string, pos bigint")
+        # One scan over the purge targets; the anti-join against the DV
+        # positions drops exactly the soft-deleted rows.  The bitmap side
+        # is bounded by deleted-row count (change volume, not table size).
+        surviving = (
+            self.spark.read.schema(full_schema)
+            .parquet(*[os.path.join(self.root, p) for p in targets])
+            .withColumn(
+                "f",
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+            )
+            .withColumn("pos", F.col("_metadata.row_index"))
+            .join(F.broadcast(pos_df), ["f", "pos"], "left_anti")
+            .drop("f", "pos")
+        )
+        self._schema_string = schema_s
+        self._partition_columns = []
+        adds = self._stage_files(surviving, None)
+        for a in adds:
+            a["add"]["dataChange"] = False
+        removes = [self._remove_action(p, False) for p in targets]
+        return self._publish(
+            removes + adds, derived_from=head, operation="REORG"
+        )
+
     def restore(self, version: int) -> int:
         """RESTORE TABLE to ``version`` as a NEW commit: adds for the
         files live at the target version, removes for current-only
@@ -2908,6 +2984,74 @@ def sink_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sink_delta_dv_purge",
+    oracle="""
+WITH b AS (
+  SELECT CAST(floor(max(l_orderkey) / 3) AS BIGINT) AS b1 FROM lineitem
+)
+SELECT l_returnflag,
+       count(*)                  AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem, b
+WHERE NOT (l_orderkey BETWEEN CAST(floor(b.b1 / 2) AS BIGINT) AND b.b1)
+  AND NOT (l_quantity BETWEEN 1 AND 10)
+GROUP BY l_returnflag
+""",
+)
+def sink_delta_dv_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REORG half of the merge-on-read lifecycle: build the same
+    DV-deleted table as ``sink_delta_dv``, then ``purge_dvs()`` — every
+    DV-carrying file is rewritten WITHOUT its soft-deleted rows and
+    drops its descriptor, with ``dataChange: false`` (content-preserving
+    maintenance, invisible to incremental consumers).  The run raises
+    unless (a) zero live files carry a DV afterwards, (b) every action
+    in the purge commit is dataChange-false, and (c) the head read
+    still equals the post-delete oracle — a purge that re-adds deleted
+    rows, drops survivors, or re-emits to consumers hash-mismatches.
+
+    At 100 TB this bounds DV read amplification: DELETEs stay O(change
+    volume), and a periodic threshold purge returns heavily-vectored
+    files to plain scans — rewrite I/O follows the DV mass, never the
+    table."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    b1 = li.agg((F.floor(F.max("l_orderkey") / 3)).cast("long")).collect()[0][0]
+    root = tempfile.mkdtemp(prefix="sdis_delta_dvpurge_")
+    t = DeltaLogTable(spark, root)
+    for lo, hi in ((None, b1), (b1 + 1, 2 * b1), (2 * b1 + 1, None)):
+        seg = li
+        if lo is not None:
+            seg = seg.filter(F.col("l_orderkey") >= lo)
+        if hi is not None:
+            seg = seg.filter(F.col("l_orderkey") <= hi)
+        t.commit_append(seg.repartitionByRange(2, "l_orderkey"))
+    t.enable_deletion_vectors()
+    t.delete_rows_dv("l_orderkey", b1 // 2, b1)
+    t.delete_rows_dv("l_quantity", 1, 10)
+    v_purge = t.purge_dvs()
+    after, _, _ = t._replay_actions(v_purge)
+    if any(a.get("deletionVector") for a in after.values()):
+        raise RuntimeError("purge left a live deletion vector behind")
+    for action in t._actions(v_purge):
+        payload = action.get("add") or action.get("remove")
+        if payload is not None and payload.get("dataChange", True):
+            raise RuntimeError(
+                "REORG PURGE must commit dataChange:false actions only"
+            )
+    if t.purge_dvs() != v_purge:
+        raise RuntimeError("purge of a DV-free table committed a version")
+    return (
+        t.read()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
 def _changes_since(
     t: DeltaLogTable, from_version: int, to_version: int
 ) -> DataFrame:
@@ -3337,7 +3481,7 @@ def pipeline_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="sdis_lakehouse_")
     t = DeltaLogTable(spark, root)
     app = "sdis-lakehouse"
-    consumed: list[DataFrame] = []
+    consumed_root = os.path.join(root, "_consumed")
     cursor = t.latest_version()
     last_batch = None
     for epoch, path in enumerate(files):
@@ -3350,7 +3494,13 @@ def pipeline_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
         inc = _changes_since(t, cursor, head)
         # Materialize NOW: maintenance below rewrites files and cleans
         # the log; a lazy plan would read compacted paths and double rows.
-        consumed.append(spark.createDataFrame(inc.collect(), inc.schema))
+        # The materialization is an EXECUTOR-SIDE staging write (one
+        # parquet dir per epoch — the consumer's own landing zone), never
+        # a driver collect: at 100 TB each increment flows executors →
+        # store directly and the driver only sequences versions.
+        inc.write.mode("overwrite").parquet(
+            os.path.join(consumed_root, f"e{epoch}")
+        )
         cursor = head
         if epoch == 1:
             t.compact()
@@ -3371,11 +3521,12 @@ def pipeline_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # Both views must agree with the source: the head read (state
-    # rebuilt through the checkpoint) and the consumer's union.
+    # rebuilt through the checkpoint) and the consumer's accumulated
+    # staging zone (read back distributed — one multi-dir parquet scan).
+    # Only the POST-AGGREGATION frames (one row per event_type) ever
+    # reach the driver.
     head_rows = sorted(map(tuple, agg(t.read()).collect()))
-    union = consumed[0]
-    for b in consumed[1:]:
-        union = union.union(b)
+    union = spark.read.parquet(os.path.join(consumed_root, "e*"))
     out = agg(union)
     rows = out.collect()
     if sorted(map(tuple, rows)) != head_rows:

@@ -546,11 +546,14 @@ def test_connected_components_converges_on_30_doc_chain(spark):
     assert rows == {i: 0 for i in range(n)}
 
 
-def test_connected_components_still_raises_past_cap(spark):
-    """The loud non-convergence contract stays: a chain too deep for the
-    given cap must raise, not return non-minimal labels."""
+def test_connected_components_still_raises_past_cap(spark, monkeypatch):
+    """The loud non-convergence contract stays: with the local finish
+    disabled, a chain too deep for the given cap must raise, not return
+    non-minimal labels."""
+    from satellite_data_ingestion_spark import settings
     from satellite_data_ingestion_spark.llm.dedup import connected_components
 
+    monkeypatch.setattr(settings, "CC_LOCAL_EDGES", 0)
     n = 40
     undirected = [(i, i + 1) for i in range(n - 1)]
     edges = spark.createDataFrame(
@@ -561,6 +564,25 @@ def test_connected_components_still_raises_past_cap(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(labels, edges, max_iters=2)
+
+
+def test_connected_components_local_finish_solves_deep_chain(spark):
+    """The local union-find finish: a chain far deeper than the iteration
+    cap converges anyway once the (tiny) quotient graph collects — and
+    every node gets the true component min."""
+    from satellite_data_ingestion_spark.llm.dedup import connected_components
+
+    n = 40
+    undirected = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(
+        undirected + [(b, a) for a, b in undirected], "doc_a long, doc_b long"
+    )
+    labels = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("component_id")
+    )
+    out = connected_components(labels, edges, max_iters=2)
+    got = {r.doc_id: r.component_id for r in out.collect()}
+    assert got == {i: 0 for i in range(n)}
 
 
 def test_rest_catalog_page_index_pruning():

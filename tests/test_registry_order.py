@@ -91,12 +91,19 @@ def test_verified_ordered_oldest_evidence_first():
 def test_stale_cohort_fills_sweep_window():
     """With the r01-r06 evidence on disk, the 50-slot window must be
     spent on the OLDEST evidence: no verified ID in the first 50 slots
-    may be fresher than a verified ID outside them (new, never-swept IDs
-    excepted — they legitimately front)."""
+    may be fresher than a verified ID outside them.  Excepted, because
+    they legitimately front: never-swept IDs, and IDs whose oracle was
+    attached AFTER their last sweep (their hash check has never run —
+    rows-only evidence, any age, is the weaker class)."""
     keys = list(registry.queries())
     latest = registry._latest_green_round()
-    inside = [latest[k][0] for k in keys[:50] if k in latest]
-    outside = [latest[k][0] for k in keys[50:] if k in latest]
+    oracles = registry.oracles()
+
+    def hash_verified(k):
+        return k in latest and not (k in oracles and not latest[k][1])
+
+    inside = [latest[k][0] for k in keys[:50] if hash_verified(k)]
+    outside = [latest[k][0] for k in keys[50:] if hash_verified(k)]
     if inside and outside:
         assert max(inside) <= min(outside)
 
