@@ -47,6 +47,30 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_atomic(staged: str, write) -> str:
+    """Publish a staged fixture directory ATOMICALLY: ``write`` lands in
+    a uuid-suffixed temp dir, then one ``os.rename`` publishes it — the
+    reference's temp-write + rename discipline (``utils/fs.py:21-48``).
+    A concurrent first caller can never observe a half-written staging
+    dir (the old check-then-write could be read mid-write); if a racer
+    published first, the rename fails and our temp copy is discarded."""
+    import os
+    import shutil
+    import uuid
+
+    if os.path.exists(staged):
+        return staged
+    tmp = f"{staged}.tmp-{uuid.uuid4().hex}"
+    write(tmp)
+    try:
+        os.rename(tmp, staged)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(staged):  # not a lost race: real failure
+            raise
+    return staged
+
+
 def _stage_format(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     """Materialize the nation table in another file format under a temp
     dir (once per process) — the fixture for multi-format source scans."""
@@ -57,11 +81,15 @@ def _stage_format(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     staged = os.path.join(
         tempfile.gettempdir(), f"sdis_fmt_{fmt}_{sf_tag}_{os.getpid()}"
     )
-    if not os.path.exists(staged):
-        table(spark, sf_dir, "nation").coalesce(1).write.mode("overwrite").format(
-            fmt
-        ).option("header", "true").save(staged)
-    return staged
+    return _stage_atomic(
+        staged,
+        lambda tmp: table(spark, sf_dir, "nation")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .format(fmt)
+        .option("header", "true")
+        .save(tmp),
+    )
 
 
 _NATION_ORACLE = """
@@ -116,12 +144,16 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = os.path.join(
         tempfile.gettempdir(), f"sdis_fmt_xml_{sf_tag}_{os.getpid()}"
     )
-    if not os.path.exists(staged):
-        table(spark, sf_dir, "nation").coalesce(1).write.mode(
-            "overwrite"
-        ).format("xml").option("rootTag", "nations").option(
-            "rowTag", "nation"
-        ).save(staged)
+    _stage_atomic(
+        staged,
+        lambda tmp: table(spark, sf_dir, "nation")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .save(tmp),
+    )
     return (
         spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
         .option("rowTag", "nation")
@@ -144,16 +176,15 @@ def _stage_day_partitioned(spark: SparkSession, sf_dir: str) -> str:
     staged = os.path.join(
         tempfile.gettempdir(), f"sdis_daypart_{sf_tag}_{os.getpid()}"
     )
-    if not os.path.exists(staged):
-        (
-            table(spark, sf_dir, "events")
-            .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
-            .repartition("day")
-            .write.partitionBy("day")
-            .mode("overwrite")
-            .parquet(staged)
-        )
-    return staged
+    return _stage_atomic(
+        staged,
+        lambda tmp: table(spark, sf_dir, "events")
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .repartition("day")
+        .write.partitionBy("day")
+        .mode("overwrite")
+        .parquet(tmp),
+    )
 
 
 @register(
@@ -293,11 +324,13 @@ def _stage_lineitem_orc(spark: SparkSession, sf_dir: str) -> str:
     staged = os.path.join(
         tempfile.gettempdir(), f"sdis_fmt_orc_li_{sf_tag}_{os.getpid()}"
     )
-    if not os.path.exists(staged):
-        table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
-        ).write.mode("overwrite").orc(staged)
-    return staged
+    return _stage_atomic(
+        staged,
+        lambda tmp: table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+        .write.mode("overwrite")
+        .orc(tmp),
+    )
 
 
 @register(
