@@ -265,3 +265,43 @@ def test_dv_stats_pruning_skips_disjoint_files(spark):
         live, _, _ = t._replay_actions(v)
         with_dv = [p for p, a in live.items() if a.get("deletionVector")]
         assert len(with_dv) == 1  # file 2 ([10,20)) untouched by stats
+
+
+def test_dv_purge_rewrites_and_drops_vectors(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = _make_table(spark, d)  # two files: k in [0,10) and [10,20)
+        t.delete_rows_dv("k", 2, 4)
+        before = sorted(r["k"] for r in t.read().collect())
+        v = t.purge_dvs()
+        live, _, _ = t._replay_actions(v)
+        assert not any(a.get("deletionVector") for a in live.values())
+        # content invariant, and the purged rows are physically gone:
+        assert sorted(r["k"] for r in t.read().collect()) == before
+        paths = [p for p in live]
+        raw = spark.read.parquet(*[os.path.join(d, p) for p in paths]).count()
+        assert raw == len(before)
+        # a second purge is a no-op version-wise
+        assert t.purge_dvs() == v
+
+
+def test_dv_purge_threshold_spares_light_files(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = _make_table(spark, d)
+        t.delete_rows_dv("k", 0, 7)   # file 1: 8/10 rows dead (0.8)
+        t.delete_rows_dv("k", 10, 11)  # file 2: 2/10 rows dead (0.2)
+        v = t.purge_dvs(min_dv_fraction=0.5)
+        live, _, _ = t._replay_actions(v)
+        dv_left = [p for p, a in live.items() if a.get("deletionVector")]
+        assert len(dv_left) == 1  # only the lightly-vectored file remains
+        assert t.read().count() == 10
+
+
+def test_dv_purge_commit_is_invisible_to_consumers(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = _make_table(spark, d)
+        t.delete_rows_dv("k", 2, 4)
+        v = t.purge_dvs()
+        for action in t._actions(v):
+            payload = action.get("add") or action.get("remove")
+            if payload is not None:
+                assert payload.get("dataChange", True) is False
