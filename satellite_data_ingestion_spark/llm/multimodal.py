@@ -2,11 +2,14 @@
 
 Image/audio/video are opaque ``binary`` columns with typed metadata; the
 Spark-side plumbing — schema, Arrow batching, ``mapInPandas`` signature,
-partition-preserving decode — is real and tested.  The actual codec calls
-(PIL/librosa/ffmpeg) are NOT available in this environment, so the decode
-kernel is pluggable: the default is a deterministic fake that derives
-features from the bytes themselves; the library-backed kernels raise
-``NotImplementedError`` at the import boundary (clearly marked stubs).
+partition-preserving decode — is real and tested.  The decode kernel is
+pluggable per MIME type: BMP images and WAV audio decode for REAL with
+pure-``struct`` header parsers (no libraries needed —
+``ext_multimodal_bmp`` / ``ext_multimodal_wav`` pin them against
+relational oracles); compressed formats whose codecs (PIL/librosa/
+ffmpeg) are not in this environment fall back to a deterministic fake
+or raise ``NotImplementedError`` at the import boundary (clearly marked
+stubs).
 
 This mirrors the reference's binary stage: download blob → decode (satpy,
 ``utils/conversion.py:11-13``) → per-band features (``sources/meteosat.py:
@@ -57,6 +60,63 @@ def decode_audio_real(payload: bytes) -> dict:
     raise NotImplementedError("audio codec libraries are not available in this environment")
 
 
+def decode_bmp(payload: bytes) -> dict:
+    """REAL image decode for BMP — pure ``struct`` header parse, no
+    libraries: the BITMAPFILEHEADER magic plus the BITMAPINFOHEADER's
+    little-endian (width, height) at offset 18.  Negative height encodes
+    top-down row order; the dimension is its magnitude."""
+    import struct as _struct
+
+    if bytes(payload[:2]) != b"BM":
+        raise ValueError("not a BMP payload (missing BM magic)")
+    width, height = _struct.unpack_from("<ii", bytes(payload[14 + 4 : 14 + 12]))
+    return {
+        "n_bytes": len(payload),
+        "width": int(width),
+        "height": abs(int(height)),
+        "first_byte": payload[0],
+    }
+
+
+_WAV_FRAME_SAMPLES = 32  # samples per extracted frame window
+
+
+def wav_frames(payload: bytes) -> list[dict]:
+    """REAL audio frame sampler for WAV — pure ``struct`` RIFF chunk
+    walk, no libraries: locate the ``fmt `` chunk's blockAlign and the
+    ``data`` chunk, then emit every ``_SAMPLE_EVERY``-th window of
+    ``_WAV_FRAME_SAMPLES`` samples with its absolute byte offset — the
+    audio twin of video frame sampling (full windows only, like the
+    fake codec's integer division)."""
+    import struct as _struct
+
+    buf = bytes(payload)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    block_align = None
+    data_off = data_len = None
+    off = 12
+    while off + 8 <= len(buf):
+        cid, clen = _struct.unpack_from("<4sI", buf, off)
+        if cid == b"fmt ":
+            block_align = _struct.unpack_from("<H", buf, off + 8 + 12)[0]
+        elif cid == b"data":
+            data_off, data_len = off + 8, int(clen)
+        off += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if block_align is None or data_off is None:
+        raise ValueError("WAV payload missing fmt/data chunk")
+    frame_bytes = _WAV_FRAME_SAMPLES * block_align
+    n_frames = data_len // frame_bytes
+    return [
+        {
+            "frame_idx": k,
+            "frame_offset": data_off + k * frame_bytes,
+            "frame_bytes": frame_bytes,
+        }
+        for k in range(0, n_frames, _SAMPLE_EVERY)
+    ]
+
+
 def decode_fake(payload: bytes) -> dict:
     """Deterministic fake decode: features derived purely from the bytes.
 
@@ -82,8 +142,13 @@ def decode_fake(payload: bytes) -> dict:
 # unmatched falls back to the synthetic default, so pipelines keep
 # running when only some modalities have real codecs.
 
-_FEATURE_CODECS: dict = {"application/octet-stream": decode_fake}
-_FRAME_CODECS: dict = {}
+_FEATURE_CODECS: dict = {
+    "application/octet-stream": decode_fake,
+    "image/bmp": decode_bmp,  # real struct-only header decode
+}
+_FRAME_CODECS: dict = {
+    "audio/x-wav": wav_frames,  # real struct-only RIFF chunk walk
+}
 
 
 def register_codec(mime: str, kernel) -> None:
@@ -102,12 +167,24 @@ def register_frame_codec(mime: str, kernel) -> None:
 
 
 def _sniff_mime(payload: bytes) -> str:
-    """Magic-byte content type (Python-side twin of ext_mime_detect)."""
-    head = bytes(payload[:3]).hex()
-    for sig, name in _MAGIC:
-        if head == sig.replace(" ", ""):
+    """Magic-byte content type (Python-side twin of ext_mime_detect,
+    extended with the codec-routing signatures below — variable-length
+    prefixes, since BMP's usable magic is 2 bytes and RIFF's is 4)."""
+    head = bytes(payload[:4]).hex()
+    for sig, name in list(_MAGIC) + _SNIFF_EXTRA:
+        if head.startswith(sig.replace(" ", "")):
             return name
     return "application/octet-stream"
+
+
+# Codec-routing signatures beyond ext_mime_detect's fixed 3-byte table.
+# RIFF containers other than WAVE (AVI, WebP) would need the 4-byte form
+# tag at offset 8 to disambiguate; the registered WAV kernel validates it
+# and raises on non-WAVE RIFF, so misrouted containers fail loudly.
+_SNIFF_EXTRA = [
+    ("42 4d", "image/bmp"),
+    ("52 49 46 46", "audio/x-wav"),
+]
 
 
 def decoded_features(binary_df: DataFrame, kernel=None) -> DataFrame:
@@ -250,6 +327,104 @@ def ext_multimodal_col(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").cast(BinaryType()).alias("payload")
     )
     return decoded_features(binary_df)
+
+
+@register(
+    "ext_multimodal_bmp",
+    oracle="""
+SELECT doc_id,
+       CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(66 AS BIGINT) AS first_byte
+FROM (SELECT doc_id, doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h
+      FROM documents)
+""",
+)
+def ext_multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: build a valid 24-bit BMP per
+    document (fixture construction in mapInPandas — dimensions derived
+    from doc_id, rows padded to 4 bytes per the format), route it
+    through the codec registry by magic-byte sniff to the struct-only
+    BMP header decoder, and emit typed features.  The oracle recomputes
+    the file geometry relationally — a mis-parsed width/height, wrong
+    row padding, or a blob misrouted to the fake codec (whose width =
+    n_bytes % 640) hash-mismatches."""
+    import struct as _struct
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                w = int(did) % 64 + 1
+                h = int(did) % 48 + 1
+                row = ((3 * w + 3) // 4) * 4  # 24bpp rows pad to 4 bytes
+                size = 54 + row * h
+                hdr = b"BM" + _struct.pack("<IHHI", size, 0, 0, 54)
+                dib = _struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, row * h, 2835, 2835, 0, 0
+                )
+                payloads.append(hdr + dib + bytes(row * h))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    blobs = docs.mapInPandas(build, schema="doc_id long, payload binary")
+    return decoded_features(blobs)
+
+
+@register(
+    "ext_multimodal_wav",
+    oracle=f"""
+SELECT doc_id,
+       k AS frame_idx,
+       CAST(44 + k * {_WAV_FRAME_SAMPLES * 2} AS BIGINT) AS frame_offset,
+       CAST({_WAV_FRAME_SAMPLES * 2} AS BIGINT) AS frame_bytes
+FROM (
+    SELECT doc_id,
+           unnest(range(0, (doc_id % 1000 + 64) // {_WAV_FRAME_SAMPLES},
+                        4)) AS k
+    FROM documents
+)
+""",
+)
+def ext_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio frame sampling end-to-end: build a valid PCM WAV per
+    document (canonical 44-byte RIFF/fmt/data header, mono 16-bit,
+    doc_id-derived sample count), route by RIFF magic to the struct-only
+    chunk walker, and emit every-4th 32-sample frame window with its
+    absolute byte offset.  The oracle recomputes the sampling arithmetic
+    (data starts at offset 44, blockAlign 2) relationally — a wrong
+    chunk walk, blockAlign misparse, or off-by-one frame count
+    hash-mismatches."""
+    import struct as _struct
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                n_samples = int(did) % 1000 + 64
+                data_len = n_samples * 2  # mono, 16-bit PCM
+                hdr = (
+                    b"RIFF"
+                    + _struct.pack("<I", 36 + data_len)
+                    + b"WAVE"
+                    + b"fmt "
+                    + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                    + b"data"
+                    + _struct.pack("<I", data_len)
+                )
+                payloads.append(hdr + bytes(data_len))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    blobs = docs.mapInPandas(build, schema="doc_id long, payload binary")
+    return sampled_frames(blobs)
 
 
 _MAGIC = [

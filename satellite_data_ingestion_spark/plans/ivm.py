@@ -155,3 +155,112 @@ def pipeline_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.round(F.col("price_sum"), 2).alias("sum_price"),
     )
+
+
+@register(
+    "stream_ivm",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+              ELSE o_totalprice END AS p
+  FROM orders WHERE o_orderkey % 3 IN (0, 1)
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, o_totalprice AS p
+  FROM orders WHERE o_orderkey % 3 = 2
+),
+fin AS (SELECT * FROM base WHERE o_orderkey NOT BETWEEN 100 AND 3000)
+SELECT o_orderpriority,
+       count(*)         AS n_orders,
+       round(sum(p), 2) AS sum_price
+FROM fin GROUP BY o_orderpriority
+""",
+)
+def stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized view maintaining ITSELF inside a real Structured
+    Streaming query: the same bulk-load → append → MERGE → DELETE Delta
+    history as ``pipeline_ivm``, but the refresh loop is
+    ``readStream.format("sdis_delta_cdf_stream")`` (one commit per
+    micro-batch) with ``foreachBatch`` folding each batch's change rows
+    into the aggregate — the engine's checkpoint carries the consumer's
+    log-version offset, so a restart resumes mid-history instead of
+    re-folding (double-applied changes would hash-mismatch).
+
+    This is the production deployment shape of IVM at 100 TB: the MV
+    follows an upsert table continuously, each refresh costing O(change
+    volume) with state bounded by group cardinality.  The final MV must
+    hash-match the oracle's from-scratch relational recompute of the
+    table's end state."""
+    import os
+    import tempfile
+
+    from ..sources.python_source import DeltaCdfStreamSource, _register_sources
+
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="sdis_stream_ivm_")
+    t = DeltaLogTable(spark, root, change_data_feed=True)
+    t.commit_append(src.filter(F.col("o_orderkey") % 3 == 0))
+    t.commit_append(src.filter(F.col("o_orderkey") % 3 == 1))
+    upd = (
+        t.read()
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+    )
+    t.commit_merge(
+        upd.unionByName(src.filter(F.col("o_orderkey") % 3 == 2)),
+        keys=["o_orderkey"],
+    )
+    t.commit_delete("o_orderkey", 100, 3000)
+
+    _register_sources(spark)
+    spark.dataSource.register(DeltaCdfStreamSource)
+    state: dict = {"mv": None}
+
+    def fold(df: DataFrame, batch_id: int) -> None:
+        # _apply_changes localCheckpoints the merged MV, so the state
+        # carried across batches is a materialized bounded frame (one
+        # row per group), never a lazy plan over a finished micro-batch.
+        state["mv"] = _apply_changes(
+            state["mv"],
+            df.select("o_orderpriority", "o_totalprice", "_change_type"),
+        )
+        state["n_batches"] = state.get("n_batches", 0) + 1
+
+    ckpt = os.path.join(root, "_ivm_checkpoint")
+    # Continuous-deployment drain (processingTime + processAllAvailable,
+    # the stream_python_datasource pattern): AvailableNow would snapshot
+    # latestOffset ONCE at start, collapsing the per-commit cadence this
+    # query exists to exercise — with versions_per_batch=1 each commit
+    # arrives as its own micro-batch and the MV folds it incrementally.
+    from ..sources.python_source import _drain_with_deadline
+
+    q = (
+        spark.readStream.format("sdis_delta_cdf_stream")
+        .option("path", root)
+        .option("versions_per_batch", 1)
+        .load()
+        .writeStream.foreachBatch(fold)
+        .trigger(processingTime="0 seconds")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        _drain_with_deadline(q, 180)
+    finally:
+        q.stop()
+    if q.exception() is not None:
+        raise q.exception()
+    mv = state["mv"]
+    assert mv is not None, "CDF stream delivered no batches"
+    if state.get("n_batches", 0) < t.latest_version() + 1:
+        raise RuntimeError(
+            f"CDF stream folded {state.get('n_batches')} micro-batches for "
+            f"{t.latest_version() + 1} commits — per-commit cadence lost"
+        )
+    return mv.select(
+        "o_orderpriority",
+        "n_orders",
+        F.round(F.col("price_sum"), 2).alias("sum_price"),
+    )

@@ -1286,6 +1286,77 @@ def test_codec_registry_routes_by_mime_end_to_end(spark):
         mm._FEATURE_CODECS.pop("image/png", None)
 
 
+def test_bmp_decoder_parses_real_headers():
+    """The struct-only BMP decoder against hand-built golden files:
+    exact (width, height), top-down (negative height) normalization,
+    and a loud failure on a non-BMP payload."""
+    import struct
+
+    from satellite_data_ingestion_spark.llm.multimodal import decode_bmp
+
+    def bmp(w, h):
+        row = ((3 * w + 3) // 4) * 4
+        hdr = b"BM" + struct.pack("<IHHI", 54 + row * abs(h), 0, 0, 54)
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, row * abs(h), 2835, 2835, 0, 0
+        )
+        return hdr + dib + bytes(row * abs(h))
+
+    out = decode_bmp(bmp(17, 9))
+    assert (out["width"], out["height"]) == (17, 9)
+    assert out["n_bytes"] == len(bmp(17, 9)) and out["first_byte"] == 0x42
+    assert decode_bmp(bmp(5, -7))["height"] == 7  # top-down BMP
+    with pytest.raises(ValueError, match="BM magic"):
+        decode_bmp(b"PNGnot-a-bmp")
+
+
+def test_wav_frame_sampler_walks_riff_chunks():
+    """The struct-only WAV chunk walker: frames anchor at the data
+    chunk's true offset even with an extra (odd-length, word-aligned)
+    chunk before it; stereo blockAlign doubles the window bytes; a
+    non-WAVE RIFF raises instead of emitting garbage frames."""
+    import struct
+
+    from satellite_data_ingestion_spark.llm.multimodal import (
+        _SAMPLE_EVERY,
+        _WAV_FRAME_SAMPLES,
+        wav_frames,
+    )
+
+    def wav(n_samples, channels=1, extra_chunk=b""):
+        block = 2 * channels
+        data_len = n_samples * block
+        body = (
+            b"fmt "
+            + struct.pack(
+                "<IHHIIHH", 16, 1, channels, 8000, 8000 * block, block, 16
+            )
+            + extra_chunk
+            + b"data"
+            + struct.pack("<I", data_len)
+            + bytes(data_len)
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    frames = wav_frames(wav(320))
+    expect = list(range(0, 320 // _WAV_FRAME_SAMPLES, _SAMPLE_EVERY))
+    assert [f["frame_idx"] for f in frames] == expect
+    assert frames[0]["frame_offset"] == 44  # canonical header size
+    assert frames[0]["frame_bytes"] == _WAV_FRAME_SAMPLES * 2
+
+    # An odd-length LIST chunk before data: word alignment must hold.
+    odd = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    shifted = wav_frames(wav(320, extra_chunk=odd))
+    assert shifted[0]["frame_offset"] == 44 + len(odd)
+    assert [f["frame_idx"] for f in shifted] == expect
+
+    stereo = wav_frames(wav(320, channels=2))
+    assert stereo[0]["frame_bytes"] == _WAV_FRAME_SAMPLES * 4
+
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        wav_frames(b"RIFF\x10\x00\x00\x00AVI LIST")
+
+
 def test_connected_components_identity_start_equivalence(spark):
     """identity_start=True (skip round-1's identity contraction) must
     produce exactly the same labels as the general path on the same
