@@ -150,7 +150,40 @@ def stream_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _drain_to_files(spark, joined, staging, timeout=180)
 
 
-@register("stream_join_outer")  # eviction-timing-bounded → see oracle note
+# Oracle: the final frame IS deterministic — matched pairs emit eagerly
+# for every signup, and null rows emit exactly for unmatched signups whose
+# match window closed strictly before the FINAL global watermark
+# (min(max signup ts, max purchase ts) - 1h; the closing no-data batch
+# flushes evictions below it).  Both populations stated relationally;
+# lag truncates each timestamp to seconds like Spark's unix_timestamp.
+@register(
+    "stream_join_outer",
+    oracle=f"""
+WITH m AS (
+  SELECT max(CASE WHEN event_type = 'signup' THEN ts END) AS ma,
+         max(CASE WHEN event_type = 'purchase' THEN ts END) AS mb
+  FROM events
+),
+wm AS (SELECT least(ma, mb) - INTERVAL 1 HOUR AS w FROM m),
+s AS (SELECT user_id, event_id AS signup_event, ts AS a_ts
+      FROM events WHERE event_type = 'signup'),
+p AS (SELECT user_id, event_id AS purchase_event, ts AS b_ts
+      FROM events WHERE event_type = 'purchase'),
+matched AS (
+  SELECT s.user_id, s.signup_event, p.purchase_event,
+         CAST(floor(epoch(p.b_ts)) - floor(epoch(s.a_ts)) AS BIGINT) AS lag_sec
+  FROM s JOIN p ON s.user_id = p.user_id
+       AND p.b_ts >= s.a_ts AND p.b_ts <= s.a_ts + INTERVAL {_RANGE_MIN} MINUTE
+)
+SELECT * FROM matched
+UNION ALL
+SELECT s.user_id, s.signup_event, NULL, NULL
+FROM s, wm
+WHERE s.a_ts + INTERVAL {_RANGE_MIN} MINUTE < wm.w
+  AND NOT EXISTS (SELECT 1 FROM matched m2
+                  WHERE m2.signup_event = s.signup_event)
+""",
+)
 def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER join: every signup emits — matched with
     its purchases inside the 30-minute window, or ONCE with nulls when
@@ -160,12 +193,12 @@ def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark + time-range bound that the inner variant merely exploits).
 
     Drained under AvailableNow: the closing no-data micro-batch advances
-    the watermark to max(ts) - delay and flushes evictions below it, so
-    signups whose window closed before that final watermark have emitted
-    their null row; signups still inside it remain buffered at shutdown
-    and are withheld — exactly the semantics a restart would resume.
-    Registered rows-only: the emitted-vs-withheld boundary is the state
-    store's eviction instant, which SQL cannot express; the pytest side
+    the watermark to min(max_a, max_b) - delay and flushes evictions
+    strictly below it, so signups whose window closed before that final
+    watermark have emitted their null row; signups still inside it
+    remain buffered at shutdown and are withheld — exactly the semantics
+    a restart would resume, and a DETERMINISTIC boundary the oracle
+    states as a predicate on the final watermark.  The pytest side also
     pins both populations against the batch join (matched rows equal the
     inner join, null rows are exactly the evicted unmatched signups)."""
     _prepare(spark)
