@@ -157,17 +157,86 @@ def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def jaccard_pairs(d: DataFrame) -> DataFrame:
-    """EXACT global token-set Jaccard near-dup join via prefix filtering,
-    over any (doc_id, toks) frame with distinct tokens per doc.
+    """EXACT global token-set Jaccard near-dup join over any (doc_id,
+    toks) frame with distinct tokens per doc: duplicate-set coalescing,
+    then prefix-filtered candidate generation over the UNIQUE sets.
+
+    Stage 0 — COALESCE identical sets (new, round 10): documents with
+    byte-identical token sets are Jaccard-1 pairs by definition, and
+    every near-dup corpus is full of them (exact-dedup-before-near-dedup
+    is the standard pipeline ordering for the same reason).  Group by
+    the sorted token array (exact key — a fingerprint hash could merge
+    distinct sets), elect min-doc_id representatives, run the expensive
+    pair machinery over REPRESENTATIVES only, then expand: within-group
+    member pairs emit jaccard=1.0 directly, and each surviving rep pair
+    expands through both groups' membership (two joins — the group
+    jaccard applies to every member pair).  All expansion volume is true
+    output volume; no candidate is ever verified twice for the same set
+    pair.
+
+    Stage 1 — candidates among unique sets via AllPairs/PPJoin (Bayardo
+    et al. WWW'07, Xiao et al. — public knowledge): see
+    :func:`_unique_set_pairs`.
+    """
+    m, uniq = _coalesce_sets(d)
+    rep_pairs = _unique_set_pairs(uniq)
+    x, y = m.alias("x"), m.alias("y")
+    within = (
+        x.join(
+            y,
+            (F.col("x.rep") == F.col("y.rep"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        ).select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    ma = m.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("a_id"))
+    mb = m.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("b_id"))
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("a_id", "b_id").alias("doc_a"),
+            F.greatest("a_id", "b_id").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    return within.unionByName(cross)
+
+
+def _coalesce_sets(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Duplicate-set coalescing: group docs by their EXACT sorted token
+    array (an exact key — a fingerprint hash could merge distinct sets),
+    elect min-doc_id representatives.  Returns ``(m, uniq)`` — the
+    membership map (doc_id, rep) as a TABLE (never a collected array: a
+    hot exact-duplicate set stays a join bucket, not driver memory) and
+    the unique-set frame (doc_id=rep, toks)."""
+    canon = d.select(
+        "doc_id", F.array_sort("toks").alias("toks")
+    ).localCheckpoint(eager=False)
+    groups = canon.groupBy("toks").agg(F.min("doc_id").alias("rep"))
+    m = (
+        canon.join(groups, "toks")
+        .select("doc_id", "rep")
+        .localCheckpoint(eager=False)
+    )
+    uniq = groups.select(F.col("rep").alias("doc_id"), "toks")
+    return m, uniq
+
+
+def _unique_set_pairs(d: DataFrame) -> DataFrame:
+    """Prefix-filtered exact Jaccard pair join over a (doc_id, toks)
+    frame of UNIQUE token sets (each sorted, distinct per doc).
 
     Classic AllPairs/PPJoin candidate generation (Bayardo et al., WWW'07
     — public knowledge): fix a global total order on tokens (ascending
     document frequency, token string as tie-break) and index only each
-    document's PREFIX — its first ``n - ceil(t*n) + 1`` tokens in that
-    order.  Two sets with Jaccard >= t MUST share at least one prefix
-    token (the minimal common token under the global order sits inside
-    both prefixes), so joining on prefix tokens has 100% recall;
-    everything the join surfaces is then verified with exact Jaccard.
+    document's PREFIX in that order.  Two sets with Jaccard >= t MUST
+    share their minimal common token inside both prefixes, so joining on
+    prefix tokens has 100% recall; everything the join surfaces is then
+    verified with exact Jaccard.
 
     Scale properties: all-pairs semantics are preserved exactly, but the
     plan's only pairwise stage is keyed on *rare* tokens (df-ascending
@@ -217,19 +286,32 @@ def jaccard_pairs(d: DataFrame) -> DataFrame:
             F.size("ordered").alias("n"),
         )
     )
-    # Integer-exact prefix length: ceil(t*n) = (NUM*n + DEN-1) div DEN for
-    # t = NUM/DEN (the general ceil identity — not +NUM, which only
-    # coincides when NUM = DEN-1).  Floating 0.9*n can land ABOVE exact
-    # t*n (0.9*20 = 18.000000000000004), whose ceil would shorten the
-    # prefix and lose recall, so the quotient uses SQL integer `div`.
+    # Integer-exact prefix lengths, ceil(x/y) = (x + y - 1) div y.  Two
+    # DISTINCT prefixes per doc (Xiao et al.'s PPJoin asymmetry — public
+    # knowledge): the PROBING prefix n - ceil(t*n) + 1, and the shorter
+    # INDEXING prefix n - ceil(2t/(1+t) * n) + 1.  A pair with J >= t
+    # must share its minimal common token w inside the smaller set's
+    # indexing prefix AND the larger set's probing prefix (suffix-size
+    # counting: commons o >= ceil(2t/(1+t)*min) exceed the tokens after
+    # the indexing prefix, and o >= ceil(t*max) via the length filter
+    # exceeds those after the probing prefix) — so joining probe-side
+    # rows against index-side rows of (n, doc_id)-SMALLER docs keeps
+    # 100% recall while indexing ~half the rows t=0.9 would otherwise
+    # index, and surfacing each unordered pair exactly once.  Floating
+    # 0.9*n can land ABOVE exact t*n (0.9*20 = 18.000000000000004),
+    # whose ceil would shorten the prefix and lose recall, hence the
+    # integer `div` forms.
     ceil_tn = F.expr(f"({_J_NUM} * n + {_J_DEN} - 1) div {_J_DEN}")
     prefix_len = F.col("n") - ceil_tn + 1
+    nd = _J_NUM + _J_DEN
+    ceil_2t = F.expr(f"(2 * {_J_NUM} * n + {nd} - 1) div {nd}")
+    idx_len = F.col("n") - ceil_2t + 1
     # Join key is the 8-byte xxhash64 of the prefix token, not the string:
     # equal tokens always hash equal, so candidate RECALL is exactly
     # preserved (a cross-token collision can only ADD a candidate, which
     # exact verification then rejects) — while the self-join's shuffle
     # carries fixed-width longs and its key comparisons skip string
-    # hashing.  Verification below still intersects the true STRING sets.
+    # hashing.  Verification below still intersects the true sets.
     prefixes = sized.select(
         "doc_id",
         "n",
@@ -242,8 +324,8 @@ def jaccard_pairs(d: DataFrame) -> DataFrame:
     # then join it to itself".
     prefixes = prefixes.localCheckpoint(eager=False)
 
-    a = prefixes.alias("a")
-    b = prefixes.alias("b")
+    a = prefixes.alias("a")  # probe side: full probing prefix
+    b = prefixes.filter(F.col("pos") < idx_len).alias("b")  # index side
     na, nb = F.col("a.n"), F.col("b.n")
     # Necessary length condition for J >= t, integer-exact: DEN*min >= NUM*max.
     length_ok = F.lit(_J_DEN) * F.least(na, nb) >= F.lit(_J_NUM) * F.greatest(na, nb)
@@ -254,21 +336,29 @@ def jaccard_pairs(d: DataFrame) -> DataFrame:
     # for a true pair the MINIMAL common token's row always passes (all
     # its common tokens sit at or after it in the global order), and the
     # distinct() keeps a pair if any row survives.
-    nd = _J_NUM + _J_DEN
     # ceil via the +(nd-1) identity; floor-of-double-divide is exact here:
     # the operands are exact integers << 2^53 and a non-integer quotient
     # sits at least 1/nd away from any integer — far outside one ulp.
     alpha = F.floor((F.lit(_J_NUM) * (na + nb) + F.lit(nd - 1)) / F.lit(nd))
     pos_ok = F.least(na - F.col("a.pos"), nb - F.col("b.pos")) >= alpha
+    # The indexed doc must be the (n, doc_id)-SMALLER of the pair — the
+    # total order under which the indexing-prefix bound holds (the
+    # smaller set is the one whose shorter prefix must contain w).
+    idx_smaller = (nb < na) | (
+        (nb == na) & (F.col("b.doc_id") < F.col("a.doc_id"))
+    )
     cand = (
         a.join(
             b,
             (F.col("a.ptok") == F.col("b.ptok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & idx_smaller
             & length_ok
             & pos_ok,
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
         .distinct()
     )
 
@@ -943,24 +1033,40 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Distributed via :func:`connected_components` (min-label propagation
     with pointer doubling — O(log diameter) rounds, each one shuffle-join
-    on doc_id plus a label self-join).  The oracle computes the same
-    components via a recursive-CTE transitive closure, so the iterative
-    distributed algorithm is value-checked against a declarative
+    on doc_id plus a label self-join) over the REPRESENTATIVE graph:
+    identical-set groups are Jaccard-1 cliques hanging off their rep, so
+    the component structure of the full ~1M-pair member graph equals the
+    rep graph's, and every member inherits its rep's component label
+    through one membership join — the member-pair expansion is never
+    materialized at all.  The component min transfers exactly: rep = min
+    doc_id of its group, so min over a component's reps = min over its
+    docs.  The oracle computes the same components via a recursive-CTE
+    transitive closure over the FULL pair predicate, so the coalescing +
+    iterative algorithm is value-checked against a declarative
     fixpoint."""
+    m, uniq = _coalesce_sets(
+        _token_sets(spark, sf_dir).select("doc_id", "toks")
+    )
     # Materialize the expensive pair join ONCE before the both-directions
     # union: the union's two branches each embed the full prefix-filtered
     # join plan, and whole-plan exchange reuse is not guaranteed across
     # them — without this the join can execute twice inside the CC edge
     # checkpoint.
-    pairs = _checkpoint_reset_stats(
-        ext_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    rep_pairs = _checkpoint_reset_stats(
+        _unique_set_pairs(uniq).select("doc_a", "doc_b")
     )
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    reps = uniq.select("doc_id")
     # Star pre-contraction: collapse clique-shaped clusters through the
     # keep-first mapping before the iterative loop — CC then runs over
-    # the few residual star-to-star edges instead of ~1M raw pairs.
-    labels0, edges = star_precontract(docs, pairs)
-    labels = connected_components(labels0, edges)
+    # the few residual star-to-star edges instead of the raw rep pairs.
+    labels0, edges = star_precontract(reps, rep_pairs)
+    rep_labels = connected_components(labels0, edges)
+    labels = m.join(
+        rep_labels.select(
+            F.col("doc_id").alias("rep"), "component_id"
+        ),
+        "rep",
+    )
     return labels.select(
         "doc_id",
         "component_id",
