@@ -179,7 +179,15 @@ def jaccard_pairs(d: DataFrame) -> DataFrame:
     :func:`_unique_set_pairs`.
     """
     m, uniq = _coalesce_sets(d)
-    rep_pairs = _unique_set_pairs(uniq)
+    return _expand_coalesced(m, _unique_set_pairs(uniq))
+
+
+def _expand_coalesced(m: DataFrame, rep_pairs: DataFrame) -> DataFrame:
+    """Expand representative-level pairs back to member-level pairs:
+    within-group member pairs ARE Jaccard-1 (identical sets) and emit
+    directly; each rep pair's jaccard applies to every (member_a,
+    member_b) combination.  Both expansions are joins over the
+    membership table — output-proportional, nothing collected."""
     x, y = m.alias("x"), m.alias("y")
     within = (
         x.join(
@@ -486,8 +494,17 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     and paid three band exchanges), windowed bucket stats, and per-row
     pair emission whose memory is bounded at any bucket size — no row or
     aggregation buffer ever holds a quadratic pair array, and hot
-    buckets are never collected at all (see the helper's docstring)."""
-    d = minhash_signatures(_token_sets(spark, sf_dir))
+    buckets are never collected at all (see the helper's docstring).
+
+    Identical token sets COALESCE before any of this (round 10, same
+    stage 0 as :func:`jaccard_pairs`): byte-identical sets always carry
+    identical signatures and land in the same buckets, so signing,
+    banding, and verifying them per-copy is pure waste — reps carry the
+    LSH machinery, within-group member pairs emit jaccard=1.0 exactly
+    (recall for them becomes 1.0 by construction), and surviving rep
+    pairs expand through the membership tables."""
+    m, uniq = _coalesce_sets(_token_sets(spark, sf_dir).select("doc_id", "toks"))
+    d = minhash_signatures(uniq)
 
     band_structs = ",".join(
         "struct({b} AS band_id, xxhash64(concat_ws(',', {parts})) AS band_key)".format(
@@ -511,10 +528,10 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (this operator is rows-only; recall is pinned vs exact string
     # Jaccard in tests).  Fixed-width longs intersect far faster than
     # variable-length strings and shrink the verify-join shuffle.
-    hsets = _token_sets(spark, sf_dir).select(
+    hsets = uniq.select(
         "doc_id", F.expr("transform(toks, t -> xxhash64(t))").alias("hs")
     )
-    return _verify_exact_jaccard(cand, hsets, "hs")
+    return _expand_coalesced(m, _verify_exact_jaccard(cand, hsets, "hs"))
 
 
 _SIMHASH_BITS = 64
