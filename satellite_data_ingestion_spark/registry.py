@@ -100,7 +100,9 @@ _SURVEY2_BASE_IDS = [
     "ext_dedup_exact", "ext_sim_cosine", "ext_text_stats", "ext_multimodal_col",
     # -- tier B: SQL-oracle, real micro-batch streams --
     "sink_atomic_state", "stream_tumbling", "stream_sliding", "stream_session",
-    # -- tier C: rows-only --
+    # -- tier C: originally rows-only (round 10 attached oracles to all
+    # but agg_approx_distinct and ext_dedup_minhash, which stay rows-only
+    # by design: sketch/LSH outputs have no SQL twin) --
     "scan_binary", "source_rate_incremental", "agg_approx_distinct",
     "fn_urlencode", "ext_dedup_minhash",
     "stream_trigger", "stream_watermark", "stream_dedup_state", "stream_recovery",
