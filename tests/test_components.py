@@ -355,8 +355,15 @@ def test_prefix_filter_exact_at_threshold_boundaries(spark):
     df = spark.createDataFrame(
         [(k, sorted(v)) for k, v in docs.items()], "doc_id int, toks array<string>"
     )
-    got = {(r.doc_a, r.doc_b) for r in jaccard_pairs(df).collect()}
+    rows = jaccard_pairs(df).collect()
+    got = {(r.doc_a, r.doc_b) for r in rows}
     assert got == _brute_jaccard_pairs(docs)
+    # VALUES too, not just the pair set — the coalesced within-group path
+    # emits a literal 1.0 that must agree with the brute ratio.
+    for r in rows:
+        inter = len(docs[r.doc_a] & docs[r.doc_b])
+        union = len(docs[r.doc_a] | docs[r.doc_b])
+        assert r.jaccard == round(inter / union, 4), (r.doc_a, r.doc_b)
 
 
 def test_prefix_filter_matches_brute_force_on_random_corpus(spark):
@@ -390,8 +397,13 @@ def test_prefix_filter_matches_brute_force_on_random_corpus(spark):
     df = spark.createDataFrame(
         [(k, sorted(v)) for k, v in docs.items()], "doc_id int, toks array<string>"
     )
-    got = {(r.doc_a, r.doc_b) for r in jaccard_pairs(df).collect()}
+    rows = jaccard_pairs(df).collect()
+    got = {(r.doc_a, r.doc_b) for r in rows}
     assert got == _brute_jaccard_pairs(docs)
+    for r in rows:
+        inter = len(docs[r.doc_a] & docs[r.doc_b])
+        union = len(docs[r.doc_a] | docs[r.doc_b])
+        assert r.jaccard == round(inter / union, 4), (r.doc_a, r.doc_b)
 
 
 def test_cosine_zero_norm_vector_yields_null_not_crash(spark):
