@@ -87,6 +87,13 @@ HEADLINE = [
     "sink_delta_dv",
     "source_delta_diff",
     "sink_delta_scd2",
+    # Round 10's own additions get signal from day one (the r08 lesson:
+    # un-benched additions hide regressions for two rounds).
+    "sink_delta_dv_purge",
+    "stream_ivm",
+    "ext_multimodal_bmp",
+    "ext_multimodal_wav",
+    "stream_join_outer",
 ]
 
 
