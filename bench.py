@@ -94,6 +94,7 @@ HEADLINE = [
     "ext_multimodal_bmp",
     "ext_multimodal_wav",
     "stream_join_outer",
+    "ext_dedup_cluster_incremental",
 ]
 
 

@@ -31,6 +31,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 from pyspark.sql.window import Window
 
+from typing import Optional
+
 from .. import settings
 from ..catalog import table
 from ..registry import register
@@ -234,7 +236,9 @@ def _coalesce_sets(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     return m, uniq
 
 
-def _unique_set_pairs(d: DataFrame) -> DataFrame:
+def _unique_set_pairs(
+    d: DataFrame, probe_ids: Optional[DataFrame] = None
+) -> DataFrame:
     """Prefix-filtered exact Jaccard pair join over a (doc_id, toks)
     frame of UNIQUE token sets (each sorted, distinct per doc).
 
@@ -245,6 +249,17 @@ def _unique_set_pairs(d: DataFrame) -> DataFrame:
     share their minimal common token inside both prefixes, so joining on
     prefix tokens has 100% recall; everything the join surfaces is then
     verified with exact Jaccard.
+
+    ``probe_ids`` (a (doc_id) frame) switches to INCREMENTAL mode: only
+    pairs with at least one probe-side doc are emitted — the batch-vs-
+    corpus shape, where pairwise work is probe-proportional and
+    standing-standing pairs (already known) are never regenerated.  In
+    this mode BOTH sides carry the full probing prefix (the shorter
+    indexing prefix is only sound for the (n, doc_id)-smaller side of a
+    pair, and a standing partner may be either side), and the dedup
+    constraint becomes "index side is standing, or is a probe doc
+    ordered below the probing doc" so every qualifying pair surfaces
+    exactly once.
 
     Scale properties: all-pairs semantics are preserved exactly, but the
     plan's only pairwise stage is keyed on *rare* tokens (df-ascending
@@ -320,11 +335,18 @@ def _unique_set_pairs(d: DataFrame) -> DataFrame:
     # exact verification then rejects) — while the self-join's shuffle
     # carries fixed-width longs and its key comparisons skip string
     # hashing.  Verification below still intersects the true sets.
+    if probe_ids is not None:
+        mark = probe_ids.select("doc_id", F.lit(True).alias("is_probe"))
+        sized = sized.join(mark, "doc_id", "left").withColumn(
+            "is_probe", F.coalesce("is_probe", F.lit(False))
+        )
+    prefix_cols = ["doc_id", "n"] + (
+        ["is_probe"] if probe_ids is not None else []
+    )
     prefixes = sized.select(
-        "doc_id",
-        "n",
+        *prefix_cols,
         F.posexplode(F.slice("toks", F.lit(1), prefix_len)).alias("pos", "ptok"),
-    ).select("doc_id", "n", "pos", F.xxhash64("ptok").alias("ptok"))
+    ).select(*prefix_cols, "pos", F.xxhash64("ptok").alias("ptok"))
     # Materialize the prefix index ONCE (lazy localCheckpoint): the
     # self-join below otherwise re-derives the whole df-map + re-sort
     # pipeline on BOTH sides — Spark plans no ReusedExchange across the
@@ -332,8 +354,15 @@ def _unique_set_pairs(d: DataFrame) -> DataFrame:
     # then join it to itself".
     prefixes = prefixes.localCheckpoint(eager=False)
 
-    a = prefixes.alias("a")  # probe side: full probing prefix
-    b = prefixes.filter(F.col("pos") < idx_len).alias("b")  # index side
+    if probe_ids is None:
+        a = prefixes.alias("a")  # probe side: full probing prefix
+        b = prefixes.filter(F.col("pos") < idx_len).alias("b")  # index side
+    else:
+        # Incremental mode: probe only batch docs; index EVERY doc with
+        # the full probing prefix (see docstring for why the shortened
+        # indexing prefix is unsound here).
+        a = prefixes.filter(F.col("is_probe")).alias("a")
+        b = prefixes.alias("b")
     na, nb = F.col("a.n"), F.col("b.n")
     # Necessary length condition for J >= t, integer-exact: DEN*min >= NUM*max.
     length_ok = F.lit(_J_DEN) * F.least(na, nb) >= F.lit(_J_NUM) * F.greatest(na, nb)
@@ -355,11 +384,21 @@ def _unique_set_pairs(d: DataFrame) -> DataFrame:
     idx_smaller = (nb < na) | (
         (nb == na) & (F.col("b.doc_id") < F.col("a.doc_id"))
     )
+    if probe_ids is None:
+        pair_once = idx_smaller
+    else:
+        # Incremental mode: a standing index doc always qualifies (the
+        # probe doc is the pair's unique probe endpoint... unless both
+        # are probes, where the (n, doc_id) order dedups); never
+        # self-pair.
+        pair_once = (
+            (~F.col("b.is_probe")) | idx_smaller
+        ) & (F.col("a.doc_id") != F.col("b.doc_id"))
     cand = (
         a.join(
             b,
             (F.col("a.ptok") == F.col("b.ptok"))
-            & idx_smaller
+            & pair_once
             & length_ok
             & pos_ok,
         )
@@ -1010,9 +1049,9 @@ def connected_components(
         )
     return labels
 
-@register(
-    "ext_dedup_cluster",
-    oracle=f"""
+# Shared by ext_dedup_cluster and its incremental twin: both must equal
+# the from-scratch transitive closure of the full pair graph.
+_CLUSTER_ORACLE = f"""
 WITH RECURSIVE
 d AS (
   SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks
@@ -1040,8 +1079,10 @@ SELECT doc_id,
        doc_id = least(doc_id, coalesce(min(dst), doc_id)) AS is_canonical
 FROM documents LEFT JOIN reach ON src = doc_id
 GROUP BY doc_id
-""",
-)
+"""
+
+
+@register("ext_dedup_cluster", oracle=_CLUSTER_ORACLE)
 def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup clustering: connected components over the near-dup
     pair graph, each document labeled with its component's min doc_id and
@@ -1061,9 +1102,109 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive closure over the FULL pair predicate, so the coalescing +
     iterative algorithm is value-checked against a declarative
     fixpoint."""
-    m, uniq = _coalesce_sets(
+    labels = _cluster_token_sets(
         _token_sets(spark, sf_dir).select("doc_id", "toks")
     )
+    return labels.select(
+        "doc_id",
+        "component_id",
+        (F.col("doc_id") == F.col("component_id")).alias("is_canonical"),
+    )
+
+
+@register("ext_dedup_cluster_incremental", oracle=_CLUSTER_ORACLE)
+def ext_dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL transitive dedup clustering: a standing corpus
+    (doc_id % 5 != 0) already carries component labels; a new batch
+    (doc_id % 5 == 0) arrives and the clustering is UPDATED — only pairs
+    touching the batch are generated (``_unique_set_pairs`` in
+    probe/index mode: probe = batch, index = whole corpus), the standing
+    labels seed connected components, and the new edges contract through
+    them, so batch docs join existing clusters and — the hard case — a
+    batch doc similar to two previously-separate clusters MERGES them.
+    Standing-standing pairwise work is never repeated: the pair stage is
+    batch-proportional, which is the only clustering a 100 TB corpus
+    under continuous ingest can afford (a from-scratch recluster per
+    batch would re-pay the whole corpus's candidate join every cycle).
+
+    The oracle is the from-scratch recursive-CTE closure over the FULL
+    corpus — the incremental result must be indistinguishable from
+    reclustering everything, the no-drift contract (a missed merge, a
+    stale standing label, or a double-counted edge hash-mismatches).
+    Seeding-correctness invariants: standing labels satisfy label(x) <=
+    x and label values are in-component (CC's flatten preconditions),
+    and the standing component min is the global min for components the
+    batch does not touch; touched components re-minimize through the
+    hook rounds."""
+    import os
+    import tempfile
+
+    from ..operators.scans import _stage_atomic
+
+    toks = _token_sets(spark, sf_dir).select("doc_id", "toks")
+    standing = toks.filter(F.col("doc_id") % 5 != 0)
+    batch = toks.filter(F.col("doc_id") % 5 == 0)
+    # The steady-state artifact: standing labels are a STORED table in
+    # production (the previous cycle's sink).  Stage them once per
+    # process (atomic temp+rename, the *_indexed convention: the
+    # one-time build lands in the plan-warm call; steady-state calls
+    # read the artifact) — the timed cost is the incremental update.
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    staged = os.path.join(
+        tempfile.gettempdir(), f"sdis_standing_labels_{sf_tag}_{os.getpid()}"
+    )
+    _stage_atomic(
+        staged,
+        lambda tmp: _cluster_token_sets(standing).write.parquet(tmp),
+    )
+    standing_labels = spark.read.parquet(staged)
+    # Batch-proportional new edges: every J >= t pair with a batch doc on
+    # at least one side, none between two standing docs.
+    new_pairs = _checkpoint_reset_stats(
+        _unique_set_pairs(toks, probe_ids=batch.select("doc_id")).select(
+            "doc_a", "doc_b"
+        )
+    )
+    edges = new_pairs.union(
+        new_pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    # Star-seed BATCH labels with each batch doc's min new-pair partner
+    # (the edge (star, b) exists, so the seed is a contraction of a real
+    # edge) — batch cliques collapse before the first CC round.  STANDING
+    # labels must stay untouched: a standing doc's label IS its
+    # component linkage, and rewriting it to a newly-arrived neighbor
+    # orphans every component member that pointed at it (found live: doc
+    # 316's standing pointer to 207 replaced by batch star 120 left 207
+    # stranded while 316 merged on without it).
+    rep = new_pairs.groupBy(F.col("doc_b").alias("doc_id")).agg(
+        F.min("doc_a").alias("star")
+    )
+    batch_labels = (
+        batch.select("doc_id")
+        .join(rep, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("star", F.col("doc_id")).alias("component_id"),
+        )
+    )
+    labels0 = standing_labels.unionByName(batch_labels)
+    labels = connected_components(labels0, edges)
+    return labels.select(
+        "doc_id",
+        "component_id",
+        (F.col("doc_id") == F.col("component_id")).alias("is_canonical"),
+    )
+
+
+def _cluster_token_sets(toks: DataFrame) -> DataFrame:
+    """Transitive near-dup components of a (doc_id, toks) frame:
+    coalesce identical sets, pair the unique sets, star-pre-contract,
+    run CC over the rep graph, and push labels back through the
+    membership map.  Returns (doc_id, component_id) with component_id =
+    the component's min doc_id."""
+    m, uniq = _coalesce_sets(toks)
     # Materialize the expensive pair join ONCE before the both-directions
     # union: the union's two branches each embed the full prefix-filtered
     # join plan, and whole-plan exchange reuse is not guaranteed across
@@ -1078,17 +1219,10 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the few residual star-to-star edges instead of the raw rep pairs.
     labels0, edges = star_precontract(reps, rep_pairs)
     rep_labels = connected_components(labels0, edges)
-    labels = m.join(
-        rep_labels.select(
-            F.col("doc_id").alias("rep"), "component_id"
-        ),
+    return m.join(
+        rep_labels.select(F.col("doc_id").alias("rep"), "component_id"),
         "rep",
-    )
-    return labels.select(
-        "doc_id",
-        "component_id",
-        (F.col("doc_id") == F.col("component_id")).alias("is_canonical"),
-    )
+    ).select("doc_id", "component_id")
 
 
 @register(

@@ -1369,6 +1369,75 @@ def test_wav_frame_sampler_walks_riff_chunks():
         wav_frames(b"RIFF\x10\x00\x00\x00AVI LIST")
 
 
+def test_incremental_cluster_merges_standing_components(spark):
+    """The hard incremental case: a batch doc similar to docs in TWO
+    previously-separate standing components must merge them — all three
+    docs land in one component keyed by the global min id, with the
+    pair stage probing only the batch."""
+    from satellite_data_ingestion_spark.llm.dedup import (
+        _cluster_token_sets,
+        _unique_set_pairs,
+        connected_components,
+    )
+
+    a = [f"a{i}" for i in range(1, 10)]  # 9 shared tokens
+    docs = {
+        1: a + ["extraA"],      # standing comp {1}:  J(1,2) = 9/11 < 0.9
+        2: a + ["extraB"],      # standing comp {2}
+        10: list(a),            # batch doc: J(10,1) = J(10,2) = 9/10 = 0.9
+        3: ["unrelated", "tokens", "entirely"],  # untouched standing comp
+    }
+    toks = spark.createDataFrame(
+        [(k, sorted(set(v))) for k, v in docs.items()],
+        "doc_id long, toks array<string>",
+    )
+    standing = toks.filter(F.col("doc_id") != 10)
+    batch = toks.filter(F.col("doc_id") == 10)
+    standing_labels = _cluster_token_sets(standing)
+    assert {
+        (r.doc_id, r.component_id) for r in standing_labels.collect()
+    } == {(1, 1), (2, 2), (3, 3)}  # 1 and 2 genuinely separate
+    new_pairs = _unique_set_pairs(
+        toks, probe_ids=batch.select("doc_id")
+    ).select("doc_a", "doc_b")
+    got_pairs = {(r.doc_a, r.doc_b) for r in new_pairs.collect()}
+    assert got_pairs == {(1, 10), (2, 10)}  # batch-touching pairs only
+    edges = new_pairs.union(
+        new_pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    labels0 = standing_labels.unionByName(
+        batch.select("doc_id", F.col("doc_id").alias("component_id"))
+    )
+    final = {
+        (r.doc_id, r.component_id)
+        for r in connected_components(labels0, edges).collect()
+    }
+    assert final == {(1, 1), (2, 1), (10, 1), (3, 3)}
+
+
+def test_incremental_cluster_equals_from_scratch(spark):
+    """ext_dedup_cluster_incremental over the sf0.001 corpus must equal
+    ext_dedup_cluster run from scratch, row for row."""
+    from satellite_data_ingestion_spark.llm.dedup import (
+        ext_dedup_cluster,
+        ext_dedup_cluster_incremental,
+    )
+    from tests.conftest import SF_SMOKE
+
+    sf = SF_SMOKE
+    full = {
+        (r.doc_id, r.component_id, r.is_canonical)
+        for r in ext_dedup_cluster(spark, sf).collect()
+    }
+    inc = {
+        (r.doc_id, r.component_id, r.is_canonical)
+        for r in ext_dedup_cluster_incremental(spark, sf).collect()
+    }
+    assert inc == full
+
+
 def test_connected_components_identity_start_equivalence(spark):
     """identity_start=True (skip round-1's identity contraction) must
     produce exactly the same labels as the general path on the same
