@@ -95,6 +95,7 @@ HEADLINE = [
     "ext_multimodal_wav",
     "stream_join_outer",
     "ext_dedup_cluster_incremental",
+    "ext_dedup_embedding_cluster_incremental",
 ]
 
 

@@ -238,8 +238,18 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """,
 )
 def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry: tiled exact near-dup pair join over the whole
+    embeddings table (see :func:`_embedding_self_pairs`)."""
+    return _embedding_self_pairs(spark, sf_dir)
+
+
+def _embedding_self_pairs(
+    spark: SparkSession, sf_dir: str, where=None
+) -> DataFrame:
     """Embedding-cosine near-dup pairs within each label, executed as a
-    TILED self-join so no task ever owns an unbounded group.
+    TILED self-join so no task ever owns an unbounded group.  ``where``
+    (an optional Column predicate) restricts BOTH sides — the standing
+    subset of the incremental clustering builds on this.
 
     Exact dense-vector threshold joins at this similarity regime (the
     corpus' true near-dup pairs sit at cos 0.3-0.5, where sign-LSH bucket
@@ -290,6 +300,9 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("v"),
         F.pmod(F.xxhash64("vec_id"), F.lit(_TILE_P)).cast("int").alias("chunk"),
     )
+    if where is not None:
+        emb = emb.filter(where)
+        emb_r = emb_r.filter(where)
     slots = F.explode(F.array(*[F.lit(i) for i in range(_TILE_P)]))
     a = emb.select(
         "label", F.col("chunk").alias("ti"), slots.alias("tj"), "vec_id", "v"
@@ -435,9 +448,9 @@ def ext_sim_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ext_dedup_embedding_cluster",
-    oracle=f"""
+# Shared by ext_dedup_embedding_cluster and its incremental twin: both
+# must equal the from-scratch transitive closure of the full pair graph.
+_EMB_CLUSTER_ORACLE = f"""
 WITH RECURSIVE
 pairs AS (
   SELECT a.vec_id AS a, b.vec_id AS b
@@ -461,8 +474,10 @@ SELECT vec_id,
        vec_id = least(vec_id, coalesce(min(dst), vec_id)) AS is_canonical
 FROM embeddings LEFT JOIN reach ON src = vec_id
 GROUP BY vec_id
-""",
-)
+"""
+
+
+@register("ext_dedup_embedding_cluster", oracle=_EMB_CLUSTER_ORACLE)
 def ext_dedup_embedding_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup at CLUSTER granularity: connected components over
     the embedding near-dup pair graph, every vector labeled with its
@@ -496,6 +511,163 @@ def ext_dedup_embedding_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the iterative loop ever runs.
     labels0, edges = star_precontract(vecs, pairs)
     labels = connected_components(labels0, edges)
+    return labels.select(
+        F.col("doc_id").alias("vec_id"),
+        "component_id",
+        (F.col("doc_id") == F.col("component_id")).alias("is_canonical"),
+    )
+
+
+def _embedding_probe_pairs(
+    spark: SparkSession, sf_dir: str, probe_where, batch_flag
+) -> DataFrame:
+    """Asymmetric tiled near-dup join: PROBE side = the rows matching
+    ``probe_where`` (the arriving batch), INDEX side = the whole corpus
+    with ``batch_flag`` (a Column) marking probe members.  Emits every
+    J-qualifying (cos >= threshold) pair with at least one probe vector,
+    exactly once (probe×standing always from the probe row; probe×probe
+    deduped by vec_id order in the kernel), normalized doc_a < doc_b.
+    Same bounded-tile scale shape as the self-join: pairwise work is
+    probe-rows × corpus / tiles, never corpus²."""
+    from ..catalog import table_fresh
+
+    left = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("v"),
+            F.pmod(F.xxhash64("vec_id"), F.lit(_TILE_P)).cast("int").alias("chunk"),
+        )
+        .filter(probe_where)
+    )
+    right = table_fresh(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(_TILE_P)).cast("int").alias("chunk"),
+        batch_flag.cast("boolean").alias("is_probe"),
+    )
+    slots = F.explode(F.array(*[F.lit(i) for i in range(_TILE_P)]))
+    a = left.select(
+        "label", F.col("chunk").alias("ti"), slots.alias("tj"), "vec_id", "v"
+    )
+    b = right.select(
+        "label",
+        slots.alias("ti"),
+        F.col("chunk").alias("tj"),
+        "vec_id",
+        "v",
+        "is_probe",
+    )
+
+    def probe_tile_pairs(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        if len(lf) == 0 or len(rf) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                }
+            )
+        A = np.array(lf["v"].tolist(), dtype=np.float64)
+        B = np.array(rf["v"].tolist(), dtype=np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        qids = lf["vec_id"].to_numpy()
+        nids = rf["vec_id"].to_numpy()
+        nprobe = rf["is_probe"].to_numpy(dtype=bool)
+        S = A @ B.T
+        # Keep each qualifying pair once: a standing index row always
+        # pairs with its probe row; a probe index row only when id-above
+        # (which also kills the self-pair).
+        keep = (S >= _NEAR_DUP_COS) & (
+            (~nprobe[None, :]) | (nids[None, :] > qids[:, None])
+        )
+        ia, ib = np.where(keep)
+        lo = np.minimum(qids[ia], nids[ib])
+        hi = np.maximum(qids[ia], nids[ib])
+        return pd.DataFrame({"doc_a": lo, "doc_b": hi})
+
+    return (
+        a.groupBy("label", "ti", "tj")
+        .cogroup(b.groupBy("label", "ti", "tj"))
+        .applyInPandas(probe_tile_pairs, "doc_a long, doc_b long")
+    )
+
+
+@register("ext_dedup_embedding_cluster_incremental", oracle=_EMB_CLUSTER_ORACLE)
+def ext_dedup_embedding_cluster_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL semantic clustering — the embedding twin of
+    ``ext_dedup_cluster_incremental``: standing vectors (vec_id % 5 != 0)
+    keep their component labels as a stored artifact; an arriving batch
+    (vec_id % 5 == 0) generates only batch-touching cosine pairs (the
+    asymmetric tiled GEMM above — probe-proportional, never corpus²),
+    the standing labels seed connected components, and new edges
+    contract through them, merging previously-separate semantic
+    clusters when a batch vector bridges them.  Star seeds apply to
+    BATCH labels only (rewriting a standing label orphans the members
+    pointing at it — the ext_dedup_cluster_incremental lesson).  The
+    oracle is the from-scratch closure over the FULL corpus: no drift
+    allowed."""
+    import os
+    import tempfile
+
+    from ..operators.scans import _stage_atomic
+    from .dedup import (
+        _checkpoint_reset_stats,
+        connected_components,
+        star_precontract,
+    )
+
+    is_batch = F.col("vec_id") % 5 == 0
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    staged = os.path.join(
+        tempfile.gettempdir(), f"sdis_standing_emb_labels_{sf_tag}_{os.getpid()}"
+    )
+
+    def build_standing(tmp: str) -> None:
+        pairs = _checkpoint_reset_stats(
+            _embedding_self_pairs(spark, sf_dir, where=~is_batch).select(
+                F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+            )
+        )
+        vecs = (
+            table(spark, sf_dir, "embeddings")
+            .filter(~is_batch)
+            .select(F.col("vec_id").alias("doc_id"))
+        )
+        labels0, edges = star_precontract(vecs, pairs)
+        connected_components(labels0, edges).write.parquet(tmp)
+
+    _stage_atomic(staged, build_standing)
+    standing_labels = spark.read.parquet(staged)
+
+    new_pairs = _checkpoint_reset_stats(
+        _embedding_probe_pairs(spark, sf_dir, is_batch, is_batch)
+    )
+    edges = new_pairs.union(
+        new_pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    rep = new_pairs.groupBy(F.col("doc_b").alias("doc_id")).agg(
+        F.min("doc_a").alias("star")
+    )
+    batch_labels = (
+        table(spark, sf_dir, "embeddings")
+        .filter(is_batch)
+        .select(F.col("vec_id").alias("doc_id"))
+        .join(rep, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("star", F.col("doc_id")).alias("component_id"),
+        )
+    )
+    labels = connected_components(
+        standing_labels.unionByName(batch_labels), edges
+    )
     return labels.select(
         F.col("doc_id").alias("vec_id"),
         "component_id",

@@ -1654,3 +1654,26 @@ def test_knn_join_matches_numpy_brute_force(spark):
     for q, nbrs in truth.items():
         mine = [(n, c) for _, n, c in sorted(got[q])]
         assert mine == [(n, round(c, 6)) for n, c in nbrs], (q, mine, nbrs)
+
+
+def test_incremental_embedding_cluster_equals_from_scratch(spark):
+    """ext_dedup_embedding_cluster_incremental over the sf0.001 corpus
+    must equal ext_dedup_embedding_cluster run from scratch, row for
+    row (the no-drift contract for continuous semantic dedup)."""
+    from satellite_data_ingestion_spark.llm.simsearch import (
+        ext_dedup_embedding_cluster,
+        ext_dedup_embedding_cluster_incremental,
+    )
+    from tests.conftest import SF_SMOKE
+
+    full = {
+        (r.vec_id, r.component_id, r.is_canonical)
+        for r in ext_dedup_embedding_cluster(spark, SF_SMOKE).collect()
+    }
+    inc = {
+        (r.vec_id, r.component_id, r.is_canonical)
+        for r in ext_dedup_embedding_cluster_incremental(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert inc == full
