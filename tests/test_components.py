@@ -1166,6 +1166,18 @@ def test_stream_ts_anomaly_matches_batch_operator(spark):
         assert sz == pytest.approx(bz, abs=1e-6)
 
 
+def _reader_rows(reader, partition):
+    """Normalize a Python Data Source read() — tuples OR pyarrow
+    RecordBatches (the Arrow fast path) — to a list of plain tuples."""
+    out = []
+    for item in reader.read(partition):
+        if hasattr(item, "to_pylist"):  # RecordBatch
+            out.extend(tuple(d.values()) for d in item.to_pylist())
+        else:
+            out.append(tuple(item))
+    return out
+
+
 def test_delta_stream_reader_offsets_and_append_only(spark, tmp_path):
     """The Delta streaming source's offset protocol at the reader level:
     versions advance per latestOffset call under a throttle, committed
@@ -1188,11 +1200,11 @@ def test_delta_stream_reader_offsets_and_append_only(spark, tmp_path):
     assert r.latestOffset() == {"version": 1}
     # batch (0, 1]: exactly version 1's rows
     (p,) = r.partitions({"version": 0}, {"version": 1})
-    rows = list(r.read(p))
+    rows = _reader_rows(r, p)
     assert rows == [(1, 1.0)]
     # replayability: the same committed range reads identically
     (p2,) = r.partitions({"version": 0}, {"version": 1})
-    assert list(r.read(p2)) == rows
+    assert _reader_rows(r, p2) == rows
     # append-only contract: a delete in-range fails the planner
     t.commit_delete("k", 0, 0)
     with pytest.raises(ValueError, match="not append-only"):
@@ -1539,11 +1551,11 @@ def test_delta_cdf_stream_reader_dispatch_and_replay(spark, tmp_path):
     r = DeltaCdfStreamReader({"path": root, "versions_per_batch": "1"})
     assert r.initialOffset() == {"version": -1}
     (p0,) = r.partitions({"version": -1}, {"version": 0})
-    assert sorted(list(r.read(p0))) == [
+    assert sorted(_reader_rows(r, p0)) == [
         (1, 1.0, "insert", 0), (2, 2.0, "insert", 0), (3, 3.0, "insert", 0),
     ]
     (p1,) = r.partitions({"version": 0}, {"version": 1})
-    assert sorted(list(r.read(p1)), key=str) == sorted(
+    assert sorted(_reader_rows(r, p1), key=str) == sorted(
         [
             (2, 2.0, "update_preimage", 1),
             (2, 20.0, "update_postimage", 1),
@@ -1552,12 +1564,14 @@ def test_delta_cdf_stream_reader_dispatch_and_replay(spark, tmp_path):
         key=str,
     )
     (p2,) = r.partitions({"version": 1}, {"version": 2})
-    assert sorted(list(r.read(p2))) == [
+    assert sorted(_reader_rows(r, p2)) == [
         (3, 3.0, "delete", 2), (4, 40.0, "delete", 2),
     ]
     # replay: same committed range reads identically
     (p1b,) = r.partitions({"version": 0}, {"version": 1})
-    assert sorted(list(r.read(p1b)), key=str) == sorted(list(r.read(p1)), key=str)
+    assert sorted(_reader_rows(r, p1b), key=str) == sorted(
+        _reader_rows(r, p1), key=str
+    )
 
 
 def test_dsir_sample_tilts_toward_target(spark):
