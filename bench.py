@@ -96,6 +96,13 @@ HEADLINE = [
     "stream_join_outer",
     "ext_dedup_cluster_incremental",
     "ext_dedup_embedding_cluster_incremental",
+    # Delta lifecycle family (clone fork, restore undo, vacuum reclaim,
+    # fsck repair): log-sized driver work by design — the bench pins
+    # that none of them silently grows data-sized I/O.
+    "sink_delta_clone",
+    "sink_delta_restore",
+    "sink_delta_vacuum",
+    "sink_delta_fsck",
 ]
 
 

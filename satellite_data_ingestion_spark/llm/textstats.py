@@ -727,3 +727,57 @@ def ext_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dup_rate"),
     )
+
+
+@register(
+    "ext_vocab_topk",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(str_split(text, ' ')) AS token FROM documents
+),
+tok2 AS (SELECT token FROM tok WHERE token <> ''),
+freq AS (SELECT token, count(*) AS n FROM tok2 GROUP BY token),
+tot AS (SELECT count(*) AS total FROM tok2),
+top AS (SELECT token, n FROM freq ORDER BY n DESC, token LIMIT 100)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER) AS rank,
+       token,
+       n,
+       round(n * 1.0 / tot.total, 6) AS share,
+       round(sum(n) OVER (ORDER BY n DESC, token
+                          ROWS UNBOUNDED PRECEDING) * 1.0 / tot.total,
+             6) AS cum_share
+FROM top, tot
+""",
+)
+def ext_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary building: global token frequencies, the top-K
+    tokens (count-desc, token-asc tie-break), and each one's share +
+    cumulative coverage of the corpus token volume — the
+    coverage-vs-vocab-size curve that sizes a tokenizer's vocab.
+
+    Scale shape: one map-side-combined groupBy(token) is the only
+    corpus-sized shuffle; the top-K is ``orderBy().limit(K)`` — Catalyst
+    plans TakeOrderedAndProject (per-partition heaps + driver merge of
+    K-row heads), NEVER a global sort.  The coverage window then runs
+    over K rows, so the single-partition window cost is bounded by K,
+    not the corpus.  The corpus total is one post-aggregation scalar.
+    Contrast the reference, which has no corpus-level text analytics at
+    all (per-slot rasters only, ``main.py:29``)."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = freq.agg(F.sum("n")).collect()[0][0]
+    top = freq.orderBy(F.desc("n"), F.asc("token")).limit(100)
+    order = Window.orderBy(F.desc("n"), F.asc("token"))
+    cum = order.rowsBetween(Window.unboundedPreceding, 0)
+    return top.select(
+        F.row_number().over(order).alias("rank"),
+        "token",
+        "n",
+        F.round(F.col("n") / F.lit(total), 6).alias("share"),
+        F.round(F.sum("n").over(cum) / F.lit(total), 6).alias("cum_share"),
+    )

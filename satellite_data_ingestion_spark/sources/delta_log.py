@@ -109,11 +109,13 @@ class DeltaLogTable:
         os.makedirs(self.log_dir, exist_ok=True)
 
     def _table_config(self) -> dict:
-        return (
-            {"delta.enableChangeDataFeed": "true"}
-            if self.change_data_feed
-            else {}
-        )
+        # _config_seed carries a cloned source's table properties into
+        # the version-0 metaData (set only by clone_to); the CDF flag
+        # layers on top so both construction paths compose.
+        cfg = dict(getattr(self, "_config_seed", {}))
+        if self.change_data_feed:
+            cfg["delta.enableChangeDataFeed"] = "true"
+        return cfg
 
     # -- log plumbing -------------------------------------------------
 
@@ -1858,6 +1860,57 @@ class DeltaLogTable:
             except DeltaConcurrentCommit:
                 continue  # a racer changed the live set; re-scan
 
+    def clone_to(
+        self, target_root: str, version: int | None = None
+    ) -> "DeltaLogTable":
+        """SHALLOW CLONE (the spec's ``CREATE TABLE t SHALLOW CLONE s``):
+        create a NEW table at ``target_root`` whose version-0 commit
+        references the source's live files by ABSOLUTE path — zero data
+        bytes copied, metadata only.  The clone is pinned to the source
+        AS OF ``version`` (head when None): later source commits never
+        appear in it, and clone-side writes (appends, copy-on-write
+        deletes, overwrites) land under the clone's own root, so the two
+        tables diverge without ever touching each other's files.  Stats
+        and partitionValues carry over verbatim, so log-metadata file
+        skipping keeps working against the borrowed files.
+
+        Same caveat as the real command: VACUUM on the SOURCE can delete
+        files the clone still references (the clone's log is invisible
+        to the source's reachability walk) — reads then fail loudly.
+
+        At 100 TB this is the cheap-fork primitive: an experiment or
+        backfill branch over a petabyte table costs one log commit,
+        and only its divergence is ever materialized."""
+        head = self.latest_version() if version is None else version
+        state = self._state(head)
+        md = state["metaData"] or {}
+        clone = DeltaLogTable(self.spark, target_root)
+        if clone.latest_version() >= 0:
+            raise ValueError(
+                f"clone target {target_root!r} already has a Delta log"
+            )
+        if any(a.get("deletionVector") for a in state["live"].values()):
+            # DV descriptors resolve relative to the TABLE root; borrowed
+            # absolute-path files would look for their DVs under the
+            # clone's root.  Purge first (purge_dvs), then clone.
+            raise NotImplementedError(
+                "SHALLOW CLONE of a table with live deletion vectors"
+            )
+        clone._schema_string = md.get("schemaString")
+        clone._partition_columns = md.get("partitionColumns", [])
+        clone._config_seed = dict(md.get("configuration") or {})
+        adds = []
+        for path in sorted(state["live"]):
+            a = dict(state["live"][path])
+            a["path"] = (
+                path
+                if os.path.isabs(path)
+                else os.path.join(self.root, path)
+            )
+            adds.append({"add": a})
+        clone._publish(adds, operation="CLONE")
+        return clone
+
     def replicate_to(self, replica_root: str, last_synced: int = -1) -> int:
         """Incremental LOG-SHIPPING replication: copy commits
         ``last_synced+1 .. head`` (data files first, the 20-digit commit
@@ -3044,6 +3097,228 @@ def sink_delta_dv_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("purge of a DV-free table committed a version")
     return (
         t.read()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "sink_delta_clone",
+    oracle="""
+SELECT l_returnflag,
+       count(*)                  AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE NOT (l_quantity BETWEEN 1 AND 10)
+GROUP BY l_returnflag
+""",
+)
+def sink_delta_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE as the cheap-fork primitive: lineitem lands in a
+    source Delta table (two appends), ``clone_to`` forks it with ONE
+    metadata-only commit (absolute-path add actions borrowing the
+    source's files — the run raises if any data byte lands under the
+    clone root), then the fork diverges both ways: a copy-on-write
+    DELETE in the clone (rewrites land clone-local, source row count
+    asserted untouched) and an append to the source (asserted invisible
+    to the clone, which is pinned to its clone-point version).  The
+    returned aggregate reads the diverged CLONE; the oracle applies the
+    delete predicate to raw lineitem.
+
+    The reference rewrites full output folders per slot
+    (``utils/fs.py:21-48``); a fork there means copying the tree.  At
+    100 TB this clone is one log commit over a petabyte table, and only
+    the fork's divergence is ever materialized."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    src_root = tempfile.mkdtemp(prefix="sdis_delta_clonesrc_")
+    src = DeltaLogTable(spark, src_root)
+    src.commit_append(li.filter(F.col("l_orderkey") % 2 == 0))
+    src.commit_append(li.filter(F.col("l_orderkey") % 2 == 1))
+    n_src = src.read().count()
+    clone_root = tempfile.mkdtemp(prefix="sdis_delta_clonedst_")
+    clone = src.clone_to(clone_root)
+    copied = [
+        p
+        for p in glob.glob(
+            os.path.join(clone_root, "**", "*.parquet"), recursive=True
+        )
+        if os.sep + "_delta_log" + os.sep not in p
+    ]
+    if copied:
+        raise RuntimeError(f"shallow clone copied data files: {copied[:3]}")
+    clone.commit_delete("l_quantity", 1, 10)
+    if src.read().count() != n_src:
+        raise RuntimeError("clone-side delete leaked into the source")
+    live_before, _ = clone._replay(clone.latest_version())
+    src.commit_append(li.limit(5))
+    live_after, _ = clone._replay(clone.latest_version())
+    if live_after != live_before:
+        raise RuntimeError("source append became visible in the clone")
+    return (
+        clone.read()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "sink_delta_restore",
+    oracle="""
+SELECT l_returnflag,
+       count(*)                  AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_quantity <= 25
+GROUP BY l_returnflag
+""",
+)
+def sink_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... TO VERSION AS OF, exercised as the undo button
+    for a bad overwrite: v0 = full lineitem, v1 = overwrite down to
+    ``l_quantity <= 25``, v2 = a second (wrong) overwrite to
+    ``l_quantity > 40`` — then ``restore(v1)`` re-materializes v1's
+    contents as a NEW commit (asserted == v2+1, history preserved: the
+    bad v2 remains time-travelable).  The returned aggregate reads the
+    restored head; the oracle applies v1's predicate to raw lineitem.
+
+    Restore is log-sized work — adds for target-live files, tombstones
+    for current-only ones, zero data I/O — so at 100 TB undoing a bad
+    batch is O(file count), not O(bytes)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    root = tempfile.mkdtemp(prefix="sdis_delta_restore_")
+    t = DeltaLogTable(spark, root)
+    t.commit_append(li)
+    v1 = t.commit_overwrite(li.filter(F.col("l_quantity") <= 25))
+    v2 = t.commit_overwrite(li.filter(F.col("l_quantity") > 40))
+    v3 = t.restore(v1)
+    if v3 != v2 + 1:
+        raise RuntimeError(
+            f"restore must commit a NEW version: got {v3}, head was {v2}"
+        )
+    n_bad = li.filter(F.col("l_quantity") > 40).count()
+    if t.read(version=v2).count() != n_bad:
+        raise RuntimeError("restore destroyed the pre-restore history")
+    return (
+        t.read()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "sink_delta_vacuum",
+    oracle="""
+SELECT l_returnflag,
+       count(*)                  AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_returnflag <> 'R'
+GROUP BY l_returnflag
+""",
+)
+def sink_delta_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM as the storage-reclaim step: an overwrite strands v0's
+    files as tombstones, ``vacuum()`` (collapsed retention window)
+    deletes exactly the unreachable ones — asserted non-empty, asserted
+    idempotent (second vacuum returns []), and asserted to cut the
+    time-travel horizon (``restore(0)`` now fails loudly instead of
+    resurrecting dangling references).  The returned aggregate proves
+    the HEAD is untouched; the oracle applies the overwrite's predicate
+    to raw lineitem.
+
+    Reachability is decided from the LOG (live set + young tombstones +
+    referenced CDC), then enforced by a root walk — at 100 TB both
+    sides are file-count-sized, and no data file is ever opened."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    root = tempfile.mkdtemp(prefix="sdis_delta_vacuum_")
+    t = DeltaLogTable(spark, root)
+    t.commit_append(li.repartition(4))
+    t.commit_overwrite(li.filter(F.col("l_returnflag") != "R").repartition(4))
+    deleted = t.vacuum()
+    if not deleted:
+        raise RuntimeError("vacuum must reclaim the overwritten v0 files")
+    if t.vacuum():
+        raise RuntimeError("second vacuum must be a no-op")
+    try:
+        t.restore(0)
+    except ValueError:
+        pass
+    else:
+        raise RuntimeError("restore to a vacuumed version must fail loudly")
+    return (
+        t.read()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "sink_delta_fsck",
+    oracle="""
+SELECT l_returnflag,
+       count(*)                  AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_linenumber <> 7
+GROUP BY l_returnflag
+""",
+)
+def sink_delta_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FSCK REPAIR TABLE after storage loss: lineitem lands Hive-
+    partitioned by ``l_linenumber``, the ``l_linenumber=7`` partition's
+    data files are deleted OUT FROM UNDER the log (simulated storage
+    failure), and ``fsck`` first lists exactly those dead references
+    (dry run asserted), then tombstones them so reads work again (and a
+    second fsck is asserted clean).  The returned aggregate reads the
+    repaired table; the oracle drops the lost partition from raw
+    lineitem.
+
+    fsck stats each live path's existence — driver-side, log-sized,
+    zero data reads — so at 100 TB repair cost follows file COUNT, and
+    the repair commit is atomic like any other."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    root = tempfile.mkdtemp(prefix="sdis_delta_fsck_")
+    t = DeltaLogTable(spark, root)
+    t.commit_append(li, partition_by=["l_linenumber"])
+    live, _, _ = t._replay_actions(t.latest_version())
+    lost = sorted(
+        p
+        for p, a in live.items()
+        if a["partitionValues"]["l_linenumber"] == "7"
+    )
+    if not lost:
+        raise RuntimeError("expected files in the l_linenumber=7 partition")
+    for p in lost:
+        os.unlink(os.path.join(root, p))
+    if t.fsck(dry_run=True) != lost:
+        raise RuntimeError("fsck dry run must list exactly the lost files")
+    if t.fsck() != lost:
+        raise RuntimeError("fsck repair must tombstone exactly the lost files")
+    if t.fsck():
+        raise RuntimeError("repaired table must fsck clean")
+    return (
+        t.read()
+        .filter(F.col("l_linenumber") != 7)
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

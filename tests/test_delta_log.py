@@ -883,3 +883,78 @@ def test_replicate_refuses_cleaned_history(spark, tbl, tmp_path_factory):
     tbl.clean_log()
     with pytest.raises(ValueError, match="cleaned|missing"):
         tbl.replicate_to(replica_root, -1)
+
+
+def test_shallow_clone_is_metadata_only_and_pinned(spark, tbl, tmp_path_factory):
+    """clone_to forks the table with ONE commit of absolute-path adds:
+    no data file is copied, reads agree at clone time, and later
+    source commits never become visible in the clone."""
+    tbl.commit_append(_df(spark, [1, 2, 3]))
+    tbl.commit_append(_df(spark, [4, 5]))
+    clone_root = str(tmp_path_factory.mktemp("clone"))
+    clone = tbl.clone_to(clone_root)
+    # zero copy: nothing but the log under the clone root
+    data = [
+        p
+        for p in glob.glob(os.path.join(clone_root, "**", "*.parquet"), recursive=True)
+        if os.sep + "_delta_log" + os.sep not in p
+    ]
+    assert data == []
+    # one commit, absolute borrowed paths, stats carried over
+    assert clone.latest_version() == 0
+    live, _, _ = clone._replay_actions(0)
+    assert live and all(os.path.isabs(p) for p in live)
+    assert all("stats" in a for a in live.values())
+    assert sorted(r.x for r in clone.read().collect()) == [1, 2, 3, 4, 5]
+    # pinned: a later source append is invisible to the clone
+    tbl.commit_append(_df(spark, [6]))
+    assert sorted(r.x for r in clone.read().collect()) == [1, 2, 3, 4, 5]
+    assert sorted(r.x for r in tbl.read().collect()) == [1, 2, 3, 4, 5, 6]
+
+
+def test_clone_diverges_without_touching_source(spark, tbl, tmp_path_factory):
+    """Clone-side writes land under the clone root; the source's files
+    and contents are untouched by clone appends and deletes."""
+    tbl.commit_append(_df(spark, [1, 2, 3, 4, 5]))
+    clone = tbl.clone_to(str(tmp_path_factory.mktemp("clone")))
+    clone.commit_append(_df(spark, [10]))
+    clone.commit_delete("x", 2, 3)
+    assert sorted(r.x for r in clone.read().collect()) == [1, 4, 5, 10]
+    assert sorted(r.x for r in tbl.read().collect()) == [1, 2, 3, 4, 5]
+    # the delete's rewrite landed clone-local: every borrowed source
+    # file it tombstoned still exists on disk for the source's readers
+    src_live, _, _ = tbl._replay_actions(tbl.latest_version())
+    for p in src_live:
+        assert os.path.isfile(os.path.join(tbl.root, p))
+
+
+def test_clone_carries_table_properties_and_guards(spark, tbl, tmp_path_factory):
+    """Source configuration lands in the clone's version-0 metaData;
+    non-empty targets and DV-carrying sources are refused."""
+    tbl.commit_append(_df(spark, [1, 2]))
+    tbl.set_property("delta.appendOnly", "false")
+    tbl.set_property("team", "ingest")
+    clone_root = str(tmp_path_factory.mktemp("clone"))
+    clone = tbl.clone_to(clone_root)
+    md = clone._state(0)["metaData"]
+    assert md["configuration"].get("team") == "ingest"
+    # non-empty target refused
+    with pytest.raises(ValueError, match="already has a Delta log"):
+        tbl.clone_to(clone_root)
+    # DV-carrying source refused (descriptors resolve against the
+    # source root; purge first)
+    tbl.commit_overwrite(_df(spark, [1, 2, 3, 4]).repartition(1))
+    tbl.enable_deletion_vectors()
+    tbl.delete_rows_dv("x", 1, 2)
+    live, _, _ = tbl._replay_actions(tbl.latest_version())
+    assert any(a.get("deletionVector") for a in live.values())
+    with pytest.raises(NotImplementedError, match="deletion vectors"):
+        tbl.clone_to(str(tmp_path_factory.mktemp("clone2")))
+
+
+def test_clone_at_version_pins_historic_contents(spark, tbl, tmp_path_factory):
+    """clone_to(version=) forks the table AS OF that version."""
+    tbl.commit_append(_df(spark, [1, 2]))
+    tbl.commit_append(_df(spark, [3]))
+    clone = tbl.clone_to(str(tmp_path_factory.mktemp("clone")), version=0)
+    assert sorted(r.x for r in clone.read().collect()) == [1, 2]
