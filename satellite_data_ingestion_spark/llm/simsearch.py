@@ -1499,3 +1499,77 @@ def ext_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _KNN_K)
         .select("qid", "nid", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+_SEMDEDUP_ORACLE = f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= {_NEAR_DUP_COS}
+),
+edges AS (
+  SELECT a, b FROM pairs
+  UNION ALL
+  SELECT b, a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+comp AS (
+  SELECT vec_id,
+         least(vec_id, coalesce(min(dst), vec_id)) AS component_id
+  FROM embeddings LEFT JOIN reach ON src = vec_id
+  GROUP BY vec_id
+)
+SELECT d.doc_id,
+       c.component_id,
+       CAST(count(*) OVER (PARTITION BY c.component_id) AS BIGINT)
+         AS cluster_size,
+       (row_number() OVER (PARTITION BY c.component_id
+                           ORDER BY d.n_chars DESC, d.doc_id) = 1) AS keep
+FROM documents d JOIN comp c ON c.vec_id = d.doc_id
+"""
+
+
+@register("ext_semdedup_prune", oracle=_SEMDEDUP_ORACLE)
+def ext_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style corpus pruning (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the corpus by embedding similarity, then KEEP exactly one
+    representative per semantic cluster — chosen by a quality signal
+    (longest document, doc_id tie-break), not arbitrarily.  Composes two
+    verified components: ``ext_dedup_embedding_cluster`` (tiled exact
+    pair join -> connected components) supplies the clusters, and a
+    per-cluster window ranks members by ``n_chars``.  Every document
+    comes back with its cluster id, cluster size, and keep flag, so the
+    same frame drives both the pruned corpus (``keep``) and the
+    retention report (size histogram).
+
+    Scale shape: one shuffle joins documents to their component labels
+    (both sides corpus-sized, equi-key), and the ranking window
+    partitions BY CLUSTER — no global window; skew is bounded because a
+    semantic cluster's size is bounded by the near-dup mass, and the
+    heavy pair/CC machinery upstream is already tile/contraction
+    bounded.  The oracle recomputes clusters with a recursive-CTE
+    closure and ranks with the same window, declaratively."""
+    from pyspark.sql import Window
+
+    comp = ext_dedup_embedding_cluster(spark, sf_dir).select(
+        "vec_id", "component_id"
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = docs.join(comp, docs.doc_id == comp.vec_id).drop("vec_id")
+    size_w = Window.partitionBy("component_id")
+    rank_w = Window.partitionBy("component_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return j.select(
+        "doc_id",
+        "component_id",
+        F.count(F.lit(1)).over(size_w).alias("cluster_size"),
+        (F.row_number().over(rank_w) == 1).alias("keep"),
+    )
