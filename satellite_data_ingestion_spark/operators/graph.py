@@ -214,3 +214,69 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return members.groupBy(F.col("node").alias("part_key")).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+_BFS_MAX_HOPS = 6  # SEMANTIC: baked into the oracle's bounded recursion
+
+
+@register(
+    "graph_bfs",
+    oracle=f"""
+WITH RECURSIVE {_EDGES_SQL.strip()},
+sym AS (SELECT x AS s, y AS d FROM e UNION ALL SELECT y, x FROM e),
+src AS (SELECT min(s) AS v FROM sym),
+walk(node, dist) AS (
+  SELECT v, 0 FROM src
+  UNION
+  SELECT sym.d, w.dist + 1
+  FROM walk w JOIN sym ON sym.s = w.node
+  WHERE w.dist < {_BFS_MAX_HOPS}
+)
+SELECT node, CAST(min(dist) AS INTEGER) AS dist
+FROM walk GROUP BY node
+""",
+)
+def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distances (bounded at ``_BFS_MAX_HOPS``
+    hops) over
+    the co-purchase graph, from the minimum node id — the reachability /
+    neighborhood-radius primitive behind crawl-frontier scheduling and
+    "within-k-hops of a trusted seed" quality propagation.
+
+    Pregel-style frontier expansion: each round joins ONLY the frontier
+    (nodes first reached last round) against the static symmetrized
+    edge relation (localCheckpointed once), anti-joins the already-
+    visited set, and stops early when the frontier empties.  Work per
+    round is O(frontier-adjacent edges), never O(V); the number of
+    shuffle rounds is the graph diameter capped at the hop bound, and
+    each round's lineage is cut so round k replays nothing of round
+    k-1.  The oracle is a depth-bounded recursive CTE taking min(dist)
+    per node — both sides compute the same first-reach distance.
+
+    Scale note: multi-source BFS (a seed SET) is this same loop with a
+    wider dist seed; at 100 TB the frontier join is the standard
+    iterative-graph shuffle shape (same as PageRank's), co-partitioned
+    on the edge source key."""
+    e = _copurchase_edges(spark, sf_dir)
+    sym = (
+        e.select(F.col("x").alias("s"), F.col("y").alias("d"))
+        .unionAll(e.select(F.col("y").alias("s"), F.col("x").alias("d")))
+        .localCheckpoint(eager=True)
+    )
+    src = sym.agg(F.min("s")).collect()[0][0]
+    dist = spark.createDataFrame([(int(src), 0)], "node long, dist int")
+    frontier = dist
+    for k in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["s"])
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(k).cast("int").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionAll(nxt)
+        frontier = nxt
+    return dist
