@@ -1651,3 +1651,135 @@ def ext_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("train")
         .alias("split"),
     )
+
+
+# Containment threshold C(A,B) = |A∩B| / |A| — integer-exact as NUM/DEN.
+_C_NUM, _C_DEN = 9, 10
+
+
+@register(
+    "ext_dedup_containment",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS doc_contained, b.doc_id AS doc_container,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(a.toks), 4) AS containment
+FROM d a
+JOIN d b ON a.doc_id <> b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / len(a.toks) >= {_C_NUM} / {_C_DEN}
+""",
+)
+def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: emit (contained, container) pairs
+    with token-set containment ``|A∩B|/|A| >= 0.9`` — the quote /
+    doc-inside-doc / near-superset relation that symmetric Jaccard
+    misses (a paragraph fully quoted inside a long page has J ~ 0, but
+    containment 1.0).  Directional by construction: both orderings of a
+    pair are tested and emitted independently.
+
+    Candidate generation is the containment variant of the df-ordered
+    prefix filter (Bayardo et al., WWW'07 / Xiao et al., VLDB'08 —
+    public knowledge): under any global token order, if |A∩B| >= t|A|
+    then A's first ``|A| - ceil(t|A|) + 1`` tokens (df-ascending order:
+    the RAREST ones) must include a token of B.  So the pairwise join
+    keys A-prefix rows against a full index of B tokens — containment
+    has no length filter and no index-side prefix (B may be arbitrarily
+    larger), which is exactly why the df-ascending order matters here:
+    prefix tokens are rare, so per-token join buckets are bounded by
+    rare-token document frequency, never by corpus size.  The PPJoin
+    positional filter still applies (the minimal common token row
+    always survives; see ``_unique_set_pairs``), and survivors pay one
+    exact array-intersect verify.
+
+    At 100 TB: one word-count shuffle (df map), one prefix-keyed join
+    whose bucket sizes follow rare-token df, one verify join — same
+    scale shape as ``ext_ngram_jaccard``, with the index side linear in
+    corpus tokens instead of prefix-bounded (the price of asymmetric
+    semantics)."""
+    d = _token_sets(spark, sf_dir).select("doc_id", "toks")
+    df_map = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    ordered = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .join(df_map, "tok")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("o"))
+        .select(
+            "doc_id",
+            F.transform("o", lambda s: s["tok"]).alias("toks"),
+            F.size("o").alias("n"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # ceil(t*n) integer-exact; A-side prefix stops one past the last
+    # position a B-common token could first appear at.
+    ceil_tn = F.expr(f"({_C_NUM} * n + {_C_DEN} - 1) div {_C_DEN}")
+    prefix_len = F.col("n") - ceil_tn + 1
+    a = (
+        ordered.select(
+            F.col("doc_id").alias("a_id"),
+            F.col("n").alias("na"),
+            F.posexplode(F.slice("toks", F.lit(1), prefix_len)).alias(
+                "pa", "tok"
+            ),
+        )
+        .select("a_id", "na", "pa", F.xxhash64("tok").alias("htok"))
+    )
+    b = ordered.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("n").alias("nb"),
+        F.posexplode("toks").alias("pb", "tok"),
+    ).select("b_id", "nb", "pb", F.xxhash64("tok").alias("htok"))
+    alpha = F.expr(f"({_C_NUM} * na + {_C_DEN} - 1) div {_C_DEN}")
+    cand = (
+        a.join(
+            b,
+            (a["htok"] == b["htok"])
+            & (F.col("a_id") != F.col("b_id"))
+            & (F.col("na") - F.col("pa") >= alpha)
+            & (F.col("nb") - F.col("pb") >= alpha),
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    # Same exactness discipline as jaccard_pairs: verify over 8-byte
+    # token hashes only if xxhash64 is injective on this vocabulary
+    # (one bounded aggregate proves it), else the string arrays.
+    hrow = df_map.agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.count_distinct(F.xxhash64("tok")).alias("n_hash"),
+    ).collect()[0]
+    if int(hrow.n_tok) == int(hrow.n_hash):
+        sets = ordered.select(
+            "doc_id", F.transform("toks", lambda t: F.xxhash64(t)).alias("hs")
+        )
+    else:
+        sets = ordered.select("doc_id", F.col("toks").alias("hs"))
+    joined = cand.join(
+        sets.select(F.col("doc_id").alias("a_id"), F.col("hs").alias("_sa")),
+        "a_id",
+    ).join(
+        sets.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("_sb")),
+        "b_id",
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    return (
+        joined.select(
+            F.col("a_id").alias("doc_contained"),
+            F.col("b_id").alias("doc_container"),
+            (inter.cast("double") / F.size("_sa")).alias("_c"),
+        )
+        .filter(F.col("_c") >= _C_NUM / _C_DEN)
+        .select(
+            "doc_contained",
+            "doc_container",
+            F.round("_c", 4).alias("containment"),
+        )
+    )
