@@ -476,3 +476,65 @@ def ext_ts_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(interp, 6).alias("interp_value"),
         F.col("avg_value").isNull().alias("is_interpolated"),
     ).orderBy("event_type", "slot")
+
+
+_EWMA_ALPHA = 0.2   # decay: weight (1-alpha)^i on the i-th lag
+_EWMA_K = 8         # bounded kernel length (current row + 7 lags)
+# Identical double literals on both engines: the weights are computed
+# ONCE here and spliced verbatim into the Spark expression and the
+# DuckDB oracle, so both sides run the same IEEE constants in the same
+# left-associated order and round() agrees bit-for-bit.
+_EWMA_W = [(1.0 - _EWMA_ALPHA) ** i for i in range(_EWMA_K)]
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"coalesce(lag(value, {i}) OVER w * {w!r}, 0.0)"
+        for i, w in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(value, {i}) OVER w IS NOT NULL THEN {w!r} ELSE 0.0 END"
+        for i, w in enumerate(_EWMA_W)
+    )
+    return f"""
+SELECT event_id, event_type, round(({num}) / ({den}), 6) AS ewma
+FROM events
+WHERE value IS NOT NULL
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+"""
+
+
+@register("ext_ts_ewma", oracle=_ewma_oracle())
+def ext_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per series — the standard
+    telemetry smoother — with a BOUNDED 8-lag kernel, weights
+    ``(1-alpha)^i`` renormalized over the lags actually present (series
+    warm-up rows average over what exists instead of emitting NULL).
+
+    The kernel is deliberately finite: the textbook recursive EWMA
+    ``e_t = a*x_t + (1-a)*e_{t-1}`` is a sequential fold — on any
+    engine that means a per-series serial scan, and declaratively it
+    needs ``(1-a)^(-t)`` rescaling that overflows on long series.  The
+    8-term kernel captures >83% of the recursive form's mass (1-0.8^8)
+    and becomes a pure projection over ROWS-frame lags: one
+    partition-key shuffle for the shared window sort, then
+    whole-stage-codegen'd arithmetic — same scale shape as
+    ``ext_ts_anomaly``'s rolling frame, state bounded at 8 values per
+    row regardless of series length.  The weight doubles are spliced
+    verbatim into BOTH engines' expressions (same constants, same
+    left-associated order), so the rounded outputs agree exactly."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(F.asc("ts"), F.asc("event_id"))
+    lags = [F.lag("value", i).over(w) for i in range(_EWMA_K)]
+    num = None
+    den = None
+    for lg, wt in zip(lags, _EWMA_W):
+        term = F.coalesce(lg * F.lit(wt), F.lit(0.0))
+        mask = F.when(lg.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = mask if den is None else den + mask
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(num / den, 6).alias("ewma"),
+    )
