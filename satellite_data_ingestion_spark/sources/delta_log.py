@@ -1405,20 +1405,41 @@ class DeltaLogTable:
 
         affected = sorted(p for p, a in live.items() if overlaps(a))
         untouched = [live[p] for p in sorted(live) if p not in affected]
-        self._schema_string = source.schema.json()
+        from pyspark.sql.types import StructType
+
+        full_schema = StructType.fromJson(json.loads(schema_s))
+        # MERGE WITH SCHEMA EVOLUTION (the spec command's automatic
+        # form): the committed schema is the UNION — target columns in
+        # their existing order (keeping the target's field metadata),
+        # then source-only columns appended.  Source rows keep their
+        # new-column VALUES; carried-over and rewritten target rows read
+        # the new columns as null; a source missing target-only columns
+        # inserts null there.  (Previously a wider source evolved the
+        # declared schema but its new-column values were silently
+        # dropped in the rewrite branch — the two branches disagreed.)
+        tnames = {f.name for f in full_schema.fields}
+        union_fields = [f for f in full_schema.fields] + [
+            f for f in source.schema.fields if f.name not in tnames
+        ]
+        self._schema_string = StructType(union_fields).json()
         self._partition_columns = []
+
+        def _proj(df: DataFrame) -> DataFrame:
+            """Project ``df`` onto the union schema: absent columns
+            become typed nulls, order is the union order."""
+            for f in union_fields:
+                if f.name not in df.columns:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+            return df.select([f.name for f in union_fields])
+
         cdc_actions: list[dict] = []
         if affected:
-            from pyspark.sql.types import StructType
-
-            full_schema = StructType.fromJson(json.loads(schema_s))
-            cols = [f.name for f in full_schema.fields]
             target = self.spark.read.schema(full_schema).parquet(
                 *[os.path.join(self.root, p) for p in affected]
             )
-            merged = target.join(source.select(keys), keys, "left_anti").select(
-                cols
-            ).union(source.select(cols))
+            merged = _proj(
+                target.join(source.select(keys), keys, "left_anti")
+            ).union(_proj(source))
             if self.change_data_feed:
                 # Change rows for this commit: matched target rows are
                 # update pre/postimages, unmatched source rows inserts.
@@ -1429,19 +1450,16 @@ class DeltaLogTable:
                 # point of the cdc action vs the add/remove fallback.
                 tkeys = target.select(keys)
                 changes = (
-                    target.join(source.select(keys), keys, "left_semi")
-                    .select(cols)
+                    _proj(target.join(source.select(keys), keys, "left_semi"))
                     .withColumn("_change_type", F.lit("update_preimage"))
                     .unionByName(
-                        source.join(tkeys, keys, "left_semi")
-                        .select(cols)
+                        _proj(source.join(tkeys, keys, "left_semi"))
                         .withColumn(
                             "_change_type", F.lit("update_postimage")
                         )
                     )
                     .unionByName(
-                        source.join(tkeys, keys, "left_anti")
-                        .select(cols)
+                        _proj(source.join(tkeys, keys, "left_anti"))
                         .withColumn("_change_type", F.lit("insert"))
                     )
                 )
@@ -1449,7 +1467,9 @@ class DeltaLogTable:
         else:
             # Adds-only commit: CDF readers derive inserts from the add
             # files themselves (the spec's fallback) — no cdc file.
-            merged = source
+            # Projection through the union schema keeps this branch
+            # consistent with the rewrite branch's column set.
+            merged = _proj(source)
         adds = self._stage_files(merged)
         removes = [self._remove_action(p, True) for p in affected]
         return self._publish(
@@ -3102,6 +3122,55 @@ def sink_delta_dv_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
+    )
+
+
+@register(
+    "sink_delta_merge_evolve",
+    oracle="""
+SELECT l_returnflag,
+       count(*)                  AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(count(*) FILTER (WHERE l_linenumber = 1) AS BIGINT) AS n_adj,
+       round(sum(CASE WHEN l_linenumber = 1 THEN 2 * l_quantity
+                      ELSE 0 END), 2) AS sum_adj
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def sink_delta_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE WITH SCHEMA EVOLUTION: the target lands with four columns,
+    then a CDC source arrives carrying a NEW fifth column (``adj_qty``)
+    — the upsert widens the table schema in the same atomic commit that
+    applies the rows.  Source rows keep their new-column values;
+    carried-over and rewritten target rows read it as null (asserted:
+    the count of non-null ``adj_qty`` equals the source row count).
+    The oracle recomputes the merged state relationally from raw
+    lineitem.
+
+    Schema evolution is a metaData re-emission — the files written
+    before the widening are never rewritten for it; readers project
+    them through the latest schema.  At 100 TB an upstream producer
+    adding a field costs exactly one commit's metadata, which is the
+    whole point of the spec's evolution mechanism."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    root = tempfile.mkdtemp(prefix="sdis_delta_mergeevo_")
+    t = DeltaLogTable(spark, root)
+    t.commit_append(li)
+    src = li.filter(F.col("l_linenumber") == 1).withColumn(
+        "adj_qty", F.lit(2) * F.col("l_quantity")
+    )
+    t.commit_merge(src, keys=["l_orderkey", "l_linenumber"])
+    head = t.read()
+    if "adj_qty" not in head.columns:
+        raise RuntimeError("merge must evolve the schema with adj_qty")
+    return head.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("adj_qty").alias("n_adj"),
+        F.round(F.sum(F.coalesce("adj_qty", F.lit(0))), 2).alias("sum_adj"),
     )
 
 

@@ -958,3 +958,29 @@ def test_clone_at_version_pins_historic_contents(spark, tbl, tmp_path_factory):
     tbl.commit_append(_df(spark, [3]))
     clone = tbl.clone_to(str(tmp_path_factory.mktemp("clone")), version=0)
     assert sorted(r.x for r in clone.read().collect()) == [1, 2]
+
+
+def test_merge_schema_evolution_widens_and_keeps_values(spark, tbl):
+    """A wider MERGE source evolves the schema in the same commit:
+    source rows keep their new-column values, carried-over target rows
+    read null, and a narrower follow-up source inserts null there."""
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double")
+    tbl.commit_append(df)
+    wide = spark.createDataFrame(
+        [(2, 21.0, "b2"), (4, 40.0, "b2")], "k long, v double, batch string"
+    )
+    tbl.commit_merge(wide, keys=["k"])
+    rows = {r.k: (r.v, r.batch) for r in tbl.read().collect()}
+    assert rows == {
+        1: (10.0, None),
+        2: (21.0, "b2"),
+        3: (30.0, None),
+        4: (40.0, "b2"),
+    }
+    # narrower source after evolution: missing column inserts as null
+    narrow = spark.createDataFrame([(5, 50.0)], "k long, v double")
+    tbl.commit_merge(narrow, keys=["k"])
+    rows = {r.k: (r.v, r.batch) for r in tbl.read().collect()}
+    assert rows[5] == (50.0, None) and rows[2] == (21.0, "b2")
+    # time travel below the evolution sees the narrow schema
+    assert "batch" not in tbl.read(version=0).columns
