@@ -297,12 +297,65 @@ class DeltaLogTable:
         except TypeError:
             return False
 
+    # -- per-file bloom index (engine extension) ----------------------
+    #
+    # Real Delta's bloom filter index stores a sidecar parquet per data
+    # file; here the (small) filter lives inline on the add action under
+    # the engine-extension key "engineBloom" so the log stays
+    # self-contained and checkpoints carry it for free.  Spec readers
+    # ignore unknown add fields, so the table stays protocol-readable.
+
+    _BLOOM_K = 7           # hash probes (fp ~1% at 10 bits/key)
+    _BLOOM_BITS_PER_KEY = 10
+
+    @staticmethod
+    def _bloom_hashes(value) -> tuple[int, int]:
+        """Deterministic (h1, h2) double-hash base for one value —
+        stable across processes (no PYTHONHASHSEED)."""
+        import hashlib
+
+        d = hashlib.md5(str(value).encode()).digest()
+        h1 = int.from_bytes(d[:8], "little")
+        h2 = int.from_bytes(d[8:16], "little") | 1
+        return h1, h2
+
+    @classmethod
+    def _bloom_build(cls, values) -> dict:
+        """Build the per-file filter over distinct ``values``; returns
+        the JSON-safe descriptor stored on the add action."""
+        distinct = set(str(v) for v in values if v is not None)
+        m_bits = max(64, -(-len(distinct) * cls._BLOOM_BITS_PER_KEY // 8) * 8)
+        bits = bytearray(m_bits // 8)
+        for v in distinct:
+            h1, h2 = cls._bloom_hashes(v)
+            for i in range(cls._BLOOM_K):
+                b = (h1 + i * h2) % m_bits
+                bits[b >> 3] |= 1 << (b & 7)
+        return {"m": m_bits, "k": cls._BLOOM_K, "bits": bytes(bits).hex()}
+
+    @classmethod
+    def _bloom_maybe_contains(cls, bf: dict, value) -> bool:
+        bits = bytes.fromhex(bf["bits"])
+        h1, h2 = cls._bloom_hashes(value)
+        for i in range(bf["k"]):
+            b = (h1 + i * h2) % bf["m"]
+            if not (bits[b >> 3] >> (b & 7)) & 1:
+                return False
+        return True
+
     def _stage_files(
-        self, df: DataFrame, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        bloom_for: list[str] | None = None,
     ) -> list[dict]:
         """Write ``df`` as parquet (optionally Hive-partitioned) and move
         the part files into the table root under fresh names; returns
-        their ``add`` actions with partitionValues and footer stats."""
+        their ``add`` actions with partitionValues and footer stats.
+        ``bloom_for`` columns additionally get a per-file bloom filter
+        on the add action (see the engine-extension note above) —
+        point-lookup pruning for keys whose min/max ranges overlap
+        across every file (hash-distributed layouts)."""
         staged = os.path.join(self.root, f".staged-{uuid.uuid4().hex}")
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -331,18 +384,24 @@ class DeltaLogTable:
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             shutil.move(part, dest)
             st = os.stat(dest)
-            adds.append(
-                {
-                    "add": {
-                        "path": rel,
-                        "partitionValues": pvals,
-                        "size": st.st_size,
-                        "modificationTime": int(st.st_mtime * 1000),
-                        "dataChange": True,
-                        "stats": self._file_stats(dest),
-                    }
+            add = {
+                "path": rel,
+                "partitionValues": pvals,
+                "size": st.st_size,
+                "modificationTime": int(st.st_mtime * 1000),
+                "dataChange": True,
+                "stats": self._file_stats(dest),
+            }
+            if bloom_for:
+                # Built from the just-written local file; in a real
+                # cluster writer the TASK computes this inline over the
+                # rows it writes — same information, no extra read.
+                tbl_cols = pq.read_table(dest, columns=list(bloom_for))
+                add["engineBloom"] = {
+                    c: self._bloom_build(tbl_cols.column(c).to_pylist())
+                    for c in bloom_for
                 }
-            )
+            adds.append({"add": add})
         shutil.rmtree(staged, ignore_errors=True)
         return adds
 
@@ -610,6 +669,10 @@ class DeltaLogTable:
                                         ]
                                     ),
                                 ),
+                                # engine extension (JSON string): per-file
+                                # bloom index; unknown to spec readers,
+                                # must survive clean_log like stats do.
+                                ("engineBloom", pa.string()),
                             ]
                         ),
                     ),
@@ -679,6 +742,10 @@ class DeltaLogTable:
         for path in sorted(state["live"]):
             add = dict(state["live"][path])
             add["partitionValues"] = _map(add.get("partitionValues", {}))
+            if add.get("engineBloom") is not None:
+                # Engine-extension bloom rides the checkpoint as a JSON
+                # string; spec readers see an unknown column and ignore it.
+                add["engineBloom"] = json.dumps(add["engineBloom"])
             rows.append(
                 {
                     "add": {
@@ -691,6 +758,7 @@ class DeltaLogTable:
                             "dataChange",
                             "stats",
                             "deletionVector",
+                            "engineBloom",
                         )
                     }
                 }
@@ -746,6 +814,12 @@ class DeltaLogTable:
                         payload["deletionVector"] = {
                             k: v for k, v in dv.items() if v is not None
                         }
+                    if payload.get("engineBloom") is None:
+                        payload.pop("engineBloom", None)
+                    else:
+                        payload["engineBloom"] = json.loads(
+                            payload["engineBloom"]
+                        )
                 actions.append({kind: payload})
         return actions
 
@@ -1168,6 +1242,7 @@ class DeltaLogTable:
         df: DataFrame,
         partition_by: list[str] | None = None,
         txn: tuple[str, int] | None = None,
+        bloom_for: list[str] | None = None,
     ) -> int:
         """Append commit; with ``txn=(appId, epoch)`` the commit is
         IDEMPOTENT: an epoch at or below the app's committed watermark is
@@ -1200,7 +1275,7 @@ class DeltaLogTable:
         else:
             self._schema_string = df.schema.json()
             self._partition_columns = list(partition_by or [])
-        adds = self._stage_files(df, partition_by)
+        adds = self._stage_files(df, partition_by, bloom_for=bloom_for)
         if txn is None:
             # Plain appends commute with any concurrent commit: publish
             # rebases onto the next free version transparently.
@@ -2139,9 +2214,23 @@ class DeltaLogTable:
                 )
                 mn = stats.get("minValues", {}).get(col)
                 mx = stats.get("maxValues", {}).get(col)
-                if mn is None or mx is None:
-                    continue  # no stats: must read the file
-                if self._stats_disjoint(mn, mx, lo_hi[0], lo_hi[1]):
+                if (
+                    mn is not None
+                    and mx is not None
+                    and self._stats_disjoint(mn, mx, lo_hi[0], lo_hi[1])
+                ):
+                    ok = False
+                    break
+                # Point predicate + per-file bloom: skip on a definite
+                # miss (no false negatives by construction) — prunes
+                # hash-distributed keys where every file's min/max
+                # range overlaps the probe.
+                bf = add.get("engineBloom", {}).get(col)
+                if (
+                    bf is not None
+                    and not isinstance(pred, tuple)
+                    and not self._bloom_maybe_contains(bf, pred)
+                ):
                     ok = False
                     break
             if ok:
@@ -3121,6 +3210,77 @@ def sink_delta_dv_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "sink_delta_bloom",
+    oracle="""
+WITH mid AS (
+  SELECT CAST(floor(max(l_orderkey) / 2) AS BIGINT) AS h FROM lineitem
+),
+probe AS (
+  SELECT min(l_orderkey) AS k FROM lineitem, mid WHERE l_orderkey >= mid.h
+)
+SELECT l.l_orderkey, l.l_linenumber,
+       round(l.l_quantity, 2) AS quantity
+FROM lineitem l, probe
+WHERE l.l_orderkey = probe.k
+""",
+)
+def sink_delta_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file BLOOM-INDEX file skipping for point lookups — the
+    pruning dimension min/max stats cannot give: lineitem lands
+    hash-distributed (``repartition(8)`` on the key), so every file's
+    l_orderkey range spans nearly the whole domain and stats pruning
+    keeps ALL files; the per-file bloom filter (built at write time,
+    stored on the add action, surviving checkpoints) prunes a point
+    probe down to the files that can actually contain the key.  The
+    run asserts bloom pruning strictly beats stats pruning and that
+    the probed key's rows all survive (no false negatives, by
+    construction).  The oracle is the plain point SELECT.
+
+    At 100 TB this is the needle-in-haystack path: a key lookup in a
+    hash-written petabyte table opens O(1) files instead of all of
+    them, for ~10 bits/key of log metadata — the same trade real
+    Delta's bloom index and parquet bloom filters make."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    # A MID-DOMAIN existing key (smallest orderkey >= half the max):
+    # every file's [min,max] contains it, so stats pruning keeps ALL
+    # files and the bloom is the only thing standing between the probe
+    # and a full-table scan.  (The global max would be the one key
+    # stats CAN prune perfectly.)
+    half = li.agg((F.floor(F.max("l_orderkey") / 2)).cast("long")).collect()[0][0]
+    probe = (
+        li.filter(F.col("l_orderkey") >= half)
+        .agg(F.min("l_orderkey"))
+        .collect()[0][0]
+    )
+    root = tempfile.mkdtemp(prefix="sdis_delta_bloom_")
+    t = DeltaLogTable(spark, root)
+    t.commit_append(
+        li.repartition(8, "l_orderkey"), bloom_for=["l_orderkey"]
+    )
+    adds, _, _ = t._replay_actions(t.latest_version())
+    stats_kept = t._prune(
+        {p: {k: v for k, v in a.items() if k != "engineBloom"} for p, a in adds.items()},
+        {"l_orderkey": probe},
+    )
+    bloom_kept = t._prune(adds, {"l_orderkey": probe})
+    if not len(bloom_kept) < len(stats_kept):
+        raise RuntimeError(
+            f"bloom must out-prune stats: {len(bloom_kept)} vs {len(stats_kept)}"
+        )
+    return (
+        t.read(where={"l_orderkey": probe})
+        .filter(F.col("l_orderkey") == probe)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_quantity", 2).alias("quantity"),
         )
     )
 

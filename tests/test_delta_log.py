@@ -434,8 +434,8 @@ def test_overwrite_race_rederives_tombstones(spark, tbl, monkeypatch):
     orig = DeltaLogTable._stage_files
     raced = {"done": False}
 
-    def stage_with_race(self, df, partition_by=None):
-        adds = orig(self, df, partition_by)
+    def stage_with_race(self, df, partition_by=None, bloom_for=None):
+        adds = orig(self, df, partition_by, bloom_for=bloom_for)
         if self is tbl and not raced["done"]:
             raced["done"] = True
             racer.commit_append(_df(spark, [99]))  # concurrent winner
@@ -455,8 +455,8 @@ def test_merge_race_rederives_rewrite(spark, tbl, monkeypatch):
     orig = DeltaLogTable._stage_files
     raced = {"done": False}
 
-    def stage_with_race(self, df, partition_by=None):
-        adds = orig(self, df, partition_by)
+    def stage_with_race(self, df, partition_by=None, bloom_for=None):
+        adds = orig(self, df, partition_by, bloom_for=bloom_for)
         if self is tbl and not raced["done"]:
             raced["done"] = True
             racer.commit_append(_df(spark, [99]))
@@ -984,3 +984,42 @@ def test_merge_schema_evolution_widens_and_keeps_values(spark, tbl):
     assert rows[5] == (50.0, None) and rows[2] == (21.0, "b2")
     # time travel below the evolution sees the narrow schema
     assert "batch" not in tbl.read(version=0).columns
+
+
+def test_bloom_index_prunes_point_lookups_and_roundtrips_checkpoint(spark, tbl):
+    """Per-file bloom (engineBloom extension): no false negatives for
+    present keys, definite misses prune files that stats keep, and the
+    filter survives the checkpoint + clean_log round-trip."""
+    import pyarrow.parquet as pq
+
+    df = spark.createDataFrame([(i, i % 7) for i in range(200)], "k long, g long")
+    tbl.commit_append(df.repartition(4, "k"), bloom_for=["k"])
+    adds, _, _ = tbl._replay_actions(tbl.latest_version())
+    assert all("engineBloom" in a for a in adds.values())
+    # no false negatives: every key passes its own file's bloom
+    owners = {}
+    for path, a in adds.items():
+        ks = pq.read_table(os.path.join(tbl.root, path), columns=["k"])["k"].to_pylist()
+        owners[path] = set(ks)
+        for k in ks:
+            assert tbl._bloom_maybe_contains(a["engineBloom"]["k"], k)
+    # point lookup of a present key: bloom pruning keeps the owning
+    # file and (hash-distributed layout) strictly beats stats pruning
+    stats_only = {
+        p: {k: v for k, v in a.items() if k != "engineBloom"}
+        for p, a in adds.items()
+    }
+    probe = 123
+    kept = tbl._prune(adds, {"k": probe})
+    assert any(probe in owners[p] for p in kept)
+    assert len(kept) < len(tbl._prune(stats_only, {"k": probe}))
+    out = sorted(r.k for r in tbl.read(where={"k": probe}).collect() if r.k == probe)
+    assert out == [probe]
+    # checkpoint round-trip keeps the bloom byte-for-byte
+    tbl.checkpoint()
+    tbl.clean_log()
+    adds2, _, _ = tbl._replay_actions(tbl.latest_version())
+    assert {p: a["engineBloom"] for p, a in adds2.items()} == {
+        p: a["engineBloom"] for p, a in adds.items()
+    }
+    assert tbl._prune(adds2, {"k": probe}) == kept
