@@ -1237,17 +1237,43 @@ class DeltaLogTable:
 
         return self._alter_mapped_schema(mutate, "DROP COLUMNS")
 
+    def _generated_at(self, head: int) -> dict[str, str]:
+        """Generated-column expressions stored in the schema's field
+        metadata (the spec's ``delta.generationExpression``) at ``head``."""
+        if head < 0:
+            return {}
+        md = self._state(head)["metaData"] or {}
+        s = md.get("schemaString")
+        if not s:
+            return {}
+        out: dict[str, str] = {}
+        for f in json.loads(s)["fields"]:
+            expr = (f.get("metadata") or {}).get("delta.generationExpression")
+            if expr:
+                out[f["name"]] = expr
+        return out
+
     def commit_append(
         self,
         df: DataFrame,
         partition_by: list[str] | None = None,
         txn: tuple[str, int] | None = None,
         bloom_for: list[str] | None = None,
+        generated: dict[str, str] | None = None,
     ) -> int:
         """Append commit; with ``txn=(appId, epoch)`` the commit is
         IDEMPOTENT: an epoch at or below the app's committed watermark is
         skipped entirely (no files staged, no log entry) and the current
-        head is returned — exactly-once for at-least-once callers."""
+        head is returned — exactly-once for at-least-once callers.
+
+        ``generated`` (first commit only) declares GENERATED COLUMNS —
+        the spec's ``delta.generationExpression`` field metadata: later
+        appends that omit such a column get it COMPUTED from the stored
+        expression, and appends that provide it are VALIDATED against
+        the expression (a mismatching batch is refused, like the spec's
+        writer obligation) — so derived partition keys (e.g. a date
+        bucketed from an event timestamp) can never drift from their
+        source column."""
         if txn is not None and txn[1] <= self.last_txn_version(txn[0]):
             return self.latest_version()
         head0 = self.latest_version()
@@ -1273,7 +1299,49 @@ class DeltaLogTable:
             ]
             self._partition_columns = []
         else:
-            self._schema_string = df.schema.json()
+            if head0 >= 0 and generated:
+                raise ValueError(
+                    "generated columns are declared on the FIRST commit; "
+                    "later appends inherit them from the schema metadata"
+                )
+            gens = dict(generated or {}) if head0 < 0 else self._generated_at(head0)
+            for col, expr in gens.items():
+                if col not in df.columns:
+                    df = df.withColumn(col, F.expr(expr))
+                elif (
+                    df.filter(~F.col(col).eqNullSafe(F.expr(expr)))
+                    .limit(1)
+                    .count()
+                ):
+                    raise DeltaConstraintViolation(
+                        f"generated column {col!r} does not satisfy its "
+                        f"expression {expr!r}"
+                    )
+            if head0 < 0 and gens:
+                schema_json = json.loads(df.schema.json())
+                for f in schema_json["fields"]:
+                    if f["name"] in gens:
+                        f.setdefault("metadata", {})[
+                            "delta.generationExpression"
+                        ] = gens[f["name"]]
+                self._schema_string = json.dumps(schema_json)
+            elif gens and {
+                f["name"]
+                for f in json.loads(
+                    self._state(head0)["metaData"]["schemaString"]
+                )["fields"]
+            } == set(df.columns):
+                # Same columns: keep the STORED schema string so the
+                # generation metadata survives (df.schema.json() would
+                # drop it and trigger a metaData re-emission that erases
+                # the expressions).
+                stored = self._state(head0)["metaData"]["schemaString"]
+                self._schema_string = stored
+                df = df.select(
+                    [f["name"] for f in json.loads(stored)["fields"]]
+                )
+            else:
+                self._schema_string = df.schema.json()
             self._partition_columns = list(partition_by or [])
         adds = self._stage_files(df, partition_by, bloom_for=bloom_for)
         if txn is None:
@@ -3210,6 +3278,59 @@ def sink_delta_dv_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "sink_delta_generated",
+    oracle="""
+WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d FROM events)
+SELECT event_type,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events, d0
+WHERE CAST(ts AS DATE) = d0.d
+GROUP BY event_type
+""",
+)
+def sink_delta_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED COLUMNS as derived partition keys: the events table
+    lands partitioned by ``day``, a column the WRITER derives as
+    ``CAST(ts AS DATE)`` per the expression stored in the schema's
+    ``delta.generationExpression`` metadata — the first append declares
+    it, the second append doesn't even pass the column and gets it
+    computed from the stored expression (asserted: every add action
+    carries a day partitionValue).  The read prunes to the earliest
+    day's partition from log metadata alone; the oracle recomputes the
+    same day filter from raw events.
+
+    This is the spec's answer to time-partitioned ingest at scale: the
+    partition key can never drift from its source column (a mismatching
+    writer batch is refused), and every reader prunes on a column no
+    producer ever has to remember to populate."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="sdis_delta_gen_")
+    t = DeltaLogTable(spark, root)
+    t.commit_append(
+        ev.filter(F.col("event_id") % 2 == 0),
+        generated={"day": "CAST(ts AS DATE)"},
+        partition_by=["day"],
+    )
+    t.commit_append(ev.filter(F.col("event_id") % 2 == 1), partition_by=["day"])
+    adds, _, _ = t._replay_actions(t.latest_version())
+    if not all(a["partitionValues"].get("day") for a in adds.values()):
+        raise RuntimeError("every file must carry a generated day partition")
+    day0 = ev.agg(F.min(F.col("ts").cast("date"))).collect()[0][0]
+    return (
+        t.read(where={"day": str(day0)})
+        .filter(F.col("day") == F.lit(day0))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
 

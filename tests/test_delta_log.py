@@ -1023,3 +1023,29 @@ def test_bloom_index_prunes_point_lookups_and_roundtrips_checkpoint(spark, tbl):
         p: a["engineBloom"] for p, a in adds.items()
     }
     assert tbl._prune(adds2, {"k": probe}) == kept
+
+
+def test_generated_columns_compute_validate_and_persist(spark, tbl):
+    """Generated columns: declared on the first commit, computed when
+    omitted, validated when provided, and their expressions survive
+    later appends (no metadata-erasing schema re-emission)."""
+    from satellite_data_ingestion_spark.sources.delta_log import (
+        DeltaConstraintViolation,
+    )
+
+    df = spark.createDataFrame([(1,), (25,)], "x long")
+    tbl.commit_append(df, generated={"x2": "x * 2"})
+    assert tbl._generated_at(tbl.latest_version()) == {"x2": "x * 2"}
+    assert sorted((r.x, r.x2) for r in tbl.read().collect()) == [(1, 2), (25, 50)]
+    # omitted -> computed
+    tbl.commit_append(spark.createDataFrame([(3,)], "x long"))
+    assert (3, 6) in {(r.x, r.x2) for r in tbl.read().collect()}
+    # provided-and-correct -> accepted; expressions still stored
+    tbl.commit_append(spark.createDataFrame([(4, 8)], "x long, x2 long"))
+    assert tbl._generated_at(tbl.latest_version()) == {"x2": "x * 2"}
+    # provided-and-wrong -> refused
+    with pytest.raises(DeltaConstraintViolation, match="generated column"):
+        tbl.commit_append(spark.createDataFrame([(5, 11)], "x long, x2 long"))
+    # declaring on a non-empty table is refused
+    with pytest.raises(ValueError, match="FIRST commit"):
+        tbl.commit_append(df, generated={"x3": "x * 3"})
