@@ -818,6 +818,83 @@ def test_zorder_layout_skips_row_groups(spark):
     )
 
 
+def test_hilbert_layout_math_and_locality(spark):
+    """Three pins on the Hilbert-clustered layout: (a) the unrolled SQL
+    transform equals the classic xy→d reference algorithm exactly, (b)
+    equal-size Hilbert key ranges have no worse mean (xb, yb) bounding
+    boxes than the Morton layout's (curve continuity is the whole point),
+    and (c) the 32x32 box predicate still prunes most row groups from
+    parquet footers alone."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from satellite_data_ingestion_spark.operators import layout
+
+    def xy2d(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    # (a) exact math: a deterministic 1/16 sample of the 256x256 grid
+    grid = spark.range(4096).selectExpr(
+        "cast((id * 16 + 7) div 256 as int) as xb",
+        "cast((id * 16 + 7) % 256 as int) as yb",
+    )
+    got = layout.hilbert_key(grid, "xb", "yb").collect()
+    assert all(r.hval == xy2d(256, r.xb, r.yb) for r in got)
+
+    sf = "/root/testdata/sf0.001"
+    hz = spark.read.parquet(layout.stage_hilbert(spark, sf))
+    mz = spark.read.parquet(layout.stage_zorder(spark, sf))
+    W = layout._H_BUCKET_WIDTH
+
+    def mean_area(df, key):
+        per = df.groupBy(F.expr(f"{key} div {W}").alias("b")).agg(
+            (
+                (F.max("xb") - F.min("xb") + 1)
+                * (F.max("yb") - F.min("yb") + 1)
+            ).alias("area")
+        )
+        return per.agg(F.avg("area")).collect()[0][0]
+
+    h_area, m_area = mean_area(hz, "hval"), mean_area(mz, "zval")
+    assert h_area <= m_area, (
+        f"hilbert bucket footprint {h_area} worse than morton {m_area}"
+    )
+
+    # (c) footer-stat pruning of the same box the zorder test uses
+    staged = layout._HILBERT_DIR_CACHE[__import__("os").path.abspath(sf)]
+    total = hit = 0
+    for path in glob.glob(staged + "/part-*.parquet"):
+        md = pq.ParquetFile(path).metadata
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            sx = row.column(cols["xb"]).statistics
+            sy = row.column(cols["yb"]).statistics
+            total += 1
+            if (
+                sx.min <= layout._X_HI
+                and sx.max >= layout._X_LO
+                and sy.min <= layout._Y_HI
+                and sy.max >= layout._Y_LO
+            ):
+                hit += 1
+    assert total >= 16
+    assert hit / total <= 0.35, f"hilbert skipped too little: {hit}/{total}"
+
+
 def test_segment_dedup_reconstruction_invariants(spark):
     """Documents that lost no segments must reconstruct EXACTLY; exact
     duplicate documents (the corpus plants them) must lose all their
