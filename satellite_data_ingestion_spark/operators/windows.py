@@ -382,3 +382,133 @@ def win_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("reached_stage"),
         )
     )
+
+
+@register(
+    "win_pattern_match",
+    oracle="""
+SELECT user_id,
+       e2 AS view_event,
+       e1 AS click_event,
+       event_id AS purchase_event,
+       epoch_us(ts) - epoch_us(ts2) AS span_us
+FROM (
+  SELECT user_id, event_id, event_type, ts,
+         lag(event_type, 1) OVER w AS t1,
+         lag(event_type, 2) OVER w AS t2,
+         lag(event_id, 1)   OVER w AS e1,
+         lag(event_id, 2)   OVER w AS e2,
+         lag(ts, 2)         OVER w AS ts2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+WHERE event_type = 'purchase' AND t1 = 'click' AND t2 = 'view'
+""",
+)
+def win_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern matching over event sequences — the MATCH_RECOGNIZE
+    capability (``PATTERN (view click purchase)`` over CONSECUTIVE rows
+    of a user's timeline) expressed as a lag-chain: a row matches when
+    it is a purchase whose two immediately preceding events (by ts,
+    event_id) are a click preceded by a view.  Adjacency is what
+    distinguishes this from win_funnel (any-gap ordered stages): an
+    intervening error event breaks the pattern here.
+
+    Execution: one shuffle on user_id; the three lags share a single
+    window sort, the pattern predicate is a post-window filter, and at
+    100 TB the state per partition is the lag buffer (2 rows), not the
+    user's history.  A k-step pattern is k-1 lags over the same sort —
+    cost grows in columns, never in exchanges."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        F.lag("event_type", 1).over(w).alias("t1"),
+        F.lag("event_type", 2).over(w).alias("t2"),
+        F.lag("event_id", 1).over(w).alias("e1"),
+        F.lag("event_id", 2).over(w).alias("e2"),
+        F.lag(F.unix_micros("ts"), 2).over(w).alias("ts2_us"),
+    )
+    return lagged.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("t1") == "click")
+        & (F.col("t2") == "view")
+    ).select(
+        "user_id",
+        F.col("e2").alias("view_event"),
+        F.col("e1").alias("click_event"),
+        F.col("event_id").alias("purchase_event"),
+        (F.col("t_us") - F.col("ts2_us")).alias("span_us"),
+    )
+
+
+_RUN_MIN_LEN = 3
+
+
+@register(
+    "win_runs",
+    oracle=f"""
+SELECT user_id,
+       min(event_id)                     AS run_start_event,
+       max(event_id)                     AS run_end_event,
+       CAST(count(*) AS BIGINT)          AS run_len,
+       round(max(value) - min(value), 6) AS value_gain
+FROM (
+  SELECT user_id, event_id, value,
+         CAST(sum(brk) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+  FROM (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN value <= lag(value, 1, value + 1)
+                              OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+  )
+)
+GROUP BY user_id, run_id
+HAVING count(*) >= {_RUN_MIN_LEN}
+""",
+)
+def win_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of STRICTLY INCREASING event
+    values per user timeline, kept at length >= 3.  A run breaks when
+    the value fails to increase; the break flag's running sum is the
+    island id — the same lag + cumulative-sum idiom as win_sessionize,
+    applied to VALUE monotonicity instead of time gaps (together they
+    cover the two classic islands variants).
+
+    Within a run, ``ts``-order and ``value``-order coincide (that is
+    what a strictly increasing run means), so run_start/run_end are
+    min/max event_id and the gain is max-min value — keeping the
+    aggregate ORDER-FREE and the oracle dialect-neutral.
+
+    Execution: both window passes share one (user_id) exchange and one
+    sort; the final groupBy re-uses the shuffle's partitioning (child
+    output partitioning satisfies the aggregate's requirement), so the
+    whole operator is a single exchange at any scale."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value", 1).over(w)
+    brk = F.when(prev.isNull() | (F.col("value") <= prev), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.sum(brk).over(run).alias("run_id"),
+    )
+    return (
+        islands.groupBy("user_id", "run_id")
+        .agg(
+            F.min("event_id").alias("run_start_event"),
+            F.max("event_id").alias("run_end_event"),
+            F.count(F.lit(1)).alias("run_len"),
+            F.round(F.max("value") - F.min("value"), 6).alias("value_gain"),
+        )
+        .filter(F.col("run_len") >= _RUN_MIN_LEN)
+        .drop("run_id")
+    )
