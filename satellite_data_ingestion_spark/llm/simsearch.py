@@ -1573,3 +1573,92 @@ def ext_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(size_w).alias("cluster_size"),
         (F.row_number().over(rank_w) == 1).alias("keep"),
     )
+
+
+@register(
+    "ext_embedding_quantize",
+    oracle="""
+WITH d AS (
+  SELECT vec_id, label, embedding,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+), e AS (
+  SELECT vec_id, label, i,
+         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+  FROM d
+), b AS (
+  SELECT i, CAST(min(v) AS DOUBLE) AS mn, CAST(max(v) AS DOUBLE) AS mx
+  FROM e GROUP BY i
+), c AS (
+  SELECT e.vec_id, e.label, e.i,
+         CAST(CASE WHEN b.mx = b.mn THEN 0
+              ELSE least(255, floor(((e.v - b.mn) * 255.0) / (b.mx - b.mn)))
+         END AS INT) AS code
+  FROM e JOIN b USING (i)
+)
+SELECT vec_id, label,
+       list(code ORDER BY i)     AS codes,
+       CAST(sum(code) AS BIGINT) AS code_sum
+FROM c
+GROUP BY vec_id, label
+""",
+)
+def ext_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 scalar quantization of the embedding column: per-dimension
+    min/max over the corpus define a linear [0, 255] grid; every vector
+    comes back as an array<int> of codes (4x smaller than float32, the
+    standard storage/transfer compression before ANN indexing; PQ —
+    ``ext_sim_ivf_pq`` — is the sub-byte sibling).
+
+    Two passes, both scale-flat:
+
+    1. Bounds: one posexplode + groupBy(dim).  Partial aggregation means
+       each task ships at most 64 (dim, min, max) triples regardless of
+       row count, and the result is a 64-row bounded collect (same
+       posture as the IVF training sample / zorder domain bounds).
+    2. Encode: the bounds return as two LITERAL arrays inside a
+       ``transform`` over the raw vectors — pure projection, no join, no
+       shuffle, whole corpus never leaves its input partitioning.
+
+    The quantizer arithmetic ``floor(((v - mn) * 255.0) / (mx - mn))``
+    is evaluated in double with identical operation order in Spark and
+    DuckDB, so the integer codes hash-match exactly — no float-tolerance
+    escape hatch."""
+    emb = table(spark, sf_dir, "embeddings")
+    bounds = (
+        emb.select(F.posexplode("embedding").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    )
+    by_dim = sorted((r.i, float(r.mn), float(r.mx)) for r in bounds)
+    mn_arr = F.array([F.lit(mn) for _, mn, _ in by_dim])
+    mx_arr = F.array([F.lit(mx) for _, _, mx in by_dim])
+
+    def code(v: Column, i: Column) -> Column:
+        mn = F.element_at(mn_arr, i + 1)
+        mx = F.element_at(mx_arr, i + 1)
+        return (
+            F.when(mx == mn, F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(255),
+                    F.floor(((v.cast("double") - mn) * F.lit(255.0)) / (mx - mn)),
+                )
+            )
+            .cast("int")
+        )
+
+    quant = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", code).alias("codes"),
+    )
+    return quant.select(
+        "vec_id",
+        "label",
+        "codes",
+        F.expr(
+            "aggregate(codes, 0L, (acc, x) -> acc + cast(x as bigint))"
+        ).alias("code_sum"),
+    )

@@ -1768,3 +1768,35 @@ def test_incremental_embedding_cluster_equals_from_scratch(spark):
         ).collect()
     }
     assert inc == full
+
+
+def test_embedding_quantize_reconstruction_bound(spark):
+    """Int8 codes must decode back within one grid step of the original:
+    |v - (mn + code * (mx - mn) / 255)| <= (mx - mn) / 255 per dimension
+    — the floor-quantizer's worst case.  Pins that the codes are a valid
+    encoder, not merely hash-stable integers."""
+    import numpy as np
+
+    from satellite_data_ingestion_spark.llm.simsearch import (
+        ext_embedding_quantize,
+    )
+    from satellite_data_ingestion_spark.catalog import table
+
+    sf = "/root/testdata/sf0.001"
+    codes = {
+        r.vec_id: r.codes for r in ext_embedding_quantize(spark, sf).collect()
+    }
+    raw = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in table(spark, sf, "embeddings").collect()
+    }
+    mat = np.stack([raw[k] for k in sorted(raw)])
+    mn, mx = mat.min(axis=0), mat.max(axis=0)
+    step = (mx - mn) / 255.0
+    worst = 0.0
+    for vid, v in raw.items():
+        c = np.array(codes[vid], dtype=np.float64)
+        assert c.min() >= 0 and c.max() <= 255
+        recon = mn + c * step
+        worst = max(worst, np.max(np.abs(v - recon) - step))
+    assert worst <= 1e-12, f"reconstruction exceeded one grid step by {worst}"
