@@ -177,6 +177,12 @@ class DeltaLogTable:
             state["txns"][txn["appId"]] = max(
                 state["txns"].get(txn["appId"], -1), txn["version"]
             )
+        elif "domainMetadata" in action:
+            dm = action["domainMetadata"]
+            if dm.get("removed"):
+                state["domains"].pop(dm["domain"], None)
+            else:
+                state["domains"][dm["domain"]] = dm
         # "cdc" and "commitInfo" actions are per-commit payloads, not
         # table state: replay ignores them, per spec.
 
@@ -195,6 +201,7 @@ class DeltaLogTable:
             "metaData": None,
             "protocol": None,
             "txns": {},
+            "domains": {},
         }
         start = 0
         cp = self._checkpoint_info()
@@ -715,6 +722,16 @@ class DeltaLogTable:
         if head < 0:
             raise ValueError("cannot checkpoint an empty log")
         state = self._state(head)
+        if state["domains"]:
+            # The spec's checkpoint schema has a domainMetadata column;
+            # this writer's pinned schema does not carry it yet, and a
+            # checkpoint that silently dropped the rowTracking high-water
+            # mark would let a later writer REISSUE live row ids.  Refuse,
+            # per the protocol rule that state must survive checkpointing.
+            raise NotImplementedError(
+                "checkpoint of a table with domain metadata "
+                f"({sorted(state['domains'])})"
+            )
 
         def _map(d: dict | None) -> list[tuple] | None:
             return sorted((d or {}).items()) if d is not None else None
@@ -2367,6 +2384,254 @@ class DeltaLogTable:
             )
             .drop("__dv_file", "__dv_pos")
             .select([f.name for f in full_schema.fields])
+        )
+
+    # -- row tracking (spec writer feature: stable row ids) ------------
+
+    _RT_DOMAIN = "delta.rowTracking"
+    _RT_ROW_ID_COL = "_rt_materialized_row_id"
+    _RT_ROW_CV_COL = "_rt_materialized_row_commit_version"
+
+    @staticmethod
+    def _add_num_records(add: dict) -> int:
+        return int(json.loads(add["stats"])["numRecords"])
+
+    def _row_id_hwm(self, head: int) -> int:
+        """Current ``rowIdHighWaterMark`` from the rowTracking domain
+        metadata (-1 when no ids were ever assigned)."""
+        dm = self._state(head)["domains"].get(self._RT_DOMAIN)
+        if dm is None:
+            return -1
+        return int(json.loads(dm["configuration"])["rowIdHighWaterMark"])
+
+    def _rt_hwm_action(self, hwm: int) -> dict:
+        return {
+            "domainMetadata": {
+                "domain": self._RT_DOMAIN,
+                "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+                "removed": False,
+            }
+        }
+
+    def _rt_enabled(self, head: int) -> bool:
+        cfg = (self._state(head)["metaData"] or {}).get("configuration") or {}
+        return cfg.get("delta.enableRowTracking") == "true"
+
+    def _assign_fresh_row_ids(
+        self, adds: list[dict], hwm: int, commit_version: int
+    ) -> int:
+        """Annotate staged ``add`` actions with ``baseRowId`` (a fresh
+        contiguous id span per file, spans assigned in path order) and
+        ``defaultRowCommitVersion``; returns the new high-water mark.
+        Fresh ids are file-position-free: row i of the file owns
+        ``baseRowId + i``, so no per-row data is written — the log
+        carries one integer per file at any scale."""
+        for a in sorted(adds, key=lambda a: a["add"]["path"]):
+            a["add"]["baseRowId"] = hwm + 1
+            a["add"]["defaultRowCommitVersion"] = commit_version
+            hwm += self._add_num_records(a["add"])
+        return hwm
+
+    def enable_row_tracking(self) -> int:
+        """Enable the spec's ROW TRACKING writer feature: protocol rises
+        to minWriterVersion 7 with ``rowTracking`` + ``domainMetadata``
+        writer features (reader version is untouched — row ids are
+        writer-maintained), ``delta.enableRowTracking`` is set together
+        with the materialized-column names, and — the spec's enablement
+        obligation — every ALREADY-LIVE file is re-committed with a
+        backfilled ``baseRowId`` so existing rows get ids too.  The
+        ``rowIdHighWaterMark`` rides a ``domainMetadata`` action, the
+        spec's mechanism for named writer state."""
+        while True:
+            head = self.latest_version()
+            if head < 0:
+                raise ValueError(
+                    "enable row tracking on an empty table: commit first"
+                )
+            if self._rt_enabled(head):
+                return head
+            st = self._state(head)
+            self._guard_no_dv(st["live"], "enable row tracking")
+            proto = st["protocol"] or dict(_PROTOCOL)
+            wfeats = set(proto.get("writerFeatures") or [])
+            mw = proto.get("minWriterVersion", 2)
+            if mw < 7:
+                for v, fs in self._LEGACY_WRITER_FEATURES.items():
+                    if mw >= v:
+                        wfeats.update(fs)
+            wfeats.update({"rowTracking", "domainMetadata"})
+            md = dict(st["metaData"])
+            cfg = dict(md.get("configuration") or {})
+            cfg["delta.enableRowTracking"] = "true"
+            cfg["delta.rowTracking.materializedRowIdColumnName"] = (
+                self._RT_ROW_ID_COL
+            )
+            cfg["delta.rowTracking.materializedRowCommitVersionColumnName"] = (
+                self._RT_ROW_CV_COL
+            )
+            md["configuration"] = cfg
+            self._schema_string = md["schemaString"]
+            self._partition_columns = md.get("partitionColumns", [])
+            backfill = [
+                {"add": dict(st["live"][p], dataChange=False)}
+                for p in sorted(st["live"])
+            ]
+            hwm = self._assign_fresh_row_ids(backfill, -1, head + 1)
+            actions = [
+                {
+                    "protocol": {
+                        "minReaderVersion": proto.get("minReaderVersion", 1),
+                        "minWriterVersion": 7,
+                        **(
+                            {"readerFeatures": proto["readerFeatures"]}
+                            if proto.get("readerFeatures")
+                            else {}
+                        ),
+                        "writerFeatures": sorted(wfeats),
+                    }
+                },
+                {"metaData": md},
+                *backfill,
+                self._rt_hwm_action(hwm),
+            ]
+            try:
+                return self._publish(
+                    actions, derived_from=head, operation="SET TBLPROPERTIES"
+                )
+            except DeltaConcurrentCommit:
+                continue
+
+    def append_tracked(self, df: DataFrame) -> int:
+        """Append to a row-tracked table: stage once, then annotate the
+        add actions with fresh ``baseRowId`` spans from the current
+        high-water mark and advance the mark in the SAME commit.  A lost
+        race re-annotates (never re-stages) against the new head — id
+        spans are taken under the optimistic-commit lock, so two racing
+        appends can never issue overlapping ids."""
+        adds = self._stage_files(df)
+        while True:
+            head = self.latest_version()
+            if not self._rt_enabled(head):
+                raise ValueError("append_tracked on a non-row-tracked table")
+            self._schema_string = self._state(head)["metaData"]["schemaString"]
+            hwm = self._assign_fresh_row_ids(
+                adds, self._row_id_hwm(head), head + 1
+            )
+            try:
+                return self._publish(
+                    adds + [self._rt_hwm_action(hwm)],
+                    derived_from=head,
+                    operation="WRITE",
+                )
+            except DeltaConcurrentCommit:
+                continue
+
+    def compact_tracked(self, n_files: int = 1) -> int:
+        """OPTIMIZE on a row-tracked table: the rewrite MATERIALIZES each
+        surviving row's id and original commit version into the hidden
+        physical columns named by the table configuration, so ids are
+        preserved across the rewrite (``baseRowId`` + position can no
+        longer reproduce them once files merge).  The compacted adds
+        still get fresh id spans — the spec's invariant that every add
+        on a row-tracked table carries ``baseRowId`` — but readers
+        prefer the materialized values, and ``dataChange: false`` tells
+        incremental consumers nothing logically changed."""
+        while True:
+            head = self.latest_version()
+            if not self._rt_enabled(head):
+                raise ValueError("compact_tracked on a non-row-tracked table")
+            st = self._state(head)
+            live = sorted(st["live"])
+            if not live:
+                return head
+            stored_schema = st["metaData"]["schemaString"]
+            tracked = self.read_with_row_ids(version=head)
+            physical = tracked.withColumnsRenamed(
+                {
+                    "row_id": self._RT_ROW_ID_COL,
+                    "row_commit_version": self._RT_ROW_CV_COL,
+                }
+            ).coalesce(n_files)
+            self._schema_string = stored_schema
+            self._partition_columns = st["metaData"].get(
+                "partitionColumns", []
+            )
+            adds = self._stage_files(physical)
+            for a in adds:
+                a["add"]["dataChange"] = False
+            hwm = self._assign_fresh_row_ids(
+                adds, self._row_id_hwm(head), head + 1
+            )
+            removes = [self._remove_action(p, False) for p in live]
+            try:
+                return self._publish(
+                    adds + removes + [self._rt_hwm_action(hwm)],
+                    derived_from=head,
+                    operation="OPTIMIZE",
+                )
+            except DeltaConcurrentCommit:
+                continue
+
+    def read_with_row_ids(self, version: int | None = None) -> DataFrame:
+        """Read the table with its stable row identity exposed:
+        ``row_id`` / ``row_commit_version`` are the MATERIALIZED values
+        when the file carries them (post-rewrite files), else computed
+        as ``baseRowId + row position`` / ``defaultRowCommitVersion``
+        from the file's add action — the spec's two-tier resolution.
+
+        Execution: ONE parquet scan of all live files (the hidden
+        ``_metadata.row_index`` supplies in-file positions without any
+        per-row stored data), plus a BROADCAST join against the
+        log-derived (file → baseRowId, commitVersion) map, which is
+        log-sized (one row per file) at any table size."""
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        head = self.latest_version()
+        v = head if version is None else version
+        st = self._state(v)
+        if not self._rt_enabled(v):
+            raise ValueError("read_with_row_ids on a non-row-tracked table")
+        self._guard_no_dv(st["live"], "read_with_row_ids")
+        md = st["metaData"]
+        full_schema = StructType.fromJson(json.loads(md["schemaString"]))
+        read_schema = StructType(
+            list(full_schema.fields)
+            + [
+                StructField(self._RT_ROW_ID_COL, LongType(), True),
+                StructField(self._RT_ROW_CV_COL, LongType(), True),
+            ]
+        )
+        live = st["live"]
+        info = [
+            (
+                os.path.basename(p),
+                live[p].get("baseRowId"),
+                live[p].get("defaultRowCommitVersion"),
+            )
+            for p in sorted(live)
+        ]
+        file_map = self.spark.createDataFrame(
+            info, "file_name string, base_row_id long, default_cv long"
+        )
+        df = (
+            self.spark.read.schema(read_schema)
+            .parquet(*[os.path.join(self.root, p) for p in sorted(live)])
+            .withColumn(
+                "_file_name",
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+            )
+            .withColumn("_row_index", F.col("_metadata.row_index"))
+        )
+        joined = df.join(F.broadcast(file_map), df["_file_name"] == file_map["file_name"])
+        return joined.select(
+            *[f.name for f in full_schema.fields],
+            F.coalesce(
+                F.col(self._RT_ROW_ID_COL),
+                F.col("base_row_id") + F.col("_row_index"),
+            ).alias("row_id"),
+            F.coalesce(
+                F.col(self._RT_ROW_CV_COL), F.col("default_cv")
+            ).alias("row_commit_version"),
         )
 
     def read(
@@ -4391,4 +4656,63 @@ def source_delta_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
+    )
+
+
+@register(
+    "sink_delta_row_tracking",
+    oracle="""
+WITH a AS (
+  SELECT o_orderkey,
+         CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS row_id
+  FROM orders WHERE o_orderkey % 3 = 0
+), b AS (
+  SELECT o_orderkey,
+         CAST((SELECT count(*) FROM a)
+              + row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS row_id
+  FROM orders WHERE o_orderkey % 3 = 1
+)
+SELECT o_orderkey, row_id, CAST(1 AS BIGINT) AS row_commit_version FROM a
+UNION ALL
+SELECT o_orderkey, row_id, CAST(2 AS BIGINT) AS row_commit_version FROM b
+""",
+)
+def sink_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW TRACKING lifecycle: append → enable (protocol upgrade +
+    baseRowId BACKFILL of the live file) → tracked append (fresh id
+    span under the commit lock) → OPTIMIZE (ids MATERIALIZED into
+    hidden physical columns, ``dataChange: false``) → read the stable
+    identity back.  Row ids and original commit versions must survive
+    the rewrite byte-for-byte — that is the feature's contract, and the
+    oracle can therefore recompute them relationally: first batch's ids
+    are its sorted positions (backfilled at version 1), second batch
+    continues from the high-water mark (committed at version 2).
+
+    Each batch is written as ONE sorted file so the id assignment is
+    deterministic for the oracle; production appends write N files per
+    commit and the log simply carries one (baseRowId, numRecords) span
+    per file — id issuance is O(files), never O(rows), and the
+    ``_metadata.row_index`` read path stores no per-row data until a
+    rewrite materializes ids for the files it merges."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    batch_a = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .coalesce(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    batch_b = (
+        orders.filter(F.col("o_orderkey") % 3 == 1)
+        .coalesce(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    root = tempfile.mkdtemp(prefix="sdis_rowtrack_")
+    t = DeltaLogTable(spark, root)
+    t.commit_append(batch_a)          # v0: pre-tracking data
+    t.enable_row_tracking()           # v1: upgrade + backfill ids
+    t.append_tracked(batch_b)         # v2: fresh span from the hwm
+    t.compact_tracked()               # v3: rewrite, ids materialized
+    return t.read_with_row_ids().select(
+        "o_orderkey", "row_id", "row_commit_version"
     )

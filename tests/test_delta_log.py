@@ -1049,3 +1049,58 @@ def test_generated_columns_compute_validate_and_persist(spark, tbl):
     # declaring on a non-empty table is refused
     with pytest.raises(ValueError, match="FIRST commit"):
         tbl.commit_append(df, generated={"x3": "x * 3"})
+
+
+def test_row_tracking_ids_survive_rewrite_and_never_reuse(spark, tbl):
+    """The row-tracking contract: (a) enablement backfills ids for
+    pre-existing rows; (b) OPTIMIZE preserves every (row, id, commit
+    version) triple exactly via materialization; (c) later appends
+    continue from the high-water mark — no id is ever reissued, even
+    after a rewrite assigned fresh spans to compacted files; (d) the
+    protocol carries the rowTracking + domainMetadata writer features;
+    (e) checkpointing refuses rather than dropping the domain-held
+    high-water mark."""
+    import pytest as _pytest
+
+    tbl.commit_append(_df(spark, [10, 20, 30]).coalesce(1).sortWithinPartitions("x"))
+    tbl.enable_row_tracking()
+    assert tbl.enable_row_tracking() == tbl.latest_version()  # idempotent
+    tbl.append_tracked(_df(spark, [40, 50]).coalesce(1).sortWithinPartitions("x"))
+
+    before = {
+        (r.x, r.row_id, r.row_commit_version)
+        for r in tbl.read_with_row_ids().collect()
+    }
+    assert {x for x, _, _ in before} == {10, 20, 30, 40, 50}
+    assert sorted(i for _, i, _ in before) == [0, 1, 2, 3, 4]
+    assert {cv for x, _, cv in before if x in (10, 20, 30)} == {1}
+    assert {cv for x, _, cv in before if x in (40, 50)} == {2}
+
+    tbl.compact_tracked()
+    after = {
+        (r.x, r.row_id, r.row_commit_version)
+        for r in tbl.read_with_row_ids().collect()
+    }
+    assert after == before  # (b): the rewrite changed nothing logical
+    # plain read hides the materialized physical columns
+    assert set(tbl.read().columns) == {"x"}
+
+    # (c): fresh ids continue above the compaction's fresh spans
+    tbl.append_tracked(_df(spark, [60]).coalesce(1))
+    final = tbl.read_with_row_ids().collect()
+    ids = [r.row_id for r in final]
+    assert len(ids) == len(set(ids))
+    new_id = next(r.row_id for r in final if r.x == 60)
+    assert new_id >= 10  # backfill 0-4, compaction spans 5-9, then fresh
+
+    # (d): protocol surface
+    state = tbl._state(tbl.latest_version())
+    proto = state["protocol"]
+    assert proto["minWriterVersion"] == 7
+    assert {"rowTracking", "domainMetadata"} <= set(proto["writerFeatures"])
+    cfg = state["metaData"]["configuration"]
+    assert cfg["delta.enableRowTracking"] == "true"
+
+    # (e): checkpoint must refuse, not drop, domain metadata
+    with _pytest.raises(NotImplementedError, match="domain metadata"):
+        tbl.checkpoint()
