@@ -103,6 +103,26 @@ HEADLINE = [
     "sink_delta_restore",
     "sink_delta_vacuum",
     "sink_delta_fsck",
+    # Round-9 late additions that shipped without a perf signal: the
+    # pair-join/blocked-join family (containment, fuzzy), iterative BFS,
+    # the per-cluster prune, corpus vocab, and the heavier table-format
+    # paths (schema-evolving MERGE, bloom point lookups, generated cols).
+    "ext_dedup_containment",
+    "join_fuzzy",
+    "graph_bfs",
+    "ext_semdedup_prune",
+    "ext_vocab_topk",
+    "sink_delta_merge_evolve",
+    "sink_delta_bloom",
+    "sink_delta_generated",
+    # Round-10 additions (signal from day one): space-filling-curve
+    # staging + bucket stats, the window pattern/islands pair, int8
+    # quantization, and the row-tracking lifecycle.
+    "ext_hilbert_layout",
+    "win_pattern_match",
+    "win_runs",
+    "ext_embedding_quantize",
+    "sink_delta_row_tracking",
 ]
 
 

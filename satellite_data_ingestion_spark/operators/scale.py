@@ -212,3 +212,93 @@ def join_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k, v in saved.items():
             spark.conf.set(k, v)
     return spark.createDataFrame(rows, plan.schema)
+
+
+# Count-min sketch geometry.  SEMANTIC constants (baked into the oracle):
+# depth 3 independent md5-derived hash rows, width 1024 cells, and a
+# heavy-hitter threshold of 0.1% of the stream (est * 1000 >= total).
+_CMS_DEPTH = 3
+_CMS_WIDTH = 1024
+
+
+def _cms_bucket(col: str, i, dialect: str) -> str:
+    """Shared Spark/DuckDB bucket hash: the first 8 hex chars of
+    ``md5(key || '#' || row)`` as an integer, mod the sketch width.
+    Engine-portable (unlike xxhash64) and uniform enough for CMS."""
+    if dialect == "spark":
+        return (
+            f"cast(conv(substr(md5(concat({col}, '#', cast({i} as string))), 1, 8),"
+            f" 16, 10) as bigint) % {_CMS_WIDTH}"
+        )
+    return (
+        f"CAST(('0x' || substr(md5({col} || '#' || CAST({i} AS VARCHAR)), 1, 8))"
+        f" AS BIGINT) % {_CMS_WIDTH}"
+    )
+
+
+@register(
+    "ext_heavy_hitters",
+    oracle=f"""
+WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+tot AS (SELECT count(*) AS total FROM k),
+h AS (
+  SELECT k, i, {_cms_bucket("k", "i", "duckdb")} AS bucket
+  FROM k, UNNEST([1, 2, 3]) AS t(i)
+),
+sk AS (SELECT i, bucket, CAST(count(*) AS BIGINT) AS c FROM h GROUP BY i, bucket),
+cand AS (SELECT DISTINCT k, i, bucket FROM h),
+est AS (
+  SELECT cand.k, min(sk.c) AS est_count
+  FROM cand JOIN sk USING (i, bucket) GROUP BY cand.k
+),
+ex AS (SELECT k, CAST(count(*) AS BIGINT) AS exact_count FROM k GROUP BY k)
+SELECT CAST(est.k AS BIGINT) AS l_partkey, est.est_count, ex.exact_count
+FROM est JOIN ex USING (k), tot
+WHERE est.est_count * 1000 >= tot.total
+""",
+)
+def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOT-KEY detection via a count-min sketch — the measurement half
+    of the skew toolkit (``join_salted`` is the mitigation half): keys
+    whose estimated frequency clears 0.1% of the stream are the ones
+    that flood a shuffle partition.  Depth-3 width-1024 CMS with
+    engine-portable md5 bucket hashes; the sketch never underestimates,
+    so every true heavy hitter survives (the classic one-sided bound),
+    and with fixed hashes the estimates are DETERMINISTIC — the oracle
+    replays the identical sketch relationally.
+
+    Scale shape: the sketch build is one groupBy over at most
+    depth x width = 3072 cells — partial aggregation means each task
+    emits <= 3072 rows no matter how many billions flow through, and
+    the finished sketch is broadcast back (Catalyst picks broadcast for
+    the 3072-row side) to score candidate keys.  The exact_count column
+    is the verification twin (one extra key-shuffle); production skew
+    probes skip it and pay only the sketch.  Mergeability (cell-wise
+    sum) is what makes CMS the 100 TB choice: per-executor sketches
+    combine without ever shuffling keys."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("k")
+    )
+    total = li.agg(F.count(F.lit(1)).alias("total"))
+    h = li.select(
+        "k",
+        F.explode(F.array(*[F.lit(i) for i in range(1, _CMS_DEPTH + 1)])).alias("i"),
+    ).selectExpr("k", "i", _cms_bucket("k", "i", "spark") + " as bucket")
+    sketch = h.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    cand = h.distinct()
+    est = (
+        cand.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("k")
+        .agg(F.min("c").alias("est_count"))
+    )
+    exact = li.groupBy("k").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        est.join(exact, "k")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("est_count") * 1000 >= F.col("total"))
+        .select(
+            F.col("k").cast("bigint").alias("l_partkey"),
+            "est_count",
+            "exact_count",
+        )
+    )

@@ -1800,3 +1800,33 @@ def test_embedding_quantize_reconstruction_bound(spark):
         recon = mn + c * step
         worst = max(worst, np.max(np.abs(v - recon) - step))
     assert worst <= 1e-12, f"reconstruction exceeded one grid step by {worst}"
+
+
+def test_heavy_hitters_cms_one_sided_bound(spark):
+    """Count-min never underestimates: est >= exact for every reported
+    key, and every TRUE heavy hitter (exact frequency over the 0.1%
+    threshold) must be reported — the sketch's one-sided guarantee
+    means thresholding on estimates can only add keys, never lose one."""
+    import pyspark.sql.functions as F
+
+    from satellite_data_ingestion_spark.operators.scale import (
+        ext_heavy_hitters,
+    )
+    from satellite_data_ingestion_spark.catalog import table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.l_partkey: (r.est_count, r.exact_count)
+           for r in ext_heavy_hitters(spark, sf).collect()}
+    assert got, "no heavy hitters reported"
+    assert all(est >= exact for est, exact in got.values())
+
+    li = table(spark, sf, "lineitem")
+    total = li.count()
+    true_heavy = {
+        r.l_partkey
+        for r in li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") * 1000 >= total)
+        .collect()
+    }
+    assert true_heavy <= set(got), "a true heavy hitter was lost"
