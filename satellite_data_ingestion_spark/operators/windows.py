@@ -384,9 +384,10 @@ def win_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "win_pattern_match",
-    oracle="""
+# Shared with the streaming CEP twin (streaming/custom_state.py's
+# stream_pattern_match): the stream is pinned exactly equal to this
+# batch operator, so one relational recomputation verifies both.
+PATTERN_ORACLE = """
 SELECT user_id,
        e2 AS view_event,
        e1 AS click_event,
@@ -403,8 +404,10 @@ FROM (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 WHERE event_type = 'purchase' AND t1 = 'click' AND t2 = 'view'
-""",
-)
+"""
+
+
+@register("win_pattern_match", oracle=PATTERN_ORACLE)
 def win_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-pattern matching over event sequences — the MATCH_RECOGNIZE
     capability (``PATTERN (view click purchase)`` over CONSECUTIVE rows

@@ -747,3 +747,154 @@ def stream_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.createDataFrame(out.collect(), out.schema)
     shutil.rmtree(staging, ignore_errors=True)
     return result
+
+
+# ---- streaming row-pattern matching (CEP): the stateful twin of
+# operators/windows.py::win_pattern_match.
+
+_PATTERN_STATE = (
+    "t1 string, e1 long, ts1 long, t2 string, e2 long, ts2 long"
+)
+_PATTERN_OUTPUT = (
+    "user_id long, view_event long, click_event long, "
+    "purchase_event long, span_us long"
+)
+
+
+def _pattern_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user CEP state machine: carry the last TWO events (type, id,
+    ts) across micro-batches; a purchase arriving while the carried pair
+    is (view, click) emits a match.  The carried pair is exactly the lag
+    buffer of the batch window plan — state is O(pattern length) per
+    key, never the user's history, so a year-long stream costs the same
+    state as a minute-long one."""
+    (user_id,) = key
+    if state.exists:
+        t1, e1, ts1, t2, e2, ts2 = state.get
+    else:
+        t1, e1, ts1, t2, e2, ts2 = "", -1, -1, "", -1, -1
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["ts_us", "event_id"]
+    )
+    out = []
+    for r in rows.itertuples(index=False):
+        if r.event_type == "purchase" and t1 == "click" and t2 == "view":
+            out.append(
+                (int(user_id), int(e2), int(e1), int(r.event_id),
+                 int(r.ts_us) - int(ts2))
+            )
+        t2, e2, ts2 = t1, e1, ts1
+        t1, e1, ts1 = str(r.event_type), int(r.event_id), int(r.ts_us)
+    state.update((t1, e1, ts1, t2, e2, ts2))
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "view_event",
+                "click_event",
+                "purchase_event",
+                "span_us",
+            ],
+        )
+
+
+def _stage_events_by_time(
+    spark: SparkSession, sf_dir: str, n_slices: int, tag: str
+) -> str:
+    """Stage events as ``n_slices`` parquet files holding CONSECUTIVE
+    time ranges with strictly increasing mtimes, so a
+    ``maxFilesPerTrigger=1`` drain replays the corpus in arrival order —
+    the fixture a cross-batch ADJACENCY operator needs (bucketing by
+    event_id % n would interleave each user's timeline across batches
+    and manufacture adjacencies that never happened)."""
+    import glob as _glob
+
+    from ..catalog import table as _table
+
+    staging = os.path.join(
+        tempfile.gettempdir(), f"sdis_staging_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+    ev = _table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    # Bounded collect: the corpus' time span (2 scalars) sizes the slices.
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    width = (int(hi) - int(lo)) // n_slices + 1
+    tmp = staging + "_tmp"
+    base = int(os.path.getmtime(staging))
+    for i in range(n_slices):
+        s, e = int(lo) + i * width, int(lo) + (i + 1) * width
+        (
+            ev.filter((F.col("ts_us") >= s) & (F.col("ts_us") < e))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(staging, f"{i:05d}.parquet")
+        os.replace(part, dest)
+        os.utime(dest, (base + 10 * i, base + 10 * i))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return staging
+
+
+# Oracle = the batch twin's SQL verbatim (operators/windows.py): the
+# stream's union of per-batch emissions is pinned exactly equal to
+# win_pattern_match, so the same window recomputation verifies the
+# carried-state adjacency logic — including matches whose three events
+# SPAN micro-batch boundaries.
+from ..operators.windows import PATTERN_ORACLE  # noqa: E402
+
+
+@register("stream_pattern_match", oracle=PATTERN_ORACLE)
+def stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming complex-event processing: detect consecutive
+    view → click → purchase sequences per user ACROSS micro-batches.
+    The corpus arrives as four time-sliced files (maxFilesPerTrigger=1,
+    arrival order = event order), each user's last two events ride the
+    state store between batches, and matches are emitted append-mode as
+    they complete — a pattern whose three events straddle a batch
+    boundary is found exactly once, which the batch-twin oracle proves
+    (any double-emission or boundary loss hash-mismatches).
+
+    At 100 TB state is O(pattern length) per active user and each
+    micro-batch shuffles only its own arrivals once on user_id."""
+    _prepare(spark)
+    staging = _stage_events_by_time(spark, sf_dir, 4, "cep")
+    schema = spark.read.parquet(staging).schema
+    sink = f"cep_sink_{os.getpid()}"
+    with _few_shuffle_partitions(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+            .select("user_id", "event_id", "event_type", "ts_us")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _pattern_state,
+                outputStructType=_PATTERN_OUTPUT,
+                stateStructType=_PATTERN_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
+            .start()
+        )
+        q.awaitTermination(180)
+    out = spark.table(sink)
+    # Bounded collect: emissions are completed pattern matches only (a
+    # small fraction of the stream), materialized once for the driver.
+    result = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(staging, ignore_errors=True)
+    return result

@@ -1830,3 +1830,43 @@ def test_heavy_hitters_cms_one_sided_bound(spark):
         .collect()
     }
     assert true_heavy <= set(got), "a true heavy hitter was lost"
+
+
+def test_stream_pattern_match_spans_batch_boundaries(spark):
+    """The streaming CEP result must equal the batch window twin AND the
+    fixture must actually exercise the carried state: at least one match
+    must have its three events split across different time-sliced
+    micro-batches (otherwise the cross-batch adjacency logic is
+    untested vacuously)."""
+    import pyspark.sql.functions as F
+
+    from satellite_data_ingestion_spark.catalog import table
+    from satellite_data_ingestion_spark.operators.windows import (
+        win_pattern_match,
+    )
+    from satellite_data_ingestion_spark.streaming.custom_state import (
+        stream_pattern_match,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    streamed = {
+        tuple(r) for r in stream_pattern_match(spark, sf).collect()
+    }
+    batch = {tuple(r) for r in win_pattern_match(spark, sf).collect()}
+    assert streamed == batch and streamed
+
+    # which time slice (of 4) does each event land in?
+    ev = table(spark, sf, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    width = (int(hi) - int(lo)) // 4 + 1
+    slice_of = {
+        r.event_id: (int(r.ts_us) - int(lo)) // width for r in ev.collect()
+    }
+    spanning = [
+        m
+        for m in streamed
+        if slice_of[m[1]] != slice_of[m[3]]  # view vs purchase slice
+    ]
+    assert spanning, "no match crossed a micro-batch boundary"
