@@ -560,3 +560,85 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("kval").cast("long").alias("sum_k"),
         )
     )
+
+
+# Geohash geometry: 15 bits per axis -> 30-bit cell -> 6 base32 chars.
+# SEMANTIC constants (baked into the oracle).
+_GH_BITS = 15
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _gh_interleave(lon_q: str, lat_q: str, dialect: str) -> str:
+    """30-bit geohash cell id: longitude bits on the even stream
+    positions (the geohash convention — lon bit j lands at weight
+    2^(2j+1), lat bit j at 2^(2j)).  Same integer arithmetic in both
+    dialects, only the shift spelling differs."""
+    terms = []
+    for j in range(_GH_BITS):
+        if dialect == "spark":
+            terms.append(f"shiftleft(shiftright({lon_q}, {j}) & 1, {2 * j + 1})")
+            terms.append(f"shiftleft(shiftright({lat_q}, {j}) & 1, {2 * j})")
+        else:
+            terms.append(f"((({lon_q} >> {j}) & 1) << {2 * j + 1})")
+            terms.append(f"((({lat_q} >> {j}) & 1) << {2 * j})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _gh_chars(zval: str, dialect: str) -> str:
+    """6-char base32 rendering of a 30-bit cell id (5 bits per char,
+    most significant first)."""
+    fn = "substring" if dialect == "spark" else "substr"
+    parts = [
+        f"{fn}('{_GH_ALPHABET}', cast((({zval} >> {25 - 5 * j}) & 31) + 1 as int), 1)"
+        if dialect == "duckdb"
+        else f"{fn}('{_GH_ALPHABET}', cast(shiftright({zval}, {25 - 5 * j}) & 31 as int) + 1, 1)"
+        for j in range(6)
+    ]
+    return "concat(" + ", ".join(parts) + ")"
+
+
+@register(
+    "fn_geohash",
+    oracle=f"""
+WITH q AS (
+  SELECT event_id,
+         ((event_id % 360 - 180 + 180) * {1 << _GH_BITS}) // 360 AS lon_q,
+         ((user_id % 180 - 90 + 90) * {1 << _GH_BITS}) // 180  AS lat_q
+  FROM events
+), z AS (
+  SELECT event_id,
+         {_gh_interleave("lon_q", "lat_q", "duckdb")} AS cell_id
+  FROM q
+)
+SELECT event_id, cell_id, {_gh_chars("cell_id", "duckdb")} AS geohash
+FROM z
+""",
+)
+def fn_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOHASH encoding (precision 6) — the standard spatial bucketing
+    key for distributing geo workloads: prefix-truncating a geohash
+    coarsens the cell, so geohash prefixes serve as shuffle/partition
+    keys for proximity joins and as Hive partition values for spatial
+    pruning (the reference clips to a lat/lon extent,
+    ``sources/meteosat.py:36``; a geohash-partitioned layout makes that
+    clip a partition filter).
+
+    Coordinates derive from integer columns, so quantization is EXACT
+    integer arithmetic (``(deg + offset) * 2^15 div range``) — no float
+    boundary risk — and the bit interleave + base32 rendering is the
+    same expression tree in Spark and DuckDB.  The whole encoder is one
+    codegen projection: no UDF, no shuffle, linear scan at any scale.
+    The component test pins equality with the classic bisection
+    algorithm."""
+    ev = table(spark, sf_dir, "events")
+    staged = ev.selectExpr(
+        "event_id",
+        f"((event_id % 360 - 180 + 180) * {1 << _GH_BITS}) div 360 as lon_q",
+        f"((user_id % 180 - 90 + 90) * {1 << _GH_BITS}) div 180 as lat_q",
+    ).selectExpr(
+        "event_id",
+        _gh_interleave("lon_q", "lat_q", "spark") + " as cell_id",
+    )
+    return staged.selectExpr(
+        "event_id", "cell_id", _gh_chars("cell_id", "spark") + " as geohash"
+    )

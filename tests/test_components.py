@@ -1870,3 +1870,42 @@ def test_stream_pattern_match_spans_batch_boundaries(spark):
         if slice_of[m[1]] != slice_of[m[3]]  # view vs purchase slice
     ]
     assert spanning, "no match crossed a micro-batch boundary"
+
+
+def test_geohash_matches_bisection_reference(spark):
+    """The interleave/base32 encoder must equal the classic bisection
+    geohash algorithm character-for-character on every corpus point —
+    a transposed axis or off-by-one quantization changes prefixes and
+    would silently break geohash-prefix partitioning."""
+    from satellite_data_ingestion_spark.functions.scalar import fn_geohash
+
+    def gh_ref(lat, lon, p=6):
+        b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+        latr, lonr = [-90.0, 90.0], [-180.0, 180.0]
+        bits = nb = 0
+        even, out = True, ""
+        while len(out) < p:
+            r = lonr if even else latr
+            mid = (r[0] + r[1]) / 2
+            c = lon if even else lat
+            d = 1 if c >= mid else 0
+            bits = bits * 2 + d
+            r[0 if d else 1] = mid
+            even = not even
+            nb += 1
+            if nb == 5:
+                out += b32[bits]
+                bits = nb = 0
+        return out
+
+    sf = "/root/testdata/sf0.001"
+    rows = fn_geohash(spark, sf).collect()
+    from satellite_data_ingestion_spark.catalog import table
+
+    coords = {
+        r.event_id: (r.user_id % 180 - 90, r.event_id % 360 - 180)
+        for r in table(spark, sf, "events").select("event_id", "user_id").collect()
+    }
+    for r in rows:
+        lat, lon = coords[r.event_id]
+        assert r.geohash == gh_ref(float(lat), float(lon)), r
