@@ -123,6 +123,11 @@ HEADLINE = [
     "win_runs",
     "ext_embedding_quantize",
     "sink_delta_row_tracking",
+    "ext_heavy_hitters",
+    "stream_pattern_match",
+    "fn_geohash",
+    "sink_delta_liquid",
+    "ext_dedup_bloom_incremental",
 ]
 
 

@@ -1655,14 +1655,28 @@ def ext_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Containment threshold C(A,B) = |A∩B| / |A| — integer-exact as NUM/DEN.
 _C_NUM, _C_DEN = 9, 10
+# Shingle width: containment's unit is the w-token shingle (Broder's
+# containment, the doc-in-doc measure), NOT the unigram — on a
+# small-vocabulary corpus unigram SETS degenerate (every doc's 31-token
+# set contains every other's, 8.3M of 25M ordered pairs qualified at
+# sf0.1) while shingle sets stay discriminative at any vocabulary size.
+_C_SHINGLE = 3
 
 
 @register(
     "ext_dedup_containment",
     oracle=f"""
-WITH d AS (
-  SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks
-  FROM documents
+WITH w AS (
+  SELECT doc_id, str_split(text, ' ') AS t FROM documents
+),
+d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(t) - {_C_SHINGLE - 1}),
+           i -> array_to_string(t[i:i+{_C_SHINGLE - 1}], ' ')
+         )) AS toks
+  FROM w
+  WHERE len(t) >= {_C_SHINGLE}
 )
 SELECT a.doc_id AS doc_contained, b.doc_id AS doc_container,
        round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
@@ -1699,8 +1713,30 @@ def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose bucket sizes follow rare-token df, one verify join — same
     scale shape as ``ext_ngram_jaccard``, with the index side linear in
     corpus tokens instead of prefix-bounded (the price of asymmetric
-    semantics)."""
-    d = _token_sets(spark, sf_dir).select("doc_id", "toks")
+    semantics).
+
+    Duplicate-set coalescing (added after the first bench signal —
+    19.6 s at sf0.1): containment is a pure function of the two token
+    SETS, so documents with byte-identical sets collapse to one
+    representative before the pairwise machinery (the same
+    ``_coalesce_sets`` stage the Jaccard path uses), and results expand
+    back through the membership map — within-group ordered pairs are
+    containment 1.0 by definition, cross-group pairs inherit their rep
+    pair's value DIRECTIONALLY.  On a small-vocabulary corpus (this
+    one: 31 tokens) this is the difference between joining 5,000 and
+    ~150 index sides."""
+    docs = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (_C_SHINGLE - 1)),
+            lambda i: F.array_join(F.slice(words, i, _C_SHINGLE), " "),
+        )
+    )
+    d_all = docs.filter(F.size(words) >= _C_SHINGLE).select(
+        "doc_id", shingles.alias("toks")
+    )
+    m, d = _coalesce_sets(d_all)
     df_map = (
         d.select("doc_id", F.explode("toks").alias("tok"))
         .groupBy("tok")
@@ -1770,16 +1806,117 @@ def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b_id",
     )
     inter = F.size(F.array_intersect("_sa", "_sb"))
-    return (
-        joined.select(
-            F.col("a_id").alias("doc_contained"),
-            F.col("b_id").alias("doc_container"),
-            (inter.cast("double") / F.size("_sa")).alias("_c"),
-        )
-        .filter(F.col("_c") >= _C_NUM / _C_DEN)
-        .select(
-            "doc_contained",
-            "doc_container",
-            F.round("_c", 4).alias("containment"),
-        )
+    rep_pairs = joined.select(
+        F.col("a_id").alias("ra"),
+        F.col("b_id").alias("rb"),
+        (inter.cast("double") / F.size("_sa")).alias("_c"),
+    ).filter(F.col("_c") >= _C_NUM / _C_DEN)
+    # Expand representative pairs through the membership map.  The
+    # direction survives expansion: every member of the contained rep's
+    # group is contained in every member of the container's group.
+    ma = m.select(F.col("rep").alias("ra"), F.col("doc_id").alias("doc_contained"))
+    mb = m.select(F.col("rep").alias("rb"), F.col("doc_id").alias("doc_container"))
+    cross = (
+        rep_pairs.join(ma, "ra").join(mb, "rb")
+        .select("doc_contained", "doc_container", "_c")
     )
+    x, y = m.alias("x"), m.alias("y")
+    within = x.join(
+        y,
+        (F.col("x.rep") == F.col("y.rep"))
+        & (F.col("x.doc_id") != F.col("y.doc_id")),
+    ).select(
+        F.col("x.doc_id").alias("doc_contained"),
+        F.col("y.doc_id").alias("doc_container"),
+        F.lit(1.0).alias("_c"),
+    )
+    return within.unionByName(cross).select(
+        "doc_contained",
+        "doc_container",
+        F.round("_c", 4).alias("containment"),
+    )
+
+
+# Relational bloom geometry.  SEMANTIC constants (baked into the oracle
+# only through the final EXACT semantics — the bloom is a prefilter whose
+# false positives the verify join removes, so the answer is bloom-free).
+_BLOOM_M = 1 << 20  # bits
+_BLOOM_K = 3  # hash functions
+
+
+def _bloom_positions(h: str, dialect: str = "spark") -> list[str]:
+    """The k bit positions of content-hash ``h``: md5-derived (engine-
+    portable), first 8 hex chars as an integer, mod m — the same shared-
+    hash recipe as the count-min sketch."""
+    if dialect == "spark":
+        return [
+            f"cast(conv(substr(md5(concat({h}, '#', '{i}')), 1, 8), 16, 10) "
+            f"as bigint) % {_BLOOM_M}"
+            for i in range(_BLOOM_K)
+        ]
+    return [
+        f"CAST(('0x' || substr(md5({h} || '#' || '{i}'), 1, 8)) AS BIGINT) "
+        f"% {_BLOOM_M}"
+        for i in range(_BLOOM_K)
+    ]
+
+
+@register(
+    "ext_dedup_bloom_incremental",
+    oracle="""
+SELECT d.doc_id,
+       EXISTS (SELECT 1 FROM documents c
+               WHERE c.doc_id % 5 <> 0
+                 AND coalesce(c.text, '') = coalesce(d.text, '')) AS is_dup
+FROM documents d
+WHERE d.doc_id % 5 = 0
+""",
+)
+def ext_dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup where the STANDING CORPUS NEVER SHUFFLES — the
+    bloom-gated variant of ``ext_dedup_incremental`` for the regime
+    where even the corpus' 16-byte hash set is too large to exchange
+    every tick.  The bloom filter is held RELATIONALLY as the set of its
+    lit bit positions:
+
+    1. Build: corpus hashes explode into k=3 md5-derived positions and
+       reduce to DISTINCT ints — a shuffle bounded by m = 2^20 rows no
+       matter how many billions of documents lit them (partial
+       aggregation caps each task's output at m).  In production this
+       positions table persists and new corpus arrivals append-merge it.
+    2. Probe: batch hashes join the (broadcast-sized, <= m rows)
+       positions table; a batch row is a CANDIDATE only if all k of its
+       positions are lit — the classic bloom conjunction, as a join +
+       count filter instead of a bit array.
+    3. Verify: candidate hashes broadcast BACK against the corpus scan
+       (left-semi, corpus stays map-side), removing bloom false
+       positives — so the final answer is exact and the oracle can
+       ignore the bloom entirely.
+
+    The full batch comes back flagged (``is_dup``), not filtered: the
+    ingest loop wants both halves (admit vs skip) in one pass."""
+    docs = table(spark, sf_dir, "documents")
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    corpus_h = docs.filter(F.col("doc_id") % 5 != 0).select(h.alias("h"))
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", h.alias("h")
+    )
+
+    pos_arr = "array(" + ", ".join(_bloom_positions("h")) + ")"
+    bits = (
+        corpus_h.selectExpr(f"explode({pos_arr}) as pos").distinct()
+    )
+    cand = (
+        batch.selectExpr("doc_id", "h", f"explode({pos_arr}) as pos")
+        .join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).alias("n_lit"))
+        .filter(F.col("n_lit") == _BLOOM_K)
+        .select("doc_id", "h")
+    )
+    verified = corpus_h.join(
+        F.broadcast(cand.select("h").distinct()), "h", "left_semi"
+    ).distinct()
+    return batch.join(
+        F.broadcast(verified.withColumn("_hit", F.lit(True))), "h", "left"
+    ).select("doc_id", F.coalesce("_hit", F.lit(False)).alias("is_dup"))

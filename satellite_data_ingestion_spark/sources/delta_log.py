@@ -4716,3 +4716,88 @@ def sink_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read_with_row_ids().select(
         "o_orderkey", "row_id", "row_commit_version"
     )
+
+
+def _build_liquid(
+    spark: SparkSession, sf_dir: str, target_file_bytes: int
+) -> "DeltaLogTable":
+    """Shared builder for the liquid-clustered table: three arrival-order
+    append batches (no spatial locality), then ONE clustering rewrite on
+    the Hilbert key.  Returns the compacted table."""
+    from ..operators.layout import _dim_bounds, hilbert_key
+
+    mpk, d0, d1 = _dim_bounds(spark, sf_dir)
+    xq = f"cast((l_partkey * 256) div ({mpk} + 1) as int)"
+    yq = (
+        f"cast((datediff(l_shipdate, date'{d0}') * 256) div "
+        f"(datediff(date'{d1}', date'{d0}') + 1) as int)"
+    )
+    li = table(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey",
+        "l_returnflag",
+        "l_extendedprice",
+        f"{xq} as xb",
+        f"{yq} as yb",
+    )
+    li = hilbert_key(li, "xb", "yb")
+    root = tempfile.mkdtemp(prefix="sdis_liquid_")
+    t = DeltaLogTable(spark, root)
+    for i in range(3):
+        t.commit_append(li.filter(F.col("l_orderkey") % 3 == i).repartition(4))
+    t.compact(target_file_bytes=target_file_bytes, zorder_by=["hval"])
+    return t
+
+
+@register(
+    "sink_delta_liquid",
+    oracle="""
+WITH b AS (SELECT max(l_partkey) AS mpk,
+                  CAST(min(l_shipdate) AS DATE) AS d0,
+                  CAST(max(l_shipdate) AS DATE) AS d1
+           FROM lineitem)
+SELECT l_returnflag,
+       count(*)                       AS n_rows,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem, b
+WHERE (l_partkey * 256) // (mpk + 1) BETWEEN 64 AND 95
+  AND (date_diff('day', d0, CAST(l_shipdate AS DATE)) * 256)
+        // (date_diff('day', d0, d1) + 1) BETWEEN 32 AND 63
+GROUP BY l_returnflag
+""",
+)
+def sink_delta_liquid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIQUID CLUSTERING on the Delta table: the table accretes in three
+    arrival-order appends (12 files with no spatial locality — the
+    normal ingest shape), then one OPTIMIZE rewrite clusters it on the
+    stored HILBERT key (``operators/layout.py``'s curve; continuous, so
+    each rewritten file owns a near-square (xb, yb) tile).  The box
+    query then runs through ``read(where=...)`` — file skipping from the
+    ADD ACTIONS' stats alone, no parquet footer reads — with the exact
+    row filter on top, and must return what the raw table returns: the
+    oracle recomputes the box aggregate relationally, so clustering is
+    proven to change I/O, never answers.
+
+    This composes the repo's two layout stories: ``ext_hilbert_layout``
+    is the bare-parquet staging half; here the SAME key drives the
+    table-format OPTIMIZE path (``compact(zorder_by=...)``), giving the
+    lakehouse the re-clusterable layout that survives appends — run the
+    rewrite again after more arrivals and the tiles re-tighten, which
+    is precisely Delta's liquid-clustering maintenance loop.  Log-stat
+    pruning on the clustered table is pinned in
+    tests/test_delta_log.py (a minority of files intersect the box;
+    the pre-OPTIMIZE table scans all of them)."""
+    from ..operators.layout import _X_HI, _X_LO, _Y_HI, _Y_LO
+
+    t = _build_liquid(spark, sf_dir, target_file_bytes=512 * 1024)
+    back = t.read(where={"xb": (_X_LO, _X_HI), "yb": (_Y_LO, _Y_HI)})
+    return (
+        back.filter(
+            F.col("xb").between(_X_LO, _X_HI)
+            & F.col("yb").between(_Y_LO, _Y_HI)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )

@@ -1909,3 +1909,54 @@ def test_geohash_matches_bisection_reference(spark):
     for r in rows:
         lat, lon = coords[r.event_id]
         assert r.geohash == gh_ref(float(lat), float(lon)), r
+
+
+def test_bloom_incremental_candidates_are_one_sided(spark):
+    """Bloom prefilter soundness: every true duplicate must survive the
+    bloom gate (no false negatives — the verify join can only REMOVE
+    candidates), so the flagged set equals the exact anti-join
+    complement."""
+    import pyspark.sql.functions as F
+
+    from satellite_data_ingestion_spark.llm.dedup import (
+        ext_dedup_bloom_incremental,
+        ext_dedup_incremental,
+    )
+
+    # sf0.1 is the smallest corpus that plants a cross-split exact dup,
+    # so the dup-present half of the assertion is non-vacuous there.
+    sf = "/root/testdata/sf0.1"
+    flagged = {
+        r.doc_id: r.is_dup
+        for r in ext_dedup_bloom_incremental(spark, sf).collect()
+    }
+    admitted = {
+        r.doc_id for r in ext_dedup_incremental(spark, sf).collect()
+    }
+    assert admitted == {d for d, dup in flagged.items() if not dup}
+    assert any(flagged.values()), "fixture lost its planted cross-split dup"
+
+
+def test_containment_is_directional_on_shingles(spark):
+    """Shingle containment invariants: (a) identical-text doc pairs are
+    mutually contained at 1.0; (b) the relation is genuinely asymmetric
+    on this corpus — some contained->container pair has no reverse edge
+    (the doc-in-doc signal symmetric Jaccard misses); (c) every emitted
+    value respects the 0.9 threshold."""
+    from satellite_data_ingestion_spark.llm.dedup import (
+        ext_dedup_containment,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    pairs = {
+        (r.doc_contained, r.doc_container): r.containment
+        for r in ext_dedup_containment(spark, sf).collect()
+    }
+    assert pairs and all(v >= 0.9 for v in pairs.values())
+    asym = [k for k in pairs if (k[1], k[0]) not in pairs]
+    assert asym, "no asymmetric containment pair found"
+    # mutual pairs at 1.0 exist (identical shingle sets — planted dups)
+    mutual_ones = [
+        k for k, v in pairs.items() if v == 1.0 and pairs.get((k[1], k[0])) == 1.0
+    ]
+    assert mutual_ones, "no mutual containment-1.0 pair found"

@@ -1104,3 +1104,43 @@ def test_row_tracking_ids_survive_rewrite_and_never_reuse(spark, tbl):
     # (e): checkpoint must refuse, not drop, domain metadata
     with _pytest.raises(NotImplementedError, match="domain metadata"):
         tbl.checkpoint()
+
+
+def test_liquid_clustering_prunes_from_log_stats(spark):
+    """After the Hilbert-key OPTIMIZE, the box predicate must skip a
+    majority of files using ADD-ACTION stats alone, while the
+    pre-OPTIMIZE arrival-order table cannot skip (every append batch
+    spans the full key space); and the rewrite must not change table
+    contents."""
+    from satellite_data_ingestion_spark.operators.layout import (
+        _X_HI,
+        _X_LO,
+        _Y_HI,
+        _Y_LO,
+    )
+    from satellite_data_ingestion_spark.sources.delta_log import (
+        _build_liquid,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t = _build_liquid(spark, sf, target_file_bytes=16 * 1024)
+    head = t.latest_version()
+    box = {"xb": (_X_LO, _X_HI), "yb": (_Y_LO, _Y_HI)}
+
+    live_after, _, _ = t._replay_actions(head)
+    pruned_after = t._prune(live_after, box)
+    assert len(live_after) >= 4, "compaction produced too few files to test"
+    assert len(pruned_after) / len(live_after) <= 0.5, (
+        f"liquid layout pruned too little: {len(pruned_after)}/{len(live_after)}"
+    )
+
+    # pre-OPTIMIZE (version 2 = after the three appends): arrival-order
+    # files all intersect the box
+    live_before, _, _ = t._replay_actions(2)
+    pruned_before = t._prune(live_before, box)
+    assert len(pruned_before) == len(live_before)
+
+    # contents invariant across the rewrite
+    a = t.read(version=2).groupBy("l_returnflag").count().collect()
+    b = t.read(version=head).groupBy("l_returnflag").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

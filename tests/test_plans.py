@@ -585,3 +585,15 @@ def test_funnel_single_exchange(spark):
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1, tree
     assert "Join" not in tree, tree
+
+
+def test_bloom_incremental_broadcasts_probe_sides(spark):
+    """The relational bloom dedup must never shuffle corpus text: the
+    positions table and the verified-hash set ride BroadcastExchanges
+    (>= 3 broadcasts: bits onto the batch probe, candidates onto the
+    corpus verify scan, verified hashes onto the batch), and no
+    cartesian anywhere."""
+    plan = plan_of(spark, "ext_dedup_bloom_incremental")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in plan
+    assert tree.count("BroadcastExchange") >= 3, tree
