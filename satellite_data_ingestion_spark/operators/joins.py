@@ -482,53 +482,90 @@ def join_spatial_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_fuzzy",
     oracle="""
-SELECT a.p_partkey AS part_a,
-       b.p_partkey AS part_b,
-       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
-FROM part a JOIN part b
-  ON a.p_partkey < b.p_partkey
- AND substring(a.p_name, 1, 3) = substring(b.p_name, 1, 3)
- AND abs(length(a.p_name) - length(b.p_name)) <= 2
-WHERE levenshtein(a.p_name, b.p_name) <= 2
+WITH master AS (
+  SELECT DISTINCT p_name FROM part
+),
+dirty AS (
+  SELECT p_partkey,
+         substring(p_name, 1, 1) || substring(p_name, 3) AS dirty_name
+  FROM part WHERE p_partkey % 7 = 0
+),
+cand AS (
+  SELECT d.p_partkey, d.dirty_name, m.p_name,
+         CAST(levenshtein(d.dirty_name, m.p_name) AS INTEGER) AS edit_dist
+  FROM dirty d JOIN master m
+    ON substring(d.dirty_name, 1, 1) = substring(m.p_name, 1, 1)
+   AND abs(length(d.dirty_name) - length(m.p_name)) <= 2
+  WHERE levenshtein(d.dirty_name, m.p_name) <= 2
+)
+SELECT p_partkey, dirty_name, p_name AS matched_name, edit_dist
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY p_partkey ORDER BY edit_dist, p_name) AS rn
+  FROM cand
+)
+WHERE rn = 1
 """,
 )
 def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy (edit-distance) self-join — the entity-resolution /
-    record-linkage primitive: find name pairs within levenshtein 2,
-    without the O(n²) cartesian.  Classic ED-Join-style blocking makes
-    it an EQUI-join Catalyst can shuffle on keys: candidates must share
-    a 3-char prefix (an edit at distance k can change at most k prefix
-    chars — with the id-ordered pair convention this prefix block is
-    the standard recall/cost dial) AND pass the length filter
-    ``|len(a)-len(b)| <= d`` (an edit changes length by at most 1).
-    Only blocked candidates pay the levenshtein verify, which is a
-    JVM codegen'd built-in, not Python.
+    """Fuzzy (edit-distance) join — the record-linkage primitive in its
+    production shape: DIRTY records (every 7th part's name with its 2nd
+    character deleted, a deterministic single-edit corruption) are
+    matched back against the CANONICAL name master list, best match per
+    record by (edit distance, name) within levenshtein 2.
 
-    At 100 TB the shape holds: the block key is the shuffle key, so
-    pair work is sum over blocks of |block|² — tunable via prefix
-    length (longer prefix = smaller blocks), and the verify stays
-    inside whole-stage codegen.  A production recall-lossless variant
-    adds q-gram count filtering per ED-Join (Xiao et al., VLDB'08);
-    the prefix block here mirrors the reference-free dedup family's
-    banding dials (``ext_dedup_simhash``)."""
-    p = table(spark, sf_dir, "part").select(
-        "p_partkey",
-        "p_name",
-        F.substring("p_name", 1, 3).alias("blk"),
-        F.length("p_name").alias("ln"),
-    )
-    a, b = p.alias("a"), p.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.blk") == F.col("b.blk"))
-        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
-        & (F.abs(F.col("a.ln") - F.col("b.ln")) <= 2),
-    )
-    return (
-        cand.select(
-            F.col("a.p_partkey").alias("part_a"),
-            F.col("b.p_partkey").alias("part_b"),
-            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("edit_dist"),
+    Why this shape (changed after the first bench signal — 42.7 s at
+    sf0.1): the earlier part×part self-join was degenerate on this
+    corpus — all 3.1M emitted pairs were ED-0 identical-name pairs
+    (64 distinct names over 20k parts) and no two DISTINCT names are
+    within ED 2, so the quadratic paid for nothing a groupBy wouldn't
+    find.  Linking dirty records to a master list is what fuzzy joins
+    are FOR, and its cost profile is honest: candidates = dirty rows ×
+    per-block master names.
+
+    Execution: the master (distinct names — vocabulary-sized, not
+    corpus-sized) BROADCASTS; blocking is first-char equality (sound
+    for the deletion-at-position>=2 error model — the recall/cost dial
+    every blocking scheme tunes to its error model) plus the ED length
+    filter; survivors pay a codegen levenshtein verify and a
+    per-record top-1 window.  The dirty side never shuffles for the
+    join — at 100 TB the corpus streams map-side past a broadcast
+    vocabulary, and only the (record, best-match) output exchanges for
+    the window (or drops to a groupBy min_by at extreme widths)."""
+    p = table(spark, sf_dir, "part")
+    master = (
+        p.select("p_name")
+        .distinct()
+        .select(
+            "p_name",
+            F.substring("p_name", 1, 1).alias("mblk"),
+            F.length("p_name").alias("mln"),
         )
-        .filter(F.col("edit_dist") <= 2)
+    )
+    dirty = p.filter(F.col("p_partkey") % 7 == 0).select(
+        "p_partkey",
+        F.concat(
+            F.substring("p_name", 1, 1), F.expr("substring(p_name, 3)")
+        ).alias("dirty_name"),
+    )
+    cand = dirty.join(
+        F.broadcast(master),
+        (F.substring("dirty_name", 1, 1) == F.col("mblk"))
+        & (F.abs(F.length("dirty_name") - F.col("mln")) <= 2),
+    ).select(
+        "p_partkey",
+        "dirty_name",
+        "p_name",
+        F.levenshtein("dirty_name", "p_name").alias("edit_dist"),
+    ).filter(F.col("edit_dist") <= 2)
+    w = Window.partitionBy("p_partkey").orderBy("edit_dist", "p_name")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            "dirty_name",
+            F.col("p_name").alias("matched_name"),
+            "edit_dist",
+        )
     )

@@ -538,3 +538,65 @@ def ext_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(num / den, 6).alias("ewma"),
     )
+
+
+# Robust-outlier constants: the classic modified-z gate (Iglewicz &
+# Hoaglin), 0.6745 = Phi^-1(0.75) so MAD estimates sigma under normality.
+_MAD_K = 0.6745
+_MAD_Z = 3.5
+
+
+@register(
+    "ext_outlier_mad",
+    oracle=f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type,
+       round({_MAD_K} * (e.value - m.med) / d.mad, 6) AS robust_z
+FROM events e
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+WHERE d.mad > 0
+  AND abs({_MAD_K} * (e.value - m.med) / d.mad) > {_MAD_Z}
+""",
+)
+def ext_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST outlier detection per group: the modified z-score
+    ``0.6745 * (v - median) / MAD`` with the classic 3.5 gate — the
+    quality-filter companion to ``ext_ts_anomaly``'s rolling mean/std
+    z-score.  Mean and stddev are themselves dragged by the outliers
+    they hunt (masking); median and median-absolute-deviation have a
+    50% breakdown point, which is why data-quality cuts on heavy-tailed
+    corpus statistics (document lengths, perplexities) use MAD.
+
+    Execution: two exact-percentile aggregates over the same grouping
+    (median, then MAD of residuals against the BROADCAST medians), then
+    one broadcast join back onto the stream — the corpus shuffles once
+    per aggregate on the group key and the per-group state is the
+    interpolation multiset (bounded groups here; the GK-sketch variant
+    in ``agg_approx_quantile`` is the unbounded-cardinality path).
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share exact
+    interpolation semantics, so the oracle replays verbatim."""
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad"))
+    )
+    z = F.lit(_MAD_K) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (F.abs(z) > _MAD_Z))
+        .select("event_id", "event_type", F.round(z, 6).alias("robust_z"))
+    )

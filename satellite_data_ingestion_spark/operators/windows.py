@@ -515,3 +515,78 @@ def win_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("run_len") >= _RUN_MIN_LEN)
         .drop("run_id")
     )
+
+
+_ATTR_WINDOW_US = 21_600_000_000  # 6-hour attribution lookback (µs)
+
+
+@register(
+    "win_attribution",
+    oracle=f"""
+SELECT event_id AS purchase_event, user_id,
+       lt.touch_event AS touch_event,
+       lt.touch_type  AS touch_type,
+       epoch_us(ts) - lt.t AS gap_us
+FROM (
+  SELECT user_id, event_id, event_type, ts,
+         last_value(CASE WHEN event_type IN ('view', 'click')
+                         THEN struct_pack(
+                                t := epoch_us(ts),
+                                touch_event := event_id,
+                                touch_type := event_type)
+                    END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+  FROM events
+)
+WHERE event_type = 'purchase' AND lt IS NOT NULL
+  AND epoch_us(ts) - lt.t <= {_ATTR_WINDOW_US}
+""",
+)
+def win_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH attribution: each purchase is credited to the user's
+    most recent preceding view or click within a 6-hour lookback — the
+    marketing-analytics staple, and the window-native form of a per-row
+    as-of join (``join_asof`` matches two tables; attribution matches a
+    row against earlier rows of its OWN partition, so a join would
+    self-scan the table while a window pays one sort).
+
+    The idiom: wrap the touch candidates in a struct and take
+    ``last(..., ignorenulls=True)`` over the growing frame that ends
+    one row back — intervening purchases/errors pass through as nulls
+    without resetting the carried touch.  One user_id exchange, state
+    is a single struct per partition scan position, linear at any
+    scale."""
+    ev = table(spark, sf_dir, "events")
+    t_us = F.unix_micros("ts")
+    touch = F.when(
+        F.col("event_type").isin("view", "click"),
+        F.struct(
+            t_us.alias("t"),
+            F.col("event_id").alias("touch_event"),
+            F.col("event_type").alias("touch_type"),
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lagged = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        t_us.alias("t_us"),
+        F.last(touch, ignorenulls=True).over(w).alias("lt"),
+    )
+    return lagged.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("lt").isNotNull()
+        & (F.col("t_us") - F.col("lt.t") <= _ATTR_WINDOW_US)
+    ).select(
+        F.col("event_id").alias("purchase_event"),
+        "user_id",
+        F.col("lt.touch_event").alias("touch_event"),
+        F.col("lt.touch_type").alias("touch_type"),
+        (F.col("t_us") - F.col("lt.t")).alias("gap_us"),
+    )

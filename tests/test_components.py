@@ -1960,3 +1960,55 @@ def test_containment_is_directional_on_shingles(spark):
         k for k, v in pairs.items() if v == 1.0 and pairs.get((k[1], k[0])) == 1.0
     ]
     assert mutual_ones, "no mutual containment-1.0 pair found"
+
+
+def test_fuzzy_join_recovers_every_dirty_record(spark):
+    """Record-linkage ground truth: each dirty name (2nd char deleted)
+    must match back to exactly its source name at edit distance 1 —
+    recoverable because no two distinct master names are within ED 2 of
+    each other on this corpus, which the test also verifies (if the
+    generator ever plants closer names, the recovery claim must be
+    re-examined, not silently weakened)."""
+    import itertools
+
+    import pyspark.sql.functions as F
+
+    from satellite_data_ingestion_spark.catalog import table
+    from satellite_data_ingestion_spark.operators.joins import join_fuzzy
+
+    sf = "/root/testdata/sf0.01"
+    truth = {
+        r.p_partkey: r.p_name
+        for r in table(spark, sf, "part")
+        .filter(F.col("p_partkey") % 7 == 0)
+        .collect()
+    }
+    got = {r.p_partkey: (r.matched_name, r.edit_dist)
+           for r in join_fuzzy(spark, sf).collect()}
+    assert set(got) == set(truth)
+    assert all(got[k] == (truth[k], 1) for k in truth)
+
+    # Separation assumption, scoped to the blocking: within a
+    # first-letter block (the only place a dirty record looks), no two
+    # distinct master names are within ED 2 — that is what makes the
+    # ED-1 recovery unambiguous.  Globally closer names exist ("red
+    # ring" / "old ring") but never share a block.
+    def ed(a, b):
+        la, lb = len(a), len(b)
+        d = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, lb + 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+        return d[lb]
+
+    names = [r.p_name for r in
+             table(spark, sf, "part").select("p_name").distinct().collect()]
+    close = [
+        (a, b)
+        for a, b in itertools.combinations(names, 2)
+        if a[0] == b[0] and ed(a, b) <= 2
+    ]
+    assert not close, f"block-mate master names within ED 2: {close[:3]}"
