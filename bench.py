@@ -128,6 +128,8 @@ HEADLINE = [
     "fn_geohash",
     "sink_delta_liquid",
     "ext_dedup_bloom_incremental",
+    "ext_outlier_mad",
+    "win_attribution",
 ]
 
 
