@@ -130,6 +130,8 @@ HEADLINE = [
     "ext_dedup_bloom_incremental",
     "ext_outlier_mad",
     "win_attribution",
+    "agg_decay",
+    "ext_ts_median_smooth",
 ]
 
 

@@ -600,3 +600,89 @@ def ext_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("mad") > 0) & (F.abs(z) > _MAD_Z))
         .select("event_id", "event_type", F.round(z, 6).alias("robust_z"))
     )
+
+
+_DECAY_HALF_DAYS = 30.0  # decay scale (days) — SEMANTIC constant
+
+
+@register(
+    "agg_decay",
+    oracle=f"""
+WITH mx AS (SELECT max(ts) AS m FROM events)
+SELECT event_type,
+       round(sum(value * exp(-(epoch_us(m) - epoch_us(ts))
+                             / 86400.0e6 / {_DECAY_HALF_DAYS})), 4)
+         AS decayed_sum,
+       count(*) AS n_events
+FROM events, mx
+GROUP BY event_type
+""",
+)
+def agg_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAYED aggregation: each observation's weight decays
+    exponentially with its age against the corpus horizon
+    (``exp(-age_days / 30)``) — the recency-weighted rollup behind
+    trend scores and freshness-weighted quality metrics, computed
+    WITHOUT a window: the horizon is a 1-row broadcast aggregate and
+    the decay is a plain codegen expression inside one grouped
+    aggregate (map-side partial sums), so the whole operator is one
+    shuffle of (type, partial sum) pairs at any scale.
+
+    Ages are integer microseconds (``unix_micros``, exact on both
+    engines) before the double division; the 4-decimal round masks
+    engine libm/summation-order ulp differences, same stance as
+    ``fn_haversine``."""
+    ev = table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m"))
+    age_days = (
+        (F.unix_micros("m") - F.unix_micros("ts")) / 86400.0e6
+    )
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.exp(-age_days / _DECAY_HALF_DAYS)), 4
+            ).alias("decayed_sum"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+_MED_WIN = 20  # trailing window width (rows) — SEMANTIC constant
+
+
+@register(
+    "ext_ts_median_smooth",
+    oracle=f"""
+SELECT event_id, event_type,
+       round(quantile_cont(value, 0.5) OVER (
+         PARTITION BY event_type ORDER BY ts, event_id
+         ROWS BETWEEN {_MED_WIN - 1} PRECEDING AND CURRENT ROW), 6)
+         AS median_smooth
+FROM events
+""",
+)
+def ext_ts_median_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING-MEDIAN smoothing per series: the robust companion to
+    ``ext_ts_ewma`` (mean-based kernels chase the spikes a median
+    ignores — median filtering is the standard despiking pass before
+    gradient/anomaly analysis on sensor feeds like the reference's
+    slot series).  Exact interpolated percentile over a trailing
+    20-row frame; Spark ``percentile`` and DuckDB ``quantile_cont``
+    share interpolation semantics, so the oracle replays verbatim.
+
+    One partition-key exchange + one sort; the frame state is the
+    20-value multiset per position — constant memory per series
+    regardless of stream length."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_MED_WIN - 1), Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.percentile("value", 0.5).over(w), 6).alias("median_smooth"),
+    )

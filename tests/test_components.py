@@ -1947,7 +1947,9 @@ def test_containment_is_directional_on_shingles(spark):
         ext_dedup_containment,
     )
 
-    sf = "/root/testdata/sf0.01"
+    # sf0.1 is the smallest corpus with purely one-directional pairs
+    # (7 of 505); at sf0.01 every emitted pair happens to be mutual.
+    sf = "/root/testdata/sf0.1"
     pairs = {
         (r.doc_contained, r.doc_container): r.containment
         for r in ext_dedup_containment(spark, sf).collect()

@@ -597,3 +597,46 @@ def test_bloom_incremental_broadcasts_probe_sides(spark):
     tree = plan.split("\n\n")[0]
     assert "CartesianProduct" not in plan
     assert tree.count("BroadcastExchange") >= 3, tree
+
+
+def test_geohash_and_quantize_encode_shuffle_free(spark):
+    """Pure-projection encoders must stay shuffle-free: the geohash plan
+    and the int8-quantize ENCODE plan (bounds ride as literals after the
+    one bounded collect) may contain no Exchange."""
+    tree = plan_of(spark, "fn_geohash").split("\n\n")[0]
+    assert "Exchange" not in tree, tree
+    tree = plan_of(spark, "ext_embedding_quantize").split("\n\n")[0]
+    assert "Exchange" not in tree, tree
+
+
+def test_heavy_hitters_sketch_broadcasts(spark):
+    """The 3072-cell sketch and the 1-row total must broadcast back onto
+    the probe side — a sort-merge join against the sketch would mean
+    Catalyst lost the size information."""
+    tree = plan_of(spark, "ext_heavy_hitters").split("\n\n")[0]
+    assert tree.count("BroadcastExchange") >= 2, tree
+    assert "CartesianProduct" not in tree
+
+
+def test_attribution_single_exchange(spark):
+    """Window-native as-of self-match: one user_id exchange serves the
+    whole operator — a join formulation would add a second scan."""
+    tree = plan_of(spark, "win_attribution").split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "Join" not in tree, tree
+
+
+def test_fuzzy_join_master_broadcasts(spark):
+    """The master-name vocabulary side must broadcast (vocabulary-sized);
+    the dirty side must never shuffle for the join itself."""
+    plan = plan_of(spark, "join_fuzzy")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastExchange" in tree, tree
+    assert "CartesianProduct" not in plan
+
+
+def test_pattern_match_lags_share_one_window_sort(spark):
+    """All three lags of the pattern chain ride a single user_id window:
+    exactly one exchange in the plan."""
+    tree = plan_of(spark, "win_pattern_match").split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
