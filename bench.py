@@ -132,6 +132,7 @@ HEADLINE = [
     "win_attribution",
     "agg_decay",
     "ext_ts_median_smooth",
+    "stream_heavy_hitters",
 ]
 
 

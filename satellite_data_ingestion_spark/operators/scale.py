@@ -236,9 +236,10 @@ def _cms_bucket(col: str, i, dialect: str) -> str:
     )
 
 
-@register(
-    "ext_heavy_hitters",
-    oracle=f"""
+# Shared with the streaming twin (stream_heavy_hitters below): the
+# stream's final complete-mode sketch is pinned exactly equal to the
+# batch sketch, so one relational replay verifies both.
+HH_ORACLE = f"""
 WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
 tot AS (SELECT count(*) AS total FROM k),
 h AS (
@@ -255,8 +256,10 @@ ex AS (SELECT k, CAST(count(*) AS BIGINT) AS exact_count FROM k GROUP BY k)
 SELECT CAST(est.k AS BIGINT) AS l_partkey, est.est_count, ex.exact_count
 FROM est JOIN ex USING (k), tot
 WHERE est.est_count * 1000 >= tot.total
-""",
-)
+"""
+
+
+@register("ext_heavy_hitters", oracle=HH_ORACLE)
 def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HOT-KEY detection via a count-min sketch — the measurement half
     of the skew toolkit (``join_salted`` is the mitigation half): keys
@@ -302,3 +305,88 @@ def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_count",
         )
     )
+
+
+@register("stream_heavy_hitters", oracle=HH_ORACLE)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sketch maintenance: the count-min sketch as a
+    complete-mode streaming aggregate.  The key stream arrives as three
+    files (``maxFilesPerTrigger=1``); each micro-batch folds its
+    arrivals into the (i, bucket) counts in the state store — the state
+    IS the sketch, bounded at depth x width = 3072 cells no matter how
+    long the stream runs, which is exactly why mergeable sketches are
+    the streaming-analytics workhorse (a windowed exact distinct would
+    grow state with cardinality).  After the drain, candidate keys are
+    scored batch-side against the FINAL sketch precisely as the batch
+    twin does, so the batch oracle verifies the incremental build —
+    any double-count or lost micro-batch changes estimates and fails
+    the hash.
+
+    At 100 TB-scale streams: per-trigger shuffle carries only that
+    batch's arrivals (map-side partial aggregation down to <= 3072
+    cells per task), the complete-mode output is sketch-sized, and the
+    scoring join broadcasts the sketch — the corpus-sized exact twin
+    below exists only for verification."""
+    import os
+    import shutil
+    import tempfile
+
+    staging = os.path.join(
+        tempfile.gettempdir(), f"sdis_staging_shh_{os.getpid()}"
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("k")
+    )
+    li.repartition(3).write.mode("overwrite").parquet(staging)
+
+    pos = F.explode(
+        F.array(*[F.lit(i) for i in range(1, _CMS_DEPTH + 1)])
+    ).alias("i")
+    sink = f"shh_sink_{os.getpid()}"
+    q = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+        .select("k", pos)
+        .selectExpr("k", "i", _cms_bucket("k", "i", "spark") + " as bucket")
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
+        .start()
+    )
+    q.awaitTermination(180)
+    sketch = spark.table(sink)
+
+    total = li.agg(F.count(F.lit(1)).alias("total"))
+    cand = (
+        li.select("k", pos)
+        .selectExpr("k", "i", _cms_bucket("k", "i", "spark") + " as bucket")
+        .distinct()
+    )
+    est = (
+        cand.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("k")
+        .agg(F.min("c").alias("est_count"))
+    )
+    exact = li.groupBy("k").agg(F.count(F.lit(1)).alias("exact_count"))
+    out = (
+        est.join(exact, "k")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("est_count") * 1000 >= F.col("total"))
+        .select(
+            F.col("k").cast("bigint").alias("l_partkey"),
+            "est_count",
+            "exact_count",
+        )
+    )
+    # Bounded collect: heavy hitters are a small fraction of keys by
+    # definition of the threshold; materialized so staging can be
+    # removed before the driver hashes the frame.
+    result = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(staging, ignore_errors=True)
+    return result
