@@ -133,6 +133,7 @@ HEADLINE = [
     "agg_decay",
     "ext_ts_median_smooth",
     "stream_heavy_hitters",
+    "udf_grouped_agg",
 ]
 
 

@@ -133,3 +133,57 @@ def udtf_python_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL parse_props(e.event_id, e.props) p
         """
     )
+
+
+@register(
+    "udf_grouped_agg",
+    oracle="""
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       round(avg(value), 4) AS trimmed_mean,
+       CAST(count(*) AS BIGINT) AS n_kept
+FROM r
+WHERE rn > CAST(floor(n * 0.1) AS BIGINT)
+  AND rn <= n - CAST(floor(n * 0.1) AS BIGINT)
+GROUP BY event_type
+""",
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate (UDAF) via a GROUPED_AGG pandas UDF: the
+    10%-trimmed mean per event type — a reduction no single builtin
+    expresses (robust location estimate for heavy-tailed quality
+    metrics; the UDAF slot of §2.9's surface, completing scalar /
+    grouped-map / table-function).
+
+    Each group's values arrive as ONE Arrow-batched pandas Series and
+    reduce to a scalar in numpy — group-size-bounded memory, one
+    shuffle on the group key, exactly the contract of a JVM
+    UntypedAggregate.  Trimming cuts floor(n/10) rows from each end of
+    the VALUE order; ties make the cut position order-ambiguous but the
+    trimmed multiset identical, so the mean is deterministic and the
+    window-based SQL oracle replays it."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def trimmed_mean(v: pd.Series) -> float:
+        s = np.sort(v.to_numpy(dtype=np.float64))
+        k = int(len(s) // 10)
+        kept = s[k : len(s) - k] if len(s) > 2 * k else s
+        return float(np.mean(kept))
+
+    @F.pandas_udf("long")
+    def trimmed_count(v: pd.Series) -> int:
+        n = len(v)
+        return int(n - 2 * (n // 10))
+
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(trimmed_mean("value"), 4).alias("trimmed_mean"),
+        trimmed_count("value").alias("n_kept"),
+    )
