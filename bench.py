@@ -170,15 +170,27 @@ def main() -> None:
     print(f"[bench] calibration probe (pre): {probe_first}s", file=sys.stderr)
 
     iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
+    # Soft TIME BUDGET for the query loop (the 72-query suite takes
+    # ~16 min of loop time at full precision on this container): once
+    # exceeded, remaining queries run ONCE (no warm, single sample,
+    # flagged in the JSON as "degraded") so the one-line artifact always
+    # lands inside any reasonable external timeout — a killed run with
+    # no JSON loses every query's signal; a degraded tail loses only
+    # median robustness on the queries past the budget.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "600"))
+    loop_t0 = time.perf_counter()
     timings: dict[str, float] = {}
+    degraded: list[str] = []
     for name in HEADLINE:
         fn = qs[name]
-        # Warm once: first-touch costs that are one-time per process
-        # (ingest staging for *_indexed variants, schema/dim probes,
-        # codegen) land here, NOT in the timed samples.
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        over_budget = time.perf_counter() - loop_t0 > budget
+        if not over_budget:
+            # Warm once: first-touch costs that are one-time per process
+            # (ingest staging for *_indexed variants, schema/dim probes,
+            # codegen) land here, NOT in the timed samples.
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         samples = []
-        for _ in range(iters):
+        for _ in range(1 if over_budget else iters):
             # Time fn() + execution: several operators do their real work
             # EAGERLY inside fn (iterative connected components, streaming
             # micro-batch drains) — timing only the final noop write of a
@@ -190,11 +202,14 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
+        if over_budget:
+            degraded.append(name)
         # Progress to stderr (stdout carries ONLY the one JSON line): a
         # stuck or regressed query is identifiable mid-run.
         print(
             f"[bench] {name}: median {timings[name]}s "
-            f"(samples {[round(s, 3) for s in samples]})",
+            f"(samples {[round(s, 3) for s in samples]})"
+            + (" [degraded: over budget, single cold run]" if over_budget else ""),
             file=sys.stderr,
             flush=True,
         )
@@ -203,20 +218,19 @@ def main() -> None:
     print(f"[bench] calibration probe (post): {probe_last}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "probe_first_sec": probe_first,
-                "probe_last_sec": probe_last,
-                "probe_sec": round((probe_first + probe_last) / 2, 3),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "probe_first_sec": probe_first,
+        "probe_last_sec": probe_last,
+        "probe_sec": round((probe_first + probe_last) / 2, 3),
+    }
+    if degraded:
+        payload["degraded"] = degraded
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
