@@ -61,6 +61,7 @@ HEADLINE = [
     "ext_ts_median_smooth",
     "stream_heavy_hitters",
     "udf_grouped_agg",
+    "join_asof_nearest",
     # Block 2 — round-9 late additions (one recorded run): the
     # pair-join/blocked-join family, iterative BFS, per-cluster prune,
     # corpus vocab, heavier table-format paths.

@@ -569,3 +569,94 @@ def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "edit_dist",
         )
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+WITH u AS (
+  SELECT user_id, ts, event_id, epoch_us(ts) AS t_us,
+         CASE WHEN event_type = 'purchase' THEN event_id END AS purchase_id,
+         CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS purchase_us,
+         CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side
+  FROM events
+  WHERE event_type IN ('purchase', 'error')
+), w AS (
+  SELECT *,
+         last_value(purchase_id IGNORE NULLS) OVER wb AS back_id,
+         last_value(purchase_us IGNORE NULLS) OVER wb AS back_us,
+         first_value(purchase_id IGNORE NULLS) OVER wf AS fwd_id,
+         first_value(purchase_us IGNORE NULLS) OVER wf AS fwd_us
+  FROM u
+  WINDOW wb AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id,
+       CASE WHEN back_id IS NOT NULL AND (fwd_id IS NULL
+                  OR t_us - back_us <= fwd_us - t_us)
+            THEN back_id ELSE fwd_id END AS matched_purchase,
+       CASE WHEN back_id IS NOT NULL AND (fwd_id IS NULL
+                  OR t_us - back_us <= fwd_us - t_us)
+            THEN t_us - back_us ELSE fwd_us - t_us END AS gap_us
+FROM w WHERE side = 1
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction (pandas ``merge_asof
+    direction='nearest'`` semantics; ties prefer the backward match) —
+    completing the as-of family: backward (``join_asof``), backward
+    with tolerance (``join_asof_tolerance``), nearest.  Each error
+    event matches the closest purchase in EITHER direction on its
+    user's timeline.
+
+    Same scale-first union+window formulation: tag both streams, union,
+    and carry the last backward candidate AND the first forward
+    candidate over ONE user_id sort (two frames, same partitioning —
+    Catalyst plans a single exchange).  No range-pair explosion; the
+    naive |ts - ts'| argmin theta-join is |A|x|B| per key."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    is_p = F.col("event_type") == "purchase"
+    u = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.when(is_p, F.col("event_id")).alias("purchase_id"),
+        F.when(is_p, F.unix_micros("ts")).alias("purchase_us"),
+        F.when(is_p, F.lit(0)).otherwise(1).alias("side"),
+    )
+    order = ["ts", "side", "event_id"]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w = (
+        u.withColumn("back_id", F.last("purchase_id", ignorenulls=True).over(wb))
+        .withColumn("back_us", F.last("purchase_us", ignorenulls=True).over(wb))
+        .withColumn("fwd_id", F.first("purchase_id", ignorenulls=True).over(wf))
+        .withColumn("fwd_us", F.first("purchase_us", ignorenulls=True).over(wf))
+    )
+    take_back = F.col("back_id").isNotNull() & (
+        F.col("fwd_id").isNull()
+        | (F.col("t_us") - F.col("back_us") <= F.col("fwd_us") - F.col("t_us"))
+    )
+    return w.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        F.when(take_back, F.col("back_id")).otherwise(F.col("fwd_id")).alias(
+            "matched_purchase"
+        ),
+        F.when(take_back, F.col("t_us") - F.col("back_us"))
+        .otherwise(F.col("fwd_us") - F.col("t_us"))
+        .alias("gap_us"),
+    )
