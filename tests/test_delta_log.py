@@ -1144,3 +1144,61 @@ def test_liquid_clustering_prunes_from_log_stats(spark):
     a = t.read(version=2).groupBy("l_returnflag").count().collect()
     b = t.read(version=head).groupBy("l_returnflag").count().collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_row_tracking_time_travel_and_liquid_recluster(spark):
+    """Two claimed-but-unpinned behaviors: (a) read_with_row_ids at an
+    OLD version reproduces that version's id assignment (time travel
+    composes with row tracking); (b) the liquid-clustering maintenance
+    loop — new arrival-order appends degrade log-stat pruning, a second
+    OPTIMIZE on the Hilbert key restores it."""
+    import pyspark.sql.functions as F
+
+    from satellite_data_ingestion_spark.operators.layout import (
+        _X_HI,
+        _X_LO,
+        _Y_HI,
+        _Y_LO,
+        hilbert_key,
+    )
+    from satellite_data_ingestion_spark.sources.delta_log import (
+        _build_liquid,
+    )
+
+    # (a) row-id time travel
+    tbl = DeltaLogTable(spark, str(__import__("tempfile").mkdtemp(prefix="rt_tt_")))
+    tbl.commit_append(_df(spark, [1, 2]).coalesce(1).sortWithinPartitions("x"))
+    v_enable = tbl.enable_row_tracking()
+    tbl.append_tracked(_df(spark, [3]).coalesce(1))
+    at_enable = {
+        (r.x, r.row_id) for r in tbl.read_with_row_ids(version=v_enable).collect()
+    }
+    assert at_enable == {(1, 0), (2, 1)}
+    head_ids = {(r.x, r.row_id) for r in tbl.read_with_row_ids().collect()}
+    assert head_ids == {(1, 0), (2, 1), (3, 2)}
+
+    # (b) liquid maintenance loop
+    sf = "/root/testdata/sf0.001"
+    t = _build_liquid(spark, sf, target_file_bytes=16 * 1024)
+    box = {"xb": (_X_LO, _X_HI), "yb": (_Y_LO, _Y_HI)}
+
+    def prune_frac(version):
+        live, _, _ = t._replay_actions(version)
+        return len(t._prune(live, box)) / len(live)
+
+    clustered_frac = prune_frac(t.latest_version())
+    assert clustered_frac <= 0.5
+
+    # three more arrival-order appends: spatially unclustered files land
+    extra = t.read().filter(F.col("l_orderkey") % 5 == 0)
+    for _ in range(3):
+        t.commit_append(extra.repartition(2))
+    degraded_frac = prune_frac(t.latest_version())
+    assert degraded_frac > clustered_frac
+
+    # re-OPTIMIZE on the same key: pruning restored, contents invariant
+    before = t.read().groupBy("l_returnflag").count().collect()
+    t.compact(target_file_bytes=16 * 1024, zorder_by=["hval"])
+    after = t.read().groupBy("l_returnflag").count().collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    assert prune_frac(t.latest_version()) <= 0.5
