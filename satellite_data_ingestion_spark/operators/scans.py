@@ -364,3 +364,71 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
     )
+
+
+@register(
+    "scan_csv_corrupt",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey,
+       CAST(NULL AS VARCHAR) AS corrupt_record
+FROM nation
+UNION ALL
+SELECT NULL, 'oops', NULL,
+       'BAD' || CAST(n_nationkey AS VARCHAR) || ',oops'
+FROM nation WHERE n_nationkey % 4 = 0
+""",
+)
+def scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record QUARANTINE (the ETL-robustness contract FAILFAST
+    can't give a long-running pipeline): the fixture interleaves a
+    deterministically corrupt line after every 4th nation row, and the
+    PERMISSIVE reader parses good rows normally while corrupt rows come
+    back all-null WITH the raw line captured in the
+    ``columnNameOfCorruptRecord`` column — the payload a production job
+    ships to its quarantine table for replay after the upstream fix.
+    PERMISSIVE semantics (documented, and pinned by the oracle): only
+    the MALFORMED fields null out — the parseable 'oops' survives as
+    n_name — while the raw line is captured whole; quarantine-or-not is
+    decided by ``corrupt_record IS NOT NULL``, never by nullness of
+    data columns.
+
+    The oracle reconstructs both halves relationally (good rows from
+    the clean table, quarantine rows as the exact planted text), so a
+    reader that silently dropped or silently nulled-without-capturing a
+    bad line hash-mismatches.  Scale: PERMISSIVE parsing is per-row
+    work inside the scan — no extra pass, no driver involvement; the
+    25-row staging collect is fixture-only."""
+    import os
+    import tempfile
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    staged = os.path.join(
+        tempfile.gettempdir(), f"sdis_fmt_csvbad_{sf_tag}_{os.getpid()}"
+    )
+
+    def write(tmp: str) -> None:
+        os.makedirs(tmp)
+        rows = (
+            table(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .orderBy("n_nationkey")
+            .collect()  # bounded: 25-row dimension fixture
+        )
+        with open(os.path.join(tmp, "part-0.csv"), "w") as fh:
+            fh.write("n_nationkey,n_name,n_regionkey\n")
+            for r in rows:
+                fh.write(f"{r.n_nationkey},{r.n_name},{r.n_regionkey}\n")
+                if r.n_nationkey % 4 == 0:
+                    fh.write(f"BAD{r.n_nationkey},oops\n")
+
+    _stage_atomic(staged, write)
+    return (
+        spark.read.schema(
+            "n_nationkey int, n_name string, n_regionkey int, "
+            "corrupt_record string"
+        )
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "corrupt_record")
+        .csv(staged)
+    )
