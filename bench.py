@@ -62,6 +62,8 @@ HEADLINE = [
     "stream_heavy_hitters",
     "udf_grouped_agg",
     "join_asof_nearest",
+    "sink_delta_dv_partitioned",
+    "scan_csv_corrupt",
     # Block 2 — round-9 late additions (one recorded run): the
     # pair-join/blocked-join family, iterative BFS, per-cluster prune,
     # corpus vocab, heavier table-format paths.

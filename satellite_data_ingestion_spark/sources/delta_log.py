@@ -1746,11 +1746,17 @@ class DeltaLogTable:
         self._guard_unmapped(head, "DELETE")
         live, schema_s, partition_cols = self._replay_actions(head)
         if partition_cols:
-            raise NotImplementedError(
-                "DV delete on a Hive-partitioned table: partition-column "
-                "predicates drop whole directories instead; not needed "
-                "by current callers"
-            )
+            if column in partition_cols:
+                raise ValueError(
+                    "DV delete on a PARTITION column: a partition "
+                    "predicate doomes whole directories — use the "
+                    "metadata-only path (tombstone the partition's "
+                    "files), never per-row bitmaps"
+                )
+            if self.change_data_feed:
+                raise NotImplementedError(
+                    "CDF change rows for a partitioned DV delete"
+                )
 
         def intersects(add: dict) -> bool:
             stats = json.loads(add["stats"]) if "stats" in add else {}
@@ -1766,12 +1772,18 @@ class DeltaLogTable:
         from pyspark.sql.types import StructType
 
         full_schema = StructType.fromJson(json.loads(schema_s))
+        # Partitioned tables: data files do not STORE partition columns,
+        # so the doomed-row scan (and the CDC scan) read the data-only
+        # schema; the predicate column is guarded to be a data column.
+        scan_schema = StructType(
+            [f for f in full_schema.fields if f.name not in partition_cols]
+        )
         # One pruned scan over the stats-intersecting files, projecting
         # ONLY the predicate column plus the parquet row index — the
         # collect is bounded by the count of rows this DELETE dooms (the
         # change volume), never by table size.
         doomed_rows = (
-            self.spark.read.schema(full_schema)
+            self.spark.read.schema(scan_schema)
             .parquet(*[os.path.join(self.root, p) for p in affected])
             .select(
                 F.element_at(
@@ -2700,10 +2712,8 @@ class DeltaLogTable:
         dv_live = {
             p: adds[p] for p in live if adds[p].get("deletionVector")
         }
-        if dv_live and (mapped or partition_cols):
-            raise NotImplementedError(
-                "deletion vectors on a mapped or partitioned table"
-            )
+        if dv_live and mapped:
+            raise NotImplementedError("deletion vectors on a mapped table")
         if not partition_cols:
             plain = [p for p in live if p not in dv_live]
             parts = []
@@ -2736,12 +2746,25 @@ class DeltaLogTable:
         )
         parts = []
         for key, paths in sorted(groups.items()):
-            df = self.spark.read.schema(data_schema).parquet(
-                *[os.path.join(self.root, p) for p in paths]
-            )
-            for c, val in zip(partition_cols, key):
-                df = df.withColumn(c, F.lit(val).cast(types[c]))
-            parts.append(df.select([f.name for f in full_schema.fields]))
+            # Within a partition group, DV-carrying files take the
+            # anti-join read path (data-only schema — partition columns
+            # are not stored) and plain files the direct scan; both get
+            # the group's partition literals rebuilt on top.
+            plain = [p for p in paths if p not in dv_live]
+            group_dfs = []
+            if plain:
+                group_dfs.append(
+                    self.spark.read.schema(data_schema).parquet(
+                        *[os.path.join(self.root, p) for p in plain]
+                    )
+                )
+            dvp = {p: adds[p] for p in paths if p in dv_live}
+            if dvp:
+                group_dfs.append(self._read_dv_files(dvp, data_schema))
+            for df in group_dfs:
+                for c, val in zip(partition_cols, key):
+                    df = df.withColumn(c, F.lit(val).cast(types[c]))
+                parts.append(df.select([f.name for f in full_schema.fields]))
         out = parts[0]
         for df in parts[1:]:
             out = out.union(df)
@@ -4799,5 +4822,50 @@ def sink_delta_liquid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "sink_delta_dv_partitioned",
+    oracle="""
+SELECT l_returnflag,
+       count(*)                  AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_orderkey NOT BETWEEN 500 AND 5000
+  AND NOT (l_quantity BETWEEN 49 AND 50)
+GROUP BY l_returnflag
+""",
+)
+def sink_delta_dv_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION VECTORS on a HIVE-PARTITIONED table — the 100 TB norm
+    (date/flag-partitioned fact tables taking GDPR/retention deletes):
+    two merge-on-read DELETEs on DATA columns attach roaring-bitmap DVs
+    to files across every partition directory with zero rewrites (the
+    second delete exercises the DV-union path on files hit twice), and
+    the read subtracts doomed positions per partition group while
+    rebuilding partition columns from partitionValues — data files
+    never stored them.
+
+    Partition-COLUMN predicates deliberately refuse the DV path (a
+    partition predicate doomes whole directories; tombstoning their
+    files is the metadata-only answer — attaching per-row bitmaps
+    would be pure overhead), pinned in tests."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    root = tempfile.mkdtemp(prefix="sdis_dv_part_")
+    t = DeltaLogTable(spark, root)
+    t.commit_append(li, partition_by=["l_returnflag"])
+    t.enable_deletion_vectors()
+    t.delete_rows_dv("l_orderkey", 500, 5000)
+    t.delete_rows_dv("l_quantity", 49, 50)
+    return (
+        t.read()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
     )

@@ -305,3 +305,49 @@ def test_dv_purge_commit_is_invisible_to_consumers(spark):
             payload = action.get("add") or action.get("remove")
             if payload is not None:
                 assert payload.get("dataChange", True) is False
+
+
+def test_partitioned_dv_delete_rewrites_nothing_and_refuses_partition_preds(spark):
+    """Merge-on-read DELETE on a partitioned table: (a) no data file is
+    rewritten — the live path set is unchanged, affected files just gain
+    DV descriptors; (b) reads rebuild partition columns and subtract
+    doomed rows; (c) a predicate on the PARTITION column refuses the DV
+    path (tombstoning directories is the metadata-only answer)."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from satellite_data_ingestion_spark.sources.delta_log import (
+        DeltaLogTable,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(40)], "x long, k string"
+    )
+    t = DeltaLogTable(spark, tempfile.mkdtemp(prefix="dvpart_"))
+    t.commit_append(df.repartition(2), partition_by=["k"])
+    t.enable_deletion_vectors()
+    live_before, _, _ = t._replay_actions(t.latest_version())
+
+    t.delete_rows_dv("x", 10, 19)
+    live_after, _, _ = t._replay_actions(t.latest_version())
+    assert set(live_after) == set(live_before), "DV delete must not rewrite"
+    assert any(a.get("deletionVector") for a in live_after.values())
+
+    got = sorted((r.x, r.k) for r in t.read().collect())
+    want = sorted((i, "a" if i % 2 else "b") for i in range(40) if not 10 <= i <= 19)
+    assert got == want
+
+    # second delete: union path on already-DV'd files
+    t.delete_rows_dv("x", 15, 25)
+    got2 = sorted(r.x for r in t.read().collect())
+    assert got2 == [i for i in range(40) if not 10 <= i <= 25]
+
+    # where-pruned read still works over DV'd partitioned files
+    assert sorted(
+        r.x for r in t.read(where={"k": "b"}).collect()
+    ) == [i for i in range(40) if i % 2 == 0 and not 10 <= i <= 25]
+
+    with _pytest.raises(ValueError, match="PARTITION column"):
+        t.delete_rows_dv("k", "a", "a")
