@@ -351,3 +351,61 @@ def test_partitioned_dv_delete_rewrites_nothing_and_refuses_partition_preds(spar
 
     with _pytest.raises(ValueError, match="PARTITION column"):
         t.delete_rows_dv("k", "a", "a")
+
+
+def test_dv_bitmap_roundtrip_properties():
+    """Property-based conformance for the DV byte formats: for arbitrary
+    position sets — including container-boundary values around k*2^16
+    and dense runs that push the roaring encoder across its array /
+    bitmap / run container choices — descriptor round-trips are exact
+    and dv_union is set union.  Pure Python, no Spark."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from satellite_data_ingestion_spark.sources.dv_bitmap import (
+        dv_descriptor,
+        dv_positions,
+        dv_union,
+        z85_decode,
+        z85_encode,
+    )
+
+    boundary = st.builds(
+        lambda k, off: k * 65536 + off,
+        st.integers(min_value=0, max_value=3),
+        st.sampled_from([0, 1, 65534, 65535]),
+    )
+    anywhere = st.integers(min_value=0, max_value=1 << 20)
+    dense_run = st.builds(
+        lambda start, n: list(range(start, start + n)),
+        st.integers(min_value=0, max_value=200_000),
+        st.integers(min_value=1, max_value=5000),
+    )
+    position_sets = st.one_of(
+        st.sets(st.one_of(anywhere, boundary), max_size=400),
+        dense_run.map(set),
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(a=position_sets, b=position_sets)
+    def check(a: set, b: set) -> None:
+        da, db = dv_descriptor(a), dv_descriptor(b)
+        assert dv_positions(da) == sorted(a)
+        assert dv_positions(db) == sorted(b)
+        assert dv_positions(dv_union(da, db)) == sorted(a | b)
+
+    check()
+
+    # Z85 is spec-defined for 4-byte multiples only (and the DV format
+    # always feeds it padded words); other lengths must refuse loudly.
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(min_size=0, max_size=256).map(lambda b: b[: len(b) - len(b) % 4]))
+    def z85_roundtrip(data: bytes) -> None:
+        assert z85_decode(z85_encode(data)) == data
+
+    z85_roundtrip()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple of 4"):
+        z85_encode(b"\x00")
