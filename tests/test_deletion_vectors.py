@@ -352,6 +352,16 @@ def test_partitioned_dv_delete_rewrites_nothing_and_refuses_partition_preds(spar
     with _pytest.raises(ValueError, match="PARTITION column"):
         t.delete_rows_dv("k", "a", "a")
 
+    # OPTIMIZE composes: the rewrite purges every DV, keeps the Hive
+    # layout, and leaves contents invariant — the partitioned form of
+    # the dv_purge lifecycle.
+    before = sorted(r.x for r in t.read().collect())
+    t.compact(target_file_bytes=1 << 20)
+    live_c, _, _ = t._replay_actions(t.latest_version())
+    assert not any(a.get("deletionVector") for a in live_c.values())
+    assert all(p.startswith("k=") for p in live_c)
+    assert sorted(r.x for r in t.read().collect()) == before
+
 
 def test_dv_bitmap_roundtrip_properties():
     """Property-based conformance for the DV byte formats: for arbitrary
