@@ -729,3 +729,63 @@ def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("week_offset"),
     ).agg(F.count(F.lit(1)).alias("n_active"))
+
+
+@register(
+    "agg_rolling_distinct",
+    oracle="""
+WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+SELECT day,
+       (SELECT count(DISTINCT user_id) FROM events e
+        WHERE CAST(e.ts AS DATE) = d.day)                    AS dau,
+       (SELECT count(DISTINCT user_id) FROM events e
+        WHERE CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day) AS dau7
+FROM d
+""",
+)
+def agg_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING DISTINCT counts (daily actives + trailing-7-day actives)
+    — the retention-dashboard staple that plain windows cannot express
+    (COUNT(DISTINCT) is not a supported window function, and
+    collect_set-over-window buffers every member).  Exact, via the
+    mergeable-bitmap idiom: per (day, user-bucket) 64-bit bitmaps from
+    one grouped aggregate, densified onto the day x bucket grid, then a
+    RANGE window ORs each bucket's trailing week and bitmap_count sums
+    per day.
+
+    Scale shape: the events table shuffles ONCE (to day x bucket
+    bitmaps — output bounded by the grid, not by events); everything
+    after operates on grid-sized bitmap rows (days x users/64), which
+    is the same state HLL sketches would hold but EXACT, and the
+    rolling union never rescans history (``agg_bitmap_distinct``'s
+    maintenance argument, extended to sliding windows).  Densification
+    matters for correctness: a bucket silent on day d still owes day d
+    its earlier-window members — the left join carries them (undercount
+    otherwise, caught in development at sf0.01)."""
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+        )
+        .selectExpr("day", "user_id div 64 as b", "pmod(user_id, 64) as pos")
+        .groupBy("day", "b")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    grid = daily.select("day").distinct().crossJoin(
+        daily.select("b").distinct()
+    )
+    dense = grid.join(daily, ["day", "b"], "left")
+    w = (
+        Window.partitionBy("b")
+        .orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    rolled = dense.withColumn("bm7", F.expr("bitmap_or_agg(bm)").over(w))
+    return rolled.groupBy("day").agg(
+        F.sum(
+            F.coalesce(F.expr("bitmap_count(bm)"), F.lit(0))
+        ).alias("dau"),
+        F.sum(
+            F.coalesce(F.expr("bitmap_count(bm7)"), F.lit(0))
+        ).alias("dau7"),
+    )
