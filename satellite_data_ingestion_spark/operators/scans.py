@@ -432,3 +432,60 @@ def scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", "corrupt_record")
         .csv(staged)
     )
+
+
+@register(
+    "scan_jsonl_corrupt",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey,
+       CAST(NULL AS VARCHAR) AS corrupt_record
+FROM nation
+UNION ALL
+SELECT NULL, NULL, NULL,
+       '{"n_nationkey": "BAD' || CAST(n_nationkey AS VARCHAR) || '"'
+FROM nation WHERE n_nationkey % 4 = 0
+""",
+)
+def scan_jsonl_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines malformed-record quarantine, the scan_csv_corrupt
+    twin for the other landing format: every 4th nation row is followed
+    by a TRUNCATED JSON line (unterminated object — the classic
+    crashed-producer artifact).  Unlike CSV's field-level salvage, an
+    unparseable JSON document nulls the WHOLE row and lands verbatim in
+    the corrupt-record column; the oracle pins that asymmetry too."""
+    import os
+    import tempfile
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    staged = os.path.join(
+        tempfile.gettempdir(), f"sdis_fmt_jsonbad_{sf_tag}_{os.getpid()}"
+    )
+
+    def write(tmp: str) -> None:
+        os.makedirs(tmp)
+        rows = (
+            table(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .orderBy("n_nationkey")
+            .collect()  # bounded: 25-row dimension fixture
+        )
+        with open(os.path.join(tmp, "part-0.json"), "w") as fh:
+            for r in rows:
+                fh.write(
+                    f'{{"n_nationkey": {r.n_nationkey}, '
+                    f'"n_name": "{r.n_name}", '
+                    f'"n_regionkey": {r.n_regionkey}}}\n'
+                )
+                if r.n_nationkey % 4 == 0:
+                    fh.write(f'{{"n_nationkey": "BAD{r.n_nationkey}"\n')
+
+    _stage_atomic(staged, write)
+    return (
+        spark.read.schema(
+            "n_nationkey int, n_name string, n_regionkey int, "
+            "corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "corrupt_record")
+        .json(staged)
+    )
