@@ -65,6 +65,7 @@ HEADLINE = [
     "sink_delta_dv_partitioned",
     "scan_csv_corrupt",
     "agg_rolling_distinct",
+    "ext_multimodal_resize",
     # Block 2 — round-9 late additions (one recorded run): the
     # pair-join/blocked-join family, iterative BFS, per-cluster prune,
     # corpus vocab, heavier table-format paths.

@@ -497,3 +497,93 @@ def ext_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("thumb_key")
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
     )
+
+
+@register(
+    "ext_multimodal_resize",
+    oracle="""
+SELECT doc_id,
+       list_transform(generate_series(0, 63), k ->
+         CAST(3 * ((7 * (((k % 8) * w) // 8)
+                    + 13 * (((k // 8) * h) // 8)
+                    + doc_id) % 256) AS BIGINT))    AS thumb,
+       CAST(list_sum(list_transform(generate_series(0, 63), k ->
+         3 * ((7 * (((k % 8) * w) // 8)
+               + 13 * (((k // 8) * h) // 8)
+               + doc_id) % 256))) AS BIGINT)        AS thumb_sum
+FROM (SELECT doc_id, doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h
+      FROM documents)
+""",
+)
+def ext_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel-level decode + RESIZE (the mandate's image-transform
+    slot, beyond header parsing): each document gets a 24-bit BMP whose
+    pixel (x, y) holds ``(7x + 13y + doc_id) % 256`` in every channel —
+    defined in IMAGE coordinates, while the file stores rows BOTTOM-UP
+    with 4-byte padding, so a decoder that forgets the row flip or the
+    stride produces different thumbnails and fails the hash.  The
+    numpy kernel parses the header, strides the padded rows, flips to
+    image order, and nearest-neighbor-samples an 8x8 thumbnail
+    (``sx = x*w div 8``); the oracle replays the sampling arithmetic on
+    the pattern definition relationally.
+
+    Scale shape: both build and decode are ``mapInPandas`` over Arrow
+    batches — partition-preserving, no shuffle, no Python row loops in
+    the pixel path (numpy slicing end-to-end); thumbnails are the
+    fixed-size features ANN/near-dup stages downstream consume."""
+    import numpy as np
+    import struct as _struct
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = did % 64 + 1
+                h = did % 48 + 1
+                stride = ((3 * w + 3) // 4) * 4
+                size = 54 + stride * h
+                hdr = b"BM" + _struct.pack("<IHHI", size, 0, 0, 54)
+                dib = _struct.pack(
+                    "<IiiHHIIiiII",
+                    40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0,
+                )
+                x = np.arange(w, dtype=np.int64)
+                body = bytearray()
+                for r in range(h):  # file rows, bottom-up
+                    y_img = h - 1 - r
+                    vals = ((7 * x + 13 * y_img + did) % 256).astype(np.uint8)
+                    row = np.repeat(vals, 3).tobytes()
+                    body += row + bytes(stride - 3 * w)
+                payloads.append(hdr + dib + bytes(body))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    def decode_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                w = _struct.unpack_from("<i", buf, 18)[0]
+                h = _struct.unpack_from("<i", buf, 22)[0]
+                stride = ((3 * w + 3) // 4) * 4
+                rows = np.frombuffer(
+                    buf, dtype=np.uint8, count=stride * h, offset=54
+                ).reshape(h, stride)
+                img = rows[::-1, : 3 * w : 3].astype(np.int64)  # flip, blue
+                sy = (np.arange(8) * h) // 8
+                sx = (np.arange(8) * w) // 8
+                thumb = 3 * img[np.ix_(sy, sx)]
+                flat = [int(v) for v in thumb.ravel()]
+                out.append((int(did), flat, int(thumb.sum())))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "thumb", "thumb_sum"]
+            )
+
+    blobs = docs.mapInPandas(build, schema="doc_id long, payload binary")
+    return blobs.mapInPandas(
+        decode_resize, schema="doc_id long, thumb array<long>, thumb_sum long"
+    )
