@@ -1662,3 +1662,56 @@ def ext_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aggregate(codes, 0L, (acc, x) -> acc + cast(x as bigint))"
         ).alias("code_sum"),
     )
+
+
+_FILTER_LABEL = 3  # metadata predicate for the hybrid-search query
+
+
+@register(
+    "ext_sim_filtered",
+    oracle=f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+  WHERE vec_id = {_QUERY_VEC_ID}
+)
+SELECT e.vec_id, e.label,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos_sim
+FROM embeddings e, q
+WHERE e.vec_id <> {_QUERY_VEC_ID} AND e.label = {_FILTER_LABEL}
+ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) DESC,
+         e.vec_id
+LIMIT {_TOP_K}
+""",
+)
+def ext_sim_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED similarity search (hybrid search: vector + metadata
+    predicate) — top-k cosine among vectors whose ``label`` matches.
+    The predicate applies BEFORE scoring (pre-filter), the semantics
+    retrieval stacks want: post-filtering a global top-k silently
+    returns fewer than k when matches are rare.
+
+    Execution: the label filter pushes down to the parquet scan
+    (PushedFilters — footer stats skip label-disjoint row groups), the
+    broadcast-query scoring pass touches only survivors, and the top-k
+    is TakeOrderedAndProject heaps.  At 100 TB the pre-filter composes
+    with the stored layouts: a label-partitioned IVF index
+    (``ext_sim_ivf_indexed``'s layout keyed by label, ivf_cluster)
+    turns the predicate into partition pruning, keeping ANN cost
+    proportional to the FILTERED corpus — the widening-nprobe fallback
+    when a filter starves candidate lists is the known hard part of
+    hybrid ANN, and exact pre-filtered scoring like this is its recall
+    baseline."""
+    emb = table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(vec.alias("qv"))
+    cos = F.round(cosine(vec, F.col("qv")), 6)
+    return (
+        emb.filter(
+            (F.col("vec_id") != _QUERY_VEC_ID)
+            & (F.col("label") == _FILTER_LABEL)
+        )
+        .join(F.broadcast(q))
+        .select("vec_id", "label", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(_TOP_K)
+    )
