@@ -66,6 +66,9 @@ HEADLINE = [
     "scan_csv_corrupt",
     "agg_rolling_distinct",
     "ext_multimodal_resize",
+    "ext_sim_filtered",
+    "scan_jsonl_corrupt",
+    "win_interval_coverage",
     # Block 2 — round-9 late additions (one recorded run): the
     # pair-join/blocked-join family, iterative BFS, per-cluster prune,
     # corpus vocab, heavier table-format paths.

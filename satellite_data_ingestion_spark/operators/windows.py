@@ -590,3 +590,69 @@ def win_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lt.touch_type").alias("touch_type"),
         (F.col("t_us") - F.col("lt.t")).alias("gap_us"),
     )
+
+
+_COVER_WINDOW_US = 1_800_000_000  # each event covers [ts, ts + 30 min)
+
+
+@register(
+    "win_interval_coverage",
+    oracle=f"""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {_COVER_WINDOW_US} AS e,
+         event_id
+  FROM events
+), w AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max_e
+  FROM iv
+)
+SELECT user_id,
+       CAST(sum(greatest(0, e - greatest(s, coalesce(prev_max_e, s))))
+            AS BIGINT)        AS covered_us,
+       CAST(count(*) FILTER (WHERE prev_max_e IS NULL OR s > prev_max_e)
+            AS BIGINT)        AS n_spans
+FROM w
+GROUP BY user_id
+""",
+)
+def win_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL UNION COVERAGE per key — the utilization metric (how
+    much wall-clock did this user's activity windows actually cover,
+    counting overlaps once) via the sweep-line-as-window idiom: order
+    intervals by start, carry the running max end over the PRECEDING
+    frame, and each interval contributes only the part past that
+    high-water mark; rows whose start clears it open a new disjoint
+    span (counted as ``n_spans``).
+
+    This is the classic problem a naive ``sum(e - s)`` double-counts
+    and a self-join solves quadratically; the window form is one
+    exchange + one sort with O(1) state, exact at any overlap depth.
+    Interval bounds are integer microseconds — no float drift."""
+    ev = table(spark, sf_dir, "events")
+    s = F.unix_micros("ts")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        s.alias("s"),
+        (s + _COVER_WINDOW_US).alias("e"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.withColumn("prev_max_e", F.max("e").over(w))
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("e") - F.greatest(F.col("s"), F.coalesce("prev_max_e", "s")),
+    )
+    new_span = F.col("prev_max_e").isNull() | (
+        F.col("s") > F.col("prev_max_e")
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum(contrib).alias("covered_us"),
+        F.count(F.when(new_span, 1)).alias("n_spans"),
+    )
