@@ -789,3 +789,61 @@ def agg_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.expr("bitmap_count(bm7)"), F.lit(0))
         ).alias("dau7"),
     )
+
+
+_CI_Z = 1.959963984540054  # two-sided 95% normal quantile
+
+
+@register(
+    "agg_ratio_ci",
+    oracle=f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE value >= 50) AS BIGINT) AS k
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n, k,
+       round(CAST(k AS DOUBLE) / n, 6) AS rate,
+       round((k / CAST(n AS DOUBLE) + {_CI_Z} * {_CI_Z} / (2 * n)
+              - {_CI_Z} * sqrt((k / CAST(n AS DOUBLE)) * (1 - k / CAST(n AS DOUBLE)) / n
+                               + {_CI_Z} * {_CI_Z} / (4.0 * n * n)))
+             / (1 + {_CI_Z} * {_CI_Z} / n), 6) AS ci_lo,
+       round((k / CAST(n AS DOUBLE) + {_CI_Z} * {_CI_Z} / (2 * n)
+              + {_CI_Z} * sqrt((k / CAST(n AS DOUBLE)) * (1 - k / CAST(n AS DOUBLE)) / n
+                               + {_CI_Z} * {_CI_Z} / (4.0 * n * n)))
+             / (1 + {_CI_Z} * {_CI_Z} / n), 6) AS ci_hi
+FROM g
+""",
+)
+def agg_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATE WITH WILSON 95% CONFIDENCE INTERVAL per group — the A/B /
+    data-quality staple (the Wald interval collapses at extreme rates
+    or small n; Wilson stays inside [0, 1] and is the standard
+    recommendation).  Conversion here = events with value >= 50.
+
+    One grouped aggregate (count + conditional count — map-side
+    combined), then the closed-form interval as a codegen projection
+    over the group-cardinality-sized result: statistics cost nothing
+    beyond the count pass at any scale.  Both engines evaluate the
+    identical double expression; the 6-decimal round masks libm sqrt
+    ulp differences (the fn_haversine stance)."""
+    ev = table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("value") >= 50, 1)).alias("k"),
+    )
+    z = _CI_Z
+    p = F.col("k") / F.col("n").cast("double")
+    n = F.col("n").cast("double")
+    center = p + z * z / (2 * n)
+    margin = z * F.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+    denom = 1 + z * z / n
+    return g.select(
+        "event_type",
+        "n",
+        "k",
+        F.round(p, 6).alias("rate"),
+        F.round((center - margin) / denom, 6).alias("ci_lo"),
+        F.round((center + margin) / denom, 6).alias("ci_hi"),
+    )
