@@ -69,6 +69,7 @@ HEADLINE = [
     "ext_sim_filtered",
     "scan_jsonl_corrupt",
     "win_interval_coverage",
+    "agg_ratio_ci",
     # Block 2 — round-9 late additions (one recorded run): the
     # pair-join/blocked-join family, iterative BFS, per-cluster prune,
     # corpus vocab, heavier table-format paths.
