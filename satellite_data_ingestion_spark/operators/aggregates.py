@@ -847,3 +847,100 @@ def agg_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - margin) / denom, 6).alias("ci_lo"),
         F.round((center + margin) / denom, 6).alias("ci_hi"),
     )
+
+
+@register(
+    "agg_gini",
+    oracle="""
+WITH r AS (
+  SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rk,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(max(n) AS BIGINT) AS n_orders,
+       round(2.0 * sum(rk * o_totalprice)
+             / (max(n) * sum(o_totalprice))
+             - (max(n) + 1.0) / max(n), 6) AS gini
+FROM r
+GROUP BY o_orderpriority
+""",
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of order value per priority class — the
+    inequality/concentration measure behind revenue-concentration and
+    data-mixture-balance audits, via the rank formula
+    ``G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n`` over ascending values.
+    Ties are rank-order-insensitive (equal values commute inside the
+    weighted sum), so the row_number tie-break affects nothing — the
+    formula is hash-stable by construction.
+
+    One partition-key exchange serves the ranking window and the final
+    aggregate (same key); per-group state is the sort, spillable at
+    any group size."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    r = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    return r.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n_orders"),
+        F.round(
+            2.0 * F.sum(F.col("rk") * F.col("o_totalprice"))
+            / (F.max("n") * F.sum("o_totalprice"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "agg_entropy",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS cnt
+  FROM events GROUP BY user_id, event_type
+), t AS (
+  SELECT user_id, sum(cnt) AS total, count(*) AS n_types FROM c GROUP BY user_id
+)
+SELECT c.user_id,
+       CAST(max(t.n_types) AS BIGINT) AS n_types,
+       round(-sum((c.cnt / t.total) * ln(c.cnt / t.total)), 6) AS entropy
+FROM c JOIN t USING (user_id)
+GROUP BY c.user_id
+""",
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHANNON ENTROPY of each user's event-type distribution — the
+    behavioral-diversity feature (bots spike one type → entropy ~0;
+    uniform browsers approach ln(k)), and the same statistic quality
+    pipelines compute over token/language distributions.
+
+    Two chained aggregates on the SAME leading key (user_id): counts
+    per (user, type), totals per user, then the plug-in estimator
+    ``-sum(p ln p)`` as a codegen projection — the second shuffle
+    carries only group-cardinality rows.  Natural log on both engines;
+    6-decimal rounding masks libm ulps (the fn_haversine stance)."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    t = c.groupBy("user_id").agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_types")
+    )
+    p = F.col("cnt") / F.col("total")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_types").alias("n_types"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+    )
