@@ -70,6 +70,9 @@ HEADLINE = [
     "scan_jsonl_corrupt",
     "win_interval_coverage",
     "agg_ratio_ci",
+    "agg_gini",
+    "agg_entropy",
+    "win_drawdown",
     # Block 2 — round-9 late additions (one recorded run): the
     # pair-join/blocked-join family, iterative BFS, per-cluster prune,
     # corpus vocab, heavier table-format paths.

@@ -656,3 +656,52 @@ def win_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(contrib).alias("covered_us"),
         F.count(F.when(new_span, 1)).alias("n_spans"),
     )
+
+
+@register(
+    "win_drawdown",
+    oracle="""
+WITH r AS (
+  SELECT event_type, value, ts, event_id,
+         max(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_max
+  FROM events
+)
+SELECT event_type,
+       round(min(CASE WHEN run_max > 0 THEN value / run_max - 1 END), 6)
+         AS max_drawdown,
+       round(max(run_max), 6) AS peak
+FROM r
+GROUP BY event_type
+""",
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMUM DRAWDOWN per series — the canonical composition of a
+    cumulative extreme with a global one (largest peak-to-trough drop
+    of ``value`` along each type's timeline), the risk/degradation
+    metric for anything monitored over time (model quality, throughput,
+    portfolio value).  Running max over the ordered frame, relative
+    drop per row, global min per group; zero-peak rows null out rather
+    than divide (CASE guard on both engines).
+
+    One exchange serves the running-max window AND the final aggregate
+    (same partition key); drawdown state is two scalars per group —
+    O(1) memory at any series length, where the naive formulation
+    (min over all later troughs per peak) is quadratic."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = ev.select(
+        "event_type",
+        "value",
+        F.max("value").over(w).alias("run_max"),
+    )
+    dd = F.when(F.col("run_max") > 0, F.col("value") / F.col("run_max") - 1)
+    return r.groupBy("event_type").agg(
+        F.round(F.min(dd), 6).alias("max_drawdown"),
+        F.round(F.max("run_max"), 6).alias("peak"),
+    )
