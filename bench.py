@@ -73,6 +73,8 @@ HEADLINE = [
     "agg_gini",
     "agg_entropy",
     "win_drawdown",
+    "win_period_over_period",
+    "fn_base64",
     # Block 2 — round-9 late additions (one recorded run): the
     # pair-join/blocked-join family, iterative BFS, per-cluster prune,
     # corpus vocab, heavier table-format paths.

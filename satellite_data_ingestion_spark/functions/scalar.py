@@ -642,3 +642,29 @@ def fn_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.selectExpr(
         "event_id", "cell_id", _gh_chars("cell_id", "spark") + " as geohash"
     )
+
+
+@register(
+    "fn_base64",
+    oracle="""
+SELECT n_nationkey,
+       base64(encode(n_name))                       AS b64,
+       decode(from_base64(base64(encode(n_name))))  AS roundtrip,
+       CAST(octet_length(encode(n_name)) AS BIGINT) AS n_bytes
+FROM nation
+""",
+)
+def fn_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base64 encode/decode round-trip battery — the wire-format codec
+    binary payloads cross system boundaries in (webhook bodies, JSON-
+    embedded blobs).  Both engines implement RFC 4648 standard base64,
+    so the encoded text itself hash-matches, and the decoded round-trip
+    must equal the source byte-for-byte.  Pure codegen projection."""
+    n = table(spark, sf_dir, "nation")
+    enc = F.base64(F.encode("n_name", "utf-8"))
+    return n.select(
+        "n_nationkey",
+        enc.alias("b64"),
+        F.decode(F.unbase64(enc), "utf-8").alias("roundtrip"),
+        F.octet_length("n_name").cast("long").alias("n_bytes"),
+    )

@@ -705,3 +705,50 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(dd), 6).alias("max_drawdown"),
         F.round(F.max("run_max"), 6).alias("peak"),
     )
+
+
+@register(
+    "win_period_over_period",
+    oracle="""
+WITH m AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+         o_orderpriority,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1, 2
+)
+SELECT month, o_orderpriority, revenue,
+       round(revenue - lag(revenue) OVER w, 2)      AS mom_delta,
+       round(100.0 * (revenue - lag(revenue) OVER w)
+             / lag(revenue) OVER w, 4)              AS mom_pct
+FROM m
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+""",
+)
+def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERIOD-OVER-PERIOD deltas — the BI dashboard staple (month-over-
+    month revenue change per priority class): aggregate to the period
+    grain FIRST, then lag over the aggregated series.  Ordering the
+    window on the aggregated month string is what makes this scale-
+    different from win_lag_lead: the window operates on
+    period-cardinality rows (months x groups), not raw facts, so the
+    sort after the aggregate is over a tiny frame no matter how many
+    orders fed it; the aggregate's shuffle dominates and is map-side
+    combined.  First period of each group reports null deltas, as BI
+    semantics demand (no fabricated baseline)."""
+    o = table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            "o_orderpriority",
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "o_orderpriority",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("mom_delta"),
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias("mom_pct"),
+    )
