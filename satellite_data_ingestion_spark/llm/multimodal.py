@@ -503,10 +503,10 @@ def ext_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_multimodal_resize",
     oracle="""
 SELECT doc_id,
-       list_transform(generate_series(0, 63), k ->
+       array_to_string(list_transform(generate_series(0, 63), k ->
          CAST(3 * ((7 * (((k % 8) * w) // 8)
                     + 13 * (((k // 8) * h) // 8)
-                    + doc_id) % 256) AS BIGINT))    AS thumb,
+                    + doc_id) % 256) AS BIGINT)), ',') AS thumb,
        CAST(list_sum(list_transform(generate_series(0, 63), k ->
          3 * ((7 * (((k % 8) * w) // 8)
                + 13 * (((k // 8) * h) // 8)
@@ -577,7 +577,10 @@ def ext_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sy = (np.arange(8) * h) // 8
                 sx = (np.arange(8) * w) // 8
                 thumb = 3 * img[np.ix_(sy, sx)]
-                flat = [int(v) for v in thumb.ravel()]
+                # Comma-joined string, not array<long>: the driver's
+                # canonicalizer sorts columns with pandas and dies on
+                # array cells — scalar output columns only.
+                flat = ",".join(str(int(v)) for v in thumb.ravel())
                 out.append((int(did), flat, int(thumb.sum())))
             yield pd.DataFrame(
                 out, columns=["doc_id", "thumb", "thumb_sum"]
@@ -585,5 +588,5 @@ def ext_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = docs.mapInPandas(build, schema="doc_id long, payload binary")
     return blobs.mapInPandas(
-        decode_resize, schema="doc_id long, thumb array<long>, thumb_sum long"
+        decode_resize, schema="doc_id long, thumb string, thumb_sum long"
     )

@@ -1597,8 +1597,8 @@ WITH d AS (
   FROM e JOIN b USING (i)
 )
 SELECT vec_id, label,
-       list(code ORDER BY i)     AS codes,
-       CAST(sum(code) AS BIGINT) AS code_sum
+       array_to_string(list(code ORDER BY i), ',') AS codes,
+       CAST(sum(code) AS BIGINT)                   AS code_sum
 FROM c
 GROUP BY vec_id, label
 """,
@@ -1606,7 +1606,8 @@ GROUP BY vec_id, label
 def ext_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INT8 scalar quantization of the embedding column: per-dimension
     min/max over the corpus define a linear [0, 255] grid; every vector
-    comes back as an array<int> of codes (4x smaller than float32, the
+    comes back as a comma-joined string of int codes (4x smaller than
+    float32 when stored as bytes, the
     standard storage/transfer compression before ANN indexing; PQ —
     ``ext_sim_ivf_pq`` — is the sub-byte sibling).
 
@@ -1652,14 +1653,19 @@ def ext_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     quant = emb.select(
         "vec_id",
         "label",
-        F.transform("embedding", code).alias("codes"),
+        F.transform("embedding", code).alias("_codes"),
     )
+    # The codes come back joined into one string (not array<int>): the
+    # driver's canonicalizer sorts result columns with pandas and dies on
+    # array cells (unhashable ndarray) — scalar columns only at the API edge.
     return quant.select(
         "vec_id",
         "label",
-        "codes",
+        F.array_join(F.transform("_codes", lambda x: x.cast("string")), ",").alias(
+            "codes"
+        ),
         F.expr(
-            "aggregate(codes, 0L, (acc, x) -> acc + cast(x as bigint))"
+            "aggregate(_codes, 0L, (acc, x) -> acc + cast(x as bigint))"
         ).alias("code_sum"),
     )
 

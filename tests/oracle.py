@@ -75,10 +75,29 @@ def _check_duck_types(con, sql: str) -> list[str]:
     return errs
 
 
+def _check_spark_types(spark_df) -> list[str]:
+    """The driver canonicalizes results with a pandas ``sort_values`` over
+    every column; array/map/struct cells arrive as ndarrays/dicts, which are
+    unhashable and crash the driver with ERR (seen twice in round 10).
+    Reject them here so no registered query can ship a non-scalar column."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    errs = []
+    for f in spark_df.schema.fields:
+        if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+            errs.append(
+                f"spark col {f.name} has non-scalar type {f.dataType.simpleString()}; "
+                "the driver's pandas canonicalizer cannot sort it — serialize "
+                "(array_join / to_json) before returning"
+            )
+    return errs
+
+
 def compare(spark_df, con, sql: str, float_tol: float = 1e-9) -> list[str]:
     """Return a list of mismatch descriptions (empty == match)."""
     errs: list[str] = []
     errs.extend(_check_duck_types(con, sql))
+    errs.extend(_check_spark_types(spark_df))
     if errs:
         return errs
     spark_cols = list(spark_df.columns)

@@ -1795,7 +1795,7 @@ def test_embedding_quantize_reconstruction_bound(spark):
     step = (mx - mn) / 255.0
     worst = 0.0
     for vid, v in raw.items():
-        c = np.array(codes[vid], dtype=np.float64)
+        c = np.array(codes[vid].split(","), dtype=np.float64)
         assert c.min() >= 0 and c.max() <= 255
         recon = mn + c * step
         worst = max(worst, np.max(np.abs(v - recon) - step))

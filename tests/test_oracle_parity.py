@@ -37,6 +37,13 @@ def test_query(name, spark, duck):
         return
     df = spec.fn(spark, SF_SMOKE)
     if spec.oracle is None:
+        from tests.oracle import _check_spark_types
+
+        # Rows-only queries still pass through the driver's pandas
+        # canonicalizer in its rows check — non-scalar columns crash it
+        # (the round-10 ERR class), so they are banned everywhere.
+        errs = _check_spark_types(df)
+        assert not errs, f"{name}: " + "; ".join(errs)
         rows = df.collect()
         assert rows is not None
         assert len(df.columns) > 0
@@ -56,3 +63,22 @@ def test_compare_rejects_non_spark_types(duck):
     assert not _check_duck_types(
         duck, "SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s FROM lineitem"
     )
+
+
+def test_compare_rejects_non_scalar_spark_columns(spark):
+    """The driver's _canon does a pandas sort_values over every output
+    column; an array cell arrives as an ndarray, which is unhashable, and
+    the whole query records ERR (seen twice in round 10:
+    ext_embedding_quantize / ext_multimodal_resize).  compare() must flag
+    any ArrayType/MapType/StructType column before values are compared."""
+    import pyspark.sql.functions as F
+
+    from tests.oracle import _check_spark_types
+
+    bad = spark.range(3).select(F.array(F.col("id")).alias("a"))
+    errs = _check_spark_types(bad)
+    assert errs and "non-scalar" in errs[0]
+    good = bad.select(
+        F.array_join(F.transform("a", lambda x: x.cast("string")), ",").alias("a")
+    )
+    assert not _check_spark_types(good)
