@@ -20,16 +20,29 @@ from ..registry import register
 # Oracle: DuckDB's read_blob over the same directory.  Its md5() only takes
 # VARCHAR (and BLOB→VARCHAR casting escapes non-printables), so both engines
 # digest the UPPERCASE HEX encoding of the bytes — identical hex on both
-# sides, still computed distributed JVM-side in Spark.  The driver compares
-# at sf=0.01, hence the literal path (the only oracle input that is a
-# directory, not a registered view).
+# sides, still computed distributed JVM-side in Spark.
+#
+# The only oracle whose input is a DIRECTORY, not a registered view, so the
+# path must be baked into the SQL string at import time.  The driver's
+# contract fixes verification at sf=0.01, hence that default; a different
+# install location or scale factor sets SPARK_GRAFT_ORACLE_SF_DIR before
+# import (tests/test_oracle_parity.py pins this query to the driver's sf via
+# _DRIVER_SF_ONLY — comparing it at any other sf is a harness error, not a
+# query error).
+import os as _os
+
+_ORACLE_SF_DIR = _os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+).rstrip("/")
+
+
 @register(
     "scan_binary",
-    oracle="""
+    oracle=f"""
 SELECT regexp_extract(filename, '[^/]+$') AS file_name,
        CAST(size AS BIGINT) AS n_bytes,
        md5(hex(content)) AS digest
-FROM read_blob('/root/testdata/sf0.01/*.parquet')
+FROM read_blob('{_ORACLE_SF_DIR}/*.parquet')
 """,
 )
 def scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -316,12 +316,45 @@ class DeltaLogTable:
     _BLOOM_BITS_PER_KEY = 10
 
     @staticmethod
-    def _bloom_hashes(value) -> tuple[int, int]:
-        """Deterministic (h1, h2) double-hash base for one value —
-        stable across processes (no PYTHONHASHSEED)."""
+    def _bloom_canon(value) -> str:
+        """ONE typed rendering shared by build and probe, so equal values
+        hash equally no matter which Python type they arrive in (5 vs 5.0
+        vs Decimal('5'); b'x' vs 'x'; midnight datetime vs date).  A naive
+        str() here is a correctness bug, not a perf one: a probe that
+        renders differently from the written values ('5.0' vs '5') is a
+        bloom false NEGATIVE, and _prune silently skips a file that
+        contains matching rows."""
+        import datetime as _dt
+        import decimal as _dec
+
+        if isinstance(value, bool):
+            return "true" if value else "false"
+        if isinstance(value, (int, float, _dec.Decimal)):
+            try:
+                d = _dec.Decimal(str(value))
+            except _dec.InvalidOperation:  # inf / nan floats
+                return str(value)
+            if d == d.to_integral_value():
+                return str(int(d))
+            return str(float(d))
+        if isinstance(value, (bytes, bytearray)):
+            return bytes(value).hex()
+        if isinstance(value, _dt.datetime):
+            if value.tzinfo is None and value.time() == _dt.time():
+                return value.date().isoformat()
+            return value.isoformat()
+        if isinstance(value, _dt.date):
+            return value.isoformat()
+        return str(value)
+
+    @staticmethod
+    def _bloom_hashes(canon: str) -> tuple[int, int]:
+        """Deterministic (h1, h2) double-hash base for one CANONICALIZED
+        value (see _bloom_canon) — stable across processes (no
+        PYTHONHASHSEED)."""
         import hashlib
 
-        d = hashlib.md5(str(value).encode()).digest()
+        d = hashlib.md5(canon.encode()).digest()
         h1 = int.from_bytes(d[:8], "little")
         h2 = int.from_bytes(d[8:16], "little") | 1
         return h1, h2
@@ -330,7 +363,7 @@ class DeltaLogTable:
     def _bloom_build(cls, values) -> dict:
         """Build the per-file filter over distinct ``values``; returns
         the JSON-safe descriptor stored on the add action."""
-        distinct = set(str(v) for v in values if v is not None)
+        distinct = set(cls._bloom_canon(v) for v in values if v is not None)
         m_bits = max(64, -(-len(distinct) * cls._BLOOM_BITS_PER_KEY // 8) * 8)
         bits = bytearray(m_bits // 8)
         for v in distinct:
@@ -343,7 +376,7 @@ class DeltaLogTable:
     @classmethod
     def _bloom_maybe_contains(cls, bf: dict, value) -> bool:
         bits = bytes.fromhex(bf["bits"])
-        h1, h2 = cls._bloom_hashes(value)
+        h1, h2 = cls._bloom_hashes(cls._bloom_canon(value))
         for i in range(bf["k"]):
             b = (h1 + i * h2) % bf["m"]
             if not (bits[b >> 3] >> (b & 7)) & 1:
@@ -1357,6 +1390,20 @@ class DeltaLogTable:
                 df = df.select(
                     [f["name"] for f in json.loads(stored)["fields"]]
                 )
+            elif gens:
+                # Schema evolution on a generated-columns table: the plain
+                # df.schema.json() would silently erase
+                # delta.generationExpression, so later appends stop
+                # computing/validating the column — the exact drift the
+                # feature guards against.  Merge the generation metadata
+                # into the evolved schema instead.
+                schema_json = json.loads(df.schema.json())
+                for f in schema_json["fields"]:
+                    if f["name"] in gens:
+                        f.setdefault("metadata", {})[
+                            "delta.generationExpression"
+                        ] = gens[f["name"]]
+                self._schema_string = json.dumps(schema_json)
             else:
                 self._schema_string = df.schema.json()
             self._partition_columns = list(partition_by or [])
@@ -2091,6 +2138,13 @@ class DeltaLogTable:
         clone._schema_string = md.get("schemaString")
         clone._partition_columns = md.get("partitionColumns", [])
         clone._config_seed = dict(md.get("configuration") or {})
+        # A clone of a CDF table must BEHAVE like one, not just advertise
+        # it: the seeded configuration carries delta.enableChangeDataFeed,
+        # and if the clone's flag stayed False its DELETE/MERGE commits
+        # would write no cdc actions while the table properties promise
+        # them (readers would misreport rewritten carried-over rows).
+        if clone._config_seed.get("delta.enableChangeDataFeed") == "true":
+            clone.change_data_feed = True
         adds = []
         for path in sorted(state["live"]):
             a = dict(state["live"][path])
@@ -4394,7 +4448,11 @@ def pipeline_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="sdis_lakehouse_")
     t = DeltaLogTable(spark, root)
     app = "sdis-lakehouse"
-    consumed_root = os.path.join(root, "_consumed")
+    # The consumer's landing zone lives OUTSIDE the table root: vacuum's
+    # recursive parquet walk treats any non-live parquet under root as an
+    # orphan, so staging consumed data inside would hand a future
+    # maintenance loop the consumer's copy to delete.
+    consumed_root = tempfile.mkdtemp(prefix="sdis_lakehouse_consumed_")
     cursor = t.latest_version()
     last_batch = None
     for epoch, path in enumerate(files):

@@ -952,6 +952,51 @@ def test_clone_carries_table_properties_and_guards(spark, tbl, tmp_path_factory)
         tbl.clone_to(str(tmp_path_factory.mktemp("clone2")))
 
 
+def test_clone_of_cdf_table_emits_cdc(spark, tmp_path_factory):
+    """A clone of a CDF table must BEHAVE like one, not just advertise it:
+    the seeded delta.enableChangeDataFeed property flips the clone's flag,
+    so clone-side DELETEs write real cdc actions and table_changes reports
+    the deleted rows — not the copy-on-write carried-over rewrites."""
+    from satellite_data_ingestion_spark.sources.delta_log import DeltaLogTable
+
+    src = DeltaLogTable(
+        spark, str(tmp_path_factory.mktemp("cdfsrc")), change_data_feed=True
+    )
+    src.commit_append(_df(spark, [1, 2, 3, 4]))
+    clone = src.clone_to(str(tmp_path_factory.mktemp("cdfclone")))
+    assert clone.change_data_feed is True
+    clone.commit_delete("x", 2, 3)
+    v = clone.latest_version()
+    assert any("cdc" in a for a in clone._actions(v)), (
+        "CDF clone's delete wrote no cdc action"
+    )
+    feed = {
+        (r["x"], r["_change_type"])
+        for r in clone.table_changes(v - 1, v).collect()
+    }
+    assert feed == {(2, "delete"), (3, "delete")}
+
+
+def test_generated_columns_survive_schema_evolution(spark, tbl):
+    """An append whose column set evolves (extra column) on a
+    generated-columns table must carry delta.generationExpression into
+    the evolved schema — a plain schema re-emission silently erases it
+    and later appends stop computing/validating the column."""
+    tbl.commit_append(
+        spark.createDataFrame([(1,)], "x long"), generated={"x2": "x * 2"}
+    )
+    # widen: new column 'tag' rides along; x2 is computed for the batch
+    tbl.commit_append(
+        spark.createDataFrame([(5, "a")], "x long, tag string")
+    )
+    assert tbl._generated_at(tbl.latest_version()) == {"x2": "x * 2"}
+    rows = {(r.x, r.x2) for r in tbl.read().collect()}
+    assert (5, 10) in rows
+    # and the NEXT append still computes the generated column
+    tbl.commit_append(spark.createDataFrame([(7, "b")], "x long, tag string"))
+    assert (7, 14) in {(r.x, r.x2) for r in tbl.read().collect()}
+
+
 def test_clone_at_version_pins_historic_contents(spark, tbl, tmp_path_factory):
     """clone_to(version=) forks the table AS OF that version."""
     tbl.commit_append(_df(spark, [1, 2]))
@@ -1023,6 +1068,39 @@ def test_bloom_index_prunes_point_lookups_and_roundtrips_checkpoint(spark, tbl):
         p: a["engineBloom"] for p, a in adds.items()
     }
     assert tbl._prune(adds2, {"k": probe}) == kept
+
+
+def test_bloom_canon_collapses_type_renderings(spark, tbl):
+    """A probe whose Python type renders differently from the written
+    values (5.0 vs 5, Decimal('5'), b'x' vs 'x', midnight datetime vs
+    date) must NOT bloom-false-negative — that silently drops matching
+    files from the scan instead of erring loud."""
+    import datetime
+    from decimal import Decimal
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(50)], "k long, v double")
+    tbl.commit_append(df.repartition(2, "k"), bloom_for=["k", "v"])
+    adds, _, _ = tbl._replay_actions(tbl.latest_version())
+    hit_int = [p for p, a in adds.items()
+               if tbl._bloom_maybe_contains(a["engineBloom"]["k"], 7)]
+    # int-written column probed with float / Decimal: same files answer
+    for probe in (7.0, Decimal("7"), Decimal("7.0")):
+        assert [p for p, a in adds.items()
+                if tbl._bloom_maybe_contains(a["engineBloom"]["k"], probe)] == hit_int
+    # float-written column probed with int
+    hit_f = [p for p, a in adds.items()
+             if tbl._bloom_maybe_contains(a["engineBloom"]["v"], 7.0)]
+    assert [p for p, a in adds.items()
+            if tbl._bloom_maybe_contains(a["engineBloom"]["v"], 7)] == hit_f
+    assert hit_f, "true value must stay a bloom hit"
+    # the where= read path returns the right rows for a float probe of k
+    out = sorted(r.k for r in tbl.read(where={"k": 7.0}).collect() if r.k == 7)
+    assert out == [7]
+    # pure-canon cases that need no table
+    canon = tbl._bloom_canon
+    assert canon(b"abc") == canon(bytearray(b"abc"))
+    assert canon(datetime.datetime(2024, 3, 1)) == canon(datetime.date(2024, 3, 1))
+    assert canon(True) != canon(1)  # bool is not int 1 in a typed column
 
 
 def test_generated_columns_compute_validate_and_persist(spark, tbl):
