@@ -155,6 +155,34 @@ def test_docs_registry_count_in_sync():
     )
 
 
+def test_docs_pytest_count_in_sync():
+    """BASELINE.md's pytest-suite-size line must equal a fresh collection —
+    the round-10 doc said 553 while the suite held 555 (hand-maintained
+    counts drift the round they're written), so it is generated evidence
+    now: update the doc when this fails."""
+    import os
+    import re
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "BASELINE.md")) as fh:
+        m = re.search(r"Pytest suite size: \*\*(\d+)\*\* collected tests", fh.read())
+    assert m, "BASELINE.md lost its generated pytest-suite-size line"
+    out = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q"],
+        cwd=root,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    mc = re.search(r"(\d+) tests collected", out.stdout)
+    assert mc, f"could not parse collection output: {out.stdout[-500:]}"
+    assert int(m.group(1)) == int(mc.group(1)), (
+        f"BASELINE.md says {m.group(1)}, suite collects {mc.group(1)}"
+    )
+
+
 def test_register_rejects_cross_module_duplicates():
     """A second registration of an existing query id from a different
     module must raise — it silently shadowed existing operators twice
