@@ -42,6 +42,11 @@ HEADLINE = [
     # degradation if the budget bites.  Per-query numbers do not depend
     # on position (the JVM/probe warm-up precedes the loop).
     #
+    # Block 0 — round-11 additions (no driver-recorded signal yet):
+    # the URL/domain corpus-filtering gate.
+    "ext_url_parse",
+    "ext_url_blocklist",
+    "ext_domain_volume_cap",
     # Block 1 — round-10 session-2 additions (no driver-recorded signal
     # yet): space-filling-curve layouts, pattern matching batch+stream,
     # quantization, row tracking, sketches, linkage, robust stats.

@@ -66,6 +66,7 @@ _QUERY_MODULES = [
     "satellite_data_ingestion_spark.llm.bpe",
     "satellite_data_ingestion_spark.llm.shaping",
     "satellite_data_ingestion_spark.llm.sampling",
+    "satellite_data_ingestion_spark.llm.urlfilter",
     "satellite_data_ingestion_spark.plans.pipeline",
     "satellite_data_ingestion_spark.plans.ivm",
     "satellite_data_ingestion_spark.plans.tpch",

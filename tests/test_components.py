@@ -2014,3 +2014,59 @@ def test_fuzzy_join_recovers_every_dirty_record(spark):
         if a[0] == b[0] and ed(a, b) <= 2
     ]
     assert not close, f"block-mate master names within ED 2: {close[:3]}"
+
+
+def test_url_gate_semantics(spark):
+    """Ground-truth the URL battery against the synthesis variables:
+    parse recovers host/domain/tld/path-depth exactly, the blocklist
+    gate removes precisely the blocked domains + TLD class, and the
+    volume cap never exceeds K per domain while keeping a deterministic
+    hash-ordered prefix."""
+    from satellite_data_ingestion_spark.llm.urlfilter import (
+        _BLOCKED_DOMAINS,
+        _BLOCKED_TLD,
+        _DOMAIN_CAP,
+        _SUBS,
+        _TLDS,
+        ext_domain_volume_cap,
+        ext_url_blocklist,
+        ext_url_parse,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    parsed = {r.doc_id: r for r in ext_url_parse(spark, sf).collect()}
+    from satellite_data_ingestion_spark.catalog import table
+
+    src = {r.doc_id: r.source for r in table(spark, sf, "documents").collect()}
+    assert parsed.keys() == src.keys()
+    for did, r in parsed.items():
+        sub = _SUBS[did % 3]
+        tld = _TLDS[did % 4]
+        assert r.host == f"{sub}{src[did]}.{tld}"
+        assert r.subdomain == sub.rstrip(".")
+        assert r.domain == f"{src[did]}.{tld}"
+        assert r.tld == tld
+        assert r.path_depth == did % 5
+        assert r.has_query == (did % 7 == 0)
+
+    kept = {r.doc_id: r for r in ext_url_blocklist(spark, sf).collect()}
+    expect_kept = {
+        did
+        for did, r in parsed.items()
+        if r.tld != _BLOCKED_TLD and r.domain not in _BLOCKED_DOMAINS
+    }
+    assert set(kept) == expect_kept
+
+    capped = ext_domain_volume_cap(spark, sf).collect()
+    by_dom: dict = {}
+    for r in capped:
+        by_dom.setdefault(r.domain, []).append(r)
+    import hashlib
+
+    for dom, rows in by_dom.items():
+        assert len(rows) <= _DOMAIN_CAP
+        members = sorted(
+            (did for did, p in parsed.items() if p.domain == dom),
+            key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d),
+        )
+        assert sorted(r.doc_id for r in rows) == sorted(members[: _DOMAIN_CAP])

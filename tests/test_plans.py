@@ -640,3 +640,28 @@ def test_pattern_match_lags_share_one_window_sort(spark):
     exactly one exchange in the plan."""
     tree = plan_of(spark, "win_pattern_match").split("\n\n")[0]
     assert tree.count("Exchange") == 1, tree
+
+
+def test_url_parse_shuffle_free(spark):
+    """URL anatomy is a pure projection: regexp/string ops in whole-stage
+    codegen, no Exchange, no UDF — at 100 TB it rides the scan."""
+    tree = plan_of(spark, "ext_url_parse").split("\n\n")[0]
+    assert "Exchange" not in tree, tree
+    assert "Python" not in tree, tree
+
+
+def test_url_blocklist_broadcast_anti_join(spark):
+    """The curated blocklist must broadcast into a LeftAnti hash join —
+    the corpus never shuffles for a provenance gate."""
+    tree = plan_of(spark, "ext_url_blocklist").split("\n\n")[0]
+    assert "BroadcastHashJoin LeftAnti" in tree, tree
+    assert "Exchange hashpartitioning" not in tree, tree
+
+
+def test_domain_volume_cap_window_group_limit(spark):
+    """The rank<=K predicate must plan as WindowGroupLimit on BOTH sides
+    of the exchange — the partial limit is what clips a hot domain to K
+    rows per input partition before anything ships."""
+    tree = plan_of(spark, "ext_domain_volume_cap").split("\n\n")[0]
+    assert tree.count("WindowGroupLimit") == 2, tree
+    assert tree.count("Exchange") == 1, tree
