@@ -43,10 +43,17 @@ HEADLINE = [
     # on position (the JVM/probe warm-up precedes the loop).
     #
     # Block 0 — round-11 additions (no driver-recorded signal yet):
-    # the URL/domain corpus-filtering gate.
+    # the URL/domain corpus-filtering gate, lexical retrieval, mixture
+    # temperature, the data-quality gate, seasonal profiles, KMV sketches.
     "ext_url_parse",
     "ext_url_blocklist",
     "ext_domain_volume_cap",
+    "ext_url_dedup",
+    "ext_bm25_search",
+    "ext_mix_temperature",
+    "ext_data_expectations",
+    "ext_ts_seasonal",
+    "ext_kmv_intersection",
     # Block 1 — round-10 session-2 additions (no driver-recorded signal
     # yet): space-filling-curve layouts, pattern matching batch+stream,
     # quantization, row tracking, sketches, linkage, robust stats.

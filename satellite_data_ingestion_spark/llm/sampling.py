@@ -285,3 +285,84 @@ def ext_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "lang", "dsir_weight", selected.alias("selected")
     )
+
+
+_TEMP_ALPHA_SQRT = True  # alpha = 0.5 rendered as sqrt (engine-identical)
+_TEMP_KEEP = 200
+
+
+@register(
+    "ext_mix_temperature",
+    oracle=f"""
+WITH census AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+), denom AS (
+  SELECT sum(sqrt(CAST(n_docs AS DOUBLE))) AS denom FROM census
+), targets AS (
+  SELECT lang,
+         CAST(floor({_TEMP_KEEP}.0 * (sqrt(CAST(n_docs AS DOUBLE)) / denom)) AS BIGINT) AS take
+  FROM census CROSS JOIN denom
+), ranked AS (
+  SELECT lang, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+  FROM documents
+)
+SELECT r.lang, r.doc_id, r.rk
+FROM ranked r JOIN targets t ON r.lang = t.lang
+WHERE r.rk <= t.take
+""",
+)
+def ext_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-scaled mixture sampling (alpha = 0.5): per-language
+    target counts proportional to n_lang^alpha instead of n_lang — the
+    multilingual-pretraining rebalance (mBERT/XLM-R exponential
+    smoothing; also the T=2 mixture of PaLM) that keeps high-resource
+    languages from drowning the tail.  The corpus's lang distribution is
+    genuinely skewed (en ~41%, others ~14-15% each), so the flattening
+    is visible: en's share of the sample drops toward sqrt-proportional.
+
+    Per-language take = floor(KEEP * sqrt(n_lang) / sum(sqrt(n_lang)));
+    selection inside each language is content-hash order (deterministic,
+    engine-independent — the ext_group_sample discipline).
+
+    Scale shape: the census is one map-side-combined aggregate
+    (|langs| rows), its sqrt-sum a 1-row broadcast, so targets never
+    touch the corpus; the corpus itself makes ONE exchange on lang where
+    a LITERAL rank <= KEEP predicate plans as WindowGroupLimit
+    (per-partition top-KEEP heaps — the skew clip), and the dynamic
+    per-language take applies AFTER the broadcast-join against targets.
+    Without that literal pre-clip the dominant language's whole corpus
+    would stream through one window task at 100 TB."""
+    docs = table(spark, sf_dir, "documents")
+    census = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    denom = census.agg(
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("denom")
+    )
+    targets = (
+        census.join(F.broadcast(denom))
+        .select(
+            "lang",
+            F.floor(
+                F.lit(float(_TEMP_KEEP))
+                * (F.sqrt(F.col("n_docs").cast("double")) / F.col("denom"))
+            )
+            .cast("long")
+            .alias("take"),
+        )
+    )
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(key, F.col("doc_id"))
+    ranked = (
+        docs.select("lang", "doc_id")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _TEMP_KEEP)  # literal → WindowGroupLimit
+    )
+    return (
+        ranked.join(F.broadcast(targets), "lang")
+        .filter(F.col("rk") <= F.col("take"))
+        .select("lang", "doc_id", "rk")
+    )

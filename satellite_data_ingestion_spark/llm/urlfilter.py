@@ -219,3 +219,39 @@ def ext_domain_volume_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= _DOMAIN_CAP)
     )
+
+
+@register(
+    "ext_url_dedup",
+    oracle=_URLS_CTE + r"""
+SELECT regexp_replace(regexp_replace(url, '^https://(www\.)?', ''), '\?.*$', '') AS curl,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*)    AS BIGINT) AS n_copies
+FROM urls
+GROUP BY 1
+""",
+)
+def ext_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact URL dedup after canonicalization — the first gate of every
+    web-crawl pipeline (CommonCrawl re-crawls the same page across
+    snapshots): strip the scheme, a leading ``www.``, and the query
+    string, then keep the lowest doc_id per canonical URL.  Different
+    subdomain forms and tracking-parameter variants of one page collapse
+    to one representative; ``n_copies`` is the crawl-dup multiplicity.
+
+    Scale shape: one groupBy on the canonical URL (short string key;
+    for 100 TB key volume swap in the 16-byte md5 of the canonical form
+    — the ``ext_dedup_exact`` discipline, llm/dedup.py:132) with
+    map-side combine; payloads never move, only (key, id) pairs."""
+    urls = _with_url(table(spark, sf_dir, "documents"))
+    curl = F.regexp_replace(
+        F.regexp_replace("url", r"^https://(www\.)?", ""), r"\?.*$", ""
+    )
+    return (
+        urls.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )

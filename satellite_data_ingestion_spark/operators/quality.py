@@ -1,0 +1,190 @@
+"""Declarative data-quality expectations — the Deequ/Great-Expectations
+gate a production lakehouse runs before publishing a table version.
+
+A rule set (completeness, uniqueness, value domain, numeric range,
+referential integrity) is evaluated against the TPC-H-ish tables in ONE
+aggregate pass per table plus one key join for the foreign-key rule; the
+result is a small (rule, metric, threshold, passed) report — the thing a
+CI gate or a Delta commit hook asserts on before data goes live.
+
+Reference analog: the reference pipeline trusts its catalog blindly
+(``sources/meteosat.py:105-122`` ingests whatever the availability query
+returns); a validation gate is [EXT] pipeline-hardening territory, the
+batch twin of the constraint enforcement the Delta layer already does
+per-commit (``sources/delta_log.py`` CHECK constraints).
+
+Scale shape: every per-table rule folds into a single
+map-side-combined aggregate over that table (4 metrics for orders cost
+one scan, not four); the referential-integrity rule is a distinct on
+the child key followed by one equi-join against the parent key — both
+key-column-only, so at 100 TB the join moves two key columns, never
+payloads.  The report itself is |rules| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+_SEG_NULL_TH = 0.01
+
+
+@register(
+    "ext_data_expectations",
+    oracle=f"""
+WITH o AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(o_orderkey) AS BIGINT) AS nn_key,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd_key,
+         CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_price,
+         CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status
+  FROM orders
+), l AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS oob_qty
+  FROM lineitem
+), c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(c_mktsegment) AS BIGINT) AS nn_seg
+  FROM customer
+), r AS (
+  SELECT CAST(count(*) AS BIGINT) AS nk,
+         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphans
+  FROM (SELECT DISTINCT l_orderkey FROM lineitem) lk
+  LEFT JOIN orders o ON lk.l_orderkey = o.o_orderkey
+)
+SELECT rule, round(metric, 6) AS metric,
+       CAST(threshold AS DOUBLE) AS threshold,
+       round(metric, 6) <= CAST(threshold AS DOUBLE) AS passed
+FROM (
+  SELECT 'orders.o_orderkey.not_null' AS rule,
+         1.0 - CAST(nn_key AS DOUBLE) / n AS metric, 0.0 AS threshold FROM o
+  UNION ALL
+  SELECT 'orders.o_orderkey.unique',
+         1.0 - CAST(nd_key AS DOUBLE) / n, 0.0 FROM o
+  UNION ALL
+  SELECT 'orders.o_totalprice.non_negative',
+         CAST(neg_price AS DOUBLE) / n, 0.0 FROM o
+  UNION ALL
+  SELECT 'orders.o_orderstatus.domain',
+         CAST(bad_status AS DOUBLE) / n, 0.0 FROM o
+  UNION ALL
+  SELECT 'lineitem.l_quantity.range_1_50',
+         CAST(oob_qty AS DOUBLE) / n, 0.0 FROM l
+  UNION ALL
+  SELECT 'customer.c_mktsegment.complete',
+         1.0 - CAST(nn_seg AS DOUBLE) / n, {_SEG_NULL_TH} FROM c
+  UNION ALL
+  SELECT 'lineitem.l_orderkey.ref_orders',
+         CAST(orphans AS DOUBLE) / nk, 0.0 FROM r
+)
+""",
+)
+def ext_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluate the declared expectation suite; returns one row per rule
+    with the measured violation metric, its threshold, and pass/fail —
+    the publish gate of a data pipeline (Deequ's ``Check`` /
+    Great Expectations' suite, re-expressed as plain aggregates).
+
+    Cost model: orders' four rules share ONE aggregate (one scan),
+    lineitem's range rule one, customer's completeness one; the
+    referential-integrity rule joins the DISTINCT child keys against the
+    parent keys (key columns only).  The report is |rules| rows — a
+    bounded artifact safe to collect, alert on, or commit."""
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    customer = table(spark, sf_dir, "customer")
+
+    o = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("o_orderkey").cast("long").alias("nn_key"),
+        F.countDistinct("o_orderkey").cast("long").alias("nd_key"),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("neg_price"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("bad_status"),
+    )
+    l = lineitem.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("oob_qty"),
+    )
+    c = customer.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("c_mktsegment").cast("long").alias("nn_seg"),
+    )
+    lk = lineitem.select("l_orderkey").distinct()
+    r = (
+        lk.join(
+            orders.select("o_orderkey"),
+            lk.l_orderkey == F.col("o_orderkey"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nk"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("orphans"),
+        )
+    )
+
+    n = F.col("n").cast("double")
+    rules = [
+        o.select(
+            F.lit("orders.o_orderkey.not_null").alias("rule"),
+            (1.0 - F.col("nn_key").cast("double") / n).alias("metric"),
+            F.lit(0.0).alias("threshold"),
+        ),
+        o.select(
+            F.lit("orders.o_orderkey.unique").alias("rule"),
+            (1.0 - F.col("nd_key").cast("double") / n).alias("metric"),
+            F.lit(0.0).alias("threshold"),
+        ),
+        o.select(
+            F.lit("orders.o_totalprice.non_negative").alias("rule"),
+            (F.col("neg_price").cast("double") / n).alias("metric"),
+            F.lit(0.0).alias("threshold"),
+        ),
+        o.select(
+            F.lit("orders.o_orderstatus.domain").alias("rule"),
+            (F.col("bad_status").cast("double") / n).alias("metric"),
+            F.lit(0.0).alias("threshold"),
+        ),
+        l.select(
+            F.lit("lineitem.l_quantity.range_1_50").alias("rule"),
+            (F.col("oob_qty").cast("double") / n).alias("metric"),
+            F.lit(0.0).alias("threshold"),
+        ),
+        c.select(
+            F.lit("customer.c_mktsegment.complete").alias("rule"),
+            (1.0 - F.col("nn_seg").cast("double") / n).alias("metric"),
+            F.lit(_SEG_NULL_TH).alias("threshold"),
+        ),
+        r.select(
+            F.lit("lineitem.l_orderkey.ref_orders").alias("rule"),
+            (F.col("orphans").cast("double") / F.col("nk").cast("double")).alias(
+                "metric"
+            ),
+            F.lit(0.0).alias("threshold"),
+        ),
+    ]
+    report = rules[0]
+    for extra in rules[1:]:
+        report = report.unionByName(extra)
+    return report.select(
+        "rule",
+        F.round("metric", 6).alias("metric"),
+        "threshold",
+        (F.round("metric", 6) <= F.col("threshold")).alias("passed"),
+    )

@@ -390,3 +390,107 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.createDataFrame(out.collect(), out.schema)
     shutil.rmtree(staging, ignore_errors=True)
     return result
+
+
+_KMV_K = 64
+
+
+@register(
+    "ext_kmv_intersection",
+    oracle=f"""
+WITH a AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM lineitem WHERE l_quantity < 10
+), b AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM lineitem WHERE l_quantity > 40
+), ka AS (SELECT h FROM a ORDER BY h LIMIT {_KMV_K}),
+kb AS (SELECT h FROM b ORDER BY h LIMIT {_KMV_K}),
+ku AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b) ORDER BY h LIMIT {_KMV_K}),
+est AS (
+  SELECT
+    ({_KMV_K} - 1) / (CAST((SELECT max(h) FROM ka) AS DOUBLE) / 4294967296.0) AS est_a,
+    ({_KMV_K} - 1) / (CAST((SELECT max(h) FROM kb) AS DOUBLE) / 4294967296.0) AS est_b,
+    ({_KMV_K} - 1) / (CAST((SELECT max(h) FROM ku) AS DOUBLE) / 4294967296.0) AS est_union,
+    CAST((SELECT count(*) FROM ku
+          WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)) AS DOUBLE)
+      / {_KMV_K} AS rho
+), ex AS (
+  SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS exact_a,
+         CAST((SELECT count(*) FROM b) AS BIGINT) AS exact_b,
+         CAST((SELECT count(*) FROM a JOIN b USING (h)) AS BIGINT) AS exact_intersection
+)
+SELECT floor(est_a + 0.5)                 AS est_a,
+       floor(est_b + 0.5)                 AS est_b,
+       floor(est_union + 0.5)             AS est_union,
+       floor(rho * est_union + 0.5)       AS est_intersection,
+       exact_a, exact_b, exact_intersection
+FROM est CROSS JOIN ex
+""",
+)
+def ext_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) SKETCH SET ALGEBRA — the theta-sketch
+    estimate of |A|, |B|, |A∪B| and |A∩B| that HLL cannot do
+    (HLL unions losslessly but cannot intersect; Dasgupta et al. 2016,
+    "Theta sketch framework").  Sets: order keys with any sub-10-quantity
+    line vs any over-40-quantity line — genuinely partial overlap.
+
+    Estimator: with u_k = the k-th smallest normalized hash of a set,
+    est|S| = (k-1)/u_k; intersection via the union sketch's inclusion
+    fraction rho = |K(A∪B) ∩ A ∩ B| / k, est|A∩B| = rho * est|A∪B|.
+    The hash is the engine-shared md5-prefix recipe, so the SKETCH
+    ITSELF is deterministic and the estimates hash-match the oracle
+    exactly — an approximate operator with an EXACT correctness gate
+    (same posture as ext_heavy_hitters' verification twin).
+
+    Scale shape: per set, distinct 8-byte hashes (map-side combined)
+    feed TakeOrderedAndProject heaps — k rows survive per set, every
+    downstream step is k-sized and broadcast; the exact twins (the
+    verification columns) are one distinct-count pass per set plus one
+    key-only join.  At 100 TB only the exact twins grow; drop them and
+    the sketch path's post-scan traffic is k rows per partition."""
+    li = table(spark, sf_dir, "lineitem")
+    h = F.expr(
+        "cast(conv(substr(md5(cast(l_orderkey as string)), 1, 8), 16, 10) as bigint)"
+    ).alias("h")
+    a = li.filter(F.col("l_quantity") < 10).select(h).distinct()
+    b = li.filter(F.col("l_quantity") > 40).select(h).distinct()
+    ka = a.orderBy("h").limit(_KMV_K)
+    kb = b.orderBy("h").limit(_KMV_K)
+    ku = a.union(b).distinct().orderBy("h").limit(_KMV_K)
+
+    def kth(df):  # 1-row frame: the k-th smallest normalized hash
+        return df.agg((F.max("h").cast("double") / 4294967296.0).alias("u"))
+
+    rho = (
+        ku.join(ka.withColumnRenamed("h", "ha"), F.col("h") == F.col("ha"), "left_semi")
+        .join(kb.withColumnRenamed("h", "hb"), F.col("h") == F.col("hb"), "left_semi")
+        .agg((F.count(F.lit(1)).cast("double") / _KMV_K).alias("rho"))
+    )
+    est = (
+        kth(ka).withColumnRenamed("u", "ua")
+        .crossJoin(kth(kb).withColumnRenamed("u", "ub"))
+        .crossJoin(kth(ku).withColumnRenamed("u", "uu"))
+        .crossJoin(rho)
+    )
+    exact = (
+        a.agg(F.count(F.lit(1)).cast("long").alias("exact_a"))
+        .crossJoin(b.agg(F.count(F.lit(1)).cast("long").alias("exact_b")))
+        .crossJoin(
+            a.join(b, "h").agg(
+                F.count(F.lit(1)).cast("long").alias("exact_intersection")
+            )
+        )
+    )
+    k1 = float(_KMV_K - 1)
+    return est.crossJoin(exact).select(
+        F.floor(F.lit(k1) / F.col("ua") + 0.5).alias("est_a"),
+        F.floor(F.lit(k1) / F.col("ub") + 0.5).alias("est_b"),
+        F.floor(F.lit(k1) / F.col("uu") + 0.5).alias("est_union"),
+        F.floor(F.col("rho") * (F.lit(k1) / F.col("uu")) + 0.5).alias(
+            "est_intersection"
+        ),
+        "exact_a",
+        "exact_b",
+        "exact_intersection",
+    )

@@ -686,3 +686,79 @@ def ext_ts_median_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.percentile("value", 0.5).over(w), 6).alias("median_smooth"),
     )
+
+
+@register(
+    "ext_ts_seasonal",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(hour(ts) AS BIGINT) AS hh,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv_cents
+  FROM events
+  GROUP BY 1, 2
+), gl AS (
+  SELECT event_type,
+         CAST(sum(n_events) AS BIGINT) AS ng,
+         CAST(sum(sv_cents) AS BIGINT) AS svg_cents
+  FROM hourly GROUP BY 1
+)
+SELECT h.event_type, h.hh, h.n_events,
+       floor(((CAST(h.sv_cents AS DOUBLE) / 100.0) / h.n_events) * 10000 + 0.5) / 10000.0 AS seasonal_mean,
+       floor((((CAST(h.sv_cents AS DOUBLE) / 100.0) / h.n_events)
+             / ((CAST(g.svg_cents AS DOUBLE) / 100.0) / g.ng)) * 10000 + 0.5) / 10000.0 AS seasonal_idx
+FROM hourly h JOIN gl g ON h.event_type = g.event_type
+""",
+)
+def ext_ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL PROFILE extraction (the seasonal component of a classic
+    decomposition at hour-of-day grain): per (event_type, hour) mean
+    value plus the seasonal INDEX — that hour's mean relative to the
+    series' global mean (index 1.0 = no seasonality; load curves, diurnal
+    traffic, cron-spike detection all read straight off it).  Companion
+    to ``ext_ts_ewma`` (trend) and ``ext_ts_anomaly`` (residual): this is
+    the S in an STL-style S+T+R split, re-expressed relationally.
+
+    Scale shape: ONE map-side-combined aggregate over the events table
+    to |types|x24 rows; the per-type global mean derives from that
+    SAME aggregate (no second corpus scan) and broadcasts back onto the
+    120-row profile.  Hour extraction runs in UTC (catalog._prepare pins
+    the session timezone), so the profile is timezone-stable."""
+    events = table(spark, sf_dir, "events")
+    # Sums accumulate EXACT integer cents (round(value*100) per row), not
+    # raw doubles: a float sum's value depends on partial-aggregation
+    # order, and one boundary cell (x.xxxx5) rounded differently across
+    # engines in testing.  One double division at the end is
+    # order-independent.
+    hourly = events.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hh")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("sv_cents"),
+    )
+    glob = hourly.groupBy("event_type").agg(
+        F.sum("n_events").cast("long").alias("ng"),
+        F.sum("sv_cents").cast("long").alias("svg_cents"),
+    )
+    mean = (F.col("sv_cents").cast("double") / 100.0) / F.col("n_events")
+    gmean = (F.col("svg_cents").cast("double") / 100.0) / F.col("ng")
+
+    def r4(x):
+        # floor(x*1e4 + 0.5): explicit HALF-UP on the identical double in
+        # both engines — round() tie semantics differ across engines at
+        # exact .00005 midpoints (hit in testing: 68.92875)
+        return F.floor(x * 10000 + 0.5) / 10000.0
+
+    return (
+        hourly.join(F.broadcast(glob), "event_type")
+        .select(
+            "event_type",
+            "hh",
+            "n_events",
+            r4(mean).alias("seasonal_mean"),
+            r4(mean / gmean).alias("seasonal_idx"),
+        )
+    )

@@ -2070,3 +2070,55 @@ def test_url_gate_semantics(spark):
             key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d),
         )
         assert sorted(r.doc_id for r in rows) == sorted(members[: _DOMAIN_CAP])
+
+
+def test_kmv_estimates_within_sketch_error(spark):
+    """KMV with k=64 carries ~1/sqrt(k-2) ≈ 12.7% standard error on set
+    sizes (intersection compounds via rho): pin every estimate within
+    3-sigma-ish bounds of its exact twin so the sketch is a real
+    estimator, not merely hash-stable numbers."""
+    from satellite_data_ingestion_spark.operators.scale import (
+        ext_kmv_intersection,
+    )
+
+    r = ext_kmv_intersection(spark, "/root/testdata/sf0.01").collect()[0]
+    assert abs(r.est_a - r.exact_a) / r.exact_a < 0.4
+    assert abs(r.est_b - r.exact_b) / r.exact_b < 0.4
+    u_exact = r.exact_a + r.exact_b - r.exact_intersection
+    assert abs(r.est_union - u_exact) / u_exact < 0.4
+    assert abs(r.est_intersection - r.exact_intersection) / r.exact_intersection < 0.5
+    # set-algebra consistency of the estimates themselves
+    assert r.est_union <= r.est_a + r.est_b
+    assert r.est_intersection <= min(r.est_a, r.est_b) * 1.2
+
+
+def test_mix_temperature_flattens_language_skew(spark):
+    """alpha=0.5 sampling must shrink the dominant language's share
+    toward sqrt-proportional: en's sample share sits strictly between
+    the sqrt-flattened target and its raw corpus share, and every
+    language's take matches floor(KEEP * sqrt(n)/sum(sqrt(n)))."""
+    import math
+
+    from satellite_data_ingestion_spark.catalog import table
+    from satellite_data_ingestion_spark.llm.sampling import (
+        _TEMP_KEEP,
+        ext_mix_temperature,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    census = {
+        r.lang: r.cnt
+        for r in table(spark, sf, "documents").groupBy("lang").count()
+        .withColumnRenamed("count", "cnt").collect()
+    }
+    denom = sum(math.sqrt(n) for n in census.values())
+    out = ext_mix_temperature(spark, sf).collect()
+    got = {}
+    for r in out:
+        got[r.lang] = got.get(r.lang, 0) + 1
+    for lang, n in census.items():
+        assert got.get(lang, 0) == int(_TEMP_KEEP * math.sqrt(n) / denom)
+    total = sum(census.values())
+    en_raw = census["en"] / total
+    en_sample = got["en"] / sum(got.values())
+    assert en_sample < en_raw, "temperature must flatten the head"

@@ -665,3 +665,12 @@ def test_domain_volume_cap_window_group_limit(spark):
     tree = plan_of(spark, "ext_domain_volume_cap").split("\n\n")[0]
     assert tree.count("WindowGroupLimit") == 2, tree
     assert tree.count("Exchange") == 1, tree
+
+
+def test_bm25_no_corpus_shuffle(spark):
+    """BM25's only exchange is the 1-row stats aggregate; the corpus side
+    feeds TakeOrderedAndProject heaps directly — no shuffle, no window."""
+    tree = plan_of(spark, "ext_bm25_search").split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree, tree
+    assert "Exchange hashpartitioning" not in tree, tree
+    assert tree.count("BroadcastExchange") == 1, tree
