@@ -54,6 +54,10 @@ HEADLINE = [
     "ext_data_expectations",
     "ext_ts_seasonal",
     "ext_kmv_intersection",
+    "ext_event_transitions",
+    "ext_ts_changepoint",
+    "ext_winsorize",
+    "fn_point_in_polygon",
     # Block 1 — round-10 session-2 additions (no driver-recorded signal
     # yet): space-filling-curve layouts, pattern matching batch+stream,
     # quantization, row tracking, sketches, linkage, robust stats.

@@ -668,3 +668,83 @@ def fn_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.decode(F.unbase64(enc), "utf-8").alias("roundtrip"),
         F.octet_length("n_name").cast("long").alias("n_bytes"),
     )
+
+
+# Fixed survey polygon for the point-in-polygon test: a CONCAVE pentagon
+# (vertex 4 pulled inward) with non-round coordinates so the synthetic
+# modular points never land exactly on an edge.
+_PIP_POLY = [(1.3, 1.1), (8.7, 0.9), (9.1, 6.3), (5.0, 3.7), (2.2, 7.9)]
+
+
+def _pip_terms_sql() -> str:
+    """DuckDB ray-casting crossing terms for the fixed polygon."""
+    terms = []
+    v = _PIP_POLY
+    for i in range(len(v)):
+        x1, y1 = v[i]
+        x2, y2 = v[(i + 1) % len(v)]
+        terms.append(
+            f"CASE WHEN (({y1} > py) <> ({y2} > py)) AND "
+            f"(px < ({x2} - {x1}) * (py - {y1}) / ({y2} - {y1}) + {x1}) "
+            f"THEN 1 ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "fn_point_in_polygon",
+    oracle=f"""
+SELECT pt_id, round(px, 6) AS px, round(py, 6) AS py,
+       (({_pip_terms_sql()}) % 2 = 1) AS inside
+FROM (
+  SELECT l_orderkey * 100 + l_linenumber AS pt_id,
+         l_extendedprice % 10.0 AS px,
+         (l_quantity * 1.7) % 10.0 AS py
+  FROM lineitem
+)
+""",
+)
+def fn_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon test (ray casting / even-odd rule) against a
+    fixed CONCAVE survey polygon — the geofencing primitive of the
+    spatial family (fn_haversine = distance, filter_bbox = rectangle,
+    join_spatial_nearest = NN; this one is arbitrary-shape containment,
+    e.g. the reference's Africa clip extent as a true polygon instead of
+    its bbox, sources/meteosat.py:36).
+
+    The polygon is FIXED, so the even-odd crossing count unrolls into V
+    codegen CASE terms — a pure projection, no UDF, no join, no shuffle;
+    both engines evaluate the identical double arithmetic so the
+    booleans hash-match.  At 100 TB: for polygon SETS, band the plane
+    (the join_interval_overlap bucketing) and broadcast per-band edge
+    lists; the per-point cost stays O(edges in band)."""
+    li = table(spark, sf_dir, "lineitem")
+    px = F.col("l_extendedprice") % 10.0
+    py = (F.col("l_quantity") * 1.7) % 10.0
+    pts = li.select(
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("pt_id"),
+        px.alias("px"),
+        py.alias("py"),
+    )
+    crossings = None
+    v = _PIP_POLY
+    for i in range(len(v)):
+        x1, y1 = v[i]
+        x2, y2 = v[(i + 1) % len(v)]
+        cond = (
+            (F.lit(y1) > F.col("py")) != (F.lit(y2) > F.col("py"))
+        ) & (
+            F.col("px")
+            < (F.lit(x2) - F.lit(x1))
+            * (F.col("py") - F.lit(y1))
+            / (F.lit(y2) - F.lit(y1))
+            + F.lit(x1)
+        )
+        term = F.when(cond, 1).otherwise(0)
+        crossings = term if crossings is None else crossings + term
+    return pts.select(
+        "pt_id",
+        F.round("px", 6).alias("px"),
+        F.round("py", 6).alias("py"),
+        ((crossings % 2) == 1).alias("inside"),
+    )

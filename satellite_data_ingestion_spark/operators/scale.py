@@ -494,3 +494,52 @@ def ext_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_b",
         "exact_intersection",
     )
+
+
+@register(
+    "ext_winsorize",
+    oracle="""
+WITH bounds AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round(CASE WHEN e.value < b.lo THEN b.lo
+                  WHEN e.value > b.hi THEN b.hi
+                  ELSE e.value END, 4) AS winsorized,
+       (e.value < b.lo OR e.value > b.hi) AS clipped
+FROM events e JOIN bounds b ON e.event_type = b.event_type
+""",
+)
+def ext_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZATION: clip each value into its group's [p05, p95] —
+    the standard outlier-robust feature-engineering transform (tail
+    values get pinned to the fences, never dropped — unlike the MAD
+    filter ``ext_outlier_mad`` which flags, this one repairs).
+
+    Two passes, both scale-flat: exact interpolated percentiles per
+    group (Spark ``percentile`` == DuckDB ``quantile_cont``, the
+    equivalence ``agg_quantile`` pins) reduce to |groups| rows that
+    BROADCAST back onto the facts; the clip itself is a codegen
+    projection.  At 100 TB swap the exact percentile for
+    ``approx_percentile`` (the ``agg_approx_quantile`` path) — the
+    broadcast-back shape is unchanged."""
+    events = table(spark, sf_dir, "events")
+    bounds = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clipped = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return events.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(
+            F.when(F.col("value") < F.col("lo"), F.col("lo"))
+            .when(F.col("value") > F.col("hi"), F.col("hi"))
+            .otherwise(F.col("value")),
+            4,
+        ).alias("winsorized"),
+        clipped.alias("clipped"),
+    )

@@ -762,3 +762,96 @@ def ext_ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(mean / gmean).alias("seasonal_idx"),
         )
     )
+
+
+@register(
+    "ext_ts_changepoint",
+    oracle="""
+WITH seq AS (
+  SELECT event_type, ts,
+         CAST(row_number() OVER w AS BIGINT) AS rn,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rs_cents
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv_cents
+  FROM events GROUP BY 1
+), scored AS (
+  SELECT s.event_type, s.ts, s.rn, t.n,
+         abs(CAST(s.rs_cents AS DOUBLE)
+             - s.rn * (CAST(t.sv_cents AS DOUBLE) / t.n)) AS dev_cents
+  FROM seq s JOIN tot t ON s.event_type = t.event_type
+)
+SELECT event_type, n, rn AS cp_rn, ts AS cp_ts,
+       floor((dev_cents / 100.0) * 10000 + 0.5) / 10000.0 AS max_dev
+FROM (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY dev_cents DESC, rn) AS pick
+  FROM scored
+)
+WHERE pick = 1
+""",
+)
+def ext_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per series: the cumulative sum of
+    deviations from the series mean, S_i = sum(x_j - mean), peaks in
+    magnitude AT the change point (Page 1954; the standard
+    mean-shift detector).  Returns each series' argmax |S_i| — its
+    position, timestamp, and deviation magnitude.
+
+    Determinism discipline: the running sum accumulates EXACT integer
+    cents in the (ts, event_id) window order, the mean enters once as
+    n * (sv/n) subtracted at the end, and the output rounds half-up
+    explicitly — so both engines walk identical doubles and the argmax
+    (smallest-rn tiebreak) is hash-stable.
+
+    Scale shape: ONE exchange on event_type serves both the running
+    window and the argmax window; per-series totals come from a
+    broadcast |types|-row aggregate.  Series order is a per-partition
+    sort — no global sort exists."""
+    events = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type",
+        "ts",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.sum(cents)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("rs_cents"),
+    )
+    tot = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("sv_cents"),
+    )
+    scored = seq.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "ts",
+        "rn",
+        "n",
+        F.abs(
+            F.col("rs_cents").cast("double")
+            - F.col("rn") * (F.col("sv_cents").cast("double") / F.col("n"))
+        ).alias("dev_cents"),
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.desc("dev_cents"), F.asc("rn")
+    )
+    return (
+        scored.withColumn("pick", F.row_number().over(pick))
+        .filter(F.col("pick") == 1)
+        .select(
+            "event_type",
+            "n",
+            F.col("rn").alias("cp_rn"),
+            F.col("ts").alias("cp_ts"),
+            (
+                F.floor((F.col("dev_cents") / 100.0) * 10000 + 0.5) / 10000.0
+            ).alias("max_dev"),
+        )
+    )

@@ -752,3 +752,52 @@ def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("revenue") - prev, 2).alias("mom_delta"),
         F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias("mom_pct"),
     )
+
+
+@register(
+    "ext_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS cur_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+), pairs AS (
+  SELECT cur_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT cur_type, next_type, n,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY cur_type), 6) AS p
+FROM pairs
+""",
+)
+def ext_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order MARKOV transition matrix over per-user event
+    sequences: P(next_type | cur_type) with raw pair counts — the
+    sequence-statistics primitive behind next-event prediction features,
+    funnel leak analysis, and bot detection (improbable transition
+    chains).  Consecutive pairs come from ONE lead() over the per-user
+    timeline (deterministic (ts, event_id) order), so no self-join.
+
+    Scale shape: one exchange on user_id for the lag window (the same
+    partitioning every sequence op here reuses), then a
+    map-side-combined groupBy to |types|^2 rows; the row-normalization
+    runs on that 25-row aggregate, never on the fact table."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("cur_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy("cur_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = Window.partitionBy("cur_type")
+    return pairs.select(
+        "cur_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(tot), 6).alias("p"),
+    )

@@ -2122,3 +2122,69 @@ def test_mix_temperature_flattens_language_skew(spark):
     en_raw = census["en"] / total
     en_sample = got["en"] / sum(got.values())
     assert en_sample < en_raw, "temperature must flatten the head"
+
+
+def test_point_in_polygon_matches_independent_raycast(spark):
+    """Ground-truth the fixed-polygon even-odd test against an
+    independent pure-Python ray caster, plus known inside/outside
+    anchor points."""
+    from satellite_data_ingestion_spark.functions.scalar import (
+        _PIP_POLY,
+        fn_point_in_polygon,
+    )
+
+    def ref_inside(px, py):
+        n = len(_PIP_POLY)
+        c = False
+        for i in range(n):
+            x1, y1 = _PIP_POLY[i]
+            x2, y2 = _PIP_POLY[(i + 1) % n]
+            if ((y1 > py) != (y2 > py)) and (
+                px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+            ):
+                c = not c
+        return c
+
+    assert ref_inside(5.0, 2.0) is True      # deep interior
+    assert ref_inside(0.1, 0.1) is False     # far corner
+    assert ref_inside(5.0, 5.5) is False     # inside the concave notch
+
+    sf = "/root/testdata/sf0.001"
+    rows = fn_point_in_polygon(spark, sf).collect()
+    assert rows
+    mism = [
+        r.pt_id
+        for r in rows
+        if r.inside != ref_inside(r.px, r.py)
+    ]
+    assert not mism, f"{len(mism)} ray-cast mismatches, e.g. {mism[:5]}"
+
+
+def test_changepoint_matches_numpy_cusum(spark):
+    """The per-series argmax |CUSUM| must equal a numpy recomputation
+    from the raw ordered values (exact cents discipline included)."""
+    import numpy as np
+
+    from satellite_data_ingestion_spark.catalog import table
+    from satellite_data_ingestion_spark.operators.timeseries import (
+        ext_ts_changepoint,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.event_type: (r.cp_rn, r.max_dev) for r in
+           ext_ts_changepoint(spark, sf).collect()}
+    raw = table(spark, sf, "events").select(
+        "event_type", "ts", "event_id", "value"
+    ).collect()
+    series: dict = {}
+    for r in raw:
+        series.setdefault(r.event_type, []).append((r.ts, r.event_id, r.value))
+    for et, rows in series.items():
+        rows.sort(key=lambda t: (t[0], t[1]))
+        cents = np.array([round(v * 100) for _, _, v in rows], dtype=np.int64)
+        rn = np.arange(1, len(cents) + 1, dtype=np.float64)
+        dev = np.abs(np.cumsum(cents).astype(np.float64) - rn * (cents.sum() / len(cents)))
+        best = int(np.argmax(dev))  # numpy argmax takes the first max = min rn
+        assert got[et][0] == best + 1, et
+        import math
+        assert got[et][1] == math.floor((dev[best] / 100.0) * 10000 + 0.5) / 10000.0
