@@ -58,6 +58,10 @@ HEADLINE = [
     "ext_ts_changepoint",
     "ext_winsorize",
     "fn_point_in_polygon",
+    "agg_ab_test",
+    "fn_ip_parse",
+    "ext_quality_threshold_sweep",
+    "stream_expectations",
     # Block 1 — round-10 session-2 additions (no driver-recorded signal
     # yet): space-filling-curve layouts, pattern matching batch+stream,
     # quantization, row tracking, sketches, linkage, robust stats.

@@ -748,3 +748,80 @@ def fn_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("py", 6).alias("py"),
         ((crossings % 2) == 1).alias("inside"),
     )
+
+
+@register(
+    "fn_ip_parse",
+    oracle="""
+WITH ips AS (
+  SELECT event_id,
+         (CASE CAST(event_id % 4 AS INT)
+            WHEN 0 THEN 10 WHEN 1 THEN 172 WHEN 2 THEN 192
+            ELSE CAST(event_id % 223 AS INT) + 1 END)
+         || '.' || CAST(event_id % 256 AS BIGINT)
+         || '.' || CAST((event_id // 7) % 256 AS BIGINT)
+         || '.' || CAST((event_id // 11) % 256 AS BIGINT) AS ip
+  FROM events
+), parsed AS (
+  SELECT event_id, ip,
+         CAST(string_split(ip, '.')[1] AS BIGINT) AS a,
+         CAST(string_split(ip, '.')[2] AS BIGINT) AS b,
+         CAST(string_split(ip, '.')[3] AS BIGINT) AS c,
+         CAST(string_split(ip, '.')[4] AS BIGINT) AS d
+  FROM ips
+)
+SELECT event_id, ip,
+       CAST(a * 16777216 + b * 65536 + c * 256 + d AS BIGINT) AS ip_num,
+       (a = 10 OR (a = 172 AND b BETWEEN 16 AND 31)
+               OR (a = 192 AND b = 168)) AS is_private,
+       ((a * 16777216 + b * 65536 + c * 256 + d) // 65536
+          = 10 * 256 + 40) AS in_subnet_10_40
+FROM parsed
+""",
+)
+def fn_ip_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 anatomy: dotted-quad → 32-bit integer, RFC 1918 private-range
+    classification, and CIDR-block membership (10.40.0.0/16 as the probe
+    block) — the telemetry/security-log enrichment battery.  IPs are
+    synthesized deterministically from event_id (the corpus carries no
+    address column — the URL-battery posture), mixing all three private
+    ranges with public space; the Spark side must PARSE the string back.
+
+    Execution: pure projection — split + arithmetic in whole-stage
+    codegen, CIDR membership is one integer divide (prefix compare), no
+    UDF, no shuffle.  At 100 TB: a blocklist of CIDR ranges joins the
+    same way the URL blocklist does — broadcast range table, prefix-int
+    equality per mask length."""
+    events = table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    a_oct = (
+        F.when(eid % 4 == 0, F.lit(10))
+        .when(eid % 4 == 1, F.lit(172))
+        .when(eid % 4 == 2, F.lit(192))
+        .otherwise((eid % 223).cast("int") + 1)
+    )
+    ip = F.concat_ws(
+        ".",
+        a_oct.cast("string"),
+        (eid % 256).cast("long").cast("string"),
+        (F.floor(eid / 7) % 256).cast("long").cast("string"),
+        (F.floor(eid / 11) % 256).cast("long").cast("string"),
+    )
+    ips = events.select("event_id", ip.alias("ip"))
+    parts = F.split("ip", r"\.")
+    a = F.element_at(parts, 1).cast("long")
+    b = F.element_at(parts, 2).cast("long")
+    c = F.element_at(parts, 3).cast("long")
+    d = F.element_at(parts, 4).cast("long")
+    ip_num = (a * 16777216 + b * 65536 + c * 256 + d).cast("long")
+    return ips.select(
+        "event_id",
+        "ip",
+        ip_num.alias("ip_num"),
+        (
+            (a == 10)
+            | ((a == 172) & b.between(16, 31))
+            | ((a == 192) & (b == 168))
+        ).alias("is_private"),
+        (F.floor(ip_num / 65536) == 10 * 256 + 40).alias("in_subnet_10_40"),
+    )

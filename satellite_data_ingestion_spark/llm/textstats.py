@@ -781,3 +781,110 @@ def ext_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") / F.lit(total), 6).alias("share"),
         F.round(F.sum("n").over(cum) / F.lit(total), 6).alias("cum_share"),
     )
+
+
+_SWEEP_THRESHOLDS = [0.0, 0.25, 0.5, 0.75, 1.0]
+
+
+@register(
+    "ext_quality_threshold_sweep",
+    oracle=f"""
+WITH feats AS (
+    SELECT doc_id, lang,
+           len(str_split(text, ' ')) AS n_tokens,
+           list_sum(list_transform(str_split(text, ' '),
+                                   t -> CAST(length(t) AS DOUBLE)))
+               / len(str_split(text, ' ')) AS avg_tok,
+           CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+           CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+               / len(str_split(text, ' ')) AS distinct_ratio
+    FROM documents
+), scored AS (
+    SELECT lang,
+           round((CASE WHEN n_tokens >= {_MIN_TOKENS} THEN 0.25 ELSE 0 END)
+               + (CASE WHEN avg_tok <= {_MAX_AVG_TOKEN_LEN} THEN 0.25 ELSE 0 END)
+               + (CASE WHEN punct_ratio <= {_MAX_PUNCT_RATIO} THEN 0.25 ELSE 0 END)
+               + (CASE WHEN distinct_ratio >= {_MIN_DISTINCT_RATIO} THEN 0.25 ELSE 0 END),
+                 2) AS quality
+    FROM feats
+), census AS (
+    SELECT lang, quality, CAST(count(*) AS BIGINT) AS n
+    FROM scored GROUP BY 1, 2
+)
+SELECT t.threshold, c.lang,
+       CAST(sum(c.n) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN c.quality >= t.threshold THEN c.n ELSE 0 END) AS BIGINT) AS n_kept,
+       round(CAST(sum(CASE WHEN c.quality >= t.threshold THEN c.n ELSE 0 END) AS DOUBLE)
+             / sum(c.n), 6) AS kept_frac
+FROM census c
+CROSS JOIN (SELECT unnest([{", ".join(f"CAST({t} AS DOUBLE)" for t in _SWEEP_THRESHOLDS)}]) AS threshold) t
+GROUP BY 1, 2
+""",
+)
+def ext_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate CALIBRATION curve: for every candidate threshold,
+    the per-language kept count and fraction — the sweep a pipeline
+    owner reads before choosing the cut (too high starves low-resource
+    languages; the per-lang view exposes exactly that disparity, the
+    known failure mode of quality filters on non-English text).
+
+    Scale shape: the corpus is touched ONCE (the same shuffle-free
+    quality projection as ``ext_quality_score``) and reduced to a
+    |langs| x |score-levels| census (<= 25 rows); the threshold
+    cross-product and cumulative sums run on that census, so sweeping
+    50 thresholds costs the same as 5."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    avg_tok = (
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / n_tokens
+    )
+    punct_ratio = (
+        F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).cast("double")
+        / F.length("text")
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    quarter = lambda c: F.when(c, F.lit(0.25)).otherwise(F.lit(0.0))  # noqa: E731
+    quality = F.round(
+        quarter(n_tokens >= _MIN_TOKENS)
+        + quarter(avg_tok <= _MAX_AVG_TOKEN_LEN)
+        + quarter(punct_ratio <= _MAX_PUNCT_RATIO)
+        + quarter(distinct_ratio >= _MIN_DISTINCT_RATIO),
+        2,
+    )
+    census = (
+        docs.select("lang", quality.alias("quality"))
+        .groupBy("lang", "quality")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    thresholds = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in _SWEEP_THRESHOLDS])
+        ).alias("threshold")
+    )
+    kept = F.when(F.col("quality") >= F.col("threshold"), F.col("n")).otherwise(
+        F.lit(0)
+    )
+    return (
+        census.crossJoin(F.broadcast(thresholds))
+        .groupBy("threshold", "lang")
+        .agg(
+            F.sum("n").cast("long").alias("n_total"),
+            F.sum(kept).cast("long").alias("n_kept"),
+        )
+        .select(
+            "threshold",
+            "lang",
+            "n_total",
+            "n_kept",
+            F.round(
+                F.col("n_kept").cast("double") / F.col("n_total"), 6
+            ).alias("kept_frac"),
+        )
+    )

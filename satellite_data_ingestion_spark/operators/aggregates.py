@@ -944,3 +944,103 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
         )
     )
+
+
+@register(
+    "agg_ab_test",
+    oracle="""
+WITH g AS (
+  SELECT event_type, CAST(user_id % 2 AS BIGINT) AS cohort,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ssq
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT a.event_type,
+         a.n AS n_a, b.n AS n_b,
+         (CAST(a.sv AS DOUBLE) / 100.0) / a.n AS m_a,
+         (CAST(b.sv AS DOUBLE) / 100.0) / b.n AS m_b,
+         (CAST(a.ssq AS DOUBLE) / 10000.0
+          - a.n * (((CAST(a.sv AS DOUBLE) / 100.0) / a.n)
+                   * ((CAST(a.sv AS DOUBLE) / 100.0) / a.n))) / (a.n - 1) AS v_a,
+         (CAST(b.ssq AS DOUBLE) / 10000.0
+          - b.n * (((CAST(b.sv AS DOUBLE) / 100.0) / b.n)
+                   * ((CAST(b.sv AS DOUBLE) / 100.0) / b.n))) / (b.n - 1) AS v_b
+  FROM g a JOIN g b ON a.event_type = b.event_type
+  WHERE a.cohort = 0 AND b.cohort = 1
+)
+SELECT event_type, n_a, n_b,
+       floor(m_a * 10000 + 0.5) / 10000.0 AS mean_a,
+       floor(m_b * 10000 + 0.5) / 10000.0 AS mean_b,
+       floor(((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b)) * 10000 + 0.5)
+         / 10000.0 AS z_stat,
+       abs((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b)) > 1.96 AS significant
+FROM w
+""",
+)
+def agg_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample A/B significance per metric (Welch's z on per-cohort
+    means — the experimentation-platform primitive): users split into
+    cohorts by ``user_id % 2`` (a deterministic hash bucket in real
+    deployments), per-event-type means compared with the unequal-variance
+    z statistic and a 5% two-sided gate.
+
+    Determinism discipline: count / sum / sum-of-squares accumulate EXACT
+    integer cents (squares of <=2e4-cent values stay far inside int64 at
+    these row counts; at 100 TB promote ssq to double or sum in two
+    tiers), so both engines derive identical doubles; the z arithmetic is
+    written in one shared operation order and rounded half-up explicitly.
+
+    Scale shape: ONE map-side-combined aggregate to |types| x 2 rows;
+    the self-join that pairs cohorts runs on that tiny frame, never on
+    the fact table.  Null-variance degenerate groups (n = 1) would
+    propagate null z — the events table guarantees n >> 1 per cell."""
+    events = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    g = events.groupBy(
+        "event_type", (F.col("user_id") % 2).cast("long").alias("cohort")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("sv"),
+        F.sum(cents * cents).cast("long").alias("ssq"),
+    )
+    a = g.filter(F.col("cohort") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("sv").alias("sv_a"),
+        F.col("ssq").alias("ssq_a"),
+    )
+    b = g.filter(F.col("cohort") == 1).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("sv").alias("sv_b"),
+        F.col("ssq").alias("ssq_b"),
+    )
+
+    def mean(sv, n):
+        return (sv.cast("double") / 100.0) / n
+
+    def var(ssq, sv, n):
+        m = mean(sv, n)
+        return (ssq.cast("double") / 10000.0 - n * (m * m)) / (n - 1)
+
+    j = a.join(b, "event_type")
+    m_a = mean(F.col("sv_a"), F.col("n_a"))
+    m_b = mean(F.col("sv_b"), F.col("n_b"))
+    v_a = var(F.col("ssq_a"), F.col("sv_a"), F.col("n_a"))
+    v_b = var(F.col("ssq_b"), F.col("sv_b"), F.col("n_b"))
+    z = (m_a - m_b) / F.sqrt(v_a / F.col("n_a") + v_b / F.col("n_b"))
+
+    def r4(x):
+        return F.floor(x * 10000 + 0.5) / 10000.0
+
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        r4(m_a).alias("mean_a"),
+        r4(m_b).alias("mean_b"),
+        r4(z).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )

@@ -392,3 +392,87 @@ def stream_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(staging, ignore_errors=True)
     return spark.createDataFrame(runs, "run_id long, n_rows long")
+
+
+_EXPECT_TYPES = ("error", "view", "click", "signup", "purchase")
+_EXPECT_RANGE_TH = 0.01
+
+
+@register(
+    "stream_expectations",
+    oracle=f"""
+WITH b AS (
+  SELECT CAST(event_id % 3 AS BIGINT) AS batch_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN value < 0 OR value > 400 THEN 1 ELSE 0 END) AS BIGINT) AS oob,
+         CAST(sum(CASE WHEN event_type NOT IN
+             ({", ".join(f"'{t}'" for t in _EXPECT_TYPES)}) THEN 1 ELSE 0 END) AS BIGINT) AS bad_type
+  FROM events GROUP BY 1
+)
+SELECT batch_id, rule, round(metric, 6) AS metric, passed FROM (
+  SELECT batch_id, 'rows.nonempty' AS rule,
+         CAST(n AS DOUBLE) AS metric, n > 0 AS passed FROM b
+  UNION ALL
+  SELECT batch_id, 'value.range_0_400',
+         CAST(oob AS DOUBLE) / n, CAST(oob AS DOUBLE) / n <= {_EXPECT_RANGE_TH} FROM b
+  UNION ALL
+  SELECT batch_id, 'event_type.domain',
+         CAST(bad_type AS DOUBLE) / n, bad_type = 0 FROM b
+)
+""",
+)
+def stream_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING data-quality gate: the per-commit twin of the batch
+    ``ext_data_expectations`` — every micro-batch is scored against the
+    expectation suite BEFORE it lands (the foreachBatch pattern real
+    pipelines use to quarantine a bad batch instead of poisoning the
+    table; Delta's per-commit CHECK constraints are the storage-side
+    version, sources/delta_log.py).
+
+    Each staged slot file arrives as its own micro-batch
+    (maxFilesPerTrigger=1 over the deterministic event_id%3 bucketing, so
+    the per-batch metrics have an exact SQL oracle); the per-batch rule
+    evaluation is ONE executor-side aggregate per batch — the driver sees
+    |rules| numbers per commit, never rows.  At 100 TB cadence the gate
+    adds one map-side-combined pass per micro-batch."""
+    _prepare(spark)
+    staging = _stage_events_bucketed(spark, sf_dir, 3, "expect")
+    schema = spark.read.parquet(staging).schema
+    rows: list[tuple[int, str, float, bool]] = []
+
+    def gate(df: DataFrame, batch_id: int) -> None:
+        m = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when((F.col("value") < 0) | (F.col("value") > 400), 1).otherwise(0)
+            ).cast("long").alias("oob"),
+            F.sum(
+                F.when(~F.col("event_type").isin(*_EXPECT_TYPES), 1).otherwise(0)
+            ).cast("long").alias("bad_type"),
+        ).collect()[0]
+        rows.append((batch_id, "rows.nonempty", float(m.n), m.n > 0))
+        rows.append(
+            (batch_id, "value.range_0_400", m.oob / m.n, m.oob / m.n <= _EXPECT_RANGE_TH)
+        )
+        rows.append(
+            (batch_id, "event_type.domain", m.bad_type / m.n, m.bad_type == 0)
+        )
+
+    with _few_shuffle_partitions(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+            .writeStream.foreachBatch(gate)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
+            .start()
+        )
+        q.awaitTermination(120)
+    shutil.rmtree(staging, ignore_errors=True)
+    out = spark.createDataFrame(
+        sorted(rows), "batch_id long, rule string, metric double, passed boolean"
+    )
+    return out.select(
+        "batch_id", "rule", F.round("metric", 6).alias("metric"), "passed"
+    )
