@@ -62,6 +62,8 @@ HEADLINE = [
     "fn_ip_parse",
     "ext_quality_threshold_sweep",
     "stream_expectations",
+    "ext_kl_divergence",
+    "ext_skew_report",
     # Block 1 — round-10 session-2 additions (no driver-recorded signal
     # yet): space-filling-curve layouts, pattern matching batch+stream,
     # quantization, row tracking, sketches, linkage, robust stats.

@@ -888,3 +888,97 @@ def ext_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_frac"),
         )
     )
+
+
+@register(
+    "ext_kl_divergence",
+    oracle="""
+WITH toks AS (
+  SELECT lang, unnest(str_split(text, ' ')) AS tok FROM documents
+), lt AS (
+  SELECT lang, tok, CAST(count(*) AS BIGINT) AS n_lt FROM toks GROUP BY 1, 2
+), l AS (
+  SELECT lang, CAST(sum(n_lt) AS BIGINT) AS n_l FROM lt GROUP BY 1
+), t AS (
+  SELECT tok, CAST(sum(n_lt) AS BIGINT) AS n_t FROM lt GROUP BY 1
+), n AS (
+  SELECT CAST(sum(n_t) AS BIGINT) AS n_corpus FROM t
+), terms AS (
+  SELECT lt.lang, lt.tok,
+         (CAST(lt.n_lt AS DOUBLE) / l.n_l)
+         * ln((CAST(lt.n_lt AS DOUBLE) / l.n_l)
+              / (CAST(t.n_t AS DOUBLE) / n.n_corpus)) AS term
+  FROM lt JOIN l USING (lang) JOIN t USING (tok) CROSS JOIN n
+)
+SELECT lang,
+       (SELECT n_l FROM l WHERE l.lang = terms.lang) AS n_tokens,
+       floor(list_reduce(list_prepend(0.0, list(term ORDER BY tok)),
+                         (acc, x) -> acc + x) * 1000000 + 0.5) / 1000000.0 AS kl
+FROM terms
+GROUP BY lang
+""",
+)
+def ext_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language KL divergence of the token distribution vs the whole
+    corpus, KL(P_lang || P_corpus) — the mixture diagnostic that says
+    WHICH slice is distributionally farthest from the blend (DSIR's
+    importance weights are the per-document version of this quantity,
+    llm/sampling.py; at the slice level it drives mixture re-weighting
+    decisions).
+
+    Float-determinism discipline beyond the usual: a KL is a SUM of
+    double terms, and aggregate-sum order is engine- and
+    partitioning-dependent — so each language's terms are folded
+    SEQUENTIALLY over the token-sorted array (Spark ``aggregate`` HOF ==
+    DuckDB ``list_reduce``, both left folds over the same order), making
+    the sum bit-identical.  The fold runs over |vocab| elements per
+    language — vocabulary-sized, never corpus-sized.
+
+    Scale shape: one (lang, tok) shuffle with map-side combine; language
+    and corpus marginals derive from that aggregate and broadcast back;
+    the per-lang fold array is |vocab| long."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    lt = toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lt")
+    )
+    l = lt.groupBy("lang").agg(F.sum("n_lt").cast("long").alias("n_l"))
+    t = lt.groupBy("tok").agg(F.sum("n_lt").cast("long").alias("n_t"))
+    n = t.agg(F.sum("n_t").cast("long").alias("n_corpus"))
+    terms = (
+        lt.join(F.broadcast(l), "lang")
+        .join(F.broadcast(t), "tok")
+        .join(F.broadcast(n))
+        .select(
+            "lang",
+            "n_l",
+            "tok",
+            (
+                (F.col("n_lt").cast("double") / F.col("n_l"))
+                * F.log(
+                    (F.col("n_lt").cast("double") / F.col("n_l"))
+                    / (F.col("n_t").cast("double") / F.col("n_corpus"))
+                )
+            ).alias("term"),
+        )
+    )
+    folded = (
+        terms.groupBy("lang", "n_l")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tok", "term"))),
+                    lambda s: s.getField("term"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("kl_raw")
+        )
+    )
+    return folded.select(
+        "lang",
+        F.col("n_l").alias("n_tokens"),
+        (F.floor(F.col("kl_raw") * 1000000 + 0.5) / 1000000.0).alias("kl"),
+    )

@@ -543,3 +543,68 @@ def ext_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("winsorized"),
         clipped.alias("clipped"),
     )
+
+
+def _skew_sql(col: str) -> str:
+    return f"""
+  SELECT '{col}' AS key_col,
+         CAST(sum(c) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS max_per_key,
+         round(quantile_cont(CAST(c AS DOUBLE), 0.99), 4) AS p99_per_key,
+         floor((CAST(max(c) AS DOUBLE) / (CAST(sum(c) AS DOUBLE) / count(*)))
+               * 10000 + 0.5) / 10000.0 AS skew_factor
+  FROM (SELECT {col}, CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1)"""
+
+
+@register(
+    "ext_skew_report",
+    oracle="SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        _skew_sql(c) for c in ("l_orderkey", "l_partkey", "l_suppkey")
+    )
+    + "\n)",
+)
+def ext_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY SKEW diagnostic — the pre-flight report that decides
+    whether a planned join needs salting (``join_salted``), AQE skew
+    splitting, or nothing: per candidate key, row count, distinct keys,
+    the heaviest key's row count, the p99 per-key count, and the skew
+    factor (max/mean).  Run it BEFORE the 100 TB join, not after the
+    straggler task appears.
+
+    Scale shape: one map-side-combined groupBy per candidate key, then
+    a 1-row aggregate over the per-key counts (the exact p99 needs the
+    count vector, which is |distinct keys|-sized, not row-sized; at
+    extreme key cardinality swap in approx_percentile — the
+    agg_approx_quantile path).  The report is |candidate keys| rows."""
+    li = table(spark, sf_dir, "lineitem")
+    frames = []
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        cnts = li.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        frames.append(
+            cnts.agg(
+                F.lit(col).alias("key_col"),
+                F.sum("c").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                F.max("c").cast("long").alias("max_per_key"),
+                F.round(
+                    F.expr("percentile(cast(c as double), 0.99)"), 4
+                ).alias("p99_per_key"),
+                (
+                    F.floor(
+                        (
+                            F.max("c").cast("double")
+                            / (F.sum("c").cast("double") / F.count(F.lit(1)))
+                        )
+                        * 10000
+                        + 0.5
+                    )
+                    / 10000.0
+                ).alias("skew_factor"),
+            )
+        )
+    out = frames[0]
+    for f2 in frames[1:]:
+        out = out.unionByName(f2)
+    return out
