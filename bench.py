@@ -64,6 +64,9 @@ HEADLINE = [
     "stream_expectations",
     "ext_kl_divergence",
     "ext_skew_report",
+    "ext_pmi_cooccurrence",
+    "ext_k_anonymity",
+    "fn_user_agent_parse",
     # Block 1 — round-10 session-2 additions (no driver-recorded signal
     # yet): space-filling-curve layouts, pattern matching batch+stream,
     # quantization, row tracking, sketches, linkage, robust stats.

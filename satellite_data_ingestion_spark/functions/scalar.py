@@ -825,3 +825,80 @@ def fn_ip_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("is_private"),
         (F.floor(ip_num / 65536) == 10 * 256 + 40).alias("in_subnet_10_40"),
     )
+
+
+_UA_BROWSERS = ["Chrome/120.0", "Firefox/121.0", "Safari/17.2", "curl/8.4"]
+_UA_OSES = ["Windows NT 10.0", "Macintosh", "X11; Linux x86_64"]
+
+
+@register(
+    "fn_user_agent_parse",
+    oracle=f"""
+WITH uas AS (
+  SELECT event_id,
+         CASE WHEN event_id % 11 = 0
+              THEN 'Googlebot/2.1 (+http://www.google.com/bot.html)'
+              ELSE 'Mozilla/5.0 ('
+                   || (['Windows NT 10.0','Macintosh','X11; Linux x86_64'])[CAST(event_id % 3 AS INT) + 1]
+                   || ') '
+                   || (['Chrome/120.0','Firefox/121.0','Safari/17.2','curl/8.4'])[CAST(event_id % 4 AS INT) + 1]
+         END AS ua
+  FROM events
+)
+SELECT event_id, ua,
+       CASE WHEN contains(lower(ua), 'bot') THEN 'bot'
+            ELSE regexp_extract(ua, '([A-Za-z]+)/[0-9][0-9.]*[^ ]*$', 1) END AS browser,
+       CASE WHEN contains(lower(ua), 'bot') THEN ''
+            ELSE regexp_extract(ua, '/([0-9][0-9.]*)[^ ]*$', 1) END AS version,
+       CASE WHEN contains(ua, 'Windows') THEN 'windows'
+            WHEN contains(ua, 'Macintosh') THEN 'macos'
+            WHEN contains(ua, 'Linux') THEN 'linux'
+            ELSE 'other' END AS os,
+       contains(lower(ua), 'bot') OR contains(ua, 'curl') AS is_bot
+FROM uas
+""",
+)
+def fn_user_agent_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-agent anatomy: browser family + version, OS family, and a
+    bot/automation flag — the third member of the telemetry-enrichment
+    trio (fn_ip_parse, ext_url_parse).  UA strings are synthesized
+    deterministically from event_id (browser x OS grid with a Googlebot
+    slice every 11th event); the Spark side must parse the STRING —
+    trailing product/version token for the browser, marker substrings
+    for OS and bot-ness.
+
+    Execution: pure regexp/contains projection in whole-stage codegen —
+    no UDF, no shuffle; the classic UA-parser libraries are regex tables
+    at heart, and a broadcast rule table is the 100 TB extension."""
+    events = table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    os_arr = F.array(*[F.lit(o) for o in _UA_OSES])
+    br_arr = F.array(*[F.lit(b) for b in _UA_BROWSERS])
+    ua = F.when(
+        eid % 11 == 0, F.lit("Googlebot/2.1 (+http://www.google.com/bot.html)")
+    ).otherwise(
+        F.concat(
+            F.lit("Mozilla/5.0 ("),
+            F.element_at(os_arr, (eid % 3).cast("int") + 1),
+            F.lit(") "),
+            F.element_at(br_arr, (eid % 4).cast("int") + 1),
+        )
+    )
+    uas = events.select("event_id", ua.alias("ua"))
+    is_bot_marker = F.lower(F.col("ua")).contains("bot")
+    return uas.select(
+        "event_id",
+        "ua",
+        F.when(is_bot_marker, F.lit("bot"))
+        .otherwise(F.regexp_extract("ua", r"([A-Za-z]+)/[0-9][0-9.]*[^ ]*$", 1))
+        .alias("browser"),
+        F.when(is_bot_marker, F.lit(""))
+        .otherwise(F.regexp_extract("ua", r"/([0-9][0-9.]*)[^ ]*$", 1))
+        .alias("version"),
+        F.when(F.col("ua").contains("Windows"), F.lit("windows"))
+        .when(F.col("ua").contains("Macintosh"), F.lit("macos"))
+        .when(F.col("ua").contains("Linux"), F.lit("linux"))
+        .otherwise(F.lit("other"))
+        .alias("os"),
+        (is_bot_marker | F.col("ua").contains("curl")).alias("is_bot"),
+    )

@@ -982,3 +982,94 @@ def ext_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_l").alias("n_tokens"),
         (F.floor(F.col("kl_raw") * 1000000 + 0.5) / 1000000.0).alias("kl"),
     )
+
+
+_PMI_MIN_PAIRS = 5  # drop pairs seen in fewer docs (noise floor)
+
+
+@register(
+    "ext_pmi_cooccurrence",
+    oracle=f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+), n AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM dt
+), df AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1
+), pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2
+)
+SELECT p.tok_a, p.tok_b, p.n_ab,
+       floor(ln((CAST(p.n_ab AS DOUBLE) / n.n_docs)
+                / ((CAST(da.df AS DOUBLE) / n.n_docs)
+                   * (CAST(db.df AS DOUBLE) / n.n_docs))) * 1000000 + 0.5)
+         / 1000000.0 AS pmi
+FROM pairs p
+JOIN df da ON p.tok_a = da.tok
+JOIN df db ON p.tok_b = db.tok
+CROSS JOIN n
+WHERE p.n_ab >= {_PMI_MIN_PAIRS}
+""",
+)
+def ext_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over document-level token
+    co-occurrence, PMI(a,b) = ln(p(a,b) / (p(a)p(b))) — the classic
+    distributional-semantics statistic (Church & Hanks 1990) behind
+    collocation mining and count-based embeddings; negative PMI = tokens
+    that avoid each other, a data-curation signal for topic leakage.
+
+    The pair space is VOCABULARY-bounded, not corpus-bounded: distinct
+    tokens per doc first (the DISTINCT is the safety rail — token
+    multiplicity inside a doc must not multiply pairs), then a within-doc
+    self-join producing at most |V|(|V|-1)/2 pairs per doc, aggregated
+    with map-side combine.  Marginal document frequencies broadcast back
+    onto the |V|^2-bounded pair table.  At a real web vocabulary this
+    becomes the top-K-per-token variant (prefix-filter the self-join by
+    per-doc token rank) — the bounding DISCIPLINE is the same."""
+    docs = table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    n = dt.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    df = dt.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    a = dt.withColumnRenamed("tok", "tok_a")
+    b = dt.withColumnRenamed("tok", "tok_b")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= _PMI_MIN_PAIRS)
+    )
+    return (
+        pairs.join(
+            F.broadcast(df.withColumnRenamed("tok", "tok_a").withColumnRenamed("df", "df_a")),
+            "tok_a",
+        )
+        .join(
+            F.broadcast(df.withColumnRenamed("tok", "tok_b").withColumnRenamed("df", "df_b")),
+            "tok_b",
+        )
+        .join(F.broadcast(n))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            (
+                F.floor(
+                    F.log(
+                        (F.col("n_ab").cast("double") / F.col("n_docs"))
+                        / (
+                            (F.col("df_a").cast("double") / F.col("n_docs"))
+                            * (F.col("df_b").cast("double") / F.col("n_docs"))
+                        )
+                    )
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("pmi"),
+        )
+    )

@@ -188,3 +188,53 @@ def ext_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "threshold",
         (F.round("metric", 6) <= F.col("threshold")).alias("passed"),
     )
+
+
+_K_ANON = 5
+
+
+@register(
+    "ext_k_anonymity",
+    oracle=f"""
+WITH qi AS (
+  SELECT lang, source,
+         CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+         CAST(count(*) AS BIGINT) AS group_size
+  FROM documents
+  GROUP BY 1, 2, 3
+)
+SELECT lang, source, len_bucket, group_size,
+       group_size < {_K_ANON} AS violates_k
+FROM qi
+""",
+)
+def ext_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY audit over the quasi-identifier tuple (lang, source,
+    length bucket): any combination shared by fewer than k = {k}
+    documents re-identifies its members through the metadata alone —
+    the privacy check a dataset release runs BEFORE publication
+    (Sweeney 2002), complementing content-level ``ext_pii_mask``.
+    The remediation pipeline exists here too: generalize the bucket
+    (coarser len_bucket), or suppress via ``ext_group_sample``-style
+    caps on the violating groups.
+
+    Scale shape: ONE map-side-combined groupBy on the quasi-identifier
+    tuple; the report is |QI-combination|-sized.  At 100 TB with
+    high-cardinality QIs the same aggregate stands — violating groups
+    are BY DEFINITION the small ones, so the report stays skew-free."""
+    docs = table(spark, sf_dir, "documents")
+    qi = docs.groupBy(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+    return qi.select(
+        "lang",
+        "source",
+        "len_bucket",
+        "group_size",
+        (F.col("group_size") < _K_ANON).alias("violates_k"),
+    )
+
+
+ext_k_anonymity.__doc__ = ext_k_anonymity.__doc__.format(k=_K_ANON)
