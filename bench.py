@@ -67,6 +67,7 @@ HEADLINE = [
     "ext_pmi_cooccurrence",
     "ext_k_anonymity",
     "fn_user_agent_parse",
+    "join_pit_features",
     # Block 1 — round-10 session-2 additions (no driver-recorded signal
     # yet): space-filling-curve layouts, pattern matching batch+stream,
     # quantization, row tracking, sketches, linkage, robust stats.

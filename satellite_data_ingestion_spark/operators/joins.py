@@ -660,3 +660,74 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("fwd_us") - F.col("t_us"))
         .alias("gap_us"),
     )
+
+
+@register(
+    "join_pit_features",
+    oracle="""
+WITH u AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'view'  THEN value END AS view_value,
+         CASE WHEN event_type = 'error' THEN value END AS error_value,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side
+  FROM events
+  WHERE event_type IN ('purchase', 'view', 'error')
+), w AS (
+  SELECT *,
+         last_value(view_value IGNORE NULLS) OVER pit AS f_view,
+         last_value(error_value IGNORE NULLS) OVER pit AS f_error
+  FROM u
+  WINDOW pit AS (
+    PARTITION BY user_id ORDER BY ts, side, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS obs_id, user_id, ts AS obs_ts, f_view, f_error
+FROM w WHERE side = 1
+""",
+)
+def join_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME feature join — the feature-store primitive: for
+    every observation (purchase), attach the latest value of EACH
+    feature stream (views, errors) as of the observation timestamp.
+    PIT-correctness is what prevents train/serve skew: a feature row
+    from the observation's future would leak the label.
+
+    The multi-table trick: instead of one as-of join per feature table
+    (N shuffles), UNION all feature streams with the spine and carry one
+    last-non-null column PER FEATURE over a single user-ordered window —
+    N features cost ONE shuffle + ONE sort, and adding a feature stream
+    is one more carried column, not another join.  Same-ts feature rows
+    order BEFORE the spine row (side tiebreak), so as-of includes the
+    boundary instant.  At 100 TB this is the difference between a
+    feature-store backfill that runs and one that dies in shuffle."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view", "error")
+    )
+    u = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", F.col("value")).alias("view_value"),
+        F.when(F.col("event_type") == "error", F.col("value")).alias("error_value"),
+        F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(0).alias("side"),
+    )
+    pit = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w = u.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "side",
+        F.last("view_value", ignorenulls=True).over(pit).alias("f_view"),
+        F.last("error_value", ignorenulls=True).over(pit).alias("f_error"),
+    )
+    return w.filter(F.col("side") == 1).select(
+        F.col("event_id").alias("obs_id"),
+        "user_id",
+        F.col("ts").alias("obs_ts"),
+        "f_view",
+        "f_error",
+    )
