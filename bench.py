@@ -68,6 +68,9 @@ HEADLINE = [
     "ext_k_anonymity",
     "fn_user_agent_parse",
     "join_pit_features",
+    "scan_parquet_metadata",
+    "agg_benford",
+    "stream_drift_monitor",
     # Block 1 — round-10 session-2 additions (no driver-recorded signal
     # yet): space-filling-curve layouts, pattern matching batch+stream,
     # quantization, row tracking, sketches, linkage, robust stats.

@@ -1044,3 +1044,64 @@ def agg_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(z).alias("z_stat"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+@register(
+    "agg_benford",
+    oracle="""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+), c AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1
+), n AS (
+  SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM c
+)
+SELECT c.digit, c.n_obs,
+       floor((CAST(c.n_obs AS DOUBLE) / n.n_total) * 1000000 + 0.5) / 1000000.0 AS obs_frac,
+       floor((ln(1 + 1.0 / c.digit) / ln(10.0)) * 1000000 + 0.5) / 1000000.0 AS exp_frac,
+       floor(((CAST(c.n_obs AS DOUBLE) - n.n_total * (ln(1 + 1.0 / c.digit) / ln(10.0)))
+              * (CAST(c.n_obs AS DOUBLE) - n.n_total * (ln(1 + 1.0 / c.digit) / ln(10.0)))
+              / (n.n_total * (ln(1 + 1.0 / c.digit) / ln(10.0)))) * 10000 + 0.5) / 10000.0 AS chi2_term
+FROM c CROSS JOIN n
+""",
+)
+def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S LAW audit on order totals: observed vs expected
+    leading-digit frequencies (P(d) = log10(1 + 1/d)) with per-digit
+    chi-square contributions — the forensic-accounting screen for
+    fabricated or systematically-generated numbers (synthetic TPC-H
+    prices are exactly such a population, so the deviations here are
+    the point, not a bug).
+
+    Determinism: the leading digit comes from the INTEGER part's string
+    (floor → bigint → first char) — never from floor(log10(x)), whose
+    libm rounding at exact powers of ten differs across engines.  All
+    per-digit terms are functions of exact integer counts; no
+    cross-digit float sum exists in the output.
+
+    Scale shape: one map-side-combined 9-group aggregate + a 1-row
+    total broadcast."""
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("long")
+    c = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    n = c.agg(F.sum("n_obs").cast("long").alias("n_total"))
+    exp_p = F.log(1 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    dev = F.col("n_obs").cast("double") - F.col("n_total") * exp_p
+
+    def r(x, scale):
+        return F.floor(x * scale + 0.5) / float(scale)
+
+    return c.join(F.broadcast(n)).select(
+        "digit",
+        "n_obs",
+        r(F.col("n_obs").cast("double") / F.col("n_total"), 1000000).alias(
+            "obs_frac"
+        ),
+        r(exp_p, 1000000).alias("exp_frac"),
+        r(dev * dev / (F.col("n_total") * exp_p), 10000).alias("chi2_term"),
+    )

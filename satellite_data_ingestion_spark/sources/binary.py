@@ -62,3 +62,91 @@ def scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_name")
     )
+
+
+_META_TABLES = (("orders", "o_orderkey"), ("lineitem", "l_orderkey"))
+
+
+@register(
+    "scan_parquet_metadata",
+    oracle="\nUNION ALL\n".join(
+        f"""
+SELECT regexp_extract(file_name, '[^/]+$') AS file_name,
+       CAST(row_group_id AS BIGINT) AS row_group_id,
+       CAST(row_group_num_rows AS BIGINT) AS num_rows,
+       path_in_schema AS key_col,
+       stats_min_value AS min_val,
+       stats_max_value AS max_val
+FROM parquet_metadata('{_ORACLE_SF_DIR}/{t}.parquet')
+WHERE path_in_schema = '{k}'"""
+        for t, k in _META_TABLES
+    ),
+)
+def scan_parquet_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARQUET FOOTER SCAN — metadata as a queryable table: per row
+    group, the row count and the key column's min/max statistics, parsed
+    from the real footers executor-side.  This is the primitive beneath
+    every file-skipping story (the Delta layer's add-action stats,
+    sources/delta_log.py `_file_stats`, are these values hoisted into
+    the log): a query planner prunes row groups by exactly this table.
+
+    Scale shape: the FILE LIST is the dataframe; footers are read with
+    pyarrow inside ``mapInPandas`` (one footer per file — bytes read is
+    KB per file regardless of data size), so a 100k-file lake's metadata
+    scan is a distributed job over file names, never a data scan.  The
+    oracle is DuckDB's ``parquet_metadata`` over the same files — two
+    independent footer parsers must agree byte-for-byte.  Path-bearing
+    oracle ⇒ sf-pinned like ``scan_binary`` (_DRIVER_SF_ONLY)."""
+    import os as _os2
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    _prepare(spark)
+    rows = [
+        (f"{sf_dir.rstrip('/')}/{t}.parquet", k) for t, k in _META_TABLES
+    ]
+    files = spark.createDataFrame(rows, "path string, key string").repartition(2)
+
+    def read_meta(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        import pyarrow.parquet as _pq
+
+        for pdfb in batches:
+            out = []
+            for path, key in zip(pdfb["path"], pdfb["key"]):
+                md = _pq.ParquetFile(path).metadata
+                for rg in range(md.num_row_groups):
+                    rgm = md.row_group(rg)
+                    for c in range(rgm.num_columns):
+                        col = rgm.column(c)
+                        if col.path_in_schema == key:
+                            st = col.statistics
+                            out.append(
+                                (
+                                    _os2.path.basename(path),
+                                    rg,
+                                    rgm.num_rows,
+                                    key,
+                                    str(st.min),
+                                    str(st.max),
+                                )
+                            )
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "file_name",
+                    "row_group_id",
+                    "num_rows",
+                    "key_col",
+                    "min_val",
+                    "max_val",
+                ],
+            )
+
+    return files.mapInPandas(
+        read_meta,
+        schema=(
+            "file_name string, row_group_id long, num_rows long, "
+            "key_col string, min_val string, max_val string"
+        ),
+    )

@@ -476,3 +476,96 @@ def stream_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "batch_id", "rule", F.round("metric", 6).alias("metric"), "passed"
     )
+
+
+_DRIFT_TH_CENTS = 500.0  # |batch mean - running baseline| alert bound, cents
+
+
+@register(
+    "stream_drift_monitor",
+    oracle=f"""
+WITH b AS (
+  SELECT CAST(event_id % 4 AS BIGINT) AS batch_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv
+  FROM events GROUP BY 1
+), w AS (
+  SELECT batch_id, n,
+         CAST(sv AS DOUBLE) / n AS mean_cents,
+         CAST(sum(sv) OVER (ORDER BY batch_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE)
+           / sum(n) OVER (ORDER BY batch_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS baseline_cents
+  FROM b
+)
+SELECT batch_id, n,
+       floor(mean_cents * 100 + 0.5) / 100.0 AS batch_mean_cents,
+       floor(baseline_cents * 100 + 0.5) / 100.0 AS baseline_mean_cents,
+       CASE WHEN baseline_cents IS NULL THEN FALSE
+            ELSE abs(mean_cents - baseline_cents) > {_DRIFT_TH_CENTS} END AS drift
+FROM w
+""",
+)
+def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DRIFT MONITOR: each micro-batch's mean is compared to
+    the running baseline of all PRIOR batches — the online
+    data-distribution-shift alarm every production ingest runs (the
+    streaming sibling of ``ext_ts_changepoint``'s offline CUSUM; a
+    drifting upstream schema/unit change fires here first).
+
+    State is two numbers (running n, running sum in exact integer
+    cents) carried across micro-batches driver-side; each batch costs
+    one executor-side aggregate.  The staged files arrive as
+    deterministic event_id%4 micro-batches, so the whole monitor run
+    has an exact SQL oracle (prior-batch window over the bucketed
+    groups)."""
+    _prepare(spark)
+    staging = _stage_events_bucketed(spark, sf_dir, 4, "drift")
+    schema = spark.read.parquet(staging).schema
+    state = {"n": 0, "sv": 0}
+    out: list[tuple[int, int, float, float | None, bool]] = []
+
+    def monitor(df: DataFrame, batch_id: int) -> None:
+        m = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("sv"),
+        ).collect()[0]
+        mean = m.sv / m.n
+        if state["n"] == 0:
+            baseline, drift = None, False
+        else:
+            baseline = state["sv"] / state["n"]
+            drift = abs(mean - baseline) > _DRIFT_TH_CENTS
+        out.append((batch_id, m.n, mean, baseline, drift))
+        state["n"] += m.n
+        state["sv"] += m.sv
+
+    with _few_shuffle_partitions(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+            .writeStream.foreachBatch(monitor)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
+            .start()
+        )
+        q.awaitTermination(120)
+    shutil.rmtree(staging, ignore_errors=True)
+    res = spark.createDataFrame(
+        sorted(out),
+        "batch_id long, n long, mean_c double, baseline_c double, drift boolean",
+    )
+
+    def r2(x):
+        return F.floor(x * 100 + 0.5) / 100.0
+
+    return res.select(
+        "batch_id",
+        "n",
+        r2(F.col("mean_c")).alias("batch_mean_cents"),
+        r2(F.col("baseline_c")).alias("baseline_mean_cents"),
+        "drift",
+    )

@@ -18,7 +18,7 @@ ALL = sorted(registry.queries())
 
 # Oracles that read raw FILES (not the registered views) embed the driver's
 # sf0.01 directory literally; compare those at sf0.01 like the driver does.
-_DRIVER_SF_ONLY = {"scan_binary"}
+_DRIVER_SF_ONLY = {"scan_binary", "scan_parquet_metadata"}
 
 
 @pytest.mark.parametrize("name", ALL)
