@@ -71,6 +71,7 @@ HEADLINE = [
     "scan_parquet_metadata",
     "agg_benford",
     "stream_drift_monitor",
+    "ext_trajectory_hausdorff",
     # Block 1 — round-10 session-2 additions (no driver-recorded signal
     # yet): space-filling-curve layouts, pattern matching batch+stream,
     # quantization, row tracking, sketches, linkage, robust stats.

@@ -855,3 +855,118 @@ def ext_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("max_dev"),
         )
     )
+
+
+_TRAJ_QUERY_USER = 7
+_TRAJ_DECIM = 8       # keep every 8th track point (deterministic decimation)
+_TRAJ_TOP_K = 10
+
+
+@register(
+    "ext_trajectory_hausdorff",
+    oracle=f"""
+WITH pts AS (
+  SELECT user_id,
+         CAST(row_number() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+         (value * 1.3) % 50.0 AS px,
+         (value * 2.7 + user_id) % 50.0 AS py
+  FROM events
+), track AS (
+  SELECT user_id, rn / {_TRAJ_DECIM} AS idx, px, py
+  FROM pts WHERE rn % {_TRAJ_DECIM} = 0
+), q AS (
+  SELECT idx AS q_idx, px AS qx, py AS qy FROM track
+  WHERE user_id = {_TRAJ_QUERY_USER}
+), d AS (
+  SELECT t.user_id, t.idx, q.q_idx,
+         (t.px - q.qx) * (t.px - q.qx) + (t.py - q.qy) * (t.py - q.qy) AS d2
+  FROM track t CROSS JOIN q
+  WHERE t.user_id <> {_TRAJ_QUERY_USER}
+), fwd AS (
+  SELECT user_id, max(mind) AS h1 FROM (
+    SELECT user_id, idx, min(d2) AS mind FROM d GROUP BY 1, 2) GROUP BY 1
+), bwd AS (
+  SELECT user_id, max(mind) AS h2 FROM (
+    SELECT user_id, q_idx, min(d2) AS mind FROM d GROUP BY 1, 2) GROUP BY 1
+)
+SELECT f.user_id,
+       floor(sqrt(greatest(f.h1, b.h2)) * 10000 + 0.5) / 10000.0 AS hausdorff
+FROM fwd f JOIN bwd b ON f.user_id = b.user_id
+ORDER BY floor(sqrt(greatest(f.h1, b.h2)) * 10000 + 0.5) / 10000.0, f.user_id
+LIMIT {_TRAJ_TOP_K}
+""",
+)
+def ext_trajectory_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAJECTORY similarity search: top-k users whose movement track is
+    closest to a query user's track under the symmetric HAUSDORFF
+    distance (max over points of nearest-neighbor distance, both
+    directions) — the spatial-track analog of ``ext_ts_subseq_search``
+    (REPOSE, ICDE 2021, solves the same shape with reference-point
+    tries; the relational form is a bounded candidate cross-product).
+
+    Scale controls: tracks are DECIMATED deterministically (every
+    {decim}-th point in (ts, event_id) order — identical in both
+    engines), the query track is a broadcast side, and BOTH Hausdorff
+    directions fall out of ONE distance-pair table grouped two ways —
+    no second pass.  Distances stay SQUARED until the final sqrt, so
+    min/max comparisons are exact.  At 100 TB the decimation factor and
+    a coarse-cell prefilter (the fn_geohash bucketing) bound the pair
+    table; the per-user group is track-length-sized, never corpus-sized.
+    """
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = events.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("rn"),
+        ((F.col("value") * 1.3) % 50.0).alias("px"),
+        ((F.col("value") * 2.7 + F.col("user_id")) % 50.0).alias("py"),
+    )
+    track = pts.filter(F.col("rn") % _TRAJ_DECIM == 0).select(
+        "user_id", (F.col("rn") / _TRAJ_DECIM).alias("idx"), "px", "py"
+    )
+    q = (
+        track.filter(F.col("user_id") == _TRAJ_QUERY_USER)
+        .select(
+            F.col("idx").alias("q_idx"),
+            F.col("px").alias("qx"),
+            F.col("py").alias("qy"),
+        )
+    )
+    d = (
+        track.filter(F.col("user_id") != _TRAJ_QUERY_USER)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "user_id",
+            "idx",
+            "q_idx",
+            (
+                (F.col("px") - F.col("qx")) * (F.col("px") - F.col("qx"))
+                + (F.col("py") - F.col("qy")) * (F.col("py") - F.col("qy"))
+            ).alias("d2"),
+        )
+    )
+    fwd = (
+        d.groupBy("user_id", "idx")
+        .agg(F.min("d2").alias("mind"))
+        .groupBy("user_id")
+        .agg(F.max("mind").alias("h1"))
+    )
+    bwd = (
+        d.groupBy("user_id", "q_idx")
+        .agg(F.min("d2").alias("mind"))
+        .groupBy("user_id")
+        .agg(F.max("mind").alias("h2"))
+    )
+    h = F.floor(F.sqrt(F.greatest("h1", "h2")) * 10000 + 0.5) / 10000.0
+    return (
+        fwd.join(bwd, "user_id")
+        .select("user_id", h.alias("hausdorff"))
+        .orderBy("hausdorff", "user_id")
+        .limit(_TRAJ_TOP_K)
+    )
+
+
+ext_trajectory_hausdorff.__doc__ = ext_trajectory_hausdorff.__doc__.format(
+    decim=_TRAJ_DECIM
+)
