@@ -73,6 +73,8 @@ HEADLINE = [
     "stream_drift_monitor",
     "ext_trajectory_hausdorff",
     "ext_ts_dtw",
+    "plan_mv_rewrite",
+    "agg_histogram_equidepth",
     # Block 1 — round-10 session-2 additions (no driver-recorded signal
     # yet): space-filling-curve layouts, pattern matching batch+stream,
     # quantization, row tracking, sketches, linkage, robust stats.

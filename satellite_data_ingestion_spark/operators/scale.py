@@ -24,7 +24,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import settings
@@ -608,3 +608,53 @@ def ext_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f2 in frames[1:]:
         out = out.unionByName(f2)
     return out
+
+
+_EQUIDEPTH_BUCKETS = 8
+
+
+@register(
+    "agg_histogram_equidepth",
+    oracle=f"""
+WITH b AS (
+  SELECT CAST(least(floor(percent_rank() OVER (ORDER BY value, event_id)
+                    * {_EQUIDEPTH_BUCKETS}), {_EQUIDEPTH_BUCKETS - 1}) AS BIGINT) AS bucket,
+         value
+  FROM events
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(value), 2) AS lo,
+       round(max(value), 2) AS hi
+FROM b GROUP BY 1
+""",
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram (quantile bucketing): every bucket holds the
+    same row count and the BOUNDARIES move with the data — the histogram
+    query optimizers actually keep (equi-WIDTH, ``agg_histogram``, lies
+    under skew; equi-depth bounds per-bucket selectivity error by 1/k).
+    Deterministic bucketing via percent_rank with an event_id tiebreak,
+    so both engines assign identical rows to identical buckets.
+
+    Scale shape: percent_rank needs a total order — ONE range-partitioned
+    global sort (Spark's sort is distributed range partitioning, not a
+    single task), then a map-side-combined 8-group aggregate.  At 100 TB
+    the sort is the honest cost of exact equi-depth; approx_percentile
+    boundaries (the agg_approx_quantile path) are the cheap substitute."""
+    events = table(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    b = events.select(
+        "value",
+        F.least(
+            F.floor(F.percent_rank().over(w) * _EQUIDEPTH_BUCKETS),
+            F.lit(_EQUIDEPTH_BUCKETS - 1),
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )

@@ -71,6 +71,7 @@ _QUERY_MODULES = [
     "satellite_data_ingestion_spark.operators.quality",
     "satellite_data_ingestion_spark.plans.pipeline",
     "satellite_data_ingestion_spark.plans.ivm",
+    "satellite_data_ingestion_spark.plans.mv",
     "satellite_data_ingestion_spark.plans.tpch",
     "satellite_data_ingestion_spark.plans.tpch2",
 ]
