@@ -941,8 +941,13 @@ def ext_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "lang", F.explode(F.split("text", " ")).alias("tok")
     )
-    lt = toks.groupBy("lang", "tok").agg(
-        F.count(F.lit(1)).cast("long").alias("n_lt")
+    # The (lang, tok) aggregate feeds FOUR subplans (terms + three
+    # marginals); DataFrame lineage has no subplan sharing, so without a
+    # persist the corpus explode would run four times.
+    lt = (
+        toks.groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lt"))
+        .persist()
     )
     l = lt.groupBy("lang").agg(F.sum("n_lt").cast("long").alias("n_l"))
     t = lt.groupBy("tok").agg(F.sum("n_lt").cast("long").alias("n_t"))
