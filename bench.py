@@ -75,6 +75,8 @@ HEADLINE = [
     "ext_ts_dtw",
     "plan_mv_rewrite",
     "agg_histogram_equidepth",
+    "agg_unpivot",
+    "win_gap_report",
     # Block 1 — round-10 session-2 additions (no driver-recorded signal
     # yet): space-filling-curve layouts, pattern matching batch+stream,
     # quantization, row tracking, sketches, linkage, robust stats.

@@ -1105,3 +1105,46 @@ def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         r(exp_p, 1000000).alias("exp_frac"),
         r(dev * dev / (F.col("n_total") * exp_p), 10000).alias("chi2_term"),
     )
+
+
+_UNPIVOT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "agg_unpivot",
+    oracle="\nUNION ALL\n".join(
+        f"""
+SELECT '{m}' AS measure,
+       CAST(count({m}) AS BIGINT) AS n,
+       CAST(sum(CAST(round({m} * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       round(min({m}), 2) AS lo,
+       round(max({m}), 2) AS hi
+FROM lineitem"""
+        for m in _UNPIVOT_MEASURES
+    ),
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long, the inverse of ``agg_pivot``): the four
+    lineitem measure columns melt into (measure, val) rows, then one
+    aggregate summarizes each measure — the reshape every
+    metrics-warehouse ingestion does when a source delivers one column
+    per KPI.  Uses the native ``DataFrame.unpivot`` (Spark's melt), which
+    plans as an Expand node — each input row fans out to |measures| rows
+    IN the scan stage, no join, no shuffle before the aggregate.
+
+    Exact integer-cent sums (the float-sum-order discipline); the
+    oracle states the same per-measure aggregates directly — value
+    equality proves the melt lost nothing."""
+    li = table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=_UNPIVOT_MEASURES,
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("measure").agg(
+        F.count("val").cast("long").alias("n"),
+        F.sum(F.round(F.col("val") * 100).cast("long")).cast("long").alias("sum_cents"),
+        F.round(F.min("val"), 2).alias("lo"),
+        F.round(F.max("val"), 2).alias("hi"),
+    )

@@ -801,3 +801,55 @@ def ext_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(tot), 6).alias("p"),
     )
+
+
+_GAP_TH_SEC = 300  # report gaps longer than 5 minutes
+
+
+@register(
+    "win_gap_report",
+    oracle=f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(date_diff('second',
+              lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id),
+              ts) AS BIGINT) AS gap_sec
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(CASE WHEN gap_sec > {_GAP_TH_SEC} THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+       CAST(max(gap_sec) AS BIGINT) AS max_gap_sec,
+       CAST(sum(CASE WHEN gap_sec > {_GAP_TH_SEC} THEN gap_sec ELSE 0 END) AS BIGINT) AS downtime_sec
+FROM g WHERE gap_sec IS NOT NULL
+GROUP BY 1
+""",
+)
+def win_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAP / DOWNTIME report per series: inter-arrival gaps over the
+    per-type timeline, counting and totaling the ones beyond the SLA
+    threshold — the uptime-monitoring twin of ``ext_gap_fill`` (that one
+    REPAIRS the holes, this one REPORTS them; the reference's 15-minute
+    cadence makes a missed slot exactly such a gap,
+    sources/meteosat.py:88-93).
+
+    One lag() over the per-type timeline (single exchange), then a
+    map-side-combined aggregate; gap arithmetic in whole integer seconds
+    so the report is float-free."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gap = (
+        F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    ).cast("long")
+    g = events.select("event_type", gap.alias("gap_sec")).filter(
+        F.col("gap_sec").isNotNull()
+    )
+    over = F.col("gap_sec") > _GAP_TH_SEC
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum(F.when(over, 1).otherwise(0)).cast("long").alias("n_gaps"),
+        F.max("gap_sec").cast("long").alias("max_gap_sec"),
+        F.sum(F.when(over, F.col("gap_sec")).otherwise(0))
+        .cast("long")
+        .alias("downtime_sec"),
+    )
