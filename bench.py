@@ -77,6 +77,9 @@ HEADLINE = [
     "agg_histogram_equidepth",
     "agg_unpivot",
     "win_gap_report",
+    "graph_common_neighbors",
+    "ext_instruction_format",
+    "agg_corr_matrix",
     # Block 1 — round-10 session-2 additions (no driver-recorded signal
     # yet): space-filling-curve layouts, pattern matching batch+stream,
     # quantization, row tracking, sketches, linkage, robust stats.

@@ -258,3 +258,66 @@ def ext_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_total"),
         F.count(F.when(kept, 1)).alias("n_kept"),
     )
+
+
+_SFT_SYSTEM = "You are a helpful assistant."
+_SFT_PROMPT_CHARS = 100
+
+
+@register(
+    "ext_instruction_format",
+    oracle=f"""
+SELECT doc_id,
+       '<|im_start|>system\n{_SFT_SYSTEM}<|im_end|>\n<|im_start|>user\n'
+         || substr(text, 1, {_SFT_PROMPT_CHARS})
+         || '<|im_end|>\n<|im_start|>assistant\n'
+         || substr(text, {_SFT_PROMPT_CHARS} + 1)
+         || '<|im_end|>' AS rendered,
+       CAST(length('<|im_start|>system\n{_SFT_SYSTEM}<|im_end|>\n<|im_start|>user\n')
+            + length(substr(text, 1, {_SFT_PROMPT_CHARS}))
+            + length('<|im_end|>\n<|im_start|>assistant\n') AS BIGINT) AS prompt_len,
+       CAST(length(substr(text, {_SFT_PROMPT_CHARS} + 1)) + length('<|im_end|>') AS BIGINT) AS completion_len,
+       round(CAST(length(substr(text, {_SFT_PROMPT_CHARS} + 1)) + length('<|im_end|>') AS DOUBLE)
+             / (length('<|im_start|>system\n{_SFT_SYSTEM}<|im_end|>\n<|im_start|>user\n')
+                + length(substr(text, 1, {_SFT_PROMPT_CHARS}))
+                + length('<|im_end|>\n<|im_start|>assistant\n')
+                + length(substr(text, {_SFT_PROMPT_CHARS} + 1)) + length('<|im_end|>')), 6) AS loss_frac
+FROM documents
+""",
+)
+def ext_instruction_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSTRUCTION-TUNING formatter: render each document into the
+    chat-markup template (system / user / assistant turns with
+    <|im_start|> sentinels — the ChatML shape) and report the
+    LOSS-MASKING split: ``prompt_len`` characters train with loss
+    masked, ``completion_len`` characters carry gradient, ``loss_frac``
+    is the effective-token fraction — the numbers an SFT pipeline
+    budgets by.  The first {chars} chars play the user turn, the
+    remainder the assistant turn (stand-in for a real pair schema; the
+    template mechanics are what matters).
+
+    Pure string-concat projection (codegen, no shuffle) — at 100 TB
+    formatting runs at scan speed; composes upstream of ``ext_doc_chunk``
+    / ``ext_seq_pack`` exactly like a real SFT assembly line."""
+    docs = table(spark, sf_dir, "documents")
+    head = F.substring("text", 1, _SFT_PROMPT_CHARS)
+    tail = F.expr(f"substring(text, {_SFT_PROMPT_CHARS} + 1)")
+    pre = f"<|im_start|>system\n{_SFT_SYSTEM}<|im_end|>\n<|im_start|>user\n"
+    mid = "<|im_end|>\n<|im_start|>assistant\n"
+    end = "<|im_end|>"
+    prompt_len = (F.lit(len(pre)) + F.length(head) + F.lit(len(mid))).cast("long")
+    completion_len = (F.length(tail) + F.lit(len(end))).cast("long")
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit(pre), head, F.lit(mid), tail, F.lit(end)).alias("rendered"),
+        prompt_len.alias("prompt_len"),
+        completion_len.alias("completion_len"),
+        F.round(
+            completion_len.cast("double") / (prompt_len + completion_len), 6
+        ).alias("loss_frac"),
+    )
+
+
+ext_instruction_format.__doc__ = ext_instruction_format.__doc__.format(
+    chars=_SFT_PROMPT_CHARS
+)

@@ -1148,3 +1148,46 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("val"), 2).alias("lo"),
         F.round(F.max("val"), 2).alias("hi"),
     )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "agg_corr_matrix",
+    oracle="\nUNION ALL\n".join(
+        f"""
+SELECT '{a}' AS col_a, '{b}' AS col_b,
+       round(corr({a}, {b}), 6) AS r
+FROM lineitem"""
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    ),
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise CORRELATION MATRIX over the lineitem measures (the
+    feature-engineering screen for redundant columns before a model or
+    a compression decision) — extends the single-pair
+    ``agg_stats_moments`` to the full upper triangle.
+
+    All six correlations compute in ONE aggregate pass (Spark evaluates
+    the six corr() accumulators side by side in a single
+    map-side-combined HashAggregate — one scan, not six); the result is
+    a 6-row reshape of a 1-row frame.  Same cross-engine float posture
+    agg_stats_moments pinned: corr's normalized ratio is stable to 6
+    decimals across accumulation orders."""
+    li = table(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1:]
+    ]
+    one = li.agg(
+        *[
+            F.round(F.corr(a, b), 6).alias(f"r_{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    stack_expr = "stack({}, {}) as (col_a, col_b, r)".format(
+        len(pairs),
+        ", ".join(f"'{a}', '{b}', r_{i}" for i, (a, b) in enumerate(pairs)),
+    )
+    return one.select(F.expr(stack_expr))

@@ -280,3 +280,57 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist = dist.unionAll(nxt)
         frontier = nxt
     return dist
+
+
+_CN_TOP_K = 50
+
+
+@register(
+    "graph_common_neighbors",
+    oracle=f"""
+WITH e AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), pairs AS (
+  SELECT a.c AS c1, b.c AS c2, CAST(count(*) AS BIGINT) AS common
+  FROM e a JOIN e b ON a.p = b.p AND a.c < b.c
+  GROUP BY 1, 2
+)
+SELECT c1, c2, common
+FROM pairs
+ORDER BY common DESC, c1, c2
+LIMIT {_CN_TOP_K}
+""",
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMMON-NEIGHBORS link prediction over the bipartite co-purchase
+    graph: the top-k customer pairs sharing the most distinct parts —
+    the classic recommender / who-should-know-whom primitive (the
+    count is the simplest link-prediction score; Jaccard/Adamic-Adar
+    are the same pair table with different normalizers).
+
+    Scale discipline (the testdata-degeneracy rule applied): candidate
+    pairs are generated ONLY inside a shared part's customer list
+    (blocking by part — measured d≈30 customers/part, so ~d²/2 pairs
+    per part, never |customers|²); the DISTINCT edge projection first
+    stops order multiplicity from multiplying pairs, and the final
+    top-k is TakeOrderedAndProject heaps, so the full pair table is
+    shuffled once (map-side combined) and never collected.  A hot part
+    (celebrity node) is the skew risk at 100 TB — cap or sample its
+    neighbor list, the ext_domain_volume_cap discipline."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = e.select(F.col("c").alias("c1"), "p")
+    b = e.select(F.col("c").alias("c2"), "p")
+    pairs = (
+        a.join(b, "p")
+        .filter(F.col("c1") < F.col("c2"))
+        .groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    return pairs.orderBy(F.desc("common"), "c1", "c2").limit(_CN_TOP_K)
