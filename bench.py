@@ -80,6 +80,8 @@ HEADLINE = [
     "graph_common_neighbors",
     "ext_instruction_format",
     "agg_corr_matrix",
+    "graph_adamic_adar",
+    "agg_weighted_median",
     # Block 1 — round-10 session-2 additions (no driver-recorded signal
     # yet): space-filling-curve layouts, pattern matching batch+stream,
     # quantization, row tracking, sketches, linkage, robust stats.

@@ -1191,3 +1191,60 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ", ".join(f"'{a}', '{b}', r_{i}" for i, (a, b) in enumerate(pairs)),
     )
     return one.select(F.expr(stack_expr))
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         CAST(l_quantity AS DOUBLE) AS wt,
+         sum(l_quantity) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS totw
+  FROM lineitem
+)
+SELECT l_returnflag,
+       round(min(v), 2) AS weighted_median,
+       round(CAST(min(totw) AS DOUBLE), 1) AS total_weight
+FROM w
+WHERE cumw >= totw / 2
+GROUP BY l_returnflag
+""",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median per group — the first value whose cumulative
+    weight crosses half the group total (here: the quantity-weighted
+    median price — 'the price at which half the UNITS, not half the
+    ROWS, trade').  Spark has no built-in weighted percentile; the
+    window-cumulative formulation IS the standard distributed algorithm.
+
+    One exchange on the group key serves the ordered cumulative-weight
+    window and the total; the crossing row is an aggregate (min over
+    the qualifying suffix), not a second window.  Deterministic
+    ordering ties broken by (orderkey, linenumber); quantities are
+    integral doubles, so the cumulative sums are exact."""
+    li = table(spark, sf_dir, "lineitem")
+    ord_w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.sum("l_quantity")
+        .over(ord_w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cumw"),
+        F.sum("l_quantity")
+        .over(Window.partitionBy("l_returnflag"))
+        .alias("totw"),
+    )
+    return (
+        w.filter(F.col("cumw") >= F.col("totw") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("v"), 2).alias("weighted_median"),
+            F.round(F.min("totw").cast("double"), 1).alias("total_weight"),
+        )
+    )
