@@ -82,6 +82,8 @@ HEADLINE = [
     "agg_corr_matrix",
     "graph_adamic_adar",
     "agg_weighted_median",
+    "ext_stratified_split",
+    "agg_share_of_parent",
     # Block 1 — round-10 session-2 additions (no driver-recorded signal
     # yet): space-filling-curve layouts, pattern matching batch+stream,
     # quantization, row tracking, sketches, linkage, robust stats.

@@ -366,3 +366,78 @@ def ext_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("take"))
         .select("lang", "doc_id", "rk")
     )
+
+
+_STRAT_TRAIN = 0.8
+_STRAT_VALID = 0.1
+
+
+@register(
+    "ext_stratified_split",
+    oracle=f"""
+WITH ranked AS (
+  SELECT lang, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk,
+         CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+  FROM documents
+), assigned AS (
+  SELECT lang, doc_id,
+         CASE WHEN rk <= CAST(floor(n_lang * {_STRAT_TRAIN}) AS BIGINT) THEN 'train'
+              WHEN rk <= CAST(floor(n_lang * {_STRAT_TRAIN}) AS BIGINT)
+                       + CAST(floor(n_lang * {_STRAT_VALID}) AS BIGINT) THEN 'valid'
+              ELSE 'test' END AS split
+  FROM ranked
+)
+SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM assigned GROUP BY 1, 2
+""",
+)
+def ext_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED train/valid/test split: every LANGUAGE is split at
+    exactly floor(n·0.8)/floor(n·0.1)/rest — the guarantee the
+    modulo-hash split (``ext_dataset_split``) does NOT make (a global
+    hash split leaves small strata over- or under-represented by
+    binomial noise, which for a 1%-share language can swing its eval
+    set by double digits).  Membership inside a stratum is content-hash
+    order — deterministic, engine-independent, no RNG state.
+
+    Returns the (lang, split) census plus id-checksums so the oracle
+    pins the ASSIGNMENT, not just the counts.
+
+    Scale shape: one exchange on lang; the literal global rank is per
+    stratum, so WindowGroupLimit does not apply (every row gets a rank),
+    but the rank window and the stratum-size window share the single
+    exchange.  For a dominant stratum at 100 TB, pre-aggregate sizes
+    (census broadcast) and assign by hash-bucket quantile instead —
+    ext_mix_temperature's shape."""
+    docs = table(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(key, F.col("doc_id"))
+    sized = docs.select(
+        "lang",
+        "doc_id",
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("lang"))
+        .cast("long")
+        .alias("n_lang"),
+    )
+    n_train = F.floor(F.col("n_lang") * _STRAT_TRAIN).cast("long")
+    n_valid = F.floor(F.col("n_lang") * _STRAT_VALID).cast("long")
+    assigned = sized.select(
+        "lang",
+        "doc_id",
+        F.when(F.col("rk") <= n_train, "train")
+        .when(F.col("rk") <= n_train + n_valid, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return assigned.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )

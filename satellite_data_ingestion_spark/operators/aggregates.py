@@ -1248,3 +1248,67 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("totw").cast("double"), 1).alias("total_weight"),
         )
     )
+
+
+@register(
+    "agg_share_of_parent",
+    oracle="""
+WITH n AS (
+  SELECT r.r_name, n.n_name,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, n_name,
+       floor((CAST(rev_cents AS DOUBLE) / 100.0) * 100 + 0.5) / 100.0 AS revenue,
+       floor((CAST(rev_cents AS DOUBLE)
+              / sum(rev_cents) OVER (PARTITION BY r_name)) * 1000000 + 0.5)
+         / 1000000.0 AS share_of_region,
+       floor((CAST(rev_cents AS DOUBLE)
+              / sum(rev_cents) OVER ()) * 1000000 + 0.5)
+         / 1000000.0 AS share_of_total
+FROM n
+""",
+)
+def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARE-OF-PARENT hierarchy ratios (the drill-down every OLAP
+    dashboard renders): each nation's revenue as a fraction of its
+    region and of the world — two window normalizations over the SAME
+    nation-grain aggregate, so the hierarchy math costs nothing beyond
+    the base rollup.  Exact-cent sums; the global-share window runs on
+    the |nations|-row aggregate (25 rows), where an unpartitioned window
+    is harmless — never on facts."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(cents).cast("long").alias("rev_cents"))
+    )
+    region_w = Window.partitionBy("r_name")
+    total_w = Window.partitionBy()
+
+    def rr(x, scale):
+        return F.floor(x * scale + 0.5) / float(scale)
+
+    return base.select(
+        "r_name",
+        "n_name",
+        rr(F.col("rev_cents").cast("double") / 100.0, 100).alias("revenue"),
+        rr(
+            F.col("rev_cents").cast("double") / F.sum("rev_cents").over(region_w),
+            1000000,
+        ).alias("share_of_region"),
+        rr(
+            F.col("rev_cents").cast("double") / F.sum("rev_cents").over(total_w),
+            1000000,
+        ).alias("share_of_total"),
+    )
