@@ -344,22 +344,29 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(i) for i in range(1, _CMS_DEPTH + 1)])
     ).alias("i")
     sink = f"shh_sink_{os.getpid()}"
-    q = (
-        spark.readStream.schema("k string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staging)
-        .select("k", pos)
-        .selectExpr("k", "i", _cms_bucket("k", "i", "spark") + " as bucket")
-        .groupBy("i", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
-        .start()
-    )
-    q.awaitTermination(180)
+    # Cap shuffle partitions for the stateful drain: the state is 3072
+    # cells total, but every micro-batch materializes one state store
+    # per shuffle partition — at the session default that is 32 stores
+    # x 3 triggers of pure scheduling overhead for KB of state.
+    from ..streaming.state import _few_shuffle_partitions
+
+    with _few_shuffle_partitions(spark):
+        q = (
+            spark.readStream.schema("k string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+            .select("k", pos)
+            .selectExpr("k", "i", _cms_bucket("k", "i", "spark") + " as bucket")
+            .groupBy("i", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
+            .start()
+        )
+        q.awaitTermination(180)
     sketch = spark.table(sink)
 
     total = li.agg(F.count(F.lit(1)).alias("total"))
