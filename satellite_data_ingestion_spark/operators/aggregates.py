@@ -1312,3 +1312,83 @@ def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             1000000,
         ).alias("share_of_total"),
     )
+
+
+_RFM_REF_EPOCH = 1009843200  # 2002-01-01 UTC — fixed "now" for recency
+
+
+@register(
+    "agg_rfm_segments",
+    oracle=f"""
+WITH rfm AS (
+  SELECT o_custkey,
+         CAST({_RFM_REF_EPOCH} - epoch(max(o_orderdate)) AS BIGINT) AS recency_sec,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+  FROM orders GROUP BY 1
+), scored AS (
+  SELECT o_custkey, recency_sec, frequency, monetary_cents,
+         CAST(6 - ntile(5) OVER (ORDER BY recency_sec, o_custkey) AS BIGINT) AS r_score,
+         CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f_score,
+         CAST(ntile(5) OVER (ORDER BY monetary_cents, o_custkey) AS BIGINT) AS m_score
+  FROM rfm
+)
+SELECT r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+            WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+            WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+            WHEN r_score <= 2 AND m_score <= 2 THEN 'hibernating'
+            ELSE 'regular' END AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(monetary_cents) AS BIGINT) AS segment_value_cents
+FROM scored
+GROUP BY 1, 2, 3, 4
+""",
+)
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION (recency / frequency / monetary — the classic
+    customer-value taxonomy): per-customer metrics quintile-scored with
+    deterministic ntile (custkey tiebreak, fixed reference date — no
+    now()), then bucketed into named segments with per-segment value.
+
+    Scale shape: one groupBy to customer grain; the three ntile windows
+    run over the CUSTOMER table (not orders), and at 100 TB quintile
+    boundaries come from approx_percentile broadcast instead of a global
+    sort — the agg_histogram_equidepth trade.  Output is
+    |segment-combination|-sized."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    rfm = o.groupBy("o_custkey").agg(
+        (F.lit(_RFM_REF_EPOCH) - F.unix_timestamp(F.max("o_orderdate")))
+        .cast("long")
+        .alias("recency_sec"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(cents).cast("long").alias("monetary_cents"),
+    )
+    r_w = Window.orderBy("recency_sec", "o_custkey")
+    f_w = Window.orderBy("frequency", "o_custkey")
+    m_w = Window.orderBy("monetary_cents", "o_custkey")
+    scored = rfm.select(
+        "monetary_cents",
+        (6 - F.ntile(5).over(r_w)).cast("long").alias("r_score"),
+        F.ntile(5).over(f_w).cast("long").alias("f_score"),
+        F.ntile(5).over(m_w).cast("long").alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when((F.col("r_score") <= 2) & (F.col("m_score") <= 2), "hibernating")
+        .otherwise("regular")
+    )
+    return (
+        scored.withColumn("segment", seg)
+        .groupBy("r_score", "f_score", "m_score", "segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("monetary_cents").cast("long").alias("segment_value_cents"),
+        )
+    )

@@ -665,3 +665,53 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 2).alias("lo"),
         F.round(F.max("value"), 2).alias("hi"),
     )
+
+
+@register(
+    "ext_zscore_normalize",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ssq
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       floor(((CAST(round(e.value * 100) AS BIGINT)
+               - (CAST(s.sv AS DOUBLE) / s.n))
+              / sqrt((CAST(s.ssq AS DOUBLE)
+                      - s.n * ((CAST(s.sv AS DOUBLE) / s.n)
+                               * (CAST(s.sv AS DOUBLE) / s.n))) / (s.n - 1)))
+             * 10000 + 0.5) / 10000.0 AS zscore
+FROM events e JOIN s ON e.event_type = s.event_type
+""",
+)
+def ext_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Z-SCORE standardization — the feature transform every
+    model-input pipeline applies ((x - mean) / stddev per group; the
+    repair sibling of ``ext_outlier_mad``'s robust flagging and
+    ``ext_winsorize``'s clipping).
+
+    Group moments come from ONE map-side-combined aggregate (exact
+    integer-cent sums — the float-order discipline) that BROADCASTS back
+    onto the facts; the normalization itself is a codegen projection.
+    Identical double arithmetic both engines, explicit half-up round."""
+    events = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    s = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("sv"),
+        F.sum(cents * cents).cast("long").alias("ssq"),
+    )
+    mean = F.col("sv").cast("double") / F.col("n")
+    var = (F.col("ssq").cast("double") - F.col("n") * (mean * mean)) / (
+        F.col("n") - 1
+    )
+    z = (cents - mean) / F.sqrt(var)
+    return events.join(F.broadcast(s), "event_type").select(
+        "event_id",
+        "event_type",
+        (F.floor(z * 10000 + 0.5) / 10000.0).alias("zscore"),
+    )
