@@ -86,6 +86,8 @@ HEADLINE = [
     "agg_share_of_parent",
     "ext_zscore_normalize",
     "agg_rfm_segments",
+    "ext_weighted_sample",
+    "agg_association_rules",
     # Block 1 — round-10 session-2 additions (no driver-recorded signal
     # yet): space-filling-curve layouts, pattern matching batch+stream,
     # quantization, row tracking, sketches, linkage, robust stats.

@@ -441,3 +441,59 @@ def ext_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("min_id"),
         F.sum("doc_id").cast("long").alias("id_sum"),
     )
+
+
+_WS_K = 100
+
+
+@register(
+    "ext_weighted_sample",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
+            / 4294967296.0) / n_chars AS k
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, weight,
+       floor(k * 1000000 + 0.5) / 1000000.0 AS sample_key
+FROM keyed
+ORDER BY k DESC, doc_id
+LIMIT {_WS_K}
+""",
+)
+def ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling without replacement (Efraimidis & Spirakis
+    2006): each item draws key u^(1/w) — here ranked by the monotone
+    equivalent ln(u)/w — and the global top-K IS an exact weighted
+    sample; long documents (weight = n_chars) are proportionally more
+    likely, the standard size-biased corpus draw.  The uniform u is the
+    engine-shared md5-prefix hash (+1 to dodge ln(0)), so the "random"
+    draw is deterministic, reproducible, and hash-checkable — the
+    no-rand() discipline of every sampler here.
+
+    One projection + TakeOrderedAndProject heaps: no shuffle, no sort of
+    the corpus — the distributed weighted-reservoir algorithm verbatim
+    (each partition keeps K candidates, the driver merges heaps)."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.expr(
+            "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"
+        )
+        + 1.0
+    ) / 4294967296.0
+    k = F.log(u) / F.col("n_chars")
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        k.alias("k"),
+    )
+    return (
+        keyed.orderBy(F.desc("k"), "doc_id")
+        .limit(_WS_K)
+        .select(
+            "doc_id",
+            "weight",
+            (F.floor(F.col("k") * 1000000 + 0.5) / 1000000.0).alias("sample_key"),
+        )
+    )

@@ -1392,3 +1392,91 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("monetary_cents").cast("long").alias("segment_value_cents"),
         )
     )
+
+
+_RULE_MIN_SUPPORT = 10
+_RULE_TOP_K = 50
+
+
+@register(
+    "agg_association_rules",
+    oracle=f"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey, l_partkey % 100 AS item
+  FROM lineitem
+), n AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM b
+), item_n AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1
+), pair_n AS (
+  SELECT x.item AS item_a, y.item AS item_b, CAST(count(*) AS BIGINT) AS both_cnt
+  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.item < y.item
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, both_cnt,
+       floor((CAST(p.both_cnt AS DOUBLE) / ia.cnt) * 1000000 + 0.5) / 1000000.0 AS confidence,
+       floor(((CAST(p.both_cnt AS DOUBLE) * n.n_baskets)
+              / (CAST(ia.cnt AS DOUBLE) * ib.cnt)) * 1000000 + 0.5) / 1000000.0 AS lift
+FROM pair_n p
+JOIN item_n ia ON p.item_a = ia.item
+JOIN item_n ib ON p.item_b = ib.item
+CROSS JOIN n
+WHERE p.both_cnt >= {_RULE_MIN_SUPPORT}
+ORDER BY floor(((CAST(p.both_cnt AS DOUBLE) * n.n_baskets)
+              / (CAST(ia.cnt AS DOUBLE) * ib.cnt)) * 1000000 + 0.5) / 1000000.0 DESC,
+         item_a, item_b
+LIMIT {_RULE_TOP_K}
+""",
+)
+def agg_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET association rules (Apriori's scoring stage):
+    support / confidence / lift for item pairs co-occurring in an order
+    — items bucketed to part%100 classes so baskets hold comparable
+    item sets.  Lift > 1 = genuinely associated, the
+    recommendation-rule screen.
+
+    Scale discipline: pairs generate ONLY inside a basket (orders hold
+    ~4 lines → ≤6 pairs each — transaction-bounded, never catalog²),
+    the DISTINCT rail stops line-multiplicity inflation, item marginals
+    broadcast onto the pair table, and the top-k by lift is
+    TakeOrderedAndProject.  Exact integer counts; one explicit half-up
+    rounded ratio per score."""
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        "l_orderkey", (F.col("l_partkey") % 100).alias("item")
+    ).distinct()
+    n = b.agg(F.countDistinct("l_orderkey").cast("long").alias("n_baskets"))
+    item_n = b.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    x = b.select("l_orderkey", F.col("item").alias("item_a"))
+    y = b.select("l_orderkey", F.col("item").alias("item_b"))
+    pair_n = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("both_cnt"))
+        .filter(F.col("both_cnt") >= _RULE_MIN_SUPPORT)
+    )
+    ia = item_n.select(F.col("item").alias("item_a"), F.col("cnt").alias("cnt_a"))
+    ib = item_n.select(F.col("item").alias("item_b"), F.col("cnt").alias("cnt_b"))
+
+    def r6(xcol):
+        return F.floor(xcol * 1000000 + 0.5) / 1000000.0
+
+    conf = F.col("both_cnt").cast("double") / F.col("cnt_a")
+    lift = (F.col("both_cnt").cast("double") * F.col("n_baskets")) / (
+        F.col("cnt_a").cast("double") * F.col("cnt_b")
+    )
+    return (
+        pair_n.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .join(F.broadcast(n))
+        .select(
+            "item_a",
+            "item_b",
+            "both_cnt",
+            r6(conf).alias("confidence"),
+            r6(lift).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "item_a", "item_b")
+        .limit(_RULE_TOP_K)
+    )
