@@ -88,6 +88,8 @@ HEADLINE = [
     "agg_rfm_segments",
     "ext_weighted_sample",
     "agg_association_rules",
+    "ext_multimodal_audio_features",
+    "ext_multimodal_phash",
     # Block 1 — round-10 session-2 additions (no driver-recorded signal
     # yet): space-filling-curve layouts, pattern matching batch+stream,
     # quantization, row tracking, sketches, linkage, robust stats.

@@ -590,3 +590,220 @@ def ext_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blobs.mapInPandas(
         decode_resize, schema="doc_id long, thumb string, thumb_sum long"
     )
+
+
+@register(
+    "ext_multimodal_audio_features",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST(doc_id % 1000 + 63 AS INT))) AS i
+  FROM documents
+), v AS (
+  SELECT doc_id, i,
+         CAST((doc_id * 31 + i * 17) % 4096 - 2048 AS BIGINT) AS amp
+  FROM s
+), w AS (
+  SELECT doc_id, i, amp,
+         lag(amp) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM v
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(amp * amp) AS BIGINT) AS energy,
+       CAST(max(abs(amp)) AS BIGINT) AS peak,
+       CAST(sum(CASE WHEN prev IS NOT NULL
+                     AND ((prev < 0 AND amp >= 0) OR (prev >= 0 AND amp < 0))
+                THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM w
+GROUP BY doc_id
+""",
+)
+def ext_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio FEATURE EXTRACTION (beyond ``ext_multimodal_wav``'s
+    frame slicing): each document gets a 16-bit mono PCM WAV whose
+    sample i holds the patterned amplitude ((31·doc_id + 17·i) mod 4096)
+    − 2048; the numpy kernel must parse the RIFF header, read int16
+    LITTLE-ENDIAN at offset 44, and compute the energy (sum of squares),
+    peak, and zero-crossing count — wrong endianness, a header
+    off-by-one, or a dropped sample hash-mismatches against the oracle's
+    relational replay of the generator.  Energy/crossings are the
+    features VAD, silence trimming, and audio dedup key on.
+
+    Scale shape: build and decode are partition-preserving mapInPandas
+    over Arrow batches; features are exact integers (no float-sum
+    hazard); per-doc output is 1 row."""
+    import numpy as np
+    import struct as _struct
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = did % 1000 + 64
+                i = np.arange(n, dtype=np.int64)
+                amp = ((did * 31 + i * 17) % 4096 - 2048).astype("<i2")
+                data = amp.tobytes()
+                hdr = (
+                    b"RIFF"
+                    + _struct.pack("<I", 36 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                    + b"data"
+                    + _struct.pack("<I", len(data))
+                )
+                payloads.append(hdr + data)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                data_len = _struct.unpack_from("<I", buf, 40)[0]
+                amp = np.frombuffer(
+                    buf, dtype="<i2", count=data_len // 2, offset=44
+                ).astype(np.int64)
+                sign = amp < 0
+                zc = int(np.count_nonzero(sign[1:] != sign[:-1]))
+                out.append(
+                    (
+                        int(did),
+                        len(amp),
+                        int((amp * amp).sum()),
+                        int(np.abs(amp).max()),
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "energy",
+                    "peak",
+                    "zero_crossings",
+                ],
+            )
+
+    blobs = docs.mapInPandas(build, schema="doc_id long, payload binary")
+    return blobs.mapInPandas(
+        features,
+        schema=(
+            "doc_id long, n_samples long, energy long, peak long, "
+            "zero_crossings long"
+        ),
+    )
+
+
+@register(
+    "ext_multimodal_phash",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 63), k ->
+           3 * ((7 * (((k % 8) * (doc_id % 64 + 1)) // 8)
+                 + 13 * (((k // 8) * (doc_id % 48 + 1)) // 8)
+                 + doc_id) % 256)) AS thumb
+  FROM documents
+), bits AS (
+  SELECT doc_id,
+         unnest(generate_series(0, 62)) AS k
+  FROM t
+), scored AS (
+  SELECT b.doc_id,
+         CAST((b.k // 8) * 7 + (b.k % 8) AS BIGINT) AS bit_idx,
+         CASE WHEN t.thumb[CAST(b.k AS INT) + 2] > t.thumb[CAST(b.k AS INT) + 1]
+              THEN 1 ELSE 0 END AS bit
+  FROM bits b JOIN t ON b.doc_id = t.doc_id
+  WHERE b.k % 8 < 7
+), hashed AS (
+  SELECT doc_id,
+         CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(bit_idx AS INT))) AS BIGINT) AS dhash
+  FROM scored GROUP BY doc_id
+)
+SELECT dhash,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM hashed GROUP BY dhash
+""",
+)
+def ext_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL image dedup via dHash (difference hash): decode the
+    patterned BMPs, nearest-neighbor-sample the 8x8 thumbnail (the
+    ``ext_multimodal_resize`` kernel), then hash the HORIZONTAL GRADIENT
+    SIGN — 7 adjacent-pixel comparisons per row = a 56-bit fingerprint
+    that survives re-encoding, scaling, and brightness shifts (the
+    transformations that defeat the byte-level md5 of
+    ``ext_multimodal_dedup``).  Images whose thumbnails share every
+    gradient sign collapse to one group; the oracle replays the pixel
+    pattern relationally, so a decoder, sampler, OR bit-packing bug
+    hash-mismatches.
+
+    Scale shape: decode+hash is partition-preserving mapInPandas (the
+    fingerprint leaves the kernel as ONE int64 — payloads never
+    shuffle); the dedup groupBy moves 8-byte keys, the ext_dedup_exact
+    posture.  Hamming-near pairs (distance <= t) extend via the
+    ext_dedup_simhash band trick on the same fingerprints."""
+    import numpy as np
+    import struct as _struct
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = did % 64 + 1
+                h = did % 48 + 1
+                stride = ((3 * w + 3) // 4) * 4
+                size = 54 + stride * h
+                hdr = b"BM" + _struct.pack("<IHHI", size, 0, 0, 54)
+                dib = _struct.pack(
+                    "<IiiHHIIiiII",
+                    40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0,
+                )
+                x = np.arange(w, dtype=np.int64)
+                body = bytearray()
+                for r in range(h):
+                    y_img = h - 1 - r
+                    vals = ((7 * x + 13 * y_img + did) % 256).astype(np.uint8)
+                    body += np.repeat(vals, 3).tobytes() + bytes(stride - 3 * w)
+                payloads.append(hdr + dib + bytes(body))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    def dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                w = _struct.unpack_from("<i", buf, 18)[0]
+                h = _struct.unpack_from("<i", buf, 22)[0]
+                stride = ((3 * w + 3) // 4) * 4
+                rows = np.frombuffer(
+                    buf, dtype=np.uint8, count=stride * h, offset=54
+                ).reshape(h, stride)
+                img = rows[::-1, : 3 * w : 3].astype(np.int64)
+                sy = (np.arange(8) * h) // 8
+                sx = (np.arange(8) * w) // 8
+                thumb = 3 * img[np.ix_(sy, sx)]
+                bits = (thumb[:, 1:] > thumb[:, :-1]).astype(np.int64)
+                idx = np.arange(56, dtype=np.int64)
+                out.append((int(did), int((bits.ravel() << idx).sum())))
+            yield pd.DataFrame(out, columns=["doc_id", "dhash"])
+
+    blobs = docs.mapInPandas(build, schema="doc_id long, payload binary")
+    hashed = blobs.mapInPandas(dhash, schema="doc_id long, dhash long")
+    return hashed.groupBy("dhash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("keep_id"),
+    )
