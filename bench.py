@@ -90,6 +90,9 @@ HEADLINE = [
     "agg_association_rules",
     "ext_multimodal_audio_features",
     "ext_multimodal_phash",
+    "ext_multimodal_phash_near",
+    "win_control_chart",
+    "agg_pareto",
     # Block 1 — round-10 session-2 additions (no driver-recorded signal
     # yet): space-filling-curve layouts, pattern matching batch+stream,
     # quantization, row tracking, sketches, linkage, robust stats.

@@ -807,3 +807,151 @@ def ext_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.min("doc_id").cast("long").alias("keep_id"),
     )
+
+
+_PHASH_BANDS = 4        # 56-bit fingerprint → 4 bands of 14 bits
+_PHASH_MAX_HAMMING = 6  # near-duplicate gate
+
+
+@register(
+    "ext_multimodal_phash_near",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 63), k ->
+           3 * ((7 * (((k % 8) * (doc_id % 64 + 1)) // 8)
+                 + 13 * (((k // 8) * (doc_id % 48 + 1)) // 8)
+                 + doc_id) % 256)) AS thumb
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         unnest(generate_series(0, 62)) AS k
+  FROM t
+), hashed AS (
+  SELECT s.doc_id,
+         CAST(sum(CASE WHEN s.k % 8 < 7 AND
+                  t.thumb[CAST(s.k AS INT) + 2] > t.thumb[CAST(s.k AS INT) + 1]
+             THEN CAST(1 AS BIGINT) << CAST((s.k // 8) * 7 + (s.k % 8) AS INT)
+             ELSE 0 END) AS BIGINT) AS dhash
+  FROM scored s JOIN t ON s.doc_id = t.doc_id
+  GROUP BY s.doc_id
+), reps AS (
+  SELECT dhash, min(doc_id) AS rep FROM hashed GROUP BY dhash
+), banded AS (
+  SELECT dhash, rep, unnest(generate_series(0, {_PHASH_BANDS - 1})) AS band
+  FROM reps
+), keyed AS (
+  SELECT dhash, rep, band,
+         (dhash >> CAST(band * 14 AS INT)) & 16383 AS band_key
+  FROM banded
+), cand AS (
+  SELECT DISTINCT a.dhash AS h1, a.rep AS r1, b.dhash AS h2, b.rep AS r2
+  FROM keyed a JOIN keyed b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.rep < b.rep
+)
+SELECT r1, r2,
+       CAST(bit_count(CAST(xor(h1, h2) AS BIGINT)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(CAST(xor(h1, h2) AS BIGINT)) <= {_PHASH_MAX_HAMMING}
+""",
+)
+def ext_multimodal_phash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate perceptual matching: dHash fingerprints whose
+    Hamming distance is <= {maxh} (slightly-edited images — a few
+    flipped gradient signs — that exact-fingerprint grouping misses).
+    Candidate generation is the LSH BAND TRICK on the fingerprint
+    itself: 4 x 14-bit bands, a pair is considered only if SOME band
+    matches exactly (any pair within Hamming {maxh} of a 56-bit hash
+    with <= 3 flipped bits must agree on at least one band by
+    pigeonhole; up to {maxh} flips is high-recall), then verified with bit_count(xor) — integer-exact.
+
+    Scale shape: dedup to distinct fingerprints FIRST (reps), band keys
+    explode 4x on the |distinct hashes| table (never the corpus), the
+    band equi-join is the only pair generator (no unbucketed cross
+    join), and verification is one codegen bit op per candidate — the
+    ext_dedup_simhash posture applied to images."""
+    import numpy as np
+    import struct as _struct
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = did % 64 + 1
+                h = did % 48 + 1
+                stride = ((3 * w + 3) // 4) * 4
+                size = 54 + stride * h
+                hdr = b"BM" + _struct.pack("<IHHI", size, 0, 0, 54)
+                dib = _struct.pack(
+                    "<IiiHHIIiiII",
+                    40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0,
+                )
+                x = np.arange(w, dtype=np.int64)
+                body = bytearray()
+                for r in range(h):
+                    y_img = h - 1 - r
+                    vals = ((7 * x + 13 * y_img + did) % 256).astype(np.uint8)
+                    body += np.repeat(vals, 3).tobytes() + bytes(stride - 3 * w)
+                payloads.append(hdr + dib + bytes(body))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    def dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                w = _struct.unpack_from("<i", buf, 18)[0]
+                h = _struct.unpack_from("<i", buf, 22)[0]
+                stride = ((3 * w + 3) // 4) * 4
+                rows = np.frombuffer(
+                    buf, dtype=np.uint8, count=stride * h, offset=54
+                ).reshape(h, stride)
+                img = rows[::-1, : 3 * w : 3].astype(np.int64)
+                sy = (np.arange(8) * h) // 8
+                sx = (np.arange(8) * w) // 8
+                thumb = 3 * img[np.ix_(sy, sx)]
+                bits = (thumb[:, 1:] > thumb[:, :-1]).astype(np.int64)
+                idx = np.arange(56, dtype=np.int64)
+                out.append((int(did), int((bits.ravel() << idx).sum())))
+            yield pd.DataFrame(out, columns=["doc_id", "dhash"])
+
+    blobs = docs.mapInPandas(build, schema="doc_id long, payload binary")
+    hashed = blobs.mapInPandas(dhash, schema="doc_id long, dhash long")
+    reps = hashed.groupBy("dhash").agg(F.min("doc_id").cast("long").alias("rep"))
+    band = F.explode(
+        F.array(*[F.lit(b) for b in range(_PHASH_BANDS)])
+    ).alias("band")
+    keyed = reps.select(
+        "dhash",
+        "rep",
+        band,
+    ).withColumn(
+        "band_key",
+        F.expr("shiftright(dhash, cast(band * 14 as int)) & 16383"),
+    )
+    a = keyed.select(
+        F.col("dhash").alias("h1"), F.col("rep").alias("r1"), "band", "band_key"
+    )
+    b = keyed.select(
+        F.col("dhash").alias("h2"), F.col("rep").alias("r2"), "band", "band_key"
+    )
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("r1") < F.col("r2"))
+        .select("h1", "r1", "h2", "r2")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("long")
+    return cand.select("r1", "r2", hamming.alias("hamming")).filter(
+        F.col("hamming") <= _PHASH_MAX_HAMMING
+    )
+
+
+ext_multimodal_phash_near.__doc__ = ext_multimodal_phash_near.__doc__.format(
+    maxh=_PHASH_MAX_HAMMING
+)

@@ -1480,3 +1480,77 @@ def agg_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "item_a", "item_b")
         .limit(_RULE_TOP_K)
     )
+
+
+@register(
+    "agg_pareto",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT o_custkey, rev,
+         CAST(row_number() OVER (ORDER BY rev DESC, o_custkey) AS BIGINT) AS rk,
+         CAST(sum(rev) OVER (ORDER BY rev DESC, o_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(rev) OVER () AS BIGINT) AS tot,
+         CAST(count(*) OVER () AS BIGINT) AS n_cust
+FROM cust
+)
+SELECT CAST(min(CASE WHEN cum >= tot * 0.8 THEN rk END) AS BIGINT) AS n_for_80pct,
+       CAST(min(n_cust) AS BIGINT) AS n_customers,
+       floor((CAST(min(CASE WHEN cum >= tot * 0.8 THEN rk END) AS DOUBLE)
+              / min(n_cust)) * 1000000 + 0.5) / 1000000.0 AS frac_for_80pct,
+       floor((CAST(max(CASE WHEN rk * 10 <= n_cust THEN cum END) AS DOUBLE)
+              / min(tot)) * 1000000 + 0.5) / 1000000.0 AS top_decile_share
+FROM ranked
+""",
+)
+def agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARETO concentration analysis (the 80/20 audit): how many
+    customers cover 80% of revenue, what fraction of the base that is,
+    and the top decile's revenue share — the concentration numbers
+    behind account tiering and risk reviews (its statistical twin
+    ``agg_gini`` reports the same inequality as one coefficient).
+
+    One groupBy to customer grain, one revenue-descending cumulative
+    window over the |customers|-row aggregate (never the fact table),
+    exact-cent integers until the two final ratios."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cust = o.groupBy("o_custkey").agg(F.sum(cents).cast("long").alias("rev"))
+    w = Window.orderBy(F.desc("rev"), "o_custkey")
+    ranked = cust.select(
+        "o_custkey",
+        "rev",
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.sum("rev")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum"),
+        F.sum("rev").over(Window.partitionBy()).cast("long").alias("tot"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n_cust"),
+    )
+
+    def r6(x):
+        return F.floor(x * 1000000 + 0.5) / 1000000.0
+
+    return ranked.agg(
+        F.min(F.when(F.col("cum") >= F.col("tot") * 0.8, F.col("rk")))
+        .cast("long")
+        .alias("n_for_80pct"),
+        F.min("n_cust").cast("long").alias("n_customers"),
+        r6(
+            F.min(
+                F.when(F.col("cum") >= F.col("tot") * 0.8, F.col("rk"))
+            ).cast("double")
+            / F.min("n_cust")
+        ).alias("frac_for_80pct"),
+        r6(
+            F.max(
+                F.when(F.col("rk") * 10 <= F.col("n_cust"), F.col("cum"))
+            ).cast("double")
+            / F.min("tot")
+        ).alias("top_decile_share"),
+    )

@@ -1059,3 +1059,94 @@ def ext_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dtw", "user_id")
         .limit(_DTW_TOP_K)
     )
+
+
+@register(
+    "win_control_chart",
+    oracle="""
+WITH seq AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(abs(CAST(round(value * 100) AS BIGINT)
+              - lag(CAST(round(value * 100) AS BIGINT)) OVER w) AS BIGINT) AS mr
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS sv,
+         CAST(sum(mr) AS BIGINT) AS smr,
+         CAST(count(mr) AS BIGINT) AS nmr
+  FROM seq GROUP BY 1
+)
+SELECT s.event_type, s.n,
+       floor(((CAST(s.sv AS DOUBLE) / s.n) / 100.0) * 10000 + 0.5) / 10000.0 AS center,
+       floor((((CAST(s.sv AS DOUBLE) / s.n)
+               + 2.66 * (CAST(s.smr AS DOUBLE) / s.nmr)) / 100.0) * 10000 + 0.5)
+         / 10000.0 AS ucl,
+       floor((((CAST(s.sv AS DOUBLE) / s.n)
+               - 2.66 * (CAST(s.smr AS DOUBLE) / s.nmr)) / 100.0) * 10000 + 0.5)
+         / 10000.0 AS lcl,
+       CAST((SELECT sum(CASE WHEN q.cents > (CAST(s.sv AS DOUBLE) / s.n)
+                                + 2.66 * (CAST(s.smr AS DOUBLE) / s.nmr)
+                          OR q.cents < (CAST(s.sv AS DOUBLE) / s.n)
+                                - 2.66 * (CAST(s.smr AS DOUBLE) / s.nmr)
+                    THEN 1 ELSE 0 END)
+             FROM seq q WHERE q.event_type = s.event_type) AS BIGINT) AS n_out_of_control
+FROM stats s
+""",
+)
+def win_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR CONTROL CHART (individuals + moving range, the SPC staple):
+    per series, center line = mean, control limits = mean ± 2.66 × mean
+    moving range (the Shewhart constant for n=2 subgroups), and the
+    out-of-control point count — the monitoring view that separates
+    common-cause noise from assignable shifts, complementing
+    ``ext_ts_changepoint`` (where) and ``stream_drift_monitor`` (when).
+
+    One (ts, event_id)-ordered lag window per series computes the
+    moving ranges; ONE aggregate yields mean and mean-MR; the
+    out-of-control scoring joins the |types|-row limits back as a
+    broadcast.  Exact integer cents throughout; explicit half-up
+    rounding."""
+    events = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type",
+        cents.alias("cents"),
+        F.abs(cents - F.lag(cents).over(w)).cast("long").alias("mr"),
+    )
+    stats = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sv"),
+        F.sum("mr").cast("long").alias("smr"),
+        F.count("mr").cast("long").alias("nmr"),
+    )
+    mean_c = F.col("sv").cast("double") / F.col("n")
+    mr_bar = F.col("smr").cast("double") / F.col("nmr")
+    ucl_c = mean_c + 2.66 * mr_bar
+    lcl_c = mean_c - 2.66 * mr_bar
+    flagged = (
+        seq.join(F.broadcast(stats), "event_type")
+        .filter((F.col("cents") > ucl_c) | (F.col("cents") < lcl_c))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_out_of_control"))
+    )
+
+    def r4(x):
+        return F.floor(x * 10000 + 0.5) / 10000.0
+
+    return (
+        stats.join(flagged, "event_type", "left")
+        .select(
+            "event_type",
+            "n",
+            r4(mean_c / 100.0).alias("center"),
+            r4(ucl_c / 100.0).alias("ucl"),
+            r4(lcl_c / 100.0).alias("lcl"),
+            F.coalesce(F.col("n_out_of_control"), F.lit(0))
+            .cast("long")
+            .alias("n_out_of_control"),
+        )
+    )
