@@ -93,6 +93,8 @@ HEADLINE = [
     "ext_multimodal_phash_near",
     "win_control_chart",
     "agg_pareto",
+    "agg_chi2_independence",
+    "ext_token_dispersion",
     # Block 1 — round-10 session-2 additions (no driver-recorded signal
     # yet): space-filling-curve layouts, pattern matching batch+stream,
     # quantization, row tracking, sketches, linkage, robust stats.

@@ -1078,3 +1078,70 @@ def ext_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+@register(
+    "ext_token_dispersion",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+), per_doc AS (
+  SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c FROM tf GROUP BY 1, 2
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), stats AS (
+  SELECT tok,
+         CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(c) AS BIGINT) AS total,
+         CAST(sum(c * c) AS BIGINT) AS ssq
+  FROM per_doc GROUP BY 1
+)
+SELECT s.tok, s.df, s.total,
+       floor((CAST(s.total AS DOUBLE) / n.n_docs) * 1000000 + 0.5) / 1000000.0 AS mean_tf,
+       floor((((CAST(s.ssq AS DOUBLE) - CAST(s.total AS DOUBLE)
+                * (CAST(s.total AS DOUBLE) / n.n_docs)) / (n.n_docs - 1))
+              / (CAST(s.total AS DOUBLE) / n.n_docs)) * 10000 + 0.5)
+         / 10000.0 AS dispersion
+FROM stats s CROSS JOIN n
+""",
+)
+def ext_token_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token BURSTINESS / dispersion index (variance-to-mean ratio of
+    per-document counts, docs without the token counting as zero):
+    dispersion ≈ 1 = Poisson-scattered filler words; >> 1 = bursty,
+    topical tokens that cluster in few documents — the
+    corpus-linguistics screen feeding stopword lists and topic-leak
+    checks (Church & Gale 1995 on word burstiness).  Zero-count docs
+    enter the moments via the marginal identity (sum over present docs
+    + zeros contribute nothing to sums), so no dense doc×token table
+    ever exists.
+
+    One (doc, tok) shuffle with map-side combine, then a per-token
+    1-row reduction broadcast against the corpus size.  Exact integer
+    sums; explicit half-up rounds."""
+    docs = table(spark, sf_dir, "documents")
+    tf = docs.select(F.explode(F.split("text", " ")).alias("tok"), "doc_id")
+    per_doc = tf.groupBy("tok", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    stats = per_doc.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ssq"),
+    )
+    mean_tf = F.col("total").cast("double") / F.col("n_docs")
+    var = (
+        F.col("ssq").cast("double") - F.col("total").cast("double") * mean_tf
+    ) / (F.col("n_docs") - 1)
+
+    def r(x, scale):
+        return F.floor(x * scale + 0.5) / float(scale)
+
+    return stats.join(F.broadcast(n)).select(
+        "tok",
+        "df",
+        "total",
+        r(mean_tf, 1000000).alias("mean_tf"),
+        r(var / mean_tf, 10000).alias("dispersion"),
+    )

@@ -1554,3 +1554,67 @@ def agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.min("tot")
         ).alias("top_decile_share"),
     )
+
+
+@register(
+    "agg_chi2_independence",
+    oracle="""
+WITH obs AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS o FROM documents GROUP BY 1, 2
+), rm AS (
+  SELECT lang, CAST(sum(o) AS BIGINT) AS rn FROM obs GROUP BY 1
+), cm AS (
+  SELECT source, CAST(sum(o) AS BIGINT) AS cn FROM obs GROUP BY 1
+), n AS (
+  SELECT CAST(sum(o) AS BIGINT) AS tot FROM obs
+)
+SELECT obs.lang, obs.source, obs.o,
+       floor(((CAST(rm.rn AS DOUBLE) * cm.cn) / n.tot) * 10000 + 0.5) / 10000.0 AS expected,
+       floor(((CAST(obs.o AS DOUBLE) - (CAST(rm.rn AS DOUBLE) * cm.cn) / n.tot)
+              * (CAST(obs.o AS DOUBLE) - (CAST(rm.rn AS DOUBLE) * cm.cn) / n.tot)
+              / ((CAST(rm.rn AS DOUBLE) * cm.cn) / n.tot)) * 1000000 + 0.5)
+         / 1000000.0 AS chi2_term
+FROM obs JOIN rm ON obs.lang = rm.lang
+JOIN cm ON obs.source = cm.source
+CROSS JOIN n
+""",
+)
+def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHI-SQUARE INDEPENDENCE test cells for the lang × source
+    contingency table: observed counts, independence-expected counts
+    (row·col/total), and per-cell chi-square contributions — the EDA
+    screen for 'is language correlated with source?' (a skewed cell =
+    a scraping or labeling artifact worth investigating before mixture
+    weights are chosen).  Per-cell output keeps the statistic
+    float-sum-free: the total chi2 and dof are one trivial reduction
+    the consumer can do, while each cell's term is a pure function of
+    exact integer counts.
+
+    One map-side-combined groupBy on the pair; marginals derive from
+    that same aggregate and broadcast back onto the |langs|×|sources|
+    cell table."""
+    docs = table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    ).persist()
+    rm = obs.groupBy("lang").agg(F.sum("o").cast("long").alias("rn"))
+    cm = obs.groupBy("source").agg(F.sum("o").cast("long").alias("cn"))
+    n = obs.agg(F.sum("o").cast("long").alias("tot"))
+    exp = (F.col("rn").cast("double") * F.col("cn")) / F.col("tot")
+    dev = F.col("o").cast("double") - exp
+
+    def r(x, scale):
+        return F.floor(x * scale + 0.5) / float(scale)
+
+    return (
+        obs.join(F.broadcast(rm), "lang")
+        .join(F.broadcast(cm), "source")
+        .join(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            "o",
+            r(exp, 10000).alias("expected"),
+            r(dev * dev / exp, 1000000).alias("chi2_term"),
+        )
+    )
