@@ -95,6 +95,8 @@ HEADLINE = [
     "agg_pareto",
     "agg_chi2_independence",
     "ext_token_dispersion",
+    "ext_column_profile",
+    "ext_embedding_norms",
     # Block 1 — round-10 session-2 additions (no driver-recorded signal
     # yet): space-filling-curve layouts, pattern matching batch+stream,
     # quantization, row tracking, sketches, linkage, robust stats.

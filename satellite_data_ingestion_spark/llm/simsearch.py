@@ -1721,3 +1721,67 @@ def ext_sim_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(_TOP_K)
     )
+
+
+@register(
+    "ext_embedding_norms",
+    oracle="""
+WITH norms AS (
+  SELECT vec_id, label,
+         sqrt(list_reduce(
+           list_prepend(0.0,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+           (acc, v) -> acc + v)) AS l2
+  FROM embeddings
+), st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         min(l2) AS lo, max(l2) AS hi,
+         avg(l2) AS mu
+  FROM norms
+)
+SELECT n.vec_id, n.label,
+       floor(n.l2 * 1000000 + 0.5) / 1000000.0 AS l2_norm,
+       n.l2 < st.mu * 0.5 OR n.l2 > st.mu * 2.0 AS norm_outlier
+FROM norms n CROSS JOIN st
+""",
+)
+def ext_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING QA: per-vector L2 norm plus an outlier flag (norm
+    outside [mu/2, 2·mu]) — the sanity screen every vector pipeline runs
+    before indexing (zero/exploded norms are encoder bugs or corrupt
+    rows; cosine search silently tolerates them, which is exactly why
+    they must be caught HERE).
+
+    Float determinism for a 64-term sum of squares: the fold runs
+    SEQUENTIALLY over the array order (Spark ``aggregate`` HOF ==
+    DuckDB ``list_reduce``, both left folds — the ext_kl_divergence
+    discipline), so the norm is bit-identical across engines.  The
+    corpus-mean threshold is a 1-row broadcast.  The avg(l2) itself is
+    aggregation-order-dependent, so the FLAG uses wide margins (2x)
+    where a 1-ulp mean wobble cannot flip a comparison — the outputs
+    hash exact while the statistic stays honest."""
+    emb = table(spark, sf_dir, "embeddings")
+    l2 = F.sqrt(
+        F.aggregate(
+            F.transform(
+                "embedding", lambda x: x.cast("double") * x.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    norms = emb.select("vec_id", "label", l2.alias("l2"))
+    st = norms.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("l2").alias("lo"),
+        F.max("l2").alias("hi"),
+        F.avg("l2").alias("mu"),
+    )
+    return norms.join(F.broadcast(st)).select(
+        "vec_id",
+        "label",
+        (F.floor(F.col("l2") * 1000000 + 0.5) / 1000000.0).alias("l2_norm"),
+        (
+            (F.col("l2") < F.col("mu") * 0.5) | (F.col("l2") > F.col("mu") * 2.0)
+        ).alias("norm_outlier"),
+    )

@@ -238,3 +238,56 @@ def ext_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ext_k_anonymity.__doc__ = ext_k_anonymity.__doc__.format(k=_K_ANON)
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+
+@register(
+    "ext_column_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""
+SELECT '{c}' AS col,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count({c}) AS BIGINT) AS n_nonnull,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
+       CAST(min({c}) AS VARCHAR) AS min_val,
+       CAST(max({c}) AS VARCHAR) AS max_val
+FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+)
+def ext_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN PROFILE — the ANALYZE TABLE statistics surface (row count,
+    non-null count, NDV, min/max per column, values rendered as strings
+    so one report covers mixed types): what a cost-based optimizer's
+    catalog stores, what a data catalog displays, and the input to the
+    selectivity math ``agg_histogram_equidepth`` refines.
+
+    All five columns profile in ONE aggregate pass (count/ndv/min/max
+    accumulators side by side — one scan, not five); NDV here is exact
+    (count distinct via expand) — at 100 TB swap approx_count_distinct,
+    the agg_approx_distinct path, same plan shape."""
+    o = table(spark, sf_dir, "orders")
+    one = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[
+            x
+            for c in _PROFILE_COLS
+            for x in (
+                F.count(c).cast("long").alias(f"nn_{c}"),
+                F.countDistinct(c).cast("long").alias(f"ndv_{c}"),
+                F.min(c).cast("string").alias(f"min_{c}"),
+                F.max(c).cast("string").alias(f"max_{c}"),
+            )
+        ],
+    )
+    stack = "stack({}, {}) as (col, n_nonnull, ndv, min_val, max_val)".format(
+        len(_PROFILE_COLS),
+        ", ".join(
+            f"'{c}', nn_{c}, ndv_{c}, min_{c}, max_{c}" for c in _PROFILE_COLS
+        ),
+    )
+    return one.select("n_rows", F.expr(stack)).select(
+        "col", "n_rows", "n_nonnull", "ndv", "min_val", "max_val"
+    )
