@@ -198,3 +198,26 @@ def test_register_rejects_cross_module_duplicates():
     fake.__module__ = "tests.other_module"
     with _pytest.raises(ValueError, match="already registered"):
         registry.register("scan_parquet")(fake)
+
+
+def test_bench_headline_names_valid():
+    """Every bench.py HEADLINE entry must be a registered query and
+    appear once — a renamed/retired query would otherwise break the
+    bench only at runtime, losing the whole round's perf artifact."""
+    import ast
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tree = ast.parse(open(os.path.join(root, "bench.py")).read())
+    names = None
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Assign)
+            and getattr(node.targets[0], "id", "") == "HEADLINE"
+        ):
+            names = [ast.literal_eval(e) for e in node.value.elts]
+    assert names, "bench.py lost its HEADLINE list"
+    qs = set(registry.queries())
+    missing = [n for n in names if n not in qs]
+    assert not missing, f"HEADLINE names not in registry: {missing}"
+    assert len(names) == len(set(names)), "duplicate HEADLINE entries"
