@@ -1920,3 +1920,51 @@ def ext_dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(
         F.broadcast(verified.withColumn("_hit", F.lit(True))), "h", "left"
     ).select("doc_id", F.coalesce("_hit", F.lit(False)).alias("is_dup"))
+
+
+@register(
+    "ext_dedup_inflation",
+    oracle="""
+WITH d AS (
+  SELECT source, md5(coalesce(text, '')) AS h,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_raw,
+       floor((CAST(count(*) AS DOUBLE) / count(DISTINCT h)) * 10000 + 0.5)
+         / 10000.0 AS inflation
+FROM d GROUP BY source
+""",
+)
+def ext_dedup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP INFLATION per source — the data-card number a corpus vendor
+    must disclose: raw document count vs unique-content count and their
+    ratio (inflation 2.0 = half the source is copies; 'effective
+    dataset size' in the scaling-law sense).  Sources with high
+    inflation get their mixture weight cut BEFORE training, which is
+    why this census runs ahead of ``ext_mix_sample``.
+
+    One groupBy on source with a 16-byte-hash distinct inside — content
+    never shuffles twice; the report is |sources| rows."""
+    docs = table(spark, sf_dir, "documents")
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    d = docs.select(
+        "source",
+        h.alias("h"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("h").cast("long").alias("n_unique"),
+        F.sum("n_tokens").cast("long").alias("tokens_raw"),
+        (
+            F.floor(
+                (F.count(F.lit(1)).cast("double") / F.countDistinct("h")) * 10000
+                + 0.5
+            )
+            / 10000.0
+        ).alias("inflation"),
+    )

@@ -853,3 +853,55 @@ def win_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("downtime_sec"),
     )
+
+
+@register(
+    "agg_new_vs_returning",
+    oracle="""
+WITH firsts AS (
+  SELECT o_custkey, min(o_orderdate) AS first_dt FROM orders GROUP BY 1
+), tagged AS (
+  SELECT strftime(CAST(o.o_orderdate AS DATE), '%Y-%m') AS month,
+         CASE WHEN o.o_orderdate = f.first_dt THEN 1 ELSE 0 END AS is_new
+  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+)
+SELECT month,
+       CAST(sum(is_new) AS BIGINT) AS n_new,
+       CAST(sum(1 - is_new) AS BIGINT) AS n_returning,
+       floor((CAST(sum(1 - is_new) AS DOUBLE) / count(*)) * 1000000 + 0.5)
+         / 1000000.0 AS returning_frac
+FROM tagged GROUP BY month
+""",
+)
+def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW vs RETURNING decomposition per month — the growth-accounting
+    split every subscription/commerce dashboard leads with (rising
+    volume from a shrinking new-share is a very different business than
+    the same volume from acquisition): an order is 'new' iff it falls on
+    its customer's first order date.
+
+    One window (or aggregate-join, as here: min-date per customer is a
+    |customers|-row aggregate joined back on the key) tags each order;
+    monthly rollup is map-side combined.  Cohort retention
+    (``agg_cohort_retention``) is the month×month matrix refinement of
+    this 1-D split."""
+    o = table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    tagged = o.join(firsts, "o_custkey").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.when(F.col("o_orderdate") == F.col("first_dt"), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    return tagged.groupBy("month").agg(
+        F.sum("is_new").cast("long").alias("n_new"),
+        F.sum(1 - F.col("is_new")).cast("long").alias("n_returning"),
+        (
+            F.floor(
+                (F.sum(1 - F.col("is_new")).cast("double") / F.count(F.lit(1)))
+                * 1000000
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("returning_frac"),
+    )
