@@ -99,6 +99,8 @@ HEADLINE = [
     "ext_embedding_norms",
     "ext_dedup_inflation",
     "agg_new_vs_returning",
+    "win_vwap",
+    "ext_bigram_freq",
     # Block 1 — round-10 session-2 additions (no driver-recorded signal
     # yet): space-filling-curve layouts, pattern matching batch+stream,
     # quantization, row tracking, sketches, linkage, robust stats.

@@ -1145,3 +1145,54 @@ def ext_token_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         r(mean_tf, 1000000).alias("mean_tf"),
         r(var / mean_tf, 10000).alias("dispersion"),
     )
+
+
+_BIGRAM_TOP_K = 100
+
+
+@register(
+    "ext_bigram_freq",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS ts FROM documents
+), bg AS (
+  SELECT ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] AS bigram
+  FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM toks)
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM bg
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT {_BIGRAM_TOP_K}
+""",
+)
+def ext_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIGRAM frequency table (top-{k}) — the n-gram statistic under
+    every count-based LM, collocation extractor, and the
+    contamination-check's shingle units (``ext_contamination_check``
+    compares exactly these across splits); ``ext_vocab_topk`` is the
+    n=1 case, ``ext_pmi_cooccurrence`` the order-free doc-level
+    cousin — this one preserves ADJACENCY.
+
+    Bigrams form INSIDE the token array (a transform over the index
+    sequence — no position self-join, no second explode), then one
+    map-side-combined groupBy; top-k is TakeOrderedAndProject.  The
+    31-token vocabulary bounds distinct bigrams at |V|² — at web scale
+    the same plan hash-partitions fine because bigram keys are
+    short strings with heavy combine."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i]))"
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(_BIGRAM_TOP_K)
+    )
+
+
+ext_bigram_freq.__doc__ = ext_bigram_freq.__doc__.format(k=_BIGRAM_TOP_K)

@@ -905,3 +905,69 @@ def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("returning_frac"),
     )
+
+
+@register(
+    "win_vwap",
+    oracle="""
+WITH x AS (
+  SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber,
+         CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT) AS pv_cents,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+), w AS (
+  SELECT l_returnflag, l_orderkey, l_linenumber,
+         CAST(sum(pv_cents) OVER win AS BIGINT) AS cum_pv,
+         CAST(sum(qty) OVER win AS BIGINT) AS cum_qty
+  FROM x
+  WINDOW win AS (PARTITION BY l_returnflag
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, qty, pv_cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       floor(((CAST(cum_pv AS DOUBLE) / 100.0) / cum_qty) * 10000 + 0.5)
+         / 10000.0 AS vwap
+FROM w
+""",
+)
+def win_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running VWAP (volume-weighted average price) per flag class —
+    the execution-quality benchmark of every trading/market pipeline,
+    and the canonical weighted running ratio: cum(price x qty)/cum(qty)
+    over the ship-date timeline.
+
+    Both cumulative sums accumulate EXACT integers (price-cents x
+    integral qty), so the sequential window is bit-stable and only the
+    final division is floating point (one op, identical operands both
+    engines, explicit half-up round).  One exchange on the partition
+    key; per-row output is intentional — VWAP is consumed as a running
+    column, not a summary."""
+    li = table(spark, sf_dir, "lineitem")
+    pv = (F.round(F.col("l_extendedprice") * 100).cast("long")
+          * F.col("l_quantity").cast("long"))
+    qty = F.col("l_quantity").cast("long")
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", qty, pv)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.sum(pv).over(w).cast("long").alias("cum_pv"),
+        F.sum(qty).over(w).cast("long").alias("cum_qty"),
+    )
+    return x.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        (
+            F.floor(
+                ((F.col("cum_pv").cast("double") / 100.0) / F.col("cum_qty"))
+                * 10000
+                + 0.5
+            )
+            / 10000.0
+        ).alias("vwap"),
+    )
