@@ -101,6 +101,8 @@ HEADLINE = [
     "agg_new_vs_returning",
     "win_vwap",
     "ext_bigram_freq",
+    "win_index_rebase",
+    "agg_abc_analysis",
     # Block 1 — round-10 session-2 additions (no driver-recorded signal
     # yet): space-filling-curve layouts, pattern matching batch+stream,
     # quantization, row tracking, sketches, linkage, robust stats.

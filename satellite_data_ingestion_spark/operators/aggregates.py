@@ -1618,3 +1618,76 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             r(dev * dev / exp, 1000000).alias("chi2_term"),
         )
     )
+
+
+@register(
+    "agg_abc_analysis",
+    oracle="""
+WITH part_rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT l_partkey, rev,
+         CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(rev) OVER () AS BIGINT) AS tot
+  FROM part_rev
+), classed AS (
+  SELECT l_partkey, rev,
+         CASE WHEN cum <= tot * 0.8 THEN 'A'
+              WHEN cum <= tot * 0.95 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM ranked
+)
+SELECT abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(rev) AS BIGINT) AS class_rev_cents,
+       floor((CAST(sum(rev) AS DOUBLE) / min(t.tot)) * 1000000 + 0.5)
+         / 1000000.0 AS rev_share
+FROM classed CROSS JOIN (SELECT CAST(sum(rev) AS BIGINT) AS tot FROM part_rev) t
+GROUP BY abc_class
+""",
+)
+def agg_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC INVENTORY CLASSIFICATION (the operational form of the Pareto
+    audit ``agg_pareto``): parts bucketed by cumulative revenue share —
+    A carries the first 80%, B to 95%, C the tail — with per-class
+    counts and shares, the stock-policy segmentation every supply chain
+    runs.
+
+    The cumulative window runs over the part-grain aggregate (catalog-
+    sized, never facts); exact-cent integers until the single share
+    ratio."""
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    part_rev = li.groupBy("l_partkey").agg(F.sum(cents).cast("long").alias("rev"))
+    w = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot_w = Window.partitionBy()
+    ranked = part_rev.select(
+        "l_partkey",
+        "rev",
+        F.sum("rev").over(w).cast("long").alias("cum"),
+        F.sum("rev").over(tot_w).cast("long").alias("tot"),
+    )
+    abc = (
+        F.when(F.col("cum") <= F.col("tot") * 0.8, "A")
+        .when(F.col("cum") <= F.col("tot") * 0.95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.withColumn("abc_class", abc)
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("rev").cast("long").alias("class_rev_cents"),
+            (
+                F.floor(
+                    (F.sum("rev").cast("double") / F.min("tot")) * 1000000 + 0.5
+                )
+                / 1000000.0
+            ).alias("rev_share"),
+        )
+    )

@@ -971,3 +971,53 @@ def win_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("vwap"),
     )
+
+
+@register(
+    "win_index_rebase",
+    oracle="""
+WITH m AS (
+  SELECT o_orderpriority,
+         strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, month,
+       floor((CAST(rev_cents AS DOUBLE) / 100.0) * 100 + 0.5) / 100.0 AS revenue,
+       floor((100.0 * rev_cents
+              / first_value(rev_cents) OVER (
+                  PARTITION BY o_orderpriority ORDER BY month)) * 10000 + 0.5)
+         / 10000.0 AS index_100
+FROM m
+""",
+)
+def win_index_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX REBASING (first period = 100) per series — how economists
+    and BI dashboards compare growth across series of different
+    magnitudes (a CPI-style index): each month's revenue expressed
+    relative to the series' first month.  Completes the trend trio with
+    ``win_period_over_period`` (deltas) and ``win_drawdown`` (peaks).
+
+    The window runs over the month-grain AGGREGATE (≤ |priorities| x
+    |months| rows), never facts; exact-cent sums, one float ratio."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    m = o.groupBy(
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    ).agg(F.sum(cents).cast("long").alias("rev_cents"))
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    return m.select(
+        "o_orderpriority",
+        "month",
+        (F.floor((F.col("rev_cents").cast("double") / 100.0) * 100 + 0.5) / 100.0)
+        .alias("revenue"),
+        (
+            F.floor(
+                (100.0 * F.col("rev_cents") / F.first("rev_cents").over(w))
+                * 10000
+                + 0.5
+            )
+            / 10000.0
+        ).alias("index_100"),
+    )
