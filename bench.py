@@ -103,6 +103,8 @@ HEADLINE = [
     "ext_bigram_freq",
     "win_index_rebase",
     "agg_abc_analysis",
+    "agg_cohort_ltv",
+    "fn_business_day",
     # Block 1 — round-10 session-2 additions (no driver-recorded signal
     # yet): space-filling-curve layouts, pattern matching batch+stream,
     # quantization, row tracking, sketches, linkage, robust stats.

@@ -902,3 +902,43 @@ def fn_user_agent_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("os"),
         (is_bot_marker | F.col("ua").contains("curl")).alias("is_bot"),
     )
+
+
+@register(
+    "fn_business_day",
+    oracle="""
+SELECT event_id,
+       CAST(ts AS DATE) AS d,
+       CAST((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7 AS BIGINT) AS dow,
+       ((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7) IN (5, 6) AS is_weekend,
+       CAST(ts AS DATE) + CAST(
+         CASE (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7
+           WHEN 4 THEN 3 WHEN 5 THEN 2 ELSE 1 END AS INT) AS next_business_day
+FROM events
+""",
+)
+def fn_business_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUSINESS-DAY calendar math: day-of-week, weekend flag, and the
+    next business day per event — the settlement/SLA-deadline primitive.
+    Day-of-week comes from EPOCH-DAY ARITHMETIC ((days + 4) % 7 with
+    Monday = 0; 1970-01-01 was a Thursday), NOT from each engine's
+    dayofweek() — their numbering conventions differ (Spark 1 = Sunday,
+    DuckDB 0 = Sunday), which is exactly the cross-system bug this
+    formulation removes.  Friday jumps 3 days, Saturday 2, else 1.
+
+    Pure projection, integer date math, no timezone surface (the
+    session pins UTC and the arithmetic never leaves DATE grain)."""
+    events = table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    days = F.datediff(d, F.lit("1970-01-01"))
+    dow = ((days + 4) % 7).cast("long")
+    jump = (
+        F.when(dow == 4, 3).when(dow == 5, 2).otherwise(1)
+    ).cast("int")
+    return events.select(
+        "event_id",
+        d.alias("d"),
+        dow.alias("dow"),
+        dow.isin(5, 6).alias("is_weekend"),
+        F.date_add(d, jump).alias("next_business_day"),
+    )

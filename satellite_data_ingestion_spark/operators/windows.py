@@ -1021,3 +1021,85 @@ def win_index_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("index_100"),
     )
+
+
+@register(
+    "agg_cohort_ltv",
+    oracle="""
+WITH firsts AS (
+  SELECT o_custkey, strftime(min(o_orderdate), '%Y-%m') AS cohort,
+         CAST(min(CAST(strftime(o_orderdate, '%Y') AS BIGINT) * 12
+                  + CAST(strftime(o_orderdate, '%m') AS BIGINT)) AS BIGINT) AS m0
+  FROM orders GROUP BY 1
+), facts AS (
+  SELECT f.cohort,
+         CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) * 12
+              + CAST(strftime(o.o_orderdate, '%m') AS BIGINT) - f.m0 AS age,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+), sizes AS (
+  SELECT cohort, CAST(count(*) AS BIGINT) AS n_cust FROM firsts GROUP BY 1
+), by_age AS (
+  SELECT cohort, age, CAST(sum(cents) AS BIGINT) AS rev
+  FROM facts GROUP BY 1, 2
+)
+SELECT b.cohort, b.age, s.n_cust,
+       floor(((CAST(sum(b.rev) OVER (PARTITION BY b.cohort ORDER BY b.age
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+              / 100.0) / s.n_cust) * 100 + 0.5) / 100.0 AS cum_ltv_per_cust
+FROM by_age b JOIN sizes s ON b.cohort = s.cohort
+""",
+)
+def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LIFETIME-VALUE curves: cumulative revenue per customer by
+    cohort age in months — the number that says whether newer cohorts
+    monetize faster (the revenue refinement of ``agg_cohort_retention``'s
+    activity matrix; payback-period decisions read straight off it).
+    Month arithmetic is integer (year*12+month), so cohort age is exact
+    and timezone-free.
+
+    Facts aggregate once to (cohort, age) grain; the cumulative window
+    and the per-customer normalization run on that small matrix joined
+    against the cohort-size census — facts are touched once."""
+    o = table(spark, sf_dir, "orders")
+    mnum = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM").alias("cohort"),
+        F.min(mnum).cast("long").alias("m0"),
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    facts = o.join(firsts, "o_custkey").select(
+        "cohort",
+        (mnum - F.col("m0")).cast("long").alias("age"),
+        cents.alias("cents"),
+    )
+    sizes = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust")
+    )
+    by_age = facts.groupBy("cohort", "age").agg(
+        F.sum("cents").cast("long").alias("rev")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        by_age.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "age",
+            "n_cust",
+            (
+                F.floor(
+                    (
+                        (F.sum("rev").over(w).cast("double") / 100.0)
+                        / F.col("n_cust")
+                    )
+                    * 100
+                    + 0.5
+                )
+                / 100.0
+            ).alias("cum_ltv_per_cust"),
+        )
+    )
