@@ -105,6 +105,8 @@ HEADLINE = [
     "agg_abc_analysis",
     "agg_cohort_ltv",
     "fn_business_day",
+    "agg_histogram_log10",
+    "ext_seasonality_strength",
     # Block 1 — round-10 session-2 additions (no driver-recorded signal
     # yet): space-filling-curve layouts, pattern matching batch+stream,
     # quantization, row tracking, sketches, linkage, robust stats.

@@ -1691,3 +1691,45 @@ def agg_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rev_share"),
         )
     )
+
+
+@register(
+    "agg_histogram_log10",
+    oracle="""
+WITH b AS (
+  SELECT length(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)) AS digits,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_totalprice > 0
+)
+SELECT CAST(digits AS BIGINT) AS digits,
+       CAST(count(*) AS BIGINT) AS n,
+       floor((CAST(min(cents) AS DOUBLE) / 100.0) * 100 + 0.5) / 100.0 AS lo,
+       floor((CAST(max(cents) AS DOUBLE) / 100.0) * 100 + 0.5) / 100.0 AS hi
+FROM b GROUP BY 1
+""",
+)
+def agg_histogram_log10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-SCALE (order-of-magnitude) histogram for heavy-tailed values:
+    bucket = decimal digit count of the integer cents — power-of-ten
+    bins where the linear ``agg_histogram`` wastes all its buckets on
+    the head and ``agg_histogram_equidepth`` hides the tail's SHAPE.
+    The digit count is INTEGER-EXACT in both engines (string length of
+    an exact int), dodging the floor(log10(x)) libm edge that
+    ``agg_benford`` documents.
+
+    One projection + one map-side-combined ≤19-group aggregate."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    b = o.select(
+        F.length(cents.cast("string")).cast("long").alias("digits"),
+        cents.alias("cents"),
+    )
+
+    def r2(x):
+        return F.floor(x * 100 + 0.5) / 100.0
+
+    return b.groupBy("digits").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        r2(F.min("cents").cast("double") / 100.0).alias("lo"),
+        r2(F.max("cents").cast("double") / 100.0).alias("hi"),
+    )

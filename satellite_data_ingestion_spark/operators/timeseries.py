@@ -1150,3 +1150,77 @@ def win_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_out_of_control"),
         )
     )
+
+
+@register(
+    "ext_seasonality_strength",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(hour(ts) AS BIGINT) AS hh,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS nt,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS svt,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ssqt
+  FROM events GROUP BY 1
+), comp AS (
+  SELECT h.event_type,
+         sum(h.n * ((CAST(h.sv AS DOUBLE) / h.n) - (CAST(t.svt AS DOUBLE) / t.nt))
+                 * ((CAST(h.sv AS DOUBLE) / h.n) - (CAST(t.svt AS DOUBLE) / t.nt))) AS ss_between,
+         min(CAST(t.ssqt AS DOUBLE)
+             - t.nt * ((CAST(t.svt AS DOUBLE) / t.nt)
+                       * (CAST(t.svt AS DOUBLE) / t.nt))) AS ss_total
+  FROM hourly h JOIN tot t ON h.event_type = t.event_type
+  GROUP BY h.event_type
+)
+SELECT event_type,
+       floor((ss_between / ss_total) * 1000000 + 0.5) / 1000000.0 AS strength
+FROM comp
+""",
+)
+def ext_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONALITY STRENGTH per series: the fraction of total variance
+    explained by the hour-of-day profile (the eta-squared / ANOVA
+    between-group share; ~0 = no diurnal pattern, →1 = the clock IS the
+    signal) — the one-number summary of ``ext_ts_seasonal``'s full
+    profile, the screen that decides whether seasonal adjustment is
+    worth running at all.
+
+    Float discipline: between-group and total sums of squares both
+    derive from EXACT integer cent sums (hourly sv, global sv/ssq);
+    the per-term double arithmetic is identical order in both engines.
+    The hourly sum-of-squares join runs at |types|x24 grain."""
+    events = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = events.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hh")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("sv"),
+    )
+    tot = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nt"),
+        F.sum(cents).cast("long").alias("svt"),
+        F.sum(cents * cents).cast("long").alias("ssqt"),
+    )
+    gmean = F.col("svt").cast("double") / F.col("nt")
+    hmean = F.col("sv").cast("double") / F.col("n")
+    joined = hourly.join(F.broadcast(tot), "event_type")
+    comp = joined.groupBy("event_type").agg(
+        F.sum(F.col("n") * (hmean - gmean) * (hmean - gmean)).alias("ss_between"),
+        F.min(
+            F.col("ssqt").cast("double") - F.col("nt") * (gmean * gmean)
+        ).alias("ss_total"),
+    )
+    return comp.select(
+        "event_type",
+        (
+            F.floor((F.col("ss_between") / F.col("ss_total")) * 1000000 + 0.5)
+            / 1000000.0
+        ).alias("strength"),
+    )
