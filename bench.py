@@ -107,6 +107,7 @@ HEADLINE = [
     "fn_business_day",
     "agg_histogram_log10",
     "ext_seasonality_strength",
+    "graph_assortativity",
     # Block 1 — round-10 session-2 additions (no driver-recorded signal
     # yet): space-filling-curve layouts, pattern matching batch+stream,
     # quantization, row tracking, sketches, linkage, robust stats.

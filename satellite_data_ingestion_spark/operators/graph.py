@@ -397,3 +397,81 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("aa_micro"), "c1", "c2")
         .limit(_CN_TOP_K)
     )
+
+
+@register(
+    "graph_assortativity",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), cd AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS dc FROM e GROUP BY 1
+), pdg AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS dp FROM e GROUP BY 1
+), ed AS (
+  SELECT cd.dc AS x, pdg.dp AS y
+  FROM e JOIN cd ON e.c = cd.c JOIN pdg ON e.p = pdg.p
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM ed
+)
+SELECT n,
+       floor(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+              / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                     * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)))
+             * 1000000 + 0.5) / 1000000.0 AS assortativity
+FROM m
+""",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY of the bipartite co-purchase graph (Newman
+    2002): the Pearson correlation between endpoint degrees across
+    edges — positive = heavy customers buy popular parts (hub-hub
+    wiring), negative = hubs serve the periphery.  The one-number
+    structural summary that predicts how the graph shatters under
+    dedup/clustering and where the skew in ``graph_common_neighbors``
+    lives.
+
+    Every Pearson moment (n, Σx, Σy, Σxy, Σx², Σy²) is an EXACT integer
+    sum over edge endpoint degrees, so the correlation is one
+    deterministic double formula — the float-sum discipline applied to
+    a graph statistic.  Degrees broadcast onto the edge table; one
+    1-row reduction."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    cd = e.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("dc"))
+    pdg = e.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("dp"))
+    ed = (
+        e.join(F.broadcast(cd), "c")
+        .join(F.broadcast(pdg), "p")
+        .select(F.col("dc").alias("x"), F.col("dp").alias("y"))
+    )
+    m = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx"))
+        * (F.col("n") * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return m.select(
+        "n",
+        (F.floor((num / den) * 1000000 + 0.5) / 1000000.0).alias("assortativity"),
+    )
