@@ -108,6 +108,7 @@ HEADLINE = [
     "agg_histogram_log10",
     "ext_seasonality_strength",
     "graph_assortativity",
+    "ext_compression_ratio",
     # Block 1 — round-10 session-2 additions (no driver-recorded signal
     # yet): space-filling-curve layouts, pattern matching batch+stream,
     # quantization, row tracking, sketches, linkage, robust stats.

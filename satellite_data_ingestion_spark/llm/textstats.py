@@ -1199,3 +1199,43 @@ def ext_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ext_bigram_freq.__doc__ = ext_bigram_freq.__doc__.format(k=_BIGRAM_TOP_K)
+
+
+@register("ext_compression_ratio")  # rows-only BY DESIGN — see manifest
+def ext_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSION-RATIO quality signal: deflate each document (zlib
+    level 6, stdlib) and report compressed/raw byte ratio — the cheap
+    entropy proxy web-scale filters use alongside the heuristic gates
+    (extremely compressible = boilerplate/repetition, incompressible =
+    high-entropy gibberish or binary-in-text; both tails get cut).
+    Quantized to integer basis points so the output is float-free.
+
+    ROWS-ONLY BY DESIGN: no SQL engine exposes deflate, and pinning
+    exact byte counts to a re-implementation would just be zlib calling
+    itself; instead the property tests pin the INVARIANTS (ratio
+    bounds, repetition compresses further, ratio reproducibility).
+
+    Scale shape: one partition-preserving mapInPandas (zlib releases
+    the GIL, so Arrow batches compress in parallel across executor
+    threads); output is 2 ints per doc."""
+    import zlib
+
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def ratio(batches):
+        out_rows = []
+        for pdf in batches:
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8")
+                comp = zlib.compress(raw, 6)
+                bp = (len(comp) * 10000) // max(1, len(raw))
+                out_rows.append((int(did), len(raw), int(bp)))
+        yield pd.DataFrame(
+            out_rows, columns=["doc_id", "n_bytes", "ratio_bp"]
+        )
+
+    return docs.mapInPandas(
+        ratio, schema="doc_id long, n_bytes long, ratio_bp long"
+    )

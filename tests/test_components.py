@@ -2229,3 +2229,30 @@ def test_dtw_matches_independent_dp(spark):
         s = [c for _, c in sorted(series[uid])]
         expect = math.floor(ref_dtw(q, s) * 100 + 0.5) / 100.0
         assert d == expect, (uid, d, expect)
+
+
+def test_compression_ratio_invariants(spark):
+    """The zlib quality signal must (a) reproduce exactly across runs,
+    (b) stay within sane deflate bounds for token text, and (c) compress
+    a repeated document FURTHER than its single copy — the property that
+    makes it a repetition detector."""
+    import zlib
+
+    from satellite_data_ingestion_spark.llm.textstats import (
+        ext_compression_ratio,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = {r.doc_id: (r.n_bytes, r.ratio_bp)
+         for r in ext_compression_ratio(spark, sf).collect()}
+    b = {r.doc_id: (r.n_bytes, r.ratio_bp)
+         for r in ext_compression_ratio(spark, sf).collect()}
+    assert a == b, "ratio must be deterministic across runs"
+    assert a, "empty output"
+    for did, (n, bp) in a.items():
+        assert 0 < bp < 10000 + 2000, (did, bp)  # deflate overhead bound
+    # repetition compresses further
+    text = "the quick brown token stream " * 4
+    one = len(zlib.compress(text.encode(), 6)) / len(text.encode())
+    ten = len(zlib.compress((text * 10).encode(), 6)) / (len(text.encode()) * 10)
+    assert ten < one
