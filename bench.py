@@ -109,6 +109,8 @@ HEADLINE = [
     "ext_seasonality_strength",
     "graph_assortativity",
     "ext_compression_ratio",
+    "ext_unigram_entropy",
+    "win_ma_crossover",
     # Block 1 — round-10 session-2 additions (no driver-recorded signal
     # yet): space-filling-curve layouts, pattern matching batch+stream,
     # quantization, row tracking, sketches, linkage, robust stats.

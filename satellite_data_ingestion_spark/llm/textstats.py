@@ -1239,3 +1239,55 @@ def ext_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         ratio, schema="doc_id long, n_bytes long, ratio_bp long"
     )
+
+
+@register(
+    "ext_unigram_entropy",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS ts FROM documents
+), terms AS (
+  SELECT doc_id,
+         len(ts) AS n,
+         list_sort(list_transform(list_distinct(ts), t ->
+           CAST(len(list_filter(ts, x -> x = t)) AS DOUBLE))) AS cnts
+  FROM toks
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       floor((-list_reduce(list_prepend(0.0,
+           list_transform(cnts, c -> (c / n) * ln(c / n))),
+           (acc, x) -> acc + x)) * 1000000 + 0.5) / 1000000.0 AS entropy
+FROM terms
+""",
+)
+def ext_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document UNIGRAM ENTROPY (Shannon, nats): the
+    lexical-diversity quality signal between ``ext_quality_score``'s
+    distinct-ratio (too coarse) and ``ext_compression_ratio``'s deflate
+    proxy (byte-level) — near-zero entropy = one token repeated
+    (spam/boilerplate), max ln(V) = uniform usage.
+
+    Determinism: the -p·ln p terms fold SEQUENTIALLY over the
+    COUNT-SORTED term list (Spark aggregate HOF == DuckDB list_reduce;
+    sorting by count makes the fold order engine-independent even
+    though distinct-token order is not).  All work happens inside the
+    token array per row — vocabulary-bounded, no explode, no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").alias("n"),
+        F.expr(
+            "array_sort(transform(array_distinct(split(text, ' ')), "
+            "t -> cast(size(filter(split(text, ' '), x -> x = t)) as double)))"
+        ).alias("cnts"),
+    )
+    entropy = F.expr(
+        "-aggregate(transform(cnts, c -> (c / n) * ln(c / n)), "
+        "cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    return terms.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        (F.floor(entropy * 1000000 + 0.5) / 1000000.0).alias("entropy"),
+    )

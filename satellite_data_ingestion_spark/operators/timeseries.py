@@ -1224,3 +1224,96 @@ def ext_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("strength"),
     )
+
+
+_MA_FAST = 5
+_MA_SLOW = 20
+
+
+@register(
+    "win_ma_crossover",
+    oracle=f"""
+WITH seq AS (
+  SELECT event_type, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(row_number() OVER w AS BIGINT) AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), ma AS (
+  SELECT event_type, rn,
+         CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY rn
+              ROWS BETWEEN {_MA_FAST - 1} PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / {_MA_FAST}.0 AS fast,
+         CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY rn
+              ROWS BETWEEN {_MA_SLOW - 1} PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / {_MA_SLOW}.0 AS slow
+  FROM seq
+), sig AS (
+  SELECT event_type, rn,
+         CASE WHEN fast > slow THEN 1 ELSE 0 END AS above,
+         lag(CASE WHEN fast > slow THEN 1 ELSE 0 END) OVER (
+           PARTITION BY event_type ORDER BY rn) AS prev_above
+  FROM ma WHERE rn >= {_MA_SLOW}
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_signals,
+       CAST(sum(CASE WHEN above = 1 AND prev_above = 0 THEN 1 ELSE 0 END) AS BIGINT) AS golden_crosses,
+       CAST(sum(CASE WHEN above = 0 AND prev_above = 1 THEN 1 ELSE 0 END) AS BIGINT) AS death_crosses,
+       CAST(max(CASE WHEN (above = 1 AND prev_above = 0)
+                       OR (above = 0 AND prev_above = 1) THEN rn END) AS BIGINT) AS last_cross_rn
+FROM sig WHERE prev_above IS NOT NULL
+GROUP BY 1
+""",
+)
+def win_ma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOVING-AVERAGE CROSSOVER detection (fast {f} / slow {s} — the
+    golden/death cross of technical analysis, equally the classic
+    regime-shift trigger for any KPI stream): count the sign changes of
+    fast-vs-slow and the last crossover position per series.
+
+    The rolling means are EXACT: integer-cent window sums divided by
+    constant window lengths — identical doubles both engines, so the
+    crossing booleans are bit-stable (no epsilon-at-the-crossing
+    hazard).  Rows before the slow window fills are excluded — partial
+    windows produce phantom crossings.  One (ts, event_id) exchange
+    serves ranks, both rolling sums, and the lag."""
+    events = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type",
+        cents.alias("cents"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("rn")
+    fast = (
+        F.sum("cents").over(wr.rowsBetween(-(_MA_FAST - 1), 0)).cast("double")
+        / float(_MA_FAST)
+    )
+    slow = (
+        F.sum("cents").over(wr.rowsBetween(-(_MA_SLOW - 1), 0)).cast("double")
+        / float(_MA_SLOW)
+    )
+    ma = seq.select(
+        "event_type", "rn", fast.alias("fast"), slow.alias("slow")
+    ).filter(F.col("rn") >= _MA_SLOW)
+    above = F.when(F.col("fast") > F.col("slow"), 1).otherwise(0)
+    sig = ma.select(
+        "event_type",
+        "rn",
+        above.alias("above"),
+        F.lag(above).over(wr).alias("prev_above"),
+    ).filter(F.col("prev_above").isNotNull())
+    golden = (F.col("above") == 1) & (F.col("prev_above") == 0)
+    death = (F.col("above") == 0) & (F.col("prev_above") == 1)
+    return sig.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_signals"),
+        F.sum(F.when(golden, 1).otherwise(0)).cast("long").alias("golden_crosses"),
+        F.sum(F.when(death, 1).otherwise(0)).cast("long").alias("death_crosses"),
+        F.max(F.when(golden | death, F.col("rn"))).cast("long").alias("last_cross_rn"),
+    )
+
+
+win_ma_crossover.__doc__ = win_ma_crossover.__doc__.format(
+    f=_MA_FAST, s=_MA_SLOW
+)
