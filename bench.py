@@ -111,6 +111,8 @@ HEADLINE = [
     "ext_compression_ratio",
     "ext_unigram_entropy",
     "win_ma_crossover",
+    "win_interpurchase",
+    "agg_runs_test",
     # Block 1 — round-10 session-2 additions (no driver-recorded signal
     # yet): space-filling-curve layouts, pattern matching batch+stream,
     # quantization, row tracking, sketches, linkage, robust stats.

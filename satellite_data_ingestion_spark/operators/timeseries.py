@@ -1317,3 +1317,100 @@ def win_ma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
 win_ma_crossover.__doc__ = win_ma_crossover.__doc__.format(
     f=_MA_FAST, s=_MA_SLOW
 )
+
+
+@register(
+    "agg_runs_test",
+    oracle="""
+WITH tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS nt,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS svt
+  FROM events GROUP BY 1
+), seq AS (
+  SELECT e.event_type,
+         CASE WHEN CAST(round(e.value * 100) AS BIGINT) * t.nt > t.svt
+              THEN 1 ELSE 0 END AS sgn,
+         row_number() OVER (PARTITION BY e.event_type ORDER BY e.ts, e.event_id) AS rn
+  FROM events e JOIN tot t ON e.event_type = t.event_type
+), runs AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(sgn) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN prev IS NULL OR sgn <> prev THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+  FROM (SELECT event_type, sgn,
+               lag(sgn) OVER (PARTITION BY event_type ORDER BY rn) AS prev
+        FROM seq)
+  GROUP BY 1
+)
+SELECT event_type, n, n_pos, n_runs,
+       floor(((CAST(n_runs AS DOUBLE)
+               - (2.0 * n_pos * (n - n_pos) / n + 1))
+              / sqrt(2.0 * n_pos * (n - n_pos)
+                     * (2.0 * n_pos * (n - n_pos) - n)
+                     / (CAST(n AS DOUBLE) * n * (n - 1)))) * 10000 + 0.5)
+         / 10000.0 AS z_stat
+FROM runs
+""",
+)
+def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD-WOLFOWITZ RUNS TEST per series: is the above/below-mean sign
+    sequence random, trending (too few runs), or oscillating (too
+    many)?  The classic residual-randomness check run AFTER a model or
+    seasonal adjustment — ``ext_ts_changepoint`` finds where structure
+    is, this says whether structure remains at all.
+
+    Determinism discipline: the above-mean comparison is INTEGER-EXACT
+    (cents·n > sum — no division, no float), signs and run counts are
+    exact ints, and the z statistic is one double formula from them,
+    half-up rounded."""
+    events = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    tot = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nt"),
+        F.sum(cents).cast("long").alias("svt"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    # integer-exact above-mean test: cents > svt/nt  <=>  cents*nt > svt
+    seq = (
+        events.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            F.when(cents * F.col("nt") > F.col("svt"), 1)
+            .otherwise(0)
+            .alias("sgn"),
+            F.row_number().over(w).alias("rn"),
+        )
+    )
+    w2 = Window.partitionBy("event_type").orderBy("rn")
+    runs = (
+        seq.select(
+            "event_type", "sgn", F.lag("sgn").over(w2).alias("prev")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("sgn").cast("long").alias("n_pos"),
+            F.sum(
+                F.when(
+                    F.col("prev").isNull() | (F.col("sgn") != F.col("prev")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_runs"),
+        )
+    )
+    n = F.col("n").cast("double")
+    npos = F.col("n_pos").cast("double")
+    nneg = n - npos
+    exp_runs = 2.0 * npos * nneg / n + 1
+    var_runs = (
+        2.0 * npos * nneg * (2.0 * npos * nneg - n) / (n * n * (n - 1))
+    )
+    z = (F.col("n_runs") - exp_runs) / F.sqrt(var_runs)
+    return runs.select(
+        "event_type",
+        "n",
+        "n_pos",
+        "n_runs",
+        (F.floor(z * 10000 + 0.5) / 10000.0).alias("z_stat"),
+    )

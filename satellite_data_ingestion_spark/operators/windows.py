@@ -1103,3 +1103,49 @@ def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_ltv_per_cust"),
         )
     )
+
+
+@register(
+    "win_interpurchase",
+    oracle="""
+WITH gaps AS (
+  SELECT o_custkey,
+         CAST(date_diff('day',
+              lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey),
+              o_orderdate) AS BIGINT) AS gap_days
+  FROM orders
+)
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       floor((CAST(sum(gap_days) AS DOUBLE) / count(*)) * 100 + 0.5) / 100.0 AS avg_gap_days,
+       CAST(max(gap_days) AS BIGINT) AS max_gap_days
+FROM gaps WHERE gap_days IS NOT NULL
+GROUP BY 1
+""",
+)
+def win_interpurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-PURCHASE intervals per customer (average and maximum days
+    between consecutive orders) — the churn-model feature and the
+    empirical basis of RFM's recency threshold (a customer 3x past
+    their OWN average gap is lapsing; a global cutoff misses that).
+
+    One lag() over each customer's order timeline (single exchange,
+    (date, orderkey) tiebreak), integer day arithmetic, one float
+    division half-up rounded."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).cast("long")
+    g = o.select("o_custkey", gap.alias("gap_days")).filter(
+        F.col("gap_days").isNotNull()
+    )
+    return g.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        (
+            F.floor(
+                (F.sum("gap_days").cast("double") / F.count(F.lit(1))) * 100 + 0.5
+            )
+            / 100.0
+        ).alias("avg_gap_days"),
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+    )
