@@ -113,6 +113,8 @@ HEADLINE = [
     "win_ma_crossover",
     "win_interpurchase",
     "agg_runs_test",
+    "agg_hhi",
+    "agg_cramers_v",
     # Block 1 — round-10 session-2 additions (no driver-recorded signal
     # yet): space-filling-curve layouts, pattern matching batch+stream,
     # quantization, row tracking, sketches, linkage, robust stats.

@@ -1733,3 +1733,156 @@ def agg_histogram_log10(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2(F.min("cents").cast("double") / 100.0).alias("lo"),
         r2(F.max("cents").cast("double") / 100.0).alias("hi"),
     )
+
+
+@register(
+    "agg_hhi",
+    oracle="""
+WITH m AS (
+  SELECT CAST(p_partkey % 50 AS BIGINT) AS market,
+         l_suppkey,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), s AS (
+  SELECT market,
+         CAST(sum(cnt * cnt) AS BIGINT) AS ssq,
+         CAST(sum(cnt) AS BIGINT) AS tot,
+         CAST(count(*) AS BIGINT) AS n_suppliers
+  FROM m GROUP BY 1
+)
+SELECT market, n_suppliers,
+       floor((10000.0 * ssq / (CAST(tot AS DOUBLE) * tot)) * 100 + 0.5) / 100.0 AS hhi
+FROM s
+""",
+)
+def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HERFINDAHL-HIRSCHMAN concentration INDEX per market (part
+    class): HHI = 10000 · Σ share² — the antitrust/market-structure
+    metric completing the inequality family (``agg_gini`` = dispersion,
+    ``agg_pareto`` = cumulative concentration, HHI = the regulator's
+    single number; >2500 = highly concentrated).
+
+    Fully integer-exact until one final division: Σ cnt² and (Σ cnt)²
+    are exact int64 sums over supplier line counts, so the index is
+    deterministic with no float-sum hazard.  Two map-side-combined
+    aggregates, output |markets| rows."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    m = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            (F.col("p_partkey") % 50).cast("long").alias("market"),
+            "l_suppkey",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    s = m.groupBy("market").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("ssq"),
+        F.sum("cnt").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    return s.select(
+        "market",
+        "n_suppliers",
+        (
+            F.floor(
+                (10000.0 * F.col("ssq") / (F.col("tot").cast("double") * F.col("tot")))
+                * 100
+                + 0.5
+            )
+            / 100.0
+        ).alias("hhi"),
+    )
+
+
+@register(
+    "agg_cramers_v",
+    oracle="""
+WITH obs AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS o FROM documents GROUP BY 1, 2
+), rm AS (
+  SELECT lang, CAST(sum(o) AS BIGINT) AS rn FROM obs GROUP BY 1
+), cm AS (
+  SELECT source, CAST(sum(o) AS BIGINT) AS cn FROM obs GROUP BY 1
+), n AS (
+  SELECT CAST(sum(o) AS BIGINT) AS tot FROM obs
+), terms AS (
+  SELECT obs.lang, obs.source,
+         (CAST(obs.o AS DOUBLE) - (CAST(rm.rn AS DOUBLE) * cm.cn) / n.tot)
+         * (CAST(obs.o AS DOUBLE) - (CAST(rm.rn AS DOUBLE) * cm.cn) / n.tot)
+         / ((CAST(rm.rn AS DOUBLE) * cm.cn) / n.tot) AS t
+  FROM obs JOIN rm ON obs.lang = rm.lang
+  JOIN cm ON obs.source = cm.source CROSS JOIN n
+), chi AS (
+  SELECT list_reduce(list_prepend(0.0, list(t ORDER BY lang, source)),
+                     (acc, x) -> acc + x) AS chi2
+  FROM terms
+), dims AS (
+  SELECT CAST((SELECT count(*) FROM rm) AS BIGINT) AS r,
+         CAST((SELECT count(*) FROM cm) AS BIGINT) AS c,
+         (SELECT tot FROM n) AS tot
+)
+SELECT dims.r AS n_rows_dim, dims.c AS n_cols_dim,
+       floor(chi.chi2 * 10000 + 0.5) / 10000.0 AS chi2,
+       floor(sqrt(chi.chi2 / (dims.tot * least(dims.r - 1, dims.c - 1)))
+             * 1000000 + 0.5) / 1000000.0 AS cramers_v
+FROM chi CROSS JOIN dims
+""",
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMÉR'S V effect size for the lang × source association — the
+    normalized [0,1] summary of ``agg_chi2_independence``'s cell table
+    (chi-square alone grows with n; V answers 'how strongly associated',
+    the number mixture decisions actually compare across corpora).
+
+    The chi-square total is a float SUM over ~|langs|×|sources| cells,
+    so it folds SEQUENTIALLY over the (lang, source)-sorted term list
+    (the ext_kl_divergence discipline) — bit-identical across engines;
+    V is one formula from it and exact dimension counts."""
+    docs = table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    ).persist()
+    rm = obs.groupBy("lang").agg(F.sum("o").cast("long").alias("rn"))
+    cm = obs.groupBy("source").agg(F.sum("o").cast("long").alias("cn"))
+    n = obs.agg(F.sum("o").cast("long").alias("tot"))
+    exp = (F.col("rn").cast("double") * F.col("cn")) / F.col("tot")
+    dev = F.col("o").cast("double") - exp
+    terms = (
+        obs.join(F.broadcast(rm), "lang")
+        .join(F.broadcast(cm), "source")
+        .join(F.broadcast(n))
+        .select("lang", "source", (dev * dev / exp).alias("t"))
+    )
+    chi = terms.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lang", "source", "t"))),
+                lambda s: s.getField("t"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("chi2")
+    )
+    dims = (
+        rm.agg(F.count(F.lit(1)).cast("long").alias("r"))
+        .crossJoin(cm.agg(F.count(F.lit(1)).cast("long").alias("c")))
+        .crossJoin(n)
+    )
+    return chi.crossJoin(F.broadcast(dims)).select(
+        F.col("r").alias("n_rows_dim"),
+        F.col("c").alias("n_cols_dim"),
+        (F.floor(F.col("chi2") * 10000 + 0.5) / 10000.0).alias("chi2"),
+        (
+            F.floor(
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("tot") * F.least(F.col("r") - 1, F.col("c") - 1))
+                )
+                * 1000000
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("cramers_v"),
+    )
