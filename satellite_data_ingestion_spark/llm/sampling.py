@@ -497,3 +497,80 @@ def ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("k") * 1000000 + 0.5) / 1000000.0).alias("sample_key"),
         )
     )
+
+
+@register(
+    "ext_psi_split_drift",
+    oracle="""
+WITH tagged AS (
+  SELECT lang, CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'heldout' END AS split
+  FROM documents
+), c AS (
+  SELECT lang,
+         CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         CAST(sum(CASE WHEN split = 'heldout' THEN 1 ELSE 0 END) AS BIGINT) AS n_held
+  FROM tagged GROUP BY 1
+), t AS (
+  SELECT CAST(sum(n_train) AS BIGINT) AS tot_train,
+         CAST(sum(n_held) AS BIGINT) AS tot_held
+  FROM c
+), terms AS (
+  SELECT c.lang,
+         ((CAST(c.n_train AS DOUBLE) / t.tot_train)
+          - (CAST(c.n_held AS DOUBLE) / t.tot_held))
+         * ln((CAST(c.n_train AS DOUBLE) / t.tot_train)
+              / (CAST(c.n_held AS DOUBLE) / t.tot_held)) AS psi_term
+  FROM c CROSS JOIN t
+)
+SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS n_buckets,
+       floor(list_reduce(list_prepend(0.0, list(psi_term ORDER BY lang)),
+                         (acc, x) -> acc + x) * 1000000 + 0.5)
+         / 1000000.0 AS psi
+FROM terms
+""",
+)
+def ext_psi_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX between the train and heldout splits
+    over the language distribution — the ML-ops drift metric (PSI < 0.1
+    = stable, > 0.25 = the split is NOT exchangeable and eval numbers
+    will mislead): exactly the audit ``ext_stratified_split`` makes
+    unnecessary by construction, run HERE against the modulo split
+    (``ext_dataset_split``) to quantify its binomial wobble.
+
+    PSI is a float sum over buckets, so the terms fold SEQUENTIALLY
+    over the lang-sorted list (the ext_kl_divergence discipline);
+    counts are exact ints, ratios identical doubles both engines."""
+    docs = table(spark, sf_dir, "documents")
+    split = F.when(F.col("doc_id") % 10 < 8, "train").otherwise("heldout")
+    c = docs.select("lang", split.alias("split")).groupBy("lang").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "heldout", 1).otherwise(0))
+        .cast("long")
+        .alias("n_held"),
+    )
+    t = c.agg(
+        F.sum("n_train").cast("long").alias("tot_train"),
+        F.sum("n_held").cast("long").alias("tot_held"),
+    )
+    p = F.col("n_train").cast("double") / F.col("tot_train")
+    q = F.col("n_held").cast("double") / F.col("tot_held")
+    terms = c.join(F.broadcast(t)).select(
+        "lang", ((p - q) * F.log(p / q)).alias("psi_term")
+    )
+    folded = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lang", "psi_term"))),
+                lambda s: s.getField("psi_term"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("psi_raw"),
+    )
+    return folded.select(
+        "n_buckets",
+        (F.floor(F.col("psi_raw") * 1000000 + 0.5) / 1000000.0).alias("psi"),
+    )
