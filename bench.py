@@ -117,6 +117,7 @@ HEADLINE = [
     "agg_cramers_v",
     "win_fulfillment_latency",
     "ext_psi_split_drift",
+    "win_bounce_rate",
     # Block 1 — round-10 session-2 additions (no driver-recorded signal
     # yet): space-filling-curve layouts, pattern matching batch+stream,
     # quantization, row tracking, sketches, linkage, robust stats.

@@ -1198,3 +1198,84 @@ def win_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("days").cast("long").alias("max_days"),
     )
+
+
+@register(
+    "win_bounce_rate",
+    oracle=f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT), 1,
+                         CAST(floor(epoch(ts)) AS BIGINT) - {1800} - 1)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {1800}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sess AS (
+  SELECT user_id,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+  FROM marked
+), sizes AS (
+  SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       floor((CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*)) * 1000000 + 0.5) / 1000000.0 AS bounce_rate,
+       floor((CAST(sum(n_events) AS DOUBLE) / count(*)) * 10000 + 0.5)
+         / 10000.0 AS avg_events_per_session
+FROM sizes
+""",
+)
+def win_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION KPI rollup: bounce rate (single-event sessions / all
+    sessions) and average session depth — the two numbers a web
+    dashboard leads with, derived from the same 30-minute-gap
+    sessionization ``win_sessionize`` constructs (this op aggregates
+    where that one assigns ids).
+
+    The running is_new sum over the per-user timeline assigns session
+    ids exactly as win_sessionize does; one user_id exchange serves the
+    lag and the running sum, and the KPIs are a 1-row reduction."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.floor(F.unix_timestamp("ts")).cast("long")
+    gap = epoch - F.lag(epoch, 1, None).over(w)
+    is_new = F.when(
+        gap.isNull() | (gap > _SESSION_GAP_SEC), 1
+    ).otherwise(0)
+    marked = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        is_new.alias("is_new"),
+    )
+    sid = F.sum("is_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sizes = (
+        marked.select("user_id", sid.alias("sid"))
+        .groupBy("user_id", "sid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    bounce = F.when(F.col("n_events") == 1, 1).otherwise(0)
+    return sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(bounce).cast("long").alias("n_bounces"),
+        (
+            F.floor(
+                (F.sum(bounce).cast("double") / F.count(F.lit(1))) * 1000000 + 0.5
+            )
+            / 1000000.0
+        ).alias("bounce_rate"),
+        (
+            F.floor(
+                (F.sum("n_events").cast("double") / F.count(F.lit(1))) * 10000
+                + 0.5
+            )
+            / 10000.0
+        ).alias("avg_events_per_session"),
+    )
