@@ -118,6 +118,8 @@ HEADLINE = [
     "win_fulfillment_latency",
     "ext_psi_split_drift",
     "win_bounce_rate",
+    "fn_csv_render",
+    "ext_type_token_ratio",
     # Block 1 — round-10 session-2 additions (no driver-recorded signal
     # yet): space-filling-curve layouts, pattern matching batch+stream,
     # quantization, row tracking, sketches, linkage, robust stats.

@@ -942,3 +942,55 @@ def fn_business_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         dow.isin(5, 6).alias("is_weekend"),
         F.date_add(d, jump).alias("next_business_day"),
     )
+
+
+@register(
+    "fn_csv_render",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey
+       || ',' ||
+       CASE WHEN contains(o_orderpriority, ',') OR contains(o_orderpriority, '"')
+                 OR contains(o_orderpriority, chr(10))
+            THEN '"' || replace(o_orderpriority, '"', '""') || '"'
+            ELSE o_orderpriority END
+       || ',' ||
+       CASE WHEN contains(o_orderstatus || '-' || o_orderpriority, ',')
+                 OR contains(o_orderstatus || '-' || o_orderpriority, '"')
+            THEN '"' || replace(o_orderstatus || '-' || o_orderpriority, '"', '""') || '"'
+            ELSE o_orderstatus || '-' || o_orderpriority END AS csv_line
+FROM orders
+""",
+)
+def fn_csv_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-4180 CSV RENDERING — the write-side twin of
+    ``scan_csv_corrupt``'s parse side: fields containing commas, quotes,
+    or newlines are quoted with doubled inner quotes (the priority
+    column's '1-URGENT, etc.' values genuinely trigger it).  A hand-
+    rolled exporter that skips these rules produces files the PERMISSIVE
+    reader then quarantines — the two ops close the loop.
+
+    Pure codegen string projection; identical escape logic stated in
+    both engines, so every quoting decision is hash-checked."""
+    o = table(spark, sf_dir, "orders")
+
+    def esc(col):
+        needs = (
+            col.contains(",") | col.contains('"') | col.contains("\n")
+        )
+        return F.when(
+            needs,
+            F.concat(
+                F.lit('"'), F.regexp_replace(col, '"', '""'), F.lit('"')
+            ),
+        ).otherwise(col)
+
+    combo = F.concat(F.col("o_orderstatus"), F.lit("-"), F.col("o_orderpriority"))
+    line = F.concat(
+        F.col("o_orderkey").cast("string"),
+        F.lit(","),
+        esc(F.col("o_orderpriority")),
+        F.lit(","),
+        esc(combo),
+    )
+    return o.select("o_orderkey", line.alias("csv_line"))

@@ -1291,3 +1291,55 @@ def ext_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_tokens"),
         (F.floor(entropy * 1000000 + 0.5) / 1000000.0).alias("entropy"),
     )
+
+
+@register(
+    "ext_type_token_ratio",
+    oracle="""
+WITH toks AS (
+  SELECT lang, unnest(str_split(text, ' ')) AS tok FROM documents
+), s AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+  FROM toks GROUP BY 1
+)
+SELECT lang, n_tokens, n_types,
+       floor((CAST(n_types AS DOUBLE) / n_tokens) * 1000000 + 0.5)
+         / 1000000.0 AS ttr,
+       floor((ln(CAST(n_types AS DOUBLE)) / ln(CAST(n_tokens AS DOUBLE)))
+             * 1000000 + 0.5) / 1000000.0 AS herdan_c
+FROM s
+""",
+)
+def ext_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEXICAL RICHNESS battery per language: raw type-token ratio and
+    Herdan's C (ln V / ln N — the length-invariant richness law; raw
+    TTR shrinks mechanically with corpus size, which is why cross-slice
+    comparisons need C) — the slice-level companion of the per-document
+    ``ext_unigram_entropy``, feeding the same mixture-quality reviews
+    as ``ext_kl_divergence``.
+
+    One (lang, tok) explode with map-side combine to exact integer
+    type/token counts; two deterministic double formulas, half-up
+    rounded."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    s = toks.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("tok").cast("long").alias("n_types"),
+    )
+
+    def r6(x):
+        return F.floor(x * 1000000 + 0.5) / 1000000.0
+
+    return s.select(
+        "lang",
+        "n_tokens",
+        "n_types",
+        r6(F.col("n_types").cast("double") / F.col("n_tokens")).alias("ttr"),
+        r6(
+            F.log(F.col("n_types").cast("double"))
+            / F.log(F.col("n_tokens").cast("double"))
+        ).alias("herdan_c"),
+    )
