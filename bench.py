@@ -120,6 +120,7 @@ HEADLINE = [
     "win_bounce_rate",
     "fn_csv_render",
     "ext_type_token_ratio",
+    "ext_js_divergence",
     # Block 1 — round-10 session-2 additions (no driver-recorded signal
     # yet): space-filling-curve layouts, pattern matching batch+stream,
     # quantization, row tracking, sketches, linkage, robust stats.

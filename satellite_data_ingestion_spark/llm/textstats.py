@@ -1343,3 +1343,105 @@ def ext_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.log(F.col("n_tokens").cast("double"))
         ).alias("herdan_c"),
     )
+
+
+@register(
+    "ext_js_divergence",
+    oracle="""
+WITH lt AS (
+  SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT lang, unnest(str_split(text, ' ')) AS tok FROM documents)
+  GROUP BY 1, 2
+), l AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM lt GROUP BY 1
+), pairs AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b FROM l a JOIN l b ON a.lang < b.lang
+), cells AS (
+  SELECT p.lang_a, p.lang_b, v.tok,
+         coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb,
+         la.n AS na, lb.n AS nb
+  FROM pairs p
+  CROSS JOIN (SELECT DISTINCT tok FROM lt) v
+  LEFT JOIN lt ca ON ca.lang = p.lang_a AND ca.tok = v.tok
+  LEFT JOIN lt cb ON cb.lang = p.lang_b AND cb.tok = v.tok
+  JOIN l la ON la.lang = p.lang_a
+  JOIN l lb ON lb.lang = p.lang_b
+), terms AS (
+  SELECT lang_a, lang_b, tok,
+         CASE WHEN ca > 0 THEN 0.5 * (CAST(ca AS DOUBLE) / na)
+              * ln((CAST(ca AS DOUBLE) / na)
+                   / (((CAST(ca AS DOUBLE) / na) + (CAST(cb AS DOUBLE) / nb)) / 2))
+              ELSE 0.0 END
+         + CASE WHEN cb > 0 THEN 0.5 * (CAST(cb AS DOUBLE) / nb)
+              * ln((CAST(cb AS DOUBLE) / nb)
+                   / (((CAST(ca AS DOUBLE) / na) + (CAST(cb AS DOUBLE) / nb)) / 2))
+              ELSE 0.0 END AS t
+  FROM cells
+)
+SELECT lang_a, lang_b,
+       floor(list_reduce(list_prepend(0.0, list(t ORDER BY tok)),
+                         (acc, x) -> acc + x) * 1000000 + 0.5)
+         / 1000000.0 AS js
+FROM terms GROUP BY 1, 2
+""",
+)
+def ext_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise JENSEN-SHANNON divergence between language token
+    distributions — the bounded, symmetric corpus-comparison metric
+    (KL's practical replacement in data work: JS ∈ [0, ln 2], defined
+    even with disjoint support) over every language pair.  Which slices
+    are interchangeable and which need their own mixture weight reads
+    straight off the matrix; ``ext_kl_divergence`` is the
+    slice-vs-blend asymmetric view.
+
+    Per-pair terms fold SEQUENTIALLY over the token-sorted list (the
+    established cross-engine float-sum discipline); zero-count sides
+    contribute zero by the 0·ln0 = 0 convention, stated as explicit
+    CASEs in both engines.  All inputs are exact integer counts; the
+    cell table is |pairs|×|vocab|-bounded."""
+    docs = table(spark, sf_dir, "documents")
+    lt = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    l = lt.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+    a = l.select(F.col("lang").alias("lang_a"), F.col("n").alias("na"))
+    b = l.select(F.col("lang").alias("lang_b"), F.col("n").alias("nb"))
+    pairs = a.crossJoin(b).filter(F.col("lang_a") < F.col("lang_b"))
+    v = lt.select("tok").distinct()
+    ca = lt.select(
+        F.col("lang").alias("lang_a"), F.col("tok"), F.col("c").alias("ca")
+    )
+    cb = lt.select(
+        F.col("lang").alias("lang_b"), F.col("tok"), F.col("c").alias("cb")
+    )
+    cells = (
+        pairs.crossJoin(F.broadcast(v))
+        .join(F.broadcast(ca), ["lang_a", "tok"], "left")
+        .join(F.broadcast(cb), ["lang_b", "tok"], "left")
+        .fillna(0, subset=["ca", "cb"])
+    )
+    p = F.col("ca").cast("double") / F.col("na")
+    q = F.col("cb").cast("double") / F.col("nb")
+    m = (p + q) / 2
+    term = F.when(F.col("ca") > 0, 0.5 * p * F.log(p / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("cb") > 0, 0.5 * q * F.log(q / m)).otherwise(F.lit(0.0))
+    terms = cells.select("lang_a", "lang_b", "tok", term.alias("t"))
+    folded = terms.groupBy("lang_a", "lang_b").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tok", "t"))),
+                lambda s: s.getField("t"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("js_raw")
+    )
+    return folded.select(
+        "lang_a",
+        "lang_b",
+        (F.floor(F.col("js_raw") * 1000000 + 0.5) / 1000000.0).alias("js"),
+    )
