@@ -942,12 +942,17 @@ def ext_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.explode(F.split("text", " ")).alias("tok")
     )
     # The (lang, tok) aggregate feeds FOUR subplans (terms + three
-    # marginals); DataFrame lineage has no subplan sharing, so without a
-    # persist the corpus explode would run four times.
+    # marginals); DataFrame lineage has no subplan sharing, so without
+    # materialization the corpus explode would run four times.  Lazy
+    # localCheckpoint (the llm/dedup.py pattern), NOT persist(): persist
+    # pins the frame in the session CacheManager until an explicit
+    # unpersist that a lazily-returned DataFrame has no place to issue,
+    # leaking vocab×lang-sized blocks across a multi-query session —
+    # checkpoint blocks are freed by the ContextCleaner on GC instead.
     lt = (
         toks.groupBy("lang", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("n_lt"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     l = lt.groupBy("lang").agg(F.sum("n_lt").cast("long").alias("n_l"))
     t = lt.groupBy("tok").agg(F.sum("n_lt").cast("long").alias("n_t"))
@@ -1185,9 +1190,13 @@ def ext_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # transform lambda re-tokenizes per element access (measured 2.7 s
     # -> 0.9 s at sf0.1).
     ts = docs.select(F.split("text", " ").alias("ts"))
+    # sequence(1, 0) generates a DESCENDING [1, 0] in Spark (not empty),
+    # so a single-token doc would emit null bigrams via out-of-range
+    # ts[i] access that the DuckDB oracle (generate_series(1, 0) = empty)
+    # never produces — guard degenerate docs so they yield zero bigrams.
     bigrams = F.expr(
-        "transform(sequence(1, size(ts) - 1), "
-        "i -> concat(ts[i - 1], ' ', ts[i]))"
+        "CASE WHEN size(ts) >= 2 THEN transform(sequence(1, size(ts) - 1), "
+        "i -> concat(ts[i - 1], ' ', ts[i])) ELSE array() END"
     )
     return (
         ts.select(F.explode(bigrams).alias("bigram"))
@@ -1404,7 +1413,10 @@ def ext_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("lang", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .persist()
+        # Lazy localCheckpoint, not persist(): see ext_kl_divergence —
+        # no unpersist site exists in a lazily-returned frame, and the
+        # CacheManager would pin the blocks for the whole session.
+        .localCheckpoint(eager=False)
     )
     l = lt.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
     a = l.select(F.col("lang").alias("lang_a"), F.col("n").alias("na"))

@@ -1351,11 +1351,15 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic ntile (custkey tiebreak, fixed reference date — no
     now()), then bucketed into named segments with per-segment value.
 
-    Scale shape: one groupBy to customer grain; the three ntile windows
-    run over the CUSTOMER table (not orders), and at 100 TB quintile
-    boundaries come from approx_percentile broadcast instead of a global
-    sort — the agg_histogram_equidepth trade.  Output is
+    Scale shape: one groupBy to customer grain, then three DISTRIBUTED
+    exact ntile passes over the |customers|-row aggregate — a bare
+    ``ntile(5) OVER (ORDER BY ...)`` would be a single-task WindowExec,
+    so each score uses ``ranking.distributed_rank`` (range-partitioned
+    local ranks + broadcast prefix offsets) with the SQL-standard ntile
+    computed from the exact global rank.  Output is
     |segment-combination|-sized."""
+    from .ranking import distributed_rank, ntile_from_rank
+
     o = table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     rfm = o.groupBy("o_custkey").agg(
@@ -1365,14 +1369,25 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("frequency"),
         F.sum(cents).cast("long").alias("monetary_cents"),
     )
-    r_w = Window.orderBy("recency_sec", "o_custkey")
-    f_w = Window.orderBy("frequency", "o_custkey")
-    m_w = Window.orderBy("monetary_cents", "o_custkey")
-    scored = rfm.select(
-        "monetary_cents",
-        (6 - F.ntile(5).over(r_w)).cast("long").alias("r_score"),
-        F.ntile(5).over(f_w).cast("long").alias("f_score"),
-        F.ntile(5).over(m_w).cast("long").alias("m_score"),
+
+    def ntile5(metric: str, out: str) -> DataFrame:
+        rk = distributed_rank(rfm.select("o_custkey", metric), [metric, "o_custkey"])
+        return rk.select(
+            "o_custkey",
+            ntile_from_rank(5, F.col("_rk"), F.col("_n_total")).alias(out),
+        )
+
+    scored = (
+        rfm.select("o_custkey", "monetary_cents")
+        .join(ntile5("recency_sec", "r_raw"), "o_custkey")
+        .join(ntile5("frequency", "f_score"), "o_custkey")
+        .join(ntile5("monetary_cents", "m_score"), "o_custkey")
+        .select(
+            "monetary_cents",
+            (6 - F.col("r_raw")).cast("long").alias("r_score"),
+            "f_score",
+            "m_score",
+        )
     )
     seg = (
         F.when(
@@ -1514,23 +1529,24 @@ def agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind account tiering and risk reviews (its statistical twin
     ``agg_gini`` reports the same inequality as one coefficient).
 
-    One groupBy to customer grain, one revenue-descending cumulative
-    window over the |customers|-row aggregate (never the fact table),
-    exact-cent integers until the two final ratios."""
+    One groupBy to customer grain, then the revenue-descending rank AND
+    cumulative sum come from ``ranking.distributed_rank`` over the
+    |customers|-row aggregate — range-partitioned local ranks/cumsums
+    plus broadcast prefix offsets, never a single-task unpartitioned
+    window (|customers| is unbounded at 100 TB).  Exact-cent integers
+    until the two final ratios."""
+    from .ranking import distributed_rank
+
     o = table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     cust = o.groupBy("o_custkey").agg(F.sum(cents).cast("long").alias("rev"))
-    w = Window.orderBy(F.desc("rev"), "o_custkey")
-    ranked = cust.select(
-        "o_custkey",
-        "rev",
-        F.row_number().over(w).cast("long").alias("rk"),
-        F.sum("rev")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("long")
-        .alias("cum"),
-        F.sum("rev").over(Window.partitionBy()).cast("long").alias("tot"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n_cust"),
+    ranked = distributed_rank(
+        cust, [F.desc("rev"), "o_custkey"], sum_cols=("rev",)
+    ).select(
+        F.col("_rk").alias("rk"),
+        F.col("_cum_rev").cast("long").alias("cum"),
+        F.col("_tot_rev").cast("long").alias("tot"),
+        F.col("_n_total").alias("n_cust"),
     )
 
     def r6(x):
@@ -1596,7 +1612,10 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     obs = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("long").alias("o")
-    ).persist()
+        # Lazy localCheckpoint, not persist(): no unpersist site exists in
+        # a lazily-returned frame, and the CacheManager would pin the
+        # blocks for the whole session (the ext_kl_divergence pattern).
+    ).localCheckpoint(eager=False)
     rm = obs.groupBy("lang").agg(F.sum("o").cast("long").alias("rn"))
     cm = obs.groupBy("source").agg(F.sum("o").cast("long").alias("cn"))
     n = obs.agg(F.sum("o").cast("long").alias("tot"))
@@ -1656,21 +1675,22 @@ def agg_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts and shares, the stock-policy segmentation every supply chain
     runs.
 
-    The cumulative window runs over the part-grain aggregate (catalog-
-    sized, never facts); exact-cent integers until the single share
-    ratio."""
+    The cumulative sum runs over the part-grain aggregate (catalog-
+    sized, never facts) via ``ranking.distributed_rank`` — |parts| is
+    still millions at 100 TB, so no single-task unpartitioned window;
+    exact-cent integers until the single share ratio."""
+    from .ranking import distributed_rank
+
     li = table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     part_rev = li.groupBy("l_partkey").agg(F.sum(cents).cast("long").alias("rev"))
-    w = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    tot_w = Window.partitionBy()
-    ranked = part_rev.select(
+    ranked = distributed_rank(
+        part_rev, [F.desc("rev"), "l_partkey"], sum_cols=("rev",)
+    ).select(
         "l_partkey",
         "rev",
-        F.sum("rev").over(w).cast("long").alias("cum"),
-        F.sum("rev").over(tot_w).cast("long").alias("tot"),
+        F.col("_cum_rev").cast("long").alias("cum"),
+        F.col("_tot_rev").cast("long").alias("tot"),
     )
     abc = (
         F.when(F.col("cum") <= F.col("tot") * 0.8, "A")
@@ -1843,7 +1863,10 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     obs = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("long").alias("o")
-    ).persist()
+        # Lazy localCheckpoint, not persist(): no unpersist site exists in
+        # a lazily-returned frame, and the CacheManager would pin the
+        # blocks for the whole session (the ext_kl_divergence pattern).
+    ).localCheckpoint(eager=False)
     rm = obs.groupBy("lang").agg(F.sum("o").cast("long").alias("rn"))
     cm = obs.groupBy("source").agg(F.sum("o").cast("long").alias("cn"))
     n = obs.agg(F.sum("o").cast("long").alias("tot"))

@@ -440,8 +440,10 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every Pearson moment (n, Σx, Σy, Σxy, Σx², Σy²) is an EXACT integer
     sum over edge endpoint degrees, so the correlation is one
     deterministic double formula — the float-sum discipline applied to
-    a graph statistic.  Degrees broadcast onto the edge table; one
-    1-row reduction."""
+    a graph statistic.  The degree frames are |V|-sized (NOT bounded —
+    billions of keys at 100 TB), so they carry no broadcast hint: the
+    joins are co-partitioned on the edge key and AQE picks broadcast
+    only when the build side measures small.  One 1-row reduction."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     e = (
@@ -452,8 +454,8 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cd = e.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("dc"))
     pdg = e.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("dp"))
     ed = (
-        e.join(F.broadcast(cd), "c")
-        .join(F.broadcast(pdg), "p")
+        e.join(cd, "c")
+        .join(pdg, "p")
         .select(F.col("dc").alias("x"), F.col("dp").alias("y"))
     )
     m = ed.agg(

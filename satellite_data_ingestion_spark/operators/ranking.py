@@ -1,0 +1,105 @@
+"""Distributed exact global ranking — the shared decomposition that keeps
+total-order analytics (equi-depth histograms, ntile scoring, Pareto
+cumulative shares) off the single-task WindowExec.
+
+A bare ``Window.orderBy(...)`` with no PARTITION BY coalesces EVERY row
+into ONE task in Spark — fine on a 25-row nation table, an OOM/bottleneck
+on a fact or entity table at 100 TB.  The classic fix (Goetz Graefe's
+"parallel rank" / the same trick RDD ``zipWithIndex`` uses) is:
+
+1. ``repartitionByRange`` on the sort key → non-overlapping sorted ranges;
+2. per-partition LOCAL ``row_number`` (and local prefix sums), windowed by
+   ``spark_partition_id`` — parallel across all partitions;
+3. a prefix sum over the per-partition count/sum frame — |partitions| rows,
+   the ONE place an unpartitioned window is legitimately bounded — broadcast
+   back as offsets: ``global = offset + local``.
+
+The result is EXACT and independent of where the sampled range boundaries
+fall (any non-overlapping ordered split works).  Both branches consume the
+SAME range Exchange inside one query, so Spark's ReuseExchange guarantees
+``spark_partition_id`` is consistent between the local-rank branch and the
+counts branch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["distributed_rank", "ntile_from_rank"]
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_cols: list,
+    sum_cols: tuple[str, ...] = (),
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Append exact global ``_rk`` (row_number over *order_cols*) and
+    ``_n_total`` to *df* without a single-task window; for each name in
+    *sum_cols* also append the inclusive running sum ``_cum_<c>`` and the
+    grand total ``_tot_<c>``.
+
+    *order_cols* must be a deterministic total order (append a unique key
+    as the final tiebreak).  Accepts names or Column sort expressions
+    (``F.desc("rev")``).
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    loc = df.repartitionByRange(num_partitions, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_loc = Window.partitionBy("_pid").orderBy(*cols)
+    w_run = w_loc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = loc.withColumn("_lrk", F.row_number().over(w_loc))
+    for c in sum_cols:
+        local = local.withColumn(f"_lcum_{c}", F.sum(c).over(w_run))
+
+    counts = loc.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        *[F.sum(c).alias(f"_s_{c}") for c in sum_cols],
+    )
+    # |num_partitions| rows — the bounded case where an unpartitioned
+    # window is correct by construction.
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(w_tot).cast("long").alias("_n_total"),
+        *[
+            F.coalesce(F.sum(f"_s_{c}").over(w_off), F.lit(0)).alias(f"_off_{c}")
+            for c in sum_cols
+        ],
+        *[F.sum(f"_s_{c}").over(w_tot).alias(f"_tot_{c}") for c in sum_cols],
+    )
+    out = local.join(F.broadcast(offsets), "_pid").withColumn(
+        "_rk", (F.col("_lrk") + F.col("_off")).cast("long")
+    )
+    for c in sum_cols:
+        out = out.withColumn(f"_cum_{c}", F.col(f"_lcum_{c}") + F.col(f"_off_{c}"))
+    drop = ["_pid", "_lrk", "_off"] + [
+        n for c in sum_cols for n in (f"_lcum_{c}", f"_off_{c}")
+    ]
+    return out.drop(*drop)
+
+
+def ntile_from_rank(k: int, rk: Column, n: Column) -> Column:
+    """SQL-standard ``ntile(k)`` from an exact 1-based rank *rk* over *n*
+    rows: the first ``n % k`` buckets get ``floor(n/k) + 1`` rows, the rest
+    ``floor(n/k)`` — the same distribution Spark and DuckDB implement, so
+    the result is engine-portable without the single-task ntile window.
+
+    Floor-of-double is exact below 2^52 rows; the else-branch division is
+    only evaluated (CaseWhen is lazy per-row) for ranks past the big
+    buckets, which implies ``floor(n/k) > 0``.
+    """
+    q = F.floor(n / k).cast("long")  # small-bucket size
+    r = (n - q * k).cast("long")  # number of (q+1)-sized buckets
+    cutoff = r * (q + 1)
+    return (
+        F.when(rk <= cutoff, F.ceil(rk / (q + 1)))
+        .otherwise(r + F.ceil((rk - cutoff) / q))
+        .cast("long")
+    )

@@ -427,10 +427,10 @@ est AS (
          CAST((SELECT count(*) FROM b) AS BIGINT) AS exact_b,
          CAST((SELECT count(*) FROM a JOIN b USING (h)) AS BIGINT) AS exact_intersection
 )
-SELECT floor(est_a + 0.5)                 AS est_a,
-       floor(est_b + 0.5)                 AS est_b,
-       floor(est_union + 0.5)             AS est_union,
-       floor(rho * est_union + 0.5)       AS est_intersection,
+SELECT CAST(floor(est_a + 0.5) AS BIGINT)           AS est_a,
+       CAST(floor(est_b + 0.5) AS BIGINT)           AS est_b,
+       CAST(floor(est_union + 0.5) AS BIGINT)       AS est_union,
+       CAST(floor(rho * est_union + 0.5) AS BIGINT) AS est_intersection,
        exact_a, exact_b, exact_intersection
 FROM est CROSS JOIN ex
 """,
@@ -641,20 +641,32 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     same row count and the BOUNDARIES move with the data — the histogram
     query optimizers actually keep (equi-WIDTH, ``agg_histogram``, lies
     under skew; equi-depth bounds per-bucket selectivity error by 1/k).
-    Deterministic bucketing via percent_rank with an event_id tiebreak,
-    so both engines assign identical rows to identical buckets.
+    Deterministic bucketing via the exact global rank with an event_id
+    tiebreak, so both engines assign identical rows to identical buckets.
 
-    Scale shape: percent_rank needs a total order — ONE range-partitioned
-    global sort (Spark's sort is distributed range partitioning, not a
-    single task), then a map-side-combined 8-group aggregate.  At 100 TB
-    the sort is the honest cost of exact equi-depth; approx_percentile
-    boundaries (the agg_approx_quantile path) are the cheap substitute."""
+    Scale shape: a bare ``Window.orderBy`` (no PARTITION BY) would
+    coalesce ALL rows into ONE WindowExec task — a single-task
+    bottleneck, not a distributed sort.  Instead the exact global rank
+    comes from ``ranking.distributed_rank`` (range-partitioned local
+    row_numbers + broadcast prefix offsets over the bounded
+    per-partition-count frame), then percent_rank = (rk-1)/(n-1) is a
+    projection and the 8-group aggregate is map-side combined.
+    approx_percentile boundaries (the agg_approx_quantile path) remain
+    the cheap substitute."""
+    from .ranking import distributed_rank
+
     events = table(spark, sf_dir, "events")
-    w = Window.orderBy("value", "event_id")
-    b = events.select(
+    ranked = distributed_rank(
+        events.select("value", "event_id"), ["value", "event_id"]
+    )
+    b = ranked.select(
         "value",
         F.least(
-            F.floor(F.percent_rank().over(w) * _EQUIDEPTH_BUCKETS),
+            F.floor(
+                (F.col("_rk") - 1).cast("double")
+                / (F.col("_n_total") - 1).cast("double")
+                * _EQUIDEPTH_BUCKETS
+            ),
             F.lit(_EQUIDEPTH_BUCKETS - 1),
         )
         .cast("long")

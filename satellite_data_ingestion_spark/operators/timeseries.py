@@ -960,7 +960,10 @@ def ext_trajectory_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = F.floor(F.sqrt(F.greatest("h1", "h2")) * 10000 + 0.5) / 10000.0
     return (
-        fwd.join(F.broadcast(bwd), "user_id")  # both sides are |users|-sized
+        # Both sides are |users|-sized (unbounded at scale) and already
+        # partitioned by user_id from their groupBys — no broadcast hint;
+        # AQE may still pick one when the measured size is small.
+        fwd.join(bwd, "user_id")
         .select("user_id", h.alias("hausdorff"))
         .orderBy("hausdorff", "user_id")
         .limit(_TRAJ_TOP_K)

@@ -35,7 +35,8 @@ from ..registry import register
     oracle="""
 SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
        o_orderpriority,
-       round(sum(o_totalprice), 2) AS revenue,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS revenue,
        CAST(count(*) AS BIGINT)    AS n_orders
 FROM orders
 GROUP BY 1, 2
@@ -46,8 +47,13 @@ def plan_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle aggregates the BASE table directly — the rewrite is only
     correct if rolling the MV up to months is value-identical to
     aggregating the facts, which is exactly what the hash compare
-    proves.  Revenue stays un-rounded in the MV and rounds ONCE at the
-    month grain (rounding per-day then summing would drift)."""
+    proves.  The MV stores EXACT INTEGER CENTS (the repo's float-sum
+    discipline): raw double sums would accumulate in a different order
+    in the MV path than in the oracle's direct fact scan, and a
+    round(x, 2) sitting on an x.xx5 boundary can flip between engines —
+    integer cents compose exactly over any partition of the input, so
+    day→month rollup is value-identical to fact-grain aggregation at
+    every scale and partitioning."""
     orders = table(spark, sf_dir, "orders")
     mv_dir = os.path.join(
         tempfile.gettempdir(), f"sdis_mv_{os.getpid()}"
@@ -59,7 +65,9 @@ def plan_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
         )
         .agg(
-            F.sum("o_totalprice").alias("revenue_raw"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
             F.count(F.lit(1)).cast("long").alias("n_orders"),
         )
         .write.mode("overwrite")
@@ -71,7 +79,7 @@ def plan_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("day", 1, 7).alias("month"), "o_orderpriority"
         )
         .agg(
-            F.round(F.sum("revenue_raw"), 2).alias("revenue"),
+            (F.sum("revenue_cents").cast("double") / 100.0).alias("revenue"),
             F.sum("n_orders").cast("long").alias("n_orders"),
         )
     )

@@ -451,6 +451,13 @@ def stream_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("bad_type"),
         ).collect()[0]
         rows.append((batch_id, "rows.nonempty", float(m.n), m.n > 0))
+        if m.n == 0:
+            # An empty micro-batch is exactly what rows.nonempty exists to
+            # catch — record it as failed and skip the ratio rules instead
+            # of dividing by zero (which would kill the streaming query).
+            rows.append((batch_id, "value.range_0_400", 0.0, False))
+            rows.append((batch_id, "event_type.domain", 0.0, False))
+            return
         rows.append(
             (batch_id, "value.range_0_400", m.oob / m.n, m.oob / m.n <= _EXPECT_RANGE_TH)
         )
@@ -532,6 +539,12 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("sv"),
         ).collect()[0]
+        if m.n == 0:
+            # Empty micro-batch: no mean to compare and nothing to fold
+            # into the baseline — record a no-drift row instead of
+            # dividing by zero inside foreachBatch (sv is also NULL here).
+            out.append((batch_id, 0, 0.0, state["sv"] / state["n"] if state["n"] else None, False))
+            return
         mean = m.sv / m.n
         if state["n"] == 0:
             baseline, drift = None, False

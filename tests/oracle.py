@@ -93,11 +93,45 @@ def _check_spark_types(spark_df) -> list[str]:
     return errs
 
 
+_DUCK_INTEGRAL = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT")
+_DUCK_FLOATING = ("FLOAT", "DOUBLE", "REAL")
+
+
+def _check_dtype_class(spark_df, con, sql: str) -> list[str]:
+    """The driver's value hash is dtype-sensitive: a Spark BIGINT column vs
+    a DuckDB DOUBLE oracle column hash-mismatches even when every value is
+    identical (round 11's ``ext_kmv_intersection``: bare ``floor()`` is
+    DOUBLE in DuckDB, BIGINT via ``F.floor``).  The numeric coercion below
+    in ``compare`` hid that class, so reject integral-vs-floating column
+    pairs outright — same discipline as the HUGEINT guard above."""
+    from pyspark.sql.types import ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType
+
+    spark_types = {f.name: f.dataType for f in spark_df.schema.fields}
+    rel = con.sql(sql)
+    errs = []
+    for name, t in zip(rel.columns, rel.types):
+        st = spark_types.get(name)
+        if st is None:
+            continue  # column-name mismatch is reported by compare() itself
+        ts = str(t).upper()
+        duck_int = any(ts == d or ts.startswith(d) for d in _DUCK_INTEGRAL) and "DECIMAL" not in ts
+        duck_float = any(d in ts for d in _DUCK_FLOATING)
+        spark_int = isinstance(st, (ByteType, ShortType, IntegerType, LongType))
+        spark_float = isinstance(st, (FloatType, DoubleType))
+        if (spark_int and duck_float) or (spark_float and duck_int):
+            errs.append(
+                f"dtype class differs for col {name}: spark={st.simpleString()} "
+                f"duck={ts}; the driver hash is dtype-sensitive — CAST one side"
+            )
+    return errs
+
+
 def compare(spark_df, con, sql: str, float_tol: float = 1e-9) -> list[str]:
     """Return a list of mismatch descriptions (empty == match)."""
     errs: list[str] = []
     errs.extend(_check_duck_types(con, sql))
     errs.extend(_check_spark_types(spark_df))
+    errs.extend(_check_dtype_class(spark_df, con, sql))
     if errs:
         return errs
     spark_cols = list(spark_df.columns)

@@ -2256,3 +2256,52 @@ def test_compression_ratio_invariants(spark):
     one = len(zlib.compress(text.encode(), 6)) / len(text.encode())
     ten = len(zlib.compress((text * 10).encode(), 6)) / (len(text.encode()) * 10)
     assert ten < one
+
+
+def test_distributed_rank_matches_single_task_window(spark):
+    """ranking.distributed_rank must reproduce row_number / running sum /
+    ntile from a plain unpartitioned window EXACTLY (the thing it exists
+    to replace without the single-task WindowExec), including with a
+    descending sort expression, skewed values, and n % k != 0 ntiles."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from satellite_data_ingestion_spark.operators.ranking import (
+        distributed_rank,
+        ntile_from_rank,
+    )
+
+    n = 1003  # deliberately not divisible by 5 or 32
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 2654435761) % 97).cast("long").alias("v"),
+    )
+    got = distributed_rank(df, [F.desc("v"), "k"], sum_cols=("v",)).select(
+        "k",
+        "_rk",
+        "_n_total",
+        F.col("_cum_v").cast("long").alias("cum"),
+        F.col("_tot_v").cast("long").alias("tot"),
+        ntile_from_rank(5, F.col("_rk"), F.col("_n_total")).alias("nt"),
+    )
+    w = Window.orderBy(F.desc("v"), "k")
+    want = df.select(
+        "k",
+        F.row_number().over(w).cast("long").alias("_rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("_n_total"),
+        F.sum("v")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum"),
+        F.sum("v").over(Window.partitionBy()).cast("long").alias("tot"),
+        F.ntile(5).over(w).cast("long").alias("nt"),
+    )
+    g = {r.k: (r._rk, r._n_total, r.cum, r.tot, r.nt) for r in got.collect()}
+    e = {r.k: (r._rk, r._n_total, r.cum, r.tot, r.nt) for r in want.collect()}
+    assert g == e
+    # n < k edge: every row is its own bucket
+    tiny = spark.range(3).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    t = distributed_rank(tiny, ["v", "k"]).select(
+        "k", ntile_from_rank(5, F.col("_rk"), F.col("_n_total")).alias("nt")
+    )
+    assert {r.k: r.nt for r in t.collect()} == {0: 1, 1: 2, 2: 3}

@@ -82,3 +82,25 @@ def test_compare_rejects_non_scalar_spark_columns(spark):
         F.array_join(F.transform("a", lambda x: x.cast("string")), ",").alias("a")
     )
     assert not _check_spark_types(good)
+
+
+def test_compare_rejects_cross_dtype_class(spark, duck):
+    """Spark BIGINT vs DuckDB DOUBLE hash-mismatches in the driver even on
+    identical values (r11's ext_kmv_intersection: bare floor() is DOUBLE in
+    DuckDB, BIGINT via F.floor), but compare()'s 1e-9 float coercion used to
+    hide it.  The dtype-class guard must flag integral-vs-floating column
+    pairs in BOTH directions before any value comparison."""
+    import pyspark.sql.functions as F
+
+    from tests.oracle import _check_dtype_class
+
+    spark_int = spark.range(3).select(F.floor(F.col("id") + 0.5).alias("v"))
+    errs = _check_dtype_class(spark_int, duck, "SELECT floor(1 + 0.5e0) AS v")
+    assert errs and "dtype class" in errs[0]
+    assert not _check_dtype_class(
+        spark_int, duck, "SELECT CAST(floor(1 + 0.5) AS BIGINT) AS v"
+    )
+    spark_float = spark.range(3).select((F.col("id") + 0.5).alias("v"))
+    errs = _check_dtype_class(spark_float, duck, "SELECT CAST(1 AS BIGINT) AS v")
+    assert errs and "dtype class" in errs[0]
+    assert not _check_dtype_class(spark_float, duck, "SELECT CAST(1.5 AS DOUBLE) AS v")
