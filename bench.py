@@ -42,6 +42,10 @@ HEADLINE = [
     # degradation if the budget bites.  Per-query numbers do not depend
     # on position (the JVM/probe warm-up precedes the loop).
     #
+    # Block -1 — round-12 additions (no signal yet): hybrid retrieval
+    # fusion and the transactional MinHash index maintenance loop.
+    "ext_hybrid_rrf",
+    "pipeline_minhash_index_maintain",
     # Block 0 — round-11 additions (no driver-recorded signal yet):
     # the URL/domain corpus-filtering gate, lexical retrieval, mixture
     # temperature, the data-quality gate, seasonal profiles, KMV sketches.

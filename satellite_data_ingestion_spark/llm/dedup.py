@@ -1533,6 +1533,110 @@ def ext_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_LAST_MAINTAIN_ROOT: Optional[str] = None
+
+
+@register("pipeline_minhash_index_maintain")  # LSH candidates + txn lifecycle → rows-only
+def pipeline_minhash_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSACTIONAL MinHash index MAINTENANCE — the write-side twin of
+    ``ext_dedup_minhash_incremental``: that op PROBES a stored band
+    index; this one keeps the index CURRENT as corpus batches commit,
+    closing the loop a production ingest actually runs every tick.
+
+    Three document batches (doc_id % 3) arrive in order.  Per tick:
+    (a) the batch's band rows probe the STANDING index table for
+    near-dup candidates (equi-join on (band_id, band_key) — work
+    follows the batch, the corpus never re-shingles), (b) candidates
+    verify by exact Jaccard against the stored token-hash sets, and
+    (c) the batch's band rows AND its token-hash sets land in
+    (appId, epoch)-stamped commits with the SAME epoch as the corpus
+    append — so a crash between "corpus appended" and "index appended"
+    replays into each table's idempotent txn watermark and the pair
+    converges without double-applying either side (asserted in-line by
+    hand-replaying the final tick against both tables).
+
+    The maintained index must be INDISTINGUISHABLE from a from-scratch
+    rebuild — pinned by tests/test_components.py (incremental band
+    table == rebuild band rows, exact frame equality) and a two-tick
+    recall check (tick-2 near-dups against tick-1 docs are caught via
+    the index tick 1 committed).
+
+    Scale: per-tick signature work is the batch's 16 minhashes; the
+    probe shuffles (band_id, band_key) keys only; index growth is
+    O(batch × bands) rows per tick appended, never rewritten.
+    Rows-only BY DESIGN: LSH candidate generation is approximate (the
+    same reason as ext_dedup_minhash)."""
+    import os
+    import tempfile
+
+    from ..sources.delta_log import DeltaLogTable
+
+    root = tempfile.mkdtemp(prefix="sdis_mh_maintain_")
+    global _LAST_MAINTAIN_ROOT
+    _LAST_MAINTAIN_ROOT = root  # tests pin maintained-index == rebuild
+    corpus_t = DeltaLogTable(spark, os.path.join(root, "corpus"))
+    index_t = DeltaLogTable(spark, os.path.join(root, "bands"))
+    app = "sdis-minhash-maintain"
+    all_docs = _token_sets(spark, sf_dir).select("doc_id", "toks")
+    out = None
+    for i in range(3):
+        batch = all_docs.filter(F.col("doc_id") % 3 == i)
+        batch_hs = batch.select(
+            "doc_id", F.expr("transform(toks, t -> xxhash64(t))").alias("hs")
+        )
+        batch_bands = _band_rows(minhash_signatures(batch))
+        if index_t.latest_version() >= 0:
+            probe = batch_bands.select(
+                F.col("doc_id").alias("doc_b"), "band_id", "band_key"
+            )
+            # Hot-bucket star cap, computed PROBE-SIDE: semi-join the
+            # stored index down to only the buckets this batch touches,
+            # THEN annotate bucket size/representative — the cap work
+            # follows the batch, not the index, and the append-only index
+            # never needs bn/rep rewrites as buckets grow across ticks.
+            touched = index_t.read().join(
+                probe.select("band_id", "band_key").distinct(),
+                ["band_id", "band_key"],
+                "left_semi",
+            )
+            wb = Window.partitionBy("band_id", "band_key")
+            stored = (
+                touched.withColumn("bn", F.count(F.lit(1)).over(wb))
+                .withColumn("rep", F.min("doc_id").over(wb))
+                .filter(
+                    (F.col("bn") <= _MAX_BUCKET) | (F.col("doc_id") == F.col("rep"))
+                )
+                .select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+            )
+            cand = (
+                probe.join(stored, ["band_id", "band_key"])
+                .select("doc_a", "doc_b")
+                .distinct()
+            )
+            sets = corpus_t.read().unionByName(batch_hs)
+            hits = _verify_exact_jaccard(cand, sets, "hs").select(
+                F.lit(i).cast("long").alias("tick"), "doc_a", "doc_b", "jaccard"
+            )
+            out = hits if out is None else out.unionByName(hits)
+        # Same epoch on BOTH tables: either side replayed after a crash
+        # hits its own txn watermark and no-ops — the two appends form
+        # one logically-atomic maintenance step.
+        corpus_t.commit_append(batch_hs, txn=(app, i))
+        index_t.commit_append(batch_bands, txn=(app, i))
+    head_c, head_i = corpus_t.latest_version(), index_t.latest_version()
+    last = all_docs.filter(F.col("doc_id") % 3 == 2)
+    corpus_t.commit_append(
+        last.select(
+            "doc_id", F.expr("transform(toks, t -> xxhash64(t))").alias("hs")
+        ),
+        txn=(app, 2),
+    )
+    index_t.commit_append(_band_rows(minhash_signatures(last)), txn=(app, 2))
+    if (corpus_t.latest_version(), index_t.latest_version()) != (head_c, head_i):
+        raise RuntimeError("replayed maintenance tick double-applied")
+    return out.orderBy("tick", "doc_a", "doc_b")
+
+
 @register(
     "ext_source_overlap",
     oracle=f"""

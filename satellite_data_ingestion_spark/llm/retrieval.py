@@ -90,7 +90,14 @@ def ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     back; the score is a plain double expression evaluated in the same
     operation order as the DuckDB oracle, so the rounded values
     hash-match exactly; top-k is TakeOrderedAndProject heaps."""
-    docs = table(spark, sf_dir, "documents")
+    scored = _bm25_scored(table(spark, sf_dir, "documents"))
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(_BM25_TOP_K)
+
+
+def _bm25_scored(docs: DataFrame) -> DataFrame:
+    """The shared BM25 scorer frame (doc_id, bm25) over every document
+    matching at least one query term — consumed by ``ext_bm25_search``
+    (top-k heap) and ``ext_hybrid_rrf`` (rank fusion pool)."""
     toks = F.split("text", " ")
 
     def eq(term):
@@ -130,7 +137,7 @@ def ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             tf > 0, idf * ((tf * F.lit(_K1P1)) / (tf + norm))
         ).otherwise(F.lit(0.0))
 
-    scored = (
+    return (
         proj.join(F.broadcast(stats))
         .filter(sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS))) > 0)
         .select(
@@ -140,9 +147,147 @@ def ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bm25"),
         )
     )
-    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(_BM25_TOP_K)
 
 
 ext_bm25_search.__doc__ = ext_bm25_search.__doc__.format(
     terms=", ".join(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B
+)
+
+
+_RRF_K = 60          # the standard RRF dampening constant (Cormack 2009)
+_RRF_POOL = 50       # per-ranker candidate list depth
+_RRF_TOP_K = 20      # fused results returned
+_RRF_QUERY_VEC = 7   # the semantic query: embedding of doc 7
+
+_RRF_DUCK_TFS = ",\n         ".join(
+    f"CAST(len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS BIGINT) AS tf{i}"
+    for i, t in enumerate(_BM25_TERMS)
+)
+
+
+@register(
+    "ext_hybrid_rrf",
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         {_RRF_DUCK_TFS}
+  FROM documents
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         avg(dl) AS avgdl,
+         {", ".join(f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}" for i in range(len(_BM25_TERMS)))}
+  FROM tf
+), lex AS (
+  SELECT doc_id, r_lex FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY s DESC, doc_id) AS r_lex
+    FROM (
+      SELECT doc_id,
+             round({" + ".join(_duck_contrib(i, t) for i, t in enumerate(_BM25_TERMS))}, 6) AS s
+      FROM tf CROSS JOIN stats
+      WHERE {" + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))} > 0
+    )
+  ) WHERE r_lex <= {_RRF_POOL}
+), q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+  WHERE vec_id = {_RRF_QUERY_VEC}
+), sem AS (
+  SELECT doc_id, r_sem FROM (
+    SELECT e.vec_id AS doc_id,
+           row_number() OVER (
+             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) DESC,
+                      e.vec_id) AS r_sem
+    FROM embeddings e, q
+    WHERE e.vec_id <> {_RRF_QUERY_VEC}
+  ) WHERE r_sem <= {_RRF_POOL}
+)
+SELECT doc_id,
+       CAST(r_lex AS BIGINT) AS r_lex,
+       CAST(r_sem AS BIGINT) AS r_sem,
+       floor((coalesce(1.0 / ({_RRF_K} + r_lex), 0.0)
+              + coalesce(1.0 / ({_RRF_K} + r_sem), 0.0)) * 1000000 + 0.5)
+         / 1000000.0 AS rrf
+FROM lex FULL JOIN sem USING (doc_id)
+ORDER BY rrf DESC, doc_id
+LIMIT {_RRF_TOP_K}
+""",
+)
+def ext_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID RETRIEVAL FUSION via Reciprocal Rank Fusion (Cormack,
+    Clarke & Buettcher 2009): the production RAG retrieval shape — a
+    lexical BM25 top-{pool} list and a semantic cosine top-{pool} list,
+    fused by rrf(d) = Σ_r 1/({k} + rank_r(d)) and re-ranked.  RRF works
+    on RANKS, not scores, so the two incomparable score scales (BM25
+    log-idf vs cosine) never need calibration — which is exactly why
+    production systems use it over score interpolation.
+
+    Scale shape: each ranker keeps its own optimal plan — BM25 is the
+    shuffle-free projection+heap of ``ext_bm25_search``, cosine is the
+    broadcast-query one-pass scan of ``ext_sim_cosine`` — and only the
+    two {pool}-row candidate lists ever meet: ranks come from a window
+    over each BOUNDED pool (the one place an unpartitioned window is
+    safe by construction), the fusion is a {pool}+{pool}-row full outer
+    join, and the final sort is {top}-row.  At 100 TB the corpus cost
+    is the two scans; fusion cost is O(pool).
+
+    The fused score is 1/(k+rank) sums over EXACT integer ranks — two
+    doubles added in the same order in both engines, half-up rounded
+    once (the float-oracle discipline)."""
+    from pyspark.sql import Window
+
+    from .simsearch import cosine
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+
+    # Lexical pool: TakeOrderedAndProject keeps the heap distributed;
+    # the rank window then runs over the bounded _RRF_POOL-row frame.
+    lex_pool = (
+        _bm25_scored(docs)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_RRF_POOL)
+    )
+    lex = lex_pool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .cast("long")
+        .alias("r_lex"),
+    )
+
+    vec = F.col("embedding").cast("array<double>")
+    q = emb.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(vec.alias("qv"))
+    sem_pool = (
+        emb.filter(F.col("vec_id") != _RRF_QUERY_VEC)
+        .join(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(vec, F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+        .limit(_RRF_POOL)
+    )
+    sem = sem_pool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_sim"), F.asc("doc_id")))
+        .cast("long")
+        .alias("r_sem"),
+    )
+
+    term = lambda c: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col(c)), F.lit(0.0)
+    )
+    rrf = F.floor((term("r_lex") + term("r_sem")) * 1000000 + 0.5) / 1000000.0
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select("doc_id", "r_lex", "r_sem", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(_RRF_TOP_K)
+    )
+
+
+ext_hybrid_rrf.__doc__ = ext_hybrid_rrf.__doc__.format(
+    pool=_RRF_POOL, k=_RRF_K, top=_RRF_TOP_K
 )

@@ -2305,3 +2305,60 @@ def test_distributed_rank_matches_single_task_window(spark):
         "k", ntile_from_rank(5, F.col("_rk"), F.col("_n_total")).alias("nt")
     )
     assert {r.k: r.nt for r in t.collect()} == {0: 1, 1: 2, 2: 3}
+
+
+def test_minhash_index_maintenance_equals_rebuild(spark):
+    """The transactionally-maintained band index must be INDISTINGUISHABLE
+    from a from-scratch rebuild over the whole corpus (exact frame
+    equality), and tick 2's near-dups against tick-1 docs must be caught
+    via the index tick 1 committed — with recall >= 0.95 vs the exact
+    cross-batch Jaccard join (the minhash recall bound)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from satellite_data_ingestion_spark.llm import dedup
+    from satellite_data_ingestion_spark.llm.dedup import (
+        _band_rows,
+        _token_sets,
+        minhash_signatures,
+        pipeline_minhash_index_maintain,
+    )
+    from satellite_data_ingestion_spark.sources.delta_log import DeltaLogTable
+
+    sf = "/root/testdata/sf0.001"
+    hits = pipeline_minhash_index_maintain(spark, sf).collect()
+    root = dedup._LAST_MAINTAIN_ROOT
+    assert root is not None
+
+    # (1) maintained index == rebuild, exact frame equality both ways
+    maintained = DeltaLogTable(spark, os.path.join(root, "bands")).read()
+    rebuilt = _band_rows(
+        minhash_signatures(_token_sets(spark, sf).select("doc_id", "toks"))
+    )
+    assert maintained.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(maintained).count() == 0
+
+    # (2) tick-2 hits against earlier ticks, recall vs exact Jaccard
+    docs = _token_sets(spark, sf).select("doc_id", "toks")
+    old = docs.filter(F.col("doc_id") % 3 < 2).select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")
+    )
+    new = docs.filter(F.col("doc_id") % 3 == 2).select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb")
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in old.join(new)
+        .filter(inter.cast("double") / union >= dedup._JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    got2 = {(r.doc_a, r.doc_b) for r in hits if r.tick == 2}
+    assert truth, "corpus must contain cross-batch near-dups for this pin"
+    recall = len(got2 & truth) / len(truth)
+    assert recall >= 0.95, f"tick-2 recall {recall:.3f} < 0.95"
+    # every reported pair must be a true near-dup (verification is exact)
+    assert got2 <= truth
