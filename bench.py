@@ -288,7 +288,17 @@ def main() -> None:
     loop_t0 = time.perf_counter()
     timings: dict[str, float] = {}
     degraded: list[str] = []
-    for name in HEADLINE:
+    for qi, name in enumerate(HEADLINE):
+        if qi and qi % 30 == 0:
+            # Session-hygiene checkpoint: a 140-query session accumulates
+            # driver/JVM state (ContextCleaner backlog from checkpointed/
+            # broadcast RDDs, finished-stage bookkeeping) that inflated
+            # r11's END-of-session sub-second queries 2-4x vs their fresh
+            # -session medians.  Draining the cleaner via an explicit GC
+            # every 30 queries costs ~0.1 s and keeps the long-tracked
+            # legacy tail comparable across rounds.
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
         fn = qs[name]
         over_budget = time.perf_counter() - loop_t0 > budget
         if not over_budget:
