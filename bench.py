@@ -43,9 +43,21 @@ HEADLINE = [
     # on position (the JVM/probe warm-up precedes the loop).
     #
     # Block -1 — round-12 additions (no signal yet): hybrid retrieval
-    # fusion and the transactional MinHash index maintenance loop.
+    # fusion, the transactional MinHash index maintenance loop, the
+    # rank-statistics trio, ts ACF/OHLC, readability/zipf, and the
+    # embedding label-statistics trio.
     "ext_hybrid_rrf",
     "pipeline_minhash_index_maintain",
+    "agg_ks_test",
+    "agg_mann_whitney",
+    "agg_spearman_corr",
+    "ext_ts_acf",
+    "ext_ts_ohlc",
+    "ext_readability",
+    "ext_zipf_fit",
+    "ext_embedding_centroids",
+    "ext_embedding_outliers",
+    "ext_label_centroid_sim",
     # Block 0 — round-11 additions (no driver-recorded signal yet):
     # the URL/domain corpus-filtering gate, lexical retrieval, mixture
     # temperature, the data-quality gate, seasonal profiles, KMV sketches.

@@ -1,0 +1,264 @@
+"""Embedding-space label statistics — centroids, mislabel screening, and
+label-confusion geometry over the ``embeddings`` table.
+
+The production uses: per-label CENTROIDS are the free by-product every
+vector pipeline materializes (seed vectors for IVF training, class
+prototypes for nearest-centroid labeling); distance-to-own-centroid is
+the standard MISLABEL/outlier screen run before a labeled set is trusted;
+and the label×label centroid-cosine matrix is the confusion-geometry map
+that says which classes an embedding model cannot separate.
+
+Cross-engine float discipline (this module's whole game):
+
+- Raw per-dim MEANS are aggregation-order-dependent doubles, so vectors
+  are first quantized to exact integer MICRO-UNITS (round(v·1e6) — the
+  ``ext_embedding_quantize`` posture): dimension sums become exact longs,
+  and the centroid's micro value ``floor(sum/n + 0.5)`` is an exact
+  integer both engines derive identically.
+- Every multi-term double sum (distance², dot products, norms) folds
+  SEQUENTIALLY over the dimension order (Spark ``aggregate`` HOF ==
+  DuckDB ``list_reduce``, both left folds — the ext_kl_divergence
+  recipe), so results are bit-identical and fully SQL-oracled.
+
+Scale shape: one posexplode pass to the (label, pos) grain (|labels|×64
+rows out), everything after is centroid-sized; the outlier screen joins
+the 64-row-per-label centroid back as a broadcast and folds per vector —
+no pairwise stage anywhere.
+
+Reference analog: none; [EXT] mandate territory like llm/simsearch.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+_EMB_DIM = 64  # driver corpus embedding dimensionality (all SFs)
+_OUTLIER_TOP_K = 5  # farthest-from-centroid vectors reported per label
+
+# Shared oracle CTE: per-(label, pos) exact integer micro-unit sums and
+# the rounded centroid micro value.  DuckDB arrays are 1-indexed.
+_CENTROID_CTE = f"""
+pv AS (
+  SELECT vec_id, label, g.i AS pos,
+         CAST(round(CAST(embedding[g.i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q,
+         CAST(embedding[g.i + 1] AS DOUBLE) AS v
+  FROM embeddings, (SELECT unnest(generate_series(0, {_EMB_DIM - 1})) AS i) g
+), cent AS (
+  SELECT label, pos,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(floor(CAST(sum(q) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c_micro
+  FROM pv GROUP BY 1, 2
+)"""
+
+
+def _pv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select(
+        "vec_id",
+        "label",
+        F.col("pos").cast("long").alias("pos"),
+        F.round(F.col("col") * 1000000).cast("long").alias("q"),
+        F.col("col").alias("v"),
+    )
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, pos, n, c_micro): exact integer micro-unit centroid."""
+    return _pv(spark, sf_dir).groupBy("label", "pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.floor(F.sum("q").cast("double") / F.count(F.lit(1)) + 0.5)
+        .cast("long")
+        .alias("c_micro"),
+    )
+
+
+def _fold_by_pos(term, acc_init=0.0):
+    """Sequential left fold of ``term`` over pos order (collected per
+    group) — the cross-engine deterministic sum."""
+    return F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("pos"), term.alias("t")))),
+            lambda s: s.getField("t"),
+        ),
+        F.lit(acc_init),
+        lambda acc, x: acc + x,
+    )
+
+
+@register(
+    "ext_embedding_centroids",
+    oracle=f"""
+WITH {_CENTROID_CTE}
+SELECT label, CAST(max(n) AS BIGINT) AS n,
+       array_to_string(list(CAST(c_micro AS VARCHAR) ORDER BY pos), ',')
+         AS centroid_micro
+FROM cent GROUP BY label
+""",
+)
+def ext_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label CLASS CENTROIDS in exact integer micro-units — the
+    class prototypes (serialized, scalar-column output per the driver
+    contract; consumers split/cast back to vectors).  See the module
+    docstring for the quantize-then-sum determinism argument."""
+    cent = _centroids(spark, sf_dir)
+    return cent.groupBy("label").agg(
+        F.max("n").cast("long").alias("n"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c_micro"))),
+                lambda s: s.getField("c_micro").cast("string"),
+            ),
+            ",",
+        ).alias("centroid_micro"),
+    )
+
+
+@register(
+    "ext_embedding_outliers",
+    oracle=f"""
+WITH {_CENTROID_CTE},
+terms AS (
+  SELECT pv.vec_id, pv.label, pv.pos,
+         (pv.v - CAST(cent.c_micro AS DOUBLE) / 1000000.0)
+         * (pv.v - CAST(cent.c_micro AS DOUBLE) / 1000000.0) AS t
+  FROM pv JOIN cent ON pv.label = cent.label AND pv.pos = cent.pos
+), d AS (
+  SELECT vec_id, label,
+         sqrt(list_reduce(list_prepend(0.0, list(t ORDER BY pos)),
+                          (acc, x) -> acc + x)) AS dist
+  FROM terms GROUP BY 1, 2
+), ranked AS (
+  SELECT label, vec_id,
+         floor(dist * 1000000 + 0.5) / 1000000.0 AS dist,
+         row_number() OVER (
+           PARTITION BY label
+           ORDER BY floor(dist * 1000000 + 0.5) / 1000000.0 DESC, vec_id
+         ) AS rn
+  FROM d
+)
+SELECT label, vec_id, dist FROM ranked WHERE rn <= {_OUTLIER_TOP_K}
+""",
+)
+def ext_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MISLABEL SCREEN: the top-{k} vectors FARTHEST (L2) from their own
+    label's centroid, per label — the standard "audit these first"
+    list for a labeled embedding set (its set-level sibling is
+    ``ext_embedding_norms``' global norm screen; this one is
+    class-conditional).
+
+    The distance² folds sequentially over the dimension order against
+    the exact micro-unit centroid (both engines derive the identical
+    double from the identical integer), so the ranking — rounded dist
+    desc, vec_id tiebreak — is engine-identical and fully oracled.
+    Scale: centroids broadcast (|labels|×{dim} rows); one fold pass per
+    vector; top-k per label is a window over the label partition."""
+    cent = _centroids(spark, sf_dir)
+    terms = (
+        _pv(spark, sf_dir)
+        .join(F.broadcast(cent), ["label", "pos"])
+        .select(
+            "vec_id",
+            "label",
+            "pos",
+            (
+                (F.col("v") - F.col("c_micro").cast("double") / 1000000.0)
+                * (F.col("v") - F.col("c_micro").cast("double") / 1000000.0)
+            ).alias("t"),
+        )
+    )
+    d = terms.groupBy("vec_id", "label").agg(
+        F.sqrt(_fold_by_pos(F.col("t"))).alias("dist_raw")
+    )
+    ranked = d.select(
+        "label",
+        "vec_id",
+        (F.floor(F.col("dist_raw") * 1000000 + 0.5) / 1000000.0).alias("dist"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("label").orderBy(F.desc("dist"), F.asc("vec_id"))
+        ),
+    )
+    return ranked.filter(F.col("rn") <= _OUTLIER_TOP_K).select(
+        "label", "vec_id", "dist"
+    )
+
+
+ext_embedding_outliers.__doc__ = ext_embedding_outliers.__doc__.format(
+    k=_OUTLIER_TOP_K, dim=_EMB_DIM
+)
+
+
+@register(
+    "ext_label_centroid_sim",
+    oracle=f"""
+WITH {_CENTROID_CTE},
+cv AS (
+  SELECT label, pos, CAST(c_micro AS DOUBLE) / 1000000.0 AS c FROM cent
+), nrm AS (
+  SELECT label,
+         sqrt(list_reduce(list_prepend(0.0, list(c * c ORDER BY pos)),
+                          (acc, x) -> acc + x)) AS l2
+  FROM cv GROUP BY 1
+), dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         list_reduce(list_prepend(0.0, list(a.c * b.c ORDER BY a.pos)),
+                     (acc, x) -> acc + x) AS dot
+  FROM cv a JOIN cv b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT label_a, label_b,
+       floor((dot / (na.l2 * nb.l2)) * 1000000 + 0.5) / 1000000.0 AS cos_sim
+FROM dots
+JOIN nrm na ON na.label = dots.label_a
+JOIN nrm nb ON nb.label = dots.label_b
+""",
+)
+def ext_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL CONFUSION GEOMETRY: the cosine between every pair of label
+    centroids — near-parallel centroids mark classes the embedding
+    model cannot separate (the geometric early warning before a
+    nearest-centroid or kNN labeler is trusted; ``ext_semdedup_prune``
+    uses the same centroid geometry for pruning).
+
+    All |labels|²/2 pairs over |labels|×{dim} centroid rows — a
+    bounded frame by construction, never the corpus; dot products and
+    norms fold sequentially by dimension (deterministic), cosine is
+    one double expression."""
+    cv = _centroids(spark, sf_dir).select(
+        "label", "pos", (F.col("c_micro").cast("double") / 1000000.0).alias("c")
+    )
+    nrm = cv.groupBy("label").agg(
+        F.sqrt(_fold_by_pos(F.col("c") * F.col("c"))).alias("l2")
+    )
+    a = cv.select(F.col("label").alias("label_a"), "pos", F.col("c").alias("ca"))
+    b = cv.select(F.col("label").alias("label_b"), "pos", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(_fold_by_pos(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = nrm.select(F.col("label").alias("label_a"), F.col("l2").alias("na"))
+    nb = nrm.select(F.col("label").alias("label_b"), F.col("l2").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            (
+                F.floor((F.col("dot") / (F.col("na") * F.col("nb"))) * 1000000 + 0.5)
+                / 1000000.0
+            ).alias("cos_sim"),
+        )
+    )
+
+
+ext_label_centroid_sim.__doc__ = ext_label_centroid_sim.__doc__.format(dim=_EMB_DIM)

@@ -1457,3 +1457,174 @@ def ext_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_b",
         (F.floor(F.col("js_raw") * 1000000 + 0.5) / 1000000.0).alias("js"),
     )
+
+
+@register(
+    "ext_readability",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(length(regexp_replace(text, '[aeiou]+', '#', 'g'))
+              - length(regexp_replace(text, '[aeiou]+', '', 'g')) AS BIGINT)
+           AS n_syllables,
+         greatest(CAST(1 AS BIGINT),
+                  CAST(length(text)
+                       - length(regexp_replace(text, '[.!?]', '', 'g')) AS BIGINT))
+           AS n_sentences
+  FROM documents
+)
+SELECT doc_id, n_words, n_syllables, n_sentences,
+       floor((206.835
+              - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+              - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
+             * 10000 + 0.5) / 10000.0 AS flesch
+FROM d
+WHERE n_words > 0
+""",
+)
+def ext_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLESCH READING-EASE score per document with a deterministic
+    vowel-group syllable heuristic — the classic readability gate
+    (alongside ``ext_quality_score``'s length/punct signals and
+    ``ext_gopher_rules``): extremely low scores flag run-on machine
+    text, implausibly high ones flag fragment soup.
+
+    Syllables ≈ vowel groups: length(regexp_replace(text, '[aeiou]+',
+    '#')) − length(all-vowels-removed) counts maximal vowel runs — one
+    pure-projection formula both engines evaluate identically (no
+    dictionary, no Python).  Sentences = terminal-punctuation count
+    floored at 1 (the synthetic corpus has none — every doc is one
+    "sentence", which the score definition handles).  All inputs exact
+    integers; one half-up-rounded double per doc.
+
+    Scale shape: a single codegen projection over the scan — no
+    shuffle, no UDF; output is doc-grain."""
+    docs = table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " ")).cast("long")
+    n_syl = (
+        F.length(F.regexp_replace("text", "[aeiou]+", "#"))
+        - F.length(F.regexp_replace("text", "[aeiou]+", ""))
+    ).cast("long")
+    n_sent = F.greatest(
+        F.lit(1).cast("long"),
+        (F.length("text") - F.length(F.regexp_replace("text", "[.!?]", ""))).cast(
+            "long"
+        ),
+    )
+    d = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_syl.alias("n_syllables"),
+        n_sent.alias("n_sentences"),
+    ).filter(F.col("n_words") > 0)
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words"))
+    )
+    return d.select(
+        "doc_id",
+        "n_words",
+        "n_syllables",
+        "n_sentences",
+        (F.floor(flesch * 10000 + 0.5) / 10000.0).alias("flesch"),
+    )
+
+
+@register(
+    "ext_zipf_fit",
+    oracle="""
+WITH f AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY 1
+), r AS (
+  SELECT CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rk,
+         ln(CAST(row_number() OVER (ORDER BY n DESC, tok) AS DOUBLE)) AS lx,
+         ln(CAST(n AS DOUBLE)) AS ly
+  FROM f
+), arr AS (
+  SELECT CAST(count(*) AS BIGINT) AS v,
+         list(lx ORDER BY rk) AS lxs,
+         list(ly ORDER BY rk) AS lys,
+         list(lx * ly ORDER BY rk) AS lxys,
+         list(lx * lx ORDER BY rk) AS lxxs
+  FROM r
+), s AS (
+  SELECT v,
+         list_reduce(lxs,  (a, b) -> a + b) AS sx,
+         list_reduce(lys,  (a, b) -> a + b) AS sy,
+         list_reduce(lxys, (a, b) -> a + b) AS sxy,
+         list_reduce(lxxs, (a, b) -> a + b) AS sxx
+  FROM arr
+)
+SELECT v,
+       floor(((v * sxy - sx * sy) / (v * sxx - sx * sx)) * 1000000 + 0.5)
+         / 1000000.0 AS zipf_slope,
+       floor(((sy - ((v * sxy - sx * sy) / (v * sxx - sx * sx)) * sx) / v)
+             * 1000000 + 0.5) / 1000000.0 AS log_intercept
+FROM s
+""",
+)
+def ext_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF-LAW FIT of the corpus token frequency distribution: OLS of
+    ln(freq) on ln(rank) — natural text sits near slope -1, and a
+    corpus whose slope drifts far from it is boilerplate-heavy (too
+    flat) or template-degenerate (too steep); the one-number cousin of
+    ``ext_vocab_topk``'s cumulative-coverage table and a standard data
+    -card statistic (``ext_data_card``).
+
+    Float discipline: the ln-moment sums are genuinely order-sensitive
+    doubles, so all four (Σlx, Σly, Σlx·ly, Σlx²) fold SEQUENTIALLY
+    over the rank-sorted vocab array — Spark ``aggregate`` HOF ==
+    DuckDB ``list_reduce``, both left folds over the same order (the
+    ext_kl_divergence recipe) — then slope and intercept are single
+    closed-form double expressions.
+
+    Scale shape: one map-side-combined token groupBy; everything after
+    is VOCAB-sized (the bounded case where a global rank window and a
+    collected fold array are safe by construction — at web scale the
+    fit runs over the top-N vocab slice, same plan)."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))  # vocab-sized: bounded
+    r = freq.select(
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.log(F.row_number().over(w).cast("double")).alias("lx"),
+        F.log(F.col("n").cast("double")).alias("ly"),
+    )
+
+    def fold(expr_col):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("rk"), expr_col.alias("val")))),
+                lambda s: s.getField("val"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    s = r.agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        fold(F.col("lx")).alias("sx"),
+        fold(F.col("ly")).alias("sy"),
+        fold(F.col("lx") * F.col("ly")).alias("sxy"),
+        fold(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    slope = (F.col("v") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("v") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("v")
+    return s.select(
+        "v",
+        (F.floor(slope * 1000000 + 0.5) / 1000000.0).alias("zipf_slope"),
+        (F.floor(intercept * 1000000 + 0.5) / 1000000.0).alias("log_intercept"),
+    )

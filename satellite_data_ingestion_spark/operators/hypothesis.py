@@ -1,0 +1,275 @@
+"""Rank-based nonparametric hypothesis statistics — the distribution-free
+A/B toolkit (two-sample KS, Mann-Whitney U, Spearman rank correlation)
+that data-quality and experimentation pipelines run when values are
+skewed/heavy-tailed and a t-test's normality assumption is wrong.
+
+All three are RANK statistics, which makes them the natural clients of
+``operators.ranking.distributed_rank``: every cumulative count / rank sum
+comes from range-partitioned local windows plus broadcast prefix offsets
+— never a single-task unpartitioned WindowExec — and every statistic is
+a pure function of EXACT integer counts (tie-group average ranks are
+integers-over-2, rank products integers-over-4, all < 2^53), so the
+final doubles are bit-identical across engines and each operator carries
+a full DuckDB value oracle despite being "statistics".
+
+Reference analog: none (the reference computes no statistics); [EXT]
+mandate territory like operators/aggregates.py's chi2/Cramers-V cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from .ranking import distributed_rank
+
+
+def r6(x):
+    """Shared explicit half-up rounding (the cross-engine tie recipe)."""
+    return F.floor(x * 1000000 + 0.5) / 1000000.0
+
+
+@register(
+    "agg_ks_test",
+    oracle="""
+WITH pts AS (
+  SELECT value, CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS in_a
+  FROM events
+), g AS (
+  SELECT value,
+         CAST(sum(in_a) AS BIGINT) AS ca,
+         CAST(sum(1 - in_a) AS BIGINT) AS cb
+  FROM pts GROUP BY 1
+), n AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM g
+), c AS (
+  SELECT CAST(sum(ca) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+         CAST(sum(cb) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
+  FROM g
+)
+SELECT n.na, n.nb,
+       floor(max(abs(CAST(cum_a AS DOUBLE) / n.na
+                     - CAST(cum_b AS DOUBLE) / n.nb)) * 1000000 + 0.5)
+         / 1000000.0 AS ks_d
+FROM c CROSS JOIN n
+GROUP BY n.na, n.nb
+""",
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-SAMPLE KOLMOGOROV-SMIRNOV statistic D = max_x |F_A(x) -
+    F_B(x)| between the even- and odd-event_id halves of the events
+    value distribution — the distribution-free "did this split change
+    the distribution?" test (the CDF-distance sibling of
+    ``ext_psi_split_drift``'s binned divergence; KS needs no binning
+    choice).  Ties handled exactly: the ECDF steps AFTER absorbing a
+    tie group, so the sup runs over distinct values.
+
+    Scale shape: one map-side-combined groupBy to the distinct-value
+    grain, then BOTH cumulative counts come from ONE
+    ``distributed_rank`` pass (sum_cols) — range-partitioned local
+    cumsums + broadcast prefix offsets, no single-task window — and a
+    1-row max-reduce.  D is |int/na - int/nb|: two exact divisions and
+    one subtraction in the same order both engines."""
+    ev = table(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            "value",
+            F.when(F.col("event_id") % 2 == 0, 1).otherwise(0).alias("in_a"),
+        )
+        .groupBy("value")
+        .agg(
+            F.sum("in_a").cast("long").alias("ca"),
+            F.sum(1 - F.col("in_a")).cast("long").alias("cb"),
+        )
+    )
+    c = distributed_rank(g, ["value"], sum_cols=("ca", "cb"))
+    d = F.abs(
+        F.col("_cum_ca").cast("double") / F.col("_tot_ca")
+        - F.col("_cum_cb").cast("double") / F.col("_tot_cb")
+    )
+    return (
+        c.select(
+            F.col("_tot_ca").cast("long").alias("na"),
+            F.col("_tot_cb").cast("long").alias("nb"),
+            d.alias("d"),
+        )
+        .groupBy("na", "nb")
+        .agg(r6(F.max("d")).alias("ks_d"))
+    )
+
+
+@register(
+    "agg_mann_whitney",
+    oracle="""
+WITH pts AS (
+  SELECT value, CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS in_a
+  FROM events
+), g AS (
+  SELECT value,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(in_a) AS BIGINT) AS ca
+  FROM pts GROUP BY 1
+), c AS (
+  SELECT cnt, ca,
+         CAST(coalesce(sum(cnt) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM g
+), n AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na,
+         CAST(sum(cnt) - sum(ca) AS BIGINT) AS nb
+  FROM g
+), rs AS (
+  -- tie-group average rank = off + (cnt+1)/2, an exact half-integer;
+  -- ca of them belong to sample A
+  SELECT sum(ca * (off + (CAST(cnt AS DOUBLE) + 1) / 2)) AS ra FROM c
+)
+SELECT n.na, n.nb,
+       rs.ra AS rank_sum_a,
+       rs.ra - CAST(n.na AS DOUBLE) * (n.na + 1) / 2 AS u_a,
+       floor(((rs.ra - CAST(n.na AS DOUBLE) * (n.na + 1) / 2)
+              / (CAST(n.na AS DOUBLE) * n.nb)) * 1000000 + 0.5)
+         / 1000000.0 AS auc
+FROM n CROSS JOIN rs
+""",
+)
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U between the even/odd event_id halves of the events
+    values, with the standard midrank (average-rank) tie treatment —
+    the nonparametric "is one split stochastically larger?" test, and
+    U/(na·nb) is exactly the AUC of separating the two samples (the
+    experiment readout A/B platforms actually report).
+
+    Ranks never materialize per row: one groupBy to the distinct-value
+    grain, ONE ``distributed_rank`` pass for the exclusive cumulative
+    count (= the rank offset of each tie group), then the rank sum is a
+    single dot product Σ ca·(off + (cnt+1)/2) — every term an exact
+    half-integer, so the float sum is exact below 2^52 and the U and
+    AUC formulas are engine-identical."""
+    ev = table(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            "value",
+            F.when(F.col("event_id") % 2 == 0, 1).otherwise(0).alias("in_a"),
+        )
+        .groupBy("value")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("in_a").cast("long").alias("ca"),
+        )
+    )
+    c = distributed_rank(g, ["value"], sum_cols=("cnt",))
+    c = c.select(
+        "cnt",
+        "ca",
+        (F.col("_cum_cnt") - F.col("cnt")).cast("long").alias("off"),
+        F.col("_tot_cnt").cast("long").alias("n_all"),
+    )
+    agg = c.agg(
+        F.sum(
+            F.col("ca")
+            * (F.col("off") + (F.col("cnt").cast("double") + 1) / 2)
+        ).alias("ra"),
+        F.sum("ca").cast("long").alias("na"),
+        (F.max("n_all") - F.sum("ca")).cast("long").alias("nb"),
+    )
+    u = F.col("ra") - F.col("na").cast("double") * (F.col("na") + 1) / 2
+    return agg.select(
+        "na",
+        "nb",
+        F.col("ra").alias("rank_sum_a"),
+        u.alias("u_a"),
+        r6(u / (F.col("na").cast("double") * F.col("nb"))).alias("auc"),
+    )
+
+
+@register(
+    "agg_spearman_corr",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mon
+  FROM orders GROUP BY 1
+), gx AS (
+  SELECT freq, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(coalesce(sum(count(*)) OVER (ORDER BY freq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM cust GROUP BY freq
+), gy AS (
+  SELECT mon, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(coalesce(sum(count(*)) OVER (ORDER BY mon
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM cust GROUP BY mon
+), ranked AS (
+  SELECT (gx.off + (CAST(gx.cnt AS DOUBLE) + 1) / 2) AS rx,
+         (gy.off + (CAST(gy.cnt AS DOUBLE) + 1) / 2) AS ry
+  FROM cust JOIN gx USING (freq) JOIN gy USING (mon)
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(rx) AS sx, sum(ry) AS sy,
+         sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+  FROM ranked
+)
+SELECT n,
+       floor(((n * sxy - sx * sy)
+              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+             * 1000000 + 0.5) / 1000000.0 AS spearman_rho
+FROM m
+""",
+)
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN RANK CORRELATION between per-customer order frequency
+    and monetary value — Pearson over midranks, the robust monotonic-
+    association measure that survives the heavy-tailed spend
+    distribution a raw Pearson (``agg_corr_matrix``) gets dragged by.
+
+    Midranks come from the tie-group decomposition (exclusive
+    cumulative count + (cnt+1)/2), each an exact half-integer, so every
+    Pearson moment over them (Σrx, Σrxry, ...) is an exact multiple of
+    1/4 summed below 2^52 — order-independent and engine-identical —
+    and rho is one deterministic double formula.  Scale shape: customer
+    -grain aggregate, two tie-group aggregates joined back (broadcast-
+    sized only if the value domains are; no hint), one 1-row moment
+    reduce.  The tie-group offsets use ``distributed_rank``'s bounded
+    prefix frame, never a per-row global window."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(cents).cast("long").alias("mon"),
+    )
+
+    def midranks(col: str) -> DataFrame:
+        g = cust.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        c = distributed_rank(g, [col], sum_cols=("cnt",))
+        return c.select(
+            col,
+            (
+                (F.col("_cum_cnt") - F.col("cnt")).cast("double")
+                + (F.col("cnt").cast("double") + 1) / 2
+            ).alias(f"r_{col}"),
+        )
+
+    ranked = (
+        cust.join(midranks("freq"), "freq")
+        .join(midranks("mon"), "mon")
+        .select(F.col("r_freq").alias("rx"), F.col("r_mon").alias("ry"))
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select("n", r6(num / den).alias("spearman_rho"))

@@ -1417,3 +1417,196 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_runs",
         (F.floor(z * 10000 + 0.5) / 10000.0).alias("z_stat"),
     )
+
+
+_ACF_LAGS = 3
+
+
+@register(
+    "ext_ts_acf",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, x,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr) AS BIGINT) AS t
+  FROM hourly
+), m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS q
+  FROM s GROUP BY 1
+), p AS (
+  SELECT a.event_type, lag.k,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(a.x * b.x) AS BIGINT) AS pk,
+         CAST(sum(a.x) AS BIGINT) AS ak,
+         CAST(sum(b.x) AS BIGINT) AS bk
+  FROM s a
+  JOIN (SELECT unnest(generate_series(1, {_ACF_LAGS})) AS k) lag ON TRUE
+  JOIN s b ON b.event_type = a.event_type AND b.t = a.t - lag.k
+  GROUP BY 1, 2
+)
+SELECT p.event_type, CAST(p.k AS BIGINT) AS lag, m.n,
+       floor(((CAST(pk AS DOUBLE)
+               - (CAST(sx AS DOUBLE) / n) * (CAST(ak AS DOUBLE) + bk)
+               + n_pairs * ((CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)))
+              / (CAST(q AS DOUBLE) - n * ((CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))))
+             * 1000000 + 0.5) / 1000000.0 AS acf
+FROM p JOIN m ON p.event_type = m.event_type
+""",
+)
+def ext_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCORRELATION FUNCTION (lags 1..{lags}) of each event type's
+    hourly value series — the diagnostic under every seasonality /
+    forecasting decision (``ext_ts_seasonal`` asserts a daily profile
+    exists; ACF is how you FIND the cycle length and whether an EWMA
+    (``ext_ts_ewma``) or a seasonal model fits).
+
+    Estimator: the standard biased ACF r_k = Σ(x_t - x̄)(x_{{t-k}} - x̄)
+    / Σ(x_t - x̄)², expanded so every aggregate is an EXACT integer
+    (Σx_t·x_{{t-k}}, Σx, Σx² over integer cents — the float-sum
+    discipline applied to a lag statistic); the mean-cross terms fold in
+    as one closed-form double expression evaluated in the identical
+    order both engines.
+
+    Scale shape: one map-side-combined groupBy to the (type, hour)
+    grain; series position t is a window PARTITIONED by event_type (per
+    -key series, never a global sort); the lag join explodes {lags}
+    fixed lags and self-joins on (type, t-k) — co-partitioned on the
+    series key, output |types|×|lags| rows."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.sum(cents).cast("long").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    s = hourly.select(
+        "event_type", "x", F.row_number().over(w).cast("long").alias("t")
+    )
+    m = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    )
+    a = s.select("event_type", F.col("x").alias("xa"), "t").withColumn(
+        "k", F.explode(F.array(*[F.lit(k) for k in range(1, _ACF_LAGS + 1)]))
+    )
+    b = s.select(
+        F.col("event_type").alias("et_b"),
+        F.col("x").alias("xb"),
+        F.col("t").alias("tb"),
+    )
+    p = (
+        a.join(
+            b,
+            (F.col("et_b") == F.col("event_type"))
+            & (F.col("tb") == F.col("t") - F.col("k")),
+        )
+        .groupBy("event_type", "k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("xa") * F.col("xb")).cast("long").alias("pk"),
+            F.sum("xa").cast("long").alias("ak"),
+            F.sum("xb").cast("long").alias("bk"),
+        )
+    )
+    mean = F.col("sx").cast("double") / F.col("n")
+    num = (
+        F.col("pk").cast("double")
+        - mean * (F.col("ak").cast("double") + F.col("bk"))
+        + F.col("n_pairs") * (mean * mean)
+    )
+    den = F.col("q").cast("double") - F.col("n") * (mean * mean)
+    return p.join(m, "event_type").select(
+        "event_type",
+        F.col("k").cast("long").alias("lag"),
+        "n",
+        (F.floor((num / den) * 1000000 + 0.5) / 1000000.0).alias("acf"),
+    )
+
+
+ext_ts_acf.__doc__ = ext_ts_acf.__doc__.format(lags=_ACF_LAGS)
+
+
+@register(
+    "ext_ts_ohlc",
+    oracle="""
+WITH pts AS (
+  SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), rn AS (
+  SELECT event_type, day, c,
+         row_number() OVER (PARTITION BY event_type, day
+                            ORDER BY ts, event_id) AS r_open,
+         row_number() OVER (PARTITION BY event_type, day
+                            ORDER BY ts DESC, event_id DESC) AS r_close
+  FROM pts
+), agg AS (
+  SELECT event_type, day,
+         CAST(count(*) AS BIGINT) AS volume,
+         CAST(max(c) AS BIGINT) AS hi_c, CAST(min(c) AS BIGINT) AS lo_c,
+         CAST(max(CASE WHEN r_open = 1 THEN c END) AS BIGINT) AS open_c,
+         CAST(max(CASE WHEN r_close = 1 THEN c END) AS BIGINT) AS close_c
+  FROM rn GROUP BY 1, 2
+)
+SELECT event_type, CAST(day AS DATE) AS day, volume,
+       CAST(open_c AS DOUBLE) / 100.0  AS open,
+       CAST(hi_c AS DOUBLE) / 100.0    AS high,
+       CAST(lo_c AS DOUBLE) / 100.0    AS low,
+       CAST(close_c AS DOUBLE) / 100.0 AS close
+FROM agg
+""",
+)
+def ext_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC RESAMPLING (candlestick bars): per event type per day, the
+    open / high / low / close of the value stream plus volume — the
+    canonical downsample every metrics store and market-data pipeline
+    materializes (``agg_grid_resample``'s mean-per-cell sibling keeps
+    averages; OHLC keeps the path extremes a mean erases).
+
+    Open/close are the FIRST/LAST observation under the deterministic
+    (ts, event_id) total order — expressed as row_number over the
+    (type, day) partition in both engines, so ties break identically.
+    Exact integer cents until the final /100 projection.
+
+    Scale shape: the two row_numbers share ONE (type, day) hash
+    exchange (same partition key, opposite sort — Spark sorts twice,
+    shuffles once); the bar aggregate is map-side combinable; output is
+    |types|×|days| rows."""
+    ev = table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    wp = Window.partitionBy("event_type", "day")
+    rn = pts.select(
+        "event_type",
+        "day",
+        "c",
+        F.row_number().over(wp.orderBy("ts", "event_id")).alias("r_open"),
+        F.row_number()
+        .over(wp.orderBy(F.desc("ts"), F.desc("event_id")))
+        .alias("r_close"),
+    )
+    agg = rn.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("volume"),
+        F.max("c").cast("long").alias("hi_c"),
+        F.min("c").cast("long").alias("lo_c"),
+        F.max(F.when(F.col("r_open") == 1, F.col("c"))).cast("long").alias("open_c"),
+        F.max(F.when(F.col("r_close") == 1, F.col("c"))).cast("long").alias("close_c"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("day").cast("date").alias("day"),
+        "volume",
+        (F.col("open_c").cast("double") / 100.0).alias("open"),
+        (F.col("hi_c").cast("double") / 100.0).alias("high"),
+        (F.col("lo_c").cast("double") / 100.0).alias("low"),
+        (F.col("close_c").cast("double") / 100.0).alias("close"),
+    )
