@@ -58,6 +58,9 @@ HEADLINE = [
     "ext_embedding_centroids",
     "ext_embedding_outliers",
     "ext_label_centroid_sim",
+    "ext_embedding_pca",
+    "graph_kcore",
+    "graph_hits",
     # Block 0 — round-11 additions (no driver-recorded signal yet):
     # the URL/domain corpus-filtering gate, lexical retrieval, mixture
     # temperature, the data-quality gate, seasonal profiles, KMV sketches.

@@ -262,3 +262,96 @@ def ext_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ext_label_centroid_sim.__doc__ = ext_label_centroid_sim.__doc__.format(dim=_EMB_DIM)
+
+
+_PCA_COMPONENTS = 2
+
+
+@register("ext_embedding_pca")  # driver-side eigen on the exact Gram → rows-only
+def ext_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA of the embedding cloud, Spark-first: the top-{k}
+    principal coordinates per vector — THE inspection projection every
+    embedding QA notebook draws, and the whitening/compression basis
+    (``ext_embedding_quantize`` compresses per-dim ranges; PCA rotates
+    into the variance basis first).
+
+    Shape — the classic one-pass Gram decomposition: ``mapInPandas``
+    emits ONE partial per Arrow batch (count, Σq, and the {d}×{d} upper
+    Gram Σqqᵀ as int64 on micro-quantized vectors — numpy GEMM per
+    batch, exact integer arithmetic so partial-merge ORDER cannot
+    perturb the spectrum); the driver merges #partitions bounded rows,
+    eigendecomposes the {d}×{d} covariance (O(d³) on 64 dims — driver
+    work independent of corpus size), fixes each eigenvector's sign by
+    its largest-|loading| entry, and the projection pass broadcasts the
+    {k}×{d} basis back through a second vectorized numpy pass.  At
+    100 TB exactly two corpus scans, zero shuffles, driver state 4 KB.
+
+    ROWS-ONLY BY DESIGN: eigendecomposition is not SQL-expressible — a
+    DuckDB oracle would be numpy checking itself.  Pinned instead by
+    exact parity vs an independent single-machine PCA (same quantized
+    Gram → identical spectrum) and basis-invariant properties
+    (orthonormality, variance ordering) in tests/test_components.py."""
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings")
+
+    def gram_partials(batches):
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.rint(m * 1e6).astype(np.int64)
+            g = q.T @ q  # exact: |q| <= ~3e5, 64 dims, int64 headroom
+            yield pd.DataFrame(
+                {
+                    "n": [len(q)],
+                    "s": [q.sum(axis=0).tolist()],
+                    "g": [g.reshape(-1).tolist()],
+                }
+            )
+
+    parts = (
+        emb.select("embedding")
+        .mapInPandas(gram_partials, "n long, s array<long>, g array<long>")
+        .collect()
+    )  # bounded: one row per Arrow batch
+    n = sum(r.n for r in parts)
+    dim = len(parts[0].s)
+    s = np.zeros(dim, dtype=object)
+    g = np.zeros(dim * dim, dtype=object)
+    for r in parts:  # python-int accumulation: exact at any scale
+        s += np.array(r.s, dtype=object)
+        g += np.array(r.g, dtype=object)
+    s = s.astype(np.float64) / 1e6
+    g = g.astype(np.float64).reshape(dim, dim) / 1e12
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:_PCA_COMPONENTS]
+    comps = vecs[:, order].T  # (k, d)
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:  # deterministic sign convention
+            comps[i] = -comps[i]
+    b_comps = comps.tolist()
+    b_mu = mu.tolist()
+
+    def project(batches):
+        c = np.array(b_comps)
+        m0 = np.array(b_mu)
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            pc = (m - m0) @ c.T
+            out = {"vec_id": pdf["vec_id"], "label": pdf["label"]}
+            for i in range(c.shape[0]):
+                out[f"pc{i + 1}"] = np.floor(pc[:, i] * 1e6 + 0.5) / 1e6
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, label int, " + ", ".join(
+        f"pc{i + 1} double" for i in range(_PCA_COMPONENTS)
+    )
+    return emb.select("vec_id", "label", "embedding").mapInPandas(project, schema)
+
+
+ext_embedding_pca.__doc__ = ext_embedding_pca.__doc__.format(
+    k=_PCA_COMPONENTS, d=_EMB_DIM
+)

@@ -2362,3 +2362,46 @@ def test_minhash_index_maintenance_equals_rebuild(spark):
     assert recall >= 0.95, f"tick-2 recall {recall:.3f} < 0.95"
     # every reported pair must be a true near-dup (verification is exact)
     assert got2 <= truth
+
+
+def test_embedding_pca_matches_independent_numpy(spark):
+    """ext_embedding_pca's distributed quantized-Gram decomposition must
+    reproduce an independent single-machine PCA exactly (same quantized
+    Gram -> identical spectrum), with an orthonormal, variance-ordered
+    basis and the documented sign convention."""
+    import numpy as np
+
+    from satellite_data_ingestion_spark.llm.embedding_stats import (
+        _PCA_COMPONENTS,
+        ext_embedding_pca,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.vec_id: tuple(r[f"pc{i+1}"] for i in range(_PCA_COMPONENTS))
+           for r in ext_embedding_pca(spark, sf).collect()}
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    ids = [r.vec_id for r in emb]
+    m = np.array([r.embedding for r in emb], dtype=np.float64)
+    q = np.rint(m * 1e6).astype(np.int64)
+    n = len(q)
+    s = q.sum(axis=0).astype(np.float64) / 1e6
+    g = (q.T @ q).astype(np.float64) / 1e12
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:_PCA_COMPONENTS]
+    comps = vecs[:, order].T
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    # orthonormal, variance-ordered basis
+    assert np.allclose(comps @ comps.T, np.eye(_PCA_COMPONENTS), atol=1e-10)
+    assert vals[order[0]] >= vals[order[1]] > 0
+    pcs = np.floor((m - mu) @ comps.T * 1e6 + 0.5) / 1e6
+    for k, vid in enumerate(ids):
+        want = tuple(pcs[k])
+        have = got[vid]
+        for a, b in zip(have, want):
+            assert abs(a - b) <= 1e-6, (vid, have, want)
