@@ -61,6 +61,9 @@ HEADLINE = [
     "ext_embedding_pca",
     "graph_kcore",
     "graph_hits",
+    "agg_welch_t",
+    "ext_l_diversity",
+    "agg_mutual_information",
     # Block 0 — round-11 additions (no driver-recorded signal yet):
     # the URL/domain corpus-filtering gate, lexical retrieval, mixture
     # temperature, the data-quality gate, seasonal profiles, KMV sketches.

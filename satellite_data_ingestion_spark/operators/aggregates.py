@@ -1909,3 +1909,92 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("cramers_v"),
     )
+
+
+@register(
+    "agg_mutual_information",
+    oracle="""
+WITH obs AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS o FROM documents GROUP BY 1, 2
+), rm AS (
+  SELECT lang, CAST(sum(o) AS BIGINT) AS rn FROM obs GROUP BY 1
+), cm AS (
+  SELECT source, CAST(sum(o) AS BIGINT) AS cn FROM obs GROUP BY 1
+), n AS (
+  SELECT CAST(sum(o) AS BIGINT) AS tot FROM obs
+), terms AS (
+  SELECT obs.lang, obs.source,
+         (CAST(obs.o AS DOUBLE) / n.tot)
+         * ln((CAST(obs.o AS DOUBLE) * n.tot)
+              / (CAST(rm.rn AS DOUBLE) * cm.cn)) AS t
+  FROM obs JOIN rm ON obs.lang = rm.lang
+  JOIN cm ON obs.source = cm.source CROSS JOIN n
+), folded AS (
+  SELECT list_reduce(
+           list_prepend(0.0, list(t ORDER BY lang, source)),
+           (acc, x) -> acc + x) AS mi
+  FROM terms
+)
+SELECT CAST((SELECT count(*) FROM terms) AS BIGINT) AS n_cells,
+       floor(mi * 1000000 + 0.5) / 1000000.0 AS mi_nats
+FROM folded
+""",
+)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL INFORMATION I(lang; source) in nats — the one-number
+    information-theoretic summary of the contingency table whose cells
+    ``agg_chi2_independence`` reports and whose effect size
+    ``agg_cramers_v`` normalizes: MI = Σ p(l,s)·ln(p(l,s)/(p(l)p(s))),
+    zero iff independent, and directly comparable to the entropy
+    battery (``agg_entropy``, ``ext_kl_divergence`` — MI is the KL of
+    the joint from the product).
+
+    Same float discipline as its siblings: exact integer counts in, the
+    ln-term sum folds SEQUENTIALLY over the (lang, source)-sorted cell
+    list (Spark aggregate HOF == DuckDB list_reduce), one half-up round
+    out.  One map-side-combined groupBy; marginals derive from the same
+    checkpointed aggregate and broadcast back; the fold array is
+    |langs|×|sources| cells."""
+    docs = table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+        # Lazy localCheckpoint (the ext_kl_divergence pattern): four
+        # consumers, no unpersist site in a lazily-returned frame.
+    ).localCheckpoint(eager=False)
+    rm = obs.groupBy("lang").agg(F.sum("o").cast("long").alias("rn"))
+    cm = obs.groupBy("source").agg(F.sum("o").cast("long").alias("cn"))
+    n = obs.agg(F.sum("o").cast("long").alias("tot"))
+    terms = (
+        obs.join(F.broadcast(rm), "lang")
+        .join(F.broadcast(cm), "source")
+        .join(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            (
+                (F.col("o").cast("double") / F.col("tot"))
+                * F.log(
+                    (F.col("o").cast("double") * F.col("tot"))
+                    / (F.col("rn").cast("double") * F.col("cn"))
+                )
+            ).alias("t"),
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (
+            F.floor(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("lang", "source", "t"))),
+                        lambda s: s.getField("t"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                * 1000000
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("mi_nats"),
+    )

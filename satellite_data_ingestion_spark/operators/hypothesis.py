@@ -273,3 +273,111 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return m.select("n", r6(num / den).alias("spearman_rho"))
+
+
+@register(
+    "agg_welch_t",
+    oracle="""
+WITH g AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sq
+  FROM events GROUP BY 1
+), w AS (
+  SELECT
+    max(CASE WHEN grp = 'a' THEN n END) AS na,
+    max(CASE WHEN grp = 'b' THEN n END) AS nb,
+    CAST(max(CASE WHEN grp = 'a' THEN sv END) AS DOUBLE)
+      / max(CASE WHEN grp = 'a' THEN n END) AS ma,
+    CAST(max(CASE WHEN grp = 'b' THEN sv END) AS DOUBLE)
+      / max(CASE WHEN grp = 'b' THEN n END) AS mb,
+    (CAST(max(CASE WHEN grp = 'a' THEN sq END) AS DOUBLE)
+     - max(CASE WHEN grp = 'a' THEN n END)
+       * ((CAST(max(CASE WHEN grp = 'a' THEN sv END) AS DOUBLE)
+           / max(CASE WHEN grp = 'a' THEN n END))
+          * (CAST(max(CASE WHEN grp = 'a' THEN sv END) AS DOUBLE)
+             / max(CASE WHEN grp = 'a' THEN n END))))
+      / (max(CASE WHEN grp = 'a' THEN n END) - 1) AS va,
+    (CAST(max(CASE WHEN grp = 'b' THEN sq END) AS DOUBLE)
+     - max(CASE WHEN grp = 'b' THEN n END)
+       * ((CAST(max(CASE WHEN grp = 'b' THEN sv END) AS DOUBLE)
+           / max(CASE WHEN grp = 'b' THEN n END))
+          * (CAST(max(CASE WHEN grp = 'b' THEN sv END) AS DOUBLE)
+             / max(CASE WHEN grp = 'b' THEN n END))))
+      / (max(CASE WHEN grp = 'b' THEN n END) - 1) AS vb
+  FROM g
+)
+SELECT na, nb,
+       floor((ma - mb) / sqrt(va / na + vb / nb) * 1000000 + 0.5)
+         / 1000000.0 AS t_stat,
+       floor(((va / na + vb / nb) * (va / na + vb / nb))
+             / ((va / na) * (va / na) / (na - 1)
+                + (vb / nb) * (vb / nb) / (nb - 1)) * 10000 + 0.5)
+         / 10000.0 AS welch_df
+FROM w
+""",
+)
+def agg_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S UNEQUAL-VARIANCE t-TEST between the even/odd event_id
+    halves of the events values — the parametric partner of
+    ``agg_mann_whitney`` (that one asks "stochastically larger?", this
+    one "different MEAN?", valid under unequal variances), plus the
+    Welch-Satterthwaite effective degrees of freedom.
+
+    Every moment (n, Σcents, Σcents²) is an exact integer from ONE
+    map-side-combined aggregate; means, variances, t and df are closed
+    -form double expressions evaluated in the identical order both
+    engines (cents discipline + explicit half-up rounding).  Scale:
+    one scan, one 2-row aggregate, a 1-row report."""
+    ev = table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    g = ev.groupBy(
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias("grp")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c).cast("long").alias("sv"),
+        F.sum(c * c).cast("long").alias("sq"),
+    )
+
+    def pick(col):
+        return {
+            k: F.max(F.when(F.col("grp") == k, F.col(col))) for k in ("a", "b")
+        }
+
+    n_, sv_, sq_ = pick("n"), pick("sv"), pick("sq")
+    w = g.agg(
+        n_["a"].alias("na"),
+        n_["b"].alias("nb"),
+        (sv_["a"].cast("double") / n_["a"]).alias("ma"),
+        (sv_["b"].cast("double") / n_["b"]).alias("mb"),
+        (
+            (
+                sq_["a"].cast("double")
+                - n_["a"]
+                * ((sv_["a"].cast("double") / n_["a"]) * (sv_["a"].cast("double") / n_["a"]))
+            )
+            / (n_["a"] - 1)
+        ).alias("va"),
+        (
+            (
+                sq_["b"].cast("double")
+                - n_["b"]
+                * ((sv_["b"].cast("double") / n_["b"]) * (sv_["b"].cast("double") / n_["b"]))
+            )
+            / (n_["b"] - 1)
+        ).alias("vb"),
+    )
+    se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    t = (F.col("ma") - F.col("mb")) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (F.col("va") / F.col("na")) * (F.col("va") / F.col("na")) / (F.col("na") - 1)
+        + (F.col("vb") / F.col("nb")) * (F.col("vb") / F.col("nb")) / (F.col("nb") - 1)
+    )
+    return w.select(
+        "na",
+        "nb",
+        (F.floor(t * 1000000 + 0.5) / 1000000.0).alias("t_stat"),
+        (F.floor(df * 10000 + 0.5) / 10000.0).alias("welch_df"),
+    )

@@ -291,3 +291,69 @@ def ext_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select("n_rows", F.expr(stack)).select(
         "col", "n_rows", "n_nonnull", "ndv", "min_val", "max_val"
     )
+
+
+_L_DIVERSITY = 3
+
+
+@register(
+    "ext_l_diversity",
+    oracle=f"""
+WITH g AS (
+  SELECT source, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+         CAST(count(*) AS BIGINT) AS group_size,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(max(cnt) AS BIGINT) AS top_lang_n
+  FROM (
+    SELECT source, n_chars, lang,
+           count(*) OVER (PARTITION BY source, n_chars // 100, lang) AS cnt
+    FROM documents
+  )
+  GROUP BY 1, 2
+)
+SELECT source, len_bucket, group_size, n_langs,
+       floor(CAST(top_lang_n AS DOUBLE) / group_size * 10000 + 0.5)
+         / 10000.0 AS top_lang_share,
+       n_langs < {_L_DIVERSITY} AS violates_l
+FROM g
+""",
+)
+def ext_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-DIVERSITY audit (Machanavajjhala 2006) — the k-anonymity
+    follow-on: a quasi-identifier group can be large (k-anonymous) yet
+    still leak its SENSITIVE attribute if nearly every member shares
+    one value.  QI = (source, length bucket), sensitive = lang; each
+    group reports its distinct-language count, the dominant language's
+    share (the homogeneity-attack surface), and the l = {l} violation
+    flag.  ``ext_k_anonymity`` says "is the group big enough?"; this
+    says "is it MIXED enough?".
+
+    Scale shape: one groupBy to the (QI, lang) grain, one rollup to the
+    QI grain carrying max/1-distinct counts — both map-side combined;
+    the window in the oracle is Spark-side a two-level aggregate (no
+    per-row window at all).  Report is |QI-combination|-sized."""
+    docs = table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy(
+        "source",
+        F.floor(F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+        "lang",
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    g = per_lang.groupBy("source", "len_bucket").agg(
+        F.sum("cnt").cast("long").alias("group_size"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.max("cnt").cast("long").alias("top_lang_n"),
+    )
+    return g.select(
+        "source",
+        "len_bucket",
+        "group_size",
+        "n_langs",
+        (
+            F.floor(F.col("top_lang_n").cast("double") / F.col("group_size") * 10000 + 0.5)
+            / 10000.0
+        ).alias("top_lang_share"),
+        (F.col("n_langs") < _L_DIVERSITY).alias("violates_l"),
+    )
+
+
+ext_l_diversity.__doc__ = ext_l_diversity.__doc__.format(l=_L_DIVERSITY)
