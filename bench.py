@@ -64,6 +64,9 @@ HEADLINE = [
     "agg_welch_t",
     "ext_l_diversity",
     "agg_mutual_information",
+    "agg_lorenz_curve",
+    "ext_kwic",
+    "ext_collocation_g2",
     # Block 0 — round-11 additions (no driver-recorded signal yet):
     # the URL/domain corpus-filtering gate, lexical retrieval, mixture
     # temperature, the data-quality gate, seasonal profiles, KMV sketches.

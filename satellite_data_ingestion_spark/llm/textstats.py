@@ -1628,3 +1628,181 @@ def ext_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(slope * 1000000 + 0.5) / 1000000.0).alias("zipf_slope"),
         (F.floor(intercept * 1000000 + 0.5) / 1000000.0).alias("log_intercept"),
     )
+
+
+_KWIC_TERM = "merge"
+_KWIC_WIN = 2  # context tokens each side
+
+
+@register(
+    "ext_kwic",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), hits AS (
+  SELECT doc_id, t, i AS pos
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)
+  WHERE t[i] = '{_KWIC_TERM}'
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       coalesce(array_to_string(t[greatest(1, pos - {_KWIC_WIN}):pos - 1], ' '), '')
+         AS left_ctx,
+       coalesce(array_to_string(t[pos + 1:least(len(t), pos + {_KWIC_WIN})], ' '), '')
+         AS right_ctx
+FROM hits
+""",
+)
+def ext_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYWORD-IN-CONTEXT concordance for the query term '{term}': every
+    occurrence with ±{w} tokens of context — the corpus-inspection tool
+    behind contamination triage (``ext_contamination_check`` says WHICH
+    docs overlap; KWIC shows the analyst the actual usage) and PII
+    spot-checks after ``ext_pii_mask``.
+
+    Occurrence positions come from a ``sequence``/``filter`` transform
+    INSIDE the token array (no position self-join); context windows are
+    ``slice`` projections with explicit clamps, so the whole operator
+    is one explode of match positions — output is occurrence-
+    proportional, never corpus².  1-based positions match the DuckDB
+    twin exactly."""
+    docs = table(spark, sf_dir, "documents")
+    ts = docs.select("doc_id", F.split("text", " ").alias("t"))
+    # 1-based positions of the query term, found inside the array.
+    positions = F.filter(
+        F.sequence(F.lit(1), F.size("t")),
+        lambda i: F.element_at("t", i) == F.lit(_KWIC_TERM),
+    )
+    hits = ts.select("doc_id", "t", F.explode(positions).alias("pos"))
+    left_start = F.greatest(F.lit(1), F.col("pos") - _KWIC_WIN)
+    left_len = F.col("pos") - left_start
+    right_len = F.least(F.size("t"), F.col("pos") + _KWIC_WIN) - F.col("pos")
+    return hits.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.array_join(
+            F.when(left_len > 0, F.slice("t", left_start, left_len)).otherwise(
+                F.array().cast("array<string>")
+            ),
+            " ",
+        ).alias("left_ctx"),
+        F.array_join(
+            F.when(right_len > 0, F.slice("t", F.col("pos") + 1, right_len)).otherwise(
+                F.array().cast("array<string>")
+            ),
+            " ",
+        ).alias("right_ctx"),
+    )
+
+
+ext_kwic.__doc__ = ext_kwic.__doc__.format(term=_KWIC_TERM, w=_KWIC_WIN)
+
+
+_G2_TOP_K = 20
+
+
+@register(
+    "ext_collocation_g2",
+    oracle=f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS ts FROM documents
+), bg AS (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2
+  FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM toks)
+  WHERE len(ts) >= 2
+), bc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS k11 FROM bg GROUP BY 1, 2
+), m1 AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1
+), m2 AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS tot FROM bg
+), cells AS (
+  SELECT bc.w1, bc.w2, k11,
+         c1 - k11 AS k12, c2 - k11 AS k21,
+         tot - c1 - c2 + k11 AS k22,
+         c1, c2, tot
+  FROM bc JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN n
+), g AS (
+  SELECT w1, w2, k11,
+    2.0 * (
+      (CASE WHEN k11 > 0 THEN k11 * ln(CAST(k11 AS DOUBLE) * tot
+            / (CAST(c1 AS DOUBLE) * c2)) ELSE 0.0 END)
+    + (CASE WHEN k12 > 0 THEN k12 * ln(CAST(k12 AS DOUBLE) * tot
+            / (CAST(c1 AS DOUBLE) * (tot - c2))) ELSE 0.0 END)
+    + (CASE WHEN k21 > 0 THEN k21 * ln(CAST(k21 AS DOUBLE) * tot
+            / (CAST(tot - c1 AS DOUBLE) * c2)) ELSE 0.0 END)
+    + (CASE WHEN k22 > 0 THEN k22 * ln(CAST(k22 AS DOUBLE) * tot
+            / (CAST(tot - c1 AS DOUBLE) * (tot - c2))) ELSE 0.0 END)
+    ) AS g2
+  FROM cells
+)
+SELECT w1, w2, k11, floor(g2 * 10000 + 0.5) / 10000.0 AS g2
+FROM g
+ORDER BY floor(g2 * 10000 + 0.5) / 10000.0 DESC, w1, w2
+LIMIT {_G2_TOP_K}
+""",
+)
+def ext_collocation_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLOCATION extraction by log-likelihood ratio G² (Dunning 1993)
+    — the statistic that replaced PMI for finding significant word
+    pairs because it doesn't explode on rare events
+    (``ext_pmi_cooccurrence`` is the order-free document-level cousin;
+    this is the ADJACENT-bigram test): per bigram, the 2×2 contingency
+    (bigram vs marginals) scored 2·Σ k·ln(k·N/(row·col)) with the
+    0·ln0 = 0 convention as explicit CASEs in both engines.
+
+    All counts are exact integers from the adjacency machinery of
+    ``ext_bigram_freq`` (transform inside the token array, no position
+    self-join); the G² sum is a FIXED 4-term expression (no fold
+    needed — the addition order is written out identically in both
+    engines); top-{k} is TakeOrderedAndProject."""
+    docs = table(spark, sf_dir, "documents")
+    ts = docs.select(F.split("text", " ").alias("ts"))
+    bigrams = F.expr(
+        "CASE WHEN size(ts) >= 2 THEN transform(sequence(1, size(ts) - 1), "
+        "i -> struct(ts[i - 1] AS w1, ts[i] AS w2)) "
+        "ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"
+    )
+    bg = ts.select(F.explode(bigrams).alias("b")).select("b.w1", "b.w2")
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("k11"))
+    m1 = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    m2 = bg.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    n = bg.agg(F.count(F.lit(1)).cast("long").alias("tot"))
+    cells = (
+        bc.join(F.broadcast(m1), "w1")
+        .join(F.broadcast(m2), "w2")
+        .join(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "k11",
+            (F.col("c1") - F.col("k11")).alias("k12"),
+            (F.col("c2") - F.col("k11")).alias("k21"),
+            (F.col("tot") - F.col("c1") - F.col("c2") + F.col("k11")).alias("k22"),
+            "c1",
+            "c2",
+            "tot",
+        )
+    )
+
+    def term(k, row, col):
+        return F.when(
+            F.col(k) > 0,
+            F.col(k)
+            * F.log(F.col(k).cast("double") * F.col("tot") / (row.cast("double") * col)),
+        ).otherwise(F.lit(0.0))
+
+    g2 = F.lit(2.0) * (
+        term("k11", F.col("c1"), F.col("c2"))
+        + term("k12", F.col("c1"), F.col("tot") - F.col("c2"))
+        + term("k21", F.col("tot") - F.col("c1"), F.col("c2"))
+        + term("k22", F.col("tot") - F.col("c1"), F.col("tot") - F.col("c2"))
+    )
+    scored = cells.select(
+        "w1", "w2", "k11", (F.floor(g2 * 10000 + 0.5) / 10000.0).alias("g2")
+    )
+    return scored.orderBy(F.desc("g2"), "w1", "w2").limit(_G2_TOP_K)
+
+
+ext_collocation_g2.__doc__ = ext_collocation_g2.__doc__.format(k=_G2_TOP_K)

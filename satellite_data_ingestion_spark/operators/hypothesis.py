@@ -381,3 +381,89 @@ def agg_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(t * 1000000 + 0.5) / 1000000.0).alias("t_stat"),
         (F.floor(df * 10000 + 0.5) / 10000.0).alias("welch_df"),
     )
+
+
+_LORENZ_BUCKETS = 10
+
+
+@register(
+    "agg_lorenz_curve",
+    oracle=f"""
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT rev, ntile({_LORENZ_BUCKETS}) OVER (ORDER BY rev, o_custkey) AS decile
+  FROM cust
+), d AS (
+  SELECT CAST(decile AS BIGINT) AS decile,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(rev) AS BIGINT) AS decile_rev_cents
+  FROM ranked GROUP BY 1
+), c AS (
+  SELECT decile, n_customers, decile_rev_cents,
+         CAST(sum(decile_rev_cents) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(decile_rev_cents) OVER () AS BIGINT) AS tot
+  FROM d
+)
+SELECT decile, n_customers, decile_rev_cents,
+       floor(CAST(cum AS DOUBLE) / tot * 1000000 + 0.5) / 1000000.0
+         AS cum_rev_share
+FROM c
+""",
+)
+def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LORENZ CURVE decile table of customer revenue concentration —
+    the plottable companion of ``agg_gini``'s single coefficient and
+    ``agg_pareto``'s 80/20 readout: per ascending-revenue decile, the
+    customer count, exact-cent revenue, and cumulative revenue share.
+
+    Deciles come from the exact global rank (``distributed_rank`` +
+    the SQL-standard ``ntile_from_rank`` — never a single-task ntile
+    window over the |customers| aggregate); the cumulative share runs
+    over the BOUNDED {b}-row decile frame, the one place an
+    unpartitioned window is safe by construction."""
+    from pyspark.sql import Window
+
+    from .ranking import ntile_from_rank
+
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cust = o.groupBy("o_custkey").agg(F.sum(cents).cast("long").alias("rev"))
+    ranked = distributed_rank(cust, ["rev", "o_custkey"])
+    d = (
+        ranked.select(
+            "rev",
+            ntile_from_rank(
+                _LORENZ_BUCKETS, F.col("_rk"), F.col("_n_total")
+            ).alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("rev").cast("long").alias("decile_rev_cents"),
+        )
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    w_tot = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return d.select(
+        "decile",
+        "n_customers",
+        "decile_rev_cents",
+        (
+            F.floor(
+                F.sum("decile_rev_cents").over(w_cum).cast("double")
+                / F.sum("decile_rev_cents").over(w_tot)
+                * 1000000
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("cum_rev_share"),
+    )
+
+
+agg_lorenz_curve.__doc__ = agg_lorenz_curve.__doc__.format(b=_LORENZ_BUCKETS)
