@@ -67,6 +67,8 @@ HEADLINE = [
     "agg_lorenz_curve",
     "ext_kwic",
     "ext_collocation_g2",
+    "agg_kaplan_meier",
+    "win_rolling_corr",
     # Block 0 — round-11 additions (no driver-recorded signal yet):
     # the URL/domain corpus-filtering gate, lexical retrieval, mixture
     # temperature, the data-quality gate, seasonal profiles, KMV sketches.

@@ -467,3 +467,121 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 agg_lorenz_curve.__doc__ = agg_lorenz_curve.__doc__.format(b=_LORENZ_BUCKETS)
+
+
+_KM_CENSOR_DAYS = 7  # users active within this window of corpus end are censored
+
+
+@register(
+    "agg_kaplan_meier",
+    oracle=f"""
+WITH horizon AS (
+  SELECT max(ts) - INTERVAL {_KM_CENSOR_DAYS} DAY AS cutoff FROM events
+), u AS (
+  SELECT user_id,
+         CAST(date_diff('day', min(ts), max(ts)) AS BIGINT) AS duration,
+         max(ts) < (SELECT cutoff FROM horizon) AS churned
+  FROM events GROUP BY 1
+), g AS (
+  SELECT duration,
+         CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(sum(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT) AS c,
+         CAST(count(*) AS BIGINT) AS n_dur
+  FROM u GROUP BY 1
+), r AS (
+  SELECT duration, d, c,
+         CAST((SELECT count(*) FROM u) AS BIGINT)
+           - CAST(coalesce(sum(n_dur) OVER (ORDER BY duration
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_risk
+  FROM g
+), s AS (
+  SELECT duration, d, c, n_risk,
+         list_reduce(
+           list_prepend(1.0,
+             list(1.0 - CAST(d AS DOUBLE) / n_risk)
+               OVER (ORDER BY duration
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           (acc, x) -> acc * x) AS surv
+  FROM r
+)
+SELECT duration, n_risk, d AS n_churned, c AS n_censored,
+       floor(surv * 1000000 + 0.5) / 1000000.0 AS survival
+FROM s
+WHERE d > 0
+""",
+)
+def agg_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival curve of user lifetime (days between first
+    and last event), right-censoring users still active within
+    {cd} days of the corpus end — THE retention statistic (the
+    censoring-aware upgrade of ``agg_cohort_retention``'s naive
+    percentages: a user who simply hasn't churned YET must not count
+    as churned).  S(t) = Π_{{t_i ≤ t}} (1 − d_i/n_i) over event times.
+
+    Exactness: d_i and the at-risk counts n_i are exact integers (the
+    risk set is total − exclusive-prefix of duration counts, from ONE
+    ``distributed_rank`` pass); the survival PRODUCT folds
+    SEQUENTIALLY over the duration-sorted factor list — the
+    multiplicative twin of the ext_kl_divergence additive fold, over
+    the BOUNDED distinct-duration frame — so both engines multiply the
+    identical doubles in the identical order.
+
+    Scale: one user-grain aggregate, one duration-grain aggregate,
+    one bounded fold; output is |distinct churn durations| rows."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    horizon = ev.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {_KM_CENSOR_DAYS} DAYS")).alias("cutoff")
+    )
+    u = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff("last_ts", "first_ts").cast("long").alias("duration"),
+            (F.col("last_ts") < F.col("cutoff")).alias("churned"),
+        )
+    )
+    g = u.groupBy("duration").agg(
+        F.sum(F.when(F.col("churned"), 1).otherwise(0)).cast("long").alias("d"),
+        F.sum(F.when(F.col("churned"), 0).otherwise(1)).cast("long").alias("c"),
+        F.count(F.lit(1)).cast("long").alias("n_dur"),
+    )
+    r = distributed_rank(g, ["duration"], sum_cols=("n_dur",)).select(
+        "duration",
+        "d",
+        "c",
+        (F.col("_tot_n_dur") - (F.col("_cum_n_dur") - F.col("n_dur")))
+        .cast("long")
+        .alias("n_risk"),
+    )
+    # Bounded fold: the cumulative product over the distinct-duration
+    # frame (≤ the corpus day span) — collected once, folded in order.
+    w_cum = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, 0)
+    factors = F.collect_list(
+        F.struct("duration", (1.0 - F.col("d").cast("double") / F.col("n_risk")).alias("f"))
+    ).over(w_cum)
+    s = r.select(
+        "duration",
+        "n_risk",
+        F.col("d").alias("n_churned"),
+        F.col("c").alias("n_censored"),
+        F.aggregate(
+            F.transform(F.array_sort(factors), lambda x: x.getField("f")),
+            F.lit(1.0),
+            lambda acc, x: acc * x,
+        ).alias("surv"),
+        "d",
+    )
+    return s.filter(F.col("d") > 0).select(
+        "duration",
+        "n_risk",
+        "n_churned",
+        "n_censored",
+        (F.floor(F.col("surv") * 1000000 + 0.5) / 1000000.0).alias("survival"),
+    )
+
+
+agg_kaplan_meier.__doc__ = agg_kaplan_meier.__doc__.format(cd=_KM_CENSOR_DAYS)

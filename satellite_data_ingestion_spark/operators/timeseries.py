@@ -1610,3 +1610,105 @@ def ext_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lo_c").cast("double") / 100.0).alias("low"),
         (F.col("close_c").cast("double") / 100.0).alias("close"),
     )
+
+
+_RC_A, _RC_B = "click", "view"
+_RC_HOURS = 24  # rolling window, in hour buckets
+
+
+@register(
+    "win_rolling_corr",
+    oracle=f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hr,
+         CAST(sum(CASE WHEN event_type = '{_RC_A}'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = '{_RC_B}'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+  FROM events
+  WHERE event_type IN ('{_RC_A}', '{_RC_B}')
+  GROUP BY 1
+), w AS (
+  SELECT hr,
+    CAST(count(*) OVER win AS BIGINT) AS n,
+    CAST(sum(x) OVER win AS BIGINT) AS sx,
+    CAST(sum(y) OVER win AS BIGINT) AS sy,
+    CAST(sum(x * y) OVER win AS BIGINT) AS sxy,
+    CAST(sum(x * x) OVER win AS BIGINT) AS sxx,
+    CAST(sum(y * y) OVER win AS BIGINT) AS syy
+  FROM hourly
+  WINDOW win AS (ORDER BY hr ROWS BETWEEN {_RC_HOURS - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT hr, n,
+  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+    floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+          * 1000000 + 0.5) / 1000000.0
+  END AS rolling_corr
+FROM w
+""",
+)
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING {h}-hour Pearson correlation between the '{a}' and '{b}'
+    hourly value series — the co-movement monitor (a correlation break
+    between coupled metrics is an incident signal before either series
+    alone alarms; the windowed sibling of ``agg_corr_matrix``'s static
+    matrix).
+
+    Every windowed moment (n, Σx, Σy, Σxy, Σx², Σy²) is an EXACT
+    integer sum of cents over the ROWS frame, so the correlation is a
+    pure deterministic double formula per row — no float accumulation
+    crosses the engines.  Degenerate windows (zero variance) yield
+    NULL via the same guard in both engines.
+
+    Scale note: the window runs over the HOURLY grid, whose size is
+    bounded by the time span (720 rows/month at any data volume — the
+    aggregate grain, never the fact table), so the unpartitioned
+    ordered frame is safe by construction; a multi-year span would
+    re-grain to days or partition by month with frame overlap."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_RC_A, _RC_B)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.sum(F.when(F.col("event_type") == _RC_A, cents).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == _RC_B, cents).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    win = (
+        Window.orderBy("hr").rowsBetween(-(_RC_HOURS - 1), Window.currentRow)
+    )
+    w = hourly.select(
+        "hr",
+        F.count(F.lit(1)).over(win).cast("long").alias("n"),
+        F.sum("x").over(win).cast("long").alias("sx"),
+        F.sum("y").over(win).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(win).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(win).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(win).cast("long").alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    )
+    den = F.sqrt(
+        (F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (F.col("n").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return w.select(
+        "hr",
+        "n",
+        F.when((vx > 0) & (vy > 0), F.floor(num / den * 1000000 + 0.5) / 1000000.0)
+        .alias("rolling_corr"),
+    )
+
+
+win_rolling_corr.__doc__ = win_rolling_corr.__doc__.format(
+    h=_RC_HOURS, a=_RC_A, b=_RC_B
+)
