@@ -69,6 +69,10 @@ HEADLINE = [
     "ext_collocation_g2",
     "agg_kaplan_meier",
     "win_rolling_corr",
+    "scan_fixed_width",
+    "ext_boilerplate_prefix",
+    "ext_classifier_confusion",
+    "fn_try_arith",
     # Block 0 — round-11 additions (no driver-recorded signal yet):
     # the URL/domain corpus-filtering gate, lexical retrieval, mixture
     # temperature, the data-quality gate, seasonal profiles, KMV sketches.

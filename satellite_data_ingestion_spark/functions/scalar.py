@@ -994,3 +994,60 @@ def fn_csv_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         esc(combo),
     )
     return o.select("o_orderkey", line.alias("csv_line"))
+
+
+@register(
+    "fn_try_arith",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(floor(l_extendedprice / nullif(l_quantity, 0)) AS BIGINT)
+         AS unit_price_floor,
+       TRY_CAST(CASE WHEN l_orderkey % 2 = 0
+                     THEN CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+                     ELSE l_returnflag END AS BIGINT) AS mixed_as_number,
+       CASE WHEN l_quantity > 0
+            THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                 // CAST(l_quantity AS BIGINT)
+       END AS cents_per_unit
+FROM lineitem
+WHERE l_linenumber = 1
+""",
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-SAFE arithmetic battery: Spark 4 runs with
+    ``spark.sql.ansi.enabled`` defaulting TRUE, so a division by zero
+    or a bad cast KILLS the query unless the ``try_*`` family guards it
+    — this operator pins the production error-handling semantics
+    (try_divide → NULL on zero, try_cast → NULL on malformed input,
+    guarded integral division) against DuckDB's nullif/TRY_CAST twins.
+    The difference matters at 100 TB: one corrupt row must yield one
+    NULL, not a dead 6-hour job (the batch-format version of what
+    ``scan_csv_corrupt``/``scan_jsonl_corrupt`` pin for sources).
+
+    Pure whole-stage-codegen projections; no shuffle."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.try_divide(F.col("l_extendedprice"), F.nullif("l_quantity", F.lit(0))))
+        .cast("long")
+        .alias("unit_price_floor"),
+        # A mixed numeric/alpha string: the even half parses, the flag
+        # half yields NULL instead of an ANSI CAST_INVALID_INPUT error.
+        F.try_to_number(
+            F.when(
+                F.col("l_orderkey") % 2 == 0,
+                F.col("l_quantity").cast("long").cast("string"),
+            ).otherwise(F.col("l_returnflag")),
+            F.lit("999999"),
+        )
+        .cast("long")
+        .alias("mixed_as_number"),
+        F.when(
+            F.col("l_quantity") > 0,
+            F.try_divide(
+                F.round(F.col("l_extendedprice") * 100).cast("long"),
+                F.col("l_quantity").cast("long"),
+            ).cast("long"),
+        ).alias("cents_per_unit"),
+    )

@@ -1806,3 +1806,173 @@ def ext_collocation_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ext_collocation_g2.__doc__ = ext_collocation_g2.__doc__.format(k=_G2_TOP_K)
+
+
+_BP_PREFIX_TOKENS = 5
+_BP_MIN_GROUP = 3
+
+
+@register(
+    "ext_boilerplate_prefix",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id, source,
+         array_to_string(string_split(text, ' ')[1:{_BP_PREFIX_TOKENS}], ' ')
+           AS prefix
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {_BP_PREFIX_TOKENS}
+)
+SELECT prefix,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(min(doc_id) AS BIGINT) AS example_doc
+FROM p
+GROUP BY 1
+HAVING count(*) >= {_BP_MIN_GROUP}
+""",
+)
+def ext_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPLATE/BOILERPLATE detection by shared leading {k}-token
+    prefix: document groups opening with the exact same words are
+    mirror pages, license headers, or generator templates — the cheap
+    screen run before the heavier near-dup passes
+    (``ext_substring_dedup`` catches shared runs at ANY alignment;
+    this one keys ONLY on the head, which is where templates live, at
+    groupBy cost instead of pair cost).  Cross-source groups
+    (``n_sources`` > 1) are the mirror-site signal
+    ``ext_source_overlap`` quantifies pairwise.
+
+    One projection (array slice + join — no explode) and one map-side
+    -combined groupBy; output is |template|-sized."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    p = docs.filter(F.size(toks) >= _BP_PREFIX_TOKENS).select(
+        "doc_id",
+        "source",
+        F.array_join(F.slice(toks, 1, _BP_PREFIX_TOKENS), " ").alias("prefix"),
+    )
+    return (
+        p.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").cast("long").alias("example_doc"),
+        )
+        .filter(F.col("n_docs") >= _BP_MIN_GROUP)
+    )
+
+
+ext_boilerplate_prefix.__doc__ = ext_boilerplate_prefix.__doc__.format(
+    k=_BP_PREFIX_TOKENS
+)
+
+
+def _confusion_oracle() -> str:
+    items = ",\n           ".join(
+        "{'score': CAST(len(list_intersect(toks, ["
+        + ", ".join(f"'{w}'" for w in words)
+        + f"])) AS INT), 'lang': '{lang}'}}"
+        for lang, words in sorted(_LANG_PROFILES.items())
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, list_distinct(str_split(text, ' ')) AS toks
+  FROM documents
+),
+scored AS MATERIALIZED (
+  SELECT doc_id, lang,
+         list_max([
+           {items}
+         ]) AS best
+  FROM t
+),
+pred AS (
+  SELECT lang AS label_lang,
+         CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS predicted_lang
+  FROM scored
+), cells AS (
+  SELECT label_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+), tp AS (
+  SELECT label_lang AS cls,
+         CAST(sum(CASE WHEN predicted_lang = label_lang THEN n ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(n) AS BIGINT) AS support
+  FROM cells GROUP BY 1
+), pp AS (
+  SELECT predicted_lang AS cls, CAST(sum(n) AS BIGINT) AS n_pred
+  FROM cells GROUP BY 1
+)
+SELECT tp.cls, tp.support, coalesce(pp.n_pred, 0) AS n_pred, tp.tp,
+       floor(CASE WHEN coalesce(pp.n_pred, 0) > 0
+                  THEN CAST(tp.tp AS DOUBLE) / pp.n_pred ELSE 0.0 END
+             * 1000000 + 0.5) / 1000000.0 AS precision,
+       floor(CAST(tp.tp AS DOUBLE) / tp.support * 1000000 + 0.5)
+         / 1000000.0 AS recall,
+       floor(CASE WHEN coalesce(pp.n_pred, 0) > 0 AND tp.tp > 0
+                  THEN 2.0 * CAST(tp.tp AS DOUBLE)
+                       / (pp.n_pred + tp.support) ELSE 0.0 END
+             * 1000000 + 0.5) / 1000000.0 AS f1
+FROM tp LEFT JOIN pp ON tp.cls = pp.cls
+"""
+
+
+@register("ext_classifier_confusion", oracle=_confusion_oracle())
+def ext_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSIFIER EVALUATION: per-class support / predictions / true
+    positives / precision / recall / F1 of the ``ext_lang_id``
+    heuristic against the corpus labels — the evaluation harness shape
+    every labeling-model loop needs (label-quality audits, heuristic-
+    gate calibration), computed WITHOUT collecting predictions.
+
+    The prediction projection is ``ext_lang_id``'s deterministic
+    argmax; the confusion cells, class marginals and the three metrics
+    are exact-integer aggregates and closed-form ratios with explicit
+    zero-denominator guards identical in both engines (F1 written as
+    2·tp/(n_pred+support) — one division, no precision·recall float
+    chaining).  Scale: one scan, two map-side-combined groupBys over
+    the |classes|² cell grid."""
+    pred = ext_lang_id(spark, sf_dir).select(
+        "label_lang", "predicted_lang"
+    )
+    cells = pred.groupBy("label_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tp = cells.groupBy(F.col("label_lang").alias("cls")).agg(
+        F.sum(
+            F.when(F.col("predicted_lang") == F.col("label_lang"), F.col("n")).otherwise(0)
+        )
+        .cast("long")
+        .alias("tp"),
+        F.sum("n").cast("long").alias("support"),
+    )
+    pp = cells.groupBy(F.col("predicted_lang").alias("cls")).agg(
+        F.sum("n").cast("long").alias("n_pred")
+    )
+    j = tp.join(pp, "cls", "left").select(
+        "cls",
+        "support",
+        F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+        "tp",
+    )
+
+    def r6f(x):
+        return F.floor(x * 1000000 + 0.5) / 1000000.0
+
+    return j.select(
+        "cls",
+        "support",
+        "n_pred",
+        "tp",
+        r6f(
+            F.when(
+                F.col("n_pred") > 0, F.col("tp").cast("double") / F.col("n_pred")
+            ).otherwise(0.0)
+        ).alias("precision"),
+        r6f(F.col("tp").cast("double") / F.col("support")).alias("recall"),
+        r6f(
+            F.when(
+                (F.col("n_pred") > 0) & (F.col("tp") > 0),
+                2.0 * F.col("tp").cast("double") / (F.col("n_pred") + F.col("support")),
+            ).otherwise(0.0)
+        ).alias("f1"),
+    )

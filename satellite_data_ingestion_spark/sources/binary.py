@@ -150,3 +150,74 @@ def scan_parquet_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             "key_col string, min_val string, max_val string"
         ),
     )
+
+
+_FW_WIDTHS = (12, 2, 10, 1)  # orderkey, linenumber, quantity-cents, returnflag
+_FW_CACHE: dict = {}
+
+
+@register(
+    "scan_fixed_width",
+    oracle="""
+SELECT l_returnflag AS flag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+FROM lineitem
+GROUP BY 1
+""",
+)
+def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-WIDTH text ingestion — the mainframe/COBOL export format
+    every enterprise lake still receives and Spark has no native reader
+    for: stage lineitem as fixed-width records ONCE per (session, sf),
+    then parse with pure ``substring`` projections over ``spark.read
+    .text`` and aggregate.  The result must hash-match the oracle
+    computed on the ORIGINAL table — a full write→parse round-trip
+    proof (the ``scan_binary`` posture, with the oracle on the view so
+    it holds at any SF).
+
+    Scale shape: text files split by line ranges, so parallelism is
+    data-proportional; the parse is whole-stage-codegen substring/cast
+    arithmetic — no regex, no UDF, no shuffle before the aggregate.
+    Exact integer cents ride through the round-trip."""
+    import os
+    import shutil
+    import tempfile
+
+    _prepare(spark)
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key not in _FW_CACHE:
+        root = tempfile.mkdtemp(prefix="sdis_fixedwidth_")
+        li = (
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .select(
+                F.concat(
+                    F.lpad(F.col("l_orderkey").cast("string"), _FW_WIDTHS[0], "0"),
+                    F.lpad(F.col("l_linenumber").cast("string"), _FW_WIDTHS[1], "0"),
+                    F.lpad(
+                        F.round(F.col("l_quantity") * 100).cast("long").cast("string"),
+                        _FW_WIDTHS[2],
+                        "0",
+                    ),
+                    F.col("l_returnflag"),
+                ).alias("value")
+            )
+        )
+        out = os.path.join(root, "lineitem_fw")
+        li.write.mode("overwrite").text(out)
+        _FW_CACHE[key] = out
+    path = _FW_CACHE[key]
+    w = _FW_WIDTHS
+    o0, o1, o2 = 1, 1 + w[0], 1 + w[0] + w[1]
+    o3 = o2 + w[2]
+    rec = spark.read.text(path)
+    parsed = rec.select(
+        F.substring("value", o0, w[0]).cast("long").alias("l_orderkey"),
+        F.substring("value", o1, w[1]).cast("int").alias("l_linenumber"),
+        F.substring("value", o2, w[2]).cast("long").alias("qty_cents"),
+        F.substring("value", o3, w[3]).alias("flag"),
+    )
+    return parsed.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("qty_cents").cast("long").alias("qty_cents"),
+    )
