@@ -73,6 +73,7 @@ HEADLINE = [
     "ext_boilerplate_prefix",
     "ext_classifier_confusion",
     "fn_try_arith",
+    "udtf_dynamic_schema",
     # Block 0 — round-11 additions (no driver-recorded signal yet):
     # the URL/domain corpus-filtering gate, lexical retrieval, mixture
     # temperature, the data-quality gate, seasonal profiles, KMV sketches.

@@ -187,3 +187,56 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(trimmed_mean("value"), 4).alias("trimmed_mean"),
         trimmed_count("value").alias("n_kept"),
     )
+
+
+@register(
+    "udtf_dynamic_schema",
+    oracle="""
+SELECT p_partkey,
+       str_split(p_name, ' ')[1] AS c0,
+       str_split(p_name, ' ')[2] AS c1
+FROM part
+""",
+)
+def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze()`` static method):
+    the output schema is COMPUTED AT PLAN TIME from a literal argument
+    (here: how many delimited fields to split out) — the API for
+    generic parse/pivot helpers whose shape depends on configuration,
+    not a hardcoded returnType (``udtf_python_parse`` is the fixed-
+    schema form).  ``analyze`` receives the literal, returns the
+    AnalyzeResult schema, and Catalyst plans the lateral join against
+    it like any other relation.
+
+    The parse itself stays deterministic (plain split), so the result
+    hash-matches a declarative twin.  UDTFs are Arrow-batched but off
+    the codegen path — the point here is the ANALYZE surface, not
+    performance; production use reserves it for imperative parsers."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+
+    class SplitN:
+        @staticmethod
+        def analyze(row, n):
+            from pyspark.sql.udtf import AnalyzeResult
+
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"c{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, row, n):
+            parts = (row or "").split(" ")
+            yield tuple(parts[i] if i < len(parts) else None for i in range(n))
+
+    u = udtf(SplitN)
+    spark.udtf.register("sdis_split_n", u)
+    p = table(spark, sf_dir, "part")
+    p.createOrReplaceTempView("sdis_part_for_udtf")
+    return spark.sql(
+        """
+        SELECT e.p_partkey, s.c0, s.c1
+        FROM sdis_part_for_udtf e,
+             LATERAL sdis_split_n(e.p_name, 2) s
+        """
+    )
