@@ -74,6 +74,8 @@ HEADLINE = [
     "ext_classifier_confusion",
     "fn_try_arith",
     "udtf_dynamic_schema",
+    "ext_top_journeys",
+    "ext_audience_overlap",
     # Block 0 — round-11 additions (no driver-recorded signal yet):
     # the URL/domain corpus-filtering gate, lexical retrieval, mixture
     # temperature, the data-quality gate, seasonal profiles, KMV sketches.

@@ -1998,3 +1998,73 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("mi_nats"),
     )
+
+
+@register(
+    "ext_audience_overlap",
+    oracle="""
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_users FROM ut GROUP BY 1
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, ma.n_users AS n_a, mb.n_users AS n_b, n_both,
+       floor(CAST(n_both AS DOUBLE)
+             / (ma.n_users + mb.n_users - n_both) * 1000000 + 0.5)
+         / 1000000.0 AS jaccard
+FROM pairs
+JOIN m ma ON ma.event_type = pairs.type_a
+JOIN m mb ON mb.event_type = pairs.type_b
+""",
+)
+def ext_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIENCE OVERLAP matrix: for every event-type pair, the exact
+    user-set intersection and Jaccard — the segment-overlap report
+    behind campaign targeting and feature-adoption analysis (its
+    sketch-scale sibling is ``ext_kmv_intersection``: exact here
+    because |types|² is tiny; KMV when the segments are billions).
+
+    The self-join runs on the DISTINCT (user, type) frame keyed by
+    user — each user contributes ≤ |types|² pair rows, so volume is
+    |users|·|types|², never events²; marginals broadcast onto the
+    |types|²/2-row pair frame.  All integers until the one Jaccard
+    ratio."""
+    ev = table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    m = ut.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    ma = m.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a"))
+    mb = m.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (
+                F.floor(
+                    F.col("n_both").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("jaccard"),
+        )
+    )

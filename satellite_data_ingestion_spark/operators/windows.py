@@ -1279,3 +1279,64 @@ def win_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("avg_events_per_session"),
     )
+
+
+_JOURNEY_LEN = 5
+_JOURNEY_TOP_K = 20
+
+
+@register(
+    "ext_top_journeys",
+    oracle=f"""
+WITH j AS (
+  SELECT user_id,
+         array_to_string(
+           (list(event_type ORDER BY ts, event_id))[1:{_JOURNEY_LEN}], '>')
+           AS journey
+  FROM events GROUP BY 1
+)
+SELECT journey, CAST(count(*) AS BIGINT) AS n_users
+FROM j GROUP BY 1
+ORDER BY n_users DESC, journey
+LIMIT {_JOURNEY_TOP_K}
+""",
+)
+def ext_top_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP USER JOURNEYS: the {k} most common first-{n}-event type
+    sequences — the product-analytics path report (``win_funnel`` tests
+    ONE hypothesized path; this surfaces which paths actually happen,
+    and ``ext_event_transitions`` is its order-1 Markov summary).
+
+    Per-user sequences build as ONE sorted struct collect inside the
+    user aggregate (deterministic (ts, event_id) order — never a
+    per-row window), sliced to {n} and joined to a string; the journey
+    groupBy is map-side combined and the top-{k} is a
+    TakeOrderedAndProject heap.  Per-user state is bounded by the
+    slice, output by the heap."""
+    ev = table(spark, sf_dir, "events")
+    j = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s.getField("event_type"),
+                ),
+                1,
+                _JOURNEY_LEN,
+            ),
+            ">",
+        ).alias("journey")
+    )
+    return (
+        j.groupBy("journey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.desc("n_users"), "journey")
+        .limit(_JOURNEY_TOP_K)
+    )
+
+
+ext_top_journeys.__doc__ = ext_top_journeys.__doc__.format(
+    k=_JOURNEY_TOP_K, n=_JOURNEY_LEN
+)
