@@ -369,8 +369,11 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: each part's 1/ln(d) term is quantized to integer
     MICRO-units before the per-pair sum (a float sum's value depends on
     accumulation order; an integer sum does not) — the exact-cents
-    discipline applied to an irrational weight.  Degrees broadcast onto
-    the edge table (|parts| rows)."""
+    discipline applied to an irrational weight.  The degree frame is
+    |parts|-sized (NOT bounded at 100 TB), so it carries no broadcast
+    hint — the join is co-partitioned on ``p`` with the pair blocking
+    and AQE chooses broadcast only when the build side measures
+    small."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     e = (
@@ -385,7 +388,7 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         a.join(b, "p")
         .filter(F.col("c1") < F.col("c2"))
-        .join(F.broadcast(deg.filter(F.col("d") > 1)), "p")
+        .join(deg.filter(F.col("d") > 1), "p")
         .groupBy("c1", "c2")
         .agg(
             F.sum(term).cast("long").alias("aa_micro"),

@@ -674,3 +674,44 @@ def test_bm25_no_corpus_shuffle(spark):
     assert "TakeOrderedAndProject" in tree, tree
     assert "Exchange hashpartitioning" not in tree, tree
     assert tree.count("BroadcastExchange") == 1, tree
+
+
+def test_equidepth_histogram_range_partitioned_rank(spark):
+    """The exact global rank must come from distributed_rank's
+    range-partition + local-window decomposition: a rangepartitioning
+    Exchange feeds BOTH branches (local ranks and per-partition counts,
+    ReuseExchange), and the fact-table window is partitioned by _pid —
+    the only unpartitioned window runs on the |partitions|-row counts
+    frame, which rides a BroadcastExchange back onto the ranked rows.
+    A bare Window.orderBy over the fact table (single-task WindowExec)
+    would show NO rangepartitioning exchange.  (Exchange reuse between
+    the two branches happens at runtime under AQE — the static plan
+    shows both subtrees.)"""
+    plan = plan_of(spark, "agg_histogram_equidepth")
+    tree = plan.split("\n\n")[0]
+    assert "rangepartitioning" in plan, plan[:2000]
+    assert tree.count("BroadcastExchange") == 1, tree
+    assert "CartesianProduct" not in tree, tree
+
+
+def test_top_journeys_two_exchanges_and_heap(spark):
+    """Per-user journey assembly is ONE user exchange (sorted struct
+    collect inside the aggregate — no per-row window), the journey count
+    is a second map-side-combined exchange, and the top-k is a
+    TakeOrderedAndProject heap, never a global sort."""
+    plan = plan_of(spark, "ext_top_journeys")
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree, tree
+    assert tree.count("Exchange") == 2, tree
+    assert "Window" not in tree, tree
+
+
+def test_audience_overlap_user_join_marginals_broadcast(spark):
+    """The pair frame must build from a user-keyed equi self-join of the
+    distinct (user, type) frame — never a cartesian — and the two
+    |types|-row marginal frames must broadcast onto it (at smoke scale
+    the self-join side may ALSO measure broadcastable, so >= 2)."""
+    plan = plan_of(spark, "ext_audience_overlap")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in plan, tree
+    assert tree.count("BroadcastHashJoin") >= 2, tree
