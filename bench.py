@@ -76,6 +76,8 @@ HEADLINE = [
     "udtf_dynamic_schema",
     "ext_top_journeys",
     "ext_audience_overlap",
+    "ext_kmeans",
+    "ext_kmeans_balanced_sample",
     # Block 0 — round-11 additions (no driver-recorded signal yet):
     # the URL/domain corpus-filtering gate, lexical retrieval, mixture
     # temperature, the data-quality gate, seasonal profiles, KMV sketches.

@@ -1,0 +1,267 @@
+"""Distributed k-means clustering over the ``embeddings`` table — the
+semantic-clustering primitive behind corpus curation (cluster-balanced
+sampling, SemDeDup-style pruning, topic-stratified eval splits).
+
+Lloyd's algorithm in its canonical cluster shape: centroids are a k×d
+frame — BOUNDED model state, the one thing that legitimately lives on the
+driver and broadcasts into each pass (same posture as ``ext_bpe_train``'s
+merge table and ``ext_lm_score``'s model) — while every data-proportional
+step stays distributed:
+
+- ASSIGNMENT is a pure projection: the k centroid vectors become literal
+  arrays and each row folds ``sum((x-c)^2)`` per centroid via a zip_with/
+  aggregate HOF, argmin via ``array_min`` over (dist, j) structs
+  (lexicographic → deterministic smallest-j tie-break, the
+  ``join_spatial_nearest`` pattern).  NO shuffle, no UDF.
+- UPDATE is one posexplode + groupBy (cluster, pos) per iteration —
+  map-side combined to k·d rows per input partition before the exchange,
+  then a k·d-row collect refreshes the literals.  At 100 TB the exchange
+  moves k·d·|partitions| rows, never the corpus.
+
+Cross-engine float discipline (the llm/embedding_stats.py posture):
+vectors quantize to integer MICRO-units up front, so every distance is an
+EXACT integer and every updated centroid is ``floor(sum/n + 0.5)`` of an
+exact integer sum — bit-identical in Spark, DuckDB, and the driver-side
+Python that carries centroids between iterations.  Determinism therefore
+needs no seed: init is the k smallest vec_ids, and ITERS is fixed.
+
+The DuckDB oracles unroll the iterations as MATERIALIZED CTE chains (the
+graph_hits recipe — inline re-expansion is exponential).
+
+Reference analog: none (19-file satellite ETL cron has no ML surface);
+[EXT] mandate territory like llm/simsearch.py / llm/embedding_stats.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+_K = 4  # clusters
+_ITERS = 3  # fixed Lloyd iterations (assignment reported after the last)
+_DIM = 64  # driver corpus embedding dimensionality (all SFs)
+_SAMPLE_PER_CLUSTER = 10  # cluster-balanced sample size
+
+_MICRO = "CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings with ``xm`` = integer micro-unit vector (exact longs)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.expr(f"transform(embedding, v -> {_MICRO})").alias("xm"),
+    )
+
+
+def _assign_expr(cents: dict[int, list[int]]):
+    """(cl, d) struct column: argmin_j sum((xm-c_j)^2) with smallest-j
+    tie-break via lexicographic struct array_min.  Pure projection —
+    integer HOF folds over literal centroid arrays, no shuffle."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("xm"),
+                        F.array(*[F.lit(v) for v in c]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, t: acc + t,
+                ).alias("d"),
+                F.lit(j).cast("int").alias("j"),
+            )
+            for j, c in sorted(cents.items())
+        ]
+    )
+    return F.array_min(scored)
+
+
+def _lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final-iteration assignment frame (vec_id, label, cl, d)."""
+    q = _quantized(spark, sf_dir)
+    init = q.orderBy("vec_id").limit(_K).select("xm").collect()
+    cents = {j: list(r.xm) for j, r in enumerate(init)}
+    for it in range(_ITERS):
+        m = _assign_expr(cents)
+        asg = q.select(
+            "vec_id", "label", "xm", m.getField("j").alias("cl"), m.getField("d").alias("d")
+        )
+        if it == _ITERS - 1:
+            return asg.select("vec_id", "label", "cl", "d")
+        # k·d-row bounded collect: the Lloyd model refresh.  floor(s/c+0.5)
+        # on exact ints < 2^53 is bit-identical to the oracle's
+        # CAST(floor(CAST(sum AS DOUBLE)/count + 0.5) AS BIGINT).
+        rows = (
+            asg.select("cl", F.posexplode("xm").alias("pos", "v"))
+            .groupBy("cl", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        cents = {}
+        for r in rows:
+            cents.setdefault(r.cl, [0] * _DIM)[r.pos] = math.floor(r.s / r.n + 0.5)
+    raise AssertionError("unreachable")
+
+
+# ---------------------------------------------------------------------------
+# Shared oracle chain: quantize -> explode -> init -> ITERS x (assign,update)
+# ---------------------------------------------------------------------------
+
+
+def _o_assign(a: str, c: str) -> str:
+    return f"""
+{a} AS MATERIALIZED (
+  SELECT vec_id, (m).j AS cl, (m).d AS d FROM (
+    SELECT vec_id, min(struct_pack(d := dd, j := j)) AS m FROM (
+      SELECT x.vec_id, {c}.j, CAST(sum((x.v - {c}.c) * (x.v - {c}.c)) AS BIGINT) AS dd
+      FROM x JOIN {c} USING (pos) GROUP BY 1, 2
+    ) GROUP BY 1
+  )
+)"""
+
+
+def _o_update(cn: str, a: str) -> str:
+    return f"""
+{cn} AS MATERIALIZED (
+  SELECT a.cl AS j, x.pos,
+         CAST(floor(CAST(sum(x.v) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
+  FROM {a} a JOIN x USING (vec_id) GROUP BY 1, 2
+)"""
+
+
+def _km_chain() -> str:
+    parts = [
+        f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, label,
+         list_transform(embedding, v -> {_MICRO}) AS xm
+  FROM embeddings
+),
+x AS MATERIALIZED (
+  SELECT vec_id, p.pos, xm[p.pos + 1] AS v
+  FROM e CROSS JOIN (SELECT unnest(generate_series(0, {_DIM - 1})) AS pos) p
+),
+c0 AS MATERIALIZED (
+  SELECT s.j, x.pos, x.v AS c
+  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+        FROM e ORDER BY vec_id LIMIT {_K}) s
+  JOIN x USING (vec_id)
+)"""
+    ]
+    for it in range(1, _ITERS + 1):
+        parts.append(_o_assign(f"a{it}", f"c{it - 1}"))
+        if it < _ITERS:
+            parts.append(_o_update(f"c{it}", f"a{it}"))
+    return ",".join(parts)
+
+
+_FINAL = f"a{_ITERS}"
+
+
+@register(
+    "ext_kmeans",
+    oracle=_km_chain()
+    + f"""
+SELECT cl AS cluster, CAST(count(*) AS BIGINT) AS n_vecs, CAST(sum(d) AS BIGINT) AS ssd
+FROM {_FINAL} GROUP BY 1 ORDER BY 1
+""",
+)
+def ext_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-MEANS cluster report: per-cluster size and exact integer SSD
+    (micro²-unit inertia) after {iters} Lloyd iterations, k={k}."""
+    asg = _lloyd(spark, sf_dir)
+    return (
+        asg.groupBy(F.col("cl").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("d").cast("long").alias("ssd"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@register(
+    "ext_kmeans_purity",
+    oracle=_km_chain()
+    + f"""
+, cnt AS (
+  SELECT a.cl, e.label, CAST(count(*) AS BIGINT) AS n
+  FROM {_FINAL} a JOIN e USING (vec_id) GROUP BY 1, 2
+)
+SELECT cl AS cluster, CAST(sum(n) AS BIGINT) AS n_vecs,
+       (min(struct_pack(nc := -n, l := label))).l AS top_label,
+       CAST(-(min(struct_pack(nc := -n, l := label))).nc AS BIGINT) AS top_n,
+       floor(CAST(-(min(struct_pack(nc := -n, l := label))).nc AS DOUBLE)
+             / sum(n) * 1000000 + 0.5) / 1000000.0 AS purity
+FROM cnt GROUP BY 1 ORDER BY 1
+""",
+)
+def ext_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER PURITY vs the ground-truth ``label`` column: majority
+    label, its count, and purity share per cluster — the standard
+    external-validation readout for an unsupervised partition (did the
+    clustering recover the labeled structure?).  One count aggregate on
+    the assignment, argmax via the same lexicographic struct-min
+    ((-count, label) → largest count, smallest label on ties)."""
+    asg = _lloyd(spark, sf_dir)
+    cnt = asg.groupBy("cl", "label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    m = F.min(F.struct((-F.col("n")).alias("nc"), F.col("label").alias("l")))
+    return (
+        cnt.groupBy(F.col("cl").alias("cluster"))
+        .agg(
+            F.sum("n").cast("long").alias("n_vecs"),
+            m.getField("l").alias("top_label"),
+            (-m.getField("nc")).cast("long").alias("top_n"),
+            (
+                F.floor(
+                    (-m.getField("nc")).cast("double") / F.sum("n") * 1000000 + 0.5
+                )
+                / 1000000.0
+            ).alias("purity"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@register(
+    "ext_kmeans_balanced_sample",
+    oracle=_km_chain()
+    + f"""
+SELECT cl AS cluster, vec_id
+FROM (SELECT cl, vec_id, row_number() OVER (PARTITION BY cl ORDER BY vec_id) AS rk
+      FROM {_FINAL})
+WHERE rk <= {_SAMPLE_PER_CLUSTER}
+ORDER BY cluster, vec_id
+""",
+)
+def ext_kmeans_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-BALANCED SAMPLE: {m} vectors per k-means cluster — the
+    diversity-preserving curation draw (uniform sampling over-represents
+    dense modes; per-cluster quotas cover the embedding space).  The
+    rank<=m predicate plans as WindowGroupLimit on both sides of the
+    cluster exchange, so a hot cluster clips to m rows per input
+    partition before anything ships (the ext_domain_volume_cap shape)."""
+    asg = _lloyd(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cl").orderBy("vec_id")
+    return (
+        asg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _SAMPLE_PER_CLUSTER)
+        .select(F.col("cl").alias("cluster"), "vec_id")
+        .orderBy("cluster", "vec_id")
+    )
+
+
+ext_kmeans.__doc__ = ext_kmeans.__doc__.format(iters=_ITERS, k=_K)
+ext_kmeans_balanced_sample.__doc__ = ext_kmeans_balanced_sample.__doc__.format(
+    m=_SAMPLE_PER_CLUSTER
+)
