@@ -78,6 +78,10 @@ HEADLINE = [
     "ext_audience_overlap",
     "ext_kmeans",
     "ext_kmeans_balanced_sample",
+    "ext_item_cf",
+    "graph_label_propagation",
+    "agg_dp_histogram",
+    "ext_calibration_bins",
     # Block 0 — round-11 additions (no driver-recorded signal yet):
     # the URL/domain corpus-filtering gate, lexical retrieval, mixture
     # temperature, the data-quality gate, seasonal profiles, KMV sketches.

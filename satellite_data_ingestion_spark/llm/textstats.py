@@ -1976,3 +1976,122 @@ def ext_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0.0)
         ).alias("f1"),
     )
+
+
+_CAL_BINS = 10  # equal-width confidence bins
+_EN_PROFILE_LEN = len(_LANG_PROFILES["en"])
+
+# Shared SQL fragment: per-doc (score_micro, y) for the "is English"
+# binary classifier — score = fraction of the en stopword profile
+# present in the doc's distinct tokens, label = corpus lang tag.
+_CAL_SCORED_SQL = f"""
+scored AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(floor(CAST(len(list_intersect(list_distinct(str_split(text, ' ')),
+                          [{", ".join(f"'{w}'" for w in _LANG_PROFILES["en"])}]))
+                     AS DOUBLE) / {_EN_PROFILE_LEN} * 1000000 + 0.5) AS BIGINT)
+           AS sm,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+)"""
+
+
+@register(
+    "ext_calibration_bins",
+    oracle=f"""
+WITH {_CAL_SCORED_SQL}
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       floor(CAST(sum(sm) AS DOUBLE) / count(*) + 0.5) / 1000000.0
+         AS confidence,
+       floor(CAST(sum(y) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000.0
+         AS accuracy
+FROM (SELECT least(CAST(floor(sm / 100000.0) AS BIGINT), {_CAL_BINS - 1})
+        AS bin, sm, y FROM scored)
+GROUP BY 1 ORDER BY 1
+""",
+)
+def ext_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION (reliability diagram) of the "is English" score —
+    fraction of the en stopword profile present — against the corpus
+    labels: per equal-width confidence bin, count, mean predicted
+    confidence, observed accuracy.  The standard readout before a
+    quality/lang classifier's scores gate a corpus (a threshold on an
+    uncalibrated score silently shifts the kept distribution);
+    completes the eval family with ``ext_classifier_confusion``.
+
+    Float discipline: scores quantize to micro-int at the doc grain, so
+    per-bin confidence is an exact integer sum with ONE final division
+    (the pooled mean — order-free), and accuracy is an integer count
+    ratio.  One scan, one |bins|-row map-side-combined aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    hits = F.size(
+        F.array_intersect(
+            toks, F.array(*[F.lit(w) for w in _LANG_PROFILES["en"]])
+        )
+    )
+    sm = F.floor(hits.cast("double") / _EN_PROFILE_LEN * 1000000 + 0.5).cast("long")
+    scored = docs.select(
+        sm.alias("sm"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("sm") / 100000.0).cast("long"), F.lit(_CAL_BINS - 1)).alias("bin"),
+        "sm",
+        "y",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (
+                F.floor(F.sum("sm").cast("double") / F.count(F.lit(1)) + 0.5)
+                / 1000000.0
+            ).alias("confidence"),
+            (
+                F.floor(F.sum("y").cast("double") / F.count(F.lit(1)) * 1000000 + 0.5)
+                / 1000000.0
+            ).alias("accuracy"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "ext_brier_score",
+    oracle=f"""
+WITH {_CAL_SCORED_SQL}
+SELECT CAST(count(*) AS BIGINT) AS n,
+       floor(CAST(sum((sm - y * 1000000) * (sm - y * 1000000)) AS DOUBLE)
+             / count(*) / 1000000.0 + 0.5) / 1000000.0 AS brier
+FROM scored
+""",
+)
+def ext_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRIER SCORE of the "is English" confidence (mean squared error of
+    probability vs outcome) — the single-number proper scoring rule
+    complementing the per-bin reliability diagram: calibration AND
+    sharpness in one figure.  (sm - y·1e6)² is an exact integer per doc
+    (≤ 1e12), summed as DECIMAL(38,0) (Spark) == HUGEINT (DuckDB) so the
+    corpus sum is exact and order-free at ANY scale — no int64 overflow
+    cliff — with ONE cast-to-double before the divisions; one scan, one
+    1-row aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    hits = F.size(
+        F.array_intersect(
+            toks, F.array(*[F.lit(w) for w in _LANG_PROFILES["en"]])
+        )
+    )
+    sm = F.floor(hits.cast("double") / _EN_PROFILE_LEN * 1000000 + 0.5).cast("long")
+    y = F.when(F.col("lang") == "en", 1).otherwise(0)
+    d = sm - y * 1000000
+    return docs.select((d * d).cast("decimal(38,0)").alias("sq")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.floor(
+                F.sum("sq").cast("double") / F.count(F.lit(1)) / 1000000.0 + 0.5
+            )
+            / 1000000.0
+        ).alias("brier"),
+    )

@@ -659,3 +659,78 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 graph_hits.__doc__ = graph_hits.__doc__.format(it=_HITS_ITERS, rd=_HITS_ROUND)
+
+
+_LPA_TOP_K = 50  # communities reported
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+lp1 AS MATERIALIZED (
+  SELECT p, CAST(min(c) AS BIGINT) AS lbl FROM e GROUP BY 1
+),
+lc AS MATERIALIZED (
+  SELECT c, (min(struct_pack(nc := -n, l := lbl))).l AS lbl FROM (
+    SELECT e.c, lp1.lbl, count(*) AS n
+    FROM e JOIN lp1 USING (p) GROUP BY 1, 2
+  ) GROUP BY 1
+),
+lp2 AS MATERIALIZED (
+  SELECT p, (min(struct_pack(nc := -n, l := lbl))).l AS lbl FROM (
+    SELECT e.p, lc.lbl, count(*) AS n
+    FROM e JOIN lc USING (c) GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_parts
+FROM lp2 GROUP BY 1
+ORDER BY n_parts DESC, community
+LIMIT {_LPA_TOP_K}
+""",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL PROPAGATION community detection (Raghavan et al. 2007) on
+    the bipartite customer-part purchase graph, synchronous rounds with
+    DETERMINISTIC tie-breaks: parts seed with the min buyer id, then
+    each side adopts the MODE of its neighbors' labels (ties -> largest
+    count, smallest label, via the lexicographic (-count, label)
+    struct-min — the ext_kmeans_purity argmax discipline).  Two
+    propagation rounds reported as the top-{k} community census —
+    the coarse community map that complements ``ext_dedup_cluster``'s
+    exact connected components (LPA trades convergence guarantees for
+    O(rounds) shuffles, the 100 TB-friendly deal).
+
+    Scale: each round is ONE edge-keyed equi-join plus one map-side-
+    combined mode aggregate; label frames are |V|-sized and carry NO
+    broadcast hint (AQE decides).  Output bounded by the top-k heap."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    lp1 = e.groupBy("p").agg(F.min("c").cast("long").alias("lbl"))
+
+    def _mode(df, key):
+        cnt = df.groupBy(key, "lbl").agg(F.count(F.lit(1)).alias("n"))
+        m = F.min(F.struct((-F.col("n")).alias("nc"), F.col("lbl").alias("l")))
+        return cnt.groupBy(key).agg(m.getField("l").alias("lbl"))
+
+    lc = _mode(e.join(lp1, "p"), "c")
+    lp2 = _mode(e.join(lc, "c"), "p")
+    return (
+        lp2.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+        .orderBy(F.desc("n_parts"), "community")
+        .limit(_LPA_TOP_K)
+    )
+
+
+graph_label_propagation.__doc__ = graph_label_propagation.__doc__.format(
+    k=_LPA_TOP_K
+)

@@ -357,3 +357,63 @@ def ext_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ext_l_diversity.__doc__ = ext_l_diversity.__doc__.format(l=_L_DIVERSITY)
+
+
+_DP_EPSILON = 1.0  # Laplace privacy budget for the released histogram
+
+
+@register(
+    "agg_dp_histogram",
+    oracle=f"""
+WITH h AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1
+),
+u AS (
+  SELECT event_type, n,
+         (CAST(('0x' || substr(md5(event_type), 1, 8)) AS BIGINT) % 1000000
+          + 0.5) / 1000000.0 AS uni
+  FROM h
+)
+SELECT event_type,
+       floor((n - (CASE WHEN uni < 0.5 THEN -1.0 ELSE 1.0 END)
+                  * ln(1.0 - 2.0 * abs(uni - 0.5)) / {_DP_EPSILON})
+             * 10000 + 0.5) / 10000.0 AS noisy_n,
+       CAST({_DP_EPSILON} AS DOUBLE) AS epsilon
+FROM u
+ORDER BY event_type
+""",
+)
+def agg_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENTIALLY-PRIVATE histogram release of the event-type counts:
+    Laplace mechanism (Dwork et al. 2006), sensitivity 1 (event-level
+    neighboring datasets), epsilon = {eps} — the privacy-preserving
+    publication shape for usage statistics over user data.
+
+    The Laplace draw inverts the CDF at a uniform derived from the
+    shared cross-engine md5 recipe (demo posture: a DETERMINISTIC
+    keyed draw makes the release hash-verifiable across engines; a
+    production release would use a CSPRNG — the mechanism, budget
+    accounting, and release shape are what this op pins).  |u-0.5| >=
+    5e-7 by construction (integer micro-grid + half-offset), so the ln
+    argument never hits 0.  One map-side-combined count aggregate; the
+    noise is a |types|-row projection."""
+    ev = table(spark, sf_dir, "events")
+    h = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    uni = (
+        F.conv(F.substring(F.md5(F.col("event_type")), 1, 8), 16, 10).cast("long")
+        % 1000000
+        + 0.5
+    ) / 1000000.0
+    lap = (
+        F.when(uni < 0.5, F.lit(-1.0)).otherwise(F.lit(1.0))
+        * F.log(1.0 - 2.0 * F.abs(uni - 0.5))
+        / F.lit(_DP_EPSILON)
+    )
+    return h.select(
+        "event_type",
+        (F.floor((F.col("n") - lap) * 10000 + 0.5) / 10000.0).alias("noisy_n"),
+        F.lit(float(_DP_EPSILON)).alias("epsilon"),
+    ).orderBy("event_type")
+
+
+agg_dp_histogram.__doc__ = agg_dp_histogram.__doc__.format(eps=_DP_EPSILON)

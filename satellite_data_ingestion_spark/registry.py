@@ -71,6 +71,7 @@ _QUERY_MODULES = [
     "satellite_data_ingestion_spark.llm.urlfilter",
     "satellite_data_ingestion_spark.llm.retrieval",
     "satellite_data_ingestion_spark.llm.clustering",
+    "satellite_data_ingestion_spark.operators.recommend",
     "satellite_data_ingestion_spark.operators.quality",
     "satellite_data_ingestion_spark.plans.pipeline",
     "satellite_data_ingestion_spark.plans.ivm",
