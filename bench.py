@@ -82,6 +82,8 @@ HEADLINE = [
     "graph_label_propagation",
     "agg_dp_histogram",
     "ext_calibration_bins",
+    "fn_xml_extract",
+    "agg_bitmap_flags",
     # Block 0 — round-11 additions (no driver-recorded signal yet):
     # the URL/domain corpus-filtering gate, lexical retrieval, mixture
     # temperature, the data-quality gate, seasonal profiles, KMV sketches.

@@ -1051,3 +1051,125 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         ).alias("cents_per_unit"),
     )
+
+
+@register(
+    "fn_xml_extract",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority AS prio,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 100 = 0
+)
+SELECT prio, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM base GROUP BY 1 ORDER BY 1
+""",
+)
+def fn_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ROUND-TRIP: render each order as an XML fragment (attribute +
+    entity-escaped text nodes — '&' exercised via a synthetic
+    ``prio & status`` field) and recover every value through Spark's
+    ``xpath_string``/``xpath_long`` before aggregating.  Pins the XML
+    ingestion surface (feeds/config payloads riding a string column —
+    the XML sibling of ``fn_json_get``): entity escaping must invert
+    exactly, attributes and text nodes both reachable.  The oracle
+    aggregates the SAME figures from the base columns, so any
+    escape/parse defect breaks the value hash.
+
+    xpath_* are per-row JVM expressions (no UDF, no shuffle); the
+    census groupBy is map-side combined.  The %100 gate keeps the
+    output grain constant across SFs."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    esc = F.expr(
+        "replace(replace(replace(concat(o_orderpriority, ' & ', o_orderstatus),"
+        " '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    )
+    xml = F.format_string(
+        '<order id="%s"><note>%s</note><prio>%s</prio><cents>%s</cents></order>',
+        F.col("o_orderkey"),
+        esc,
+        F.col("o_orderpriority"),
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+    )
+    parsed = o.select(xml.alias("x")).select(
+        F.expr("xpath_long(x, '/order/@id')").alias("okey"),
+        F.expr("xpath_string(x, '/order/note')").alias("note"),
+        F.expr("xpath_string(x, '/order/prio')").alias("prio"),
+        F.expr("xpath_long(x, '/order/cents')").alias("cents"),
+    )
+    # The decoded note must start with the raw prio — a parse-time
+    # assertion folded into the plan (rows failing it would change the
+    # aggregate and break the oracle hash).
+    checked = parsed.filter(F.col("note").startswith(F.col("prio")))
+    return (
+        checked.groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.max("okey").cast("long").alias("max_key"),
+        )
+        .orderBy("prio")
+    )
+
+
+@register(
+    "agg_bitmap_flags",
+    oracle="""
+WITH tix AS (
+  SELECT event_type,
+         CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT) AS idx
+  FROM (SELECT DISTINCT event_type FROM events)
+),
+flags AS (
+  SELECT e.user_id,
+         CAST(sum(DISTINCT (1::BIGINT << tix.idx)) AS BIGINT) AS mask
+  FROM events e JOIN tix USING (event_type)
+  GROUP BY 1
+)
+SELECT mask, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(bit_count(mask) AS BIGINT) AS n_types
+FROM flags GROUP BY 1 ORDER BY mask
+""",
+)
+def agg_bitmap_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITMAP FLAG ROLLUP: per-user event-type set packed into one int64
+    bitmask (bit index = rank of the type in sorted order), then the
+    mask census with popcounts — the feature-flag / segment-membership
+    encoding that turns set-containment questions into integer AND
+    masks (the exact-small-domain sibling of the bloom/HLL sketches).
+
+    A |types|-row ranked index joins onto events (unhinted — AQE
+    broadcasts the tiny build side), the per-user OR-fold is
+    ``bit_or(1 << idx)`` — map-side combinable, one user exchange —
+    and the census is a second combinable groupBy.  DuckDB lacks a
+    bitwise-or aggregate over the same name, so the oracle folds
+    ``sum(DISTINCT 1 << idx)`` — identical because the per-user set of
+    single-bit values is distinct by construction."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    tix = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            (F.row_number().over(Window.orderBy("event_type")) - 1)
+            .cast("long")
+            .alias("idx"),
+        )
+    )
+    flags = (
+        ev.join(tix, "event_type")
+        .groupBy("user_id")
+        .agg(F.expr("bit_or(shiftleft(1L, cast(idx AS INT)))").alias("mask"))
+    )
+    return (
+        flags.groupBy("mask")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.bit_count("mask").cast("long").alias("n_types"),
+        )
+        .orderBy("mask")
+    )
