@@ -84,6 +84,7 @@ HEADLINE = [
     "ext_calibration_bins",
     "fn_xml_extract",
     "agg_bitmap_flags",
+    "pipeline_ivf_index_maintain",
     # Block 0 — round-11 additions (no driver-recorded signal yet):
     # the URL/domain corpus-filtering gate, lexical retrieval, mixture
     # temperature, the data-quality gate, seasonal profiles, KMV sketches.

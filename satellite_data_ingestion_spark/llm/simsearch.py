@@ -681,7 +681,7 @@ _IVF_TRAIN_SAMPLE = settings.IVF_TRAIN_SAMPLE
 _IVF_ITERS = settings.IVF_ITERS
 
 
-def _train_centroids(emb: DataFrame) -> np.ndarray:
+def _train_centroids(emb: DataFrame, k: int | None = None) -> np.ndarray:
     """Train the IVF coarse quantizer: k-means (Lloyd, fixed seed/iters) on
     a bounded, deterministic sample collected to the driver.
 
@@ -699,7 +699,7 @@ def _train_centroids(emb: DataFrame) -> np.ndarray:
     rng = np.random.default_rng(_LSH_SEED)
     # A tiny corpus caps the list count (choice with replace=False would
     # raise for k > |sample|); probes are capped to match downstream.
-    k_lists = min(_IVF_K, len(X))
+    k_lists = min(k if k is not None else _IVF_K, len(X))
     cents = X[rng.choice(len(X), size=k_lists, replace=False)]
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)  # loop-invariant
     for _ in range(_IVF_ITERS):
@@ -1785,3 +1785,130 @@ def ext_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l2") < F.col("mu") * 0.5) | (F.col("l2") > F.col("mu") * 2.0)
         ).alias("norm_outlier"),
     )
+
+
+_LAST_IVF_MAINTAIN_ROOT: str | None = None
+_IVFM_K = 16       # maintenance-table inverted lists
+_IVFM_NPROBE = 4   # cells probed per query vector
+
+
+def _nearest_cell_udf(Cn: np.ndarray):
+    """GEMM argmax assignment UDF over NORMALIZED centroids — shared by
+    the maintenance loop and its rebuild-equality test so "same
+    quantizer" means same code path, tie behavior included."""
+
+    @pandas_udf("int")
+    def nearest_cell(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="int32")
+        M = np.array(col.tolist(), dtype=np.float64)
+        return pd.Series(np.argmax(M @ Cn.T, axis=1).astype("int32"))
+
+    return nearest_cell
+
+
+@register("pipeline_ivf_index_maintain")  # ANN probe + txn lifecycle → rows-only
+def pipeline_ivf_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSACTIONAL IVF index MAINTENANCE — the vector-search twin of
+    ``pipeline_minhash_index_maintain``: the embedding corpus arrives in
+    batches and the cid-PARTITIONED inverted-list table must stay
+    current as each batch commits, so similarity queries always probe a
+    fresh index without ever rebuilding it.
+
+    Three vector batches (vec_id % 3) arrive in order.  The coarse
+    quantizer trains ONCE on batch 0 (the production posture: the
+    quantizer is versioned model state; re-training would orphan every
+    stored assignment).  Per tick: (a) each batch vector probes its
+    NPROBE nearest cells against the STANDING index — the cid filter
+    prunes the table's partitions, so probe IO is the probed fraction
+    by layout, not by luck — and exact cosine picks top-1 per query
+    (per-pair HOF folds; the GEMM pandas-UDF path of ext_knn_join is
+    the swap once batch × probed-rows grows past Arrow-batch scale);
+    (b) the batch's (vec_id, cid, vector) rows land in an
+    (appId, epoch)-stamped append with the SAME epoch a corpus append
+    would carry, so a crash between the pair replays into the txn
+    watermark and no-ops (asserted in-line by hand-replaying the final
+    tick).
+
+    The maintained table must be INDISTINGUISHABLE from a from-scratch
+    assignment of the full corpus under the same quantizer — pinned by
+    tests/test_components.py (exact frame equality both ways), along
+    with tick-isolation (every tick-t hit's neighbor belongs to a batch
+    < t).  Rows-only BY DESIGN: IVF probing is approximate (same reason
+    as ext_sim_ivf).
+
+    Scale: index growth is O(batch) rows appended per tick into
+    existing cid partitions, never rewritten; per-tick probe work is
+    batch × probed lists."""
+    global _LAST_IVF_MAINTAIN_ROOT
+    from ..sources.delta_log import DeltaLogTable
+
+    root = tempfile.mkdtemp(prefix="sdis_ivf_maintain_")
+    _LAST_IVF_MAINTAIN_ROOT = root
+    index_t = DeltaLogTable(spark, os.path.join(root, "lists"))
+    app = "sdis-ivf-maintain"
+
+    emb = table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    # A smaller quantizer than the query-path _IVF_K: the maintenance
+    # corpus batches are list-count-sensitive (files per commit scale
+    # with touched cells), and ~corpus/16 rows per list is the healthy
+    # occupancy the testdata supports — the degeneracy lesson applied.
+    cents = _train_centroids(emb.filter(F.col("vec_id") % 3 == 0), k=_IVFM_K)
+    Cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    nprobe = min(_IVFM_NPROBE, len(Cn))
+    nearest_cell = _nearest_cell_udf(Cn)
+
+    @pandas_udf("array<int>")
+    def probe_cells(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="object")
+        M = np.array(col.tolist(), dtype=np.float64)
+        top = np.argsort(-(M @ Cn.T), axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(list(top))
+
+    out = None
+    for i in range(3):
+        batch = emb.filter(F.col("vec_id") % 3 == i).select(
+            "vec_id", vec.alias("v"), nearest_cell(vec).alias("cid")
+        )
+        if index_t.latest_version() >= 0:
+            probes = (
+                emb.filter(F.col("vec_id") % 3 == i)
+                .select(
+                    F.col("vec_id").alias("q_id"),
+                    vec.alias("qv"),
+                    F.explode(probe_cells(vec)).alias("cid"),
+                )
+            )
+            touched = [
+                r.cid
+                for r in probes.select("cid").distinct().collect()
+            ]
+            stored = index_t.read().filter(F.col("cid").isin(touched))
+            cos = F.round(cosine(F.col("qv"), F.col("v")), 6)
+            pairs = probes.join(stored, "cid").select(
+                "q_id", F.col("vec_id").alias("nn_id"), cos.alias("cos_sim")
+            )
+            m = F.min(
+                F.struct((-F.col("cos_sim")).alias("nc"), F.col("nn_id").alias("n"))
+            )
+            hits = pairs.groupBy("q_id").agg(
+                m.getField("n").alias("nn_id"),
+                (-m.getField("nc")).alias("cos_sim"),
+            ).select(
+                F.lit(i).cast("long").alias("tick"),
+                F.col("q_id").alias("vec_id"),
+                "nn_id",
+                "cos_sim",
+            )
+            out = hits if out is None else out.unionByName(hits)
+        index_t.commit_append(batch, partition_by=["cid"], txn=(app, i))
+    head = index_t.latest_version()
+    last = emb.filter(F.col("vec_id") % 3 == 2).select(
+        "vec_id", vec.alias("v"), nearest_cell(vec).alias("cid")
+    )
+    index_t.commit_append(last, partition_by=["cid"], txn=(app, 2))
+    if index_t.latest_version() != head:
+        raise RuntimeError("replayed maintenance tick double-applied")
+    return out.orderBy("tick", "vec_id")

@@ -2405,3 +2405,48 @@ def test_embedding_pca_matches_independent_numpy(spark):
         have = got[vid]
         for a, b in zip(have, want):
             assert abs(a - b) <= 1e-6, (vid, have, want)
+
+
+def test_ivf_index_maintain_equals_rebuild(spark):
+    """The transactionally-maintained IVF list table must be exactly the
+    one-shot assignment of the full corpus under the same quantizer, and
+    every tick-t probe hit must point at a vector from a batch < t (the
+    standing index, never the in-flight batch)."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from satellite_data_ingestion_spark.llm import simsearch
+    from satellite_data_ingestion_spark.llm.simsearch import (
+        _train_centroids,
+        pipeline_ivf_index_maintain,
+    )
+    from satellite_data_ingestion_spark.sources.delta_log import DeltaLogTable
+    from satellite_data_ingestion_spark.catalog import table
+
+    sf = "/root/testdata/sf0.001"
+    hits = pipeline_ivf_index_maintain(spark, sf).collect()
+    root = simsearch._LAST_IVF_MAINTAIN_ROOT
+    assert root is not None
+
+    # (1) tick isolation: neighbors come strictly from earlier batches
+    assert len(hits) > 0
+    for r in hits:
+        assert r.tick >= 1, r  # tick 0 has no standing index to probe
+        assert r.nn_id % 3 < r.tick, r
+
+    # (2) maintained table == one-shot rebuild, exact frame equality
+    emb = table(spark, sf, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    cents = _train_centroids(
+        emb.filter(F.col("vec_id") % 3 == 0), k=simsearch._IVFM_K
+    )
+    Cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    nearest_cell = simsearch._nearest_cell_udf(Cn)
+    rebuilt = emb.select("vec_id", vec.alias("v"), nearest_cell(vec).alias("cid"))
+    maintained = DeltaLogTable(spark, os.path.join(root, "lists")).read().select(
+        "vec_id", "v", "cid"
+    )
+    assert maintained.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(maintained).count() == 0
