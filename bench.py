@@ -85,6 +85,8 @@ HEADLINE = [
     "fn_xml_extract",
     "agg_bitmap_flags",
     "pipeline_ivf_index_maintain",
+    "fn_recursive_cte",
+    "join_lateral_topn",
     # Block 0 — round-11 additions (no driver-recorded signal yet):
     # the URL/domain corpus-filtering gate, lexical retrieval, mixture
     # temperature, the data-quality gate, seasonal profiles, KMV sketches.

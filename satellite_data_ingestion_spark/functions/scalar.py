@@ -1173,3 +1173,70 @@ def agg_bitmap_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mask")
     )
+
+
+@register(
+    "fn_recursive_cte",
+    oracle="""
+WITH RECURSIVE bounds AS (
+  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+         date_trunc('month', max(o_orderdate)) AS hi
+  FROM orders
+),
+spine(m) AS (
+  SELECT lo FROM bounds
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM spine WHERE m < (SELECT hi FROM bounds)
+),
+cnt AS (
+  SELECT date_trunc('month', o_orderdate) AS m, CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+)
+SELECT CAST(spine.m AS DATE) AS month, coalesce(cnt.n, 0) AS n_orders,
+       (cnt.m IS NULL) AS is_gap
+FROM spine LEFT JOIN cnt ON spine.m = cnt.m
+ORDER BY month
+""",
+)
+def fn_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (Spark 4 ``WITH RECURSIVE``): generate the complete
+    month CALENDAR SPINE between the first and last order date and left-
+    join the monthly counts — the gap-visible time grid every reporting
+    layer needs (a bare GROUP BY silently drops empty months; the spine
+    makes them explicit rows).  Pins the recursive-query surface against
+    DuckDB's identical WITH RECURSIVE semantics.
+
+    The date bounds collect ONCE (a 1-row aggregate — the bounded-driver
+    -state posture) and the recursion runs over LITERALS: a recursive
+    step that references a non-trivial CTE re-evaluates it per step in
+    Spark's iterative union execution, turning an O(span) spine into
+    O(span) scans of orders — measured 28.8 s -> 2 s on this corpus,
+    the DataFrame twin of the AS MATERIALIZED oracle lesson.  The spine
+    is |months| rows; the join against the map-side-combined census is
+    the only data-proportional work."""
+    o = table(spark, sf_dir, "orders")
+    lo, hi = o.agg(
+        F.date_trunc("MONTH", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("MONTH", F.max("o_orderdate")).alias("hi"),
+    ).collect()[0]
+    o.createOrReplaceTempView("sdis_orders_for_rcte")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE spine(m) AS (
+          SELECT TIMESTAMP '{lo}'
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM spine
+          WHERE m < TIMESTAMP '{hi}'
+        ),
+        cnt AS (
+          SELECT date_trunc('MONTH', o_orderdate) AS m,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM sdis_orders_for_rcte GROUP BY 1
+        )
+        SELECT CAST(spine.m AS DATE) AS month,
+               coalesce(cnt.n, 0L) AS n_orders,
+               (cnt.m IS NULL) AS is_gap
+        FROM spine LEFT JOIN cnt ON spine.m = cnt.m
+        ORDER BY month
+        """
+    )

@@ -731,3 +731,47 @@ def join_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_view",
         "f_error",
     )
+
+
+@register(
+    "join_lateral_topn",
+    oracle="""
+SELECT n_name, c_name, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+FROM nation n,
+     LATERAL (SELECT c_name, c_acctbal
+              FROM customer c
+              WHERE c.c_nationkey = n.n_nationkey
+              ORDER BY c_acctbal DESC, c_name
+              LIMIT 2) t
+ORDER BY n_name, bal_cents DESC, c_name
+""",
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATED LATERAL subquery (SQL:2016 LATERAL, Spark 4 surface):
+    per nation, the top-2 customers by account balance — the canonical
+    top-n-per-group phrased as the correlated form analysts write,
+    pinned against DuckDB's identical LATERAL semantics.
+
+    Spark DECORRELATES the lateral limit into a partitioned window
+    (DomainJoin rewrite), so the executed plan is the same
+    WindowGroupLimit shape as ``ext_domain_volume_cap`` — per-group
+    heaps both sides of one exchange, never a per-outer-row re-scan.
+    The declarative payoff: the user writes the correlated query, the
+    optimizer runs the scalable one."""
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    n.createOrReplaceTempView("sdis_nation_lateral")
+    c.createOrReplaceTempView("sdis_customer_lateral")
+    return spark.sql(
+        """
+        SELECT n_name, c_name,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM sdis_nation_lateral n,
+             LATERAL (SELECT c_name, c_acctbal
+                      FROM sdis_customer_lateral c
+                      WHERE c.c_nationkey = n.n_nationkey
+                      ORDER BY c_acctbal DESC, c_name
+                      LIMIT 2) t
+        ORDER BY n_name, bal_cents DESC, c_name
+        """
+    )

@@ -715,3 +715,12 @@ def test_audience_overlap_user_join_marginals_broadcast(spark):
     tree = plan.split("\n\n")[0]
     assert "CartesianProduct" not in plan, tree
     assert tree.count("BroadcastHashJoin") >= 2, tree
+
+
+def test_lateral_topn_decorrelates_to_window_group_limit(spark):
+    """The correlated LATERAL LIMIT must decorrelate into partitioned
+    WindowGroupLimit heaps (partial on both sides of the exchange), not
+    a per-outer-row re-scan or a cartesian."""
+    tree = plan_of(spark, "join_lateral_topn").split("\n\n")[0]
+    assert tree.count("WindowGroupLimit") >= 2, tree
+    assert "CartesianProduct" not in tree, tree
