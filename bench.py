@@ -87,6 +87,8 @@ HEADLINE = [
     "pipeline_ivf_index_maintain",
     "fn_recursive_cte",
     "join_lateral_topn",
+    "agg_boxplot",
+    "ext_ts_forecast_eval",
     # Block 0 — round-11 additions (no driver-recorded signal yet):
     # the URL/domain corpus-filtering gate, lexical retrieval, mixture
     # temperature, the data-quality gate, seasonal profiles, KMV sketches.

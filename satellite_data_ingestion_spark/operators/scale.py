@@ -727,3 +727,122 @@ def ext_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.floor(z * 10000 + 0.5) / 10000.0).alias("zscore"),
     )
+
+
+@register(
+    "agg_boxplot",
+    oracle="""
+WITH g AS MATERIALIZED (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+cum AS MATERIALIZED (
+  SELECT event_type, cents, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY cents) AS cm,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM g
+),
+q AS MATERIALIZED (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         CAST(min(CASE WHEN cm >= ceil(0.25 * n) THEN cents END) AS BIGINT) AS q1,
+         CAST(min(CASE WHEN cm >= ceil(0.50 * n) THEN cents END) AS BIGINT) AS med,
+         CAST(min(CASE WHEN cm >= ceil(0.75 * n) THEN cents END) AS BIGINT) AS q3
+  FROM cum GROUP BY 1
+)
+SELECT g.event_type, q.n,
+       CAST(q.q1 AS DOUBLE) / 100 AS q1,
+       CAST(q.med AS DOUBLE) / 100 AS median,
+       CAST(q.q3 AS DOUBLE) / 100 AS q3,
+       CAST(min(CASE WHEN 2 * g.cents >= 2 * q.q1 - 3 * (q.q3 - q.q1)
+                     THEN g.cents END) AS DOUBLE) / 100 AS whisker_lo,
+       CAST(max(CASE WHEN 2 * g.cents <= 2 * q.q3 + 3 * (q.q3 - q.q1)
+                     THEN g.cents END) AS DOUBLE) / 100 AS whisker_hi,
+       CAST(sum(CASE WHEN 2 * g.cents < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                     THEN g.c ELSE 0 END) AS BIGINT) AS n_low_outliers,
+       CAST(sum(CASE WHEN 2 * g.cents > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                     THEN g.c ELSE 0 END) AS BIGINT) AS n_high_outliers
+FROM g JOIN q USING (event_type)
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY 1
+""",
+)
+def agg_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT five-number BOXPLOT per event type — quartiles (percentile_disc
+    semantics: smallest value whose cumulative count reaches ceil(p·n)),
+    Tukey 1.5·IQR whiskers clamped to actual data points, and outlier
+    counts each side — the distribution report a metrics dashboard draws
+    per segment.
+
+    Scale discipline (the agg_ks_test ECDF pattern): quantiles compute on
+    the DISTINCT-VALUE grain — one map-side-combined (type, cents) count,
+    then the cumulative window runs over the COMPRESSED frame (6.6k
+    distinct cents here vs 60k rows; bounded by the value domain, not the
+    corpus), so no per-row window ever sees the fact table.  The 1.5·IQR
+    comparisons stay in integer half-cents (2·cents vs 2·q1 − 3·IQR) —
+    no float boundary anywhere until the final /100 display division.
+    approx_percentile is the documented cheap substitute when exactness
+    isn't required."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    g = ev.groupBy(
+        "event_type", cents.alias("cents")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = g.select(
+        "event_type",
+        "cents",
+        "c",
+        F.sum("c").over(w_cum).alias("cm"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    q = cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(F.when(F.col("cm") >= F.ceil(0.25 * F.col("n")), F.col("cents")))
+        .cast("long")
+        .alias("q1"),
+        F.min(F.when(F.col("cm") >= F.ceil(0.50 * F.col("n")), F.col("cents")))
+        .cast("long")
+        .alias("med"),
+        F.min(F.when(F.col("cm") >= F.ceil(0.75 * F.col("n")), F.col("cents")))
+        .cast("long")
+        .alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo_ok = 2 * F.col("cents") >= 2 * F.col("q1") - 3 * iqr
+    hi_ok = 2 * F.col("cents") <= 2 * F.col("q3") + 3 * iqr
+    j = g.join(q, "event_type")
+    return (
+        j.groupBy("event_type", "n", "q1", "med", "q3")
+        .agg(
+            (F.min(F.when(lo_ok, F.col("cents"))).cast("double") / 100).alias(
+                "whisker_lo"
+            ),
+            (F.max(F.when(hi_ok, F.col("cents"))).cast("double") / 100).alias(
+                "whisker_hi"
+            ),
+            F.sum(F.when(~lo_ok, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_low_outliers"),
+            F.sum(F.when(~hi_ok, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_high_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.col("q1").cast("double") / 100).alias("q1"),
+            (F.col("med").cast("double") / 100).alias("median"),
+            (F.col("q3").cast("double") / 100).alias("q3"),
+            "whisker_lo",
+            "whisker_hi",
+            "n_low_outliers",
+            "n_high_outliers",
+        )
+        .orderBy("event_type")
+    )

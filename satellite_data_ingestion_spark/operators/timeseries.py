@@ -1712,3 +1712,107 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 win_rolling_corr.__doc__ = win_rolling_corr.__doc__.format(
     h=_RC_HOURS, a=_RC_A, b=_RC_B
 )
+
+
+_FC_SEASON = 24  # seasonal-naive lag, hours
+
+
+@register(
+    "ext_ts_forecast_eval",
+    oracle=f"""
+WITH hourly AS MATERIALIZED (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+fc AS MATERIALIZED (
+  SELECT event_type, h, cents,
+         lag(cents, {_FC_SEASON}) OVER (PARTITION BY event_type ORDER BY h)
+           AS f24,
+         lag(cents, 1) OVER (PARTITION BY event_type ORDER BY h) AS f1
+  FROM hourly
+),
+e AS (
+  SELECT event_type,
+         abs(cents - f24) AS ae24,
+         abs(cents - f1) AS ae1,
+         CAST(floor(CAST(abs(cents - f24) AS DOUBLE) / cents * 1000000 + 0.5)
+              AS BIGINT) AS ape_u,
+         CAST(floor(2.0 * abs(cents - f24) / (cents + f24) * 1000000 + 0.5)
+              AS BIGINT) AS sape_u
+  FROM fc WHERE f24 IS NOT NULL AND f1 IS NOT NULL AND cents > 0
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_points,
+       floor(CAST(sum(ae24) AS DOUBLE) / count(*) / 100 * 100 + 0.5) / 100
+         AS mae,
+       floor(CAST(sum(ape_u) AS DOUBLE) / count(*) / 100 + 0.5) / 10000.0
+         AS mape,
+       floor(CAST(sum(sape_u) AS DOUBLE) / count(*) / 100 + 0.5) / 10000.0
+         AS smape,
+       floor(CAST(sum(ae24) AS DOUBLE) / sum(ae1) * 10000 + 0.5) / 10000.0
+         AS mase
+FROM e GROUP BY 1 ORDER BY 1
+""",
+)
+def ext_ts_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORECAST BASELINE EVALUATION: seasonal-naive (value {s} hours ago)
+    per event type, scored with the four standard error metrics — MAE,
+    MAPE, sMAPE, and MASE (MAE relative to the naive lag-1 forecast,
+    Hyndman & Koehler 2006: scale-free and defined where MAPE degenerates).
+    Any real model must beat THIS row before it earns deployment — the
+    evaluation harness is the capability; the naive forecast is the
+    canonical yardstick inside it.
+
+    Float discipline: the hourly series is exact integer cents; each
+    per-point RATIO (APE, sAPE) quantizes to a micro-unit integer before
+    the mean, so every aggregate is an exact integer sum with one final
+    division — no order-dependent double accumulation.  The per-type
+    hourly frame is time-grain bounded (hours in range, never corpus
+    rows), so the lag windows run on the compressed grain."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    fc = hourly.select(
+        "event_type",
+        "cents",
+        F.lag("cents", _FC_SEASON).over(w).alias("f24"),
+        F.lag("cents", 1).over(w).alias("f1"),
+    ).filter(F.col("f24").isNotNull() & F.col("f1").isNotNull() & (F.col("cents") > 0))
+    ae24 = F.abs(F.col("cents") - F.col("f24"))
+    ae1 = F.abs(F.col("cents") - F.col("f1"))
+    e = fc.select(
+        "event_type",
+        ae24.alias("ae24"),
+        ae1.alias("ae1"),
+        F.floor(ae24.cast("double") / F.col("cents") * 1000000 + 0.5)
+        .cast("long")
+        .alias("ape_u"),
+        F.floor(2.0 * ae24 / (F.col("cents") + F.col("f24")) * 1000000 + 0.5)
+        .cast("long")
+        .alias("sape_u"),
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            (
+                F.floor(F.sum("ae24").cast("double") / F.count(F.lit(1)) / 100 * 100 + 0.5)
+                / 100
+            ).alias("mae"),
+            (
+                F.floor(F.sum("ape_u").cast("double") / F.count(F.lit(1)) / 100 + 0.5)
+                / 10000.0
+            ).alias("mape"),
+            (
+                F.floor(F.sum("sape_u").cast("double") / F.count(F.lit(1)) / 100 + 0.5)
+                / 10000.0
+            ).alias("smape"),
+            (
+                F.floor(F.sum("ae24").cast("double") / F.sum("ae1") * 10000 + 0.5)
+                / 10000.0
+            ).alias("mase"),
+        )
+        .orderBy("event_type")
+    )
