@@ -89,6 +89,7 @@ HEADLINE = [
     "join_lateral_topn",
     "agg_boxplot",
     "ext_ts_forecast_eval",
+    "ext_rag_context_pack",
     # Block 0 — round-11 additions (no driver-recorded signal yet):
     # the URL/domain corpus-filtering gate, lexical retrieval, mixture
     # temperature, the data-quality gate, seasonal profiles, KMV sketches.

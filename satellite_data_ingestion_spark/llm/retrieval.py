@@ -165,9 +165,7 @@ _RRF_DUCK_TFS = ",\n         ".join(
 )
 
 
-@register(
-    "ext_hybrid_rrf",
-    oracle=f"""
+_RRF_ORACLE = f"""
 WITH tf AS (
   SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
@@ -211,8 +209,10 @@ SELECT doc_id,
 FROM lex FULL JOIN sem USING (doc_id)
 ORDER BY rrf DESC, doc_id
 LIMIT {_RRF_TOP_K}
-""",
-)
+"""
+
+
+@register("ext_hybrid_rrf", oracle=_RRF_ORACLE)
 def ext_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID RETRIEVAL FUSION via Reciprocal Rank Fusion (Cormack,
     Clarke & Buettcher 2009): the production RAG retrieval shape — a
@@ -290,4 +290,67 @@ def ext_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ext_hybrid_rrf.__doc__ = ext_hybrid_rrf.__doc__.format(
     pool=_RRF_POOL, k=_RRF_K, top=_RRF_TOP_K
+)
+
+
+_PACK_BUDGET = 400  # context token budget
+
+
+@register(
+    "ext_rag_context_pack",
+    oracle=f"""
+WITH fused AS ({_RRF_ORACLE}),
+toks AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT f.doc_id, f.rrf, t.n_tokens,
+         CAST(row_number() OVER (ORDER BY f.rrf DESC, f.doc_id) AS BIGINT)
+           AS slot,
+         CAST(sum(t.n_tokens) OVER (ORDER BY f.rrf DESC, f.doc_id) AS BIGINT)
+           AS cum_tokens
+  FROM fused f JOIN toks t USING (doc_id)
+)
+SELECT slot, doc_id, n_tokens, cum_tokens, rrf
+FROM packed WHERE cum_tokens <= {_PACK_BUDGET}
+ORDER BY slot
+""",
+)
+def ext_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG CONTEXT PACKING: the fused retrieval ranking becomes an actual
+    prompt context — documents admitted in fusion order while the running
+    token total stays inside a {budget}-token budget (strict prefix
+    packing: rank order IS the relevance order, so the first overflow
+    ends the context — the assembly step between retrieval and the
+    prompt that every RAG serving stack runs per request).
+
+    Composes ``ext_hybrid_rrf`` (the fused top-{top}) with per-doc token
+    counts: the corpus-side cost is the fusion's two scans plus one
+    token-count projection JOINED ON THE {top}-ROW LIST (the join prunes
+    to the candidate ids — at 100 TB the packing stage touches {top}
+    documents, not the corpus); the cumulative window runs over the
+    bounded fused frame.  All integer token arithmetic."""
+    from pyspark.sql import Window
+
+    fused = ext_hybrid_rrf(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    packed = fused.join(docs, "doc_id").select(
+        F.row_number().over(w).cast("long").alias("slot"),
+        "doc_id",
+        "n_tokens",
+        F.sum("n_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum_tokens"),
+        "rrf",
+    )
+    return packed.filter(F.col("cum_tokens") <= _PACK_BUDGET).orderBy("slot")
+
+
+ext_rag_context_pack.__doc__ = ext_rag_context_pack.__doc__.format(
+    budget=_PACK_BUDGET, top=_RRF_TOP_K
 )
