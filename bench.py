@@ -90,6 +90,8 @@ HEADLINE = [
     "agg_boxplot",
     "ext_ts_forecast_eval",
     "ext_rag_context_pack",
+    "ext_hard_negatives",
+    "ext_negative_sampling",
     # Block 0 — round-11 additions (no driver-recorded signal yet):
     # the URL/domain corpus-filtering gate, lexical retrieval, mixture
     # temperature, the data-quality gate, seasonal profiles, KMV sketches.

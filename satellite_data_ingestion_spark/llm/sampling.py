@@ -574,3 +574,78 @@ def ext_psi_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_buckets",
         (F.floor(F.col("psi_raw") * 1000000 + 0.5) / 1000000.0).alias("psi"),
     )
+
+
+_NEG_OFFSETS = (1, 2)  # hash-ring hops per anchor (k=2 negatives)
+
+
+@register(
+    "ext_negative_sampling",
+    oracle=f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+           ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT), doc_id) AS BIGINT) AS rk,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM documents
+)
+SELECT a.doc_id, CAST(s.s AS BIGINT) AS hop, b.doc_id AS neg_id,
+       (a.lang = b.lang) AS same_lang
+FROM r a
+CROSS JOIN (SELECT unnest([{", ".join(str(s) for s in _NEG_OFFSETS)}]) AS s) s
+JOIN r b ON b.rk = ((a.rk - 1 + s.s) % a.n) + 1
+ORDER BY a.doc_id, hop
+""",
+)
+def ext_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEGATIVE SAMPLING for contrastive training: {k} pseudo-random
+    negatives per document via the HASH RING — rank every doc by
+    md5(doc_id) (the shared cross-engine hash recipe) and take the next
+    {k} docs on the ring.  Hash order decorrelates ring neighbors from
+    any data order, every doc appears as a negative exactly {k} times
+    (a perfect derangement — no coupon-collector variance), and the
+    draw is reproducible across engines and runs with NO seed state;
+    the complement of ``ext_hard_negatives`` (uniform easies vs
+    near-miss hards — contrastive batches want both).
+
+    Scale shape: the global hash rank comes from distributed_rank
+    (range-partition + broadcast offsets, never a single-task window);
+    the ring hop is an equi self-join on the shifted rank — one
+    co-partitioned join per corpus, volume exactly {k}·N rows."""
+    from ..operators.ranking import distributed_rank
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    r = distributed_rank(docs.withColumn("h", h), ["h", "doc_id"]).select(
+        "doc_id", "lang", F.col("_rk").alias("rk"), F.col("_n_total").alias("n")
+    )
+    a = r.select(
+        "doc_id",
+        "lang",
+        "rk",
+        "n",
+        F.explode(F.array(*[F.lit(s) for s in _NEG_OFFSETS])).alias("hop"),
+    ).withColumn("nrk", (F.col("rk") - 1 + F.col("hop")) % F.col("n") + 1)
+    b = r.select(
+        F.col("rk").alias("nrk"),
+        F.col("doc_id").alias("neg_id"),
+        F.col("lang").alias("neg_lang"),
+    )
+    return (
+        a.join(b, "nrk")
+        .select(
+            "doc_id",
+            F.col("hop").cast("long").alias("hop"),
+            "neg_id",
+            (F.col("lang") == F.col("neg_lang")).alias("same_lang"),
+        )
+        .orderBy("doc_id", "hop")
+    )
+
+
+ext_negative_sampling.__doc__ = ext_negative_sampling.__doc__.format(
+    k=len(_NEG_OFFSETS)
+)

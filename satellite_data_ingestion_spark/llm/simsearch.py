@@ -1240,9 +1240,7 @@ def ext_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_K = 5  # neighbors per vector in the kNN self-join
 
 
-@register(
-    "ext_knn_join",
-    oracle=f"""
+_KNN_ORACLE = f"""
 WITH pairs AS (
   SELECT a.vec_id AS qid, b.vec_id AS nid,
          round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -1259,8 +1257,10 @@ ranked AS (
 )
 SELECT qid, nid, cos_sim, CAST(rnk AS BIGINT) AS rnk
 FROM ranked WHERE rnk <= {_KNN_K}
-""",
-)
+"""
+
+
+@register("ext_knn_join", oracle=_KNN_ORACLE)
 def ext_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT kNN self-join: every vector's k nearest neighbors by
     cosine — the all-pairs retrieval SemDeDup-style semantic dedup and
@@ -1912,3 +1912,53 @@ def pipeline_ivf_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     if index_t.latest_version() != head:
         raise RuntimeError("replayed maintenance tick double-applied")
     return out.orderBy("tick", "vec_id")
+
+
+_HARD_NEG_PER_ANCHOR = 2  # hardest cross-label neighbors kept per anchor
+
+
+@register(
+    "ext_hard_negatives",
+    oracle=f"""
+WITH knn AS ({_KNN_ORACLE}),
+lab AS (SELECT vec_id, label FROM embeddings),
+cross_label AS (
+  SELECT k.qid, la.label AS q_label, k.nid, lb.label AS n_label, k.cos_sim,
+         row_number() OVER (PARTITION BY k.qid
+                            ORDER BY k.cos_sim DESC, k.nid) AS hr
+  FROM knn k
+  JOIN lab la ON la.vec_id = k.qid
+  JOIN lab lb ON lb.vec_id = k.nid
+  WHERE la.label <> lb.label
+)
+SELECT qid, q_label, nid, n_label, cos_sim
+FROM cross_label WHERE hr <= {_HARD_NEG_PER_ANCHOR}
+ORDER BY qid, cos_sim DESC, nid
+""",
+)
+def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive training: per anchor vector,
+    the {m} most-similar neighbors with a DIFFERENT label — the
+    near-miss examples that carry the gradient signal easy random
+    negatives lack (the standard dense-retriever / embedding-model
+    curriculum step).  Composes ``ext_knn_join``'s tiled-GEMM top-k
+    (the corpus-scale pair stage, already sub-quadratic) with two
+    |candidates|-row label joins and a re-rank over each anchor's
+    ≤ {k}-row candidate list — mining cost is O(anchors · k), the pair
+    machinery is reused, not re-run."""
+    knn = ext_knn_join(spark, sf_dir)
+    lab = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    la = lab.select(F.col("vec_id").alias("qid"), F.col("label").alias("q_label"))
+    lb = lab.select(F.col("vec_id").alias("nid"), F.col("label").alias("n_label"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "nid")
+    return (
+        knn.join(la, "qid")
+        .join(lb, "nid")
+        .filter(F.col("q_label") != F.col("n_label"))
+        .withColumn("hr", F.row_number().over(w))
+        .filter(F.col("hr") <= _HARD_NEG_PER_ANCHOR)
+        .select("qid", "q_label", "nid", "n_label", "cos_sim")
+        .orderBy("qid", F.desc("cos_sim"), "nid")
+    )
