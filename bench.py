@@ -92,6 +92,8 @@ HEADLINE = [
     "ext_rag_context_pack",
     "ext_hard_negatives",
     "ext_negative_sampling",
+    "win_activity_streak",
+    "ext_tokenizer_fertility",
     # Block 0 — round-11 additions (no driver-recorded signal yet):
     # the URL/domain corpus-filtering gate, lexical retrieval, mixture
     # temperature, the data-quality gate, seasonal profiles, KMV sketches.

@@ -205,3 +205,36 @@ def ext_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "c.n_words", "c.n_tokens", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@register("ext_tokenizer_fertility")  # depends on learned merges → rows-only
+def ext_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY by language: tokens/word and bytes/token for
+    the corpus-trained BPE vocabulary, per lang tag — the multilingual
+    token-budget report (a language with high fertility pays more
+    context window and more training FLOPs per word; the number that
+    drives vocab-size and data-mixture decisions, cf. the fertility
+    tables in the XLM-R / NLLB papers).
+
+    Composes ``ext_bpe_tokenize``'s per-doc exact counts with the lang
+    tag: per-lang sums are exact integer aggregates, fertility and
+    bytes/token are ONE division each, half-up micro-quantized.
+    Rows-only BY DESIGN (inherits the learned-merges dependency); the
+    per-doc counts underneath are parity-pinned by the BPE tests."""
+    counts = ext_bpe_tokenize(spark, sf_dir)
+    langs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = counts.join(langs, "doc_id")
+    agg = j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("words"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    q6 = lambda x: F.floor(x * 1000000 + 0.5) / 1000000.0  # noqa: E731
+    return agg.select(
+        "lang",
+        "n_docs",
+        "tokens",
+        q6(F.col("tokens").cast("double") / F.col("words")).alias("fertility"),
+        q6(F.col("chars").cast("double") / F.col("tokens")).alias("bytes_per_token"),
+    ).orderBy("lang")

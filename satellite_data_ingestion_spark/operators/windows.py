@@ -1340,3 +1340,58 @@ def ext_top_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 ext_top_journeys.__doc__ = ext_top_journeys.__doc__.format(
     k=_JOURNEY_TOP_K, n=_JOURNEY_LEN
 )
+
+
+@register(
+    "win_activity_streak",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+isl AS (
+  SELECT user_id,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INTEGER) AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS len
+  FROM isl GROUP BY user_id, island
+),
+longest AS (
+  SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak
+  FROM streaks GROUP BY 1
+)
+SELECT longest_streak, CAST(count(*) AS BIGINT) AS n_users
+FROM longest GROUP BY 1 ORDER BY 1
+""",
+)
+def win_activity_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LONGEST ACTIVITY STREAK census: consecutive-active-day runs per
+    user via GAPS-AND-ISLANDS (date minus per-user day rank is constant
+    within a run), reported as the longest-streak histogram — the
+    engagement metric behind every "N-day streak" product surface and
+    the DAU-quality cut a flat DAU count hides.
+
+    Scale shape: the per-user window runs on the DISTINCT (user, day)
+    grain — rows per user bounded by the calendar span, never by event
+    volume — then two map-side-combined aggregates collapse islands to
+    streaks to the |distinct-lengths|-row census."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("island"),
+    )
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    longest = streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak")
+    )
+    return (
+        longest.groupBy("longest_streak")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("longest_streak")
+    )
