@@ -94,6 +94,8 @@ HEADLINE = [
     "ext_negative_sampling",
     "win_activity_streak",
     "ext_tokenizer_fertility",
+    "ext_kmeans_ari",
+    "agg_trend_ols",
     # Block 0 — round-11 additions (no driver-recorded signal yet):
     # the URL/domain corpus-filtering gate, lexical retrieval, mixture
     # temperature, the data-quality gate, seasonal profiles, KMV sketches.

@@ -265,3 +265,72 @@ ext_kmeans.__doc__ = ext_kmeans.__doc__.format(iters=_ITERS, k=_K)
 ext_kmeans_balanced_sample.__doc__ = ext_kmeans_balanced_sample.__doc__.format(
     m=_SAMPLE_PER_CLUSTER
 )
+
+
+@register(
+    "ext_kmeans_ari",
+    oracle=_km_chain()
+    + f"""
+, ct AS (
+  SELECT a.cl, e.label, CAST(count(*) AS BIGINT) AS nij
+  FROM {_FINAL} a JOIN e USING (vec_id) GROUP BY 1, 2
+),
+m AS (
+  SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS s,
+         CAST(sum(nij) AS BIGINT) AS n
+  FROM ct
+),
+ra AS (
+  SELECT CAST(sum(ai * (ai - 1) // 2) AS BIGINT) AS a FROM (
+    SELECT CAST(sum(nij) AS BIGINT) AS ai FROM ct GROUP BY cl)
+),
+rb AS (
+  SELECT CAST(sum(bj * (bj - 1) // 2) AS BIGINT) AS b FROM (
+    SELECT CAST(sum(nij) AS BIGINT) AS bj FROM ct GROUP BY label)
+)
+SELECT m.n,
+       floor((CAST(m.s AS DOUBLE)
+              - CAST(ra.a AS DOUBLE) * rb.b / (m.n * (m.n - 1) // 2))
+             / ((CAST(ra.a AS DOUBLE) + rb.b) / 2.0
+                - CAST(ra.a AS DOUBLE) * rb.b / (m.n * (m.n - 1) // 2))
+             * 1000000 + 0.5) / 1000000.0 AS ari
+FROM m, ra, rb
+""",
+)
+def ext_kmeans_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADJUSTED RAND INDEX of the k-means partition vs the ground-truth
+    labels (Hubert & Arabie 1985) — the chance-corrected agreement
+    score that completes the external-validation pair with
+    ``ext_kmeans_purity`` (purity rewards many tiny clusters; ARI does
+    not).  Every ingredient is an exact integer pair count — Σ C(n_ij,2)
+    over the contingency table, Σ C(a_i,2), Σ C(b_j,2), C(n,2) — via
+    integer ``div`` (n·(n−1) is even, so the halving is exact in both
+    engines); the ARI ratio is ONE double expression evaluated in the
+    same op order.  Contingency table = one groupBy on the assignment;
+    everything after is |k|·|labels| rows."""
+    asg = _lloyd(spark, sf_dir)
+    ct = asg.groupBy("cl", "label").agg(F.count(F.lit(1)).cast("long").alias("nij"))
+    pairs = lambda c: F.expr(f"({c} * ({c} - 1)) div 2")  # noqa: E731
+    m = ct.agg(
+        F.sum(pairs("nij")).cast("long").alias("s"),
+        F.sum("nij").cast("long").alias("n"),
+    )
+    ra = (
+        ct.groupBy("cl")
+        .agg(F.sum("nij").cast("long").alias("ai"))
+        .agg(F.sum(pairs("ai")).cast("long").alias("a"))
+    )
+    rb = (
+        ct.groupBy("label")
+        .agg(F.sum("nij").cast("long").alias("bj"))
+        .agg(F.sum(pairs("bj")).cast("long").alias("b"))
+    )
+    j = m.crossJoin(F.broadcast(ra)).crossJoin(F.broadcast(rb))
+    t = F.expr("(n * (n - 1)) div 2")
+    exp = F.col("a").cast("double") * F.col("b") / t
+    ari = (F.col("s").cast("double") - exp) / (
+        (F.col("a").cast("double") + F.col("b")) / 2.0 - exp
+    )
+    return j.select(
+        "n", (F.floor(ari * 1000000 + 0.5) / 1000000.0).alias("ari")
+    )

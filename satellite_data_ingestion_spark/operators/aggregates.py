@@ -2068,3 +2068,76 @@ def ext_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "agg_trend_ols",
+    oracle="""
+WITH base AS (
+  SELECT event_type,
+         CAST(date_diff('hour',
+              (SELECT date_trunc('hour', min(ts)) FROM events),
+              date_trunc('hour', ts)) AS BIGINT) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+),
+m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM base GROUP BY 1
+)
+SELECT event_type, n,
+       floor((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+             * 10000 + 0.5) / 10000.0 AS slope_cents_per_hour,
+       floor((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))
+             * 1000000 + 0.5) / 1000000.0 AS r2
+FROM m ORDER BY event_type
+""",
+)
+def agg_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SEGMENT TREND: ordinary-least-squares slope of value on time
+    (cents/hour) with R² per event type — the "is this KPI actually
+    going up, and is the line real" readout behind every dashboard
+    trend arrow (complements ``win_ma_crossover``'s regime triggers and
+    ``ext_ts_seasonal``'s cycle profile with the secular component).
+
+    Exactness: x rebases to integer HOURS since the corpus start (one
+    1-row aggregate, scalar-subqueried) and y to integer cents, so all
+    five OLS moments are exact int64 sums (magnitudes bounded by
+    span²·rows — decimal-sum is the documented swap past ~1e16); slope
+    and R² are single double expressions evaluated in the same op order
+    both engines, half-up quantized.  One scan, one map-side-combined
+    aggregate, |types| output rows."""
+    ev = table(spark, sf_dir, "events")
+    t0 = ev.agg(F.date_trunc("hour", F.min("ts")).alias("t0"))
+    base = ev.crossJoin(F.broadcast(t0)).select(
+        "event_type",
+        F.expr("timestampdiff(HOUR, t0, date_trunc('hour', ts))")
+        .cast("long")
+        .alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    m = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")
+    denx = F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")
+    deny = F.col("n") * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy")
+    return m.select(
+        "event_type",
+        "n",
+        (F.floor(num / denx * 10000 + 0.5) / 10000.0).alias("slope_cents_per_hour"),
+        (F.floor(num * num / (denx * deny) * 1000000 + 0.5) / 1000000.0).alias("r2"),
+    ).orderBy("event_type")
