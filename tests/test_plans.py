@@ -724,3 +724,35 @@ def test_lateral_topn_decorrelates_to_window_group_limit(spark):
     tree = plan_of(spark, "join_lateral_topn").split("\n\n")[0]
     assert tree.count("WindowGroupLimit") >= 2, tree
     assert "CartesianProduct" not in tree, tree
+
+
+def test_kmeans_assignment_is_projection(spark):
+    """The k-means final report must be: scan -> assignment PROJECTION
+    (JVM HOF folds over centroid literals — no Python, no join) ->
+    one count/sum exchange -> sort.  Any Join/Cartesian/PythonUDF in
+    the plan means the assignment stopped being a projection."""
+    plan = plan_of(spark, "ext_kmeans")
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree and "CartesianProduct" not in tree, tree
+    assert "Python" not in tree, tree
+    assert tree.count("Exchange") <= 2, tree
+
+
+def test_item_cf_basket_keyed_and_group_limited(spark):
+    """Item-item CF pairs must come from a basket-keyed equi self-join
+    (never a cartesian) and the top-k must plan as WindowGroupLimit
+    heaps on both sides of the item exchange."""
+    plan = plan_of(spark, "ext_item_cf")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in plan, tree
+    assert tree.count("WindowGroupLimit") >= 2, tree
+
+
+def test_negative_sampling_range_partitioned_rank(spark):
+    """The hash-ring rank must come from distributed_rank (a
+    rangepartitioning exchange), never a single-task global window, and
+    the ring hop must be an equi join."""
+    plan = plan_of(spark, "ext_negative_sampling")
+    tree = plan.split("\n\n")[0]
+    assert "rangepartitioning" in plan, plan[:2000]
+    assert "CartesianProduct" not in tree, tree
