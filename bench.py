@@ -96,6 +96,8 @@ HEADLINE = [
     "ext_tokenizer_fertility",
     "ext_kmeans_ari",
     "agg_trend_ols",
+    "stream_kmeans_score",
+    "ext_cluster_keywords",
     # Block 0 — round-11 additions (no driver-recorded signal yet):
     # the URL/domain corpus-filtering gate, lexical retrieval, mixture
     # temperature, the data-quality gate, seasonal profiles, KMV sketches.

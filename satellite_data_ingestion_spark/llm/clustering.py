@@ -84,18 +84,15 @@ def _assign_expr(cents: dict[int, list[int]]):
     return F.array_min(scored)
 
 
-def _lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Final-iteration assignment frame (vec_id, label, cl, d)."""
+def _lloyd_model(spark: SparkSession, sf_dir: str) -> dict[int, list[int]]:
+    """The trained model: centroids after the last Lloyd update (the
+    ones the final assignment scores against)."""
     q = _quantized(spark, sf_dir)
     init = q.orderBy("vec_id").limit(_K).select("xm").collect()
     cents = {j: list(r.xm) for j, r in enumerate(init)}
-    for it in range(_ITERS):
+    for _ in range(_ITERS - 1):
         m = _assign_expr(cents)
-        asg = q.select(
-            "vec_id", "label", "xm", m.getField("j").alias("cl"), m.getField("d").alias("d")
-        )
-        if it == _ITERS - 1:
-            return asg.select("vec_id", "label", "cl", "d")
+        asg = q.select("xm", m.getField("j").alias("cl"))
         # k·d-row bounded collect: the Lloyd model refresh.  floor(s/c+0.5)
         # on exact ints < 2^53 is bit-identical to the oracle's
         # CAST(floor(CAST(sum AS DOUBLE)/count + 0.5) AS BIGINT).
@@ -108,7 +105,16 @@ def _lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = {}
         for r in rows:
             cents.setdefault(r.cl, [0] * _DIM)[r.pos] = math.floor(r.s / r.n + 0.5)
-    raise AssertionError("unreachable")
+    return cents
+
+
+def _lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final-iteration assignment frame (vec_id, label, cl, d)."""
+    q = _quantized(spark, sf_dir)
+    m = _assign_expr(_lloyd_model(spark, sf_dir))
+    return q.select(
+        "vec_id", "label", m.getField("j").alias("cl"), m.getField("d").alias("d")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -334,3 +340,184 @@ def ext_kmeans_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "n", (F.floor(ari * 1000000 + 0.5) / 1000000.0).alias("ari")
     )
+
+
+_SCORE_BATCHES = 3  # micro-batches in the scoring drain
+
+
+@register(
+    "stream_kmeans_score",
+    oracle=_km_chain()
+    + f"""
+SELECT CAST(vec_id % {_SCORE_BATCHES} AS BIGINT) AS batch_id,
+       cl AS cluster, CAST(count(*) AS BIGINT) AS n_vecs
+FROM {_FINAL} GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def stream_kmeans_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-IN-STREAM SCORING: the batch-trained k-means model scores
+    arriving embedding micro-batches inside ``foreachBatch`` — the
+    standard online-serving split (train offline, hold the k·d model as
+    driver state, score each tick as a pure projection).  Because the
+    model is FROZEN and the batches are deterministic (vec_id % {b}
+    staged files), the whole streaming run has an exact SQL oracle: the
+    per-batch cluster census must equal the batch-mode final assignment
+    grouped by batch — streaming the corpus through the model changes
+    NOTHING about the answer, which is precisely the property worth
+    pinning.
+
+    Per tick: one assignment projection (integer HOF folds over
+    centroid literals — no shuffle) + one k-row count collect; the
+    drain is availableNow with maxFilesPerTrigger=1."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    cents = _lloyd_model(spark, sf_dir)
+
+    staging = os.path.join(
+        tempfile.gettempdir(), f"sdis_staging_kmscore_{os.getpid()}"
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+    emb = table(spark, sf_dir, "embeddings")
+    tmp = staging + "_tmp"
+    base = int(os.path.getmtime(staging))
+    for i in range(_SCORE_BATCHES):
+        (
+            emb.filter(F.pmod("vec_id", F.lit(_SCORE_BATCHES)) == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(staging, f"{i:05d}.parquet")
+        os.replace(part, dest)
+        os.utime(dest, (base + 10 * i, base + 10 * i))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    schema = spark.read.parquet(staging).schema
+    out: list[tuple[int, int, int]] = []
+
+    def score(df: DataFrame, batch_id: int) -> None:
+        q = df.select(
+            F.expr(f"transform(embedding, v -> {_MICRO})").alias("xm")
+        )
+        m = _assign_expr(cents)
+        rows = (
+            q.select(m.getField("j").alias("cl"))
+            .groupBy("cl")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        )
+        for r in rows:
+            out.append((batch_id, r.cl, r.n))
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+        .writeStream.foreachBatch(score)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
+        .start()
+    )
+    q.awaitTermination(120)
+    shutil.rmtree(staging, ignore_errors=True)
+    return (
+        spark.createDataFrame(
+            sorted(out), "batch_id long, cluster int, n_vecs long"
+        )
+        .orderBy("batch_id", "cluster")
+    )
+
+
+_KEYWORDS_PER_CLUSTER = 3
+
+
+@register(
+    "ext_cluster_keywords",
+    oracle=_km_chain()
+    + f"""
+, dt AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok
+  FROM documents
+),
+ct AS (
+  SELECT a.cl, dt.tok, CAST(count(*) AS BIGINT) AS n_ct
+  FROM {_FINAL} a JOIN dt ON dt.doc_id = a.vec_id GROUP BY 1, 2
+),
+cm AS (SELECT cl, CAST(count(*) AS BIGINT) AS n_c FROM {_FINAL} GROUP BY 1),
+tm AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_t FROM dt GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {_FINAL}),
+scored AS (
+  SELECT ct.cl, ct.tok, ct.n_ct,
+         floor(CAST(ct.n_ct AS DOUBLE) * nn.n / (cm.n_c * tm.n_t)
+               * 1000000 + 0.5) / 1000000.0 AS lift
+  FROM ct JOIN cm USING (cl) JOIN tm USING (tok) CROSS JOIN nn
+)
+SELECT cl AS cluster, tok, n_ct, lift
+FROM (SELECT *, row_number() OVER (PARTITION BY cl
+                                   ORDER BY lift DESC, tok) AS rk
+      FROM scored)
+WHERE rk <= {_KEYWORDS_PER_CLUSTER}
+ORDER BY cluster, lift DESC, tok
+""",
+)
+def ext_cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER LABELING: the {kw} most DISTINCTIVE tokens per k-means
+    cluster by lift — P(token | cluster) / P(token) — the "what IS this
+    cluster" step that turns an opaque partition into a browsable corpus
+    map (the SemDeDup/Gopher-style curation loop reads exactly this
+    report before deciding which clusters to prune or upsample).
+
+    Composes the k-means assignment (vec_id == doc_id in this corpus)
+    with one doc-distinct token explode: counts are one shuffle at the
+    (cluster, token) grain, marginals are two smaller aggregates of the
+    SAME exploded frame, lift is exact-integer cross-multiplication with
+    ONE division, top-{kw} per cluster is a WindowGroupLimit."""
+    asg = _lloyd(spark, sf_dir).select(F.col("vec_id").alias("doc_id"), "cl")
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    dt = docs.join(asg, "doc_id")
+    ct = dt.groupBy("cl", "tok").agg(F.count(F.lit(1)).cast("long").alias("n_ct"))
+    cm = asg.groupBy("cl").agg(F.count(F.lit(1)).cast("long").alias("n_c"))
+    tm = docs.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    nn = asg.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    scored = (
+        ct.join(cm, "cl")
+        .join(tm, "tok")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "cl",
+            "tok",
+            "n_ct",
+            (
+                F.floor(
+                    F.col("n_ct").cast("double")
+                    * F.col("n")
+                    / (F.col("n_c") * F.col("n_t"))
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("lift"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cl").orderBy(F.desc("lift"), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KEYWORDS_PER_CLUSTER)
+        .select(F.col("cl").alias("cluster"), "tok", "n_ct", "lift")
+        .orderBy("cluster", F.desc("lift"), "tok")
+    )
+
+
+ext_cluster_keywords.__doc__ = ext_cluster_keywords.__doc__.format(
+    kw=_KEYWORDS_PER_CLUSTER
+)
