@@ -98,6 +98,9 @@ HEADLINE = [
     "agg_trend_ols",
     "stream_kmeans_score",
     "ext_cluster_keywords",
+    "win_time_weighted_avg",
+    "win_gap_fill_locf",
+    "agg_error_burn_rate",
     # Block 0 — round-11 additions (no driver-recorded signal yet):
     # the URL/domain corpus-filtering gate, lexical retrieval, mixture
     # temperature, the data-quality gate, seasonal profiles, KMV sketches.

@@ -1816,3 +1816,220 @@ def ext_ts_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "win_time_weighted_avg",
+    oracle="""
+WITH s AS (
+  SELECT event_type, epoch_us(ts) AS t,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+iv AS (
+  SELECT event_type, v,
+         lead(t) OVER (PARTITION BY event_type ORDER BY t, v) - t AS dt
+  FROM s
+)
+SELECT event_type,
+       CAST(count(dt) AS BIGINT) AS n_intervals,
+       CAST(sum(dt) // 1000000 AS BIGINT) AS span_sec,
+       floor(CAST(sum(v * dt) AS DOUBLE) / sum(dt) / 100 * 10000 + 0.5)
+         / 10000.0 AS twa
+FROM iv WHERE dt IS NOT NULL
+GROUP BY 1 ORDER BY 1
+""",
+)
+def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED AVERAGE over irregular samples — each observation
+    weighted by how long it REMAINED the current value (Σ v·Δt / Σ Δt):
+    the correct mean for unevenly-sampled gauges, where the arithmetic
+    mean over-weights bursts (TimescaleDB's time_weight('LOCF')
+    signature aggregate, re-expressed relationally).
+
+    Exactness: timestamps as integer MICROSECONDS (unix_micros ==
+    epoch_us — both exact int64, no truncate-vs-round cast hazard),
+    values as integer cents, so Σ v·Δt is an exact int64 sum (bounded
+    by span_us · max_cents per type — the DECIMAL(38,0) swap applies
+    past ~1e18) with ONE final division.  One lead window per type
+    partition, one map-side-combined aggregate."""
+    ev = table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("event_type").orderBy("t", "v")
+    iv = s.select(
+        "event_type", "v", (F.lead("t").over(w) - F.col("t")).alias("dt")
+    ).filter(F.col("dt").isNotNull())
+    return (
+        iv.groupBy("event_type")
+        .agg(
+            F.count("dt").cast("long").alias("n_intervals"),
+            F.expr("sum(dt) div 1000000").cast("long").alias("span_sec"),
+            (
+                F.floor(
+                    F.sum(F.col("v") * F.col("dt")).cast("double")
+                    / F.sum("dt")
+                    / 100
+                    * 10000
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("twa"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "win_gap_fill_locf",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT min(h) AS lo, max(h) AS hi FROM hourly
+),
+spine AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                            (SELECT hi FROM bounds),
+                                            INTERVAL 1 HOUR)) AS h) g
+),
+filled AS (
+  SELECT s.event_type, s.h, hourly.cents,
+         last_value(hourly.cents IGNORE NULLS) OVER (
+           PARTITION BY s.event_type ORDER BY s.h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+  FROM spine s LEFT JOIN hourly USING (event_type, h)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(count(cents) AS BIGINT) AS n_observed,
+       CAST(count(*) - count(cents) AS BIGINT) AS n_filled,
+       CAST(sum(coalesce(locf, 0)) AS BIGINT) AS filled_sum_cents
+FROM filled GROUP BY 1 ORDER BY 1
+""",
+)
+def win_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAP-FILL + LOCF interpolation: the complete hourly grid per event
+    type (every type × every hour in range), missing slots carried
+    forward from the last observation — the time_bucket_gapfill/locf
+    hypertable primitive that turns sparse irregular series into the
+    dense grid downstream models and dashboards require.  Reported as a
+    per-type census (slots / observed / filled) plus the exact
+    filled-series checksum, so the LOCF VALUES are pinned, not just the
+    fill count.
+
+    The spine is |types| × |hours-in-range| (time-grain bounded, built
+    from a sequence() explode — never from the fact table); the LOCF is
+    one last-ignore-nulls window per type over that bounded grid; the
+    observed aggregate is map-side combined at the (type, hour) grain."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"))
+    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "cents",
+        F.last("cents", ignorenulls=True).over(w).alias("locf"),
+    )
+    return (
+        filled.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.count("cents").cast("long").alias("n_observed"),
+            (F.count(F.lit(1)) - F.count("cents")).cast("long").alias("n_filled"),
+            F.sum(F.coalesce("locf", F.lit(0))).cast("long").alias("filled_sum_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_BURN_ALERT = 2.0  # hourly burn-rate multiple that pages
+
+
+@register(
+    "agg_error_burn_rate",
+    oracle=f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_err
+  FROM events GROUP BY 1
+),
+base AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tot,
+         CAST(sum(n_err) AS BIGINT) AS tot_err
+  FROM hourly
+)
+SELECT h, n, n_err,
+       floor(CAST(n_err AS DOUBLE) / n * 1000000 + 0.5) / 1000000.0
+         AS err_ratio,
+       floor(CAST(n_err AS DOUBLE) / n
+             / (CAST(tot_err AS DOUBLE) / tot) * 10000 + 0.5) / 10000.0
+         AS burn_rate,
+       (CAST(n_err AS DOUBLE) / n
+        / (CAST(tot_err AS DOUBLE) / tot)) > {_BURN_ALERT} AS alert
+FROM hourly CROSS JOIN base
+ORDER BY h
+""",
+)
+def agg_error_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERROR-BUDGET BURN RATE (the SRE multi-window alert primitive,
+    Google SRE workbook ch.5): each hour's error ratio relative to the
+    period baseline — burn 1.0 = spending budget exactly on schedule,
+    > {a} = paging territory.  The alert column is the exact predicate a
+    monitor would page on; ``stream_drift_monitor`` is this op's online
+    sibling for means, this one is the RATIO/SLO form.
+
+    All counts exact ints; ratio and burn are single same-order double
+    expressions (baseline via one 1-row broadcast aggregate).  One scan,
+    one hour-grain map-side-combined aggregate, |hours| output rows."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_err"),
+    )
+    base = hourly.agg(
+        F.sum("n").cast("long").alias("tot"),
+        F.sum("n_err").cast("long").alias("tot_err"),
+    )
+    ratio = F.col("n_err").cast("double") / F.col("n")
+    burn = ratio / (F.col("tot_err").cast("double") / F.col("tot"))
+    return (
+        hourly.crossJoin(F.broadcast(base))
+        .select(
+            "h",
+            "n",
+            "n_err",
+            (F.floor(ratio * 1000000 + 0.5) / 1000000.0).alias("err_ratio"),
+            (F.floor(burn * 10000 + 0.5) / 10000.0).alias("burn_rate"),
+            (burn > _BURN_ALERT).alias("alert"),
+        )
+        .orderBy("h")
+    )
+
+
+agg_error_burn_rate.__doc__ = agg_error_burn_rate.__doc__.format(a=_BURN_ALERT)
