@@ -101,6 +101,7 @@ HEADLINE = [
     "win_time_weighted_avg",
     "win_gap_fill_locf",
     "agg_error_burn_rate",
+    "agg_hll_sketch_rollup",
     # Block 0 — round-11 additions (no driver-recorded signal yet):
     # the URL/domain corpus-filtering gate, lexical retrieval, mixture
     # temperature, the data-quality gate, seasonal profiles, KMV sketches.

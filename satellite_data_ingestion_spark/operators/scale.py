@@ -846,3 +846,46 @@ def agg_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register("agg_hll_sketch_rollup")  # DataSketches binary → rows-only
+def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-SKETCH ROLLUP: per-nation HLL sketches of the customer
+    population, UNIONED up to region grain and estimated — the
+    pre-aggregation pattern that makes distinct counts roll up at
+    100 TB (exact NDV does not compose: you cannot add nation NDVs into
+    a region NDV; sketches union losslessly, so the cube stores one
+    sketch per cell and ANY ad-hoc grain is a merge away, never a
+    re-scan — the agg_approx_distinct story extended to REUSE).
+
+    Rows-only BY DESIGN: the sketch bytes are Apache DataSketches
+    implementation state with no DuckDB twin; correctness is pinned
+    IN-ROW instead — each region row carries the exact NDV (computed
+    here at test scale for the pin; the 100 TB deployment would drop
+    it) and the relative error, asserted < 5% by
+    tests/test_components.py and visible in the output."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    j = c.join(n, c.c_nationkey == n.n_nationkey).select(
+        "n_regionkey", "n_nationkey", "c_custkey"
+    )
+    sk = j.groupBy("n_regionkey", "n_nationkey").agg(
+        F.expr("hll_sketch_agg(c_custkey)").alias("sk"),
+        F.countDistinct("c_custkey").cast("long").alias("exact_nation"),
+    )
+    rolled = sk.groupBy("n_regionkey").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").alias("est_ndv"),
+        F.sum("exact_nation").cast("long").alias("exact_ndv"),
+        F.count(F.lit(1)).cast("long").alias("n_sketches"),
+    )
+    rel = F.abs(F.col("est_ndv") - F.col("exact_ndv")).cast("double") / F.col(
+        "exact_ndv"
+    )
+    return rolled.select(
+        F.col("n_regionkey").cast("long").alias("region_key"),
+        "n_sketches",
+        "exact_ndv",
+        "est_ndv",
+        (F.floor(rel * 10000 + 0.5) / 10000.0).alias("rel_err"),
+        (rel < 0.05).alias("within_5pct"),
+    ).orderBy("region_key")

@@ -2450,3 +2450,17 @@ def test_ivf_index_maintain_equals_rebuild(spark):
     )
     assert maintained.exceptAll(rebuilt).count() == 0
     assert rebuilt.exceptAll(maintained).count() == 0
+
+
+def test_hll_sketch_rollup_error_bound(spark):
+    """Unioned nation sketches must estimate region NDV within 5% of
+    exact at every smoke scale (customers partition by nation, so the
+    exact region NDV is the nation sum)."""
+    from satellite_data_ingestion_spark import registry
+
+    registry.load_all()
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = registry.spec("agg_hll_sketch_rollup").fn(spark, sf).collect()
+        assert len(rows) == 5
+        for r in rows:
+            assert r.within_5pct, (sf, r)
