@@ -102,6 +102,9 @@ HEADLINE = [
     "win_gap_fill_locf",
     "agg_error_burn_rate",
     "agg_hll_sketch_rollup",
+    "fn_pseudonymize",
+    "win_skyline_2d",
+    "ext_cluster_stratified_split",
     # Block 0 — round-11 additions (no driver-recorded signal yet):
     # the URL/domain corpus-filtering gate, lexical retrieval, mixture
     # temperature, the data-quality gate, seasonal profiles, KMV sketches.

@@ -521,3 +521,52 @@ def ext_cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 ext_cluster_keywords.__doc__ = ext_cluster_keywords.__doc__.format(
     kw=_KEYWORDS_PER_CLUSTER
 )
+
+
+_SPLIT_TEST_PCT = 20  # held-out share per cluster, percent
+
+
+@register(
+    "ext_cluster_stratified_split",
+    oracle=_km_chain()
+    + f"""
+SELECT cl AS cluster, split, CAST(count(*) AS BIGINT) AS n_vecs
+FROM (
+  SELECT cl,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 100 < {_SPLIT_TEST_PCT}
+              THEN 'test' ELSE 'train' END AS split
+  FROM {_FINAL}
+) GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def ext_cluster_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-STRATIFIED train/test split: the {p}% holdout drawn
+    INSIDE each k-means cluster by deterministic hash, so the test set
+    covers every semantic mode — a uniform split under-samples small
+    clusters and the eval silently stops measuring them
+    (``ext_stratified_split`` stratifies on a LABEL column; this is the
+    unsupervised version for unlabeled corpora, the split SemDeDup-style
+    curation feeds).  Census output; the hash-gate is the shared md5
+    recipe so membership is engine-reproducible row by row, not just
+    in aggregate."""
+    asg = _lloyd(spark, sf_dir)
+    gate = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        asg.select(
+            F.col("cl").alias("cluster"),
+            F.when(gate < _SPLIT_TEST_PCT, "test").otherwise("train").alias("split"),
+        )
+        .groupBy("cluster", "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+        .orderBy("cluster", "split")
+    )
+
+
+ext_cluster_stratified_split.__doc__ = ext_cluster_stratified_split.__doc__.format(
+    p=_SPLIT_TEST_PCT
+)

@@ -417,3 +417,63 @@ def agg_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 agg_dp_histogram.__doc__ = agg_dp_histogram.__doc__.format(eps=_DP_EPSILON)
+
+
+_BAL_BUCKET = 1000  # dollars per balance generalization bucket
+
+
+@register(
+    "fn_pseudonymize",
+    oracle=f"""
+WITH p AS (
+  SELECT c_custkey,
+         'user_' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) AS pseudonym,
+         c_mktsegment AS segment,
+         CAST(floor(c_acctbal / {_BAL_BUCKET}) AS BIGINT) * {_BAL_BUCKET}
+           AS bal_bucket
+  FROM customer
+)
+SELECT pseudonym, segment, bal_bucket,
+       CAST(count(o_orderkey) AS BIGINT) AS n_orders
+FROM p LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY 1, 2, 3
+ORDER BY pseudonym
+""",
+)
+def fn_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSISTENT PSEUDONYMIZATION: names become stable md5-derived
+    surrogates, balances generalize to ${b} buckets, and the surrogate
+    still JOINS (order counts survive the masking) — the analytics-
+    preserving de-identification that completes the privacy battery
+    (``ext_pii_mask`` redacts free text, ``ext_k_anonymity``/
+    ``ext_l_diversity`` audit the result, ``agg_dp_histogram`` releases
+    aggregates; this is the record-level masking step itself).
+    Same-input → same-surrogate is the whole point (longitudinal
+    analysis works) and also its re-identification caveat — a keyed
+    HMAC replaces the bare hash in production; the shape is what this
+    op pins.
+
+    One hash projection (the shared cross-engine md5 recipe), one
+    key join to orders, one count aggregate."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    p = c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("user_"),
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8),
+        ).alias("pseudonym"),
+        F.col("c_mktsegment").alias("segment"),
+        (F.floor(F.col("c_acctbal") / _BAL_BUCKET).cast("long") * _BAL_BUCKET).alias(
+            "bal_bucket"
+        ),
+    )
+    return (
+        p.join(o, p.c_custkey == o.o_custkey, "left")
+        .groupBy("pseudonym", "segment", "bal_bucket")
+        .agg(F.count("o_orderkey").cast("long").alias("n_orders"))
+        .orderBy("pseudonym")
+    )
+
+
+fn_pseudonymize.__doc__ = fn_pseudonymize.__doc__.format(b=_BAL_BUCKET)

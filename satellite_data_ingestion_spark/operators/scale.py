@@ -889,3 +889,89 @@ def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(rel * 10000 + 0.5) / 10000.0).alias("rel_err"),
         (rel < 0.05).alias("within_5pct"),
     ).orderBy("region_key")
+
+
+_SKY_BUCKET_CENTS = 100000  # $1000 price buckets for the dominance pre-filter
+
+
+@register(
+    "win_skyline_2d",
+    oracle=f"""
+WITH pts AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+),
+bmax AS (
+  SELECT price_c // {_SKY_BUCKET_CENTS} AS b, CAST(max(qty) AS BIGINT) AS mq
+  FROM pts GROUP BY 1
+),
+thr AS (
+  SELECT b, coalesce(max(mq) OVER (ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS t
+  FROM bmax
+),
+cand AS (
+  SELECT p.price_c, p.qty
+  FROM pts p JOIN thr ON p.price_c // {_SKY_BUCKET_CENTS} = thr.b
+  WHERE p.qty > thr.t
+),
+sky AS (
+  SELECT price_c, qty,
+         coalesce(max(qty) OVER (ORDER BY price_c ASC, qty DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS smax
+  FROM cand
+)
+SELECT CAST(price_c AS DOUBLE) / 100 AS price, qty
+FROM sky WHERE qty > smax
+ORDER BY price
+""",
+)
+def win_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto-frontier) query, Börzsönyi et al. 2001: the
+    non-dominated (minimize price, maximize quantity) line items — the
+    multi-objective shortlist operator ("no cheaper row buys at least
+    as much") behind supplier selection and any price/quality tradeoff
+    report.
+
+    Scale discipline — the naive phrasing is one unpartitioned window
+    over the fact table (single task).  Instead: (1) a $1000-bucket
+    max-qty pre-filter — per-bucket maxes are map-side combined, the
+    running threshold is a |buckets|-row bounded window, and a row
+    survives only if it beats every strictly-cheaper bucket's best —
+    provably a SUPERSET of the skyline (dominance is transitive, so a
+    maximal dominator is always a candidate); (2) the exact dominance
+    window then runs over the pruned candidates (60k → ~1k here).
+    Integer cents/qty throughout; ties resolved by the (price asc,
+    qty desc) order both engines share."""
+    li = table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    b = F.expr(f"price_c div {_SKY_BUCKET_CENTS}")
+    bmax = pts.groupBy(b.alias("b")).agg(F.max("qty").cast("long").alias("mq"))
+    w_thr = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    thr = bmax.select(
+        "b", F.coalesce(F.max("mq").over(w_thr), F.lit(-1)).alias("t")
+    )
+    cand = (
+        pts.join(thr, b == thr.b)
+        .filter(F.col("qty") > F.col("t"))
+        .select("price_c", "qty")
+    )
+    w_sky = Window.orderBy(F.asc("price_c"), F.desc("qty")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky = cand.select(
+        "price_c",
+        "qty",
+        F.coalesce(F.max("qty").over(w_sky), F.lit(-1)).alias("smax"),
+    )
+    return (
+        sky.filter(F.col("qty") > F.col("smax"))
+        .select(
+            (F.col("price_c").cast("double") / 100).alias("price"), "qty"
+        )
+        .orderBy("price")
+    )
