@@ -105,6 +105,8 @@ HEADLINE = [
     "fn_pseudonymize",
     "win_skyline_2d",
     "ext_cluster_stratified_split",
+    "scan_text_gzip",
+    "pipeline_stats_maintain",
     # Block 0 — round-11 additions (no driver-recorded signal yet):
     # the URL/domain corpus-filtering gate, lexical retrieval, mixture
     # temperature, the data-quality gate, seasonal profiles, KMV sketches.

@@ -975,3 +975,87 @@ def win_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("price")
     )
+
+
+@register("pipeline_stats_maintain")  # HLL sketch state + txn lifecycle → rows-only
+def pipeline_stats_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL TABLE-STATS MAINTENANCE — the third maintenance loop
+    (MinHash index, IVF lists, now ANALYZE): per arriving batch, one
+    stats row (count / min / max / exact cent sum / HLL user sketch)
+    lands in a txn-stamped append, and the optimizer-facing stats are
+    the MERGE of the stored rows — count/min/max/sum compose exactly,
+    NDV composes through sketch union (``agg_hll_sketch_rollup``'s
+    point, applied over TIME instead of space).  A 100 TB table never
+    re-ANALYZEs: each ingest tick pays O(batch) and the merged stats
+    stay current forever.
+
+    Asserted IN-OP: merged exact stats == one-shot full-scan stats
+    (hard equality — a RuntimeError, not a report row), crash-replay of
+    the final tick no-ops into the txn watermark, and the merged-NDV
+    relative error rides the output with its < 5% bound."""
+    import os
+    import tempfile
+
+    from ..sources.delta_log import DeltaLogTable
+
+    root = tempfile.mkdtemp(prefix="sdis_stats_maintain_")
+    stats_t = DeltaLogTable(spark, os.path.join(root, "stats"))
+    app = "sdis-stats-maintain"
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    def batch_stats(df: DataFrame, tick: int) -> DataFrame:
+        return df.agg(
+            F.lit(tick).cast("long").alias("tick"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min(cents).alias("mn"),
+            F.max(cents).alias("mx"),
+            F.sum(cents).cast("long").alias("sv"),
+            F.expr("hll_sketch_agg(user_id)").alias("sk"),
+        )
+
+    for i in range(3):
+        stats_t.commit_append(
+            batch_stats(ev.filter(F.col("event_id") % 3 == i), i), txn=(app, i)
+        )
+    head = stats_t.latest_version()
+    stats_t.commit_append(
+        batch_stats(ev.filter(F.col("event_id") % 3 == 2), 2), txn=(app, 2)
+    )
+    if stats_t.latest_version() != head:
+        raise RuntimeError("replayed stats tick double-applied")
+
+    merged = stats_t.read().agg(
+        F.sum("n").cast("long").alias("n"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+        F.sum("sv").cast("long").alias("sv"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").alias("ndv_est"),
+    )
+    full = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min(cents).alias("mn"),
+        F.max(cents).alias("mx"),
+        F.sum(cents).cast("long").alias("sv"),
+        F.countDistinct("user_id").cast("long").alias("ndv_exact"),
+    )
+    m, f = merged.collect()[0], full.collect()[0]
+    if (m.n, m.mn, m.mx, m.sv) != (f.n, f.mn, f.mx, f.sv):
+        raise RuntimeError(f"merged stats diverge from full scan: {m} vs {f}")
+    rel = abs(m.ndv_est - f.ndv_exact) / f.ndv_exact
+    return spark.createDataFrame(
+        [
+            (
+                m.n,
+                float(m.mn) / 100,
+                float(m.mx) / 100,
+                float(m.sv) / 100,
+                m.ndv_est,
+                f.ndv_exact,
+                round(rel, 4),
+                rel < 0.05,
+            )
+        ],
+        "n long, min_value double, max_value double, sum_value double, "
+        "ndv_est long, ndv_exact long, rel_err double, within_5pct boolean",
+    )

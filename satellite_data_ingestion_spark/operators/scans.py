@@ -489,3 +489,38 @@ def scan_jsonl_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", "corrupt_record")
         .json(staged)
     )
+
+
+@register("scan_text_gzip", oracle=_NATION_ORACLE)
+def scan_text_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GZIP-compressed CSV scan: the codec round-trip (write
+    compression=gzip, read transparently by extension) — crawl dumps
+    and log shippers deliver .gz, so codec transparency is table
+    stakes.  100 TB caveat the docstring exists to carry: gzip is NOT
+    SPLITTABLE — each .gz file is exactly one input task regardless of
+    size, so a 10 GB gzip file serializes 10 GB through one core.  The
+    production layout is many ~100 MB-compressed files (as here, one
+    per staged batch) or a splittable codec (bzip2/zstd-seekable);
+    parquet-with-internal-compression remains the real answer at rest."""
+    import os
+    import tempfile
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    staged = os.path.join(
+        tempfile.gettempdir(), f"sdis_fmt_csvgz_{sf_tag}_{os.getpid()}"
+    )
+    _stage_atomic(
+        staged,
+        lambda tmp: table(spark, sf_dir, "nation")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("compression", "gzip")
+        .csv(tmp),
+    )
+    return (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .option("header", "true")
+        .csv(staged)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
