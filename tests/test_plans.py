@@ -756,3 +756,31 @@ def test_negative_sampling_range_partitioned_rank(spark):
     tree = plan.split("\n\n")[0]
     assert "rangepartitioning" in plan, plan[:2000]
     assert "CartesianProduct" not in tree, tree
+
+
+def test_skyline_prefilter_before_dominance_window(spark):
+    """The skyline must plan exactly TWO windows — the |buckets|-row
+    running threshold and the exact dominance pass over the PRUNED
+    candidates — never a single window over the raw fact table, and
+    never a cartesian."""
+    tree = plan_of(spark, "win_skyline_2d").split("\n\n")[0]
+    assert tree.count("Window") == 2, tree
+    assert "CartesianProduct" not in tree, tree
+
+
+def test_gap_fill_spine_generated_not_scanned(spark):
+    """The dense grid must come from a sequence-explode (Generate node)
+    over the bounded bounds×types frame — one LOCF window on the grid,
+    no cartesian; the 1-row bounds ride a broadcast."""
+    tree = plan_of(spark, "win_gap_fill_locf").split("\n\n")[0]
+    assert tree.count("Generate") == 1, tree
+    assert tree.count("Window") == 1, tree
+    assert "CartesianProduct" not in tree, tree
+
+
+def test_time_weighted_avg_one_window_one_agg(spark):
+    """TWA is one lead window per type partition plus one map-side
+    combined aggregate — two exchanges total, nothing else."""
+    tree = plan_of(spark, "win_time_weighted_avg").split("\n\n")[0]
+    assert tree.count("Window") == 1, tree
+    assert tree.count("Exchange") == 2, tree
