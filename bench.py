@@ -82,6 +82,7 @@ HEADLINE = [
     "graph_label_propagation",
     "agg_dp_histogram",
     "ext_calibration_bins",
+    "ext_brier_score",
     "fn_xml_extract",
     "agg_bitmap_flags",
     "pipeline_ivf_index_maintain",
