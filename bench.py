@@ -108,6 +108,9 @@ HEADLINE = [
     "ext_cluster_stratified_split",
     "scan_text_gzip",
     "pipeline_stats_maintain",
+    "fn_aes_roundtrip",
+    "ext_preference_pairs",
+    "ext_feature_hashing",
     # Block 0 — round-11 additions (no driver-recorded signal yet):
     # the URL/domain corpus-filtering gate, lexical retrieval, mixture
     # temperature, the data-quality gate, seasonal profiles, KMV sketches.

@@ -321,3 +321,92 @@ def ext_instruction_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 ext_instruction_format.__doc__ = ext_instruction_format.__doc__.format(
     chars=_SFT_PROMPT_CHARS
 )
+
+
+_PREF_PAIRS_PER_LANG = 5
+
+
+@register(
+    "ext_preference_pairs",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, lang,
+         round((CASE WHEN len(str_split(text, ' ')) >= 5 THEN 0.25 ELSE 0 END)
+             + (CASE WHEN list_sum(list_transform(str_split(text, ' '),
+                        t -> CAST(length(t) AS DOUBLE)))
+                     / len(str_split(text, ' ')) <= 12.0 THEN 0.25 ELSE 0 END)
+             + (CASE WHEN CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                        AS DOUBLE) / length(text) <= 0.2 THEN 0.25 ELSE 0 END)
+             + (CASE WHEN CAST(len(list_distinct(str_split(text, ' ')))
+                        AS DOUBLE) / len(str_split(text, ' ')) >= 0.3
+                THEN 0.25 ELSE 0 END), 2) AS quality
+  FROM documents
+),
+top AS (
+  SELECT lang, doc_id AS chosen_doc, quality AS chosen_q,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY quality DESC, doc_id) AS rk
+  FROM q
+),
+bot AS (
+  SELECT lang, doc_id AS rejected_doc, quality AS rejected_q,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY quality ASC, doc_id) AS rk
+  FROM q
+)
+SELECT lang, CAST(top.rk AS BIGINT) AS pair_rank,
+       chosen_doc, chosen_q, rejected_doc, rejected_q,
+       round(chosen_q - rejected_q, 2) AS gap
+FROM top JOIN bot USING (lang, rk)
+WHERE top.rk <= {_PREF_PAIRS_PER_LANG}
+ORDER BY lang, pair_rank
+""",
+)
+def ext_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFERENCE-PAIR CONSTRUCTION (the DPO/RLHF reward-data shape):
+    per language, the top-{k} quality documents paired positionally
+    with the bottom-{k} — (chosen, rejected, gap) rows ready for a
+    preference loss, built from the same composite quality signal
+    ``ext_quality_score`` gates on (heuristic-quality pairing is the
+    standard cold-start before a learned reward model exists).
+
+    Both rank<={k} predicates plan as WindowGroupLimit per language;
+    the positional pairing is a {k}-row-per-lang equi join — pair
+    volume is 2k·|langs| regardless of corpus size.  Quality is
+    quarter-valued (exact doubles), so the gap subtraction is exact."""
+    from .textstats import ext_quality_score
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    q = ext_quality_score(spark, sf_dir).join(docs, "doc_id")
+    wt = Window.partitionBy("lang").orderBy(F.desc("quality"), "doc_id")
+    wb = Window.partitionBy("lang").orderBy(F.asc("quality"), "doc_id")
+    top = q.select(
+        "lang",
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("quality").alias("chosen_q"),
+        F.row_number().over(wt).alias("rk"),
+    ).filter(F.col("rk") <= _PREF_PAIRS_PER_LANG)
+    bot = q.select(
+        "lang",
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("quality").alias("rejected_q"),
+        F.row_number().over(wb).alias("rk"),
+    ).filter(F.col("rk") <= _PREF_PAIRS_PER_LANG)
+    return (
+        top.join(bot, ["lang", "rk"])
+        .select(
+            "lang",
+            F.col("rk").cast("long").alias("pair_rank"),
+            "chosen_doc",
+            "chosen_q",
+            "rejected_doc",
+            "rejected_q",
+            F.round(F.col("chosen_q") - F.col("rejected_q"), 2).alias("gap"),
+        )
+        .orderBy("lang", "pair_rank")
+    )
+
+
+ext_preference_pairs.__doc__ = ext_preference_pairs.__doc__.format(
+    k=_PREF_PAIRS_PER_LANG
+)

@@ -2095,3 +2095,58 @@ def ext_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("brier"),
     )
+
+
+_FH_DIM = 32  # hashed feature dimensionality
+
+
+@register(
+    "ext_feature_hashing",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents
+),
+b AS (
+  SELECT doc_id, t,
+         CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % {_FH_DIM} AS bucket
+  FROM tok
+)
+SELECT bucket,
+       CAST(count(DISTINCT t) AS BIGINT) AS n_tokens_mapped,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM b GROUP BY 1 ORDER BY 1
+""",
+)
+def ext_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE HASHING (the hashing trick, Weinberger et al. 2009): every
+    token maps to one of {d} buckets by hash — the fixed-width,
+    vocabulary-free featurizer behind Vowpal Wabbit / fastText input
+    layers, the standard way to featurize unbounded vocabularies without
+    a dictionary shuffle.  Reported at the BUCKET grain: occupancy,
+    occurrence mass, and collision count per bucket (n_tokens_mapped > 1
+    = collision — the accuracy/width tradeoff made visible, which is
+    the number you size {d} with).
+
+    The bucket id is the shared cross-engine md5 recipe so the mapping
+    is engine-reproducible.  One explode + one {d}-row map-side-combined
+    aggregate; per-doc vectors never materialize here (they are a
+    groupBy(doc_id, bucket) away, same plan shape)."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    bucket = (
+        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long") % _FH_DIM
+    )
+    return (
+        tok.select("doc_id", "t", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.countDistinct("t").cast("long").alias("n_tokens_mapped"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ext_feature_hashing.__doc__ = ext_feature_hashing.__doc__.format(d=_FH_DIM)

@@ -477,3 +477,50 @@ def fn_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 fn_pseudonymize.__doc__ = fn_pseudonymize.__doc__.format(b=_BAL_BUCKET)
+
+
+_AES_KEY = "0123456789abcdef"  # fixture key; production uses a KMS secret
+
+
+@register(
+    "fn_aes_roundtrip",
+    oracle="""
+SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(length(c_name)) AS BIGINT) AS name_chars
+FROM customer GROUP BY 1 ORDER BY 1
+""",
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-LEVEL ENCRYPTION round-trip (Spark ``aes_encrypt`` /
+    ``aes_decrypt``): customer names encrypt at rest, decrypt on read,
+    and the post-decrypt census must equal the plain-column oracle — a
+    single flipped byte anywhere in the encrypt/serialize/decrypt chain
+    changes name_chars and breaks the hash.  The application-layer
+    crypto surface the pseudonymization/PII battery lacks: masking is
+    one-way; encryption keeps reversibility for the key holder.
+
+    ECB mode here because the fixture needs DETERMINISM for the oracle;
+    the docstring carries the production caveat — GCM (random IV,
+    authenticated) is the real mode, at the cost of value-level
+    determinism (equal plaintexts leak equality under ECB).  Encrypt
+    and decrypt are per-row JVM expressions; no UDF, no shuffle before
+    the census."""
+    c = table(spark, sf_dir, "customer")
+    enc = c.select(
+        "c_mktsegment",
+        F.expr(f"aes_encrypt(c_name, '{_AES_KEY}', 'ECB')").alias("name_enc"),
+    )
+    dec = enc.select(
+        "c_mktsegment",
+        F.expr(f"CAST(aes_decrypt(name_enc, '{_AES_KEY}', 'ECB') AS STRING)").alias(
+            "name"
+        ),
+    )
+    return (
+        dec.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.length("name")).cast("long").alias("name_chars"),
+        )
+        .orderBy("segment")
+    )
