@@ -111,6 +111,8 @@ HEADLINE = [
     "fn_aes_roundtrip",
     "ext_preference_pairs",
     "ext_feature_hashing",
+    "win_peak_detection",
+    "ext_vocab_coverage",
     # Block 0 — round-11 additions (no driver-recorded signal yet):
     # the URL/domain corpus-filtering gate, lexical retrieval, mixture
     # temperature, the data-quality gate, seasonal profiles, KMV sketches.

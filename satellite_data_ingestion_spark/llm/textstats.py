@@ -2150,3 +2150,80 @@ def ext_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ext_feature_hashing.__doc__ = ext_feature_hashing.__doc__.format(d=_FH_DIM)
+
+
+_VC_CHECKPOINTS = (1, 2, 4, 8, 16, 32)  # vocab-size checkpoints
+
+
+@register(
+    "ext_vocab_coverage",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(str_split(text, ' ')) AS t FROM documents
+),
+v AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1
+),
+r AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rk,
+         CAST(sum(c) OVER (ORDER BY c DESC, t) AS BIGINT) AS cum,
+         CAST(sum(c) OVER () AS BIGINT) AS tot
+  FROM v
+)
+SELECT k, CAST(max(cum) AS BIGINT) AS covered, CAST(max(tot) AS BIGINT) AS total,
+       floor(CAST(max(cum) AS DOUBLE) / max(tot) * 1000000 + 0.5) / 1000000.0
+         AS coverage
+FROM r CROSS JOIN (SELECT unnest([{", ".join(str(k) for k in _VC_CHECKPOINTS)}]) AS k)
+WHERE rk <= k
+GROUP BY k ORDER BY k
+""",
+)
+def ext_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY COVERAGE CURVE: what share of total token mass the
+    top-k vocabulary covers, at doubling checkpoints — THE
+    tokenizer-vocab-sizing readout (pick the k where the curve's
+    marginal gain collapses; the Zipf fit says the exponent, this says
+    the actual budget) and the OOV-rate complement (1 − coverage =
+    mass a k-entry vocab cannot represent).
+
+    The rank/cumsum runs on the VOCAB grain (distinct tokens — the
+    corpus-compressed frame; here 31, at web scale still ~1e8, the
+    one place a rank is domain-bounded, with ``distributed_rank`` the
+    swap past single-task size); the checkpoint expansion is a
+    |checkpoints|-row cross join.  Exact integer masses, one division
+    per checkpoint."""
+    docs = table(spark, sf_dir, "documents")
+    v = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    wr = Window.orderBy(F.desc("c"), "t")
+    wc = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = wr.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    r = v.select(
+        F.row_number().over(wr).alias("rk"),
+        F.sum("c").over(wc).cast("long").alias("cum"),
+        F.sum("c").over(wt).cast("long").alias("tot"),
+    )
+    kdf = spark.createDataFrame(
+        [(k,) for k in _VC_CHECKPOINTS], "k long"
+    )
+    return (
+        r.crossJoin(F.broadcast(kdf))
+        .filter(F.col("rk") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.max("cum").cast("long").alias("covered"),
+            F.max("tot").cast("long").alias("total"),
+            (
+                F.floor(
+                    F.max("cum").cast("double") / F.max("tot") * 1000000 + 0.5
+                )
+                / 1000000.0
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )

@@ -2033,3 +2033,97 @@ def agg_error_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 agg_error_burn_rate.__doc__ = agg_error_burn_rate.__doc__.format(a=_BURN_ALERT)
+
+
+_PEAK_FACTOR = 1.5  # peak must exceed this multiple of the trailing mean
+_PEAK_TRAIL = 6     # trailing-mean window, hours
+
+
+@register(
+    "win_peak_detection",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, h, cents,
+         lag(cents) OVER (PARTITION BY event_type ORDER BY h) AS prv,
+         lead(cents) OVER (PARTITION BY event_type ORDER BY h) AS nxt,
+         CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY h
+              ROWS BETWEEN {_PEAK_TRAIL} PRECEDING AND 1 PRECEDING) AS BIGINT)
+           AS tsum,
+         CAST(count(*) OVER (PARTITION BY event_type ORDER BY h
+              ROWS BETWEEN {_PEAK_TRAIL} PRECEDING AND 1 PRECEDING) AS BIGINT)
+           AS tcnt
+  FROM hourly
+)
+SELECT event_type, h, CAST(cents AS DOUBLE) / 100 AS value,
+       floor(CAST(cents AS DOUBLE) * tcnt / tsum * 10000 + 0.5) / 10000.0
+         AS vs_trailing
+FROM w
+WHERE prv IS NOT NULL AND nxt IS NOT NULL AND tcnt = {_PEAK_TRAIL}
+  AND cents > prv AND cents > nxt
+  AND cents * tcnt > CAST({_PEAK_FACTOR} * tsum AS BIGINT)
+ORDER BY event_type, h
+""",
+)
+def win_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK DETECTION on the hourly series: strict local maxima that also
+    exceed {f}× the {t}-hour trailing mean — the spike-alert primitive
+    (a local max alone fires on noise; the trailing-mean prominence
+    gate is what scipy find_peaks' ``prominence`` approximates) that
+    completes the anomaly set: ``win_control_chart`` finds level shifts,
+    ``ext_ts_changepoint`` finds regime breaks, this finds SPIKES.
+
+    The prominence comparison stays in integers — cents·count > 1.5·sum
+    cross-multiplied, no division until the reported ratio — and edge
+    rows (no neighbor, short trailing window) are excluded identically
+    in both engines.  Windows run on the hour grain (time-bounded)."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    wt = w.rowsBetween(-_PEAK_TRAIL, -1)
+    x = hourly.select(
+        "event_type",
+        "h",
+        "cents",
+        F.lag("cents").over(w).alias("prv"),
+        F.lead("cents").over(w).alias("nxt"),
+        F.sum("cents").over(wt).cast("long").alias("tsum"),
+        F.count(F.lit(1)).over(wt).cast("long").alias("tcnt"),
+    )
+    return (
+        x.filter(
+            F.col("prv").isNotNull()
+            & F.col("nxt").isNotNull()
+            & (F.col("tcnt") == _PEAK_TRAIL)
+            & (F.col("cents") > F.col("prv"))
+            & (F.col("cents") > F.col("nxt"))
+            & (
+                F.col("cents") * F.col("tcnt")
+                > (_PEAK_FACTOR * F.col("tsum")).cast("long")
+            )
+        )
+        .select(
+            "event_type",
+            "h",
+            (F.col("cents").cast("double") / 100).alias("value"),
+            (
+                F.floor(
+                    F.col("cents").cast("double") * F.col("tcnt") / F.col("tsum") * 10000
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("vs_trailing"),
+        )
+        .orderBy("event_type", "h")
+    )
+
+
+win_peak_detection.__doc__ = win_peak_detection.__doc__.format(
+    f=_PEAK_FACTOR, t=_PEAK_TRAIL
+)
