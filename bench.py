@@ -113,6 +113,7 @@ HEADLINE = [
     "ext_feature_hashing",
     "win_peak_detection",
     "ext_vocab_coverage",
+    "pipeline_corpus_curation",
     # Block 0 — round-11 additions (no driver-recorded signal yet):
     # the URL/domain corpus-filtering gate, lexical retrieval, mixture
     # temperature, the data-quality gate, seasonal profiles, KMV sketches.

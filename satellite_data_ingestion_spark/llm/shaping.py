@@ -410,3 +410,105 @@ def ext_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 ext_preference_pairs.__doc__ = ext_preference_pairs.__doc__.format(
     k=_PREF_PAIRS_PER_LANG
 )
+
+
+_CURATE_LANG_CAP = 1000  # max docs kept per language
+_CURATE_TEST_PCT = 10    # holdout share, percent
+
+
+@register(
+    "pipeline_corpus_curation",
+    oracle=f"""
+WITH d0 AS (SELECT doc_id, text, lang FROM documents),
+d1 AS (
+  SELECT doc_id, text, lang FROM d0
+  WHERE len(str_split(text, ' ')) >= 5
+    AND list_sum(list_transform(str_split(text, ' '),
+          t -> CAST(length(t) AS DOUBLE))) / len(str_split(text, ' ')) <= 12.0
+    AND CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        / length(text) <= 0.2
+    AND CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+        / len(str_split(text, ' ')) >= 0.3
+),
+d2 AS (
+  SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM d1) WHERE rn = 1
+),
+d3 AS (
+  SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+    FROM d2) WHERE rn <= {_CURATE_LANG_CAP}
+),
+d4 AS (
+  SELECT doc_id FROM d3
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        % 100 >= {_CURATE_TEST_PCT}
+)
+SELECT * FROM (
+  SELECT 0 AS stage, 'raw' AS name, CAST((SELECT count(*) FROM d0) AS BIGINT) AS n_rows
+  UNION ALL SELECT 1, 'quality_gate', CAST((SELECT count(*) FROM d1) AS BIGINT)
+  UNION ALL SELECT 2, 'exact_dedup', CAST((SELECT count(*) FROM d2) AS BIGINT)
+  UNION ALL SELECT 3, 'lang_cap', CAST((SELECT count(*) FROM d3) AS BIGINT)
+  UNION ALL SELECT 4, 'train_split', CAST((SELECT count(*) FROM d4) AS BIGINT)
+) ORDER BY stage
+""",
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END CORPUS CURATION as ONE declarative plan — the funnel
+    report every data team publishes with a corpus release: raw →
+    quality gate → exact dedup → per-language volume cap → train split,
+    with surviving row counts per stage.  Each stage is an existing
+    kernel (``ext_quality_score``'s gate, the md5-key dedup rail,
+    ``ext_domain_volume_cap``'s WindowGroupLimit shape, the shared
+    md5 split gate) COMPOSED lazily, so Catalyst sees the whole funnel
+    at once — filters fuse, the scan happens once per counted branch,
+    and nothing materializes between stages.
+
+    Stage counts are the contract: the judge of a curation run is
+    "where did my documents go", and this is that answer as a query.
+    At 100 TB each stage stays one exchange (dedup keyed on the 16-byte
+    text hash, cap on the lang key), and the census is five 1-row
+    aggregates unioned."""
+    from .textstats import ext_quality_score
+    from pyspark.sql import Window
+
+    d0 = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    keep = ext_quality_score(spark, sf_dir).filter("keep").select("doc_id")
+    d1 = d0.join(keep, "doc_id")
+    w_dup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    d2 = (
+        d1.withColumn("rn", F.row_number().over(w_dup))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang")
+    )
+    w_cap = Window.partitionBy("lang").orderBy("doc_id")
+    d3 = (
+        d2.withColumn("rn", F.row_number().over(w_cap))
+        .filter(F.col("rn") <= _CURATE_LANG_CAP)
+        .select("doc_id", "lang")
+    )
+    gate = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    d4 = d3.filter(gate >= _CURATE_TEST_PCT).select("doc_id")
+
+    def census(df: DataFrame, stage: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(stage).cast("int").alias("stage"),
+            F.lit(name).alias("name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+
+    out = (
+        census(d0, 0, "raw")
+        .unionByName(census(d1, 1, "quality_gate"))
+        .unionByName(census(d2, 2, "exact_dedup"))
+        .unionByName(census(d3, 3, "lang_cap"))
+        .unionByName(census(d4, 4, "train_split"))
+    )
+    return out.orderBy("stage")
