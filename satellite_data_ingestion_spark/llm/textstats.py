@@ -2227,3 +2227,90 @@ def ext_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@register(
+    "ext_ngram_novelty",
+    oracle="""
+WITH bg AS (
+  SELECT doc_id, bigram FROM (
+    SELECT doc_id,
+           CASE WHEN len(str_split(text, ' ')) >= 2 THEN
+             list_transform(generate_series(1, len(str_split(text, ' ')) - 1),
+               i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i + 1])
+           ELSE [] END AS bgs
+    FROM documents
+  ), unnest(bgs) AS u(bigram)
+),
+d AS (
+  SELECT DISTINCT doc_id, bigram FROM bg
+),
+first_seen AS (
+  SELECT bigram, CAST(min(doc_id) AS BIGINT) AS first_doc FROM d GROUP BY 1
+),
+scored AS (
+  SELECT d.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM d JOIN first_seen f USING (bigram)
+  GROUP BY 1
+)
+SELECT CAST(floor(CAST(n_novel AS DOUBLE) / n_bigrams * 10) AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bigrams) AS BIGINT) AS bigrams,
+       CAST(sum(n_novel) AS BIGINT) AS novel
+FROM scored GROUP BY 1 ORDER BY 1
+""",
+)
+def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM NOVELTY (McCoy et al. 2023's memorization-vs-novelty
+    lens, corpus-side): for each document, the share of its DISTINCT
+    bigrams whose FIRST corpus occurrence (min doc_id) is this document
+    — low-novelty docs are recombinations of earlier material
+    (boilerplate, templates, near-copies below the dedup threshold),
+    and the novelty-decile census is the screen that finds them without
+    any pairwise stage.
+
+    Scale shape: one explode to the (doc, bigram) DISTINCT grain, a
+    first-occurrence aggregate on the bigram key (map-side combined),
+    one join back on the same key, and a decile census — no pair joins,
+    no windows.  The single-token guard mirrors the ext_bigram_freq
+    degenerate-doc fix (Spark sequence() descends for size<2).  Exact
+    integer counts; one division at the census grain."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bgs = F.when(
+        F.size(toks) >= 2,
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 1), "
+            "i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = docs.select(
+        "doc_id", F.explode(F.array_distinct(bgs)).alias("bigram")
+    )
+    first_seen = d.groupBy("bigram").agg(F.min("doc_id").cast("long").alias("first_doc"))
+    scored = (
+        d.join(first_seen, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        scored.groupBy(
+            F.floor(F.col("n_novel").cast("double") / F.col("n_bigrams") * 10)
+            .cast("long")
+            .alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("bigrams"),
+            F.sum("n_novel").cast("long").alias("novel"),
+        )
+        .orderBy("decile")
+    )
