@@ -115,6 +115,7 @@ HEADLINE = [
     "ext_vocab_coverage",
     "pipeline_corpus_curation",
     "ext_ngram_novelty",
+    "agg_mix_shift",
     # Block 0 — round-11 additions (no driver-recorded signal yet):
     # the URL/domain corpus-filtering gate, lexical retrieval, mixture
     # temperature, the data-quality gate, seasonal profiles, KMV sketches.

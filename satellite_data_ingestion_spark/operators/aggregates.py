@@ -2141,3 +2141,75 @@ def agg_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(num / denx * 10000 + 0.5) / 10000.0).alias("slope_cents_per_hour"),
         (F.floor(num * num / (denx * deny) * 1000000 + 0.5) / 1000000.0).alias("r2"),
     ).orderBy("event_type")
+
+
+@register(
+    "agg_mix_shift",
+    oracle="""
+WITH p AS (
+  SELECT event_type,
+         CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 1 ELSE 2 END
+           AS period,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type,
+         CAST(max(CASE WHEN period = 1 THEN n END) AS BIGINT) AS n1,
+         CAST(max(CASE WHEN period = 2 THEN n END) AS BIGINT) AS n2,
+         CAST(max(CASE WHEN period = 1 THEN sv END) AS BIGINT) AS sv1,
+         CAST(max(CASE WHEN period = 2 THEN sv END) AS BIGINT) AS sv2
+  FROM p GROUP BY 1
+)
+SELECT event_type, n1, n2,
+       floor((CAST(sv2 AS DOUBLE) - sv1) / 100 * 100 + 0.5) / 100
+         AS delta_total,
+       floor((n2 - n1) * (CAST(sv1 AS DOUBLE) / n1) / 100 * 100 + 0.5) / 100
+         AS volume_effect,
+       floor(n2 * (CAST(sv2 AS DOUBLE) / n2 - CAST(sv1 AS DOUBLE) / n1)
+             / 100 * 100 + 0.5) / 100 AS rate_effect
+FROM w ORDER BY event_type
+""",
+)
+def agg_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOLUME/RATE DECOMPOSITION (the FP&A mix-shift bridge): the
+    first-half vs second-half revenue change per event type split into
+    a VOLUME effect ((n2−n1)·r1 — more events at the old rate) and a
+    RATE effect (n2·(r2−r1) — the new volume at the rate change), which
+    sum EXACTLY to the total change — the "why did revenue move"
+    decomposition behind every variance bridge chart
+    (``win_period_over_period`` reports THAT it moved; this says WHY).
+
+    Exact integer counts and cent sums feed double effects evaluated in
+    the same op order both engines, half-up quantized to cents; the
+    additivity (volume + rate = delta) is algebraic, not approximate.
+    One scan, one (type, period) map-side-combined aggregate, one
+    |types|-row pivot."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.groupBy(
+        "event_type",
+        F.when(F.col("ts").cast("date") < F.lit("2024-01-16").cast("date"), 1)
+        .otherwise(2)
+        .alias("period"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("sv"),
+    )
+    w = p.groupBy("event_type").agg(
+        F.max(F.when(F.col("period") == 1, F.col("n"))).cast("long").alias("n1"),
+        F.max(F.when(F.col("period") == 2, F.col("n"))).cast("long").alias("n2"),
+        F.max(F.when(F.col("period") == 1, F.col("sv"))).cast("long").alias("sv1"),
+        F.max(F.when(F.col("period") == 2, F.col("sv"))).cast("long").alias("sv2"),
+    )
+    r1 = F.col("sv1").cast("double") / F.col("n1")
+    r2 = F.col("sv2").cast("double") / F.col("n2")
+    c2 = lambda x: F.floor(x / 100 * 100 + 0.5) / 100  # noqa: E731
+    return w.select(
+        "event_type",
+        "n1",
+        "n2",
+        c2(F.col("sv2").cast("double") - F.col("sv1")).alias("delta_total"),
+        c2((F.col("n2") - F.col("n1")) * r1).alias("volume_effect"),
+        c2(F.col("n2") * (r2 - r1)).alias("rate_effect"),
+    ).orderBy("event_type")
