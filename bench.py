@@ -116,6 +116,7 @@ HEADLINE = [
     "pipeline_corpus_curation",
     "ext_ngram_novelty",
     "agg_mix_shift",
+    "win_gap_fill_interp",
     # Block 0 — round-11 additions (no driver-recorded signal yet):
     # the URL/domain corpus-filtering gate, lexical retrieval, mixture
     # temperature, the data-quality gate, seasonal profiles, KMV sketches.

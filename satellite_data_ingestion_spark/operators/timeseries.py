@@ -2127,3 +2127,132 @@ def win_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 win_peak_detection.__doc__ = win_peak_detection.__doc__.format(
     f=_PEAK_FACTOR, t=_PEAK_TRAIL
 )
+
+
+@register(
+    "win_gap_fill_interp",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM hourly),
+spine AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                            (SELECT hi FROM bounds),
+                                            INTERVAL 1 HOUR)) AS h) g
+),
+j AS (
+  SELECT s.event_type, s.h, hourly.cents,
+         last_value(hourly.cents IGNORE NULLS) OVER w_prev AS pv,
+         last_value(CASE WHEN hourly.cents IS NOT NULL THEN s.h END
+                    IGNORE NULLS) OVER w_prev AS ph,
+         first_value(hourly.cents IGNORE NULLS) OVER w_next AS nv,
+         first_value(CASE WHEN hourly.cents IS NOT NULL THEN s.h END
+                     IGNORE NULLS) OVER w_next AS nh
+  FROM spine s LEFT JOIN hourly USING (event_type, h)
+  WINDOW
+    w_prev AS (PARTITION BY s.event_type ORDER BY s.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY s.event_type ORDER BY s.h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+f AS (
+  SELECT event_type, h, cents,
+         CASE WHEN cents IS NOT NULL THEN cents
+              WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                pv + CAST(floor(CAST((nv - pv) AS DOUBLE)
+                     * date_diff('hour', ph, h)
+                     / date_diff('hour', ph, nh) + 0.5) AS BIGINT)
+              ELSE NULL END AS filled
+  FROM j
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(count(cents) AS BIGINT) AS n_observed,
+       CAST(sum(CASE WHEN cents IS NULL AND filled IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_interpolated,
+       CAST(sum(CASE WHEN filled IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unfillable,
+       CAST(sum(coalesce(filled, 0)) AS BIGINT) AS filled_sum_cents
+FROM f GROUP BY 1 ORDER BY 1
+""",
+)
+def win_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAP-FILL with LINEAR INTERPOLATION — missing hourly slots take
+    the straight line between their bracketing observations (the other
+    hypertable fill mode next to ``win_gap_fill_locf``: LOCF asserts
+    "nothing changed", interpolation asserts "it moved smoothly" —
+    gauges want the latter, event counts the former).  Edge slots with
+    no bracket on one side stay null and are counted, not invented.
+
+    Same bounded spine as the LOCF op; the bracketing observation and
+    its TIMESTAMP come from last/first-ignore-nulls windows in both
+    directions, the interpolated value is integer cents with ONE
+    half-up rounding per slot (hour offsets are exact ints), and the
+    filled-series checksum pins every interpolated value."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"))
+    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+        )
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("cents").isNotNull(), F.col("h"))
+    j = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        "cents",
+        F.last("cents", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(wp).alias("ph"),
+        F.first("cents", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(wn).alias("nh"),
+    )
+    hours = lambda a, b: F.expr(f"timestampdiff(HOUR, {a}, {b})")  # noqa: E731
+    interp = F.col("pv") + F.floor(
+        (F.col("nv") - F.col("pv")).cast("double")
+        * hours("ph", "h")
+        / hours("ph", "nh")
+        + 0.5
+    ).cast("long")
+    filled = F.when(F.col("cents").isNotNull(), F.col("cents")).otherwise(
+        F.when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+    )
+    f = j.select("event_type", "cents", filled.alias("filled"))
+    return (
+        f.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.count("cents").cast("long").alias("n_observed"),
+            F.sum(
+                F.when(F.col("cents").isNull() & F.col("filled").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_interpolated"),
+            F.sum(F.when(F.col("filled").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unfillable"),
+            F.sum(F.coalesce("filled", F.lit(0))).cast("long").alias("filled_sum_cents"),
+        )
+        .orderBy("event_type")
+    )
