@@ -117,6 +117,7 @@ HEADLINE = [
     "ext_ngram_novelty",
     "agg_mix_shift",
     "win_gap_fill_interp",
+    "ext_cross_lingual_overlap",
     # Block 0 — round-11 additions (no driver-recorded signal yet):
     # the URL/domain corpus-filtering gate, lexical retrieval, mixture
     # temperature, the data-quality gate, seasonal profiles, KMV sketches.

@@ -2314,3 +2314,75 @@ def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "ext_cross_lingual_overlap",
+    oracle="""
+WITH lv AS (
+  SELECT DISTINCT lang, unnest(str_split(text, ' ')) AS t FROM documents
+),
+m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM lv GROUP BY 1),
+pairs AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, CAST(count(*) AS BIGINT) AS n_both
+  FROM lv a JOIN lv b ON a.t = b.t AND a.lang < b.lang
+  GROUP BY 1, 2
+)
+SELECT lang_a, lang_b, ma.n AS n_a, mb.n AS n_b, n_both,
+       floor(CAST(n_both AS DOUBLE) / (ma.n + mb.n - n_both)
+             * 1000000 + 0.5) / 1000000.0 AS jaccard
+FROM pairs
+JOIN m ma ON ma.lang = pairs.lang_a
+JOIN m mb ON mb.lang = pairs.lang_b
+ORDER BY lang_a, lang_b
+""",
+)
+def ext_cross_lingual_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-LINGUAL VOCABULARY OVERLAP: exact Jaccard of the distinct
+    token vocabularies for every language pair — the contamination /
+    code-switching signal a multilingual corpus audit reads (high
+    overlap between tags means either shared script+loanwords or
+    mislabeled documents; ``ext_js_divergence`` compares the
+    DISTRIBUTIONS, this compares the SETS).
+
+    The join runs on the TOKEN key over the distinct (lang, token)
+    frame — vocab-grain, corpus-compressed; each token contributes at
+    most |langs|² pair rows so volume is |vocab|·|langs|², never
+    corpus² (the ext_audience_overlap shape on the vocabulary).
+    Exact integer set sizes, one Jaccard division."""
+    docs = table(spark, sf_dir, "documents")
+    lv = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("t")
+    ).distinct()
+    m = lv.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = lv.select(F.col("lang").alias("lang_a"), "t")
+    b = lv.select(F.col("lang").alias("lang_b"), "t")
+    pairs = (
+        a.join(b, "t")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    ma = m.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_a"))
+    mb = m.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ma), "lang_a")
+        .join(F.broadcast(mb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (
+                F.floor(
+                    F.col("n_both").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("jaccard"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
