@@ -1582,11 +1582,13 @@ def ext_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext_kl_divergence recipe) — then slope and intercept are single
     closed-form double expressions.
 
-    Scale shape: one map-side-combined token groupBy; everything after
-    is VOCAB-sized (the bounded case where a global rank window and a
-    collected fold array are safe by construction — at web scale the
-    fit runs over the top-N vocab slice, same plan)."""
-    from pyspark.sql import Window
+    Scale shape: one map-side-combined token groupBy; the global rank
+    comes from ``distributed_rank`` (range-partition + local windows +
+    broadcast offsets — web-scale vocabulary is 1e7–1e8 types, too big
+    for one WindowExec task); the collected fold array is the one
+    remaining vocab-sized single row (float-determinism requirement —
+    at web scale the fit runs over the top-N vocab slice, same plan)."""
+    from ..operators.ranking import distributed_rank
 
     docs = table(spark, sf_dir, "documents")
     freq = (
@@ -1595,10 +1597,9 @@ def ext_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    w = Window.orderBy(F.desc("n"), F.asc("tok"))  # vocab-sized: bounded
-    r = freq.select(
-        F.row_number().over(w).cast("long").alias("rk"),
-        F.log(F.row_number().over(w).cast("double")).alias("lx"),
+    r = distributed_rank(freq, [F.desc("n"), F.asc("tok")]).select(
+        F.col("_rk").alias("rk"),
+        F.log(F.col("_rk").cast("double")).alias("lx"),
         F.log(F.col("n").cast("double")).alias("ly"),
     )
 
@@ -2187,26 +2188,24 @@ def ext_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass a k-entry vocab cannot represent).
 
     The rank/cumsum runs on the VOCAB grain (distinct tokens — the
-    corpus-compressed frame; here 31, at web scale still ~1e8, the
-    one place a rank is domain-bounded, with ``distributed_rank`` the
-    swap past single-task size); the checkpoint expansion is a
+    corpus-compressed frame; here 31, at web scale still ~1e8 types),
+    via ``distributed_rank`` with a running sum — range-partitioned
+    local windows plus broadcast prefix offsets, never one WindowExec
+    task over the whole vocabulary; the checkpoint expansion is a
     |checkpoints|-row cross join.  Exact integer masses, one division
     per checkpoint."""
+    from ..operators.ranking import distributed_rank
+
     docs = table(spark, sf_dir, "documents")
     v = (
         docs.select(F.explode(F.split("text", " ")).alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    from pyspark.sql import Window
-
-    wr = Window.orderBy(F.desc("c"), "t")
-    wc = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wt = wr.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    r = v.select(
-        F.row_number().over(wr).alias("rk"),
-        F.sum("c").over(wc).cast("long").alias("cum"),
-        F.sum("c").over(wt).cast("long").alias("tot"),
+    r = distributed_rank(v, [F.desc("c"), F.asc("t")], sum_cols=("c",)).select(
+        F.col("_rk").alias("rk"),
+        F.col("_cum_c").cast("long").alias("cum"),
+        F.col("_tot_c").cast("long").alias("tot"),
     )
     kdf = spark.createDataFrame(
         [(k,) for k in _VC_CHECKPOINTS], "k long"

@@ -378,7 +378,8 @@ SELECT event_type,
        floor((n - (CASE WHEN uni < 0.5 THEN -1.0 ELSE 1.0 END)
                   * ln(1.0 - 2.0 * abs(uni - 0.5)) / {_DP_EPSILON})
              * 10000 + 0.5) / 10000.0 AS noisy_n,
-       CAST({_DP_EPSILON} AS DOUBLE) AS epsilon
+       CAST({_DP_EPSILON} AS DOUBLE) AS epsilon,
+       TRUE AS deterministic_demo
 FROM u
 ORDER BY event_type
 """,
@@ -413,6 +414,12 @@ def agg_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.floor((F.col("n") - lap) * 10000 + 0.5) / 10000.0).alias("noisy_n"),
         F.lit(float(_DP_EPSILON)).alias("epsilon"),
+        # The caveat rides IN the release itself: this draw is a public
+        # deterministic function of event_type (hash-verifiable demo), so
+        # it provides zero actual privacy — any consumer can recompute and
+        # subtract the noise.  A real release flips this to False and
+        # draws from a CSPRNG (or a secret per-release seed).
+        F.lit(True).alias("deterministic_demo"),
     ).orderBy("event_type")
 
 

@@ -2035,7 +2035,14 @@ def agg_error_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 agg_error_burn_rate.__doc__ = agg_error_burn_rate.__doc__.format(a=_BURN_ALERT)
 
 
-_PEAK_FACTOR = 1.5  # peak must exceed this multiple of the trailing mean
+# Prominence factor 3/2 kept as an integer ratio so the threshold test
+# (den*cents*tcnt > num*tsum) stays in exact BIGINT arithmetic in BOTH
+# engines -- Spark .cast("long") truncates while DuckDB CAST(.. AS BIGINT)
+# rounds, so any float-then-cast form diverges by 1 whenever num*tsum/den
+# is fractional.
+_PEAK_NUM = 3   # peak must exceed _PEAK_NUM/_PEAK_DEN x the trailing mean
+_PEAK_DEN = 2
+_PEAK_FACTOR = _PEAK_NUM / _PEAK_DEN  # display-only (docstring)
 _PEAK_TRAIL = 6     # trailing-mean window, hours
 
 
@@ -2065,7 +2072,7 @@ SELECT event_type, h, CAST(cents AS DOUBLE) / 100 AS value,
 FROM w
 WHERE prv IS NOT NULL AND nxt IS NOT NULL AND tcnt = {_PEAK_TRAIL}
   AND cents > prv AND cents > nxt
-  AND cents * tcnt > CAST({_PEAK_FACTOR} * tsum AS BIGINT)
+  AND {_PEAK_DEN} * cents * tcnt > {_PEAK_NUM} * tsum
 ORDER BY event_type, h
 """,
 )
@@ -2104,8 +2111,8 @@ def win_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("cents") > F.col("prv"))
             & (F.col("cents") > F.col("nxt"))
             & (
-                F.col("cents") * F.col("tcnt")
-                > (_PEAK_FACTOR * F.col("tsum")).cast("long")
+                F.lit(_PEAK_DEN) * F.col("cents") * F.col("tcnt")
+                > F.lit(_PEAK_NUM) * F.col("tsum")
             )
         )
         .select(

@@ -29,6 +29,7 @@ from ..registry import register
 # import (tests/test_oracle_parity.py pins this query to the driver's sf via
 # _DRIVER_SF_ONLY — comparing it at any other sf is a harness error, not a
 # query error).
+import atexit as _atexit
 import os as _os
 
 _ORACLE_SF_DIR = _os.environ.get(
@@ -156,6 +157,33 @@ _FW_WIDTHS = (12, 2, 10, 1)  # orderkey, linenumber, quantity-cents, returnflag
 _FW_CACHE: dict = {}
 
 
+def _fw_cleanup() -> None:
+    """Session-end rmtree of the fixed-width staging dirs (they live under
+    tempfile.mkdtemp and are cached per (appId, sf) for the session)."""
+    import shutil as _shutil
+
+    for path in _FW_CACHE.values():
+        _shutil.rmtree(_os.path.dirname(path), ignore_errors=True)
+    _FW_CACHE.clear()
+
+
+_atexit.register(_fw_cleanup)
+
+
+def _fw_fixed(col, width: int):
+    """lpad that REFUSES to truncate: F.lpad silently chops any value wider
+    than *width* (an orderkey past 12 digits at very large SF would corrupt
+    the staged file and surface only as a downstream hash mismatch), so
+    overflow raises at write time instead."""
+    s = col.cast("string")
+    return F.when(
+        F.length(s) > width,
+        F.raise_error(
+            F.concat(F.lit(f"fixed-width overflow (width {width}): "), s)
+        ),
+    ).otherwise(F.lpad(s, width, "0"))
+
+
 @register(
     "scan_fixed_width",
     oracle="""
@@ -192,12 +220,10 @@ def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
             .select(
                 F.concat(
-                    F.lpad(F.col("l_orderkey").cast("string"), _FW_WIDTHS[0], "0"),
-                    F.lpad(F.col("l_linenumber").cast("string"), _FW_WIDTHS[1], "0"),
-                    F.lpad(
-                        F.round(F.col("l_quantity") * 100).cast("long").cast("string"),
-                        _FW_WIDTHS[2],
-                        "0",
+                    _fw_fixed(F.col("l_orderkey"), _FW_WIDTHS[0]),
+                    _fw_fixed(F.col("l_linenumber"), _FW_WIDTHS[1]),
+                    _fw_fixed(
+                        F.round(F.col("l_quantity") * 100).cast("long"), _FW_WIDTHS[2]
                     ),
                     F.col("l_returnflag"),
                 ).alias("value")

@@ -2307,6 +2307,57 @@ def test_distributed_rank_matches_single_task_window(spark):
     assert {r.k: r.nt for r in t.collect()} == {0: 1, 1: 2, 2: 3}
 
 
+def test_distributed_rank_invariant_without_exchange_reuse(spark):
+    """distributed_rank's two consumers of the range exchange (local ranks
+    and per-partition counts) must agree on _pid even when Spark does NOT
+    reuse the exchange — repartitionByRange's boundary sampling is
+    deterministic per (input, partition index), so two independent
+    executions of the exchange land every row in the same range bucket.
+    This pins that property (ADVICE r12): with exchange reuse and AQE both
+    disabled, _rk must still be an exact 1..n bijection and the running
+    sum must end at the grand total for EVERY partition-boundary layout.
+    A reuse regression or a sampling-determinism change fails loudly here
+    instead of silently corrupting every distributed_rank caller."""
+    import pyspark.sql.functions as F
+
+    from satellite_data_ingestion_spark.operators.ranking import distributed_rank
+
+    n = 4111
+    df = spark.range(n).repartition(7).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 1103515245 + 12345) % 2039).cast("long").alias("v"),
+    )
+    old_reuse = spark.conf.get("spark.sql.exchange.reuse", "true")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        r = distributed_rank(df, [F.desc("v"), "k"], sum_cols=("v",))
+        chk = r.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("_rk").alias("n_rk"),
+            F.min("_rk").alias("lo"),
+            F.max("_rk").alias("hi"),
+            F.max("_n_total").alias("ntot"),
+            F.max(F.when(F.col("_rk") == n, F.col("_cum_v"))).alias("last_cum"),
+            F.max("_tot_v").alias("tot"),
+            F.sum("v").alias("true_tot"),
+        ).collect()[0]
+        assert (chk.n, chk.n_rk, chk.lo, chk.hi, chk.ntot) == (n, n, 1, n, n), chk
+        assert chk.last_cum == chk.tot == chk.true_tot, chk
+        # order invariant: _rk sorted by (v desc, k) is the identity
+        bad = r.select(
+            "_rk", F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .orderBy(F.desc("v"), "k")
+            ).alias("truth")
+        ).filter(F.col("_rk") != F.col("truth")).count()
+        assert bad == 0
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", old_reuse)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
 def test_minhash_index_maintenance_equals_rebuild(spark):
     """The transactionally-maintained band index must be INDISTINGUISHABLE
     from a from-scratch rebuild over the whole corpus (exact frame
@@ -2464,3 +2515,18 @@ def test_hll_sketch_rollup_error_bound(spark):
         assert len(rows) == 5
         for r in rows:
             assert r.within_5pct, (sf, r)
+
+def test_fixed_width_overflow_raises_at_write(spark):
+    """_fw_fixed must REFUSE to truncate: a value wider than its fixed
+    width raises at stage-write time (ADVICE r12 — F.lpad silently chops,
+    which would corrupt the staged file and surface only as a downstream
+    hash mismatch)."""
+    import pyspark.sql.functions as F
+    import pytest as _pt
+
+    from satellite_data_ingestion_spark.sources.binary import _fw_fixed
+
+    ok = spark.range(1).select(_fw_fixed(F.lit(42), 4).alias("v")).collect()
+    assert ok[0].v == "0042"
+    with _pt.raises(Exception, match="fixed-width overflow"):
+        spark.range(1).select(_fw_fixed(F.lit(123456), 4).alias("v")).collect()

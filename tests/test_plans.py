@@ -784,3 +784,27 @@ def test_time_weighted_avg_one_window_one_agg(spark):
     tree = plan_of(spark, "win_time_weighted_avg").split("\n\n")[0]
     assert tree.count("Window") == 1, tree
     assert tree.count("Exchange") == 2, tree
+
+
+def _vocab_window_partitioned(plan: str) -> None:
+    """Shared assertion for vocab-grain rank swaps (VERDICT r12 task 1):
+    the global rank must come from distributed_rank — a rangepartitioning
+    exchange feeding _pid-partitioned local windows — and the ONLY
+    unpartitioned window allowed is the |partitions|-row offsets frame
+    (which rides a BroadcastExchange back onto the ranked rows)."""
+    tree = plan.split("\n\n")[0]
+    assert "rangepartitioning" in plan, plan[:2000]
+    assert "BroadcastExchange" in tree, tree
+    assert "CartesianProduct" not in tree, tree
+
+
+def test_zipf_fit_range_partitioned_rank(spark):
+    """ext_zipf_fit's vocabulary rank must never be one WindowExec task:
+    web-scale vocab is 1e7-1e8 types (llm/textstats.py ext_zipf_fit)."""
+    _vocab_window_partitioned(plan_of(spark, "ext_zipf_fit"))
+
+
+def test_vocab_coverage_range_partitioned_rank(spark):
+    """ext_vocab_coverage's rank+cumsum must come from distributed_rank
+    (range partition + local windows + broadcast prefix offsets)."""
+    _vocab_window_partitioned(plan_of(spark, "ext_vocab_coverage"))
