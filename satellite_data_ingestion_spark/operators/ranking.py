@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["distributed_rank", "ntile_from_rank"]
+__all__ = ["distributed_rank", "distributed_prev_max", "ntile_from_rank"]
 
 
 def distributed_rank(
@@ -102,4 +102,46 @@ def ntile_from_rank(k: int, rk: Column, n: Column) -> Column:
         F.when(rk <= cutoff, F.ceil(rk / (q + 1)))
         .otherwise(r + F.ceil((rk - cutoff) / q))
         .cast("long")
+    )
+
+
+def distributed_prev_max(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Append ``_prevmax`` — the running max of *value_col* over all
+    STRICTLY PRIOR rows in the *order_cols* total order (the exclusive
+    ``ROWS UNBOUNDED PRECEDING TO 1 PRECEDING`` frame) — without a
+    single-task window; NULL when no prior row exists.
+
+    Same decomposition as :func:`distributed_rank` (running max is
+    associative, so the prefix-combine trick carries over verbatim):
+    range-partition on the order, per-partition LOCAL exclusive running
+    max, then a |partitions|-row prefix max broadcast back as the carry-in:
+    ``global_prevmax = greatest(partition_carry_in, local_prevmax)``
+    (``greatest`` skips NULLs in Spark, which is exactly the identity
+    element the combine needs).  This is what keeps sweep-line operators
+    (2D skyline dominance, record-to-date) bounded by construction even
+    when their input is the whole fact table — e.g. a skyline-hostile
+    distribution where no row dominates any other and every candidate
+    survives pruning."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    loc = df.repartitionByRange(num_partitions, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_loc = Window.partitionBy("_pid").orderBy(*cols).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = loc.withColumn("_lmax", F.max(value_col).over(w_loc))
+    pmax = loc.groupBy("_pid").agg(F.max(value_col).alias("_pm"))
+    # |num_partitions| rows — the bounded case where an unpartitioned
+    # window is correct by construction (same as distributed_rank).
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = pmax.select("_pid", F.max("_pm").over(w_off).alias("_carry"))
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("_prevmax", F.greatest("_lmax", "_carry"))
+        .drop("_pid", "_lmax", "_carry")
     )

@@ -941,7 +941,15 @@ def win_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives only if it beats every strictly-cheaper bucket's best —
     provably a SUPERSET of the skyline (dominance is transitive, so a
     maximal dominator is always a candidate); (2) the exact dominance
-    window then runs over the pruned candidates (60k → ~1k here).
+    sweep then runs over the pruned candidates (60k → ~1k here) via
+    ``distributed_prev_max`` — range-partitioned local running max +
+    broadcast per-partition carry-ins, NEVER one unpartitioned window.
+    (2) matters because the candidate bound is DATA-DEPENDENT: on an
+    adversarial distribution where qty rises monotonically with price,
+    nothing dominates anything, the true skyline IS the whole table,
+    and the prune keeps everything — the sweep input must therefore be
+    bounded by construction, not by TPC-H's shape (pinned in
+    tests/test_components.py::test_skyline_adversarial_monotone).
     Integer cents/qty throughout; ties resolved by the (price asc,
     qty desc) order both engines share."""
     li = table(spark, sf_dir, "lineitem")
@@ -960,14 +968,11 @@ def win_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("qty") > F.col("t"))
         .select("price_c", "qty")
     )
-    w_sky = Window.orderBy(F.asc("price_c"), F.desc("qty")).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    sky = cand.select(
-        "price_c",
-        "qty",
-        F.coalesce(F.max("qty").over(w_sky), F.lit(-1)).alias("smax"),
-    )
+    from .ranking import distributed_prev_max
+
+    sky = distributed_prev_max(
+        cand, [F.asc("price_c"), F.desc("qty")], "qty"
+    ).withColumn("smax", F.coalesce("_prevmax", F.lit(-1)))
     return (
         sky.filter(F.col("qty") > F.col("smax"))
         .select(

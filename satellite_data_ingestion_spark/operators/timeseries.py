@@ -1663,10 +1663,14 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL via the same guard in both engines.
 
     Scale note: the window runs over the HOURLY grid, whose size is
-    bounded by the time span (720 rows/month at any data volume — the
-    aggregate grain, never the fact table), so the unpartitioned
-    ordered frame is safe by construction; a multi-year span would
-    re-grain to days or partition by month with frame overlap."""
+    CALENDAR-bounded, not data-bounded — 720 rows/month, ~8.8e4/decade,
+    so a single ordered task holds ~1e5 rows at maximum realistic
+    retention regardless of fact-table volume.  That bound is the whole
+    safety argument: if this op is generalized to MANY series pairs,
+    the window must gain ``partitionBy(series_a, series_b)`` (each
+    partition stays calendar-bounded and the pairs parallelize); a
+    multi-year single-series span can also re-grain to days or
+    partition by month with a {h}-row frame overlap."""
     ev = table(spark, sf_dir, "events").filter(
         F.col("event_type").isin(_RC_A, _RC_B)
     )

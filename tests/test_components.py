@@ -2530,3 +2530,43 @@ def test_fixed_width_overflow_raises_at_write(spark):
     assert ok[0].v == "0042"
     with _pt.raises(Exception, match="fixed-width overflow"):
         spark.range(1).select(_fw_fixed(F.lit(123456), 4).alias("v")).collect()
+
+
+def test_skyline_adversarial_monotone(spark):
+    """VERDICT r12 task 6: on the skyline-hostile distribution (qty
+    strictly monotone in price) NOTHING dominates anything — the true
+    skyline is the WHOLE input and the bucket prune keeps everything, so
+    the dominance sweep's input is the full table.  distributed_prev_max
+    must (a) still be exact there and (b) plan the sweep as a
+    rangepartitioning exchange + _pid-partitioned local windows — bounded
+    by construction, not by TPC-H's shape."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from satellite_data_ingestion_spark.operators.ranking import (
+        distributed_prev_max,
+    )
+
+    n = 20011
+    pts = spark.range(n).select(
+        (F.col("id") * 100 + 7).alias("price_c"),
+        (F.col("id") + 1).alias("qty"),  # strictly monotone with price
+    )
+    swept = distributed_prev_max(pts, [F.asc("price_c"), F.desc("qty")], "qty")
+    survivors = swept.filter(
+        F.col("qty") > F.coalesce("_prevmax", F.lit(-1))
+    ).count()
+    assert survivors == n  # every row is Pareto-optimal here
+    # exactness vs the single-task truth on the same frame
+    w = Window.orderBy(F.asc("price_c"), F.desc("qty")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    truth = pts.select("price_c", F.max("qty").over(w).alias("pm"))
+    got = swept.select("price_c", F.col("_prevmax").alias("pm"))
+    assert got.exceptAll(truth).count() == 0 and truth.exceptAll(got).count() == 0
+    # bounded by construction: the sweep rides a range exchange, and the
+    # only unpartitioned window is the |partitions|-row carry-in frame
+    plan = swept._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "rangepartitioning" in plan, plan[:2000]

@@ -759,12 +759,19 @@ def test_negative_sampling_range_partitioned_rank(spark):
 
 
 def test_skyline_prefilter_before_dominance_window(spark):
-    """The skyline must plan exactly TWO windows — the |buckets|-row
-    running threshold and the exact dominance pass over the PRUNED
-    candidates — never a single window over the raw fact table, and
-    never a cartesian."""
-    tree = plan_of(spark, "win_skyline_2d").split("\n\n")[0]
-    assert tree.count("Window") == 2, tree
+    """The skyline must plan exactly THREE windows — the |buckets|-row
+    running threshold, the _pid-partitioned LOCAL dominance sweep, and
+    the |partitions|-row carry-in prefix max — with a rangepartitioning
+    exchange feeding the sweep (distributed_prev_max: the dominance
+    pass is bounded by construction, since an adversarial distribution
+    defeats the candidate prune), and never a cartesian.  The threshold
+    window appears twice in the STATIC plan because the candidate subtree
+    feeds both sweep branches (ReuseExchange merges them at runtime), so
+    the static count is 4."""
+    plan = plan_of(spark, "win_skyline_2d")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 4, tree
+    assert "rangepartitioning" in plan, plan[:2000]
     assert "CartesianProduct" not in tree, tree
 
 
