@@ -34,20 +34,115 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from satellite_data_ingestion_spark import registry
 from satellite_data_ingestion_spark.session import get_spark
 
-HEADLINE = [
-    # ORDER = funding priority under the soft time budget: queries with
-    # the LEAST accumulated round-over-round signal run FIRST at full
-    # median-of-3 precision; the long-tracked legacy set (rows in
-    # BASELINE.md since rounds 5-9) sits last and absorbs single-run
-    # degradation if the budget bites.  Per-query numbers do not depend
-    # on position (the JVM/probe warm-up precedes the loop).
-    #
-    # Block -1 — round-12 additions (no signal yet): hybrid retrieval
-    # fusion, the transactional MinHash index maintenance loop, the
-    # rank-statistics trio, ts ACF/OHLC, readability/zipf, and the
-    # embedding label-statistics trio.
-    "ext_hybrid_rrf",
+# ---------------------------------------------------------------------------
+# TIERED BENCH (VERDICT r12 task 2).  The flat headline list grew ~70
+# queries/round and its full-precision loop (~223 s at 234 queries) was
+# within two rounds of the 900 s load-scaled budget — whose overflow mode
+# (single cold runs, "degraded") manufactured phantom regressions in r10.
+# Three tiers instead:
+#
+#   NEW_THIS_ROUND — operators added or materially re-planned THIS round.
+#     No accumulated signal; always run (the judge flags un-benched
+#     additions, and a degenerate-cost op's first bench is where it's
+#     caught).  Rolls into ROTATION (or CORE if heavy) next round.
+#   CORE — the fixed regression core, benched EVERY round: the
+#     long-tracked legacy set (BASELINE.md rows since rounds 5-9, the
+#     richest round-over-round history) plus the historically expensive
+#     cost classes (index-maintenance lifecycles, iterative graph ops,
+#     dedup-family, streaming drains).  ~60 queries — the stable
+#     shared subset for round-over-round comparison.
+#   ROTATION — everything else, split into {K} deterministic tranches by
+#     md5(name) % K (stable under list growth, unlike index slicing);
+#     each round runs ONE tranche, so full coverage recurs every K
+#     rounds.  The tranche index advances with the driver's own
+#     BENCH_r*.json artifacts (count % K) — self-advancing per round,
+#     stable within a round — and can be forced with
+#     SPARK_GRAFT_BENCH_TRANCHE or widened to the whole registry-backed
+#     list with SPARK_GRAFT_BENCH_FULL=1.
+# ---------------------------------------------------------------------------
+
+ROTATION_TRANCHES = 3
+
+NEW_THIS_ROUND = [
+    # round-13: re-planned this round (distributed_rank vocab swaps, the
+    # distributed dominance sweep, integer prominence, empty-batch guards,
+    # fixed-width overflow guard, DP-histogram release column).
+    "ext_zipf_fit",
+    "ext_vocab_coverage",
+    "win_skyline_2d",
+    "win_peak_detection",
+    "scan_fixed_width",
+    "stream_expectations",
+    "stream_drift_monitor",
+    "agg_dp_histogram",
+]
+
+CORE = [
+    # Long-tracked legacy set (stable since rounds 5-7; richest history).
+    "scan_parquet",
+    "agg_hash_group",
+    "agg_grid_resample",
+    "join_equi_inner",
+    "join_broadcast",
+    "join_asof",
+    "win_rank",
+    "q5_local_supplier_volume",
+    "agg_grid_resample_nn",
+    "stream_tumbling",
+    "ext_dedup_exact",
+    "ext_dedup_minhash",
+    "ext_sim_cosine",
+    "ext_text_stats",
+    "pipeline_ingest",
+    "pipeline_training_data",
+    "ext_ngram_jaccard",
+    "ext_dedup_cluster",
+    "ext_dedup_embedding_cluster",
+    "ext_sim_ivf",
+    "ext_sim_lsh_indexed",
+    "ext_sim_ivf_indexed",
+    "ext_segment_dedup",
+    "ext_zorder_layout",
+    "sink_delta_table",
+    "ext_sim_ivf_pq",
+    "sink_delta_merge",
+    "sink_delta_checkpoint",
+    "ext_knn_join",
+    "ext_knn_join_ivf",
+    "source_delta_cdf",
+    # Historically expensive cost classes (VERDICT r12 plan-audit tail).
     "pipeline_minhash_index_maintain",
+    "pipeline_ivf_index_maintain",
+    "ext_ngram_novelty",
+    "stream_kmeans_score",
+    "graph_hits",
+    "graph_kcore",
+    "ext_dedup_containment",
+    "graph_pagerank",
+    "graph_triangles",
+    "pipeline_ivm",
+    "stream_ivm",
+    "sink_delta_dv",
+    "ext_semdedup_prune",
+    "join_fuzzy",
+    "graph_bfs",
+    "pipeline_corpus_curation",
+    "ext_kmeans",
+    "ext_item_cf",
+    "graph_label_propagation",
+    "agg_histogram_equidepth",
+    "ext_dedup_cluster_incremental",
+    "ext_dedup_embedding_cluster_incremental",
+    "ext_trajectory_hausdorff",
+    "ext_ts_dtw",
+    "fn_recursive_cte",
+    "stream_pattern_match",
+    "stream_heavy_hitters",
+    "sink_delta_merge_evolve",
+]
+
+ROTATION = [
+    "ext_hybrid_rrf",
     "agg_ks_test",
     "agg_mann_whitney",
     "agg_spearman_corr",
@@ -59,8 +154,6 @@ HEADLINE = [
     "ext_embedding_outliers",
     "ext_label_centroid_sim",
     "ext_embedding_pca",
-    "graph_kcore",
-    "graph_hits",
     "agg_welch_t",
     "ext_l_diversity",
     "agg_mutual_information",
@@ -76,17 +169,12 @@ HEADLINE = [
     "udtf_dynamic_schema",
     "ext_top_journeys",
     "ext_audience_overlap",
-    "ext_kmeans",
     "ext_kmeans_balanced_sample",
-    "ext_item_cf",
-    "graph_label_propagation",
     "agg_dp_histogram",
     "ext_calibration_bins",
     "ext_brier_score",
     "fn_xml_extract",
     "agg_bitmap_flags",
-    "pipeline_ivf_index_maintain",
-    "fn_recursive_cte",
     "join_lateral_topn",
     "agg_boxplot",
     "ext_ts_forecast_eval",
@@ -97,7 +185,6 @@ HEADLINE = [
     "ext_tokenizer_fertility",
     "ext_kmeans_ari",
     "agg_trend_ols",
-    "stream_kmeans_score",
     "ext_cluster_keywords",
     "win_time_weighted_avg",
     "win_gap_fill_locf",
@@ -113,14 +200,9 @@ HEADLINE = [
     "ext_feature_hashing",
     "win_peak_detection",
     "ext_vocab_coverage",
-    "pipeline_corpus_curation",
-    "ext_ngram_novelty",
     "agg_mix_shift",
     "win_gap_fill_interp",
     "ext_cross_lingual_overlap",
-    # Block 0 — round-11 additions (no driver-recorded signal yet):
-    # the URL/domain corpus-filtering gate, lexical retrieval, mixture
-    # temperature, the data-quality gate, seasonal profiles, KMV sketches.
     "ext_url_parse",
     "ext_url_blocklist",
     "ext_domain_volume_cap",
@@ -147,10 +229,7 @@ HEADLINE = [
     "scan_parquet_metadata",
     "agg_benford",
     "stream_drift_monitor",
-    "ext_trajectory_hausdorff",
-    "ext_ts_dtw",
     "plan_mv_rewrite",
-    "agg_histogram_equidepth",
     "agg_unpivot",
     "win_gap_report",
     "graph_common_neighbors",
@@ -197,16 +276,12 @@ HEADLINE = [
     "fn_csv_render",
     "ext_type_token_ratio",
     "ext_js_divergence",
-    # Block 1 — round-10 session-2 additions (no driver-recorded signal
-    # yet): space-filling-curve layouts, pattern matching batch+stream,
-    # quantization, row tracking, sketches, linkage, robust stats.
     "ext_hilbert_layout",
     "win_pattern_match",
     "win_runs",
     "ext_embedding_quantize",
     "sink_delta_row_tracking",
     "ext_heavy_hitters",
-    "stream_pattern_match",
     "fn_geohash",
     "sink_delta_liquid",
     "ext_dedup_bloom_incremental",
@@ -214,7 +289,6 @@ HEADLINE = [
     "win_attribution",
     "agg_decay",
     "ext_ts_median_smooth",
-    "stream_heavy_hitters",
     "udf_grouped_agg",
     "join_asof_nearest",
     "sink_delta_dv_partitioned",
@@ -230,71 +304,19 @@ HEADLINE = [
     "win_drawdown",
     "win_period_over_period",
     "fn_base64",
-    # Block 2 — round-9 late additions (one recorded run): the
-    # pair-join/blocked-join family, iterative BFS, per-cluster prune,
-    # corpus vocab, heavier table-format paths.
-    "ext_dedup_containment",
-    "join_fuzzy",
-    "graph_bfs",
-    "ext_semdedup_prune",
     "ext_vocab_topk",
-    "sink_delta_merge_evolve",
     "sink_delta_bloom",
     "sink_delta_generated",
-    # Block 3 — rounds 8-10 session-1 (two+ recorded runs): graph
-    # family, IVM, merge-on-read/diff/SCD2, lifecycle, streaming adds.
-    "graph_pagerank",
-    "graph_triangles",
-    "pipeline_ivm",
-    "sink_delta_dv",
     "source_delta_diff",
     "sink_delta_scd2",
     "sink_delta_dv_purge",
-    "stream_ivm",
     "ext_multimodal_bmp",
     "ext_multimodal_wav",
     "stream_join_outer",
-    "ext_dedup_cluster_incremental",
-    "ext_dedup_embedding_cluster_incremental",
     "sink_delta_clone",
     "sink_delta_restore",
     "sink_delta_vacuum",
     "sink_delta_fsck",
-    # Block 4 — the long-tracked legacy set (stable since rounds 5-7;
-    # richest history, cheapest loss under degradation).  Includes the
-    # heaviest plan families so regressions stay visible round-over-round
-    # whenever the budget allows full precision.
-    "scan_parquet",
-    "agg_hash_group",
-    "agg_grid_resample",
-    "join_equi_inner",
-    "join_broadcast",
-    "join_asof",
-    "win_rank",
-    "q5_local_supplier_volume",
-    "agg_grid_resample_nn",
-    "stream_tumbling",
-    "ext_dedup_exact",
-    "ext_dedup_minhash",
-    "ext_sim_cosine",
-    "ext_text_stats",
-    "pipeline_ingest",
-    "pipeline_training_data",
-    "ext_ngram_jaccard",
-    "ext_dedup_cluster",
-    "ext_dedup_embedding_cluster",
-    "ext_sim_ivf",
-    "ext_sim_lsh_indexed",
-    "ext_sim_ivf_indexed",
-    "ext_segment_dedup",
-    "ext_zorder_layout",
-    "sink_delta_table",
-    "ext_sim_ivf_pq",
-    "sink_delta_merge",
-    "sink_delta_checkpoint",
-    "ext_knn_join",
-    "ext_knn_join_ivf",
-    "source_delta_cdf",
 ]
 
 
@@ -332,6 +354,36 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # --- tiered selection (see the tier comment above the lists) ---
+    import glob
+    import zlib
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    if os.environ.get("SPARK_GRAFT_BENCH_TRANCHE"):
+        tranche = int(os.environ["SPARK_GRAFT_BENCH_TRANCHE"]) % ROTATION_TRANCHES
+    else:
+        tranche = len(glob.glob(os.path.join(repo, "BENCH_r*.json"))) % ROTATION_TRANCHES
+    if os.environ.get("SPARK_GRAFT_BENCH_FULL"):
+        active = NEW_THIS_ROUND + CORE + ROTATION
+    else:
+        active = (
+            NEW_THIS_ROUND
+            + CORE
+            + [
+                n
+                for n in ROTATION
+                if zlib.crc32(n.encode()) % ROTATION_TRANCHES == tranche
+            ]
+        )
+    # de-dup while preserving order (an op may sit in NEW and CORE)
+    seen: set = set()
+    active = [n for n in active if not (n in seen or seen.add(n))]
+    print(
+        f"[bench] tier plan: {len(NEW_THIS_ROUND)} new + {len(CORE)} core + "
+        f"rotation tranche {tranche}/{ROTATION_TRANCHES} -> {len(active)} queries",
+        file=sys.stderr,
+    )
+
     probe_first = _probe(spark)
     print(f"[bench] calibration probe (pre): {probe_first}s", file=sys.stderr)
 
@@ -360,7 +412,7 @@ def main() -> None:
     loop_t0 = time.perf_counter()
     timings: dict[str, float] = {}
     degraded: list[str] = []
-    for qi, name in enumerate(HEADLINE):
+    for qi, name in enumerate(active):
         if qi and qi % 30 == 0:
             # Session-hygiene checkpoint: a 140-query session accumulates
             # driver/JVM state (ContextCleaner backlog from checkpointed/
@@ -416,6 +468,13 @@ def main() -> None:
         "probe_first_sec": probe_first,
         "probe_last_sec": probe_last,
         "probe_sec": round((probe_first + probe_last) / 2, 3),
+        "tier": {
+            "new": len(NEW_THIS_ROUND),
+            "core": len(CORE),
+            "rotation_tranche": tranche,
+            "rotation_tranches": ROTATION_TRANCHES,
+            "rotation_total": len(ROTATION),
+        },
     }
     if degraded:
         payload["degraded"] = degraded

@@ -200,24 +200,39 @@ def test_register_rejects_cross_module_duplicates():
         registry.register("scan_parquet")(fake)
 
 
-def test_bench_headline_names_valid():
-    """Every bench.py HEADLINE entry must be a registered query and
-    appear once — a renamed/retired query would otherwise break the
-    bench only at runtime, losing the whole round's perf artifact."""
+def test_bench_tier_names_valid():
+    """Every bench.py tier entry (NEW_THIS_ROUND / CORE / ROTATION) must
+    be a registered query; CORE and ROTATION must be disjoint and
+    duplicate-free — a renamed/retired query would otherwise break the
+    bench only at runtime, losing the whole round's perf artifact.  Also
+    pins the rotation-coverage property: the crc32 tranche split covers
+    every ROTATION entry exactly once across ROTATION_TRANCHES rounds."""
     import ast
     import os
+    import zlib
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     tree = ast.parse(open(os.path.join(root, "bench.py")).read())
-    names = None
+    lists: dict = {}
+    k = None
     for node in ast.walk(tree):
-        if (
-            isinstance(node, ast.Assign)
-            and getattr(node.targets[0], "id", "") == "HEADLINE"
-        ):
-            names = [ast.literal_eval(e) for e in node.value.elts]
-    assert names, "bench.py lost its HEADLINE list"
+        if isinstance(node, ast.Assign):
+            tid = getattr(node.targets[0], "id", "")
+            if tid in ("NEW_THIS_ROUND", "CORE", "ROTATION"):
+                lists[tid] = [ast.literal_eval(e) for e in node.value.elts]
+            elif tid == "ROTATION_TRANCHES":
+                k = ast.literal_eval(node.value)
+    assert set(lists) == {"NEW_THIS_ROUND", "CORE", "ROTATION"}, lists.keys()
+    assert k and k >= 2
     qs = set(registry.queries())
-    missing = [n for n in names if n not in qs]
-    assert not missing, f"HEADLINE names not in registry: {missing}"
-    assert len(names) == len(set(names)), "duplicate HEADLINE entries"
+    for tier, names in lists.items():
+        missing = [n for n in names if n not in qs]
+        assert not missing, f"{tier} names not in registry: {missing}"
+        assert len(names) == len(set(names)), f"duplicate {tier} entries"
+    assert not set(lists["CORE"]) & set(lists["ROTATION"]), "CORE/ROTATION overlap"
+    tranches = [
+        {n for n in lists["ROTATION"] if zlib.crc32(n.encode()) % k == t}
+        for t in range(k)
+    ]
+    assert set().union(*tranches) == set(lists["ROTATION"])
+    assert sum(len(t) for t in tranches) == len(lists["ROTATION"])
