@@ -67,6 +67,7 @@ NEW_THIS_ROUND = [
     # round-13: re-planned this round (distributed_rank vocab swaps, the
     # distributed dominance sweep, integer prominence, empty-batch guards,
     # fixed-width overflow guard, DP-histogram release column).
+    "ext_decontaminate_longest_match",
     "ext_zipf_fit",
     "ext_vocab_coverage",
     "win_skyline_2d",

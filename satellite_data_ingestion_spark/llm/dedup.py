@@ -2072,3 +2072,143 @@ def ext_dedup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("inflation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Longest-match benchmark decontamination (VERDICT r12 task 4)
+# ---------------------------------------------------------------------------
+
+_DECON_N = 13  # minimum shared verbatim n-gram that triggers removal
+_DECON_BENCH_MOD = 37  # doc_id % MOD == 0 plays the held-out benchmark set
+
+
+def decontaminate_longest_match(
+    corpus: DataFrame, bench: DataFrame, n: int = _DECON_N
+) -> DataFrame:
+    """Per-corpus-doc LONGEST verbatim token run shared with *bench* plus
+    the keep/drop gate: drop iff the doc shares ANY >= *n*-gram with the
+    benchmark (GPT-3 appendix C / Lee et al. 2022 decontamination — the
+    production gate is longest-match, not the 3-gram overlap SCORE that
+    ``ext_contamination_check`` reports).
+
+    Mechanics (the ``ext_substring_dedup`` shingle unit, composed with a
+    gaps-and-islands streak):  a run of L >= n shared tokens matches
+    exactly L-n+1 CONSECUTIVE n-gram shingle positions, so
+    ``longest_run = n - 1 + longest consecutive streak`` of matched
+    positions.  Streaks come from the classic ``pos - row_number()``
+    island key, windowed PER DOC — partitions are doc-length-bounded.
+
+    Scale shape: the benchmark side is tiny by definition (eval suites,
+    not corpora) — its distinct shingle hashes broadcast; the corpus side
+    explodes positions linearly and semi-joins the broadcast index, so no
+    shuffle carries corpus text and nothing is corpus².  Output is one
+    row per corpus doc."""
+    toks_b = F.split("text", " ")
+    n_b = F.size(toks_b) - (n - 1)
+    bench_idx = (
+        bench.filter(n_b >= 1)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n_b),
+                    lambda i: F.md5(F.array_join(F.slice(toks_b, i, n), " ")),
+                )
+            ).alias("h")
+        )
+        .distinct()
+    )
+    toks = F.split("text", " ")
+    n_sh = F.size(toks) - (n - 1)
+    pos_h = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.struct(
+            i.alias("pos"), F.md5(F.array_join(F.slice(toks, i, n), " ")).alias("h")
+        ),
+    )
+    csh = (
+        corpus.filter(n_sh >= 1)
+        .select("doc_id", F.explode(pos_h).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    )
+    hits = csh.join(F.broadcast(bench_idx), "h").select("doc_id", "pos").distinct()
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn("g", F.col("pos") - F.row_number().over(w))
+    runs = isl.groupBy("doc_id", "g").agg(
+        (F.count(F.lit(1)) + (n - 1)).cast("long").alias("run_tokens")
+    )
+    longest = runs.groupBy("doc_id").agg(F.max("run_tokens").alias("longest"))
+    return (
+        corpus.select("doc_id")
+        .distinct()
+        .join(longest, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("longest", F.lit(0)).cast("long").alias("longest_shared_run"),
+            (F.coalesce("longest", F.lit(0)) >= n).alias("drop_doc"),
+        )
+    )
+
+
+@register(
+    "ext_decontaminate_longest_match",
+    oracle=f"""
+WITH bench AS (
+  SELECT str_split(text, ' ') AS t FROM documents
+  WHERE doc_id % {_DECON_BENCH_MOD} = 0
+),
+bsh AS (
+  SELECT DISTINCT md5(array_to_string(t[i:i+{_DECON_N - 1}], ' ')) AS h
+  FROM (SELECT t, unnest(generate_series(1, len(t) - {_DECON_N - 1})) AS i
+        FROM bench)
+),
+corpus AS (
+  SELECT doc_id, str_split(text, ' ') AS t FROM documents
+  WHERE doc_id % {_DECON_BENCH_MOD} <> 0
+),
+csh AS (
+  SELECT DISTINCT doc_id, i,
+         md5(array_to_string(t[i:i+{_DECON_N - 1}], ' ')) AS h
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - {_DECON_N - 1})) AS i
+        FROM corpus)
+),
+hits AS (
+  SELECT DISTINCT c.doc_id, c.i FROM csh c JOIN bsh USING (h)
+),
+isl AS (
+  SELECT doc_id, i,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+  FROM hits
+),
+runs AS (
+  SELECT doc_id, CAST(count(*) + {_DECON_N - 1} AS BIGINT) AS run_tokens
+  FROM isl GROUP BY doc_id, g
+),
+agg AS (SELECT doc_id, max(run_tokens) AS longest FROM runs GROUP BY 1)
+SELECT c.doc_id,
+       CAST(coalesce(a.longest, 0) AS BIGINT) AS longest_shared_run,
+       coalesce(a.longest, 0) >= {_DECON_N} AS drop_doc
+FROM (SELECT DISTINCT doc_id FROM corpus) c
+LEFT JOIN agg a USING (doc_id)
+ORDER BY c.doc_id
+""",
+)
+def ext_decontaminate_longest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCHMARK DECONTAMINATION, longest-match form: remove any training
+    document sharing a verbatim >= {n}-token run with the held-out
+    benchmark set (docs with ``doc_id % {m} == 0`` play the eval suite;
+    the rest are the training corpus) — the Brown et al. 2020 / Lee et
+    al. 2022 production gate, reported as per-doc longest shared run +
+    keep/drop so the audit trail shows HOW contaminated each dropped doc
+    was (a 13-gram quote and a wholesale eval-set copy are different
+    problems).  See :func:`decontaminate_longest_match` for mechanics and
+    the 100 TB shape (broadcast bench index, per-doc-bounded windows)."""
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % _DECON_BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _DECON_BENCH_MOD != 0)
+    return decontaminate_longest_match(corpus, bench).orderBy("doc_id")
+
+
+ext_decontaminate_longest_match.__doc__ = ext_decontaminate_longest_match.__doc__.format(
+    n=_DECON_N, m=_DECON_BENCH_MOD
+)

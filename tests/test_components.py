@@ -2570,3 +2570,45 @@ def test_skyline_adversarial_monotone(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "rangepartitioning" in plan, plan[:2000]
+
+
+def test_decontaminate_longest_match_constructed(spark):
+    """Constructed-contamination truth table for the >=13-gram gate
+    (VERDICT r12 task 4): exact longest-run reporting, sub-threshold runs
+    invisible, multiple islands resolved to the max, short docs kept."""
+    import pyspark.sql.functions as F
+
+    from satellite_data_ingestion_spark.llm.dedup import (
+        decontaminate_longest_match,
+    )
+
+    b = [f"b{i}" for i in range(40)]  # 40 distinct benchmark tokens
+    bench = spark.createDataFrame(
+        [(100, " ".join(b))], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            # 15-token verbatim span from the benchmark -> longest 15, drop
+            (1, "x1 x2 " + " ".join(b[5:20]) + " x3 x4"),
+            # only a 12-token run: below the 13-gram unit -> 0, keep
+            (2, "y1 " + " ".join(b[0:12]) + " y2"),
+            # nothing shared
+            (3, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12 z13 z14"),
+            # two islands, 13 and 18 tokens -> longest 18, drop
+            (4, " ".join(b[0:13]) + " q1 q2 " + " ".join(b[20:38])),
+            # shorter than the n-gram unit entirely
+            (5, "w1 w2 w3 w4 w5"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.longest_shared_run, r.drop_doc)
+        for r in decontaminate_longest_match(corpus, bench).collect()
+    }
+    assert got == {
+        1: (15, True),
+        2: (0, False),
+        3: (0, False),
+        4: (18, True),
+        5: (0, False),
+    }, got
