@@ -68,6 +68,8 @@ NEW_THIS_ROUND = [
     # distributed dominance sweep, integer prominence, empty-batch guards,
     # fixed-width overflow guard, DP-histogram release column).
     "ext_decontaminate_longest_match",
+    "ext_unigram_train",
+    "ext_unigram_tokenize",
     "ext_zipf_fit",
     "ext_vocab_coverage",
     "win_skyline_2d",

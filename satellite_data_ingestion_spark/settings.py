@@ -89,6 +89,13 @@ _BASE: dict[str, int] = {
     # size; prod raises both for a real vocabulary.
     "BPE_N_MERGES": 64,
     "BPE_MAX_WORDS": 8192,
+    # Unigram-LM trainer (llm/unigram.py): final piece-vocabulary size,
+    # seed-substring cap and max seed piece length.  Like BPE, the only
+    # corpus-sized stage is the word histogram (same MAX_WORDS bound);
+    # EM + pruning run driver-side over vocab-sized state.
+    "UNIGRAM_VOCAB": 64,
+    "UNIGRAM_SEED": 4096,
+    "UNIGRAM_MAX_PIECE": 8,
     # Range-partition width for the driver-free global shuffle_index
     # (llm/sampling.py) and the salting fan-out for skewed keys
     # (operators/scale.py).
@@ -119,6 +126,9 @@ _PROFILES: dict[str, dict[str, int]] = {
         "PQ_REFINE": 50,
         "BPE_N_MERGES": 32_000,
         "BPE_MAX_WORDS": 4_000_000,
+        "UNIGRAM_VOCAB": 32_000,
+        "UNIGRAM_SEED": 1_000_000,
+        "UNIGRAM_MAX_PIECE": 16,
         "SHUFFLE_PARTITIONS": 2000,
         "N_SALT": 64,
     },
@@ -176,5 +186,8 @@ PQ_NPROBE: int = _SETTINGS["PQ_NPROBE"]
 PQ_REFINE: int = _SETTINGS["PQ_REFINE"]
 BPE_N_MERGES: int = _SETTINGS["BPE_N_MERGES"]
 BPE_MAX_WORDS: int = _SETTINGS["BPE_MAX_WORDS"]
+UNIGRAM_VOCAB: int = _SETTINGS["UNIGRAM_VOCAB"]
+UNIGRAM_SEED: int = _SETTINGS["UNIGRAM_SEED"]
+UNIGRAM_MAX_PIECE: int = _SETTINGS["UNIGRAM_MAX_PIECE"]
 SHUFFLE_PARTITIONS: int = _SETTINGS["SHUFFLE_PARTITIONS"]
 N_SALT: int = _SETTINGS["N_SALT"]
