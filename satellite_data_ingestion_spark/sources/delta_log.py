@@ -81,6 +81,18 @@ class DeltaConcurrentCommit(Exception):
     merge/delete rewrite."""
 
 
+class DeltaConcurrentModification(Exception):
+    """A concurrent committer's actions DO NOT COMMUTE with this commit
+    (PROTOCOL.md isolation / the reference implementation's
+    ConcurrentModificationException family): a protocol or metaData
+    change invalidates constraint checks, generated-column validation
+    and column mapping performed at stage time, and two writers
+    tombstoning the SAME file is a lost update one of them must not
+    win.  Raised LOUDLY instead of silently replaying the stale
+    actions; the caller must re-run the whole operation against the
+    new table state (not just republish)."""
+
+
 class DeltaConstraintViolation(Exception):
     """A write contained rows failing a ``delta.constraints.*`` CHECK
     expression — the whole commit is rejected (spec: writers must
@@ -494,11 +506,73 @@ class DeltaLogTable:
             }
         }
 
+    def _assert_commutes(
+        self, actions: list[dict], base: int, head: int
+    ) -> None:
+        """OCC conflict check for a rebase: inspect every winner commit in
+        (base, head] and decide whether ``actions`` (derived at ``base``)
+        may be republished on top of them (PROTOCOL.md isolation: this
+        engine commits appends at WriteSerializable).
+
+        Commutes: winner data actions (add / remove of OTHER files /
+        commitInfo / foreign-app txn) vs our pure append — a blind append
+        reads nothing, so nothing it depends on moved.
+
+        Conflicts (DeltaConcurrentModification, loud):
+        - winner protocol or metaData change — our constraint checks,
+          generated-column validation, column-mapping projection and
+          schema string were all computed against the OLD metadata;
+        - winner removed a file our actions ALSO remove (concurrent
+          delete/delete — a lost update) or a file our actions re-add;
+        - our actions carry removes at all (state-dependent commands must
+          come through derived_from-guarded re-derivation, never rebase).
+
+        Retryable (DeltaConcurrentCommit): a winner txn for one of OUR
+        app ids — the caller's idempotence watermark must be re-checked
+        before this epoch is republished (same-app streaming race)."""
+        ours_removed = {
+            a["remove"]["path"] for a in actions if "remove" in a
+        }
+        ours_added = {a["add"]["path"] for a in actions if "add" in a}
+        our_apps = {a["txn"]["appId"] for a in actions if "txn" in a}
+        if ours_removed:
+            raise DeltaConcurrentModification(
+                "commit carries remove tombstones derived at version "
+                f"{base} but the head moved to {head}: state-dependent "
+                "commands must re-derive, not rebase"
+            )
+        for v in range(base + 1, head + 1):
+            for act in self._actions(v):
+                if "protocol" in act or "metaData" in act:
+                    kind = "protocol" if "protocol" in act else "metaData"
+                    raise DeltaConcurrentModification(
+                        f"concurrent {kind} change at version {v} does "
+                        "not commute with this commit (constraints, "
+                        "generated columns and column mapping were "
+                        f"validated against version {base}); re-run the "
+                        "operation against the new table state"
+                    )
+                if "remove" in act and (
+                    act["remove"]["path"] in ours_removed
+                    or act["remove"]["path"] in ours_added
+                ):
+                    raise DeltaConcurrentModification(
+                        f"concurrent remove of {act['remove']['path']!r} "
+                        f"at version {v} overlaps this commit's file set"
+                    )
+                if "txn" in act and act["txn"]["appId"] in our_apps:
+                    raise DeltaConcurrentCommit(
+                        f"concurrent txn for app "
+                        f"{act['txn']['appId']!r} at version {v}; "
+                        "re-check the idempotence watermark"
+                    )
+
     def _publish(
         self,
         actions: list[dict],
         derived_from: int | None = None,
         operation: str | None = None,
+        commute_ok: bool = False,
     ) -> int:
         """Atomically publish ``actions`` as the next log version.
 
@@ -520,10 +594,15 @@ class DeltaLogTable:
         while True:
             head = self.latest_version()
             if derived_from is not None and head != derived_from:
-                raise DeltaConcurrentCommit(
-                    f"actions derived at version {derived_from} but head "
-                    f"is now {head}; re-derive and retry"
-                )
+                if not commute_ok:
+                    raise DeltaConcurrentCommit(
+                        f"actions derived at version {derived_from} but "
+                        f"head is now {head}; re-derive and retry"
+                    )
+                # OCC classification (VERDICT r12 task 5): rebase ONLY
+                # past winners this commit provably commutes with.
+                self._assert_commutes(actions, derived_from, head)
+                derived_from = head
             version = head + 1
             payload = list(actions)
             # Previous-commit state is needed twice below (ICT detection
@@ -1409,9 +1488,13 @@ class DeltaLogTable:
             self._partition_columns = list(partition_by or [])
         adds = self._stage_files(df, partition_by, bloom_for=bloom_for)
         if txn is None:
-            # Plain appends commute with any concurrent commit: publish
-            # rebases onto the next free version transparently.
-            return self._publish(adds, operation="WRITE")
+            # Plain appends commute with concurrent DATA commits; the
+            # classified rebase (commute_ok) raises loudly on a
+            # concurrent metadata/protocol change instead of silently
+            # replaying rows validated against the old metadata.
+            return self._publish(
+                adds, derived_from=head0, operation="WRITE", commute_ok=True
+            )
         while True:
             head = self.latest_version()
             if txn[1] <= self.last_txn_version(txn[0]):
@@ -1423,6 +1506,7 @@ class DeltaLogTable:
                     [{"txn": {"appId": txn[0], "version": txn[1]}}] + adds,
                     derived_from=head,
                     operation="STREAMING UPDATE",
+                    commute_ok=True,
                 )
             except DeltaConcurrentCommit:
                 continue  # re-check the racer's txn watermark
