@@ -68,6 +68,11 @@ NEW_THIS_ROUND = [
     # distributed dominance sweep, integer prominence, empty-batch guards,
     # fixed-width overflow guard, DP-histogram release column).
     "ext_decontaminate_longest_match",
+    "ext_ngram_lm_train",
+    "ext_ngram_lm_score",
+    "ext_span_corruption",
+    "ext_curriculum_order",
+    "ext_reward_normalize",
     "ext_unigram_train",
     "ext_unigram_tokenize",
     "ext_zipf_fit",

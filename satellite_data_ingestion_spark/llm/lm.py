@@ -1,0 +1,227 @@
+"""Statistical n-gram language model — train + perplexity scoring, the
+CCNet / Wenzek et al. 2020 quality-filtering pattern (a small LM scores
+every candidate document; low-perplexity ≈ fluent text survives).
+
+Two operators, decomposed 100-TB-first:
+
+- ``ext_ngram_lm_train``  add-k-smoothed BIGRAM model.  The only
+  corpus-sized stage is one (w1, w2) count shuffle with map-side
+  combine; everything downstream lives on the VOCAB² grain (bounded —
+  at web scale the model is capped to the top-V vocabulary exactly like
+  ``ext_bpe_train``'s histogram, and V² conditional rows never approach
+  corpus size).  Log-probs are single ``ln()`` calls on exact integer
+  count ratios, so the released table hash-matches the DuckDB twin.
+
+- ``ext_ngram_lm_score``  per-document perplexity under that model.
+  Document bigrams join the model table (vocab²-bounded → broadcastable
+  at any corpus size); the per-doc log-prob sum folds SEQUENTIALLY over
+  the position-sorted array (``F.aggregate`` == DuckDB ``list_reduce``,
+  the engine's standard float-determinism discipline — doc-length
+  bounded, never a corpus-wide float sum); the CCNet keep/drop gate
+  rides the output.
+
+The reference repo has no text analytics; this extends the SURVEY §2.10
+LLM-data surface next to ``ext_lm_score`` (character-level heuristic) —
+this pair is the REAL trained-model path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+_LM_K = 0.5  # add-k smoothing mass
+_PPL_KEEP = 40.0  # CCNet-style keep threshold (perplexity at or below)
+_BOS = "<s>"  # beginning-of-document sentinel
+
+
+def _tok_arr():
+    return F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
+
+
+@register(
+    "ext_ngram_lm_train",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_prepend('{_BOS}', str_split(lower(text), ' ')) AS t
+  FROM documents
+),
+bg AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)
+),
+pair_n AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY 1, 2
+),
+ctx_n AS (
+  SELECT w1, CAST(sum(n) AS BIGINT) AS c1 FROM pair_n GROUP BY 1
+),
+v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS vsz FROM pair_n)
+SELECT p.w1, p.w2, p.n,
+       floor(ln((p.n + CAST({_LM_K} AS DOUBLE)) / (c.c1 + CAST({_LM_K} AS DOUBLE) * v.vsz)) * 1000000
+             - 0.5) / 1000000.0 AS logprob
+FROM pair_n p JOIN ctx_n c USING (w1) CROSS JOIN v
+ORDER BY p.w1, p.w2
+""",
+)
+def ext_ngram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the add-{k} bigram LM on the document corpus: one (w1, w2)
+    count shuffle (map-side combined), conditional log-probs
+    ``ln((n + k) / (c(w1) + k·V))`` on the vocab² grain.  ``{bos}``
+    prepends every document so first-token probabilities are modeled.
+    Released log-probs are floor-quantized at 1e-6 (toward -inf — they
+    are negative, so the quantizer is ``floor(x·1e6 − 0.5)/1e6``, the
+    half-away-from-zero form both engines share)."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.concat(F.array(F.lit(_BOS)), _tok_arr())
+    bg = docs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.struct(
+                    F.element_at(t, i).alias("w1"),
+                    F.element_at(t, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    pair_n = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ctx_n = pair_n.groupBy("w1").agg(F.sum("n").cast("long").alias("c1"))
+    vsz = pair_n.agg(F.countDistinct("w2").cast("long").alias("vsz"))
+    lp = F.log(
+        (F.col("n") + F.lit(_LM_K))
+        / (F.col("c1") + F.lit(_LM_K) * F.col("vsz"))
+    )
+    return (
+        pair_n.join(ctx_n, "w1")
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "w1",
+            "w2",
+            "n",
+            (F.floor(lp * 1000000 - 0.5) / 1000000.0).alias("logprob"),
+        )
+        .orderBy("w1", "w2")
+    )
+
+
+ext_ngram_lm_train.__doc__ = ext_ngram_lm_train.__doc__.format(
+    k=_LM_K, bos=_BOS
+)
+
+
+@register(
+    "ext_ngram_lm_score",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_prepend('{_BOS}', str_split(lower(text), ' ')) AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, i AS pos, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks)
+),
+pair_n AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY 1, 2
+),
+ctx_n AS (SELECT w1, CAST(sum(n) AS BIGINT) AS c1 FROM pair_n GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS vsz FROM pair_n),
+lm AS (
+  SELECT p.w1, p.w2,
+         ln((p.n + CAST({_LM_K} AS DOUBLE)) / (c.c1 + CAST({_LM_K} AS DOUBLE) * v.vsz)) AS lp
+  FROM pair_n p JOIN ctx_n c USING (w1) CROSS JOIN v
+),
+folded AS (
+  SELECT b.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                  list(lm.lp ORDER BY b.pos)),
+                     (a, x) -> a + x) AS ll
+  FROM bg b JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
+  GROUP BY b.doc_id
+)
+SELECT doc_id, n_bigrams,
+       floor(exp(-ll / n_bigrams) * 10000 + 0.5) / 10000.0 AS ppl,
+       exp(-ll / n_bigrams) <= CAST({_PPL_KEEP} AS DOUBLE) AS keep
+FROM folded
+ORDER BY doc_id
+""",
+)
+def ext_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document's PERPLEXITY under the corpus-trained add-k
+    bigram LM and apply the CCNet keep gate (ppl <= {th}) — the
+    fluency-based quality filter that runs ahead of dedup in production
+    pipelines (Wenzek et al. 2020).
+
+    Float discipline: the per-doc log-likelihood folds SEQUENTIALLY over
+    the position-sorted bigram log-probs (collect_list → array_sort →
+    ``F.aggregate`` left fold == DuckDB ``list(... ORDER BY pos)`` →
+    ``list_reduce``), so the one order-sensitive double sum is
+    deterministic and doc-length-bounded.  Scoring the training corpus
+    itself means every bigram hits the model (inner join is total);
+    scoring UNSEEN text in production adds a coalesce to the unseen-pair
+    mass ``ln(k / (c(w1) + k·V))`` — same plan, one more join.
+
+    Scale shape: the model is vocab²-bounded (broadcastable); the corpus
+    side is one explode + one join + one per-doc aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.concat(F.array(F.lit(_BOS)), _tok_arr())
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.element_at(t, i).alias("w1"),
+                    F.element_at(t, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.pos", "b.w1", "b.w2")
+    pair_n = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ctx_n = pair_n.groupBy("w1").agg(F.sum("n").cast("long").alias("c1"))
+    vsz = pair_n.agg(F.countDistinct("w2").cast("long").alias("vsz"))
+    lm = (
+        pair_n.join(ctx_n, "w1")
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (F.col("n") + F.lit(_LM_K))
+                / (F.col("c1") + F.lit(_LM_K) * F.col("vsz"))
+            ).alias("lp"),
+        )
+    )
+    folded = (
+        bg.join(F.broadcast(lm), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("lp")))
+                    ),
+                    lambda s: s.getField("lp"),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("ll"),
+        )
+    )
+    ppl = F.exp(-F.col("ll") / F.col("n_bigrams"))
+    return folded.select(
+        "doc_id",
+        "n_bigrams",
+        (F.floor(ppl * 10000 + 0.5) / 10000.0).alias("ppl"),
+        (ppl <= F.lit(_PPL_KEEP)).alias("keep"),
+    ).orderBy("doc_id")
+
+
+ext_ngram_lm_score.__doc__ = ext_ngram_lm_score.__doc__.format(th=_PPL_KEEP)

@@ -512,3 +512,294 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(census(d4, 4, "train_split"))
     )
     return out.orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# Round 13: span corruption, curriculum ordering, reward normalization
+# ---------------------------------------------------------------------------
+
+_SPAN_MOD = 5  # ~20% of token positions seed a corruption mask
+
+
+@register(
+    "ext_span_corruption",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, i, t[i] AS tok,
+         CAST(('0x' || substr(md5(doc_id || ':' || i), 1, 8)) AS BIGINT)
+           % {_SPAN_MOD} = 0 AS msk
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)
+),
+starts AS (
+  SELECT doc_id, i, tok, msk,
+         msk AND NOT coalesce(
+           lag(msk) OVER (PARTITION BY doc_id ORDER BY i), FALSE)
+           AS span_start
+  FROM pos
+),
+spans AS (
+  SELECT doc_id, i, tok, msk, span_start,
+         CAST(sum(CASE WHEN span_start THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS span_id
+  FROM starts
+)
+SELECT doc_id,
+       CAST(coalesce(max(CASE WHEN msk THEN span_id END), 0) AS BIGINT)
+         AS n_spans,
+       coalesce(string_agg(
+         CASE WHEN NOT msk THEN tok
+              WHEN span_start THEN '<extra_id_' || (span_id - 1) || '>'
+         END, ' ' ORDER BY i), '') AS input_text,
+       coalesce(string_agg(
+         CASE WHEN span_start THEN '<extra_id_' || (span_id - 1) || '> ' || tok
+              WHEN msk THEN tok
+         END, ' ' ORDER BY i), '') AS target_text
+FROM spans
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def ext_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-STYLE SPAN CORRUPTION (Raffel et al. 2020): deterministically
+    mask ~{pct}% of token positions per document, merge adjacent masked
+    positions into spans, and emit the (input, target) pair — input with
+    each span replaced by its ``<extra_id_k>`` sentinel, target carrying
+    sentinel + original span tokens.  The denoising-objective example
+    generator of an LLM data pipeline, as a pure DataFrame plan.
+
+    The mask is the engine's md5 micro-grid draw on (doc_id, position) —
+    engine-independent, resumable, no RNG state to ship.  Span ids come
+    from the classic run-start running count (one window PARTITIONED BY
+    doc — doc-length-bounded tasks); both output strings assemble with
+    order-pinned aggregation (``string_agg ORDER BY`` == sorted
+    collect_list + array_join).  Output is one row per document."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    pos = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t)),
+                lambda i: F.struct(i.alias("i"), F.element_at(t, i).alias("tok")),
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        "p.i",
+        "p.tok",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("doc_id"), F.col("p.i"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _SPAN_MOD
+            == 0
+        ).alias("msk"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    spans = pos.select(
+        "doc_id",
+        "i",
+        "tok",
+        "msk",
+        (F.col("msk") & ~F.coalesce(F.lag("msk").over(w), F.lit(False))).alias(
+            "span_start"
+        ),
+    ).withColumn(
+        "span_id",
+        F.sum(F.when(F.col("span_start"), 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    sent = F.concat(F.lit("<extra_id_"), (F.col("span_id") - 1).cast("string"), F.lit(">"))
+    in_piece = F.when(~F.col("msk"), F.col("tok")).when(F.col("span_start"), sent)
+    tgt_piece = F.when(
+        F.col("span_start"), F.concat(sent, F.lit(" "), F.col("tok"))
+    ).when(F.col("msk"), F.col("tok"))
+
+    def assemble(piece):
+        return F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(piece.isNotNull(), F.struct(F.col("i"), piece.alias("x")))
+                    )
+                ),
+                lambda s: s.getField("x"),
+            ),
+            " ",
+        )
+
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("msk"), F.col("span_id"))), F.lit(0)
+            ).cast("long").alias("n_spans"),
+            assemble(in_piece).alias("input_text"),
+            assemble(tgt_piece).alias("target_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ext_span_corruption.__doc__ = ext_span_corruption.__doc__.format(
+    pct=100 // _SPAN_MOD
+)
+
+
+_CURR_STAGES = 3  # curriculum stages (short/medium/long documents)
+
+
+@register(
+    "ext_curriculum_order",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           AS h
+  FROM documents
+),
+staged AS (
+  SELECT doc_id, n_tokens, h,
+         CAST(ntile({_CURR_STAGES}) OVER (ORDER BY n_tokens, doc_id)
+              AS BIGINT) AS stage
+  FROM d
+)
+SELECT doc_id, n_tokens, stage,
+       CAST(row_number() OVER (ORDER BY stage, h, doc_id) AS BIGINT)
+         AS position
+FROM staged
+ORDER BY position
+""",
+)
+def ext_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM ORDERING: assign every document a global training
+    position — {k} difficulty stages by token count (short documents
+    first, the classic length curriculum), deterministically shuffled
+    WITHIN each stage via the md5 draw (so a stage is not accidentally
+    ordered by source or id).  The output (doc_id → position) is the
+    read order a curriculum-aware loader consumes.
+
+    Both global ranks come from ``distributed_rank`` (range partition +
+    local windows + broadcast offsets): the stage tercile via
+    ``ntile_from_rank`` over the (n_tokens, doc_id) order, the final
+    position over (stage, h, doc_id) — no single-task window anywhere,
+    so the ordering scales to corpus-sized frames."""
+    from ..operators.ranking import distributed_rank, ntile_from_rank
+
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long").alias("h"),
+    )
+    staged = distributed_rank(d, ["n_tokens", "doc_id"]).select(
+        "doc_id",
+        "n_tokens",
+        "h",
+        ntile_from_rank(_CURR_STAGES, F.col("_rk"), F.col("_n_total")).alias(
+            "stage"
+        ),
+    )
+    return (
+        distributed_rank(staged, ["stage", "h", "doc_id"])
+        .select("doc_id", "n_tokens", "stage", F.col("_rk").alias("position"))
+        .orderBy("position")
+    )
+
+
+ext_curriculum_order.__doc__ = ext_curriculum_order.__doc__.format(
+    k=_CURR_STAGES
+)
+
+
+_RW_PROMPTS = 50  # candidate grouping: doc_id % _RW_PROMPTS plays the prompt
+
+
+@register(
+    "ext_reward_normalize",
+    oracle=f"""
+WITH c AS (
+  SELECT CAST(doc_id % {_RW_PROMPTS} AS BIGINT) AS prompt_id, doc_id,
+         n_chars AS score
+  FROM documents
+),
+m AS (
+  SELECT prompt_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(score) AS BIGINT) AS s,
+         CAST(sum(score * score) AS BIGINT) AS ss
+  FROM c GROUP BY 1
+)
+SELECT c.prompt_id, c.doc_id, CAST(c.score AS BIGINT) AS score,
+       floor(CASE WHEN m.n > 1 AND m.ss * m.n > m.s * m.s
+                  THEN (c.score - CAST(m.s AS DOUBLE) / m.n)
+                       / sqrt((m.ss - CAST(m.s AS DOUBLE) * m.s / m.n)
+                              / (m.n - 1))
+                  ELSE 0.0 END * 1000000 + 0.5) / 1000000.0 AS z,
+       row_number() OVER (PARTITION BY c.prompt_id
+                          ORDER BY c.score DESC, c.doc_id) = 1 AS is_best
+FROM c JOIN m USING (prompt_id)
+ORDER BY c.prompt_id, c.doc_id
+""",
+)
+def ext_reward_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REWARD-SCORE NORMALIZATION for preference data: per-prompt
+    z-scores of candidate scores plus the argmax flag — the step between
+    raw reward-model outputs and DPO/RLHF pair construction
+    (``ext_preference_pairs`` consumes the ranking this op normalizes;
+    reward scales drift per prompt, so cross-prompt comparability needs
+    the within-group standardization).
+
+    Documents play candidates, ``doc_id % {m}`` the prompt group, and
+    the integer ``n_chars`` the raw score, so every moment is an EXACT
+    integer sum — mean/variance/z are then identical double expressions
+    in both engines (the engine's stats discipline).  Degenerate groups
+    (n <= 1 or zero variance) release z = 0.  One group aggregate + one
+    broadcastable join + one group-bounded window."""
+    docs = table(spark, sf_dir, "documents")
+    c = docs.select(
+        (F.col("doc_id") % _RW_PROMPTS).cast("long").alias("prompt_id"),
+        "doc_id",
+        F.col("n_chars").cast("long").alias("score"),
+    )
+    m = c.groupBy("prompt_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("score").cast("long").alias("s"),
+        F.sum(F.col("score") * F.col("score")).cast("long").alias("ss"),
+    )
+    z = F.when(
+        (F.col("n") > 1)
+        & (F.col("ss") * F.col("n") > F.col("s") * F.col("s")),
+        (F.col("score") - F.col("s").cast("double") / F.col("n"))
+        / F.sqrt(
+            (F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1)
+        ),
+    ).otherwise(F.lit(0.0))
+    w = Window.partitionBy("prompt_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        c.join(F.broadcast(m), "prompt_id")
+        .select(
+            "prompt_id",
+            "doc_id",
+            "score",
+            (F.floor(z * 1000000 + 0.5) / 1000000.0).alias("z"),
+            (F.row_number().over(w) == 1).alias("is_best"),
+        )
+        .orderBy("prompt_id", "doc_id")
+    )
+
+
+ext_reward_normalize.__doc__ = ext_reward_normalize.__doc__.format(
+    m=_RW_PROMPTS
+)

@@ -66,6 +66,7 @@ _QUERY_MODULES = [
     "satellite_data_ingestion_spark.llm.textstats",
     "satellite_data_ingestion_spark.llm.multimodal",
     "satellite_data_ingestion_spark.llm.bpe",
+    "satellite_data_ingestion_spark.llm.lm",
     "satellite_data_ingestion_spark.llm.unigram",
     "satellite_data_ingestion_spark.llm.shaping",
     "satellite_data_ingestion_spark.llm.sampling",
