@@ -68,6 +68,11 @@ NEW_THIS_ROUND = [
     # distributed dominance sweep, integer prominence, empty-batch guards,
     # fixed-width overflow guard, DP-histogram release column).
     "ext_decontaminate_longest_match",
+    "agg_kruskal_wallis",
+    "agg_theil_sen",
+    "agg_kendall_tau",
+    "agg_dp_mean",
+    "ext_t_closeness",
     "ext_ngram_lm_train",
     "ext_ngram_lm_score",
     "ext_span_corruption",

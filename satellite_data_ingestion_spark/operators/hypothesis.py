@@ -585,3 +585,247 @@ def agg_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 agg_kaplan_meier.__doc__ = agg_kaplan_meier.__doc__.format(cd=_KM_CENSOR_DAYS)
+
+
+@register(
+    "agg_kruskal_wallis",
+    oracle="""
+WITH gv AS (
+  SELECT value, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1
+),
+c AS (
+  SELECT value, cnt,
+         CAST(coalesce(sum(cnt) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS off
+  FROM gv
+),
+ge AS (
+  SELECT value, event_type, CAST(count(*) AS BIGINT) AS cge
+  FROM events GROUP BY 1, 2
+),
+per_type AS (
+  SELECT ge.event_type,
+         CAST(sum(ge.cge) AS BIGINT) AS n_i,
+         sum(ge.cge * (c.off + (CAST(c.cnt AS DOUBLE) + 1) / 2)) AS r_i
+  FROM ge JOIN c USING (value)
+  GROUP BY 1
+),
+ties AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tsum
+  FROM gv
+),
+terms AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                  list(r_i * r_i / n_i ORDER BY event_type)),
+                     (a, x) -> a + x) AS s
+  FROM per_type
+)
+SELECT t.n, terms.k,
+       floor((12.0 / (CAST(t.n AS DOUBLE) * (t.n + 1)) * terms.s
+              - 3.0 * (t.n + 1))
+             / (1.0 - CAST(t.tsum AS DOUBLE)
+                      / (CAST(t.n AS DOUBLE) * t.n * t.n - t.n))
+             * 1000000 + 0.5) / 1000000.0 AS h_corrected
+FROM ties t CROSS JOIN terms
+""",
+)
+def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KRUSKAL-WALLIS H across the k event-type groups of the events
+    values — the k-group extension of ``agg_mann_whitney`` (one-way
+    ANOVA on ranks), with midrank ties and the standard tie correction
+    ``C = 1 − Σ(t³−t)/(N³−N)``.
+
+    Same decomposition as MW: ranks never materialize per row — the
+    value grain gets exclusive cumulative counts from
+    ``distributed_rank``, per-type rank sums are dot products of exact
+    half-integers, and the k per-type terms R_i²/n_i fold SEQUENTIALLY
+    in event_type order (k-bounded array) so the one order-sensitive
+    double sum is deterministic."""
+    ev = table(spark, sf_dir, "events")
+    gv = ev.groupBy("value").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    c = distributed_rank(gv, ["value"], sum_cols=("cnt",)).select(
+        "value",
+        "cnt",
+        (F.col("_cum_cnt") - F.col("cnt")).cast("long").alias("off"),
+    )
+    ge = ev.groupBy("value", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cge")
+    )
+    per_type = (
+        ge.join(c, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cge").cast("long").alias("n_i"),
+            F.sum(
+                F.col("cge")
+                * (F.col("off") + (F.col("cnt").cast("double") + 1) / 2)
+            ).alias("r_i"),
+        )
+    )
+    ties = gv.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).cast("long").alias("tsum"),
+    )
+    terms = per_type.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("event_type"),
+                            (F.col("r_i") * F.col("r_i") / F.col("n_i")).alias(
+                                "t"
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s.getField("t"),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("s"),
+    )
+    n = F.col("n").cast("double")
+    h = 12.0 / (n * (F.col("n") + 1)) * F.col("s") - 3.0 * (F.col("n") + 1)
+    corr = 1.0 - F.col("tsum").cast("double") / (n * F.col("n") * F.col("n") - F.col("n"))
+    return (
+        ties.crossJoin(F.broadcast(terms))
+        .select("n", "k", r6(h / corr).alias("h_corrected"))
+    )
+
+
+@register(
+    "agg_theil_sen",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', date_trunc('day', ts))
+              AS BIGINT) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT (CAST(b.cents AS DOUBLE) - a.cents) / (b.d - a.d) AS slope
+  FROM daily a JOIN daily b ON a.d < b.d
+),
+ranked AS (
+  SELECT slope,
+         row_number() OVER (ORDER BY slope) AS rk,
+         count(*) OVER () AS n
+  FROM pairs
+)
+SELECT CAST(max(n) AS BIGINT) AS n_pairs,
+       floor(avg(slope) * 1000000 + 0.5) / 1000000.0 AS slope_cents_per_day
+FROM ranked
+WHERE rk IN ((n + 1) // 2, (n + 2) // 2)
+""",
+)
+def agg_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN robust trend estimate of the daily revenue series:
+    the MEDIAN of all pairwise slopes (cents/day) — breakdown point
+    29%, the outlier-proof alternative to ``agg_trend_ols`` (one bad
+    day moves OLS arbitrarily, moves Theil-Sen not at all).
+
+    The pair join runs on the DAY grain — calendar-bounded (30 days
+    here, ~3.65k/decade → ≤ ~6.7M pairs at a decade of retention,
+    independent of fact-table volume).  Exact integer cents and integer
+    day deltas make every slope the same double in both engines; the
+    median is the standard lower/upper-middle average over the slope
+    order with (slope) ties broken irrelevantly (equal values)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("cents").alias("ca"))
+    b = daily.select(F.col("d").alias("db"), F.col("cents").alias("cb"))
+    pairs = a.join(b, F.col("da") < F.col("db")).select(
+        ((F.col("cb").cast("double") - F.col("ca")) / (F.col("db") - F.col("da"))).alias(
+            "slope"
+        )
+    )
+    ranked = distributed_rank(pairs, ["slope"])
+    mid = ranked.filter(
+        (F.col("_rk") == F.floor((F.col("_n_total") + 1) / 2))
+        | (F.col("_rk") == F.floor((F.col("_n_total") + 2) / 2))
+    )
+    return mid.agg(
+        F.max("_n_total").cast("long").alias("n_pairs"),
+        r6(F.avg("slope")).alias("slope_cents_per_day"),
+    )
+
+
+@register(
+    "agg_kendall_tau",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', date_trunc('day', ts))
+              AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS x,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+p AS (
+  SELECT CAST(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS nc,
+         CAST(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS nd,
+         CAST(sum(CASE WHEN a.x = b.x AND a.y <> b.y THEN 1 ELSE 0 END)
+              AS BIGINT) AS tx,
+         CAST(sum(CASE WHEN a.y = b.y AND a.x <> b.x THEN 1 ELSE 0 END)
+              AS BIGINT) AS ty,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM daily a JOIN daily b ON a.d < b.d
+)
+SELECT n_pairs, nc, nd,
+       floor((CAST(nc AS DOUBLE) - nd)
+             / sqrt((CAST(n_pairs AS DOUBLE) - tx) * (n_pairs - ty))
+             * 1000000 + 0.5) / 1000000.0 AS tau_b
+FROM p
+""",
+)
+def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL'S τ-b between daily event VOLUME and daily revenue —
+    the concordance rank correlation (is a busier day a richer day,
+    judged pairwise?), with the standard tie corrections in the
+    denominator.  Complements ``agg_spearman_corr`` (same question,
+    rank-difference form): τ is the one with the direct probabilistic
+    reading P(concordant) − P(discordant).
+
+    Pairwise by construction, so it runs on the calendar-bounded DAY
+    grain (30 days → 435 pairs; a decade → ~6.7M — independent of fact
+    volume).  Concordance tests are pure integer sign checks; the final
+    τ is one shared double expression."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("y"),
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+    dx = F.col("xb") - F.col("xa")
+    dy = F.col("yb") - F.col("ya")
+    p = a.join(b, F.col("da") < F.col("db")).agg(
+        F.sum(F.when(dx * dy > 0, 1).otherwise(0)).cast("long").alias("nc"),
+        F.sum(F.when(dx * dy < 0, 1).otherwise(0)).cast("long").alias("nd"),
+        F.sum(F.when((dx == 0) & (dy != 0), 1).otherwise(0)).cast("long").alias("tx"),
+        F.sum(F.when((dy == 0) & (dx != 0), 1).otherwise(0)).cast("long").alias("ty"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    tau = (F.col("nc").cast("double") - F.col("nd")) / F.sqrt(
+        (F.col("n_pairs").cast("double") - F.col("tx"))
+        * (F.col("n_pairs") - F.col("ty"))
+    )
+    return p.select("n_pairs", "nc", "nd", r6(tau).alias("tau_b"))

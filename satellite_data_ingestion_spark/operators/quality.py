@@ -531,3 +531,244 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+_DPM_EPSILON = 1.0  # Laplace budget for the released mean
+_DPM_LO, _DPM_HI = 0.0, 400.0  # public clipping bounds
+
+
+@register(
+    "agg_dp_mean",
+    oracle=f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(least(greatest(CAST(value AS DOUBLE), {_DPM_LO}), {_DPM_HI}))
+           AS s
+  FROM events GROUP BY 1
+),
+u AS (
+  SELECT event_type, n, s,
+         (CAST(('0x' || substr(md5(event_type || ':sum'), 1, 8)) AS BIGINT)
+          % 1000000 + 0.5) / 1000000.0 AS us,
+         (CAST(('0x' || substr(md5(event_type || ':cnt'), 1, 8)) AS BIGINT)
+          % 1000000 + 0.5) / 1000000.0 AS uc
+  FROM g
+),
+noisy AS (
+  SELECT event_type,
+         s - (CASE WHEN us < 0.5 THEN -1.0 ELSE 1.0 END)
+             * ln(1.0 - 2.0 * abs(us - 0.5))
+             * ({_DPM_HI} - {_DPM_LO}) / ({_DPM_EPSILON} / 2) AS ns,
+         n - (CASE WHEN uc < 0.5 THEN -1.0 ELSE 1.0 END)
+             * ln(1.0 - 2.0 * abs(uc - 0.5)) / ({_DPM_EPSILON} / 2) AS nn
+  FROM u
+)
+SELECT event_type,
+       floor(ns / greatest(nn, 1.0) * 10000 + 0.5) / 10000.0 AS dp_mean,
+       CAST({_DPM_EPSILON} AS DOUBLE) AS epsilon,
+       TRUE AS deterministic_demo
+FROM noisy
+ORDER BY event_type
+""",
+)
+def agg_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENTIALLY-PRIVATE MEAN of the event values per type: the
+    clip-then-noise mechanism (Dwork et al. 2006) — values clipped to
+    the public bounds [{lo}, {hi}], Laplace noise on BOTH the clipped
+    sum (sensitivity hi−lo, budget ε/2) and the count (sensitivity 1,
+    budget ε/2), released as noisy_sum / max(noisy_n, 1) — the standard
+    composition for a private average.
+
+    Same demo posture as ``agg_dp_histogram`` (and the same honest
+    label riding the output): the draws invert the Laplace CDF at
+    md5-derived uniforms so the release hash-verifies across engines;
+    ``deterministic_demo = TRUE`` tells every consumer this provides
+    zero actual privacy — production swaps in a CSPRNG.  One map-side
+    combined aggregate; noise is a |types|-row projection."""
+    ev = table(spark, sf_dir, "events")
+    clipped = F.least(
+        F.greatest(F.col("value").cast("double"), F.lit(_DPM_LO)), F.lit(_DPM_HI)
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(clipped).alias("s"),
+    )
+
+    def uni(tag: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("event_type"), F.lit(":" + tag))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+            + 0.5
+        ) / 1000000.0
+
+    def lap(u, scale):
+        return (
+            F.when(u < 0.5, F.lit(-1.0)).otherwise(F.lit(1.0))
+            * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+            * scale
+        )
+
+    ns = F.col("s") - lap(uni("sum"), F.lit((_DPM_HI - _DPM_LO) / (_DPM_EPSILON / 2)))
+    nn = F.col("n") - lap(uni("cnt"), F.lit(1.0 / (_DPM_EPSILON / 2)))
+    return g.select(
+        "event_type",
+        (F.floor(ns / F.greatest(nn, F.lit(1.0)) * 10000 + 0.5) / 10000.0).alias(
+            "dp_mean"
+        ),
+        F.lit(float(_DPM_EPSILON)).alias("epsilon"),
+        F.lit(True).alias("deterministic_demo"),
+    ).orderBy("event_type")
+
+
+agg_dp_mean.__doc__ = agg_dp_mean.__doc__.format(lo=_DPM_LO, hi=_DPM_HI)
+
+
+_T_CLOSE = 0.25  # max allowed EMD between group and global distributions
+
+
+@register(
+    "ext_t_closeness",
+    oracle=f"""
+WITH docs2 AS (
+  SELECT source, lang, CAST(n_chars // 100 AS BIGINT) AS b FROM documents
+),
+buckets AS (SELECT DISTINCT b FROM docs2),
+grp AS (SELECT DISTINCT source, lang FROM docs2),
+cnt AS (
+  SELECT source, lang, b, CAST(count(*) AS BIGINT) AS n_gb
+  FROM docs2 GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT g.source, g.lang, bk.b, coalesce(c.n_gb, 0) AS n_gb
+  FROM grp g CROSS JOIN buckets bk
+  LEFT JOIN cnt c ON c.source = g.source AND c.lang = g.lang AND c.b = bk.b
+),
+cum AS (
+  SELECT source, lang, b,
+         CAST(sum(n_gb) OVER (PARTITION BY source, lang ORDER BY b)
+              AS BIGINT) AS cum_g,
+         CAST(sum(n_gb) OVER (PARTITION BY source, lang) AS BIGINT) AS n_g
+  FROM grid
+),
+gcum AS (
+  SELECT b,
+         CAST(sum(sum(n_gb)) OVER (ORDER BY b) AS BIGINT) AS cum_q,
+         CAST(sum(sum(n_gb)) OVER () AS BIGINT) AS n_all
+  FROM grid GROUP BY b
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM buckets),
+emd AS (
+  SELECT c.source, c.lang, max(c.n_g) AS n_g,
+         sum(CASE WHEN c.b < (SELECT max(b) FROM buckets)
+                  THEN abs(c.cum_g * g.n_all - g.cum_q * c.n_g) ELSE 0 END)
+           AS num
+  FROM cum c JOIN gcum g USING (b)
+  GROUP BY 1, 2
+)
+SELECT e.source, e.lang, CAST(e.n_g AS BIGINT) AS group_size,
+       floor(CAST(e.num AS DOUBLE)
+             / (CAST(e.n_g AS DOUBLE) * g2.n_all * (m.m - 1))
+             * 1000000 + 0.5) / 1000000.0 AS t_emd,
+       CAST(e.num AS DOUBLE)
+         / (CAST(e.n_g AS DOUBLE) * g2.n_all * (m.m - 1))
+         > {_T_CLOSE} AS violates_t
+FROM emd e CROSS JOIN (SELECT max(n_all) AS n_all FROM gcum) g2
+CROSS JOIN m
+ORDER BY e.source, e.lang
+""",
+)
+def ext_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-CLOSENESS audit (Li et al. 2007) — the third rung of the
+    release-privacy ladder after ``ext_k_anonymity`` (group size) and
+    ``ext_l_diversity`` (sensitive-value variety): each quasi-identifier
+    group's distribution over the ORDERED sensitive attribute (length
+    bucket) must sit within t of the GLOBAL distribution in Earth
+    Mover's Distance, else the group leaks (a group whose members are
+    all long documents reveals "long" even at k-anonymous size).
+
+    Ordered-attribute EMD with equal bucket distances is the normalized
+    sum of |cumulative differences|; both cumulatives stay EXACT
+    integers cross-multiplied (|Cum_g·N − Cum_Q·n_g|, < 2^63 up to
+    n_g·N ~ 9e18 — beyond that swap the inner abs to doubles), divided
+    once at the end.  Grain: |groups| × |buckets| dense grid, all
+    bounded; windows partition by group."""
+    docs = table(spark, sf_dir, "documents")
+    d2 = docs.select(
+        "source", "lang", (F.col("n_chars") / 100).cast("long").alias("b")
+    )
+    buckets = d2.select("b").distinct()
+    grp = d2.select("source", "lang").distinct()
+    cnt = d2.groupBy("source", "lang", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gb")
+    )
+    grid = (
+        grp.crossJoin(F.broadcast(buckets))
+        .join(cnt, ["source", "lang", "b"], "left")
+        .select(
+            "source", "lang", "b", F.coalesce("n_gb", F.lit(0)).alias("n_gb")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wg = W.partitionBy("source", "lang").orderBy("b")
+    cum = grid.select(
+        "source",
+        "lang",
+        "b",
+        F.sum("n_gb").over(
+            wg.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).cast("long").alias("cum_g"),
+        F.sum("n_gb").over(W.partitionBy("source", "lang")).cast("long").alias("n_g"),
+    )
+    gb = grid.groupBy("b").agg(F.sum("n_gb").cast("long").alias("n_b"))
+    # |buckets|-row frame: the bounded case where an unpartitioned window
+    # is correct by construction.
+    wq = W.orderBy("b")
+    gcum = gb.select(
+        "b",
+        F.sum("n_b").over(
+            wq.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).cast("long").alias("cum_q"),
+        F.sum("n_b").over(
+            wq.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ).cast("long").alias("n_all"),
+    )
+    bmax = buckets.agg(
+        F.max("b").alias("b_max"), F.count(F.lit(1)).cast("long").alias("m")
+    )
+    emd = (
+        cum.join(F.broadcast(gcum), "b")
+        .crossJoin(F.broadcast(bmax))
+        .groupBy("source", "lang")
+        .agg(
+            F.max("n_g").cast("long").alias("group_size"),
+            F.sum(
+                F.when(
+                    F.col("b") < F.col("b_max"),
+                    F.abs(
+                        F.col("cum_g") * F.col("n_all")
+                        - F.col("cum_q") * F.col("n_g")
+                    ),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("num"),
+            F.max("n_all").cast("long").alias("n_all"),
+            F.max("m").cast("long").alias("m"),
+        )
+    )
+    t = F.col("num").cast("double") / (
+        F.col("group_size").cast("double") * F.col("n_all") * (F.col("m") - 1)
+    )
+    return emd.select(
+        "source",
+        "lang",
+        "group_size",
+        (F.floor(t * 1000000 + 0.5) / 1000000.0).alias("t_emd"),
+        (t > F.lit(_T_CLOSE)).alias("violates_t"),
+    ).orderBy("source", "lang")
