@@ -68,6 +68,9 @@ NEW_THIS_ROUND = [
     # distributed dominance sweep, integer prominence, empty-batch guards,
     # fixed-width overflow guard, DP-histogram release column).
     "ext_decontaminate_longest_match",
+    "ext_ts_crosscorr",
+    "ext_ts_holt",
+    "join_interp_lookup",
     "agg_kruskal_wallis",
     "agg_theil_sen",
     "agg_kendall_tau",

@@ -775,3 +775,93 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_name, bal_cents DESC, c_name
         """
     )
+
+
+@register(
+    "join_interp_lookup",
+    oracle="""
+WITH kf AS (
+  SELECT date_trunc('month', l_shipdate) AS d,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS v
+  FROM lineitem GROUP BY 1
+),
+seg AS (
+  SELECT d AS d_lo, v AS v_lo,
+         lead(d) OVER (ORDER BY d) AS d_hi,
+         lead(v) OVER (ORDER BY d) AS v_hi
+  FROM kf
+),
+grid AS (
+  SELECT CAST(d_lo + to_days(CAST(i AS INTEGER)) AS DATE) AS day,
+         v_lo + (CAST(v_hi AS DOUBLE) - v_lo)
+              * i / date_diff('day', d_lo, d_hi) AS v
+  FROM seg, unnest(generate_series(0, date_diff('day', d_lo, d_hi) - 1))
+       AS u(i)
+  WHERE d_hi IS NOT NULL
+)
+SELECT o.o_orderkey, o.o_orderdate,
+       floor(g.v / 100 * 10000 + 0.5) / 10000.0 AS curve_value
+FROM orders o JOIN grid g ON o.o_orderdate = g.day
+ORDER BY o.o_orderkey
+""",
+)
+def join_interp_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIECEWISE-LINEAR INTERPOLATION JOIN — the calibration-curve /
+    fx-rate lookup: probes (orders, by order date) read a sparse
+    keyframe series (monthly shipped-revenue curve) at their exact
+    position, linearly interpolated between the bracketing keyframes.
+
+    The scalable phrasing is NOT a range join: the keyframe series is
+    DENSIFIED first (lead() pairs consecutive keyframes — a
+    |keyframes|-bounded window — then a sequence-explode emits one
+    pre-interpolated value per day, the ``win_gap_fill_interp``
+    machinery), and the probe side lands with a plain broadcast EQUI
+    join on the day — no per-probe binary search, no
+    BroadcastNestedLoop range predicate, fact side never shuffles.
+    The dense grid is calendar-bounded (~2.6k days here, ~3.65k/decade)
+    regardless of fact volume.  Probes outside the keyframe span drop
+    (inner join) — the documented contract; LOCF tails are one
+    ``win_gap_fill_locf`` away.  Exact integer cents in the keyframes;
+    the lerp is one shared double expression."""
+    li = table(spark, sf_dir, "lineitem")
+    kf = li.groupBy(F.date_trunc("month", "l_shipdate").alias("d")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    w = Window.orderBy("d")  # |keyframes|-bounded: months in retention
+    seg = kf.select(
+        F.col("d").alias("d_lo"),
+        F.col("v").alias("v_lo"),
+        F.lead("d").over(w).alias("d_hi"),
+        F.lead("v").over(w).alias("v_hi"),
+    ).filter(F.col("d_hi").isNotNull())
+    span = F.datediff(F.col("d_hi"), F.col("d_lo"))
+    grid = seg.select(
+        F.explode(F.sequence(F.lit(0), span - 1)).alias("i"),
+        "d_lo",
+        "v_lo",
+        "v_hi",
+        span.alias("len"),
+    ).select(
+        F.date_add(F.col("d_lo").cast("date"), F.col("i").cast("int")).alias("day"),
+        (
+            F.col("v_lo")
+            + (F.col("v_hi").cast("double") - F.col("v_lo"))
+            * F.col("i")
+            / F.col("len")
+        ).alias("v"),
+    )
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(grid), o.o_orderdate == F.col("day"))
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            (F.floor(F.col("v") / 100 * 10000 + 0.5) / 10000.0).alias(
+                "curve_value"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )

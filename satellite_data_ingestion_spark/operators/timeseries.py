@@ -2267,3 +2267,224 @@ def win_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_CCF_MAX_LAG = 3  # cross-correlation lags, hours (both directions)
+_CCF_A, _CCF_B = "click", "view"  # the coupled pair win_rolling_corr monitors
+
+
+@register(
+    "ext_ts_crosscorr",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events WHERE event_type IN ('{_CCF_A}', '{_CCF_B}') GROUP BY 1, 2
+),
+xs AS (
+  SELECT hr, CAST(row_number() OVER (ORDER BY hr) AS BIGINT) AS t, c AS x
+  FROM hourly WHERE event_type = '{_CCF_A}'
+),
+ys AS (
+  SELECT hr, CAST(row_number() OVER (ORDER BY hr) AS BIGINT) AS t, c AS y
+  FROM hourly WHERE event_type = '{_CCF_B}'
+),
+p AS (
+  SELECT lag.k,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a.x) AS BIGINT) AS sx, CAST(sum(b.y) AS BIGINT) AS sy,
+         CAST(sum(a.x * a.x) AS BIGINT) AS sxx,
+         CAST(sum(b.y * b.y) AS BIGINT) AS syy,
+         CAST(sum(a.x * b.y) AS BIGINT) AS sxy
+  FROM xs a
+  JOIN (SELECT unnest(generate_series(-{_CCF_MAX_LAG}, {_CCF_MAX_LAG})) AS k)
+    lag ON TRUE
+  JOIN ys b ON b.t = a.t + lag.k
+  GROUP BY 1
+)
+SELECT CAST(k AS BIGINT) AS lag, n,
+       floor((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))
+             * 1000000 + 0.5) / 1000000.0 AS ccf
+FROM p
+ORDER BY lag
+""",
+)
+def ext_ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-CORRELATION FUNCTION between the '{a}' and '{b}' hourly
+    series at lags −{k}..+{k}: which series LEADS?  The peak lag of the
+    CCF is the standard lead/lag diagnostic behind ``win_rolling_corr``
+    (that op watches co-movement at lag 0; a correlation that lives at
+    lag +2 means '{a}' predicts '{b}' two hours out — an upstream/
+    downstream incident-propagation signature).
+
+    All moments are exact integer sums per lag over the PAIRED hour
+    grid; the Pearson formula is one shared double expression.  The lag
+    join runs on the hourly row-number grain — calendar-bounded (the
+    ``win_rolling_corr`` bound: ~1e5 rows/decade), 2·{k}+1 lags."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_CCF_A, _CCF_B)
+    )
+    hourly = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("c")
+    )
+    w = W.partitionBy("event_type").orderBy("hr")
+    s = hourly.select(
+        "event_type", F.row_number().over(w).cast("long").alias("t"), "c"
+    )
+    xs = s.filter(F.col("event_type") == _CCF_A).select(
+        "t", F.col("c").alias("x")
+    )
+    ys = s.filter(F.col("event_type") == _CCF_B).select(
+        F.col("t").alias("ty"), F.col("c").alias("y")
+    )
+    lags = spark.range(-_CCF_MAX_LAG, _CCF_MAX_LAG + 1).select(
+        F.col("id").cast("long").alias("k")
+    )
+    p = (
+        xs.crossJoin(F.broadcast(lags))
+        .join(ys, F.col("ty") == F.col("t") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx"))
+        * (F.col("n") * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return p.select(
+        F.col("k").alias("lag"),
+        "n",
+        (F.floor(num / den * 1000000 + 0.5) / 1000000.0).alias("ccf"),
+    ).orderBy("lag")
+
+
+ext_ts_crosscorr.__doc__ = ext_ts_crosscorr.__doc__.format(
+    a=_CCF_A, b=_CCF_B, k=_CCF_MAX_LAG
+)
+
+
+_HOLT_ALPHA = 0.5  # level smoothing
+_HOLT_BETA = 0.3  # trend smoothing
+
+
+@register(
+    "ext_ts_holt",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+arr AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         list(CAST(cents AS DOUBLE) ORDER BY d) AS ys
+  FROM daily GROUP BY 1
+),
+folded AS (
+  -- state rides a [l, b, sse] LIST, not a struct: DuckDB 1.0 struct_pack
+  -- inside a lambda rebinds already-assigned field names sequentially
+  -- (a.l after "l :=" resolves to the NEW l), which silently corrupts
+  -- any fold whose fields cross-reference; positional list access has
+  -- no names to shadow.
+  SELECT event_type, n,
+         list_reduce(
+           list_prepend(
+             [ys[2], ys[2] - ys[1], CAST(0 AS DOUBLE)],
+             list_transform(ys[3:],
+                            e -> [e, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+           (a, x) -> [
+             CAST({_HOLT_ALPHA} AS DOUBLE) * x[1]
+               + (1.0 - CAST({_HOLT_ALPHA} AS DOUBLE)) * (a[1] + a[2]),
+             CAST({_HOLT_BETA} AS DOUBLE)
+               * ((CAST({_HOLT_ALPHA} AS DOUBLE) * x[1]
+                   + (1.0 - CAST({_HOLT_ALPHA} AS DOUBLE)) * (a[1] + a[2]))
+                  - a[1])
+               + (1.0 - CAST({_HOLT_BETA} AS DOUBLE)) * a[2],
+             a[3] + (x[1] - (a[1] + a[2])) * (x[1] - (a[1] + a[2]))
+           ]
+         ) AS st
+  FROM arr WHERE n >= 3
+)
+SELECT event_type, n,
+       floor(st[1] * 10000 + 0.5) / 10000.0 AS level_cents,
+       floor(st[2] * 10000 + 0.5) / 10000.0 AS trend_cents,
+       floor((st[1] + st[2]) * 10000 + 0.5) / 10000.0 AS forecast_cents,
+       floor(sqrt(st[3] / (n - 2)) * 10000 + 0.5) / 10000.0 AS rmse_cents
+FROM folded
+ORDER BY event_type
+""",
+)
+def ext_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT'S LINEAR TREND (double exponential smoothing, α={a} β={b})
+    over each event type's daily revenue series: final level/trend
+    state, the one-step-ahead forecast, and the in-sample one-step RMSE
+    — the workhorse short-horizon forecaster one rung above
+    ``ext_ts_ewma`` (which has no trend term); ``ext_ts_forecast_eval``
+    is the scoring harness such forecasts feed.
+
+    The recursion is inherently SEQUENTIAL, so it runs as a per-series
+    left fold with a struct state {{l, b, sse}} (``F.aggregate`` ==
+    DuckDB ``list_reduce`` + ``struct_pack``, identical arithmetic and
+    op order — the engine's float-determinism discipline), initialized
+    the standard way (l₂ = y₂, b₂ = y₂−y₁, fold from t=3).  Series are
+    CALENDAR-bounded (days in retention) so the per-group array is safe
+    by construction; series parallelize across the groupBy."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("d"), F.col("cents").cast("double").alias("y")))
+            ),
+            lambda s: s.getField("y"),
+        ).alias("ys"),
+    ).filter(F.col("n") >= 3)
+    A, B = float(_HOLT_ALPHA), float(_HOLT_BETA)
+
+    def step(acc, y):
+        f = acc.getField("l") + acc.getField("b")
+        l_new = F.lit(A) * y + (1.0 - F.lit(A)) * f
+        return F.struct(
+            l_new.alias("l"),
+            (F.lit(B) * (l_new - acc.getField("l")) + (1.0 - F.lit(B)) * acc.getField("b")).alias("b"),
+            (acc.getField("sse") + (y - f) * (y - f)).alias("sse"),
+        )
+
+    init = F.struct(
+        F.element_at("ys", 2).alias("l"),
+        (F.element_at("ys", 2) - F.element_at("ys", 1)).alias("b"),
+        F.lit(0.0).alias("sse"),
+    )
+    st = F.aggregate(F.slice("ys", 3, F.size("ys") - 2), init, step)
+
+    def q4(x):
+        return F.floor(x * 10000 + 0.5) / 10000.0
+
+    folded = arr.select("event_type", "n", st.alias("st"))
+    return folded.select(
+        "event_type",
+        "n",
+        q4(F.col("st.l")).alias("level_cents"),
+        q4(F.col("st.b")).alias("trend_cents"),
+        q4(F.col("st.l") + F.col("st.b")).alias("forecast_cents"),
+        q4(F.sqrt(F.col("st.sse") / (F.col("n") - 2))).alias("rmse_cents"),
+    ).orderBy("event_type")
+
+
+ext_ts_holt.__doc__ = ext_ts_holt.__doc__.format(a=_HOLT_ALPHA, b=_HOLT_BETA)
