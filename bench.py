@@ -68,6 +68,10 @@ NEW_THIS_ROUND = [
     # distributed dominance sweep, integer prominence, empty-batch guards,
     # fixed-width overflow guard, DP-histogram release column).
     "ext_decontaminate_longest_match",
+    "graph_personalized_pagerank",
+    "agg_bootstrap_ci",
+    "agg_mcnemar",
+    "agg_sprt",
     "ext_ts_crosscorr",
     "ext_ts_holt",
     "join_interp_lookup",

@@ -734,3 +734,100 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_label_propagation.__doc__ = graph_label_propagation.__doc__.format(
     k=_LPA_TOP_K
 )
+
+
+_PPR_SEED_MOD = 19  # part_key % MOD == 0 nodes form the restart set
+_PPR_ITERS = 4
+
+
+def _ppr_oracle() -> str:
+    """Unrolled fixed-iteration PERSONALIZED PageRank in DuckDB SQL —
+    the seed-restart indicator is a pure function of the node id, so no
+    iteration needs a seed join."""
+    parts = [
+        "WITH " + _EDGES_SQL.strip() + ",",
+        "sym AS (SELECT x AS s, y AS d FROM e UNION ALL SELECT y, x FROM e),",
+        "deg AS (SELECT s, count(*) AS dg FROM sym GROUP BY s),",
+        "links AS MATERIALIZED "
+        "(SELECT sym.s, sym.d, deg.dg FROM sym JOIN deg USING (s)),",
+        f"ns AS (SELECT count(*) AS cnt FROM deg WHERE s % {_PPR_SEED_MOD} = 0),",
+        f"r0 AS (SELECT s AS node, CASE WHEN s % {_PPR_SEED_MOD} = 0 "
+        "THEN 1.0 / (SELECT cnt FROM ns) ELSE 0.0 END AS pr FROM deg),",
+    ]
+    for i in range(_PPR_ITERS):
+        parts.append(
+            f"r{i + 1} AS (SELECT l.d AS node, "
+            f"(CASE WHEN l.d % {_PPR_SEED_MOD} = 0 "
+            f"THEN (1.0 - {_PR_DAMPING}) / (SELECT cnt FROM ns) "
+            f"ELSE 0.0 END) "
+            f"+ {_PR_DAMPING} * sum(r.pr / l.dg) AS pr "
+            f"FROM links l JOIN r{i} r ON l.s = r.node GROUP BY l.d),"
+        )
+    parts[-1] = parts[-1][:-1]
+    parts.append(
+        f"SELECT node AS part_key, "
+        f"node % {_PPR_SEED_MOD} = 0 AS is_seed, "
+        f"round(pr, {_PR_ROUND}) AS ppr "
+        f"FROM r{_PPR_ITERS}"
+    )
+    return "\n".join(parts)
+
+
+@register("graph_personalized_pagerank", oracle=_ppr_oracle())
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank from a seed set (part_key % {m} == 0 nodes,
+    restart mass split evenly): rank concentrates around the seeds'
+    neighborhood instead of global authority — the related-content /
+    similar-source expansion primitive (a crawl pipeline seeds PPR with
+    its trusted domains to score proximity-to-trust; recommenders seed
+    it with a user's items).  ``graph_pagerank`` is the uniform-restart
+    special case.
+
+    Same scale shape as PageRank: the static links relation materializes
+    once (localCheckpoint), each of the {it} iterations is ONE dst-keyed
+    map-side-combined shuffle, the rank vector is O(|V|), and the seed
+    indicator is a pure function of the node id — no seed join inside
+    the loop.  Oracle: unrolled CTE chain with MATERIALIZED links (the
+    graph_hits inline-explosion lesson)."""
+    e = _copurchase_edges(spark, sf_dir)
+    sym = e.select(F.col("x").alias("s"), F.col("y").alias("d")).unionAll(
+        e.select(F.col("y").alias("s"), F.col("x").alias("d"))
+    )
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
+    links = sym.join(deg, "s").localCheckpoint(eager=True)
+    seeds = links.select("s").distinct().filter(
+        F.col("s") % _PPR_SEED_MOD == 0
+    )
+    n_seeds = seeds.count()
+    restart = F.when(
+        F.col("node") % _PPR_SEED_MOD == 0,
+        F.lit((1.0 - _PR_DAMPING) / n_seeds),
+    ).otherwise(F.lit(0.0))
+    ranks = links.select("s").distinct().select(
+        F.col("s").alias("node"),
+        F.when(
+            F.col("s") % _PPR_SEED_MOD == 0, F.lit(1.0 / n_seeds)
+        ).otherwise(F.lit(0.0)).alias("pr"),
+    )
+    for _ in range(_PPR_ITERS):
+        ranks = (
+            links.join(ranks, links["s"] == ranks["node"])
+            .groupBy(F.col("d").alias("node"))
+            .agg(
+                F.sum(F.col("pr") / F.col("dg")).alias("mass")
+            )
+            .select(
+                "node",
+                (restart + F.lit(_PR_DAMPING) * F.col("mass")).alias("pr"),
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("part_key"),
+        (F.col("node") % _PPR_SEED_MOD == 0).alias("is_seed"),
+        F.round(F.col("pr"), _PR_ROUND).alias("ppr"),
+    )
+
+
+graph_personalized_pagerank.__doc__ = graph_personalized_pagerank.__doc__.format(
+    m=_PPR_SEED_MOD, it=_PPR_ITERS
+)

@@ -18,7 +18,7 @@ mandate territory like operators/aggregates.py's chi2/Cramers-V cells.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -829,3 +829,319 @@ def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("n_pairs") - F.col("ty"))
     )
     return p.select("n_pairs", "nc", "nd", r6(tau).alias("tau_b"))
+
+
+_BOOT_B = 20  # Poisson-bootstrap replicas
+# Cumulative Poisson(1) thresholds for the inverse-CDF draw (k = 0..5);
+# the SAME literals are formatted into the Spark plan and the oracle, so
+# the branch taken is engine-identical for every (row, replica).
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+@register(
+    "agg_bootstrap_ci",
+    oracle=f"""
+WITH reps AS (SELECT unnest(generate_series(1, {_BOOT_B})) AS b),
+drawn AS (
+  SELECT r.b,
+         CAST(round(e.value * 100) AS BIGINT) AS cents,
+         {_pois_case_sql(
+             "(CAST(('0x' || substr(md5(e.event_id || ':' || r.b), 1, 8)) "
+             "AS BIGINT) % 1000000 + 0.5) / 1000000.0"
+         )} AS k
+  FROM events e CROSS JOIN reps r
+),
+means AS (
+  SELECT b,
+         CAST(sum(k * cents) AS DOUBLE) / sum(k) AS m
+  FROM drawn GROUP BY b HAVING sum(k) > 0
+),
+ranked AS (
+  SELECT m, row_number() OVER (ORDER BY m, b) AS rk, count(*) OVER () AS nb
+  FROM means
+),
+pt AS (
+  SELECT CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+           / count(*) AS mean_cents
+  FROM events
+)
+SELECT CAST({_BOOT_B} AS BIGINT) AS n_replicas,
+       floor(pt.mean_cents * 10000 + 0.5) / 10000.0 AS mean_cents,
+       floor((SELECT m FROM ranked WHERE rk = 2) * 10000 + 0.5) / 10000.0
+         AS ci_lo_cents,
+       floor((SELECT m FROM ranked WHERE rk = nb - 1) * 10000 + 0.5) / 10000.0
+         AS ci_hi_cents
+FROM pt
+""",
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON-BOOTSTRAP confidence interval for the mean event value —
+    THE bootstrap that works at 100 TB (Chamandy et al. 2012, "Estimating
+    uncertainty for massive data streams"): instead of drawing n-out-of-n
+    resamples (which needs global coordination), each row's multiplicity
+    in replica b is an independent Poisson(1) draw — here the
+    deterministic md5 inverse-CDF draw on (event_id, b), so the whole
+    resampling plan is ONE projection + ONE groupBy, no RNG state, no
+    shuffle of the data itself, and it hash-matches across engines.
+
+    Replica means use exact integer (Σk·cents, Σk) sums; the 90% CI is
+    the 2nd / (B−1)th order statistic of the B replica means (B = {b}).
+    Replica count is a constant — the scan cost is B× one pass, which at
+    scale is run as one pass emitting B (b, k) pairs per row (this exact
+    plan after Catalyst pushes the crossJoin into the projection)."""
+    ev = table(spark, sf_dir, "events")
+    reps = spark.range(1, _BOOT_B + 1).select(F.col("id").alias("b"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("event_id"), F.col("b"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+        + 0.5
+    ) / 1000000.0
+    k = F.when(u < _POIS_CDF[0], 0)
+    for i, c in enumerate(_POIS_CDF[1:], start=1):
+        k = k.when(u < c, i)
+    k = k.otherwise(6)
+    drawn = ev.crossJoin(F.broadcast(reps)).select(
+        "b",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        k.alias("k"),
+    )
+    means = (
+        drawn.groupBy("b")
+        .agg(
+            F.sum(F.col("k") * F.col("cents")).cast("long").alias("skc"),
+            F.sum("k").cast("long").alias("sk"),
+        )
+        .filter(F.col("sk") > 0)
+        .select("b", (F.col("skc").cast("double") / F.col("sk")).alias("m"))
+    )
+    w = Window.orderBy("m", "b")  # B-row frame: bounded by construction
+    ranked = means.select(
+        "m",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("nb"),
+    )
+    pt = ev.agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_cents")
+    )
+
+    def q4(x):
+        return F.floor(x * 10000 + 0.5) / 10000.0
+
+    lo = ranked.filter(F.col("rk") == 2).select(q4(F.col("m")).alias("ci_lo_cents"))
+    hi = ranked.filter(F.col("rk") == F.col("nb") - 1).select(
+        q4(F.col("m")).alias("ci_hi_cents")
+    )
+    return (
+        pt.select(
+            F.lit(_BOOT_B).cast("long").alias("n_replicas"),
+            q4(F.col("mean_cents")).alias("mean_cents"),
+        )
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+    )
+
+
+agg_bootstrap_ci.__doc__ = agg_bootstrap_ci.__doc__.format(b=_BOOT_B)
+
+
+@register(
+    "agg_mcnemar",
+    oracle="""
+WITH y94 AS (
+  SELECT DISTINCT o_custkey AS c FROM orders
+  WHERE o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01'
+),
+y95 AS (
+  SELECT DISTINCT o_custkey AS c FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+),
+u AS (
+  SELECT coalesce(a.c, b.c) AS c,
+         a.c IS NOT NULL AS in94, b.c IS NOT NULL AS in95
+  FROM y94 a FULL OUTER JOIN y95 b ON a.c = b.c
+),
+cells AS (
+  SELECT CAST(sum(CASE WHEN in94 AND in95 THEN 1 ELSE 0 END) AS BIGINT) AS both_y,
+         CAST(sum(CASE WHEN in94 AND NOT in95 THEN 1 ELSE 0 END) AS BIGINT) AS churned,
+         CAST(sum(CASE WHEN NOT in94 AND in95 THEN 1 ELSE 0 END) AS BIGINT) AS acquired
+  FROM u
+)
+SELECT both_y, churned, acquired,
+       floor((CAST(churned AS DOUBLE) - acquired) * (churned - acquired)
+             / (churned + acquired) * 1000000 + 0.5) / 1000000.0
+         AS mcnemar_chi2
+FROM cells
+""",
+)
+def agg_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNEMAR'S TEST on paired customer activity (ordered in 1994 vs
+    1995): the chi² statistic (b−c)²/(b+c) over the DISCORDANT cells
+    only — the correct paired test for "did the same population's
+    behavior change?" (a plain two-proportion z-test double-counts the
+    customers present in both years; ``agg_ab_test`` covers the
+    unpaired design).
+
+    Two distinct-key projections, one full outer join on the customer
+    key, one map-side-combined cell count — each side is
+    |active customers|, never order-rows."""
+    o = table(spark, sf_dir, "orders")
+
+    def active(y: int) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("date"))
+            )
+            .select(F.col("o_custkey").alias("c"))
+            .distinct()
+        )
+
+    a = active(1994).withColumn("in94", F.lit(True))
+    b = active(1995).withColumn("in95", F.lit(True))
+    u = a.join(b, "c", "full").select(
+        F.coalesce("in94", F.lit(False)).alias("in94"),
+        F.coalesce("in95", F.lit(False)).alias("in95"),
+    )
+    cells = u.agg(
+        F.sum(F.when(F.col("in94") & F.col("in95"), 1).otherwise(0))
+        .cast("long")
+        .alias("both_y"),
+        F.sum(F.when(F.col("in94") & ~F.col("in95"), 1).otherwise(0))
+        .cast("long")
+        .alias("churned"),
+        F.sum(F.when(~F.col("in94") & F.col("in95"), 1).otherwise(0))
+        .cast("long")
+        .alias("acquired"),
+    )
+    chi2 = (
+        (F.col("churned").cast("double") - F.col("acquired"))
+        * (F.col("churned") - F.col("acquired"))
+        / (F.col("churned") + F.col("acquired"))
+    )
+    return cells.select(
+        "both_y",
+        "churned",
+        "acquired",
+        (F.floor(chi2 * 1000000 + 0.5) / 1000000.0).alias("mcnemar_chi2"),
+    )
+
+
+_SPRT_P0 = 0.18  # null conversion rate
+_SPRT_P1 = 0.22  # alternative conversion rate
+_SPRT_ALPHA = 0.05  # == beta; boundaries ±ln((1-a)/a) = ±ln(19)
+
+
+@register(
+    "agg_sprt",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+walk AS (
+  SELECT d, n, x,
+         CAST(sum(n) OVER (ORDER BY d) AS BIGINT) AS cum_n,
+         CAST(sum(x) OVER (ORDER BY d) AS BIGINT) AS cum_x
+  FROM daily
+)
+SELECT d, cum_n, cum_x,
+       floor((cum_x * ln(CAST({_SPRT_P1} AS DOUBLE) / {_SPRT_P0})
+              + (cum_n - cum_x)
+                * ln((1.0 - CAST({_SPRT_P1} AS DOUBLE))
+                     / (1.0 - CAST({_SPRT_P0} AS DOUBLE))))
+             * 1000000 + 0.5) / 1000000.0 AS llr,
+       CASE WHEN cum_x * ln(CAST({_SPRT_P1} AS DOUBLE) / {_SPRT_P0})
+                 + (cum_n - cum_x)
+                   * ln((1.0 - CAST({_SPRT_P1} AS DOUBLE))
+                        / (1.0 - CAST({_SPRT_P0} AS DOUBLE)))
+                 >= ln((1.0 - CAST({_SPRT_ALPHA} AS DOUBLE)) / {_SPRT_ALPHA})
+            THEN 'accept_h1'
+            WHEN cum_x * ln(CAST({_SPRT_P1} AS DOUBLE) / {_SPRT_P0})
+                 + (cum_n - cum_x)
+                   * ln((1.0 - CAST({_SPRT_P1} AS DOUBLE))
+                        / (1.0 - CAST({_SPRT_P0} AS DOUBLE)))
+                 <= -ln((1.0 - CAST({_SPRT_ALPHA} AS DOUBLE)) / {_SPRT_ALPHA})
+            THEN 'accept_h0'
+            ELSE 'continue' END AS verdict
+FROM walk
+ORDER BY d
+""",
+)
+def agg_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL PROBABILITY RATIO TEST (Wald 1945) on the daily
+    purchase-conversion walk: H0 p={p0} vs H1 p={p1}, boundaries
+    ±ln((1−α)/α) at α=β={a} — the always-valid sequential A/B monitor
+    that may STOP EARLY (the fixed-horizon tests ``agg_ab_test`` /
+    ``agg_welch_t`` must wait for their full sample; peeking at them
+    inflates false positives, peeking at SPRT is the design).
+
+    Float discipline: the log-likelihood-ratio walk is NOT a running sum
+    of doubles — the cumulative llr is reconstructed per day from EXACT
+    integer prefix counts (``cum_x·L1 + (cum_n−cum_x)·L0``), so no
+    float accumulation exists to diverge (running double windows use
+    engine-specific tree aggregation; integer prefixes do not).  The
+    walk grain is calendar-bounded."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+    )
+    w = Window.orderBy("d")  # calendar-bounded frame (days in retention)
+    walk = daily.select(
+        "d",
+        F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long").alias("cum_n"),
+        F.sum("x").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long").alias("cum_x"),
+    )
+    l1 = F.log(F.lit(_SPRT_P1) / F.lit(_SPRT_P0))
+    l0 = F.log((1.0 - F.lit(_SPRT_P1)) / (1.0 - F.lit(_SPRT_P0)))
+    llr = F.col("cum_x") * l1 + (F.col("cum_n") - F.col("cum_x")) * l0
+    bound = F.log((1.0 - F.lit(_SPRT_ALPHA)) / F.lit(_SPRT_ALPHA))
+    return walk.select(
+        "d",
+        "cum_n",
+        "cum_x",
+        (F.floor(llr * 1000000 + 0.5) / 1000000.0).alias("llr"),
+        F.when(llr >= bound, "accept_h1")
+        .when(llr <= -bound, "accept_h0")
+        .otherwise("continue")
+        .alias("verdict"),
+    ).orderBy("d")
+
+
+agg_sprt.__doc__ = agg_sprt.__doc__.format(
+    p0=_SPRT_P0, p1=_SPRT_P1, a=_SPRT_ALPHA
+)
