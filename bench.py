@@ -68,6 +68,10 @@ NEW_THIS_ROUND = [
     # distributed dominance sweep, integer prominence, empty-batch guards,
     # fixed-width overflow guard, DP-histogram release column).
     "ext_decontaminate_longest_match",
+    "agg_cuped",
+    "join_cardinality_audit",
+    "fn_luhn",
+    "stream_sprt",
     "graph_personalized_pagerank",
     "agg_bootstrap_ci",
     "agg_mcnemar",

@@ -1240,3 +1240,50 @@ def fn_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY month
         """
     )
+
+
+@register(
+    "fn_luhn",
+    oracle="""
+WITH pans AS (
+  SELECT o_orderkey, lpad(CAST(o_orderkey AS VARCHAR), 16, '3') AS pan
+  FROM orders
+),
+digits AS (
+  SELECT o_orderkey, pan,
+         CAST(sum(CASE WHEN (16 - i) % 2 = 1
+                       THEN CASE WHEN 2 * CAST(pan[i] AS INTEGER) > 9
+                                 THEN 2 * CAST(pan[i] AS INTEGER) - 9
+                                 ELSE 2 * CAST(pan[i] AS INTEGER) END
+                       ELSE CAST(pan[i] AS INTEGER) END) AS BIGINT) AS s
+  FROM pans, unnest(generate_series(1, 16)) AS u(i)
+  GROUP BY 1, 2
+)
+SELECT o_orderkey, pan, s % 10 = 0 AS luhn_valid
+FROM digits
+ORDER BY o_orderkey
+""",
+)
+def fn_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LUHN (mod-10) checksum validation — the PAN/IMEI/account-number
+    integrity check every PII scrubber and payments ingest runs (a
+    16-digit string that fails Luhn is NOT a card number, which is how
+    ``ext_pii_mask``-class detectors cut false positives).  Each order
+    key is zero-padded into a synthetic 16-digit PAN; the checksum
+    (double every second digit from the right, subtract 9 past 9, sum
+    mod 10) evaluates INSIDE the token array via a transform over the
+    digit positions — one whole-stage-codegen projection, integer
+    arithmetic only, no UDF."""
+    o = table(spark, sf_dir, "orders")
+    pan = F.lpad(F.col("o_orderkey").cast("string"), 16, "3")
+    d = lambda i: F.substring(pan, i, 1).cast("int")  # noqa: E731
+    term = lambda i: F.when(  # noqa: E731
+        ((16 - i) % 2) == 1,
+        F.when(2 * d(i) > 9, 2 * d(i) - 9).otherwise(2 * d(i)),
+    ).otherwise(d(i))
+    total = sum(term(F.lit(i)) for i in range(1, 17))
+    return o.select(
+        "o_orderkey",
+        pan.alias("pan"),
+        ((total % 10) == 0).alias("luhn_valid"),
+    ).orderBy("o_orderkey")

@@ -1145,3 +1145,158 @@ def agg_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
 agg_sprt.__doc__ = agg_sprt.__doc__.format(
     p0=_SPRT_P0, p1=_SPRT_P1, a=_SPRT_ALPHA
 )
+
+
+@register(
+    "agg_cuped",
+    oracle="""
+WITH pre AS (
+  SELECT o_custkey AS c,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS p
+  FROM orders
+  WHERE o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01'
+  GROUP BY 1
+),
+post AS (
+  SELECT o_custkey AS c,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+  GROUP BY 1
+),
+units AS (
+  SELECT pre.c, CAST(pre.c % 2 AS BIGINT) AS arm, pre.p,
+         coalesce(post.y, 0) AS y
+  FROM pre LEFT JOIN post USING (c)
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(p) AS BIGINT) AS sp, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(p * p) AS BIGINT) AS spp,
+         CAST(sum(p * y) AS BIGINT) AS spy
+  FROM units
+),
+theta AS (
+  SELECT (CAST(spy AS DOUBLE) - CAST(sp AS DOUBLE) * sy / n)
+         / (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * sp / n) AS th,
+         CAST(sp AS DOUBLE) / n AS mu_p
+  FROM g
+),
+arms AS (
+  SELECT arm,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(p) AS BIGINT) AS sp, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(p * p) AS BIGINT) AS spp,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(p * y) AS BIGINT) AS spy
+  FROM units GROUP BY 1
+)
+SELECT a.arm, a.n,
+       floor(CAST(a.sy AS DOUBLE) / a.n * 10000 + 0.5) / 10000.0
+         AS mean_post_cents,
+       floor((CAST(a.sy AS DOUBLE) / a.n
+              - t.th * (CAST(a.sp AS DOUBLE) / a.n - t.mu_p))
+             * 10000 + 0.5) / 10000.0 AS mean_cuped_cents,
+       floor(((CAST(a.syy AS DOUBLE) - CAST(a.sy AS DOUBLE) * a.sy / a.n)
+              / (a.n - 1)) * 10000 + 0.5) / 10000.0 AS var_post,
+       floor((((CAST(a.syy AS DOUBLE) - CAST(a.sy AS DOUBLE) * a.sy / a.n)
+               + t.th * t.th
+                 * (CAST(a.spp AS DOUBLE) - CAST(a.sp AS DOUBLE) * a.sp / a.n)
+               - 2.0 * t.th
+                 * (CAST(a.spy AS DOUBLE) - CAST(a.sp AS DOUBLE) * a.sy / a.n))
+              / (a.n - 1)) * 10000 + 0.5) / 10000.0 AS var_cuped
+FROM arms a CROSS JOIN theta t
+ORDER BY a.arm
+""",
+)
+def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013 — the industry-standard
+    A/B sensitivity boost): adjust each unit's experiment-period metric
+    by its PRE-period covariate, ``ŷ = y − θ(p − μ_p)`` with
+    ``θ = cov(p,y)/var(p)`` pooled across arms, and report per-arm
+    post vs CUPED-adjusted means and variances — the var_cuped/var_post
+    ratio IS the sample-size saving.
+
+    Units are customers active in the 1994 pre-period (arm =
+    c_custkey % 2, post = 1995 spend, 0 when absent).  Every moment
+    (Σp, Σy, Σp², Σy², Σpy) is an exact integer-cents sum; θ and the
+    adjusted means/variances are closed-form shared double expressions.
+    Two filtered aggregates + one join on the customer grain, one
+    5-number global aggregate, |arms| output rows."""
+    o = table(spark, sf_dir, "orders")
+
+    def spend(y: int):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("date"))
+            )
+            .groupBy(F.col("o_custkey").alias("c"))
+            .agg(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("long")
+                .alias("v")
+            )
+        )
+
+    units = (
+        spend(1994)
+        .withColumnRenamed("v", "p")
+        .join(spend(1995).withColumnRenamed("v", "y"), "c", "left")
+        .select(
+            (F.col("c") % 2).cast("long").alias("arm"),
+            "p",
+            F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    g = units.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("p").cast("long").alias("sp"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("p") * F.col("p")).cast("long").alias("spp"),
+        F.sum(F.col("p") * F.col("y")).cast("long").alias("spy"),
+    ).select(
+        (
+            (F.col("spy").cast("double") - F.col("sp").cast("double") * F.col("sy") / F.col("n"))
+            / (F.col("spp").cast("double") - F.col("sp").cast("double") * F.col("sp") / F.col("n"))
+        ).alias("th"),
+        (F.col("sp").cast("double") / F.col("n")).alias("mu_p"),
+    )
+    arms = units.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("p").cast("long").alias("sp"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("p") * F.col("p")).cast("long").alias("spp"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("p") * F.col("y")).cast("long").alias("spy"),
+    )
+
+    def q4(x):
+        return F.floor(x * 10000 + 0.5) / 10000.0
+
+    css_y = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+    css_p = F.col("spp").cast("double") - F.col("sp").cast("double") * F.col("sp") / F.col("n")
+    ccs_py = F.col("spy").cast("double") - F.col("sp").cast("double") * F.col("sy") / F.col("n")
+    return (
+        arms.crossJoin(F.broadcast(g))
+        .select(
+            "arm",
+            "n",
+            q4(F.col("sy").cast("double") / F.col("n")).alias("mean_post_cents"),
+            q4(
+                F.col("sy").cast("double") / F.col("n")
+                - F.col("th")
+                * (F.col("sp").cast("double") / F.col("n") - F.col("mu_p"))
+            ).alias("mean_cuped_cents"),
+            q4(css_y / (F.col("n") - 1)).alias("var_post"),
+            q4(
+                (
+                    css_y
+                    + F.col("th") * F.col("th") * css_p
+                    - 2.0 * F.col("th") * ccs_py
+                )
+                / (F.col("n") - 1)
+            ).alias("var_cuped"),
+        )
+        .orderBy("arm")
+    )

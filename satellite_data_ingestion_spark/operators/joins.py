@@ -865,3 +865,76 @@ def join_interp_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+_JCA_TOPK = 10  # heaviest keys reported
+
+
+@register(
+    "join_cardinality_audit",
+    oracle=f"""
+WITH k AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(cnt * cnt) AS BIGINT) AS join_rows,
+         CAST(max(cnt) AS BIGINT) AS max_cnt
+  FROM k
+),
+top AS (
+  SELECT l_partkey, cnt FROM k
+  ORDER BY cnt DESC, l_partkey LIMIT {_JCA_TOPK}
+)
+SELECT t.l_partkey, t.cnt,
+       CAST(t.cnt * t.cnt AS BIGINT) AS self_join_rows,
+       tot.join_rows AS total_join_rows,
+       floor(CAST(t.cnt AS DOUBLE) * tot.n_keys / tot.n_rows * 10000 + 0.5)
+         / 10000.0 AS skew_vs_avg
+FROM top t CROSS JOIN tot
+ORDER BY t.cnt DESC, t.l_partkey
+""",
+)
+def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-CARDINALITY AUDIT before a key-equi self-join: per-key counts
+    on the join key (l_partkey), the EXACT output cardinality a
+    self-join would produce (Σ cnt² — the number that decides between a
+    plain shuffle join and ``join_salted``), and the {k} heaviest keys
+    with their skew ratio vs the average key.  This is the planning
+    diagnostic run BEFORE the expensive join, not after it OOMs: the
+    audit costs one map-side-combined groupBy over the key column only.
+
+    The top-k is a TakeOrderedAndProject heap (global limit over the
+    key-grain frame — no full sort materializes); totals ride a
+    broadcast 1-row aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = k.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("join_rows"),
+    )
+    top = k.orderBy(F.desc("cnt"), F.asc("l_partkey")).limit(_JCA_TOPK)
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            "cnt",
+            (F.col("cnt") * F.col("cnt")).cast("long").alias("self_join_rows"),
+            F.col("join_rows").alias("total_join_rows"),
+            (
+                F.floor(
+                    F.col("cnt").cast("double") * F.col("n_keys") / F.col("n_rows") * 10000
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("skew_vs_avg"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("l_partkey"))
+    )
+
+
+join_cardinality_audit.__doc__ = join_cardinality_audit.__doc__.format(
+    k=_JCA_TOPK
+)

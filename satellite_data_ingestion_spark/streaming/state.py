@@ -584,3 +584,119 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2(F.col("baseline_c")).alias("baseline_mean_cents"),
         "drift",
     )
+
+
+_SSPRT_P0 = 0.18  # null purchase-conversion rate (shared with agg_sprt)
+_SSPRT_P1 = 0.22
+_SSPRT_ALPHA = 0.05
+_SSPRT_BUCKETS = 5
+
+
+@register(
+    "stream_sprt",
+    oracle=f"""
+WITH b AS (
+  SELECT CAST(event_id % {_SSPRT_BUCKETS} AS BIGINT) AS batch_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+walk AS (
+  SELECT batch_id, n, x,
+         CAST(sum(n) OVER (ORDER BY batch_id) AS BIGINT) AS cum_n,
+         CAST(sum(x) OVER (ORDER BY batch_id) AS BIGINT) AS cum_x
+  FROM b
+)
+SELECT batch_id, cum_n, cum_x,
+       floor((cum_x * ln(CAST({_SSPRT_P1} AS DOUBLE) / {_SSPRT_P0})
+              + (cum_n - cum_x)
+                * ln((1.0 - CAST({_SSPRT_P1} AS DOUBLE))
+                     / (1.0 - CAST({_SSPRT_P0} AS DOUBLE))))
+             * 1000000 + 0.5) / 1000000.0 AS llr,
+       CASE WHEN cum_x * ln(CAST({_SSPRT_P1} AS DOUBLE) / {_SSPRT_P0})
+                 + (cum_n - cum_x)
+                   * ln((1.0 - CAST({_SSPRT_P1} AS DOUBLE))
+                        / (1.0 - CAST({_SSPRT_P0} AS DOUBLE)))
+                 >= ln((1.0 - CAST({_SSPRT_ALPHA} AS DOUBLE))
+                       / {_SSPRT_ALPHA})
+            THEN 'accept_h1'
+            WHEN cum_x * ln(CAST({_SSPRT_P1} AS DOUBLE) / {_SSPRT_P0})
+                 + (cum_n - cum_x)
+                   * ln((1.0 - CAST({_SSPRT_P1} AS DOUBLE))
+                        / (1.0 - CAST({_SSPRT_P0} AS DOUBLE)))
+                 <= -ln((1.0 - CAST({_SSPRT_ALPHA} AS DOUBLE))
+                        / {_SSPRT_ALPHA})
+            THEN 'accept_h0'
+            ELSE 'continue' END AS verdict
+FROM walk
+ORDER BY batch_id
+""",
+)
+def stream_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SPRT: ``agg_sprt``'s sequential A/B monitor run the way
+    production runs it — one log-likelihood-ratio update per arriving
+    MICRO-BATCH, with the decision available after every commit instead
+    of at day grain (the whole point of a sequential test is stopping
+    the moment the boundary is crossed; a batch recompute can only stop
+    at its own cadence).
+
+    State carried across batches is TWO integers (cum_n, cum_x) — the
+    llr is reconstructed per batch from exact integer prefixes, the
+    ``agg_sprt`` float discipline; each batch costs one executor-side
+    aggregate (the driver sees two numbers per commit).  The staged
+    event_id%{k} bucketing gives the run an exact SQL oracle over the
+    batch spine."""
+    import math as _math
+
+    _prepare(spark)
+    staging = _stage_events_bucketed(spark, sf_dir, _SSPRT_BUCKETS, "sprt")
+    schema = spark.read.parquet(staging).schema
+    state = {"n": 0, "x": 0}
+    out: list[tuple[int, int, int]] = []
+
+    def monitor(df: DataFrame, batch_id: int) -> None:
+        m = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+        ).collect()[0]
+        if m.n == 0:
+            # no-data retrigger: nothing to fold, nothing the oracle's
+            # data-derived batch spine could match — log-and-skip.
+            print(f"stream_sprt: empty micro-batch {batch_id} (skipped)")
+            return
+        state["n"] += m.n
+        state["x"] += m.x
+        out.append((batch_id, state["n"], state["x"]))
+
+    with _few_shuffle_partitions(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+            .writeStream.foreachBatch(monitor)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
+            .start()
+        )
+        q.awaitTermination(120)
+    shutil.rmtree(staging, ignore_errors=True)
+    res = spark.createDataFrame(
+        sorted(out), "batch_id long, cum_n long, cum_x long"
+    )
+    l1 = F.log(F.lit(_SSPRT_P1) / F.lit(_SSPRT_P0))
+    l0 = F.log((1.0 - F.lit(_SSPRT_P1)) / (1.0 - F.lit(_SSPRT_P0)))
+    llr = F.col("cum_x") * l1 + (F.col("cum_n") - F.col("cum_x")) * l0
+    bound = F.log((1.0 - F.lit(_SSPRT_ALPHA)) / F.lit(_SSPRT_ALPHA))
+    return res.select(
+        "batch_id",
+        "cum_n",
+        "cum_x",
+        (F.floor(llr * 1000000 + 0.5) / 1000000.0).alias("llr"),
+        F.when(llr >= bound, "accept_h1")
+        .when(llr <= -bound, "accept_h0")
+        .otherwise("continue")
+        .alias("verdict"),
+    ).orderBy("batch_id")
