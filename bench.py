@@ -68,6 +68,9 @@ NEW_THIS_ROUND = [
     # distributed dominance sweep, integer prominence, empty-batch guards,
     # fixed-width overflow guard, DP-histogram release column).
     "ext_decontaminate_longest_match",
+    "ext_ts_periodogram",
+    "ext_domain_reweight",
+    "sink_delta_manifest",
     "agg_cuped",
     "join_cardinality_audit",
     "fn_luhn",

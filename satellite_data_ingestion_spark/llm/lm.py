@@ -225,3 +225,193 @@ def ext_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ext_ngram_lm_score.__doc__ = ext_ngram_lm_score.__doc__.format(th=_PPL_KEEP)
+
+
+_DRW_ETA = 0.5  # exponentiated-gradient step on normalized excess loss
+
+
+@register(
+    "ext_domain_reweight",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_prepend('{_BOS}', str_split(lower(text), ' ')) AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, i AS pos, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks)
+),
+pair_n AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY 1, 2
+),
+ctx_n AS (SELECT w1, CAST(sum(n) AS BIGINT) AS c1 FROM pair_n GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS vsz FROM pair_n),
+lm AS (
+  SELECT p.w1, p.w2,
+         ln((p.n + CAST({_LM_K} AS DOUBLE))
+            / (c.c1 + CAST({_LM_K} AS DOUBLE) * v.vsz)) AS lp
+  FROM pair_n p JOIN ctx_n c USING (w1) CROSS JOIN v
+),
+doc_ppl AS (
+  SELECT b.doc_id,
+         CAST(floor(exp(-list_reduce(
+                 list_prepend(CAST(0 AS DOUBLE), list(lm.lp ORDER BY b.pos)),
+                 (a, x) -> a + x) / count(*)) * 10000 + 0.5) AS BIGINT)
+           AS ppl4
+  FROM bg b JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
+  GROUP BY b.doc_id
+),
+dom AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(p.ppl4) AS BIGINT) AS sp4
+  FROM documents d JOIN doc_ppl p USING (doc_id)
+  GROUP BY 1
+),
+scored AS (
+  SELECT source, n_docs,
+         CAST(sp4 AS DOUBLE) / n_docs / 10000 AS mean_ppl,
+         CAST(n_docs AS DOUBLE)
+           / (SELECT sum(n_docs) FROM dom) AS base_share,
+         (CAST(sp4 AS DOUBLE) / n_docs
+          - (SELECT min(CAST(sp4 AS DOUBLE) / n_docs) FROM dom)) / 10000
+           AS excess
+  FROM dom
+),
+unnorm AS (
+  SELECT source, n_docs, mean_ppl, base_share,
+         base_share * exp(CAST({_DRW_ETA} AS DOUBLE) * excess) AS uw
+  FROM scored
+),
+z AS (
+  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                  list(uw ORDER BY source)),
+                     (a, x) -> a + x) AS z
+  FROM unnorm
+)
+SELECT u.source, u.n_docs,
+       floor(u.mean_ppl * 10000 + 0.5) / 10000.0 AS mean_ppl,
+       floor(u.base_share * 1000000 + 0.5) / 1000000.0 AS base_share,
+       floor(u.uw / z.z * 1000000 + 0.5) / 1000000.0 AS weight
+FROM unnorm u CROSS JOIN z
+ORDER BY u.source
+""",
+)
+def ext_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOMAIN REWEIGHTING, DoReMi-style (Xie et al. 2023, simplified to
+    one exponentiated-gradient round on a static proxy loss): each
+    source's mixture weight is its base share scaled by
+    ``exp(η · excess_loss)`` — domains the proxy LM finds HARD
+    (high perplexity under ``ext_ngram_lm_train``'s bigram model, the
+    excess over the easiest domain) get upweighted, the
+    harder-data-deserves-more-epochs principle behind trained mixture
+    weights (``ext_mix_temperature`` is the count-only heuristic this
+    replaces).
+
+    Per-doc perplexities are quantized to integer 1e-4 units FIRST, so
+    the per-source aggregation is an exact integer sum at any corpus
+    size (no corpus-sized float fold); the |domains|-row normalizer
+    folds in source order.  One corpus bigram pass + one broadcast LM
+    join + two bounded aggregates."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.concat(F.array(F.lit(_BOS)), _tok_arr())
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.element_at(t, i).alias("w1"),
+                    F.element_at(t, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.pos", "b.w1", "b.w2")
+    pair_n = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ctx_n = pair_n.groupBy("w1").agg(F.sum("n").cast("long").alias("c1"))
+    vsz = pair_n.agg(F.countDistinct("w2").cast("long").alias("vsz"))
+    lm = (
+        pair_n.join(ctx_n, "w1")
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (F.col("n") + F.lit(_LM_K))
+                / (F.col("c1") + F.lit(_LM_K) * F.col("vsz"))
+            ).alias("lp"),
+        )
+    )
+    ll = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("lp")))),
+            lambda s: s.getField("lp"),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    doc_ppl = (
+        bg.join(F.broadcast(lm), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.floor(
+                F.exp(-ll / F.count(F.lit(1))) * 10000 + 0.5
+            ).cast("long").alias("ppl4")
+        )
+    )
+    dom = (
+        docs.select("doc_id", "source")
+        .join(doc_ppl, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ppl4").cast("long").alias("sp4"),
+        )
+    )
+    tots = dom.agg(
+        F.sum("n_docs").cast("long").alias("nt"),
+        F.min(F.col("sp4").cast("double") / F.col("n_docs")).alias("min_mp4"),
+    )
+    scored = dom.crossJoin(F.broadcast(tots)).select(
+        "source",
+        "n_docs",
+        (F.col("sp4").cast("double") / F.col("n_docs") / 10000).alias("mean_ppl"),
+        (F.col("n_docs").cast("double") / F.col("nt")).alias("base_share"),
+        (
+            (F.col("sp4").cast("double") / F.col("n_docs") - F.col("min_mp4"))
+            / 10000
+        ).alias("excess"),
+    )
+    unnorm = scored.select(
+        "source",
+        "n_docs",
+        "mean_ppl",
+        "base_share",
+        (F.col("base_share") * F.exp(F.lit(_DRW_ETA) * F.col("excess"))).alias("uw"),
+    )
+    z = unnorm.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("source"), F.col("uw").alias("u")))),
+                lambda s: s.getField("u"),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("z")
+    )
+
+    def q6(x):
+        return F.floor(x * 1000000 + 0.5) / 1000000.0
+
+    return (
+        unnorm.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            (F.floor(F.col("mean_ppl") * 10000 + 0.5) / 10000.0).alias("mean_ppl"),
+            q6(F.col("base_share")).alias("base_share"),
+            q6(F.col("uw") / F.col("z")).alias("weight"),
+        )
+        .orderBy("source")
+    )

@@ -16,6 +16,8 @@ is one window over the same key, ordered by slot.  Grid size is
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2488,3 +2490,107 @@ def ext_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ext_ts_holt.__doc__ = ext_ts_holt.__doc__.format(a=_HOLT_ALPHA, b=_HOLT_BETA)
+
+
+_PGRAM_MAX_K = 7  # harmonics evaluated (k cycles over the observed span)
+
+
+@register(
+    "ext_ts_periodogram",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT CAST(row_number() OVER (ORDER BY d) - 1 AS BIGINT) AS t,
+         CAST(cents AS DOUBLE) AS y,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         CAST(sum(cents) OVER () AS BIGINT) AS tot
+  FROM daily
+),
+k AS (SELECT unnest(generate_series(1, {_PGRAM_MAX_K})) AS k),
+terms AS (
+  SELECT k.k, s.t,
+         (s.y - CAST(s.tot AS DOUBLE) / s.n)
+           * cos(2 * pi() * k.k * s.t / s.n) AS c_term,
+         (s.y - CAST(s.tot AS DOUBLE) / s.n)
+           * sin(2 * pi() * k.k * s.t / s.n) AS s_term,
+         s.n
+  FROM s CROSS JOIN k
+),
+folded AS (
+  SELECT k, max(n) AS n,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(c_term ORDER BY t)),
+                     (a, x) -> a + x) AS ck,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(s_term ORDER BY t)),
+                     (a, x) -> a + x) AS sk
+  FROM terms GROUP BY k
+)
+SELECT CAST(k AS BIGINT) AS k, n,
+       floor((ck * ck + sk * sk) / n * 10000 + 0.5) / 10000.0 AS power
+FROM folded
+ORDER BY k
+""",
+)
+def ext_ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERIODOGRAM of the daily revenue series — spectral power at the
+    first {k} harmonics via the direct DFT, the frequency-domain
+    periodicity detector behind ``ext_ts_seasonal``'s fixed weekly
+    profile (the profile assumes period 7; the periodogram FINDS the
+    period, and its peak harmonic is what ``ext_seasonality_strength``
+    should be pointed at).
+
+    Mean-centered cosine/sine projections; the per-harmonic sums fold
+    SEQUENTIALLY over the time-ordered term arrays (the engine's float
+    discipline — cos/sin of identical double arguments are identical,
+    only the accumulation order needed pinning).  The series grain is
+    calendar-bounded; harmonics are a {k}-row broadcast."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
+    )
+    w = W.orderBy("d")  # calendar-bounded frame
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    s = daily.select(
+        (F.row_number().over(w) - 1).cast("long").alias("t"),
+        F.col("cents").cast("double").alias("y"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+        F.sum("cents").over(wall).cast("long").alias("tot"),
+    )
+    ks = spark.range(1, _PGRAM_MAX_K + 1).select(F.col("id").cast("long").alias("k"))
+    ang = 2 * F.lit(math.pi) * F.col("k") * F.col("t") / F.col("n")
+    dev = F.col("y") - F.col("tot").cast("double") / F.col("n")
+    terms = s.crossJoin(F.broadcast(ks)).select(
+        "k",
+        "t",
+        "n",
+        (dev * F.cos(ang)).alias("c_term"),
+        (dev * F.sin(ang)).alias("s_term"),
+    )
+
+    def fold(col):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("t"), col.alias("v")))),
+                lambda st: st.getField("v"),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    folded = terms.groupBy("k").agg(
+        F.max("n").cast("long").alias("n"),
+        fold(F.col("c_term")).alias("ck"),
+        fold(F.col("s_term")).alias("sk"),
+    )
+    power = (F.col("ck") * F.col("ck") + F.col("sk") * F.col("sk")) / F.col("n")
+    return folded.select(
+        "k", "n", (F.floor(power * 10000 + 0.5) / 10000.0).alias("power")
+    ).orderBy("k")
+
+
+ext_ts_periodogram.__doc__ = ext_ts_periodogram.__doc__.format(k=_PGRAM_MAX_K)

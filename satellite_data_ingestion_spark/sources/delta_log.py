@@ -244,6 +244,50 @@ class DeltaLogTable:
         live, schema, _ = self._replay_actions(version)
         return sorted(live), schema
 
+    def generate_manifest(self) -> list[str]:
+        """GENERATE ``symlink_format_manifest`` (Delta's manifest export
+        for Presto/Trino/Athena-class readers that speak
+        SymlinkTextInputFormat, not the transaction log): text manifest
+        files under ``_symlink_format_manifest/`` listing the ABSOLUTE
+        paths of the table's LIVE data files at the current head — one
+        manifest per partition directory on a partitioned table, a
+        single ``manifest`` file otherwise.  Returns the manifest paths.
+
+        The manifest is a LOG-REPLAY product: tombstoned and
+        compacted-away files never appear, so an external engine reading
+        the manifest sees exactly the committed snapshot while a raw
+        directory listing would double-count (the ``sink_delta_table``
+        lesson, exported).  Files with deletion vectors cannot be
+        represented as plain paths — loud refusal, like the spec's
+        reader-obligation guards."""
+        head = self.latest_version()
+        if head < 0:
+            raise ValueError("cannot generate a manifest for an empty table")
+        live, _, partition_cols = self._replay_actions(head)
+        for p, a in live.items():
+            if a.get("deletionVector"):
+                raise NotImplementedError(
+                    f"manifest cannot represent deletion vector on {p!r}"
+                )
+        mroot = os.path.join(self.root, "_symlink_format_manifest")
+        shutil.rmtree(mroot, ignore_errors=True)
+        groups: dict[str, list[str]] = {}
+        for p in sorted(live):
+            part_dir = os.path.dirname(p) if partition_cols else ""
+            groups.setdefault(part_dir, []).append(
+                os.path.abspath(os.path.join(self.root, p))
+            )
+        out = []
+        for part_dir, paths in sorted(groups.items()):
+            d = os.path.join(mroot, part_dir) if part_dir else mroot
+            os.makedirs(d, exist_ok=True)
+            mpath = os.path.join(d, "manifest")
+            with open(mpath, "w") as fh:
+                fh.write("\n".join(paths) + "\n")
+            out.append(mpath)
+        return out
+
+
     # -- write path ---------------------------------------------------
 
     @staticmethod
@@ -5005,6 +5049,52 @@ def sink_delta_dv_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.delete_rows_dv("l_quantity", 49, 50)
     return (
         t.read()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "sink_delta_manifest",
+    oracle="""
+SELECT l_returnflag,
+       count(*)                  AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def sink_delta_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST EXPORT round-trip (Delta's ``GENERATE
+    symlink_format_manifest``): three fragmenting appends + an
+    OPTIMIZE-style compaction (which tombstones the fragments with
+    ``dataChange: false``), then the manifest is generated and the
+    table is read back USING ONLY THE MANIFEST PATHS — the way a
+    log-unaware external engine (Presto/Trino/Athena
+    SymlinkTextInputFormat) consumes a Delta table.  The aggregate must
+    equal the clean lineitem oracle: a raw directory listing would
+    sweep in both the fragments AND their compaction and double-count
+    every row, so a matching hash proves the manifest is a log-replay
+    product, not a file listing."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    root = tempfile.mkdtemp(prefix="sdis_delta_manifest_")
+    t = DeltaLogTable(spark, root)
+    t.commit_append(li.filter(F.col("l_linenumber") <= 2))
+    t.commit_append(li.filter(F.col("l_linenumber").between(3, 4)))
+    t.commit_append(li.filter(F.col("l_linenumber") >= 5))
+    t.compact()
+    manifests = t.generate_manifest()
+    paths = []
+    for m in manifests:
+        with open(m) as fh:
+            paths.extend(line.strip() for line in fh if line.strip())
+    return (
+        spark.read.parquet(*paths)
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

@@ -1354,3 +1354,55 @@ def test_two_writer_same_app_txn_race_is_idempotent(spark, tbl, monkeypatch):
     # idempotence wins: the loser's epoch-5 rows must NOT be in the table
     assert sorted(r.x for r in tbl.read().collect()) == [0, 99]
     assert tbl.last_txn_version("app") == 5
+
+
+def test_generate_manifest_partitioned_and_dv_guard(spark, tbl):
+    """Manifest export: a partitioned table gets one manifest per
+    partition directory, each listing only LIVE absolute paths (the
+    compacted-away fragment must not appear); a table with a deletion
+    vector refuses loudly (plain paths cannot represent masked rows)."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b")], "x long, p string"
+    )
+    tbl.commit_append(df, partition_by=["p"])
+    manifests = tbl.generate_manifest()
+    assert len(manifests) == 2
+    assert all(os.path.basename(m) == "manifest" for m in manifests)
+    listed = []
+    for m in manifests:
+        with open(m) as fh:
+            listed.extend(line.strip() for line in fh if line.strip())
+    live, _ = tbl._replay(tbl.latest_version())
+    assert sorted(listed) == sorted(
+        os.path.abspath(os.path.join(tbl.root, p)) for p in live
+    )
+    assert all(os.path.exists(p) for p in listed)
+    # DV guard: fake a deletion vector on one live add action
+    from satellite_data_ingestion_spark.sources.delta_log import (
+        DeltaLogTable,
+    )
+
+    t2 = DeltaLogTable(spark, tbl.root + "_dv")
+    t2.commit_append(spark.createDataFrame([(1,)], "x long"))
+    head = t2.latest_version()
+    live2, _, _ = t2._replay_actions(head)
+    path = next(iter(live2))
+    t2._publish(
+        [
+            {"remove": {"path": path, "deletionTimestamp": 0, "dataChange": True}},
+            {
+                "add": {
+                    "path": path,
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "deletionVector": {"storageType": "u", "pathOrInlineDv": "x",
+                                       "offset": 1, "sizeInBytes": 1,
+                                       "cardinality": 1},
+                }
+            },
+        ]
+    )
+    with pytest.raises(NotImplementedError, match="deletion vector"):
+        t2.generate_manifest()
