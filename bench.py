@@ -68,6 +68,8 @@ NEW_THIS_ROUND = [
     # distributed dominance sweep, integer prominence, empty-batch guards,
     # fixed-width overflow guard, DP-histogram release column).
     "ext_decontaminate_longest_match",
+    "agg_nelson_aalen",
+    "graph_modularity",
     "ext_ts_periodogram",
     "ext_domain_reweight",
     "sink_delta_manifest",

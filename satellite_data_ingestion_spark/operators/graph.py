@@ -831,3 +831,102 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_personalized_pagerank.__doc__ = graph_personalized_pagerank.__doc__.format(
     m=_PPR_SEED_MOD, it=_PPR_ITERS
 )
+
+
+@register(
+    "graph_modularity",
+    oracle=f"""
+WITH {_EDGES_SQL},
+node_comm AS (
+  SELECT DISTINCT n, p_brand AS comm FROM (
+    SELECT x AS n FROM e UNION ALL SELECT y FROM e
+  ) JOIN part ON p_partkey = n
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+within AS (
+  SELECT a.comm, CAST(count(*) AS BIGINT) AS in_edges
+  FROM e JOIN node_comm a ON e.x = a.n
+         JOIN node_comm b ON e.y = b.n AND a.comm = b.comm
+  GROUP BY 1
+),
+degs AS (
+  SELECT comm, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(dg) AS BIGINT) AS deg_sum
+  FROM (SELECT n, CAST(count(*) AS BIGINT) AS dg FROM (
+          SELECT x AS n FROM e UNION ALL SELECT y FROM e) GROUP BY 1)
+  JOIN node_comm USING (n)
+  GROUP BY 1
+)
+SELECT d.comm AS community, d.n_nodes,
+       CAST(coalesce(w.in_edges, 0) AS BIGINT) AS in_edges,
+       d.deg_sum,
+       floor((4.0 * m.m * coalesce(w.in_edges, 0) - CAST(d.deg_sum AS DOUBLE) * d.deg_sum)
+             / (4.0 * m.m * m.m) * 1000000 + 0.5) / 1000000.0 AS q_contrib
+FROM degs d LEFT JOIN within w ON d.comm = w.comm CROSS JOIN m
+ORDER BY community
+""",
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODULARITY decomposition of the co-purchase graph under the
+    part-BRAND partition: per community, Newman's
+    ``q_c = in_c/m − (deg_c/2m)²`` — does co-purchase structure align
+    with brands? (Σ q_c near 0 ⇒ brands are not communities; this is
+    the QUALITY functional Louvain greedily climbs, evaluated here on a
+    domain partition, the audit run before trusting any community
+    label.)  Complements ``graph_label_propagation`` (which FINDS
+    communities; this SCORES a given partition).
+
+    Exactness: in_c, deg_c and m are integers, so each contribution is
+    the single shared double expression
+    ``(4·m·in_c − deg_c²)/(4m²)`` — no float accumulation.  Cost: the
+    edge relation joins the |V|-row node→community map twice (both
+    broadcastable at web scale after the support filter), one groupBy
+    each."""
+    e = _copurchase_edges(spark, sf_dir).select("x", "y")
+    p = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("n"), F.col("p_brand").alias("comm")
+    )
+    nodes = (
+        e.select(F.col("x").alias("n"))
+        .unionAll(e.select(F.col("y").alias("n")))
+    )
+    node_comm = nodes.distinct().join(p, "n")
+    m = e.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    a = node_comm.select(F.col("n").alias("x"), F.col("comm").alias("ca"))
+    b = node_comm.select(F.col("n").alias("y"), F.col("comm").alias("cb"))
+    within = (
+        e.join(a, "x")
+        .join(b, "y")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("in_edges"))
+    )
+    degs = (
+        nodes.groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("dg"))
+        .join(node_comm, "n")
+        .groupBy(F.col("comm").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("dg").cast("long").alias("deg_sum"),
+        )
+    )
+    q = (
+        4.0 * F.col("m") * F.col("in_edges")
+        - F.col("deg_sum").cast("double") * F.col("deg_sum")
+    ) / (4.0 * F.col("m") * F.col("m"))
+    return (
+        degs.join(within, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .withColumn(
+            "in_edges", F.coalesce("in_edges", F.lit(0)).cast("long")
+        )
+        .select(
+            "community",
+            "n_nodes",
+            "in_edges",
+            "deg_sum",
+            (F.floor(q * 1000000 + 0.5) / 1000000.0).alias("q_contrib"),
+        )
+        .orderBy("community")
+    )

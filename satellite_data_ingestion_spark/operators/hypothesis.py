@@ -1300,3 +1300,114 @@ def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+@register(
+    "agg_nelson_aalen",
+    oracle=f"""
+WITH horizon AS (
+  SELECT max(ts) - INTERVAL {_KM_CENSOR_DAYS} DAY AS cutoff FROM events
+), u AS (
+  SELECT user_id,
+         CAST(date_diff('day', min(ts), max(ts)) AS BIGINT) AS duration,
+         max(ts) < (SELECT cutoff FROM horizon) AS churned
+  FROM events GROUP BY 1
+), g AS (
+  SELECT duration,
+         CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS n_dur
+  FROM u GROUP BY 1
+), r AS (
+  SELECT duration, d,
+         CAST((SELECT count(*) FROM u) AS BIGINT)
+           - CAST(coalesce(sum(n_dur) OVER (ORDER BY duration
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+  FROM g
+), h AS (
+  SELECT duration, d, n_risk,
+         list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list(CAST(d AS DOUBLE) / n_risk)
+               OVER (ORDER BY duration
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           (acc, x) -> acc + x) AS haz
+  FROM r
+)
+SELECT duration, n_risk, d AS n_churned,
+       floor(haz * 1000000 + 0.5) / 1000000.0 AS cum_hazard
+FROM h
+WHERE d > 0
+""",
+)
+def agg_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NELSON-AALEN cumulative hazard of user lifetime — the additive
+    sibling of ``agg_kaplan_meier``'s multiplicative survival curve:
+    ``H(t) = Σ_(t_i <= t) d_i/n_i``, the estimator whose slope READS as
+    the instantaneous churn rate (flat = stable cohort, steepening =
+    accelerating churn; KM answers "how many survive", NA answers "how
+    hard does the hazard bite and when").  Same right-censoring rule.
+
+    Same decomposition too: exact integer event/at-risk counts from one
+    ``distributed_rank`` pass over the bounded distinct-duration grain,
+    then the hazard SUM folds sequentially over the duration-sorted
+    terms (the additive twin of KM's product fold) so both engines
+    accumulate identical doubles in identical order."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    horizon = ev.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {_KM_CENSOR_DAYS} DAYS")).alias("cutoff")
+    )
+    u = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff("last_ts", "first_ts").cast("long").alias("duration"),
+            (F.col("last_ts") < F.col("cutoff")).alias("churned"),
+        )
+    )
+    g = u.groupBy("duration").agg(
+        F.sum(F.when(F.col("churned"), 1).otherwise(0)).cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("n_dur"),
+    )
+    r = distributed_rank(g, ["duration"], sum_cols=("n_dur",)).select(
+        "duration",
+        "d",
+        (F.col("_tot_n_dur") - (F.col("_cum_n_dur") - F.col("n_dur")))
+        .cast("long")
+        .alias("n_risk"),
+    )
+    # Bounded fold over the distinct-duration frame (the KM recipe).
+    w = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, 0)
+    h = r.select(
+        "duration",
+        "d",
+        "n_risk",
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("duration"),
+                            (F.col("d").cast("double") / F.col("n_risk")).alias("f"),
+                        )
+                    ).over(w)
+                ),
+                lambda s: s.getField("f"),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("haz"),
+    )
+    return (
+        h.filter(F.col("d") > 0)
+        .select(
+            "duration",
+            "n_risk",
+            F.col("d").alias("n_churned"),
+            (F.floor(F.col("haz") * 1000000 + 0.5) / 1000000.0).alias("cum_hazard"),
+        )
+        .orderBy("duration")
+    )
