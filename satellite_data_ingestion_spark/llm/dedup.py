@@ -2103,21 +2103,25 @@ def decontaminate_longest_match(
     explodes positions linearly and semi-joins the broadcast index, so no
     shuffle carries corpus text and nothing is corpus².  Output is one
     row per corpus doc."""
-    toks_b = F.split("text", " ")
-    n_b = F.size(toks_b) - (n - 1)
+    # Token arrays bound ONCE per row before the lambdas (an inline
+    # split() accessed via slice() inside transform re-tokenizes per
+    # element — the ext_bigram_freq lesson).
+    tb = F.col("t")
+    n_b = F.size(tb) - (n - 1)
     bench_idx = (
-        bench.filter(n_b >= 1)
+        bench.select(F.split("text", " ").alias("t"))
+        .filter(n_b >= 1)
         .select(
             F.explode(
                 F.transform(
                     F.sequence(F.lit(1), n_b),
-                    lambda i: F.md5(F.array_join(F.slice(toks_b, i, n), " ")),
+                    lambda i: F.md5(F.array_join(F.slice(tb, i, n), " ")),
                 )
             ).alias("h")
         )
         .distinct()
     )
-    toks = F.split("text", " ")
+    toks = F.col("t")
     n_sh = F.size(toks) - (n - 1)
     pos_h = F.transform(
         F.sequence(F.lit(1), n_sh),
@@ -2126,7 +2130,8 @@ def decontaminate_longest_match(
         ),
     )
     csh = (
-        corpus.filter(n_sh >= 1)
+        corpus.select("doc_id", F.split("text", " ").alias("t"))
+        .filter(n_sh >= 1)
         .select("doc_id", F.explode(pos_h).alias("s"))
         .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
     )

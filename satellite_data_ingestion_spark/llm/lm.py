@@ -76,8 +76,14 @@ def ext_ngram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     are negative, so the quantizer is ``floor(x·1e6 − 0.5)/1e6``, the
     half-away-from-zero form both engines share)."""
     docs = table(spark, sf_dir, "documents")
-    t = F.concat(F.array(F.lit(_BOS)), _tok_arr())
-    bg = docs.select(
+    # Bind the token array ONCE per row before the lambda: an inline
+    # split() referenced via element_at inside transform re-tokenizes per
+    # ELEMENT ACCESS (O(len^2) splits/doc — the ext_bigram_freq lesson).
+    toks = docs.select(
+        F.concat(F.array(F.lit(_BOS)), _tok_arr()).alias("t")
+    )
+    t = F.col("t")
+    bg = toks.select(
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.size(t) - 1),
@@ -169,8 +175,12 @@ def ext_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the model is vocab²-bounded (broadcastable); the corpus
     side is one explode + one join + one per-doc aggregate."""
     docs = table(spark, sf_dir, "documents")
-    t = F.concat(F.array(F.lit(_BOS)), _tok_arr())
-    bg = docs.select(
+    # Token array bound once per row (see ext_ngram_lm_train).
+    toks = docs.select(
+        "doc_id", F.concat(F.array(F.lit(_BOS)), _tok_arr()).alias("t")
+    )
+    t = F.col("t")
+    bg = toks.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -314,8 +324,12 @@ def ext_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds in source order.  One corpus bigram pass + one broadcast LM
     join + two bounded aggregates."""
     docs = table(spark, sf_dir, "documents")
-    t = F.concat(F.array(F.lit(_BOS)), _tok_arr())
-    bg = docs.select(
+    # Token array bound once per row (see ext_ngram_lm_train).
+    toks = docs.select(
+        "doc_id", F.concat(F.array(F.lit(_BOS)), _tok_arr()).alias("t")
+    )
+    t = F.col("t")
+    bg = toks.select(
         "doc_id",
         F.explode(
             F.transform(

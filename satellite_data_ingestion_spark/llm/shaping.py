@@ -577,8 +577,11 @@ def ext_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-pinned aggregation (``string_agg ORDER BY`` == sorted
     collect_list + array_join).  Output is one row per document."""
     docs = table(spark, sf_dir, "documents")
-    t = F.split("text", " ")
-    pos = docs.select(
+    # Bind the split array once per row (the ext_bigram_freq lesson:
+    # an inline split() inside the lambda re-tokenizes per element).
+    bound = docs.select("doc_id", F.split("text", " ").alias("t"))
+    t = F.col("t")
+    pos = bound.select(
         "doc_id",
         F.explode(
             F.transform(
