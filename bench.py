@@ -68,6 +68,9 @@ NEW_THIS_ROUND = [
     # distributed dominance sweep, integer prominence, empty-batch guards,
     # fixed-width overflow guard, DP-histogram release column).
     "ext_decontaminate_longest_match",
+    "ext_multimodal_vad",
+    "ext_vocab_richness",
+    "ext_ts_decompose",
     "agg_nelson_aalen",
     "graph_modularity",
     "ext_ts_periodogram",

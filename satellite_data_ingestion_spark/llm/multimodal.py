@@ -955,3 +955,143 @@ def ext_multimodal_phash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 ext_multimodal_phash_near.__doc__ = ext_multimodal_phash_near.__doc__.format(
     maxh=_PHASH_MAX_HAMMING
 )
+
+
+_VAD_FRAME = 16  # samples per VAD frame
+_VAD_ENERGY_TH = 20_000_000  # voiced iff frame energy strictly above
+
+
+@register(
+    "ext_multimodal_vad",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST(doc_id % 1000 + 63 AS INT))) AS i
+  FROM documents
+), v AS (
+  SELECT doc_id, i,
+         CAST((doc_id * 31 + i * 17) % 4096 - 2048 AS BIGINT) AS amp
+  FROM s
+), f AS (
+  SELECT doc_id, i // {_VAD_FRAME} AS frame,
+         CAST(sum(amp * amp) AS BIGINT) AS energy,
+         CAST(count(*) AS BIGINT) AS n_in_frame
+  FROM v GROUP BY 1, 2
+), full_frames AS (
+  SELECT doc_id, frame, energy,
+         energy > {_VAD_ENERGY_TH} AS voiced
+  FROM f WHERE n_in_frame = {_VAD_FRAME}
+), isl AS (
+  SELECT doc_id, frame,
+         frame - row_number() OVER (PARTITION BY doc_id ORDER BY frame) AS g
+  FROM full_frames WHERE voiced
+), runs AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS run_len
+  FROM isl GROUP BY doc_id, g
+), seg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+         CAST(max(run_len) AS BIGINT) AS longest_segment
+  FROM runs GROUP BY 1
+)
+SELECT ff.doc_id,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(CASE WHEN ff.voiced THEN 1 ELSE 0 END) AS BIGINT) AS n_voiced,
+       CAST(coalesce(max(seg.n_segments), 0) AS BIGINT) AS n_segments,
+       CAST(coalesce(max(seg.longest_segment), 0) AS BIGINT)
+         AS longest_segment
+FROM full_frames ff LEFT JOIN seg ON ff.doc_id = seg.doc_id
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def ext_multimodal_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENERGY-THRESHOLD VOICE-ACTIVITY DETECTION over the synthetic PCM
+    corpus ({f}-sample frames, voiced iff frame energy > {t}): per
+    document, total/voiced frame counts plus the speech-segment census
+    (count + longest run of consecutive voiced frames) — the silence-
+    trimming / speech-extraction front gate of an audio training-data
+    pipeline (``ext_multimodal_audio_features`` summarizes the whole
+    clip; VAD finds WHERE the signal lives).
+
+    The numpy kernel re-parses the RIFF container (the
+    ``ext_multimodal_wav`` discipline — endianness or offset mistakes
+    hash-mismatch), frames the int16 stream, and runs the gaps-and-
+    islands segment count vectorized per clip; the oracle replays the
+    same generator relationally.  Exact integers end to end; trailing
+    partial frames are dropped by both sides."""
+    import numpy as np
+    import struct as _struct
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = did % 1000 + 64
+                i = np.arange(n, dtype=np.int64)
+                amp = ((did * 31 + i * 17) % 4096 - 2048).astype("<i2")
+                data = amp.tobytes()
+                hdr = (
+                    b"RIFF"
+                    + _struct.pack("<I", 36 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                    + b"data"
+                    + _struct.pack("<I", len(data))
+                )
+                payloads.append(hdr + data)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    def vad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                data_len = _struct.unpack_from("<I", buf, 40)[0]
+                amp = np.frombuffer(
+                    buf, dtype="<i2", count=data_len // 2, offset=44
+                ).astype(np.int64)
+                k = len(amp) // _VAD_FRAME
+                energies = (
+                    (amp[: k * _VAD_FRAME] ** 2)
+                    .reshape(k, _VAD_FRAME)
+                    .sum(axis=1)
+                )
+                voiced = energies > _VAD_ENERGY_TH
+                starts = voiced & ~np.concatenate(([False], voiced[:-1]))
+                n_seg = int(starts.sum())
+                longest = 0
+                if n_seg:
+                    idx = np.arange(k)
+                    run_id = np.cumsum(starts) * voiced  # 0 for unvoiced
+                    longest = int(np.bincount(run_id[voiced]).max())
+                out.append((int(did), k, int(voiced.sum()), n_seg, longest))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_frames",
+                    "n_voiced",
+                    "n_segments",
+                    "longest_segment",
+                ],
+            )
+
+    blobs = docs.mapInPandas(build, schema="doc_id long, payload binary")
+    return blobs.mapInPandas(
+        vad,
+        schema=(
+            "doc_id long, n_frames long, n_voiced long, n_segments long, "
+            "longest_segment long"
+        ),
+    ).orderBy("doc_id")
+
+
+ext_multimodal_vad.__doc__ = ext_multimodal_vad.__doc__.format(
+    f=_VAD_FRAME, t=_VAD_ENERGY_TH
+)

@@ -2385,3 +2385,93 @@ def ext_cross_lingual_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_a", "lang_b")
     )
+
+
+@register(
+    "ext_vocab_richness",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(str_split(text, ' ')) AS t FROM documents
+),
+tc AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok WHERE t <> '' GROUP BY 1
+),
+fof AS (
+  SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r FROM tc GROUP BY 1
+),
+agg AS (
+  SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tokens,
+         CAST(sum(n_r) AS BIGINT) AS vocab,
+         CAST(coalesce(max(CASE WHEN r = 1 THEN n_r END), 0) AS BIGINT) AS n1,
+         CAST(coalesce(max(CASE WHEN r = 2 THEN n_r END), 0) AS BIGINT) AS n2
+  FROM fof
+)
+SELECT n_tokens, vocab, n1, n2,
+       floor(CAST(n1 AS DOUBLE) / n_tokens * 1000000 + 0.5) / 1000000.0
+         AS unseen_mass_gt,
+       floor((vocab + CASE WHEN n2 > 0
+                           THEN CAST(n1 AS DOUBLE) * n1 / (2.0 * n2)
+                           ELSE CAST(n1 AS DOUBLE) * (n1 - 1) / 2.0 END)
+             * 10000 + 0.5) / 10000.0 AS chao1,
+       floor(ln(CAST(vocab AS DOUBLE)) / ln(CAST(n_tokens AS DOUBLE))
+             * 1000000 + 0.5) / 1000000.0 AS herdan_c
+FROM agg
+""",
+)
+def ext_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY-RICHNESS estimators from the frequency-of-frequencies
+    profile: Good-Turing unseen mass (n₁/N — the probability the NEXT
+    token is a new type, i.e. how un-saturated the corpus vocabulary
+    is), the Chao1 richness floor (V + n₁²/2n₂, bias-corrected form when
+    n₂ = 0), and Herdan's C (ln V / ln N) — the corpus-coverage triad a
+    data card reports next to ``ext_vocab_coverage``'s curve (coverage
+    says what a FIXED vocab captures; these say how much vocabulary is
+    still unseen).
+
+    Two map-side-combined groupBys (token grain, then the ~log-sized
+    frequency-of-frequencies grain) and one 4-number aggregate — every
+    moment an exact integer, three shared double expressions."""
+    docs = table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    fof = tc.groupBy(F.col("c").alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    agg = fof.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n_tokens"),
+        F.sum("n_r").cast("long").alias("vocab"),
+        F.coalesce(
+            F.max(F.when(F.col("r") == 1, F.col("n_r"))), F.lit(0)
+        ).cast("long").alias("n1"),
+        F.coalesce(
+            F.max(F.when(F.col("r") == 2, F.col("n_r"))), F.lit(0)
+        ).cast("long").alias("n2"),
+    )
+    chao1 = F.col("vocab") + F.when(
+        F.col("n2") > 0,
+        F.col("n1").cast("double") * F.col("n1") / (2.0 * F.col("n2")),
+    ).otherwise(F.col("n1").cast("double") * (F.col("n1") - 1) / 2.0)
+    return agg.select(
+        "n_tokens",
+        "vocab",
+        "n1",
+        "n2",
+        (
+            F.floor(F.col("n1").cast("double") / F.col("n_tokens") * 1000000 + 0.5)
+            / 1000000.0
+        ).alias("unseen_mass_gt"),
+        (F.floor(chao1 * 10000 + 0.5) / 10000.0).alias("chao1"),
+        (
+            F.floor(
+                F.log(F.col("vocab").cast("double"))
+                / F.log(F.col("n_tokens").cast("double"))
+                * 1000000
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("herdan_c"),
+    )

@@ -2594,3 +2594,115 @@ def ext_ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ext_ts_periodogram.__doc__ = ext_ts_periodogram.__doc__.format(k=_PGRAM_MAX_K)
+
+
+_DECOMP_MA = 7  # centered moving-average window (days), must be odd
+
+
+@register(
+    "ext_ts_decompose",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', date_trunc('day', ts))
+              AS BIGINT) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+ma AS (
+  SELECT d, cents,
+         CAST(sum(cents) OVER (ORDER BY d
+              ROWS BETWEEN {_DECOMP_MA // 2} PRECEDING
+              AND {_DECOMP_MA // 2} FOLLOWING) AS BIGINT) AS s7,
+         CAST(count(*) OVER (ORDER BY d
+              ROWS BETWEEN {_DECOMP_MA // 2} PRECEDING
+              AND {_DECOMP_MA // 2} FOLLOWING) AS BIGINT) AS c7
+  FROM daily
+),
+det AS (
+  SELECT d, cents, s7,
+         CAST({_DECOMP_MA} * cents - s7 AS BIGINT) AS det7,
+         CAST(d % 7 AS BIGINT) AS dow
+  FROM ma WHERE c7 = {_DECOMP_MA}
+),
+seas AS (
+  SELECT dow,
+         CAST(sum(det7) AS BIGINT) AS sdet,
+         CAST(count(*) AS BIGINT) AS n
+  FROM det GROUP BY 1
+)
+SELECT det.d, det.cents,
+       floor(CAST(det.s7 AS DOUBLE) / {_DECOMP_MA} * 10000 + 0.5) / 10000.0
+         AS trend,
+       floor(CAST(seas.sdet AS DOUBLE) / seas.n / {_DECOMP_MA} * 10000 + 0.5)
+         / 10000.0 AS seasonal,
+       floor((CAST(det.det7 AS DOUBLE) / {_DECOMP_MA}
+              - CAST(seas.sdet AS DOUBLE) / seas.n / {_DECOMP_MA})
+             * 10000 + 0.5) / 10000.0 AS remainder
+FROM det JOIN seas USING (dow)
+ORDER BY det.d
+""",
+)
+def ext_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSICAL ADDITIVE DECOMPOSITION of the daily revenue series:
+    trend = centered {m}-day moving average (full windows only),
+    seasonal = the per-weekday mean of the detrended series, remainder =
+    what's left — the trend/seasonal/remainder triptych
+    (``ext_ts_seasonal`` reports the weekly profile alone;
+    ``ext_seasonality_strength`` scores it; this op RETURNS all three
+    components per day, the decomposition the other two summarize).
+
+    Exactness: everything is scaled by {m} so the detrended series
+    ``{m}·y − Σ₇`` stays an exact integer; weekday means divide once;
+    weekday = epoch-day mod 7 (engine-neutral — Spark and DuckDB number
+    calendar weekdays differently).  Windows run on the calendar-bounded
+    day grain."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
+    )
+    half = _DECOMP_MA // 2
+    w = W.orderBy("d").rowsBetween(-half, half)  # calendar-bounded frame
+    ma = daily.select(
+        "d",
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("s7"),
+        F.count(F.lit(1)).over(w).cast("long").alias("c7"),
+    )
+    det = ma.filter(F.col("c7") == _DECOMP_MA).select(
+        "d",
+        "cents",
+        "s7",
+        (F.lit(_DECOMP_MA) * F.col("cents") - F.col("s7")).cast("long").alias("det7"),
+        (F.col("d") % 7).cast("long").alias("dow"),
+    )
+    seas = det.groupBy("dow").agg(
+        F.sum("det7").cast("long").alias("sdet"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+    def q4(x):
+        return F.floor(x * 10000 + 0.5) / 10000.0
+
+    seasonal = F.col("sdet").cast("double") / F.col("n") / _DECOMP_MA
+    return (
+        det.join(F.broadcast(seas), "dow")
+        .select(
+            "d",
+            "cents",
+            q4(F.col("s7").cast("double") / _DECOMP_MA).alias("trend"),
+            q4(seasonal).alias("seasonal"),
+            q4(F.col("det7").cast("double") / _DECOMP_MA - seasonal).alias(
+                "remainder"
+            ),
+        )
+        .orderBy("d")
+    )
+
+
+ext_ts_decompose.__doc__ = ext_ts_decompose.__doc__.format(m=_DECOMP_MA)
