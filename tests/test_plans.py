@@ -815,3 +815,50 @@ def test_vocab_coverage_range_partitioned_rank(spark):
     """ext_vocab_coverage's rank+cumsum must come from distributed_rank
     (range partition + local windows + broadcast prefix offsets)."""
     _vocab_window_partitioned(plan_of(spark, "ext_vocab_coverage"))
+
+
+def test_interp_lookup_broadcast_equi_join(spark):
+    """The interpolation join must land as a broadcast EQUI join on the
+    densified day grid — never a BroadcastNestedLoop range probe or a
+    cartesian (the whole point of densify-then-equi-join)."""
+    tree = plan_of(spark, "join_interp_lookup").split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
+
+
+def test_ngram_lm_score_broadcast_model(spark):
+    """The vocab^2-bounded LM table must ride a BroadcastExchange onto
+    the corpus bigram stream (the fact side never shuffles for the
+    model join); no cartesian anywhere."""
+    plan = plan_of(spark, "ext_ngram_lm_score")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, tree
+    assert "CartesianProduct" not in tree, tree
+
+
+def test_cardinality_audit_heap_topk(spark):
+    """The heavy-key report must come from a TakeOrderedAndProject heap
+    over the key grain, with totals on a broadcast 1-row aggregate —
+    never a global sort of all keys."""
+    tree = plan_of(spark, "join_cardinality_audit").split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree, tree
+    assert "BroadcastExchange" in tree, tree
+
+
+def test_curriculum_order_double_distributed_rank(spark):
+    """Both curriculum ranks (stage tercile + final position) must come
+    from distributed_rank: two rangepartitioning exchanges, no
+    unpartitioned fact-table window."""
+    plan = plan_of(spark, "ext_curriculum_order")
+    assert plan.count("rangepartitioning") >= 2, plan[:2000]
+    assert "CartesianProduct" not in plan.split("\n\n")[0]
+
+
+def test_decontaminate_broadcast_bench_index(spark):
+    """The benchmark shingle index must broadcast onto the corpus
+    position stream (the bench side is eval-suite-sized by definition);
+    the streak window partitions by doc."""
+    tree = plan_of(spark, "ext_decontaminate_longest_match").split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, tree
+    assert "CartesianProduct" not in tree, tree
