@@ -107,6 +107,28 @@ NEW_THIS_ROUND = [
     "stream_expectations",
     "stream_drift_monitor",
     "agg_dp_histogram",
+    # round-13 session 2: parametric inference battery.
+    "agg_anova_f",
+    "agg_levene_bf",
+    "agg_jarque_bera",
+    "agg_odds_ratio",
+    "agg_durbin_watson",
+    "agg_cohens_kappa",
+    "agg_fleiss_kappa",
+    "agg_cronbach_alpha",
+    "agg_friedman",
+    "agg_logrank",
+    "agg_standardized_rate",
+    "win_rsi",
+    "ext_ts_sax",
+    "ext_bleu",
+    "ext_rouge_l",
+    "ext_keyword_rake",
+    "graph_clustering_coeff",
+    "graph_connected_components",
+    "ext_feature_info_gain",
+    "ext_image_histogram",
+    "agg_sample_size",
 ]
 
 CORE = [

@@ -1095,3 +1095,98 @@ def ext_multimodal_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
 ext_multimodal_vad.__doc__ = ext_multimodal_vad.__doc__.format(
     f=_VAD_FRAME, t=_VAD_ENERGY_TH
 )
+
+
+_IMG_HIST_BINS = 8  # luminance bins (256 / 32)
+
+
+@register(
+    "ext_image_histogram",
+    oracle=f"""
+WITH px AS (
+  SELECT doc_id,
+         CAST(((doc_id + i) % 256) // 32 AS BIGINT) AS bin
+  FROM (SELECT doc_id,
+               unnest(generate_series(0, (doc_id % 64 + 1) * (doc_id % 48 + 1) - 1))
+                 AS i
+        FROM documents)
+)
+SELECT doc_id, bin, CAST(count(*) AS BIGINT) AS n_px
+FROM px GROUP BY 1, 2 ORDER BY doc_id, bin
+""",
+)
+def ext_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-IMAGE LUMINANCE HISTOGRAM ({b} bins) from REAL pixel decode:
+    each document gets a 24-bit BMP whose pixel (row r, col x) carries
+    the deterministic gray value (doc_id + r·w + x) % 256 in all three
+    channels (rows 4-byte padded per the format), the numpy kernel
+    re-parses the header (data offset, dimensions, stride), strips the
+    row padding, and bins the blue channel — the exposure/contrast
+    fingerprint image-dedup and quality gates run before any model
+    sees a pixel (``ext_multimodal_phash`` hashes structure; the
+    histogram is the cheap global-statistics sibling).
+
+    The oracle recomputes the pixel multiset RELATIONALLY from the
+    generator arithmetic — a stride misparse, padding leak into the
+    bins, or channel misalignment hash-mismatches immediately (padding
+    bytes are zeros: leaking them inflates bin 0 deterministically).
+
+    Scale shape: fixture build + decode are ONE mapInPandas pass
+    (Arrow-batched, payloads never shuffle); the histogram leaves the
+    kernel as (doc_id, bin, count) rows — 8 rows per image max — and
+    the groupBy is a formality (kernel already emits one row per
+    bin)."""
+    import struct as _struct
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def build_and_hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out_doc, out_bin, out_n = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = did % 64 + 1
+                h = did % 48 + 1
+                stride = ((3 * w + 3) // 4) * 4
+                size = 54 + stride * h
+                hdr = b"BM" + _struct.pack("<IHHI", size, 0, 0, 54)
+                dib = _struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0
+                )
+                body = np.zeros((h, stride), dtype=np.uint8)
+                idx = np.arange(h * w, dtype=np.int64).reshape(h, w)
+                v = ((did + idx) % 256).astype(np.uint8)
+                for c in range(3):  # BGR triplets, all channels = v
+                    body[:, c : 3 * w : 3] = v
+                payload = hdr + dib + body.tobytes()
+
+                # --- real decode path: re-parse the header we just wrote ---
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                off = int.from_bytes(payload[10:14], "little")
+                pw = int.from_bytes(payload[18:22], "little", signed=True)
+                ph = int.from_bytes(payload[22:26], "little", signed=True)
+                pstride = ((3 * pw + 3) // 4) * 4
+                rows = buf[off : off + pstride * ph].reshape(ph, pstride)
+                blue = rows[:, 0 : 3 * pw : 3]  # padding stripped by the slice
+                counts = np.bincount(
+                    (blue.astype(np.int64) // 32).ravel(), minlength=_IMG_HIST_BINS
+                )
+                for b_i in np.nonzero(counts)[0]:
+                    out_doc.append(did)
+                    out_bin.append(int(b_i))
+                    out_n.append(int(counts[b_i]))
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "bin": out_bin, "n_px": out_n}
+            )
+
+    hist = docs.mapInPandas(build_and_hist, schema="doc_id long, bin long, n_px long")
+    return (
+        hist.groupBy("doc_id", "bin")
+        .agg(F.sum("n_px").cast("long").alias("n_px"))
+        .orderBy("doc_id", "bin")
+    )
+
+
+ext_image_histogram.__doc__ = ext_image_histogram.__doc__.format(b=_IMG_HIST_BINS)

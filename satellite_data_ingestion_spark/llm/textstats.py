@@ -17,6 +17,7 @@ one narrow projection pass, no shuffle, no Python.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2475,3 +2476,342 @@ def ext_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("herdan_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Generation-eval metrics (round 13): corpus BLEU, ROUGE-L, RAKE keywords.
+# Candidate/reference pairs are the deterministic (doc_id % 10 == 0,
+# doc_id + 1) neighbor pairing — the structure of an eval harness without
+# needing model output columns in the corpus.
+# ---------------------------------------------------------------------------
+
+_BLEU_STRIDE = 10  # every 10th doc is a "candidate", its successor the "reference"
+
+
+@register(
+    "ext_bleu",
+    oracle=f"""
+WITH pairs AS (
+  SELECT c.doc_id AS pid,
+         str_split(c.text, ' ') AS ct, str_split(r.text, ' ') AS rt
+  FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+  WHERE c.doc_id % {_BLEU_STRIDE} = 0
+), u1 AS (
+  SELECT pid, g, CAST(count(*) AS BIGINT) AS c FROM
+    (SELECT pid, unnest(ct) AS g FROM pairs) GROUP BY 1, 2
+), v1 AS (
+  SELECT pid, g, CAST(count(*) AS BIGINT) AS r FROM
+    (SELECT pid, unnest(rt) AS g FROM pairs) GROUP BY 1, 2
+), u2 AS (
+  SELECT pid, g, CAST(count(*) AS BIGINT) AS c FROM
+    (SELECT pid, ct[CAST(i AS INT)] || ' ' || ct[CAST(i AS INT) + 1] AS g
+     FROM (SELECT pid, ct, unnest(generate_series(1, len(ct) - 1)) AS i
+           FROM pairs)) GROUP BY 1, 2
+), v2 AS (
+  SELECT pid, g, CAST(count(*) AS BIGINT) AS r FROM
+    (SELECT pid, rt[CAST(i AS INT)] || ' ' || rt[CAST(i AS INT) + 1] AS g
+     FROM (SELECT pid, rt, unnest(generate_series(1, len(rt) - 1)) AS i
+           FROM pairs)) GROUP BY 1, 2
+), t AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs,
+         (SELECT CAST(sum(len(ct)) AS BIGINT) FROM pairs) AS clen,
+         (SELECT CAST(sum(len(rt)) AS BIGINT) FROM pairs) AS rlen,
+         (SELECT CAST(sum(least(u1.c, v1.r)) AS BIGINT)
+          FROM u1 JOIN v1 ON u1.pid = v1.pid AND u1.g = v1.g) AS clip1,
+         (SELECT CAST(sum(c) AS BIGINT) FROM u1) AS tot1,
+         (SELECT CAST(sum(least(u2.c, v2.r)) AS BIGINT)
+          FROM u2 JOIN v2 ON u2.pid = v2.pid AND u2.g = v2.g) AS clip2,
+         (SELECT CAST(sum(c) AS BIGINT) FROM u2) AS tot2
+)
+SELECT n_pairs, clen, rlen,
+       floor(CAST(clip1 AS DOUBLE) / tot1 * 1000000 + 0.5) / 1000000.0 AS p1,
+       floor(CAST(clip2 AS DOUBLE) / tot2 * 1000000 + 0.5) / 1000000.0 AS p2,
+       floor((CASE WHEN clen > rlen THEN 1.0
+                   ELSE exp(1.0 - CAST(rlen AS DOUBLE) / clen) END)
+             * exp(0.5 * (ln(CAST(clip1 AS DOUBLE) / tot1)
+                          + ln(CAST(clip2 AS DOUBLE) / tot2)))
+             * 1000000 + 0.5) / 1000000.0 AS bleu2
+FROM t
+""",
+)
+def ext_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS BLEU-2 between candidate docs (every {s}th) and their
+    successor-doc references: clipped 1/2-gram precision with brevity
+    penalty — THE n-gram generation-eval metric, here wired over
+    corpus pairs so the whole harness (pairing → clipping → corpus
+    pooling → BP) is exercised without model-output columns;
+    ``ext_rouge_l`` is the recall-oriented sibling, and a real eval
+    run only swaps the pair source.
+
+    Corpus BLEU, not sentence BLEU: clip/total counts pool over ALL
+    pairs before the ratio (the standard Papineni formulation — robust
+    to zero sentence overlaps).  Every count is an exact int64 from
+    per-pair n-gram joins; BLEU is one closed-form double (exp/ln of
+    exact-int ratios) evaluated identically both engines.
+
+    Scale shape: n-grams form INSIDE the token arrays (no position
+    self-join); per-pair gram joins shuffle on (pair, gram) — grain
+    proportional to corpus tokens, never pairs×vocab; the six totals
+    are 1-row aggregates.  100 TB: identical — the pair frame is the
+    eval set, orders of magnitude under the training corpus."""
+    docs = table(spark, sf_dir, "documents")
+    cand = docs.filter(F.col("doc_id") % _BLEU_STRIDE == 0).select(
+        F.col("doc_id").alias("pid"), F.split("text", " ").alias("ct")
+    )
+    ref = docs.select((F.col("doc_id") - 1).alias("pid"), F.split("text", " ").alias("rt"))
+    pairs = cand.join(ref, "pid")
+
+    def grams(col, n):
+        if n == 1:
+            return col
+        idx = F.sequence(F.lit(1), F.greatest(F.size(col) - 1, F.lit(0)))
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.element_at(col, i), F.element_at(col, i + 1)),
+        )
+
+    def side_counts(src, col, n, out):
+        return (
+            src.select("pid", F.explode(grams(F.col(col), n)).alias("g"))
+            .groupBy("pid", "g")
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    clips = []
+    for n in (1, 2):
+        u = side_counts(pairs, "ct", n, "c")
+        v = side_counts(pairs, "rt", n, "r")
+        j = u.join(v, ["pid", "g"]).agg(
+            F.sum(F.least(F.col("c"), F.col("r"))).cast("long").alias(f"clip{n}")
+        )
+        tot = u.agg(F.sum("c").cast("long").alias(f"tot{n}"))
+        clips.append(j.crossJoin(F.broadcast(tot)))
+    lens = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.size("ct")).cast("long").alias("clen"),
+        F.sum(F.size("rt")).cast("long").alias("rlen"),
+    )
+    t = lens.crossJoin(F.broadcast(clips[0])).crossJoin(F.broadcast(clips[1]))
+    p1 = F.col("clip1").cast("double") / F.col("tot1")
+    p2 = F.col("clip2").cast("double") / F.col("tot2")
+    bp = F.when(F.col("clen") > F.col("rlen"), F.lit(1.0)).otherwise(
+        F.exp(F.lit(1.0) - F.col("rlen").cast("double") / F.col("clen"))
+    )
+    return t.select(
+        "n_pairs",
+        "clen",
+        "rlen",
+        (F.floor(p1 * 1000000 + 0.5) / 1000000.0).alias("p1"),
+        (F.floor(p2 * 1000000 + 0.5) / 1000000.0).alias("p2"),
+        (F.floor(bp * F.exp(0.5 * (F.log(p1) + F.log(p2))) * 1000000 + 0.5) / 1000000.0).alias(
+            "bleu2"
+        ),
+    )
+
+
+ext_bleu.__doc__ = ext_bleu.__doc__.format(s=_BLEU_STRIDE)
+
+
+_ROUGE_CAP = 64  # tokens per side entering the LCS DP (documented truncation)
+
+
+@register("ext_rouge_l")  # rows-only: LCS is a DP no ANSI-SQL oracle expresses;
+# exact parity vs an independent pure-Python DP is pinned in
+# tests/test_components.py::test_rouge_l_matches_reference_dp.
+def ext_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L F₁ per candidate/reference doc pair (same deterministic
+    pairing as ``ext_bleu``): longest-common-subsequence precision/
+    recall — the order-aware, gap-tolerant generation-eval metric
+    (BLEU counts local n-gram hits; LCS rewards globally preserved
+    ordering).  Both sides truncate to the first {cap} tokens — the
+    standard eval-harness bound that keeps the O(|c|·|r|) DP row
+    constant-size.
+
+    Spark shape: the LCS DP runs as a VECTORIZED Arrow-batched pandas
+    UDF over the token-array pair (one numpy DP row per pair, O(cap²)
+    ints — per-pair work is constant, so the stage scales linearly in
+    pairs and partitions freely; the HOF-fold alternative is
+    interpreted per-lambda and ~10× slower, the ext_knn_join lesson).
+    Integer LCS lengths make precision/recall/F exact-int ratios —
+    deterministic despite the UDF.  Rows-only by design: SQL cannot
+    express the DP; exact parity vs an independent Python DP is pinned
+    in tests."""
+    docs = table(spark, sf_dir, "documents")
+    cand = docs.filter(F.col("doc_id") % _BLEU_STRIDE == 0).select(
+        F.col("doc_id").alias("pid"),
+        F.slice(F.split("text", " "), 1, _ROUGE_CAP).alias("ct"),
+    )
+    ref = docs.select(
+        (F.col("doc_id") - 1).alias("pid"),
+        F.slice(F.split("text", " "), 1, _ROUGE_CAP).alias("rt"),
+    )
+    pairs = cand.join(ref, "pid")
+
+    @F.pandas_udf("long")
+    def lcs_len(cts: pd.Series, rts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for a, b in zip(cts, rts):
+            a = list(a)
+            b = list(b)
+            if not a or not b:
+                out.append(0)
+                continue
+            # id-compress b once; DP over one numpy row per a-token.
+            prev = np.zeros(len(b) + 1, dtype=np.int64)
+            cur = np.zeros(len(b) + 1, dtype=np.int64)
+            barr = np.array(b, dtype=object)
+            for tok in a:
+                match = barr == tok
+                # cur[j] = max(prev[j], cur[j-1], prev[j-1]+1 if match)
+                cand_v = np.where(match, prev[:-1] + 1, 0)
+                np.maximum(cand_v, prev[1:], out=cur[1:])
+                np.maximum.accumulate(cur, out=cur)  # carries cur[j-1] forward
+                prev, cur = cur.copy(), prev
+            out.append(int(prev[-1]))
+        return pd.Series(out, dtype="int64")
+
+    scored = pairs.select(
+        "pid",
+        F.size("ct").cast("long").alias("clen"),
+        F.size("rt").cast("long").alias("rlen"),
+        lcs_len("ct", "rt").alias("lcs"),
+    )
+    p = F.col("lcs").cast("double") / F.col("clen")
+    r = F.col("lcs").cast("double") / F.col("rlen")
+    return scored.select(
+        "pid",
+        "clen",
+        "rlen",
+        "lcs",
+        (F.floor(F.when(F.col("lcs") > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
+                 * 1000000 + 0.5) / 1000000.0).alias("rouge_l_f1"),
+    ).orderBy("pid")
+
+
+ext_rouge_l.__doc__ = ext_rouge_l.__doc__.format(cap=_ROUGE_CAP)
+
+
+_RAKE_TOP_K = 20
+_RAKE_STOPS_SQL = ", ".join(f"'{s}'" for s in _STOPWORDS)
+
+
+@register(
+    "ext_keyword_rake",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS t FROM documents
+), pos AS (
+  SELECT doc_id, t[CAST(i AS INT)] AS tok, CAST(i AS BIGINT) AS pos
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)
+), marked AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN tok IN ({_RAKE_STOPS_SQL}) OR tok = ''
+              THEN 1 ELSE 0 END AS st
+  FROM pos
+), grp AS (
+  SELECT doc_id, pos, tok, st,
+         CAST(sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS g
+  FROM marked
+), w AS (
+  SELECT doc_id, g, pos, tok FROM grp WHERE st = 0
+), plen AS (
+  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS len FROM w GROUP BY 1, 2
+), ws AS (
+  SELECT w.tok, CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(p.len) AS BIGINT) AS deg
+  FROM w JOIN plen p ON w.doc_id = p.doc_id AND w.g = p.g
+  GROUP BY w.tok
+), sc AS (
+  SELECT w.doc_id, w.g,
+         string_agg(w.tok, ' ' ORDER BY w.pos) AS phrase,
+         list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list(CAST(s.deg AS DOUBLE) / s.freq ORDER BY w.pos)),
+           (acc, x) -> acc + x) AS score
+  FROM w JOIN ws s ON w.tok = s.tok
+  GROUP BY 1, 2
+)
+SELECT phrase, CAST(count(*) AS BIGINT) AS n_occur,
+       floor(max(score) * 1000000 + 0.5) / 1000000.0 AS score
+FROM sc GROUP BY phrase
+ORDER BY max(score) DESC, phrase LIMIT {_RAKE_TOP_K}
+""",
+)
+def ext_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE (Rapid Automatic Keyword Extraction, Rose et al. 2010)
+    top-{k} keyphrases: candidate phrases are maximal stopword-free
+    token runs, each word scores deg/freq over the whole corpus
+    (degree = Σ lengths of phrases containing it — co-occurrence
+    reach; freq penalizes ubiquitous words), and a phrase scores the
+    sum of its words — the unsupervised keyword extractor that needs
+    no training pass, complementing ``ext_tfidf``'s per-doc weights
+    and ``ext_collocation_g2``'s pairwise association with multi-word
+    UNITS.
+
+    Exactness: word freq/deg are exact int64; word scores are exact-
+    int ratios; each phrase's score folds its word scores sequentially
+    IN POSITION ORDER (identical occurrences fold identically, so the
+    per-phrase max is engine-stable), and the top-{k} cut uses the
+    raw double with phrase-text tiebreak.
+
+    Scale shape: phrase segmentation is a per-doc running sum (window
+    partitioned BY DOC — never global); word scoring is one token-key
+    shuffle; phrases re-assemble with a (doc, phrase-id) groupBy; the
+    final cut is TakeOrdered, not a global sort."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+    st = F.when(F.col("tok").isin(*_STOPWORDS) | (F.col("tok") == ""), 1).otherwise(0)
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    grp = pos.select(
+        "doc_id", "pos", "tok", st.alias("st"), F.sum(st).over(wd).cast("long").alias("g")
+    )
+    w = grp.filter(F.col("st") == 0).select("doc_id", "g", "pos", "tok")
+    plen = w.groupBy("doc_id", "g").agg(F.count(F.lit(1)).cast("long").alias("len"))
+    ws = (
+        w.join(plen, ["doc_id", "g"])
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("len").cast("long").alias("deg"),
+        )
+    )
+    scored_words = w.join(ws, "tok").select(
+        "doc_id",
+        "g",
+        "pos",
+        "tok",
+        (F.col("deg").cast("double") / F.col("freq")).alias("wsc"),
+    )
+    sc = scored_words.groupBy("doc_id", "g").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "tok", "wsc"))).alias("ps")
+    )
+    phrase = F.array_join(F.transform(F.col("ps"), lambda s: s.getField("tok")), " ")
+    score = F.aggregate(
+        F.transform(F.col("ps"), lambda s: s.getField("wsc")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        sc.select(phrase.alias("phrase"), score.alias("score"))
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occur"),
+            F.max("score").alias("raw"),
+        )
+        .orderBy(F.desc("raw"), "phrase")
+        .limit(_RAKE_TOP_K)
+        .select(
+            "phrase",
+            "n_occur",
+            (F.floor(F.col("raw") * 1000000 + 0.5) / 1000000.0).alias("score"),
+        )
+    )
+
+
+ext_keyword_rake.__doc__ = ext_keyword_rake.__doc__.format(k=_RAKE_TOP_K)

@@ -930,3 +930,149 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("community")
     )
+
+
+@register(
+    "graph_clustering_coeff",
+    oracle=f"""
+WITH {_EDGES_SQL},
+tri AS (SELECT ab.x AS a, ab.y AS b, bc.y AS c
+        FROM e ab
+        JOIN e bc ON ab.y = bc.x
+        JOIN e ac ON ac.x = ab.x AND ac.y = bc.y),
+m AS (SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri),
+t AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM m GROUP BY node),
+sym AS (SELECT x AS node FROM e UNION ALL SELECT y FROM e),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM sym GROUP BY node)
+SELECT d.node AS part_key, d.degree,
+       CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_triangles,
+       floor(2.0 * coalesce(t.n_tri, 0) / (d.degree * (d.degree - 1))
+             * 1000000 + 0.5) / 1000000.0 AS coeff
+FROM deg d LEFT JOIN t ON d.node = t.node
+WHERE d.degree >= 2
+""",
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL CLUSTERING COEFFICIENT per node of the co-purchase graph:
+    c(v) = 2·T(v)/(deg(v)·(deg(v)−1)) — how close each node's
+    neighborhood is to a clique, the per-node normalization of
+    ``graph_triangles``' raw counts (Watts & Strogatz 1998).  High-
+    degree low-coefficient nodes are hubs bridging communities; high-
+    coefficient clusters are the tight co-purchase bundles
+    ``graph_label_propagation`` should recover.
+
+    Exactness: triangle and degree counts are exact int64 from the
+    ordered-edge wedge join (each triangle emitted once); the
+    coefficient is one exact-int ratio.  Degree-1 nodes are excluded
+    (undefined denominator).
+
+    Scale shape: the wedge join's fan-out is Σdeg² of the SUPPORT-
+    FILTERED graph (the ≥{mc}-co-purchase threshold is the bound);
+    degrees come from one symmetrized groupBy; the final join is
+    node-keyed.  Nothing quadratic in the raw catalog."""
+    e = _copurchase_edges(spark, sf_dir).select("x", "y").localCheckpoint(eager=True)
+    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    tri = (
+        ab.join(bc, F.col("ab.y") == F.col("bc.x"))
+        .join(ac, (F.col("ac.x") == F.col("ab.x")) & (F.col("ac.y") == F.col("bc.y")))
+        .select(
+            F.col("ab.x").alias("a"), F.col("ab.y").alias("b"), F.col("bc.y").alias("c")
+        )
+    )
+    t = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    deg = (
+        e.select(F.col("x").alias("node"))
+        .unionAll(e.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    out = (
+        deg.filter(F.col("degree") >= 2)
+        .join(t, "node", "left")
+        .select(
+            F.col("node").alias("part_key"),
+            "degree",
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_triangles"),
+        )
+    )
+    coeff = (
+        F.lit(2.0)
+        * F.col("n_triangles")
+        / (F.col("degree") * (F.col("degree") - 1))
+    )
+    return out.select(
+        "part_key",
+        "degree",
+        "n_triangles",
+        (F.floor(coeff * 1000000 + 0.5) / 1000000.0).alias("coeff"),
+    )
+
+
+graph_clustering_coeff.__doc__ = graph_clustering_coeff.__doc__.format(
+    mc=_MIN_COPURCHASES
+)
+
+
+@register(
+    "graph_connected_components",
+    oracle=f"""
+WITH RECURSIVE {_EDGES_SQL},
+ed AS (SELECT x AS a, y AS b FROM e UNION ALL SELECT y, x FROM e),
+reach(src, dst) AS (
+  SELECT a, b FROM ed
+  UNION
+  SELECT r.src, ed.b FROM reach r JOIN ed ON r.dst = ed.a
+),
+nodes AS (SELECT DISTINCT a AS n FROM ed),
+lbl AS (
+  SELECT n, least(n, min(dst)) AS component_id
+  FROM nodes JOIN reach ON src = n GROUP BY n
+)
+SELECT component_id, CAST(count(*) AS BIGINT) AS n_nodes
+FROM lbl GROUP BY 1 ORDER BY n_nodes DESC, component_id
+""",
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONNECTED COMPONENTS of the co-purchase graph, reported as a
+    component census (min-id label, size) — the graph-native view of
+    what ``ext_dedup_cluster`` does for near-dup documents, exposed as
+    a first-class graph operator: market-basket "product islands",
+    the input grain for per-component assortment work.
+
+    Spark shape: the shared ``llm.dedup.connected_components`` engine —
+    min-label propagation with EDGE CONTRACTION and pointer doubling
+    (Kiveris et al. SOCC'14), O(log diameter) rounds, every round's
+    frontier localCheckpointed through ``_checkpoint_reset_stats`` (the
+    stats-inflation guard).  The DuckDB oracle is the quadratic
+    transitive closure — fine at test scale, unusable at 100 TB, which
+    is exactly why the distributed contraction loop exists.
+
+    Scale shape: per-round cost is a handful of |E'|-keyed joins on the
+    CONTRACTED graph (shrinks geometrically); the census is one
+    label-keyed groupBy.  No transitive closure is ever materialized."""
+    from ..llm.dedup import connected_components
+
+    e = _copurchase_edges(spark, sf_dir).select("x", "y")
+    edges = (
+        e.select(F.col("x").alias("doc_a"), F.col("y").alias("doc_b"))
+        .unionAll(e.select(F.col("y").alias("doc_a"), F.col("x").alias("doc_b")))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("x").alias("doc_id"))
+        .unionAll(e.select(F.col("y").alias("doc_id")))
+        .distinct()
+    )
+    labels = nodes.select("doc_id", F.col("doc_id").alias("component_id"))
+    cc = connected_components(labels, edges, identity_start=True)
+    return (
+        cc.groupBy("component_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), "component_id")
+    )

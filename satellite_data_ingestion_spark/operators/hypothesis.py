@@ -1411,3 +1411,1050 @@ def agg_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("duration")
     )
+
+
+# ---------------------------------------------------------------------------
+# Parametric / classical inference battery (round 13).  Same exactness
+# contract as the rank battery above: every sufficient statistic is an
+# exact int64 sum (quantities / cents), every order-sensitive double
+# reduction folds sequentially over an explicitly sorted BOUNDED frame
+# (|groups| or calendar days), and the final statistic is one closed-form
+# double expression evaluated in the same operation order both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_anova_f",
+    oracle="""
+WITH g AS (
+  SELECT l_returnflag AS flag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                  * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS ssq
+  FROM lineitem GROUP BY 1
+), f AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS BIGINT) AS n_total,
+         CAST(sum(s) AS BIGINT) AS s_total,
+         CAST(sum(ssq) AS BIGINT) AS ssq_total,
+         list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+                        list(CAST(s AS DOUBLE) * s / n ORDER BY flag)),
+           (a, x) -> a + x) AS sg
+  FROM g
+)
+SELECT k, n_total,
+       floor(((sg - CAST(s_total AS DOUBLE) * s_total / n_total) / (k - 1))
+             / ((ssq_total - sg) / (n_total - k)) * 1000000 + 0.5)
+         / 1000000.0 AS f_stat,
+       floor((sg - CAST(s_total AS DOUBLE) * s_total / n_total)
+             / (ssq_total - CAST(s_total AS DOUBLE) * s_total / n_total)
+             * 1000000 + 0.5) / 1000000.0 AS eta_sq
+FROM f
+""",
+)
+def agg_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA F of order quantity across return-flag groups —
+    the parametric "do the group means differ" test next to
+    ``agg_kruskal_wallis``'s rank version (KW survives outliers; the F
+    test is the textbook readout when values are well-behaved, and the
+    pair disagreeing is itself a skew diagnostic).  Also reports eta²
+    (SSB/SST), the effect-size share of variance explained by group.
+
+    Exactness: quantities are integral, so per-group n/Σy/Σy² are exact
+    int64; the one order-sensitive reduction, Σ_g s_g²/n_g over k
+    groups, folds sequentially over the flag-sorted k-row array (Spark
+    ``aggregate`` HOF == DuckDB ``list_reduce`` with a prepended 0.0
+    init — the agg_nelson_aalen recipe); F and eta² are single double
+    expressions in the same op order both engines.
+
+    Scale shape: one map-side-combined groupBy to |groups| rows, then a
+    1-row fold over that bounded frame.  Nothing is corpus-sized past
+    the first exchange."""
+    li = table(spark, sf_dir, "lineitem")
+    y = F.round("l_quantity").cast("long")
+    g = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(y).cast("long").alias("s"),
+        F.sum(y * y).cast("long").alias("ssq"),
+    )
+    f = g.select(
+        "flag",
+        "n",
+        "s",
+        "ssq",
+        (F.col("s").cast("double") * F.col("s") / F.col("n")).alias("term"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum("s").cast("long").alias("s_total"),
+        F.sum("ssq").cast("long").alias("ssq_total"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("flag"), F.col("term")))),
+                lambda st: st.getField("term"),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("sg"),
+    )
+    ssb = F.col("sg") - F.col("s_total").cast("double") * F.col("s_total") / F.col("n_total")
+    ssw = F.col("ssq_total") - F.col("sg")
+    sst = F.col("ssq_total") - F.col("s_total").cast("double") * F.col("s_total") / F.col("n_total")
+    return f.select(
+        "k",
+        "n_total",
+        r6((ssb / (F.col("k") - 1)) / (ssw / (F.col("n_total") - F.col("k")))).alias("f_stat"),
+        r6(ssb / sst).alias("eta_sq"),
+    )
+
+
+@register(
+    "agg_levene_bf",
+    oracle="""
+WITH med AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(2 * median(CAST(round(l_quantity) AS BIGINT))) AS BIGINT)
+           AS med2
+  FROM lineitem GROUP BY 1
+), z AS (
+  SELECT l.l_returnflag AS flag,
+         abs(2 * CAST(round(l.l_quantity) AS BIGINT) - m.med2) AS z
+  FROM lineitem l JOIN med m ON l.l_returnflag = m.flag
+), g AS (
+  SELECT flag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(z) AS BIGINT) AS s,
+         CAST(sum(z * z) AS BIGINT) AS ssq
+  FROM z GROUP BY 1
+), f AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS BIGINT) AS n_total,
+         CAST(sum(s) AS BIGINT) AS s_total,
+         CAST(sum(ssq) AS BIGINT) AS ssq_total,
+         list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+                        list(CAST(s AS DOUBLE) * s / n ORDER BY flag)),
+           (a, x) -> a + x) AS sg
+  FROM g
+)
+SELECT k, n_total,
+       floor(((sg - CAST(s_total AS DOUBLE) * s_total / n_total) / (k - 1))
+             / ((ssq_total - sg) / (n_total - k)) * 1000000 + 0.5)
+         / 1000000.0 AS f_bf
+FROM f
+""",
+)
+def agg_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BROWN-FORSYTHE (median-based Levene) test of variance
+    homogeneity across return-flag groups — the gate in front of
+    ``agg_anova_f``/``agg_welch_t``: ANOVA assumes equal group
+    variances, and BF is the robust way to check (mean-based Levene
+    inherits the outlier fragility it is supposed to detect).  The
+    statistic is a one-way F on z = |y − median_g|.
+
+    Exactness: group medians of integral quantities are halves, so
+    z doubles to the exact integer |2y − 2·med| (both engines
+    interpolate even-count medians identically — Spark ``percentile``
+    == DuckDB ``median``); from there the machinery and discipline are
+    agg_anova_f's verbatim (int64 moments, k-row sequential fold).
+
+    Scale shape: two passes over lineitem (medians, then moments), each
+    one map-side-combined groupBy; the |groups|-row median frame joins
+    back via broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    y = F.round("l_quantity").cast("long")
+    med = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.round(2 * F.expr("percentile(CAST(round(l_quantity) AS BIGINT), 0.5D)"))
+        .cast("long")
+        .alias("med2")
+    )
+    z = li.join(
+        F.broadcast(med), li["l_returnflag"] == med["flag"]
+    ).select("flag", F.abs(2 * y - F.col("med2")).alias("z"))
+    g = z.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z").cast("long").alias("s"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("ssq"),
+    )
+    f = g.select(
+        "flag",
+        "n",
+        "s",
+        "ssq",
+        (F.col("s").cast("double") * F.col("s") / F.col("n")).alias("term"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum("s").cast("long").alias("s_total"),
+        F.sum("ssq").cast("long").alias("ssq_total"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("flag"), F.col("term")))),
+                lambda st: st.getField("term"),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("sg"),
+    )
+    ssb = F.col("sg") - F.col("s_total").cast("double") * F.col("s_total") / F.col("n_total")
+    ssw = F.col("ssq_total") - F.col("sg")
+    return f.select(
+        "k",
+        "n_total",
+        r6((ssb / (F.col("k") - 1)) / (ssw / (F.col("n_total") - F.col("k")))).alias("f_bf"),
+    )
+
+
+@register(
+    "agg_jarque_bera",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag AS flag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                  * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS s2,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                  * CAST(round(l_quantity) AS BIGINT)
+                  * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS s3,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                  * CAST(round(l_quantity) AS BIGINT)
+                  * CAST(round(l_quantity) AS BIGINT)
+                  * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS s4
+  FROM lineitem GROUP BY 1
+), c AS (
+  SELECT flag, n,
+         CAST(s1 AS DOUBLE) / n AS mu,
+         CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m2,
+         CAST(s3 AS DOUBLE) / n
+           - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+           + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m3,
+         CAST(s4 AS DOUBLE) / n
+           - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+           + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+           - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+               * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m4
+  FROM m
+)
+SELECT flag, n,
+       floor(m3 / pow(m2, 1.5) * 1000000 + 0.5) / 1000000.0 AS skewness,
+       floor(m4 / (m2 * m2) * 1000000 + 0.5) / 1000000.0 AS kurtosis,
+       floor(n / 6.0 * ((m3 / pow(m2, 1.5)) * (m3 / pow(m2, 1.5))
+                        + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3) / 4)
+             * 1000000 + 0.5) / 1000000.0 AS jb_stat
+FROM c ORDER BY flag
+""",
+)
+def agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JARQUE-BERA normality statistic per return-flag group — the
+    moment-based "is this distribution even close to normal" check
+    that decides whether ``agg_anova_f``/``agg_welch_t`` are the right
+    tools or the rank battery (``agg_kruskal_wallis``/
+    ``agg_mann_whitney``) should run instead: JB = n/6·(S² + (K−3)²/4)
+    from sample skewness S and kurtosis K.
+
+    Exactness: integral quantities make all four raw power sums exact
+    int64 (50⁴·|rows| ≈ 4e13 at sf1 — decimal sums are the documented
+    swap past ~1e18); central moments expand from raw moments in the
+    SAME double expression both engines (no subtract-mean second pass,
+    so no order-sensitive reduction exists at all).
+
+    Scale shape: ONE map-side-combined groupBy; |groups| output rows;
+    per-group algebra is projection-only."""
+    li = table(spark, sf_dir, "lineitem")
+    y = F.round("l_quantity").cast("long")
+    m = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(y).cast("long").alias("s1"),
+        F.sum(y * y).cast("long").alias("s2"),
+        F.sum(y * y * y).cast("long").alias("s3"),
+        F.sum(y * y * y * y).cast("long").alias("s4"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    r2m = F.col("s2").cast("double") / F.col("n")
+    r3m = F.col("s3").cast("double") / F.col("n")
+    r4m = F.col("s4").cast("double") / F.col("n")
+    m2 = r2m - mu * mu
+    m3 = r3m - 3 * mu * r2m + 2 * mu * mu * mu
+    m4 = r4m - 4 * mu * r3m + 6 * mu * mu * r2m - 3 * mu * mu * mu * mu
+    skew = m3 / F.pow(m2, F.lit(1.5))
+    kurt = m4 / (m2 * m2)
+    return m.select(
+        "flag",
+        "n",
+        r6(skew).alias("skewness"),
+        r6(kurt).alias("kurtosis"),
+        r6(F.col("n") / F.lit(6.0) * (skew * skew + (kurt - 3) * (kurt - 3) / 4)).alias(
+            "jb_stat"
+        ),
+    ).orderBy("flag")
+
+
+@register(
+    "agg_odds_ratio",
+    oracle="""
+WITH t AS (
+  SELECT CAST(sum(CASE WHEN o_orderpriority LIKE '1%' AND o_orderstatus = 'F'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN o_orderpriority LIKE '1%' AND o_orderstatus <> 'F'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(sum(CASE WHEN o_orderpriority NOT LIKE '1%' AND o_orderstatus = 'F'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN o_orderpriority NOT LIKE '1%' AND o_orderstatus <> 'F'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM orders
+)
+SELECT a, b, c, d,
+       floor(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c) * 1000000 + 0.5)
+         / 1000000.0 AS odds_ratio,
+       floor(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                 - 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d))
+             * 1000000 + 0.5) / 1000000.0 AS ci_lo,
+       floor(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                 + 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d))
+             * 1000000 + 0.5) / 1000000.0 AS ci_hi
+FROM t
+""",
+)
+def agg_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 ODDS RATIO with Woolf's logit confidence interval: exposure
+    = urgent order priority, outcome = fully-shipped status — the
+    epidemiology/experimentation workhorse for "does exposure move the
+    odds", with the CI that ``agg_ab_test``'s difference-of-rates view
+    does not give (OR is the effect measure that stays estimable under
+    case-control sampling).  CI = exp(ln OR ± 1.96·√(1/a+1/b+1/c+1/d)).
+
+    Exactness: the 2×2 cells are one conditional-sum pass (exact
+    int64); OR and both bounds are single closed-form double
+    expressions (ln/exp/sqrt of exact-int ratios) in the same op order
+    both engines.  Scale shape: one scan, one 1-row aggregate — no
+    shuffle beyond the partial-agg combine."""
+    o = table(spark, sf_dir, "orders")
+    exp_ = F.col("o_orderpriority").startswith("1")
+    out_ = F.col("o_orderstatus") == "F"
+    t = o.agg(
+        F.sum(F.when(exp_ & out_, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(exp_ & ~out_, 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when(~exp_ & out_, 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(~exp_ & ~out_, 1).otherwise(0)).cast("long").alias("d"),
+    )
+    orr = F.col("a").cast("double") * F.col("d") / (F.col("b").cast("double") * F.col("c"))
+    se = F.sqrt(
+        1.0 / F.col("a") + 1.0 / F.col("b") + 1.0 / F.col("c") + 1.0 / F.col("d")
+    )
+    return t.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        r6(orr).alias("odds_ratio"),
+        r6(F.exp(F.log(orr) - 1.96 * se)).alias("ci_lo"),
+        r6(F.exp(F.log(orr) + 1.96 * se)).alias("ci_hi"),
+    )
+
+
+@register(
+    "agg_durbin_watson",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_diff('day',
+              (SELECT min(date_trunc('day', l_shipdate)) FROM lineitem),
+              date_trunc('day', l_shipdate)) AS BIGINT) AS x,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM lineitem GROUP BY 1
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM d
+), p AS (
+  SELECT n,
+         (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+           / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) AS b,
+         sx, sy
+  FROM m
+), p2 AS (
+  SELECT n, b, (CAST(sy AS DOUBLE) - b * sx) / n AS a FROM p
+), f AS (
+  SELECT p2.n AS n_days, p2.b AS b,
+         list_reduce(
+           list_prepend({e: CAST(NULL AS DOUBLE), sn: CAST(0 AS DOUBLE),
+                         sd: CAST(0 AS DOUBLE)},
+             list({e: CAST(y AS DOUBLE) - a - b * x,
+                   sn: CAST(0 AS DOUBLE), sd: CAST(0 AS DOUBLE)} ORDER BY x)),
+           (acc, v) -> {e: v.e,
+                        sn: acc.sn + coalesce((v.e - acc.e) * (v.e - acc.e),
+                                              CAST(0 AS DOUBLE)),
+                        sd: acc.sd + v.e * v.e}) AS st
+  FROM d CROSS JOIN p2
+  GROUP BY p2.n, p2.b, a
+)
+SELECT n_days,
+       floor(b * 10000 + 0.5) / 10000.0 AS slope_cents_per_day,
+       floor(st.sn / st.sd * 1000000 + 0.5) / 1000000.0 AS dw_stat
+FROM f
+""",
+)
+def agg_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DURBIN-WATSON autocorrelation test on the residuals of the daily
+    -revenue-vs-time OLS line: DW = Σ(e_t − e_{t−1})² / Σe_t² — the
+    "is the trend line hiding serial structure" diagnostic that decides
+    whether ``agg_trend_ols``'s R² can be believed (DW ≈ 2 means
+    independent residuals; → 0 positive autocorrelation, → 4 negative).
+
+    Exactness: the day-grain series has exact int64 x (days since
+    corpus start) and y (revenue cents), the OLS moments are exact
+    int64 sums, and the one order-sensitive reduction — the residual
+    difference/square sums — folds sequentially over the day-sorted
+    array with a struct accumulator (prev, Σdiff², Σe²); both engines
+    run the identical fold (Spark ``aggregate`` HOF == DuckDB
+    ``list_reduce`` with a prepended NULL-prev init, first diff
+    coalesced to 0).
+
+    Scale shape: map-side-combined groupBy to the calendar-bounded day
+    grain (~2.5k days over the TPC-H span, ~10⁵ at a decade of hourly
+    retention — the win_rolling_corr spine bound), 1-row moment
+    aggregate broadcast back, then one fold over the bounded day
+    array.  Per-series partitioning is the multi-series swap."""
+    li = table(spark, sf_dir, "lineitem")
+    t0 = li.agg(F.min(F.date_trunc("day", "l_shipdate")).alias("t0"))
+    d = (
+        li.crossJoin(F.broadcast(t0))
+        .groupBy(
+            F.datediff(F.date_trunc("day", "l_shipdate"), "t0").cast("long").alias("x")
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    m = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    b = (
+        F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")
+    )
+    p = m.select("n", b.alias("b"), "sx", "sy").select(
+        "n", "b", ((F.col("sy").cast("double") - F.col("b") * F.col("sx")) / F.col("n")).alias("a")
+    )
+    e = d.crossJoin(F.broadcast(p)).select(
+        "n",
+        "b",
+        "x",
+        (F.col("y").cast("double") - F.col("a") - F.col("b") * F.col("x")).alias("e"),
+    )
+    init = F.struct(
+        F.lit(None).cast("double").alias("prev"),
+        F.lit(0.0).alias("sn"),
+        F.lit(0.0).alias("sd"),
+    )
+    st = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("x"), F.col("e")))),
+            lambda s: s.getField("e"),
+        ),
+        init,
+        lambda acc, v: F.struct(
+            v.alias("prev"),
+            (
+                acc.getField("sn")
+                + F.coalesce(
+                    (v - acc.getField("prev")) * (v - acc.getField("prev")), F.lit(0.0)
+                )
+            ).alias("sn"),
+            (acc.getField("sd") + v * v).alias("sd"),
+        ),
+    )
+    f = e.groupBy("n", "b").agg(st.alias("st"))
+    return f.select(
+        F.col("n").alias("n_days"),
+        (F.floor(F.col("b") * 10000 + 0.5) / 10000.0).alias("slope_cents_per_day"),
+        r6(F.col("st").getField("sn") / F.col("st").getField("sd")).alias("dw_stat"),
+    )
+
+
+@register(
+    "agg_cohens_kappa",
+    oracle="""
+WITH cells AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) % 3 AS ra,
+         l_partkey % 3 AS rb,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+), marg AS (
+  SELECT r.cat, r.r_i, c.c_i FROM
+    (SELECT ra AS cat, CAST(sum(c) AS BIGINT) AS r_i FROM cells GROUP BY 1) r
+    JOIN
+    (SELECT rb AS cat, CAST(sum(c) AS BIGINT) AS c_i FROM cells GROUP BY 1) c
+    USING (cat)
+), t AS (
+  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM cells) AS n,
+         (SELECT CAST(sum(c) AS BIGINT) FROM cells WHERE ra = rb) AS diag,
+         (SELECT CAST(sum(r_i * c_i) AS BIGINT) FROM marg) AS rc
+)
+SELECT n,
+       floor(CAST(diag AS DOUBLE) / n * 1000000 + 0.5) / 1000000.0 AS po,
+       floor(CAST(rc AS DOUBLE) / n / n * 1000000 + 0.5) / 1000000.0 AS pe,
+       floor((CAST(diag AS DOUBLE) / n - CAST(rc AS DOUBLE) / n / n)
+             / (1 - CAST(rc AS DOUBLE) / n / n) * 1000000 + 0.5)
+         / 1000000.0 AS kappa
+FROM t
+""",
+)
+def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA chance-corrected agreement between two categorical
+    labelings of the same rows (here the two deterministic 3-way
+    hash-labelings quantity%3 and partkey%3 — by construction nearly
+    independent, so kappa ≈ 0 is the expected readout and any drift is
+    a data-quality signal).  The standard metric for "do two annotators
+    / two classifier versions / human-vs-LLM labels agree beyond
+    chance" in labeling pipelines (``ext_classifier_confusion`` gives
+    the raw matrix; kappa is its chance-corrected summary).
+
+    Exactness: the |A|×|B| contingency cells, both marginals, the
+    diagonal, and Σ r_i·c_i are all exact int64; po/pe/kappa are single
+    double expressions in the same op order both engines.
+
+    Scale shape: one map-side-combined groupBy to the bounded category
+    -pair grain, then category-sized joins — nothing row-proportional
+    leaves the first exchange."""
+    li = table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        (F.round("l_quantity").cast("long") % 3).alias("ra"),
+        (F.col("l_partkey") % 3).alias("rb"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    r = cells.groupBy(F.col("ra").alias("cat")).agg(F.sum("c").cast("long").alias("r_i"))
+    c = cells.groupBy(F.col("rb").alias("cat")).agg(F.sum("c").cast("long").alias("c_i"))
+    rc = (
+        r.join(c, "cat")
+        .agg(F.sum(F.col("r_i") * F.col("c_i")).cast("long").alias("rc"))
+    )
+    tot = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("diag"),
+    )
+    t = tot.crossJoin(F.broadcast(rc))
+    po = F.col("diag").cast("double") / F.col("n")
+    pe = F.col("rc").cast("double") / F.col("n") / F.col("n")
+    return t.select(
+        "n",
+        r6(po).alias("po"),
+        r6(pe).alias("pe"),
+        r6((po - pe) / (1 - pe)).alias("kappa"),
+    )
+
+
+@register(
+    "agg_fleiss_kappa",
+    oracle="""
+WITH sized AS (
+  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING count(*) = 4
+), cells AS (
+  SELECT l.l_orderkey, l.l_returnflag AS cat,
+         CAST(count(*) AS BIGINT) AS nij
+  FROM lineitem l JOIN sized s ON l.l_orderkey = s.l_orderkey
+  GROUP BY 1, 2
+), t AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM sized) AS n_items,
+         (SELECT CAST(sum(nij * nij) AS BIGINT) FROM cells) AS t1,
+         (SELECT CAST(sum(sj * sj) AS BIGINT) FROM
+            (SELECT CAST(sum(nij) AS BIGINT) AS sj FROM cells GROUP BY cat)) AS s2
+)
+SELECT n_items,
+       floor((CAST(t1 AS DOUBLE) - n_items * 4) / (n_items * 4 * 3)
+             * 1000000 + 0.5) / 1000000.0 AS p_bar,
+       floor(CAST(s2 AS DOUBLE) / (CAST(n_items AS DOUBLE) * 4 * n_items * 4)
+             * 1000000 + 0.5) / 1000000.0 AS pe_bar,
+       floor(((CAST(t1 AS DOUBLE) - n_items * 4) / (n_items * 4 * 3)
+              - CAST(s2 AS DOUBLE) / (CAST(n_items AS DOUBLE) * 4 * n_items * 4))
+             / (1 - CAST(s2 AS DOUBLE) / (CAST(n_items AS DOUBLE) * 4 * n_items * 4))
+             * 1000000 + 0.5) / 1000000.0 AS kappa
+FROM t
+""",
+)
+def agg_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLEISS' KAPPA multi-rater agreement: items = orders with exactly
+    r = 4 lineitems, raters = those 4 lineitems, category = return
+    flag — "do the r raters of each item agree beyond chance", the
+    generalization of ``agg_cohens_kappa`` from 2 raters to r (the
+    standard QA statistic for multi-annotator labeling batches and
+    self-consistency sampling of LLM judges).
+
+    Exactness: P̄ = (Σ_ij n_ij² − N·r)/(N·r(r−1)) and P̄e = Σ_j S_j²/
+    (N·r)² are both pure functions of exact int64 sums (no per-item
+    double averaging pass — the rational algebra collapses to two
+    integer totals), so kappa is one closed-form double expression.
+
+    Scale shape: item filter and cells are map-side-combined groupBys
+    on the orderkey grain; category totals are |cats| rows; three
+    1-row scalar aggregates combine at the end."""
+    li = table(spark, sf_dir, "lineitem")
+    sized = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") == 4
+    )
+    cells = (
+        li.join(sized.select("l_orderkey"), "l_orderkey")
+        .groupBy("l_orderkey", F.col("l_returnflag").alias("cat"))
+        .agg(F.count(F.lit(1)).cast("long").alias("nij"))
+    )
+    n_items = sized.agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+    t1 = cells.agg(F.sum(F.col("nij") * F.col("nij")).cast("long").alias("t1"))
+    s2 = (
+        cells.groupBy("cat")
+        .agg(F.sum("nij").cast("long").alias("sj"))
+        .agg(F.sum(F.col("sj") * F.col("sj")).cast("long").alias("s2"))
+    )
+    t = n_items.crossJoin(F.broadcast(t1)).crossJoin(F.broadcast(s2))
+    pbar = (F.col("t1").cast("double") - F.col("n_items") * 4) / (F.col("n_items") * 4 * 3)
+    pe = F.col("s2").cast("double") / (
+        F.col("n_items").cast("double") * 4 * F.col("n_items") * 4
+    )
+    return t.select(
+        "n_items",
+        r6(pbar).alias("p_bar"),
+        r6(pe).alias("pe_bar"),
+        r6((pbar - pe) / (1 - pe)).alias("kappa"),
+    )
+
+
+@register(
+    "agg_cronbach_alpha",
+    oracle="""
+WITH base AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS y1,
+         CAST(round(l_discount * 100) AS BIGINT) AS y2,
+         CAST(round(l_tax * 100) AS BIGINT) AS y3
+  FROM lineitem
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y1) AS BIGINT) AS a1, CAST(sum(y1 * y1) AS BIGINT) AS q1,
+         CAST(sum(y2) AS BIGINT) AS a2, CAST(sum(y2 * y2) AS BIGINT) AS q2,
+         CAST(sum(y3) AS BIGINT) AS a3, CAST(sum(y3 * y3) AS BIGINT) AS q3,
+         CAST(sum(y1 + y2 + y3) AS BIGINT) AS at,
+         CAST(sum((y1 + y2 + y3) * (y1 + y2 + y3)) AS BIGINT) AS qt
+  FROM base
+)
+SELECT n,
+       floor((3.0 / 2.0) * (1 -
+         ((q1 - CAST(a1 AS DOUBLE) * a1 / n)
+          + (q2 - CAST(a2 AS DOUBLE) * a2 / n)
+          + (q3 - CAST(a3 AS DOUBLE) * a3 / n))
+         / (qt - CAST(at AS DOUBLE) * at / n))
+         * 1000000 + 0.5) / 1000000.0 AS alpha
+FROM m
+""",
+)
+def agg_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRONBACH'S ALPHA internal-consistency reliability over the k = 3
+    item columns (quantity, discount-cents, tax-cents): α = k/(k−1) ·
+    (1 − Σvar_item / var_total) — the survey/score-battery reliability
+    coefficient (here the items are deliberately unrelated operational
+    columns, so α near 0/negative is the expected readout; feature
+    batteries that should co-move use the same call).
+
+    Exactness: every variance term reduces to (Σy² − (Σy)²/n) from
+    exact int64 sums — n−1 denominators cancel between numerator and
+    denominator, so they are omitted on BOTH sides identically — and
+    the k = 3 item-variance sum is written as one fixed-order three-
+    term expression (no fold needed for a compile-time-bounded k).
+
+    Scale shape: ONE scan, ONE 1-row aggregate (9 integer sums); alpha
+    is projection algebra."""
+    li = table(spark, sf_dir, "lineitem")
+    y1 = F.round("l_quantity").cast("long")
+    y2 = F.round(F.col("l_discount") * 100).cast("long")
+    y3 = F.round(F.col("l_tax") * 100).cast("long")
+    t = y1 + y2 + y3
+    m = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(y1).cast("long").alias("a1"),
+        F.sum(y1 * y1).cast("long").alias("q1"),
+        F.sum(y2).cast("long").alias("a2"),
+        F.sum(y2 * y2).cast("long").alias("q2"),
+        F.sum(y3).cast("long").alias("a3"),
+        F.sum(y3 * y3).cast("long").alias("q3"),
+        F.sum(t).cast("long").alias("at"),
+        F.sum(t * t).cast("long").alias("qt"),
+    )
+
+    def sv(a, q):
+        return F.col(q) - F.col(a).cast("double") * F.col(a) / F.col("n")
+
+    alpha = (F.lit(3.0) / F.lit(2.0)) * (
+        1 - (sv("a1", "q1") + sv("a2", "q2") + sv("a3", "q3")) / sv("at", "qt")
+    )
+    return m.select("n", r6(alpha).alias("alpha"))
+
+
+@register(
+    "agg_friedman",
+    oracle="""
+WITH cell AS (
+  SELECT o_custkey % 20 AS blk, o_orderpriority AS trt,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY 1, 2
+), full_blk AS (
+  SELECT blk FROM cell GROUP BY 1 HAVING count(*) = 5
+), ranked AS (
+  SELECT c.trt,
+         2 * rank() OVER (PARTITION BY c.blk ORDER BY c.v)
+           + CAST(count(*) OVER (PARTITION BY c.blk, c.v) AS BIGINT) - 1 AS ar2
+  FROM cell c JOIN full_blk b ON c.blk = b.blk
+), rj AS (
+  SELECT trt, CAST(sum(ar2) AS BIGINT) AS sar2 FROM ranked GROUP BY 1
+), t AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM full_blk) AS n_blocks,
+         (SELECT CAST(sum(sar2 * sar2) AS BIGINT) FROM rj) AS s
+)
+SELECT n_blocks, CAST(5 AS BIGINT) AS k,
+       floor((3.0 * s / (CAST(n_blocks AS DOUBLE) * 5 * 6) - 3.0 * n_blocks * 6)
+             * 1000000 + 0.5) / 1000000.0 AS chi2_f
+FROM t
+""",
+)
+def agg_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRIEDMAN rank test across k = 5 order-priority "treatments"
+    blocked by customer bucket (custkey%20): ranks each block's k cell
+    totals within the block, then asks whether the rank sums differ
+    across treatments — the repeated-measures cousin of
+    ``agg_kruskal_wallis`` (KW assumes independent groups; Friedman
+    removes between-block variation first, the right shape for
+    per-cohort / per-segment treatment comparisons).  Blocks missing a
+    treatment are excluded (complete-block design).
+
+    Exactness: cell values are exact cent sums, so within-block
+    ordering is integer comparison; tie-averaged ranks enter as the
+    INTEGER 2·rank + ties − 1, making Σ_j(Σ_blocks 2R)² exact int64 and
+    χ²_F = 3·Σ(2R_j)²/(Nk(k+1)) − 3N(k+1) one closed-form double.
+
+    Scale shape: one groupBy to the block×treatment grain; the rank
+    window partitions BY BLOCK (k rows per partition — never a global
+    window); rank sums are a |treatments|-row aggregate."""
+    o = table(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        (F.col("o_custkey") % 20).alias("blk"),
+        F.col("o_orderpriority").alias("trt"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("v"))
+    full_blk = cell.groupBy("blk").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") == 5
+    )
+    w_rank = Window.partitionBy("blk").orderBy("v")
+    w_tie = Window.partitionBy("blk", "v")
+    ranked = cell.join(full_blk.select("blk"), "blk").select(
+        "trt",
+        (
+            2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_tie).cast("long") - 1
+        ).alias("ar2"),
+    )
+    rj = ranked.groupBy("trt").agg(F.sum("ar2").cast("long").alias("sar2"))
+    s = rj.agg(F.sum(F.col("sar2") * F.col("sar2")).cast("long").alias("s"))
+    n = full_blk.agg(F.count(F.lit(1)).cast("long").alias("n_blocks"))
+    t = n.crossJoin(F.broadcast(s))
+    chi2 = (
+        F.lit(3.0) * F.col("s") / (F.col("n_blocks").cast("double") * 5 * 6)
+        - F.lit(3.0) * F.col("n_blocks") * 6
+    )
+    return t.select("n_blocks", F.lit(5).cast("long").alias("k"), r6(chi2).alias("chi2_f"))
+
+
+@register(
+    "agg_logrank",
+    oracle=f"""
+WITH horizon AS (
+  SELECT max(ts) - INTERVAL {_KM_CENSOR_DAYS} DAY AS cutoff FROM events
+), u AS (
+  SELECT user_id,
+         CAST(date_diff('day', min(ts), max(ts)) AS BIGINT) AS duration,
+         max(ts) < (SELECT cutoff FROM horizon) AS churned,
+         user_id % 2 AS grp
+  FROM events GROUP BY user_id
+), g AS (
+  SELECT duration,
+         CAST(sum(CASE WHEN churned AND grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         CAST(sum(CASE WHEN churned AND grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+         CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM u GROUP BY 1
+), r AS (
+  SELECT duration, d1, d2,
+         (SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM u)
+           - CAST(coalesce(sum(c1) OVER (ORDER BY duration
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS n1,
+         (SELECT CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) FROM u)
+           - CAST(coalesce(sum(c2) OVER (ORDER BY duration
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS n2
+  FROM g
+), ev AS (
+  SELECT duration, d1, d2, n1, n2, d1 + d2 AS d, n1 + n2 AS n
+  FROM r WHERE d1 + d2 > 0
+), f AS (
+  SELECT CAST(sum(d1) AS BIGINT) AS o1,
+         list_reduce(
+           list_prepend({{se: CAST(0 AS DOUBLE), sv: CAST(0 AS DOUBLE)}},
+             list({{se: CAST(d AS DOUBLE) * n1 / n,
+                   sv: CASE WHEN n > 1
+                       THEN (CAST(d AS DOUBLE) * n1 / n) * (CAST(n2 AS DOUBLE) / n)
+                            * (n - d) / (n - 1)
+                       ELSE CAST(0 AS DOUBLE) END}} ORDER BY duration)),
+           (acc, x) -> {{se: acc.se + x.se, sv: acc.sv + x.sv}}) AS st
+  FROM ev
+)
+SELECT o1,
+       floor(st.se * 1000000 + 0.5) / 1000000.0 AS e1,
+       floor((o1 - st.se) * (o1 - st.se) / st.sv * 1000000 + 0.5)
+         / 1000000.0 AS chi2_logrank
+FROM f
+""",
+)
+def agg_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-GROUP LOG-RANK test on user survival (even vs odd user_id):
+    at each distinct churn time, observed group-0 churns vs those
+    expected under a pooled hazard, χ² = (O₁−E₁)²/V — the standard
+    "do these two cohorts churn at different rates" test that reads
+    the WHOLE curve (``agg_kaplan_meier``/``agg_nelson_aalen`` plot it;
+    log-rank says whether the separation is real).  Same 7-day
+    right-censoring rule as KM.
+
+    Exactness: per-duration churn and at-risk counts per group come
+    exact int64 from one ``distributed_rank`` pass (sum_cols) over the
+    bounded distinct-duration grain; the order-sensitive E₁/V sums fold
+    sequentially over the duration-sorted event array with a two-field
+    struct accumulator (Spark ``aggregate`` == DuckDB ``list_reduce``
+    with a zero-struct init); χ² is one closed-form double.
+
+    Scale shape: user groupBy → duration groupBy (both map-side
+    combined), one distributed_rank pass, one bounded fold."""
+    ev = table(spark, sf_dir, "events")
+    horizon = ev.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {_KM_CENSOR_DAYS} DAYS")).alias("cutoff")
+    )
+    u = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff("last_ts", "first_ts").cast("long").alias("duration"),
+            (F.col("last_ts") < F.col("cutoff")).alias("churned"),
+            (F.col("user_id") % 2).alias("grp"),
+        )
+    )
+    g = u.groupBy("duration").agg(
+        F.sum(F.when(F.col("churned") & (F.col("grp") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum(F.when(F.col("churned") & (F.col("grp") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("d2"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("c2"),
+    )
+    r = distributed_rank(g, ["duration"], sum_cols=("c1", "c2")).select(
+        "duration",
+        "d1",
+        "d2",
+        (F.col("_tot_c1") - (F.col("_cum_c1") - F.col("c1"))).cast("long").alias("n1"),
+        (F.col("_tot_c2") - (F.col("_cum_c2") - F.col("c2"))).cast("long").alias("n2"),
+    )
+    evd = r.filter(F.col("d1") + F.col("d2") > 0).select(
+        "duration",
+        "d1",
+        (F.col("d1") + F.col("d2")).alias("d"),
+        "n1",
+        "n2",
+        (F.col("n1") + F.col("n2")).alias("n"),
+    )
+    se_term = F.col("d").cast("double") * F.col("n1") / F.col("n")
+    sv_term = F.when(
+        F.col("n") > 1,
+        (F.col("d").cast("double") * F.col("n1") / F.col("n"))
+        * (F.col("n2").cast("double") / F.col("n"))
+        * (F.col("n") - F.col("d"))
+        / (F.col("n") - 1),
+    ).otherwise(F.lit(0.0))
+    init = F.struct(F.lit(0.0).alias("se"), F.lit(0.0).alias("sv"))
+    f = evd.select(
+        "duration", "d1", se_term.alias("se_t"), sv_term.alias("sv_t")
+    ).agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("duration"), F.col("se_t"), F.col("sv_t")))
+            ),
+            init,
+            lambda acc, x: F.struct(
+                (acc.getField("se") + x.getField("se_t")).alias("se"),
+                (acc.getField("sv") + x.getField("sv_t")).alias("sv"),
+            ),
+        ).alias("st"),
+    )
+    e1 = F.col("st").getField("se")
+    v = F.col("st").getField("sv")
+    return f.select(
+        "o1",
+        r6(e1).alias("e1"),
+        r6((F.col("o1") - e1) * (F.col("o1") - e1) / v).alias("chi2_logrank"),
+    )
+
+
+@register(
+    "agg_standardized_rate",
+    oracle="""
+WITH cells AS (
+  SELECT o_custkey % 2 AS grp, o_orderpriority AS stratum,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+), std AS (
+  SELECT stratum, CAST(sum(n) AS BIGINT) AS ns FROM cells GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells
+), t AS (
+  SELECT c.grp,
+         CAST(sum(c.a) AS BIGINT) AS a_g, CAST(sum(c.n) AS BIGINT) AS n_g,
+         list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list((CAST(s.ns AS DOUBLE) / tot.nt) * (CAST(c.a AS DOUBLE) / c.n)
+                  ORDER BY c.stratum)),
+           (x, y) -> x + y) AS std_rate
+  FROM cells c JOIN std s ON c.stratum = s.stratum CROSS JOIN tot
+  GROUP BY c.grp
+)
+SELECT grp, a_g, n_g,
+       floor(CAST(a_g AS DOUBLE) / n_g * 1000000 + 0.5) / 1000000.0 AS crude_rate,
+       floor(std_rate * 1000000 + 0.5) / 1000000.0 AS std_rate
+FROM t ORDER BY grp
+""",
+)
+def agg_standardized_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTLY STANDARDIZED RATE: fully-shipped rate per customer-
+    parity group, reweighted to the POOLED order-priority mix —
+    the epidemiologist's confounder control (if group 1 looks worse
+    only because it gets more urgent orders, standardization removes
+    exactly that): std_g = Σ_s (N_s/N)·(a_gs/n_gs) next to the crude
+    a_g/n_g, and the crude-vs-standardized gap IS the mix effect
+    (the within-group twin of ``agg_mix_shift``'s period decomposition).
+
+    Exactness: all cell/stratum/total counts are exact int64; the
+    |strata|-term weighted sum folds sequentially over the stratum-
+    sorted array per group (the agg_anova_f recipe), so both engines
+    accumulate identical doubles in identical order.
+
+    Scale shape: one groupBy to the group×stratum grain, a broadcast
+    stratum-weight join, and a |groups|-row fold aggregate."""
+    o = table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        (F.col("o_custkey") % 2).alias("grp"),
+        F.col("o_orderpriority").alias("stratum"),
+    ).agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    std = cells.groupBy("stratum").agg(F.sum("n").cast("long").alias("ns"))
+    tot = cells.agg(F.sum("n").cast("long").alias("nt"))
+    term = (F.col("ns").cast("double") / F.col("nt")) * (
+        F.col("a").cast("double") / F.col("n")
+    )
+    t = (
+        cells.join(F.broadcast(std), "stratum")
+        .crossJoin(F.broadcast(tot))
+        .select("grp", "stratum", "a", "n", term.alias("term"))
+        .groupBy("grp")
+        .agg(
+            F.sum("a").cast("long").alias("a_g"),
+            F.sum("n").cast("long").alias("n_g"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("stratum"), F.col("term")))),
+                    lambda s: s.getField("term"),
+                ),
+                F.lit(0.0),
+                lambda x, y: x + y,
+            ).alias("std_rate"),
+        )
+    )
+    return t.select(
+        "grp",
+        "a_g",
+        "n_g",
+        r6(F.col("a_g").cast("double") / F.col("n_g")).alias("crude_rate"),
+        r6(F.col("std_rate")).alias("std_rate"),
+    ).orderBy("grp")
+
+
+# Fixed design constants for the power analysis: alpha = 0.05 two-sided
+# (z = 1.959964), power = 0.80 (z = 0.841621), MDE = 2% of the mean.
+_SS_Z_ALPHA = 1.959964
+_SS_Z_BETA = 0.841621
+_SS_MDE_FRAC = 0.02
+
+
+@register(
+    "agg_sample_size",
+    oracle=f"""
+WITH m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sq
+  FROM events GROUP BY 1
+), c AS (
+  SELECT event_type, n,
+         CAST(sq AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)
+           AS var_cents,
+         {_SS_MDE_FRAC} * (CAST(s AS DOUBLE) / n) AS delta
+  FROM m
+)
+SELECT event_type, n,
+       floor(var_cents * 1000000 + 0.5) / 1000000.0 AS var_cents,
+       CAST(ceil(2 * ({_SS_Z_ALPHA} + {_SS_Z_BETA}) * ({_SS_Z_ALPHA} + {_SS_Z_BETA})
+                 * var_cents / (delta * delta)) AS BIGINT) AS n_per_arm
+FROM c ORDER BY event_type
+""",
+)
+def agg_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B TEST SAMPLE-SIZE (power) CALCULATOR per event type: the
+    two-sample normal-approximation formula n/arm = 2(z_α/2+z_β)²σ²/δ²
+    at α = 0.05, power = 0.80, MDE = 2% of the current mean — the
+    pre-experiment sibling of ``agg_ab_test``/``agg_welch_t`` (those
+    judge a finished experiment; this one says how long to run the
+    next one, fed by the SAME variance the pipeline already measures).
+
+    Exactness: σ² comes from exact int64 cent moments, δ from the
+    exact-int mean, z constants are shared literals, and the one
+    rounding (ceil to whole users) happens identically both engines.
+
+    Scale shape: one map-side-combined groupBy; |types| output rows;
+    everything after the moment sums is projection algebra."""
+    ev = table(spark, sf_dir, "events")
+    y = F.round(F.col("value") * 100).cast("long")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(y).cast("long").alias("s"),
+        F.sum(y * y).cast("long").alias("sq"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    var = F.col("sq").cast("double") / F.col("n") - mu * mu
+    delta = F.lit(_SS_MDE_FRAC) * mu
+    z2 = (_SS_Z_ALPHA + _SS_Z_BETA) ** 2
+    return m.select(
+        "event_type",
+        "n",
+        (F.floor(var * 1000000 + 0.5) / 1000000.0).alias("var_cents"),
+        F.ceil(F.lit(2.0) * F.lit(z2) * var / (delta * delta))
+        .cast("long")
+        .alias("n_per_arm"),
+    ).orderBy("event_type")

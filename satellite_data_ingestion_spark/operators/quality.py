@@ -772,3 +772,132 @@ def ext_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(t * 1000000 + 0.5) / 1000000.0).alias("t_emd"),
         (t > F.lit(_T_CLOSE)).alias("violates_t"),
     ).orderBy("source", "lang")
+
+
+def _ig_feature(src: DataFrame, name: str, vcol, out_label) -> DataFrame:
+    """One information-gain row: H(label) - Σ_v p(v)·H(label|v) with every
+    entropy term folded sequentially over the VALUE-SORTED bounded value
+    frame (the agg_anova_f fold recipe) from exact integer counts."""
+    cells = src.groupBy(vcol.alias("v")).agg(
+        F.sum(F.when(out_label, 1).otherwise(0)).cast("long").alias("pos"),
+        F.count(F.lit(1)).cast("long").alias("nv"),
+    )
+
+    def h2(p_num, n_tot):
+        p = p_num.cast("double") / n_tot
+        return F.when(p > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+
+    term = (F.col("nv").cast("double") / F.col("n")) * (
+        h2(F.col("pos"), F.col("nv")) + h2(F.col("nv") - F.col("pos"), F.col("nv"))
+    )
+    tot = cells.agg(
+        F.sum("nv").cast("long").alias("n"), F.sum("pos").cast("long").alias("p")
+    )
+    t = cells.crossJoin(F.broadcast(tot)).select(
+        "v", "n", "p", term.alias("term")
+    )
+    agg = t.groupBy("n", "p").agg(
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("v"), F.col("term")))),
+                lambda s: s.getField("term"),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("h_cond"),
+    )
+    hy = h2(F.col("p"), F.col("n")) + h2(F.col("n") - F.col("p"), F.col("n"))
+    return agg.select(
+        F.lit(name).alias("feature"),
+        "n_values",
+        (F.floor(hy * 1000000 + 0.5) / 1000000.0).alias("h_label"),
+        (F.floor((hy - F.col("h_cond")) * 1000000 + 0.5) / 1000000.0).alias(
+            "info_gain"
+        ),
+    )
+
+
+_IG_ORACLE_ONE = """
+  SELECT '{name}' AS feature, v, CAST(count(*) AS BIGINT) AS nv,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM (SELECT {expr} AS v, o_orderstatus FROM orders) GROUP BY 2
+"""
+
+
+@register(
+    "ext_feature_info_gain",
+    oracle=f"""
+WITH cells AS (
+  {_IG_ORACLE_ONE.format(name="priority", expr="o_orderpriority")}
+  UNION ALL
+  {_IG_ORACLE_ONE.format(name="order_month", expr="CAST(month(o_orderdate) AS BIGINT)")}
+  UNION ALL
+  {_IG_ORACLE_ONE.format(name="cust_bucket", expr="o_custkey % 10")}
+), tot AS (
+  SELECT feature, CAST(sum(nv) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p
+  FROM cells GROUP BY 1
+), t AS (
+  SELECT c.feature, c.v,
+         (CAST(c.nv AS DOUBLE) / t.n) * (
+           (CASE WHEN CAST(c.pos AS DOUBLE) / c.nv > 0
+                 THEN -(CAST(c.pos AS DOUBLE) / c.nv) * ln(CAST(c.pos AS DOUBLE) / c.nv)
+                 ELSE 0.0 END)
+           + (CASE WHEN CAST(c.nv - c.pos AS DOUBLE) / c.nv > 0
+                   THEN -(CAST(c.nv - c.pos AS DOUBLE) / c.nv)
+                        * ln(CAST(c.nv - c.pos AS DOUBLE) / c.nv)
+                   ELSE 0.0 END)) AS term,
+         t.n, t.p
+  FROM cells c JOIN tot t ON c.feature = t.feature
+), agg AS (
+  SELECT feature, n, p, CAST(count(*) AS BIGINT) AS n_values,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY v)),
+                     (a, x) -> a + x) AS h_cond
+  FROM t GROUP BY 1, 2, 3
+)
+SELECT feature, n_values,
+       floor(((CASE WHEN CAST(p AS DOUBLE) / n > 0
+               THEN -(CAST(p AS DOUBLE) / n) * ln(CAST(p AS DOUBLE) / n) ELSE 0.0 END)
+              + (CASE WHEN CAST(n - p AS DOUBLE) / n > 0
+                 THEN -(CAST(n - p AS DOUBLE) / n) * ln(CAST(n - p AS DOUBLE) / n)
+                 ELSE 0.0 END)) * 1000000 + 0.5) / 1000000.0 AS h_label,
+       floor(((CASE WHEN CAST(p AS DOUBLE) / n > 0
+               THEN -(CAST(p AS DOUBLE) / n) * ln(CAST(p AS DOUBLE) / n) ELSE 0.0 END)
+              + (CASE WHEN CAST(n - p AS DOUBLE) / n > 0
+                 THEN -(CAST(n - p AS DOUBLE) / n) * ln(CAST(n - p AS DOUBLE) / n)
+                 ELSE 0.0 END)
+              - h_cond) * 1000000 + 0.5) / 1000000.0 AS info_gain
+FROM agg ORDER BY feature
+""",
+)
+def ext_feature_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INFORMATION GAIN of three categorical features (order priority,
+    order month, customer bucket) against the fully-shipped label —
+    decision-stump feature ranking, the supervised cousin of
+    ``agg_mutual_information`` (same H(y) − H(y|f) quantity, framed as
+    a per-feature scoring sweep the way feature-selection passes and
+    data-card label-leakage audits run it; a feature whose IG ≈ H(y)
+    IS the label leaking through a column).
+
+    Exactness: all cell/marginal counts are exact int64; each feature's
+    Σ_v p(v)H(y|v) folds sequentially over the value-sorted bounded
+    value frame (native value type preserves the sort order DuckDB
+    uses), the two binary-entropy terms are a fixed-order expression,
+    and IG is closed-form from there — full value oracle despite the
+    ln()s.
+
+    Scale shape: one map-side-combined groupBy per feature to its
+    bounded value grain (5/12/10 values), 1-row totals broadcast back,
+    |values|-row folds.  A v-column pivot would do it in one scan;
+    three scans keep each feature's plan independently prunable."""
+    o = table(spark, sf_dir, "orders")
+    lbl = F.col("o_orderstatus") == "F"
+    parts = [
+        _ig_feature(o, "priority", F.col("o_orderpriority"), lbl),
+        _ig_feature(o, "order_month", F.month("o_orderdate").cast("long"), lbl),
+        _ig_feature(o, "cust_bucket", F.col("o_custkey") % 10, lbl),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("feature")

@@ -2706,3 +2706,212 @@ def ext_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ext_ts_decompose.__doc__ = ext_ts_decompose.__doc__.format(m=_DECOMP_MA)
+
+
+_RSI_P = 14  # Cutler's RSI lookback (simple-average variant)
+
+
+@register(
+    "win_rsi",
+    oracle=f"""
+WITH seq AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+              AS BIGINT) AS rn
+  FROM events
+), d AS (
+  SELECT event_type, rn,
+         cents - lag(cents) OVER (PARTITION BY event_type ORDER BY rn) AS diff
+  FROM seq
+), gl AS (
+  SELECT event_type, rn,
+         CAST(sum(greatest(diff, 0)) OVER w AS BIGINT) AS sg,
+         CAST(sum(greatest(-diff, 0)) OVER w AS BIGINT) AS sl
+  FROM d WHERE diff IS NOT NULL
+  WINDOW w AS (PARTITION BY event_type ORDER BY rn
+               ROWS BETWEEN {_RSI_P - 1} PRECEDING AND CURRENT ROW)
+), rsi AS (
+  SELECT event_type, rn,
+         CASE WHEN sg + sl = 0 THEN 50.0
+              ELSE 100.0 * sg / (sg + sl) END AS rsi
+  FROM gl WHERE rn >= {_RSI_P + 1}
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(sum(CASE WHEN rsi > 70 THEN 1 ELSE 0 END) AS BIGINT) AS n_overbought,
+       CAST(sum(CASE WHEN rsi < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversold,
+       floor(arg_max(rsi, rn) * 1000000 + 0.5) / 1000000.0 AS last_rsi
+FROM rsi GROUP BY 1 ORDER BY 1
+""",
+)
+def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIVE STRENGTH INDEX (Cutler's simple-average variant, period
+    {p}) per event-type series, summarized as overbought (>70) /
+    oversold (<30) observation counts plus the latest reading — the
+    bounded-oscillator momentum view next to ``win_ma_crossover``'s
+    regime triggers and ``win_drawdown``'s loss view.  Cutler's SMA
+    form is used deliberately: Wilder's recursive smoothing is a
+    sequential fold (the ``ext_ts_ewma`` shape), while the SMA form is
+    pure rolling-window algebra — RSI = 100·ΣG/(ΣG+ΣL) over the last
+    {p} integer-cent diffs, so every per-row value is a ratio of exact
+    int64 sums and the threshold booleans are bit-stable cross-engine
+    (flat-window rows pin RSI = 50 identically both sides).
+
+    Scale shape: ONE (event_type | ts, event_id) range exchange serves
+    the rank, the diff lag, and both rolling sums; the summary is a
+    map-side-combined groupBy to |types| rows.  Nothing unpartitioned,
+    nothing wider than the {p}-row frame."""
+    events = table(spark, sf_dir, "events")
+    w0 = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.row_number().over(w0).cast("long").alias("rn"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("rn")
+    d = seq.select(
+        "event_type",
+        "rn",
+        (F.col("cents") - F.lag("cents").over(wr)).alias("diff"),
+    ).filter(F.col("diff").isNotNull())
+    wf = wr.rowsBetween(-(_RSI_P - 1), 0)
+    gl = d.select(
+        "event_type",
+        "rn",
+        F.sum(F.greatest(F.col("diff"), F.lit(0))).over(wf).cast("long").alias("sg"),
+        F.sum(F.greatest(-F.col("diff"), F.lit(0))).over(wf).cast("long").alias("sl"),
+    ).filter(F.col("rn") >= _RSI_P + 1)
+    rsi = gl.select(
+        "event_type",
+        "rn",
+        F.when(F.col("sg") + F.col("sl") == 0, F.lit(50.0))
+        .otherwise(F.lit(100.0) * F.col("sg") / (F.col("sg") + F.col("sl")))
+        .alias("rsi"),
+    )
+    return (
+        rsi.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.sum(F.when(F.col("rsi") > 70, 1).otherwise(0))
+            .cast("long")
+            .alias("n_overbought"),
+            F.sum(F.when(F.col("rsi") < 30, 1).otherwise(0))
+            .cast("long")
+            .alias("n_oversold"),
+            (F.floor(F.max_by("rsi", "rn") * 1000000 + 0.5) / 1000000.0).alias(
+                "last_rsi"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+win_rsi.__doc__ = win_rsi.__doc__.format(p=_RSI_P)
+
+
+_SAX_W = 5  # days per PAA bucket
+# Standard-normal quartile breakpoints for a 4-symbol alphabet (a<b<c<d).
+_SAX_BP = 0.6745
+
+
+@register(
+    "ext_ts_sax",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day',
+              (SELECT min(date_trunc('day', l_shipdate)) FROM lineitem),
+              date_trunc('day', l_shipdate)) AS BIGINT) AS x,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM lineitem GROUP BY 1
+), paa AS (
+  SELECT CAST(floor(x / {_SAX_W}) AS BIGINT) AS bucket,
+         CAST(sum(y) AS BIGINT) AS s,
+         CAST(floor(sum(y) / 1000.0) AS BIGINT) AS ks
+  FROM daily GROUP BY 1 HAVING count(*) = {_SAX_W}
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ks) AS BIGINT) AS ss, CAST(sum(ks * ks) AS BIGINT) AS sq
+  FROM paa
+), z AS (
+  SELECT bucket, s,
+         (ks - CAST(ss AS DOUBLE) / n)
+           / sqrt(CAST(sq AS DOUBLE) / n
+                  - (CAST(ss AS DOUBLE) / n) * (CAST(ss AS DOUBLE) / n)) AS zv
+  FROM paa CROSS JOIN m
+)
+SELECT bucket, s AS paa_cents,
+       CASE WHEN zv < -{_SAX_BP} THEN 'a'
+            WHEN zv < 0 THEN 'b'
+            WHEN zv < {_SAX_BP} THEN 'c'
+            ELSE 'd' END AS symbol
+FROM z ORDER BY bucket
+""",
+)
+def ext_ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation) of the daily-revenue
+    series: {w}-day PAA buckets, z-normalized, mapped to a 4-symbol
+    alphabet at the standard-normal quartile breakpoints (Lin &
+    Keogh's discretization) — the representation that turns numeric
+    series into strings so motif mining / anomaly grep /
+    ``ext_ts_subseq_search``-style indexing can run with TEXT
+    machinery (``ext_fingerprint`` shingles, suffix joins) instead of
+    distance scans.
+
+    Exactness order matters and is deliberately inverted from the
+    textbook: PAA aggregates the exact INTEGER cent sums first, and
+    z-normalization runs on the bucket sums using moments that are
+    themselves exact int64 — so the only doubles are the final z
+    values, computed in one identical expression both engines, and the
+    breakpoint comparisons are bit-stable.  Partial trailing buckets
+    are excluded (a {w}-day PAA mean over fewer days is a different
+    statistic).
+
+    Scale shape: two map-side-combined groupBys (day grain → bucket
+    grain, both calendar-bounded) and a broadcast 1-row moment join;
+    output is |buckets| rows."""
+    li = table(spark, sf_dir, "lineitem")
+    t0 = li.agg(F.min(F.date_trunc("day", "l_shipdate")).alias("t0"))
+    daily = (
+        li.crossJoin(F.broadcast(t0))
+        .groupBy(
+            F.datediff(F.date_trunc("day", "l_shipdate"), "t0").cast("long").alias("x")
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    paa = (
+        daily.groupBy(F.floor(F.col("x") / _SAX_W).cast("long").alias("bucket"))
+        .agg(F.sum("y").cast("long").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") == _SAX_W)
+        .select(
+            "bucket",
+            "s",
+            # z-moments run on KILOCENT bucket sums so Σks² stays inside
+            # int64 through ~sf1 (decimal sums are the documented swap past
+            # that); z on a constant rescale is the same statistic.
+            F.floor(F.col("s") / 1000.0).cast("long").alias("ks"),
+        )
+    )
+    m = paa.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ks").cast("long").alias("ss"),
+        F.sum(F.col("ks") * F.col("ks")).cast("long").alias("sq"),
+    )
+    mu = F.col("ss").cast("double") / F.col("n")
+    sd = F.sqrt(F.col("sq").cast("double") / F.col("n") - mu * mu)
+    z = paa.crossJoin(F.broadcast(m)).select(
+        "bucket", "s", ((F.col("ks") - mu) / sd).alias("zv")
+    )
+    sym = (
+        F.when(F.col("zv") < -_SAX_BP, "a")
+        .when(F.col("zv") < 0, "b")
+        .when(F.col("zv") < _SAX_BP, "c")
+        .otherwise("d")
+    )
+    return z.select(
+        "bucket", F.col("s").alias("paa_cents"), sym.alias("symbol")
+    ).orderBy("bucket")

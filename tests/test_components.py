@@ -2754,3 +2754,41 @@ def test_unigram_vs_bpe_fertility(spark):
     for lang, u in uni.items():
         uf = u.tokens / u.words
         assert 1.0 <= uf <= bpe[lang].fertility + 1e-9, (lang, uf, bpe[lang])
+
+
+def test_rouge_l_matches_reference_dp(spark):
+    """ext_rouge_l's vectorized numpy LCS (prefix-max row update) must
+    equal the textbook O(n*m) two-loop DP on every corpus pair."""
+    from tests.conftest import SF_SMOKE
+
+    from satellite_data_ingestion_spark import registry
+    from satellite_data_ingestion_spark.catalog import table
+    from satellite_data_ingestion_spark.llm.textstats import _BLEU_STRIDE, _ROUGE_CAP
+
+    rows = registry.spec("ext_rouge_l").fn(spark, SF_SMOKE).collect()
+    docs = {
+        r.doc_id: r.text.split(" ")[:_ROUGE_CAP]
+        for r in table(spark, SF_SMOKE, "documents").collect()
+    }
+
+    def lcs_ref(a, b):
+        dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                dp[i][j] = (
+                    dp[i - 1][j - 1] + 1
+                    if a[i - 1] == b[j - 1]
+                    else max(dp[i - 1][j], dp[i][j - 1])
+                )
+        return dp[len(a)][len(b)]
+
+    assert rows, "no pairs scored"
+    for r in rows:
+        assert r.pid % _BLEU_STRIDE == 0
+        expect = lcs_ref(docs[r.pid], docs[r.pid + 1])
+        assert r.lcs == expect, f"pair {r.pid}: {r.lcs} != {expect}"
+        p, q = r.lcs / r.clen, r.lcs / r.rlen
+        f1 = 0.0 if r.lcs == 0 else 2 * p * q / (p + q)
+        import math
+
+        assert abs(r.rouge_l_f1 - math.floor(f1 * 1e6 + 0.5) / 1e6) < 1e-12

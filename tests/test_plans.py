@@ -862,3 +862,62 @@ def test_decontaminate_broadcast_bench_index(spark):
     tree = plan_of(spark, "ext_decontaminate_longest_match").split("\n\n")[0]
     assert "BroadcastHashJoin" in tree, tree
     assert "CartesianProduct" not in tree, tree
+
+
+def test_rake_windows_partitioned_by_doc(spark):
+    """ext_keyword_rake's phrase segmentation window must partition BY
+    DOC (per-doc running stopword count) — a global Window over the
+    token stream would serialize the whole corpus into one task."""
+    plan = plan_of(spark, "ext_keyword_rake")
+    for m in re.finditer(r"Window \[[^\]]*windowspecdefinition\(([^,]*),", plan):
+        assert "doc_id" in m.group(1), m.group(0)[:200]
+
+
+def test_rsi_single_series_exchange(spark):
+    """win_rsi's rank, diff-lag and both rolling sums must ride ONE
+    (event_type) hash exchange — re-partitioning per window layer
+    would triple the shuffle volume."""
+    tree = plan_of(spark, "win_rsi").split("\n\n")[0]
+    ex = tree.count("Exchange hashpartitioning")
+    # one series exchange + one final groupBy exchange
+    assert ex <= 2, tree
+
+
+def test_bleu_no_cartesian_pair_join(spark):
+    """ext_bleu's candidate-reference pairing and clipped-overlap joins
+    must stay equi joins (hash/sort-merge on pid / (pid, gram)); the
+    only nested-loop nodes allowed are the Cross-type combinators of
+    1-row scalar aggregates (the sanctioned bounded-crossJoin shape)."""
+    tree = plan_of(spark, "ext_bleu").split("\n\n")[0]
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin Inner" not in tree, tree
+    assert "BroadcastHashJoin Inner" in tree, tree
+
+
+def test_sax_bucket_grain_aggregates(spark):
+    """ext_ts_sax must reduce day->bucket grain with hash aggregates
+    (map-side combined), with the z-moments a broadcast 1-row join —
+    no window over the full bucket frame."""
+    plan = plan_of(spark, "ext_ts_sax")
+    tree = plan.split("\n\n")[0]
+    assert "partial_sum" in plan
+    assert "BroadcastExchange" in tree, tree
+
+
+def test_clustering_coeff_wedge_join_no_cartesian(spark):
+    """graph_clustering_coeff's triangle stage must be the ordered-edge
+    wedge equi join (hash/sort-merge on shared endpoints) — a cartesian
+    or BNLJ pairing of edges is the quadratic failure mode."""
+    tree = plan_of(spark, "graph_clustering_coeff").split("\n\n")[0]
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+
+
+def test_info_gain_value_folds_bounded(spark):
+    """ext_feature_info_gain's entropy folds must run on the bounded
+    per-feature value grain: every Window (if any) partitions, and the
+    plan carries partial aggregates for the cell counts."""
+    plan = plan_of(spark, "ext_feature_info_gain")
+    assert "partial_sum" in plan or "partial_count" in plan
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree, tree
