@@ -129,6 +129,8 @@ NEW_THIS_ROUND = [
     "ext_feature_info_gain",
     "ext_image_histogram",
     "agg_sample_size",
+    "graph_mst",
+    "agg_hurst",
 ]
 
 CORE = [

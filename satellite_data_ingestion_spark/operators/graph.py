@@ -1076,3 +1076,96 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
         .orderBy(F.desc("n_nodes"), "component_id")
     )
+
+
+_MST_MAX_ROUNDS = 12  # Borůvka halves component count per round: 2^12 covers any test graph
+
+
+@register("graph_mst")  # rows-only: MST is not ANSI-SQL-expressible; the unique
+# forest (total edge order (w, x, y)) is parity-pinned against an independent
+# Kruskal in tests/test_graph.py::test_mst_matches_kruskal.
+def graph_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINIMUM SPANNING FOREST of the weighted co-purchase graph by
+    DISTRIBUTED BORŮVKA: each round every component hooks its minimum-
+    weight incident edge (unique under the total edge order (w, x, y),
+    so the forest is unique and no tie cycles can form), the picked
+    pseudo-forest is contracted with the shared
+    ``llm.dedup.connected_components`` engine, and the round repeats on
+    the quotient graph — component count at least halves per round, so
+    O(log V) rounds total (Borůvka 1926; the MapReduce formulation is
+    the standard one, e.g. Lattanzi et al.'s filtering literature).
+    The MST is the backbone for single-linkage clustering over the
+    co-purchase graph and the cheapest-connection view of an
+    assortment network.
+
+    Scale shape: per round, ONE relabel join over the surviving edges,
+    ONE per-component min_by aggregate (map-side combined), and a CC
+    contraction whose input is ≤ |components| edges; picked edges
+    accumulate via checkpointed unions.  Nothing is ever quadratic;
+    the driver holds only round counters.  Rows-only by design: SQL
+    has no MST; exact parity vs an independent Kruskal is pinned in
+    tests."""
+    from ..llm.dedup import _checkpoint_reset_stats, connected_components
+
+    e0 = _copurchase_edges(spark, sf_dir)  # (x, y, w), x < y, each edge once
+    edges = _checkpoint_reset_stats(
+        e0.select(
+            "x", "y", F.col("w").cast("long").alias("w")
+        )
+    )
+    nodes = (
+        edges.select(F.col("x").alias("n"))
+        .unionAll(edges.select(F.col("y").alias("n")))
+        .distinct()
+    )
+    labels = _checkpoint_reset_stats(
+        nodes.select(F.col("n").alias("doc_id"), F.col("n").alias("component_id"))
+    )
+    mst = None
+    for _rnd in range(_MST_MAX_ROUNDS):
+        lx = labels.select(F.col("doc_id").alias("x"), F.col("component_id").alias("cx"))
+        ly = labels.select(F.col("doc_id").alias("y"), F.col("component_id").alias("cy"))
+        cross = _checkpoint_reset_stats(
+            edges.join(lx, "x").join(ly, "y").filter("cx != cy")
+        )
+        if cross.count() == 0:
+            break
+        # Every component hooks its min incident edge under (w, x, y).
+        inc = cross.select(F.col("cx").alias("c"), "w", "x", "y").unionAll(
+            cross.select(F.col("cy").alias("c"), "w", "x", "y")
+        )
+        picked = (
+            inc.groupBy("c")
+            .agg(F.min(F.struct("w", "x", "y")).alias("m"))
+            .select("m.x", "m.y", "m.w")
+            .distinct()
+        )
+        picked = _checkpoint_reset_stats(picked)
+        mst = picked if mst is None else _checkpoint_reset_stats(mst.unionAll(picked))
+        # Contract: CC over the picked pseudo-forest on the COMPONENT graph.
+        pl = picked.join(lx, "x").join(ly, "y")
+        comp_edges = pl.select(
+            F.col("cx").alias("doc_a"), F.col("cy").alias("doc_b")
+        ).unionAll(pl.select(F.col("cy").alias("doc_a"), F.col("cx").alias("doc_b")))
+        comps = labels.select(F.col("component_id").alias("doc_id")).distinct()
+        comp_labels = connected_components(
+            comps.select("doc_id", F.col("doc_id").alias("component_id")),
+            comp_edges.distinct(),
+            identity_start=True,
+        ).select(F.col("doc_id").alias("old_c"), F.col("component_id").alias("new_c"))
+        labels = _checkpoint_reset_stats(
+            labels.join(
+                comp_labels, labels.component_id == comp_labels.old_c, "left"
+            ).select(
+                "doc_id",
+                F.coalesce("new_c", "component_id").alias("component_id"),
+            )
+        )
+    else:
+        raise RuntimeError(
+            f"Borůvka did not converge in {_MST_MAX_ROUNDS} rounds — "
+            "component count must at least halve per round; investigate"
+        )
+    if mst is None:
+        return edges.select("x", "y", "w").limit(0)
+    return mst.select("x", "y", "w").orderBy("w", "x", "y")

@@ -2915,3 +2915,124 @@ def ext_ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return z.select(
         "bucket", F.col("s").alias("paa_cents"), sym.alias("symbol")
     ).orderBy("bucket")
+
+
+_HURST_SCALES = (1, 2, 4, 8)  # increment lags (days) for the structure function
+
+
+@register(
+    "agg_hurst",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day',
+              (SELECT min(date_trunc('day', l_shipdate)) FROM lineitem),
+              date_trunc('day', l_shipdate)) AS BIGINT) AS x,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM lineitem GROUP BY 1
+), d AS (
+  SELECT x, y,
+         CAST(floor((y - lag(y, 1) OVER w) / 1000.0) AS BIGINT) AS d1,
+         CAST(floor((y - lag(y, 2) OVER w) / 1000.0) AS BIGINT) AS d2,
+         CAST(floor((y - lag(y, 4) OVER w) / 1000.0) AS BIGINT) AS d4,
+         CAST(floor((y - lag(y, 8) OVER w) / 1000.0) AS BIGINT) AS d8
+  FROM daily WINDOW w AS (ORDER BY x)
+), v AS (
+  SELECT
+    CAST(count(*) AS BIGINT) AS n_days,
+    CAST(sum(d1*d1) AS DOUBLE) / count(d1) - (CAST(sum(d1) AS DOUBLE)/count(d1)) * (CAST(sum(d1) AS DOUBLE)/count(d1)) AS v1,
+    CAST(sum(d2*d2) AS DOUBLE) / count(d2) - (CAST(sum(d2) AS DOUBLE)/count(d2)) * (CAST(sum(d2) AS DOUBLE)/count(d2)) AS v2,
+    CAST(sum(d4*d4) AS DOUBLE) / count(d4) - (CAST(sum(d4) AS DOUBLE)/count(d4)) * (CAST(sum(d4) AS DOUBLE)/count(d4)) AS v4,
+    CAST(sum(d8*d8) AS DOUBLE) / count(d8) - (CAST(sum(d8) AS DOUBLE)/count(d8)) * (CAST(sum(d8) AS DOUBLE)/count(d8)) AS v8
+  FROM d
+), f AS (
+  SELECT n_days, v1, v2, v4, v8,
+         (ln(v1) + ln(v2) + ln(v4) + ln(v8)) / 4 AS ybar,
+         (ln(1.0) + ln(2.0) + ln(4.0) + ln(8.0)) / 4 AS xbar
+  FROM v
+)
+SELECT n_days,
+       floor(v1 * 1000000 + 0.5) / 1000000.0 AS v1,
+       floor(v8 * 1000000 + 0.5) / 1000000.0 AS v8,
+       floor((((ln(1.0) - xbar) * (ln(v1) - ybar) + (ln(2.0) - xbar) * (ln(v2) - ybar)
+               + (ln(4.0) - xbar) * (ln(v4) - ybar) + (ln(8.0) - xbar) * (ln(v8) - ybar))
+              / ((ln(1.0) - xbar) * (ln(1.0) - xbar) + (ln(2.0) - xbar) * (ln(2.0) - xbar)
+                 + (ln(4.0) - xbar) * (ln(4.0) - xbar) + (ln(8.0) - xbar) * (ln(8.0) - xbar))
+              / 2) * 1000000 + 0.5) / 1000000.0 AS hurst
+FROM f
+""",
+)
+def agg_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HURST EXPONENT of the daily-revenue series by the structure-
+    function (k-step increment variance) method: Var(y_(t+k) − y_t)
+    scales as k^2H for a self-similar process, so H is half the OLS
+    slope of ln Var over ln k at k ∈ {s} — the long-range-dependence
+    readout (H ≈ 0.5 random walk increments, > 0.5 persistent/trending,
+    < 0.5 mean-reverting) that decides whether ``ext_ts_holt``-style
+    extrapolation is even defensible, next to ``ext_ts_acf``'s
+    short-lag view.
+
+    Exactness: increments are exact integer KILOCENT diffs (floor is
+    toward −∞ in both engines, so negative diffs agree; Σd² stays
+    inside int64 through ~sf1 — decimal sums are the documented swap),
+    each variance is closed-form from two integer sums, and the 4-point
+    OLS is a fixed-order expression — full value oracle despite the
+    logs.
+
+    Scale shape: one map-side-combined groupBy to the calendar-bounded
+    day grain, then ONE ordered spine window serving all four lags
+    (the win_rolling_corr hour-spine bound: ~10⁵ rows at a decade of
+    daily retention; partition-by-series is the multi-series swap),
+    and a 1-row moment aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    t0 = li.agg(F.min(F.date_trunc("day", "l_shipdate")).alias("t0"))
+    daily = (
+        li.crossJoin(F.broadcast(t0))
+        .groupBy(
+            F.datediff(F.date_trunc("day", "l_shipdate"), "t0").cast("long").alias("x")
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    w = Window.orderBy("x")
+    d = daily.select(
+        "x",
+        *[
+            F.floor((F.col("y") - F.lag("y", k).over(w)) / 1000.0)
+            .cast("long")
+            .alias(f"d{k}")
+            for k in _HURST_SCALES
+        ],
+    )
+
+    def var_of(k):
+        c = F.count(F.col(f"d{k}"))
+        s = F.sum(F.col(f"d{k}")).cast("double")
+        sq = F.sum(F.col(f"d{k}") * F.col(f"d{k}")).cast("double")
+        return (sq / c - (s / c) * (s / c)).alias(f"v{k}")
+
+    v = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        *[var_of(k) for k in _HURST_SCALES],
+    )
+    lnks = [math.log(float(k)) for k in _HURST_SCALES]
+    xbar = sum(lnks) / 4  # compile-time constant, same literal both engines
+    ybar = (
+        F.log(F.col("v1")) + F.log(F.col("v2")) + F.log(F.col("v4")) + F.log(F.col("v8"))
+    ) / 4
+    num = sum(
+        ((F.lit(lnks[i]) - F.lit(xbar)) * (F.log(F.col(f"v{k}")) - ybar))
+        for i, k in enumerate(_HURST_SCALES)
+    )
+    den = sum(((lnks[i] - xbar) * (lnks[i] - xbar)) for i in range(4))
+    return v.select(
+        "n_days",
+        (F.floor(F.col("v1") * 1000000 + 0.5) / 1000000.0).alias("v1"),
+        (F.floor(F.col("v8") * 1000000 + 0.5) / 1000000.0).alias("v8"),
+        (F.floor(num / F.lit(den) / 2 * 1000000 + 0.5) / 1000000.0).alias("hurst"),
+    )
+
+
+agg_hurst.__doc__ = agg_hurst.__doc__.format(s=list(_HURST_SCALES))

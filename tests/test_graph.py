@@ -96,3 +96,40 @@ def test_leakage_safe_split_keeps_pairs_together(spark):
     census = {r.split: r.n for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert set(census) == {"train", "valid", "test"}
     assert census["train"] > census["valid"] and census["train"] > census["test"]
+
+
+def test_mst_matches_kruskal(spark):
+    """graph_mst's distributed Borůvka must produce the EXACT unique
+    minimum spanning forest (edge total order (w, x, y)) that an
+    independent driver-side Kruskal computes on the same edge list."""
+    from tests.conftest import SF_SMOKE
+
+    from satellite_data_ingestion_spark import registry
+    from satellite_data_ingestion_spark.operators.graph import _copurchase_edges
+
+    got = {
+        (r.x, r.y, r.w)
+        for r in registry.spec("graph_mst").fn(spark, SF_SMOKE).collect()
+    }
+    edges = sorted(
+        (r.w, r.x, r.y) for r in _copurchase_edges(spark, SF_SMOKE).collect()
+    )
+
+    parent = {}
+
+    def find(a):
+        while parent.get(a, a) != a:
+            parent[a] = parent.get(parent[a], parent[a])
+            a = parent[a]
+        return a
+
+    expect = set()
+    for w, x, y in edges:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+            expect.add((x, y, w))
+    assert got == expect, (
+        f"forest mismatch: {len(got)} got vs {len(expect)} expected; "
+        f"extra={sorted(got - expect)[:5]} missing={sorted(expect - got)[:5]}"
+    )
