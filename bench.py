@@ -131,6 +131,13 @@ NEW_THIS_ROUND = [
     "agg_sample_size",
     "graph_mst",
     "agg_hurst",
+    "agg_did",
+    "win_event_study",
+    "agg_its_segmented",
+    "agg_yuen_trimmed_t",
+    "fn_normal_cdf",
+    "agg_multiple_testing_bh",
+    "agg_tost_equivalence",
 ]
 
 CORE = [

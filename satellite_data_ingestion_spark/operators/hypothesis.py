@@ -2458,3 +2458,618 @@ def agg_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_per_arm"),
     ).orderBy("event_type")
+
+
+_DID_SPLIT = "2024-01-16"  # the agg_mix_shift period boundary, reused
+
+
+@register(
+    "agg_did",
+    oracle=f"""
+WITH cells AS (
+  SELECT user_id % 2 AS grp,
+         CASE WHEN CAST(ts AS DATE) < DATE '{_DID_SPLIT}' THEN 0 ELSE 1 END AS period,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sq
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT
+    CAST(sum(n) AS BIGINT) AS n_total,
+    max(CASE WHEN grp = 1 AND period = 1 THEN CAST(s AS DOUBLE) / n END) AS m11,
+    max(CASE WHEN grp = 1 AND period = 0 THEN CAST(s AS DOUBLE) / n END) AS m10,
+    max(CASE WHEN grp = 0 AND period = 1 THEN CAST(s AS DOUBLE) / n END) AS m01,
+    max(CASE WHEN grp = 0 AND period = 0 THEN CAST(s AS DOUBLE) / n END) AS m00,
+    max(CASE WHEN grp = 1 AND period = 1 THEN
+        (CAST(sq AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) / n END) AS v11,
+    max(CASE WHEN grp = 1 AND period = 0 THEN
+        (CAST(sq AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) / n END) AS v10,
+    max(CASE WHEN grp = 0 AND period = 1 THEN
+        (CAST(sq AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) / n END) AS v01,
+    max(CASE WHEN grp = 0 AND period = 0 THEN
+        (CAST(sq AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) / n END) AS v00
+  FROM cells
+)
+SELECT n_total,
+       floor(((m11 - m10) - (m01 - m00)) * 1000000 + 0.5) / 1000000.0 AS did_cents,
+       floor((((m11 - m10) - (m01 - m00))
+              - 1.96 * sqrt(v11 + v10 + v01 + v00)) * 1000000 + 0.5)
+         / 1000000.0 AS ci_lo,
+       floor((((m11 - m10) - (m01 - m00))
+              + 1.96 * sqrt(v11 + v10 + v01 + v00)) * 1000000 + 0.5)
+         / 1000000.0 AS ci_hi
+FROM w
+""",
+)
+def agg_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES estimate of the treatment effect:
+    (treated post − treated pre) − (control post − control pre) over
+    the user-parity groups and the mix-shift period boundary — the
+    workhorse quasi-experimental estimator when randomization wasn't
+    available (``agg_ab_test``/``agg_cuped`` assume it was; DiD removes
+    time-invariant group differences AND group-invariant time shocks),
+    with the large-sample normal CI from the four cell variances.
+
+    Exactness: the four cells' n/Σ/Σ² are exact int64 from ONE
+    conditional-aggregate pass; means, variances, the DiD contrast and
+    the CI are a fixed-order closed-form double expression (the 4-term
+    variance sum is written out, no fold needed for compile-time k).
+
+    Scale shape: one map-side-combined groupBy to 4 rows, then a 1-row
+    pivot aggregate.  Nothing row-proportional past the first
+    exchange."""
+    ev = table(spark, sf_dir, "events")
+    y = F.round(F.col("value") * 100).cast("long")
+    cells = ev.groupBy(
+        (F.col("user_id") % 2).alias("grp"),
+        F.when(F.col("ts").cast("date") < F.lit(_DID_SPLIT).cast("date"), 0)
+        .otherwise(1)
+        .alias("period"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(y).cast("long").alias("s"),
+        F.sum(y * y).cast("long").alias("sq"),
+    )
+
+    def cell(g, p, expr):
+        return F.max(F.when((F.col("grp") == g) & (F.col("period") == p), expr))
+
+    mean = F.col("s").cast("double") / F.col("n")
+    vexp = (F.col("sq").cast("double") / F.col("n") - mean * mean) / F.col("n")
+    w = cells.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        cell(1, 1, mean).alias("m11"),
+        cell(1, 0, mean).alias("m10"),
+        cell(0, 1, mean).alias("m01"),
+        cell(0, 0, mean).alias("m00"),
+        cell(1, 1, vexp).alias("v11"),
+        cell(1, 0, vexp).alias("v10"),
+        cell(0, 1, vexp).alias("v01"),
+        cell(0, 0, vexp).alias("v00"),
+    )
+    did = (F.col("m11") - F.col("m10")) - (F.col("m01") - F.col("m00"))
+    se = F.sqrt(F.col("v11") + F.col("v10") + F.col("v01") + F.col("v00"))
+    return w.select(
+        "n_total",
+        r6(did).alias("did_cents"),
+        r6(did - 1.96 * se).alias("ci_lo"),
+        r6(did + 1.96 * se).alias("ci_hi"),
+    )
+
+
+_ES_ANCHOR_TYPE = "purchase"
+_ES_WINDOW_DAYS = 7
+
+
+@register(
+    "win_event_study",
+    oracle=f"""
+WITH anchor AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS a_day
+  FROM events WHERE event_type = '{_ES_ANCHOR_TYPE}' GROUP BY 1
+), rel AS (
+  SELECT date_diff('day', a.a_day, CAST(e.ts AS DATE)) AS rel_day,
+         CAST(round(e.value * 100) AS BIGINT) AS cents
+  FROM events e JOIN anchor a ON e.user_id = a.user_id
+  WHERE date_diff('day', a.a_day, CAST(e.ts AS DATE))
+        BETWEEN -{_ES_WINDOW_DAYS} AND {_ES_WINDOW_DAYS}
+)
+SELECT CAST(rel_day AS BIGINT) AS rel_day,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       floor((CAST(sum(cents) AS DOUBLE) / count(*)) * 1000000 + 0.5)
+         / 1000000.0 AS mean_cents
+FROM rel GROUP BY 1 ORDER BY 1
+""",
+)
+def win_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT STUDY around each user's first '{t}' event: mean activity
+    value by day relative to the anchor (±{w} days) — the
+    visual-inspection estimator behind every "what changed when users
+    converted" question, and the parallel-trends audit that decides
+    whether ``agg_did``'s identifying assumption is even plausible
+    (pre-anchor days flat ⇒ credible).
+
+    Exactness: the anchor is a per-user min-date aggregate, relative
+    days are integer date arithmetic, and each output row is an
+    exact-int mean — one double division per row.
+
+    Scale shape: anchor frame is one user-keyed groupBy; the alignment
+    join is user-keyed (broadcastable when the anchored cohort is
+    small); the final rollup is a map-side-combined groupBy to the
+    2·{w}+1-row grain."""
+    ev = table(spark, sf_dir, "events")
+    anchor = (
+        ev.filter(F.col("event_type") == _ES_ANCHOR_TYPE)
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("a_day"))
+    )
+    rel = (
+        ev.join(anchor, "user_id")
+        .select(
+            F.datediff(F.col("ts").cast("date"), "a_day").cast("long").alias("rel_day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .filter(
+            (F.col("rel_day") >= -_ES_WINDOW_DAYS) & (F.col("rel_day") <= _ES_WINDOW_DAYS)
+        )
+    )
+    return (
+        rel.groupBy("rel_day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            r6(F.sum("cents").cast("double") / F.count(F.lit(1))).alias("mean_cents"),
+        )
+        .orderBy("rel_day")
+    )
+
+
+win_event_study.__doc__ = win_event_study.__doc__.format(
+    t=_ES_ANCHOR_TYPE, w=_ES_WINDOW_DAYS
+)
+
+
+@register(
+    "agg_yuen_trimmed_t",
+    oracle="""
+WITH pts AS (
+  SELECT event_id % 2 AS grp, CAST(round(value * 100) AS BIGINT) AS y, event_id
+  FROM events
+), r AS (
+  SELECT grp, y,
+         CAST(row_number() OVER (PARTITION BY grp ORDER BY y, event_id) AS BIGINT)
+           AS wr,
+         CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM pts
+), s AS (
+  SELECT grp, n, CAST(floor(n / 5) AS BIGINT) AS k FROM r GROUP BY 1, 2
+), agg AS (
+  SELECT r.grp, s.n, s.k,
+         CAST(sum(CASE WHEN r.wr > s.k AND r.wr <= s.n - s.k THEN r.y ELSE 0 END)
+              AS BIGINT) AS tsum,
+         CAST(max(CASE WHEN r.wr = s.k + 1 THEN r.y END) AS BIGINT) AS lo,
+         CAST(max(CASE WHEN r.wr = s.n - s.k THEN r.y END) AS BIGINT) AS hi,
+         CAST(sum(CASE WHEN r.wr > s.k AND r.wr <= s.n - s.k THEN r.y * r.y ELSE 0 END)
+              AS BIGINT) AS tsq
+  FROM r JOIN s ON r.grp = s.grp
+  GROUP BY 1, 2, 3
+), st AS (
+  SELECT grp, n, k, n - 2 * k AS h,
+         CAST(tsum AS DOUBLE) / (n - 2 * k) AS tm,
+         ((tsq + k * lo * lo + k * hi * hi)
+          - CAST(tsum + k * lo + k * hi AS DOUBLE)
+            * (tsum + k * lo + k * hi) / n) / (n - 1) AS wv
+  FROM agg
+), d AS (
+  SELECT grp, n, h, tm, wv * (n - 1) / (CAST(h AS DOUBLE) * (h - 1)) AS dq
+  FROM st
+), w AS (
+  SELECT max(CASE WHEN grp = 0 THEN tm END) AS tm0,
+         max(CASE WHEN grp = 1 THEN tm END) AS tm1,
+         max(CASE WHEN grp = 0 THEN dq END) AS d0,
+         max(CASE WHEN grp = 1 THEN dq END) AS d1,
+         CAST(max(CASE WHEN grp = 0 THEN h END) AS BIGINT) AS h0,
+         CAST(max(CASE WHEN grp = 1 THEN h END) AS BIGINT) AS h1
+  FROM d
+)
+SELECT h0, h1,
+       floor((tm0 - tm1) * 1000000 + 0.5) / 1000000.0 AS trim_mean_diff,
+       floor((tm0 - tm1) / sqrt(d0 + d1) * 1000000 + 0.5) / 1000000.0 AS t_yuen,
+       floor((d0 + d1) * (d0 + d1)
+             / (d0 * d0 / (h0 - 1) + d1 * d1 / (h1 - 1))
+             * 1000000 + 0.5) / 1000000.0 AS dof
+FROM w
+""",
+)
+def agg_yuen_trimmed_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YUEN'S TRIMMED-MEAN t-test (20% trim) between the even/odd
+    event-id halves: compares 20%-trimmed means with Winsorized
+    variances and a Welch-Satterthwaite dof — the robust middle ground
+    between ``agg_welch_t`` (means; outlier-fragile) and
+    ``agg_mann_whitney`` (ranks only; discards magnitude), the
+    recommended default for heavy-tailed metrics in the robust-
+    statistics literature (Yuen 1974, Wilcox).
+
+    Exactness: within-group ranks come from ONE ``distributed_rank``
+    pass over (grp, value, event_id) — within-group rank = global rank
+    minus the group's start offset, both exact — so trimmed sums,
+    boundary order statistics (the Winsorizing values) and Winsorized
+    squares are all exact int64 conditional sums; t and dof are
+    fixed-order closed-form doubles.
+
+    Scale shape: one range exchange serves both groups' ranks (no
+    per-group re-sort); the conditional aggregate is map-side
+    combined; the final contrast is a 1-row pivot."""
+    ev = table(spark, sf_dir, "events")
+    pts = ev.select(
+        (F.col("event_id") % 2).alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+        "event_id",
+    )
+    r = distributed_rank(pts, ["grp", "y", "event_id"])
+    grp_off = r.groupBy("grp").agg(
+        F.min("_rk").alias("off"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rr = r.join(F.broadcast(grp_off), "grp").select(
+        "grp",
+        "y",
+        (F.col("_rk") - F.col("off") + 1).alias("wr"),
+        "n",
+        F.floor(F.col("n") / 5).cast("long").alias("k"),
+    )
+    inner = (F.col("wr") > F.col("k")) & (F.col("wr") <= F.col("n") - F.col("k"))
+    agg = rr.groupBy("grp", "n", "k").agg(
+        F.sum(F.when(inner, F.col("y")).otherwise(0)).cast("long").alias("tsum"),
+        F.max(F.when(F.col("wr") == F.col("k") + 1, F.col("y"))).cast("long").alias("lo"),
+        F.max(F.when(F.col("wr") == F.col("n") - F.col("k"), F.col("y")))
+        .cast("long")
+        .alias("hi"),
+        F.sum(F.when(inner, F.col("y") * F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("tsq"),
+    )
+    h = F.col("n") - 2 * F.col("k")
+    tm = F.col("tsum").cast("double") / h
+    wsum = F.col("tsum") + F.col("k") * F.col("lo") + F.col("k") * F.col("hi")
+    wsq = F.col("tsq") + F.col("k") * F.col("lo") * F.col("lo") + F.col("k") * F.col(
+        "hi"
+    ) * F.col("hi")
+    wv = (wsq - wsum.cast("double") * wsum / F.col("n")) / (F.col("n") - 1)
+    d = agg.select(
+        "grp",
+        "n",
+        h.alias("h"),
+        tm.alias("tm"),
+        (wv * (F.col("n") - 1) / (h.cast("double") * (h - 1))).alias("dq"),
+    )
+
+    def g(gi, expr):
+        return F.max(F.when(F.col("grp") == gi, expr))
+
+    w = d.agg(
+        g(0, F.col("tm")).alias("tm0"),
+        g(1, F.col("tm")).alias("tm1"),
+        g(0, F.col("dq")).alias("d0"),
+        g(1, F.col("dq")).alias("d1"),
+        g(0, F.col("h")).cast("long").alias("h0"),
+        g(1, F.col("h")).cast("long").alias("h1"),
+    )
+    diff = F.col("tm0") - F.col("tm1")
+    dsum = F.col("d0") + F.col("d1")
+    return w.select(
+        "h0",
+        "h1",
+        r6(diff).alias("trim_mean_diff"),
+        r6(diff / F.sqrt(dsum)).alias("t_yuen"),
+        r6(
+            dsum
+            * dsum
+            / (
+                F.col("d0") * F.col("d0") / (F.col("h0") - 1)
+                + F.col("d1") * F.col("d1") / (F.col("h1") - 1)
+            )
+        ).alias("dof"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Normal-CDF closure (round 13): the Abramowitz & Stegun 7.1.26 polynomial
+# (|error| < 7.5e-8) gives both engines the SAME closed-form Phi(z), which
+# unlocks p-values — and therefore multiple-testing and equivalence
+# procedures — for the whole battery without any engine-native erf().
+# ---------------------------------------------------------------------------
+
+_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_AS_T = 0.2316419
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _norm_cdf(z):
+    """Spark column Phi(z) via A&S 7.1.26 — fixed Horner order, mirrored
+    for negative z, bit-identical to the SQL twin below."""
+    x = F.abs(z)
+    t = 1.0 / (1.0 + _AS_T * x)
+    poly = t * (
+        _AS_B[0]
+        + t * (_AS_B[1] + t * (_AS_B[2] + t * (_AS_B[3] + t * _AS_B[4])))
+    )
+    core = F.lit(_INV_SQRT_2PI) * F.exp(-x * x / 2) * poly
+    return F.when(z >= 0, 1.0 - core).otherwise(core)
+
+
+def _norm_cdf_sql(expr: str) -> str:
+    """The identical polynomial as DuckDB SQL over *expr*."""
+    b = _AS_B
+    return f"""(CASE WHEN ({expr}) >= 0
+  THEN 1.0 - {_INV_SQRT_2PI} * exp(-abs({expr}) * abs({expr}) / 2)
+        * ((1.0 / (1.0 + {_AS_T} * abs({expr})))
+           * ({b[0]} + (1.0 / (1.0 + {_AS_T} * abs({expr})))
+              * ({b[1]} + (1.0 / (1.0 + {_AS_T} * abs({expr})))
+                 * ({b[2]} + (1.0 / (1.0 + {_AS_T} * abs({expr})))
+                    * ({b[3]} + (1.0 / (1.0 + {_AS_T} * abs({expr}))) * {b[4]})))))
+  ELSE {_INV_SQRT_2PI} * exp(-abs({expr}) * abs({expr}) / 2)
+        * ((1.0 / (1.0 + {_AS_T} * abs({expr})))
+           * ({b[0]} + (1.0 / (1.0 + {_AS_T} * abs({expr})))
+              * ({b[1]} + (1.0 / (1.0 + {_AS_T} * abs({expr})))
+                 * ({b[2]} + (1.0 / (1.0 + {_AS_T} * abs({expr})))
+                    * ({b[3]} + (1.0 / (1.0 + {_AS_T} * abs({expr}))) * {b[4]})))))
+  END)"""
+
+
+@register(
+    "fn_normal_cdf",
+    oracle=f"""
+SELECT CAST(i AS BIGINT) AS i,
+       floor((i / 10.0) * 1000000 + 0.5) / 1000000.0 AS z,
+       floor({_norm_cdf_sql("i / 10.0")} * 1000000 + 0.5) / 1000000.0 AS phi
+FROM (SELECT unnest(generate_series(-40, 40)) AS i)
+ORDER BY i
+""",
+)
+def fn_normal_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STANDARD NORMAL CDF Phi(z) on the z ∈ [−4, 4] grid (step 0.1)
+    via the Abramowitz & Stegun 7.1.26 polynomial (|error| < 7.5e-8) —
+    the p-value primitive the engine otherwise lacks (no native erf in
+    either engine), evaluated as ONE fixed-Horner-order double
+    expression so Spark and DuckDB produce identical bits; mirrored
+    for negative z through Phi(−z) = 1 − Phi(z).  Consumers:
+    ``agg_multiple_testing_bh`` (p-values + BH), ``agg_tost_equivalence``
+    (one-sided bounds) — and any z-statistic in the battery.
+
+    Scale shape: a generated 81-row grid, pure projection — the
+    fn_math_grid contract (prove the scalar kernel, zero data
+    movement)."""
+    grid = spark.range(-40, 41).select(F.col("id").cast("long").alias("i"))
+    z = F.col("i") / 10.0
+    return grid.select(
+        "i",
+        r6(z).alias("z"),
+        r6(_norm_cdf(z)).alias("phi"),
+    ).orderBy("i")
+
+
+_BH_ALPHA = 0.05
+_BH_BUCKETS = 8  # user buckets per event type -> 5 x 8 = 40 hypotheses
+
+
+@register(
+    "agg_multiple_testing_bh",
+    oracle=f"""
+WITH cells AS (
+  SELECT event_type, user_id % {_BH_BUCKETS} AS bucket, user_id % 2 AS arm,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sq
+  FROM events GROUP BY 1, 2, 3
+), seg AS (
+  SELECT event_type, bucket,
+         max(CASE WHEN arm = 0 THEN CAST(s AS DOUBLE) / n END) AS m0,
+         max(CASE WHEN arm = 1 THEN CAST(s AS DOUBLE) / n END) AS m1,
+         max(CASE WHEN arm = 0 THEN
+             (CAST(sq AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+             / n END) AS v0,
+         max(CASE WHEN arm = 1 THEN
+             (CAST(sq AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+             / n END) AS v1
+  FROM cells GROUP BY 1, 2
+  HAVING count(*) = 2
+), pz AS (
+  SELECT event_type, bucket,
+         (m1 - m0) / sqrt(v0 + v1) AS z,
+         2 * (1 - {_norm_cdf_sql("abs((m1 - m0) / sqrt(v0 + v1))")}) AS p
+  FROM seg
+), ranked AS (
+  SELECT event_type, bucket, z, p,
+         CAST(row_number() OVER (ORDER BY p, event_type, bucket) AS BIGINT) AS rk,
+         CAST(count(*) OVER () AS BIGINT) AS m
+  FROM pz
+), cut AS (
+  SELECT coalesce(max(CASE WHEN p <= {_BH_ALPHA} * rk / m THEN rk END), 0) AS k
+  FROM ranked
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       floor(z * 1000000 + 0.5) / 1000000.0 AS z,
+       floor(p * 1000000 + 0.5) / 1000000.0 AS p,
+       rk <= (SELECT k FROM cut) AS rejected
+FROM ranked ORDER BY event_type, bucket
+""",
+)
+def agg_multiple_testing_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENJAMINI-HOCHBERG FDR control over the 5×{b}-segment two-arm
+    z-test battery (per event type × user bucket, even/odd arms): each
+    segment's Welch z becomes a two-sided p through the shared A&S
+    normal CDF, then BH's step-up rule rejects the k smallest p-values
+    where p_(i) ≤ α·i/m — THE guardrail against the "run 40 segment
+    tests, celebrate the 2 that hit p<0.05" trap that per-test α
+    invites (``agg_ab_test`` judges one test; this one judges the
+    family).
+
+    Exactness: segment moments are exact int64; z, p, the rank order
+    (identical doubles ⇒ identical ordering, segment tiebreak), the
+    step-up cut and the reject flags are all engine-identical.  The
+    rank window runs on the BOUNDED hypothesis frame (m = segments,
+    compile-time bounded — the legitimate unpartitioned-window case;
+    ``distributed_rank`` is the swap if m ever became data-scaled).
+
+    Scale shape: one map-side-combined groupBy to segment×arm cells,
+    a segment-grain pivot, and m-row rank/cut algebra."""
+    ev = table(spark, sf_dir, "events")
+    y = F.round(F.col("value") * 100).cast("long")
+    cells = ev.groupBy(
+        "event_type",
+        (F.col("user_id") % _BH_BUCKETS).alias("bucket"),
+        (F.col("user_id") % 2).alias("arm"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(y).cast("long").alias("s"),
+        F.sum(y * y).cast("long").alias("sq"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    vexp = (F.col("sq").cast("double") / F.col("n") - mean * mean) / F.col("n")
+    seg = (
+        cells.groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_arms"),
+            F.max(F.when(F.col("arm") == 0, mean)).alias("m0"),
+            F.max(F.when(F.col("arm") == 1, mean)).alias("m1"),
+            F.max(F.when(F.col("arm") == 0, vexp)).alias("v0"),
+            F.max(F.when(F.col("arm") == 1, vexp)).alias("v1"),
+        )
+        .filter(F.col("n_arms") == 2)
+    )
+    z = (F.col("m1") - F.col("m0")) / F.sqrt(F.col("v0") + F.col("v1"))
+    pz = seg.select(
+        "event_type",
+        "bucket",
+        z.alias("z"),
+        (2 * (1 - _norm_cdf(F.abs(z)))).alias("p"),
+    )
+    w_rank = Window.orderBy("p", "event_type", "bucket")
+    w_all = Window.partitionBy()
+    ranked = pz.select(
+        "event_type",
+        "bucket",
+        "z",
+        "p",
+        F.row_number().over(w_rank).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("m"),
+    )
+    cut = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("p") <= _BH_ALPHA * F.col("rk") / F.col("m"), F.col("rk"))),
+            F.lit(0),
+        ).alias("k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cut))
+        .select(
+            "event_type",
+            F.col("bucket").cast("long").alias("bucket"),
+            r6(F.col("z")).alias("z"),
+            r6(F.col("p")).alias("p"),
+            (F.col("rk") <= F.col("k")).alias("rejected"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+agg_multiple_testing_bh.__doc__ = agg_multiple_testing_bh.__doc__.format(b=_BH_BUCKETS)
+
+
+_TOST_DELTA_FRAC = 0.01  # equivalence margin: ±1% of the pooled mean
+
+
+@register(
+    "agg_tost_equivalence",
+    oracle=f"""
+WITH cells AS (
+  SELECT user_id % 2 AS arm,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sq
+  FROM events GROUP BY 1
+), w AS (
+  SELECT
+    CAST(sum(n) AS BIGINT) AS n_total,
+    max(CASE WHEN arm = 1 THEN CAST(s AS DOUBLE) / n END)
+      - max(CASE WHEN arm = 0 THEN CAST(s AS DOUBLE) / n END) AS diff,
+    {_TOST_DELTA_FRAC} * (CAST(sum(s) AS DOUBLE) / sum(n)) AS delta,
+    sqrt(max(CASE WHEN arm = 0 THEN
+          (CAST(sq AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) / n END)
+       + max(CASE WHEN arm = 1 THEN
+          (CAST(sq AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) / n END))
+      AS se
+  FROM cells
+), t AS (
+  SELECT n_total, diff, delta,
+         (diff + delta) / se AS z_lo, (delta - diff) / se AS z_hi
+  FROM w
+)
+SELECT n_total,
+       floor(diff * 1000000 + 0.5) / 1000000.0 AS diff_cents,
+       floor(delta * 1000000 + 0.5) / 1000000.0 AS delta_cents,
+       floor(greatest(1 - {_norm_cdf_sql("z_lo")}, 1 - {_norm_cdf_sql("z_hi")})
+             * 1000000 + 0.5) / 1000000.0 AS p_tost,
+       greatest(1 - {_norm_cdf_sql("z_lo")}, 1 - {_norm_cdf_sql("z_hi")}) < 0.05
+         AS equivalent
+FROM t
+""",
+)
+def agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST EQUIVALENCE test (two one-sided tests) between the user-
+    parity arms at a ±{d}-of-mean margin: "are these two arms the
+    SAME, within δ" — the question a non-significant ``agg_ab_test``
+    cannot answer (absence of evidence ≠ evidence of absence; TOST
+    rejects non-equivalence only when BOTH one-sided bounds clear),
+    the standard gate for no-regression launches and A/A validation.
+    p_TOST = max of the two one-sided p-values via the shared A&S
+    normal CDF.
+
+    Exactness: arm moments are exact int64; diff, margin, both z's and
+    the CDF polynomial are fixed-order double expressions — the flag
+    compares identical doubles against the same 0.05 literal.
+
+    Scale shape: one 2-row conditional aggregate, then projection."""
+    ev = table(spark, sf_dir, "events")
+    y = F.round(F.col("value") * 100).cast("long")
+    cells = ev.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(y).cast("long").alias("s"),
+        F.sum(y * y).cast("long").alias("sq"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    vexp = (F.col("sq").cast("double") / F.col("n") - mean * mean) / F.col("n")
+
+    def arm(a, expr):
+        return F.max(F.when(F.col("arm") == a, expr))
+
+    w = cells.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        (arm(1, mean) - arm(0, mean)).alias("diff"),
+        (F.lit(_TOST_DELTA_FRAC) * (F.sum("s").cast("double") / F.sum("n"))).alias(
+            "delta"
+        ),
+        F.sqrt(arm(0, vexp) + arm(1, vexp)).alias("se"),
+    )
+    t = w.select(
+        "n_total",
+        "diff",
+        "delta",
+        ((F.col("diff") + F.col("delta")) / F.col("se")).alias("z_lo"),
+        ((F.col("delta") - F.col("diff")) / F.col("se")).alias("z_hi"),
+    )
+    p = F.greatest(1 - _norm_cdf(F.col("z_lo")), 1 - _norm_cdf(F.col("z_hi")))
+    return t.select(
+        "n_total",
+        r6(F.col("diff")).alias("diff_cents"),
+        r6(F.col("delta")).alias("delta_cents"),
+        r6(p).alias("p_tost"),
+        (p < 0.05).alias("equivalent"),
+    )
+
+
+agg_tost_equivalence.__doc__ = agg_tost_equivalence.__doc__.format(
+    d=f"{_TOST_DELTA_FRAC:.0%}"
+)

@@ -3036,3 +3036,137 @@ def agg_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 agg_hurst.__doc__ = agg_hurst.__doc__.format(s=list(_HURST_SCALES))
+
+
+_ITS_CUTOFF = "1998-01-01"  # intervention date for the segmented regression
+
+
+@register(
+    "agg_its_segmented",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day',
+              (SELECT min(date_trunc('day', l_shipdate)) FROM lineitem),
+              date_trunc('day', l_shipdate)) AS BIGINT) AS x,
+         CASE WHEN date_trunc('day', l_shipdate) < TIMESTAMP '{_ITS_CUTOFF} 00:00:00'
+              THEN 0 ELSE 1 END AS seg,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM lineitem GROUP BY 1, 2
+), m AS (
+  SELECT seg, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM daily GROUP BY 1
+), fit AS (
+  SELECT seg, n,
+         (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+           / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) AS b,
+         sx, sy
+  FROM m
+), fit2 AS (
+  SELECT seg, n, b, (CAST(sy AS DOUBLE) - b * sx) / n AS a FROM fit
+), cut AS (
+  SELECT CAST(date_diff('day',
+              (SELECT min(date_trunc('day', l_shipdate)) FROM lineitem),
+              TIMESTAMP '{_ITS_CUTOFF} 00:00:00') AS BIGINT) AS x0
+), w AS (
+  SELECT
+    max(CASE WHEN seg = 0 THEN n END) AS n_pre,
+    max(CASE WHEN seg = 1 THEN n END) AS n_post,
+    max(CASE WHEN seg = 0 THEN b END) AS b_pre,
+    max(CASE WHEN seg = 1 THEN b END) AS b_post,
+    max(CASE WHEN seg = 0 THEN a END) AS a_pre,
+    max(CASE WHEN seg = 1 THEN a END) AS a_post
+  FROM fit2
+)
+SELECT n_pre, n_post,
+       floor(b_pre * 10000 + 0.5) / 10000.0 AS slope_pre,
+       floor(b_post * 10000 + 0.5) / 10000.0 AS slope_post,
+       floor((b_post - b_pre) * 10000 + 0.5) / 10000.0 AS slope_change,
+       floor(((a_post + b_post * x0) - (a_pre + b_pre * x0)) * 10000 + 0.5)
+         / 10000.0 AS level_jump_cents
+FROM w CROSS JOIN cut
+""",
+)
+def agg_its_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERRUPTED-TIME-SERIES segmented regression of daily revenue at
+    the {c} intervention date: independent OLS fits on the pre and
+    post segments, reporting the slope change and the level jump (post
+    prediction minus pre prediction AT the cutoff) — the standard
+    policy-change / launch-impact estimator when there is no control
+    group at all (``agg_did`` needs one; ITS borrows the pre-period
+    trend as its own counterfactual).
+
+    Exactness: both segments' OLS moments are exact int64 on the day
+    grain (the agg_trend_ols recipe, one extra GROUP BY seg); slopes,
+    intercepts, the jump and the change are fixed-order closed-form
+    doubles; the cutoff's day index is the same integer both engines.
+
+    Scale shape: one map-side-combined groupBy to (day, segment), one
+    2-row moment aggregate, projection algebra after — the ITS
+    machinery costs exactly one scan more than nothing."""
+    li = table(spark, sf_dir, "lineitem")
+    t0 = li.agg(F.min(F.date_trunc("day", "l_shipdate")).alias("t0"))
+    cutoff = F.lit(_ITS_CUTOFF + " 00:00:00").cast("timestamp")
+    daily = (
+        li.crossJoin(F.broadcast(t0))
+        .groupBy(
+            F.datediff(F.date_trunc("day", "l_shipdate"), "t0").cast("long").alias("x"),
+            F.when(F.date_trunc("day", "l_shipdate") < cutoff, 0).otherwise(1).alias("seg"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    m = daily.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    b = (
+        F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")
+    )
+    fit = m.select("seg", "n", b.alias("b"), "sx", "sy").select(
+        "seg",
+        "n",
+        "b",
+        ((F.col("sy").cast("double") - F.col("b") * F.col("sx")) / F.col("n")).alias("a"),
+    )
+    x0 = t0.select(
+        F.datediff(F.lit(_ITS_CUTOFF).cast("date"), F.col("t0").cast("date"))
+        .cast("long")
+        .alias("x0")
+    )
+
+    def seg(s, expr):
+        return F.max(F.when(F.col("seg") == s, expr))
+
+    w = fit.agg(
+        seg(0, F.col("n")).alias("n_pre"),
+        seg(1, F.col("n")).alias("n_post"),
+        seg(0, F.col("b")).alias("b_pre"),
+        seg(1, F.col("b")).alias("b_post"),
+        seg(0, F.col("a")).alias("a_pre"),
+        seg(1, F.col("a")).alias("a_post"),
+    ).crossJoin(F.broadcast(x0))
+    jump = (F.col("a_post") + F.col("b_post") * F.col("x0")) - (
+        F.col("a_pre") + F.col("b_pre") * F.col("x0")
+    )
+    q4 = lambda c: F.floor(c * 10000 + 0.5) / 10000.0
+    return w.select(
+        "n_pre",
+        "n_post",
+        q4(F.col("b_pre")).alias("slope_pre"),
+        q4(F.col("b_post")).alias("slope_post"),
+        q4(F.col("b_post") - F.col("b_pre")).alias("slope_change"),
+        q4(jump).alias("level_jump_cents"),
+    )
+
+
+agg_its_segmented.__doc__ = agg_its_segmented.__doc__.format(c=_ITS_CUTOFF)

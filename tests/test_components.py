@@ -2792,3 +2792,25 @@ def test_rouge_l_matches_reference_dp(spark):
         import math
 
         assert abs(r.rouge_l_f1 - math.floor(f1 * 1e6 + 0.5) / 1e6) < 1e-12
+
+
+def test_normal_cdf_polynomial_accuracy(spark):
+    """fn_normal_cdf's A&S 7.1.26 polynomial must stay within its
+    published 7.5e-8 bound of the exact CDF (via math.erf) across the
+    whole grid — and hit the anchor points a reader would check."""
+    import math
+
+    from tests.conftest import SF_SMOKE
+
+    from satellite_data_ingestion_spark import registry
+
+    rows = registry.spec("fn_normal_cdf").fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 81
+    for r in rows:
+        exact = 0.5 * (1 + math.erf(r.z / math.sqrt(2)))
+        # r.phi is quantized to 1e-6; allow bound + quantization.
+        assert abs(r.phi - exact) < 7.5e-8 + 5e-7, (r.z, r.phi, exact)
+    byz = {round(r.z, 1): r.phi for r in rows}
+    assert abs(byz[0.0] - 0.5) < 1e-6
+    assert abs(byz[1.6] - 0.945201) < 2e-6  # Phi(1.6)
+    assert abs(byz[-1.6] - (1 - 0.945201)) < 2e-6  # symmetry
