@@ -138,6 +138,12 @@ NEW_THIS_ROUND = [
     "fn_normal_cdf",
     "agg_multiple_testing_bh",
     "agg_tost_equivalence",
+    "ext_ts_holt_winters",
+    "join_allen_relations",
+    "agg_chi2_residuals",
+    "agg_gains_curve",
+    "agg_cochran_armitage",
+    "agg_mantel_haenszel",
 ]
 
 CORE = [

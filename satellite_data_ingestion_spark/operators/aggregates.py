@@ -2213,3 +2213,76 @@ def agg_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         c2((F.col("n2") - F.col("n1")) * r1).alias("volume_effect"),
         c2(F.col("n2") * (r2 - r1)).alias("rate_effect"),
     ).orderBy("event_type")
+
+
+@register(
+    "agg_chi2_residuals",
+    oracle="""
+WITH obs AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS o FROM documents GROUP BY 1, 2
+), rm AS (
+  SELECT lang, CAST(sum(o) AS BIGINT) AS rn FROM obs GROUP BY 1
+), cm AS (
+  SELECT source, CAST(sum(o) AS BIGINT) AS cn FROM obs GROUP BY 1
+), n AS (
+  SELECT CAST(sum(o) AS BIGINT) AS tot FROM obs
+), cells AS (
+  SELECT obs.lang, obs.source, obs.o,
+         (CAST(rm.rn AS DOUBLE) * cm.cn) / n.tot AS e,
+         (CAST(obs.o AS DOUBLE) - (CAST(rm.rn AS DOUBLE) * cm.cn) / n.tot)
+           / sqrt(((CAST(rm.rn AS DOUBLE) * cm.cn) / n.tot)
+                  * (1 - CAST(rm.rn AS DOUBLE) / n.tot)
+                  * (1 - CAST(cm.cn AS DOUBLE) / n.tot)) AS r_adj
+  FROM obs JOIN rm ON obs.lang = rm.lang
+  JOIN cm ON obs.source = cm.source
+  CROSS JOIN n
+)
+SELECT lang, source, o,
+       floor(e * 10000 + 0.5) / 10000.0 AS expected,
+       floor(r_adj * 1000000 + 0.5) / 1000000.0 AS std_residual,
+       abs(r_adj) > 1.96 AS significant
+FROM cells ORDER BY lang, source
+""",
+)
+def agg_chi2_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADJUSTED STANDARDIZED RESIDUALS for the lang × source
+    contingency table: (O−E)/√(E(1−r/n)(1−c/n)) per cell with a
+    |r| > 1.96 flag — the "WHICH cells drive the dependence" readout
+    ``agg_chi2_independence``'s omnibus statistic cannot give (a
+    significant chi-square with residuals flat everywhere except one
+    cell is a very different story from uniform drift; Agresti's
+    standard follow-up).
+
+    Exactness: observed/marginal/total counts are exact int64; E and
+    the residual are fixed-order double expressions; the significance
+    flag compares identical doubles to the same 1.96 literal.
+
+    Scale shape: one groupBy to the bounded cell grain, two
+    marginal-keyed joins (category-sized, broadcastable), one 1-row
+    total."""
+    docs = table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rm = obs.groupBy("lang").agg(F.sum("o").cast("long").alias("rn"))
+    cm = obs.groupBy("source").agg(F.sum("o").cast("long").alias("cn"))
+    n = obs.agg(F.sum("o").cast("long").alias("tot"))
+    cells = (
+        obs.join(F.broadcast(rm), "lang")
+        .join(F.broadcast(cm), "source")
+        .crossJoin(F.broadcast(n))
+    )
+    e = F.col("rn").cast("double") * F.col("cn") / F.col("tot")
+    r_adj = (F.col("o").cast("double") - e) / F.sqrt(
+        e
+        * (1 - F.col("rn").cast("double") / F.col("tot"))
+        * (1 - F.col("cn").cast("double") / F.col("tot"))
+    )
+    return cells.select(
+        "lang",
+        "source",
+        "o",
+        (F.floor(e * 10000 + 0.5) / 10000.0).alias("expected"),
+        (F.floor(r_adj * 1000000 + 0.5) / 1000000.0).alias("std_residual"),
+        (F.abs(r_adj) > 1.96).alias("significant"),
+    ).orderBy("lang", "source")

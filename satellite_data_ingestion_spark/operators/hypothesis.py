@@ -3073,3 +3073,159 @@ def agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
 agg_tost_equivalence.__doc__ = agg_tost_equivalence.__doc__.format(
     d=f"{_TOST_DELTA_FRAC:.0%}"
 )
+
+
+@register(
+    "agg_cochran_armitage",
+    oracle="""
+WITH g AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS a
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(a) AS BIGINT) AS at,
+         CAST(sum(w * a) AS BIGINT) AS swa, CAST(sum(w * n) AS BIGINT) AS swn,
+         CAST(sum(w * w * n) AS BIGINT) AS sw2n
+  FROM g
+), s AS (
+  SELECT nt, at,
+         swa - (CAST(at AS DOUBLE) / nt) * swn AS num,
+         (CAST(at AS DOUBLE) / nt) * (1 - CAST(at AS DOUBLE) / nt)
+           * (sw2n - CAST(swn AS DOUBLE) * swn / nt) AS den
+  FROM t
+)
+SELECT nt AS n, at AS n_pos,
+       floor(num / sqrt(den) * 1000000 + 0.5) / 1000000.0 AS z_trend,
+       floor(num * num / den * 1000000 + 0.5) / 1000000.0 AS chi2_trend
+FROM s
+""",
+)
+def agg_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN-ARMITAGE TREND test: does the fully-shipped proportion
+    rise or fall MONOTONICALLY with order-priority dose (the leading
+    digit 1..5 as the ordinal score)?  The 2×k ordered-categories test
+    that ``agg_chi2_independence`` cannot express — chi-square spends
+    its power on ANY deviation; CA concentrates it on the linear
+    trend, the standard dose-response / severity-gradient check.
+
+    Exactness: all five sufficient statistics (N, A, Σwa, Σwn, Σw²n)
+    are exact int64 from ONE conditional-aggregate pass; z and χ² are
+    fixed-order closed-form doubles — no fold even needed, the
+    rational algebra collapses before any per-stratum division.
+
+    Scale shape: one map-side-combined groupBy to k ≤ 5 rows, then a
+    1-row reduction."""
+    o = table(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("w")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+    )
+    t = g.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("a").cast("long").alias("at"),
+        F.sum(F.col("w") * F.col("a")).cast("long").alias("swa"),
+        F.sum(F.col("w") * F.col("n")).cast("long").alias("swn"),
+        F.sum(F.col("w") * F.col("w") * F.col("n")).cast("long").alias("sw2n"),
+    )
+    pbar = F.col("at").cast("double") / F.col("nt")
+    num = F.col("swa") - pbar * F.col("swn")
+    den = pbar * (1 - pbar) * (
+        F.col("sw2n") - F.col("swn").cast("double") * F.col("swn") / F.col("nt")
+    )
+    return t.select(
+        F.col("nt").alias("n"),
+        F.col("at").alias("n_pos"),
+        r6(num / F.sqrt(den)).alias("z_trend"),
+        r6(num * num / den).alias("chi2_trend"),
+    )
+
+
+@register(
+    "agg_mantel_haenszel",
+    oracle="""
+WITH cells AS (
+  SELECT o_orderpriority AS stratum,
+         CAST(sum(CASE WHEN o_custkey % 2 = 1 AND o_orderstatus = 'F'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN o_custkey % 2 = 1 AND o_orderstatus <> 'F'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(sum(CASE WHEN o_custkey % 2 = 0 AND o_orderstatus = 'F'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN o_custkey % 2 = 0 AND o_orderstatus <> 'F'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+), f AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list(CAST(a AS DOUBLE) * d / n ORDER BY stratum)),
+           (p, q) -> p + q) AS num,
+         list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list(CAST(b AS DOUBLE) * c / n ORDER BY stratum)),
+           (p, q) -> p + q) AS den
+  FROM cells
+)
+SELECT k,
+       floor(num / den * 1000000 + 0.5) / 1000000.0 AS or_mh,
+       floor(ln(num / den) * 1000000 + 0.5) / 1000000.0 AS ln_or_mh
+FROM f
+""",
+)
+def agg_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANTEL-HAENSZEL pooled odds ratio across order-priority strata
+    (exposure = odd customer key, outcome = fully shipped): OR_MH =
+    Σ(a_s d_s/n_s) / Σ(b_s c_s/n_s) — the stratified upgrade of
+    ``agg_odds_ratio`` that controls the confounder
+    ``agg_standardized_rate`` adjusts rates for, and the crude-vs-MH
+    gap IS Simpson's paradox when it flips sign.
+
+    Exactness: every stratum's 2×2 cells are exact int64 from one
+    conditional pass; the two |strata|-term rational sums fold
+    sequentially over the stratum-sorted array (the agg_anova_f
+    recipe); the ratio and its log are single closed-form doubles.
+
+    Scale shape: one map-side-combined groupBy to |strata| rows, one
+    bounded fold."""
+    o = table(spark, sf_dir, "orders")
+    exp_ = F.col("o_custkey") % 2 == 1
+    out_ = F.col("o_orderstatus") == "F"
+    cells = o.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.sum(F.when(exp_ & out_, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(exp_ & ~out_, 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when(~exp_ & out_, 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(~exp_ & ~out_, 1).otherwise(0)).cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    terms = cells.select(
+        "stratum",
+        (F.col("a").cast("double") * F.col("d") / F.col("n")).alias("tnum"),
+        (F.col("b").cast("double") * F.col("c") / F.col("n")).alias("tden"),
+    )
+
+    def fold(field):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("stratum"), F.col(field)))),
+                lambda s: s.getField(field),
+            ),
+            F.lit(0.0),
+            lambda p, q: p + q,
+        )
+
+    f = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        fold("tnum").alias("num"),
+        fold("tden").alias("den"),
+    )
+    return f.select(
+        "k",
+        r6(F.col("num") / F.col("den")).alias("or_mh"),
+        r6(F.log(F.col("num") / F.col("den"))).alias("ln_or_mh"),
+    )

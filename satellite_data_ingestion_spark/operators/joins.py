@@ -938,3 +938,134 @@ def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 join_cardinality_audit.__doc__ = join_cardinality_audit.__doc__.format(
     k=_JCA_TOPK
 )
+
+
+@register(
+    "join_allen_relations",
+    oracle="""
+WITH a AS (
+  SELECT event_type, event_id AS a_id,
+         ts AS a_lo, ts + INTERVAL 30 MINUTE AS a_hi
+  FROM events WHERE event_id % 11 = 0
+),
+b AS (
+  SELECT event_type, event_id AS b_id,
+         ts AS b_lo, ts + INTERVAL 45 MINUTE AS b_hi
+  FROM events WHERE event_id % 13 = 1
+),
+pairs AS (
+  SELECT a_id, b_id,
+         CASE
+           WHEN a_hi < b_lo THEN 'before'
+           WHEN b_hi < a_lo THEN 'after'
+           WHEN a_hi = b_lo THEN 'meets'
+           WHEN b_hi = a_lo THEN 'met_by'
+           WHEN a_lo = b_lo AND a_hi = b_hi THEN 'equals'
+           WHEN a_lo = b_lo AND a_hi < b_hi THEN 'starts'
+           WHEN a_lo = b_lo AND a_hi > b_hi THEN 'started_by'
+           WHEN a_hi = b_hi AND a_lo > b_lo THEN 'finishes'
+           WHEN a_hi = b_hi AND a_lo < b_lo THEN 'finished_by'
+           WHEN a_lo > b_lo AND a_hi < b_hi THEN 'during'
+           WHEN a_lo < b_lo AND a_hi > b_hi THEN 'contains'
+           WHEN a_lo < b_lo THEN 'overlaps'
+           ELSE 'overlapped_by'
+         END AS rel
+  FROM a JOIN b ON a.event_type = b.event_type
+             AND a_lo <= b_hi + INTERVAL 60 MINUTE
+             AND b_lo <= a_hi + INTERVAL 60 MINUTE
+)
+SELECT rel, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY rel ORDER BY rel
+""",
+)
+def join_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALLEN'S INTERVAL ALGEBRA census: classify same-type interval
+    pairs (the join_interval_overlap derivation, widened by a ±60-min
+    proximity band so the disjoint relations are observable) into the
+    13 mutually-exclusive Allen relations — before/after, meets/met_by,
+    equals, starts/started_by, finishes/finished_by, during/contains,
+    overlaps/overlapped_by.  This is the full temporal-relationship
+    vocabulary of which ``join_interval_overlap`` tests one disjunct
+    and ``join_asof`` picks one representative; the census is the
+    profiling step before choosing which relation a temporal join
+    should enforce.
+
+    Exactness: timestamps are exact microsecond instants, interval
+    arithmetic is exact, every CASE arm is an equality/order test —
+    the classification is discrete.  The CASE arms are ordered
+    identically in both engines (first match wins, so arm order IS
+    the semantics).
+
+    Scale shape: the join_interval_overlap recipe — each BAND-PADDED
+    span explodes to the hour buckets it covers (bounded by span/bucket
+    width), the join is EQUI on (event_type, bucket) with the exact
+    band predicate as a post-filter, and pairs that met in several
+    buckets collapse via distinct before the census groupBy (≤13
+    rows).  A type+range-only join would be a per-type cartesian."""
+    ev = table(spark, sf_dir, "events")
+
+    def intervals(mod, rem, minutes, prefix):
+        iv = ev.filter(F.col("event_id") % mod == rem).select(
+            "event_type",
+            F.col("event_id").alias(f"{prefix}_id"),
+            F.col("ts").alias(f"{prefix}_lo"),
+            (F.col("ts") + F.expr(f"INTERVAL {minutes} MINUTES")).alias(f"{prefix}_hi"),
+        )
+        # pad by the ±60-min band so disjoint-but-near pairs share a bucket
+        return iv.withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.date_trunc("hour", F.col(f"{prefix}_lo") - F.expr("INTERVAL 60 MINUTES")),
+                    F.date_trunc("hour", F.col(f"{prefix}_hi") + F.expr("INTERVAL 60 MINUTES")),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ),
+        )
+
+    a = intervals(11, 0, 30, "a")
+    b = intervals(13, 1, 45, "b").withColumnRenamed("event_type", "bt").withColumnRenamed(
+        "bucket", "bbucket"
+    )
+    band = F.expr("INTERVAL 60 MINUTES")
+    pairs = (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("bt")) & (F.col("bucket") == F.col("bbucket")),
+        )
+        .filter(
+            (F.col("a_lo") <= F.col("b_hi") + band)
+            & (F.col("b_lo") <= F.col("a_hi") + band)
+        )
+        .select("a_id", "b_id", "a_lo", "a_hi", "b_lo", "b_hi")
+        .distinct()
+    )
+    rel = (
+        F.when(F.col("a_hi") < F.col("b_lo"), "before")
+        .when(F.col("b_hi") < F.col("a_lo"), "after")
+        .when(F.col("a_hi") == F.col("b_lo"), "meets")
+        .when(F.col("b_hi") == F.col("a_lo"), "met_by")
+        .when((F.col("a_lo") == F.col("b_lo")) & (F.col("a_hi") == F.col("b_hi")), "equals")
+        .when((F.col("a_lo") == F.col("b_lo")) & (F.col("a_hi") < F.col("b_hi")), "starts")
+        .when(
+            (F.col("a_lo") == F.col("b_lo")) & (F.col("a_hi") > F.col("b_hi")),
+            "started_by",
+        )
+        .when(
+            (F.col("a_hi") == F.col("b_hi")) & (F.col("a_lo") > F.col("b_lo")), "finishes"
+        )
+        .when(
+            (F.col("a_hi") == F.col("b_hi")) & (F.col("a_lo") < F.col("b_lo")),
+            "finished_by",
+        )
+        .when((F.col("a_lo") > F.col("b_lo")) & (F.col("a_hi") < F.col("b_hi")), "during")
+        .when((F.col("a_lo") < F.col("b_lo")) & (F.col("a_hi") > F.col("b_hi")), "contains")
+        .when(F.col("a_lo") < F.col("b_lo"), "overlaps")
+        .otherwise("overlapped_by")
+    )
+    return (
+        pairs.select(rel.alias("rel"))
+        .groupBy("rel")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("rel")
+    )

@@ -3170,3 +3170,175 @@ def agg_its_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 agg_its_segmented.__doc__ = agg_its_segmented.__doc__.format(c=_ITS_CUTOFF)
+
+
+_HW_ALPHA, _HW_BETA, _HW_GAMMA = 0.3, 0.1, 0.2
+_HW_M = 7  # season length (weekly)
+
+
+def _hw_sql():
+    """DuckDB fold step for Holt-Winters: state = 9-double LIST
+    [l, b, s_oldest..s_newest] (positional — the struct_pack-rebinding
+    hazard documented on ext_ts_holt), element x = [y, 0 x8]."""
+    A, B, G = _HW_ALPHA, _HW_BETA, _HW_GAMMA
+    lp = (
+        f"(CAST({A} AS DOUBLE) * (x[1] - a[3])"
+        f" + (1.0 - CAST({A} AS DOUBLE)) * (a[1] + a[2]))"
+    )
+    bp = (
+        f"(CAST({B} AS DOUBLE) * ({lp} - a[1])"
+        f" + (1.0 - CAST({B} AS DOUBLE)) * a[2])"
+    )
+    sp = (
+        f"(CAST({G} AS DOUBLE) * (x[1] - {lp})"
+        f" + (1.0 - CAST({G} AS DOUBLE)) * a[3])"
+    )
+    return f"[{lp}, {bp}, a[4], a[5], a[6], a[7], a[8], a[9], {sp}]"
+
+
+@register(
+    "ext_ts_holt_winters",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+arr AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         list(CAST(cents AS DOUBLE) ORDER BY d) AS ys
+  FROM daily GROUP BY 1 HAVING count(*) >= 2 * {_HW_M} + 1
+),
+init AS (
+  SELECT event_type, n, ys,
+         list_reduce(ys[1:{_HW_M}], (p, q) -> p + q) / {_HW_M}.0 AS l0,
+         (list_reduce(ys[{_HW_M} + 1:2 * {_HW_M}], (p, q) -> p + q) / {_HW_M}.0
+          - list_reduce(ys[1:{_HW_M}], (p, q) -> p + q) / {_HW_M}.0)
+           / {_HW_M}.0 AS b0
+  FROM arr
+),
+folded AS (
+  SELECT event_type, n,
+         list_reduce(
+           list_prepend(
+             list_concat([l0, b0],
+               list_transform(ys[1:{_HW_M}],
+                 e -> e - l0)),
+             list_transform(ys[{_HW_M} + 1:],
+               e -> [e, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                     CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                     CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+           (a, x) -> {_hw_sql()}) AS st
+  FROM init
+)
+SELECT event_type, CAST(h AS BIGINT) AS h,
+       floor((st[1] + h * st[2] + st[2 + h]) * 10000 + 0.5) / 10000.0
+         AS forecast_cents
+FROM folded, (SELECT unnest(generate_series(1, {_HW_M})) AS h)
+ORDER BY event_type, h
+""",
+)
+def ext_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT-WINTERS ADDITIVE seasonal forecasting (α={a} β={b} γ={g},
+    weekly season m={m}) over each event type's daily revenue series:
+    level + trend + a rotating {m}-slot seasonal queue, folded
+    sequentially, emitting the {m}-day-ahead forecast curve — the
+    seasonal completion of the family (``ext_ts_ewma`` level-only,
+    ``ext_ts_holt`` level+trend, this adds the component
+    ``ext_ts_seasonal``/``ext_ts_decompose`` only MEASURE).
+
+    The recursion is inherently sequential, so it runs as a per-series
+    left fold whose state is a POSITIONAL 9-double list
+    [l, b, s_oldest..s_newest] — a list, not a struct, because DuckDB
+    1.0's struct_pack inside a lambda rebinds already-assigned field
+    names (the ext_ts_holt hazard) — with the season handled as a
+    ROTATING QUEUE (read slot 3, append the refreshed value) so no
+    indexed list write ever happens.  Init is the textbook first-season
+    mean / season-mean-difference trend / first-season deviations;
+    both engines run the identical arithmetic in identical order.
+
+    Scale shape: one map-side-combined groupBy to the day grain, one
+    per-series bounded array (days in retention — the documented
+    spine bound), series parallel across the groupBy; output is
+    |series|×{m} rows."""
+    A, B, G = _HW_ALPHA, _HW_BETA, _HW_GAMMA
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
+    )
+    arr = (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "cents"))),
+                lambda s: s.getField("cents").cast("double"),
+            ).alias("ys"),
+        )
+        .filter(F.col("n") >= 2 * _HW_M + 1)
+    )
+    season_sum = F.aggregate(
+        F.slice(F.col("ys"), 1, _HW_M), F.lit(0.0), lambda p, q: p + q
+    )
+    season2_sum = F.aggregate(
+        F.slice(F.col("ys"), _HW_M + 1, _HW_M), F.lit(0.0), lambda p, q: p + q
+    )
+    # DuckDB's list_reduce has no init; its first-season fold starts from
+    # ys[1], i.e. computes y1+y2+...+y7 left-to-right.  F.aggregate's 0.0
+    # init prepends one exact +0.0 — IEEE-identical for finite doubles.
+    init = arr.select(
+        "event_type",
+        "n",
+        "ys",
+        (season_sum / float(_HW_M)).alias("l0"),
+        ((season2_sum / float(_HW_M) - season_sum / float(_HW_M)) / float(_HW_M)).alias(
+            "b0"
+        ),
+    )
+    state0 = F.concat(
+        F.array(F.col("l0"), F.col("b0")),
+        F.transform(F.slice(F.col("ys"), 1, _HW_M), lambda e: e - F.col("l0")),
+    )
+
+    def step(a, x):
+        y = F.element_at(x, 1)
+        lp = F.lit(A) * (y - F.element_at(a, 3)) + F.lit(1.0 - A) * (
+            F.element_at(a, 1) + F.element_at(a, 2)
+        )
+        bp = F.lit(B) * (lp - F.element_at(a, 1)) + F.lit(1.0 - B) * F.element_at(a, 2)
+        sp = F.lit(G) * (y - lp) + F.lit(1.0 - G) * F.element_at(a, 3)
+        return F.concat(
+            F.array(lp, bp),
+            F.slice(a, 4, 6),
+            F.array(sp),
+        )
+
+    tail = F.transform(
+        F.slice(F.col("ys"), _HW_M + 1, F.size("ys") - _HW_M),
+        lambda e: F.concat(F.array(e), F.array_repeat(F.lit(0.0), 8)),
+    )
+    folded = init.select(
+        "event_type",
+        "n",
+        F.aggregate(tail, state0, step).alias("st"),
+    )
+    hs = folded.select(
+        "event_type",
+        "st",
+        F.explode(F.sequence(F.lit(1), F.lit(_HW_M))).alias("h"),
+    )
+    fc = (
+        F.element_at(F.col("st"), 1)
+        + F.col("h") * F.element_at(F.col("st"), 2)
+        + F.element_at(F.col("st"), F.col("h") + 2)
+    )
+    return hs.select(
+        "event_type",
+        F.col("h").cast("long").alias("h"),
+        (F.floor(fc * 10000 + 0.5) / 10000.0).alias("forecast_cents"),
+    ).orderBy("event_type", "h")
+
+
+ext_ts_holt_winters.__doc__ = ext_ts_holt_winters.__doc__.format(
+    a=_HW_ALPHA, b=_HW_BETA, g=_HW_GAMMA, m=_HW_M
+)

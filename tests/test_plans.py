@@ -921,3 +921,21 @@ def test_info_gain_value_folds_bounded(spark):
     assert "partial_sum" in plan or "partial_count" in plan
     tree = plan.split("\n\n")[0]
     assert "CartesianProduct" not in tree, tree
+
+
+def test_allen_relations_bucket_equi_join(spark):
+    """join_allen_relations must pair intervals through the hour-bucket
+    EQUI join (the join_interval_overlap recipe) — a type+range-only
+    join is a per-type cartesian at scale."""
+    tree = plan_of(spark, "join_allen_relations").split("\n\n")[0]
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+
+
+def test_gains_curve_distributed_rank(spark):
+    """agg_gains_curve's decile cut must come from distributed_rank
+    (range partition + local windows) — never a single-task global
+    ntile window over the scored corpus."""
+    plan = plan_of(spark, "agg_gains_curve")
+    for m in re.finditer(r"Window \[[^\]]*windowspecdefinition\(([^,]*),", plan):
+        assert "_pid" in m.group(1) or "pid" in m.group(1), m.group(0)[:200]
