@@ -144,6 +144,7 @@ NEW_THIS_ROUND = [
     "agg_gains_curve",
     "agg_cochran_armitage",
     "agg_mantel_haenszel",
+    "ext_ts_theta",
 ]
 
 CORE = [

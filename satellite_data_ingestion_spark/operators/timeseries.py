@@ -3342,3 +3342,144 @@ def ext_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 ext_ts_holt_winters.__doc__ = ext_ts_holt_winters.__doc__.format(
     a=_HW_ALPHA, b=_HW_BETA, g=_HW_GAMMA, m=_HW_M
 )
+
+
+_THETA_ALPHA = 0.3  # SES coefficient for the theta=2 line
+_THETA_H = 7  # forecast horizon (days)
+
+
+@register(
+    "ext_ts_theta",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), seq AS (
+  SELECT event_type, cents,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS t
+  FROM daily
+), m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(t) AS BIGINT) AS st, CAST(sum(cents) AS BIGINT) AS sy,
+         CAST(sum(t * cents) AS BIGINT) AS sty, CAST(sum(t * t) AS BIGINT) AS stt
+  FROM seq GROUP BY 1 HAVING count(*) >= 3
+), fit AS (
+  SELECT event_type, n,
+         (n * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy)
+           / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st) AS b,
+         st, sy
+  FROM m
+), fit2 AS (
+  SELECT event_type, n, b, (CAST(sy AS DOUBLE) - b * st) / n AS a FROM fit
+), z AS (
+  SELECT s.event_type, f.n, f.a, f.b,
+         list(2.0 * s.cents - (f.a + f.b * s.t) ORDER BY s.t) AS zs
+  FROM seq s JOIN fit2 f ON s.event_type = f.event_type
+  GROUP BY 1, 2, 3, 4
+), ses AS (
+  SELECT event_type, n, a, b,
+         list_reduce(zs,
+           (acc, x) -> CAST({_THETA_ALPHA} AS DOUBLE) * x
+                       + (1.0 - CAST({_THETA_ALPHA} AS DOUBLE)) * acc) AS lvl
+  FROM z
+)
+SELECT event_type, CAST(h AS BIGINT) AS h,
+       floor(0.5 * ((a + b * (n + h)) + lvl) * 10000 + 0.5) / 10000.0
+         AS forecast_cents
+FROM ses, (SELECT unnest(generate_series(1, {_THETA_H})) AS h)
+ORDER BY event_type, h
+""",
+)
+def ext_ts_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THETA-METHOD forecast (Assimakopoulos & Nikolopoulos 2000, the
+    M3-competition winner; θ = 2): decompose each event type's daily
+    series into the θ=0 line (the OLS trend, extrapolated linearly)
+    and the θ=2 line (2y − trend, double local curvature, smoothed by
+    SES α={a}) and average the two {h}-day-ahead forecasts — the
+    strong simple baseline every fancier forecaster must beat, closing
+    the family ``ext_ts_ewma`` → ``ext_ts_holt`` →
+    ``ext_ts_holt_winters``.
+
+    Exactness: the OLS moments are exact int64 on the per-series
+    (t, cents) grain; the θ=2 line is a per-row double expression; its
+    SES is a sequential fold over the t-sorted bounded array whose
+    init is the FIRST element on both engines (DuckDB list_reduce's
+    natural start == Spark's element_at(zs,1) init over the tail);
+    the combination is one closed-form double.
+
+    Scale shape: day-grain groupBy, per-series rank window (calendar-
+    bounded), a 1-row-per-series moment aggregate joined back, one
+    bounded fold; output |series|×{h} rows."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
+    )
+    wt = Window.partitionBy("event_type").orderBy("d")
+    seq = daily.select(
+        "event_type", "cents", F.row_number().over(wt).cast("long").alias("t")
+    )
+    m = (
+        seq.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("t").cast("long").alias("st"),
+            F.sum("cents").cast("long").alias("sy"),
+            F.sum(F.col("t") * F.col("cents")).cast("long").alias("sty"),
+            F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    b = (
+        F.col("n") * F.col("sty").cast("double") - F.col("st").cast("double") * F.col("sy")
+    ) / (
+        F.col("n") * F.col("stt").cast("double") - F.col("st").cast("double") * F.col("st")
+    )
+    fit = m.select("event_type", "n", b.alias("b"), "st", "sy").select(
+        "event_type",
+        "n",
+        "b",
+        ((F.col("sy").cast("double") - F.col("b") * F.col("st")) / F.col("n")).alias("a"),
+    )
+    z = (
+        seq.join(fit, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "a",
+            "b",
+            "t",
+            (2.0 * F.col("cents") - (F.col("a") + F.col("b") * F.col("t"))).alias("zv"),
+        )
+        .groupBy("event_type", "n", "a", "b")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("t", "zv"))),
+                lambda s: s.getField("zv"),
+            ).alias("zs")
+        )
+    )
+    A = _THETA_ALPHA
+    lvl = F.aggregate(
+        F.slice(F.col("zs"), 2, F.greatest(F.size("zs") - 1, F.lit(0))),
+        F.element_at(F.col("zs"), 1),
+        lambda acc, x: F.lit(A) * x + F.lit(1.0 - A) * acc,
+    )
+    ses = z.select("event_type", "n", "a", "b", lvl.alias("lvl"))
+    hs = ses.select(
+        "event_type",
+        "n",
+        "a",
+        "b",
+        "lvl",
+        F.explode(F.sequence(F.lit(1), F.lit(_THETA_H))).alias("h"),
+    )
+    fc = 0.5 * ((F.col("a") + F.col("b") * (F.col("n") + F.col("h"))) + F.col("lvl"))
+    return hs.select(
+        "event_type",
+        F.col("h").cast("long").alias("h"),
+        (F.floor(fc * 10000 + 0.5) / 10000.0).alias("forecast_cents"),
+    ).orderBy("event_type", "h")
+
+
+ext_ts_theta.__doc__ = ext_ts_theta.__doc__.format(a=_THETA_ALPHA, h=_THETA_H)
