@@ -145,6 +145,7 @@ NEW_THIS_ROUND = [
     "agg_cochran_armitage",
     "agg_mantel_haenszel",
     "ext_ts_theta",
+    "agg_rate_ratio",
 ]
 
 CORE = [

@@ -3229,3 +3229,81 @@ def agg_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("num") / F.col("den")).alias("or_mh"),
         r6(F.log(F.col("num") / F.col("den"))).alias("ln_or_mh"),
     )
+
+
+@register(
+    "agg_rate_ratio",
+    oracle=f"""
+WITH arms AS (
+  SELECT user_id % 2 AS arm,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM events GROUP BY 1
+), w AS (
+  SELECT
+    max(CASE WHEN arm = 1 THEN a END) AS a1,
+    max(CASE WHEN arm = 0 THEN a END) AS a0,
+    max(CASE WHEN arm = 1 THEN n_users END) AS n1,
+    max(CASE WHEN arm = 0 THEN n_users END) AS n0
+  FROM arms
+), t AS (
+  SELECT a1, a0, n1, n0,
+         ln((CAST(a1 AS DOUBLE) / n1) / (CAST(a0 AS DOUBLE) / n0))
+           / sqrt(1.0 / a1 + 1.0 / a0) AS z
+  FROM w
+)
+SELECT a1, a0, n1, n0,
+       floor((CAST(a1 AS DOUBLE) / n1) / (CAST(a0 AS DOUBLE) / n0)
+             * 1000000 + 0.5) / 1000000.0 AS rate_ratio,
+       floor(z * 1000000 + 0.5) / 1000000.0 AS z,
+       floor(2 * (1 - {_norm_cdf_sql("abs(z)")}) * 1000000 + 0.5)
+         / 1000000.0 AS p
+FROM t
+""",
+)
+def agg_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON RATE-RATIO test: purchases per user between the parity
+    arms, RR with the log-rate-ratio z (SE = √(1/a₁+1/a₀)) and a
+    two-sided p through the shared A&S normal CDF — the count-outcome
+    sibling of ``agg_ab_test``'s value comparison and ``agg_did``'s
+    panel contrast (conversions, errors, tickets: anything Poisson-ish
+    per exposure unit).
+
+    Exactness: event counts and distinct-user exposures are exact
+    int64 from one pass; RR, z and p are fixed-order closed-form
+    doubles through the engine-identical CDF polynomial.
+
+    Scale shape: one groupBy to 2 rows (the distinct-user count is the
+    one shuffle-bearing aggregate; approx_count_distinct is the
+    documented 100 TB swap), then projection."""
+    ev = table(spark, sf_dir, "events")
+    arms = ev.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+    def arm(x, expr):
+        return F.max(F.when(F.col("arm") == x, expr))
+
+    w = arms.agg(
+        arm(1, F.col("a")).alias("a1"),
+        arm(0, F.col("a")).alias("a0"),
+        arm(1, F.col("n_users")).alias("n1"),
+        arm(0, F.col("n_users")).alias("n0"),
+    )
+    rr = (F.col("a1").cast("double") / F.col("n1")) / (
+        F.col("a0").cast("double") / F.col("n0")
+    )
+    z = F.log(rr) / F.sqrt(1.0 / F.col("a1") + 1.0 / F.col("a0"))
+    t = w.select("a1", "a0", "n1", "n0", z.alias("z"), rr.alias("rr"))
+    return t.select(
+        "a1",
+        "a0",
+        "n1",
+        "n0",
+        r6(F.col("rr")).alias("rate_ratio"),
+        r6(F.col("z")).alias("z"),
+        r6(2 * (1 - _norm_cdf(F.abs(F.col("z"))))).alias("p"),
+    )
