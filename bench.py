@@ -146,6 +146,8 @@ NEW_THIS_ROUND = [
     "agg_mantel_haenszel",
     "ext_ts_theta",
     "agg_rate_ratio",
+    "agg_overdispersion",
+    "agg_capture_recapture",
 ]
 
 CORE = [

@@ -3307,3 +3307,132 @@ def agg_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("z")).alias("z"),
         r6(2 * (1 - _norm_cdf(F.abs(F.col("z"))))).alias("p"),
     )
+
+
+@register(
+    "agg_overdispersion",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS k
+  FROM events GROUP BY 1
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(k) AS BIGINT) AS s, CAST(sum(k * k) AS BIGINT) AS sq
+  FROM per_user
+), t AS (
+  SELECT n,
+         (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)
+           / (CAST(s AS DOUBLE) / n) AS d
+  FROM m
+)
+SELECT n,
+       floor(d * 1000000 + 0.5) / 1000000.0 AS dispersion,
+       floor((d - 1) * sqrt((n - 1) / 2.0) * 1000000 + 0.5) / 1000000.0 AS z,
+       d > 1.5 AS overdispersed
+FROM t
+""",
+)
+def agg_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON OVERDISPERSION check on per-user purchase counts: the
+    dispersion index D = s²/x̄ with its normal-approximation z
+    ((D−1)·√((n−1)/2)) — the assumption audit in front of
+    ``agg_rate_ratio`` (a Poisson rate test under-states uncertainty
+    exactly when D ≫ 1, the usual web reality of a few power users; a
+    flagged D says use the negative-binomial/bootstrap path, i.e.
+    ``agg_bootstrap_ci``).
+
+    Exactness: per-user counts, n, Σk, Σk² are exact int64; D and z
+    are fixed-order closed-form doubles; the flag compares identical
+    doubles to the same literal.
+
+    Scale shape: one user-keyed groupBy (map-side combined), one 1-row
+    moment aggregate, projection."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("k")
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k").cast("long").alias("s"),
+        F.sum(F.col("k") * F.col("k")).cast("long").alias("sq"),
+    )
+    d = (
+        (F.col("sq").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1)
+        / (F.col("s").cast("double") / F.col("n"))
+    )
+    t = m.select("n", d.alias("d"))
+    return t.select(
+        "n",
+        r6(F.col("d")).alias("dispersion"),
+        r6((F.col("d") - 1) * F.sqrt((F.col("n") - 1) / F.lit(2.0))).alias("z"),
+        (F.col("d") > 1.5).alias("overdispersed"),
+    )
+
+
+@register(
+    "agg_capture_recapture",
+    oracle="""
+WITH s1 AS (
+  SELECT DISTINCT user_id FROM events WHERE event_id % 7 = 0
+), s2 AS (
+  SELECT DISTINCT user_id FROM events WHERE event_id % 11 = 0
+), t AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+         (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM s1 JOIN s2 ON s1.user_id = s2.user_id) AS m,
+         (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS true_n
+)
+SELECT n1, n2, m, true_n,
+       CAST(floor(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1) AS BIGINT)
+         AS chapman_estimate,
+       floor((CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1)
+             / true_n * 1000000 + 0.5) / 1000000.0 AS estimate_ratio
+FROM t
+""",
+)
+def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPTURE-RECAPTURE (Chapman) population estimate: two
+    deterministic event samples "capture" user sets, and the overlap
+    estimates the TOTAL distinct-user population as
+    N̂ = (n₁+1)(n₂+1)/(m+1) − 1 — the ecology estimator that doubles as
+    a dedup/cardinality audit (how many distinct entities exist when a
+    full scan is unaffordable — estimate from two cheap overlapping
+    samples; ``agg_approx_distinct``/``ext_kmv_intersection`` sketch
+    the same question from the data itself, Chapman answers it from
+    SAMPLING overlap, and the ratio column scores it against the true
+    count here).
+
+    Exactness: sample sizes, the overlap (a user-keyed semi-ish join)
+    and the true count are exact int64; the estimate is one closed-
+    form double floored identically both engines.
+
+    Scale shape: two distinct-projections + one key join + one exact
+    distinct (documented approx_count_distinct swap); all 1-row
+    combines are broadcasts."""
+    ev = table(spark, sf_dir, "events")
+    s1 = ev.filter(F.col("event_id") % 7 == 0).select("user_id").distinct()
+    s2 = ev.filter(F.col("event_id") % 11 == 0).select("user_id").distinct()
+    n1 = s1.agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    n2 = s2.agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    m = s1.join(s2, "user_id").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    true_n = ev.agg(F.countDistinct("user_id").cast("long").alias("true_n"))
+    t = (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(true_n))
+    )
+    est = (F.col("n1") + 1).cast("double") * (F.col("n2") + 1) / (F.col("m") + 1) - 1
+    return t.select(
+        "n1",
+        "n2",
+        "m",
+        "true_n",
+        F.floor(est).cast("long").alias("chapman_estimate"),
+        r6(est / F.col("true_n")).alias("estimate_ratio"),
+    )
