@@ -2526,11 +2526,12 @@ WITH pairs AS (
 SELECT n_pairs, clen, rlen,
        floor(CAST(clip1 AS DOUBLE) / tot1 * 1000000 + 0.5) / 1000000.0 AS p1,
        floor(CAST(clip2 AS DOUBLE) / tot2 * 1000000 + 0.5) / 1000000.0 AS p2,
-       floor((CASE WHEN clen > rlen THEN 1.0
-                   ELSE exp(1.0 - CAST(rlen AS DOUBLE) / clen) END)
-             * exp(0.5 * (ln(CAST(clip1 AS DOUBLE) / tot1)
-                          + ln(CAST(clip2 AS DOUBLE) / tot2)))
-             * 1000000 + 0.5) / 1000000.0 AS bleu2
+       CASE WHEN COALESCE(clip1, 0) = 0 OR COALESCE(clip2, 0) = 0 THEN 0.0
+            ELSE floor((CASE WHEN clen > rlen THEN 1.0
+                        ELSE exp(1.0 - CAST(rlen AS DOUBLE) / clen) END)
+                 * exp(0.5 * (ln(CAST(clip1 AS DOUBLE) / tot1)
+                              + ln(CAST(clip2 AS DOUBLE) / tot2)))
+                 * 1000000 + 0.5) / 1000000.0 END AS bleu2
 FROM t
 """,
 )
@@ -2564,11 +2565,16 @@ def ext_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     def grams(col, n):
         if n == 1:
             return col
-        idx = F.sequence(F.lit(1), F.greatest(F.size(col) - 1, F.lit(0)))
-        return F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", F.element_at(col, i), F.element_at(col, i + 1)),
-        )
+        # size<=1 => no bigrams: sequence(1, 0) would be the DESCENDING
+        # array [1, 0] on this Spark build and element_at(col, 2) throws,
+        # while DuckDB's generate_series(1, 0) is empty — guard to match.
+        return F.when(
+            F.size(col) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(col) - 1),
+                lambda i: F.concat_ws(" ", F.element_at(col, i), F.element_at(col, i + 1)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
 
     def side_counts(src, col, n, out):
         return (
@@ -2603,9 +2609,15 @@ def ext_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rlen",
         (F.floor(p1 * 1000000 + 0.5) / 1000000.0).alias("p1"),
         (F.floor(p2 * 1000000 + 0.5) / 1000000.0).alias("p2"),
-        (F.floor(bp * F.exp(0.5 * (F.log(p1) + F.log(p2))) * 1000000 + 0.5) / 1000000.0).alias(
-            "bleu2"
-        ),
+        # zero clipped overlap => BLEU 0 (standard zero handling); without
+        # the CASE Spark's log(0) is NULL while DuckDB's ln(0) raises.
+        F.when(
+            (F.coalesce(F.col("clip1"), F.lit(0)) == 0)
+            | (F.coalesce(F.col("clip2"), F.lit(0)) == 0),
+            F.lit(0.0),
+        )
+        .otherwise(F.floor(bp * F.exp(0.5 * (F.log(p1) + F.log(p2))) * 1000000 + 0.5) / 1000000.0)
+        .alias("bleu2"),
     )
 
 

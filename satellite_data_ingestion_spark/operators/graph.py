@@ -1078,7 +1078,10 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MST_MAX_ROUNDS = 12  # Borůvka halves component count per round: 2^12 covers any test graph
+_MST_MAX_ROUNDS = 48  # Borůvka halves component count per round: 2^48 covers any
+# conceivable graph (rounds needed ~= log2(largest component), so even a
+# 100 TB-scale giant component converges long before this; extra headroom
+# costs only one count() on the round that breaks the loop)
 
 
 @register("graph_mst")  # rows-only: MST is not ANSI-SQL-expressible; the unique

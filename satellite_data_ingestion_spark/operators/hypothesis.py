@@ -2773,7 +2773,7 @@ def agg_yuen_trimmed_t(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Normal-CDF closure (round 13): the Abramowitz & Stegun 7.1.26 polynomial
+# Normal-CDF closure (round 13): the Abramowitz & Stegun 26.2.17 polynomial
 # (|error| < 7.5e-8) gives both engines the SAME closed-form Phi(z), which
 # unlocks p-values — and therefore multiple-testing and equivalence
 # procedures — for the whole battery without any engine-native erf().
@@ -2785,7 +2785,7 @@ _INV_SQRT_2PI = 0.3989422804014327
 
 
 def _norm_cdf(z):
-    """Spark column Phi(z) via A&S 7.1.26 — fixed Horner order, mirrored
+    """Spark column Phi(z) via A&S 26.2.17 — fixed Horner order, mirrored
     for negative z, bit-identical to the SQL twin below."""
     x = F.abs(z)
     t = 1.0 / (1.0 + _AS_T * x)
@@ -2828,7 +2828,7 @@ ORDER BY i
 )
 def fn_normal_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STANDARD NORMAL CDF Phi(z) on the z ∈ [−4, 4] grid (step 0.1)
-    via the Abramowitz & Stegun 7.1.26 polynomial (|error| < 7.5e-8) —
+    via the Abramowitz & Stegun 26.2.17 polynomial (|error| < 7.5e-8) —
     the p-value primitive the engine otherwise lacks (no native erf in
     either engine), evaluated as ONE fixed-Horner-order double
     expression so Spark and DuckDB produce identical bits; mirrored

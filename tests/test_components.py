@@ -2795,7 +2795,7 @@ def test_rouge_l_matches_reference_dp(spark):
 
 
 def test_normal_cdf_polynomial_accuracy(spark):
-    """fn_normal_cdf's A&S 7.1.26 polynomial must stay within its
+    """fn_normal_cdf's A&S 26.2.17 polynomial must stay within its
     published 7.5e-8 bound of the exact CDF (via math.erf) across the
     whole grid — and hit the anchor points a reader would check."""
     import math
@@ -2814,3 +2814,28 @@ def test_normal_cdf_polynomial_accuracy(spark):
     assert abs(byz[0.0] - 0.5) < 1e-6
     assert abs(byz[1.6] - 0.945201) < 2e-6  # Phi(1.6)
     assert abs(byz[-1.6] - (1 - 0.945201)) < 2e-6  # symmetry
+
+
+def test_bleu_single_token_docs_no_crash(spark, tmp_path):
+    """ADVICE r13: a 1-token candidate (split('') == ['']) used to build
+    sequence(1, 0) = the DESCENDING [1, 0] and element_at threw,
+    killing the whole query; the DuckDB oracle's generate_series(1, 0)
+    is empty.  Pin: 1-token docs yield empty bigram arrays, the query
+    completes, and zero/NULL clipped overlap gives a defined bleu2=0.0
+    (standard corpus-BLEU zero handling) instead of NULL/ln(0)."""
+    import os
+
+    from satellite_data_ingestion_spark import registry
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "a b c"), (10, "x"), (11, "x y z")],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    rows = registry.spec("ext_bleu").fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_pairs == 2 and r.clen == 2 and r.rlen == 6
+    assert r.p1 == 0.5  # 'x' overlaps its reference; '' does not
+    assert r.p2 is None  # no bigrams exist on the candidate side at all
+    assert r.bleu2 == 0.0  # defined zero, not NULL, matching the oracle CASE
