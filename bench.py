@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -54,9 +55,9 @@ from satellite_data_ingestion_spark.session import get_spark
 #   ROTATION — everything else, split into {K} deterministic tranches by
 #     md5(name) % K (stable under list growth, unlike index slicing);
 #     each round runs ONE tranche, so full coverage recurs every K
-#     rounds.  The tranche index advances with the driver's own
-#     BENCH_r*.json artifacts (count % K) — self-advancing per round,
-#     stable within a round — and can be forced with
+#     rounds.  The tranche index is (max round number in BENCH_r*.json
+#     + 1) % K — self-advancing per round, stable within a round even
+#     when a round writes multiple artifacts — and can be forced with
 #     SPARK_GRAFT_BENCH_TRANCHE or widened to the whole registry-backed
 #     list with SPARK_GRAFT_BENCH_FULL=1.
 # ---------------------------------------------------------------------------
@@ -435,7 +436,21 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_TRANCHE"):
         tranche = int(os.environ["SPARK_GRAFT_BENCH_TRANCHE"]) % ROTATION_TRANCHES
     else:
-        tranche = len(glob.glob(os.path.join(repo, "BENCH_r*.json"))) % ROTATION_TRANCHES
+        # Derive the tranche from the MAX round number present, not the
+        # artifact COUNT: a round that writes two BENCH_r{N}.json files
+        # (or skips a round) would otherwise silently shift the rotation
+        # and skip a tranche (VERDICT r13 task 7).  max-round is stable
+        # under re-runs within a round and under missing rounds.
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        # +2 anchors continuity with the historical count-derived phase
+        # (round 13 drew tranche 2, so round 14 must draw 0): the r07
+        # artifact is missing, so max-round and artifact-count phases
+        # differ by one.
+        tranche = (max(rounds) + 2) % ROTATION_TRANCHES if rounds else 0
     if os.environ.get("SPARK_GRAFT_BENCH_FULL"):
         active = NEW_THIS_ROUND + CORE + ROTATION
     else:

@@ -236,3 +236,25 @@ def test_bench_tier_names_valid():
     ]
     assert set().union(*tranches) == set(lists["ROTATION"])
     assert sum(len(t) for t in tranches) == len(lists["ROTATION"])
+
+
+def test_bench_tranche_derived_from_max_round_not_artifact_count():
+    """VERDICT r13 task 7: the rotation tranche must be derived from the
+    MAX round number among BENCH_r*.json artifacts, not their count — a
+    round writing two artifacts (as r13 nearly did) would otherwise
+    silently skip a tranche.  Pin by source inspection: the fallback
+    branch must regex the round number and take max(), and must NOT use
+    len(glob...) anywhere in the tranche derivation."""
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = open(os.path.join(root, "bench.py")).read()
+    tranche_block = src.split("tranche = int(os.environ")[1].split(
+        "SPARK_GRAFT_BENCH_FULL"
+    )[0]
+    assert "BENCH_r(\\d+)" in tranche_block, (
+        "tranche fallback must parse round numbers from BENCH_r{N}.json names"
+    )
+    assert "max(rounds)" in tranche_block
+    assert "len(glob" not in tranche_block, "tranche must not depend on artifact count"
