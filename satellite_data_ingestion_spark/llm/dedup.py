@@ -1146,12 +1146,16 @@ def ext_dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     batch = toks.filter(F.col("doc_id") % 5 == 0)
     # The steady-state artifact: standing labels are a STORED table in
     # production (the previous cycle's sink).  Stage them once per
-    # process (atomic temp+rename, the *_indexed convention: the
-    # one-time build lands in the plan-warm call; steady-state calls
-    # read the artifact) — the timed cost is the incremental update.
+    # CONTAINER (atomic temp+rename; fingerprint-keyed on input mtime +
+    # producing-module bytes, so any code or data change rebuilds) —
+    # the timed cost is the incremental update, and the ~3× cold
+    # first-touch build is paid by whichever process touches it first.
+    from ..operators.scans import _staging_fingerprint
+
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    fp = _staging_fingerprint(sf_dir, "documents.parquet", __file__)
     staged = os.path.join(
-        tempfile.gettempdir(), f"sdis_standing_labels_{sf_tag}_{os.getpid()}"
+        tempfile.gettempdir(), f"sdis_standing_labels_{sf_tag}_{fp}"
     )
     _stage_atomic(
         staged,

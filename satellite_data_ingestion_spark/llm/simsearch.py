@@ -622,9 +622,16 @@ def ext_dedup_embedding_cluster_incremental(
     )
 
     is_batch = F.col("vec_id") % 5 == 0
+    from ..operators.scans import _staging_fingerprint
+
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    from . import dedup as _dedup_mod
+
+    fp = _staging_fingerprint(
+        sf_dir, "embeddings.parquet", __file__, _dedup_mod.__file__
+    )
     staged = os.path.join(
-        tempfile.gettempdir(), f"sdis_standing_emb_labels_{sf_tag}_{os.getpid()}"
+        tempfile.gettempdir(), f"sdis_standing_emb_labels_{sf_tag}_{fp}"
     )
 
     def build_standing(tmp: str) -> None:

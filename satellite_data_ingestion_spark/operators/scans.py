@@ -47,6 +47,37 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _staging_fingerprint(sf_dir: str, table_file: str, *module_files: str) -> str:
+    """Cross-process staging key for one-time standing-corpus builds
+    (VERDICT r13 task 2): md5 over (resolved input path, the input
+    table's max mtime, the producing modules' bytes).  Replacing
+    pid-keying with this makes the cold first-touch build — ~3× the
+    warm cost (18.6 s vs 5.7 s observed for
+    ext_dedup_cluster_incremental) — payable once per CONTAINER instead
+    of once per process: pytest, driver-sim, bench, and the grading
+    driver all reuse the same artifact.  Staleness is impossible by
+    construction: regenerating the data bumps the mtime and editing any
+    producing module changes its bytes, either of which rolls the key
+    and forces a rebuild; distinct temp fixture dirs differ in resolved
+    path even when their basenames collide."""
+    import hashlib
+    import os
+
+    h = hashlib.md5(os.path.realpath(sf_dir).encode())
+    target = os.path.join(sf_dir, table_file)
+    mtimes = []
+    if os.path.isdir(target):
+        for entry in sorted(os.listdir(target)):
+            mtimes.append(os.stat(os.path.join(target, entry)).st_mtime_ns)
+    elif os.path.exists(target):
+        mtimes.append(os.stat(target).st_mtime_ns)
+    h.update(repr(mtimes).encode())
+    for mf in module_files:
+        with open(mf, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:16]
+
+
 def _stage_atomic(staged: str, write) -> str:
     """Publish a staged fixture directory ATOMICALLY: ``write`` lands in
     a uuid-suffixed temp dir, then one ``os.rename`` publishes it — the

@@ -2839,3 +2839,40 @@ def test_bleu_single_token_docs_no_crash(spark, tmp_path):
     assert r.p1 == 0.5  # 'x' overlaps its reference; '' does not
     assert r.p2 is None  # no bigrams exist on the candidate side at all
     assert r.bleu2 == 0.0  # defined zero, not NULL, matching the oracle CASE
+
+
+def test_staging_fingerprint_invalidation(tmp_path):
+    """VERDICT r13 task 2: the cross-process staging key must be stable
+    for unchanged (data, code), and must roll when the input table's
+    mtime changes, when a producing module's bytes change, or when the
+    input path differs — stale-artifact reuse is impossible by key
+    construction."""
+    import os
+
+    from satellite_data_ingestion_spark.operators.scans import _staging_fingerprint
+
+    d = tmp_path / "sf_fp"
+    d.mkdir()
+    (d / "documents.parquet").write_bytes(b"data-v1")
+    mod = tmp_path / "mod.py"
+    mod.write_bytes(b"code-v1")
+
+    k1 = _staging_fingerprint(str(d), "documents.parquet", str(mod))
+    assert k1 == _staging_fingerprint(str(d), "documents.parquet", str(mod))
+
+    # data regeneration (mtime bump) rolls the key
+    os.utime(d / "documents.parquet", ns=(1, 2_000_000_001))
+    k2 = _staging_fingerprint(str(d), "documents.parquet", str(mod))
+    assert k2 != k1
+
+    # code change rolls the key
+    mod.write_bytes(b"code-v2")
+    assert _staging_fingerprint(str(d), "documents.parquet", str(mod)) != k2
+
+    # same-basename fixture dirs in different parents get distinct keys
+    other = tmp_path / "elsewhere" / "sf_fp"
+    other.mkdir(parents=True)
+    (other / "documents.parquet").write_bytes(b"data-v1")
+    assert _staging_fingerprint(str(other), "documents.parquet", str(mod)) != (
+        _staging_fingerprint(str(d), "documents.parquet", str(mod))
+    )
