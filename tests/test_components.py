@@ -2876,3 +2876,36 @@ def test_staging_fingerprint_invalidation(tmp_path):
     assert _staging_fingerprint(str(other), "documents.parquet", str(mod)) != (
         _staging_fingerprint(str(d), "documents.parquet", str(mod))
     )
+
+
+def test_quality_classifier_enriches_target(spark):
+    """ext_quality_classifier's whole point (the DSIR-style property):
+    docs the gate keeps must be enriched in the target class.  On the
+    train slice the fitted weights must tilt strongly at any SF; on the
+    HELD-OUT slice (docs that never influenced the weights) the tilt
+    must hold at sf0.01 where there is enough signal to generalize
+    (at sf0.001's 500 docs the hashed bigrams memorize the train
+    slice — measured and expected, not asserted)."""
+    from tests.conftest import SF_SMOKE
+
+    from satellite_data_ingestion_spark import registry
+
+    fn = registry.spec("ext_quality_classifier").fn
+
+    rows = fn(spark, SF_SMOKE).collect()
+    train = [r for r in rows if not r.heldout]
+    kept = [r for r in train if r.keep]
+    base = sum(r.lang == "en" for r in train) / len(train)
+    tilt = sum(r.lang == "en" for r in kept) / len(kept)
+    assert tilt > base + 0.1, f"train tilt too weak: {tilt:.3f} vs {base:.3f}"
+    # keep flag must be exactly logit > 0 and heldout exactly doc_id % 3 == 0
+    for r in rows:
+        assert r.keep == (r.logit > 0)
+        assert r.heldout == (r.doc_id % 3 == 0)
+
+    rows01 = fn(spark, "/root/testdata/sf0.01").collect()
+    held = [r for r in rows01 if r.heldout]
+    kept01 = [r for r in held if r.keep]
+    base01 = sum(r.lang == "en" for r in held) / len(held)
+    tilt01 = sum(r.lang == "en" for r in kept01) / len(kept01)
+    assert tilt01 > base01, f"no out-of-sample enrichment: {tilt01:.3f} vs {base01:.3f}"
