@@ -2776,9 +2776,57 @@ ext_bleu.__doc__ = ext_bleu.__doc__.format(s=_BLEU_STRIDE)
 _ROUGE_CAP = 64  # tokens per side entering the LCS DP (documented truncation)
 
 
-@register("ext_rouge_l")  # rows-only: LCS is a DP no ANSI-SQL oracle expresses;
-# exact parity vs an independent pure-Python DP is pinned in
-# tests/test_components.py::test_rouge_l_matches_reference_dp.
+@register(
+    "ext_rouge_l",
+    # VERDICT r13 task 5: formerly rows-only, now DuckDB-oracled via a
+    # RECURSIVE-CTE LCS twin.  The recursion carries one DP row per pair
+    # as a LIST; the in-row dependency new[j-1] is eliminated with the
+    # monotone-row prefix-max identity new[j] = max(old[j],
+    # max_{k<=j}(old[k-1] + eq(i,k))) — exactly the numpy formulation
+    # the Spark side vectorizes (np.maximum.accumulate).  Bounded by the
+    # same {_ROUGE_CAP}-token cap, so the CTE runs <=cap iterations of
+    # <=cap-wide lists per pair.  Independent pure-Python-DP parity
+    # stays pinned in tests/test_components.py::
+    # test_rouge_l_matches_reference_dp.
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT c.doc_id AS pid,
+         list_slice(str_split(c.text, ' '), 1, {_ROUGE_CAP}) AS ct,
+         list_slice(str_split(r.text, ' '), 1, {_ROUGE_CAP}) AS rt
+  FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+  WHERE c.doc_id % {_BLEU_STRIDE} = 0
+), dims AS (
+  SELECT pid, ct, rt, len(ct) AS m, len(rt) AS n FROM pairs
+), dp AS (
+  SELECT pid, ct, rt, m, n, 0 AS i,
+         list_transform(generate_series(0, n), x -> 0) AS row
+  FROM dims
+  UNION ALL
+  SELECT pid, ct, rt, m, n, i + 1,
+         list_transform(generate_series(0, n), j ->
+           CASE WHEN j = 0 THEN 0 ELSE
+             greatest(
+               row[j + 1],
+               list_max(list_transform(generate_series(1, j), k ->
+                 row[k] + CASE WHEN ct[i + 1] = rt[k] THEN 1 ELSE 0 END))
+             )
+           END) AS row
+  FROM dp WHERE i < m
+), scored AS (
+  SELECT pid, CAST(m AS BIGINT) AS clen, CAST(n AS BIGINT) AS rlen,
+         CAST(row[n + 1] AS BIGINT) AS lcs
+  FROM dp WHERE i = m
+)
+SELECT pid, clen, rlen, lcs,
+       floor(CASE WHEN lcs > 0
+                  THEN 2.0 * (CAST(lcs AS DOUBLE) / clen)
+                       * (CAST(lcs AS DOUBLE) / rlen)
+                       / (CAST(lcs AS DOUBLE) / clen
+                          + CAST(lcs AS DOUBLE) / rlen)
+                  ELSE 0.0 END * 1000000 + 0.5) / 1000000.0 AS rouge_l_f1
+FROM scored
+""",
+)
 def ext_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROUGE-L F₁ per candidate/reference doc pair (same deterministic
     pairing as ``ext_bleu``): longest-common-subsequence precision/
@@ -2794,9 +2842,12 @@ def ext_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs and partitions freely; the HOF-fold alternative is
     interpreted per-lambda and ~10× slower, the ext_knn_join lesson).
     Integer LCS lengths make precision/recall/F exact-int ratios —
-    deterministic despite the UDF.  Rows-only by design: SQL cannot
-    express the DP; exact parity vs an independent Python DP is pinned
-    in tests."""
+    deterministic despite the UDF.  DuckDB-ORACLED since round 14: a
+    recursive-CTE twin carries the DP row as a list and eliminates the
+    in-row dependency with the monotone-row prefix-max identity (the
+    same reformulation the numpy side vectorizes), so the hash gate
+    checks every per-pair LCS; independent pure-Python-DP parity stays
+    pinned in tests."""
     docs = table(spark, sf_dir, "documents")
     cand = docs.filter(F.col("doc_id") % _BLEU_STRIDE == 0).select(
         F.col("doc_id").alias("pid"),
