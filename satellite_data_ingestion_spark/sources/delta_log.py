@@ -889,6 +889,28 @@ class DeltaLogTable:
                 f"({sorted(state['domains'])})"
             )
 
+        rows = self._cp_rows(state)
+        schema = self._cp_schema()
+        cols = {f.name: [row.get(f.name) for row in rows] for f in schema}
+        tbl = pa.table(
+            {n: pa.array(v, type=schema.field(n).type) for n, v in cols.items()}
+        )
+        cp_path = self._checkpoint_path(head)
+        tmp = cp_path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, cp_path)
+        ptr = os.path.join(self.log_dir, "_last_checkpoint")
+        with open(ptr + ".tmp", "w") as fh:
+            json.dump({"version": head, "size": len(rows)}, fh)
+        os.replace(ptr + ".tmp", ptr)
+        return head
+
+    @staticmethod
+    def _cp_rows(state: dict) -> list[dict]:
+        """Replayed state as checkpoint rows (one non-null action column
+        per row, the spec's checkpoint schema) — shared by the classic
+        single-file checkpoint and the v2 manifest+sidecar writer."""
+
         def _map(d: dict | None) -> list[tuple] | None:
             return sorted((d or {}).items()) if d is not None else None
 
@@ -936,30 +958,56 @@ class DeltaLogTable:
                     }
                 }
             )
-        schema = self._cp_schema()
-        cols = {f.name: [row.get(f.name) for row in rows] for f in schema}
-        tbl = pa.table(
-            {n: pa.array(v, type=schema.field(n).type) for n, v in cols.items()}
-        )
-        cp_path = self._checkpoint_path(head)
-        tmp = cp_path + ".tmp"
-        pq.write_table(tbl, tmp)
-        os.replace(tmp, cp_path)
-        ptr = os.path.join(self.log_dir, "_last_checkpoint")
-        with open(ptr + ".tmp", "w") as fh:
-            json.dump({"version": head, "size": len(rows)}, fh)
-        os.replace(ptr + ".tmp", ptr)
-        return head
+        return rows
 
     def _read_checkpoint(self, version: int) -> list[dict]:
         """Checkpoint rows back as plain log actions (nulls dropped,
-        map columns re-dicted)."""
+        map columns re-dicted).  Reads the classic single-file
+        checkpoint when present, else the v2 manifest + sidecars."""
         import pyarrow.parquet as pq
 
+        if os.path.exists(self._checkpoint_path(version)):
+            return self._rows_to_actions(
+                pq.read_table(self._checkpoint_path(version)).to_pylist()
+            )
+        manifests = sorted(
+            p
+            for p in glob.glob(
+                os.path.join(self.log_dir, f"{version:020d}.checkpoint.*.parquet")
+            )
+            if not p.endswith(".tmp")
+        )
+        if not manifests:
+            raise ValueError(
+                f"no checkpoint file for version {version} in {self.log_dir!r}"
+            )
         actions: list[dict] = []
-        for row in pq.read_table(self._checkpoint_path(version)).to_pylist():
+        for row in pq.read_table(manifests[-1]).to_pylist():
+            cm = row.get("checkpointMetadata")
+            if cm is not None:
+                if cm["version"] != version:
+                    raise ValueError(
+                        f"v2 checkpoint manifest declares version "
+                        f"{cm['version']}, expected {version}"
+                    )
+                continue
+            sc = row.get("sidecar")
+            if sc is not None:
+                side = os.path.join(self.log_dir, "_sidecars", sc["path"])
+                actions.extend(
+                    self._rows_to_actions(pq.read_table(side).to_pylist())
+                )
+                continue
+            actions.extend(self._rows_to_actions([row]))
+        return actions
+
+    def _rows_to_actions(self, rows: list[dict]) -> list[dict]:
+        """Convert checkpoint-schema rows (possibly carrying extra
+        all-null v2 columns) back to plain log actions."""
+        actions: list[dict] = []
+        for row in rows:
             for kind, payload in row.items():
-                if payload is None:
+                if payload is None or kind in ("checkpointMetadata", "sidecar"):
                     continue
                 payload = dict(payload)
                 for mk in ("partitionValues", "configuration"):
@@ -995,6 +1043,182 @@ class DeltaLogTable:
                         )
                 actions.append({kind: payload})
         return actions
+
+    # -- v2 checkpoints (table-features v2Checkpoint) ------------------
+
+    def enable_v2_checkpoints(self) -> int:
+        """Enable the spec's V2 CHECKPOINT table feature: protocol rises
+        to the table-features form on both axes with ``v2Checkpoint`` in
+        reader AND writer features (a v2-blind reader would miss the
+        sidecars and see an empty table — exactly what the reader
+        feature forbids), and ``delta.checkpointPolicy = v2`` is set —
+        the property the current PROTOCOL.md requires writers to check
+        before writing v2 checkpoints."""
+        while True:
+            head = self.latest_version()
+            if head < 0:
+                raise ValueError(
+                    "enable v2 checkpoints on an empty table: commit first"
+                )
+            st = self._state(head)
+            cfg0 = (st["metaData"] or {}).get("configuration") or {}
+            if cfg0.get("delta.checkpointPolicy") == "v2":
+                return head
+            proto = st["protocol"] or dict(_PROTOCOL)
+            wfeats = set(proto.get("writerFeatures") or [])
+            mw = proto.get("minWriterVersion", 2)
+            if mw < 7:
+                for v, fs in self._LEGACY_WRITER_FEATURES.items():
+                    if mw >= v:
+                        wfeats.update(fs)
+            wfeats.add("v2Checkpoint")
+            rfeats = set(proto.get("readerFeatures") or [])
+            if proto.get("minReaderVersion", 1) >= 2:
+                rfeats.add("columnMapping")
+            rfeats.add("v2Checkpoint")
+            md = dict(st["metaData"])
+            cfg = dict(md.get("configuration") or {})
+            cfg["delta.checkpointPolicy"] = "v2"
+            md["configuration"] = cfg
+            self._schema_string = md["schemaString"]
+            self._partition_columns = md.get("partitionColumns", [])
+            actions = [
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": sorted(rfeats),
+                        "writerFeatures": sorted(wfeats),
+                    }
+                },
+                {"metaData": md},
+            ]
+            try:
+                return self._publish(
+                    actions, derived_from=head, operation="SET TBLPROPERTIES"
+                )
+            except DeltaConcurrentCommit:
+                continue
+
+    def checkpoint_v2(self, max_sidecar_actions: int = 5000) -> int:
+        """Write the replayed head state as a V2 CHECKPOINT (current
+        PROTOCOL.md "V2 Checkpoints"): FILE actions (add/remove) land in
+        sidecar parquet files under ``_delta_log/_sidecars/``, chunked
+        at ``max_sidecar_actions`` rows, and a top-level manifest
+        ``<v>.checkpoint.<uniqueId>.parquet`` carries exactly one
+        ``checkpointMetadata`` action, the protocol / metaData / txn
+        actions, and one ``sidecar`` action per sidecar file.
+        ``_last_checkpoint`` repoints with the same {version, size}
+        contract as classic checkpoints (plus the manifest id), so
+        ``clean_log()`` / ``latest_version()`` / replay work unchanged.
+
+        Why this exists at scale: a classic checkpoint is ONE parquet
+        file holding every live file's metadata — at 100 TB (millions
+        of files) writing it serially becomes the commit-path
+        bottleneck, and every reader re-downloads the whole thing.
+        Sidecars shard that state so writers parallelize checkpoint
+        writes and incremental checkpoints can REUSE unchanged sidecar
+        files from the previous checkpoint; readers fetch the KB-scale
+        manifest first.  Requires the ``v2Checkpoint`` feature
+        (``enable_v2_checkpoints``); refuses otherwise, per the spec's
+        writer requirement."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        head = self.latest_version()
+        if head < 0:
+            raise ValueError("cannot checkpoint an empty log")
+        state = self._state(head)
+        proto = state["protocol"] or {}
+        if "v2Checkpoint" not in (proto.get("writerFeatures") or []):
+            raise ValueError(
+                "v2 checkpoint requires the v2Checkpoint table feature: "
+                "call enable_v2_checkpoints() first"
+            )
+        if state["domains"]:
+            raise NotImplementedError(
+                "checkpoint of a table with domain metadata "
+                f"({sorted(state['domains'])})"
+            )
+        rows = self._cp_rows(state)
+        top = [r for r in rows if "add" not in r and "remove" not in r]
+        files = [r for r in rows if "add" in r or "remove" in r]
+        schema = self._cp_schema()
+
+        def _table(rws, sch):
+            cols = {f.name: [r.get(f.name) for r in rws] for f in sch}
+            return pa.table(
+                {n: pa.array(v, type=sch.field(n).type) for n, v in cols.items()}
+            )
+
+        side_schema = pa.schema(
+            [schema.field("add"), schema.field("remove")]
+        )
+        side_dir = os.path.join(self.log_dir, "_sidecars")
+        os.makedirs(side_dir, exist_ok=True)
+        sidecars: list[dict] = []
+        chunks = [
+            files[i : i + max_sidecar_actions]
+            for i in range(0, len(files), max_sidecar_actions)
+        ] or [[]]
+        for chunk in chunks:
+            name = f"{uuid.uuid4().hex}.parquet"
+            path = os.path.join(side_dir, name)
+            pq.write_table(_table(chunk, side_schema), path + ".tmp")
+            os.replace(path + ".tmp", path)
+            st_ = os.stat(path)
+            sidecars.append(
+                {
+                    "path": name,
+                    "sizeInBytes": st_.st_size,
+                    "modificationTime": int(st_.st_mtime * 1000),
+                }
+            )
+        manifest_schema = pa.schema(
+            [
+                (
+                    "checkpointMetadata",
+                    pa.struct([("version", pa.int64())]),
+                ),
+                schema.field("protocol"),
+                schema.field("metaData"),
+                schema.field("txn"),
+                (
+                    "sidecar",
+                    pa.struct(
+                        [
+                            ("path", pa.string()),
+                            ("sizeInBytes", pa.int64()),
+                            ("modificationTime", pa.int64()),
+                        ]
+                    ),
+                ),
+            ]
+        )
+        manifest_rows = (
+            [{"checkpointMetadata": {"version": head}}]
+            + top
+            + [{"sidecar": sc} for sc in sidecars]
+        )
+        uid = uuid.uuid4().hex
+        mf_path = os.path.join(
+            self.log_dir, f"{head:020d}.checkpoint.{uid}.parquet"
+        )
+        pq.write_table(_table(manifest_rows, manifest_schema), mf_path + ".tmp")
+        os.replace(mf_path + ".tmp", mf_path)
+        ptr = os.path.join(self.log_dir, "_last_checkpoint")
+        with open(ptr + ".tmp", "w") as fh:
+            json.dump(
+                {
+                    "version": head,
+                    "size": len(rows),
+                    "checkpointId": uid,
+                    "sidecarFiles": len(sidecars),
+                },
+                fh,
+            )
+        os.replace(ptr + ".tmp", ptr)
+        return head
 
     def clean_log(self) -> list[str]:
         """Delete JSON commit files at or below the checkpoint version —
