@@ -56,7 +56,8 @@ from satellite_data_ingestion_spark.session import get_spark
 #     md5(name) % K (stable under list growth, unlike index slicing);
 #     each round runs ONE tranche, so full coverage recurs every K
 #     rounds.  The tranche index is (max round number in BENCH_r*.json
-#     + 1) % K — self-advancing per round, stable within a round even
+#     + 2) % K (phase-anchored to round 13 = tranche 2) — self-advancing
+#     per round, stable within a round even
 #     when a round writes multiple artifacts — and can be forced with
 #     SPARK_GRAFT_BENCH_TRANCHE or widened to the whole registry-backed
 #     list with SPARK_GRAFT_BENCH_FULL=1.
@@ -65,94 +66,18 @@ from satellite_data_ingestion_spark.session import get_spark
 ROTATION_TRANCHES = 3
 
 NEW_THIS_ROUND = [
-    # round-13: re-planned this round (distributed_rank vocab swaps, the
-    # distributed dominance sweep, integer prominence, empty-batch guards,
-    # fixed-width overflow guard, DP-histogram release column).
-    "ext_decontaminate_longest_match",
-    "ext_multimodal_vad",
-    "ext_vocab_richness",
-    "ext_ts_decompose",
-    "agg_nelson_aalen",
-    "graph_modularity",
-    "ext_ts_periodogram",
-    "ext_domain_reweight",
-    "sink_delta_manifest",
-    "agg_cuped",
-    "join_cardinality_audit",
-    "fn_luhn",
-    "stream_sprt",
-    "graph_personalized_pagerank",
-    "agg_bootstrap_ci",
-    "agg_mcnemar",
-    "agg_sprt",
-    "ext_ts_crosscorr",
-    "ext_ts_holt",
-    "join_interp_lookup",
-    "agg_kruskal_wallis",
-    "agg_theil_sen",
-    "agg_kendall_tau",
-    "agg_dp_mean",
-    "ext_t_closeness",
-    "ext_ngram_lm_train",
-    "ext_ngram_lm_score",
-    "ext_span_corruption",
-    "ext_curriculum_order",
-    "ext_reward_normalize",
-    "ext_unigram_train",
-    "ext_unigram_tokenize",
-    "ext_zipf_fit",
-    "ext_vocab_coverage",
-    "win_skyline_2d",
-    "win_peak_detection",
-    "scan_fixed_width",
-    "stream_expectations",
-    "stream_drift_monitor",
-    "agg_dp_histogram",
-    # round-13 session 2: parametric inference battery.
-    "agg_anova_f",
-    "agg_levene_bf",
-    "agg_jarque_bera",
-    "agg_odds_ratio",
-    "agg_durbin_watson",
-    "agg_cohens_kappa",
-    "agg_fleiss_kappa",
-    "agg_cronbach_alpha",
-    "agg_friedman",
-    "agg_logrank",
-    "agg_standardized_rate",
-    "win_rsi",
-    "ext_ts_sax",
-    "ext_bleu",
+    # round-14: ext_quality_classifier is new; the rest changed plan,
+    # oracle, or staging behavior this round and need a fresh bench signal.
+    "ext_quality_classifier",
     "ext_rouge_l",
-    "ext_keyword_rake",
-    "graph_clustering_coeff",
-    "graph_connected_components",
-    "ext_feature_info_gain",
-    "ext_image_histogram",
-    "agg_sample_size",
+    "ext_bleu",
     "graph_mst",
-    "agg_hurst",
-    "agg_did",
-    "win_event_study",
-    "agg_its_segmented",
-    "agg_yuen_trimmed_t",
-    "fn_normal_cdf",
-    "agg_multiple_testing_bh",
-    "agg_tost_equivalence",
-    "ext_ts_holt_winters",
-    "join_allen_relations",
-    "agg_chi2_residuals",
-    "agg_gains_curve",
-    "agg_cochran_armitage",
-    "agg_mantel_haenszel",
-    "ext_ts_theta",
-    "agg_rate_ratio",
-    "agg_overdispersion",
-    "agg_capture_recapture",
+    "ext_dedup_cluster_incremental",
+    "ext_dedup_embedding_cluster_incremental",
+    "sink_delta_checkpoint",
 ]
 
 CORE = [
-    # Long-tracked legacy set (stable since rounds 5-7; richest history).
     "scan_parquet",
     "agg_hash_group",
     "agg_grid_resample",
@@ -184,7 +109,6 @@ CORE = [
     "ext_knn_join",
     "ext_knn_join_ivf",
     "source_delta_cdf",
-    # Historically expensive cost classes (VERDICT r12 plan-audit tail).
     "pipeline_minhash_index_maintain",
     "pipeline_ivf_index_maintain",
     "ext_ngram_novelty",
@@ -213,6 +137,8 @@ CORE = [
     "stream_pattern_match",
     "stream_heavy_hitters",
     "sink_delta_merge_evolve",
+    "graph_connected_components",
+    "graph_mst",
 ]
 
 ROTATION = [
@@ -391,6 +317,76 @@ ROTATION = [
     "sink_delta_restore",
     "sink_delta_vacuum",
     "sink_delta_fsck",
+    "ext_decontaminate_longest_match",
+    "ext_multimodal_vad",
+    "ext_vocab_richness",
+    "ext_ts_decompose",
+    "agg_nelson_aalen",
+    "graph_modularity",
+    "ext_ts_periodogram",
+    "ext_domain_reweight",
+    "sink_delta_manifest",
+    "agg_cuped",
+    "join_cardinality_audit",
+    "fn_luhn",
+    "stream_sprt",
+    "graph_personalized_pagerank",
+    "agg_bootstrap_ci",
+    "agg_mcnemar",
+    "agg_sprt",
+    "ext_ts_crosscorr",
+    "ext_ts_holt",
+    "join_interp_lookup",
+    "agg_kruskal_wallis",
+    "agg_theil_sen",
+    "agg_kendall_tau",
+    "agg_dp_mean",
+    "ext_t_closeness",
+    "ext_ngram_lm_train",
+    "ext_ngram_lm_score",
+    "ext_span_corruption",
+    "ext_curriculum_order",
+    "ext_reward_normalize",
+    "ext_unigram_train",
+    "ext_unigram_tokenize",
+    "agg_anova_f",
+    "agg_levene_bf",
+    "agg_jarque_bera",
+    "agg_odds_ratio",
+    "agg_durbin_watson",
+    "agg_cohens_kappa",
+    "agg_fleiss_kappa",
+    "agg_cronbach_alpha",
+    "agg_friedman",
+    "agg_logrank",
+    "agg_standardized_rate",
+    "win_rsi",
+    "ext_ts_sax",
+    "ext_bleu",
+    "ext_rouge_l",
+    "ext_keyword_rake",
+    "graph_clustering_coeff",
+    "ext_feature_info_gain",
+    "ext_image_histogram",
+    "agg_sample_size",
+    "agg_hurst",
+    "agg_did",
+    "win_event_study",
+    "agg_its_segmented",
+    "agg_yuen_trimmed_t",
+    "fn_normal_cdf",
+    "agg_multiple_testing_bh",
+    "agg_tost_equivalence",
+    "ext_ts_holt_winters",
+    "join_allen_relations",
+    "agg_chi2_residuals",
+    "agg_gains_curve",
+    "agg_cochran_armitage",
+    "agg_mantel_haenszel",
+    "ext_ts_theta",
+    "agg_rate_ratio",
+    "agg_overdispersion",
+    "agg_capture_recapture",
 ]
 
 
