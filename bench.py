@@ -69,6 +69,7 @@ NEW_THIS_ROUND = [
     # round-14: ext_quality_classifier is new; the rest changed plan,
     # oracle, or staging behavior this round and need a fresh bench signal.
     "ext_quality_classifier",
+    "graph_betweenness",
     "ext_rouge_l",
     "ext_bleu",
     "graph_mst",

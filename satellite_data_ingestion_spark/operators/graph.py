@@ -1172,3 +1172,130 @@ def graph_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
     if mst is None:
         return edges.select("x", "y", "w").limit(0)
     return mst.select("x", "y", "w").orderBy("w", "x", "y")
+
+
+_BC_SOURCES = 8  # deterministic pivot sample (Brandes & Pich 2007)
+_BC_MAX_HOPS = 16  # BFS depth bound (co-purchase diameter is far below)
+
+
+@register("graph_betweenness")  # rows-only: per-source shortest-path DAG
+# accumulation is iterative (no SQL form that is not a re-implementation);
+# exact parity vs an independent pure-Python Brandes on the same pivots is
+# pinned in tests/test_graph.py::test_betweenness_matches_reference_brandes.
+def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED BETWEENNESS CENTRALITY over the co-purchase graph — the
+    bridge-detection centrality (which parts sit on the most shortest
+    paths between other parts), the standard complement to the
+    PageRank / HITS / k-core battery for finding assortment chokepoints.
+    Exact betweenness is one Brandes pass per VERTEX (Brandes 2001) —
+    quadratic at scale — so this computes the Brandes & Pich 2007 pivot
+    estimator: dependency accumulation from a deterministic sample of
+    {s} source pivots (the smallest node ids, reproducible both in the
+    engine and the parity reference), unnormalized, halved for the
+    undirected double-count.
+
+    Spark shape, forward phase: ONE multi-source BFS — all {s} pivots
+    expand simultaneously as (src, node) frontier rows, so the round
+    count is the graph DIAMETER (not diameter x pivots); each round is
+    a frontier-edge join + a map-side-combined sigma sum (shortest-path
+    counts) + an anti-join against the visited set, with lineage cut
+    per round.  Backward phase: Brandes' dependency accumulation runs
+    level-by-level over the stored BFS level frames — per level one
+    edge join + one grouped sum computes delta(v) = sigma_v *
+    sum((1 + delta_w) / sigma_w) over level-(l+1) successors w.  Rounds
+    total 2 x diameter; every join is on (src, node) keys; nothing is
+    ever O(V^2).  At 100 TB the forward frontier join is the standard
+    iterative-graph shuffle shape (PageRank's), and pivots scale the
+    estimator's accuracy, not the round count."""
+    from ..llm.dedup import _checkpoint_reset_stats
+
+    e = _copurchase_edges(spark, sf_dir)
+    sym = _checkpoint_reset_stats(
+        e.select(F.col("x").alias("s"), F.col("y").alias("d")).unionAll(
+            e.select(F.col("y").alias("s"), F.col("x").alias("d"))
+        )
+    )
+    srcs = [
+        int(r.n)
+        for r in sym.select(F.col("s").alias("n"))
+        .distinct()
+        .orderBy("n")
+        .limit(_BC_SOURCES)
+        .collect()
+    ]
+    if not srcs:
+        return spark.createDataFrame([], "node long, betweenness double")
+    level0 = spark.createDataFrame(
+        [(s, s, 1) for s in srcs], "src long, node long, sigma long"
+    )
+    levels = [level0]
+    visited = level0.select("src", "node")
+    for _k in range(1, _BC_MAX_HOPS + 1):
+        nxt = _checkpoint_reset_stats(
+            levels[-1]
+            .join(sym, levels[-1]["node"] == sym["s"])
+            .select("src", F.col("d").alias("node"), "sigma")
+            .groupBy("src", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited, ["src", "node"], "left_anti")
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        visited = _checkpoint_reset_stats(
+            visited.unionAll(nxt.select("src", "node"))
+        )
+    # Backward: delta over the shortest-path DAG, deepest level first.
+    acc = None
+    delta_next = levels[-1].select(
+        "src", "node", "sigma", F.lit(0.0).alias("delta")
+    )
+    for lvl in range(len(levels) - 2, -1, -1):
+        w = delta_next.select(
+            "src",
+            F.col("node").alias("w"),
+            (
+                (F.lit(1.0) + F.col("delta"))
+                / F.col("sigma").cast("double")
+            ).alias("contrib"),
+        )
+        up = (
+            w.join(sym, w["w"] == sym["s"])
+            .select("src", F.col("d").alias("node"), "contrib")
+            .groupBy("src", "node")
+            .agg(F.sum("contrib").alias("csum"))
+        )
+        cur = _checkpoint_reset_stats(
+            levels[lvl]
+            .join(up, ["src", "node"], "left")
+            .select(
+                "src",
+                "node",
+                "sigma",
+                (
+                    F.coalesce(F.col("csum"), F.lit(0.0))
+                    * F.col("sigma").cast("double")
+                ).alias("delta"),
+            )
+        )
+        scored = delta_next.filter(F.col("node") != F.col("src")).select(
+            "node", "delta"
+        )
+        acc = scored if acc is None else acc.unionAll(scored)
+        delta_next = cur
+    last = delta_next.filter(F.col("node") != F.col("src")).select(
+        "node", "delta"
+    )
+    acc = last if acc is None else acc.unionAll(last)
+    return (
+        acc.groupBy("node")
+        .agg(
+            (
+                F.floor(F.sum("delta") / 2.0 * 1000000 + 0.5) / 1000000.0
+            ).alias("betweenness")
+        )
+        .orderBy(F.desc("betweenness"), "node")
+    )
+
+
+graph_betweenness.__doc__ = graph_betweenness.__doc__.format(s=_BC_SOURCES)

@@ -133,3 +133,69 @@ def test_mst_matches_kruskal(spark):
         f"forest mismatch: {len(got)} got vs {len(expect)} expected; "
         f"extra={sorted(got - expect)[:5]} missing={sorted(expect - got)[:5]}"
     )
+
+
+def test_betweenness_matches_reference_brandes(spark):
+    """graph_betweenness's distributed multi-source BFS + level-wise
+    dependency accumulation must equal the textbook Brandes (2001)
+    single-source loop run independently over the same deterministic
+    pivots (smallest _BC_SOURCES node ids), halved for the undirected
+    double-count, to the 1e-6 quantization."""
+    import math
+    from collections import defaultdict, deque
+
+    from tests.conftest import SF_SMOKE
+
+    from satellite_data_ingestion_spark import registry
+    from satellite_data_ingestion_spark.operators.graph import (
+        _BC_SOURCES,
+        _copurchase_edges,
+    )
+
+    edges = [
+        (int(r.x), int(r.y))
+        for r in _copurchase_edges(spark, SF_SMOKE).collect()
+    ]
+    adj = defaultdict(set)
+    for x, y in edges:
+        adj[x].add(y)
+        adj[y].add(x)
+    srcs = sorted(adj)[:_BC_SOURCES]
+    bc = defaultdict(float)
+    for s in srcs:
+        # Brandes 2001: BFS with path counts, then reverse-order
+        # dependency accumulation over the predecessor DAG.
+        dist = {s: 0}
+        sigma = defaultdict(int)
+        sigma[s] = 1
+        preds = defaultdict(list)
+        order = []
+        dq = deque([s])
+        while dq:
+            v = dq.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    dq.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = defaultdict(float)
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+
+    rows = registry.spec("graph_betweenness").fn(spark, SF_SMOKE).collect()
+    got = {int(r.node): r.betweenness for r in rows}
+    expect = {
+        v: math.floor(b / 2.0 * 1e6 + 0.5) / 1e6 for v, b in bc.items()
+    }
+    expect = {v: b for v, b in expect.items() if v in got or b != 0.0}
+    # every node the engine scored must match the reference exactly
+    for v, b in got.items():
+        assert abs(b - expect.get(v, 0.0)) < 1e-9, (v, b, expect.get(v))
+    missing = {v: b for v, b in expect.items() if v not in got and b > 0}
+    assert not missing, f"reference found betweenness the engine missed: {missing}"
