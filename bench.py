@@ -70,6 +70,7 @@ NEW_THIS_ROUND = [
     # oracle, or staging behavior this round and need a fresh bench signal.
     "ext_quality_classifier",
     "graph_betweenness",
+    "agg_effect_size",
     "ext_rouge_l",
     "ext_bleu",
     "graph_mst",

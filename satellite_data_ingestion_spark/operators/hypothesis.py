@@ -3436,3 +3436,113 @@ def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(est).cast("long").alias("chapman_estimate"),
         r6(est / F.col("true_n")).alias("estimate_ratio"),
     )
+
+
+@register(
+    "agg_effect_size",
+    oracle="""
+WITH g AS (
+  SELECT event_type AS grp,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sq
+  FROM events WHERE event_type IN ('purchase', 'view') GROUP BY 1
+), w AS (
+  SELECT
+    max(CASE WHEN grp = 'purchase' THEN n END) AS na,
+    max(CASE WHEN grp = 'view' THEN n END) AS nb,
+    CAST(max(CASE WHEN grp = 'purchase' THEN sv END) AS DOUBLE)
+      / max(CASE WHEN grp = 'purchase' THEN n END) AS ma,
+    CAST(max(CASE WHEN grp = 'view' THEN sv END) AS DOUBLE)
+      / max(CASE WHEN grp = 'view' THEN n END) AS mb,
+    (CAST(max(CASE WHEN grp = 'purchase' THEN sq END) AS DOUBLE)
+     - max(CASE WHEN grp = 'purchase' THEN n END)
+       * ((CAST(max(CASE WHEN grp = 'purchase' THEN sv END) AS DOUBLE)
+           / max(CASE WHEN grp = 'purchase' THEN n END))
+          * (CAST(max(CASE WHEN grp = 'purchase' THEN sv END) AS DOUBLE)
+             / max(CASE WHEN grp = 'purchase' THEN n END))))
+      / (max(CASE WHEN grp = 'purchase' THEN n END) - 1) AS va,
+    (CAST(max(CASE WHEN grp = 'view' THEN sq END) AS DOUBLE)
+     - max(CASE WHEN grp = 'view' THEN n END)
+       * ((CAST(max(CASE WHEN grp = 'view' THEN sv END) AS DOUBLE)
+           / max(CASE WHEN grp = 'view' THEN n END))
+          * (CAST(max(CASE WHEN grp = 'view' THEN sv END) AS DOUBLE)
+             / max(CASE WHEN grp = 'view' THEN n END))))
+      / (max(CASE WHEN grp = 'view' THEN n END) - 1) AS vb
+  FROM g
+)
+SELECT na, nb,
+       floor((ma - mb)
+             / sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2))
+             * 1000000 + 0.5) / 1000000.0 AS cohens_d,
+       floor((ma - mb)
+             / sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2))
+             * (1.0 - 3.0 / (4.0 * (na + nb) - 9.0))
+             * 1000000 + 0.5) / 1000000.0 AS hedges_g,
+       floor((ma - mb) / sqrt(vb) * 1000000 + 0.5) / 1000000.0
+         AS glass_delta
+FROM w
+""",
+)
+def agg_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STANDARDIZED EFFECT SIZES between purchase and view event values
+    — the magnitude report the test battery (``agg_welch_t`` /
+    ``agg_yuen_trimmed_t`` / ``agg_tost_equivalence``) needs beside its
+    p-values (Cohen 1988: significance says "not noise", effect size
+    says "how much"): Cohen's d on the pooled SD, Hedges' g with the
+    small-sample bias correction 1 - 3/(4N - 9) (Hedges 1981), and
+    Glass's delta on the control (view) SD for when variances differ by
+    treatment.
+
+    Same discipline as ``agg_welch_t``: every moment is an exact
+    integer cents sum from ONE map-side-combined aggregate (cents
+    cancel in mean-difference / SD, so the ratios are unit-free by
+    construction); the three ratios are closed-form doubles evaluated
+    in identical order both engines.  One scan, a 2-row aggregate, a
+    1-row report at any corpus size."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    c = F.round(F.col("value") * 100).cast("long")
+    g = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c).cast("long").alias("sv"),
+        F.sum(c * c).cast("long").alias("sq"),
+    )
+
+    def pick(col):
+        return {
+            k: F.max(F.when(F.col("grp") == k, F.col(col)))
+            for k in ("purchase", "view")
+        }
+
+    n_, sv_, sq_ = pick("n"), pick("sv"), pick("sq")
+
+    def var(k):
+        mean = sv_[k].cast("double") / n_[k]
+        return (sq_[k].cast("double") - n_[k] * (mean * mean)) / (n_[k] - 1)
+
+    w = g.agg(
+        n_["purchase"].alias("na"),
+        n_["view"].alias("nb"),
+        (sv_["purchase"].cast("double") / n_["purchase"]).alias("ma"),
+        (sv_["view"].cast("double") / n_["view"]).alias("mb"),
+        var("purchase").alias("va"),
+        var("view").alias("vb"),
+    )
+    pooled = F.sqrt(
+        ((F.col("na") - 1) * F.col("va") + (F.col("nb") - 1) * F.col("vb"))
+        / (F.col("na") + F.col("nb") - 2)
+    )
+    d = (F.col("ma") - F.col("mb")) / pooled
+    corr = F.lit(1.0) - 3.0 / (4.0 * (F.col("na") + F.col("nb")) - 9.0)
+    glass = (F.col("ma") - F.col("mb")) / F.sqrt(F.col("vb"))
+    q6 = lambda x: F.floor(x * 1000000 + 0.5) / 1000000.0  # noqa: E731
+    return w.select(
+        "na",
+        "nb",
+        q6(d).alias("cohens_d"),
+        q6(d * corr).alias("hedges_g"),
+        q6(glass).alias("glass_delta"),
+    )

@@ -2909,3 +2909,44 @@ def test_quality_classifier_enriches_target(spark):
     base01 = sum(r.lang == "en" for r in held) / len(held)
     tilt01 = sum(r.lang == "en" for r in kept01) / len(kept01)
     assert tilt01 > base01, f"no out-of-sample enrichment: {tilt01:.3f} vs {base01:.3f}"
+
+
+def test_effect_size_known_values(spark, tmp_path):
+    """agg_effect_size formulas pinned on a constructed fixture with a
+    hand-computable effect: purchase values {10,20,30}, view values
+    {10,10,10,20} => pooled SD and the three ratios are checked against
+    the textbook formulas computed independently here."""
+    import math
+    import os
+
+    from satellite_data_ingestion_spark import registry
+
+    rows_in = [
+        (0, "2024-01-01T00:00:00", 1, "purchase", 10.0, "{}"),
+        (1, "2024-01-01T00:00:01", 2, "purchase", 20.0, "{}"),
+        (2, "2024-01-01T00:00:02", 3, "purchase", 30.0, "{}"),
+        (3, "2024-01-01T00:00:03", 4, "view", 10.0, "{}"),
+        (4, "2024-01-01T00:00:04", 5, "view", 10.0, "{}"),
+        (5, "2024-01-01T00:00:05", 6, "view", 10.0, "{}"),
+        (6, "2024-01-01T00:00:06", 7, "view", 20.0, "{}"),
+        (7, "2024-01-01T00:00:07", 8, "click", 999.0, "{}"),  # excluded
+    ]
+    df = spark.createDataFrame(
+        rows_in,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("ts"))
+    df.write.mode("overwrite").parquet(os.path.join(str(tmp_path), "events.parquet"))
+    (r,) = registry.spec("agg_effect_size").fn(spark, str(tmp_path)).collect()
+    a, b = [1000, 2000, 3000], [1000, 1000, 1000, 2000]  # cents
+    ma, mb = sum(a) / 3, sum(b) / 4
+    va = sum((x - ma) ** 2 for x in a) / 2
+    vb = sum((x - mb) ** 2 for x in b) / 3
+    pooled = math.sqrt((2 * va + 3 * vb) / 5)
+    d = (ma - mb) / pooled
+    g = d * (1 - 3 / (4 * 7 - 9))
+    glass = (ma - mb) / math.sqrt(vb)
+    q = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    assert (r.na, r.nb) == (3, 4)
+    assert r.cohens_d == q(d)
+    assert r.hedges_g == q(g)
+    assert r.glass_delta == q(glass)
