@@ -1156,16 +1156,47 @@ class DeltaLogTable:
         )
         side_dir = os.path.join(self.log_dir, "_sidecars")
         os.makedirs(side_dir, exist_ok=True)
+        # CONTENT-ADDRESSED bucket sidecars — the incremental-reuse half
+        # of the v2 design: file actions bucket by crc32(path) (bucket
+        # count = next power of two of actions/max, so it is stable
+        # between checkpoints until the table doubles), each bucket
+        # serializes canonically and its md5 IS the sidecar filename.
+        # A later checkpoint whose bucket is untouched by intervening
+        # commits produces the identical hash and SKIPS the write —
+        # at millions of files only the touched shards rewrite, which
+        # is what makes per-commit checkpointing affordable at 100 TB.
+        import hashlib
+        import zlib
+
+        n_buckets = 1
+        while n_buckets * max_sidecar_actions < len(files):
+            n_buckets *= 2
+        buckets: list[list[dict]] = [[] for _ in range(n_buckets)]
+        for r in files:
+            key = (r.get("add") or r.get("remove"))["path"]
+            buckets[zlib.crc32(key.encode()) % n_buckets].append(r)
         sidecars: list[dict] = []
-        chunks = [
-            files[i : i + max_sidecar_actions]
-            for i in range(0, len(files), max_sidecar_actions)
-        ] or [[]]
-        for chunk in chunks:
-            name = f"{uuid.uuid4().hex}.parquet"
+        for bucket in buckets:
+            bucket.sort(
+                key=lambda r: (
+                    "add" in r,
+                    (r.get("add") or r.get("remove"))["path"],
+                )
+            )
+            canon = json.dumps(bucket, sort_keys=True, default=str)
+            name = f"{hashlib.md5(canon.encode()).hexdigest()}.parquet"
             path = os.path.join(side_dir, name)
-            pq.write_table(_table(chunk, side_schema), path + ".tmp")
-            os.replace(path + ".tmp", path)
+            if not os.path.exists(path):
+                tmp_side = path + f".tmp-{uuid.uuid4().hex}"
+                pq.write_table(_table(bucket, side_schema), tmp_side)
+                try:
+                    os.rename(tmp_side, path)
+                except OSError:
+                    # a concurrent checkpointer published the identical
+                    # content-addressed shard first — ours is redundant
+                    shutil.rmtree(tmp_side, ignore_errors=True)
+                    if not os.path.exists(path):
+                        raise
             st_ = os.stat(path)
             sidecars.append(
                 {

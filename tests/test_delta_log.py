@@ -1483,3 +1483,48 @@ def test_v2_checkpoint_requires_feature(spark, tbl):
         tbl.checkpoint_v2()
     # classic checkpoints remain available on the same table
     assert tbl.checkpoint() == tbl.latest_version()
+
+
+def test_v2_checkpoint_incremental_sidecar_reuse(spark, tbl):
+    """Content-addressed sidecars make incremental v2 checkpoints cheap:
+    a second checkpoint after one small commit must REUSE (not rewrite)
+    every bucket shard the commit did not touch — the shared shard
+    files appear in both manifests with identical names — and the table
+    still reads correctly from the second checkpoint after clean_log."""
+    import pyarrow.parquet as pq
+
+    for i in range(8):
+        tbl.commit_append(_df(spark, [i]))
+    tbl.enable_v2_checkpoints()
+    tbl.checkpoint_v2(max_sidecar_actions=2)  # force multiple buckets
+
+    def manifest_sidecars(version):
+        (mf,) = glob.glob(
+            os.path.join(tbl.log_dir, f"{version:020d}.checkpoint.*.parquet")
+        )
+        return {
+            r["sidecar"]["path"]
+            for r in pq.read_table(mf).to_pylist()
+            if r.get("sidecar")
+        }
+
+    first = manifest_sidecars(tbl.latest_version())
+    assert len(first) >= 4
+    before_mtimes = {
+        p: os.stat(os.path.join(tbl.log_dir, "_sidecars", p)).st_mtime_ns
+        for p in first
+    }
+    tbl.commit_append(_df(spark, [99]))
+    tbl.checkpoint_v2(max_sidecar_actions=2)
+    second = manifest_sidecars(tbl.latest_version())
+    shared = first & second
+    assert shared, "no sidecar shard was reused across checkpoints"
+    # reused shards were NOT rewritten (same inode mtime)
+    for p in shared:
+        assert (
+            os.stat(os.path.join(tbl.log_dir, "_sidecars", p)).st_mtime_ns
+            == before_mtimes[p]
+        )
+    before = sorted(r.x for r in tbl.read().collect())
+    tbl.clean_log()
+    assert sorted(r.x for r in tbl.read().collect()) == before
