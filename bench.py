@@ -71,6 +71,7 @@ NEW_THIS_ROUND = [
     "ext_quality_classifier",
     "graph_betweenness",
     "agg_effect_size",
+    "agg_bayes_ab",
     "ext_rouge_l",
     "ext_bleu",
     "graph_mst",

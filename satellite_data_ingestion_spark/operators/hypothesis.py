@@ -3546,3 +3546,148 @@ def agg_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(d * corr).alias("hedges_g"),
         q6(glass).alias("glass_delta"),
     )
+
+
+_BAYES_GRID = 60000  # lnfact grid bound: covers any per-group event count
+# at driver scale factors (10k events/group at sf0.01, 100k total at sf0.1
+# split 5 ways by type and 2 by parity); parameter-sized, not corpus-sized.
+
+
+@register(
+    "agg_bayes_ab",
+    oracle=f"""
+WITH g AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp,
+         CAST(count(*) AS BIGINT) AS trials,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS conv
+  FROM events GROUP BY 1
+), p AS (
+  SELECT max(CASE WHEN grp = 'a' THEN conv END) + 1 AS aa,
+         max(CASE WHEN grp = 'a' THEN trials - conv END) + 1 AS ba,
+         max(CASE WHEN grp = 'b' THEN conv END) + 1 AS ab,
+         max(CASE WHEN grp = 'b' THEN trials - conv END) + 1 AS bb
+  FROM g
+), lf AS (
+  SELECT k, sum(ln(CAST(k AS DOUBLE))) OVER (ORDER BY k) AS lnf
+  FROM (SELECT unnest(generate_series(1, {_BAYES_GRID})) AS k)
+), lfx AS (SELECT k, lnf FROM lf UNION ALL SELECT 0, 0.0),
+terms AS (
+  SELECT p.aa, p.ba, p.ab, p.bb, i.i,
+         (l1.lnf + l2.lnf - l3.lnf)                  -- lnB(aa+i, ba+bb)
+         - ln(CAST(p.bb + i.i AS DOUBLE))
+         - (l4.lnf + l5.lnf - l6.lnf)                -- lnB(1+i, bb)
+         - (l7.lnf + l8.lnf - l9.lnf) AS lnt         -- lnB(aa, ba)
+  FROM p,
+       (SELECT unnest(generate_series(0, {_BAYES_GRID})) AS i) i,
+       lfx l1, lfx l2, lfx l3, lfx l4, lfx l5, lfx l6, lfx l7, lfx l8, lfx l9
+  WHERE i.i < p.ab
+    AND l1.k = p.aa + i.i - 1 AND l2.k = p.ba + p.bb - 1
+    AND l3.k = p.aa + i.i + p.ba + p.bb - 1
+    AND l4.k = i.i AND l5.k = p.bb - 1 AND l6.k = i.i + p.bb
+    AND l7.k = p.aa - 1 AND l8.k = p.ba - 1 AND l9.k = p.aa + p.ba - 1
+)
+SELECT CAST(aa AS BIGINT) AS alpha_posterior_a,
+       CAST(ba AS BIGINT) AS beta_posterior_a,
+       CAST(ab AS BIGINT) AS alpha_posterior_b,
+       CAST(bb AS BIGINT) AS beta_posterior_b,
+       floor(sum(exp(lnt)) * 10000 + 0.5) / 10000.0 AS prob_b_beats_a
+FROM terms GROUP BY 1, 2, 3, 4
+""",
+)
+def agg_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT BAYESIAN A/B PROBABILITY P(p_B > p_A | data) for the
+    purchase-conversion rates of the even/odd user halves, under
+    independent Beta(1,1) priors — the closed-form sum
+    ``Σ_{{i=0}}^{{α_B−1}} B(α_A+i, β_A+β_B) / ((β_B+i)·B(1+i, β_B)·
+    B(α_A, β_A))`` (the standard exact evaluation of the Beta-Binomial
+    posterior comparison; e.g. Cook's derivation of
+    ``P(X>Y)`` for Beta variables).  The Bayesian partner of
+    ``agg_ab_test``: a posterior probability you can act on instead of
+    a p-value.
+
+    Cross-engine float discipline: every Gamma-function value comes
+    from ONE shared ln-factorial grid — ``lgamma(n) = Σ_{{k<n}} ln k``
+    as a window cumulative sum over k = 1..{g}, evaluated in the
+    identical ascending order in both engines — so the log-Beta terms
+    are identical expression trees, and the final Σ exp(·) rounds to
+    4 decimals (the ext_dsir_sample discipline).  The grid and the
+    term list are PARAMETER-sized (posterior α, not corpus rows): the
+    corpus contributes only one map-side-combined count aggregate; the
+    single-partition window on the grid is bounded at {g} rows at any
+    corpus size."""
+    ev = table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("grp")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("trials"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("long").alias("conv"),
+    )
+    p = g.agg(
+        (F.max(F.when(F.col("grp") == "a", F.col("conv"))) + 1).alias("aa"),
+        (
+            F.max(F.when(F.col("grp") == "a", F.col("trials") - F.col("conv")))
+            + 1
+        ).alias("ba"),
+        (F.max(F.when(F.col("grp") == "b", F.col("conv"))) + 1).alias("ab"),
+        (
+            F.max(F.when(F.col("grp") == "b", F.col("trials") - F.col("conv")))
+            + 1
+        ).alias("bb"),
+    )
+    lf = (
+        spark.range(1, _BAYES_GRID + 1)
+        .select(
+            F.col("id").alias("k"),
+            F.sum(F.log(F.col("id").cast("double"))).over(
+                Window.orderBy("id").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ).alias("lnf"),
+        )
+    )
+    lfx = lf.unionAll(
+        spark.createDataFrame([(0, 0.0)], "k long, lnf double")
+    ).localCheckpoint(eager=True)
+
+    grid = spark.range(0, _BAYES_GRID + 1).select(F.col("id").alias("i"))
+    t = grid.crossJoin(F.broadcast(p)).filter(F.col("i") < F.col("ab"))
+    lookups = {
+        "l1": F.col("aa") + F.col("i") - 1,
+        "l2": F.col("ba") + F.col("bb") - 1,
+        "l3": F.col("aa") + F.col("i") + F.col("ba") + F.col("bb") - 1,
+        "l4": F.col("i"),
+        "l5": F.col("bb") - 1,
+        "l6": F.col("i") + F.col("bb"),
+        "l7": F.col("aa") - 1,
+        "l8": F.col("ba") - 1,
+        "l9": F.col("aa") + F.col("ba") - 1,
+    }
+    for name, expr in lookups.items():
+        side = F.broadcast(
+            lfx.select(F.col("k").alias(f"{name}_k"), F.col("lnf").alias(name))
+        )
+        t = t.join(side, expr == F.col(f"{name}_k")).drop(f"{name}_k")
+    lnt = (
+        (F.col("l1") + F.col("l2") - F.col("l3"))
+        - F.log((F.col("bb") + F.col("i")).cast("double"))
+        - (F.col("l4") + F.col("l5") - F.col("l6"))
+        - (F.col("l7") + F.col("l8") - F.col("l9"))
+    )
+    return (
+        t.select("aa", "ba", "ab", "bb", F.exp(lnt).alias("term"))
+        .groupBy("aa", "ba", "ab", "bb")
+        .agg((F.floor(F.sum("term") * 10000 + 0.5) / 10000.0).alias("prob_b_beats_a"))
+        .select(
+            F.col("aa").cast("long").alias("alpha_posterior_a"),
+            F.col("ba").cast("long").alias("beta_posterior_a"),
+            F.col("ab").cast("long").alias("alpha_posterior_b"),
+            F.col("bb").cast("long").alias("beta_posterior_b"),
+            "prob_b_beats_a",
+        )
+    )
+
+
+agg_bayes_ab.__doc__ = agg_bayes_ab.__doc__.format(g=_BAYES_GRID)

@@ -2950,3 +2950,48 @@ def test_effect_size_known_values(spark, tmp_path):
     assert r.cohens_d == q(d)
     assert r.hedges_g == q(g)
     assert r.glass_delta == q(glass)
+
+
+def test_bayes_ab_matches_independent_lgamma_sum(spark, tmp_path):
+    """agg_bayes_ab's lnfact-grid evaluation must equal the same closed
+    form computed independently with math.lgamma on a constructed
+    fixture (A: 2/8 conversions, B: 5/7), and sanity: more B conversions
+    on fewer trials => P(B beats A) well above one half."""
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    from satellite_data_ingestion_spark import registry
+
+    rows = []
+    eid = 0
+    for grp_even, conv, total in ((True, 2, 8), (False, 5, 7)):
+        for j in range(total):
+            uid = 2 * j if grp_even else 2 * j + 1
+            et = "purchase" if j < conv else "view"
+            rows.append((eid, "2024-01-01T00:00:00", uid, et, 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.mode("overwrite").parquet(os.path.join(str(tmp_path), "events.parquet"))
+    (r,) = registry.spec("agg_bayes_ab").fn(spark, str(tmp_path)).collect()
+    aa, ba, ab, bb = 3, 7, 6, 3  # conv+1, trials-conv+1 per group
+    assert (
+        r.alpha_posterior_a,
+        r.beta_posterior_a,
+        r.alpha_posterior_b,
+        r.beta_posterior_b,
+    ) == (aa, ba, ab, bb)
+
+    def lnB(x, y):
+        return math.lgamma(x) + math.lgamma(y) - math.lgamma(x + y)
+
+    p = sum(
+        math.exp(lnB(aa + i, ba + bb) - math.log(bb + i) - lnB(1 + i, bb) - lnB(aa, ba))
+        for i in range(ab)
+    )
+    assert r.prob_b_beats_a == math.floor(p * 1e4 + 0.5) / 1e4
+    assert r.prob_b_beats_a > 0.9
