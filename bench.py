@@ -72,6 +72,7 @@ NEW_THIS_ROUND = [
     "graph_betweenness",
     "agg_effect_size",
     "agg_bayes_ab",
+    "ext_rouge_n",
     "ext_rouge_l",
     "ext_bleu",
     "graph_mst",

@@ -2905,6 +2905,139 @@ def ext_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
 ext_rouge_l.__doc__ = ext_rouge_l.__doc__.format(cap=_ROUGE_CAP)
 
 
+@register(
+    "ext_rouge_n",
+    oracle=f"""
+WITH pairs AS (
+  SELECT c.doc_id AS pid,
+         str_split(c.text, ' ') AS ct, str_split(r.text, ' ') AS rt
+  FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+  WHERE c.doc_id % {_BLEU_STRIDE} = 0
+), u1 AS (
+  SELECT pid, g, CAST(count(*) AS BIGINT) AS c FROM
+    (SELECT pid, unnest(ct) AS g FROM pairs) GROUP BY 1, 2
+), v1 AS (
+  SELECT pid, g, CAST(count(*) AS BIGINT) AS r FROM
+    (SELECT pid, unnest(rt) AS g FROM pairs) GROUP BY 1, 2
+), u2 AS (
+  SELECT pid, g, CAST(count(*) AS BIGINT) AS c FROM
+    (SELECT pid, ct[CAST(i AS INT)] || ' ' || ct[CAST(i AS INT) + 1] AS g
+     FROM (SELECT pid, ct, unnest(generate_series(1, len(ct) - 1)) AS i
+           FROM pairs)) GROUP BY 1, 2
+), v2 AS (
+  SELECT pid, g, CAST(count(*) AS BIGINT) AS r FROM
+    (SELECT pid, rt[CAST(i AS INT)] || ' ' || rt[CAST(i AS INT) + 1] AS g
+     FROM (SELECT pid, rt, unnest(generate_series(1, len(rt) - 1)) AS i
+           FROM pairs)) GROUP BY 1, 2
+), o1 AS (
+  SELECT u1.pid, CAST(sum(least(u1.c, v1.r)) AS BIGINT) AS hit1
+  FROM u1 JOIN v1 ON u1.pid = v1.pid AND u1.g = v1.g GROUP BY 1
+), o2 AS (
+  SELECT u2.pid, CAST(sum(least(u2.c, v2.r)) AS BIGINT) AS hit2
+  FROM u2 JOIN v2 ON u2.pid = v2.pid AND u2.g = v2.g GROUP BY 1
+), lens AS (
+  SELECT pid, CAST(len(rt) AS BIGINT) AS r1,
+         CAST(greatest(len(rt) - 1, 0) AS BIGINT) AS r2
+  FROM pairs
+)
+SELECT lens.pid,
+       COALESCE(hit1, 0) AS hit1, r1,
+       COALESCE(hit2, 0) AS hit2, r2,
+       floor(CAST(COALESCE(hit1, 0) AS DOUBLE) / r1 * 1000000 + 0.5)
+         / 1000000.0 AS rouge1_recall,
+       CASE WHEN r2 = 0 THEN 0.0
+            ELSE floor(CAST(COALESCE(hit2, 0) AS DOUBLE) / r2 * 1000000 + 0.5)
+                 / 1000000.0 END AS rouge2_recall
+FROM lens LEFT JOIN o1 ON o1.pid = lens.pid
+          LEFT JOIN o2 ON o2.pid = lens.pid
+""",
+)
+def ext_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/ROUGE-2 RECALL per candidate/reference pair (the same
+    deterministic pairing as ``ext_bleu``): clipped n-gram hits over
+    the REFERENCE length (Lin 2004) — the recall third of the
+    generation-eval triple (``ext_bleu`` = clipped n-gram PRECISION
+    pooled corpus-wide with brevity penalty; ``ext_rouge_l`` =
+    order-aware LCS; this = per-pair coverage of the reference).
+
+    Same scale shape as ``ext_bleu`` per-pair stage: n-grams form
+    INSIDE the token arrays (size>=2 guard on bigrams — the 1-token
+    lesson), clipped hits come from per-(pair, gram) count joins whose
+    grain is corpus tokens, and the recall denominators are the
+    reference lengths — one pass, no pooling stage, output one row per
+    eval pair.  Zero-bigram references report a defined 0.0."""
+    docs = table(spark, sf_dir, "documents")
+    cand = docs.filter(F.col("doc_id") % _BLEU_STRIDE == 0).select(
+        F.col("doc_id").alias("pid"), F.split("text", " ").alias("ct")
+    )
+    ref = docs.select(
+        (F.col("doc_id") - 1).alias("pid"), F.split("text", " ").alias("rt")
+    )
+    pairs = cand.join(ref, "pid")
+
+    def grams(col, n):
+        if n == 1:
+            return col
+        return F.when(
+            F.size(col) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(col) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(col, i), F.element_at(col, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def side(colname, n, out):
+        return (
+            pairs.select("pid", F.explode(grams(F.col(colname), n)).alias("g"))
+            .groupBy("pid", "g")
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    hits = {}
+    for n in (1, 2):
+        u, v = side("ct", n, "c"), side("rt", n, "r")
+        hits[n] = (
+            u.join(v, ["pid", "g"])
+            .groupBy("pid")
+            .agg(F.sum(F.least(F.col("c"), F.col("r"))).cast("long").alias(f"hit{n}"))
+        )
+    lens = pairs.select(
+        "pid",
+        F.size("rt").cast("long").alias("r1"),
+        F.greatest(F.size("rt") - 1, F.lit(0)).cast("long").alias("r2"),
+    )
+    out = (
+        lens.join(hits[1], "pid", "left")
+        .join(hits[2], "pid", "left")
+        .select(
+            "pid",
+            F.coalesce("hit1", F.lit(0)).alias("hit1"),
+            "r1",
+            F.coalesce("hit2", F.lit(0)).alias("hit2"),
+            "r2",
+            (
+                F.floor(
+                    F.coalesce("hit1", F.lit(0)).cast("double") / F.col("r1") * 1000000
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("rouge1_recall"),
+            F.when(F.col("r2") == 0, F.lit(0.0))
+            .otherwise(
+                F.floor(
+                    F.coalesce("hit2", F.lit(0)).cast("double") / F.col("r2") * 1000000
+                    + 0.5
+                )
+                / 1000000.0
+            )
+            .alias("rouge2_recall"),
+        )
+    )
+    return out.orderBy("pid")
+
+
 _RAKE_TOP_K = 20
 _RAKE_STOPS_SQL = ", ".join(f"'{s}'" for s in _STOPWORDS)
 
