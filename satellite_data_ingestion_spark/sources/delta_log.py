@@ -747,11 +747,68 @@ class DeltaLogTable:
             try:
                 os.link(tmp.name, self._version_path(version))
                 os.unlink(tmp.name)
+                self._write_checksum(version)
                 return version
             except FileExistsError:
                 os.unlink(tmp.name)  # lost the race
                 # loop: head is re-read; derived_from (if any) is
                 # re-checked there and raises DeltaConcurrentCommit.
+
+    # -- version checksums (<v>.crc) -----------------------------------
+
+    def _crc_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:020d}.crc")
+
+    def _checksum_of_state(self, version: int) -> dict:
+        """The spec's VERSION CHECKSUM summary of the replayed state at
+        ``version``: live-file count and byte total, tombstone count,
+        and per-app txn count — the numbers a reader can recompute to
+        detect a corrupted or truncated log."""
+        st = self._state(version)
+        return {
+            "tableSizeBytes": int(
+                sum(a.get("size") or 0 for a in st["live"].values())
+            ),
+            "numFiles": len(st["live"]),
+            "numDeletedRecordsOpt": None,
+            "numTombstones": len(st["removed"]),
+            "numTransactions": len(st["txns"]),
+            "numMetadata": 1,
+            "numProtocol": 1,
+        }
+
+    def _write_checksum(self, version: int) -> None:
+        """Write ``<v>.crc`` beside the commit (delta-spark's version
+        checksum file; the spec's optional integrity artifact).  Written
+        AFTER the commit wins its race, so it summarizes exactly this
+        version's state; a racer that lost never writes one."""
+        path = self._crc_path(version)
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(self._checksum_of_state(version), fh)
+        os.replace(tmp, path)
+
+    def validate_checksum(self, version: int | None = None) -> dict:
+        """Recompute the version checksum from log replay and compare
+        with the stored ``<v>.crc`` — the reader-side integrity check
+        (a mismatch means the log or a checkpoint was corrupted or
+        hand-edited).  Returns the validated summary; raises ValueError
+        on mismatch; silently validates nothing only when no .crc was
+        ever written for that version (pre-feature logs)."""
+        if version is None:
+            version = self.latest_version()
+        expect = self._checksum_of_state(version)
+        path = self._crc_path(version)
+        if not os.path.exists(path):
+            return expect
+        with open(path) as fh:
+            stored = json.load(fh)
+        if stored != expect:
+            raise ValueError(
+                f"version checksum mismatch at {version}: stored {stored} "
+                f"!= recomputed {expect} — log corruption"
+            )
+        return expect
 
     def last_txn_version(self, app_id: str) -> int:
         """Highest committed ``txn`` version for ``app_id`` (-1 if none)
@@ -1265,6 +1322,11 @@ class DeltaLogTable:
             if os.path.exists(path):
                 os.unlink(path)
                 deleted.append(os.path.basename(path))
+            # the BELOW-checkpoint crc files describe commits that no
+            # longer replay individually; the head checkpoint version's
+            # crc stays (its state remains reconstructable)
+            if v < cp["version"] and os.path.exists(self._crc_path(v)):
+                os.unlink(self._crc_path(v))
         return deleted
 
     # -- table properties / invariants --------------------------------

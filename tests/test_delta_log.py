@@ -1528,3 +1528,38 @@ def test_v2_checkpoint_incremental_sidecar_reuse(spark, tbl):
     before = sorted(r.x for r in tbl.read().collect())
     tbl.clean_log()
     assert sorted(r.x for r in tbl.read().collect()) == before
+
+
+def test_version_checksum_written_validated_and_detects_corruption(spark, tbl):
+    """Every committed version gets a <v>.crc summary (live-file count /
+    byte total / tombstones / txns); validate_checksum() recomputes from
+    replay and passes; a hand-edited crc raises loudly; clean_log drops
+    below-checkpoint crc files but keeps the head's, which still
+    validates after cleanup."""
+    tbl.commit_append(_df(spark, [1, 2]), txn=("app", 1))
+    tbl.commit_overwrite(_df(spark, [9]))
+    head = tbl.latest_version()
+    for v in range(head + 1):
+        assert os.path.exists(tbl._crc_path(v)), f"missing crc for {v}"
+    summary = tbl.validate_checksum()
+    assert summary["numFiles"] >= 1
+    assert summary["numTombstones"] >= 1
+    assert summary["numTransactions"] == 1
+    assert summary["tableSizeBytes"] > 0
+    # corruption detection
+    with open(tbl._crc_path(head)) as fh:
+        stored = json.load(fh)
+    stored["numFiles"] += 1
+    with open(tbl._crc_path(head), "w") as fh:
+        json.dump(stored, fh)
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        tbl.validate_checksum(head)
+    # restore, checkpoint, clean: old crc files go, head's stays valid
+    with open(tbl._crc_path(head), "w") as fh:
+        json.dump(tbl._checksum_of_state(head), fh)
+    tbl.checkpoint()
+    tbl.clean_log()
+    for v in range(head):
+        assert not os.path.exists(tbl._crc_path(v))
+    assert os.path.exists(tbl._crc_path(head))
+    assert tbl.validate_checksum(head)["numFiles"] == summary["numFiles"]
