@@ -997,7 +997,56 @@ def _dtw_series(spark: SparkSession, sf_dir: str):
     )
 
 
-@register("ext_ts_dtw")  # rows-only BY DESIGN: iterative DP — see manifest
+@register(
+    "ext_ts_dtw",
+    # VERDICT r13 task 5 follow-through (round 14): formerly rows-only,
+    # now DuckDB-oracled.  The same-row sequential dependency cur[j-1]
+    # that blocks a window/prefix-max form IS expressible as a LIST FOLD:
+    # list_reduce's 2-arg form seeds the accumulator with the first
+    # element ([1e18] = the cur[0]=INF boundary) and appends
+    # cost + least(prev[j+1], prev[j], acc[last]) per j — the exact
+    # Sakoe-Chiba recurrence — inside a recursive CTE over i carrying the
+    # DP row as a list (the ext_rouge_l recursion shape).  Independent
+    # nested-loop parity stays pinned in tests.
+    oracle=f"""
+WITH RECURSIVE decim AS (
+  SELECT user_id, rn, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM (SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events)
+  WHERE rn % {_DTW_DECIM} = 0 AND rn <= {_DTW_MAX_RN}
+), q AS (
+  SELECT list(cents ORDER BY rn) AS qv FROM decim WHERE user_id = {_DTW_QUERY_USER}
+), cand AS (
+  SELECT user_id, list(cents ORDER BY rn) AS sv
+  FROM decim WHERE user_id <> {_DTW_QUERY_USER} GROUP BY 1
+), dims AS (
+  SELECT user_id, sv, qv, len(qv) AS m, len(sv) AS n FROM cand, q
+), dp AS (
+  SELECT user_id, sv, qv, m, n, 0 AS i,
+         list_concat([CAST(0 AS DOUBLE)],
+                     list_transform(generate_series(1, n), x -> 1e18)) AS row
+  FROM dims
+  UNION ALL
+  SELECT user_id, sv, qv, m, n, i + 1,
+         list_reduce(
+           list_concat([[CAST(1e18 AS DOUBLE)]],
+                       list_transform(generate_series(1, n),
+                                      j -> [CAST(j AS DOUBLE)])),
+           (acc, x) -> list_append(acc,
+             abs(CAST(qv[i + 1] AS DOUBLE) - sv[CAST(x[1] AS INT)])
+             + least(row[CAST(x[1] AS INT) + 1],
+                     row[CAST(x[1] AS INT)],
+                     acc[len(acc)]))
+         ) AS row
+  FROM dp WHERE i < m
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_pts,
+       floor(row[n + 1] * 100 + 0.5) / 100.0 AS dtw
+FROM dp WHERE i = m
+ORDER BY dtw, user_id LIMIT {_DTW_TOP_K}
+""",
+)
 def ext_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DYNAMIC TIME WARPING similarity search: top-k users whose value
     series is closest to the query user's under DTW — the
@@ -1008,12 +1057,14 @@ def ext_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     rigid-alignment, trajectory Hausdorff is order-free, DTW is
     order-aware-elastic.
 
-    ROWS-ONLY BY DESIGN: the O(mn) DP recurrence
+    DuckDB-ORACLED since round 14: the O(mn) DP recurrence
     dp[i][j] = c + min(dp[i-1][j], dp[i][j-1], dp[i-1][j-1]) carries a
-    same-row sequential dependency no SQL window or recursive CTE
-    expresses non-circularly; correctness is pinned by an INDEPENDENT
-    nested-loop reimplementation in tests (exact equality — the DP over
-    integer-cent costs is deterministic).
+    same-row sequential dependency no window/prefix form expresses, but
+    a LIST FOLD does — the oracle's recursive CTE carries the DP row
+    and folds each row left-to-right with ``list_reduce``, so the hash
+    gate now checks every candidate's distance; the INDEPENDENT
+    nested-loop reimplementation stays pinned in tests (exact equality
+    — the DP over integer-cent costs is deterministic).
 
     Scale shape: series are decimated deterministically to ≤64 points
     (the DP is quadratic in series length — the decimation factor IS
