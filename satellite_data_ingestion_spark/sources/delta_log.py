@@ -912,6 +912,20 @@ class DeltaLogTable:
                             [("appId", pa.string()), ("version", pa.int64())]
                         ),
                     ),
+                    (
+                        # Spec checkpoint schema: domain metadata MUST
+                        # survive checkpointing (a dropped rowTracking
+                        # high-water mark would let a later writer
+                        # REISSUE live row ids).
+                        "domainMetadata",
+                        pa.struct(
+                            [
+                                ("domain", pa.string()),
+                                ("configuration", pa.string()),
+                                ("removed", pa.bool_()),
+                            ]
+                        ),
+                    ),
                 ]
             )
         return cls._CP_SCHEMA
@@ -935,16 +949,6 @@ class DeltaLogTable:
         if head < 0:
             raise ValueError("cannot checkpoint an empty log")
         state = self._state(head)
-        if state["domains"]:
-            # The spec's checkpoint schema has a domainMetadata column;
-            # this writer's pinned schema does not carry it yet, and a
-            # checkpoint that silently dropped the rowTracking high-water
-            # mark would let a later writer REISSUE live row ids.  Refuse,
-            # per the protocol rule that state must survive checkpointing.
-            raise NotImplementedError(
-                "checkpoint of a table with domain metadata "
-                f"({sorted(state['domains'])})"
-            )
 
         rows = self._cp_rows(state)
         schema = self._cp_schema()
@@ -980,6 +984,17 @@ class DeltaLogTable:
         rows.append({"metaData": md})
         for app_id, ver in sorted(state["txns"].items()):
             rows.append({"txn": {"appId": app_id, "version": ver}})
+        for domain in sorted(state["domains"]):
+            dm = state["domains"][domain]
+            rows.append(
+                {
+                    "domainMetadata": {
+                        "domain": dm["domain"],
+                        "configuration": dm.get("configuration"),
+                        "removed": False,
+                    }
+                }
+            )
         for path in sorted(state["removed"]):
             r = state["removed"][path]
             rows.append(
@@ -1191,11 +1206,6 @@ class DeltaLogTable:
             raise ValueError(
                 "v2 checkpoint requires the v2Checkpoint table feature: "
                 "call enable_v2_checkpoints() first"
-            )
-        if state["domains"]:
-            raise NotImplementedError(
-                "checkpoint of a table with domain metadata "
-                f"({sorted(state['domains'])})"
             )
         rows = self._cp_rows(state)
         top = [r for r in rows if "add" not in r and "remove" not in r]

@@ -1136,8 +1136,9 @@ def test_row_tracking_ids_survive_rewrite_and_never_reuse(spark, tbl):
     continue from the high-water mark — no id is ever reissued, even
     after a rewrite assigned fresh spans to compacted files; (d) the
     protocol carries the rowTracking + domainMetadata writer features;
-    (e) checkpointing refuses rather than dropping the domain-held
-    high-water mark."""
+    (e) the domain-held high-water mark SURVIVES checkpoint + clean_log
+    (round 14: domainMetadata rides the checkpoint schema), so ids still
+    never reissue after the JSON commits are gone."""
     import pytest as _pytest
 
     tbl.commit_append(_df(spark, [10, 20, 30]).coalesce(1).sortWithinPartitions("x"))
@@ -1179,9 +1180,19 @@ def test_row_tracking_ids_survive_rewrite_and_never_reuse(spark, tbl):
     cfg = state["metaData"]["configuration"]
     assert cfg["delta.enableRowTracking"] == "true"
 
-    # (e): checkpoint must refuse, not drop, domain metadata
-    with _pytest.raises(NotImplementedError, match="domain metadata"):
-        tbl.checkpoint()
+    # (e): the high-water mark survives checkpoint + cleanup — ids
+    # continue above it instead of reissuing
+    hwm_before = tbl._row_id_hwm(tbl.latest_version())
+    tbl.checkpoint()
+    tbl.clean_log()
+    assert tbl._row_id_hwm(tbl.latest_version()) == hwm_before
+    before_ids = {(r.x, r.row_id) for r in tbl.read_with_row_ids().collect()}
+    tbl.append_tracked(_df(spark, [70]).coalesce(1))
+    rows = tbl.read_with_row_ids().collect()
+    assert {(r.x, r.row_id) for r in rows if r.x != 70} == before_ids
+    assert next(r.row_id for r in rows if r.x == 70) == hwm_before + 1
+    assert len({r.row_id for r in rows}) == len(rows)  # still no reuse
+    _ = _pytest  # retained import
 
 
 def test_liquid_clustering_prunes_from_log_stats(spark):
