@@ -104,3 +104,111 @@ def test_compare_rejects_cross_dtype_class(spark, duck):
     errs = _check_dtype_class(spark_float, duck, "SELECT CAST(1 AS BIGINT) AS v")
     assert errs and "dtype class" in errs[0]
     assert not _check_dtype_class(spark_float, duck, "SELECT CAST(1.5 AS DOUBLE) AS v")
+
+
+def test_recursive_cte_lcs_oracle_property():
+    """The ext_rouge_l ORACLE's novel recursive-CTE LCS (prefix-max row
+    identity) is itself verified here against the textbook two-loop DP
+    on random token pairs — oracle-correctness, independent of the
+    corpus (a wrong oracle that happened to agree on the fixture would
+    otherwise pin a wrong engine forever)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    tok = st.sampled_from(["a", "b", "c", "d"])
+    lists = st.lists(tok, min_size=1, max_size=12)
+
+    def lcs_ref(a, b):
+        dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                dp[i][j] = (
+                    dp[i - 1][j - 1] + 1
+                    if a[i - 1] == b[j - 1]
+                    else max(dp[i - 1][j], dp[i][j - 1])
+                )
+        return dp[len(a)][len(b)]
+
+    con = duckdb.connect()
+
+    @settings(max_examples=40, deadline=None)
+    @given(lists, lists)
+    def check(a, b):
+        got = con.execute(
+            """
+WITH RECURSIVE dp AS (
+  SELECT 0 AS i, $a::VARCHAR[] AS ct, $b::VARCHAR[] AS rt,
+         len($b::VARCHAR[]) AS n,
+         list_transform(generate_series(0, len($b::VARCHAR[])), x -> 0) AS row
+  UNION ALL
+  SELECT i + 1, ct, rt, n,
+         list_transform(generate_series(0, n), j ->
+           CASE WHEN j = 0 THEN 0 ELSE
+             greatest(row[j + 1],
+               list_max(list_transform(generate_series(1, j), k ->
+                 row[k] + CASE WHEN ct[i + 1] = rt[k] THEN 1 ELSE 0 END)))
+           END)
+  FROM dp WHERE i < len(ct)
+)
+SELECT row[n + 1] FROM dp WHERE i = len(ct)
+""",
+            {"a": a, "b": b},
+        ).fetchone()[0]
+        assert got == lcs_ref(a, b), (a, b, got)
+
+    check()
+
+
+def test_recursive_cte_dtw_oracle_property():
+    """The ext_ts_dtw ORACLE's list_reduce row fold is verified against
+    the textbook nested-loop DTW on random integer series — same
+    oracle-correctness rationale as the LCS property test."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    series = st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=10)
+
+    def dtw_ref(q, s):
+        INF = float("inf")
+        prev = [INF] * (len(s) + 1)
+        prev[0] = 0.0
+        for i in range(1, len(q) + 1):
+            cur = [INF] * (len(s) + 1)
+            for j in range(1, len(s) + 1):
+                cur[j] = abs(q[i - 1] - s[j - 1]) + min(
+                    prev[j], prev[j - 1], cur[j - 1]
+                )
+            prev = cur
+        return prev[len(s)]
+
+    con = duckdb.connect()
+
+    @settings(max_examples=40, deadline=None)
+    @given(series, series)
+    def check(q, s):
+        got = con.execute(
+            """
+WITH RECURSIVE dp AS (
+  SELECT 0 AS i, $q::BIGINT[] AS qv, $s::BIGINT[] AS sv,
+         len($s::BIGINT[]) AS n,
+         list_concat([CAST(0 AS DOUBLE)],
+                     list_transform(generate_series(1, len($s::BIGINT[])), x -> 1e18)) AS row
+  UNION ALL
+  SELECT i + 1, qv, sv, n,
+         list_reduce(
+           list_concat([[CAST(1e18 AS DOUBLE)]],
+                       list_transform(generate_series(1, n), j -> [CAST(j AS DOUBLE)])),
+           (acc, x) -> list_append(acc,
+             abs(CAST(qv[i + 1] AS DOUBLE) - sv[CAST(x[1] AS INT)])
+             + least(row[CAST(x[1] AS INT) + 1], row[CAST(x[1] AS INT)], acc[len(acc)])))
+  FROM dp WHERE i < len(qv)
+)
+SELECT row[n + 1] FROM dp WHERE i = len(qv)
+""",
+            {"q": q, "s": s},
+        ).fetchone()[0]
+        assert got == dtw_ref(q, s), (q, s, got)
+
+    check()
