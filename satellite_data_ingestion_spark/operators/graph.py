@@ -1178,9 +1178,67 @@ _BC_SOURCES = 8  # deterministic pivot sample (Brandes & Pich 2007)
 _BC_MAX_HOPS = 16  # BFS depth bound (co-purchase diameter is far below)
 
 
-@register("graph_betweenness")  # rows-only: per-source shortest-path DAG
-# accumulation is iterative (no SQL form that is not a re-implementation);
-# exact parity vs an independent pure-Python Brandes on the same pivots is
+def _betweenness_oracle(max_hops: int = None, pivots: int = None) -> str:
+    """Unrolled level-by-level Brandes in DuckDB SQL (the declarative
+    twin of the iterative multi-source BFS + dependency accumulation,
+    one CTE pair per level — the ``_pagerank_oracle`` pattern).  The
+    base relations are MATERIALIZED so the ~3-dozen CTE references
+    share one lineitem scan instead of re-opening the parquet per
+    reference (found live: plain CTE inlining exhausted the fd limit)."""
+    max_hops = max_hops if max_hops is not None else _BC_MAX_HOPS
+    pivots = pivots if pivots is not None else _BC_SOURCES
+    parts = [
+        "WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, "
+        "l_partkey AS p FROM lineitem),\n"
+        "e AS MATERIALIZED (SELECT a.p AS x, b.p AS y, count(*) AS w "
+        "FROM op a JOIN op b ON a.o = b.o AND a.p < b.p "
+        f"GROUP BY a.p, b.p HAVING count(*) >= {_MIN_COPURCHASES}),\n"
+        "sym AS MATERIALIZED (SELECT x AS s, y AS d FROM e "
+        "UNION ALL SELECT y, x FROM e),\n"
+        f"piv AS (SELECT s AS n FROM sym GROUP BY s ORDER BY s LIMIT {pivots}),\n"
+        "f0 AS (SELECT n AS src, n AS node, CAST(1 AS BIGINT) AS sigma FROM piv),\n"
+        "v0 AS (SELECT src, node FROM f0)"
+    ]
+    for k in range(1, max_hops + 1):
+        parts.append(
+            f",\nf{k} AS MATERIALIZED (SELECT f.src, sym.d AS node, "
+            f"CAST(sum(f.sigma) AS BIGINT) AS sigma FROM f{k - 1} f "
+            "JOIN sym ON f.node = sym.s "
+            f"LEFT JOIN v{k - 1} v ON v.src = f.src AND v.node = sym.d "
+            "WHERE v.node IS NULL GROUP BY 1, 2),\n"
+            f"v{k} AS MATERIALIZED (SELECT src, node FROM v{k - 1} "
+            f"UNION ALL SELECT src, node FROM f{k})"
+        )
+    parts.append(
+        f",\nd{max_hops} AS (SELECT src, node, sigma, "
+        f"CAST(0 AS DOUBLE) AS delta FROM f{max_hops})"
+    )
+    for k in range(max_hops - 1, -1, -1):
+        parts.append(
+            f",\nc{k} AS (SELECT d.src, sym.d AS node, "
+            "sum((1 + d.delta) / d.sigma) AS csum "
+            f"FROM d{k + 1} d JOIN sym ON d.node = sym.s GROUP BY 1, 2),\n"
+            f"d{k} AS MATERIALIZED (SELECT f.src, f.node, f.sigma, "
+            "f.sigma * COALESCE(c.csum, 0) AS delta "
+            f"FROM f{k} f LEFT JOIN c{k} c ON c.src = f.src AND c.node = f.node)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT src, node, delta FROM d{k}" for k in range(1, max_hops + 1)
+    )
+    parts.append(
+        f"\nSELECT node, floor(sum(delta) / 2.0 * 1000000 + 0.5) / 1000000.0 "
+        f"AS betweenness FROM ({union}) GROUP BY node "
+        "ORDER BY betweenness DESC, node"
+    )
+    return "".join(parts)
+
+
+
+@register("graph_betweenness", oracle=_betweenness_oracle())
+# DuckDB-oracled via an UNROLLED level-by-level Brandes (one CTE pair per
+# BFS level, the _pagerank_oracle pattern) — the depth bound _BC_MAX_HOPS
+# makes the "iterative" loop statically unrollable; exact parity vs an
+# independent pure-Python Brandes on the same pivots is additionally
 # pinned in tests/test_graph.py::test_betweenness_matches_reference_brandes.
 def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAMPLED BETWEENNESS CENTRALITY over the co-purchase graph — the
