@@ -73,6 +73,7 @@ NEW_THIS_ROUND = [
     "agg_effect_size",
     "agg_bayes_ab",
     "ext_rouge_n",
+    "ext_tokenizer_fertility_frozen",
     "ext_rouge_l",
     "ext_bleu",
     "graph_mst",

@@ -238,3 +238,138 @@ def ext_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(F.col("tokens").cast("double") / F.col("words")).alias("fertility"),
         q6(F.col("chars").cast("double") / F.col("tokens")).alias("bytes_per_token"),
     ).orderBy("lang")
+
+
+# FROZEN merge table (VERDICT r13 task 5, delivered round 14): the 24
+# merges BPE learning produces over the corpus's FIXED 30-word vocabulary
+# under UNIFORM weights — corpus-independent constants (re-derivable from
+# learn_merges(VOCAB x 1) by anyone), so tokenizer APPLICATION becomes
+# SQL-oracle-able: the learned-merges ops stay rows-only because training
+# is an iterative fixpoint, but application with a frozen vocabulary is a
+# deterministic greedy loop both engines can express.
+FROZEN_MERGES: list[tuple[str, str]] = [
+    ("e", "</w>"), ("e", "r"), ("er", "</w>"), ("i", "n"), ("o", "r"),
+    ("o", "w"), ("ow", "</w>"), ("s", "t"), ("a", "</w>"), ("a", "l"),
+    ("a", "r"), ("a", "t"), ("g", "</w>"), ("h", "</w>"), ("n", "</w>"),
+    ("p", "ar"), ("t", "</w>"), ("y", "</w>"), ("a", "b"), ("a", "g"),
+    ("a", "m"), ("a", "n</w>"), ("a", "s"), ("a", "st"),
+]
+_FROZEN_RANKS = {pair: i for i, pair in enumerate(FROZEN_MERGES)}
+
+_FROZEN_CASE = "CASE " + " ".join(
+    f"WHEN sym[p] = '{left}' AND sym[p + 1] = '{right}' THEN {i}"
+    for i, (left, right) in enumerate(FROZEN_MERGES)
+) + " ELSE 999 END"
+
+
+@register(
+    "ext_tokenizer_fertility_frozen",
+    oracle=f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, lang, length(text) AS n_chars, w AS word
+  FROM (SELECT doc_id, lang, text,
+               unnest(regexp_split_to_array(lower(coalesce(text, '')), '\\s+')) AS w
+        FROM documents)
+  WHERE w <> ''
+), words AS (SELECT DISTINCT word FROM toks),
+init AS (
+  SELECT word,
+         list_append(list_transform(generate_series(1, length(word)),
+                                    i -> word[i]), '</w>') AS sym,
+         0 AS step
+  FROM words
+), steps AS (
+  SELECT word, sym, step FROM init
+  UNION ALL
+  SELECT word,
+         list_concat(list_concat(list_slice(sym, 1, best - 1),
+                                 [sym[best] || sym[best + 1]]),
+                     list_slice(sym, best + 2, len(sym))),
+         step + 1
+  FROM (
+    SELECT word, sym, step,
+           CASE WHEN list_min(ranks) = 999 THEN NULL
+                ELSE list_position(ranks, list_min(ranks)) END AS best
+    FROM (
+      SELECT word, sym, step,
+             list_transform(generate_series(1, len(sym) - 1),
+                            p -> {_FROZEN_CASE}) AS ranks
+      FROM steps)
+  ) WHERE best IS NOT NULL AND step < 64
+), final AS (
+  SELECT word, len(sym) AS nt
+  FROM (SELECT word, sym, row_number() OVER (PARTITION BY word ORDER BY step DESC) AS rn
+        FROM steps)
+  WHERE rn = 1
+), per_doc AS (
+  SELECT t.doc_id, t.lang, max(t.n_chars) AS n_chars,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(f.nt) AS BIGINT) AS n_tokens
+  FROM toks t JOIN final f USING (word)
+  GROUP BY 1, 2
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       floor(CAST(sum(n_tokens) AS DOUBLE) / sum(n_words) * 1000000 + 0.5)
+         / 1000000.0 AS fertility,
+       floor(CAST(sum(n_chars) AS DOUBLE) / sum(n_tokens) * 1000000 + 0.5)
+         / 1000000.0 AS bytes_per_token
+FROM per_doc GROUP BY lang ORDER BY lang
+""",
+)
+def ext_tokenizer_fertility_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY by language under the FROZEN reference
+    vocabulary — the SQL-ORACLED twin of ``ext_tokenizer_fertility``
+    (which applies the CORPUS-LEARNED merges and is rows-only because
+    training is an iterative fixpoint).  The frozen table is what BPE
+    learning produces over the fixed 30-word vocabulary at uniform
+    weights — corpus-independent constants — so the greedy merge APPLY
+    is deterministic in both engines: the oracle runs it as a recursive
+    CTE over distinct words (leftmost-lowest-rank merge per step, the
+    exact ``tokenize_word`` tie-break) with a generated rank CASE
+    chain; DISTINCT-word grain keeps the recursion vocabulary-sized,
+    not corpus-sized, in both engines.
+
+    Spark shape: identical to ``ext_bpe_tokenize`` — ranks ride the
+    pandas-UDF closure, per-batch word memo, one narrow corpus pass,
+    then the vocabulary-sized per-lang aggregate."""
+    docs = table(spark, sf_dir, "documents")
+
+    @pandas_udf("struct<n_words: long, n_tokens: long>")
+    def counts(texts: pd.Series) -> pd.DataFrame:
+        memo: dict[str, int] = {}
+
+        def doc_counts(text):
+            words = [w for w in (text or "").lower().split() if w]
+            total = 0
+            for w in words:
+                n = memo.get(w)
+                if n is None:
+                    n = len(tokenize_word(w, _FROZEN_RANKS))
+                    memo[w] = n
+                total += n
+            return len(words), total
+
+        out = [doc_counts(t) for t in texts]
+        return pd.DataFrame(out, columns=["n_words", "n_tokens"])
+
+    per_doc = docs.select(
+        "doc_id",
+        "lang",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("n_chars"),
+        counts(F.col("text")).alias("c"),
+    ).select("doc_id", "lang", "n_chars", "c.n_words", "c.n_tokens")
+    q6 = lambda x: F.floor(x * 1000000 + 0.5) / 1000000.0  # noqa: E731
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("words"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "tokens",
+        q6(F.col("tokens").cast("double") / F.col("words")).alias("fertility"),
+        q6(F.col("chars").cast("double") / F.col("tokens")).alias("bytes_per_token"),
+    ).orderBy("lang")

@@ -2995,3 +2995,19 @@ def test_bayes_ab_matches_independent_lgamma_sum(spark, tmp_path):
     )
     assert r.prob_b_beats_a == math.floor(p * 1e4 + 0.5) / 1e4
     assert r.prob_b_beats_a > 0.9
+
+
+def test_frozen_merges_equal_uniform_vocab_training():
+    """ext_tokenizer_fertility_frozen's FROZEN_MERGES constant must be
+    exactly what learn_merges produces over the fixed 30-word corpus
+    vocabulary at uniform weights — the constant is derived, not
+    arbitrary, and drifts loudly if either side changes."""
+    from satellite_data_ingestion_spark.llm.bpe import FROZEN_MERGES, learn_merges
+
+    vocab = [
+        "spark", "window", "merge", "table", "column", "vector", "stream",
+        "value", "data", "small", "join", "filter", "big", "group", "hash",
+        "customer", "sort", "order", "slow", "line", "part", "fast", "the",
+        "row", "agg", "key", "query", "a", "scan", "batch",
+    ]
+    assert learn_merges([(w, 1) for w in vocab], n_merges=24) == FROZEN_MERGES
