@@ -1084,9 +1084,47 @@ _MST_MAX_ROUNDS = 48  # Borůvka halves component count per round: 2^48 covers a
 # costs only one count() on the round that breaks the loop)
 
 
-@register("graph_mst")  # rows-only: MST is not ANSI-SQL-expressible; the unique
-# forest (total edge order (w, x, y)) is parity-pinned against an independent
-# Kruskal in tests/test_graph.py::test_mst_matches_kruskal.
+_MST_ORACLE = f"""
+WITH RECURSIVE op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS MATERIALIZED (SELECT a.p AS x, b.p AS y, CAST(count(*) AS BIGINT) AS w
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING count(*) >= {_MIN_COPURCHASES}),
+idx AS MATERIALIZED (SELECT x, y, w, row_number() OVER (ORDER BY w, x, y) AS i FROM e),
+bounds AS (SELECT CAST(max(greatest(x, y)) AS INT) AS mx, count(*) AS ne FROM e),
+walk AS (
+  SELECT 0 AS i,
+         list_transform(generate_series(1, mx + 1), j -> CAST(j AS BIGINT)) AS lab,
+         CAST([] AS STRUCT(x BIGINT, y BIGINT, w BIGINT)[]) AS acc
+  FROM bounds
+  UNION ALL
+  SELECT w0.i + 1,
+         CASE WHEN w0.lab[CAST(ix.x AS INT) + 1] = w0.lab[CAST(ix.y AS INT) + 1]
+              THEN w0.lab
+              ELSE list_transform(w0.lab,
+                     l -> CASE WHEN l = w0.lab[CAST(ix.y AS INT) + 1]
+                               THEN w0.lab[CAST(ix.x AS INT) + 1] ELSE l END)
+         END,
+         CASE WHEN w0.lab[CAST(ix.x AS INT) + 1] = w0.lab[CAST(ix.y AS INT) + 1]
+              THEN w0.acc
+              ELSE list_append(w0.acc, struct_pack(x := ix.x, y := ix.y, w := ix.w))
+         END
+  FROM walk w0 JOIN idx ix ON ix.i = w0.i + 1
+), last AS (
+  SELECT acc FROM walk ORDER BY i DESC LIMIT 1
+)
+SELECT a.x AS x, a.y AS y, a.w AS w
+FROM (SELECT unnest(acc) AS a FROM last)
+ORDER BY w, x, y
+"""
+
+
+@register("graph_mst", oracle=_MST_ORACLE)
+# DuckDB-oracled since round 14: Kruskal as a recursive-CTE LIST FOLD over
+# the (w, x, y)-ordered edge stream — the accumulator carries the label
+# vector (relabeled per accepted edge) and the accepted-forest list; the
+# forest is UNIQUE under the total edge order, so Boruvka (engine) and
+# Kruskal (oracle) provably produce identical edges.  Independent-Kruskal
+# parity additionally pinned in tests/test_graph.py::test_mst_matches_kruskal.
 def graph_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MINIMUM SPANNING FOREST of the weighted co-purchase graph by
     DISTRIBUTED BORŮVKA: each round every component hooks its minimum-
@@ -1105,9 +1143,11 @@ def graph_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE per-component min_by aggregate (map-side combined), and a CC
     contraction whose input is ≤ |components| edges; picked edges
     accumulate via checkpointed unions.  Nothing is ever quadratic;
-    the driver holds only round counters.  Rows-only by design: SQL
-    has no MST; exact parity vs an independent Kruskal is pinned in
-    tests."""
+    the driver holds only round counters.  DuckDB-ORACLED since round
+    14 (a Kruskal list-fold recursive CTE — the forest is unique under
+    the (w, x, y) total order, so both algorithms must emit identical
+    edges); exact parity vs an independent Kruskal is additionally
+    pinned in tests."""
     from ..llm.dedup import _checkpoint_reset_stats, connected_components
 
     e0 = _copurchase_edges(spark, sf_dir)  # (x, y, w), x < y, each edge once
