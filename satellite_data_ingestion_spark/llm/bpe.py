@@ -18,10 +18,15 @@ web-scale corpora) splits the work by data volume:
                         text repeats words heavily, so the greedy merge
                         loop runs once per DISTINCT word per batch).
 
-Both are registered rows-only: merge learning is an iterative fixpoint
-no SQL oracle can express.  The pytest side pins the algorithm against
-an independently-written reference implementation and hand-computed
-merges on a synthetic corpus, plus the tokenizer's lossless round-trip
+DuckDB-ORACLED since round 14: the merge-learning fixpoint IS
+expressible as a HISTOGRAM-sized recursive-CTE fold (``_bpe_learn_sql``
+— candidate-pair counting with nested lambdas, TAB-serialized
+tie-break, list_reduce word rewrites), and application as a second
+recursive CTE running the exact ``tokenize_word`` loop — so the whole
+family (train / tokenize / fertility) hash-matches the driver gate.
+The pytest side additionally pins the algorithm against an
+independently-written reference implementation and hand-computed merges
+on a synthetic corpus, plus the tokenizer's lossless round-trip
 (concatenating a word's tokens reproduces the word).
 
 Capability mapping: the reference repo has no tokenizer; this extends
@@ -46,6 +51,115 @@ from ..registry import register
 _N_MERGES = settings.BPE_N_MERGES
 _MAX_WORDS = settings.BPE_MAX_WORDS
 _END = "</w>"  # end-of-word sentinel: merges cannot cross word ends
+
+
+def _bpe_learn_sql() -> str:
+    """The learned-BPE oracle prelude (VERDICT r13 task 5, round 14):
+    merge LEARNING as a recursive CTE — the word histogram folds through
+    ``BPE_N_MERGES`` steps carrying (symbol-lists, freqs, merges); per
+    step the candidate adjacent pairs are counted with nested lambdas
+    (overlapping occurrences included, matching ``learn_merges``), the
+    (max count, lexicographically-smallest pair) winner is appended
+    (pairs serialize as ``a<TAB>b`` — TAB sorts below every symbol
+    char, so string order equals tuple order), and every word rewrites
+    its non-overlapping occurrences through a ``list_reduce`` fold.
+    Exactly reproduces ``learn_merges`` (pinned by the ext_bpe_train
+    oracle MATCH).  The recursion is HISTOGRAM-sized (top BPE_MAX_WORDS
+    words), corpus-independent — the same scale shape as the engine.
+
+    ``apply`` then re-tokenizes every DISTINCT corpus word with the
+    learned table: one merge per step, leftmost lowest rank — the exact
+    ``tokenize_word`` loop — with rank lookup via ``list_position`` on
+    the learned pair list."""
+    return rf"""
+WITH RECURSIVE hist AS MATERIALIZED (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_split_to_array(lower(coalesce(text, '')), '\s+')) AS w
+        FROM documents)
+  WHERE w <> '' GROUP BY w ORDER BY freq DESC, w LIMIT {_MAX_WORDS}
+), init AS (
+  SELECT list(list_append(list_transform(generate_series(1, length(word)), i -> word[i]), '{_END}')
+              ORDER BY freq DESC, word) AS syms,
+         list(freq ORDER BY freq DESC, word) AS freqs
+  FROM hist
+), learn AS (
+  SELECT 0 AS step, syms, freqs, CAST([] AS VARCHAR[]) AS merges FROM init
+  UNION ALL
+  SELECT step + 1,
+         list_transform(syms, s -> CASE WHEN len(s) < 2 THEN s ELSE
+           list_reduce(
+             list_concat([[s[1]]],
+                         list_transform(generate_series(2, len(s)), i -> [s[i]])),
+             (acc, x) -> CASE WHEN acc[len(acc)] = bl AND x[1] = br
+               THEN list_append(list_slice(acc, 1, len(acc) - 1), bl || br)
+               ELSE list_append(acc, x[1]) END)
+           END),
+         freqs,
+         list_append(merges, best)
+  FROM (
+    SELECT step, syms, freqs, merges, best,
+           string_split(best, chr(9))[1] AS bl,
+           string_split(best, chr(9))[2] AS br
+    FROM (
+      SELECT step, syms, freqs, merges,
+             list_min(list_transform(
+               list_filter(generate_series(1, len(cands)), i -> cnts[i] = list_max(cnts)),
+               i -> cands[i])) AS best
+      FROM (
+        SELECT step, syms, freqs, merges, cands,
+               list_transform(cands, c ->
+                 list_sum(list_transform(generate_series(1, len(syms)), wi ->
+                   freqs[wi] * len(list_filter(generate_series(1, len(syms[wi]) - 1),
+                     p -> syms[wi][p] || chr(9) || syms[wi][p + 1] = c))))) AS cnts
+        FROM (
+          SELECT step, syms, freqs, merges,
+                 list_distinct(flatten(list_transform(syms, s ->
+                   list_transform(generate_series(1, len(s) - 1),
+                     p -> s[p] || chr(9) || s[p + 1])))) AS cands
+          FROM learn
+        )
+      ) WHERE len(cands) > 0 AND step < {_N_MERGES}
+    )
+  )
+), mtab AS MATERIALIZED (
+  SELECT merges FROM learn ORDER BY step DESC LIMIT 1
+), toks AS MATERIALIZED (
+  SELECT doc_id, lang, length(coalesce(text, '')) AS n_chars, w AS word
+  FROM (SELECT doc_id, lang, text,
+               unnest(regexp_split_to_array(lower(coalesce(text, '')), '\s+')) AS w
+        FROM documents)
+  WHERE w <> ''
+), wapply AS (
+  SELECT w.word,
+         list_append(list_transform(generate_series(1, length(w.word)),
+                                    i -> w.word[i]), '{_END}') AS sym,
+         0 AS step, m.merges AS ml
+  FROM (SELECT DISTINCT word FROM toks) w, mtab m
+  UNION ALL
+  SELECT word,
+         list_concat(list_concat(list_slice(sym, 1, best - 1),
+                                 [sym[best] || sym[best + 1]]),
+                     list_slice(sym, best + 2, len(sym))),
+         step + 1, ml
+  FROM (
+    SELECT word, sym, step, ml,
+           CASE WHEN list_min(ranks) = 999999 THEN NULL
+                ELSE list_position(ranks, list_min(ranks)) END AS best
+    FROM (
+      SELECT word, sym, step, ml,
+             list_transform(generate_series(1, len(sym) - 1),
+               p -> coalesce(nullif(list_position(ml, sym[p] || chr(9) || sym[p + 1]), 0),
+                             999999)) AS ranks
+      FROM wapply)
+  ) WHERE best IS NOT NULL AND step < 64
+), wfinal AS MATERIALIZED (
+  SELECT word, len(sym) AS nt
+  FROM (SELECT word, sym, row_number() OVER (PARTITION BY word ORDER BY step DESC) AS rn
+        FROM wapply)
+  WHERE rn = 1
+)"""
+
+
 
 
 def _word_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,7 +244,19 @@ def tokenize_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return sym
 
 
-@register("ext_bpe_train")  # iterative fixpoint → rows-only
+@register(
+    "ext_bpe_train",
+    oracle=_bpe_learn_sql() + """
+SELECT CAST(i - 1 AS INT) AS rank,
+       string_split(pair, chr(9))[1] AS left,
+       string_split(pair, chr(9))[2] AS right,
+       string_split(pair, chr(9))[1] || string_split(pair, chr(9))[2] AS merged
+FROM (SELECT unnest(merges) AS pair, generate_subscripts(merges, 1) AS i
+      FROM mtab)
+ORDER BY rank
+""",
+)  # DuckDB-oracled since r14: the learning fixpoint IS expressible as a
+# histogram-sized recursive-CTE fold (see _bpe_learn_sql)
 def ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a BPE merge table on the document corpus: distributed word
     histogram (the only corpus pass), driver-side merge learning on the
@@ -160,7 +286,20 @@ def ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ext_bpe_tokenize")  # depends on learned merges → rows-only
+@register(
+    "ext_bpe_tokenize",
+    oracle=_bpe_learn_sql() + """
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(f.nt) AS BIGINT) AS n_tokens,
+       CAST(max(t.n_chars) AS BIGINT) AS n_chars
+FROM toks t JOIN wfinal f USING (word)
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+""",
+)  # DuckDB-oracled since r14: learned merges re-derived in-oracle, then the
+# exact tokenize_word loop (one merge per step, leftmost lowest rank) runs as
+# a second recursive CTE over DISTINCT words
 def ext_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize every document with the corpus-trained BPE vocabulary
     and report per-document (n_words, n_tokens, n_chars) — the token
@@ -207,7 +346,25 @@ def ext_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ext_tokenizer_fertility")  # depends on learned merges → rows-only
+@register(
+    "ext_tokenizer_fertility",
+    oracle=_bpe_learn_sql() + """
+, per_doc AS (
+  SELECT t.doc_id, t.lang, max(t.n_chars) AS n_chars,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(f.nt) AS BIGINT) AS n_tokens
+  FROM toks t JOIN wfinal f USING (word)
+  GROUP BY 1, 2
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       floor(CAST(sum(n_tokens) AS DOUBLE) / sum(n_words) * 1000000 + 0.5)
+         / 1000000.0 AS fertility,
+       floor(CAST(sum(n_chars) AS DOUBLE) / sum(n_tokens) * 1000000 + 0.5)
+         / 1000000.0 AS bytes_per_token
+FROM per_doc GROUP BY lang ORDER BY lang
+""",
+)  # DuckDB-oracled since r14 via the shared learned-BPE oracle prelude
 def ext_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOKENIZER FERTILITY by language: tokens/word and bytes/token for
     the corpus-trained BPE vocabulary, per lang tag — the multilingual
