@@ -377,17 +377,30 @@ def _stage_lsh_signatures(spark: SparkSession, sf_dir: str) -> str:
         keys = (bits * weights[None, None, :]).sum(axis=2).astype(np.int32)
         return pd.Series(list(keys))
 
-    out = tempfile.mkdtemp(prefix="sdis_lsh_sigs_")
-    (
-        table(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id",
-            "label",
-            table_keys(F.col("embedding").cast("array<double>")).alias("sig"),
+    # Fingerprint-keyed cross-process artifact (round-14 staging
+    # discipline): safe here because the hyperplanes are seeded numpy —
+    # session-independent — unlike the IVF/PQ quantizers, whose
+    # training shares the session's partitioning and therefore stays
+    # per-process.
+    from ..operators.scans import _stage_atomic, _staging_fingerprint
+
+    fp = _staging_fingerprint(sf_dir, "embeddings.parquet", __file__)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(tempfile.gettempdir(), f"sdis_lsh_sigs_{sf_tag}_{fp}")
+
+    def build(tmp: str) -> None:
+        (
+            table(spark, sf_dir, "embeddings")
+            .select(
+                "vec_id",
+                "label",
+                table_keys(F.col("embedding").cast("array<double>")).alias("sig"),
+            )
+            .write.mode("overwrite")
+            .parquet(tmp)
         )
-        .write.mode("overwrite")
-        .parquet(out)
-    )
+
+    _stage_atomic(out, build)
     _SIG_CACHE[key] = out
     return out
 
