@@ -74,6 +74,7 @@ NEW_THIS_ROUND = [
     "agg_bayes_ab",
     "ext_rouge_n",
     "ext_tokenizer_fertility_frozen",
+    "stream_quality_gate",
     "ext_rouge_l",
     "ext_bleu",
     "graph_mst",

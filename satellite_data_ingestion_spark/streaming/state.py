@@ -700,3 +700,212 @@ def stream_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("continue")
         .alias("verdict"),
     ).orderBy("batch_id")
+
+
+_QG_BATCHES = 3  # doc_id % 3 buckets: batches 1,2 are the train slice
+
+
+@register(
+    "stream_quality_gate",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, str_split(text, ' ') AS tt FROM documents
+), grams AS (
+  SELECT doc_id, lang, unnest(tt) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, lang,
+         tt[CAST(i AS INT)] || ' ' || tt[CAST(i AS INT) + 1] AS g
+  FROM (SELECT doc_id, lang, tt, unnest(generate_series(1, len(tt) - 1)) AS i
+        FROM toks)
+), feat AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 256 AS b
+  FROM grams
+), model AS (
+  SELECT b,
+         CAST(sum(CASE WHEN doc_id % 3 > 0 AND lang = 'en'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS p,
+         CAST(sum(CASE WHEN doc_id % 3 > 0 AND lang <> 'en'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS q
+  FROM feat GROUP BY 1
+), tot AS (
+  SELECT sum(p) AS pt, sum(q) AS qt FROM model
+), bias AS (
+  SELECT ln(1 + sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END))
+         - ln(1 + sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)) AS b0
+  FROM documents WHERE doc_id % 3 > 0
+), w AS (
+  SELECT b, ln(p + 1) - ln(pt + 256.0)
+            - ln(q + 1) + ln(qt + 256.0) AS w
+  FROM model, tot
+), scored AS (
+  SELECT f.doc_id, round(b0 + sum(w.w), 4) AS logit
+  FROM feat f JOIN w USING (b), bias
+  GROUP BY f.doc_id, b0
+)
+SELECT CAST(doc_id % 3 AS BIGINT) AS batch_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       floor(CAST(sum(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 1000000 + 0.5) / 1000000.0 AS kept_rate,
+       floor(avg(logit) * 10000 + 0.5) / 10000.0 AS mean_logit
+FROM scored GROUP BY 1 ORDER BY 1
+""",
+)
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MODEL-BASED QUALITY GATE: every ingest micro-batch is
+    scored by the fastText-shape classifier (``ext_quality_classifier``
+    in llm/textstats.py) BEFORE it lands — the per-commit curation gate
+    a continuously-fed corpus runs, composing the round's two families:
+    the model fits ONCE on the standing train slice (doc_id % 3 > 0),
+    its 256-row weight table + 1-row bias broadcast into every
+    foreachBatch call, and each arriving batch pays one gram scan + one
+    broadcast join + a map-side-combined summary — the driver sees one
+    summary row per commit, never documents.  Batch 0 is exactly the
+    classifier's HELD-OUT slice, so the stream also demonstrates
+    out-of-sample gating.
+
+    Each staged slot file arrives as its own micro-batch
+    (maxFilesPerTrigger=1 over deterministic doc_id % {b} buckets), so
+    the per-batch gate report has an exact SQL oracle.  At 100 TB
+    cadence: the model refit is periodic and histogram-sized; scoring
+    per micro-batch is batch-proportional with no corpus reshuffle."""
+    from ..llm.textstats import _QC_BUCKETS, _QC_SPLIT, _QC_TARGET_LANG
+
+    _prepare(spark)
+    docs = table(spark, sf_dir, "documents")
+
+    # --- fit once on the standing train slice (the batch-side model) ---
+    tt = F.split("text", " ")
+    bigrams = F.when(
+        F.size("tt") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tt") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("tt"), i), F.element_at(F.col("tt"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def featurize(df: DataFrame) -> DataFrame:
+        return (
+            df.select("doc_id", "lang", tt.alias("tt"))
+            .select(
+                "doc_id", "lang", F.explode(F.concat(F.col("tt"), bigrams)).alias("g")
+            )
+            .select(
+                "doc_id",
+                "lang",
+                (
+                    F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+                    % _QC_BUCKETS
+                ).alias("b"),
+            )
+        )
+
+    feat = featurize(docs)
+    is_train = F.col("doc_id") % _QC_SPLIT > 0
+    is_pos = F.col("lang") == _QC_TARGET_LANG
+    model = feat.groupBy("b").agg(
+        F.sum(F.when(is_train & is_pos, 1).otherwise(0)).cast("long").alias("p"),
+        F.sum(F.when(is_train & ~is_pos, 1).otherwise(0)).cast("long").alias("q"),
+    )
+    tot = model.agg(F.sum("p").alias("pt"), F.sum("q").alias("qt"))
+    w = (
+        model.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log(F.col("p") + 1)
+                - F.log(F.col("pt") + float(_QC_BUCKETS))
+                - F.log(F.col("q") + 1)
+                + F.log(F.col("qt") + float(_QC_BUCKETS))
+            ).alias("w"),
+        )
+        .localCheckpoint(eager=True)  # model-sized; freeze before the stream
+    )
+    (b0,) = (
+        docs.filter(is_train)
+        .agg(
+            (
+                F.log(1 + F.sum(F.when(is_pos, 1).otherwise(0)))
+                - F.log(1 + F.sum(F.when(~is_pos, 1).otherwise(0)))
+            ).alias("b0")
+        )
+        .collect()[0]
+    )
+
+    # --- stage doc buckets as slot files; score per micro-batch --------
+    import glob as _glob
+
+    staging = os.path.join(
+        tempfile.gettempdir(), f"sdis_staging_qgate_{os.getpid()}"
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+    tmp = staging + "_tmp"
+    base = int(os.path.getmtime(staging))
+    for i in range(_QG_BATCHES):
+        (
+            docs.filter(F.pmod("doc_id", F.lit(_QG_BATCHES)) == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        (part,) = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dest = os.path.join(staging, f"slot_{i}.parquet")
+        os.replace(part, dest)
+        os.utime(dest, (base + i, base + i))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    schema = spark.read.parquet(os.path.join(staging, "slot_0.parquet")).schema
+    rows: list[tuple] = []
+
+    def gate(df: DataFrame, batch_id: int) -> None:
+        scored = (
+            featurize(df)
+            .join(F.broadcast(w), "b")
+            .groupBy("doc_id")
+            .agg(F.round(F.lit(b0) + F.sum("w"), 4).alias("logit"))
+        )
+        m = scored.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("logit") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("kept"),
+            F.avg("logit").alias("ml"),
+        ).collect()[0]
+        if m.n == 0:
+            print(f"stream_quality_gate: empty micro-batch {batch_id} (skipped)")
+            return
+        rows.append((int(m.n), int(m.kept), float(m.ml)))
+
+    with _few_shuffle_partitions(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+            .writeStream.foreachBatch(gate)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
+            .start()
+        )
+        q.awaitTermination(120)
+    shutil.rmtree(staging, ignore_errors=True)
+    out = spark.createDataFrame(
+        [(i, n, kept, ml) for i, (n, kept, ml) in enumerate(rows)],
+        "batch_id long, n_docs long, n_kept long, ml double",
+    )
+    return out.select(
+        "batch_id",
+        "n_docs",
+        "n_kept",
+        (
+            F.floor(F.col("n_kept").cast("double") / F.col("n_docs") * 1000000 + 0.5)
+            / 1000000.0
+        ).alias("kept_rate"),
+        (F.floor(F.col("ml") * 10000 + 0.5) / 10000.0).alias("mean_logit"),
+    ).orderBy("batch_id")
+
+
+stream_quality_gate.__doc__ = stream_quality_gate.__doc__.format(b=_QG_BATCHES)
