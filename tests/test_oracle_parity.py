@@ -212,3 +212,43 @@ SELECT row[n + 1] FROM dp WHERE i = len(qv)
         assert got == dtw_ref(q, s), (q, s, got)
 
     check()
+
+
+def test_recursive_cte_bpe_training_oracle_property():
+    """The learned-BPE ORACLE's training recursion (_bpe_learn_sql) must
+    reproduce learn_merges on RANDOM small corpora, not just the fixture
+    — same oracle-correctness rationale as the LCS/DTW property tests:
+    the candidate counting, TAB-serialized tie-break, and list_reduce
+    word rewrites are each easy to get subtly wrong."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from satellite_data_ingestion_spark.llm.bpe import _bpe_learn_sql, learn_merges
+
+    word = st.text(alphabet="abc", min_size=1, max_size=5)
+    corpus = st.lists(word, min_size=1, max_size=8)
+
+    sql = _bpe_learn_sql() + """
+SELECT string_split(pair, chr(9))[1] AS l, string_split(pair, chr(9))[2] AS r
+FROM (SELECT unnest(merges) AS pair, generate_subscripts(merges, 1) AS i
+      FROM mtab)
+ORDER BY i
+"""
+
+    @settings(max_examples=25, deadline=None)
+    @given(corpus)
+    def check(words):
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, lang VARCHAR, text VARCHAR)")
+        for i, w in enumerate(words):
+            con.execute("INSERT INTO documents VALUES (?, 'en', ?)", [i, w])
+        got = [(l, r) for l, r in con.execute(sql).fetchall()]
+        hist: dict = {}
+        for w in words:
+            hist[w] = hist.get(w, 0) + 1
+        ref = learn_merges(sorted(hist.items(), key=lambda kv: (-kv[1], kv[0])))
+        con.close()
+        assert got == list(ref), (words, got, ref)
+
+    check()
