@@ -3548,9 +3548,11 @@ def agg_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BAYES_GRID = 60000  # lnfact grid bound: covers any per-group event count
-# at driver scale factors (10k events/group at sf0.01, 100k total at sf0.1
-# split 5 ways by type and 2 by parity); parameter-sized, not corpus-sized.
+_BAYES_GRID = 250_000  # lnfact grid bound.  The largest lgamma argument is
+# alpha_a + alpha_b + beta_a + beta_b - 2 = total events + 2, so this covers
+# sf<=0.1 (100k events) with headroom; beyond it BOTH engines raise loudly
+# (see the guards below) instead of silently dropping sum terms — the dial
+# is this constant, parameter-sized, not corpus-sized.
 
 
 @register(
@@ -3591,7 +3593,9 @@ SELECT CAST(aa AS BIGINT) AS alpha_posterior_a,
        CAST(ba AS BIGINT) AS beta_posterior_a,
        CAST(ab AS BIGINT) AS alpha_posterior_b,
        CAST(bb AS BIGINT) AS beta_posterior_b,
-       floor(sum(exp(lnt)) * 10000 + 0.5) / 10000.0 AS prob_b_beats_a
+       CASE WHEN max(aa + ab + ba + bb) - 2 > {_BAYES_GRID}
+            THEN error('agg_bayes_ab: lnfact grid too small for this corpus — raise _BAYES_GRID')
+            ELSE floor(sum(exp(lnt)) * 10000 + 0.5) / 10000.0 END AS prob_b_beats_a
 FROM terms GROUP BY 1, 2, 3, 4
 """,
 )
@@ -3625,7 +3629,7 @@ def agg_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).cast("long").alias("conv"),
     )
-    p = g.agg(
+    p0 = g.agg(
         (F.max(F.when(F.col("grp") == "a", F.col("conv"))) + 1).alias("aa"),
         (
             F.max(F.when(F.col("grp") == "a", F.col("trials") - F.col("conv")))
@@ -3636,6 +3640,21 @@ def agg_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("grp") == "b", F.col("trials") - F.col("conv")))
             + 1
         ).alias("bb"),
+    )
+    # Loud overflow guard (both engines have one): a silent grid miss
+    # would DROP sum terms and underestimate the probability.
+    p = p0.select(
+        "aa",
+        "ba",
+        "ab",
+        F.when(
+            F.col("aa") + F.col("ab") + F.col("ba") + F.col("bb") - 2
+            > _BAYES_GRID,
+            F.raise_error(
+                "agg_bayes_ab: lnfact grid too small for this corpus — "
+                "raise _BAYES_GRID"
+            ).cast("long"),
+        ).otherwise(F.col("bb")).alias("bb"),
     )
     lf = (
         spark.range(1, _BAYES_GRID + 1)

@@ -3011,3 +3011,41 @@ def test_frozen_merges_equal_uniform_vocab_training():
         "row", "agg", "key", "query", "a", "scan", "batch",
     ]
     assert learn_merges([(w, 1) for w in vocab], n_merges=24) == FROZEN_MERGES
+
+
+def test_bayes_ab_sf01_grid_covers_and_matches_lgamma(spark):
+    """Regression (round 14, found live): the lnfact grid was sized 60k
+    while sf0.1's largest lgamma argument is ~total events + 2 = 100k —
+    the lookup inner-join silently DROPPED sum terms and underestimated
+    the probability.  Pin: at sf0.1 the engine equals the independent
+    math.lgamma evaluation exactly (and the loud overflow guard exists
+    for corpora beyond the grid)."""
+    import math
+
+    import duckdb
+
+    from satellite_data_ingestion_spark import registry
+    from satellite_data_ingestion_spark.operators.hypothesis import _BAYES_GRID
+
+    con = duckdb.connect()
+    (ga, gb) = con.sql(
+        """SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END g,
+                  count(*) t,
+                  sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) c
+           FROM read_parquet('/root/testdata/sf0.1/events.parquet')
+           GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    con.close()
+    aa, ba = int(ga[2]) + 1, int(ga[1] - ga[2]) + 1
+    ab, bb = int(gb[2]) + 1, int(gb[1] - gb[2]) + 1
+    assert aa + ab + ba + bb - 2 <= _BAYES_GRID, "grid must cover sf0.1"
+
+    def lnB(x, y):
+        return math.lgamma(x) + math.lgamma(y) - math.lgamma(x + y)
+
+    p = sum(
+        math.exp(lnB(aa + i, ba + bb) - math.log(bb + i) - lnB(1 + i, bb) - lnB(aa, ba))
+        for i in range(ab)
+    )
+    (r,) = registry.spec("agg_bayes_ab").fn(spark, "/root/testdata/sf0.1").collect()
+    assert r.prob_b_beats_a == math.floor(p * 1e4 + 0.5) / 1e4
