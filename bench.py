@@ -502,6 +502,7 @@ def main() -> None:
     loop_t0 = time.perf_counter()
     timings: dict[str, float] = {}
     degraded: list[str] = []
+    errors: dict[str, str] = {}
     for qi, name in enumerate(active):
         if qi and qi % 30 == 0:
             # Session-hygiene checkpoint: a 140-query session accumulates
@@ -515,22 +516,31 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
         fn = qs[name]
         over_budget = time.perf_counter() - loop_t0 > budget
-        if not over_budget:
-            # Warm once: first-touch costs that are one-time per process
-            # (ingest staging for *_indexed variants, schema/dim probes,
-            # codegen) land here, NOT in the timed samples.
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        samples = []
-        for _ in range(1 if over_budget else iters):
-            # Time fn() + execution: several operators do their real work
-            # EAGERLY inside fn (iterative connected components, streaming
-            # micro-batch drains) — timing only the final noop write of a
-            # pre-built frame would measure a checkpoint re-read, not the
-            # operator (the round-6 lesson: ext_dedup_cluster "ran" in
-            # 0.025s that way).
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
+        try:
+            if not over_budget:
+                # Warm once: first-touch costs that are one-time per process
+                # (ingest staging for *_indexed variants, schema/dim probes,
+                # codegen) land here, NOT in the timed samples.
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples = []
+            for _ in range(1 if over_budget else iters):
+                # Time fn() + execution: several operators do their real work
+                # EAGERLY inside fn (iterative connected components, streaming
+                # micro-batch drains) — timing only the final noop write of a
+                # pre-built frame would measure a checkpoint re-read, not the
+                # operator (the round-6 lesson: ext_dedup_cluster "ran" in
+                # 0.025s that way).
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+        except Exception as ex:  # noqa: BLE001
+            # A single erroring query must not destroy the whole round's
+            # perf artifact (found live: agg_bayes_ab's deliberate
+            # grid-overflow guard at sf1 killed the entire sf1 bench run).
+            # Record the failure, keep the artifact.
+            errors[name] = repr(ex)[:300]
+            print(f"[bench] {name} ERROR {ex!r}", file=sys.stderr)
+            continue
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
         if over_budget:
@@ -568,6 +578,8 @@ def main() -> None:
     }
     if degraded:
         payload["degraded"] = degraded
+    if errors:
+        payload["errors"] = errors
     print(json.dumps(payload))
 
 

@@ -3548,11 +3548,12 @@ def agg_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BAYES_GRID = 250_000  # lnfact grid bound.  The largest lgamma argument is
-# alpha_a + alpha_b + beta_a + beta_b - 2 = total events + 2, so this covers
-# sf<=0.1 (100k events) with headroom; beyond it BOTH engines raise loudly
-# (see the guards below) instead of silently dropping sum terms — the dial
-# is this constant, parameter-sized, not corpus-sized.
+_BAYES_GRID = 1_100_000  # lnfact grid bound.  The largest lgamma argument
+# is alpha_a + alpha_b + beta_a + beta_b - 2 = total events + 2, so this
+# covers sf<=1 (1M events) with headroom; beyond it BOTH engines raise
+# loudly (see the guards below) instead of silently dropping sum terms —
+# found live: the 250k grid's guard correctly killed an sf1 bench attempt,
+# and the grid itself costs one parameter-sized cumulative-sum pass.
 
 
 @register(
