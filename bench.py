@@ -81,6 +81,21 @@ NEW_THIS_ROUND = [
     "ext_dedup_cluster_incremental",
     "ext_dedup_embedding_cluster_incremental",
     "sink_delta_checkpoint",
+    # round-14 session-2 additions (inferential-statistics wave)
+    "agg_anova_two_way",
+    "agg_tukey_hsd",
+    "agg_partial_corr",
+    "agg_ols_multi",
+    "agg_wilcoxon_signed_rank",
+    "agg_fisher_exact",
+    "ext_ts_kalman",
+    "ext_ts_granger",
+    "ext_best_of_n",
+    "ext_isotonic_calibration",
+    "ext_heaps_law",
+    "agg_ks_normality",
+    "agg_grubbs_test",
+    "ext_ts_ar2",
 ]
 
 CORE = [

@@ -806,3 +806,90 @@ def ext_reward_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 ext_reward_normalize.__doc__ = ext_reward_normalize.__doc__.format(
     m=_RW_PROMPTS
 )
+
+
+_BON_PROMPTS = 32  # candidate pool count: doc_id % 32
+
+
+@register(
+    "ext_best_of_n",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, doc_id % {_BON_PROMPTS} AS prompt_id,
+         round((CASE WHEN len(str_split(text, ' ')) >= 5 THEN 0.25 ELSE 0 END)
+             + (CASE WHEN list_sum(list_transform(str_split(text, ' '),
+                        t -> CAST(length(t) AS DOUBLE)))
+                     / len(str_split(text, ' ')) <= 12.0 THEN 0.25 ELSE 0 END)
+             + (CASE WHEN CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                        AS DOUBLE) / length(text) <= 0.2 THEN 0.25 ELSE 0 END)
+             + (CASE WHEN CAST(len(list_distinct(str_split(text, ' ')))
+                        AS DOUBLE) / len(str_split(text, ' ')) >= 0.3
+                THEN 0.25 ELSE 0 END), 2) AS reward
+  FROM documents
+), r AS (
+  SELECT prompt_id, doc_id, reward,
+         row_number() OVER (PARTITION BY prompt_id
+                            ORDER BY reward DESC, doc_id) AS rk,
+         CAST(count(*) OVER (PARTITION BY prompt_id) AS BIGINT)
+           AS n_candidates
+  FROM q
+)
+SELECT prompt_id, max(n_candidates) AS n_candidates,
+       max(CASE WHEN rk = 1 THEN doc_id END) AS best_doc,
+       max(CASE WHEN rk = 1 THEN reward END) AS best_reward,
+       round(coalesce(max(CASE WHEN rk = 1 THEN reward END)
+                      - max(CASE WHEN rk = 2 THEN reward END),
+                      max(CASE WHEN rk = 1 THEN reward END)), 2) AS margin
+FROM r WHERE rk <= 2
+GROUP BY prompt_id
+ORDER BY prompt_id
+""",
+)
+def ext_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEST-OF-N REJECTION SAMPLING (the RLHF/RFT inference-time shape):
+    documents grouped into {m} candidate pools (prompt_id = doc_id %
+    {m}), the highest-reward candidate selected per pool with a
+    deterministic tiebreak, plus the MARGIN over the runner-up — the
+    selection readout ``ext_preference_pairs`` (pairs for training) and
+    ``ext_reward_normalize`` (reward whitening) sit beside: this is the
+    serving-side pick, and a small margin flags pools where the reward
+    model cannot separate candidates.
+
+    Reward is the shared quarter-valued quality composite (exact
+    doubles, so the margin subtraction is exact).  Both the rank and
+    the runner-up come from ONE per-pool window pass that plans as
+    WindowGroupLimit (rank <= 2 pushes the top-2 selection into the
+    sort), and the pool census rides the same window — per-pool output
+    is 1 row regardless of corpus size, so the post-window frame is
+    {m} rows at any scale."""
+    from .textstats import ext_quality_score
+
+    q = ext_quality_score(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % _BON_PROMPTS).alias("prompt_id"),
+        F.col("quality").alias("reward"),
+    )
+    w = Window.partitionBy("prompt_id").orderBy(F.desc("reward"), "doc_id")
+    wc = Window.partitionBy("prompt_id")
+    r = q.select(
+        "prompt_id",
+        "doc_id",
+        "reward",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("n_candidates"),
+    ).filter(F.col("rk") <= 2)
+    best = F.max(F.when(F.col("rk") == 1, F.col("reward")))
+    second = F.max(F.when(F.col("rk") == 2, F.col("reward")))
+    return (
+        r.groupBy("prompt_id")
+        .agg(
+            F.max("n_candidates").alias("n_candidates"),
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("best_doc"),
+            best.alias("best_reward"),
+            F.round(F.coalesce(best - second, best), 2).alias("margin"),
+        )
+        .orderBy("prompt_id")
+    )
+
+
+ext_best_of_n.__doc__ = ext_best_of_n.__doc__.format(m=_BON_PROMPTS)

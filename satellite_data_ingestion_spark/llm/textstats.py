@@ -3160,3 +3160,261 @@ def ext_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ext_keyword_rake.__doc__ = ext_keyword_rake.__doc__.format(k=_RAKE_TOP_K)
+
+
+@register(
+    "ext_isotonic_calibration",
+    oracle=f"""
+WITH {_CAL_SCORED_SQL},
+g AS (
+  SELECT sm, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM scored GROUP BY 1
+),
+p AS (
+  SELECT sm, n, pos,
+         CAST(row_number() OVER (ORDER BY sm) AS BIGINT) AS j,
+         CAST(sum(n) OVER (ORDER BY sm) AS BIGINT) AS cw,
+         CAST(sum(pos) OVER (ORDER BY sm) AS BIGINT) AS cp
+  FROM g
+),
+mm AS (
+  SELECT a.j AS j, i.j AS ij,
+         min((CAST(k.cp AS DOUBLE) - (i.cp - i.pos))
+             / (CAST(k.cw AS DOUBLE) - (i.cw - i.n))) AS inner_min
+  FROM p a, p i, p k
+  WHERE i.j <= a.j AND k.j >= a.j
+  GROUP BY 1, 2
+),
+iso AS (SELECT j, max(inner_min) AS iso FROM mm GROUP BY 1)
+SELECT floor(CAST(p.sm AS DOUBLE) + 0.5) / 1000000.0 AS score,
+       p.n, p.pos,
+       floor(iso.iso * 1000000 + 0.5) / 1000000.0 AS iso_rate
+FROM p JOIN iso USING (j)
+ORDER BY score
+""",
+)
+def ext_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC (PAV) CALIBRATION of the "is English" score: the
+    monotone-nondecreasing maximum-likelihood fit of P(en | score) via
+    pool-adjacent-violators — the nonparametric recalibration step one
+    rung above ``ext_calibration_bins``' raw reliability diagram (raw
+    bin accuracies can INVERT between adjacent bins; downstream
+    thresholds want the monotone fit).
+
+    Cross-engine verification is the pair of CLASSICAL equivalent
+    formulations: Spark runs the O(B) stack PAV (Barlow et al. 1972)
+    inside one bounded ``applyInPandas`` group, while the DuckDB oracle
+    evaluates the minimax closed form iso_j = max_{{i<=j}} min_{{k>=j}}
+    (pos_{{i..k}} / n_{{i..k}}) over prefix sums — equal by the PAV
+    minimax theorem, and equal in FLOAT because IEEE division is
+    correctly rounded (equal rationals give identical doubles whatever
+    block boundaries produced them).
+
+    Scale shape: the corpus contributes one map-side-combined aggregate
+    to the DISTINCT-SCORE grain, which is bounded by the lang-profile
+    length (hits are 0..{w} => <= {w1} rows at ANY corpus size); the
+    PAV group and the oracle's B^3 minimax both run on that bounded
+    frame."""
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    hits = F.size(
+        F.array_intersect(
+            toks, F.array(*[F.lit(w) for w in _LANG_PROFILES["en"]])
+        )
+    )
+    sm = F.floor(hits.cast("double") / _EN_PROFILE_LEN * 1000000 + 0.5).cast("long")
+    g = (
+        docs.select(
+            sm.alias("sm"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        )
+        .groupBy("sm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+    )
+
+    def pav(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("sm").reset_index(drop=True)
+        # stack of [w, p, count_of_rows]; merge while the tail violates
+        stack: list[list[float]] = []
+        for _, row in pdf.iterrows():
+            w, p, c = float(row["n"]), float(row["pos"]), 1
+            while stack and stack[-1][1] * w > p * stack[-1][0]:
+                pw, pp, pc = stack.pop()
+                w += pw
+                p += pp
+                c += pc
+            stack.append([w, p, c])
+        rates: list[float] = []
+        for w, p, c in stack:
+            rates.extend([p / w] * int(c))
+        return pd.DataFrame(
+            {
+                "score": [int(s) for s in pdf["sm"]],
+                "n": pdf["n"].astype("int64"),
+                "pos": pdf["pos"].astype("int64"),
+                "iso_rate": rates,
+            }
+        )
+
+    out = g.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        pav, schema="score long, n long, pos long, iso_rate double"
+    )
+    return out.select(
+        (F.floor(F.col("score").cast("double") + 0.5) / 1000000.0).alias("score"),
+        "n",
+        "pos",
+        (F.floor(F.col("iso_rate") * 1000000 + 0.5) / 1000000.0).alias("iso_rate"),
+    ).orderBy("score")
+
+
+ext_isotonic_calibration.__doc__ = ext_isotonic_calibration.__doc__.format(
+    w=_EN_PROFILE_LEN, w1=_EN_PROFILE_LEN + 1
+)
+
+
+@register(
+    "ext_heaps_law",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+w AS (SELECT doc_id, tok FROM words WHERE tok <> ''),
+first_seen AS (
+  SELECT tok, CAST(min(doc_id) AS BIGINT) AS fd FROM w GROUP BY 1
+),
+vnew AS (
+  SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS vn FROM first_seen GROUP BY 1
+),
+tk AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS tk FROM w GROUP BY 1
+),
+curve AS (
+  SELECT tk.doc_id,
+         CAST(sum(tk.tk) OVER (ORDER BY tk.doc_id) AS BIGINT) AS cn,
+         CAST(sum(coalesce(vnew.vn, 0)) OVER (ORDER BY tk.doc_id) AS BIGINT) AS cv
+  FROM tk LEFT JOIN vnew USING (doc_id)
+),
+arr AS (
+  SELECT CAST(count(*) AS BIGINT) AS d,
+         CAST(max(cn) AS BIGINT) AS tokens,
+         CAST(max(cv) AS BIGINT) AS vocab,
+         list(ln(CAST(cn AS DOUBLE)) ORDER BY doc_id) AS lxs,
+         list(ln(CAST(cv AS DOUBLE)) ORDER BY doc_id) AS lys,
+         list(ln(CAST(cn AS DOUBLE)) * ln(CAST(cv AS DOUBLE))
+              ORDER BY doc_id) AS lxys,
+         list(ln(CAST(cn AS DOUBLE)) * ln(CAST(cn AS DOUBLE))
+              ORDER BY doc_id) AS lxxs
+  FROM curve
+),
+s AS (
+  SELECT d, tokens, vocab,
+         list_reduce(lxs,  (a, b) -> a + b) AS sx,
+         list_reduce(lys,  (a, b) -> a + b) AS sy,
+         list_reduce(lxys, (a, b) -> a + b) AS sxy,
+         list_reduce(lxxs, (a, b) -> a + b) AS sxx
+  FROM arr
+)
+SELECT d AS n_docs, tokens, vocab,
+       floor(((d * sxy - sx * sy) / (d * sxx - sx * sx)) * 1000000 + 0.5)
+         / 1000000.0 AS heaps_beta,
+       floor(((sy - ((d * sxy - sx * sy) / (d * sxx - sx * sx)) * sx) / d)
+             * 1000000 + 0.5) / 1000000.0 AS heaps_log_k
+FROM s
+""",
+)
+def ext_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS'-LAW FIT of vocabulary growth V(N) = K N^beta: the log-log
+    OLS of cumulative distinct vocabulary against cumulative tokens in
+    doc_id order — the companion corpus-scaling statistic to
+    ``ext_zipf_fit`` (Zipf describes the frequency distribution at a
+    POINT, Heaps describes how the vocabulary GROWS as the corpus
+    does; natural text sits near beta ~ 0.5, and a beta collapsing
+    toward 0 means the incoming data stopped contributing new types —
+    the saturation signal a data-acquisition pipeline watches).
+
+    Distributed shape: "new vocabulary per doc" needs NO per-prefix
+    distinct — each type contributes at exactly its FIRST doc (min
+    doc_id per token, one vocab-grain aggregate), so the growth curve
+    is two exact cumulative sums over the doc grain, both from ONE
+    ``distributed_rank`` pass (range partitions + broadcast offsets,
+    never a single-task window).  The ln-moment sums are order-
+    sensitive doubles and fold SEQUENTIALLY over the doc_id-sorted
+    curve array (Spark ``aggregate`` HOF == DuckDB ``list_reduce``,
+    the ext_zipf_fit recipe; at web scale the fit runs over a
+    doc-sampled curve, same plan)."""
+    from ..operators.ranking import distributed_rank
+
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vnew = (
+        w.groupBy("tok")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("vn"))
+    )
+    tk = w.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("tk"))
+    base = tk.join(vnew, "doc_id", "left").select(
+        "doc_id", "tk", F.coalesce(F.col("vn"), F.lit(0)).cast("long").alias("vn")
+    )
+    curve = distributed_rank(base, ["doc_id"], sum_cols=("tk", "vn")).select(
+        "doc_id",
+        F.col("_cum_tk").cast("long").alias("cn"),
+        F.col("_cum_vn").cast("long").alias("cv"),
+    )
+    lx = F.log(F.col("cn").cast("double"))
+    ly = F.log(F.col("cv").cast("double"))
+    arr = curve.select(
+        "doc_id", lx.alias("lx"), ly.alias("ly"), (lx * ly).alias("lxy"), (lx * lx).alias("lxx"),
+        "cn", "cv",
+    ).groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("d"),
+        F.max("cn").cast("long").alias("tokens"),
+        F.max("cv").cast("long").alias("vocab"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", F.col("lx").alias("v")))),
+            lambda s: s.getField("v"),
+        ).alias("lxs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", F.col("ly").alias("v")))),
+            lambda s: s.getField("v"),
+        ).alias("lys"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", F.col("lxy").alias("v")))),
+            lambda s: s.getField("v"),
+        ).alias("lxys"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", F.col("lxx").alias("v")))),
+            lambda s: s.getField("v"),
+        ).alias("lxxs"),
+    )
+
+    def fold(col):
+        return F.aggregate(col, F.lit(0.0), lambda a, b: a + b)
+
+    s = arr.select(
+        "d",
+        "tokens",
+        "vocab",
+        fold(F.col("lxs")).alias("sx"),
+        fold(F.col("lys")).alias("sy"),
+        fold(F.col("lxys")).alias("sxy"),
+        fold(F.col("lxxs")).alias("sxx"),
+    )
+    slope = (F.col("d") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("d") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    r6l = lambda x: F.floor(x * 1000000 + 0.5) / 1000000.0  # noqa: E731
+    return s.select(
+        F.col("d").alias("n_docs"),
+        "tokens",
+        "vocab",
+        r6l(slope).alias("heaps_beta"),
+        r6l((F.col("sy") - slope * F.col("sx")) / F.col("d")).alias("heaps_log_k"),
+    )

@@ -3711,3 +3711,776 @@ def agg_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 agg_bayes_ab.__doc__ = agg_bayes_ab.__doc__.format(g=_BAYES_GRID)
+
+
+@register(
+    "agg_anova_two_way",
+    oracle="""
+WITH cells AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS fa,
+         CASE WHEN hour(ts) < 12 THEN 1 ELSE -1 END AS fb,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sq
+  FROM events WHERE event_type IN ('purchase', 'view') GROUP BY 1, 2
+), w AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_total,
+         sum(CAST(sq AS DOUBLE)
+             - CAST(sv AS DOUBLE) * sv / n) AS ssw,
+         sum(fa * (CAST(sv AS DOUBLE) / n)) AS psi_a,
+         sum(fb * (CAST(sv AS DOUBLE) / n)) AS psi_b,
+         sum(fa * fb * (CAST(sv AS DOUBLE) / n)) AS psi_ab,
+         sum(1.0 / n) AS inv_n
+  FROM cells
+)
+SELECT n_total,
+       floor((psi_a * psi_a / inv_n) / (ssw / (n_total - 4))
+             * 1000000 + 0.5) / 1000000.0 AS f_type,
+       floor((psi_b * psi_b / inv_n) / (ssw / (n_total - 4))
+             * 1000000 + 0.5) / 1000000.0 AS f_ampm,
+       floor((psi_ab * psi_ab / inv_n) / (ssw / (n_total - 4))
+             * 1000000 + 0.5) / 1000000.0 AS f_interaction
+FROM w
+""",
+)
+def agg_anova_two_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-WAY ANOVA (2x2, Type III via single-df cell-mean contrasts)
+    on event value: factor A = event_type (purchase vs view), factor
+    B = time of day (AM vs PM) — main effects AND the interaction the
+    one-way battery (``agg_anova_f``) cannot see (does the purchase
+    premium itself change between AM and PM?).
+
+    For a 2x2 design every Type III effect is a single-df contrast
+    psi = sum c_ij * mean_ij with c in {+1,-1}, whose exact sum of
+    squares is psi^2 / sum(c_ij^2 / n_ij) = psi^2 / sum(1/n_ij) — the
+    textbook cell-means formulation that stays CLOSED-FORM under
+    unbalanced cells (where the classical balanced SS formulas break).
+    F = SS_effect / (SSW / (N - 4)).
+
+    Exactness: cell moments are exact integer cents from ONE 4-row
+    map-side-combined aggregate; psi / SSW / the three F ratios are
+    closed-form doubles evaluated in identical order both engines.
+    One scan, a 4-row combine, a 1-row report at any corpus size."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    c = F.round(F.col("value") * 100).cast("long")
+    cells = ev.groupBy(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(-1).alias("fa"),
+        F.when(F.hour("ts") < 12, 1).otherwise(-1).alias("fb"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c).cast("long").alias("sv"),
+        F.sum(c * c).cast("long").alias("sq"),
+    )
+    mean = F.col("sv").cast("double") / F.col("n")
+    w = cells.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum(
+            F.col("sq").cast("double")
+            - F.col("sv").cast("double") * F.col("sv") / F.col("n")
+        ).alias("ssw"),
+        F.sum(F.col("fa") * mean).alias("psi_a"),
+        F.sum(F.col("fb") * mean).alias("psi_b"),
+        F.sum(F.col("fa") * F.col("fb") * mean).alias("psi_ab"),
+        F.sum(F.lit(1.0) / F.col("n")).alias("inv_n"),
+    )
+    msw = F.col("ssw") / (F.col("n_total") - 4)
+
+    def f_of(psi):
+        return r6((psi * psi / F.col("inv_n")) / msw)
+
+    return w.select(
+        "n_total",
+        f_of(F.col("psi_a")).alias("f_type"),
+        f_of(F.col("psi_b")).alias("f_ampm"),
+        f_of(F.col("psi_ab")).alias("f_interaction"),
+    )
+
+
+@register(
+    "agg_tukey_hsd",
+    oracle="""
+WITH g AS (
+  SELECT event_type AS grp,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sq
+  FROM events GROUP BY 1
+), m AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_total,
+         CAST(count(*) AS BIGINT) AS k,
+         sum(CAST(sq AS DOUBLE) - CAST(sv AS DOUBLE) * sv / n)
+           / (sum(n) - count(*)) AS msw
+  FROM g
+)
+SELECT a.grp AS grp_a, b.grp AS grp_b, a.n AS na, b.n AS nb,
+       floor((CAST(a.sv AS DOUBLE) / a.n - CAST(b.sv AS DOUBLE) / b.n)
+             * 1000000 + 0.5) / 1000000.0 AS mean_diff_cents,
+       floor(abs(CAST(a.sv AS DOUBLE) / a.n - CAST(b.sv AS DOUBLE) / b.n)
+             / sqrt(m.msw / 2 * (1.0 / a.n + 1.0 / b.n))
+             * 1000000 + 0.5) / 1000000.0 AS q_stat
+FROM g a JOIN g b ON a.grp < b.grp CROSS JOIN m
+ORDER BY grp_a, grp_b
+""",
+)
+def agg_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUKEY-KRAMER HSD pairwise comparisons across ALL event types —
+    the post-hoc step after ``agg_anova_f`` rejects: for each of the
+    k(k-1)/2 type pairs, the mean difference and the studentized-range
+    statistic q = |m_a - m_b| / sqrt(MSW/2 * (1/n_a + 1/n_b)) (the
+    Kramer form for unbalanced groups), so WHICH pairs differ is
+    answerable, not just "something differs".
+
+    Exactness: group moments are exact integer cents from one k-row
+    aggregate; MSW is the pooled within variance from the same exact
+    sums; each pair's q is a closed-form double in identical order both
+    engines.  The pair join is k x k over a k-row frame (broadcast,
+    k = |event types|); one corpus scan total."""
+    ev = table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    g = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c).cast("long").alias("sv"),
+        F.sum(c * c).cast("long").alias("sq"),
+    )
+    m = g.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        (
+            F.sum(
+                F.col("sq").cast("double")
+                - F.col("sv").cast("double") * F.col("sv") / F.col("n")
+            )
+            / (F.sum("n") - F.count(F.lit(1)))
+        ).alias("msw"),
+    )
+    a = g.select(
+        F.col("grp").alias("grp_a"),
+        F.col("n").alias("na"),
+        F.col("sv").alias("sva"),
+    )
+    b = g.select(
+        F.col("grp").alias("grp_b"),
+        F.col("n").alias("nb"),
+        F.col("sv").alias("svb"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("grp_a") < F.col("grp_b"))
+        .crossJoin(F.broadcast(m))
+    )
+    ma = F.col("sva").cast("double") / F.col("na")
+    mb = F.col("svb").cast("double") / F.col("nb")
+    q = F.abs(ma - mb) / F.sqrt(
+        F.col("msw") / 2 * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+    )
+    return pairs.select(
+        "grp_a",
+        "grp_b",
+        "na",
+        "nb",
+        r6(ma - mb).alias("mean_diff_cents"),
+        r6(q).alias("q_stat"),
+    ).orderBy("grp_a", "grp_b")
+
+
+# Shared moment CTE for the lineitem regression pair below: x1 = quantity
+# (integer 1..50 by construction), x2 = discount in whole percent
+# (round(l_discount*100), integer 0..10), y = extendedprice in whole
+# dollars (round(l_extendedprice), <= ~105k) — dollars, not cents, so the
+# int64 second moments hold headroom far past sf1 (y^2 <= ~1.2e10, times
+# 6e6 rows at sf1 = ~7e16 << 2^63).
+_REG_MOMENTS_SQL = """
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx1,
+         CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sx2,
+         CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx1x1,
+         CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                  * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sx2x2,
+         CAST(sum(CAST(round(l_extendedprice) AS BIGINT)
+                  * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+                  * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sx1x2,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+                  * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sx1y,
+         CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                  * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sx2y
+  FROM lineitem
+"""
+
+
+def _reg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of ``_REG_MOMENTS_SQL``: one map-side-combined
+    1-row aggregate of every first/second moment of (quantity,
+    discount-pct, price-dollars), all exact int64."""
+    li = table(spark, sf_dir, "lineitem")
+    x1 = F.col("l_quantity").cast("long")
+    x2 = F.round(F.col("l_discount") * 100).cast("long")
+    y = F.round(F.col("l_extendedprice")).cast("long")
+    return li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x1).cast("long").alias("sx1"),
+        F.sum(x2).cast("long").alias("sx2"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x1 * x1).cast("long").alias("sx1x1"),
+        F.sum(x2 * x2).cast("long").alias("sx2x2"),
+        F.sum(y * y).cast("long").alias("syy"),
+        F.sum(x1 * x2).cast("long").alias("sx1x2"),
+        F.sum(x1 * y).cast("long").alias("sx1y"),
+        F.sum(x2 * y).cast("long").alias("sx2y"),
+    )
+
+
+@register(
+    "agg_partial_corr",
+    oracle=f"""
+WITH m AS ({_REG_MOMENTS_SQL}
+), r AS (
+  SELECT n,
+         (n * CAST(sx1y AS DOUBLE) - CAST(sx1 AS DOUBLE) * sy)
+           / sqrt((n * CAST(sx1x1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1)
+                  * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)) AS r_xy,
+         (n * CAST(sx1x2 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx2)
+           / sqrt((n * CAST(sx1x1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1)
+                  * (n * CAST(sx2x2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sx2)) AS r_xz,
+         (n * CAST(sx2y AS DOUBLE) - CAST(sx2 AS DOUBLE) * sy)
+           / sqrt((n * CAST(sx2x2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sx2)
+                  * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)) AS r_zy
+  FROM m
+)
+SELECT n,
+       floor(r_xy * 1000000 + 0.5) / 1000000.0 AS r_qty_price,
+       floor(r_xz * 1000000 + 0.5) / 1000000.0 AS r_qty_disc,
+       floor(r_zy * 1000000 + 0.5) / 1000000.0 AS r_disc_price,
+       floor((r_xy - r_xz * r_zy)
+             / sqrt((1 - r_xz * r_xz) * (1 - r_zy * r_zy))
+             * 1000000 + 0.5) / 1000000.0 AS partial_r_qty_price
+FROM r
+""",
+)
+def agg_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-ORDER PARTIAL CORRELATION r(quantity, price | discount) on
+    lineitem — the quantity-price association with the discount channel
+    partialled out via the classic recursion r_xy.z = (r_xy - r_xz
+    r_zy) / sqrt((1-r_xz^2)(1-r_zy^2)) — the confounder-adjusted
+    readout ``agg_corr_matrix``'s raw pairwise cells cannot give (a
+    shared driver inflates/deflates raw r).
+
+    Exactness: all nine first/second moments are exact int64 from ONE
+    1-row map-side-combined aggregate (quantity and discount-pct are
+    small integers by construction; price in whole dollars keeps y^2
+    sums inside int64 past sf1); the three Pearson r's and the partial
+    recursion are closed-form doubles in identical order both engines.
+    One scan, zero shuffles beyond the 1-row combine."""
+    m = _reg_moments(spark, sf_dir)
+    n = F.col("n")
+
+    def pearson(sab, sa, sb, saa, sbb):
+        return (n * F.col(sab).cast("double") - F.col(sa).cast("double") * F.col(sb)) / F.sqrt(
+            (n * F.col(saa).cast("double") - F.col(sa).cast("double") * F.col(sa))
+            * (n * F.col(sbb).cast("double") - F.col(sb).cast("double") * F.col(sb))
+        )
+
+    r = m.select(
+        "n",
+        pearson("sx1y", "sx1", "sy", "sx1x1", "syy").alias("r_xy"),
+        pearson("sx1x2", "sx1", "sx2", "sx1x1", "sx2x2").alias("r_xz"),
+        pearson("sx2y", "sx2", "sy", "sx2x2", "syy").alias("r_zy"),
+    )
+    partial = (F.col("r_xy") - F.col("r_xz") * F.col("r_zy")) / F.sqrt(
+        (1 - F.col("r_xz") * F.col("r_xz")) * (1 - F.col("r_zy") * F.col("r_zy"))
+    )
+    return r.select(
+        "n",
+        r6(F.col("r_xy")).alias("r_qty_price"),
+        r6(F.col("r_xz")).alias("r_qty_disc"),
+        r6(F.col("r_zy")).alias("r_disc_price"),
+        r6(partial).alias("partial_r_qty_price"),
+    )
+
+
+@register(
+    "agg_ols_multi",
+    oracle=f"""
+WITH m AS ({_REG_MOMENTS_SQL}
+), c AS (
+  SELECT n,
+         CAST(sx1 AS DOUBLE) / n AS mx1,
+         CAST(sx2 AS DOUBLE) / n AS mx2,
+         CAST(sy AS DOUBLE) / n AS my,
+         CAST(sx1x1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n AS s11,
+         CAST(sx2x2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sx2 / n AS s22,
+         CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS syy_c,
+         CAST(sx1x2 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx2 / n AS s12,
+         CAST(sx1y AS DOUBLE) - CAST(sx1 AS DOUBLE) * sy / n AS s1y,
+         CAST(sx2y AS DOUBLE) - CAST(sx2 AS DOUBLE) * sy / n AS s2y
+  FROM m
+), b AS (
+  SELECT n, mx1, mx2, my, syy_c, s1y, s2y,
+         (s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) AS b1,
+         (s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) AS b2
+  FROM c
+)
+SELECT n,
+       floor((my - b1 * mx1 - b2 * mx2) * 1000000 + 0.5) / 1000000.0
+         AS beta0,
+       floor(b1 * 1000000 + 0.5) / 1000000.0 AS beta_qty,
+       floor(b2 * 1000000 + 0.5) / 1000000.0 AS beta_disc,
+       floor((b1 * s1y + b2 * s2y) / syy_c * 1000000 + 0.5) / 1000000.0
+         AS r2,
+       floor(((b1 * s1y + b2 * s2y) / 2)
+             / ((syy_c - (b1 * s1y + b2 * s2y)) / (n - 3))
+             * 1000000 + 0.5) / 1000000.0 AS f_stat
+FROM b
+""",
+)
+def agg_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLE LINEAR REGRESSION (two regressors, closed-form normal
+    equations): price-dollars ~ quantity + discount-pct on lineitem —
+    betas via the 2x2 Cramer solve over centered moments, R^2, and the
+    overall F — the multi-predictor step past ``agg_trend_ols`` (one
+    regressor), giving each predictor's effect HOLDING THE OTHER FIXED
+    (the regression twin of ``agg_partial_corr``).
+
+    b = S^-1 s: b1 = (S1y S22 - S2y S12)/det, b2 = (S2y S11 - S1y
+    S12)/det, b0 = mean residual; SSR = b1 S1y + b2 S2y; F = (SSR/2) /
+    ((SST-SSR)/(n-3)).  Same moment discipline as ``agg_partial_corr``
+    (shared exact-int64 1-row aggregate); all derived quantities are
+    closed-form doubles in identical order both engines.  One scan,
+    zero shuffles beyond the 1-row combine — at 100 TB this is the
+    map-side-combine ideal."""
+    m = _reg_moments(spark, sf_dir)
+    n = F.col("n")
+    c = m.select(
+        "n",
+        (F.col("sx1").cast("double") / n).alias("mx1"),
+        (F.col("sx2").cast("double") / n).alias("mx2"),
+        (F.col("sy").cast("double") / n).alias("my"),
+        (F.col("sx1x1").cast("double") - F.col("sx1").cast("double") * F.col("sx1") / n).alias("s11"),
+        (F.col("sx2x2").cast("double") - F.col("sx2").cast("double") * F.col("sx2") / n).alias("s22"),
+        (F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / n).alias("syy_c"),
+        (F.col("sx1x2").cast("double") - F.col("sx1").cast("double") * F.col("sx2") / n).alias("s12"),
+        (F.col("sx1y").cast("double") - F.col("sx1").cast("double") * F.col("sy") / n).alias("s1y"),
+        (F.col("sx2y").cast("double") - F.col("sx2").cast("double") * F.col("sy") / n).alias("s2y"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    b = c.select(
+        "n",
+        "mx1",
+        "mx2",
+        "my",
+        "syy_c",
+        "s1y",
+        "s2y",
+        ((F.col("s1y") * F.col("s22") - F.col("s2y") * F.col("s12")) / det).alias("b1"),
+        ((F.col("s2y") * F.col("s11") - F.col("s1y") * F.col("s12")) / det).alias("b2"),
+    )
+    ssr = F.col("b1") * F.col("s1y") + F.col("b2") * F.col("s2y")
+    return b.select(
+        "n",
+        r6(F.col("my") - F.col("b1") * F.col("mx1") - F.col("b2") * F.col("mx2")).alias("beta0"),
+        r6(F.col("b1")).alias("beta_qty"),
+        r6(F.col("b2")).alias("beta_disc"),
+        r6(ssr / F.col("syy_c")).alias("r2"),
+        r6((ssr / 2) / ((F.col("syy_c") - ssr) / (n - 3))).alias("f_stat"),
+    )
+
+
+@register(
+    "agg_wilcoxon_signed_rank",
+    oracle="""
+WITH pairs AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS pc,
+         CAST(sum(CASE WHEN event_type = 'view'
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS vc,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS np,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS nv
+  FROM events GROUP BY 1
+), d AS (
+  SELECT pc - vc AS diff, abs(pc - vc) AS ad
+  FROM pairs WHERE np > 0 AND nv > 0 AND pc <> vc
+), g AS (
+  SELECT ad,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM d GROUP BY 1
+), c AS (
+  SELECT cnt, pos,
+         CAST(coalesce(sum(cnt) OVER (ORDER BY ad
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS off
+  FROM g
+), s AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         sum(pos * (off + (CAST(cnt AS DOUBLE) + 1) / 2)) AS w_plus,
+         sum(CAST(cnt AS DOUBLE) * cnt * cnt - cnt) AS tie_cubes
+  FROM c
+)
+SELECT n, w_plus,
+       floor((w_plus - CAST(n AS DOUBLE) * (n + 1) / 4)
+             / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24
+                    - tie_cubes / 48)
+             * 1000000 + 0.5) / 1000000.0 AS z_stat
+FROM s
+""",
+)
+def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILCOXON SIGNED-RANK test of paired per-user purchase vs view
+    revenue (total cents per user, users with both event types; zero
+    differences dropped per the standard treatment) — the PAIRED
+    nonparametric test the battery was missing: ``agg_mann_whitney``
+    compares independent samples, Friedman needs >=3 treatments, this
+    is the two-treatment matched-pairs case (Wilcoxon 1945).
+
+    W+ = sum of midranks of |d| over positive differences; z uses the
+    normal approximation with the standard tie correction
+    sqrt(n(n+1)(2n+1)/24 - sum(t^3 - t)/48).  Ranks never materialize
+    per pair: the tie-group decomposition (group by |d|, exclusive
+    cumulative count = rank offset) makes every midrank an exact
+    half-integer, the same discipline as ``agg_mann_whitney``; tie
+    cubes stay < 2^53.  Two shuffles total (user grain, then the
+    bounded distinct-|d| grain via distributed_rank)."""
+    ev = table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    pairs = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", c).otherwise(0))
+        .cast("long")
+        .alias("pc"),
+        F.sum(F.when(F.col("event_type") == "view", c).otherwise(0))
+        .cast("long")
+        .alias("vc"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("np"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("nv"),
+    )
+    d = pairs.filter(
+        (F.col("np") > 0) & (F.col("nv") > 0) & (F.col("pc") != F.col("vc"))
+    ).select(
+        (F.col("pc") - F.col("vc")).alias("diff"),
+        F.abs(F.col("pc") - F.col("vc")).alias("ad"),
+    )
+    g = d.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.when(F.col("diff") > 0, 1).otherwise(0)).cast("long").alias("pos"),
+    )
+    ranked = distributed_rank(g, ["ad"], sum_cols=("cnt",))
+    cgrid = ranked.select(
+        "cnt",
+        "pos",
+        (F.col("_cum_cnt") - F.col("cnt")).cast("long").alias("off"),
+    )
+    s = cgrid.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(
+            F.col("pos") * (F.col("off") + (F.col("cnt").cast("double") + 1) / 2)
+        ).alias("w_plus"),
+        F.sum(
+            F.col("cnt").cast("double") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie_cubes"),
+    )
+    n = F.col("n").cast("double")
+    z = (F.col("w_plus") - n * (F.col("n") + 1) / 4) / F.sqrt(
+        n * (F.col("n") + 1) * (2 * F.col("n") + 1) / 24 - F.col("tie_cubes") / 48
+    )
+    return s.select("n", "w_plus", r6(z).alias("z_stat"))
+
+
+_FISHER_GRID = 200_000  # lnfact grid bound; the largest lgamma argument is
+# the USER population N (the 2x2 is user-grain), ~15k at sf1 — 200k covers
+# sf>=10 with headroom, and both engines raise loudly past it (the
+# agg_bayes_ab guard discipline) instead of silently dropping tail terms.
+
+
+@register(
+    "agg_fisher_exact",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS in_a,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+              THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+), cells AS (
+  SELECT CAST(sum(in_a * conv) AS BIGINT) AS a,
+         CAST(sum(in_a) AS BIGINT) AS ka,
+         CAST(sum(conv) AS BIGINT) AS n1,
+         CAST(count(*) AS BIGINT) AS nn
+  FROM u
+), lf AS (
+  SELECT k, sum(ln(CAST(k AS DOUBLE))) OVER (ORDER BY k) AS lnf
+  FROM (SELECT unnest(generate_series(1, {_FISHER_GRID})) AS k)
+), lfx AS (SELECT k, lnf FROM lf UNION ALL SELECT 0, 0.0),
+terms AS (
+  SELECT cells.a, cells.ka, cells.n1, cells.nn, i.i,
+         (lka.lnf - lk.lnf - lkak.lnf)
+         + (lnka.lnf - lnk.lnf - lrest.lnf)
+         - (lnn.lnf - ln1.lnf - lnn1.lnf) AS lnt
+  FROM cells,
+       (SELECT unnest(generate_series(0, {_FISHER_GRID})) AS i) i,
+       lfx lka, lfx lk, lfx lkak, lfx lnka, lfx lnk, lfx lrest,
+       lfx lnn, lfx ln1, lfx lnn1
+  WHERE i.i >= cells.a AND i.i <= least(cells.ka, cells.n1)
+    AND lka.k = cells.ka AND lk.k = i.i AND lkak.k = cells.ka - i.i
+    AND lnka.k = cells.nn - cells.ka AND lnk.k = cells.n1 - i.i
+    AND lrest.k = cells.nn - cells.ka - cells.n1 + i.i
+    AND lnn.k = cells.nn AND ln1.k = cells.n1 AND lnn1.k = cells.nn - cells.n1
+)
+SELECT a, ka AS n_group_a, n1 AS n_converted, nn AS n_users,
+       CASE WHEN max(nn) > {_FISHER_GRID}
+            THEN error('agg_fisher_exact: lnfact grid too small — raise _FISHER_GRID')
+            ELSE floor(sum(exp(lnt)) * 1000000 + 0.5) / 1000000.0
+       END AS p_greater
+FROM terms GROUP BY 1, 2, 3, 4
+""",
+)
+def agg_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FISHER'S EXACT TEST (one-sided, greater) on the user-grain 2x2:
+    even/odd user split x converted (has >=1 purchase) — the exact
+    small-sample partner of ``agg_ab_test``'s normal approximation and
+    ``agg_chi2_independence``'s asymptotics: p = sum over the
+    hypergeometric tail P(X >= a | margins), each term
+    C(K,k) C(N-K, n-k) / C(N,n).
+
+    Cross-engine float discipline: every binomial coefficient comes
+    from ONE shared ln-factorial grid (cumulative sum of ln k in
+    identical ascending order both engines — the ``agg_bayes_ab``
+    recipe), the tail is <= min(K,n) terms joined against the grid
+    (parameter-sized, not corpus-sized), and both engines raise loudly
+    if the population outgrows the grid.  The corpus contributes one
+    user-grain aggregate + one 1-row combine."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("in_a"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    cells0 = u.agg(
+        F.sum(F.col("in_a") * F.col("conv")).cast("long").alias("a"),
+        F.sum("in_a").cast("long").alias("ka"),
+        F.sum("conv").cast("long").alias("n1"),
+        F.count(F.lit(1)).cast("long").alias("nn"),
+    )
+    cells = cells0.select(
+        "a",
+        "ka",
+        "n1",
+        F.when(
+            F.col("nn") > _FISHER_GRID,
+            F.raise_error(
+                "agg_fisher_exact: lnfact grid too small — raise _FISHER_GRID"
+            ).cast("long"),
+        ).otherwise(F.col("nn")).alias("nn"),
+    )
+    lf = spark.range(1, _FISHER_GRID + 1).select(
+        F.col("id").alias("k"),
+        F.sum(F.log(F.col("id").cast("double"))).over(
+            Window.orderBy("id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).alias("lnf"),
+    )
+    lfx = lf.unionAll(
+        spark.createDataFrame([(0, 0.0)], "k long, lnf double")
+    ).localCheckpoint(eager=True)
+
+    grid = spark.range(0, _FISHER_GRID + 1).select(F.col("id").alias("i"))
+    t = grid.crossJoin(F.broadcast(cells)).filter(
+        (F.col("i") >= F.col("a"))
+        & (F.col("i") <= F.least(F.col("ka"), F.col("n1")))
+    )
+    lookups = {
+        "lka": F.col("ka"),
+        "lk": F.col("i"),
+        "lkak": F.col("ka") - F.col("i"),
+        "lnka": F.col("nn") - F.col("ka"),
+        "lnk": F.col("n1") - F.col("i"),
+        "lrest": F.col("nn") - F.col("ka") - F.col("n1") + F.col("i"),
+        "lnn": F.col("nn"),
+        "ln1": F.col("n1"),
+        "lnn1": F.col("nn") - F.col("n1"),
+    }
+    for name, expr in lookups.items():
+        side = F.broadcast(
+            lfx.select(F.col("k").alias(f"{name}_k"), F.col("lnf").alias(name))
+        )
+        t = t.join(side, expr == F.col(f"{name}_k")).drop(f"{name}_k")
+    lnt = (
+        (F.col("lka") - F.col("lk") - F.col("lkak"))
+        + (F.col("lnka") - F.col("lnk") - F.col("lrest"))
+        - (F.col("lnn") - F.col("ln1") - F.col("lnn1"))
+    )
+    return (
+        t.select("a", "ka", "n1", "nn", F.exp(lnt).alias("term"))
+        .groupBy("a", "ka", "n1", "nn")
+        .agg((F.floor(F.sum("term") * 1000000 + 0.5) / 1000000.0).alias("p_greater"))
+        .select(
+            "a",
+            F.col("ka").alias("n_group_a"),
+            F.col("n1").alias("n_converted"),
+            F.col("nn").alias("n_users"),
+            "p_greater",
+        )
+    )
+
+
+@register(
+    "agg_ks_normality",
+    oracle=f"""
+WITH pts AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS sv,
+         CAST(sum(c * c) AS BIGINT) AS sq
+  FROM pts
+), s AS (
+  SELECT n,
+         CAST(sv AS DOUBLE) / n AS mu,
+         sqrt((CAST(sq AS DOUBLE) - CAST(sv AS DOUBLE) * sv / n) / (n - 1))
+           AS sd
+  FROM m
+), g AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(count(*)) OVER (ORDER BY c) AS BIGINT) AS cum
+  FROM pts GROUP BY 1
+)
+SELECT s.n,
+       floor(s.mu * 10000 + 0.5) / 10000.0 AS mean_cents,
+       floor(s.sd * 10000 + 0.5) / 10000.0 AS sd_cents,
+       floor(max(greatest(
+           CAST(g.cum AS DOUBLE) / s.n
+             - {_norm_cdf_sql("(g.c - s.mu) / s.sd")},
+           {_norm_cdf_sql("(g.c - s.mu) / s.sd")}
+             - (CAST(g.cum AS DOUBLE) - g.cnt) / s.n))
+         * 1000000 + 0.5) / 1000000.0 AS ks_d
+FROM g CROSS JOIN s
+GROUP BY 1, 2, 3
+""",
+)
+def agg_ks_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-SAMPLE KS NORMALITY statistic (Lilliefors form: mean and SD
+    estimated from the data) over event value cents: D = sup |ECDF -
+    Phi((x - m)/s)| — the goodness-of-fit readout that says whether the
+    parametric battery (t/ANOVA/effect sizes) is even admissible;
+    complements ``agg_ks_test`` (two-sample) and ``agg_jarque_bera``
+    (moment-based normality).
+
+    Both one-sided deviations are evaluated at every distinct value
+    (the ECDF's jump points): D+ uses the inclusive cumulative count,
+    D- the exclusive one — the exact sup over the step function.  Phi
+    comes from the shared A&S 26.2.17 polynomial, identical fixed-
+    Horner order both engines; moments/counts are exact int64.  Scale:
+    one moment combine + one distinct-value-grain pass via
+    ``distributed_rank`` (never a single-task window), 1-row report."""
+    ev = table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    pts = ev.select(c.alias("c"))
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("sv"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sq"),
+    )
+    s = m.select(
+        "n",
+        (F.col("sv").cast("double") / F.col("n")).alias("mu"),
+        F.sqrt(
+            (F.col("sq").cast("double") - F.col("sv").cast("double") * F.col("sv") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    g0 = pts.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    g = distributed_rank(g0, ["c"], sum_cols=("cnt",)).select(
+        "c", "cnt", F.col("_cum_cnt").cast("long").alias("cum")
+    )
+    j = g.crossJoin(F.broadcast(s))
+    phi = _norm_cdf((F.col("c") - F.col("mu")) / F.col("sd"))
+    dev = F.greatest(
+        F.col("cum").cast("double") / F.col("n") - phi,
+        phi - (F.col("cum").cast("double") - F.col("cnt")) / F.col("n"),
+    )
+    q4 = lambda x: F.floor(x * 10000 + 0.5) / 10000.0  # noqa: E731
+    return (
+        j.groupBy("n", q4(F.col("mu")).alias("mean_cents"), q4(F.col("sd")).alias("sd_cents"))
+        .agg(r6(F.max(dev)).alias("ks_d"))
+    )
+
+
+@register(
+    "agg_grubbs_test",
+    oracle="""
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sq,
+         CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mx,
+         CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mn
+  FROM events
+), s AS (
+  SELECT n, mx, mn,
+         CAST(sv AS DOUBLE) / n AS mu,
+         sqrt((CAST(sq AS DOUBLE) - CAST(sv AS DOUBLE) * sv / n) / (n - 1))
+           AS sd
+  FROM m
+)
+SELECT n, mx AS max_cents, mn AS min_cents,
+       floor(mu * 10000 + 0.5) / 10000.0 AS mean_cents,
+       floor(greatest(mx - mu, mu - mn) / sd * 1000000 + 0.5) / 1000000.0
+         AS g_stat,
+       CASE WHEN mx - mu >= mu - mn THEN 'max' ELSE 'min' END AS suspect_side
+FROM s
+""",
+)
+def agg_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRUBBS' OUTLIER statistic G = max|x - mean| / sd over event value
+    cents, with the suspect side — the classic parametric single-
+    outlier test beside the robust ``ext_outlier_mad`` (MAD flags many;
+    Grubbs scores THE most extreme point against a normal null, the
+    first question a monitoring pipeline asks of a spike).
+
+    max|x - mean| = max(max - mean, mean - min), so the whole statistic
+    is closed-form over five exact int64 accumulators from ONE
+    map-side-combined pass — no per-row deviation materializes; the
+    ratio and the tie rule (>= prefers the max side) are identical both
+    engines.  One scan, a 1-row report at any corpus size."""
+    ev = table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    m = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c).cast("long").alias("sv"),
+        F.sum(c * c).cast("long").alias("sq"),
+        F.max(c).cast("long").alias("mx"),
+        F.min(c).cast("long").alias("mn"),
+    )
+    mu = F.col("sv").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (F.col("sq").cast("double") - F.col("sv").cast("double") * F.col("sv") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    s = m.select("n", "mx", "mn", mu.alias("mu"), sd.alias("sd"))
+    g = F.greatest(F.col("mx") - F.col("mu"), F.col("mu") - F.col("mn")) / F.col("sd")
+    q4 = lambda x: F.floor(x * 10000 + 0.5) / 10000.0  # noqa: E731
+    return s.select(
+        "n",
+        F.col("mx").alias("max_cents"),
+        F.col("mn").alias("min_cents"),
+        q4(F.col("mu")).alias("mean_cents"),
+        r6(g).alias("g_stat"),
+        F.when(
+            F.col("mx") - F.col("mu") >= F.col("mu") - F.col("mn"), "max"
+        ).otherwise("min").alias("suspect_side"),
+    )

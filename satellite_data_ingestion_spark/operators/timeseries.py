@@ -3534,3 +3534,450 @@ def ext_ts_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ext_ts_theta.__doc__ = ext_ts_theta.__doc__.format(a=_THETA_ALPHA, h=_THETA_H)
+
+
+_KF_Q = 1.0e7  # process variance (cents^2): how fast the level may drift
+_KF_R = 1.0e8  # observation variance (cents^2): day-total noise
+
+
+@register(
+    "ext_ts_kalman",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+arr AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         list(CAST(cents AS DOUBLE) ORDER BY d) AS ys
+  FROM daily GROUP BY 1
+),
+folded AS (
+  -- state is a positional [m, p, sse] list (the ext_ts_holt discipline:
+  -- struct_pack in a lambda rebinds already-assigned names)
+  SELECT event_type, n,
+         list_reduce(
+           list_prepend([ys[1], CAST({_KF_R} AS DOUBLE), CAST(0 AS DOUBLE)],
+                        list_transform(ys[2:],
+                                       e -> [e, CAST(0 AS DOUBLE),
+                                             CAST(0 AS DOUBLE)])),
+           (a, x) -> [
+             a[1] + ((a[2] + {_KF_Q}) / ((a[2] + {_KF_Q}) + {_KF_R}))
+                     * (x[1] - a[1]),
+             (1.0 - ((a[2] + {_KF_Q}) / ((a[2] + {_KF_Q}) + {_KF_R})))
+               * (a[2] + {_KF_Q}),
+             a[3] + (x[1] - a[1]) * (x[1] - a[1])
+           ]
+         ) AS st
+  FROM arr WHERE n >= 2
+)
+SELECT event_type, n,
+       floor(st[1] * 10000 + 0.5) / 10000.0 AS level_cents,
+       floor(st[2] * 10000 + 0.5) / 10000.0 AS level_var,
+       floor(((st[2] + {_KF_Q}) / ((st[2] + {_KF_Q}) + {_KF_R}))
+             * 1000000 + 0.5) / 1000000.0 AS gain_next,
+       floor(sqrt(st[3] / (n - 1)) * 10000 + 0.5) / 10000.0
+         AS innovation_rmse
+FROM folded
+ORDER BY event_type
+""",
+)
+def ext_ts_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL-LEVEL KALMAN FILTER over each event type's daily revenue
+    series (random-walk state + observation noise, fixed Q/R): final
+    filtered level and its posterior variance, the steady-state-ish
+    next-step gain, and the one-step innovation RMSE — the optimal
+    recursive state estimator next to the fixed-alpha smoothers
+    (``ext_ts_ewma`` / ``ext_ts_holt``): the gain ADAPTS to the
+    accumulated uncertainty instead of being a constant.
+
+    Recursion per observation: p_pred = p + Q; k = p_pred / (p_pred +
+    R); m += k (y - m); p = (1 - k) p_pred — inherently SEQUENTIAL, so
+    it runs as the same per-series left fold as ``ext_ts_holt``
+    (``F.aggregate`` == DuckDB ``list_reduce``, positional [m, p, sse]
+    list state, identical arithmetic order both engines — the float-
+    determinism discipline), initialized m = y1, p = R.  Series are
+    CALENDAR-bounded (days in retention); series parallelize across
+    the groupBy; one corpus scan total."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("d"), F.col("cents").cast("double").alias("y"))
+                )
+            ),
+            lambda s: s.getField("y"),
+        ).alias("ys"),
+    ).filter(F.col("n") >= 2)
+    Q, R = float(_KF_Q), float(_KF_R)
+
+    def step(acc, y):
+        m, p, sse = acc.getField("m"), acc.getField("p"), acc.getField("sse")
+        k = (p + Q) / ((p + Q) + R)
+        return F.struct(
+            (m + k * (y - m)).alias("m"),
+            ((F.lit(1.0) - k) * (p + Q)).alias("p"),
+            (sse + (y - m) * (y - m)).alias("sse"),
+        )
+
+    init = F.struct(
+        F.element_at("ys", 1).alias("m"),
+        F.lit(R).alias("p"),
+        F.lit(0.0).alias("sse"),
+    )
+    st = F.aggregate(F.slice("ys", 2, F.size("ys") - 1), init, step)
+
+    def q4(x):
+        return F.floor(x * 10000 + 0.5) / 10000.0
+
+    folded = arr.select("event_type", "n", st.alias("st"))
+    gain_next = (F.col("st.p") + Q) / ((F.col("st.p") + Q) + R)
+    return folded.select(
+        "event_type",
+        "n",
+        q4(F.col("st.m")).alias("level_cents"),
+        q4(F.col("st.p")).alias("level_var"),
+        (F.floor(gain_next * 1000000 + 0.5) / 1000000.0).alias("gain_next"),
+        q4(F.sqrt(F.col("st.sse") / (F.col("n") - 1))).alias("innovation_rmse"),
+    ).orderBy("event_type")
+
+
+# Granger daily series in whole DOLLARS / raw counts so every moment
+# product stays exact int64 far past sf1 (daily purchase dollars ~1.7e6
+# at sf1; squared ~2.8e12; day-count-bounded sums << 2^63).
+_GRANGER_SQL_DAILY = """
+  SELECT date_trunc('day', ts) AS d,
+         CAST(floor(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) / 100.0) AS BIGINT) AS pd,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ck
+  FROM events GROUP BY 1
+"""
+
+
+@register(
+    "ext_ts_granger",
+    oracle=f"""
+WITH daily AS ({_GRANGER_SQL_DAILY}
+), lagged AS (
+  SELECT pd, ck,
+         lag(pd) OVER (ORDER BY d) AS pl,
+         lag(ck) OVER (ORDER BY d) AS cl
+  FROM daily
+), pts AS (
+  SELECT * FROM (
+    SELECT 'clicks->purchases' AS direction, pd AS y, pl AS yl, cl AS xl
+    FROM lagged WHERE pl IS NOT NULL
+    UNION ALL
+    SELECT 'purchases->clicks' AS direction, ck AS y, cl AS yl, pl AS xl
+    FROM lagged WHERE pl IS NOT NULL
+  )
+), m AS (
+  SELECT direction, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(yl) AS BIGINT) AS s1,
+         CAST(sum(xl) AS BIGINT) AS s2,
+         CAST(sum(yl * yl) AS BIGINT) AS s11,
+         CAST(sum(xl * xl) AS BIGINT) AS s22,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(yl * xl) AS BIGINT) AS s12,
+         CAST(sum(yl * y) AS BIGINT) AS s1y,
+         CAST(sum(xl * y) AS BIGINT) AS s2y
+  FROM pts GROUP BY 1
+), c AS (
+  SELECT direction, n,
+         CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n AS c11,
+         CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n AS c22,
+         CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS cyy,
+         CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n AS c12,
+         CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * sy / n AS c1y,
+         CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * sy / n AS c2y
+  FROM m
+), f AS (
+  SELECT direction, n, cyy, c1y, c2y,
+         cyy - c1y * c1y / c11 AS rss_r,
+         ((c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12)) AS b1,
+         ((c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12)) AS b2
+  FROM c
+)
+SELECT direction, n,
+       floor(b2 * 1000000 + 0.5) / 1000000.0 AS beta_cross,
+       floor((rss_r - (cyy - (b1 * c1y + b2 * c2y)))
+             / ((cyy - (b1 * c1y + b2 * c2y)) / (n - 3))
+             * 1000000 + 0.5) / 1000000.0 AS f_granger
+FROM f
+ORDER BY direction
+""",
+)
+def ext_ts_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRANGER CAUSALITY (lag-1, both directions) between the daily
+    click-count and daily purchase-dollars series: does yesterday's X
+    improve today's Y prediction beyond yesterday's Y?  F = (RSS_r -
+    RSS_u) / (RSS_u / (n-3)) comparing the restricted AR(1) against
+    the unrestricted y_t ~ y_(t-1) + x_(t-1) — the directional
+    lead-lag test ``ext_ts_crosscorr``'s symmetric CCF cannot give
+    (correlation at lag k says "moves together", Granger says "adds
+    predictive information").
+
+    Both regressions are CLOSED-FORM over centered moments (the
+    ``agg_ols_multi`` 2x2 Cramer solve; restricted RSS = Syy -
+    S1y^2/S11) from exact int64 sums — daily dollars/counts keep every
+    product far inside int64 past sf1.  The day spine is CALENDAR-
+    bounded, so the one unpartitioned lag window is bounded by
+    construction (the hour-spine discipline of win_gap_fill_locf);
+    the corpus contributes one day-grain combine."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.floor(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            )
+            / 100.0
+        )
+        .cast("long")
+        .alias("pd"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("ck"),
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "pd",
+        "ck",
+        F.lag("pd").over(w).alias("pl"),
+        F.lag("ck").over(w).alias("cl"),
+    ).filter(F.col("pl").isNotNull())
+    pts = lagged.select(
+        F.lit("clicks->purchases").alias("direction"),
+        F.col("pd").alias("y"),
+        F.col("pl").alias("yl"),
+        F.col("cl").alias("xl"),
+    ).unionAll(
+        lagged.select(
+            F.lit("purchases->clicks").alias("direction"),
+            F.col("ck").alias("y"),
+            F.col("cl").alias("yl"),
+            F.col("pl").alias("xl"),
+        )
+    )
+    m = pts.groupBy("direction").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("yl").cast("long").alias("s1"),
+        F.sum("xl").cast("long").alias("s2"),
+        F.sum(F.col("yl") * F.col("yl")).cast("long").alias("s11"),
+        F.sum(F.col("xl") * F.col("xl")).cast("long").alias("s22"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("yl") * F.col("xl")).cast("long").alias("s12"),
+        F.sum(F.col("yl") * F.col("y")).cast("long").alias("s1y"),
+        F.sum(F.col("xl") * F.col("y")).cast("long").alias("s2y"),
+    )
+    n = F.col("n")
+    c = m.select(
+        "direction",
+        "n",
+        (F.col("s11").cast("double") - F.col("s1").cast("double") * F.col("s1") / n).alias("c11"),
+        (F.col("s22").cast("double") - F.col("s2").cast("double") * F.col("s2") / n).alias("c22"),
+        (F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / n).alias("cyy"),
+        (F.col("s12").cast("double") - F.col("s1").cast("double") * F.col("s2") / n).alias("c12"),
+        (F.col("s1y").cast("double") - F.col("s1").cast("double") * F.col("sy") / n).alias("c1y"),
+        (F.col("s2y").cast("double") - F.col("s2").cast("double") * F.col("sy") / n).alias("c2y"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    f = c.select(
+        "direction",
+        "n",
+        "cyy",
+        "c1y",
+        "c2y",
+        (F.col("cyy") - F.col("c1y") * F.col("c1y") / F.col("c11")).alias("rss_r"),
+        ((F.col("c1y") * F.col("c22") - F.col("c2y") * F.col("c12")) / det).alias("b1"),
+        ((F.col("c2y") * F.col("c11") - F.col("c1y") * F.col("c12")) / det).alias("b2"),
+    )
+    rss_u = F.col("cyy") - (F.col("b1") * F.col("c1y") + F.col("b2") * F.col("c2y"))
+    r6l = lambda x: F.floor(x * 1000000 + 0.5) / 1000000.0  # noqa: E731
+    return f.select(
+        "direction",
+        "n",
+        r6l(F.col("b2")).alias("beta_cross"),
+        r6l((F.col("rss_r") - rss_u) / (rss_u / (F.col("n") - 3))).alias("f_granger"),
+    ).orderBy("direction")
+
+
+@register(
+    "ext_ts_ar2",
+    oracle=f"""
+WITH daily AS ({_GRANGER_SQL_DAILY}
+), lagged AS (
+  SELECT d, pd,
+         lag(pd, 1) OVER (ORDER BY d) AS l1,
+         lag(pd, 2) OVER (ORDER BY d) AS l2
+  FROM daily
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS t,
+         CAST(sum(pd) AS BIGINT) AS sy,
+         CAST(sum(pd * pd) AS BIGINT) AS syy,
+         CAST(sum(CASE WHEN l1 IS NOT NULL THEN pd * l1 ELSE 0 END)
+              AS BIGINT) AS p1,
+         CAST(sum(CASE WHEN l1 IS NOT NULL THEN pd ELSE 0 END)
+              AS BIGINT) AS h1,
+         CAST(sum(CASE WHEN l1 IS NOT NULL THEN l1 ELSE 0 END)
+              AS BIGINT) AS t1,
+         CAST(sum(CASE WHEN l1 IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS k1,
+         CAST(sum(CASE WHEN l2 IS NOT NULL THEN pd * l2 ELSE 0 END)
+              AS BIGINT) AS p2,
+         CAST(sum(CASE WHEN l2 IS NOT NULL THEN pd ELSE 0 END)
+              AS BIGINT) AS h2,
+         CAST(sum(CASE WHEN l2 IS NOT NULL THEN l2 ELSE 0 END)
+              AS BIGINT) AS t2,
+         CAST(sum(CASE WHEN l2 IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS k2,
+         CAST(max_by(pd, d) AS BIGINT) AS y_t,
+         CAST(max_by(coalesce(l1, 0), d) AS BIGINT) AS y_t1
+  FROM lagged
+), c AS (
+  SELECT t, y_t, y_t1,
+         CAST(sy AS DOUBLE) / t AS mu,
+         (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / t) / t AS c0,
+         (CAST(p1 AS DOUBLE) - (CAST(sy AS DOUBLE) / t) * (h1 + t1)
+          + k1 * ((CAST(sy AS DOUBLE) / t) * (CAST(sy AS DOUBLE) / t))) / t
+           AS c1,
+         (CAST(p2 AS DOUBLE) - (CAST(sy AS DOUBLE) / t) * (h2 + t2)
+          + k2 * ((CAST(sy AS DOUBLE) / t) * (CAST(sy AS DOUBLE) / t))) / t
+           AS c2
+  FROM m
+), r AS (
+  SELECT t, y_t, y_t1, mu, c0, c1 / c0 AS r1, c2 / c0 AS r2 FROM c
+), phi AS (
+  SELECT t, y_t, y_t1, mu, c0, r1, r2,
+         r1 * (1 - r2) / (1 - r1 * r1) AS phi1,
+         (r2 - r1 * r1) / (1 - r1 * r1) AS phi2
+  FROM r
+)
+SELECT t AS n_days,
+       floor(r1 * 1000000 + 0.5) / 1000000.0 AS acf1,
+       floor(r2 * 1000000 + 0.5) / 1000000.0 AS acf2,
+       floor(phi1 * 1000000 + 0.5) / 1000000.0 AS phi1,
+       floor(phi2 * 1000000 + 0.5) / 1000000.0 AS phi2,
+       floor((mu + phi1 * (y_t - mu) + phi2 * (y_t1 - mu)) * 10000 + 0.5)
+         / 10000.0 AS forecast_dollars,
+       floor(c0 * (1 - phi1 * r1 - phi2 * r2) * 10000 + 0.5) / 10000.0
+         AS innovation_var
+FROM phi
+""",
+)
+def ext_ts_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) MODEL of the daily purchase-dollars series via YULE-WALKER:
+    sample autocorrelations r1/r2, the closed-form coefficients phi1 =
+    r1(1-r2)/(1-r1^2), phi2 = (r2-r1^2)/(1-r1^2), the one-step
+    forecast, and the innovation variance c0(1 - phi1 r1 - phi2 r2) —
+    the autoregressive member of the forecasting family (EWMA has no
+    memory structure, Holt has trend, Holt-Winters has season; AR(2)
+    captures OSCILLATORY short-memory, e.g. day-over-day rebound).
+
+    Exactness: each biased autocovariance c_k expands to a CLOSED FORM
+    over exact int64 sums (sum y_t*y_(t-k), the head/tail partial sums
+    and the pair count — no per-row centered doubles), evaluated in
+    identical order both engines; last/second-to-last observations come
+    from max_by on the day spine.  The day grain is CALENDAR-bounded
+    (the ext_ts_granger lag-window discipline); the corpus contributes
+    one day-grain combine."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.floor(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            )
+            / 100.0
+        )
+        .cast("long")
+        .alias("pd")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "d",
+        "pd",
+        F.lag("pd", 1).over(w).alias("l1"),
+        F.lag("pd", 2).over(w).alias("l2"),
+    )
+
+    def part(prod, lagc, tag):
+        has = F.col(lagc).isNotNull()
+        return [
+            F.sum(F.when(has, prod).otherwise(0)).cast("long").alias(f"p{tag}"),
+            F.sum(F.when(has, F.col("pd")).otherwise(0)).cast("long").alias(f"h{tag}"),
+            F.sum(F.when(has, F.col(lagc)).otherwise(0)).cast("long").alias(f"t{tag}"),
+            F.sum(F.when(has, 1).otherwise(0)).cast("long").alias(f"k{tag}"),
+        ]
+
+    m = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("pd").cast("long").alias("sy"),
+        F.sum(F.col("pd") * F.col("pd")).cast("long").alias("syy"),
+        *part(F.col("pd") * F.col("l1"), "l1", "1"),
+        *part(F.col("pd") * F.col("l2"), "l2", "2"),
+        F.max_by("pd", "d").cast("long").alias("y_t"),
+        F.max_by(F.coalesce(F.col("l1"), F.lit(0)), "d").cast("long").alias("y_t1"),
+    )
+    t = F.col("t")
+    mu = F.col("sy").cast("double") / t
+
+    def ck(tag):
+        return (
+            F.col(f"p{tag}").cast("double")
+            - mu * (F.col(f"h{tag}") + F.col(f"t{tag}"))
+            + F.col(f"k{tag}") * (mu * mu)
+        ) / t
+
+    c = m.select(
+        "t",
+        "y_t",
+        "y_t1",
+        mu.alias("mu"),
+        ((F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / t) / t).alias("c0"),
+        ck("1").alias("c1"),
+        ck("2").alias("c2"),
+    )
+    r = c.select(
+        "t",
+        "y_t",
+        "y_t1",
+        "mu",
+        "c0",
+        (F.col("c1") / F.col("c0")).alias("r1"),
+        (F.col("c2") / F.col("c0")).alias("r2"),
+    )
+    phi1 = F.col("r1") * (1 - F.col("r2")) / (1 - F.col("r1") * F.col("r1"))
+    phi2 = (F.col("r2") - F.col("r1") * F.col("r1")) / (1 - F.col("r1") * F.col("r1"))
+    p = r.select("t", "y_t", "y_t1", "mu", "c0", "r1", "r2", phi1.alias("phi1"), phi2.alias("phi2"))
+    r6l = lambda x: F.floor(x * 1000000 + 0.5) / 1000000.0  # noqa: E731
+    q4 = lambda x: F.floor(x * 10000 + 0.5) / 10000.0  # noqa: E731
+    return p.select(
+        F.col("t").alias("n_days"),
+        r6l(F.col("r1")).alias("acf1"),
+        r6l(F.col("r2")).alias("acf2"),
+        r6l(F.col("phi1")).alias("phi1"),
+        r6l(F.col("phi2")).alias("phi2"),
+        q4(
+            F.col("mu")
+            + F.col("phi1") * (F.col("y_t") - F.col("mu"))
+            + F.col("phi2") * (F.col("y_t1") - F.col("mu"))
+        ).alias("forecast_dollars"),
+        q4(
+            F.col("c0")
+            * (1 - F.col("phi1") * F.col("r1") - F.col("phi2") * F.col("r2"))
+        ).alias("innovation_var"),
+    )

@@ -3049,3 +3049,522 @@ def test_bayes_ab_sf01_grid_covers_and_matches_lgamma(spark):
     )
     (r,) = registry.spec("agg_bayes_ab").fn(spark, "/root/testdata/sf0.1").collect()
     assert r.prob_b_beats_a == math.floor(p * 1e4 + 0.5) / 1e4
+
+
+def _write_events(spark, tmp_path, rows_in):
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows_in,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.mode("overwrite").parquet(os.path.join(str(tmp_path), "events.parquet"))
+
+
+def test_anova_two_way_balanced_matches_classical(spark, tmp_path):
+    """agg_anova_two_way's contrast-based Type III SS must equal the
+    CLASSICAL balanced-design formulas (a genuinely different algebra
+    path) on a balanced 2x2 fixture: 3 obs per cell, AM = hour < 12."""
+    import math
+
+    from satellite_data_ingestion_spark import registry
+
+    # cells: (purchase, AM) (purchase, PM) (view, AM) (view, PM)
+    vals = {
+        ("purchase", 1): [10.0, 12.0, 14.0],
+        ("purchase", 13): [20.0, 22.0, 30.0],
+        ("view", 1): [8.0, 9.0, 10.0],
+        ("view", 13): [11.0, 12.0, 16.0],
+    }
+    rows_in, eid = [], 0
+    for (etype, hh), vs in vals.items():
+        for v in vs:
+            rows_in.append((eid, f"2024-01-01T{hh:02d}:00:{eid:02d}", eid, etype, v, "{}"))
+            eid += 1
+    _write_events(spark, tmp_path, rows_in)
+    (r,) = registry.spec("agg_anova_two_way").fn(spark, str(tmp_path)).collect()
+
+    cents = {k: [v * 100 for v in vs] for k, vs in vals.items()}
+    m = {k: sum(vs) / len(vs) for k, vs in cents.items()}
+    grand = sum(sum(vs) for vs in cents.values()) / 12
+    ssw = sum(sum((x - sum(vs) / 3) ** 2 for x in vs) for vs in cents.values())
+    msw = ssw / (12 - 4)
+    # classical balanced two-way SS (r=3 per cell, 2 levels each factor)
+    m_a = {
+        "purchase": (m[("purchase", 1)] + m[("purchase", 13)]) / 2,
+        "view": (m[("view", 1)] + m[("view", 13)]) / 2,
+    }
+    m_b = {
+        1: (m[("purchase", 1)] + m[("view", 1)]) / 2,
+        13: (m[("purchase", 13)] + m[("view", 13)]) / 2,
+    }
+    ss_a = 6 * sum((v - grand) ** 2 for v in m_a.values())
+    ss_b = 6 * sum((v - grand) ** 2 for v in m_b.values())
+    ss_ab = 3 * sum(
+        (m[(a, b)] - m_a[a] - m_b[b] + grand) ** 2
+        for a in ("purchase", "view")
+        for b in (1, 13)
+    )
+    q = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    assert r.n_total == 12
+    assert abs(r.f_type - q(ss_a / msw)) <= 1e-6
+    assert abs(r.f_ampm - q(ss_b / msw)) <= 1e-6
+    assert abs(r.f_interaction - q(ss_ab / msw)) <= 1e-6
+
+
+def test_tukey_hsd_known_values(spark, tmp_path):
+    """agg_tukey_hsd pinned on a 3-group fixture: pair count = 3, and
+    each q statistic equals the Tukey-Kramer formula computed here."""
+    import math
+
+    from satellite_data_ingestion_spark import registry
+
+    groups = {
+        "click": [10.0, 12.0, 14.0],
+        "purchase": [20.0, 25.0, 30.0, 35.0],
+        "view": [9.0, 10.0, 11.0],
+    }
+    rows_in, eid = [], 0
+    for etype, vs in groups.items():
+        for v in vs:
+            rows_in.append((eid, f"2024-01-01T00:00:{eid:02d}", eid, etype, v, "{}"))
+            eid += 1
+    _write_events(spark, tmp_path, rows_in)
+    out = registry.spec("agg_tukey_hsd").fn(spark, str(tmp_path)).collect()
+    assert len(out) == 3  # 3 choose 2
+    cents = {k: [v * 100 for v in vs] for k, vs in groups.items()}
+    means = {k: sum(vs) / len(vs) for k, vs in cents.items()}
+    nn = {k: len(vs) for k, vs in cents.items()}
+    ssw = sum(sum((x - means[k]) ** 2 for x in vs) for k, vs in cents.items())
+    msw = ssw / (sum(nn.values()) - 3)
+    q = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    for r in out:
+        qstat = abs(means[r.grp_a] - means[r.grp_b]) / math.sqrt(
+            msw / 2 * (1 / nn[r.grp_a] + 1 / nn[r.grp_b])
+        )
+        assert r.grp_a < r.grp_b
+        assert (r.na, r.nb) == (nn[r.grp_a], nn[r.grp_b])
+        assert abs(r.mean_diff_cents - q(means[r.grp_a] - means[r.grp_b])) <= 1e-6
+        assert abs(r.q_stat - q(qstat)) <= 1e-6
+
+
+def test_partial_corr_and_ols_multi_vs_numpy(spark, tmp_path):
+    """agg_partial_corr and agg_ols_multi must reproduce numpy's
+    independent linear algebra (corrcoef + lstsq) on a constructed
+    lineitem fixture with integral quantities/discount-pct."""
+    import math
+    import os
+
+    import numpy as np
+
+    from satellite_data_ingestion_spark import registry
+
+    rng_qty = [1, 3, 5, 7, 11, 13, 17, 19, 23, 29]
+    rng_disc = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9]
+    rows_in = []
+    for i, (qy, dc) in enumerate(zip(rng_qty, rng_disc)):
+        price = float(1000 + 90 * qy - 35 * dc + (i % 3))  # whole dollars
+        rows_in.append((i, i, i, 1, float(qy), price, dc / 100.0, 0.01, "N", "O"))
+    df = spark.createDataFrame(
+        rows_in,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string",
+    )
+    df.write.mode("overwrite").parquet(os.path.join(str(tmp_path), "lineitem.parquet"))
+
+    x1 = np.array(rng_qty, dtype=float)
+    x2 = np.array(rng_disc, dtype=float)
+    y = np.array([round(r[5]) for r in rows_in], dtype=float)
+    q = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+
+    (pc,) = registry.spec("agg_partial_corr").fn(spark, str(tmp_path)).collect()
+    r_xy = np.corrcoef(x1, y)[0, 1]
+    r_xz = np.corrcoef(x1, x2)[0, 1]
+    r_zy = np.corrcoef(x2, y)[0, 1]
+    partial = (r_xy - r_xz * r_zy) / math.sqrt((1 - r_xz**2) * (1 - r_zy**2))
+    assert pc.n == 10
+    assert abs(pc.r_qty_price - q(r_xy)) <= 2e-6
+    assert abs(pc.partial_r_qty_price - q(partial)) <= 2e-6
+
+    (ols,) = registry.spec("agg_ols_multi").fn(spark, str(tmp_path)).collect()
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    resid = y - X @ beta
+    sst = ((y - y.mean()) ** 2).sum()
+    ssr = sst - (resid**2).sum()
+    assert abs(ols.beta0 - q(beta[0])) <= 1e-3  # lstsq path differs in ulps
+    assert abs(ols.beta_qty - q(beta[1])) <= 1e-5
+    assert abs(ols.beta_disc - q(beta[2])) <= 1e-5
+    assert abs(ols.r2 - q(ssr / sst)) <= 1e-5
+    f_ref = (ssr / 2) / ((sst - ssr) / (10 - 3))
+    assert abs(ols.f_stat - f_ref) <= max(1e-4 * f_ref, 1e-4)
+
+
+def test_wilcoxon_signed_rank_known_values(spark, tmp_path):
+    """agg_wilcoxon_signed_rank pinned on a constructed paired fixture
+    with a midrank tie: W+ and the tie-corrected z computed here by an
+    independent sort-based midrank implementation."""
+    import math
+
+    from satellite_data_ingestion_spark import registry
+
+    # user -> (purchase_total, view_total) dollars; includes |d| ties
+    pv = {
+        1: (3.0, 1.0),    # d = +200 cents
+        2: (1.0, 3.0),    # d = -200
+        3: (5.0, 1.0),    # d = +400
+        4: (4.0, 1.0),    # d = +300
+        5: (2.0, 1.0),    # d = +100
+        6: (1.5, 0.5),    # d = +100 (tie)
+        7: (2.0, 2.0),    # d = 0, dropped
+    }
+    rows_in, eid = [], 0
+    for uid, (p, v) in pv.items():
+        rows_in.append((eid, f"2024-01-01T00:00:{eid:02d}", uid, "purchase", p, "{}"))
+        eid += 1
+        rows_in.append((eid, f"2024-01-01T00:00:{eid:02d}", uid, "view", v, "{}"))
+        eid += 1
+    _write_events(spark, tmp_path, rows_in)
+    (r,) = registry.spec("agg_wilcoxon_signed_rank").fn(spark, str(tmp_path)).collect()
+
+    ds = [round((p - v) * 100) for p, v in pv.values() if p != v]
+    srt = sorted(abs(d) for d in ds)
+    midrank = {}
+    i = 0
+    while i < len(srt):
+        j = i
+        while j < len(srt) and srt[j] == srt[i]:
+            j += 1
+        for k in range(i, j):
+            midrank.setdefault(srt[i], (i + 1 + j) / 2)
+        i = j
+    w_plus = sum(midrank[abs(d)] for d in ds if d > 0)
+    n = len(ds)
+    ties = {}
+    for d in ds:
+        ties[abs(d)] = ties.get(abs(d), 0) + 1
+    tie_corr = sum(t**3 - t for t in ties.values())
+    z = (w_plus - n * (n + 1) / 4) / math.sqrt(
+        n * (n + 1) * (2 * n + 1) / 24 - tie_corr / 48
+    )
+    assert r.n == n == 6
+    assert r.w_plus == w_plus == 17.5
+    assert abs(r.z_stat - math.floor(z * 1e6 + 0.5) / 1e6) <= 1e-6
+
+
+def test_fisher_exact_matches_lgamma(spark, tmp_path):
+    """agg_fisher_exact's grid-evaluated tail must equal the same
+    hypergeometric sum computed independently with math.lgamma, on a
+    constructed 20-user fixture with known margins."""
+    import math
+
+    from satellite_data_ingestion_spark import registry
+
+    # 20 users: evens are group A.  Converted = has a purchase event.
+    conv_users = {0, 2, 4, 6, 8, 10, 1, 3}  # 6 of A, 2 of B
+    rows_in, eid = [], 0
+    for uid in range(20):
+        etype = "purchase" if uid in conv_users else "click"
+        rows_in.append((eid, f"2024-01-01T00:00:{eid:02d}", uid, etype, 1.0, "{}"))
+        eid += 1
+        rows_in.append((eid, f"2024-01-01T01:00:{eid:02d}", uid, "view", 1.0, "{}"))
+        eid += 1
+    _write_events(spark, tmp_path, rows_in)
+    (r,) = registry.spec("agg_fisher_exact").fn(spark, str(tmp_path)).collect()
+    a, K, n1, N = 6, 10, 8, 20
+    assert (r.a, r.n_group_a, r.n_converted, r.n_users) == (a, K, n1, N)
+
+    def lnc(n, k):
+        return (
+            math.lgamma(n + 1) - math.lgamma(k + 1) - math.lgamma(n - k + 1)
+        )
+
+    p = sum(
+        math.exp(lnc(K, k) + lnc(N - K, n1 - k) - lnc(N, n1))
+        for k in range(a, min(K, n1) + 1)
+    )
+    assert abs(r.p_greater - math.floor(p * 1e6 + 0.5) / 1e6) <= 2e-6
+
+
+def test_ts_kalman_known_values(spark, tmp_path):
+    """ext_ts_kalman pinned against an independent pure-Python local-level
+    Kalman recursion on a constructed one-event-per-day series."""
+    import math
+
+    from satellite_data_ingestion_spark import registry
+    from satellite_data_ingestion_spark.operators.timeseries import _KF_Q, _KF_R
+
+    vals = [100.0, 150.0, 90.0, 200.0, 170.0, 130.0]
+    rows_in = [
+        (i, f"2024-01-{i+1:02d}T10:00:00", i, "purchase", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    _write_events(spark, tmp_path, rows_in)
+    (r,) = registry.spec("ext_ts_kalman").fn(spark, str(tmp_path)).collect()
+
+    ys = [v * 100 for v in vals]
+    m, p, sse = ys[0], _KF_R, 0.0
+    for y in ys[1:]:
+        p_pred = p + _KF_Q
+        k = p_pred / (p_pred + _KF_R)
+        sse += (y - m) ** 2
+        m = m + k * (y - m)
+        p = (1 - k) * p_pred
+    q4 = lambda x: math.floor(x * 1e4 + 0.5) / 1e4  # noqa: E731
+    assert r.event_type == "purchase" and r.n == len(vals)
+    assert abs(r.level_cents - q4(m)) <= 1e-4
+    assert abs(r.level_var - q4(p)) <= 1e-4
+    gain = (p + _KF_Q) / ((p + _KF_Q) + _KF_R)
+    assert abs(r.gain_next - math.floor(gain * 1e6 + 0.5) / 1e6) <= 1e-6
+    assert abs(r.innovation_rmse - q4(math.sqrt(sse / (len(vals) - 1)))) <= 1e-4
+
+
+def test_ts_granger_detects_lead(spark, tmp_path):
+    """ext_ts_granger must (a) reproduce numpy's restricted/unrestricted
+    RSS F statistic and (b) score the constructed leader (clicks lead
+    purchases by exactly one day) far above the reverse direction."""
+    import numpy as np
+
+    from satellite_data_ingestion_spark import registry
+
+    rng = np.random.RandomState(7)
+    days = 24
+    clicks = rng.randint(5, 50, size=days)
+    # purchases dollars = 10 * yesterday's clicks + small noise
+    pdollars = np.zeros(days, dtype=int)
+    pdollars[0] = 100
+    for t in range(1, days):
+        pdollars[t] = 10 * clicks[t - 1] + int(rng.randint(0, 5))
+    rows_in, eid = [], 0
+    for t in range(days):
+        for _ in range(int(clicks[t])):
+            rows_in.append((eid, f"2024-01-{t+1:02d}T09:00:{eid%60:02d}", eid, "click", 1.0, "{}"))
+            eid += 1
+        rows_in.append((eid, f"2024-01-{t+1:02d}T12:00:00", eid, "purchase", float(pdollars[t]), "{}"))
+        eid += 1
+    _write_events(spark, tmp_path, rows_in)
+    out = {r.direction: r for r in registry.spec("ext_ts_granger").fn(spark, str(tmp_path)).collect()}
+    assert set(out) == {"clicks->purchases", "purchases->clicks"}
+
+    # independent check of the clicks->purchases F via numpy lstsq
+    y = pdollars[1:].astype(float)
+    yl = pdollars[:-1].astype(float)
+    xl = clicks[:-1].astype(float)
+    n = len(y)
+    Xr = np.column_stack([np.ones(n), yl])
+    Xu = np.column_stack([np.ones(n), yl, xl])
+    rss_r = ((y - Xr @ np.linalg.lstsq(Xr, y, rcond=None)[0]) ** 2).sum()
+    rss_u = ((y - Xu @ np.linalg.lstsq(Xu, y, rcond=None)[0]) ** 2).sum()
+    f_ref = (rss_r - rss_u) / (rss_u / (n - 3))
+    got = out["clicks->purchases"].f_granger
+    assert abs(got - f_ref) <= max(1e-3 * f_ref, 1e-3), (got, f_ref)
+    assert got > 10 * max(out["purchases->clicks"].f_granger, 1.0)
+
+
+def _write_docs(spark, tmp_path, rows_in):
+    import os
+
+    df = spark.createDataFrame(
+        rows_in, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(os.path.join(str(tmp_path), "documents.parquet"))
+
+
+def test_isotonic_calibration_monotone_and_mass_preserving(spark, tmp_path):
+    """ext_isotonic_calibration on a constructed fixture whose raw rates
+    INVERT between adjacent scores: output must be nondecreasing, must
+    preserve total positive mass (sum n*iso == sum pos), and must equal
+    an independent pure-Python minimax evaluation."""
+    from satellite_data_ingestion_spark import registry
+
+    # profile words: the a of and fast slow  (6) -> hits k via first k words
+    profile = ["the", "a", "of", "and", "fast", "slow"]
+    rows_in, did = [], 0
+    # score-level composition: (hits, n_docs, n_en) with an inversion at 2
+    comp = [(0, 4, 0), (1, 4, 3), (2, 4, 1), (3, 4, 4)]
+    for hits, nd, ne in comp:
+        text = " ".join(profile[:hits]) + (" xx yy zz" if hits else "xx yy zz")
+        for i in range(nd):
+            lang = "en" if i < ne else "fr"
+            rows_in.append((did, text.strip(), lang, "s", len(text)))
+            did += 1
+    _write_docs(spark, tmp_path, rows_in)
+    out = registry.spec("ext_isotonic_calibration").fn(spark, str(tmp_path)).collect()
+    assert len(out) == 4
+    rates = [r.iso_rate for r in sorted(out, key=lambda r: r.score)]
+    assert all(a <= b + 1e-12 for a, b in zip(rates, rates[1:])), rates
+    assert abs(sum(r.n * r.iso_rate for r in out) - sum(r.pos for r in out)) < 1e-4
+
+    # independent minimax evaluation on the same composition
+    ns = [c[1] for c in comp]
+    ps = [c[2] for c in comp]
+    B = len(comp)
+    import math
+
+    for j in range(B):
+        iso = max(
+            min(
+                sum(ps[i : k + 1]) / sum(ns[i : k + 1])
+                for k in range(j, B)
+            )
+            for i in range(j + 1)
+        )
+        assert abs(rates[j] - math.floor(iso * 1e6 + 0.5) / 1e6) <= 1e-6
+
+
+def test_best_of_n_pick_and_margin(spark, tmp_path):
+    """ext_best_of_n must pick the argmax-reward (doc_id tiebreak) per
+    pool and report the reward gap over the runner-up."""
+    from satellite_data_ingestion_spark import registry
+    from satellite_data_ingestion_spark.llm.shaping import _BON_PROMPTS
+    from satellite_data_ingestion_spark.llm.textstats import ext_quality_score
+
+    # 3 pools x several candidates; texts vary quality via token count
+    texts = {
+        0: "the a of and fast slow table scan",          # high quality
+        1: "x",                                           # low (short)
+        2: "the the the the the the the the the the",    # low diversity
+        3: "a quick filter scan with many fine tokens",  # high
+    }
+    rows_in = []
+    for did in range(12):
+        t = texts[did % 4]
+        rows_in.append((did, t, "en", "s", len(t)))
+    _write_docs(spark, tmp_path, rows_in)
+    out = {r.prompt_id: r for r in registry.spec("ext_best_of_n").fn(spark, str(tmp_path)).collect()}
+    q = {
+        r.doc_id: r.quality
+        for r in ext_quality_score(spark, str(tmp_path)).collect()
+    }
+    pools = {}
+    for did in range(12):
+        pools.setdefault(did % _BON_PROMPTS, []).append(did)
+    assert set(out) == set(pools)
+    for pid, members in pools.items():
+        ranked = sorted(members, key=lambda d: (-q[d], d))
+        r = out[pid]
+        assert r.best_doc == ranked[0]
+        assert r.n_candidates == len(members)
+        expected_margin = (
+            q[ranked[0]] - q[ranked[1]] if len(ranked) > 1 else q[ranked[0]]
+        )
+        assert abs(r.margin - round(expected_margin, 2)) <= 1e-9
+
+
+def test_heaps_law_known_curve(spark, tmp_path):
+    """ext_heaps_law pinned against numpy's log-log OLS on a constructed
+    corpus with a hand-checkable vocabulary growth curve."""
+    import numpy as np
+
+    from satellite_data_ingestion_spark import registry
+
+    docs = [
+        (0, "a b c d"),          # 4 tokens, 4 new   -> N=4,  V=4
+        (1, "a b e f g"),        # 5 tokens, 3 new   -> N=9,  V=7
+        (2, "a a a h"),          # 4 tokens, 1 new   -> N=13, V=8
+        (3, "i j k l m n"),      # 6 tokens, 6 new   -> N=19, V=14
+        (4, "a b c"),            # 3 tokens, 0 new   -> N=22, V=14
+    ]
+    rows_in = [(d, t, "en", "s", len(t)) for d, t in docs]
+    _write_docs(spark, tmp_path, rows_in)
+    (r,) = registry.spec("ext_heaps_law").fn(spark, str(tmp_path)).collect()
+    assert (r.n_docs, r.tokens, r.vocab) == (5, 22, 14)
+    N = np.array([4, 9, 13, 19, 22], dtype=float)
+    V = np.array([4, 7, 8, 14, 14], dtype=float)
+    beta, logk = np.polyfit(np.log(N), np.log(V), 1)
+    assert abs(r.heaps_beta - beta) <= 1e-5
+    assert abs(r.heaps_log_k - logk) <= 1e-5
+
+
+def test_ks_normality_vs_erf(spark, tmp_path):
+    """agg_ks_normality's polynomial-Phi D must agree with an
+    independent math.erf evaluation of the Lilliefors statistic within
+    the polynomial's documented 7.5e-8 error bound (plus rounding)."""
+    import math
+
+    from satellite_data_ingestion_spark import registry
+
+    vals = [10.0, 12.0, 12.0, 13.0, 15.0, 18.0, 20.0, 25.0, 30.0, 50.0]
+    rows_in = [
+        (i, f"2024-01-01T00:00:{i:02d}", i, "view", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    _write_events(spark, tmp_path, rows_in)
+    (r,) = registry.spec("agg_ks_normality").fn(spark, str(tmp_path)).collect()
+
+    cs = sorted(round(v * 100) for v in vals)
+    n = len(cs)
+    mu = sum(cs) / n
+    sd = math.sqrt(sum((x - mu) ** 2 for x in cs) / (n - 1))
+    phi = lambda z: 0.5 * (1 + math.erf(z / math.sqrt(2)))  # noqa: E731
+    d = 0.0
+    seen = 0
+    for c in sorted(set(cs)):
+        cnt = cs.count(c)
+        p = phi((c - mu) / sd)
+        d = max(d, (seen + cnt) / n - p, p - seen / n)
+        seen += cnt
+    assert r.n == n
+    assert abs(r.mean_cents - math.floor(mu * 1e4 + 0.5) / 1e4) <= 1e-4
+    assert abs(r.ks_d - d) <= 1e-5
+
+
+def test_grubbs_known_values(spark, tmp_path):
+    """agg_grubbs_test pinned by hand: the max-side outlier's deviation
+    over the sample SD."""
+    import math
+
+    from satellite_data_ingestion_spark import registry
+
+    vals = [10.0, 11.0, 12.0, 13.0, 14.0, 40.0]
+    rows_in = [
+        (i, f"2024-01-01T00:00:{i:02d}", i, "view", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    _write_events(spark, tmp_path, rows_in)
+    (r,) = registry.spec("agg_grubbs_test").fn(spark, str(tmp_path)).collect()
+    cs = [v * 100 for v in vals]
+    mu = sum(cs) / len(cs)
+    sd = math.sqrt(sum((x - mu) ** 2 for x in cs) / (len(cs) - 1))
+    g = max(max(cs) - mu, mu - min(cs)) / sd
+    assert (r.n, r.max_cents, r.min_cents) == (6, 4000, 1000)
+    assert r.suspect_side == "max"
+    assert abs(r.g_stat - math.floor(g * 1e6 + 0.5) / 1e6) <= 1e-6
+
+
+def test_ts_ar2_vs_numpy(spark, tmp_path):
+    """ext_ts_ar2 pinned against numpy's direct biased-autocovariance
+    Yule-Walker solution on a constructed oscillatory daily series."""
+    import numpy as np
+
+    from satellite_data_ingestion_spark import registry
+
+    # one purchase per day, whole-dollar values with an AR(2)-ish wobble
+    y = [100, 140, 90, 150, 85, 160, 95, 150, 100, 145, 92, 155, 88, 148]
+    rows_in = [
+        (i, f"2024-01-{i+1:02d}T12:00:00", i, "purchase", float(v), "{}")
+        for i, v in enumerate(y)
+    ]
+    _write_events(spark, tmp_path, rows_in)
+    (r,) = registry.spec("ext_ts_ar2").fn(spark, str(tmp_path)).collect()
+
+    a = np.array(y, dtype=float)
+    t = len(a)
+    mu = a.mean()
+    c0 = ((a - mu) ** 2).sum() / t
+    c1 = ((a[1:] - mu) * (a[:-1] - mu)).sum() / t
+    c2 = ((a[2:] - mu) * (a[:-2] - mu)).sum() / t
+    r1, r2 = c1 / c0, c2 / c0
+    phi1 = r1 * (1 - r2) / (1 - r1**2)
+    phi2 = (r2 - r1**2) / (1 - r1**2)
+    fc = mu + phi1 * (a[-1] - mu) + phi2 * (a[-2] - mu)
+    assert r.n_days == t
+    assert abs(r.acf1 - r1) <= 1e-5 and abs(r.acf2 - r2) <= 1e-5
+    assert abs(r.phi1 - phi1) <= 1e-5 and abs(r.phi2 - phi2) <= 1e-5
+    assert abs(r.forecast_dollars - fc) <= 1e-3
+    assert abs(r.innovation_var - c0 * (1 - phi1 * r1 - phi2 * r2)) <= 1e-2
+    assert r.phi2 < 0  # the constructed series oscillates
