@@ -96,6 +96,11 @@ NEW_THIS_ROUND = [
     "agg_ks_normality",
     "agg_grubbs_test",
     "ext_ts_ar2",
+    "agg_james_stein",
+    "agg_beta_binomial_smooth",
+    "pipeline_partition_reconcile",
+    "ext_crossval_folds",
+    "udf_arrow_batch",
 ]
 
 CORE = [

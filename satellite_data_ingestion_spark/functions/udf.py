@@ -240,3 +240,48 @@ def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL sdis_split_n(e.p_name, 2) s
         """
     )
+
+
+@register(
+    "udf_arrow_batch",
+    oracle="""
+SELECT doc_id,
+       CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents ORDER BY doc_id
+""",
+)
+def udf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARROW-NATIVE BATCH TRANSFORM via ``mapInArrow`` — the zero-copy
+    rung below the pandas UDFs (``udf_pandas_scalar`` round-trips
+    through pandas Series; this touches the Arrow buffers directly with
+    ``pyarrow.compute`` kernels, no pandas materialization), the right
+    tool when the per-batch work is itself a columnar kernel (token
+    counts here; at scale: tokenizers and feature extractors that
+    consume Arrow).
+
+    Engine parity is exact by construction: split-on-space token counts
+    equal spaces+1 in both pyarrow ``split_pattern`` and DuckDB
+    ``str_split``, and ``utf8_length`` counts characters like DuckDB
+    ``length``.  One scan, a pure batch projection — Arrow batches
+    stream through Python with whole-stage pipelining intact."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def counts(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            toks = pc.split_pattern(batch.column("text"), " ")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.list_value_length(toks), pa.int64()),
+                    pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
+                ],
+                ["doc_id", "n_tokens", "n_chars"],
+            )
+
+    return docs.mapInArrow(
+        counts, schema="doc_id long, n_tokens long, n_chars long"
+    ).orderBy("doc_id")

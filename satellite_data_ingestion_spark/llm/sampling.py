@@ -649,3 +649,72 @@ def ext_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 ext_negative_sampling.__doc__ = ext_negative_sampling.__doc__.format(
     k=len(_NEG_OFFSETS)
 )
+
+
+_CV_FOLDS = 5
+
+
+@register(
+    "ext_crossval_folds",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id % {_CV_FOLDS} AS fold,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en
+  FROM documents
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all,
+         CAST(sum(en) AS BIGINT) AS en_all
+  FROM d
+)
+SELECT CAST(fold AS BIGINT) AS fold,
+       CAST(count(*) AS BIGINT) AS n_val,
+       CAST(tot.n_all - count(*) AS BIGINT) AS n_train,
+       floor(CAST(sum(en) AS DOUBLE) / count(*) * 1000000 + 0.5)
+         / 1000000.0 AS val_en_rate,
+       floor(CAST(tot.en_all - sum(en) AS DOUBLE) / (tot.n_all - count(*))
+             * 1000000 + 0.5) / 1000000.0 AS train_en_rate
+FROM d CROSS JOIN tot
+GROUP BY fold, tot.n_all, tot.en_all
+ORDER BY fold
+""",
+)
+def ext_crossval_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-FOLD CROSS-VALIDATION assignment ({k} folds keyed on doc_id —
+    deterministic, no RNG state, every doc in exactly one validation
+    fold) with the per-fold balance audit: validation size, implied
+    train size, and the en-share of each side — the leakage-free
+    evaluation layout beside ``ext_dataset_split`` (one split) and
+    ``ext_cluster_stratified_split`` (leakage-safe grouping); a fold
+    whose val_en_rate drifts from its train_en_rate flags an unlucky
+    key-based partition before any model trains on it.
+
+    The fold column is a pure projection (downstream readers filter
+    scan-side, k passes over the same data, never a copy per fold);
+    the audit itself is one k-row aggregate + a broadcast 1-row total."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        (F.col("doc_id") % _CV_FOLDS).alias("fold"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("en"),
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("en").cast("long").alias("en_all"),
+    )
+    g = d.crossJoin(F.broadcast(tot)).groupBy("fold", "n_all", "en_all").agg(
+        F.count(F.lit(1)).cast("long").alias("n_val"),
+        F.sum("en").cast("long").alias("en_val"),
+    )
+    r6l = lambda x: F.floor(x * 1000000 + 0.5) / 1000000.0  # noqa: E731
+    return g.select(
+        F.col("fold").cast("long").alias("fold"),
+        "n_val",
+        (F.col("n_all") - F.col("n_val")).cast("long").alias("n_train"),
+        r6l(F.col("en_val").cast("double") / F.col("n_val")).alias("val_en_rate"),
+        r6l(
+            (F.col("en_all") - F.col("en_val")).cast("double")
+            / (F.col("n_all") - F.col("n_val"))
+        ).alias("train_en_rate"),
+    ).orderBy("fold")
+
+
+ext_crossval_folds.__doc__ = ext_crossval_folds.__doc__.format(k=_CV_FOLDS)

@@ -4484,3 +4484,220 @@ def agg_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mx") - F.col("mu") >= F.col("mu") - F.col("mn"), "max"
         ).otherwise("min").alias("suspect_side"),
     )
+
+
+@register(
+    "agg_james_stein",
+    oracle="""
+WITH g AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sv,
+         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)
+                  * CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sq
+  FROM customer GROUP BY 1
+), pooled AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS BIGINT) AS nn,
+         sum(CAST(sq AS DOUBLE) - CAST(sv AS DOUBLE) * sv / n)
+           / (sum(n) - count(*)) AS s2,
+         list_reduce(list(CAST(sv AS DOUBLE) / n ORDER BY nation),
+                     (a, b) -> a + b) / count(*) AS mbar
+  FROM g
+), spread AS (
+  SELECT k, nn, s2, mbar,
+         list_reduce(
+           (SELECT list((CAST(sv AS DOUBLE) / n - mbar)
+                        * (CAST(sv AS DOUBLE) / n - mbar) ORDER BY nation)
+            FROM g),
+           (a, b) -> a + b) AS ss
+  FROM pooled
+)
+SELECT g.nation, g.n,
+       floor((CAST(g.sv AS DOUBLE) / g.n) * 10000 + 0.5) / 10000.0
+         AS mean_cents,
+       floor(greatest(1.0 - (sp.k - 3) * (sp.s2 / g.n) / sp.ss, 0.0)
+             * 1000000 + 0.5) / 1000000.0 AS shrink_b,
+       floor((sp.mbar + greatest(1.0 - (sp.k - 3) * (sp.s2 / g.n) / sp.ss, 0.0)
+                        * (CAST(g.sv AS DOUBLE) / g.n - sp.mbar))
+             * 10000 + 0.5) / 10000.0 AS shrunk_cents
+FROM g CROSS JOIN spread sp
+ORDER BY g.nation
+""",
+)
+def agg_james_stein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIVE-PART JAMES-STEIN / EMPIRICAL-BAYES SHRINKAGE of the
+    per-nation customer balance means toward the grand mean of means
+    (Efron & Morris 1975): B_i = max(0, 1 - (k-3)(s^2/n_i)/S) with S =
+    sum (m_i - mbar)^2 — the hierarchical smoothing every per-entity
+    scorecard needs (a 3-customer nation's raw mean is mostly noise;
+    the JS estimate dominates raw means in total squared error for
+    k >= 4).  The shrinkage partner of ``agg_cuped`` (variance
+    reduction) and ``agg_standardized_rate`` (composition adjustment).
+
+    Float discipline: group moments are exact integer cents; mbar and
+    S are order-sensitive double sums, so both fold SEQUENTIALLY over
+    the nation-sorted group array (Spark ``aggregate`` HOF == DuckDB
+    ``list_reduce`` — the ext_zipf_fit recipe, k-sized).  One scan,
+    one k-row combine, a k-row report at any corpus size."""
+    cust = table(spark, sf_dir, "customer")
+    c = F.round(F.col("c_acctbal") * 100).cast("long")
+    g = cust.groupBy(F.col("c_nationkey").cast("long").alias("nation")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c).cast("long").alias("sv"),
+        F.sum(c * c).cast("long").alias("sq"),
+    )
+    mean = F.col("sv").cast("double") / F.col("n")
+
+    def fold_sorted(value_col):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("nation"), value_col.alias("v")))
+                ),
+                lambda s: s.getField("v"),
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+
+    pooled = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        (
+            F.sum(
+                F.col("sq").cast("double")
+                - F.col("sv").cast("double") * F.col("sv") / F.col("n")
+            )
+            / (F.sum("n") - F.count(F.lit(1)))
+        ).alias("s2"),
+        (fold_sorted(mean) / F.count(F.lit(1))).alias("mbar"),
+    )
+    spread = (
+        g.crossJoin(F.broadcast(pooled))
+        .groupBy("k", "nn", "s2", "mbar")
+        .agg(fold_sorted((mean - F.col("mbar")) * (mean - F.col("mbar"))).alias("ss"))
+    )
+    j = g.crossJoin(F.broadcast(spread))
+    b = F.greatest(
+        F.lit(1.0) - (F.col("k") - 3) * (F.col("s2") / F.col("n")) / F.col("ss"),
+        F.lit(0.0),
+    )
+    q4 = lambda x: F.floor(x * 10000 + 0.5) / 10000.0  # noqa: E731
+    return j.select(
+        "nation",
+        "n",
+        q4(mean).alias("mean_cents"),
+        r6(b).alias("shrink_b"),
+        q4(F.col("mbar") + b * (mean - F.col("mbar"))).alias("shrunk_cents"),
+    ).orderBy("nation")
+
+
+@register(
+    "agg_beta_binomial_smooth",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS trials,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS conv
+  FROM events GROUP BY 1
+), pm AS (
+  SELECT user_id, trials, conv,
+         CAST(floor(conv * 1000000.0 / trials) AS BIGINT) AS p
+  FROM u
+), mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(p) AS BIGINT) AS sp,
+         CAST(sum(p * p) AS BIGINT) AS spp
+  FROM pm
+), prior AS (
+  SELECT k,
+         CAST(sp AS DOUBLE) / k AS pbar,
+         (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * sp / k) / (k - 1) AS v
+  FROM mom
+), m AS (
+  SELECT k, pbar, v,
+         CASE WHEN v <= 0 THEN 1000000.0
+              ELSE greatest((pbar * (1000000.0 - pbar) - v) / v, 1.0)
+         END AS strength
+  FROM prior
+)
+SELECT pm.user_id, pm.trials, pm.conv,
+       floor(CAST(pm.conv AS DOUBLE) / pm.trials * 1000000 + 0.5)
+         / 1000000.0 AS raw_rate,
+       floor(m.strength * 10000 + 0.5) / 10000.0 AS prior_strength,
+       floor((pm.conv + m.strength * (m.pbar / 1000000.0))
+             / (pm.trials + m.strength) * 1000000 + 0.5) / 1000000.0
+         AS smoothed_rate
+FROM pm CROSS JOIN m
+ORDER BY pm.user_id
+""",
+)
+def agg_beta_binomial_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMPIRICAL-BAYES BETA-BINOMIAL SMOOTHING of per-user purchase
+    rates: a method-of-moments Beta prior fit from the population of
+    per-user rates (prior strength M = (pbar(1-pbar) - v)/v, floored at
+    1; pure-noise populations where v <= 0 get M = 1e6 ~= the pooled
+    rate), then every user's rate shrunk as (c + M*pbar)/(t + M) — the
+    rate-smoothing twin of ``agg_james_stein`` (means) and the standard
+    CTR/conversion smoothing before ranking sparse entities.
+
+    Float discipline: per-user rates quantize to exact micro-ints
+    (floor(c*1e6/t)), so the MoM moments are exact int64 sums — NO
+    order-sensitive double sum exists; prior and posterior are closed-
+    form doubles in identical order both engines.  Two shuffles (user
+    grain, 1-row combine broadcast back); user-grain output."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("trials"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("conv"),
+    )
+    pm = u.select(
+        "user_id",
+        "trials",
+        "conv",
+        F.floor(F.col("conv") * 1000000.0 / F.col("trials")).cast("long").alias("p"),
+    )
+    mom = pm.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("p").cast("long").alias("sp"),
+        F.sum(F.col("p") * F.col("p")).cast("long").alias("spp"),
+    )
+    prior = mom.select(
+        "k",
+        (F.col("sp").cast("double") / F.col("k")).alias("pbar"),
+        (
+            (F.col("spp").cast("double") - F.col("sp").cast("double") * F.col("sp") / F.col("k"))
+            / (F.col("k") - 1)
+        ).alias("v"),
+    )
+    m = prior.select(
+        "k",
+        "pbar",
+        "v",
+        F.when(F.col("v") <= 0, F.lit(1000000.0))
+        .otherwise(
+            F.greatest(
+                (F.col("pbar") * (F.lit(1000000.0) - F.col("pbar")) - F.col("v"))
+                / F.col("v"),
+                F.lit(1.0),
+            )
+        )
+        .alias("strength"),
+    )
+    j = pm.crossJoin(F.broadcast(m))
+    q4 = lambda x: F.floor(x * 10000 + 0.5) / 10000.0  # noqa: E731
+    return j.select(
+        "user_id",
+        "trials",
+        "conv",
+        r6(F.col("conv").cast("double") / F.col("trials")).alias("raw_rate"),
+        q4(F.col("strength")).alias("prior_strength"),
+        r6(
+            (F.col("conv") + F.col("strength") * (F.col("pbar") / 1000000.0))
+            / (F.col("trials") + F.col("strength"))
+        ).alias("smoothed_rate"),
+    ).orderBy("user_id")

@@ -166,3 +166,80 @@ def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scatter, ignore_errors=True)
         shutil.rmtree(compact, ignore_errors=True)
     return result
+
+
+@register(
+    "pipeline_partition_reconcile",
+    oracle="""
+WITH e AS (
+  SELECT 'd' || strftime(date_trunc('day', ts), '%Y%m%d') AS day,
+         day(date_trunc('day', ts)) AS dom,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT day, n AS expected_rows,
+       CAST(CASE WHEN dom % 3 <> 0 THEN n ELSE 0 END AS BIGINT) AS sunk_rows,
+       CASE WHEN dom % 3 <> 0 THEN 'ok' ELSE 'missing' END AS status
+FROM e ORDER BY day
+""",
+)
+def pipeline_partition_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION RECONCILIATION audit — the batch twin of the
+    reference's availability check (is the next 15-minute slot present
+    in the catalog but absent from local state?  sources/meteosat.py:
+    105-122): compare the day partitions a sink SHOULD hold (every day
+    present in the source) against what it DOES hold, and emit the
+    backfill worklist.  A deterministic gap (days-of-month divisible by
+    3 are withheld) simulates the failed-ticks case; the op round-trips
+    the kept days through a REAL partitioned parquet sink and derives
+    "materialized" from the files read back, so a partition lost in the
+    directory encoding would surface as a spurious 'missing'.
+
+    Scale shape: both sides reduce to the day grain before comparing —
+    the reconcile join is |days| rows regardless of corpus size, which
+    is what makes nightly reconciliation affordable on a 100 TB lake
+    (never diff row-level, diff the partition manifests; the row COUNT
+    per partition rides along as the cheap corruption check)."""
+    ev = table(spark, sf_dir, "events")
+    # 'd'-prefixed day key keeps the partition value a STRING through the
+    # directory round-trip (a bare yyyy-MM-dd is type-inferred to DATE on
+    # read-back, which would silently change the output schema).
+    day = F.concat(
+        F.lit("d"), F.date_format(F.date_trunc("day", "ts"), "yyyyMMdd")
+    )
+    rows = ev.select(
+        day.alias("day"),
+        F.dayofmonth(F.date_trunc("day", "ts")).alias("dom"),
+        "event_id",
+    )
+    expected = rows.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("expected_rows")
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), f"sdis_partition_reconcile_{os.getpid()}"
+    )
+    try:
+        rows.filter(F.col("dom") % 3 != 0).select("day", "event_id").write.mode(
+            "overwrite"
+        ).partitionBy("day").parquet(out)
+        sunk = (
+            spark.read.parquet(out)
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).cast("long").alias("sunk_rows"))
+        )
+        recon = (
+            expected.join(sunk, "day", "left")
+            .select(
+                "day",
+                "expected_rows",
+                F.coalesce(F.col("sunk_rows"), F.lit(0)).cast("long").alias("sunk_rows"),
+                F.when(F.col("sunk_rows").isNotNull(), "ok")
+                .otherwise("missing")
+                .alias("status"),
+            )
+            .orderBy("day")
+        )
+        result = spark.createDataFrame(recon.collect(), recon.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return result

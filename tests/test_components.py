@@ -3568,3 +3568,128 @@ def test_ts_ar2_vs_numpy(spark, tmp_path):
     assert abs(r.forecast_dollars - fc) <= 1e-3
     assert abs(r.innovation_var - c0 * (1 - phi1 * r1 - phi2 * r2)) <= 1e-2
     assert r.phi2 < 0  # the constructed series oscillates
+
+
+def test_james_stein_shrinkage_properties(spark, tmp_path):
+    """agg_james_stein on a constructed customer fixture: B in [0,1],
+    smaller groups shrink harder, and the exact Efron-Morris numbers
+    reproduce an independent Python evaluation."""
+    import math
+    import os
+
+    from satellite_data_ingestion_spark import registry
+
+    groups = {
+        0: [100.0] * 2,                 # tiny group, extreme mean
+        1: [10.0, 12.0, 11.0, 13.0, 9.0, 11.0, 12.0, 10.0],
+        2: [20.0, 22.0, 21.0, 19.0, 20.0, 21.0],
+        3: [15.0, 16.0, 14.0, 15.0, 16.0],
+    }
+    rows_in, cid = [], 0
+    for nk, vals in groups.items():
+        for v in vals:
+            rows_in.append((cid, f"c{cid}", nk, v, "BUILDING"))
+            cid += 1
+    spark.createDataFrame(
+        rows_in,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    ).write.mode("overwrite").parquet(os.path.join(str(tmp_path), "customer.parquet"))
+    out = {r.nation: r for r in registry.spec("agg_james_stein").fn(spark, str(tmp_path)).collect()}
+
+    cents = {k: [v * 100 for v in vs] for k, vs in groups.items()}
+    means = {k: sum(v) / len(v) for k, v in cents.items()}
+    k = len(groups)
+    nn = sum(len(v) for v in cents.values())
+    s2 = sum(sum((x - means[g]) ** 2 for x in v) for g, v in cents.items()) / (nn - k)
+    mbar = sum(means.values()) / k
+    ss = sum((m - mbar) ** 2 for m in means.values())
+    for g in groups:
+        b = max(0.0, 1 - (k - 3) * (s2 / len(groups[g])) / ss)
+        shrunk = mbar + b * (means[g] - mbar)
+        r = out[g]
+        assert 0.0 <= r.shrink_b <= 1.0
+        assert abs(r.shrink_b - math.floor(b * 1e6 + 0.5) / 1e6) <= 1e-6
+        assert abs(r.shrunk_cents - math.floor(shrunk * 1e4 + 0.5) / 1e4) <= 1e-4
+    # the 2-member group must shrink at least as hard as the 8-member one
+    assert out[0].shrink_b <= out[1].shrink_b
+
+
+def test_beta_binomial_smooth_shrinks_sparse_users(spark, tmp_path):
+    """agg_beta_binomial_smooth: smoothed rates sit between the raw rate
+    and the prior mean, and the sparse user moves further toward the
+    prior than the dense user with the same raw rate."""
+    from satellite_data_ingestion_spark import registry
+
+    # users: (trials, conversions); u1 and u2 share raw rate 0.5
+    spec = {1: (2, 1), 2: (40, 20), 3: (10, 1), 4: (10, 9), 5: (20, 8)}
+    rows_in, eid = [], 0
+    for uid, (t, c) in spec.items():
+        for i in range(t):
+            etype = "purchase" if i < c else "view"
+            rows_in.append((eid, f"2024-01-01T00:{eid//60:02d}:{eid%60:02d}", uid, etype, 1.0, "{}"))
+            eid += 1
+    _write_events(spark, tmp_path, rows_in)
+    out = {r.user_id: r for r in registry.spec("agg_beta_binomial_smooth").fn(spark, str(tmp_path)).collect()}
+    assert set(out) == set(spec)
+    rates = [c / t for t, c in spec.values()]
+    lo, hi = min(rates), max(rates)
+    for uid, (t, c) in spec.items():
+        r = out[uid]
+        assert r.trials == t and r.conv == c
+        assert lo - 1e-6 <= r.smoothed_rate <= hi + 1e-6
+    # same raw rate, fewer trials => larger pull toward the prior mean
+    pull1 = abs(out[1].smoothed_rate - out[1].raw_rate)
+    pull2 = abs(out[2].smoothed_rate - out[2].raw_rate)
+    assert pull1 > pull2
+
+
+def test_partition_reconcile_flags_withheld_days(spark, tmp_path):
+    """pipeline_partition_reconcile: days of month divisible by 3 are
+    withheld from the sink and must report status='missing' with
+    sunk_rows=0; every other day must round-trip exactly."""
+    from satellite_data_ingestion_spark import registry
+
+    rows_in, eid = [], 0
+    for dom in (1, 2, 3, 4, 6, 9, 10):
+        for _ in range(dom):  # dom rows on that day
+            rows_in.append((eid, f"2024-01-{dom:02d}T08:00:00", eid, "view", 1.0, "{}"))
+            eid += 1
+    _write_events(spark, tmp_path, rows_in)
+    out = {r.day: r for r in registry.spec("pipeline_partition_reconcile").fn(spark, str(tmp_path)).collect()}
+    assert len(out) == 7
+    for dom in (1, 2, 3, 4, 6, 9, 10):
+        r = out[f"d202401{dom:02d}"]
+        assert r.expected_rows == dom
+        if dom % 3 == 0:
+            assert r.status == "missing" and r.sunk_rows == 0
+        else:
+            assert r.status == "ok" and r.sunk_rows == dom
+
+
+def test_crossval_folds_partition_exactly(spark, tmp_path):
+    """ext_crossval_folds: folds partition the corpus (sum of val sizes
+    == corpus; train = complement per fold)."""
+    from satellite_data_ingestion_spark import registry
+    from satellite_data_ingestion_spark.llm.sampling import _CV_FOLDS
+
+    rows_in = [(i, f"tok{i} a b", "en" if i % 3 else "fr", "s", 9) for i in range(37)]
+    _write_docs(spark, tmp_path, rows_in)
+    out = registry.spec("ext_crossval_folds").fn(spark, str(tmp_path)).collect()
+    assert len(out) == _CV_FOLDS
+    assert sum(r.n_val for r in out) == 37
+    for r in out:
+        assert r.n_train == 37 - r.n_val
+
+
+def test_udf_arrow_batch_token_edge_cases(spark, tmp_path):
+    """udf_arrow_batch: pyarrow split counts must equal python
+    str.split(' ') counts including empty strings and double spaces."""
+    from satellite_data_ingestion_spark import registry
+
+    texts = ["a b c", "a  b", "", " lead", "trail ", "one"]
+    rows_in = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    _write_docs(spark, tmp_path, rows_in)
+    out = {r.doc_id: r for r in registry.spec("udf_arrow_batch").fn(spark, str(tmp_path)).collect()}
+    for i, t in enumerate(texts):
+        assert out[i].n_tokens == len(t.split(" ")), (i, t)
+        assert out[i].n_chars == len(t)
