@@ -869,24 +869,32 @@ def ext_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % _BON_PROMPTS).alias("prompt_id"),
         F.col("quality").alias("reward"),
     )
+    # Census as its own pool-grain aggregate (NOT a count window sharing
+    # the rank's partition): an unbounded count window above the rank
+    # filter blocks the WindowGroupLimit rewrite, turning the top-2
+    # selection into a full per-pool sort materialization at scale.
+    census = q.groupBy("prompt_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
     w = Window.partitionBy("prompt_id").orderBy(F.desc("reward"), "doc_id")
-    wc = Window.partitionBy("prompt_id")
     r = q.select(
         "prompt_id",
         "doc_id",
         "reward",
         F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(wc).cast("long").alias("n_candidates"),
     ).filter(F.col("rk") <= 2)
     best = F.max(F.when(F.col("rk") == 1, F.col("reward")))
     second = F.max(F.when(F.col("rk") == 2, F.col("reward")))
     return (
         r.groupBy("prompt_id")
         .agg(
-            F.max("n_candidates").alias("n_candidates"),
             F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("best_doc"),
             best.alias("best_reward"),
             F.round(F.coalesce(best - second, best), 2).alias("margin"),
+        )
+        .join(census, "prompt_id")
+        .select(
+            "prompt_id", "n_candidates", "best_doc", "best_reward", "margin"
         )
         .orderBy("prompt_id")
     )

@@ -939,3 +939,43 @@ def test_gains_curve_distributed_rank(spark):
     plan = plan_of(spark, "agg_gains_curve")
     for m in re.finditer(r"Window \[[^\]]*windowspecdefinition\(([^,]*),", plan):
         assert "_pid" in m.group(1) or "pid" in m.group(1), m.group(0)[:200]
+
+
+def test_best_of_n_window_group_limit(spark):
+    """ext_best_of_n's top-2-per-pool must plan as WindowGroupLimit (the
+    census rides a separate pool-grain aggregate; an unbounded count
+    window sharing the rank partition would block the rewrite and
+    materialize the full per-pool sort at scale)."""
+    plan = plan_of(spark, "ext_best_of_n")
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_heaps_law_windows_partitioned(spark):
+    """ext_heaps_law's growth-curve cumulative sums must come from
+    distributed_rank's per-partition local windows (plus the bounded
+    |partitions|-row offsets frame) — never a single-task window over
+    the doc-grain curve."""
+    plan = plan_of(spark, "ext_heaps_law")
+    for m in re.finditer(
+        r"Window \[[^\]]*windowspecdefinition\(([^,]*),", plan
+    ):
+        assert "_pid" in m.group(1) or "pid" in m.group(1), m.group(0)[:200]
+
+
+def test_fisher_exact_grid_broadcasts(spark):
+    """agg_fisher_exact's nine lnfact lookups must all join as broadcasts
+    (the grid is parameter-sized); the corpus side contributes only the
+    user-grain aggregate."""
+    plan = plan_of(spark, "agg_fisher_exact")
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 9, plan[:1500]
+
+
+def test_wilcoxon_rank_windows_partitioned(spark):
+    """agg_wilcoxon_signed_rank's rank offsets must come from
+    distributed_rank's per-partition windows, never a single-task
+    window over the distinct-|d| grain."""
+    plan = plan_of(spark, "agg_wilcoxon_signed_rank")
+    for m in re.finditer(
+        r"Window \[[^\]]*windowspecdefinition\(([^,]*),", plan
+    ):
+        assert "_pid" in m.group(1) or "pid" in m.group(1), m.group(0)[:200]
