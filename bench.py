@@ -101,6 +101,8 @@ NEW_THIS_ROUND = [
     "pipeline_partition_reconcile",
     "ext_crossval_folds",
     "udf_arrow_batch",
+    "ext_ndcg",
+    "ext_mmr_rerank",
 ]
 
 CORE = [

@@ -354,3 +354,261 @@ def ext_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 ext_rag_context_pack.__doc__ = ext_rag_context_pack.__doc__.format(
     budget=_PACK_BUDGET, top=_RRF_TOP_K
 )
+
+
+_NDCG_QUERIES = 8  # query vectors: vec_id 0..7
+_NDCG_K = 10
+
+# Ideal-DCG cumulative table: icum[i] = sum_{j<=i} 1/log2(j+1), summed in
+# ascending j both here and in the oracle's window — identical doubles.
+_IDCG = []
+for _i in range(1, _NDCG_K + 1):
+    import math as _math
+
+    _IDCG.append((_IDCG[-1] if _IDCG else 0.0) + 1.0 / _math.log2(_i + 1))
+
+
+@register(
+    "ext_ndcg",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS qid, label AS qlabel,
+         CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {_NDCG_QUERIES}
+), c AS (
+  SELECT q.qid,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+           AS cs,
+         e.vec_id,
+         CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS rel
+  FROM embeddings e, q WHERE e.vec_id <> q.qid
+), ranked AS (
+  SELECT qid, rel,
+         row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) AS rk
+  FROM c
+), rtot AS (
+  SELECT qid, CAST(sum(rel) AS BIGINT) AS n_relevant FROM c GROUP BY 1
+), dcg AS (
+  SELECT qid,
+         CAST(sum(rel) AS BIGINT) AS hits_at_k,
+         list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+                        list(CASE WHEN rel = 1
+                                  THEN 1.0 / log2(CAST(rk AS DOUBLE) + 1)
+                                  ELSE CAST(0 AS DOUBLE) END ORDER BY rk)),
+           (a, b) -> a + b) AS dcg
+  FROM ranked WHERE rk <= {_NDCG_K} GROUP BY qid
+), ideal AS (
+  SELECT i, sum(1.0 / log2(CAST(i AS DOUBLE) + 1)) OVER (ORDER BY i) AS icum
+  FROM (SELECT unnest(generate_series(1, {_NDCG_K})) AS i)
+)
+SELECT d.qid AS query_vec, t.n_relevant, d.hits_at_k,
+       floor(d.dcg / ideal.icum * 1000000 + 0.5) / 1000000.0 AS ndcg_at_k
+FROM dcg d JOIN rtot t USING (qid)
+JOIN ideal ON ideal.i = least(t.n_relevant, {_NDCG_K})
+ORDER BY query_vec
+""",
+)
+def ext_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{k} of label-match retrieval for {m} query vectors — the
+    RANK-QUALITY metric the retrieval family was missing
+    (``ext_brier_score``/``ext_classifier_confusion`` score
+    classification, ``ext_kmeans_purity`` clustering; nothing scored
+    the ORDER a ranker returns): relevance = same-label, ranking =
+    rounded cosine with vec_id tiebreak, DCG with the standard
+    1/log2(rank+1) discount, normalized by the ideal DCG at
+    min(R, k).
+
+    Float discipline: cosines round to 6dp before ranking (the
+    ext_sim_cosine recipe, stable cross-engine order); the <= {k}
+    discount terms fold rank-sorted (list_reduce == F.aggregate); the
+    ideal-DCG table is a k-row constant accumulated ascending in both
+    engines.  Scale shape: the per-query rank <= {k} filter plans as
+    WindowGroupLimit over the one broadcast-query scored scan; per-
+    query output is 1 row.  Brute-force scoring is the documented
+    eval-time shape (evals run over a sampled query set; the serving
+    path is the IVF/LSH family)."""
+    from pyspark.sql import Window
+
+    from .simsearch import cosine
+
+    emb = table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    q = emb.filter(F.col("vec_id") < _NDCG_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        vec.alias("qv"),
+    )
+    c = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.round(cosine(vec, F.col("qv")), 6).alias("cs"),
+            "vec_id",
+            F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cs"), "vec_id")
+    ranked = c.select(
+        "qid", "rel", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= _NDCG_K)
+    rtot = c.groupBy("qid").agg(F.sum("rel").cast("long").alias("n_relevant"))
+    term = F.when(
+        F.col("rel") == 1, F.lit(1.0) / F.log2(F.col("rk").cast("double") + 1)
+    ).otherwise(F.lit(0.0))
+    dcg = ranked.groupBy("qid").agg(
+        F.sum("rel").cast("long").alias("hits_at_k"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rk"), term.alias("t")))
+                ),
+                lambda s: s.getField("t"),
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("dcg"),
+    )
+    ideal = spark.createDataFrame(
+        [(i + 1, _IDCG[i]) for i in range(_NDCG_K)], "i long, icum double"
+    )
+    out = (
+        dcg.join(rtot, "qid")
+        .join(
+            F.broadcast(ideal),
+            F.col("i") == F.least(F.col("n_relevant"), F.lit(_NDCG_K)),
+        )
+        .select(
+            F.col("qid").alias("query_vec"),
+            "n_relevant",
+            "hits_at_k",
+            (F.floor(F.col("dcg") / F.col("icum") * 1000000 + 0.5) / 1000000.0).alias(
+                "ndcg_at_k"
+            ),
+        )
+        .orderBy("query_vec")
+    )
+    return out
+
+
+ext_ndcg.__doc__ = ext_ndcg.__doc__.format(k=_NDCG_K, m=_NDCG_QUERIES)
+
+
+_MMR_QID = 0        # query vector
+_MMR_POOL = 20      # candidate pool: brute-force top-20 by cosine
+_MMR_K = 8          # reranked picks
+_MMR_LAMBDA = 0.7   # relevance weight; 1-lambda penalizes redundancy
+
+
+def _mmr_steps_sql() -> str:
+    """Unrolled MMR selection steps s1..s{k} (the graph_betweenness
+    unrolled-CTE trick — no recursion restrictions on correlated
+    subqueries): each step appends the argmax of
+    round(l*qsim - (1-l)*max_sim_to_picked, 6) with vec_id tiebreak."""
+    steps = ["s0 AS (SELECT CAST([] AS BIGINT[]) AS picked)"]
+    for i in range(1, _MMR_K + 1):
+        steps.append(f"""s{i} AS (
+  SELECT list_append(prev.picked, (
+    SELECT sc.vec_id FROM (
+      SELECT c.vec_id,
+             round({_MMR_LAMBDA} * c.qsim - {round(1 - _MMR_LAMBDA, 10)}
+                   * coalesce((SELECT max(p.sim) FROM pairs p
+                               WHERE p.a = c.vec_id
+                                 AND list_contains(prev.picked, p.b)),
+                              CAST(0 AS DOUBLE)), 6) AS score
+      FROM pool c WHERE NOT list_contains(prev.picked, c.vec_id)
+    ) sc ORDER BY sc.score DESC, sc.vec_id LIMIT 1)) AS picked
+  FROM s{i-1} prev
+)""")
+    return ",\n".join(steps)
+
+
+@register(
+    "ext_mmr_rerank",
+    oracle=f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+  WHERE vec_id = {_MMR_QID}
+), pool AS (
+  SELECT e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+           AS qsim,
+         CAST(e.embedding AS DOUBLE[]) AS v
+  FROM embeddings e, q WHERE e.vec_id <> {_MMR_QID}
+  ORDER BY qsim DESC, e.vec_id LIMIT {_MMR_POOL}
+), pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         round(list_cosine_similarity(a.v, b.v), 6) AS sim
+  FROM pool a, pool b WHERE a.vec_id <> b.vec_id
+),
+{{steps}}
+SELECT x.i AS rank, pool.vec_id, pool.qsim
+FROM (
+  SELECT t.i, s{_MMR_K}.picked[t.i] AS pid
+  FROM s{_MMR_K}, (SELECT unnest(generate_series(1, {_MMR_K})) AS i) t
+) x JOIN pool ON pool.vec_id = x.pid
+ORDER BY rank
+""".replace("{steps}", _mmr_steps_sql()),
+)
+def ext_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE rerank (Carbonell & Goldstein 1998) of
+    the query's top-{pool} cosine candidates: greedily pick {k} results
+    maximizing l*sim(q,d) - (1-l)*max_(s in picked) sim(d,s), l={l} —
+    the diversity-aware selection a RAG context builder runs between
+    retrieval (``ext_sim_cosine``/``ext_hybrid_rrf``) and packing
+    (``ext_rag_context_pack``): near-duplicate passages waste context
+    budget, so redundancy is penalized against the already-picked set.
+
+    Cross-engine: BOTH the query sims and the {pool}x{pool} pairwise
+    sims are engine-computed and rounded to 6dp before the greedy
+    (the ext_sim_cosine discipline), so the argmax sequence is
+    identical; the oracle UNROLLS the {k} greedy steps as chained CTEs
+    (the graph_betweenness trick), each appending the per-step argmax
+    with vec_id tiebreak.  Scale shape: the corpus contributes ONE
+    broadcast-query top-{pool} scan (TakeOrdered per-partition heaps);
+    the greedy itself runs on the bounded pool (pairs = {pool}^2 rows
+    collected driver-side — parameter-sized, the ext_ts_dtw
+    query-collect precedent)."""
+    from .simsearch import cosine
+
+    emb = table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    q = emb.filter(F.col("vec_id") == _MMR_QID).select(vec.alias("qv"))
+    pool = (
+        emb.filter(F.col("vec_id") != _MMR_QID)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(vec, F.col("qv")), 6).alias("qsim"),
+            vec.alias("v"),
+        )
+        .orderBy(F.desc("qsim"), F.asc("vec_id"))
+        .limit(_MMR_POOL)
+    )
+    pool = pool.localCheckpoint(eager=True)  # score the pool once, reuse twice
+    a = pool.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = pool.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
+    )
+    qsims = {r.vec_id: r.qsim for r in pool.select("vec_id", "qsim").collect()}
+    sim = {(r.a, r.b): r.sim for r in pairs.collect()}  # POOL^2 rows, bounded
+    picked: list[int] = []
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 10)
+    import math
+
+    while len(picked) < _MMR_K and len(picked) < len(qsims):
+        best = None
+        for cid in sorted(qsims):
+            if cid in picked:
+                continue
+            pen = max((sim[(cid, p)] for p in picked), default=0.0)
+            score = math.floor((lam * qsims[cid] - mu * pen) * 1e6 + 0.5) / 1e6
+            if best is None or score > best[0]:
+                best = (score, cid)
+        picked.append(best[1])
+    rows = [(i + 1, vid, qsims[vid]) for i, vid in enumerate(picked)]
+    return spark.createDataFrame(rows, "rank long, vec_id long, qsim double")

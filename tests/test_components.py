@@ -3693,3 +3693,83 @@ def test_udf_arrow_batch_token_edge_cases(spark, tmp_path):
     for i, t in enumerate(texts):
         assert out[i].n_tokens == len(t.split(" ")), (i, t)
         assert out[i].n_chars == len(t)
+
+
+def _write_embeddings(spark, tmp_path, rows_in):
+    import os
+
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    spark.createDataFrame(rows_in, schema).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "embeddings.parquet")
+    )
+
+
+def test_ndcg_known_ranking(spark, tmp_path):
+    """ext_ndcg pinned on a constructed corpus where query 0's ranking
+    and relevance pattern are known by construction: candidates at
+    cosine 0.9/0.8/0.7 with labels match/miss/match => DCG = 1/log2(2)
+    + 1/log2(4), IDCG at R=2, hits=2."""
+    import math
+
+    from satellite_data_ingestion_spark import registry
+    from satellite_data_ingestion_spark.llm.retrieval import _NDCG_QUERIES
+
+    def vec(x, y):
+        return [float(x), float(y)] + [0.0] * 6
+
+    rows = [(0, vec(1, 0), 0)]
+    # candidates ordered by cosine to q0: .9 (label 0), .8 (label 1), .7 (label 0)
+    for vid, (c, lab) in enumerate([(0.9, 0), (0.8, 1), (0.7, 0)], start=_NDCG_QUERIES):
+        s = math.sqrt(1 - c * c)
+        rows.append((vid, vec(c, s), lab))
+    # park the other query slots far away with unmatched labels
+    for qid in range(1, _NDCG_QUERIES):
+        rows.append((qid, vec(-1, 0.001 * qid), 8))
+    _write_embeddings(spark, tmp_path, rows)
+    out = {r.query_vec: r for r in registry.spec("ext_ndcg").fn(spark, str(tmp_path)).collect()}
+    r0 = out[0]
+    assert r0.n_relevant == 2 and r0.hits_at_k == 2
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3)
+    assert abs(r0.ndcg_at_k - math.floor(dcg / idcg * 1e6 + 0.5) / 1e6) <= 1e-6
+
+
+def test_mmr_skips_redundant_candidate(spark, tmp_path):
+    """ext_mmr_rerank: when the 2nd-closest candidate nearly duplicates
+    the 1st pick, MMR must rank the more diverse 3rd candidate above it
+    (plain cosine order would not)."""
+    import math
+
+    from satellite_data_ingestion_spark import registry
+
+    # 10 and 11 lie in the (x,y) plane (near-duplicates of each other);
+    # 12 has the same query angle in the ORTHOGONAL (x,z) plane, so its
+    # redundancy penalty vs 10 is much smaller than 11's.
+    rows = [
+        (0, [1.0, 0.0, 0.0] + [0.0] * 5, 0),  # query
+        (10, [math.cos(0.10), math.sin(0.10), 0.0] + [0.0] * 5, 0),
+        (11, [math.cos(0.11), math.sin(0.11), 0.0] + [0.0] * 5, 0),
+        (12, [math.cos(0.12), 0.0, math.sin(0.12)] + [0.0] * 5, 0),
+    ]
+    _write_embeddings(spark, tmp_path, rows)
+    out = sorted(
+        registry.spec("ext_mmr_rerank").fn(spark, str(tmp_path)).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.vec_id for r in out] == [10, 12, 11]
+    assert out[0].qsim >= out[2].qsim
