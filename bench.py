@@ -103,6 +103,9 @@ NEW_THIS_ROUND = [
     "udf_arrow_batch",
     "ext_ndcg",
     "ext_mmr_rerank",
+    "ext_ts_ljung_box",
+    "agg_poisson_gof",
+    "ext_matryoshka_recall",
 ]
 
 CORE = [

@@ -355,3 +355,115 @@ def ext_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 ext_embedding_pca.__doc__ = ext_embedding_pca.__doc__.format(
     k=_PCA_COMPONENTS, d=_EMB_DIM
 )
+
+
+_MRL_DIMS = (8, 16, 32, 64)  # prefix-dim budgets; last = full dim
+_MRL_QUERIES = 8
+_MRL_K = 10
+
+
+@register(
+    "ext_matryoshka_recall",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {_MRL_QUERIES}
+), dims AS (
+  SELECT unnest([{", ".join(str(d) for d in _MRL_DIMS)}]) AS d
+), c AS (
+  SELECT dims.d, q.qid, e.vec_id,
+         round(list_cosine_similarity(
+           CAST(e.embedding AS DOUBLE[])[1:dims.d], q.qv[1:dims.d]), 6) AS cs
+  FROM embeddings e, q, dims WHERE e.vec_id <> q.qid
+), topk AS (
+  SELECT d, qid, vec_id FROM (
+    SELECT d, qid, vec_id,
+           row_number() OVER (PARTITION BY d, qid
+                              ORDER BY cs DESC, vec_id) AS rk
+    FROM c
+  ) WHERE rk <= {_MRL_K}
+), fullk AS (
+  SELECT qid, vec_id FROM topk WHERE d = {_MRL_DIMS[-1]}
+), nq AS (
+  SELECT CAST(count(DISTINCT qid) AS BIGINT) AS nq FROM fullk
+)
+SELECT CAST(t.d AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS hits,
+       floor(CAST(count(*) AS DOUBLE) / (nq.nq * {_MRL_K}) * 1000000 + 0.5)
+         / 1000000.0 AS recall_at_k
+FROM topk t
+JOIN fullk f ON t.qid = f.qid AND t.vec_id = f.vec_id
+CROSS JOIN nq
+GROUP BY t.d, nq.nq
+ORDER BY dim
+""",
+)
+def ext_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA TRUNCATION-RECALL curve: for each prefix-dimension
+    budget {dims}, the recall@{k} of cosine retrieval using only the
+    first d dimensions against the full-dim top-{k} — the evaluation
+    behind Matryoshka Representation Learning deployments (Kusupati
+    2022: serve a truncated prefix when the index must shrink; this
+    curve is the evidence for HOW MUCH you may truncate).  Completes
+    the embedding-QA family: ``ext_embedding_pca`` asks where variance
+    lives, this asks what truncation does to RETRIEVAL.
+
+    Cosine re-normalizes per budget, so no re-scaling is needed; scores
+    round to 6dp before ranking (the ext_sim_cosine recipe) and the
+    per-(budget, query) rank <= {k} plans as WindowGroupLimit over ONE
+    broadcast-query scored scan (the corpus is read once; budgets and
+    queries are a {nd}x{m}-way broadcast multiplier, never a reshuffle).
+    The full-dim row doubles as the sanity anchor (recall 1.0)."""
+    from .simsearch import cosine
+
+    emb = table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    q = emb.filter(F.col("vec_id") < _MRL_QUERIES).select(
+        F.col("vec_id").alias("qid"), vec.alias("qv")
+    )
+    dims = spark.createDataFrame([(d,) for d in _MRL_DIMS], "d int")
+    c = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "d",
+            "qid",
+            "vec_id",
+            F.round(
+                cosine(
+                    F.slice(vec, 1, F.col("d")), F.slice(F.col("qv"), 1, F.col("d"))
+                ),
+                6,
+            ).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("d", "qid").orderBy(F.desc("cs"), "vec_id")
+    topk = c.select(
+        "d", "qid", "vec_id", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= _MRL_K)
+    fullk = topk.filter(F.col("d") == _MRL_DIMS[-1]).select(
+        F.col("qid").alias("fqid"), F.col("vec_id").alias("fvid")
+    )
+    nq = fullk.agg(F.countDistinct("fqid").cast("long").alias("nq"))
+    hits = (
+        topk.join(
+            fullk,
+            (F.col("qid") == F.col("fqid")) & (F.col("vec_id") == F.col("fvid")),
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+        .crossJoin(F.broadcast(nq))
+    )
+    return hits.select(
+        F.col("d").cast("long").alias("dim"),
+        "hits",
+        (
+            F.floor(F.col("hits").cast("double") / (F.col("nq") * _MRL_K) * 1000000 + 0.5)
+            / 1000000.0
+        ).alias("recall_at_k"),
+    ).orderBy("dim")
+
+
+ext_matryoshka_recall.__doc__ = ext_matryoshka_recall.__doc__.format(
+    dims=_MRL_DIMS, k=_MRL_K, nd=len(_MRL_DIMS), m=_MRL_QUERIES
+)

@@ -4701,3 +4701,150 @@ def agg_beta_binomial_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("trials") + F.col("strength"))
         ).alias("smoothed_rate"),
     ).orderBy("user_id")
+
+
+import math as _math
+
+_PGOF_CAP = 30  # count cells 0..CAP-1 + pooled tail at CAP
+# ln k! literals, Python-computed once, injected identically into both
+# engines (k is bounded by the cell cap, so no grid machinery needed).
+_PGOF_LNF = [0.0]
+for _k in range(1, _PGOF_CAP):
+    _PGOF_LNF.append(_PGOF_LNF[-1] + _math.log(_k))
+_PGOF_DF = _PGOF_CAP + 1 - 2  # cells - 1 - one estimated parameter
+_PGOF_WH_A = 1.0 - 2.0 / (9.0 * _PGOF_DF)
+_PGOF_WH_B = _math.sqrt(2.0 / (9.0 * _PGOF_DF))
+_PGOF_THIRD = 1.0 / 3.0
+
+
+def _pgof_oracle() -> str:
+    lnf_rows = ", ".join(f"({k}, {_PGOF_LNF[k]!r})" for k in range(_PGOF_CAP))
+    z = (
+        f"(pow(chi2 / {_PGOF_DF}, {_PGOF_THIRD!r}) - {_PGOF_WH_A!r})"
+        f" / {_PGOF_WH_B!r}"
+    )
+    return f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c
+  FROM events GROUP BY 1
+), lam AS (
+  SELECT CAST(count(*) AS BIGINT) AS nu,
+         CAST(sum(c) AS DOUBLE) / count(*) AS lam
+  FROM u
+), o AS (
+  SELECT least(c, {_PGOF_CAP}) AS cell, CAST(count(*) AS BIGINT) AS obs
+  FROM u GROUP BY 1
+), lnf(k, lnf) AS (VALUES {lnf_rows}),
+e AS (
+  SELECT lnf.k AS cell,
+         lam.nu * exp(lnf.k * ln(lam.lam) - lam.lam - lnf.lnf) AS exp_n
+  FROM lnf CROSS JOIN lam
+), etail AS (
+  SELECT CAST({_PGOF_CAP} AS BIGINT) AS cell,
+         lam.nu - (SELECT list_reduce(list(exp_n ORDER BY cell),
+                                      (a, b) -> a + b) FROM e) AS exp_n
+  FROM lam
+), cells AS (
+  SELECT e2.cell, coalesce(o.obs, 0) AS obs, e2.exp_n
+  FROM (SELECT * FROM e UNION ALL SELECT * FROM etail) e2
+  LEFT JOIN o ON o.cell = e2.cell
+), chi AS (
+  SELECT list_reduce(
+           list((obs - exp_n) * (obs - exp_n) / exp_n ORDER BY cell),
+           (a, b) -> a + b) AS chi2
+  FROM cells
+)
+SELECT lam.nu AS n_users,
+       floor(lam.lam * 1000000 + 0.5) / 1000000.0 AS lambda_hat,
+       CAST({_PGOF_DF} AS BIGINT) AS df,
+       floor(chi.chi2 * 10000 + 0.5) / 10000.0 AS chi2,
+       floor((1.0 - {{phi}}) * 1000000 + 0.5) / 1000000.0 AS p_poisson
+FROM chi CROSS JOIN lam
+""".replace("{phi}", _norm_cdf_sql(z))
+
+
+@register("agg_poisson_gof", oracle=_pgof_oracle())
+def agg_poisson_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHI-SQUARE GOODNESS-OF-FIT of per-user purchase counts against a
+    fitted Poisson(lambda-hat): observed count cells 0..{cap}-1 plus a
+    pooled tail, expected cells N e^-lam lam^k / k!, chi2 with df =
+    cells - 2, and an approximate p via Wilson-Hilferty + the shared
+    A&S Phi — the DISTRIBUTIONAL verdict behind ``agg_overdispersion``
+    (its index says "variance too big"; this says whether the Poisson
+    model holds at all, cell by cell).
+
+    Exactness: observed cells are exact int64; ln k! values are
+    Python-computed literals injected identically into both engines (k
+    is bounded by the cap, no grid machinery); the expected-mass and
+    chi-square sums are order-sensitive so both fold cell-sorted
+    (list_reduce == F.aggregate).  Scale: one user-grain combine, a
+    {cap}-row cell frame, a 1-row report."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("c")
+    )
+    lam = u.agg(
+        F.count(F.lit(1)).cast("long").alias("nu"),
+        (F.sum("c").cast("double") / F.count(F.lit(1))).alias("lam"),
+    )
+    o = u.groupBy(
+        F.least(F.col("c"), F.lit(_PGOF_CAP)).alias("cell")
+    ).agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    lnf = spark.createDataFrame(
+        [(k, _PGOF_LNF[k]) for k in range(_PGOF_CAP)], "k long, lnf double"
+    )
+    e = lnf.crossJoin(F.broadcast(lam)).select(
+        F.col("k").alias("cell"),
+        (
+            F.col("nu")
+            * F.exp(F.col("k") * F.log(F.col("lam")) - F.col("lam") - F.col("lnf"))
+        ).alias("exp_n"),
+    )
+
+    def fold_cells(df, value_col):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("cell"), value_col.alias("v")))
+                ),
+                lambda s: s.getField("v"),
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+
+    emass = e.agg(fold_cells(e, F.col("exp_n")).alias("mass"))
+    etail = lam.crossJoin(F.broadcast(emass)).select(
+        F.lit(_PGOF_CAP).cast("long").alias("cell"),
+        (F.col("nu") - F.col("mass")).alias("exp_n"),
+    )
+    cells = (
+        e.unionAll(etail)
+        .join(o, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce(F.col("obs"), F.lit(0)).cast("long").alias("obs"),
+            "exp_n",
+        )
+    )
+    term = (F.col("obs") - F.col("exp_n")) * (F.col("obs") - F.col("exp_n")) / F.col("exp_n")
+    chi = cells.agg(fold_cells(cells, term).alias("chi2"))
+    z = (
+        F.pow(F.col("chi2") / _PGOF_DF, F.lit(_PGOF_THIRD)) - F.lit(_PGOF_WH_A)
+    ) / F.lit(_PGOF_WH_B)
+    out = chi.crossJoin(F.broadcast(lam))
+    q4 = lambda x: F.floor(x * 10000 + 0.5) / 10000.0  # noqa: E731
+    return out.select(
+        F.col("nu").alias("n_users"),
+        r6(F.col("lam")).alias("lambda_hat"),
+        F.lit(_PGOF_DF).cast("long").alias("df"),
+        q4(F.col("chi2")).alias("chi2"),
+        r6(F.lit(1.0) - _norm_cdf(z)).alias("p_poisson"),
+    )
+
+
+agg_poisson_gof.__doc__ = agg_poisson_gof.__doc__.format(cap=_PGOF_CAP)

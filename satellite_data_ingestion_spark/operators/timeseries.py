@@ -3981,3 +3981,151 @@ def ext_ts_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (1 - F.col("phi1") * F.col("r1") - F.col("phi2") * F.col("r2"))
         ).alias("innovation_var"),
     )
+
+
+
+_LB_LAGS = 7  # Ljung-Box lags tested
+# Wilson-Hilferty chi2(m) -> N(0,1) constants, Python-computed once and
+# injected as the SAME literals into both engines' expressions.
+_LB_WH_A = 1.0 - 2.0 / (9.0 * _LB_LAGS)
+_LB_WH_B = math.sqrt(2.0 / (9.0 * _LB_LAGS))
+_LB_THIRD = 1.0 / 3.0
+
+
+def _lb_oracle() -> str:
+    from .hypothesis import _norm_cdf_sql
+
+    z = (
+        f"(pow(q_lb / {_LB_LAGS}, {_LB_THIRD!r}) - {_LB_WH_A!r}) / {_LB_WH_B!r}"
+    )
+    return f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hr,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), s AS (
+  SELECT x, CAST(row_number() OVER (ORDER BY hr) AS BIGINT) AS t
+  FROM hourly
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS q
+  FROM s
+), p AS (
+  SELECT lag.k,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(a.x * b.x) AS BIGINT) AS pk,
+         CAST(sum(a.x) AS BIGINT) AS ak,
+         CAST(sum(b.x) AS BIGINT) AS bk
+  FROM s a
+  JOIN (SELECT unnest(generate_series(1, {_LB_LAGS})) AS k) lag ON TRUE
+  JOIN s b ON b.t = a.t - lag.k
+  GROUP BY 1
+), r AS (
+  SELECT p.k, m.n,
+         ((CAST(pk AS DOUBLE)
+           - (CAST(sx AS DOUBLE) / n) * (CAST(ak AS DOUBLE) + bk)
+           + n_pairs * ((CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)))
+          / (CAST(q AS DOUBLE)
+             - n * ((CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))))
+           AS rk
+  FROM p CROSS JOIN m
+), qsum AS (
+  SELECT CAST(max(n) AS BIGINT) AS n,
+         max(n) * (max(n) + 2.0)
+           * list_reduce(list(rk * rk / (n - k) ORDER BY k), (a, b) -> a + b)
+           AS q_lb
+  FROM r
+)
+SELECT n, CAST({_LB_LAGS} AS BIGINT) AS lags,
+       floor(q_lb * 1000000 + 0.5) / 1000000.0 AS q_lb,
+       floor((1.0 - {_norm_cdf_sql(z)}) * 1000000 + 0.5) / 1000000.0
+         AS p_white
+FROM qsum
+"""
+
+
+@register("ext_ts_ljung_box", oracle=_lb_oracle())
+def ext_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LJUNG-BOX PORTMANTEAU TEST (lags 1..{m}) on the hourly total
+    revenue series: Q = n(n+2) sum r_k^2/(n-k), with an approximate
+    p-value via the Wilson-Hilferty chi-square-to-normal transform and
+    the shared A&S Phi polynomial — the is-it-white-noise gate in front
+    of the forecasting family (fitting Holt/AR(2) to white noise reads
+    structure into luck; LB on model RESIDUALS is the standard adequacy
+    check, demonstrated here on the raw series).
+
+    Exactness: each r_k uses the ext_ts_acf expansion (every aggregate
+    an exact int64; mean-cross terms one closed-form double); the
+    {m}-term Q sum is order-sensitive so it folds k-sorted
+    (list_reduce == F.aggregate); WH constants are Python literals
+    injected identically into both engines.  Scale: one hour-grain
+    combine + a {m}-pair lag join on the bounded hour spine."""
+    from .hypothesis import _norm_cdf
+
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("x")
+    )
+    w = Window.orderBy("hr")
+    s = hourly.select("x", F.row_number().over(w).cast("long").alias("t"))
+    m = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    )
+    lags = spark.range(1, _LB_LAGS + 1).select(F.col("id").alias("k"))
+    a = s.select(F.col("x").alias("xa"), F.col("t").alias("ta"))
+    b = s.select(F.col("x").alias("xb"), F.col("t").alias("tb"))
+    p = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("tb") == F.col("ta") - F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("xa") * F.col("xb")).cast("long").alias("pk"),
+            F.sum("xa").cast("long").alias("ak"),
+            F.sum("xb").cast("long").alias("bk"),
+        )
+    )
+    j = p.crossJoin(F.broadcast(m))
+    mu = F.col("sx").cast("double") / F.col("n")
+    rk = (
+        F.col("pk").cast("double")
+        - mu * (F.col("ak").cast("double") + F.col("bk"))
+        + F.col("n_pairs") * (mu * mu)
+    ) / (F.col("q").cast("double") - F.col("n") * (mu * mu))
+    r = j.select("k", "n", rk.alias("rk"))
+    qsum = r.groupBy().agg(
+        F.max("n").cast("long").alias("n"),
+        (
+            F.max("n") * (F.max("n") + 2.0)
+            * F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("k"),
+                                (F.col("rk") * F.col("rk") / (F.col("n") - F.col("k"))).alias("v"),
+                            )
+                        )
+                    ),
+                    lambda st: st.getField("v"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("q_lb"),
+    )
+    z = (
+        F.pow(F.col("q_lb") / _LB_LAGS, F.lit(_LB_THIRD)) - F.lit(_LB_WH_A)
+    ) / F.lit(_LB_WH_B)
+    r6l = lambda x: F.floor(x * 1000000 + 0.5) / 1000000.0  # noqa: E731
+    return qsum.select(
+        "n",
+        F.lit(_LB_LAGS).cast("long").alias("lags"),
+        r6l(F.col("q_lb")).alias("q_lb"),
+        r6l(F.lit(1.0) - _norm_cdf(z)).alias("p_white"),
+    )
+
+
+ext_ts_ljung_box.__doc__ = ext_ts_ljung_box.__doc__.format(m=_LB_LAGS)

@@ -3773,3 +3773,101 @@ def test_mmr_skips_redundant_candidate(spark, tmp_path):
     )
     assert [r.vec_id for r in out] == [10, 12, 11]
     assert out[0].qsim >= out[2].qsim
+
+
+def test_ljung_box_vs_independent(spark, tmp_path):
+    """ext_ts_ljung_box pinned against an independent numpy evaluation
+    of Q on a constructed autocorrelated hourly series, and the
+    autocorrelated series must show a far smaller white-noise p than
+    its shuffled (whitened) counterpart."""
+    import numpy as np
+
+    from satellite_data_ingestion_spark import registry
+    from satellite_data_ingestion_spark.operators.timeseries import _LB_LAGS
+
+    base = [100, 120, 140, 160, 180, 160, 140, 120] * 6  # strong cycle
+    rows_in = [
+        (i, f"2024-01-{1 + i // 24:02d}T{i % 24:02d}:30:00", i, "view", float(v), "{}")
+        for i, v in enumerate(base)
+    ]
+    _write_events(spark, tmp_path, rows_in)
+    (r,) = registry.spec("ext_ts_ljung_box").fn(spark, str(tmp_path)).collect()
+
+    x = np.array([v * 100 for v in base], dtype=float)
+    n = len(x)
+    mu = x.mean()
+    c0 = ((x - mu) ** 2).sum()
+    q = 0.0
+    for k in range(1, _LB_LAGS + 1):
+        rk = ((x[k:] - mu) * (x[:-k] - mu)).sum() / c0
+        q += rk * rk / (n - k)
+    q *= n * (n + 2)
+    assert r.n == n and r.lags == _LB_LAGS
+    assert abs(r.q_lb - q) <= max(1e-4 * q, 1e-4)
+    assert r.p_white <= 1e-6  # overwhelming evidence of structure
+
+
+def test_poisson_gof_vs_independent(spark, tmp_path):
+    """agg_poisson_gof pinned against an independent math evaluation of
+    the chi-square on a constructed per-user count fixture."""
+    import math
+
+    from satellite_data_ingestion_spark import registry
+    from satellite_data_ingestion_spark.operators.hypothesis import (
+        _PGOF_CAP,
+        _PGOF_LNF,
+    )
+
+    counts = {u: c for u, c in enumerate([0, 1, 1, 2, 2, 2, 3, 3, 4, 6])}
+    rows_in, eid = [], 0
+    for uid, c in counts.items():
+        rows_in.append((eid, f"2024-01-01T00:00:{eid % 60:02d}", uid, "view", 1.0, "{}"))
+        eid += 1
+        for _ in range(c):
+            rows_in.append((eid, f"2024-01-01T01:00:{eid % 60:02d}", uid, "purchase", 1.0, "{}"))
+            eid += 1
+    _write_events(spark, tmp_path, rows_in)
+    (r,) = registry.spec("agg_poisson_gof").fn(spark, str(tmp_path)).collect()
+
+    nu = len(counts)
+    lam = sum(counts.values()) / nu
+    obs = {}
+    for c in counts.values():
+        cell = min(c, _PGOF_CAP)
+        obs[cell] = obs.get(cell, 0) + 1
+    exp = [nu * math.exp(k * math.log(lam) - lam - _PGOF_LNF[k]) for k in range(_PGOF_CAP)]
+    exp.append(nu - sum(exp))
+    chi2 = sum((obs.get(k, 0) - exp[k]) ** 2 / exp[k] for k in range(_PGOF_CAP + 1))
+    assert r.n_users == nu
+    assert abs(r.lambda_hat - math.floor(lam * 1e6 + 0.5) / 1e6) <= 1e-6
+    assert abs(r.chi2 - chi2) <= max(1e-3, 1e-5 * chi2)
+    assert 0.0 <= r.p_poisson <= 1.0
+
+
+def test_matryoshka_prefix_signal(spark, tmp_path):
+    """ext_matryoshka_recall: when all retrieval signal lives in the
+    first two dimensions, every budget achieves recall 1.0; the full-dim
+    row is exactly 1.0 by construction."""
+    import math
+
+    from satellite_data_ingestion_spark import registry
+    from satellite_data_ingestion_spark.llm.embedding_stats import (
+        _MRL_DIMS,
+        _MRL_QUERIES,
+    )
+
+    rows = []
+    for qid in range(_MRL_QUERIES):
+        theta = 0.3 * qid
+        rows.append((qid, [math.cos(theta), math.sin(theta)] + [0.0] * 62, qid))
+    for i in range(40):
+        theta = 0.07 * i
+        rows.append(
+            (100 + i, [math.cos(theta), math.sin(theta)] + [0.0] * 62, i % 10)
+        )
+    _write_embeddings(spark, tmp_path, rows)
+    out = {r.dim: r for r in registry.spec("ext_matryoshka_recall").fn(spark, str(tmp_path)).collect()}
+    assert set(out) == set(_MRL_DIMS)
+    assert out[_MRL_DIMS[-1]].recall_at_k == 1.0
+    for d in _MRL_DIMS:
+        assert out[d].recall_at_k == 1.0  # signal is entirely in dims 1-2
