@@ -106,6 +106,9 @@ NEW_THIS_ROUND = [
     "ext_ts_ljung_box",
     "agg_poisson_gof",
     "ext_matryoshka_recall",
+    "ext_calibration_ece",
+    "agg_simpson_scan",
+    "ext_reward_length_bias",
 ]
 
 CORE = [

@@ -901,3 +901,88 @@ def ext_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ext_best_of_n.__doc__ = ext_best_of_n.__doc__.format(m=_BON_PROMPTS)
+
+
+@register(
+    "ext_reward_length_bias",
+    oracle="""
+WITH q AS (
+  SELECT len(str_split(text, ' ')) AS toks,
+         CAST(round(((CASE WHEN len(str_split(text, ' ')) >= 5 THEN 0.25 ELSE 0 END)
+             + (CASE WHEN list_sum(list_transform(str_split(text, ' '),
+                        t -> CAST(length(t) AS DOUBLE)))
+                     / len(str_split(text, ' ')) <= 12.0 THEN 0.25 ELSE 0 END)
+             + (CASE WHEN CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                        AS DOUBLE) / length(text) <= 0.2 THEN 0.25 ELSE 0 END)
+             + (CASE WHEN CAST(len(list_distinct(str_split(text, ' ')))
+                        AS DOUBLE) / len(str_split(text, ' ')) >= 0.3
+                THEN 0.25 ELSE 0 END)) * 4) AS BIGINT) AS r4
+  FROM documents
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(toks) AS BIGINT) AS st,
+         CAST(sum(r4) AS BIGINT) AS sr,
+         CAST(sum(toks * toks) AS BIGINT) AS stt,
+         CAST(sum(r4 * r4) AS BIGINT) AS srr,
+         CAST(sum(toks * r4) AS BIGINT) AS str_
+  FROM q
+)
+SELECT n,
+       floor((CAST(sr AS DOUBLE) / n / 4.0) * 1000000 + 0.5) / 1000000.0
+         AS mean_reward,
+       floor((CAST(st AS DOUBLE) / n) * 1000000 + 0.5) / 1000000.0
+         AS mean_tokens,
+       floor(((n * CAST(str_ AS DOUBLE) - CAST(st AS DOUBLE) * sr)
+              / sqrt((n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st)
+                     * (n * CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * sr)))
+             * 1000000 + 0.5) / 1000000.0 AS corr_reward_tokens,
+       floor(((n * CAST(str_ AS DOUBLE) - CAST(st AS DOUBLE) * sr)
+              / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st)
+              / 4.0 * 100.0) * 1000000 + 0.5) / 1000000.0
+         AS reward_slope_per_100_tokens
+FROM m
+""",
+)
+def ext_reward_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REWARD LENGTH-BIAS AUDIT: Pearson correlation and OLS slope of
+    the quality reward against document token count — the standard
+    RLHF sanity check (length-hacked reward models prefer longer
+    outputs regardless of quality; Singhal 2023): a strong positive
+    correlation here says the gate ``ext_quality_score`` feeds
+    (``ext_best_of_n``, ``ext_preference_pairs``) is partly selecting
+    on LENGTH, and ``ext_reward_normalize`` alone won't fix it.
+
+    Exactness: reward is quarter-valued so r4 = 4*reward is an exact
+    int; token counts exact ints; all five moments come from ONE 1-row
+    map-side-combined aggregate and the corr/slope are the
+    ``agg_partial_corr`` closed forms.  One scan, zero extra shuffles."""
+    from .textstats import ext_quality_score
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("toks")
+    )
+    q = (
+        ext_quality_score(spark, sf_dir)
+        .select("doc_id", F.round(F.col("quality") * 4).cast("long").alias("r4"))
+        .join(docs, "doc_id")
+    )
+    m = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("toks").cast("long").alias("st"),
+        F.sum("r4").cast("long").alias("sr"),
+        F.sum(F.col("toks") * F.col("toks")).cast("long").alias("stt"),
+        F.sum(F.col("r4") * F.col("r4")).cast("long").alias("srr"),
+        F.sum(F.col("toks") * F.col("r4")).cast("long").alias("str_"),
+    )
+    n = F.col("n")
+    cov = n * F.col("str_").cast("double") - F.col("st").cast("double") * F.col("sr")
+    vart = n * F.col("stt").cast("double") - F.col("st").cast("double") * F.col("st")
+    varr = n * F.col("srr").cast("double") - F.col("sr").cast("double") * F.col("sr")
+    r6l = lambda x: F.floor(x * 1000000 + 0.5) / 1000000.0  # noqa: E731
+    return m.select(
+        "n",
+        r6l(F.col("sr").cast("double") / n / 4.0).alias("mean_reward"),
+        r6l(F.col("st").cast("double") / n).alias("mean_tokens"),
+        r6l(cov / F.sqrt(vart * varr)).alias("corr_reward_tokens"),
+        r6l(cov / vart / 4.0 * 100.0).alias("reward_slope_per_100_tokens"),
+    )

@@ -3418,3 +3418,76 @@ def ext_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6l(slope).alias("heaps_beta"),
         r6l((F.col("sy") - slope * F.col("sx")) / F.col("d")).alias("heaps_log_k"),
     )
+
+
+@register(
+    "ext_calibration_ece",
+    oracle=f"""
+WITH {_CAL_SCORED_SQL},
+b AS (
+  SELECT least(CAST(floor(sm / 100000.0) AS BIGINT), {_CAL_BINS - 1}) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(sm) AS BIGINT) AS ssm,
+         CAST(sum(y) AS BIGINT) AS sy
+  FROM scored GROUP BY 1
+), t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn,
+         CAST(count(*) AS BIGINT) AS n_bins,
+         CAST(sum(abs(sy * 1000000 - ssm)) AS BIGINT) AS gap_sum,
+         max(CAST(abs(sy * 1000000 - ssm) AS DOUBLE) / (n * 1000000.0))
+           AS mce
+  FROM b
+)
+SELECT nn AS n, n_bins,
+       floor(CAST(gap_sum AS DOUBLE) / (nn * 1000000.0) * 1000000 + 0.5)
+         / 1000000.0 AS ece,
+       floor(mce * 1000000 + 0.5) / 1000000.0 AS mce
+FROM t
+""",
+)
+def ext_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPECTED CALIBRATION ERROR (and max calibration error) of the
+    "is English" confidence — the single-number summary of
+    ``ext_calibration_bins``' reliability diagram (Naeini 2015's ECE:
+    the bin-weighted |accuracy - confidence| gap; MCE is the worst
+    bin), the number a model card quotes where the diagram is the
+    plot.
+
+    Exactness by construction: per-bin |sum_y*1e6 - sum_sm| is an
+    EXACT integer (scores are micro-ints), so the ECE numerator is one
+    exact int64 sum — no order-sensitive float sum exists anywhere —
+    and the two final divisions are single closed-form doubles.  One
+    scan, one |bins|-row combine, a 1-row report at any corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    hits = F.size(
+        F.array_intersect(
+            toks, F.array(*[F.lit(w) for w in _LANG_PROFILES["en"]])
+        )
+    )
+    sm = F.floor(hits.cast("double") / _EN_PROFILE_LEN * 1000000 + 0.5).cast("long")
+    scored = docs.select(
+        sm.alias("sm"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    b = scored.groupBy(
+        F.least(F.floor(F.col("sm") / 100000.0).cast("long"), F.lit(_CAL_BINS - 1)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("sm").cast("long").alias("ssm"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    gap = F.abs(F.col("sy") * 1000000 - F.col("ssm"))
+    t = b.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum(gap).cast("long").alias("gap_sum"),
+        F.max(gap.cast("double") / (F.col("n") * 1000000.0)).alias("mce"),
+    )
+    r6l = lambda x: F.floor(x * 1000000 + 0.5) / 1000000.0  # noqa: E731
+    return t.select(
+        F.col("nn").alias("n"),
+        "n_bins",
+        r6l(F.col("gap_sum").cast("double") / (F.col("nn") * 1000000.0)).alias("ece"),
+        r6l(F.col("mce")).alias("mce"),
+    )

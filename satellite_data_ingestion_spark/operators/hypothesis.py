@@ -4848,3 +4848,146 @@ def agg_poisson_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 agg_poisson_gof.__doc__ = agg_poisson_gof.__doc__.format(cap=_PGOF_CAP)
+
+
+# Shared per-(stratifier, stratum) purchase/view moment CTE: three
+# candidate confounders, each binary, each a pure projection.
+_SIMPSON_DIMS_SQL = """
+  SELECT dim, stratum,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS np,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS sp,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS nv,
+         CAST(sum(CASE WHEN event_type = 'view'
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS sv
+  FROM (
+    SELECT event_type, value, 'ampm' AS dim,
+           CASE WHEN hour(ts) < 12 THEN 0 ELSE 1 END AS stratum
+    FROM events WHERE event_type IN ('purchase', 'view')
+    UNION ALL
+    SELECT event_type, value, 'dom_parity' AS dim,
+           CAST(day(date_trunc('day', ts)) % 2 AS INT) AS stratum
+    FROM events WHERE event_type IN ('purchase', 'view')
+    UNION ALL
+    SELECT event_type, value, 'user_parity' AS dim,
+           CAST(user_id % 2 AS INT) AS stratum
+    FROM events WHERE event_type IN ('purchase', 'view')
+  ) GROUP BY 1, 2
+"""
+
+
+@register(
+    "agg_simpson_scan",
+    oracle=f"""
+WITH g AS ({_SIMPSON_DIMS_SQL}
+), d AS (
+  SELECT dim,
+         max(CASE WHEN stratum = 0 THEN np END) AS np0,
+         max(CASE WHEN stratum = 0 THEN sp END) AS sp0,
+         max(CASE WHEN stratum = 0 THEN nv END) AS nv0,
+         max(CASE WHEN stratum = 0 THEN sv END) AS sv0,
+         max(CASE WHEN stratum = 1 THEN np END) AS np1,
+         max(CASE WHEN stratum = 1 THEN sp END) AS sp1,
+         max(CASE WHEN stratum = 1 THEN nv END) AS nv1,
+         max(CASE WHEN stratum = 1 THEN sv END) AS sv1
+  FROM g GROUP BY 1
+), e AS (
+  SELECT dim,
+         CAST(sp0 + sp1 AS DOUBLE) / (np0 + np1)
+           - CAST(sv0 + sv1 AS DOUBLE) / (nv0 + nv1) AS pooled,
+         (CAST(np0 + nv0 AS DOUBLE) / (np0 + nv0 + np1 + nv1))
+           * (CAST(sp0 AS DOUBLE) / np0 - CAST(sv0 AS DOUBLE) / nv0)
+         + (CAST(np1 + nv1 AS DOUBLE) / (np0 + nv0 + np1 + nv1))
+           * (CAST(sp1 AS DOUBLE) / np1 - CAST(sv1 AS DOUBLE) / nv1)
+           AS adjusted
+  FROM d
+)
+SELECT dim AS stratifier,
+       floor(pooled * 1000000 + 0.5) / 1000000.0 AS pooled_diff_cents,
+       floor(adjusted * 1000000 + 0.5) / 1000000.0 AS adjusted_diff_cents,
+       (pooled > 0) <> (adjusted > 0) AS sign_reversal
+FROM e ORDER BY stratifier
+""",
+)
+def agg_simpson_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPSON'S-PARADOX SCAN: the purchase-vs-view mean-value gap,
+    pooled versus stratification-adjusted (stratum-size-weighted
+    within-stratum gaps), across three candidate binary confounders
+    (AM/PM, day-of-month parity, user parity) — automating the
+    crude-vs-adjusted comparison ``agg_mantel_haenszel`` makes for ONE
+    stratification of one 2x2: a `sign_reversal` row is a metric whose
+    headline direction flips once the confounder is controlled, the
+    classic dashboard trap (Simpson 1951).
+
+    Exactness: per-(dim, stratum) moments are exact int64 from one
+    unioned projection + combine; pooled and adjusted gaps are two-term
+    closed forms written stratum-0-then-stratum-1 in both engines (no
+    order-sensitive sum).  The stratifier frame is 3 dims x 2 strata at
+    any corpus size."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    c = F.round(F.col("value") * 100).cast("long")
+
+    def proj(dim, stratum):
+        return ev.select(
+            F.lit(dim).alias("dim"),
+            stratum.cast("int").alias("stratum"),
+            "event_type",
+            c.alias("cents"),
+        )
+
+    u = (
+        proj("ampm", F.when(F.hour("ts") < 12, 0).otherwise(1))
+        .unionAll(proj("dom_parity", F.dayofmonth(F.date_trunc("day", "ts")) % 2))
+        .unionAll(proj("user_parity", F.col("user_id") % 2))
+    )
+    g = u.groupBy("dim", "stratum").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("np"),
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("sp"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("nv"),
+        F.sum(F.when(F.col("event_type") == "view", F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("sv"),
+    )
+
+    def pick(col):
+        return {
+            s: F.max(F.when(F.col("stratum") == s, F.col(col))) for s in (0, 1)
+        }
+
+    np_, sp_, nv_, sv_ = pick("np"), pick("sp"), pick("nv"), pick("sv")
+    d = g.groupBy("dim").agg(
+        np_[0].alias("np0"), sp_[0].alias("sp0"),
+        nv_[0].alias("nv0"), sv_[0].alias("sv0"),
+        np_[1].alias("np1"), sp_[1].alias("sp1"),
+        nv_[1].alias("nv1"), sv_[1].alias("sv1"),
+    )
+    pooled = (
+        (F.col("sp0") + F.col("sp1")).cast("double") / (F.col("np0") + F.col("np1"))
+        - (F.col("sv0") + F.col("sv1")).cast("double") / (F.col("nv0") + F.col("nv1"))
+    )
+    ntot = F.col("np0") + F.col("nv0") + F.col("np1") + F.col("nv1")
+    adjusted = (
+        ((F.col("np0") + F.col("nv0")).cast("double") / ntot)
+        * (F.col("sp0").cast("double") / F.col("np0") - F.col("sv0").cast("double") / F.col("nv0"))
+        + ((F.col("np1") + F.col("nv1")).cast("double") / ntot)
+        * (F.col("sp1").cast("double") / F.col("np1") - F.col("sv1").cast("double") / F.col("nv1"))
+    )
+    e = d.select("dim", pooled.alias("pooled"), adjusted.alias("adjusted"))
+    return e.select(
+        F.col("dim").alias("stratifier"),
+        r6(F.col("pooled")).alias("pooled_diff_cents"),
+        r6(F.col("adjusted")).alias("adjusted_diff_cents"),
+        ((F.col("pooled") > 0) != (F.col("adjusted") > 0)).alias("sign_reversal"),
+    ).orderBy("stratifier")

@@ -3871,3 +3871,102 @@ def test_matryoshka_prefix_signal(spark, tmp_path):
     assert out[_MRL_DIMS[-1]].recall_at_k == 1.0
     for d in _MRL_DIMS:
         assert out[d].recall_at_k == 1.0  # signal is entirely in dims 1-2
+
+
+def test_calibration_ece_known(spark, tmp_path):
+    """ext_calibration_ece pinned against an independent Python ECE/MCE
+    on a constructed fixture (profile-hit scores, en/fr labels)."""
+    import math
+
+    from satellite_data_ingestion_spark import registry
+    from satellite_data_ingestion_spark.llm.textstats import (
+        _CAL_BINS,
+        _EN_PROFILE_LEN,
+        _LANG_PROFILES,
+    )
+
+    profile = list(_LANG_PROFILES["en"])
+    comp = [(0, 4, 1), (2, 5, 2), (4, 3, 3), (6, 4, 4)]  # (hits, n, n_en)
+    rows_in, did = [], 0
+    for hits, nd, ne in comp:
+        text = (" ".join(profile[:hits]) + " zz qq").strip()
+        for i in range(nd):
+            rows_in.append((did, text, "en" if i < ne else "fr", "s", len(text)))
+            did += 1
+    _write_docs(spark, tmp_path, rows_in)
+    (r,) = registry.spec("ext_calibration_ece").fn(spark, str(tmp_path)).collect()
+
+    bins = {}
+    for hits, nd, ne in comp:
+        sm = math.floor(hits / _EN_PROFILE_LEN * 1e6 + 0.5)
+        b = min(sm // 100000, _CAL_BINS - 1)
+        n0, ssm0, sy0 = bins.get(b, (0, 0, 0))
+        bins[b] = (n0 + nd, ssm0 + nd * sm, sy0 + ne)
+    nn = sum(v[0] for v in bins.values())
+    ece = sum(abs(sy * 1e6 - ssm) for _, ssm, sy in bins.values()) / (nn * 1e6)
+    mce = max(abs(sy * 1e6 - ssm) / (n * 1e6) for n, ssm, sy in bins.values())
+    assert r.n == nn and r.n_bins == len(bins)
+    assert abs(r.ece - math.floor(ece * 1e6 + 0.5) / 1e6) <= 1e-6
+    assert abs(r.mce - math.floor(mce * 1e6 + 0.5) / 1e6) <= 1e-6
+
+
+def test_simpson_scan_constructed_reversal(spark, tmp_path):
+    """agg_simpson_scan on a constructed classic Simpson fixture: the
+    pooled purchase-minus-view gap is positive but BOTH AM and PM
+    within-stratum gaps are negative => ampm row flags sign_reversal."""
+    from satellite_data_ingestion_spark import registry
+
+    rows_in, eid = [], 0
+
+    def add(n, etype, value, hour):
+        nonlocal eid
+        for _ in range(n):
+            # spread users/days so every stratifier has both strata
+            rows_in.append(
+                (eid, f"2024-01-{1 + eid % 2:02d}T{hour:02d}:00:{eid % 60:02d}",
+                 eid, etype, value, "{}")
+            )
+            eid += 1
+
+    add(2, "purchase", 10.0, 9)   # AM
+    add(8, "view", 11.0, 9)       # AM: gap -1
+    add(8, "purchase", 30.0, 15)  # PM
+    add(2, "view", 31.0, 15)      # PM: gap -1
+    _write_events(spark, tmp_path, rows_in)
+    out = {r.stratifier: r for r in registry.spec("agg_simpson_scan").fn(spark, str(tmp_path)).collect()}
+    assert set(out) == {"ampm", "dom_parity", "user_parity"}
+    r = out["ampm"]
+    assert r.pooled_diff_cents > 0 > r.adjusted_diff_cents
+    assert bool(r.sign_reversal) is True
+    assert abs(r.pooled_diff_cents - 1100.0) <= 1e-6
+    assert abs(r.adjusted_diff_cents - (-100.0)) <= 1e-6
+
+
+def test_reward_length_bias_detects_bias(spark, tmp_path):
+    """ext_reward_length_bias: on a corpus where longer docs score
+    systematically higher quality, the correlation is strongly
+    positive and matches numpy's corrcoef."""
+    import numpy as np
+
+    from satellite_data_ingestion_spark import registry
+    from satellite_data_ingestion_spark.llm.textstats import ext_quality_score
+
+    rows_in = []
+    for i in range(20):
+        if i % 2:
+            text = " ".join(f"tok{j}" for j in range(20 + i))  # long, high quality
+        else:
+            text = "x"  # short, fails the length gate
+        rows_in.append((i, text, "en", "s", len(text)))
+    _write_docs(spark, tmp_path, rows_in)
+    (r,) = registry.spec("ext_reward_length_bias").fn(spark, str(tmp_path)).collect()
+    q = {x.doc_id: x.quality for x in ext_quality_score(spark, str(tmp_path)).collect()}
+    toks = {i: len(t.split(" ")) for i, (t,) in
+            ((i, (rows_in[i][1],)) for i in range(20))}
+    corr = np.corrcoef(
+        [toks[i] for i in range(20)], [q[i] * 4 for i in range(20)]
+    )[0, 1]
+    assert r.n == 20
+    assert r.corr_reward_tokens > 0.5
+    assert abs(r.corr_reward_tokens - corr) <= 1e-5
+    assert r.reward_slope_per_100_tokens > 0

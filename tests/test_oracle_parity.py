@@ -252,3 +252,56 @@ ORDER BY i
         assert got == list(ref), (words, got, ref)
 
     check()
+
+
+def test_pav_minimax_equivalence_property():
+    """The ext_isotonic_calibration verification rests on the PAV
+    minimax theorem: the stack PAV (Spark side) and the closed-form
+    max-min over prefix sums (oracle side) are the same function.
+    Property-test that claim directly on random weighted bins — both
+    implemented here in pure Python, independent of either engine."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    bins = st.lists(
+        st.tuples(st.integers(1, 50), st.integers(0, 50)).map(
+            lambda t: (t[0], min(t[1], t[0]))  # pos <= n
+        ),
+        min_size=1,
+        max_size=12,
+    )
+
+    @given(bins)
+    @settings(max_examples=200, deadline=None)
+    def check(bs):
+        ns = [b[0] for b in bs]
+        ps = [b[1] for b in bs]
+        # stack PAV (the Spark implementation's algorithm)
+        stack = []
+        for w, p in zip(ns, ps):
+            w, p, c = float(w), float(p), 1
+            while stack and stack[-1][1] * w > p * stack[-1][0]:
+                pw, pp, pc = stack.pop()
+                w += pw
+                p += pp
+                c += pc
+            stack.append([w, p, c])
+        pav = []
+        for w, p, c in stack:
+            pav.extend([p / w] * int(c))
+        # minimax closed form (the oracle's algebra)
+        B = len(bs)
+        for j in range(B):
+            iso = max(
+                min(
+                    sum(ps[i : k + 1]) / sum(ns[i : k + 1])
+                    for k in range(j, B)
+                )
+                for i in range(j + 1)
+            )
+            assert pav[j] == iso, (bs, j, pav[j], iso)
+        # monotone and mass-preserving
+        assert all(a <= b + 1e-15 for a, b in zip(pav, pav[1:]))
+        assert abs(sum(n * r for n, r in zip(ns, pav)) - sum(ps)) < 1e-9
+
+    check()
