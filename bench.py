@@ -109,6 +109,9 @@ NEW_THIS_ROUND = [
     "ext_calibration_ece",
     "agg_simpson_scan",
     "ext_reward_length_bias",
+    "agg_icc",
+    "ext_ngram_kneser_ney",
+    "ext_keyword_textrank",
 ]
 
 CORE = [

@@ -429,3 +429,101 @@ def ext_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_KN_D = 0.75      # absolute-discount mass
+_KN_TOP = 20      # report the top-N bigrams by count
+
+
+@register(
+    "ext_ngram_kneser_ney",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, str_split(text, ' ') AS ts FROM documents
+), bi AS (
+  SELECT unnest(list_transform(range(1, len(ts)),
+                               i -> [ts[i], ts[i + 1]])) AS pair
+  FROM toks WHERE len(ts) >= 2
+), bc AS (
+  SELECT pair[1] AS v, pair[2] AS w, CAST(count(*) AS BIGINT) AS c
+  FROM bi GROUP BY 1, 2
+), uv AS (
+  SELECT v, CAST(sum(c) AS BIGINT) AS cv,
+         CAST(count(*) AS BIGINT) AS n1plus_fwd
+  FROM bc GROUP BY 1
+), cont AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n1plus_bwd FROM bc GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_bigram_types FROM bc
+)
+SELECT bc.v, bc.w, bc.c AS c_bigram, uv.cv AS c_context,
+       floor((greatest(CAST(bc.c AS DOUBLE) - {_KN_D}, 0.0) / uv.cv
+              + {_KN_D} * uv.n1plus_fwd / uv.cv
+                * (CAST(cont.n1plus_bwd AS DOUBLE) / tot.n_bigram_types))
+             * 1000000 + 0.5) / 1000000.0 AS p_kn
+FROM bc JOIN uv USING (v) JOIN cont USING (w) CROSS JOIN tot
+ORDER BY c_bigram DESC, v, w
+LIMIT {_KN_TOP}
+""",
+)
+def ext_ngram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNESER-NEY SMOOTHED BIGRAM probabilities (absolute discount
+    d={d}) for the corpus's top-{top} bigrams: P_KN(w|v) =
+    max(c(vw)-d, 0)/c(v) + d·N1+(v·)/c(v) · N1+(·w)/|bigram types| —
+    the interpolated-KN formulation (Kneser & Ney 1995; Chen & Goodman
+    1999's winner), whose CONTINUATION probability fixes the add-k
+    smoothing ``ext_ngram_lm_train`` ships ("Francisco" is frequent but
+    only ever follows "San"; KN scores it by how many contexts it
+    completes, not how often it occurs).
+
+    Every ingredient is an exact int64 count over three vocabulary-
+    grain aggregates (bigram counts, per-context totals + fan-out,
+    per-word fan-in), and P_KN is one closed-form double in identical
+    order both engines.  The fan-in/fan-out frames are vocab-sized so
+    they broadcast back onto the bigram grain — the corpus is scanned
+    once and never reshuffled."""
+    docs = table(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    bi = docs.select(ts.alias("ts")).filter(F.size("ts") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 1),
+                lambda i: F.array(F.element_at("ts", i), F.element_at("ts", i + 1)),
+            )
+        ).alias("pair")
+    )
+    bc = bi.select(
+        F.element_at("pair", 1).alias("v"), F.element_at("pair", 2).alias("w")
+    ).groupBy("v", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    uv = bc.groupBy("v").agg(
+        F.sum("c").cast("long").alias("cv"),
+        F.count(F.lit(1)).cast("long").alias("n1plus_fwd"),
+    )
+    cont = bc.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n1plus_bwd"))
+    tot = bc.agg(F.count(F.lit(1)).cast("long").alias("n_bigram_types"))
+    j = (
+        bc.join(uv, "v")
+        .join(cont, "w")
+        .crossJoin(F.broadcast(tot))
+    )
+    p_kn = (
+        F.greatest(F.col("c").cast("double") - _KN_D, F.lit(0.0)) / F.col("cv")
+        + F.lit(_KN_D) * F.col("n1plus_fwd") / F.col("cv")
+        * (F.col("n1plus_bwd").cast("double") / F.col("n_bigram_types"))
+    )
+    return (
+        j.select(
+            "v",
+            "w",
+            F.col("c").alias("c_bigram"),
+            F.col("cv").alias("c_context"),
+            (F.floor(p_kn * 1000000 + 0.5) / 1000000.0).alias("p_kn"),
+        )
+        .orderBy(F.desc("c_bigram"), "v", "w")
+        .limit(_KN_TOP)
+    )
+
+
+ext_ngram_kneser_ney.__doc__ = ext_ngram_kneser_ney.__doc__.format(
+    d=_KN_D, top=_KN_TOP
+)

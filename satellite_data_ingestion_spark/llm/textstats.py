@@ -3491,3 +3491,119 @@ def ext_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6l(F.col("gap_sum").cast("double") / (F.col("nn") * 1000000.0)).alias("ece"),
         r6l(F.col("mce")).alias("mce"),
     )
+
+
+_TR_ITERS = 5     # fixed TextRank iterations (unrolled in the oracle)
+_TR_DAMPING = 0.85
+_TR_ROUND = 7     # decimals kept (absorbs neighbor-sum order noise)
+_TR_TOP = 10
+
+
+def _textrank_oracle() -> str:
+    """Unrolled fixed-iteration weighted TextRank in DuckDB SQL — the
+    graph_pagerank oracle recipe on the word-adjacency graph."""
+    parts = [
+        """WITH toks AS (
+  SELECT str_split(text, ' ') AS ts FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(range(1, len(ts)),
+                               i -> [ts[i], ts[i + 1]])) AS p
+  FROM toks WHERE len(ts) >= 2
+), e AS (
+  SELECT p[1] AS a, p[2] AS b, CAST(count(*) AS BIGINT) AS wt
+  FROM pairs WHERE p[1] <> p[2] GROUP BY 1, 2
+), sym AS (
+  SELECT a AS s, b AS d, wt FROM e UNION ALL SELECT b, a, wt FROM e
+), agg AS (
+  SELECT s, d, CAST(sum(wt) AS BIGINT) AS wt FROM sym GROUP BY 1, 2
+), wsum AS (
+  SELECT s, CAST(sum(wt) AS BIGINT) AS tw FROM agg GROUP BY 1
+), links AS (
+  SELECT agg.s, agg.d, CAST(agg.wt AS DOUBLE) / wsum.tw AS frac
+  FROM agg JOIN wsum USING (s)
+),
+r0 AS (SELECT s AS node, CAST(1.0 AS DOUBLE) AS tr FROM wsum),""",
+    ]
+    for i in range(_TR_ITERS):
+        parts.append(
+            f"r{i + 1} AS (SELECT l.d AS node, "
+            f"(1.0 - {_TR_DAMPING}) + {_TR_DAMPING} * sum(r.tr * l.frac) AS tr "
+            f"FROM links l JOIN r{i} r ON l.s = r.node GROUP BY l.d),"
+        )
+    parts[-1] = parts[-1][:-1]
+    parts.append(
+        f"SELECT node AS word, round(tr, {_TR_ROUND}) AS textrank "
+        f"FROM r{_TR_ITERS} "
+        f"ORDER BY round(tr, {_TR_ROUND}) DESC, node LIMIT {_TR_TOP}"
+    )
+    return "\n".join(parts)
+
+
+@register("ext_keyword_textrank", oracle=_textrank_oracle())
+def ext_keyword_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXTRANK KEYWORDS (Mihalcea & Tarau 2004): weighted PageRank
+    (damping {d}, {it} fixed iterations) over the token-adjacency
+    co-occurrence graph, top-{top} words — the graph-centrality
+    keyword extractor beside the degree/frequency heuristics
+    (``ext_keyword_rake`` scores phrases by degree/freq; TextRank
+    propagates importance through the graph, so a word gains rank from
+    IMPORTANT neighbors, not just many neighbors).
+
+    The iterative DataFrame loop (localCheckpoint per iteration, the
+    graph_pagerank discipline) is value-checked against a {it}-CTE
+    unrolled declarative twin, both rounded to {r} decimals (absorbing
+    neighbor-sum order).  Scale shape: the graph is VOCABULARY-grain —
+    edges/ranks are vocab-sized frames regardless of corpus rows (at
+    web scale the documented slice is the top-N vocab, the zipf
+    recipe); the corpus contributes one adjacency-pair aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    pairs = docs.select(ts.alias("ts")).filter(F.size("ts") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 1),
+                lambda i: F.array(F.element_at("ts", i), F.element_at("ts", i + 1)),
+            )
+        ).alias("p")
+    )
+    e = (
+        pairs.select(F.element_at("p", 1).alias("a"), F.element_at("p", 2).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("wt"))
+    )
+    sym = e.select(F.col("a").alias("s"), F.col("b").alias("d"), "wt").unionAll(
+        e.select(F.col("b").alias("s"), F.col("a").alias("d"), "wt")
+    )
+    agg = sym.groupBy("s", "d").agg(F.sum("wt").cast("long").alias("wt"))
+    wsum = agg.groupBy("s").agg(F.sum("wt").cast("long").alias("tw"))
+    links = agg.join(wsum, "s").select(
+        "s", "d", (F.col("wt").cast("double") / F.col("tw")).alias("frac")
+    ).localCheckpoint(eager=True)
+    ranks = wsum.select(F.col("s").alias("node"), F.lit(1.0).alias("tr"))
+    for _ in range(_TR_ITERS):
+        ranks = (
+            links.join(ranks, F.col("s") == F.col("node"))
+            .groupBy(F.col("d").alias("nnode"))
+            .agg(
+                (
+                    F.lit(1.0 - _TR_DAMPING)
+                    + F.lit(_TR_DAMPING) * F.sum(F.col("tr") * F.col("frac"))
+                ).alias("tr")
+            )
+            .select(F.col("nnode").alias("node"), "tr")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.select(
+            F.col("node").alias("word"),
+            F.round(F.col("tr"), _TR_ROUND).alias("textrank"),
+        )
+        .orderBy(F.desc("textrank"), "word")
+        .limit(_TR_TOP)
+    )
+
+
+ext_keyword_textrank.__doc__ = ext_keyword_textrank.__doc__.format(
+    d=_TR_DAMPING, it=_TR_ITERS, top=_TR_TOP, r=_TR_ROUND
+)

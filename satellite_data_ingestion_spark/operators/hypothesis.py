@@ -4991,3 +4991,108 @@ def agg_simpson_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("adjusted")).alias("adjusted_diff_cents"),
         ((F.col("pooled") > 0) != (F.col("adjusted") > 0)).alias("sign_reversal"),
     ).orderBy("stratifier")
+
+
+@register(
+    "agg_icc",
+    oracle="""
+WITH g AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sv,
+         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)
+                  * CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sq
+  FROM customer GROUP BY 1
+), gm AS (
+  SELECT CAST(sum(sv) AS DOUBLE) / sum(n) AS grand FROM g
+), t AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS BIGINT) AS nn,
+         sum(CAST(sq AS DOUBLE) - CAST(sv AS DOUBLE) * sv / n)
+           / (sum(n) - count(*)) AS msw,
+         list_reduce(
+           list(n * ((CAST(sv AS DOUBLE) / n - gm.grand)
+                     * (CAST(sv AS DOUBLE) / n - gm.grand))
+                ORDER BY nation),
+           (a, b) -> a + b) / (count(*) - 1) AS msb,
+         (sum(n) - list_reduce(list(CAST(n AS DOUBLE) * n ORDER BY nation),
+                               (a, b) -> a + b) / sum(n))
+           / (count(*) - 1) AS k0
+  FROM g CROSS JOIN gm GROUP BY gm.grand
+)
+SELECT k, nn AS n,
+       floor(msb * 10000 + 0.5) / 10000.0 AS ms_between,
+       floor(msw * 10000 + 0.5) / 10000.0 AS ms_within,
+       floor((msb - msw) / (msb + (k0 - 1) * msw) * 1000000 + 0.5)
+         / 1000000.0 AS icc1
+FROM t
+""",
+)
+def agg_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRACLASS CORRELATION ICC(1,1) of customer balances within
+    nations (one-way random effects, Shrout & Fleiss 1979; unbalanced
+    group-size correction k0 = (N - sum n_i^2/N)/(k-1)): how much of
+    the balance variance is BETWEEN nations — the clustering-strength
+    readout behind ``agg_james_stein`` (shrinkage pays off exactly when
+    ICC is low) and the reliability statistic beside
+    ``agg_cronbach_alpha``.
+
+    Exactness: group moments exact int64; MSB's k-term sum and the
+    sum-of-squared-sizes are order-sensitive so both fold nation-sorted
+    (the agg_james_stein recipe); ICC is one closed-form double.  One
+    scan, one k-row combine, a 1-row report."""
+    cust = table(spark, sf_dir, "customer")
+    c = F.round(F.col("c_acctbal") * 100).cast("long")
+    g = cust.groupBy(F.col("c_nationkey").cast("long").alias("nation")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c).cast("long").alias("sv"),
+        F.sum(c * c).cast("long").alias("sq"),
+    )
+
+    def fold_sorted(value_col):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("nation"), value_col.alias("v")))
+                ),
+                lambda s: s.getField("v"),
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+
+    from pyspark.sql import Window as _Win
+
+    wall = _Win.rowsBetween(_Win.unboundedPreceding, _Win.unboundedFollowing)
+    grand = F.sum("sv").over(wall).cast("double") / F.sum("n").over(wall)
+    dev = F.col("sv").cast("double") / F.col("n") - grand
+    t = g.select("nation", "n", "sv", "sq", (F.col("n") * (dev * dev)).alias("bterm")).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        (
+            F.sum(
+                F.col("sq").cast("double")
+                - F.col("sv").cast("double") * F.col("sv") / F.col("n")
+            )
+            / (F.sum("n") - F.count(F.lit(1)))
+        ).alias("msw"),
+        (fold_sorted(F.col("bterm")) / (F.count(F.lit(1)) - 1)).alias("msb"),
+        (
+            (
+                F.sum("n")
+                - fold_sorted(F.col("n").cast("double") * F.col("n")) / F.sum("n")
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("k0"),
+    )
+    q4 = lambda x: F.floor(x * 10000 + 0.5) / 10000.0  # noqa: E731
+    return t.select(
+        "k",
+        F.col("nn").alias("n"),
+        q4(F.col("msb")).alias("ms_between"),
+        q4(F.col("msw")).alias("ms_within"),
+        r6(
+            (F.col("msb") - F.col("msw"))
+            / (F.col("msb") + (F.col("k0") - 1) * F.col("msw"))
+        ).alias("icc1"),
+    )

@@ -3970,3 +3970,132 @@ def test_reward_length_bias_detects_bias(spark, tmp_path):
     assert r.corr_reward_tokens > 0.5
     assert abs(r.corr_reward_tokens - corr) <= 1e-5
     assert r.reward_slope_per_100_tokens > 0
+
+
+def test_icc_known_values(spark, tmp_path):
+    """agg_icc pinned against an independent Python one-way random
+    effects computation (unbalanced k0 correction) on constructed
+    nation groups."""
+    import math
+    import os
+
+    from satellite_data_ingestion_spark import registry
+
+    groups = {0: [10.0, 11.0, 12.0], 1: [20.0, 21.0], 2: [30.0, 31.0, 32.0, 33.0]}
+    rows_in, cid = [], 0
+    for nk, vals in groups.items():
+        for v in vals:
+            rows_in.append((cid, f"c{cid}", nk, v, "AUTO"))
+            cid += 1
+    spark.createDataFrame(
+        rows_in,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    ).write.mode("overwrite").parquet(os.path.join(str(tmp_path), "customer.parquet"))
+    (r,) = registry.spec("agg_icc").fn(spark, str(tmp_path)).collect()
+
+    cents = {k: [v * 100 for v in vs] for k, vs in groups.items()}
+    k = len(cents)
+    N = sum(len(v) for v in cents.values())
+    grand = sum(sum(v) for v in cents.values()) / N
+    means = {g: sum(v) / len(v) for g, v in cents.items()}
+    msb = sum(len(v) * (means[g] - grand) ** 2 for g, v in cents.items()) / (k - 1)
+    msw = sum(sum((x - means[g]) ** 2 for x in v) for g, v in cents.items()) / (N - k)
+    k0 = (N - sum(len(v) ** 2 for v in cents.values()) / N) / (k - 1)
+    icc = (msb - msw) / (msb + (k0 - 1) * msw)
+    assert (r.k, r.n) == (3, 9)
+    assert abs(r.icc1 - math.floor(icc * 1e6 + 0.5) / 1e6) <= 1e-6
+    assert r.icc1 > 0.9  # groups are far apart vs within-noise
+
+
+def test_kneser_ney_vs_independent(spark, tmp_path):
+    """ext_ngram_kneser_ney pinned against an independent Python KN
+    evaluation on a constructed corpus with the classic
+    high-count-low-context word."""
+    import math
+    from collections import Counter
+
+    from satellite_data_ingestion_spark import registry
+    from satellite_data_ingestion_spark.llm.lm import _KN_D
+
+    docs = [
+        "san francisco is big",
+        "san francisco is old",
+        "san francisco is big",
+        "the city is big",
+    ]
+    rows_in = [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)]
+    _write_docs(spark, tmp_path, rows_in)
+    out = registry.spec("ext_ngram_kneser_ney").fn(spark, str(tmp_path)).collect()
+
+    bigrams = Counter()
+    for t in docs:
+        ws = t.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            bigrams[(a, b)] += 1
+    cv = Counter()
+    fwd = Counter()
+    bwd = Counter()
+    for (a, b), c in bigrams.items():
+        cv[a] += c
+        fwd[a] += 1
+        bwd[b] += 1
+    ntypes = len(bigrams)
+
+    def pkn(a, b):
+        return max(bigrams[(a, b)] - _KN_D, 0) / cv[a] + _KN_D * fwd[a] / cv[a] * (
+            bwd[b] / ntypes
+        )
+
+    for row in out:
+        expect = math.floor(pkn(row.v, row.w) * 1e6 + 0.5) / 1e6
+        assert abs(row.p_kn - expect) <= 1e-6, (row, expect)
+    got = {(row.v, row.w): row for row in out}
+    # "francisco" follows only "san": continuation prob is low despite count 3
+    assert got[("san", "francisco")].c_bigram == 3
+    assert bwd[("francisco")] == 1
+
+
+def test_textrank_hub_ranks_first(spark, tmp_path):
+    """ext_keyword_textrank: a constructed hub word adjacent to every
+    other word must take rank 1, and the ranks must match an
+    independent Python power iteration (same init, 5 iterations)."""
+    from satellite_data_ingestion_spark import registry
+    from satellite_data_ingestion_spark.llm.textstats import (
+        _TR_DAMPING,
+        _TR_ITERS,
+        _TR_ROUND,
+    )
+
+    docs = ["hub alpha hub beta hub gamma hub delta", "alpha beta", "gamma delta"]
+    rows_in = [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)]
+    _write_docs(spark, tmp_path, rows_in)
+    out = registry.spec("ext_keyword_textrank").fn(spark, str(tmp_path)).collect()
+    assert out[0].word == "hub"
+
+    # independent power iteration
+    from collections import Counter, defaultdict
+
+    wt = Counter()
+    for t in docs:
+        ws = t.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            if a != b:
+                wt[(a, b)] += 1
+                wt[(b, a)] += 1
+    tw = defaultdict(int)
+    for (a, b), c in wt.items():
+        tw[a] += c
+    tr = {n: 1.0 for n in tw}
+    for _ in range(_TR_ITERS):
+        new = {}
+        for n in tw:
+            s = sum(tr[a] * wt[(a, n)] / tw[a] for (a, b) in wt if b == n)
+            new[n] = (1 - _TR_DAMPING) + _TR_DAMPING * s
+        tr = new
+    expect = sorted(
+        ((round(v, _TR_ROUND), k) for k, v in tr.items()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    for row, (ev, ew) in zip(out, expect):
+        assert row.word == ew
+        assert abs(row.textrank - ev) <= 1e-6
