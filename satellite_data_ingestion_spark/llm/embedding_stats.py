@@ -387,11 +387,14 @@ WITH q AS (
 ), nq AS (
   SELECT CAST(count(DISTINCT qid) AS BIGINT) AS nq FROM fullk
 )
-SELECT CAST(t.d AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS hits,
-       floor(CAST(count(*) AS DOUBLE) / (nq.nq * {_MRL_K}) * 1000000 + 0.5)
+SELECT CAST(t.d AS BIGINT) AS dim,
+       CAST(sum(CASE WHEN f.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS hits,
+       floor(CAST(sum(CASE WHEN f.qid IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / (nq.nq * {_MRL_K}) * 1000000 + 0.5)
          / 1000000.0 AS recall_at_k
 FROM topk t
-JOIN fullk f ON t.qid = f.qid AND t.vec_id = f.vec_id
+LEFT JOIN fullk f ON t.qid = f.qid AND t.vec_id = f.vec_id
 CROSS JOIN nq
 GROUP BY t.d, nq.nq
 ORDER BY dim
@@ -445,13 +448,22 @@ def ext_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qid").alias("fqid"), F.col("vec_id").alias("fvid")
     )
     nq = fullk.agg(F.countDistinct("fqid").cast("long").alias("nq"))
+    # LEFT join: a budget whose top-k shares NOTHING with the full-dim
+    # top-k must report recall 0, not silently drop its row (found live
+    # at twin-sf1, where the 8-dim prefix of 20k gaussians misses the
+    # full top-10 entirely).
     hits = (
         topk.join(
             fullk,
             (F.col("qid") == F.col("fqid")) & (F.col("vec_id") == F.col("fvid")),
+            "left",
         )
         .groupBy("d")
-        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+        .agg(
+            F.sum(F.when(F.col("fqid").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("hits")
+        )
         .crossJoin(F.broadcast(nq))
     )
     return hits.select(

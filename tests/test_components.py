@@ -4099,3 +4099,39 @@ def test_textrank_hub_ranks_first(spark, tmp_path):
     for row, (ev, ew) in zip(out, expect):
         assert row.word == ew
         assert abs(row.textrank - ev) <= 1e-6
+
+
+def test_matryoshka_zero_overlap_reports_zero(spark, tmp_path):
+    """Regression (found live at twin-sf1): a budget whose truncated
+    top-k shares nothing with the full-dim top-k must emit recall 0.0,
+    not silently drop its row.  Constructed so dims 1-8 are IDENTICAL
+    for all candidates (prefix carries no signal; the 8-dim ranking is
+    then id-ordered) while dims 9+ rank a disjoint candidate set."""
+    import math
+
+    from satellite_data_ingestion_spark import registry
+    from satellite_data_ingestion_spark.llm.embedding_stats import (
+        _MRL_DIMS,
+        _MRL_K,
+        _MRL_QUERIES,
+    )
+
+    rows = []
+    for qid in range(_MRL_QUERIES):
+        v = [1.0] * 8 + [math.cos(0.1 * qid), math.sin(0.1 * qid)] + [0.0] * 54
+        rows.append((qid, v, 0))
+    # low ids: identical prefix, ORTHOGONAL tail (never in full top-k
+    # but always in the 8-dim id-tiebroken top-k)
+    for i in range(_MRL_K):
+        rows.append((20 + i, [1.0] * 8 + [0.0, 0.0] + [1.0] + [0.0] * 53, 1))
+    # high ids: identical prefix, tail aligned with the queries
+    for i in range(_MRL_K):
+        theta = 0.05 * i
+        rows.append(
+            (100 + i, [1.0] * 8 + [math.cos(theta), math.sin(theta)] + [0.0] * 54, 2)
+        )
+    _write_embeddings(spark, tmp_path, rows)
+    out = {r.dim: r for r in registry.spec("ext_matryoshka_recall").fn(spark, str(tmp_path)).collect()}
+    assert set(out) == set(_MRL_DIMS), out  # every budget row present
+    assert out[_MRL_DIMS[-1]].recall_at_k == 1.0
+    assert out[8].hits < _MRL_QUERIES * _MRL_K  # prefix carries no signal

@@ -979,3 +979,25 @@ def test_wilcoxon_rank_windows_partitioned(spark):
         r"Window \[[^\]]*windowspecdefinition\(([^,]*),", plan
     ):
         assert "_pid" in m.group(1) or "pid" in m.group(1), m.group(0)[:200]
+
+
+def test_ndcg_window_group_limit(spark):
+    """ext_ndcg's per-query top-k must plan as WindowGroupLimit (the
+    relevant-total rides a separate aggregate, not a count window)."""
+    plan = plan_of(spark, "ext_ndcg")
+    assert "WindowGroupLimit" in plan, plan[:1500]
+
+
+def test_matryoshka_window_group_limit(spark):
+    """ext_matryoshka_recall's per-(budget, query) top-k must plan as
+    WindowGroupLimit — one scored scan, never a full sort kept."""
+    plan = plan_of(spark, "ext_matryoshka_recall")
+    assert "WindowGroupLimit" in plan, plan[:1500]
+
+
+def test_kneser_ney_vocab_side_broadcasts(spark):
+    """ext_ngram_kneser_ney's fan-in/fan-out/context frames are
+    vocab-grain and must join back onto the bigram grain as broadcasts
+    — the corpus-derived bigram frame is never reshuffled for them."""
+    plan = plan_of(spark, "ext_ngram_kneser_ney")
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2, plan[:1500]
