@@ -112,6 +112,9 @@ NEW_THIS_ROUND = [
     "agg_icc",
     "ext_ngram_kneser_ney",
     "ext_keyword_textrank",
+    "agg_xi_correlation",
+    "agg_median_ci",
+    "agg_hill_tail",
 ]
 
 CORE = [

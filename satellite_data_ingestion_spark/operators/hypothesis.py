@@ -5096,3 +5096,314 @@ def agg_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("msb") + (F.col("k0") - 1) * F.col("msw"))
         ).alias("icc1"),
     )
+
+
+@register(
+    "agg_xi_correlation",
+    oracle="""
+WITH pts AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice) AS BIGINT) AS y,
+         l_orderkey, l_linenumber
+  FROM lineitem
+), yg AS (
+  SELECT y, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(count(*)) OVER (ORDER BY y) AS BIGINT) AS cum
+  FROM pts GROUP BY 1
+), nt AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_all FROM yg
+), ranked AS (
+  SELECT p.x, p.l_orderkey, p.l_linenumber, p.y, nt.n_all,
+         yg.cum AS r,
+         nt.n_all - (yg.cum - yg.cnt) AS l
+  FROM pts p JOIN yg ON p.y = yg.y CROSS JOIN nt
+), seq AS (
+  -- (orderkey, linenumber) is NOT unique in this corpus (the win_vwap
+  -- finding): append y so any remaining ties are rank-equal and their
+  -- internal order cannot change sum |r_(t+1) - r_t|.
+  SELECT r, l, n_all,
+         row_number() OVER (ORDER BY x, l_orderkey, l_linenumber, y) AS t
+  FROM ranked
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(abs(r - lead_r) AS BIGINT)) AS BIGINT) AS num,
+         CAST(sum(CAST(l AS HUGEINT) * (n_all - l)) AS HUGEINT) AS den
+  FROM (SELECT r, l, n_all, lead(r) OVER (ORDER BY t) AS lead_r FROM seq)
+)
+SELECT n,
+       floor((1.0 - CAST(n AS DOUBLE) * num / (2.0 * CAST(den AS DOUBLE)))
+             * 1000000 + 0.5) / 1000000.0 AS xi
+FROM s
+""",
+)
+def agg_xi_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHATTERJEE'S XI CORRELATION (2020) of lineitem price against
+    quantity — the new-generation dependence coefficient: ~0 iff
+    independent, ~1 iff y is a measurable FUNCTION of x, detecting
+    non-monotone dependence Pearson (``agg_corr_matrix``) and Spearman
+    (``agg_spearman_corr``) both miss.  Ties version: xi = 1 - n
+    sum_t |r_(t+1) - r_t| / (2 sum_i l_i (n - l_i)) with r_i = #{{y_j
+    <= y_i}}, l_i = #{{y_j >= y_i}}, rows ordered by x (deterministic
+    key tiebreak, the paper's random tie-break made reproducible).
+
+    Every ingredient is an EXACT integer: r and l come from one
+    tie-group cumulative pass over the distinct-y grain, the
+    consecutive-rank differences from one lag over the x-ordered
+    sequence (both via ``distributed_rank`` — never a single-task
+    data-grain window), and the denominator sums l(n-l) as exact
+    128-bit/decimal products.  One final double expression."""
+    li = table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice")).cast("long").alias("y"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    yg = pts.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    yr = distributed_rank(yg, ["y"], sum_cols=("cnt",)).select(
+        "y",
+        "cnt",
+        F.col("_cum_cnt").cast("long").alias("cum"),
+        F.col("_tot_cnt").cast("long").alias("n_all"),
+    )
+    ranked = pts.join(yr, "y").select(
+        "x",
+        "l_orderkey",
+        "l_linenumber",
+        "y",
+        "n_all",
+        F.col("cum").alias("r"),
+        (F.col("n_all") - (F.col("cum") - F.col("cnt"))).alias("l"),
+    )
+    # (orderkey, linenumber) is NOT unique here (the win_vwap finding):
+    # append y so residual ties are rank-equal and order-irrelevant.
+    seq = distributed_rank(
+        ranked, ["x", "l_orderkey", "l_linenumber", "y"]
+    ).select("r", "l", "n_all", F.col("_rk").alias("t"))
+    # consecutive pairs via an equi self-join on t (never a global lag
+    # window over the data grain)
+    nxt = seq.select(F.col("r").alias("r_next"), (F.col("t") - 1).alias("t"))
+    num = (
+        seq.join(nxt, "t")
+        .agg(F.sum(F.abs(F.col("r") - F.col("r_next"))).cast("long").alias("num"))
+    )
+    den = seq.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.col("l").cast("decimal(38,0)") * (F.col("n_all") - F.col("l"))
+        ).cast("decimal(38,0)").alias("den"),
+    )
+    j = den.crossJoin(F.broadcast(num))
+    xi = 1.0 - F.col("n").cast("double") * F.col("num") / (
+        2.0 * F.col("den").cast("double")
+    )
+    return j.select("n", r6(xi).alias("xi"))
+
+
+_MCI_Z = 1.959963984540054  # two-sided 95% normal quantile (literal both engines)
+
+
+@register(
+    "agg_median_ci",
+    oracle=f"""
+WITH pts AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events
+), g AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(count(*)) OVER (ORDER BY c) AS BIGINT) AS cum
+  FROM pts GROUP BY 1
+), n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM g
+), ranks AS (
+  SELECT 'ci_low' AS which,
+         greatest(CAST(floor((n - {_MCI_Z} * sqrt(CAST(n AS DOUBLE))) / 2)
+                       AS BIGINT), 1) AS k FROM n
+  UNION ALL
+  SELECT 'med_lo', CAST(floor((n + 1) / 2.0) AS BIGINT) FROM n
+  UNION ALL
+  SELECT 'med_hi', CAST(ceil((n + 1) / 2.0) AS BIGINT) FROM n
+  UNION ALL
+  SELECT 'ci_high',
+         least(CAST(ceil(1 + (n + {_MCI_Z} * sqrt(CAST(n AS DOUBLE))) / 2)
+                    AS BIGINT), n) FROM n
+), os AS (
+  SELECT r.which, g.c
+  FROM ranks r JOIN g ON g.cum >= r.k AND g.cum - g.cnt < r.k
+)
+SELECT n.n,
+       max(CASE WHEN which = 'ci_low' THEN c END) AS ci_low_cents,
+       floor((CAST(max(CASE WHEN which = 'med_lo' THEN c END) AS DOUBLE)
+              + max(CASE WHEN which = 'med_hi' THEN c END)) / 2 * 100 + 0.5)
+         / 100.0 AS median_cents,
+       max(CASE WHEN which = 'ci_high' THEN c END) AS ci_high_cents
+FROM os CROSS JOIN n GROUP BY n.n
+""",
+)
+def agg_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIAN WITH A DISTRIBUTION-FREE 95% CONFIDENCE INTERVAL from
+    order statistics: the classic binomial-rank interval (L at rank
+    floor((n - z sqrt(n))/2), U at rank ceil(1 + (n + z sqrt(n))/2),
+    exact coverage by the sign-test duality; Conover) — the missing
+    UNCERTAINTY readout beside the point quantiles
+    (``agg_quantile``/``agg_weighted_median``) and the nonparametric
+    answer to "is the median really above X?" without bootstrap
+    machinery (``agg_bootstrap_ci`` resamples; this is closed-form).
+
+    Order statistics never materialize per row: the distinct-value
+    tie-group frame (exact cumulative counts via ``distributed_rank``)
+    is range-joined against the FOUR target ranks (a broadcast of a
+    4-row frame), so the corpus contributes one combine at the
+    distinct-value grain.  All rank arithmetic is identical literal
+    z both engines."""
+    ev = table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    g0 = ev.select(c.alias("c")).groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    g = distributed_rank(g0, ["c"], sum_cols=("cnt",)).select(
+        "c",
+        "cnt",
+        F.col("_cum_cnt").cast("long").alias("cum"),
+        F.col("_tot_cnt").cast("long").alias("n"),
+    )
+    n1 = g.agg(F.max("n").alias("n"))
+    nd = F.col("n").cast("double")
+    ranks = (
+        n1.select(
+            F.lit("ci_low").alias("which"),
+            F.greatest(
+                F.floor((F.col("n") - _MCI_Z * F.sqrt(nd)) / 2).cast("long"),
+                F.lit(1),
+            ).alias("k"),
+        )
+        .unionAll(
+            n1.select(
+                F.lit("med_lo"),
+                F.floor((F.col("n") + 1) / 2.0).cast("long"),
+            )
+        )
+        .unionAll(
+            n1.select(
+                F.lit("med_hi"),
+                F.ceil((F.col("n") + 1) / 2.0).cast("long"),
+            )
+        )
+        .unionAll(
+            n1.select(
+                F.lit("ci_high"),
+                F.least(
+                    F.ceil(1 + (F.col("n") + _MCI_Z * F.sqrt(nd)) / 2).cast("long"),
+                    F.col("n"),
+                ),
+            )
+        )
+    )
+    os_ = g.join(
+        F.broadcast(ranks),
+        (F.col("cum") >= F.col("k")) & (F.col("cum") - F.col("cnt") < F.col("k")),
+    )
+    pick = lambda w: F.max(F.when(F.col("which") == w, F.col("c")))  # noqa: E731
+    return (
+        os_.groupBy("n")
+        .agg(
+            pick("ci_low").alias("ci_low_cents"),
+            (
+                F.floor(
+                    (pick("med_lo").cast("double") + pick("med_hi")) / 2 * 100 + 0.5
+                )
+                / 100.0
+            ).alias("median_cents"),
+            pick("ci_high").alias("ci_high_cents"),
+        )
+        .select("n", "ci_low_cents", "median_cents", "ci_high_cents")
+    )
+
+
+_HILL_K = 100  # tail order statistics used
+
+
+@register(
+    "agg_hill_tail",
+    oracle=f"""
+WITH pts AS (
+  SELECT CAST(round(o_totalprice) AS BIGINT) AS x, o_orderkey
+  FROM orders WHERE o_totalprice > 0
+), topk AS (
+  SELECT x, row_number() OVER (ORDER BY x DESC, o_orderkey) AS rk
+  FROM pts QUALIFY rk <= {_HILL_K} + 1
+), thr AS (
+  SELECT CAST(x AS DOUBLE) AS x_k1 FROM topk WHERE rk = {_HILL_K} + 1
+), s AS (
+  SELECT list_reduce(
+           (SELECT list(ln(CAST(topk.x AS DOUBLE) / thr.x_k1) ORDER BY rk)
+            FROM topk, thr WHERE rk <= {_HILL_K}),
+           (a, b) -> a + b) AS lnsum
+  FROM thr
+), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts)
+SELECT nn.n, CAST({_HILL_K} AS BIGINT) AS k,
+       floor(thr.x_k1 * 100 + 0.5) / 100.0 AS threshold_dollars,
+       floor(s.lnsum / {_HILL_K} * 1000000 + 0.5) / 1000000.0 AS hill_xi,
+       floor({_HILL_K} / s.lnsum * 1000000 + 0.5) / 1000000.0 AS tail_alpha
+FROM s CROSS JOIN thr CROSS JOIN nn
+""",
+)
+def agg_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILL TAIL-INDEX estimator over the top-{k} order totals: xi-hat =
+    (1/k) sum ln(x_(i) / x_(k+1)) and the implied power-law exponent
+    alpha = 1/xi (Hill 1975) — the RIGOROUS tail statistic behind the
+    distribution-shape family (``ext_zipf_fit`` regresses the whole
+    log-log curve; ``agg_pareto`` reports the 80/20 share; Hill
+    estimates the tail exponent from extreme order statistics only,
+    which is what reinsurance/capacity planning actually needs).
+
+    The top-(k+1) selection is a TakeOrdered (per-partition heaps,
+    deterministic orderkey tiebreak — never a global sort); the k log
+    ratios are order-sensitive doubles so they fold rank-sorted
+    (list_reduce == F.aggregate).  One scan, a (k+1)-row frame, a
+    1-row report at any corpus size."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    pts = o.select(
+        F.round(F.col("o_totalprice")).cast("long").alias("x"), "o_orderkey"
+    )
+    topk = (
+        pts.orderBy(F.desc("x"), F.asc("o_orderkey"))
+        .limit(_HILL_K + 1)
+        .select(
+            "x",
+            F.row_number()
+            .over(Window.orderBy(F.desc("x"), F.asc("o_orderkey")))
+            .alias("rk"),
+        )
+    )
+    thr = topk.filter(F.col("rk") == _HILL_K + 1).select(
+        F.col("x").cast("double").alias("x_k1")
+    )
+    terms = topk.filter(F.col("rk") <= _HILL_K).crossJoin(F.broadcast(thr))
+    lnsum = terms.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("rk"),
+                            F.log(F.col("x").cast("double") / F.col("x_k1")).alias("v"),
+                        )
+                    )
+                ),
+                lambda st: st.getField("v"),
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("lnsum")
+    )
+    nn = pts.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = lnsum.crossJoin(F.broadcast(thr)).crossJoin(F.broadcast(nn))
+    return j.select(
+        "n",
+        F.lit(_HILL_K).cast("long").alias("k"),
+        (F.floor(F.col("x_k1") * 100 + 0.5) / 100.0).alias("threshold_dollars"),
+        r6(F.col("lnsum") / _HILL_K).alias("hill_xi"),
+        r6(F.lit(float(_HILL_K)) / F.col("lnsum")).alias("tail_alpha"),
+    )
+
+
+agg_hill_tail.__doc__ = agg_hill_tail.__doc__.format(k=_HILL_K)

@@ -45,8 +45,21 @@ def distributed_rank(
     (``F.desc("rev")``).
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    loc = df.repartitionByRange(num_partitions, *cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # MATERIALIZE the ranged frame before fanning out to the two branches.
+    # Without this, each branch re-executes the range exchange with its
+    # OWN boundary-sampling job over the upstream; when the upstream's row
+    # order is nondeterministic (found live in round 14: the sort-merge /
+    # AQE-replanned join feeding agg_xi_correlation), the two samplings
+    # pick different boundaries, the branches disagree on _pid, and the
+    # offsets misalign — _rk silently stops being a 1..n bijection (2-3%
+    # duplicate ranks, varying run to run).  One localCheckpoint pins a
+    # single shuffle + sampling whose persisted partitions BOTH branches
+    # read; deterministic scan-grain inputs (the prior invariant test's
+    # domain) never exposed this, join-grain inputs require it.
+    loc = (
+        df.repartitionByRange(num_partitions, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w_loc = Window.partitionBy("_pid").orderBy(*cols)
     w_run = w_loc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -128,8 +141,12 @@ def distributed_prev_max(
     distribution where no row dominates any other and every candidate
     survives pruning."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    loc = df.repartitionByRange(num_partitions, *cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # Same two-consumer materialization as distributed_rank (see the
+    # comment there): both branches must read ONE pinned range shuffle.
+    loc = (
+        df.repartitionByRange(num_partitions, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w_loc = Window.partitionBy("_pid").orderBy(*cols).rowsBetween(
         Window.unboundedPreceding, -1

@@ -2569,7 +2569,13 @@ def test_skyline_adversarial_monotone(spark):
     plan = swept._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
-    assert "rangepartitioning" in plan, plan[:2000]
+    # The helper pins its range shuffle with a localCheckpoint (round 14:
+    # two-branch _pid agreement under nondeterministic inputs), so the
+    # ranged frame surfaces as a materialized scan feeding _pid windows.
+    import re as _re
+
+    assert "rangepartitioning" in plan or "ExistingRDD" in plan, plan[:2000]
+    assert _re.search(r"windowspecdefinition\(_pid", plan), plan[:2000]
 
 
 def test_decontaminate_longest_match_constructed(spark):
@@ -4135,3 +4141,152 @@ def test_matryoshka_zero_overlap_reports_zero(spark, tmp_path):
     assert set(out) == set(_MRL_DIMS), out  # every budget row present
     assert out[_MRL_DIMS[-1]].recall_at_k == 1.0
     assert out[8].hits < _MRL_QUERIES * _MRL_K  # prefix carries no signal
+
+
+def test_distributed_rank_bijection_on_join_grain_input(spark):
+    """Regression (found live in round 14 via agg_xi_correlation): when
+    distributed_rank's input is a JOIN output whose row order is not
+    deterministic, the helper's two consumers of the range exchange
+    must still agree on partition assignment — _rk must be an exact
+    1..n bijection on every trial.  Before the helper pinned ONE
+    materialized shuffle, each branch re-sampled its own boundaries
+    over the unstable upstream and 2-3% of ranks collided."""
+    import pyspark.sql.functions as F
+
+    from satellite_data_ingestion_spark.catalog import table
+    from satellite_data_ingestion_spark.operators.ranking import distributed_rank
+
+    sfd = "/root/testdata/sf0.01"
+    li = table(spark, sfd, "lineitem")
+    pts = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice")).cast("long").alias("y"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    yg = pts.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    yr = distributed_rank(yg, ["y"], sum_cols=("cnt",)).select(
+        "y",
+        "cnt",
+        F.col("_cum_cnt").cast("long").alias("cum"),
+        F.col("_tot_cnt").cast("long").alias("n_all"),
+    )
+    joined = pts.join(yr, "y").select(
+        "x", "l_orderkey", "l_linenumber", "y", "n_all",
+        F.col("cum").alias("r"),
+        (F.col("n_all") - (F.col("cum") - F.col("cnt"))).alias("l"),
+    )
+    for _ in range(2):
+        seq = distributed_rank(joined, ["x", "l_orderkey", "l_linenumber", "y"])
+        ts = [row._rk for row in seq.select("_rk").collect()]
+        assert len(set(ts)) == len(ts), (
+            f"rank collision: {len(ts) - len(set(ts))} duplicates"
+        )
+        assert min(ts) == 1 and max(ts) == len(ts)
+
+
+def test_xi_correlation_detects_nonmonotone_dependence(spark, tmp_path):
+    """agg_xi_correlation on a constructed PARABOLIC relation (Spearman
+    ~0 by symmetry) must be strongly positive, and must equal an
+    independent pure-Python evaluation of the ties formula."""
+    import math
+    import os
+
+    from satellite_data_ingestion_spark import registry
+
+    n = 60
+    rows_in = []
+    for i in range(n):
+        x = float(i % 30 + 1)
+        y = float(round((x - 15.5) ** 2))  # parabola in x, whole dollars
+        rows_in.append((i, i, i, 1, x, y, 0.0, 0.0, "N", "O"))
+    spark.createDataFrame(
+        rows_in,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string",
+    ).write.mode("overwrite").parquet(os.path.join(str(tmp_path), "lineitem.parquet"))
+    (r,) = registry.spec("agg_xi_correlation").fn(spark, str(tmp_path)).collect()
+
+    pts = [(int(row[4]), round(row[5]), row[0], row[3]) for row in rows_in]
+    ys = sorted(set(p[1] for p in pts))
+    from collections import Counter
+
+    ycnt = Counter(p[1] for p in pts)
+    cum, c = {}, 0
+    for y in ys:
+        c += ycnt[y]
+        cum[y] = c
+    seq = sorted(pts, key=lambda p: (p[0], p[2], p[3], p[1]))
+    rs = [cum[p[1]] for p in seq]
+    ls = [n - (cum[p[1]] - ycnt[p[1]]) for p in seq]
+    num = sum(abs(a - b) for a, b in zip(rs, rs[1:]))
+    den = sum(l * (n - l) for l in ls)
+    xi = 1 - n * num / (2 * den)
+    assert r.n == n
+    assert abs(r.xi - math.floor(xi * 1e6 + 0.5) / 1e6) <= 1e-6
+    assert r.xi > 0.5  # strong functional dependence detected
+
+
+def test_median_ci_order_stats(spark, tmp_path):
+    """agg_median_ci pinned against direct order-statistic selection on
+    a constructed sample."""
+    import math
+
+    from satellite_data_ingestion_spark import registry
+    from satellite_data_ingestion_spark.operators.hypothesis import _MCI_Z
+
+    vals = [float(v) for v in [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3, 2, 3, 8, 4]]
+    rows_in = [
+        (i, f"2024-01-01T00:00:{i:02d}", i, "view", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    _write_events(spark, tmp_path, rows_in)
+    (r,) = registry.spec("agg_median_ci").fn(spark, str(tmp_path)).collect()
+    cs = sorted(round(v * 100) for v in vals)
+    n = len(cs)
+    lo = max(int(math.floor((n - _MCI_Z * math.sqrt(n)) / 2)), 1)
+    hi = min(int(math.ceil(1 + (n + _MCI_Z * math.sqrt(n)) / 2)), n)
+    med = (cs[(n + 1) // 2 - 1] + cs[-(-(n + 1) // 2) - 1]) / 2
+    assert r.n == n
+    assert r.ci_low_cents == cs[lo - 1]
+    assert r.ci_high_cents == cs[hi - 1]
+    assert abs(r.median_cents - med) <= 1e-9
+    assert r.ci_low_cents <= r.median_cents <= r.ci_high_cents
+
+
+def test_hill_tail_recovers_pareto_alpha(spark, tmp_path):
+    """agg_hill_tail on deterministic Pareto(alpha=2) order totals must
+    estimate alpha near 2 and exactly reproduce an independent Python
+    evaluation of the Hill sum."""
+    import math
+    import os
+
+    from satellite_data_ingestion_spark import registry
+    from satellite_data_ingestion_spark.operators.hypothesis import _HILL_K
+
+    n = 2000
+    alpha = 2.0
+    vals = [100.0 * (1.0 - (i + 0.5) / n) ** (-1.0 / alpha) for i in range(n)]
+    rows_in = [
+        (i, i % 97, "O", float(round(v)), "2024-01-01T00:00:00", "1-URGENT")
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows_in,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn(
+        "o_orderdate",
+        __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("o_orderdate"),
+    ).write.mode("overwrite").parquet(os.path.join(str(tmp_path), "orders.parquet"))
+    (r,) = registry.spec("agg_hill_tail").fn(spark, str(tmp_path)).collect()
+
+    xs = sorted(
+        ((round(v), i) for i, v in enumerate(vals)), key=lambda t: (-t[0], t[1])
+    )
+    thr = float(xs[_HILL_K][0])
+    lnsum = sum(math.log(xs[i][0] / thr) for i in range(_HILL_K))
+    assert r.n == n and r.k == _HILL_K
+    assert abs(r.hill_xi - math.floor(lnsum / _HILL_K * 1e6 + 0.5) / 1e6) <= 1e-6
+    assert 1.5 < r.tail_alpha < 2.6  # recovers the true exponent ~2
