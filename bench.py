@@ -115,6 +115,9 @@ NEW_THIS_ROUND = [
     "agg_xi_correlation",
     "agg_median_ci",
     "agg_hill_tail",
+    "agg_bland_altman",
+    "agg_mahalanobis_2d",
+    "agg_pca_2x2",
 ]
 
 CORE = [

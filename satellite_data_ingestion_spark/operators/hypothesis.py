@@ -5407,3 +5407,283 @@ def agg_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 agg_hill_tail.__doc__ = agg_hill_tail.__doc__.format(k=_HILL_K)
+
+
+@register(
+    "agg_bland_altman",
+    oracle="""
+WITH pairs AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(sum(CASE WHEN event_type = 'click'
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS b,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS na,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS nb
+  FROM events GROUP BY 1
+), d AS (
+  SELECT a - b AS diff FROM pairs WHERE na > 0 AND nb > 0
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(diff) AS BIGINT) AS sd_,
+         CAST(sum(diff * diff) AS BIGINT) AS sq
+  FROM d
+)
+SELECT n,
+       floor((CAST(sd_ AS DOUBLE) / n) * 10000 + 0.5) / 10000.0 AS bias_cents,
+       floor(sqrt((CAST(sq AS DOUBLE) - CAST(sd_ AS DOUBLE) * sd_ / n)
+                  / (n - 1)) * 10000 + 0.5) / 10000.0 AS sd_cents,
+       floor((CAST(sd_ AS DOUBLE) / n
+              - 1.96 * sqrt((CAST(sq AS DOUBLE) - CAST(sd_ AS DOUBLE) * sd_ / n)
+                            / (n - 1))) * 10000 + 0.5) / 10000.0 AS loa_low,
+       floor((CAST(sd_ AS DOUBLE) / n
+              + 1.96 * sqrt((CAST(sq AS DOUBLE) - CAST(sd_ AS DOUBLE) * sd_ / n)
+                            / (n - 1))) * 10000 + 0.5) / 10000.0 AS loa_high
+FROM m
+""",
+)
+def agg_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLAND-ALTMAN AGREEMENT ANALYSIS (1986) between two per-user
+    measurements (purchase vs click revenue totals, users with both):
+    mean difference (bias) and the 95% limits of agreement bias ±
+    1.96·SD — the method-comparison readout correlation can't give
+    (two methods can correlate at 0.99 and still disagree by a constant
+    or proportional bias; BA quantifies the DISAGREEMENT), completing
+    the agreement family beside ``agg_cohens_kappa`` (categorical) and
+    ``agg_icc`` (variance-decomposition).
+
+    Exactness: per-user paired totals and both difference moments are
+    exact int64 from one user-grain combine; bias/SD/limits are
+    closed-form doubles in identical order both engines (1.96 literal).
+    Two shuffles total, a 1-row report at any corpus size."""
+    ev = table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    pairs = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", c).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("event_type") == "click", c).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    d = pairs.filter((F.col("na") > 0) & (F.col("nb") > 0)).select(
+        (F.col("a") - F.col("b")).alias("diff")
+    )
+    m = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("diff").cast("long").alias("sd_"),
+        F.sum(F.col("diff") * F.col("diff")).cast("long").alias("sq"),
+    )
+    bias = F.col("sd_").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (F.col("sq").cast("double") - F.col("sd_").cast("double") * F.col("sd_") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    q4 = lambda x: F.floor(x * 10000 + 0.5) / 10000.0  # noqa: E731
+    return m.select(
+        "n",
+        q4(bias).alias("bias_cents"),
+        q4(sd).alias("sd_cents"),
+        q4(bias - 1.96 * sd).alias("loa_low"),
+        q4(bias + 1.96 * sd).alias("loa_high"),
+    )
+
+
+_MAHA_TOP = 10  # most-outlying rows reported
+
+
+@register(
+    "agg_mahalanobis_2d",
+    oracle=f"""
+WITH pts AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pts
+), c AS (
+  SELECT n,
+         CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+         (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1) AS vx,
+         (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS vy,
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1) AS cxy
+  FROM m
+)
+SELECT p.l_orderkey, p.l_linenumber, p.x AS qty, p.y AS price_dollars,
+       floor(((p.x - c.mx) * (p.x - c.mx) * c.vy
+              - 2 * (p.x - c.mx) * (p.y - c.my) * c.cxy
+              + (p.y - c.my) * (p.y - c.my) * c.vx)
+             / (c.vx * c.vy - c.cxy * c.cxy) * 10000 + 0.5) / 10000.0
+         AS d2
+FROM pts p CROSS JOIN c
+ORDER BY d2 DESC, p.l_orderkey, p.l_linenumber
+LIMIT {_MAHA_TOP}
+""",
+)
+def agg_mahalanobis_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAHALANOBIS OUTLIERS in the (quantity, price) plane: the top-{t}
+    rows by squared Mahalanobis distance d2 = z' S^-1 z with the 2x2
+    covariance inverted in CLOSED FORM — the multivariate outlier
+    detector the univariate family (``ext_outlier_mad`` robust,
+    ``agg_grubbs_test`` parametric) cannot express: a (50-unit, cheap)
+    row is unremarkable on either margin but extreme JOINTLY.
+
+    Exactness: all five moments are exact int64 from one 1-row combine
+    (price in whole dollars — the ``agg_partial_corr`` headroom
+    discipline); each row's d2 is one closed-form double (the expanded
+    2x2 inverse), broadcast back over the scan; the top-{t} is a
+    TakeOrdered with deterministic key tiebreak.  One scan + one
+    broadcast; no shuffle of the fact table."""
+    li = table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice")).cast("long").alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    n = F.col("n")
+    c = m.select(
+        "n",
+        (F.col("sx").cast("double") / n).alias("mx"),
+        (F.col("sy").cast("double") / n).alias("my"),
+        ((F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / n) / (n - 1)).alias("vx"),
+        ((F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / n) / (n - 1)).alias("vy"),
+        ((F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / n) / (n - 1)).alias("cxy"),
+    )
+    j = pts.crossJoin(F.broadcast(c))
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    d2 = (
+        dx * dx * F.col("vy") - 2 * dx * dy * F.col("cxy") + dy * dy * F.col("vx")
+    ) / (F.col("vx") * F.col("vy") - F.col("cxy") * F.col("cxy"))
+    q4 = lambda x: F.floor(x * 10000 + 0.5) / 10000.0  # noqa: E731
+    return (
+        j.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("x").alias("qty"),
+            F.col("y").alias("price_dollars"),
+            q4(d2).alias("d2"),
+        )
+        .orderBy(F.desc("d2"), "l_orderkey", "l_linenumber")
+        .limit(_MAHA_TOP)
+    )
+
+
+agg_mahalanobis_2d.__doc__ = agg_mahalanobis_2d.__doc__.format(t=_MAHA_TOP)
+
+
+@register(
+    "agg_pca_2x2",
+    oracle="""
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+         CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS BIGINT) AS sxx,
+         CAST(sum(CAST(round(l_extendedprice) AS BIGINT)
+                  * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+                  * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy
+  FROM lineitem
+), c AS (
+  SELECT n,
+         (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1) AS vx,
+         (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS vy,
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1) AS cxy
+  FROM m
+), e AS (
+  SELECT n, vx, vy, cxy,
+         (vx + vy) / 2 + sqrt(((vx - vy) / 2) * ((vx - vy) / 2) + cxy * cxy)
+           AS l1,
+         (vx + vy) / 2 - sqrt(((vx - vy) / 2) * ((vx - vy) / 2) + cxy * cxy)
+           AS l2
+  FROM c
+)
+SELECT n,
+       floor(l1 * 10000 + 0.5) / 10000.0 AS eigval_1,
+       floor(l2 * 10000 + 0.5) / 10000.0 AS eigval_2,
+       floor(l1 / (l1 + l2) * 1000000 + 0.5) / 1000000.0
+         AS var_explained_1,
+       floor(atan2(l1 - vx, cxy) * 1000000 + 0.5) / 1000000.0
+         AS principal_angle
+FROM e
+""",
+)
+def agg_pca_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 2x2 PCA of (quantity, price-dollars): eigenvalues of the
+    sample covariance in CLOSED FORM (lambda = tr/2 ± sqrt((dx/2)^2 +
+    c^2)), the explained-variance share, and the principal-axis angle
+    atan2(lambda1 - vx, cxy) — the fully SQL-ORACLED counterpart of
+    ``ext_embedding_pca`` (64-d, numpy-parity rows-only by necessity):
+    for TWO variables the spectral decomposition needs no iteration,
+    so the hash gate checks the entire answer.
+
+    Exactness: the five covariance moments are exact int64 from one
+    1-row combine; eigenvalues/angle are closed-form doubles in
+    identical order both engines (atan2 is IEEE-correctly-rounded in
+    both).  One scan, zero extra shuffles — the map-side-combine
+    ideal."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_extendedprice")).cast("long")
+    m = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(y * y).cast("long").alias("syy"),
+        F.sum(x * y).cast("long").alias("sxy"),
+    )
+    n = F.col("n")
+    c = m.select(
+        "n",
+        ((F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / n) / (n - 1)).alias("vx"),
+        ((F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / n) / (n - 1)).alias("vy"),
+        ((F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / n) / (n - 1)).alias("cxy"),
+    )
+    half_tr = (F.col("vx") + F.col("vy")) / 2
+    root = F.sqrt(
+        ((F.col("vx") - F.col("vy")) / 2) * ((F.col("vx") - F.col("vy")) / 2)
+        + F.col("cxy") * F.col("cxy")
+    )
+    e = c.select(
+        "n",
+        "vx",
+        "cxy",
+        (half_tr + root).alias("l1"),
+        (half_tr - root).alias("l2"),
+    )
+    q4 = lambda v: F.floor(v * 10000 + 0.5) / 10000.0  # noqa: E731
+    return e.select(
+        "n",
+        q4(F.col("l1")).alias("eigval_1"),
+        q4(F.col("l2")).alias("eigval_2"),
+        r6(F.col("l1") / (F.col("l1") + F.col("l2"))).alias("var_explained_1"),
+        r6(F.atan2(F.col("l1") - F.col("vx"), F.col("cxy"))).alias("principal_angle"),
+    )

@@ -4290,3 +4290,100 @@ def test_hill_tail_recovers_pareto_alpha(spark, tmp_path):
     assert r.n == n and r.k == _HILL_K
     assert abs(r.hill_xi - math.floor(lnsum / _HILL_K * 1e6 + 0.5) / 1e6) <= 1e-6
     assert 1.5 < r.tail_alpha < 2.6  # recovers the true exponent ~2
+
+
+def test_bland_altman_known_values(spark, tmp_path):
+    """agg_bland_altman pinned by hand on constructed paired totals."""
+    import math
+
+    from satellite_data_ingestion_spark import registry
+
+    pv = {1: (3.0, 1.0), 2: (2.0, 2.5), 3: (5.0, 4.0), 4: (1.0, 2.0)}
+    rows_in, eid = [], 0
+    for uid, (p, c) in pv.items():
+        rows_in.append((eid, f"2024-01-01T00:00:{eid:02d}", uid, "purchase", p, "{}"))
+        eid += 1
+        rows_in.append((eid, f"2024-01-01T00:00:{eid:02d}", uid, "click", c, "{}"))
+        eid += 1
+    _write_events(spark, tmp_path, rows_in)
+    (r,) = registry.spec("agg_bland_altman").fn(spark, str(tmp_path)).collect()
+    diffs = [round((p - c) * 100) for p, c in pv.values()]
+    n = len(diffs)
+    bias = sum(diffs) / n
+    sd = math.sqrt(sum((d - bias) ** 2 for d in diffs) / (n - 1))
+    q4 = lambda x: math.floor(x * 1e4 + 0.5) / 1e4  # noqa: E731
+    assert r.n == n
+    assert abs(r.bias_cents - q4(bias)) <= 1e-4
+    assert abs(r.sd_cents - q4(sd)) <= 1e-4
+    assert abs(r.loa_low - q4(bias - 1.96 * sd)) <= 1e-4
+    assert abs(r.loa_high - q4(bias + 1.96 * sd)) <= 1e-4
+
+
+def test_mahalanobis_flags_joint_outlier(spark, tmp_path):
+    """agg_mahalanobis_2d: a row unremarkable on both margins but
+    extreme JOINTLY (high qty, low price against a positive
+    correlation) must rank first; d2 matches numpy's S^-1 form."""
+    import os
+
+    import numpy as np
+
+    from satellite_data_ingestion_spark import registry
+
+    rows_in = []
+    for i in range(40):
+        q = float(i % 20 + 1)
+        p = float(round(100 * q + (i % 3)))  # strong positive relation
+        rows_in.append((i, i, i, 1, q, p, 0.0, 0.0, "N", "O"))
+    rows_in.append((99, 99, 99, 1, 20.0, 100.0, 0.0, 0.0, "N", "O"))  # joint outlier
+    spark.createDataFrame(
+        rows_in,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string",
+    ).write.mode("overwrite").parquet(os.path.join(str(tmp_path), "lineitem.parquet"))
+    out = registry.spec("agg_mahalanobis_2d").fn(spark, str(tmp_path)).collect()
+    assert out[0].l_orderkey == 99
+    X = np.array([(r[4], round(r[5])) for r in rows_in], dtype=float)
+    S = np.cov(X.T)
+    mu = X.mean(axis=0)
+    z = np.array([20.0, 100.0]) - mu
+    d2 = float(z @ np.linalg.inv(S) @ z)
+    assert abs(out[0].d2 - d2) <= max(1e-6 * d2, 1e-3)
+
+
+def test_pca_2x2_matches_numpy_eigh(spark, tmp_path):
+    """agg_pca_2x2's closed-form eigenvalues/angle must match numpy's
+    eigh on the same covariance."""
+    import math
+    import os
+
+    import numpy as np
+
+    from satellite_data_ingestion_spark import registry
+
+    rng = np.random.RandomState(3)
+    q = rng.randint(1, 50, size=60).astype(float)
+    p = np.round(50 * q + rng.randint(0, 500, size=60)).astype(float)
+    rows_in = [
+        (i, i, i, 1, float(q[i]), float(p[i]), 0.0, 0.0, "N", "O")
+        for i in range(60)
+    ]
+    spark.createDataFrame(
+        rows_in,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string",
+    ).write.mode("overwrite").parquet(os.path.join(str(tmp_path), "lineitem.parquet"))
+    (r,) = registry.spec("agg_pca_2x2").fn(spark, str(tmp_path)).collect()
+    S = np.cov(np.vstack([q, p]))
+    w, v = np.linalg.eigh(S)
+    l2, l1 = sorted(w)
+    assert abs(r.eigval_1 - l1) <= max(1e-6 * l1, 1e-3)
+    assert abs(r.eigval_2 - l2) <= max(1e-6 * abs(l2), 1e-3)
+    assert abs(r.var_explained_1 - l1 / (l1 + l2)) <= 1e-5
+    # principal axis: angle of the top eigenvector
+    vec = v[:, int(np.argmax(w))]
+    ang = math.atan2(vec[1], vec[0])
+    got = r.principal_angle
+    # same axis modulo pi
+    assert min(abs(got - ang), abs(got - ang + math.pi), abs(got - ang - math.pi)) <= 1e-4
