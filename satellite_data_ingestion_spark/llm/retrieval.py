@@ -403,9 +403,15 @@ WITH q AS (
   FROM (SELECT unnest(generate_series(1, {_NDCG_K})) AS i)
 )
 SELECT d.qid AS query_vec, t.n_relevant, d.hits_at_k,
-       floor(d.dcg / ideal.icum * 1000000 + 0.5) / 1000000.0 AS ndcg_at_k
+       -- LEFT join + explicit zero: a query with NO relevant candidate
+       -- has least(R, k) = 0, which an inner join to the 1..k ideal
+       -- table silently DROPPED (the matryoshka zero-overlap bug class);
+       -- NDCG is defined as 0 there.
+       CASE WHEN t.n_relevant = 0 THEN 0.0
+            ELSE floor(d.dcg / ideal.icum * 1000000 + 0.5) / 1000000.0
+       END AS ndcg_at_k
 FROM dcg d JOIN rtot t USING (qid)
-JOIN ideal ON ideal.i = least(t.n_relevant, {_NDCG_K})
+LEFT JOIN ideal ON ideal.i = least(t.n_relevant, {_NDCG_K})
 ORDER BY query_vec
 """,
 )
@@ -473,19 +479,25 @@ def ext_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ideal = spark.createDataFrame(
         [(i + 1, _IDCG[i]) for i in range(_NDCG_K)], "i long, icum double"
     )
+    # LEFT join + explicit zero for R = 0 queries (the matryoshka
+    # zero-overlap bug class: least(0, k) = 0 has no ideal row and an
+    # inner join silently dropped the query).  NDCG := 0 there.
     out = (
         dcg.join(rtot, "qid")
         .join(
             F.broadcast(ideal),
             F.col("i") == F.least(F.col("n_relevant"), F.lit(_NDCG_K)),
+            "left",
         )
         .select(
             F.col("qid").alias("query_vec"),
             "n_relevant",
             "hits_at_k",
-            (F.floor(F.col("dcg") / F.col("icum") * 1000000 + 0.5) / 1000000.0).alias(
-                "ndcg_at_k"
-            ),
+            F.when(F.col("n_relevant") == 0, F.lit(0.0))
+            .otherwise(
+                F.floor(F.col("dcg") / F.col("icum") * 1000000 + 0.5) / 1000000.0
+            )
+            .alias("ndcg_at_k"),
         )
         .orderBy("query_vec")
     )
@@ -512,11 +524,12 @@ def _mmr_steps_sql() -> str:
   SELECT list_append(prev.picked, (
     SELECT sc.vec_id FROM (
       SELECT c.vec_id,
-             round({_MMR_LAMBDA} * c.qsim - {round(1 - _MMR_LAMBDA, 10)}
-                   * coalesce((SELECT max(p.sim) FROM pairs p
-                               WHERE p.a = c.vec_id
-                                 AND list_contains(prev.picked, p.b)),
-                              CAST(0 AS DOUBLE)), 6) AS score
+             floor(({_MMR_LAMBDA} * c.qsim - {round(1 - _MMR_LAMBDA, 10)}
+                    * coalesce((SELECT max(p.sim) FROM pairs p
+                                WHERE p.a = c.vec_id
+                                  AND list_contains(prev.picked, p.b)),
+                               CAST(0 AS DOUBLE))) * 1000000 + 0.5)
+               / 1000000.0 AS score
       FROM pool c WHERE NOT list_contains(prev.picked, c.vec_id)
     ) sc ORDER BY sc.score DESC, sc.vec_id LIMIT 1)) AS picked
   FROM s{i-1} prev

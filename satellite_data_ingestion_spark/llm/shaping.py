@@ -34,6 +34,20 @@ _PACK_BUDGET = 256
 _MIX_EVEN_RATE = 1.0   # src0, src2, ... (kept fully)
 _MIX_ODD_RATE = 0.25   # src1, src3, ... (downsampled 4x)
 
+# The quarter-valued quality composite as ONE shared SQL sum: three oracles
+# score with it (preference pairs, best-of-n, length-bias audit) and a
+# hand-copied variant drifting from ext_quality_score's thresholds would be
+# the hardest parity break to localize (round-14 review).
+_QUALITY_SUM_SQL = """(CASE WHEN len(str_split(text, ' ')) >= 5 THEN 0.25 ELSE 0 END)
+             + (CASE WHEN list_sum(list_transform(str_split(text, ' '),
+                        t -> CAST(length(t) AS DOUBLE)))
+                     / len(str_split(text, ' ')) <= 12.0 THEN 0.25 ELSE 0 END)
+             + (CASE WHEN CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                        AS DOUBLE) / length(text) <= 0.2 THEN 0.25 ELSE 0 END)
+             + (CASE WHEN CAST(len(list_distinct(str_split(text, ' ')))
+                        AS DOUBLE) / len(str_split(text, ' ')) >= 0.3
+                THEN 0.25 ELSE 0 END)"""
+
 
 @register(
     "ext_repetition_score",
@@ -331,15 +345,7 @@ _PREF_PAIRS_PER_LANG = 5
     oracle=f"""
 WITH q AS (
   SELECT doc_id, lang,
-         round((CASE WHEN len(str_split(text, ' ')) >= 5 THEN 0.25 ELSE 0 END)
-             + (CASE WHEN list_sum(list_transform(str_split(text, ' '),
-                        t -> CAST(length(t) AS DOUBLE)))
-                     / len(str_split(text, ' ')) <= 12.0 THEN 0.25 ELSE 0 END)
-             + (CASE WHEN CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
-                        AS DOUBLE) / length(text) <= 0.2 THEN 0.25 ELSE 0 END)
-             + (CASE WHEN CAST(len(list_distinct(str_split(text, ' ')))
-                        AS DOUBLE) / len(str_split(text, ' ')) >= 0.3
-                THEN 0.25 ELSE 0 END), 2) AS quality
+         round({_QUALITY_SUM_SQL}, 2) AS quality
   FROM documents
 ),
 top AS (
@@ -816,15 +822,7 @@ _BON_PROMPTS = 32  # candidate pool count: doc_id % 32
     oracle=f"""
 WITH q AS (
   SELECT doc_id, doc_id % {_BON_PROMPTS} AS prompt_id,
-         round((CASE WHEN len(str_split(text, ' ')) >= 5 THEN 0.25 ELSE 0 END)
-             + (CASE WHEN list_sum(list_transform(str_split(text, ' '),
-                        t -> CAST(length(t) AS DOUBLE)))
-                     / len(str_split(text, ' ')) <= 12.0 THEN 0.25 ELSE 0 END)
-             + (CASE WHEN CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
-                        AS DOUBLE) / length(text) <= 0.2 THEN 0.25 ELSE 0 END)
-             + (CASE WHEN CAST(len(list_distinct(str_split(text, ' ')))
-                        AS DOUBLE) / len(str_split(text, ' ')) >= 0.3
-                THEN 0.25 ELSE 0 END), 2) AS reward
+         round({_QUALITY_SUM_SQL}, 2) AS reward
   FROM documents
 ), r AS (
   SELECT prompt_id, doc_id, reward,
@@ -905,18 +903,10 @@ ext_best_of_n.__doc__ = ext_best_of_n.__doc__.format(m=_BON_PROMPTS)
 
 @register(
     "ext_reward_length_bias",
-    oracle="""
+    oracle=f"""
 WITH q AS (
   SELECT len(str_split(text, ' ')) AS toks,
-         CAST(round(((CASE WHEN len(str_split(text, ' ')) >= 5 THEN 0.25 ELSE 0 END)
-             + (CASE WHEN list_sum(list_transform(str_split(text, ' '),
-                        t -> CAST(length(t) AS DOUBLE)))
-                     / len(str_split(text, ' ')) <= 12.0 THEN 0.25 ELSE 0 END)
-             + (CASE WHEN CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
-                        AS DOUBLE) / length(text) <= 0.2 THEN 0.25 ELSE 0 END)
-             + (CASE WHEN CAST(len(list_distinct(str_split(text, ' ')))
-                        AS DOUBLE) / len(str_split(text, ' ')) >= 0.3
-                THEN 0.25 ELSE 0 END)) * 4) AS BIGINT) AS r4
+         CAST(round(({_QUALITY_SUM_SQL}) * 4) AS BIGINT) AS r4
   FROM documents
 ), m AS (
   SELECT CAST(count(*) AS BIGINT) AS n,

@@ -1986,6 +1986,22 @@ _EN_PROFILE_LEN = len(_LANG_PROFILES["en"])
 # Shared SQL fragment: per-doc (score_micro, y) for the "is English"
 # binary classifier — score = fraction of the en stopword profile
 # present in the doc's distinct tokens, label = corpus lang tag.
+def _cal_scored_cols():
+    """The is-English confidence as (micro-int score, label) column pair —
+    the SPARK twin of ``_CAL_SCORED_SQL``, shared by all four calibration
+    ops (bins, Brier, isotonic, ECE) so the score expression cannot drift
+    from the oracle constant (round-14 review)."""
+    toks = F.array_distinct(F.split("text", " "))
+    hits = F.size(
+        F.array_intersect(
+            toks, F.array(*[F.lit(w) for w in _LANG_PROFILES["en"]])
+        )
+    )
+    sm = F.floor(hits.cast("double") / _EN_PROFILE_LEN * 1000000 + 0.5).cast("long")
+    y = F.when(F.col("lang") == "en", 1).otherwise(0)
+    return sm, y
+
+
 _CAL_SCORED_SQL = f"""
 scored AS MATERIALIZED (
   SELECT doc_id,
@@ -2026,17 +2042,8 @@ def ext_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the pooled mean — order-free), and accuracy is an integer count
     ratio.  One scan, one |bins|-row map-side-combined aggregate."""
     docs = table(spark, sf_dir, "documents")
-    toks = F.array_distinct(F.split("text", " "))
-    hits = F.size(
-        F.array_intersect(
-            toks, F.array(*[F.lit(w) for w in _LANG_PROFILES["en"]])
-        )
-    )
-    sm = F.floor(hits.cast("double") / _EN_PROFILE_LEN * 1000000 + 0.5).cast("long")
-    scored = docs.select(
-        sm.alias("sm"),
-        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
-    )
+    sm, y = _cal_scored_cols()
+    scored = docs.select(sm.alias("sm"), y.alias("y"))
     binned = scored.select(
         F.least(F.floor(F.col("sm") / 100000.0).cast("long"), F.lit(_CAL_BINS - 1)).alias("bin"),
         "sm",
@@ -2079,14 +2086,7 @@ def ext_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     cliff — with ONE cast-to-double before the divisions; one scan, one
     1-row aggregate."""
     docs = table(spark, sf_dir, "documents")
-    toks = F.array_distinct(F.split("text", " "))
-    hits = F.size(
-        F.array_intersect(
-            toks, F.array(*[F.lit(w) for w in _LANG_PROFILES["en"]])
-        )
-    )
-    sm = F.floor(hits.cast("double") / _EN_PROFILE_LEN * 1000000 + 0.5).cast("long")
-    y = F.when(F.col("lang") == "en", 1).otherwise(0)
+    sm, y = _cal_scored_cols()
     d = sm - y * 1000000
     return docs.select((d * d).cast("decimal(38,0)").alias("sq")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -3218,18 +3218,9 @@ def ext_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     docs = table(spark, sf_dir, "documents")
-    toks = F.array_distinct(F.split("text", " "))
-    hits = F.size(
-        F.array_intersect(
-            toks, F.array(*[F.lit(w) for w in _LANG_PROFILES["en"]])
-        )
-    )
-    sm = F.floor(hits.cast("double") / _EN_PROFILE_LEN * 1000000 + 0.5).cast("long")
+    sm, y = _cal_scored_cols()
     g = (
-        docs.select(
-            sm.alias("sm"),
-            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
-        )
+        docs.select(sm.alias("sm"), y.alias("y"))
         .groupBy("sm")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
@@ -3459,17 +3450,8 @@ def ext_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the two final divisions are single closed-form doubles.  One
     scan, one |bins|-row combine, a 1-row report at any corpus size."""
     docs = table(spark, sf_dir, "documents")
-    toks = F.array_distinct(F.split("text", " "))
-    hits = F.size(
-        F.array_intersect(
-            toks, F.array(*[F.lit(w) for w in _LANG_PROFILES["en"]])
-        )
-    )
-    sm = F.floor(hits.cast("double") / _EN_PROFILE_LEN * 1000000 + 0.5).cast("long")
-    scored = docs.select(
-        sm.alias("sm"),
-        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
-    )
+    sm, y = _cal_scored_cols()
+    scored = docs.select(sm.alias("sm"), y.alias("y"))
     b = scored.groupBy(
         F.least(F.floor(F.col("sm") / 100000.0).cast("long"), F.lit(_CAL_BINS - 1)).alias("bin")
     ).agg(

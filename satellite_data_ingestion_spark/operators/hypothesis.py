@@ -31,6 +31,11 @@ def r6(x):
     return F.floor(x * 1000000 + 0.5) / 1000000.0
 
 
+def q4(x):
+    """Shared 4-decimal half-up rounding (cents-scale outputs)."""
+    return F.floor(x * 10000 + 0.5) / 10000.0
+
+
 @register(
     "agg_ks_test",
     oracle="""
@@ -3594,10 +3599,16 @@ SELECT CAST(aa AS BIGINT) AS alpha_posterior_a,
        CAST(ba AS BIGINT) AS beta_posterior_a,
        CAST(ab AS BIGINT) AS alpha_posterior_b,
        CAST(bb AS BIGINT) AS beta_posterior_b,
-       CASE WHEN max(aa + ab + ba + bb) - 2 > {_BAYES_GRID}
-            THEN error('agg_bayes_ab: lnfact grid too small for this corpus — raise _BAYES_GRID')
-            ELSE floor(sum(exp(lnt)) * 10000 + 0.5) / 10000.0 END AS prob_b_beats_a
+       floor(sum(exp(lnt)) * 10000 + 0.5) / 10000.0 AS prob_b_beats_a
 FROM terms GROUP BY 1, 2, 3, 4
+UNION ALL
+-- Reachable overflow guard (round-14 review): past the grid the lnfact
+-- equality joins match nothing and terms is EMPTY, so a guard inside that
+-- SELECT can never fire — this branch evaluates error() exactly when the
+-- posterior outgrows the grid instead of silently returning zero rows.
+SELECT error('agg_bayes_ab: lnfact grid too small for this corpus — raise _BAYES_GRID'),
+       CAST(ba AS BIGINT), CAST(ab AS BIGINT), CAST(bb AS BIGINT), 0.0
+FROM p WHERE aa + ab + ba + bb - 2 > {_BAYES_GRID}
 """,
 )
 def agg_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4239,11 +4250,15 @@ terms AS (
     AND lnn.k = cells.nn AND ln1.k = cells.n1 AND lnn1.k = cells.nn - cells.n1
 )
 SELECT a, ka AS n_group_a, n1 AS n_converted, nn AS n_users,
-       CASE WHEN max(nn) > {_FISHER_GRID}
-            THEN error('agg_fisher_exact: lnfact grid too small — raise _FISHER_GRID')
-            ELSE floor(sum(exp(lnt)) * 1000000 + 0.5) / 1000000.0
-       END AS p_greater
+       floor(sum(exp(lnt)) * 1000000 + 0.5) / 1000000.0 AS p_greater
 FROM terms GROUP BY 1, 2, 3, 4
+UNION ALL
+-- Reachable overflow guard: past the grid the equality joins above match
+-- NOTHING (terms is empty), so a guard inside that SELECT never fires; this
+-- branch evaluates error() exactly when the population outgrows the grid.
+SELECT error('agg_fisher_exact: lnfact grid too small — raise _FISHER_GRID'),
+       ka, n1, nn, 0.0
+FROM cells WHERE nn > {_FISHER_GRID}
 """,
 )
 def agg_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4412,7 +4427,6 @@ def agg_ks_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum").cast("double") / F.col("n") - phi,
         phi - (F.col("cum").cast("double") - F.col("cnt")) / F.col("n"),
     )
-    q4 = lambda x: F.floor(x * 10000 + 0.5) / 10000.0  # noqa: E731
     return (
         j.groupBy("n", q4(F.col("mu")).alias("mean_cents"), q4(F.col("sd")).alias("sd_cents"))
         .agg(r6(F.max(dev)).alias("ks_d"))
@@ -4473,7 +4487,6 @@ def agg_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = m.select("n", "mx", "mn", mu.alias("mu"), sd.alias("sd"))
     g = F.greatest(F.col("mx") - F.col("mu"), F.col("mu") - F.col("mn")) / F.col("sd")
-    q4 = lambda x: F.floor(x * 10000 + 0.5) / 10000.0  # noqa: E731
     return s.select(
         "n",
         F.col("mx").alias("max_cents"),
@@ -4583,7 +4596,6 @@ def agg_james_stein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0) - (F.col("k") - 3) * (F.col("s2") / F.col("n")) / F.col("ss"),
         F.lit(0.0),
     )
-    q4 = lambda x: F.floor(x * 10000 + 0.5) / 10000.0  # noqa: E731
     return j.select(
         "nation",
         "n",
@@ -4689,7 +4701,6 @@ def agg_beta_binomial_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("strength"),
     )
     j = pm.crossJoin(F.broadcast(m))
-    q4 = lambda x: F.floor(x * 10000 + 0.5) / 10000.0  # noqa: E731
     return j.select(
         "user_id",
         "trials",
@@ -4837,7 +4848,6 @@ def agg_poisson_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pow(F.col("chi2") / _PGOF_DF, F.lit(_PGOF_THIRD)) - F.lit(_PGOF_WH_A)
     ) / F.lit(_PGOF_WH_B)
     out = chi.crossJoin(F.broadcast(lam))
-    q4 = lambda x: F.floor(x * 10000 + 0.5) / 10000.0  # noqa: E731
     return out.select(
         F.col("nu").alias("n_users"),
         r6(F.col("lam")).alias("lambda_hat"),
@@ -5085,7 +5095,6 @@ def agg_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)) - 1)
         ).alias("k0"),
     )
-    q4 = lambda x: F.floor(x * 10000 + 0.5) / 10000.0  # noqa: E731
     return t.select(
         "k",
         F.col("nn").alias("n"),
@@ -5489,7 +5498,6 @@ def agg_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sq").cast("double") - F.col("sd_").cast("double") * F.col("sd_") / F.col("n"))
         / (F.col("n") - 1)
     )
-    q4 = lambda x: F.floor(x * 10000 + 0.5) / 10000.0  # noqa: E731
     return m.select(
         "n",
         q4(bias).alias("bias_cents"),
@@ -5580,7 +5588,6 @@ def agg_mahalanobis_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = (
         dx * dx * F.col("vy") - 2 * dx * dy * F.col("cxy") + dy * dy * F.col("vx")
     ) / (F.col("vx") * F.col("vy") - F.col("cxy") * F.col("cxy"))
-    q4 = lambda x: F.floor(x * 10000 + 0.5) / 10000.0  # noqa: E731
     return (
         j.select(
             "l_orderkey",

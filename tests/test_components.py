@@ -4387,3 +4387,30 @@ def test_pca_2x2_matches_numpy_eigh(spark, tmp_path):
     got = r.principal_angle
     # same axis modulo pi
     assert min(abs(got - ang), abs(got - ang + math.pi), abs(got - ang - math.pi)) <= 1e-4
+
+
+def test_ndcg_zero_relevant_query_reports_zero(spark, tmp_path):
+    """Regression (round-14 review, the matryoshka bug class): a query
+    whose label matches NO candidate must emit an ndcg_at_k = 0.0 row,
+    not be silently dropped by the ideal-table join at least(0,k)=0."""
+    import math
+
+    from satellite_data_ingestion_spark import registry
+    from satellite_data_ingestion_spark.llm.retrieval import _NDCG_QUERIES
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta)] + [0.0] * 6
+
+    rows = []
+    for qid in range(_NDCG_QUERIES):
+        # label 99 for query 0: matches nothing below
+        rows.append((qid, vec(0.05 * qid), 99 if qid == 0 else 0))
+    for i in range(15):
+        rows.append((50 + i, vec(0.03 * i), 0))
+    _write_embeddings(spark, tmp_path, rows)
+    out = {r.query_vec: r for r in registry.spec("ext_ndcg").fn(spark, str(tmp_path)).collect()}
+    assert len(out) == _NDCG_QUERIES  # every query row present
+    assert out[0].n_relevant == 0
+    assert out[0].hits_at_k == 0
+    assert out[0].ndcg_at_k == 0.0
+    assert out[1].n_relevant > 0 and out[1].ndcg_at_k > 0
