@@ -1520,7 +1520,12 @@ def test_v2_checkpoint_incremental_sidecar_reuse(spark, tbl):
         }
 
     first = manifest_sidecars(tbl.latest_version())
-    assert len(first) >= 4
+    # Buckets are crc32(path) % n_buckets over RANDOM part names, and
+    # content-addressing collapses identical (e.g. empty) buckets to one
+    # file — so the distinct-name count varies run to run (>= 4 flaked
+    # when two buckets landed empty under load).  The property under
+    # test is multi-bucket sharding + reuse, not an exact shard count.
+    assert len(first) >= 2
     before_mtimes = {
         p: os.stat(os.path.join(tbl.log_dir, "_sidecars", p)).st_mtime_ns
         for p in first
