@@ -472,19 +472,20 @@ def main() -> None:
     import zlib
 
     repo = os.path.dirname(os.path.abspath(__file__))
+    # Recorded bench rounds drive BOTH the rotation tranche and the sidecar
+    # file name, so derive them up front.  Use the MAX round number present,
+    # not the artifact COUNT: a round that writes two BENCH_r{N}.json files
+    # (or skips a round) would otherwise silently shift the rotation and
+    # skip a tranche (VERDICT r13 task 7).  max-round is stable under
+    # re-runs within a round and under missing rounds.
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
     if os.environ.get("SPARK_GRAFT_BENCH_TRANCHE"):
         tranche = int(os.environ["SPARK_GRAFT_BENCH_TRANCHE"]) % ROTATION_TRANCHES
     else:
-        # Derive the tranche from the MAX round number present, not the
-        # artifact COUNT: a round that writes two BENCH_r{N}.json files
-        # (or skips a round) would otherwise silently shift the rotation
-        # and skip a tranche (VERDICT r13 task 7).  max-round is stable
-        # under re-runs within a round and under missing rounds.
-        rounds = [
-            int(m.group(1))
-            for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
-            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
-        ]
         # +2 anchors continuity with the historical count-derived phase
         # (round 13 drew tranche 2, so round 14 must draw 0): the r07
         # artifact is missing, so max-round and artifact-count phases
@@ -505,6 +506,14 @@ def main() -> None:
     # de-dup while preserving order (an op may sit in NEW and CORE)
     seen: set = set()
     active = [n for n in active if not (n in seen or seen.add(n))]
+    if os.environ.get("SPARK_GRAFT_BENCH_ONLY"):
+        # Explicit subset for profiling / smoke runs: comma-separated query
+        # names, run in the given order, bypassing the tier plan.
+        only = [s for s in os.environ["SPARK_GRAFT_BENCH_ONLY"].split(",") if s]
+        unknown = [s for s in only if s not in qs]
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY unknown queries: {unknown}")
+        active = only
     print(
         f"[bench] tier plan: {len(NEW_THIS_ROUND)} new + {len(CORE)} core + "
         f"rotation tranche {tranche}/{ROTATION_TRANCHES} -> {len(active)} queries",
@@ -596,7 +605,18 @@ def main() -> None:
     print(f"[bench] calibration probe (post): {probe_last}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    payload = {
+    # The grading driver keeps only the LAST 2000 chars of stdout and parses
+    # the final line as JSON.  A ~140-entry "queries" map blows past that
+    # window, so BENCH_r10..r14 all recorded parsed:null with tails starting
+    # mid-JSON.  Fix (VERDICT r14 task 1): stdout carries a COMPACT summary
+    # line (always well under 2000 chars) and the full per-query map goes to
+    # a sidecar the judge can open: tools/bench_r{N}_full.json.
+    bench_round = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+    if bench_round is None:
+        # The bench for round N runs BEFORE BENCH_r{N}.json exists, so the
+        # current round is max(recorded rounds) + 1.
+        bench_round = str((max(rounds) + 1) if rounds else 1)
+    full_payload = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
@@ -612,12 +632,40 @@ def main() -> None:
             "rotation_tranches": ROTATION_TRANCHES,
             "rotation_total": len(ROTATION),
         },
+        "degraded": degraded,
+        "errors": errors,
     }
-    if degraded:
-        payload["degraded"] = degraded
+    sidecar = os.path.join(repo, "tools", f"bench_r{bench_round}_full.json")
+    try:
+        os.makedirs(os.path.dirname(sidecar), exist_ok=True)
+        with open(sidecar, "w") as fh:
+            json.dump(full_payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(f"[bench] per-query map -> {sidecar}", file=sys.stderr)
+    except OSError as ex:
+        print(f"[bench] sidecar write failed: {ex!r}", file=sys.stderr)
+    compact = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "n": len(timings),
+        "sf": full_payload["sf"],
+        "probe_first_sec": probe_first,
+        "probe_last_sec": probe_last,
+        "tier": full_payload["tier"],
+        "degraded": degraded,
+        "queries_sidecar": os.path.relpath(sidecar, repo),
+    }
     if errors:
-        payload["errors"] = errors
-    print(json.dumps(payload))
+        compact["errors"] = {k: v[:80] for k, v in errors.items()}
+    line = json.dumps(compact)
+    if len(line) > 1900:
+        # Never exceed the driver's tail window, whatever happens: drop the
+        # variable-size fields before the summary numbers.
+        compact.pop("errors", None)
+        compact["degraded"] = len(degraded)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":
