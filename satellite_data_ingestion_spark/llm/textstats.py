@@ -3507,9 +3507,15 @@ def _textrank_oracle() -> str:
 r0 AS (SELECT s AS node, CAST(1.0 AS DOUBLE) AS tr FROM wsum),""",
     ]
     for i in range(_TR_ITERS):
+        # Fold each node's incoming contributions in SORTED source-node
+        # order (list_reduce over ORDER BY l.s == the Spark side's
+        # array_sort + aggregate): an unordered float sum compounded over
+        # the iterations could land within rounding-boundary noise of the
+        # final round() and flip a digit (ADVICE r14).
         parts.append(
             f"r{i + 1} AS (SELECT l.d AS node, "
-            f"(1.0 - {_TR_DAMPING}) + {_TR_DAMPING} * sum(r.tr * l.frac) AS tr "
+            f"(1.0 - {_TR_DAMPING}) + {_TR_DAMPING} * "
+            f"list_reduce(list(r.tr * l.frac ORDER BY l.s), (x, y) -> x + y) AS tr "
             f"FROM links l JOIN r{i} r ON l.s = r.node GROUP BY l.d),"
         )
     parts[-1] = parts[-1][:-1]
@@ -3564,16 +3570,35 @@ def ext_keyword_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     ranks = wsum.select(F.col("s").alias("node"), F.lit(1.0).alias("tr"))
     for _ in range(_TR_ITERS):
+        # Deterministic neighbor sum: fold contributions in sorted
+        # source-node order (array_sort + aggregate == the oracle's
+        # list_reduce ORDER BY l.s) so the per-iteration float totals are
+        # bit-identical across engines and runs instead of relying on the
+        # final rounding to absorb order noise (ADVICE r14).
         ranks = (
             links.join(ranks, F.col("s") == F.col("node"))
             .groupBy(F.col("d").alias("nnode"))
             .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("s"), (F.col("tr") * F.col("frac")).alias("v")
+                        )
+                    )
+                ).alias("contrib")
+            )
+            .select(
+                F.col("nnode").alias("node"),
                 (
                     F.lit(1.0 - _TR_DAMPING)
-                    + F.lit(_TR_DAMPING) * F.sum(F.col("tr") * F.col("frac"))
-                ).alias("tr")
+                    + F.lit(_TR_DAMPING)
+                    * F.aggregate(
+                        F.col("contrib"),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["v"],
+                    )
+                ).alias("tr"),
             )
-            .select(F.col("nnode").alias("node"), "tr")
             .localCheckpoint(eager=True)
         )
     return (

@@ -954,9 +954,6 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_cents")
     )
 
-    def q4(x):
-        return F.floor(x * 10000 + 0.5) / 10000.0
-
     lo = ranked.filter(F.col("rk") == 2).select(q4(F.col("m")).alias("ci_lo_cents"))
     hi = ranked.filter(F.col("rk") == F.col("nb") - 1).select(
         q4(F.col("m")).alias("ci_hi_cents")
@@ -1275,9 +1272,6 @@ def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
         F.sum(F.col("p") * F.col("y")).cast("long").alias("spy"),
     )
-
-    def q4(x):
-        return F.floor(x * 10000 + 0.5) / 10000.0
 
     css_y = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / F.col("n")
     css_p = F.col("spp").cast("double") - F.col("sp").cast("double") * F.col("sp") / F.col("n")
@@ -3602,10 +3596,14 @@ SELECT CAST(aa AS BIGINT) AS alpha_posterior_a,
        floor(sum(exp(lnt)) * 10000 + 0.5) / 10000.0 AS prob_b_beats_a
 FROM terms GROUP BY 1, 2, 3, 4
 UNION ALL
--- Reachable overflow guard (round-14 review): past the grid the lnfact
--- equality joins match nothing and terms is EMPTY, so a guard inside that
--- SELECT can never fire — this branch evaluates error() exactly when the
--- posterior outgrows the grid instead of silently returning zero rows.
+-- Reachable overflow guard (round-14 review): a guard INSIDE the main
+-- SELECT can never fire — past the grid the large-index lnfact equality
+-- joins drop rows, so that SELECT aggregates an empty-or-partial `terms`
+-- (when aa+ab+ba+bb-2 only slightly exceeds the grid, the small-i rows
+-- still join and the sum is silently TRUNCATED, not empty).  Either way
+-- this UNION ALL branch evaluates error() whenever the posterior
+-- outgrows the grid, aborting the whole query before the main branch's
+-- empty/truncated result can be returned.
 SELECT error('agg_bayes_ab: lnfact grid too small for this corpus — raise _BAYES_GRID'),
        CAST(ba AS BIGINT), CAST(ab AS BIGINT), CAST(bb AS BIGINT), 0.0
 FROM p WHERE aa + ab + ba + bb - 2 > {_BAYES_GRID}
@@ -5686,7 +5684,6 @@ def agg_pca_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
         (half_tr + root).alias("l1"),
         (half_tr - root).alias("l2"),
     )
-    q4 = lambda v: F.floor(v * 10000 + 0.5) / 10000.0  # noqa: E731
     return e.select(
         "n",
         q4(F.col("l1")).alias("eigval_1"),

@@ -56,6 +56,16 @@ def distributed_rank(
     # single shuffle + sampling whose persisted partitions BOTH branches
     # read; deterministic scan-grain inputs (the prior invariant test's
     # domain) never exposed this, join-grain inputs require it.
+    #
+    # Fault-tolerance tradeoff (deliberate): eager localCheckpoint runs a
+    # Spark job at DataFrame-CONSTRUCTION time for every caller (plan
+    # inspection triggers execution) and truncates lineage onto executor
+    # local disk, so on a real cluster an executor loss fails the query
+    # instead of recomputing the lost partitions.  That is the right trade
+    # here — the pinned frame is one shuffle wide and cheap to re-run at
+    # the query level — but deployments where mid-query executor loss must
+    # be survivable should swap this for persist(DISK_ONLY) + count()
+    # (lineage kept, same single-sampling pin, slower first touch).
     loc = (
         df.repartitionByRange(num_partitions, *cols)
         .withColumn("_pid", F.spark_partition_id())

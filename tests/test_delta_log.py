@@ -1521,11 +1521,27 @@ def test_v2_checkpoint_incremental_sidecar_reuse(spark, tbl):
 
     first = manifest_sidecars(tbl.latest_version())
     # Buckets are crc32(path) % n_buckets over RANDOM part names, and
-    # content-addressing collapses identical (e.g. empty) buckets to one
-    # file — so the distinct-name count varies run to run (>= 4 flaked
-    # when two buckets landed empty under load).  The property under
-    # test is multi-bucket sharding + reuse, not an exact shard count.
-    assert len(first) >= 2
+    # content-addressing collapses identical (all-empty) buckets to one
+    # file — so a FIXED distinct-name bound flaked (>= 4 failed when two
+    # buckets landed empty under load; >= 2 was near-trivial).  Instead
+    # compute the EXACT expected count by replaying the bucketing over
+    # the actual staged part names: distinct non-empty buckets are
+    # pairwise content-distinct (different paths), and all empty buckets
+    # collapse to exactly one shared shard.
+    import zlib as _zlib
+
+    state = tbl._state(tbl.latest_version())
+    file_rows = [
+        r for r in tbl._cp_rows(state) if "add" in r or "remove" in r
+    ]
+    paths = [(r.get("add") or r.get("remove"))["path"] for r in file_rows]
+    n_buckets = 1
+    while n_buckets * 2 < len(paths):  # max_sidecar_actions=2 above
+        n_buckets *= 2
+    occupied = {_zlib.crc32(p.encode()) % n_buckets for p in paths}
+    expected = len(occupied) + (1 if len(occupied) < n_buckets else 0)
+    assert n_buckets >= 4, "fixture must force multi-bucket sharding"
+    assert len(first) == expected
     before_mtimes = {
         p: os.stat(os.path.join(tbl.log_dir, "_sidecars", p)).st_mtime_ns
         for p in first
