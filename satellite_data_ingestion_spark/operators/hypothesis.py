@@ -5154,11 +5154,15 @@ def agg_xi_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     key tiebreak, the paper's random tie-break made reproducible).
 
     Every ingredient is an EXACT integer: r and l come from one
-    tie-group cumulative pass over the distinct-y grain, the
-    consecutive-rank differences from one lag over the x-ordered
-    sequence (both via ``distributed_rank`` — never a single-task
-    data-grain window), and the denominator sums l(n-l) as exact
-    128-bit/decimal products.  One final double expression."""
+    tie-group cumulative pass over the distinct-y grain — DOMAIN-bounded,
+    not data-grain: y = round(l_extendedprice) and extendedprice =
+    quantity(≤50) × retailprice(≤~2099) caps the distinct values at
+    ~105k at ANY corpus size, the bounded case where a single-task
+    window is correct by construction — the consecutive-rank
+    differences from a partition-local lead over the range-pinned
+    x-ordered sequence plus a |partitions|-row boundary stitch (never a
+    single-task data-grain window), and the denominator sums l(n-l) as
+    exact 128-bit/decimal products.  One final double expression."""
     li = table(spark, sf_dir, "lineitem")
     pts = li.select(
         F.col("l_quantity").cast("long").alias("x"),
@@ -5167,13 +5171,19 @@ def agg_xi_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
     )
     yg = pts.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    yr = distributed_rank(yg, ["y"], sum_cols=("cnt",)).select(
+    w_y = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("y").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    yr = yg.select(
         "y",
         "cnt",
-        F.col("_cum_cnt").cast("long").alias("cum"),
-        F.col("_tot_cnt").cast("long").alias("n_all"),
+        F.sum("cnt").over(w_y).cast("long").alias("cum"),
+        F.sum("cnt").over(w_all).cast("long").alias("n_all"),
     )
-    ranked = pts.join(yr, "y").select(
+    # yr is price-domain-sized (≤ ~105k rows, a few MB) — broadcast it so
+    # the data-grain side never shuffles for this join.
+    ranked = pts.join(F.broadcast(yr), "y").select(
         "x",
         "l_orderkey",
         "l_linenumber",
@@ -5182,17 +5192,47 @@ def agg_xi_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum").alias("r"),
         (F.col("n_all") - (F.col("cum") - F.col("cnt"))).alias("l"),
     )
+    # Consecutive |r_(t+1) - r_t| without a data-grain self-join OR a
+    # global rank: only ADJACENT pairs in the (x, key, y) total order are
+    # needed, so range-partition once on the sort key, pin the shuffle
+    # (same nondeterministic-sampling hazard distributed_rank documents),
+    # and lead(r) partition-locally — that covers every adjacent pair
+    # except the num_partitions-1 partition boundaries, which a bounded
+    # per-partition edge aggregate (first/last row of each _pid, paired
+    # on the |partitions|-row frame) stitches exactly.
     # (orderkey, linenumber) is NOT unique here (the win_vwap finding):
     # append y so residual ties are rank-equal and order-irrelevant.
-    seq = distributed_rank(
-        ranked, ["x", "l_orderkey", "l_linenumber", "y"]
-    ).select("r", "l", "n_all", F.col("_rk").alias("t"))
-    # consecutive pairs via an equi self-join on t (never a global lag
-    # window over the data grain)
-    nxt = seq.select(F.col("r").alias("r_next"), (F.col("t") - 1).alias("t"))
-    num = (
-        seq.join(nxt, "t")
-        .agg(F.sum(F.abs(F.col("r") - F.col("r_next"))).cast("long").alias("num"))
+    sort_cols = ["x", "l_orderkey", "l_linenumber", "y"]
+    seq = (
+        ranked.repartitionByRange(32, *sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    key = F.struct(*sort_cols)
+    w_pid = Window.partitionBy("_pid").orderBy(*sort_cols)
+    inner = seq.withColumn("r_next", F.lead("r").over(w_pid)).agg(
+        F.coalesce(
+            F.sum(F.abs(F.col("r") - F.col("r_next"))), F.lit(0)
+        ).cast("long").alias("num_in")
+    )
+    edges = seq.groupBy("_pid").agg(
+        F.min(key.withField("r", F.col("r"))).alias("lo"),
+        F.max(key.withField("r", F.col("r"))).alias("hi"),
+    )
+    # |num_partitions| rows — the bounded case where an unpartitioned
+    # window is correct by construction (the distributed_rank offsets
+    # discipline).
+    w_edge = Window.orderBy(F.col("lo.x"), F.col("lo.l_orderkey"),
+                            F.col("lo.l_linenumber"), F.col("lo.y"))
+    boundary = edges.withColumn(
+        "next_first_r", F.lead("lo.r").over(w_edge)
+    ).agg(
+        F.coalesce(
+            F.sum(F.abs(F.col("next_first_r") - F.col("hi.r"))), F.lit(0)
+        ).cast("long").alias("num_edge")
+    )
+    num = inner.crossJoin(F.broadcast(boundary)).select(
+        (F.col("num_in") + F.col("num_edge")).alias("num")
     )
     den = seq.agg(
         F.count(F.lit(1)).cast("long").alias("n"),

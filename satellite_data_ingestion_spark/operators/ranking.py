@@ -34,6 +34,7 @@ def distributed_rank(
     order_cols: list,
     sum_cols: tuple[str, ...] = (),
     num_partitions: int = 32,
+    keep_pid: bool = False,
 ) -> DataFrame:
     """Append exact global ``_rk`` (row_number over *order_cols*) and
     ``_n_total`` to *df* without a single-task window; for each name in
@@ -43,6 +44,12 @@ def distributed_rank(
     *order_cols* must be a deterministic total order (append a unique key
     as the final tiebreak).  Accepts names or Column sort expressions
     (``F.desc("rev")``).
+
+    With ``keep_pid=True`` the range-partition id column ``_pid`` is
+    retained: ``_rk`` is contiguous within each ``_pid`` and ``_pid``
+    ascends with ``_rk``, so callers can run ADJACENT-ROW logic (lag /
+    lead) partition-locally and stitch only the ``num_partitions - 1``
+    boundary pairs from a bounded per-partition edge aggregate.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     # MATERIALIZE the ranged frame before fanning out to the two branches.
@@ -102,7 +109,7 @@ def distributed_rank(
     )
     for c in sum_cols:
         out = out.withColumn(f"_cum_{c}", F.col(f"_lcum_{c}") + F.col(f"_off_{c}"))
-    drop = ["_pid", "_lrk", "_off"] + [
+    drop = (["_pid"] if not keep_pid else []) + ["_lrk", "_off"] + [
         n for c in sum_cols for n in (f"_lcum_{c}", f"_off_{c}")
     ]
     return out.drop(*drop)
