@@ -1832,6 +1832,87 @@ def test_heavy_hitters_cms_one_sided_bound(spark):
     assert true_heavy <= set(got), "a true heavy hitter was lost"
 
 
+def test_stream_heavy_hitters_state_is_sketch_bounded(spark):
+    """The streaming CMS state store must hold EXACTLY depth x width =
+    3,072 cells in every micro-batch — never a row more, at any arrival
+    volume (the r14 sf1 profile measured 3,072 rows / ~0.5-1.0 MB at
+    sf0.1 AND sf1; wall grows only with arrivals).  Pins the bound the
+    BASELINE.md scale row documents: if a regression ever keys state by
+    anything corpus-grained, numRowsTotal explodes and this fails."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from satellite_data_ingestion_spark.catalog import table
+    from satellite_data_ingestion_spark.operators.scale import (
+        _CMS_DEPTH,
+        _CMS_WIDTH,
+        _cms_bucket,
+    )
+    from satellite_data_ingestion_spark.streaming.state import (
+        _few_shuffle_partitions,
+    )
+
+    staging = os.path.join(tempfile.gettempdir(), f"shh_state_{os.getpid()}")
+    shutil.rmtree(staging, ignore_errors=True)
+    li = table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        F.col("l_partkey").cast("string").alias("k")
+    )
+    li.repartition(3).write.mode("overwrite").parquet(staging)
+    pos = F.explode(
+        F.array(*[F.lit(i) for i in range(1, _CMS_DEPTH + 1)])
+    ).alias("i")
+    with _few_shuffle_partitions(spark):
+        q = (
+            spark.readStream.schema("k string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+            .select("k", pos)
+            .selectExpr("k", "i", _cms_bucket("k", "i", "spark") + " as bucket")
+            .groupBy("i", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .writeStream.format("memory")
+            .queryName(f"shh_state_{os.getpid()}")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
+            .start()
+        )
+        q.awaitTermination(180)
+        progress = list(q.recentProgress)
+    # The state is keyed by (i, bucket) CELLS: bounded above by
+    # depth x width always, and at any SF the final store holds exactly
+    # the distinct cells the corpus touches (3,072 of 3,072 from sf0.1
+    # up, fewer at sf0.001's small key set) — a regression keying state
+    # by anything corpus-grained would blow straight past `touched`.
+    touched = (
+        li.select("k", pos)
+        .selectExpr(_cms_bucket("k", "i", "spark") + " as bucket", "i")
+        .distinct()
+        .count()
+    )
+    bound = _CMS_DEPTH * _CMS_WIDTH
+    assert touched <= bound
+    batches = 0
+    last_rows = 0
+    for p in progress:
+        for s in p.get("stateOperators") or []:
+            batches += 1
+            assert s["numRowsTotal"] <= bound, (
+                f"batch {p.get('batchId')}: state {s['numRowsTotal']} > {bound}"
+            )
+            assert s["numRowsTotal"] >= last_rows, "state shrank mid-stream"
+            last_rows = s["numRowsTotal"]
+            assert s["memoryUsedBytes"] < 8 * 1024 * 1024
+    assert batches >= 3, f"expected >=3 stateful micro-batches, saw {batches}"
+    assert last_rows == touched, (
+        f"final state {last_rows} != distinct touched cells {touched}"
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+
+
 def test_stream_pattern_match_spans_batch_boundaries(spark):
     """The streaming CEP result must equal the batch window twin AND the
     fixture must actually exercise the carried state: at least one match
