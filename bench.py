@@ -66,58 +66,14 @@ from satellite_data_ingestion_spark.session import get_spark
 ROTATION_TRANCHES = 3
 
 NEW_THIS_ROUND = [
-    # round-14: ext_quality_classifier is new; the rest changed plan,
-    # oracle, or staging behavior this round and need a fresh bench signal.
-    "ext_quality_classifier",
-    "graph_betweenness",
-    "agg_effect_size",
-    "agg_bayes_ab",
-    "ext_rouge_n",
-    "ext_tokenizer_fertility_frozen",
-    "stream_quality_gate",
-    "ext_rouge_l",
-    "ext_bleu",
-    "graph_mst",
-    "ext_dedup_cluster_incremental",
-    "ext_dedup_embedding_cluster_incremental",
-    "sink_delta_checkpoint",
-    # round-14 session-2 additions (inferential-statistics wave)
-    "agg_anova_two_way",
-    "agg_tukey_hsd",
-    "agg_partial_corr",
-    "agg_ols_multi",
-    "agg_wilcoxon_signed_rank",
-    "agg_fisher_exact",
-    "ext_ts_kalman",
-    "ext_ts_granger",
-    "ext_best_of_n",
-    "ext_isotonic_calibration",
-    "ext_heaps_law",
-    "agg_ks_normality",
-    "agg_grubbs_test",
-    "ext_ts_ar2",
-    "agg_james_stein",
-    "agg_beta_binomial_smooth",
-    "pipeline_partition_reconcile",
-    "ext_crossval_folds",
-    "udf_arrow_batch",
-    "ext_ndcg",
-    "ext_mmr_rerank",
-    "ext_ts_ljung_box",
-    "agg_poisson_gof",
-    "ext_matryoshka_recall",
-    "ext_calibration_ece",
-    "agg_simpson_scan",
-    "ext_reward_length_bias",
-    "agg_icc",
-    "ext_ngram_kneser_ney",
-    "ext_keyword_textrank",
+    # round-15: agg_xi_correlation was re-planned (both rank passes
+    # dropped), ext_keyword_textrank's folds were made order-pinned, and
+    # the unigram pair gained in-SQL training oracles (same Spark plan,
+    # fresh signal to confirm no staging drift).
     "agg_xi_correlation",
-    "agg_median_ci",
-    "agg_hill_tail",
-    "agg_bland_altman",
-    "agg_mahalanobis_2d",
-    "agg_pca_2x2",
+    "ext_keyword_textrank",
+    "ext_unigram_train",
+    "ext_unigram_tokenize",
 ]
 
 CORE = [
@@ -430,6 +386,49 @@ ROTATION = [
     "agg_rate_ratio",
     "agg_overdispersion",
     "agg_capture_recapture",
+    # rolled in from round-14 NEW tier (r15 retier)
+    "ext_quality_classifier",
+    "graph_betweenness",
+    "agg_effect_size",
+    "agg_bayes_ab",
+    "ext_rouge_n",
+    "ext_tokenizer_fertility_frozen",
+    "stream_quality_gate",
+    "agg_anova_two_way",
+    "agg_tukey_hsd",
+    "agg_partial_corr",
+    "agg_ols_multi",
+    "agg_wilcoxon_signed_rank",
+    "agg_fisher_exact",
+    "ext_ts_kalman",
+    "ext_ts_granger",
+    "ext_best_of_n",
+    "ext_isotonic_calibration",
+    "ext_heaps_law",
+    "agg_ks_normality",
+    "agg_grubbs_test",
+    "ext_ts_ar2",
+    "agg_james_stein",
+    "agg_beta_binomial_smooth",
+    "pipeline_partition_reconcile",
+    "ext_crossval_folds",
+    "udf_arrow_batch",
+    "ext_ndcg",
+    "ext_mmr_rerank",
+    "ext_ts_ljung_box",
+    "agg_poisson_gof",
+    "ext_matryoshka_recall",
+    "ext_calibration_ece",
+    "agg_simpson_scan",
+    "ext_reward_length_bias",
+    "agg_icc",
+    "ext_ngram_kneser_ney",
+    "agg_median_ci",
+    "agg_hill_tail",
+    "agg_bland_altman",
+    "agg_mahalanobis_2d",
+    "agg_pca_2x2",
+
 ]
 
 
