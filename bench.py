@@ -74,6 +74,16 @@ NEW_THIS_ROUND = [
     "ext_keyword_textrank",
     "ext_unigram_train",
     "ext_unigram_tokenize",
+    # round-15 monitoring-battery wave (operators/monitoring.py)
+    "agg_bartlett",
+    "agg_mood_median",
+    "agg_benford_test",
+    "agg_anderson_darling",
+    "agg_benjamini_hochberg",
+    "agg_mann_kendall",
+    "agg_cusum_drift",
+    "agg_page_hinkley",
+    "win_bollinger",
 ]
 
 CORE = [

@@ -1,0 +1,1137 @@
+"""Monitoring-battery operators (round 15): the tests a data-platform
+team runs CONTINUOUSLY over a landed corpus — variance homogeneity and
+median shift across segments (Bartlett, Mood), digit-law data-quality
+screening (Benford), normality of the daily series (Anderson-Darling),
+multiple-testing control over per-segment alarms (Benjamini-Hochberg),
+monotone-trend detection (Mann-Kendall), sequential drift detectors
+(CUSUM, Page-Hinkley), and volatility bands (Bollinger).
+
+Every op follows the engine's established cross-engine float discipline
+(BASELINE.md, operators/hypothesis.py): corpus aggregates are EXACT
+int64 moments (cents, counts, squared cents); order-sensitive double
+sums fold over key-sorted arrays (``F.aggregate`` over
+``array_sort(collect_list(struct))`` == DuckDB ``list_reduce(list(v
+ORDER BY k), ...)``); p-values come from the shared A&S 26.2.17
+normal-CDF polynomial and the Wilson-Hilferty chi-square mapping with
+identical literals in both engines; outputs half-up micro-quantize.
+
+Scale shape shared by the whole battery: ONE map-side-combined pass
+over the fact table produces a BOUNDED frame (segment grain: the
+event-type domain; time grain: the calendar day domain), and every
+subsequent fold/window runs on that bounded frame — the single-task
+windows here are the documented bounded case, never data-grain.
+
+Capability mapping: extends SURVEY §2's aggregate battery; the
+reference repo's ingestion monitors (status counts per product) have no
+statistical layer — this is the engine-native replacement.
+"""
+
+from __future__ import annotations
+
+import math as _math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from .hypothesis import _norm_cdf, _norm_cdf_sql, q4, r6
+
+_THIRD = 1.0 / 3.0
+
+
+def _wh_p_sql(chi2: str, df: str) -> str:
+    """Wilson-Hilferty chi-square upper-tail p as DuckDB SQL; *df* may be
+    an expression (both engines evaluate the identical double algebra)."""
+    z = (
+        f"(pow(({chi2}) / ({df}), {_THIRD!r})"
+        f" - (1.0 - 2.0 / (9.0 * ({df})))) / sqrt(2.0 / (9.0 * ({df})))"
+    )
+    return f"(1.0 - {_norm_cdf_sql(z)})"
+
+
+def _wh_p(chi2, df):
+    """The Spark twin of :func:`_wh_p_sql` — identical operation order."""
+    z = (F.pow(chi2 / df, F.lit(_THIRD)) - (1.0 - 2.0 / (9.0 * df))) / F.sqrt(
+        2.0 / (9.0 * df)
+    )
+    return 1.0 - _norm_cdf(z)
+
+
+def _ordfold(key, val):
+    """Order-pinned double sum: fold *val* in ascending *key* order (the
+    textrank/bartlett discipline — Spark twin of DuckDB
+    ``list_reduce(list(val ORDER BY key), (a, b) -> a + b)`` seeded 0.0)."""
+    return F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(key.alias("k"), val.alias("v")))),
+            lambda s: s["v"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_CENTS = "CAST(round(value * 100) AS BIGINT)"
+
+
+def _seg_moments_sql() -> str:
+    """Per-event-type exact moment CTE shared by the segment tests."""
+    return f"""seg AS (
+  SELECT event_type AS g,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum({_CENTS}) AS BIGINT) AS s,
+         CAST(sum({_CENTS} * {_CENTS}) AS BIGINT) AS ss
+  FROM events GROUP BY 1
+)"""
+
+
+def _seg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents).cast("long").alias("s"),
+            F.sum(cents * cents).cast("long").alias("ss"),
+        )
+    )
+
+
+# corrected sum of squares from exact int moments — the shared algebraic
+# order both engines use: CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n
+_CSS_SQL = "(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
+
+
+def _css():
+    return F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")
+
+
+@register(
+    "agg_bartlett",
+    oracle=f"""
+WITH {_seg_moments_sql()},
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS BIGINT) AS nn,
+         list_reduce(list_prepend(0.0, list({_CSS_SQL} ORDER BY g)),
+                     (a, b) -> a + b) AS css_pool,
+         list_reduce(list_prepend(0.0,
+             list((n - 1) * ln({_CSS_SQL} / (n - 1)) ORDER BY g)),
+                     (a, b) -> a + b) AS sum_ln,
+         list_reduce(list_prepend(0.0, list(1.0 / (n - 1) ORDER BY g)),
+                     (a, b) -> a + b) AS sum_inv
+  FROM seg
+),
+ch AS (
+  SELECT k, nn,
+         ((nn - k) * ln(css_pool / (nn - k)) - sum_ln)
+           / (1.0 + (sum_inv - 1.0 / (nn - k)) / (3.0 * (k - 1))) AS chi2
+  FROM st
+)
+SELECT k, nn AS n,
+       floor(chi2 * 10000 + 0.5) / 10000.0 AS chi2,
+       CAST(k - 1 AS BIGINT) AS df,
+       floor({_wh_p_sql("chi2", "CAST(k - 1 AS DOUBLE)")} * 1000000 + 0.5)
+         / 1000000.0 AS p
+FROM ch
+""",
+)
+def agg_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BARTLETT'S TEST of equal variances across event-type segments —
+    the parametric partner of ``agg_levene_bf`` (Levene is robust to
+    non-normality; Bartlett is the more powerful test when normality
+    holds, and the pair disagreeing is itself a diagnostic).
+
+    Statistic: ``[(N-k) ln(sp2) - sum (n_i-1) ln(s_i^2)] / C`` with the
+    standard Bartlett correction C.  Exactness: per-segment (n, sum,
+    sum-of-squares) are exact int64; every cross-segment double sum
+    folds in sorted segment order; Wilson-Hilferty + the shared A&S Phi
+    give the p.  Scale: one map-side-combined pass to the event-type
+    domain (bounded), then a one-row report."""
+    seg = _seg_moments(spark, sf_dir)
+    st = seg.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        _ordfold(F.col("g"), _css()).alias("css_pool"),
+        _ordfold(
+            F.col("g"), (F.col("n") - 1) * F.log(_css() / (F.col("n") - 1))
+        ).alias("sum_ln"),
+        _ordfold(F.col("g"), 1.0 / (F.col("n") - 1)).alias("sum_inv"),
+    )
+    chi2 = (
+        (F.col("nn") - F.col("k")) * F.log(F.col("css_pool") / (F.col("nn") - F.col("k")))
+        - F.col("sum_ln")
+    ) / (
+        1.0
+        + (F.col("sum_inv") - 1.0 / (F.col("nn") - F.col("k")))
+        / (3.0 * (F.col("k") - 1))
+    )
+    ch = st.select("k", "nn", chi2.alias("chi2"))
+    return ch.select(
+        "k",
+        F.col("nn").alias("n"),
+        q4(F.col("chi2")).alias("chi2"),
+        (F.col("k") - 1).cast("long").alias("df"),
+        r6(_wh_p(F.col("chi2"), (F.col("k") - 1).cast("double"))).alias("p"),
+    )
+
+
+@register(
+    "agg_mood_median",
+    oracle=f"""
+WITH ev AS (SELECT event_type AS g, {_CENTS} AS c FROM events),
+hist AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(count(*)) OVER (ORDER BY c) AS BIGINT) AS cum
+  FROM ev GROUP BY 1
+),
+nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn FROM hist),
+med AS (
+  SELECT min(c) AS med FROM hist, nt
+  WHERE cum >= CAST(floor((nn + 1) / 2) AS BIGINT)
+),
+seg AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN c > med THEN 1 ELSE 0 END) AS BIGINT) AS a
+  FROM ev, med GROUP BY 1, med
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(a) AS BIGINT) AS aa
+  FROM seg
+),
+ch AS (
+  SELECT tot.k, tot.nn,
+         (SELECT list_reduce(list_prepend(0.0, list(
+             (a - CAST(n AS DOUBLE) * aa / nn)
+               * (a - CAST(n AS DOUBLE) * aa / nn)
+               / (CAST(n AS DOUBLE) * aa / nn)
+             + ((n - a) - CAST(n AS DOUBLE) * (nn - aa) / nn)
+               * ((n - a) - CAST(n AS DOUBLE) * (nn - aa) / nn)
+               / (CAST(n AS DOUBLE) * (nn - aa) / nn)
+             ORDER BY g)), (x, y) -> x + y)
+          FROM seg) AS chi2
+  FROM tot
+)
+SELECT ch.k, ch.nn AS n, med.med AS grand_median_cents,
+       floor(ch.chi2 * 10000 + 0.5) / 10000.0 AS chi2,
+       CAST(ch.k - 1 AS BIGINT) AS df,
+       floor({_wh_p_sql("ch.chi2", "CAST(ch.k - 1 AS DOUBLE)")} * 1000000 + 0.5)
+         / 1000000.0 AS p
+FROM ch, med
+""",
+)
+def agg_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOOD'S MEDIAN TEST across event-type segments: does any segment's
+    median value differ from the pooled median?  The rank-free
+    nonparametric companion to ``agg_kruskal_wallis`` (Kruskal ranks
+    everything; Mood only asks above-or-below the grand median, so it
+    tolerates wild tails and censored metering).
+
+    The grand LOWER MEDIAN is an exact order statistic over the
+    cents-domain histogram — value*100 lives in a DOMAIN-bounded range,
+    so the cumulative window is the bounded case, never data-grain (the
+    agg_xi_correlation y-grain argument).  The 2 x k chi-square folds in
+    sorted segment order; Wilson-Hilferty + shared Phi give the p."""
+    ev = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    hist = ev.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w_c = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    hist = hist.select(
+        "c",
+        F.sum("cnt").over(w_c).cast("long").alias("cum"),
+        F.sum("cnt").over(w_all).cast("long").alias("nn"),
+    )
+    med = hist.filter(
+        F.col("cum") >= F.floor((F.col("nn") + 1) / F.lit(2)).cast("long")
+    ).agg(F.min("c").alias("med"))
+    seg = (
+        ev.crossJoin(F.broadcast(med))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("c") > F.col("med"), 1).otherwise(0))
+            .cast("long")
+            .alias("a"),
+        )
+    )
+    ea = F.col("n").cast("double") * F.col("aa") / F.col("nn")
+    eb = F.col("n").cast("double") * (F.col("nn") - F.col("aa")) / F.col("nn")
+    cell = (F.col("a") - ea) * (F.col("a") - ea) / ea + (
+        (F.col("n") - F.col("a")) - eb
+    ) * ((F.col("n") - F.col("a")) - eb) / eb
+    tot = seg.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("a").cast("long").alias("aa"),
+    )
+    ch = (
+        seg.crossJoin(F.broadcast(tot))
+        .groupBy("k", "nn")
+        .agg(_ordfold(F.col("g"), cell).alias("chi2"))
+    )
+    return ch.crossJoin(F.broadcast(med)).select(
+        "k",
+        F.col("nn").alias("n"),
+        F.col("med").alias("grand_median_cents"),
+        q4(F.col("chi2")).alias("chi2"),
+        (F.col("k") - 1).cast("long").alias("df"),
+        r6(_wh_p(F.col("chi2"), (F.col("k") - 1).cast("double"))).alias("p"),
+    )
+
+
+_BENFORD_P = [_math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+_BENFORD_DF = 8
+_BENFORD_WH_A = 1.0 - 2.0 / (9.0 * _BENFORD_DF)
+_BENFORD_WH_B = _math.sqrt(2.0 / (9.0 * _BENFORD_DF))
+
+
+def _benford_oracle() -> str:
+    p_rows = ", ".join(f"({d}, {_BENFORD_P[d - 1]!r})" for d in range(1, 10))
+    z = (
+        f"(pow(chi2 / {_BENFORD_DF}, {_THIRD!r}) - {_BENFORD_WH_A!r})"
+        f" / {_BENFORD_WH_B!r}"
+    )
+    return f"""
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM lineitem
+),
+o AS (SELECT digit, CAST(count(*) AS BIGINT) AS obs FROM c GROUP BY 1),
+bp AS (
+  -- DuckDB parses VALUES float literals as DECIMAL; the masses must be
+  -- DOUBLE or the chi-square cells overflow DECIMAL(38) multiplication
+  SELECT digit, CAST(p AS DOUBLE) AS p FROM (VALUES {p_rows}) v(digit, p)
+),
+nt AS (SELECT CAST(sum(obs) AS BIGINT) AS nn FROM o),
+cells AS (
+  SELECT bp.digit, coalesce(o.obs, 0) AS obs, nt.nn * bp.p AS exp_n
+  FROM bp LEFT JOIN o USING (digit) CROSS JOIN nt
+),
+ch AS (
+  SELECT (SELECT nn FROM nt) AS nn,
+         list_reduce(list((obs - exp_n) * (obs - exp_n) / exp_n
+                          ORDER BY digit),
+                     (a, b) -> a + b) AS chi2,
+         (SELECT digit FROM cells
+          ORDER BY abs(obs - exp_n) / sqrt(exp_n) DESC, digit LIMIT 1)
+           AS worst_digit,
+         (SELECT abs(obs - exp_n) / sqrt(exp_n) FROM cells
+          ORDER BY abs(obs - exp_n) / sqrt(exp_n) DESC, digit LIMIT 1)
+           AS worst_dev
+  FROM cells LIMIT 1
+)
+SELECT nn AS n, floor(chi2 * 10000 + 0.5) / 10000.0 AS chi2,
+       CAST({_BENFORD_DF} AS BIGINT) AS df,
+       floor((1.0 - {_norm_cdf_sql(z)}) * 1000000 + 0.5) / 1000000.0 AS p,
+       worst_digit,
+       floor(worst_dev * 10000 + 0.5) / 10000.0 AS worst_std_dev
+FROM ch
+"""
+
+
+@register("agg_benford_test", oracle=_benford_oracle())
+def agg_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD FIRST-DIGIT TEST on lineitem prices — the forensic
+    data-quality screen: genuinely multiplicative quantities follow
+    ``P(d) = log10(1 + 1/d)``, and a landed feed whose digits drift from
+    that (truncation bugs, unit mix-ups, synthetic padding) fails loudly
+    here long before any business metric moves.
+
+    First digits are exact string heads of exact cents (no float log10
+    near power-of-ten boundaries); expected masses are Python-computed
+    literals injected into both engines; the 9-cell chi-square folds in
+    digit order; fixed df=8 Wilson-Hilferty literals give the p.  Also
+    reports the worst cell (largest standardized deviation, tie to the
+    smaller digit).  One map-side-combined pass to NINE cells."""
+    li = table(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.substring(
+            F.round(F.col("l_extendedprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    o = c.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    bp = spark.createDataFrame(
+        [(d, _BENFORD_P[d - 1]) for d in range(1, 10)], "digit long, p double"
+    )
+    nt = o.agg(F.sum("obs").cast("long").alias("nn"))
+    cells = (
+        bp.join(o, "digit", "left")
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0)))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "digit",
+            "obs",
+            "nn",
+            (F.col("nn") * F.col("p")).alias("exp_n"),
+        )
+    )
+    dev = F.abs(F.col("obs") - F.col("exp_n")) / F.sqrt(F.col("exp_n"))
+    cell = (F.col("obs") - F.col("exp_n")) * (F.col("obs") - F.col("exp_n")) / F.col(
+        "exp_n"
+    )
+    ch = cells.groupBy("nn").agg(
+        _ordfold(F.col("digit"), cell).alias("chi2"),
+        F.min(F.struct((-dev).alias("negdev"), F.col("digit").alias("d"))).alias(
+            "worst"
+        ),
+    )
+    z = (F.pow(F.col("chi2") / _BENFORD_DF, F.lit(_THIRD)) - _BENFORD_WH_A) / (
+        _BENFORD_WH_B
+    )
+    return ch.select(
+        F.col("nn").alias("n"),
+        q4(F.col("chi2")).alias("chi2"),
+        F.lit(_BENFORD_DF).cast("long").alias("df"),
+        r6(1.0 - _norm_cdf(z)).alias("p"),
+        F.col("worst.d").alias("worst_digit"),
+        q4(-F.col("worst.negdev")).alias("worst_std_dev"),
+    )
+
+
+_AD_CASE = (
+    # D'Agostino-Stephens p(A2*) literals, identical in both engines
+    (0.6, "exp(1.2937 - 5.709 * __A__ + 0.0186 * __A__ * __A__)"),
+    (0.34, "exp(0.9177 - 4.279 * __A__ - 1.38 * __A__ * __A__)"),
+    (0.2, "1.0 - exp(-8.318 + 42.796 * __A__ - 59.938 * __A__ * __A__)"),
+    (None, "1.0 - exp(-13.436 + 101.14 * __A__ - 223.73 * __A__ * __A__)"),
+)
+
+
+def _ad_p_sql(a: str) -> str:
+    c = _AD_CASE
+    return (
+        f"(CASE WHEN ({a}) >= {c[0][0]} THEN {c[0][1]} "
+        f"WHEN ({a}) >= {c[1][0]} THEN {c[1][1]} "
+        f"WHEN ({a}) >= {c[2][0]} THEN {c[2][1]} "
+        f"ELSE {c[3][1]} END)"
+    ).replace("__A__", f"({a})")
+
+
+def _ad_p(a):
+    from pyspark.sql import Column  # noqa: F401
+
+    return (
+        F.when(a >= 0.6, F.exp(1.2937 - 5.709 * a + 0.0186 * a * a))
+        .when(a >= 0.34, F.exp(0.9177 - 4.279 * a - 1.38 * a * a))
+        .when(a >= 0.2, 1.0 - F.exp(-8.318 + 42.796 * a - 59.938 * a * a))
+        .otherwise(1.0 - F.exp(-13.436 + 101.14 * a - 223.73 * a * a))
+    )
+
+
+def _ad_oracle() -> str:
+    zi = "((arr[i][1] - mu) / s)"
+    zr = "((arr[CAST(n AS INT) + 1 - i][1] - mu) / s)"
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', date_trunc('day', ts))
+              AS BIGINT) AS d,
+         CAST(sum({_CENTS}) AS DOUBLE) / count(*) AS m
+  FROM events GROUP BY 1
+),
+one AS (
+  SELECT list([m, CAST(d AS DOUBLE)] ORDER BY m, d) AS arr,
+         CAST(count(*) AS BIGINT) AS n
+  FROM daily
+),
+st1 AS (
+  SELECT arr, n,
+         list_reduce(list_prepend(0.0, list_transform(arr, x -> x[1])),
+                     (a, b) -> a + b) / n AS mu
+  FROM one
+),
+st2 AS (
+  SELECT arr, n, mu,
+         sqrt(list_reduce(list_prepend(0.0,
+                list_transform(arr, x -> (x[1] - mu) * (x[1] - mu))),
+              (a, b) -> a + b) / (n - 1)) AS s
+  FROM st1
+),
+st3 AS (
+  SELECT n, mu, s,
+         -CAST(n AS DOUBLE)
+           - list_reduce(list_prepend(0.0, list_transform(arr, (x, i) ->
+               (2.0 * i - 1) * (ln({_norm_cdf_sql(zi)})
+                                + ln(1.0 - {_norm_cdf_sql(zr)})))),
+               (a, b) -> a + b) / n AS a2
+  FROM st2
+),
+st4 AS (
+  SELECT n, mu, s, a2,
+         a2 * (1.0 + 0.75 / n + 2.25 / (CAST(n AS DOUBLE) * n)) AS a2s
+  FROM st3
+)
+SELECT n,
+       floor(mu * 10000 + 0.5) / 10000.0 AS mean_cents,
+       floor(s * 10000 + 0.5) / 10000.0 AS sd_cents,
+       floor(a2 * 1000000 + 0.5) / 1000000.0 AS a2,
+       floor(a2s * 1000000 + 0.5) / 1000000.0 AS a2_star,
+       floor({_ad_p_sql("a2s")} * 1000000 + 0.5) / 1000000.0 AS p_normal
+FROM st4
+"""
+
+
+@register("agg_anderson_darling", oracle=_ad_oracle())
+def agg_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANDERSON-DARLING NORMALITY TEST of the daily mean event value —
+    the tail-weighted EDF test beside ``agg_ks_normality`` (KS weights
+    the middle; A-D's 1/[F(1-F)] weight is the standard choice when
+    tail departures are what breaks the downstream z-machinery) and
+    ``agg_jarque_bera`` (moment-based).
+
+    A2 = -n - (1/n) sum (2i-1)[ln Phi(z_(i)) + ln(1 - Phi(z_(n+1-i)))]
+    over the CALENDAR-BOUNDED day grain: daily means are exact-int
+    ratios, the (value, day)-sorted fold order is engine-pinned, Phi is
+    the shared A&S polynomial, and the small-sample correction plus the
+    D'Agostino-Stephens case p use identical literals.  One combine to
+    the day domain, a one-row report."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    one = daily.agg(
+        F.array_sort(
+            F.collect_list(F.array(F.col("m"), F.col("d").cast("double")))
+        ).alias("arr"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    st1 = one.select(
+        "arr",
+        "n",
+        (
+            F.aggregate(
+                F.transform(F.col("arr"), lambda x: x[0]),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+            / F.col("n")
+        ).alias("mu"),
+    )
+    st2 = st1.select(
+        "arr",
+        "n",
+        "mu",
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.col("arr"),
+                    lambda x: (x[0] - F.col("mu")) * (x[0] - F.col("mu")),
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+            / (F.col("n") - 1)
+        ).alias("s"),
+    )
+
+    def term(x, i):
+        # Spark's index lambda is 0-based; the formula's i is 1-based
+        zi = (x[0] - F.col("mu")) / F.col("s")
+        rev = F.element_at(F.col("arr"), (F.col("n") - i).cast("int"))
+        zr = (rev[0] - F.col("mu")) / F.col("s")
+        return (2.0 * (i + 1) - 1) * (
+            F.log(_norm_cdf(zi)) + F.log(1.0 - _norm_cdf(zr))
+        )
+
+    st3 = st2.select(
+        "n",
+        "mu",
+        "s",
+        (
+            -F.col("n").cast("double")
+            - F.aggregate(
+                F.transform(F.col("arr"), term), F.lit(0.0), lambda a, b: a + b
+            )
+            / F.col("n")
+        ).alias("a2"),
+    )
+    st4 = st3.select(
+        "n",
+        "mu",
+        "s",
+        "a2",
+        (
+            F.col("a2")
+            * (1.0 + 0.75 / F.col("n") + 2.25 / (F.col("n").cast("double") * F.col("n")))
+        ).alias("a2s"),
+    )
+    return st4.select(
+        "n",
+        q4(F.col("mu")).alias("mean_cents"),
+        q4(F.col("s")).alias("sd_cents"),
+        r6(F.col("a2")).alias("a2"),
+        r6(F.col("a2s")).alias("a2_star"),
+        r6(_ad_p(F.col("a2s"))).alias("p_normal"),
+    )
+
+
+@register(
+    "agg_benjamini_hochberg",
+    oracle=f"""
+WITH {_seg_moments_sql()},
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(s) AS BIGINT) AS st, CAST(sum(ss) AS BIGINT) AS sst
+  FROM seg
+),
+zt AS (
+  SELECT g, n,
+         (CAST(s AS DOUBLE) / n - CAST(st - s AS DOUBLE) / (nn - n))
+           / sqrt((({_CSS_SQL})
+                   + (CAST(sst - ss AS DOUBLE)
+                      - CAST(st - s AS DOUBLE) * (st - s) / (nn - n)))
+                  / (nn - 2) * (1.0 / n + 1.0 / (nn - n))) AS z,
+         k
+  FROM seg, tot
+),
+pt AS (
+  SELECT g, n, z, k,
+         2.0 * (1.0 - {_norm_cdf_sql("abs(z)")}) AS p
+  FROM zt
+),
+bh AS (
+  SELECT g, n, z, p,
+         least(1.0, min(p * k / rk) OVER (
+           ORDER BY p, g ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+           AS p_adj
+  FROM (SELECT *, row_number() OVER (ORDER BY p, g) AS rk FROM pt)
+)
+SELECT g AS event_type, n,
+       floor(z * 1000000 + 0.5) / 1000000.0 AS z,
+       floor(p * 1000000 + 0.5) / 1000000.0 AS p,
+       floor(p_adj * 1000000 + 0.5) / 1000000.0 AS p_adj,
+       p_adj <= 0.05 AS rejected
+FROM bh ORDER BY event_type
+""",
+)
+def agg_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENJAMINI-HOCHBERG FDR CONTROL over the per-segment mean-shift
+    family: each event type gets a two-sample z test against its
+    complement (pooled variance, exact-int moments), and the resulting
+    p-value FAMILY is BH-adjusted — the multiple-testing discipline
+    every monitoring battery needs once it fires one test per segment
+    per day (k raw tests at alpha=0.05 false-alarm ~ k x 5%; BH caps
+    the expected FALSE DISCOVERY RATE at 5% instead).
+
+    Adjustment is the standard step-up: sort p ascending (segment-name
+    tiebreak), p_adj_i = min_{{j>=i}} p_j * k / j capped at 1 — a
+    running tail-min over the SEGMENT-DOMAIN-bounded frame (the bounded
+    window case).  One map-side-combined corpus pass; everything after
+    is k rows."""
+    seg = _seg_moments(spark, sf_dir)
+    tot = seg.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("st"),
+        F.sum("ss").cast("long").alias("sst"),
+    )
+    j = seg.crossJoin(F.broadcast(tot))
+    css1 = _css()
+    css2 = (F.col("sst") - F.col("ss")).cast("double") - (
+        F.col("st") - F.col("s")
+    ).cast("double") * (F.col("st") - F.col("s")) / (F.col("nn") - F.col("n"))
+    z = (
+        F.col("s").cast("double") / F.col("n")
+        - (F.col("st") - F.col("s")).cast("double") / (F.col("nn") - F.col("n"))
+    ) / F.sqrt(
+        (css1 + css2)
+        / (F.col("nn") - 2)
+        * (1.0 / F.col("n") + 1.0 / (F.col("nn") - F.col("n")))
+    )
+    pt = j.select(
+        "g",
+        "n",
+        "k",
+        z.alias("z"),
+    ).withColumn("p", 2.0 * (1.0 - _norm_cdf(F.abs(F.col("z")))))
+    w_rk = Window.orderBy("p", "g")
+    w_tail = w_rk.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    bh = pt.withColumn("rk", F.row_number().over(w_rk)).withColumn(
+        "p_adj",
+        F.least(
+            F.lit(1.0),
+            F.min(F.col("p") * F.col("k") / F.col("rk")).over(w_tail),
+        ),
+    )
+    return bh.select(
+        F.col("g").alias("event_type"),
+        "n",
+        r6(F.col("z")).alias("z"),
+        r6(F.col("p")).alias("p"),
+        r6(F.col("p_adj")).alias("p_adj"),
+        (F.col("p_adj") <= 0.05).alias("rejected"),
+    ).orderBy("event_type")
+
+
+@register(
+    "agg_mann_kendall",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', date_trunc('day', ts))
+              AS BIGINT) AS d,
+         CAST(sum({_CENTS}) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+p AS (
+  SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+                       ELSE 0 END) AS BIGINT) AS s
+  FROM daily a JOIN daily b ON a.d < b.d
+),
+t AS (
+  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+           AS tiesum
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY y)
+  WHERE t > 1
+),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+zc AS (
+  SELECT nt.n, p.s,
+         (CAST(nt.n AS DOUBLE) * (nt.n - 1) * (2 * nt.n + 5) - t.tiesum)
+           / 18.0 AS var_s
+  FROM p, t, nt
+),
+zz AS (
+  SELECT n, s, var_s,
+         CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+              WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+              ELSE 0.0 END AS z
+  FROM zc
+)
+SELECT n AS n_days, s,
+       floor(var_s * 10000 + 0.5) / 10000.0 AS var_s,
+       floor(z * 1000000 + 0.5) / 1000000.0 AS z,
+       floor(2.0 * (1.0 - {_norm_cdf_sql("abs(z)")}) * 1000000 + 0.5)
+         / 1000000.0 AS p,
+       CASE WHEN 2.0 * (1.0 - {_norm_cdf_sql("abs(z)")}) < 0.05 AND s > 0
+              THEN 'increasing'
+            WHEN 2.0 * (1.0 - {_norm_cdf_sql("abs(z)")}) < 0.05 AND s < 0
+              THEN 'decreasing'
+            ELSE 'no trend' END AS trend
+FROM zz
+""",
+)
+def agg_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL TREND TEST on daily revenue — the distribution-free
+    monotone-trend detector (is the series drifting up, judged purely
+    by pairwise order?), the classic for environmental / sensor series
+    and the significance companion to ``agg_theil_sen`` (Sen gives the
+    robust slope; MK says whether a trend exists at all).  Differs from
+    ``agg_kendall_tau`` in both axis (value vs TIME, so no x-ties) and
+    output (the tie-corrected normal z and trend verdict, not tau).
+
+    S and the tie correction are exact integer pair counts on the
+    calendar-bounded day grain (pairwise join over days, never facts);
+    variance, z, and the shared-Phi p are one double expression each."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("y"))
+    a = daily.select(F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    p = a.join(b, F.col("da") < F.col("db")).agg(
+        F.sum(
+            F.when(F.col("yb") > F.col("ya"), 1)
+            .when(F.col("yb") < F.col("ya"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s")
+    )
+    t = (
+        daily.groupBy("y")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tiesum")
+        )
+    )
+    nt = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    zc = (
+        p.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "n",
+            "s",
+            (
+                (
+                    F.col("n").cast("double")
+                    * (F.col("n") - 1)
+                    * (2 * F.col("n") + 5)
+                    - F.col("tiesum")
+                )
+                / 18.0
+            ).alias("var_s"),
+        )
+    )
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(F.col("var_s")))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(F.col("var_s")))
+        .otherwise(F.lit(0.0))
+    )
+    zz = zc.select("n", "s", "var_s", z.alias("z"))
+    pv = 2.0 * (1.0 - _norm_cdf(F.abs(F.col("z"))))
+    return zz.select(
+        F.col("n").alias("n_days"),
+        "s",
+        q4(F.col("var_s")).alias("var_s"),
+        r6(F.col("z")).alias("z"),
+        r6(pv).alias("p"),
+        F.when((pv < 0.05) & (F.col("s") > 0), "increasing")
+        .when((pv < 0.05) & (F.col("s") < 0), "decreasing")
+        .otherwise("no trend")
+        .alias("trend"),
+    )
+
+
+_DRIFT_BASE_DAYS = 7  # baseline window the drift detectors calibrate on
+_DRIFT_K = 0.5  # slack, in baseline sds
+_DRIFT_H = 5.0  # alarm threshold, in baseline sds
+
+
+def _drift_daily_sql() -> str:
+    """Day-grain exact moments + the baseline-window calibration CTEs
+    shared by the CUSUM / Page-Hinkley oracles."""
+    return f"""daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', date_trunc('day', ts))
+              AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum({_CENTS}) AS BIGINT) AS s,
+         CAST(sum({_CENTS} * {_CENTS}) AS BIGINT) AS ss
+  FROM events GROUP BY 1
+),
+base AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS s,
+         CAST(sum(ss) AS BIGINT) AS ss
+  FROM (SELECT * FROM daily ORDER BY d LIMIT {_DRIFT_BASE_DAYS})
+),
+cal AS (
+  SELECT CAST(s AS DOUBLE) / n AS mu0,
+         sqrt({_CSS_SQL} / (n - 1)) AS sd
+  FROM base
+),
+arr AS (
+  SELECT list([CAST(d AS DOUBLE), CAST(s AS DOUBLE) / n] ORDER BY d) AS a,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM daily
+)"""
+
+
+def _drift_daily(spark: SparkSession, sf_dir: str):
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = ev.groupBy(
+        F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("s"),
+        F.sum(cents * cents).cast("long").alias("ss"),
+    )
+    base = (
+        daily.orderBy("d")
+        .limit(_DRIFT_BASE_DAYS)
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("s").cast("long").alias("s"),
+            F.sum("ss").cast("long").alias("ss"),
+        )
+    )
+    cal = base.select(
+        (F.col("s").cast("double") / F.col("n")).alias("mu0"),
+        F.sqrt(_css() / (F.col("n") - 1)).alias("sd"),
+    )
+    arr = daily.agg(
+        F.array_sort(
+            F.collect_list(
+                F.array(F.col("d").cast("double"), F.col("s").cast("double") / F.col("n"))
+            )
+        ).alias("a"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    return cal, arr
+
+
+@register(
+    "agg_cusum_drift",
+    oracle=f"""
+WITH {_drift_daily_sql()},
+fold AS (
+  SELECT n_days, mu0, sd,
+         list_reduce(list_prepend([0.0, 0.0, -1.0],
+           list_transform(a, x -> [x[2], x[1], 0.0])),
+           (acc, x) -> [
+             greatest(0.0, acc[1] + (x[1] - mu0 - {_DRIFT_K} * sd)),
+             greatest(acc[2],
+                      greatest(0.0, acc[1] + (x[1] - mu0 - {_DRIFT_K} * sd))),
+             CASE WHEN acc[3] < 0
+                       AND greatest(0.0, acc[1] + (x[1] - mu0 - {_DRIFT_K} * sd))
+                           > {_DRIFT_H} * sd
+                  THEN x[2] ELSE acc[3] END]) AS st
+  FROM arr, cal
+)
+SELECT n_days,
+       floor(mu0 * 10000 + 0.5) / 10000.0 AS mu0_cents,
+       floor(sd * 10000 + 0.5) / 10000.0 AS sd_cents,
+       floor({_DRIFT_H} * sd * 10000 + 0.5) / 10000.0 AS threshold,
+       floor(st[2] * 10000 + 0.5) / 10000.0 AS max_cusum,
+       CAST(nullif(st[3], -1.0) AS BIGINT) AS alarm_day
+FROM fold
+""",
+)
+def agg_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-SIDED CUSUM DRIFT DETECTOR on the daily mean event value —
+    the sequential change detector (Page 1954) behind every
+    "metric crept up" alarm: S_t = max(0, S_(t-1) + (x_t - mu0 - k*sd))
+    accumulates only SUSTAINED positive deviation from the first-week
+    baseline, and the alarm fires at the first day S_t > h*sd (k=0.5,
+    h=5, the textbook ARL tuning).  The stateful streaming twin of the
+    batch z machinery: a 3-sigma single day is absorbed, a 1-sigma
+    week is caught.
+
+    The baseline mean/sd come from exact event-level int moments of the
+    first {base} days; the recursion folds the day-sorted means with a
+    3-slot list state [S, max S, alarm day] — identical fold both
+    engines (the day grain is calendar-bounded)."""
+    cal, arr = _drift_daily(spark, sf_dir)
+    one = arr.crossJoin(F.broadcast(cal))
+    dev = lambda x: x[1] - F.col("mu0") - _DRIFT_K * F.col("sd")  # noqa: E731
+    step = lambda acc, x: F.array(  # noqa: E731
+        F.greatest(F.lit(0.0), acc[0] + dev(x)),
+        F.greatest(acc[1], F.greatest(F.lit(0.0), acc[0] + dev(x))),
+        F.when(
+            (acc[2] < 0)
+            & (F.greatest(F.lit(0.0), acc[0] + dev(x)) > _DRIFT_H * F.col("sd")),
+            x[0],
+        ).otherwise(acc[2]),
+    )
+    fold = one.select(
+        "n_days",
+        "mu0",
+        "sd",
+        F.aggregate(
+            F.col("a"), F.array(F.lit(0.0), F.lit(0.0), F.lit(-1.0)), step
+        ).alias("st"),
+    )
+    return fold.select(
+        "n_days",
+        q4(F.col("mu0")).alias("mu0_cents"),
+        q4(F.col("sd")).alias("sd_cents"),
+        q4(_DRIFT_H * F.col("sd")).alias("threshold"),
+        q4(F.col("st")[1]).alias("max_cusum"),
+        F.nullif(F.col("st")[2], F.lit(-1.0)).cast("long").alias("alarm_day"),
+    )
+
+
+agg_cusum_drift.__doc__ = agg_cusum_drift.__doc__.format(base=_DRIFT_BASE_DAYS)
+
+
+@register(
+    "agg_page_hinkley",
+    oracle=f"""
+WITH {_drift_daily_sql()},
+fold AS (
+  SELECT n_days, mu0, sd,
+         -- state: [sum_x, t, m, m_min, alarm_day]
+         list_reduce(list_prepend([0.0, 0.0, 0.0, 0.0, -1.0],
+           list_transform(a, x -> [x[2], x[1], 0.0, 0.0, 0.0])),
+           (acc, x) -> [
+             acc[1] + x[1],
+             acc[2] + 1.0,
+             acc[3] + (x[1] - (acc[1] + x[1]) / (acc[2] + 1.0)
+                       - {_DRIFT_K} * sd),
+             least(acc[4],
+                   acc[3] + (x[1] - (acc[1] + x[1]) / (acc[2] + 1.0)
+                             - {_DRIFT_K} * sd)),
+             CASE WHEN acc[5] < 0
+                       AND (acc[3] + (x[1] - (acc[1] + x[1]) / (acc[2] + 1.0)
+                                      - {_DRIFT_K} * sd))
+                           - least(acc[4],
+                                   acc[3] + (x[1] - (acc[1] + x[1])
+                                             / (acc[2] + 1.0)
+                                             - {_DRIFT_K} * sd))
+                           > {_DRIFT_H} * sd
+                  THEN x[2] ELSE acc[5] END]) AS st
+  FROM arr, cal
+)
+SELECT n_days,
+       floor({_DRIFT_K} * sd * 10000 + 0.5) / 10000.0 AS delta,
+       floor({_DRIFT_H} * sd * 10000 + 0.5) / 10000.0 AS lambda,
+       floor((st[3] - st[4]) * 10000 + 0.5) / 10000.0 AS ph_stat,
+       CAST(nullif(st[5], -1.0) AS BIGINT) AS alarm_day
+FROM fold
+""",
+)
+def agg_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGE-HINKLEY DRIFT DETECTOR on the daily mean event value — the
+    self-calibrating companion to ``agg_cusum_drift``: instead of a
+    frozen baseline mean, PH tracks the RUNNING mean and accumulates
+    m_t = sum (x_i - xbar_i - delta); the alarm fires when m_t rises
+    more than lambda above its running minimum (the mean has shifted up
+    relative to everything seen so far).  Standard in streaming
+    concept-drift monitors (Gama et al.); delta/lambda calibrate from
+    the same first-week sd as CUSUM.
+
+    One day-sorted fold with a 5-slot list state [sum x, t, m, min m,
+    alarm day], identical in both engines; the running mean inside the
+    fold is the exact same left-associated double algebra."""
+    cal, arr = _drift_daily(spark, sf_dir)
+    one = arr.crossJoin(F.broadcast(cal))
+
+    def step(acc, x):
+        sx = acc[0] + x[1]
+        t = acc[1] + 1.0
+        m = acc[2] + (x[1] - sx / t - _DRIFT_K * F.col("sd"))
+        mmin = F.least(acc[3], m)
+        alarm = F.when(
+            (acc[4] < 0) & (m - mmin > _DRIFT_H * F.col("sd")), x[0]
+        ).otherwise(acc[4])
+        return F.array(sx, t, m, mmin, alarm)
+
+    fold = one.select(
+        "n_days",
+        "sd",
+        F.aggregate(
+            F.col("a"),
+            F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(-1.0)),
+            step,
+        ).alias("st"),
+    )
+    return fold.select(
+        "n_days",
+        q4(_DRIFT_K * F.col("sd")).alias("delta"),
+        q4(_DRIFT_H * F.col("sd")).alias("lambda"),
+        q4(F.col("st")[2] - F.col("st")[3]).alias("ph_stat"),
+        F.nullif(F.col("st")[4], F.lit(-1.0)).cast("long").alias("alarm_day"),
+    )
+
+
+_BOLL_WIN = 7  # trading-style rolling window, in days
+_BOLL_K = 2.0  # band half-width in rolling sds
+
+
+@register(
+    "win_bollinger",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', date_trunc('day', ts))
+              AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum({_CENTS}) AS BIGINT) AS s,
+         CAST(sum({_CENTS} * {_CENTS}) AS BIGINT) AS ss
+  FROM events GROUP BY 1
+),
+roll AS (
+  SELECT d, n, s,
+         CAST(sum(n) OVER w AS BIGINT) AS rn,
+         CAST(sum(s) OVER w AS BIGINT) AS rs,
+         CAST(sum(ss) OVER w AS BIGINT) AS rss,
+         CAST(count(*) OVER w AS BIGINT) AS rdays
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN {_BOLL_WIN - 1} PRECEDING
+               AND CURRENT ROW)
+),
+bands AS (
+  SELECT d,
+         CAST(s AS DOUBLE) / n AS m_day,
+         CAST(rs AS DOUBLE) / rn AS mid,
+         sqrt((CAST(rss AS DOUBLE) - CAST(rs AS DOUBLE) * rs / rn)
+              / (rn - 1)) AS sd
+  FROM roll WHERE rdays >= {_BOLL_WIN}
+)
+SELECT d,
+       floor(m_day * 10000 + 0.5) / 10000.0 AS daily_mean,
+       floor(mid * 10000 + 0.5) / 10000.0 AS mid,
+       floor((mid - {_BOLL_K} * sd) * 10000 + 0.5) / 10000.0 AS lower,
+       floor((mid + {_BOLL_K} * sd) * 10000 + 0.5) / 10000.0 AS upper,
+       m_day > mid + {_BOLL_K} * sd OR m_day < mid - {_BOLL_K} * sd
+         AS breakout
+FROM bands ORDER BY d
+""",
+)
+def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOLLINGER BANDS over the daily mean event value: a {w}-day
+    rolling volume-weighted mean with +/-{k} rolling-sd bands, flagging
+    the days whose mean breaks out — the volatility-aware threshold
+    beside ``win_control_chart``'s fixed-sigma limits and
+    ``win_ma_crossover``'s trend signal (a band adapts its width to
+    recent dispersion, so a calm week tightens the alarm).
+
+    The rolling frame sums EXACT int moments (event counts, cents,
+    squared cents) — integer window sums are order-free, so the rolling
+    mean/sd are deterministic one-shot double expressions, never a
+    float accumulation.  Day grain is calendar-bounded (the documented
+    bounded-window case); only full {w}-day windows report."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = ev.groupBy(
+        F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("s"),
+        F.sum(cents * cents).cast("long").alias("ss"),
+    )
+    w = Window.orderBy("d").rowsBetween(-(_BOLL_WIN - 1), 0)
+    roll = daily.select(
+        "d",
+        "n",
+        "s",
+        F.sum("n").over(w).cast("long").alias("rn"),
+        F.sum("s").over(w).cast("long").alias("rs"),
+        F.sum("ss").over(w).cast("long").alias("rss"),
+        F.count(F.lit(1)).over(w).cast("long").alias("rdays"),
+    )
+    bands = roll.filter(F.col("rdays") >= _BOLL_WIN).select(
+        "d",
+        (F.col("s").cast("double") / F.col("n")).alias("m_day"),
+        (F.col("rs").cast("double") / F.col("rn")).alias("mid"),
+        F.sqrt(
+            (
+                F.col("rss").cast("double")
+                - F.col("rs").cast("double") * F.col("rs") / F.col("rn")
+            )
+            / (F.col("rn") - 1)
+        ).alias("sd"),
+    )
+    return bands.select(
+        "d",
+        q4(F.col("m_day")).alias("daily_mean"),
+        q4(F.col("mid")).alias("mid"),
+        q4(F.col("mid") - _BOLL_K * F.col("sd")).alias("lower"),
+        q4(F.col("mid") + _BOLL_K * F.col("sd")).alias("upper"),
+        (
+            (F.col("m_day") > F.col("mid") + _BOLL_K * F.col("sd"))
+            | (F.col("m_day") < F.col("mid") - _BOLL_K * F.col("sd"))
+        ).alias("breakout"),
+    ).orderBy("d")
+
+
+win_bollinger.__doc__ = win_bollinger.__doc__.format(w=_BOLL_WIN, k=_BOLL_K)

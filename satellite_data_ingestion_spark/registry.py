@@ -47,6 +47,7 @@ _QUERY_MODULES = [
     "satellite_data_ingestion_spark.operators.layout",
     "satellite_data_ingestion_spark.operators.graph",
     "satellite_data_ingestion_spark.operators.hypothesis",
+    "satellite_data_ingestion_spark.operators.monitoring",
     "satellite_data_ingestion_spark.llm.embedding_stats",
     "satellite_data_ingestion_spark.functions.scalar",
     "satellite_data_ingestion_spark.functions.udf",

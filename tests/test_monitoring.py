@@ -1,0 +1,324 @@
+"""Independent-reference pins for the round-15 monitoring battery
+(operators/monitoring.py).  Each test recomputes the statistic from the
+raw collected data with a SEPARATELY-written pure-Python implementation
+(math.erf where a normal CDF is needed — deliberately NOT the engine's
+A&S polynomial, so the polynomial itself is under test too, within its
+documented 7.5e-8 bound), plus behavioral fixtures where the statistic
+has a qualitative contract (a constructed drift must alarm, a clean
+series must not)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from satellite_data_ingestion_spark import registry
+from satellite_data_ingestion_spark.catalog import table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _phi(z: float) -> float:
+    return 0.5 * (1.0 + math.erf(z / math.sqrt(2.0)))
+
+
+def _daily(spark, col_mean=True):
+    ev = table(spark, SF, "events")
+    d = ev.groupBy(
+        F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"),
+    )
+    rows = sorted((r.d, r.n, r.s) for r in d.collect())
+    if col_mean:
+        return [(d_, s / n) for d_, n, s in rows]
+    return rows
+
+
+def test_bartlett_matches_reference(spark):
+    (r,) = registry.spec("agg_bartlett").fn(spark, SF).collect()
+    ev = table(spark, SF, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    groups: dict = {}
+    for row in ev.collect():
+        groups.setdefault(row.event_type, []).append(row.c)
+    k = len(groups)
+    nn = sum(len(v) for v in groups.values())
+    sp_num = 0.0
+    sum_ln = 0.0
+    sum_inv = 0.0
+    for g in sorted(groups):
+        v = groups[g]
+        n = len(v)
+        m = sum(v) / n
+        css = sum((x - m) ** 2 for x in v)
+        sp_num += css
+        sum_ln += (n - 1) * math.log(css / (n - 1))
+        sum_inv += 1.0 / (n - 1)
+    chi2 = ((nn - k) * math.log(sp_num / (nn - k)) - sum_ln) / (
+        1.0 + (sum_inv - 1.0 / (nn - k)) / (3.0 * (k - 1))
+    )
+    assert r.k == k and r.n == nn and r.df == k - 1
+    assert abs(r.chi2 - chi2) < 1e-3 * max(1.0, abs(chi2))
+    assert 0.0 <= r.p <= 1.0
+
+
+def test_mood_median_matches_reference(spark):
+    (r,) = registry.spec("agg_mood_median").fn(spark, SF).collect()
+    ev = table(spark, SF, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    rows = [(x.event_type, x.c) for x in ev.collect()]
+    vals = sorted(c for _, c in rows)
+    med = vals[(len(vals) + 1) // 2 - 1]  # lower median
+    assert r.grand_median_cents == med
+    groups: dict = {}
+    for g, c in rows:
+        groups.setdefault(g, []).append(c)
+    nn = len(rows)
+    aa = sum(1 for _, c in rows if c > med)
+    chi2 = 0.0
+    for g in sorted(groups):
+        v = groups[g]
+        n, a = len(v), sum(1 for c in v if c > med)
+        ea = n * aa / nn
+        eb = n * (nn - aa) / nn
+        chi2 += (a - ea) ** 2 / ea + ((n - a) - eb) ** 2 / eb
+    # the op's chi2 is half-up quantized at 4 decimals (q4): +-5e-5
+    assert abs(r.chi2 - chi2) < 6e-5 + 1e-9 * abs(chi2)
+    assert r.k == len(groups) and r.n == nn
+
+
+def test_benford_matches_reference(spark):
+    (r,) = registry.spec("agg_benford_test").fn(spark, SF).collect()
+    li = table(spark, SF, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    digits = [int(str(x.cents)[0]) for x in li.collect()]
+    n = len(digits)
+    obs = {d: digits.count(d) for d in range(1, 10)}
+    chi2 = 0.0
+    worst = (-1.0, 0)
+    for d in range(1, 10):
+        e = n * math.log10(1 + 1 / d)
+        chi2 += (obs[d] - e) ** 2 / e
+        dev = abs(obs[d] - e) / math.sqrt(e)
+        if dev > worst[0]:
+            worst = (dev, d)
+    assert r.n == n
+    assert abs(r.chi2 - chi2) < 6e-5 + 1e-9 * chi2
+    assert r.worst_digit == worst[1]
+    assert abs(r.worst_std_dev - worst[0]) < 1e-3
+
+
+def test_anderson_darling_matches_erf_reference(spark):
+    """Independent A-D with the EXACT erf-based Phi; the engine's A&S
+    polynomial is within 7.5e-8 of it pointwise, and ln() near the tails
+    amplifies that, so the statistic tolerance is loose-but-bounding."""
+    (r,) = registry.spec("agg_anderson_darling").fn(spark, SF).collect()
+    ms = sorted(m for _, m in _daily(spark))
+    n = len(ms)
+    mu = sum(ms) / n
+    s = math.sqrt(sum((x - mu) ** 2 for x in ms) / (n - 1))
+    ssum = 0.0
+    for i in range(1, n + 1):
+        zi = (ms[i - 1] - mu) / s
+        zr = (ms[n - i] - mu) / s
+        ssum += (2 * i - 1) * (math.log(_phi(zi)) + math.log(1 - _phi(zr)))
+    a2 = -n - ssum / n
+    assert r.n == n
+    assert abs(r.mean_cents - mu) < 1e-3
+    assert abs(r.sd_cents - s) < 1e-3
+    assert abs(r.a2 - a2) < 1e-3
+    assert 0.0 <= r.p_normal <= 1.0
+
+
+def test_benjamini_hochberg_step_up_property(spark):
+    rows = registry.spec("agg_benjamini_hochberg").fn(spark, SF).collect()
+    k = len(rows)
+    assert k >= 2
+    # independent BH over the op's own raw p column
+    by_p = sorted(rows, key=lambda r: (r.p, r.event_type))
+    tail_min = 1.0
+    want = {}
+    for i in range(k - 1, -1, -1):
+        tail_min = min(tail_min, by_p[i].p * k / (i + 1))
+        want[by_p[i].event_type] = min(1.0, tail_min)
+    for r in rows:
+        assert abs(r.p_adj - want[r.event_type]) < 1e-6, r
+        assert r.p_adj >= r.p - 1e-9  # adjustment never shrinks p
+        assert r.rejected == (r.p_adj <= 0.05)
+
+
+def test_mann_kendall_matches_reference(spark):
+    (r,) = registry.spec("agg_mann_kendall").fn(spark, SF).collect()
+    rows = _daily(spark, col_mean=False)
+    ys = [s for _, _, s in rows]  # day-ascending order
+    n = len(ys)
+    s_stat = sum(
+        (ys[j] > ys[i]) - (ys[j] < ys[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    ties = Counter(ys)
+    tiesum = sum(t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1)
+    var_s = (n * (n - 1) * (2 * n + 5) - tiesum) / 18.0
+    if s_stat > 0:
+        z = (s_stat - 1) / math.sqrt(var_s)
+    elif s_stat < 0:
+        z = (s_stat + 1) / math.sqrt(var_s)
+    else:
+        z = 0.0
+    p = 2 * (1 - _phi(abs(z)))
+    assert r.n_days == n and r.s == s_stat
+    assert abs(r.var_s - var_s) < 1e-3
+    assert abs(r.z - z) < 1e-6
+    assert abs(r.p - p) < 1e-5  # polynomial-Phi bound
+    want_trend = (
+        "increasing" if p < 0.05 and s_stat > 0
+        else "decreasing" if p < 0.05 and s_stat < 0
+        else "no trend"
+    )
+    assert r.trend == want_trend
+
+
+def _drift_reference(daily_means, mu0, sd, k=0.5, h=5.0):
+    s = smax = 0.0
+    alarm = None
+    for d, m in daily_means:
+        s = max(0.0, s + (m - mu0 - k * sd))
+        smax = max(smax, s)
+        if alarm is None and s > h * sd:
+            alarm = d
+    return smax, alarm
+
+
+def test_cusum_matches_reference_and_clean_series_is_quiet(spark):
+    (r,) = registry.spec("agg_cusum_drift").fn(spark, SF).collect()
+    rows = _daily(spark, col_mean=False)
+    base = rows[:7]
+    bn = sum(n for _, n, _ in base)
+    # baseline sd is EVENT-level — recompute from raw events of those days
+    days = {d for d, _, _ in base}
+    ev = table(spark, SF, "events").select(
+        F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    cs = [x.c for x in ev.collect() if x.d in days]
+    assert len(cs) == bn
+    mu0 = sum(cs) / bn
+    sd = math.sqrt(sum((c - mu0) ** 2 for c in cs) / (bn - 1))
+    smax, alarm = _drift_reference([(d, s / n) for d, n, s in rows], mu0, sd)
+    assert abs(r.mu0_cents - mu0) < 1e-3
+    assert abs(r.sd_cents - sd) < 1e-3
+    assert abs(r.max_cusum - smax) < 1e-3
+    assert r.alarm_day == alarm
+    # the synthetic corpus has no engineered drift: a 5-sigma sustained
+    # alarm on it would mean the detector is mis-calibrated
+    assert r.alarm_day is None
+
+
+def test_cusum_and_page_hinkley_fire_on_constructed_drift(spark, tmp_path):
+    """A level shift of +4 baseline-sds starting day 15 must alarm BOTH
+    detectors at-or-shortly-after the shift, never before."""
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    for day in range(30):
+        for j in range(40):
+            base = 1000 + (eid * 37 % 9) - 4  # small deterministic jitter
+            shift = 40 if day >= 15 else 0  # jitter sd ~2.6 -> huge shift
+            rows.append(
+                (
+                    eid,
+                    pd.Timestamp("2024-01-01")
+                    + pd.Timedelta(days=day, minutes=j),
+                    j,
+                    "view",
+                    (base + shift) / 100.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "events.parquet")
+    )
+    (rc,) = registry.spec("agg_cusum_drift").fn(spark, str(tmp_path)).collect()
+    (rp,) = registry.spec("agg_page_hinkley").fn(spark, str(tmp_path)).collect()
+    # the ops report days-since-epoch; the shift lands on fixture day 15
+    epoch0 = (pd.Timestamp("2024-01-01") - pd.Timestamp("1970-01-01")).days
+    assert rc.alarm_day is not None and 15 <= rc.alarm_day - epoch0 <= 18, rc
+    assert rp.alarm_day is not None and 15 <= rp.alarm_day - epoch0 <= 18, rp
+
+
+def test_page_hinkley_matches_reference(spark):
+    (r,) = registry.spec("agg_page_hinkley").fn(spark, SF).collect()
+    rows = _daily(spark, col_mean=False)
+    days = {d for d, _, _ in rows[:7]}
+    ev = table(spark, SF, "events").select(
+        F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    cs = [x.c for x in ev.collect() if x.d in days]
+    mu0 = sum(cs) / len(cs)
+    sd = math.sqrt(sum((c - mu0) ** 2 for c in cs) / (len(cs) - 1))
+    delta, lam = 0.5 * sd, 5.0 * sd
+    sx = t = m = mmin = 0.0
+    alarm = None
+    for d, n, s in rows:
+        x = s / n
+        sx += x
+        t += 1.0
+        m += x - sx / t - delta
+        mmin = min(mmin, m)
+        if alarm is None and m - mmin > lam:
+            alarm = d
+    assert abs(r.delta - delta) < 1e-3
+    assert abs(r.ph_stat - (m - mmin)) < 1e-3
+    assert r.alarm_day == alarm
+
+
+def test_bollinger_bands_match_reference(spark):
+    out = {
+        r.d: r
+        for r in registry.spec("win_bollinger").fn(spark, SF).collect()
+    }
+    rows = _daily(spark, col_mean=False)
+    ev = table(spark, SF, "events").select(
+        F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    by_day: dict = {}
+    for x in ev.collect():
+        by_day.setdefault(x.d, []).append(x.c)
+    ds = sorted(by_day)
+    assert len(out) == len(ds) - 6  # only full 7-day windows
+    for i in range(6, len(ds)):
+        win = [c for dd in ds[i - 6 : i + 1] for c in by_day[dd]]
+        rn = len(win)
+        mid = sum(win) / rn
+        sd = math.sqrt(sum((c - mid) ** 2 for c in win) / (rn - 1))
+        r = out[ds[i]]
+        assert abs(r.mid - mid) < 1e-3
+        assert abs(r.upper - (mid + 2 * sd)) < 1e-3
+        m_day = sum(by_day[ds[i]]) / len(by_day[ds[i]])
+        assert r.breakout == (m_day > mid + 2 * sd or m_day < mid - 2 * sd)

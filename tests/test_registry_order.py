@@ -250,9 +250,10 @@ def test_bench_tranche_derived_from_max_round_not_artifact_count():
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     src = open(os.path.join(root, "bench.py")).read()
-    tranche_block = src.split("tranche = int(os.environ")[1].split(
-        "SPARK_GRAFT_BENCH_FULL"
-    )[0]
+    # r15 hoisted the rounds scan above the tranche if/else (the sidecar
+    # name also needs it), so inspect from the scan through the tranche
+    # derivation to the full-list escape hatch.
+    tranche_block = src.split("rounds = [")[1].split("SPARK_GRAFT_BENCH_FULL")[0]
     assert "BENCH_r(\\d+)" in tranche_block, (
         "tranche fallback must parse round numbers from BENCH_r{N}.json names"
     )
