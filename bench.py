@@ -84,6 +84,7 @@ NEW_THIS_ROUND = [
     "agg_cusum_drift",
     "agg_page_hinkley",
     "win_bollinger",
+    "ext_bradley_terry",
 ]
 
 CORE = [

@@ -976,3 +976,202 @@ def ext_reward_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6l(cov / F.sqrt(vart * varr)).alias("corr_reward_tokens"),
         r6l(cov / vart / 4.0 * 100.0).alias("reward_slope_per_100_tokens"),
     )
+
+
+_BT_RANKS = 40  # duels per language pair: rank-r champion vs rank-r champion
+_BT_ITERS = 20  # fixed MM iterations (Hunter 2004), unrolled identically
+
+
+def _bt_oracle() -> str:
+    return f"""
+WITH RECURSIVE q AS (
+  SELECT doc_id, lang, round({_QUALITY_SUM_SQL}, 2) AS quality
+  FROM documents
+),
+ranked AS (
+  SELECT lang, quality, rk FROM (
+    SELECT lang, quality,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY quality DESC, doc_id) AS rk
+    FROM q)
+  WHERE rk <= {_BT_RANKS}
+),
+duels AS (
+  SELECT a.lang AS la, b.lang AS lb,
+         CASE WHEN a.quality > b.quality THEN 1 ELSE 0 END AS wa,
+         CASE WHEN b.quality > a.quality THEN 1 ELSE 0 END AS wb
+  FROM ranked a JOIN ranked b ON a.rk = b.rk AND a.lang < b.lang
+  WHERE a.quality <> b.quality
+),
+wcnt AS (
+  SELECT la, lb, CAST(sum(wa) AS BIGINT) AS wa, CAST(sum(wb) AS BIGINT) AS wb
+  FROM duels GROUP BY 1, 2
+),
+langs AS (
+  SELECT lang, CAST(row_number() OVER (ORDER BY lang) AS INT) AS li
+  FROM (SELECT DISTINCT lang FROM documents)
+),
+kk AS (SELECT CAST(count(*) AS INT) AS k FROM langs),
+sym AS (
+  SELECT la AS x, lb AS y, wa AS w FROM wcnt
+  UNION ALL SELECT lb, la, wb FROM wcnt
+),
+cells AS (
+  SELECT i.li AS i, j.li AS j,
+         CASE WHEN i.li = j.li THEN 0.0
+              ELSE coalesce(s.w, 0) + 0.5 END AS w,
+         CASE WHEN i.li = j.li THEN 0.0
+              ELSE coalesce(s.w, 0) + coalesce(s2.w, 0) + 1.0 END AS nn,
+         CASE WHEN i.li = j.li THEN 0 ELSE coalesce(s.w, 0) END AS wraw
+  FROM langs i CROSS JOIN langs j
+  LEFT JOIN sym s ON s.x = i.lang AND s.y = j.lang
+  LEFT JOIN sym s2 ON s2.x = j.lang AND s2.y = i.lang
+),
+rowa AS (
+  SELECT i AS li, list(nn ORDER BY j) AS nrow,
+         list_reduce(list_prepend(0.0, list(w ORDER BY j)),
+                     (a, b) -> a + b) AS wtot,
+         CAST(sum(wraw) AS BIGINT) AS wins
+  FROM cells GROUP BY i
+),
+bt AS (
+  SELECT 0 AS step, li, nrow, wtot, wins, 1.0 / kk.k AS p FROM rowa, kk
+  UNION ALL
+  SELECT step + 1, li, nrow, wtot, wins,
+         wtot / list_reduce(list_prepend(0.0,
+             list_transform(generate_series(1, len(parr)), j ->
+               CASE WHEN j = li THEN 0.0
+                    ELSE nrow[j] / (p + parr[j]) END)),
+             (a, b) -> a + b)
+  FROM (SELECT step, li, nrow, wtot, wins, p,
+               -- window aggregates cannot carry ORDER BY in DuckDB: collect
+               -- (li, p) pairs and sort after (li is unique, so the sorted
+               -- second components are p in li order)
+               list_transform(
+                 list_sort(list([CAST(li AS DOUBLE), p]) OVER ()),
+                 x -> x[2]) AS parr
+        FROM bt WHERE step < {_BT_ITERS})
+),
+fin AS (SELECT li, wins, p FROM bt WHERE step = {_BT_ITERS}),
+norm AS (
+  SELECT list_reduce(list_prepend(0.0, list(p ORDER BY li)),
+                     (a, b) -> a + b) AS s
+  FROM fin
+)
+SELECT l.lang, f.wins,
+       floor(f.p / norm.s * 1000000 + 0.5) / 1000000.0 AS strength,
+       CAST(row_number() OVER (ORDER BY f.p / norm.s DESC, l.lang) AS INT)
+         AS rank
+FROM fin f JOIN langs l ON l.li = f.li CROSS JOIN norm
+ORDER BY rank
+"""
+
+
+@register("ext_bradley_terry", oracle=_bt_oracle())
+def ext_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRADLEY-TERRY STRENGTHS for the per-language quality tracks — the
+    arena-leaderboard machinery (Chatbot-Arena-style): rank-r document
+    of language A duels rank-r of language B on the composite quality
+    score (ties abstain), pairwise win counts feed the Bradley-Terry
+    model, and strengths come from {it} fixed minorization-maximization
+    iterations (Hunter 2004) — p_i <- W_i / sum_j n_ij / (p_i + p_j) —
+    with a half-win Laplace duel per pair so zero-win items stay
+    positive.  This is the aggregation step every LLM-judge /
+    preference-data pipeline needs between ``ext_preference_pairs``
+    (raw pairwise outcomes) and a training mixture decision.
+
+    Scale shape: duels are rank-bounded ({r} per language pair) and the
+    win matrix is |langs|^2 — the MM loop runs driver-side on that
+    bounded matrix (the ext_bpe_train bounded-collect discipline), with
+    every order-sensitive float fold in sorted-index order so the
+    unrolled recursive-CTE oracle reproduces it bit-for-bit;
+    normalization happens ONCE at release (per-iteration scale drift
+    cancels in the ratios, so skipping it keeps the fold identical in
+    both engines without a second pass per step)."""
+    from .textstats import ext_quality_score
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    q = ext_quality_score(spark, sf_dir).join(docs, "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.desc("quality"), "doc_id")
+    ranked = (
+        q.select("lang", "quality", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _BT_RANKS)
+    )
+    a = ranked.select(
+        F.col("lang").alias("la"), F.col("quality").alias("qa"), "rk"
+    )
+    b = ranked.select(
+        F.col("lang").alias("lb"), F.col("quality").alias("qb"), "rk"
+    )
+    wcnt = (
+        a.join(b, "rk")
+        .filter((F.col("la") < F.col("lb")) & (F.col("qa") != F.col("qb")))
+        .groupBy("la", "lb")
+        .agg(
+            F.sum(F.when(F.col("qa") > F.col("qb"), 1).otherwise(0))
+            .cast("long")
+            .alias("wa"),
+            F.sum(F.when(F.col("qb") > F.col("qa"), 1).otherwise(0))
+            .cast("long")
+            .alias("wb"),
+        )
+    )
+    # Bounded collects: |langs| and |langs|^2/2 rows by construction.
+    langs = sorted(
+        r.lang for r in docs.select("lang").distinct().collect()
+    )
+    k = len(langs)
+    idx = {g: i for i, g in enumerate(langs)}
+    wm = [[0 for _ in range(k)] for _ in range(k)]
+    for r in wcnt.collect():
+        wm[idx[r.la]][idx[r.lb]] = r.wa
+        wm[idx[r.lb]][idx[r.la]] = r.wb
+    # smoothed duel matrices, j-sorted folds — the oracle's exact algebra
+    wprime = [
+        [0.0 if i == j else wm[i][j] + 0.5 for j in range(k)] for i in range(k)
+    ]
+    nprime = [
+        [0.0 if i == j else wm[i][j] + wm[j][i] + 1.0 for j in range(k)]
+        for i in range(k)
+    ]
+    wtot = []
+    for i in range(k):
+        acc = 0.0
+        for j in range(k):
+            acc = acc + wprime[i][j]
+        wtot.append(acc)
+    p = [1.0 / k] * k
+    for _ in range(_BT_ITERS):
+        new = []
+        for i in range(k):
+            den = 0.0
+            for j in range(k):
+                den = den + (0.0 if j == i else nprime[i][j] / (p[i] + p[j]))
+            new.append(wtot[i] / den)
+        p = new
+    s = 0.0
+    for i in range(k):
+        s = s + p[i]
+    import math as _m
+
+    rows = sorted(
+        (
+            (langs[i], int(sum(wm[i])), _m.floor(p[i] / s * 1e6 + 0.5) / 1e6)
+            for i in range(k)
+        ),
+        key=lambda t: (-(t[2]), t[0]),
+    )
+    # rank ties break on strength then lang — but strength is the ROUNDED
+    # release value while the oracle ranks on the unrounded ratio; sort by
+    # the unrounded ratio to stay identical
+    unrounded = {langs[i]: p[i] / s for i in range(k)}
+    rows = sorted(rows, key=lambda t: (-unrounded[t[0]], t[0]))
+    return spark.createDataFrame(
+        [(g, wins, st, rk + 1) for rk, (g, wins, st) in enumerate(rows)],
+        "lang string, wins long, strength double, rank int",
+    )
+
+
+ext_bradley_terry.__doc__ = ext_bradley_terry.__doc__.format(
+    it=_BT_ITERS, r=_BT_RANKS
+)

@@ -322,3 +322,86 @@ def test_bollinger_bands_match_reference(spark):
         assert abs(r.upper - (mid + 2 * sd)) < 1e-3
         m_day = sum(by_day[ds[i]]) / len(by_day[ds[i]])
         assert r.breakout == (m_day > mid + 2 * sd or m_day < mid - 2 * sd)
+
+
+def test_bradley_terry_mm_reference_and_dominance(spark, tmp_path):
+    """ext_bradley_terry: (a) released strengths are a positive
+    distribution consistent with an INDEPENDENTLY-written dict-based MM
+    on the same duel counts; (b) on a constructed corpus with a strict
+    quality ordering en > fr > de, the strengths rank exactly that way
+    and en's strength dominates."""
+    import pandas as pd
+
+    from satellite_data_ingestion_spark.llm.shaping import (
+        _BT_ITERS,
+        _BT_RANKS,
+        ext_bradley_terry,
+    )
+    from satellite_data_ingestion_spark.llm.textstats import ext_quality_score
+
+    rows = registry.spec("ext_bradley_terry").fn(spark, SF).collect()
+    assert all(r.strength > 0 for r in rows)
+    assert abs(sum(r.strength for r in rows) - 1.0) < 1e-5
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(
+        range(1, len(rows) + 1)
+    )
+
+    # independent MM from raw duels
+    docs = table(spark, SF, "documents").select("doc_id", "lang")
+    q = {
+        r.doc_id: r.quality
+        for r in ext_quality_score(spark, SF).collect()
+    }
+    by_lang: dict = {}
+    for r in docs.collect():
+        by_lang.setdefault(r.lang, []).append((-q[r.doc_id], r.doc_id))
+    for g in by_lang:
+        by_lang[g] = [(-a, b) for a, b in sorted(by_lang[g])][:_BT_RANKS]
+    langs = sorted(by_lang)
+    wins: dict = {(a, b): 0 for a in langs for b in langs if a != b}
+    for i, a in enumerate(langs):
+        for b in langs[i + 1 :]:
+            for r in range(min(len(by_lang[a]), len(by_lang[b]))):
+                qa, qb = by_lang[a][r][0], by_lang[b][r][0]
+                if qa > qb:
+                    wins[(a, b)] += 1
+                elif qb > qa:
+                    wins[(b, a)] += 1
+    p = {g: 1.0 / len(langs) for g in langs}
+    for _ in range(_BT_ITERS):
+        new = {}
+        for g in langs:
+            w_tot = sum(wins[(g, h)] + 0.5 for h in langs if h != g)
+            den = sum(
+                (wins[(g, h)] + wins[(h, g)] + 1.0) / (p[g] + p[h])
+                for h in langs
+                if h != g
+            )
+            new[g] = w_tot / den
+        p = new
+    s = sum(p.values())
+    for r in rows:
+        assert abs(r.strength - p[r.lang] / s) < 1e-5, r
+        assert r.wins == sum(wins[(r.lang, h)] for h in langs if h != r.lang)
+
+    # constructed dominance fixture: long clean text beats short noise
+    fix = []
+    texts = {
+        "en": "the quick brown fox jumps over the lazy dog again " * 3,
+        "fr": "word word word word longwordthatpadsaverage " * 2,
+        "de": "x!!!",
+    }
+    did = 0
+    for lang, text in texts.items():
+        for _ in range(50):
+            fix.append((did, lang, text))
+            did += 1
+    pd.DataFrame(fix, columns=["doc_id", "lang", "text"]).to_parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    got = {
+        r.lang: r
+        for r in ext_bradley_terry(spark, str(tmp_path)).collect()
+    }
+    assert got["en"].rank == 1 and got["en"].strength > 0.5
+    assert got["de"].rank == 3
