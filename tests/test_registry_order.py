@@ -259,3 +259,55 @@ def test_bench_tranche_derived_from_max_round_not_artifact_count():
     )
     assert "max(rounds)" in tranche_block
     assert "len(glob" not in tranche_block, "tranche must not depend on artifact count"
+
+
+def test_every_query_has_committed_correctness_evidence():
+    """VERDICT r14 tasks 2+6: the grading driver samples only 50 queries
+    per round, so an ID could in principle ship with NO committed
+    correctness evidence for many rounds.  Mechanize the closing-sweep
+    contract: every registered query must appear either in the sampled
+    CORRECTNESS_r*.json history or in the CURRENT round's committed
+    full-sweep artifact (CORRECTNESS_full_r{N}.json, written by
+    tests/driver_sim.py), and a full-sweep entry that covers an
+    otherwise-unsampled ID must be a PASS (hash_match for oracled
+    queries, rows_match for rows-only), not an error row.  Fails when a
+    new op lands without the closing sweep, or when the artifact rots a
+    round behind the registry."""
+    import glob
+    import json
+    import os
+    import re
+
+    from satellite_data_ingestion_spark import registry
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sampled: set = set()
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        if re.search(r"CORRECTNESS_r\d+\.json$", p):
+            with open(p) as fh:
+                sampled |= set(json.load(fh))
+    fulls = {
+        int(m.group(1)): p
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_full_r*.json"))
+        if (m := re.search(r"CORRECTNESS_full_r(\d+)\.json$", p))
+    }
+    assert fulls, (
+        "no CORRECTNESS_full_r{N}.json committed — run the closing sweep "
+        "(python tests/driver_sim.py) before shipping the round"
+    )
+    with open(fulls[max(fulls)]) as fh:
+        full = json.load(fh)
+    oracled = set(registry.oracles())
+    missing, bad = [], []
+    for name in registry.queries():
+        rec = full.get(name)
+        if name in sampled and rec is None:
+            continue  # sampled in some round; full artifact may predate it
+        if rec is None:
+            missing.append(name)
+        elif rec.get("err") is not None or not (
+            rec.get("hash_match") if name in oracled else rec.get("rows_match")
+        ):
+            bad.append((name, rec.get("err")))
+    assert not missing, f"no committed correctness evidence for: {missing}"
+    assert not bad, f"full-sweep artifact records failures: {bad}"
