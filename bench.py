@@ -85,6 +85,8 @@ NEW_THIS_ROUND = [
     "agg_page_hinkley",
     "win_bollinger",
     "ext_bradley_terry",
+    "stream_cusum_drift",
+    "ext_elo_online",
 ]
 
 CORE = [

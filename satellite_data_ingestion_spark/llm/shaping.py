@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..operators.hypothesis import q4  # shared half-up 4-decimal rounding
 from ..registry import register
 
 _CHUNK_SIZE = 32
@@ -1175,3 +1176,202 @@ def ext_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
 ext_bradley_terry.__doc__ = ext_bradley_terry.__doc__.format(
     it=_BT_ITERS, r=_BT_RANKS
 )
+
+
+_ELO_K = 32.0  # classic K-factor
+_ELO_START = 1000.0
+
+
+def _elo_oracle() -> str:
+    return f"""
+WITH q AS (
+  SELECT doc_id, lang, round({_QUALITY_SUM_SQL}, 2) AS quality
+  FROM documents
+),
+ranked AS (
+  SELECT lang, quality, rk FROM (
+    SELECT lang, quality,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY quality DESC, doc_id) AS rk
+    FROM q)
+  WHERE rk <= {_BT_RANKS}
+),
+langs AS (
+  SELECT lang, CAST(row_number() OVER (ORDER BY lang) AS INT) AS li
+  FROM (SELECT DISTINCT lang FROM documents)
+),
+kk AS (SELECT CAST(count(*) AS INT) AS k FROM langs),
+duels AS (
+  SELECT a.rk, la.li AS ia, lb.li AS ib,
+         CASE WHEN a.quality > b.quality THEN 1.0
+              WHEN a.quality < b.quality THEN 0.0
+              ELSE 0.5 END AS sa
+  FROM ranked a
+  JOIN ranked b ON a.rk = b.rk AND a.lang < b.lang
+  JOIN langs la ON la.lang = a.lang
+  JOIN langs lb ON lb.lang = b.lang
+),
+games AS (
+  SELECT list_sort(list([CAST(rk AS DOUBLE), CAST(ia AS DOUBLE),
+                         CAST(ib AS DOUBLE), sa])) AS gs
+  FROM duels
+),
+gcnt AS (
+  SELECT li, CAST(count(*) AS BIGINT) AS n_games FROM (
+    SELECT ia AS li FROM duels UNION ALL SELECT ib FROM duels
+  ) GROUP BY 1
+),
+fold AS (
+  SELECT list_reduce(
+           list_prepend(
+             list_transform(generate_series(1, kk.k),
+                            i -> {_ELO_START}),
+             gs),
+           (acc, g) -> list_transform(
+             generate_series(1, len(acc)), i ->
+               CASE WHEN i = CAST(g[2] AS INT)
+                      THEN acc[i] + {_ELO_K} * (g[4]
+                           - 1.0 / (1.0 + pow(10.0,
+                               (acc[CAST(g[3] AS INT)] - acc[i]) / 400.0)))
+                    WHEN i = CAST(g[3] AS INT)
+                      THEN acc[i] + {_ELO_K} * ((1.0 - g[4])
+                           - (1.0 - 1.0 / (1.0 + pow(10.0,
+                               (acc[i] - acc[CAST(g[2] AS INT)]) / 400.0))))
+                    ELSE acc[i] END)) AS r
+  FROM games, kk
+)
+SELECT l.lang, coalesce(g.n_games, 0) AS n_games,
+       floor(f.r[l.li] * 10000 + 0.5) / 10000.0 AS elo,
+       CAST(row_number() OVER (ORDER BY f.r[l.li] DESC, l.lang) AS INT)
+         AS rank
+FROM langs l CROSS JOIN fold f LEFT JOIN gcnt g ON g.li = l.li
+ORDER BY rank
+"""
+
+
+@register("ext_elo_online", oracle=_elo_oracle())
+def ext_elo_online(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE ELO RATINGS for the per-language quality tracks — the
+    SEQUENTIAL companion to ``ext_bradley_terry``'s batch MM: the same
+    rank-r duels (ties score 0.5 here — Elo handles draws natively)
+    replay in deterministic (rank, index) order through the classic
+    update R_a += K (S_a - E_a), E_a = 1 / (1 + 10^((R_b - R_a)/400)),
+    K={k}, start {s} — the streaming-shaped estimator an arena uses
+    BETWEEN batch refits (each new judge verdict adjusts two ratings in
+    O(1), no refit).
+
+    Fully in-plan: duels are rank-bounded, the game log collects onto
+    one row (|langs|^2 x {r} entries max), and the fold updates a
+    |langs|-slot rating array per game — both engines run the identical
+    left-to-right fold, so the oracle hash-matches bit-for-bit (pow and
+    the division chain are the same libm calls in the same order)."""
+    from .textstats import ext_quality_score
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    q = ext_quality_score(spark, sf_dir).join(docs, "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.desc("quality"), "doc_id")
+    ranked = (
+        q.select("lang", "quality", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _BT_RANKS)
+    )
+    wl = Window.orderBy("lang")  # |langs| rows: the bounded window case
+    langs = (
+        docs.select("lang")
+        .distinct()
+        .select("lang", F.row_number().over(wl).cast("int").alias("li"))
+    )
+    kk = langs.agg(F.count(F.lit(1)).cast("int").alias("k"))
+    a = ranked.select(
+        F.col("lang").alias("la"), F.col("quality").alias("qa"), "rk"
+    )
+    b = ranked.select(
+        F.col("lang").alias("lb"), F.col("quality").alias("qb"), "rk"
+    )
+    duels = (
+        a.join(b, "rk")
+        .filter(F.col("la") < F.col("lb"))
+        .join(
+            F.broadcast(langs.select(F.col("lang").alias("la"), F.col("li").alias("ia"))),
+            "la",
+        )
+        .join(
+            F.broadcast(langs.select(F.col("lang").alias("lb"), F.col("li").alias("ib"))),
+            "lb",
+        )
+        .select(
+            "rk",
+            "ia",
+            "ib",
+            F.when(F.col("qa") > F.col("qb"), 1.0)
+            .when(F.col("qa") < F.col("qb"), 0.0)
+            .otherwise(0.5)
+            .alias("sa"),
+        )
+    )
+    games = duels.agg(
+        F.array_sort(
+            F.collect_list(
+                F.array(
+                    F.col("rk").cast("double"),
+                    F.col("ia").cast("double"),
+                    F.col("ib").cast("double"),
+                    F.col("sa"),
+                )
+            )
+        ).alias("gs")
+    )
+    gcnt = (
+        duels.select(F.col("ia").alias("li"))
+        .unionAll(duels.select(F.col("ib").alias("li")))
+        .groupBy("li")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_games"))
+    )
+
+    def step(acc, g):
+        ia = g[1].cast("int")
+        ib = g[2].cast("int")
+        ra = F.element_at(acc, ia)
+        rb = F.element_at(acc, ib)
+        ea = 1.0 / (1.0 + F.pow(F.lit(10.0), (rb - ra) / 400.0))
+        return F.transform(
+            F.sequence(F.lit(1), F.size(acc)),
+            lambda i: F.when(i == ia, ra + _ELO_K * (g[3] - ea))
+            .when(
+                i == ib,
+                rb
+                + _ELO_K
+                * (
+                    (1.0 - g[3])
+                    - (1.0 - 1.0 / (1.0 + F.pow(F.lit(10.0), (ra - rb) / 400.0)))
+                ),
+            )
+            .otherwise(F.element_at(acc, i)),
+        )
+
+    fold = games.crossJoin(F.broadcast(kk)).select(
+        F.aggregate(
+            F.col("gs"),
+            F.transform(
+                F.sequence(F.lit(1), F.col("k")), lambda _: F.lit(_ELO_START)
+            ),
+            step,
+        ).alias("r")
+    )
+    return (
+        langs.crossJoin(F.broadcast(fold))
+        .join(F.broadcast(gcnt), "li", "left")
+        .select(
+            "lang",
+            F.coalesce(F.col("n_games"), F.lit(0)).cast("long").alias("n_games"),
+            q4(F.element_at(F.col("r"), F.col("li"))).alias("elo"),
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.element_at(F.col("r"), F.col("li")).desc(), F.col("lang")
+                )
+            )
+            .cast("int")
+            .alias("rank"),
+        )
+        .orderBy("rank")
+    )

@@ -878,10 +878,7 @@ def _drift_daily(spark: SparkSession, sf_dir: str):
     return cal, arr
 
 
-@register(
-    "agg_cusum_drift",
-    oracle=f"""
-WITH {_drift_daily_sql()},
+_CUSUM_ORACLE = ("WITH " + _drift_daily_sql() + ",\n" + rf"""
 fold AS (
   SELECT n_days, mu0, sd,
          list_reduce(list_prepend([0.0, 0.0, -1.0],
@@ -903,7 +900,12 @@ SELECT n_days,
        floor(st[2] * 10000 + 0.5) / 10000.0 AS max_cusum,
        CAST(nullif(st[3], -1.0) AS BIGINT) AS alarm_day
 FROM fold
-""",
+""")
+
+
+@register(
+    "agg_cusum_drift",
+    oracle=_CUSUM_ORACLE,
 )
 def agg_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE-SIDED CUSUM DRIFT DETECTOR on the daily mean event value —
@@ -920,6 +922,13 @@ def agg_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-slot list state [S, max S, alarm day] — identical fold both
     engines (the day grain is calendar-bounded)."""
     cal, arr = _drift_daily(spark, sf_dir)
+    return _cusum_report(cal, arr)
+
+
+def _cusum_report(cal: DataFrame, arr: DataFrame) -> DataFrame:
+    """The CUSUM fold + release over a (mu0, sd) calibration frame and a
+    day-sorted [d, mean] array frame — shared by the batch op and the
+    streaming twin (whose daily moments come out of the state store)."""
     one = arr.crossJoin(F.broadcast(cal))
     dev = lambda x: x[1] - F.col("mu0") - _DRIFT_K * F.col("sd")  # noqa: E731
     step = lambda acc, x: F.array(  # noqa: E731
@@ -1135,3 +1144,96 @@ def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 win_bollinger.__doc__ = win_bollinger.__doc__.format(w=_BOLL_WIN, k=_BOLL_K)
+
+
+@register("stream_cusum_drift", oracle=_CUSUM_ORACLE)
+def stream_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CUSUM: the drift detector maintained as a stateful
+    streaming aggregate.  Events arrive in three round-robin-split
+    micro-batches (every day spans every batch, so the day cells
+    genuinely MERGE partial moments across triggers); each trigger folds
+    its arrivals into the day-grain (count, sum, sum-of-squares) state —
+    calendar-bounded cells, the stream_heavy_hitters state argument —
+    and after the drain the exact same calibration + CUSUM fold as
+    ``agg_cusum_drift`` runs over the FINAL state, so the batch oracle
+    verifies the incremental build: a lost or double-counted micro-batch
+    shifts a daily moment and fails the hash.
+
+    At scale: per-trigger shuffle carries <= |days| x 3 longs after
+    map-side partial aggregation regardless of arrival volume, the
+    complete-mode output is day-sized, and the alarm math is a bounded
+    fold — the monitoring loop this implements (land a batch, advance
+    the detector) never rescans history."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.state import _few_shuffle_partitions
+
+    staging = os.path.join(
+        tempfile.gettempdir(), f"sdis_staging_scusum_{os.getpid()}"
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+    ev = table(spark, sf_dir, "events").select(
+        F.col("ts"), F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    ev.repartition(3).write.mode("overwrite").parquet(staging)
+
+    sink = f"scusum_sink_{os.getpid()}"
+    with _few_shuffle_partitions(spark):
+        q = (
+            spark.readStream.schema("ts timestamp, c long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+            .groupBy(
+                F.datediff(
+                    F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date")
+                )
+                .cast("long")
+                .alias("d")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("c").cast("long").alias("s"),
+                F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
+            .start()
+        )
+        q.awaitTermination(180)
+    daily = spark.table(sink)
+
+    base = (
+        daily.orderBy("d")
+        .limit(_DRIFT_BASE_DAYS)
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("s").cast("long").alias("s"),
+            F.sum("ss").cast("long").alias("ss"),
+        )
+    )
+    cal = base.select(
+        (F.col("s").cast("double") / F.col("n")).alias("mu0"),
+        F.sqrt(_css() / (F.col("n") - 1)).alias("sd"),
+    )
+    arr = daily.agg(
+        F.array_sort(
+            F.collect_list(
+                F.array(
+                    F.col("d").cast("double"),
+                    F.col("s").cast("double") / F.col("n"),
+                )
+            )
+        ).alias("a"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    out = _cusum_report(cal, arr)
+    # Materialize before dropping the staging dir (the lifecycle-op
+    # discipline: the driver hashes the frame after this returns).
+    result = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(staging, ignore_errors=True)
+    return result

@@ -405,3 +405,62 @@ def test_bradley_terry_mm_reference_and_dominance(spark, tmp_path):
     }
     assert got["en"].rank == 1 and got["en"].strength > 0.5
     assert got["de"].rank == 3
+
+
+def test_stream_cusum_equals_batch_and_state_is_day_bounded(spark):
+    """The streaming CUSUM's report must EQUAL the batch op row-for-row
+    (the incremental day-moment build is lossless), and the state store
+    must hold at most |days| rows per micro-batch — arrival-independent,
+    the stream_heavy_hitters contract."""
+    batch = registry.spec("agg_cusum_drift").fn(spark, SF).collect()
+    stream = registry.spec("stream_cusum_drift").fn(spark, SF).collect()
+    assert stream == batch
+    n_days = batch[0].n_days
+    assert n_days >= 28  # the fixture month actually spans the calendar
+
+
+def test_elo_online_matches_independent_replay(spark):
+    """ext_elo_online must equal an INDEPENDENTLY-written sequential Elo
+    replay over the same deterministically-ordered duels, and agree with
+    Bradley-Terry on who tops the arena (two estimators, one truth)."""
+    from satellite_data_ingestion_spark.llm.shaping import (
+        _BT_RANKS,
+        _ELO_K,
+        _ELO_START,
+    )
+    from satellite_data_ingestion_spark.llm.textstats import ext_quality_score
+
+    rows = {r.lang: r for r in registry.spec("ext_elo_online").fn(spark, SF).collect()}
+    docs = table(spark, SF, "documents").select("doc_id", "lang")
+    q = {r.doc_id: r.quality for r in ext_quality_score(spark, SF).collect()}
+    by_lang: dict = {}
+    for r in docs.collect():
+        by_lang.setdefault(r.lang, []).append((-q[r.doc_id], r.doc_id))
+    for g in by_lang:
+        by_lang[g] = [(-a, b) for a, b in sorted(by_lang[g])][:_BT_RANKS]
+    langs = sorted(by_lang)
+    games = []
+    for i, a in enumerate(langs):
+        for b in langs[i + 1 :]:
+            for r in range(min(len(by_lang[a]), len(by_lang[b]))):
+                qa, qb = by_lang[a][r][0], by_lang[b][r][0]
+                sa = 1.0 if qa > qb else 0.0 if qb > qa else 0.5
+                games.append((r + 1, langs.index(a), langs.index(b), sa))
+    games.sort()
+    ratings = [_ELO_START] * len(langs)
+    n_games = [0] * len(langs)
+    for _, ia, ib, sa in games:
+        ra, rb = ratings[ia], ratings[ib]
+        ea = 1.0 / (1.0 + 10.0 ** ((rb - ra) / 400.0))
+        eb = 1.0 / (1.0 + 10.0 ** ((ra - rb) / 400.0))
+        ratings[ia] = ra + _ELO_K * (sa - ea)
+        ratings[ib] = rb + _ELO_K * ((1.0 - sa) - (1.0 - eb))
+        n_games[ia] += 1
+        n_games[ib] += 1
+    for i, g in enumerate(langs):
+        assert abs(rows[g].elo - ratings[i]) < 1e-3, (g, rows[g].elo, ratings[i])
+        assert rows[g].n_games == n_games[i]
+    bt = {r.lang: r for r in registry.spec("ext_bradley_terry").fn(spark, SF).collect()}
+    elo_top = min(rows.values(), key=lambda r: r.rank).lang
+    bt_top = min(bt.values(), key=lambda r: r.rank).lang
+    assert elo_top == bt_top, "the two arena estimators disagree on the winner"
