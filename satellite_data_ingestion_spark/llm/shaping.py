@@ -1155,18 +1155,16 @@ def ext_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = s + p[i]
     import math as _m
 
+    # rank on the UNROUNDED ratio (the oracle's row_number key), release
+    # the half-up 6-decimal strength
+    unrounded = {langs[i]: p[i] / s for i in range(k)}
     rows = sorted(
         (
             (langs[i], int(sum(wm[i])), _m.floor(p[i] / s * 1e6 + 0.5) / 1e6)
             for i in range(k)
         ),
-        key=lambda t: (-(t[2]), t[0]),
+        key=lambda t: (-unrounded[t[0]], t[0]),
     )
-    # rank ties break on strength then lang — but strength is the ROUNDED
-    # release value while the oracle ranks on the unrounded ratio; sort by
-    # the unrounded ratio to stay identical
-    unrounded = {langs[i]: p[i] / s for i in range(k)}
-    rows = sorted(rows, key=lambda t: (-unrounded[t[0]], t[0]))
     return spark.createDataFrame(
         [(g, wins, st, rk + 1) for rk, (g, wins, st) in enumerate(rows)],
         "lang string, wins long, strength double, rank int",

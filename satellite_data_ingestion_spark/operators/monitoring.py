@@ -421,8 +421,6 @@ def _ad_p_sql(a: str) -> str:
 
 
 def _ad_p(a):
-    from pyspark.sql import Column  # noqa: F401
-
     return (
         F.when(a >= 0.6, F.exp(1.2937 - 5.709 * a + 0.0186 * a * a))
         .when(a >= 0.34, F.exp(0.9177 - 4.279 * a - 1.38 * a * a))

@@ -12,7 +12,6 @@ from __future__ import annotations
 import math
 import os
 
-import pytest
 from pyspark.sql import functions as F
 
 from satellite_data_ingestion_spark import registry
