@@ -87,6 +87,8 @@ NEW_THIS_ROUND = [
     "ext_bradley_terry",
     "stream_cusum_drift",
     "ext_elo_online",
+    "agg_cochran_q",
+    "agg_seasonal_mann_kendall",
 ]
 
 CORE = [

@@ -1235,3 +1235,237 @@ def stream_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.createDataFrame(out.collect(), out.schema)
     shutil.rmtree(staging, ignore_errors=True)
     return result
+
+
+@register(
+    "agg_cochran_q",
+    oracle=f"""
+WITH x AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '1970-01-01', date_trunc('day', ts))
+              AS BIGINT) AS d,
+         event_type,
+         CASE WHEN max(value) > 50 THEN 1 ELSE 0 END AS hit
+  FROM events GROUP BY 1, 2, 3
+),
+kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM events),
+r AS (
+  SELECT user_id, d, CAST(sum(hit) AS BIGINT) AS ri FROM x GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, CAST(sum(hit) AS BIGINT) AS cj FROM x GROUP BY 1
+),
+s AS (
+  SELECT kk.k,
+         (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_blocks,
+         (SELECT CAST(sum(cj) AS BIGINT) FROM c) AS sc,
+         (SELECT CAST(sum(cj * cj) AS BIGINT) FROM c) AS sc2,
+         (SELECT CAST(sum(ri) AS BIGINT) FROM r) AS sr,
+         (SELECT CAST(sum(ri * ri) AS BIGINT) FROM r) AS sr2
+  FROM kk
+),
+q AS (
+  SELECT k, n_blocks,
+         (k - 1) * (k * CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE) * sc)
+           / (k * CAST(sr AS DOUBLE) - sr2) AS qstat
+  FROM s
+)
+SELECT k, n_blocks,
+       floor(qstat * 10000 + 0.5) / 10000.0 AS q,
+       CAST(k - 1 AS BIGINT) AS df,
+       floor({_wh_p_sql("qstat", "CAST(k - 1 AS DOUBLE)")} * 1000000 + 0.5)
+         / 1000000.0 AS p
+FROM q
+""",
+)
+def agg_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN'S Q over (user, day) blocks x event-type treatments: is a
+    HIGH-VALUE outcome (any event with value > 50 in that block-cell)
+    equally likely across event types, judged as a matched design?
+    Each user-day is its own block, so cross-user and cross-day
+    engagement variance cancels — the k-treatment generalization of
+    McNemar and the binary-outcome sibling of ``agg_friedman``.  (Plain
+    presence is degenerate on this corpus — every user reaches every
+    type — hence the tail-outcome binary, which varies per cell.)
+
+    Q = (k-1)[k sum C_j^2 - (sum C_j)^2] / (k sum R_i - sum R_i^2] with
+    column totals C_j (blocks where type j hit) and row totals R_i
+    (types that hit in block i) — EVERY ingredient an exact int64
+    (all-or-none blocks contribute zero to the denominator by algebra,
+    no filtering), one double division, Wilson-Hilferty + shared Phi
+    for the p.  Scale: one combine to the (user, day, type) grain; the
+    report is one row."""
+    ev = table(spark, sf_dir, "events")
+    x = ev.groupBy(
+        "user_id",
+        F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+        "event_type",
+    ).agg(F.when(F.max("value") > 50, 1).otherwise(0).alias("hit"))
+    kk = ev.agg(F.countDistinct("event_type").cast("long").alias("k"))
+    r = x.groupBy("user_id", "d").agg(F.sum("hit").cast("long").alias("ri"))
+    c = x.groupBy("event_type").agg(F.sum("hit").cast("long").alias("cj"))
+    rs = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("ri").cast("long").alias("sr"),
+        F.sum(F.col("ri") * F.col("ri")).cast("long").alias("sr2"),
+    )
+    cs = c.agg(
+        F.sum("cj").cast("long").alias("sc"),
+        F.sum(F.col("cj") * F.col("cj")).cast("long").alias("sc2"),
+    )
+    s = kk.crossJoin(F.broadcast(rs)).crossJoin(F.broadcast(cs))
+    qstat = (
+        (F.col("k") - 1)
+        * (F.col("k") * F.col("sc2").cast("double") - F.col("sc").cast("double") * F.col("sc"))
+        / (F.col("k") * F.col("sr").cast("double") - F.col("sr2"))
+    )
+    q = s.select("k", "n_blocks", qstat.alias("qstat"))
+    return q.select(
+        "k",
+        "n_blocks",
+        q4(F.col("qstat")).alias("q"),
+        (F.col("k") - 1).cast("long").alias("df"),
+        r6(_wh_p(F.col("qstat"), (F.col("k") - 1).cast("double"))).alias("p"),
+    )
+
+
+@register(
+    "agg_seasonal_mann_kendall",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', date_trunc('day', ts))
+              AS BIGINT) AS d,
+         CAST(sum({_CENTS}) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+str AS (SELECT d, d % 7 AS h, y FROM daily),
+p AS (
+  SELECT a.h, CAST(sum(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+                            ELSE 0 END) AS BIGINT) AS s
+  FROM str a JOIN str b ON a.h = b.h AND a.d < b.d
+  GROUP BY 1
+),
+t AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(sum(CASE WHEN tt > 1
+                                THEN tt * (tt - 1) * (2 * tt + 5)
+                                ELSE 0 END), 0) AS BIGINT) AS tiesum
+  FROM (SELECT h, y, CAST(count(*) AS BIGINT) AS tt FROM str GROUP BY 1, 2)
+  GROUP BY 1
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_strata,
+         CAST(sum(t.n) AS BIGINT) AS n_days,
+         (SELECT CAST(coalesce(sum(s), 0) AS BIGINT) FROM p) AS s,
+         list_reduce(list_prepend(0.0, list(
+             (CAST(t.n AS DOUBLE) * (t.n - 1) * (2 * t.n + 5) - t.tiesum)
+               / 18.0 ORDER BY t.h)),
+           (a, b) -> a + b) AS var_s
+  FROM t
+),
+zz AS (
+  SELECT n_strata, n_days, s, var_s,
+         CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+              WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+              ELSE 0.0 END AS z
+  FROM agg
+)
+SELECT n_strata, n_days, s,
+       floor(var_s * 10000 + 0.5) / 10000.0 AS var_s,
+       floor(z * 1000000 + 0.5) / 1000000.0 AS z,
+       floor(2.0 * (1.0 - {_norm_cdf_sql("abs(z)")}) * 1000000 + 0.5)
+         / 1000000.0 AS p,
+       CASE WHEN 2.0 * (1.0 - {_norm_cdf_sql("abs(z)")}) < 0.05 AND s > 0
+              THEN 'increasing'
+            WHEN 2.0 * (1.0 - {_norm_cdf_sql("abs(z)")}) < 0.05 AND s < 0
+              THEN 'decreasing'
+            ELSE 'no trend' END AS trend
+FROM zz
+""",
+)
+def agg_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL MANN-KENDALL (Hirsch & Slack) on daily revenue with
+    weekly strata: pairwise trend signs are counted ONLY within the same
+    day-of-week stratum (d mod 7 — pure integer, no calendar-function
+    dialect risk), so a strong weekly cycle cannot masquerade as (or
+    hide) a monotone trend — the standard upgrade over plain
+    ``agg_mann_kendall`` for any series with a known period, and the
+    workhorse of environmental/satellite time-series QA.
+
+    S sums exact per-stratum integer pair counts; the stratum variances
+    (tie-corrected) fold in stratum order; z and the shared-Phi p follow
+    the MK continuity convention.  Pairs are bounded by (days/7 choose
+    2) x 7 — calendar math, never fact volume."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("y"))
+    s = daily.select("d", (F.col("d") % 7).alias("h"), "y")
+    a = s.select(F.col("h"), F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = s.select(F.col("h").alias("hb"), F.col("d").alias("db"), F.col("y").alias("yb"))
+    p = (
+        a.join(b, (F.col("h") == F.col("hb")) & (F.col("da") < F.col("db")))
+        .groupBy("h")
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    t = (
+        s.groupBy("h", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("tt"))
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ny"),
+            F.sum("tt").cast("long").alias("n"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("tt") > 1,
+                        F.col("tt") * (F.col("tt") - 1) * (2 * F.col("tt") + 5),
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tiesum"),
+        )
+    )
+    stot = p.agg(F.coalesce(F.sum("s"), F.lit(0)).cast("long").alias("s"))
+    var_h = (
+        F.col("n").cast("double") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tiesum")
+    ) / 18.0
+    agg = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("n").cast("long").alias("n_days"),
+        _ordfold(F.col("h"), var_h).alias("var_s"),
+    ).crossJoin(F.broadcast(stot))
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(F.col("var_s")))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(F.col("var_s")))
+        .otherwise(F.lit(0.0))
+    )
+    zz = agg.select("n_strata", "n_days", "s", "var_s", z.alias("z"))
+    pv = 2.0 * (1.0 - _norm_cdf(F.abs(F.col("z"))))
+    return zz.select(
+        "n_strata",
+        "n_days",
+        "s",
+        q4(F.col("var_s")).alias("var_s"),
+        r6(F.col("z")).alias("z"),
+        r6(pv).alias("p"),
+        F.when((pv < 0.05) & (F.col("s") > 0), "increasing")
+        .when((pv < 0.05) & (F.col("s") < 0), "decreasing")
+        .otherwise("no trend")
+        .alias("trend"),
+    )

@@ -463,3 +463,69 @@ def test_elo_online_matches_independent_replay(spark):
     elo_top = min(rows.values(), key=lambda r: r.rank).lang
     bt_top = min(bt.values(), key=lambda r: r.rank).lang
     assert elo_top == bt_top, "the two arena estimators disagree on the winner"
+
+
+def test_cochran_q_matches_reference(spark):
+    (r,) = registry.spec("agg_cochran_q").fn(spark, SF).collect()
+    ev = table(spark, SF, "events").select(
+        "user_id",
+        F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+        "event_type",
+        "value",
+    )
+    cells: dict = {}
+    types = set()
+    for x in ev.collect():
+        types.add(x.event_type)
+        key = (x.user_id, x.d, x.event_type)
+        cells[key] = max(cells.get(key, 0.0), x.value)
+    k = len(types)
+    blocks: dict = {}
+    cj: dict = {t: 0 for t in types}
+    for (u, d, t), mx in cells.items():
+        hit = 1 if mx > 50 else 0
+        blocks[(u, d)] = blocks.get((u, d), 0) + hit
+        cj[t] += hit
+    sc = sum(cj.values())
+    sc2 = sum(v * v for v in cj.values())
+    sr = sum(blocks.values())
+    sr2 = sum(v * v for v in blocks.values())
+    qstat = (k - 1) * (k * sc2 - sc * sc) / (k * sr - sr2)
+    assert r.k == k and r.n_blocks == len(blocks) and r.df == k - 1
+    assert abs(r.q - qstat) < 6e-5 + 1e-9 * qstat
+    assert 0.0 <= r.p <= 1.0
+
+
+def test_seasonal_mann_kendall_matches_reference(spark):
+    (r,) = registry.spec("agg_seasonal_mann_kendall").fn(spark, SF).collect()
+    rows = _daily(spark, col_mean=False)
+    from collections import Counter
+
+    s_tot = 0
+    var_tot = 0.0
+    strata: dict = {}
+    for d, _, y in rows:
+        strata.setdefault(d % 7, []).append((d, y))
+    for h in sorted(strata):
+        ys = [y for _, y in sorted(strata[h])]
+        n = len(ys)
+        s_tot += sum(
+            (ys[j] > ys[i]) - (ys[j] < ys[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        ties = Counter(ys)
+        tiesum = sum(t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1)
+        var_tot += (n * (n - 1) * (2 * n + 5) - tiesum) / 18.0
+    assert r.n_strata == len(strata) and r.s == s_tot
+    assert abs(r.var_s - var_tot) < 6e-5
+    if s_tot > 0:
+        z = (s_tot - 1) / math.sqrt(var_tot)
+    elif s_tot < 0:
+        z = (s_tot + 1) / math.sqrt(var_tot)
+    else:
+        z = 0.0
+    assert abs(r.z - z) < 1e-6
+    assert abs(r.p - 2 * (1 - _phi(abs(z)))) < 1e-5
