@@ -89,6 +89,9 @@ NEW_THIS_ROUND = [
     "ext_elo_online",
     "agg_cochran_q",
     "agg_seasonal_mann_kendall",
+    "agg_capability_index",
+    "win_ewma_control",
+    "agg_westgard_rules",
 ]
 
 CORE = [

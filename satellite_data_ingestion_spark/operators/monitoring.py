@@ -1469,3 +1469,325 @@ def agg_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("no trend")
         .alias("trend"),
     )
+
+
+_SPEC_SDS = 4.0  # spec limits: baseline mean +/- 4 baseline sds
+
+
+@register(
+    "agg_capability_index",
+    oracle=f"""
+WITH {_drift_daily_sql()},
+allm AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS s,
+         CAST(sum(ss) AS BIGINT) AS ss
+  FROM daily
+),
+st AS (
+  SELECT allm.n,
+         CAST(allm.s AS DOUBLE) / allm.n AS mu,
+         sqrt((CAST(allm.ss AS DOUBLE)
+               - CAST(allm.s AS DOUBLE) * allm.s / allm.n)
+              / (allm.n - 1)) AS sigma,
+         cal.mu0 - {_SPEC_SDS} * cal.sd AS lsl,
+         cal.mu0 + {_SPEC_SDS} * cal.sd AS usl
+  FROM allm, cal
+),
+oos AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_out
+  FROM events, st
+  WHERE {_CENTS} < st.lsl OR {_CENTS} > st.usl
+)
+SELECT st.n,
+       floor(st.mu * 10000 + 0.5) / 10000.0 AS mu_cents,
+       floor(st.sigma * 10000 + 0.5) / 10000.0 AS sigma_cents,
+       floor(st.lsl * 10000 + 0.5) / 10000.0 AS lsl,
+       floor(st.usl * 10000 + 0.5) / 10000.0 AS usl,
+       floor((st.usl - st.lsl) / (6.0 * st.sigma) * 1000000 + 0.5)
+         / 1000000.0 AS cp,
+       floor(least(st.usl - st.mu, st.mu - st.lsl) / (3.0 * st.sigma)
+             * 1000000 + 0.5) / 1000000.0 AS cpk,
+       oos.n_out,
+       floor(CAST(oos.n_out AS DOUBLE) / st.n * 1000000 + 0.5)
+         / 1000000.0 AS out_of_spec_rate
+FROM st, oos
+""",
+)
+def agg_capability_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROCESS CAPABILITY Cp / Cpk of the event value against
+    baseline-derived spec limits (first-week mean +/- {k} first-week
+    sds — the same calibration window the drift detectors use): Cp
+    asks whether the month's SPREAD fits the spec band, Cpk whether it
+    fits WHERE IT ACTUALLY SITS (a centered-but-wide process and a
+    tight-but-drifted one fail differently) — the one-number SLA
+    summary next to ``win_control_chart``'s per-point alarms.
+
+    Overall mean/sigma and the baseline limits all derive from exact
+    int64 moments; the out-of-spec count is one exact predicate pass
+    (a broadcast one-row spec join, so the scan stays map-side); Cp,
+    Cpk and the rate are one double expression each."""
+    cal, _ = _drift_daily(spark, sf_dir)
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    allm = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("s"),
+        F.sum(cents * cents).cast("long").alias("ss"),
+    )
+    st = allm.crossJoin(F.broadcast(cal)).select(
+        "n",
+        (F.col("s").cast("double") / F.col("n")).alias("mu"),
+        F.sqrt(_css() / (F.col("n") - 1)).alias("sigma"),
+        (F.col("mu0") - _SPEC_SDS * F.col("sd")).alias("lsl"),
+        (F.col("mu0") + _SPEC_SDS * F.col("sd")).alias("usl"),
+    )
+    oos = (
+        ev.select(cents.alias("c"))
+        .crossJoin(F.broadcast(st.select("lsl", "usl")))
+        .filter((F.col("c") < F.col("lsl")) | (F.col("c") > F.col("usl")))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_out"))
+    )
+    return st.crossJoin(F.broadcast(oos)).select(
+        "n",
+        q4(F.col("mu")).alias("mu_cents"),
+        q4(F.col("sigma")).alias("sigma_cents"),
+        q4(F.col("lsl")).alias("lsl"),
+        q4(F.col("usl")).alias("usl"),
+        r6((F.col("usl") - F.col("lsl")) / (6.0 * F.col("sigma"))).alias("cp"),
+        r6(
+            F.least(F.col("usl") - F.col("mu"), F.col("mu") - F.col("lsl"))
+            / (3.0 * F.col("sigma"))
+        ).alias("cpk"),
+        "n_out",
+        r6(F.col("n_out").cast("double") / F.col("n")).alias("out_of_spec_rate"),
+    )
+
+
+agg_capability_index.__doc__ = agg_capability_index.__doc__.format(k=_SPEC_SDS)
+
+
+_EWMA_LAMBDA = 0.2
+_EWMA_L = 3.0
+
+
+@register(
+    "win_ewma_control",
+    oracle=f"""
+WITH {_drift_daily_sql()},
+zfold AS (
+  SELECT cal.mu0, cal.sd,
+         a AS arr,
+         list_reduce(
+           list_prepend([cal.mu0], list_transform(a, x -> [x[2]])),
+           (acc, x) -> list_append(acc,
+             {_EWMA_LAMBDA} * x[1]
+               + (1.0 - {_EWMA_LAMBDA}) * acc[len(acc)])) AS zs
+  FROM arr, cal
+)
+SELECT CAST(arr[i][1] AS BIGINT) AS d,
+       floor(arr[i][2] * 10000 + 0.5) / 10000.0 AS daily_mean,
+       floor(zs[i + 1] * 10000 + 0.5) / 10000.0 AS ewma,
+       floor((mu0 - lim) * 10000 + 0.5) / 10000.0 AS lcl,
+       floor((mu0 + lim) * 10000 + 0.5) / 10000.0 AS ucl,
+       zs[i + 1] > mu0 + lim OR zs[i + 1] < mu0 - lim AS out_of_control
+FROM (
+  SELECT mu0, sd, arr, zs, unnest(generate_series(1, len(arr))) AS i
+  FROM zfold
+), LATERAL (
+  SELECT {_EWMA_L} * sd * sqrt({_EWMA_LAMBDA} / (2.0 - {_EWMA_LAMBDA})
+           * (1.0 - pow(1.0 - {_EWMA_LAMBDA}, 2.0 * i))) AS lim
+) lims
+ORDER BY d
+""",
+)
+def win_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA CONTROL CHART (Roberts 1959) over the daily mean value:
+    z_t = lambda x_t + (1-lambda) z_(t-1) seeded at the baseline mean,
+    with the exact time-varying limits mu0 +/- L sd sqrt(lambda/(2-lambda)
+    (1-(1-lambda)^2t)) — the drift-sensitive SPC chart between
+    ``win_control_chart``'s memoryless 3-sigma points and
+    ``agg_cusum_drift``'s pure accumulation (EWMA re-weights recent
+    history smoothly, catching 0.5-1.5 sigma shifts fastest).
+
+    The fold is one day-sorted float recursion identical in both
+    engines; limits are closed-form per index (pow is the same libm
+    call), and the baseline mean/sd come from exact first-week int
+    moments.  Day grain is calendar-bounded."""
+    cal, arr = _drift_daily(spark, sf_dir)
+    one = arr.crossJoin(F.broadcast(cal))
+    zfold = one.select(
+        "mu0",
+        "sd",
+        F.col("a").alias("arr"),
+        F.aggregate(
+            F.col("a"),
+            F.array(F.col("mu0")),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    _EWMA_LAMBDA * x[1]
+                    + (1.0 - _EWMA_LAMBDA) * F.element_at(acc, F.size(acc))
+                ),
+            ),
+        ).alias("zs"),
+    )
+    rows = zfold.select(
+        "mu0",
+        "sd",
+        "arr",
+        "zs",
+        F.posexplode(F.col("arr")).alias("i0", "x"),
+    )
+    t = F.col("i0") + 1  # 1-based chart index
+    lim = (
+        _EWMA_L
+        * F.col("sd")
+        * F.sqrt(
+            _EWMA_LAMBDA
+            / (2.0 - _EWMA_LAMBDA)
+            * (1.0 - F.pow(F.lit(1.0 - _EWMA_LAMBDA), 2.0 * t))
+        )
+    )
+    z = F.element_at(F.col("zs"), (F.col("i0") + 2).cast("int"))
+    return rows.select(
+        F.col("x")[0].cast("long").alias("d"),
+        q4(F.col("x")[1]).alias("daily_mean"),
+        q4(z).alias("ewma"),
+        q4(F.col("mu0") - lim).alias("lcl"),
+        q4(F.col("mu0") + lim).alias("ucl"),
+        ((z > F.col("mu0") + lim) | (z < F.col("mu0") - lim)).alias(
+            "out_of_control"
+        ),
+    ).orderBy("d")
+
+
+@register(
+    "agg_westgard_rules",
+    oracle=f"""
+WITH {_drift_daily_sql()},
+z AS (
+  SELECT CAST(x[1] AS BIGINT) AS d, (x[2] - cal.mu0) / cal.sd AS z
+  FROM (SELECT unnest(a) AS x FROM arr), cal
+),
+w AS (
+  SELECT d, z,
+         lag(z, 1) OVER (ORDER BY d) AS z1,
+         lag(z, 2) OVER (ORDER BY d) AS z2,
+         lag(z, 3) OVER (ORDER BY d) AS z3,
+         CASE WHEN z > 0 THEN 1 WHEN z < 0 THEN -1 ELSE 0 END AS sg,
+         min(CASE WHEN z > 0 THEN 1 WHEN z < 0 THEN -1 ELSE 0 END)
+           OVER (ORDER BY d ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS sgmin,
+         max(CASE WHEN z > 0 THEN 1 WHEN z < 0 THEN -1 ELSE 0 END)
+           OVER (ORDER BY d ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS sgmax,
+         CAST(count(*) OVER (ORDER BY d ROWS BETWEEN 9 PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS w10
+  FROM z
+),
+v AS (
+  SELECT d,
+         abs(z) > 3.0 AS r13s,
+         z1 IS NOT NULL AND abs(z) > 2.0 AND abs(z1) > 2.0
+           AND z * z1 > 0 AS r22s,
+         z1 IS NOT NULL AND z * z1 < 0 AND abs(z - z1) > 4.0 AS r4s,
+         z3 IS NOT NULL
+           AND abs(z) > 1.0 AND abs(z1) > 1.0 AND abs(z2) > 1.0
+           AND abs(z3) > 1.0 AND z * z1 > 0 AND z1 * z2 > 0
+           AND z2 * z3 > 0 AS r41s,
+         w10 = 10 AND sgmin = sgmax AND sgmin <> 0 AS r10x
+  FROM w
+)
+SELECT rule, CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS violations,
+       min(CASE WHEN hit THEN d END) AS first_day
+FROM (
+  SELECT d, '1_3s' AS rule, r13s AS hit FROM v
+  UNION ALL SELECT d, '2_2s', r22s FROM v
+  UNION ALL SELECT d, 'R_4s', r4s FROM v
+  UNION ALL SELECT d, '4_1s', r41s FROM v
+  UNION ALL SELECT d, '10_x', r10x FROM v
+) GROUP BY rule ORDER BY rule
+""",
+)
+def agg_westgard_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WESTGARD MULTI-RULE QC over the standardized daily means — the
+    clinical-lab rule battery (1_3s / 2_2s / R_4s / 4_1s / 10_x)
+    combining single-point, consecutive-pair, range, and run logic so
+    random error and systematic error trip DIFFERENT rules (one wild
+    day is 1_3s; a 1-sigma drift is 4_1s/10_x long before any single
+    point crosses 3 sigma).  Reports per-rule violation counts and the
+    first violation day.
+
+    z-scores standardize against the shared first-week baseline; the
+    lag / run windows ride the calendar-bounded day grain (the bounded
+    single-task case); every rule is an exact comparison on doubles
+    identical in both engines."""
+    cal, arr = _drift_daily(spark, sf_dir)
+    z = (
+        arr.select(F.explode("a").alias("x"))
+        .crossJoin(F.broadcast(cal))
+        .select(
+            F.col("x")[0].cast("long").alias("d"),
+            ((F.col("x")[1] - F.col("mu0")) / F.col("sd")).alias("z"),
+        )
+    )
+    w_d = Window.orderBy("d")
+    w10 = w_d.rowsBetween(-9, 0)
+    sg = F.when(F.col("z") > 0, 1).when(F.col("z") < 0, -1).otherwise(0)
+    w = z.select(
+        "d",
+        "z",
+        F.lag("z", 1).over(w_d).alias("z1"),
+        F.lag("z", 2).over(w_d).alias("z2"),
+        F.lag("z", 3).over(w_d).alias("z3"),
+        F.min(sg).over(w10).alias("sgmin"),
+        F.max(sg).over(w10).alias("sgmax"),
+        F.count(F.lit(1)).over(w10).cast("long").alias("w10"),
+    )
+    v = w.select(
+        "d",
+        (F.abs(F.col("z")) > 3.0).alias("r13s"),
+        (
+            F.col("z1").isNotNull()
+            & (F.abs(F.col("z")) > 2.0)
+            & (F.abs(F.col("z1")) > 2.0)
+            & (F.col("z") * F.col("z1") > 0)
+        ).alias("r22s"),
+        (
+            F.col("z1").isNotNull()
+            & (F.col("z") * F.col("z1") < 0)
+            & (F.abs(F.col("z") - F.col("z1")) > 4.0)
+        ).alias("r4s"),
+        (
+            F.col("z3").isNotNull()
+            & (F.abs(F.col("z")) > 1.0)
+            & (F.abs(F.col("z1")) > 1.0)
+            & (F.abs(F.col("z2")) > 1.0)
+            & (F.abs(F.col("z3")) > 1.0)
+            & (F.col("z") * F.col("z1") > 0)
+            & (F.col("z1") * F.col("z2") > 0)
+            & (F.col("z2") * F.col("z3") > 0)
+        ).alias("r41s"),
+        (
+            (F.col("w10") == 10)
+            & (F.col("sgmin") == F.col("sgmax"))
+            & (F.col("sgmin") != 0)
+        ).alias("r10x"),
+    )
+    stacked = None
+    for rule, colname in [
+        ("1_3s", "r13s"),
+        ("2_2s", "r22s"),
+        ("R_4s", "r4s"),
+        ("4_1s", "r41s"),
+        ("10_x", "r10x"),
+    ]:
+        part = v.select("d", F.lit(rule).alias("rule"), F.col(colname).alias("hit"))
+        stacked = part if stacked is None else stacked.unionAll(part)
+    return (
+        stacked.groupBy("rule")
+        .agg(
+            F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("long").alias("violations"),
+            F.min(F.when(F.col("hit"), F.col("d"))).alias("first_day"),
+        )
+        .orderBy("rule")
+    )

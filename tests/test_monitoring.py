@@ -529,3 +529,103 @@ def test_seasonal_mann_kendall_matches_reference(spark):
         z = 0.0
     assert abs(r.z - z) < 1e-6
     assert abs(r.p - 2 * (1 - _phi(abs(z)))) < 1e-5
+
+
+def _baseline(spark):
+    rows = _daily(spark, col_mean=False)
+    days = {d for d, _, _ in rows[:7]}
+    ev = table(spark, SF, "events").select(
+        F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    cs = [x.c for x in ev.collect() if x.d in days]
+    mu0 = sum(cs) / len(cs)
+    sd = math.sqrt(sum((c - mu0) ** 2 for c in cs) / (len(cs) - 1))
+    return rows, mu0, sd
+
+
+def test_capability_index_matches_reference(spark):
+    (r,) = registry.spec("agg_capability_index").fn(spark, SF).collect()
+    _, mu0, sd = _baseline(spark)
+    ev = table(spark, SF, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    cs = [x.c for x in ev.collect()]
+    n = len(cs)
+    mu = sum(cs) / n
+    sigma = math.sqrt(sum((c - mu) ** 2 for c in cs) / (n - 1))
+    lsl, usl = mu0 - 4 * sd, mu0 + 4 * sd
+    assert r.n == n
+    assert abs(r.cp - (usl - lsl) / (6 * sigma)) < 1e-5
+    assert abs(r.cpk - min(usl - mu, mu - lsl) / (3 * sigma)) < 1e-5
+    n_out = sum(1 for c in cs if c < lsl or c > usl)
+    assert r.n_out == n_out
+    assert abs(r.out_of_spec_rate - n_out / n) < 1e-5
+
+
+def test_ewma_control_matches_reference(spark):
+    out = {r.d: r for r in registry.spec("win_ewma_control").fn(spark, SF).collect()}
+    rows, mu0, sd = _baseline(spark)
+    lam, L = 0.2, 3.0
+    z = mu0
+    for t, (d, n, s) in enumerate(sorted(rows), start=1):
+        x = s / n
+        z = lam * x + (1 - lam) * z
+        lim = L * sd * math.sqrt(lam / (2 - lam) * (1 - (1 - lam) ** (2 * t)))
+        r = out[d]
+        assert abs(r.ewma - z) < 1e-3, (d, r.ewma, z)
+        assert abs(r.ucl - (mu0 + lim)) < 1e-3
+        assert r.out_of_control == (z > mu0 + lim or z < mu0 - lim)
+    assert len(out) == len(rows)
+
+
+def test_westgard_rules_match_reference_and_fire_on_drift(spark, tmp_path):
+    got = {r.rule: r for r in registry.spec("agg_westgard_rules").fn(spark, SF).collect()}
+    assert set(got) == {"1_3s", "2_2s", "R_4s", "4_1s", "10_x"}
+    rows, mu0, sd = _baseline(spark)
+    zs = [(d, (s / n - mu0) / sd) for d, n, s in sorted(rows)]
+    refs = {k: [] for k in got}
+    for i, (d, z) in enumerate(zs):
+        z1 = zs[i - 1][1] if i >= 1 else None
+        window = [zz for _, zz in zs[max(0, i - 9) : i + 1]]
+        if abs(z) > 3:
+            refs["1_3s"].append(d)
+        if z1 is not None and abs(z) > 2 and abs(z1) > 2 and z * z1 > 0:
+            refs["2_2s"].append(d)
+        if z1 is not None and z * z1 < 0 and abs(z - z1) > 4:
+            refs["R_4s"].append(d)
+        if i >= 3 and all(
+            abs(zs[i - j][1]) > 1 for j in range(4)
+        ) and all(zs[i - j][1] * zs[i - j - 1][1] > 0 for j in range(3)):
+            refs["4_1s"].append(d)
+        if len(window) == 10 and (all(v > 0 for v in window) or all(v < 0 for v in window)):
+            refs["10_x"].append(d)
+    for rule, r in got.items():
+        assert r.violations == len(refs[rule]), (rule, r, refs[rule])
+        assert r.first_day == (min(refs[rule]) if refs[rule] else None)
+    # the constructed +4-sigma drift fixture must trip the run rules
+    import pandas as pd
+
+    rows_fix = []
+    eid = 0
+    for day in range(30):
+        for j in range(40):
+            base = 1000 + (eid * 37 % 9) - 4
+            shift = 40 if day >= 15 else 0
+            rows_fix.append(
+                (eid, pd.Timestamp("2024-01-01") + pd.Timedelta(days=day, minutes=j),
+                 j, "view", (base + shift) / 100.0, "{}")
+            )
+            eid += 1
+    pd.DataFrame(
+        rows_fix,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    drift = {
+        r.rule: r
+        for r in registry.spec("agg_westgard_rules").fn(spark, str(tmp_path)).collect()
+    }
+    assert drift["1_3s"].violations >= 10  # the shifted half lives past 3 sigma
+    assert drift["10_x"].violations >= 1  # the sustained run trips the run rule
