@@ -92,6 +92,25 @@ NEW_THIS_ROUND = [
     "agg_capability_index",
     "win_ewma_control",
     "agg_westgard_rules",
+    # round-15 ordinal-association wave (operators/association.py)
+    "agg_goodman_kruskal_gamma",
+    "agg_somers_d",
+    "agg_bowker_test",
+    "agg_theil_u",
+    "agg_jonckheere_terpstra",
+    "agg_cuzick_trend",
+    # round-15 regression-diagnostics wave (operators/regression.py)
+    "agg_breusch_pagan",
+    "agg_chow_test",
+    "agg_cooks_distance",
+    "ext_ts_variance_ratio",
+    "ext_ts_engle_granger",
+    # round-15 embedding/tokenizer/graph wave
+    "ext_embedding_whitening",
+    "ext_embedding_isotropy",
+    "ext_sim_hamming",
+    "ext_wordpiece_tokenize",
+    "graph_katz",
 ]
 
 CORE = [
@@ -652,7 +671,12 @@ def main() -> None:
         "degraded": degraded,
         "errors": errors,
     }
-    sidecar = os.path.join(repo, "tools", f"bench_r{bench_round}_full.json")
+    # Scoped runs (SPARK_GRAFT_BENCH_ONLY) must not clobber the round's
+    # full per-query sidecar — they write a _scoped variant instead.
+    suffix = "_scoped" if os.environ.get("SPARK_GRAFT_BENCH_ONLY") else ""
+    sidecar = os.path.join(
+        repo, "tools", f"bench_r{bench_round}_full{suffix}.json"
+    )
     try:
         os.makedirs(os.path.dirname(sidecar), exist_ok=True)
         with open(sidecar, "w") as fh:

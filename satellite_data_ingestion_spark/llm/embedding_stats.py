@@ -479,3 +479,238 @@ def ext_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 ext_matryoshka_recall.__doc__ = ext_matryoshka_recall.__doc__.format(
     dims=_MRL_DIMS, k=_MRL_K, nd=len(_MRL_DIMS), m=_MRL_QUERIES
 )
+
+
+@register(
+    "ext_embedding_whitening",
+    oracle=f"""
+WITH {_CENTROID_CTE},
+dm AS (
+  SELECT pos, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q) AS BIGINT) AS sq,
+         CAST(sum(q * q) AS BIGINT) AS sqq,
+         CAST(min(q) AS BIGINT) AS qmin,
+         CAST(max(q) AS BIGINT) AS qmax
+  FROM pv GROUP BY 1
+),
+st AS (
+  SELECT pos, n, sq, qmin, qmax,
+         sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n) / (n - 1))
+           AS sd_micro
+  FROM dm
+)
+SELECT pos, n,
+       floor((CAST(sq AS DOUBLE) / n) / 1000000.0 * 1000000 + 0.5) / 1000000.0
+         AS mean,
+       floor(sd_micro / 1000000.0 * 1000000 + 0.5) / 1000000.0 AS std,
+       floor((CAST(qmin AS DOUBLE) - CAST(sq AS DOUBLE) / n) / sd_micro
+             * 1000000 + 0.5) / 1000000.0 AS w_min,
+       floor((CAST(qmax AS DOUBLE) - CAST(sq AS DOUBLE) / n) / sd_micro
+             * 1000000 + 0.5) / 1000000.0 AS w_max
+FROM st
+ORDER BY pos
+""",
+)
+def ext_embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DIMENSION WHITENING REPORT (mean/std + standardized
+    extremes): the fit step of embedding whitening — the per-dim
+    affine parameters that center and unit-scale the space — plus the
+    whitened min/max per dimension, the instant screen for dead
+    dimensions (std ~ 0) and spike dimensions (|w| >> 4) that break
+    cosine geometry and PQ codebooks downstream.
+
+    Dimension moments are EXACT int64 over the micro-unit grid (sum q^2
+    <= ~2e18 at 2M vectors — documented bound), so mean/std/extremes
+    are pinned double closed forms both engines derive identically; no
+    fold is needed anywhere.  Scale: one posexplode pass to the 64-row
+    dimension grain; the report is dimension-sized."""
+    dm = _pv(spark, sf_dir).groupBy("pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
+        F.min("q").cast("long").alias("qmin"),
+        F.max("q").cast("long").alias("qmax"),
+    )
+    n = F.col("n")
+    sd_micro = F.sqrt(
+        (F.col("sqq").cast("double") - F.col("sq").cast("double") * F.col("sq") / n)
+        / (n - 1)
+    )
+    st = dm.select("pos", "n", "sq", "qmin", "qmax", sd_micro.alias("sd_micro"))
+    mean_micro = F.col("sq").cast("double") / F.col("n")
+    r6 = lambda c: F.floor(c * 1000000 + 0.5) / 1000000.0  # noqa: E731
+    return st.select(
+        "pos",
+        "n",
+        r6(mean_micro / 1000000.0).alias("mean"),
+        r6(F.col("sd_micro") / 1000000.0).alias("std"),
+        r6((F.col("qmin").cast("double") - mean_micro) / F.col("sd_micro")).alias(
+            "w_min"
+        ),
+        r6((F.col("qmax").cast("double") - mean_micro) / F.col("sd_micro")).alias(
+            "w_max"
+        ),
+    ).orderBy("pos")
+
+
+@register(
+    "ext_embedding_isotropy",
+    oracle=f"""
+WITH {_CENTROID_CTE},
+nr AS (
+  SELECT vec_id,
+         sqrt(list_reduce(list_prepend(0.0, list(v * v ORDER BY pos)),
+                          (acc, x) -> acc + x)) AS nrm
+  FROM pv GROUP BY vec_id
+),
+uq AS (
+  SELECT pv.vec_id, pv.pos,
+         CAST(round(pv.v / nr.nrm * 1000000) AS BIGINT) AS u
+  FROM pv JOIN nr USING (vec_id)
+),
+ds AS (SELECT pos, CAST(sum(u) AS BIGINT) AS s FROM uq GROUP BY 1),
+ss AS (
+  SELECT list_reduce(list_prepend(0.0, list(CAST(s AS DOUBLE) * s ORDER BY pos)),
+                     (acc, x) -> acc + x) AS ss2
+  FROM ds
+),
+r2 AS (SELECT CAST(sum(u * u) AS BIGINT) AS r2,
+              CAST(count(DISTINCT vec_id) AS BIGINT) AS n
+       FROM uq)
+SELECT n, CAST({_EMB_DIM} AS BIGINT) AS dim,
+       floor(((ss2 - r2) / (CAST(n AS DOUBLE) * (n - 1))) / 1000000000000.0
+             * 1000000 + 0.5) / 1000000.0 AS avg_pairwise_cos,
+       floor(sqrt(ss2) / n / 1000000.0 * 1000000 + 0.5) / 1000000.0
+         AS resultant_norm
+FROM ss, r2
+""",
+)
+def ext_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-SPACE ISOTROPY: the average pairwise cosine between
+    all n(n-1) normalized vectors and the mean-resultant-length — the
+    two standard "is this embedding space collapsed?" numbers (an
+    isotropic space has avg-cos ~ 0; anisotropic/cone-shaped spaces,
+    the classic contextual-embedding pathology, sit far above).
+
+    NO pairwise stage: avg_cos = (||sum u||^2 - sum ||u||^2) / n(n-1),
+    the resultant-vector identity, so one pass computes what a naive
+    plan would need n^2 dot products for — the 100 TB shape.  Unit
+    vectors are quantized to exact micro-ints after a per-vector
+    dimension-ordered norm fold (both engines derive the identical
+    double, the module's centroid discipline); per-dim resultant sums
+    are then EXACT int64, and the two reported numbers are pinned
+    double algebra (sum u^2 ~ 1e12/vector -> ~2e18 at 2M vectors;
+    S_pos^2 crosses int64 so it folds as double in pos order)."""
+    pv = _pv(spark, sf_dir)
+    nr = pv.groupBy("vec_id").agg(
+        F.sqrt(_fold_by_pos(F.col("v") * F.col("v"))).alias("nrm")
+    )
+    uq = pv.join(nr, "vec_id").select(
+        "vec_id",
+        "pos",
+        F.round(F.col("v") / F.col("nrm") * 1000000).cast("long").alias("u"),
+    )
+    ds = uq.groupBy("pos").agg(F.sum("u").cast("long").alias("s"))
+    ss = ds.agg(
+        _fold_by_pos(F.col("s").cast("double") * F.col("s")).alias("ss2")
+    )
+    r2 = uq.agg(
+        F.sum(F.col("u") * F.col("u")).cast("long").alias("r2"),
+        F.countDistinct("vec_id").cast("long").alias("n"),
+    )
+    st = ss.crossJoin(F.broadcast(r2))
+    n = F.col("n")
+    r6 = lambda c: F.floor(c * 1000000 + 0.5) / 1000000.0  # noqa: E731
+    return st.select(
+        "n",
+        F.lit(_EMB_DIM).cast("long").alias("dim"),
+        r6(
+            ((F.col("ss2") - F.col("r2")) / (n.cast("double") * (n - 1)))
+            / 1000000000000.0
+        ).alias("avg_pairwise_cos"),
+        r6(F.sqrt(F.col("ss2")) / n / 1000000.0).alias("resultant_norm"),
+    )
+
+
+_HAMMING_TOP_K = 10
+
+
+@register(
+    "ext_sim_hamming",
+    oracle=f"""
+WITH {_CENTROID_CTE},
+dm AS (
+  SELECT pos, CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS sq
+  FROM pv GROUP BY 1
+),
+bits AS (
+  SELECT pv.vec_id, pv.label, pv.pos,
+         CASE WHEN pv.q * dm.n > dm.sq THEN 1 ELSE 0 END AS b
+  FROM pv JOIN dm USING (pos)
+),
+qid AS (SELECT CAST(min(vec_id) AS BIGINT) AS qv FROM pv),
+qb AS (SELECT pos, b AS bq FROM bits, qid WHERE vec_id = qv),
+hd AS (
+  SELECT bits.vec_id, bits.label,
+         CAST(sum(CASE WHEN bits.b <> qb.bq THEN 1 ELSE 0 END) AS BIGINT)
+           AS hamming
+  FROM bits JOIN qb USING (pos)
+  GROUP BY 1, 2
+)
+SELECT vec_id, label, hamming
+FROM hd, qid WHERE vec_id <> qv
+ORDER BY hamming, vec_id
+LIMIT {_HAMMING_TOP_K}
+""",
+)
+def ext_sim_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIGN-BINARIZED HAMMING SEARCH: quantize every embedding to one
+    BIT per dimension (above/below the per-dim corpus mean) and return
+    the top-{k} nearest neighbors of the pinned query (min vec_id) by
+    Hamming distance — the 64x-compression ANN pre-filter (binary
+    quantization) that makes a 100 TB vector corpus scannable: 64 dims
+    become one machine word, distance becomes popcount, and the
+    rerank-with-float-cosine step only touches the shortlist.
+
+    EVERYTHING is exact integer: the sign threshold compares q*n > sum(q)
+    (no division), distances are bit-count sums, and the top-k orders by
+    (hamming, vec_id) — a fully-oracled deterministic ANN variant,
+    unlike the probabilistic LSH/IVF family.  Scale: bits are one
+    posexplode + broadcast-join projection; the query row broadcasts;
+    the shortlist is a {k}-row WindowGroupLimit-free ORDER BY LIMIT."""
+    pv = _pv(spark, sf_dir)
+    dm = pv.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("sq"),
+    )
+    bits = pv.join(F.broadcast(dm), "pos").select(
+        "vec_id",
+        "label",
+        "pos",
+        F.when(F.col("q") * F.col("n") > F.col("sq"), 1).otherwise(0).alias("b"),
+    )
+    qid = pv.agg(F.min("vec_id").cast("long").alias("qv"))
+    qb = (
+        bits.crossJoin(F.broadcast(qid))
+        .filter(F.col("vec_id") == F.col("qv"))
+        .select("pos", F.col("b").alias("bq"))
+    )
+    hd = (
+        bits.join(F.broadcast(qb), "pos")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.when(F.col("b") != F.col("bq"), 1).otherwise(0))
+            .cast("long")
+            .alias("hamming")
+        )
+    )
+    return (
+        hd.crossJoin(F.broadcast(qid))
+        .filter(F.col("vec_id") != F.col("qv"))
+        .orderBy("hamming", "vec_id")
+        .limit(_HAMMING_TOP_K)
+        .select("vec_id", "label", "hamming")
+    )
+
+
+ext_sim_hamming.__doc__ = ext_sim_hamming.__doc__.format(k=_HAMMING_TOP_K)

@@ -1397,3 +1397,78 @@ def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 graph_betweenness.__doc__ = graph_betweenness.__doc__.format(s=_BC_SOURCES)
+
+
+_KATZ_ALPHA = 0.01   # attenuation; << 1/max_degree of the support graph
+_KATZ_ITERS = 5      # fixed truncation depth (unrolled in SQL)
+
+
+def _katz_oracle() -> str:
+    """Unrolled fixed-iteration Katz centrality in DuckDB SQL — one CTE
+    per iteration, the declarative twin of the DataFrame loop."""
+    parts = [
+        "WITH " + _EDGES_SQL.strip() + ",",
+        "sym AS (SELECT x AS s, y AS d FROM e UNION ALL SELECT y, x FROM e),",
+        "nodes AS (SELECT DISTINCT s AS node FROM sym),",
+        # CAST every literal: bare 1.0/0.01 parse as DECIMAL in DuckDB and
+        # the whole 5-iteration fold would stay DECIMAL (dialect trap).
+        "k0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS kz FROM nodes),",
+    ]
+    for i in range(_KATZ_ITERS):
+        parts.append(
+            f"k{i + 1} AS (SELECT n.node, "
+            f"CAST(1.0 AS DOUBLE) + CAST({_KATZ_ALPHA} AS DOUBLE) "
+            f"* coalesce(sum(k.kz), CAST(0.0 AS DOUBLE)) AS kz "
+            f"FROM nodes n LEFT JOIN sym ON sym.d = n.node "
+            f"LEFT JOIN k{i} k ON k.node = sym.s "
+            f"GROUP BY n.node),"
+        )
+    parts[-1] = parts[-1][:-1]
+    parts.append(
+        f"SELECT node AS part_key, round(kz, {_PR_ROUND}) AS katz "
+        f"FROM k{_KATZ_ITERS}"
+    )
+    return "\n".join(parts)
+
+
+@register("graph_katz", oracle=_katz_oracle())
+def graph_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KATZ CENTRALITY (attenuation 0.01, 5 truncated iterations) over
+    the co-purchase graph: x' = 1 + alpha * A x — counts ALL walks into
+    a node geometrically damped by length, the centrality that (unlike
+    PageRank) does not dilute a neighbor's contribution by its
+    out-degree, so a part co-bought with one hub scores high even if
+    the hub fans out widely.  The complement to ``graph_pagerank``'s
+    random-surfer ranking in the part-importance panel.
+
+    Same execution shape as PageRank: the symmetrized link relation is
+    materialized ONCE (localCheckpoint) and each of the 5 iterations is
+    one key-partitioned aggregate join — rounds x one shuffle, never
+    walk enumeration.  Per-node in-sums are small-fan unordered float
+    adds masked by the family's shared {r}-decimal rounding (the
+    graph-battery convention, graph.py:55).  Value-checked against the
+    unrolled 5-CTE DuckDB twin."""
+    e = _copurchase_edges(spark, sf_dir)
+    sym = e.select(F.col("x").alias("s"), F.col("y").alias("d")).unionAll(
+        e.select(F.col("y").alias("s"), F.col("x").alias("d"))
+    ).localCheckpoint(eager=True)
+    # Every node of the SYMMETRIZED graph has >= 1 in-edge, so the pull
+    # update can group straight off the link join (the pagerank shape) —
+    # no per-iteration re-join against a node list.
+    ranks = sym.select(F.col("s").alias("node")).distinct().select(
+        "node", F.lit(1.0).alias("kz")
+    )
+    for _ in range(_KATZ_ITERS):
+        ranks = (
+            sym.join(ranks, sym["s"] == ranks["node"])
+            .groupBy(F.col("d").alias("node_next"))
+            .agg((1.0 + _KATZ_ALPHA * F.sum("kz")).alias("kz"))
+            .select(F.col("node_next").alias("node"), "kz")
+        )
+    return ranks.select(
+        F.col("node").alias("part_key"),
+        F.round(F.col("kz"), _PR_ROUND).alias("katz"),
+    )
+
+
+graph_katz.__doc__ = graph_katz.__doc__.format(r=_PR_ROUND)

@@ -48,6 +48,8 @@ _QUERY_MODULES = [
     "satellite_data_ingestion_spark.operators.graph",
     "satellite_data_ingestion_spark.operators.hypothesis",
     "satellite_data_ingestion_spark.operators.monitoring",
+    "satellite_data_ingestion_spark.operators.association",
+    "satellite_data_ingestion_spark.operators.regression",
     "satellite_data_ingestion_spark.llm.embedding_stats",
     "satellite_data_ingestion_spark.functions.scalar",
     "satellite_data_ingestion_spark.functions.udf",
@@ -69,6 +71,7 @@ _QUERY_MODULES = [
     "satellite_data_ingestion_spark.llm.bpe",
     "satellite_data_ingestion_spark.llm.lm",
     "satellite_data_ingestion_spark.llm.unigram",
+    "satellite_data_ingestion_spark.llm.wordpiece",
     "satellite_data_ingestion_spark.llm.shaping",
     "satellite_data_ingestion_spark.llm.sampling",
     "satellite_data_ingestion_spark.llm.urlfilter",

@@ -199,3 +199,30 @@ def test_betweenness_matches_reference_brandes(spark):
         assert abs(b - expect.get(v, 0.0)) < 1e-9, (v, b, expect.get(v))
     missing = {v: b for v, b in expect.items() if v not in got and b > 0}
     assert not missing, f"reference found betweenness the engine missed: {missing}"
+
+
+def test_katz_matches_python_replay(spark):
+    from satellite_data_ingestion_spark.operators.graph import (
+        _KATZ_ALPHA,
+        _KATZ_ITERS,
+        graph_katz,
+    )
+
+    edges = [
+        (int(r.x), int(r.y)) for r in _copurchase_edges(spark, SF_DIR).collect()
+    ]
+    adj: dict = {}
+    for x, y in edges:
+        adj.setdefault(x, []).append(y)
+        adj.setdefault(y, []).append(x)
+    kz = {v: 1.0 for v in adj}
+    for _ in range(_KATZ_ITERS):
+        kz = {v: 1.0 + _KATZ_ALPHA * sum(kz[u] for u in adj[v]) for v in adj}
+    out = {int(r.part_key): r.katz for r in graph_katz(spark, SF_DIR).collect()}
+    assert set(out) == set(adj)
+    for v in adj:
+        assert abs(out[v] - kz[v]) < 1e-6
+    # every node counts at least its own unit weight, hubs strictly more
+    assert all(k >= 1.0 for k in out.values())
+    top = max(out, key=lambda v: (out[v], -v))
+    assert len(adj[top]) == max(len(a) for a in adj.values())
