@@ -111,6 +111,13 @@ NEW_THIS_ROUND = [
     "ext_sim_hamming",
     "ext_wordpiece_tokenize",
     "graph_katz",
+    # round-15 agreement & stratified-effect wave (operators/agreement.py)
+    "agg_kappa_weighted",
+    "agg_lin_ccc",
+    "agg_deming_regression",
+    "agg_woolf_homogeneity",
+    "agg_brunner_munzel",
+    "agg_ansari_bradley",
 ]
 
 CORE = [

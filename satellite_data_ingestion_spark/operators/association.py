@@ -260,10 +260,9 @@ def agg_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "agg_bowker_test",
-    oracle=f"""
-WITH seq AS (
+# First/last order-priority transition per customer: shared by the Bowker
+# symmetry test here and the weighted-kappa agreement op (agreement.py).
+_FL_CELLS_SQL = """seq AS (
   SELECT o_custkey,
          CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS pri,
          CAST(date_diff('day', DATE '1970-01-01', date_trunc('day', o_orderdate))
@@ -274,7 +273,36 @@ fl AS (
   SELECT o_custkey, arg_min(pri, ok) AS fi, arg_max(pri, ok) AS li
   FROM seq GROUP BY 1
 ),
-cells AS (SELECT fi, li, CAST(count(*) AS BIGINT) AS c FROM fl GROUP BY 1, 2),
+cells AS (SELECT fi, li, CAST(count(*) AS BIGINT) AS c FROM fl GROUP BY 1, 2)"""
+
+
+def first_last_priority_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(fi, li, c): per-customer first-order vs last-order priority
+    transition counts — min_by/max_by on the collision-free
+    (epoch-day * 1e12 + orderkey) sort key, one customer-grain combine."""
+    o = table(spark, sf_dir, "orders")
+    ok = (
+        F.datediff(
+            F.date_trunc("day", "o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).cast("long")
+        * F.lit(1000000000000).cast("long")
+        + F.col("o_orderkey")
+    )
+    seq = o.select(
+        "o_custkey",
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("pri"),
+        ok.alias("ok"),
+    )
+    fl = seq.groupBy("o_custkey").agg(
+        F.min_by("pri", "ok").alias("fi"), F.max_by("pri", "ok").alias("li")
+    )
+    return fl.groupBy("fi", "li").agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+
+@register(
+    "agg_bowker_test",
+    oracle=f"""
+WITH {_FL_CELLS_SQL},
 pr AS (
   SELECT coalesce(p1.i, p2.i) AS i, coalesce(p1.j, p2.j) AS j,
          coalesce(p1.u, 0) AS u, coalesce(p2.v, 0) AS v
@@ -314,23 +342,7 @@ def agg_bowker_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     off-diagonal terms in (i, j) order; Wilson-Hilferty + shared Phi for
     the p.  Scale: everything past the customer-grain combine is
     constant-size."""
-    o = table(spark, sf_dir, "orders")
-    ok = (
-        F.datediff(
-            F.date_trunc("day", "o_orderdate"), F.lit("1970-01-01").cast("date")
-        ).cast("long")
-        * F.lit(1000000000000).cast("long")
-        + F.col("o_orderkey")
-    )
-    seq = o.select(
-        "o_custkey",
-        F.substring("o_orderpriority", 1, 1).cast("long").alias("pri"),
-        ok.alias("ok"),
-    )
-    fl = seq.groupBy("o_custkey").agg(
-        F.min_by("pri", "ok").alias("fi"), F.max_by("pri", "ok").alias("li")
-    )
-    cells = fl.groupBy("fi", "li").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cells = first_last_priority_cells(spark, sf_dir)
     p1 = cells.filter(F.col("fi") < F.col("li")).select(
         F.col("fi").alias("i"), F.col("li").alias("j"), F.col("c").alias("u")
     )
@@ -354,7 +366,7 @@ def agg_bowker_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("df"),
         _ordfold(F.col("i") * 10 + F.col("j"), term).alias("chi2"),
     )
-    nc = fl.agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    nc = cells.agg(F.sum("c").cast("long").alias("n_customers"))
     out = nc.crossJoin(F.broadcast(st))
     return out.select(
         "n_customers",

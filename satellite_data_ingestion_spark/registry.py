@@ -50,6 +50,7 @@ _QUERY_MODULES = [
     "satellite_data_ingestion_spark.operators.monitoring",
     "satellite_data_ingestion_spark.operators.association",
     "satellite_data_ingestion_spark.operators.regression",
+    "satellite_data_ingestion_spark.operators.agreement",
     "satellite_data_ingestion_spark.llm.embedding_stats",
     "satellite_data_ingestion_spark.functions.scalar",
     "satellite_data_ingestion_spark.functions.udf",
