@@ -118,6 +118,14 @@ NEW_THIS_ROUND = [
     "agg_woolf_homogeneity",
     "agg_brunner_munzel",
     "agg_ansari_bradley",
+    # round-15 wave F (graph links/centrality, wordpiece fertility,
+    # DoReMi step, BY correction, inequality indices)
+    "graph_jaccard_links",
+    "graph_closeness",
+    "ext_wordpiece_fertility",
+    "ext_domain_mixture_doremi",
+    "agg_benjamini_yekutieli",
+    "agg_inequality_indices",
 ]
 
 CORE = [

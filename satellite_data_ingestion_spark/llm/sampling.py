@@ -718,3 +718,148 @@ def ext_crossval_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ext_crossval_folds.__doc__ = ext_crossval_folds.__doc__.format(k=_CV_FOLDS)
+
+
+_DOREMI_ETA = 0.5  # mirror-ascent step size (DoReMi's eta)
+
+
+@register(
+    "ext_domain_mixture_doremi",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, w AS word
+  FROM (SELECT source,
+               unnest(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'))
+                 AS w
+        FROM documents)
+  WHERE w <> ''
+),
+gv AS (SELECT word, CAST(count(*) AS BIGINT) AS cw FROM toks GROUP BY 1),
+nw AS (SELECT CAST(sum(cw) AS BIGINT) AS tw FROM gv),
+docs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         FROM documents GROUP BY 1),
+sv AS (SELECT source, word, CAST(count(*) AS BIGINT) AS cs
+       FROM toks GROUP BY 1, 2),
+dl AS (
+  SELECT sv.source,
+         CAST(sum(sv.cs) AS BIGINT) AS wrds,
+         list_reduce(list_prepend(0.0, list(
+             sv.cs * ln(CAST(tw AS DOUBLE) / gv.cw) ORDER BY sv.word)),
+           (p, q) -> p + q) AS sloss
+  FROM sv JOIN gv USING (word), nw
+  GROUP BY sv.source
+),
+gl AS (
+  SELECT list_reduce(list_prepend(0.0, list(
+             cw * ln(CAST(tw AS DOUBLE) / cw) ORDER BY word)),
+           (p, q) -> p + q) / tw AS lbar
+  FROM gv, nw GROUP BY tw
+),
+ex AS (
+  SELECT dl.source, docs.n_docs, dl.wrds,
+         CAST(dl.wrds AS DOUBLE) / tw AS w0,
+         dl.sloss / dl.wrds AS surprisal,
+         dl.sloss / dl.wrds - lbar AS excess,
+         (CAST(dl.wrds AS DOUBLE) / tw)
+           * exp({_DOREMI_ETA} * (dl.sloss / dl.wrds - lbar)) AS w_un
+  FROM dl JOIN docs USING (source), nw, gl
+),
+z AS (
+  SELECT list_reduce(list_prepend(0.0, list(w_un ORDER BY source)),
+                     (p, q) -> p + q) AS z
+  FROM ex
+)
+SELECT source, n_docs,
+       floor(w0 * 1000000 + 0.5) / 1000000.0 AS w0,
+       floor(surprisal * 1000000 + 0.5) / 1000000.0 AS surprisal,
+       floor(excess * 1000000 + 0.5) / 1000000.0 AS excess,
+       floor(w_un / z * 1000000 + 0.5) / 1000000.0 AS w1
+FROM ex, z
+ORDER BY source
+""",
+)
+def ext_domain_mixture_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE DoReMi MIRROR-ASCENT STEP on the domain mixture: reweight
+    each source by exp(eta * excess-loss) around its token-share prior
+    — the Group-DRO update DoReMi (Xie et al. 2023) iterates to find
+    pretraining domain weights.  Domains whose text is HARDER than the
+    corpus average under the reference model (here: the corpus unigram
+    LM, the engine's standing proxy reference) gain weight; easy
+    domains shed it.  Reports prior w0, per-word surprisal, excess vs
+    the corpus mean, and the normalized next-step weight w1.
+
+    The corpus vocabulary is BOUNDED (31 words), so per-domain
+    surprisal sums fold over word order (exact int counts * identical
+    ln terms), the corpus baseline is one fold, and the softmax-style
+    normalizer folds over source order — everything past the two
+    (source, word) combines is |domains|-sized.  eta = 0.5 literal in
+    both engines."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    gv = toks.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("cw"))
+    nw = gv.agg(F.sum("cw").cast("long").alias("tw"))
+    census = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    sv = toks.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("cs")
+    )
+    from ..operators.monitoring import _ordfold
+
+    term = F.col("cs") * F.log(F.col("tw").cast("double") / F.col("cw"))
+    dl = (
+        sv.join(F.broadcast(gv), "word")
+        .crossJoin(F.broadcast(nw))
+        .groupBy("source")
+        .agg(
+            F.sum("cs").cast("long").alias("wrds"),
+            _ordfold(F.col("word"), term).alias("sloss"),
+        )
+    )
+    gl = gv.crossJoin(F.broadcast(nw)).agg(
+        (
+            _ordfold(
+                F.col("word"),
+                F.col("cw") * F.log(F.col("tw").cast("double") / F.col("cw")),
+            )
+            / F.first("tw")
+        ).alias("lbar")
+    )
+    ex = (
+        dl.join(F.broadcast(census), "source")
+        .crossJoin(F.broadcast(nw))
+        .crossJoin(F.broadcast(gl))
+        .select(
+            "source",
+            "n_docs",
+            "wrds",
+            (F.col("wrds").cast("double") / F.col("tw")).alias("w0"),
+            (F.col("sloss") / F.col("wrds")).alias("surprisal"),
+            (F.col("sloss") / F.col("wrds") - F.col("lbar")).alias("excess"),
+            (
+                (F.col("wrds").cast("double") / F.col("tw"))
+                * F.exp(
+                    _DOREMI_ETA * (F.col("sloss") / F.col("wrds") - F.col("lbar"))
+                )
+            ).alias("w_un"),
+        )
+    )
+    z = ex.agg(_ordfold(F.col("source"), F.col("w_un")).alias("z"))
+    q6 = lambda x: F.floor(x * 1000000 + 0.5) / 1000000.0  # noqa: E731
+    return (
+        ex.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            q6(F.col("w0")).alias("w0"),
+            q6(F.col("surprisal")).alias("surprisal"),
+            q6(F.col("excess")).alias("excess"),
+            q6(F.col("w_un") / F.col("z")).alias("w1"),
+        )
+        .orderBy("source")
+    )

@@ -169,3 +169,89 @@ def ext_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "c.n_words", "c.n_tokens", "c.n_unk_words", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "ext_wordpiece_fertility",
+    oracle=f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, lang, length(coalesce(text, '')) AS n_chars, w AS word
+  FROM (SELECT doc_id, lang, text,
+               unnest(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'))
+                 AS w
+        FROM documents)
+  WHERE w <> ''
+),
+pieces(pc, plen, cont) AS (VALUES {_pieces_values()}),
+words0 AS (SELECT DISTINCT word FROM toks),
+st AS (
+  SELECT word, CAST(length(word) AS BIGINT) AS wlen, CAST(1 AS BIGINT) AS p,
+         CAST(0 AS BIGINT) AS ntok, 0 AS unk
+  FROM words0
+  UNION ALL
+  SELECT s.word, s.wlen,
+         CASE WHEN max(v.plen) IS NULL THEN s.wlen + 1
+              ELSE s.p + max(v.plen) END,
+         CASE WHEN max(v.plen) IS NULL THEN CAST(1 AS BIGINT)
+              ELSE s.ntok + 1 END,
+         CASE WHEN max(v.plen) IS NULL THEN 1 ELSE 0 END
+  FROM st s
+  LEFT JOIN pieces v
+    ON v.cont = (CASE WHEN s.p = 1 THEN 0 ELSE 1 END)
+   AND v.plen <= s.wlen - s.p + 1
+   AND substr(s.word, CAST(s.p AS INT), v.plen) = v.pc
+  WHERE s.p <= s.wlen AND s.unk = 0
+  GROUP BY s.word, s.wlen, s.p, s.ntok, s.unk
+),
+wfinal AS (SELECT word, ntok, unk FROM st WHERE p = wlen + 1),
+per_doc AS (
+  SELECT t.doc_id, t.lang, max(t.n_chars) AS n_chars,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(f.ntok) AS BIGINT) AS n_tokens,
+         CAST(sum(f.unk) AS BIGINT) AS n_unk
+  FROM toks t JOIN wfinal f USING (word)
+  GROUP BY 1, 2
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       floor(CAST(sum(n_tokens) AS DOUBLE) / sum(n_words) * 1000000 + 0.5)
+         / 1000000.0 AS fertility,
+       floor(CAST(sum(n_chars) AS DOUBLE) / sum(n_tokens) * 1000000 + 0.5)
+         / 1000000.0 AS bytes_per_token,
+       floor(CAST(sum(n_unk) AS DOUBLE) / sum(n_words) * 1000000 + 0.5)
+         / 1000000.0 AS unk_rate
+FROM per_doc GROUP BY lang ORDER BY lang
+""",
+)
+def ext_wordpiece_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WORDPIECE FERTILITY by language: tokens/word, bytes/token, and
+    the [UNK] word rate for the frozen vocabulary, per lang tag — the
+    BERT-family counterpart of ``ext_tokenizer_fertility_frozen``
+    (BPE), and the table that tells a multilingual curation team which
+    languages this vocabulary under-serves (high fertility or nonzero
+    UNK = wasted context window / lost text).
+
+    Composes ``ext_wordpiece_tokenize``'s exact per-doc counts with the
+    lang tag; per-lang sums are exact integers, the three ratios one
+    pinned division each.  Fully hash-oracled (the frozen-vocab oracle
+    prelude is shared verbatim).  Scale: same single projection pass,
+    then a |langs|-row aggregate."""
+    counts = ext_wordpiece_tokenize(spark, sf_dir)
+    langs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = counts.join(langs, "doc_id")
+    agg = j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("words"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+        F.sum("n_unk_words").cast("long").alias("unks"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    q6 = lambda x: F.floor(x * 1000000 + 0.5) / 1000000.0  # noqa: E731
+    return agg.select(
+        "lang",
+        "n_docs",
+        "tokens",
+        q6(F.col("tokens").cast("double") / F.col("words")).alias("fertility"),
+        q6(F.col("chars").cast("double") / F.col("tokens")).alias("bytes_per_token"),
+        q6(F.col("unks").cast("double") / F.col("words")).alias("unk_rate"),
+    ).orderBy("lang")

@@ -1472,3 +1472,183 @@ def graph_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 graph_katz.__doc__ = graph_katz.__doc__.format(r=_PR_ROUND)
+
+
+@register(
+    "graph_jaccard_links",
+    oracle=f"""
+WITH e AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), cd AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1
+), pairs AS (
+  SELECT a.c AS c1, b.c AS c2, CAST(count(*) AS BIGINT) AS common
+  FROM e a JOIN e b ON a.p = b.p AND a.c < b.c
+  GROUP BY 1, 2
+), sc AS (
+  SELECT p.c1, p.c2, p.common, d1.d + d2.d - p.common AS unions,
+         CAST(floor(1000000.0 * p.common / (d1.d + d2.d - p.common) + 0.5)
+              AS BIGINT) AS jac_micro
+  FROM pairs p JOIN cd d1 ON d1.c = p.c1 JOIN cd d2 ON d2.c = p.c2
+)
+SELECT c1, c2, common, unions, jac_micro
+FROM sc
+ORDER BY jac_micro DESC, c1, c2
+LIMIT {_CN_TOP_K}
+""",
+)
+def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JACCARD link prediction over the bipartite co-purchase graph:
+    top-k customer pairs by |N(a) n N(b)| / |N(a) u N(b)| — the
+    normalized sibling of ``graph_common_neighbors`` (raw counts favor
+    heavy buyers; Jaccard asks what FRACTION of their combined basket
+    overlaps) completing the link-prediction panel with
+    ``graph_adamic_adar``.
+
+    The pair table is the same part-blocked candidate join (cells are
+    co-purchase pairs, never all-pairs); union sizes come from the
+    customer-degree frame joined twice (|customers|-sized — no
+    broadcast hint, AQE decides); the score is micro-quantized BEFORE
+    ranking (floor(1e6*c/u + 0.5) — an exact integer both engines
+    derive identically) with (c1, c2) tiebreak."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    cd = e.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a = e.select(F.col("c").alias("c1"), "p")
+    b = e.select(F.col("c").alias("c2"), "p")
+    pairs = (
+        a.join(b, "p")
+        .filter(F.col("c1") < F.col("c2"))
+        .groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    sc = (
+        pairs.join(cd.select(F.col("c").alias("c1"), F.col("d").alias("da")), "c1")
+        .join(cd.select(F.col("c").alias("c2"), F.col("d").alias("db")), "c2")
+        .select(
+            "c1",
+            "c2",
+            "common",
+            (F.col("da") + F.col("db") - F.col("common")).alias("unions"),
+            F.floor(
+                1000000.0
+                * F.col("common")
+                / (F.col("da") + F.col("db") - F.col("common"))
+                + 0.5
+            )
+            .cast("long")
+            .alias("jac_micro"),
+        )
+    )
+    return sc.orderBy(F.desc("jac_micro"), "c1", "c2").limit(_CN_TOP_K)
+
+
+_CLOSENESS_PIVOTS = 4    # deterministic pivot set: the K smallest node ids
+_CLOSENESS_HOPS = 8      # >= support-graph diameter at every test SF
+
+
+def _closeness_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_EDGES_SQL.strip()},
+sym AS (SELECT x AS s, y AS d FROM e UNION ALL SELECT y, x FROM e),
+src AS (SELECT s AS v FROM (SELECT DISTINCT s FROM sym ORDER BY s
+                            LIMIT {_CLOSENESS_PIVOTS})),
+walk(src, node, dist) AS (
+  SELECT v, v, 0 FROM src
+  UNION
+  SELECT w.src, sym.d, w.dist + 1
+  FROM walk w JOIN sym ON sym.s = w.node
+  WHERE w.dist < {_CLOSENESS_HOPS}
+),
+sp AS (SELECT src, node, CAST(min(dist) AS BIGINT) AS dist
+       FROM walk GROUP BY 1, 2),
+cl AS (
+  SELECT src, CAST(count(*) AS BIGINT) - 1 AS reached,
+         CAST(sum(dist) AS BIGINT) AS total_dist,
+         CAST(coalesce(sum(CASE WHEN dist > 0
+                  THEN CAST(floor(1000000.0 / dist + 0.5) AS BIGINT)
+                  ELSE 0 END), 0) AS BIGINT) AS harmonic_micro
+  FROM sp GROUP BY src
+)
+SELECT src AS part_key, reached, total_dist,
+       floor(CAST(reached AS DOUBLE) / total_dist * 1000000 + 0.5)
+         / 1000000.0 AS closeness,
+       harmonic_micro
+FROM cl ORDER BY src
+"""
+
+
+@register("graph_closeness", oracle=_closeness_oracle())
+def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLOSENESS + HARMONIC centrality from {k} deterministic pivot
+    nodes (the smallest ids — the Eppstein-Wang pivot-sampling shape:
+    at 100 TB you estimate centralities from a pivot set, never
+    all-pairs): closeness = (reached-1)/sum(dist), harmonic =
+    sum(1/dist) with each 1/dist micro-quantized BEFORE summing (the
+    adamic_adar integer-weight discipline, so the sum is
+    order-independent and exact).
+
+    ONE multi-source BFS carries all pivots together — the frontier is
+    (src, node) keyed, so rounds = diameter (not diameter x pivots),
+    the graph_betweenness discipline; each round joins only the
+    frontier against the localCheckpointed symmetrized edges and
+    anti-joins the visited set.  Oracle: depth-bounded recursive CTE
+    with min(dist) per (src, node)."""
+    e = _copurchase_edges(spark, sf_dir)
+    sym = (
+        e.select(F.col("x").alias("s"), F.col("y").alias("dd"))
+        .unionAll(e.select(F.col("y").alias("s"), F.col("x").alias("dd")))
+        .localCheckpoint(eager=True)
+    )
+    pivots = [
+        int(r.s)
+        for r in sym.select("s").distinct().orderBy("s").limit(_CLOSENESS_PIVOTS).collect()
+    ]
+    dist = spark.createDataFrame(
+        [(p, p, 0) for p in pivots], "src long, node long, dist int"
+    )
+    frontier = dist
+    for k in range(1, _CLOSENESS_HOPS + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["s"])
+            .select("src", F.col("dd").alias("node"))
+            .distinct()
+            .join(dist.select("src", "node"), ["src", "node"], "left_anti")
+            .select("src", "node", F.lit(k).cast("int").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionAll(nxt)
+        frontier = nxt
+    term = F.floor(1000000.0 / F.col("dist") + 0.5).cast("long")
+    cl = dist.groupBy("src").agg(
+        (F.count(F.lit(1)).cast("long") - 1).alias("reached"),
+        F.sum("dist").cast("long").alias("total_dist"),
+        F.coalesce(
+            F.sum(F.when(F.col("dist") > 0, term).otherwise(F.lit(0))), F.lit(0)
+        )
+        .cast("long")
+        .alias("harmonic_micro"),
+    )
+    return cl.select(
+        F.col("src").alias("part_key"),
+        "reached",
+        "total_dist",
+        (
+            F.floor(
+                F.col("reached").cast("double") / F.col("total_dist") * 1000000 + 0.5
+            )
+            / 1000000.0
+        ).alias("closeness"),
+        "harmonic_micro",
+    ).orderBy("part_key")
+
+
+graph_closeness.__doc__ = graph_closeness.__doc__.format(k=_CLOSENESS_PIVOTS)

@@ -1791,3 +1791,178 @@ def agg_westgard_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rule")
     )
+
+
+@register(
+    "agg_benjamini_yekutieli",
+    oracle=f"""
+WITH {_seg_moments_sql()},
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(s) AS BIGINT) AS st, CAST(sum(ss) AS BIGINT) AS sst
+  FROM seg
+),
+zt AS (
+  SELECT g, n,
+         (CAST(s AS DOUBLE) / n - CAST(st - s AS DOUBLE) / (nn - n))
+           / sqrt((({_CSS_SQL})
+                   + (CAST(sst - ss AS DOUBLE)
+                      - CAST(st - s AS DOUBLE) * (st - s) / (nn - n)))
+                  / (nn - 2) * (1.0 / n + 1.0 / (nn - n))) AS z,
+         k
+  FROM seg, tot
+),
+pt AS (
+  SELECT g, n, z, k,
+         2.0 * (1.0 - {_norm_cdf_sql("abs(z)")}) AS p
+  FROM zt
+),
+rk AS (SELECT *, row_number() OVER (ORDER BY p, g) AS rk FROM pt),
+hm AS (
+  SELECT list_reduce(list_prepend(0.0, list(1.0 / rk ORDER BY rk)),
+                     (a, b) -> a + b) AS harm
+  FROM rk
+),
+by_ AS (
+  SELECT g, n, z, p, harm,
+         least(1.0, min(p * k * harm / rk) OVER (
+           ORDER BY p, g ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+           AS p_adj
+  FROM rk, hm
+)
+SELECT g AS event_type, n,
+       floor(z * 1000000 + 0.5) / 1000000.0 AS z,
+       floor(p * 1000000 + 0.5) / 1000000.0 AS p,
+       floor(p_adj * 1000000 + 0.5) / 1000000.0 AS p_adj,
+       p_adj <= 0.05 AS rejected
+FROM by_ ORDER BY event_type
+""",
+)
+def agg_benjamini_yekutieli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENJAMINI-YEKUTIELI FDR CONTROL over the same per-segment
+    mean-shift family as ``agg_benjamini_hochberg`` — the variant that
+    stays valid under ARBITRARY dependence between the tests (segment
+    tests against a shared complement are positively dependent by
+    construction, so BY is the conservative choice a careful monitoring
+    battery offers next to BH): the step-up threshold is inflated by
+    the harmonic constant c(k) = sum_{{i<=k}} 1/i.
+
+    Same exact-int z construction; the harmonic constant folds 1/rank
+    over the rank-ordered segment frame (bounded, deterministic order);
+    the tail-min window runs on the k-row frame.  One corpus pass."""
+    seg = _seg_moments(spark, sf_dir)
+    tot = seg.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("st"),
+        F.sum("ss").cast("long").alias("sst"),
+    )
+    j = seg.crossJoin(F.broadcast(tot))
+    css1 = _css()
+    css2 = (F.col("sst") - F.col("ss")).cast("double") - (
+        F.col("st") - F.col("s")
+    ).cast("double") * (F.col("st") - F.col("s")) / (F.col("nn") - F.col("n"))
+    z = (
+        F.col("s").cast("double") / F.col("n")
+        - (F.col("st") - F.col("s")).cast("double") / (F.col("nn") - F.col("n"))
+    ) / F.sqrt(
+        (css1 + css2)
+        / (F.col("nn") - 2)
+        * (1.0 / F.col("n") + 1.0 / (F.col("nn") - F.col("n")))
+    )
+    pt = j.select(
+        "g", "n", "k", z.alias("z"),
+        (2.0 * (1.0 - _norm_cdf(F.abs(z)))).alias("p"),
+    )
+    from pyspark.sql import Window
+
+    w_rank = Window.orderBy("p", "g")
+    ranked = pt.withColumn("rk", F.row_number().over(w_rank))
+    hm = ranked.agg(_ordfold(F.col("rk"), 1.0 / F.col("rk")).alias("harm"))
+    tail = Window.orderBy("p", "g").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    by = ranked.crossJoin(F.broadcast(hm)).withColumn(
+        "p_adj",
+        F.least(
+            F.lit(1.0),
+            F.min(F.col("p") * F.col("k") * F.col("harm") / F.col("rk")).over(tail),
+        ),
+    )
+    return by.select(
+        F.col("g").alias("event_type"),
+        "n",
+        r6(F.col("z")).alias("z"),
+        r6(F.col("p")).alias("p"),
+        r6(F.col("p_adj")).alias("p_adj"),
+        (F.col("p_adj") <= 0.05).alias("rejected"),
+    ).orderBy("event_type")
+
+
+@register(
+    "agg_inequality_indices",
+    oracle="""
+WITH vh AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS t
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT CAST(sum(t) AS BIGINT) AS n, CAST(sum(t * v) AS BIGINT) AS s
+        FROM vh),
+fold AS (
+  SELECT n, s,
+         list_reduce(list_prepend(0.0, list(
+             t * ((CAST(v AS DOUBLE) * n / s) * ln(CAST(v AS DOUBLE) * n / s))
+             ORDER BY v)), (a, b) -> a + b) AS ft,
+         list_reduce(list_prepend(0.0, list(
+             t * ln(CAST(v AS DOUBLE) * n / s) ORDER BY v)),
+           (a, b) -> a + b) AS fl,
+         list_reduce(list_prepend(0.0, list(
+             t * ln(CAST(v AS DOUBLE)) ORDER BY v)), (a, b) -> a + b) AS fv
+  FROM vh, tot GROUP BY n, s
+)
+SELECT n,
+       floor(CAST(s AS DOUBLE) / n * 1000000 + 0.5) / 1000000.0 AS mean_qty,
+       floor(ft / n * 1000000 + 0.5) / 1000000.0 AS theil_t,
+       floor(-fl / n * 1000000 + 0.5) / 1000000.0 AS theil_l,
+       floor((1.0 - exp(fv / n) / (CAST(s AS DOUBLE) / n)) * 1000000 + 0.5)
+         / 1000000.0 AS atkinson_1
+FROM fold
+""",
+)
+def agg_inequality_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTROPY-FAMILY INEQUALITY INDICES of the quantity distribution:
+    Theil's T (top-sensitive), Theil's L / mean-log-deviation
+    (bottom-sensitive), and the Atkinson index at epsilon = 1
+    (1 - geometric/arithmetic mean) — the decomposable complements of
+    ``agg_gini``/``agg_lorenz_curve`` that a data-balance audit reports
+    (T and L are additively decomposable by subgroup; Gini is not).
+
+    All three are folds over the BOUNDED value histogram (<= 50
+    distinct quantities), never the data grain: exact int counts times
+    identical ln terms, folded in value order; the three indices are
+    pinned double closed forms of the folds.  One map-side combine."""
+    li = table(spark, sf_dir, "lineitem")
+    vh = li.groupBy(F.col("l_quantity").cast("long").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    tot = vh.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(F.col("t") * F.col("v")).cast("long").alias("s"),
+    )
+    j = vh.crossJoin(F.broadcast(tot))
+    r = F.col("v").cast("double") * F.col("n") / F.col("s")
+    fold = j.groupBy("n", "s").agg(
+        _ordfold(F.col("v"), F.col("t") * (r * F.log(r))).alias("ft"),
+        _ordfold(F.col("v"), F.col("t") * F.log(r)).alias("fl"),
+        _ordfold(F.col("v"), F.col("t") * F.log(F.col("v").cast("double"))).alias(
+            "fv"
+        ),
+    )
+    n, s = F.col("n"), F.col("s")
+    return fold.select(
+        "n",
+        r6(s.cast("double") / n).alias("mean_qty"),
+        r6(F.col("ft") / n).alias("theil_t"),
+        r6(-F.col("fl") / n).alias("theil_l"),
+        r6(1.0 - F.exp(F.col("fv") / n) / (s.cast("double") / n)).alias(
+            "atkinson_1"
+        ),
+    )

@@ -81,3 +81,28 @@ def test_wordpiece_tokenize_matches_reference(spark):
                 ntok += len(ref)
         assert (r.n_words, r.n_tokens, r.n_unk_words) == (len(words), ntok, nunk)
         assert r.n_chars == len(docs[r.doc_id])
+
+
+def test_wordpiece_fertility_consistent_with_tokenize(spark):
+    fert = registry.spec("ext_wordpiece_fertility").fn(spark, SF).collect()
+    counts = registry.spec("ext_wordpiece_tokenize").fn(spark, SF).collect()
+    langs = {
+        int(d.doc_id): d.lang
+        for d in table(spark, SF, "documents").select("doc_id", "lang").collect()
+    }
+    agg: dict = {}
+    for r in counts:
+        a = agg.setdefault(langs[r.doc_id], [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += r.n_words
+        a[2] += r.n_tokens
+        a[3] += r.n_unk_words
+        a[4] += r.n_chars
+    assert {f.lang for f in fert} == set(agg)
+    for f in fert:
+        nd, words, toks, unks, chars = agg[f.lang]
+        assert (f.n_docs, f.tokens) == (nd, toks)
+        assert abs(f.fertility - toks / words) < 2e-6
+        assert abs(f.bytes_per_token - chars / toks) < 2e-6
+        assert abs(f.unk_rate - unks / words) < 2e-6
+        assert f.fertility >= 1.0  # every word is at least one token
