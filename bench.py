@@ -126,6 +126,12 @@ NEW_THIS_ROUND = [
     "ext_domain_mixture_doremi",
     "agg_benjamini_yekutieli",
     "agg_inequality_indices",
+    # round-15 wave G (financial indicators + LLM curation)
+    "win_atr",
+    "win_macd",
+    "win_stochastic_osc",
+    "ext_softdedup_weights",
+    "ext_perplexity_buckets",
 ]
 
 CORE = [

@@ -2235,3 +2235,54 @@ def ext_decontaminate_longest_match(spark: SparkSession, sf_dir: str) -> DataFra
 ext_decontaminate_longest_match.__doc__ = ext_decontaminate_longest_match.__doc__.format(
     n=_DECON_N, m=_DECON_BENCH_MOD
 )
+
+
+@register(
+    "ext_softdedup_weights",
+    oracle="""
+WITH grp AS (
+  SELECT text, CAST(count(*) AS BIGINT) AS dup_count
+  FROM documents GROUP BY text
+),
+w AS (
+  SELECT d.doc_id, g.dup_count,
+         1.0 / g.dup_count AS w_inv,
+         1.0 / sqrt(CAST(g.dup_count AS DOUBLE)) AS w_sqrt
+  FROM documents d JOIN grp g ON d.text = g.text
+)
+SELECT doc_id, dup_count,
+       floor(w_inv * 1000000 + 0.5) / 1000000.0 AS weight_inv,
+       floor(w_sqrt * 1000000 + 0.5) / 1000000.0 AS weight_sqrt
+FROM w ORDER BY doc_id
+""",
+)
+def ext_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT DEDUPLICATION (SoftDeDup): instead of DROPPING duplicate
+    documents, emit per-document SAMPLING WEIGHTS that down-weight each
+    copy by its duplication count — w = 1/dup (full correction: the
+    group contributes one document's worth of probability mass) and
+    w = 1/sqrt(dup) (the softened variant that keeps some natural
+    up-weighting of popular text).  The modern alternative to hard
+    dedup when duplication itself is signal (quality-correlated
+    repetition) — downstream samplers consume these weights directly
+    (``ext_weighted_sample``'s input contract).
+
+    Same scale shape as ``ext_dedup_exact``: ONE fixed-width-key hash
+    aggregate to the duplicate-group grain (the Spark side groups on
+    ``unhex(md5(text))`` — 128-bit, collision-safe at 100 TB), then one
+    key-partitioned join back to the corpus; weights are pinned
+    reciprocals of exact counts."""
+    docs = table(spark, sf_dir, "documents")
+    grp = (
+        docs.select(F.unhex(F.md5("text")).alias("_k"))
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).cast("long").alias("dup_count"))
+    )
+    j = docs.select(F.unhex(F.md5("text")).alias("_k"), "doc_id").join(grp, "_k")
+    q6 = lambda x: F.floor(x * 1000000 + 0.5) / 1000000.0  # noqa: E731
+    return j.select(
+        "doc_id",
+        "dup_count",
+        q6(1.0 / F.col("dup_count")).alias("weight_inv"),
+        q6(1.0 / F.sqrt(F.col("dup_count").cast("double"))).alias("weight_sqrt"),
+    ).orderBy("doc_id")

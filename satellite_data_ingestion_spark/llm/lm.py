@@ -527,3 +527,136 @@ def ext_ngram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
 ext_ngram_kneser_ney.__doc__ = ext_ngram_kneser_ney.__doc__.format(
     d=_KN_D, top=_KN_TOP
 )
+
+
+@register(
+    "ext_perplexity_buckets",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, w AS word
+  FROM (SELECT doc_id, lang,
+               unnest(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'))
+                 AS w
+        FROM documents)
+  WHERE w <> ''
+),
+gv AS (SELECT word, CAST(count(*) AS BIGINT) AS cw FROM toks GROUP BY 1),
+nw AS (SELECT CAST(sum(cw) AS BIGINT) AS tw FROM gv),
+dw AS (SELECT doc_id, lang, word, CAST(count(*) AS BIGINT) AS cs
+       FROM toks GROUP BY 1, 2, 3),
+dl AS (
+  SELECT dw.doc_id, dw.lang, CAST(sum(dw.cs) AS BIGINT) AS wrds,
+         list_reduce(list_prepend(0.0, list(
+             dw.cs * ln(CAST(tw AS DOUBLE) / gv.cw) ORDER BY dw.word)),
+           (p, q) -> p + q) AS sloss
+  FROM dw JOIN gv USING (word), nw
+  GROUP BY 1, 2
+),
+sp AS (
+  SELECT doc_id, lang,
+         CAST(floor(sloss / wrds * 1000000 + 0.5) AS BIGINT) AS spm
+  FROM dl WHERE wrds > 0
+),
+rk AS (
+  SELECT lang, spm,
+         row_number() OVER (PARTITION BY lang ORDER BY spm, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS nd
+  FROM sp
+),
+bk AS (
+  SELECT lang,
+         CASE WHEN rk * 3 <= nd THEN 'head'
+              WHEN rk * 3 <= 2 * nd THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         spm
+  FROM rk
+)
+SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       floor(CAST(min(spm) AS DOUBLE) / 1000000.0 * 1000000 + 0.5) / 1000000.0
+         AS min_surprisal,
+       floor(CAST(max(spm) AS DOUBLE) / 1000000.0 * 1000000 + 0.5) / 1000000.0
+         AS max_surprisal,
+       floor(CAST(sum(spm) AS DOUBLE) / count(*) / 1000000.0 * 1000000 + 0.5)
+         / 1000000.0 AS avg_surprisal
+FROM bk GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def ext_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNET-STYLE PERPLEXITY BUCKETS: per language, rank documents by
+    per-word surprisal under the corpus unigram LM and cut into
+    head / middle / tail thirds — the CCNet (Wenzek et al.) curation
+    split where "head" (lowest perplexity = most fluent under the
+    reference model) feeds pretraining first and "tail" gets audited.
+    Reports each bucket's size and surprisal envelope per language.
+
+    Per-document surprisal folds over the document's BOUNDED word
+    vocabulary in word order (exact counts x identical ln terms), is
+    micro-quantized to an exact int BEFORE ranking (so the per-lang
+    (surprisal, doc_id) order is engine-identical), and the bucket cut
+    is pure integer rank algebra (rk*3 vs n).  Bucket aggregates are
+    then exact integer sums — no unordered double accumulation at the
+    corpus grain anywhere.  Scale: two (doc, word) combines + one
+    lang-partitioned rank; per-doc state bounded by the vocabulary."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    gv = toks.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("cw"))
+    nw = gv.agg(F.sum("cw").cast("long").alias("tw"))
+    dw = toks.groupBy("doc_id", "lang", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("cs")
+    )
+    from ..operators.monitoring import _ordfold
+
+    term = F.col("cs") * F.log(F.col("tw").cast("double") / F.col("cw"))
+    dl = (
+        dw.join(F.broadcast(gv), "word")
+        .crossJoin(F.broadcast(nw))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("cs").cast("long").alias("wrds"),
+            _ordfold(F.col("word"), term).alias("sloss"),
+        )
+    )
+    sp = dl.filter(F.col("wrds") > 0).select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("sloss") / F.col("wrds") * 1000000 + 0.5)
+        .cast("long")
+        .alias("spm"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("spm", "doc_id")
+    wc = Window.partitionBy("lang")
+    rk = sp.select(
+        "lang",
+        "spm",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("nd"),
+    )
+    bk = rk.select(
+        "lang",
+        F.when(F.col("rk") * 3 <= F.col("nd"), "head")
+        .when(F.col("rk") * 3 <= 2 * F.col("nd"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        "spm",
+    )
+    q6 = lambda x: F.floor(x * 1000000 + 0.5) / 1000000.0  # noqa: E731
+    return (
+        bk.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            q6(F.min("spm").cast("double") / 1000000.0).alias("min_surprisal"),
+            q6(F.max("spm").cast("double") / 1000000.0).alias("max_surprisal"),
+            q6(
+                F.sum("spm").cast("double") / F.count(F.lit(1)) / 1000000.0
+            ).alias("avg_surprisal"),
+        )
+        .orderBy("lang", "bucket")
+    )

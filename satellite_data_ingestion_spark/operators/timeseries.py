@@ -4129,3 +4129,332 @@ def ext_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ext_ts_ljung_box.__doc__ = ext_ts_ljung_box.__doc__.format(m=_LB_LAGS)
+
+
+# ---------------------------------------------------------------------------
+# Financial-indicator trio over the OHLC bar grain (round 15, wave G).
+# Shared discipline: bars are EXACT integer cents at the (type, day)
+# calendar grain; every multi-term double sum is an EXPLICIT lag chain
+# (left-associated identically in both engines), never a window
+# aggregate over doubles whose association an engine may re-tree.
+# ---------------------------------------------------------------------------
+
+_BARS_SQL = """pts AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), rn AS (
+  SELECT event_type, day, c,
+         row_number() OVER (PARTITION BY event_type, day
+                            ORDER BY ts DESC, event_id DESC) AS r_close
+  FROM pts
+), bars AS (
+  SELECT event_type, day,
+         CAST(max(c) AS BIGINT) AS hi, CAST(min(c) AS BIGINT) AS lo,
+         CAST(max(CASE WHEN r_close = 1 THEN c END) AS BIGINT) AS cl
+  FROM rn GROUP BY 1, 2
+)"""
+
+
+def _bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day, hi, lo, cl): exact integer-cent daily bars with
+    the deterministic (ts, event_id)-ordered close."""
+    ev = table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    w_close = Window.partitionBy("event_type", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    rn = pts.withColumn("r_close", F.row_number().over(w_close))
+    return rn.groupBy("event_type", "day").agg(
+        F.max("c").cast("long").alias("hi"),
+        F.min("c").cast("long").alias("lo"),
+        F.max(F.when(F.col("r_close") == 1, F.col("c"))).cast("long").alias("cl"),
+    )
+
+
+_ATR_N = 14
+
+
+@register(
+    "win_atr",
+    oracle=f"""
+WITH {_BARS_SQL},
+tr AS (
+  SELECT event_type, day, hi, lo,
+         lag(cl) OVER (PARTITION BY event_type ORDER BY day) AS pc
+  FROM bars
+),
+trv AS (
+  SELECT event_type, day,
+         CASE WHEN pc IS NULL THEN hi - lo
+              ELSE greatest(hi - lo, abs(hi - pc), abs(lo - pc)) END AS tr
+  FROM tr
+),
+atr AS (
+  SELECT event_type, day, tr,
+         CAST(sum(tr) OVER w14 AS BIGINT) AS s14,
+         CAST(count(*) OVER w14 AS BIGINT) AS c14
+  FROM trv
+  WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN {_ATR_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day,
+       floor(CAST(tr AS DOUBLE) / 100.0 * 10000 + 0.5) / 10000.0 AS true_range,
+       floor(CAST(s14 AS DOUBLE) / c14 / 100.0 * 1000000 + 0.5) / 1000000.0
+         AS atr
+FROM atr ORDER BY event_type, day
+""",
+)
+def win_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVERAGE TRUE RANGE (n = {n}) per event type over the daily OHLC
+    bars: TR = max(high-low, |high-prev_close|, |low-prev_close|) — the
+    gap-aware volatility unit every alerting threshold in the
+    ``win_bollinger``/``win_rsi`` family should be denominated in (a
+    range that ignores overnight gaps understates risk; TR does not).
+    ATR here is the rolling {n}-bar simple mean (warm-up rows average
+    what exists).
+
+    TR is EXACT integer cents (greatest/abs of int differences), so the
+    rolling sum/count window aggregates integers — order-free — and the
+    single division is pinned.  Scale: the bar frame is calendar x
+    type bounded; one partition-key shuffle for the window sort."""
+    bars = _bars(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    tr = bars.withColumn("pc", F.lag("cl").over(w))
+    trv = tr.select(
+        "event_type",
+        "day",
+        F.when(F.col("pc").isNull(), F.col("hi") - F.col("lo"))
+        .otherwise(
+            F.greatest(
+                F.col("hi") - F.col("lo"),
+                F.abs(F.col("hi") - F.col("pc")),
+                F.abs(F.col("lo") - F.col("pc")),
+            )
+        )
+        .alias("tr"),
+    )
+    w14 = w.rowsBetween(-(_ATR_N - 1), Window.currentRow)
+    atr = trv.select(
+        "event_type",
+        "day",
+        "tr",
+        F.sum("tr").over(w14).cast("long").alias("s14"),
+        F.count(F.lit(1)).over(w14).cast("long").alias("c14"),
+    )
+    return atr.select(
+        "event_type",
+        "day",
+        (F.floor(F.col("tr").cast("double") / 100.0 * 10000 + 0.5) / 10000.0).alias(
+            "true_range"
+        ),
+        (
+            F.floor(
+                F.col("s14").cast("double") / F.col("c14") / 100.0 * 1000000 + 0.5
+            )
+            / 1000000.0
+        ).alias("atr"),
+    ).orderBy("event_type", "day")
+
+
+win_atr.__doc__ = win_atr.__doc__.format(n=_ATR_N)
+
+# Bounded-kernel EMA weights (the ext_ts_ewma discipline): 8 lags, the
+# literal doubles spliced verbatim into BOTH engines' expressions.
+_MACD_K = 8
+_MACD_W12 = [(1.0 - 2.0 / 13.0) ** i for i in range(_MACD_K)]
+_MACD_W26 = [(1.0 - 2.0 / 27.0) ** i for i in range(_MACD_K)]
+_MACD_W9 = [(1.0 - 2.0 / 10.0) ** i for i in range(_MACD_K)]
+
+
+def _kernel_sql(col: str, weights: list[float], win: str) -> str:
+    num = " + ".join(
+        f"coalesce(lag({col}, {i}) OVER {win} * {w!r}, 0.0)"
+        for i, w in enumerate(weights)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag({col}, {i}) OVER {win} IS NOT NULL THEN {w!r} ELSE 0.0 END"
+        for i, w in enumerate(weights)
+    )
+    return f"(({num}) / ({den}))"
+
+
+def _kernel_col(col, weights: list[float], win) -> "F.Column":
+    num = None
+    den = None
+    for i, wt in enumerate(weights):
+        lg = F.lag(col, i).over(win)
+        term = F.coalesce(lg * F.lit(wt), F.lit(0.0))
+        mask = F.when(lg.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = mask if den is None else den + mask
+    return num / den
+
+
+@register(
+    "win_macd",
+    oracle=f"""
+WITH {_BARS_SQL},
+m AS (
+  SELECT event_type, day,
+         {_kernel_sql("CAST(cl AS DOUBLE)", _MACD_W12, "w")}
+         - {_kernel_sql("CAST(cl AS DOUBLE)", _MACD_W26, "w")} AS macd_c
+  FROM bars
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+s AS (
+  SELECT event_type, day, macd_c,
+         {_kernel_sql("macd_c", _MACD_W9, "w")} AS signal_c
+  FROM m
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type, day,
+       floor(macd_c / 100.0 * 1000000 + 0.5) / 1000000.0 AS macd,
+       floor(signal_c / 100.0 * 1000000 + 0.5) / 1000000.0 AS signal,
+       floor((macd_c - signal_c) / 100.0 * 1000000 + 0.5) / 1000000.0
+         AS histogram
+FROM s ORDER BY event_type, day
+""",
+)
+def win_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD (moving-average convergence/divergence) per event type on
+    the daily close: fast EMA(12) minus slow EMA(26), its EMA(9) signal
+    line, and the histogram — the momentum-crossover panel that
+    completes ``win_ma_crossover``/``win_rsi`` (crossover says WHICH
+    side; MACD's histogram says how hard momentum is turning).
+
+    All three EMAs use the engine's bounded 8-lag kernel (the
+    ``ext_ts_ewma`` discipline: the recursive form is a serial scan;
+    the kernel is a pure lag projection with the weight doubles spliced
+    verbatim into both engines, renormalized over warm-up).  The signal
+    line is a SECOND kernel pass over the unrounded macd column — both
+    engines derive bit-identical inputs, so the nesting is safe.
+    Scale: two window passes over the calendar-bounded bar frame."""
+    bars = _bars(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    cld = F.col("cl").cast("double")
+    m = bars.select(
+        "event_type",
+        "day",
+        (
+            _kernel_col(cld, _MACD_W12, w) - _kernel_col(cld, _MACD_W26, w)
+        ).alias("macd_c"),
+    )
+    s = m.select(
+        "event_type",
+        "day",
+        "macd_c",
+        _kernel_col(F.col("macd_c"), _MACD_W9, w).alias("signal_c"),
+    )
+    r6d = lambda c: F.floor(c / 100.0 * 1000000 + 0.5) / 1000000.0  # noqa: E731
+    return s.select(
+        "event_type",
+        "day",
+        r6d(F.col("macd_c")).alias("macd"),
+        r6d(F.col("signal_c")).alias("signal"),
+        r6d(F.col("macd_c") - F.col("signal_c")).alias("histogram"),
+    ).orderBy("event_type", "day")
+
+
+_STOCH_N = 14
+
+
+@register(
+    "win_stochastic_osc",
+    oracle=f"""
+WITH {_BARS_SQL},
+hl AS (
+  SELECT event_type, day, cl,
+         CAST(max(hi) OVER w14 AS BIGINT) AS hh,
+         CAST(min(lo) OVER w14 AS BIGINT) AS ll
+  FROM bars
+  WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN {_STOCH_N - 1} PRECEDING AND CURRENT ROW)
+),
+k AS (
+  SELECT event_type, day,
+         CASE WHEN hh = ll THEN 50.0
+              ELSE 100.0 * (cl - ll) / (hh - ll) END AS pct_k
+  FROM hl
+),
+d AS (
+  SELECT event_type, day, pct_k,
+         (pct_k + coalesce(lag(pct_k, 1) OVER w, 0.0)
+                + coalesce(lag(pct_k, 2) OVER w, 0.0))
+         / (1.0 + CASE WHEN lag(pct_k, 1) OVER w IS NOT NULL
+                       THEN 1.0 ELSE 0.0 END
+                + CASE WHEN lag(pct_k, 2) OVER w IS NOT NULL
+                       THEN 1.0 ELSE 0.0 END) AS pct_d
+  FROM k
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type, day,
+       floor(pct_k * 1000000 + 0.5) / 1000000.0 AS pct_k,
+       floor(pct_d * 1000000 + 0.5) / 1000000.0 AS pct_d
+FROM d ORDER BY event_type, day
+""",
+)
+def win_stochastic_osc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STOCHASTIC OSCILLATOR (%K period {n}, %D = 3-bar mean) per event
+    type: where does today's close sit inside the rolling {n}-bar
+    high-low envelope (0 = at the low, 100 = at the high)?  The
+    mean-reversion trigger of the indicator panel — overbought/oversold
+    readings that ``win_rsi`` confirms from deltas, this one reads from
+    range position.
+
+    The envelope aggregates (max/min) are over exact integer cents —
+    order-free; %K is one pinned double expression with the flat-window
+    (hh = ll) case fixed at 50; %D is an EXPLICIT left-associated
+    3-lag chain over the unrounded %K (never a window aggregate over
+    doubles — engines may re-associate those), renormalized over
+    warm-up.  Scale: calendar-bounded bar frame, one window sort."""
+    bars = _bars(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    w14 = w.rowsBetween(-(_STOCH_N - 1), Window.currentRow)
+    hl = bars.select(
+        "event_type",
+        "day",
+        "cl",
+        F.max("hi").over(w14).cast("long").alias("hh"),
+        F.min("lo").over(w14).cast("long").alias("ll"),
+    )
+    k = hl.select(
+        "event_type",
+        "day",
+        F.when(F.col("hh") == F.col("ll"), F.lit(50.0))
+        .otherwise(
+            100.0 * (F.col("cl") - F.col("ll")) / (F.col("hh") - F.col("ll"))
+        )
+        .alias("pct_k"),
+    )
+    l1 = F.lag("pct_k", 1).over(w)
+    l2 = F.lag("pct_k", 2).over(w)
+    d = k.select(
+        "event_type",
+        "day",
+        "pct_k",
+        (
+            (F.col("pct_k") + F.coalesce(l1, F.lit(0.0)) + F.coalesce(l2, F.lit(0.0)))
+            / (
+                1.0
+                + F.when(l1.isNotNull(), 1.0).otherwise(0.0)
+                + F.when(l2.isNotNull(), 1.0).otherwise(0.0)
+            )
+        ).alias("pct_d"),
+    )
+    r6l = lambda c: F.floor(c * 1000000 + 0.5) / 1000000.0  # noqa: E731
+    return d.select(
+        "event_type",
+        "day",
+        r6l(F.col("pct_k")).alias("pct_k"),
+        r6l(F.col("pct_d")).alias("pct_d"),
+    ).orderBy("event_type", "day")
+
+
+win_stochastic_osc.__doc__ = win_stochastic_osc.__doc__.format(n=_STOCH_N)
