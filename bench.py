@@ -132,6 +132,11 @@ NEW_THIS_ROUND = [
     "win_stochastic_osc",
     "ext_softdedup_weights",
     "ext_perplexity_buckets",
+    # round-15 wave H (ranking drift, outlier rounds, classifier eval)
+    "agg_esd_outliers",
+    "ext_rank_biased_overlap",
+    "ext_auc_delong",
+    "ext_platt_scaling",
 ]
 
 CORE = [

@@ -1,0 +1,350 @@
+"""Classifier-evaluation pair (round 15, wave H): DeLong's AUC with an
+analytic confidence interval, and Platt scaling (logistic calibration)
+fit by unrolled Newton steps — the two numbers a quality-classifier
+pipeline (``ext_quality_classifier``, ``ext_calibration_ece``) needs
+before its scores gate a corpus: does the score RANK positives above
+negatives (AUC +/- CI), and what monotone map turns the raw score into
+a calibrated probability (Platt's sigmoid)?
+
+The running example scores events by VALUE and labels purchases
+positive — "is spend a ranker for conversion" — chosen because the
+label/score grain is corpus-sized while every statistic reduces to the
+BOUNDED (label, dollar-bucket) histogram.
+
+Scale + float discipline (BASELINE.md): both ops are ONE map-side
+combine to <= 2 x 561 histogram cells; midrank/placement algebra is
+exact int64 (the ``agg_brunner_munzel`` machinery — DeLong's V10/V01
+structural components ARE the doubled placements / 2n); Newton's
+gradient/Hessian folds run in value order over the bounded cells;
+sigmoids/logs are identical pinned expressions in both engines; outputs
+half-up micro-quantize.
+
+Reference analog: none — [EXT] LLM-pipeline mandate (BASELINE.json:6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.monitoring import _ordfold
+from ..registry import register
+
+_Z95 = 1.959963984540054  # exact two-sided 5% normal quantile literal
+
+
+@register(
+    "ext_auc_delong",
+    oracle=f"""
+WITH cells AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+         CAST(round(value) AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS t
+  FROM events GROUP BY 1, 2
+),
+vh AS (SELECT v, CAST(sum(t) AS BIGINT) AS tv FROM cells GROUP BY 1),
+gm AS (
+  SELECT a.v, 2 * CAST(coalesce(sum(b.tv), 0) AS BIGINT) + a.tv + 1 AS m2
+  FROM vh a LEFT JOIN vh b ON b.v < a.v GROUP BY a.v, a.tv
+),
+wm AS (
+  SELECT a.g, a.v, a.t,
+         2 * CAST(coalesce(sum(b.t), 0) AS BIGINT) + a.t + 1 AS w2
+  FROM cells a LEFT JOIN cells b ON b.g = a.g AND b.v < a.v
+  GROUP BY a.g, a.v, a.t
+),
+pc AS (
+  SELECT wm.g, wm.v, wm.t, gm.m2, gm.m2 - wm.w2 AS d2
+  FROM wm JOIN gm ON wm.v = gm.v
+),
+gs AS (
+  SELECT g, CAST(sum(t) AS BIGINT) AS ng,
+         CAST(sum(t * m2) AS BIGINT) AS srm,
+         CAST(sum(t * d2) AS BIGINT) AS sp,
+         list_reduce(list_prepend(0.0, list(CAST(t AS DOUBLE) * d2 * d2
+                                            ORDER BY v)),
+                     (p, q) -> p + q) AS spp
+  FROM pc GROUP BY g
+),
+gs2 AS (
+  SELECT g, ng, srm,
+         (spp - CAST(sp AS DOUBLE) * sp / ng) / (ng - 1) AS s2
+  FROM gs
+),
+pv AS (
+  SELECT max(CASE WHEN g = 0 THEN ng END) AS n0,
+         max(CASE WHEN g = 1 THEN ng END) AS n1,
+         max(CASE WHEN g = 1 THEN CAST(srm AS DOUBLE) / ng END) AS rb1,
+         max(CASE WHEN g = 0 THEN s2 END) AS s20,
+         max(CASE WHEN g = 1 THEN s2 END) AS s21
+  FROM gs2
+),
+zz AS (
+  SELECT n0, n1,
+         (rb1 - (n1 + 1)) / (2.0 * n0) AS auc,
+         sqrt(s21 / (4.0 * (CAST(n0 AS DOUBLE) * n0) * n1)
+              + s20 / (4.0 * (CAST(n1 AS DOUBLE) * n1) * n0)) AS se
+  FROM pv
+)
+SELECT n1 AS n_pos, n0 AS n_neg,
+       floor(auc * 1000000 + 0.5) / 1000000.0 AS auc,
+       floor(se * 1000000 + 0.5) / 1000000.0 AS se,
+       floor(greatest(0.0, auc - {_Z95} * se) * 1000000 + 0.5) / 1000000.0
+         AS ci_lo,
+       floor(least(1.0, auc + {_Z95} * se) * 1000000 + 0.5) / 1000000.0
+         AS ci_hi
+FROM zz
+""",
+)
+def ext_auc_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC WITH DeLONG CONFIDENCE INTERVAL: does event VALUE rank
+    purchases above non-purchases?  AUC is the midrank Mann-Whitney
+    estimate P(score_pos > score_neg) + 0.5 P(=); DeLong's variance is
+    the two-sample variance of the placement components V10/V01 —
+    which are EXACTLY the doubled placements d2/(2n) the engine's
+    Brunner-Munzel machinery already derives from the (label, bucket)
+    histogram, so no per-observation pass exists anywhere.
+
+    All midranks/placements exact int64 from <= 561-value histogram
+    self-joins; the one super-int64 moment folds in value order; the
+    CI is auc +/- 1.96 se clamped to [0, 1] (1.96 literal = the exact
+    normal quantile in both engines)."""
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g"),
+        F.round("value").cast("long").alias("v"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("t"))
+    vh = cells.groupBy("v").agg(F.sum("t").cast("long").alias("tv"))
+    va = vh.select(F.col("v").alias("va"), F.col("tv").alias("ta"))
+    vb = vh.select(F.col("v").alias("vb"), F.col("tv").alias("tb"))
+    gm = (
+        va.join(F.broadcast(vb), F.col("vb") < F.col("va"), "left")
+        .groupBy("va", "ta")
+        .agg(
+            (2 * F.coalesce(F.sum("tb"), F.lit(0)).cast("long") + F.col("ta") + 1)
+            .alias("m2")
+        )
+        .select(F.col("va").alias("v"), "m2")
+    )
+    ca = cells.select(
+        F.col("g").alias("ga"), F.col("v").alias("cva"), F.col("t").alias("cta")
+    )
+    cb = cells.select(
+        F.col("g").alias("gb"), F.col("v").alias("cvb"), F.col("t").alias("ctb")
+    )
+    wm = (
+        ca.join(
+            F.broadcast(cb),
+            (F.col("gb") == F.col("ga")) & (F.col("cvb") < F.col("cva")),
+            "left",
+        )
+        .groupBy("ga", "cva", "cta")
+        .agg(
+            (2 * F.coalesce(F.sum("ctb"), F.lit(0)).cast("long") + F.col("cta") + 1)
+            .alias("w2")
+        )
+        .select(
+            F.col("ga").alias("g"),
+            F.col("cva").alias("v"),
+            F.col("cta").alias("t"),
+            "w2",
+        )
+    )
+    pc = wm.join(F.broadcast(gm), "v").select(
+        "g", "v", "t", "m2", (F.col("m2") - F.col("w2")).alias("d2")
+    )
+    gs = pc.groupBy("g").agg(
+        F.sum("t").cast("long").alias("ng"),
+        F.sum(F.col("t") * F.col("m2")).cast("long").alias("srm"),
+        F.sum(F.col("t") * F.col("d2")).cast("long").alias("sp"),
+        _ordfold(
+            F.col("v"), F.col("t").cast("double") * F.col("d2") * F.col("d2")
+        ).alias("spp"),
+    )
+    gs2 = gs.select(
+        "g",
+        "ng",
+        "srm",
+        (
+            (F.col("spp") - F.col("sp").cast("double") * F.col("sp") / F.col("ng"))
+            / (F.col("ng") - 1)
+        ).alias("s2"),
+    )
+    pv = gs2.agg(
+        F.max(F.when(F.col("g") == 0, F.col("ng"))).alias("n0"),
+        F.max(F.when(F.col("g") == 1, F.col("ng"))).alias("n1"),
+        F.max(
+            F.when(F.col("g") == 1, F.col("srm").cast("double") / F.col("ng"))
+        ).alias("rb1"),
+        F.max(F.when(F.col("g") == 0, F.col("s2"))).alias("s20"),
+        F.max(F.when(F.col("g") == 1, F.col("s2"))).alias("s21"),
+    )
+    n0, n1 = F.col("n0"), F.col("n1")
+    zz = pv.select(
+        n0,
+        n1,
+        ((F.col("rb1") - (n1 + 1)) / (2.0 * n0)).alias("auc"),
+        F.sqrt(
+            F.col("s21") / (4.0 * (n0.cast("double") * n0) * n1)
+            + F.col("s20") / (4.0 * (n1.cast("double") * n1) * n0)
+        ).alias("se"),
+    )
+    q6 = lambda x: F.floor(x * 1000000 + 0.5) / 1000000.0  # noqa: E731
+    return zz.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        q6(F.col("auc")).alias("auc"),
+        q6(F.col("se")).alias("se"),
+        q6(F.greatest(F.lit(0.0), F.col("auc") - _Z95 * F.col("se"))).alias("ci_lo"),
+        q6(F.least(F.lit(1.0), F.col("auc") + _Z95 * F.col("se"))).alias("ci_hi"),
+    )
+
+
+_PLATT_ITERS = 3
+
+
+def _platt_oracle() -> str:
+    """Unrolled Newton iterations for the 2-parameter logistic fit."""
+
+    def mu(a: str, b: str) -> str:
+        return f"(1.0 / (1.0 + exp(-(({a}) * v + ({b})))))"
+
+    def fold(expr: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list({expr} ORDER BY v)), "
+            f"(p, q) -> p + q)"
+        )
+
+    parts = [
+        """WITH cells AS (
+  SELECT CAST(round(value) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS np
+  FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(np) AS BIGINT) AS npos
+        FROM cells),
+it0 AS (
+  SELECT CAST(0.0 AS DOUBLE) AS a,
+         ln(CAST(npos AS DOUBLE) / (nn - npos)) AS b
+  FROM tot
+)"""
+    ]
+    for j in range(1, _PLATT_ITERS + 1):
+        m = mu("a", "b")
+        parts.append(
+            f""",
+f{j} AS (
+  SELECT a, b,
+         {fold(f"(np - n * {m}) * v")} AS g1,
+         {fold(f"(np - n * {m})")} AS g2,
+         {fold(f"n * {m} * (1.0 - {m}) * v * v")} AS h11,
+         {fold(f"n * {m} * (1.0 - {m}) * v")} AS h12,
+         {fold(f"n * {m} * (1.0 - {m})")} AS h22
+  FROM cells, it{j - 1}
+  GROUP BY a, b
+),
+it{j} AS (
+  SELECT a + (h22 * g1 - h12 * g2) / (h11 * h22 - h12 * h12) AS a,
+         b + (h11 * g2 - h12 * g1) / (h11 * h22 - h12 * h12) AS b
+  FROM f{j}
+)"""
+        )
+    m = mu("a", "b")
+    parts.append(
+        f""",
+loss AS (
+  SELECT a, b,
+         {fold(f"-(np * ln({m}) + (n - np) * ln(1.0 - {m}))")} AS nll
+  FROM cells, it{_PLATT_ITERS}
+  GROUP BY a, b
+)
+SELECT (SELECT nn FROM tot) AS n, (SELECT npos FROM tot) AS n_pos,
+       floor(a * 1000000 + 0.5) / 1000000.0 AS slope,
+       floor(b * 1000000 + 0.5) / 1000000.0 AS intercept,
+       floor(nll / (SELECT nn FROM tot) * 1000000 + 0.5) / 1000000.0
+         AS log_loss
+FROM loss"""
+    )
+    return "".join(parts)
+
+
+@register("ext_platt_scaling", oracle=_platt_oracle())
+def ext_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLATT SCALING: fit P(purchase | value) = sigmoid(a*value + b) by
+    {it} unrolled Newton-Raphson steps — the parametric calibration map
+    next to ``ext_isotonic_calibration``'s monotone-step fit (Platt
+    gives a smooth two-parameter sigmoid; isotonic gives a free-form
+    staircase), reporting the fitted slope/intercept and the final
+    mean log-loss.
+
+    The 2x2 Newton system has a closed-form inverse, so each step is
+    five value-ordered folds (gradient + Hessian) over the BOUNDED
+    dollar-bucket histogram plus pinned double algebra — no
+    optimization loop touches the corpus, and 3 steps from the
+    log-odds-prior start are quadratically convergent for this 1-D
+    feature.  The oracle unrolls the identical three steps as chained
+    CTEs; sigmoids/logs are the same pinned expressions in both
+    engines."""
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(F.round("value").cast("long").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("np"),
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("nn"), F.sum("np").cast("long").alias("npos")
+    )
+    ab = tot.select(
+        F.lit(0.0).alias("a"),
+        F.log(F.col("npos").cast("double") / (F.col("nn") - F.col("npos"))).alias(
+            "b"
+        ),
+    )
+
+    def mu_col():
+        return 1.0 / (1.0 + F.exp(-(F.col("a") * F.col("v") + F.col("b"))))
+
+    for _ in range(_PLATT_ITERS):
+        j = cells.crossJoin(F.broadcast(ab))
+        m = mu_col()
+        f = j.groupBy("a", "b").agg(
+            _ordfold(F.col("v"), (F.col("np") - F.col("n") * m) * F.col("v")).alias(
+                "g1"
+            ),
+            _ordfold(F.col("v"), F.col("np") - F.col("n") * m).alias("g2"),
+            _ordfold(
+                F.col("v"), F.col("n") * m * (1.0 - m) * F.col("v") * F.col("v")
+            ).alias("h11"),
+            _ordfold(F.col("v"), F.col("n") * m * (1.0 - m) * F.col("v")).alias(
+                "h12"
+            ),
+            _ordfold(F.col("v"), F.col("n") * m * (1.0 - m)).alias("h22"),
+        )
+        det = F.col("h11") * F.col("h22") - F.col("h12") * F.col("h12")
+        ab = f.select(
+            (F.col("a") + (F.col("h22") * F.col("g1") - F.col("h12") * F.col("g2")) / det).alias("a"),
+            (F.col("b") + (F.col("h11") * F.col("g2") - F.col("h12") * F.col("g1")) / det).alias("b"),
+        )
+    j = cells.crossJoin(F.broadcast(ab))
+    m = mu_col()
+    loss = j.groupBy("a", "b").agg(
+        _ordfold(
+            F.col("v"),
+            -(F.col("np") * F.log(m) + (F.col("n") - F.col("np")) * F.log(1.0 - m)),
+        ).alias("nll")
+    )
+    q6 = lambda x: F.floor(x * 1000000 + 0.5) / 1000000.0  # noqa: E731
+    out = loss.crossJoin(F.broadcast(tot))
+    return out.select(
+        F.col("nn").alias("n"),
+        F.col("npos").alias("n_pos"),
+        q6(F.col("a")).alias("slope"),
+        q6(F.col("b")).alias("intercept"),
+        q6(F.col("nll") / F.col("nn")).alias("log_loss"),
+    )
+
+
+ext_platt_scaling.__doc__ = ext_platt_scaling.__doc__.format(it=_PLATT_ITERS)

@@ -625,3 +625,147 @@ def ext_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         picked.append(best[1])
     rows = [(i + 1, vid, qsims[vid]) for i, vid in enumerate(picked)]
     return spark.createDataFrame(rows, "rank long, vec_id long, qsim double")
+
+
+_RBO_K = 15      # evaluation depth
+_RBO_P = 0.9     # persistence (top-weightedness) parameter
+# Depth weights (1-p) * p^(d-1) / d as Python literals spliced into BOTH
+# engines (the ts_ewma constant discipline — no cross-engine pow()).
+_RBO_W = [(1.0 - _RBO_P) * _RBO_P ** (d - 1) / d for d in range(1, _RBO_K + 1)]
+
+
+@register(
+    "ext_rank_biased_overlap",
+    oracle=f"""
+WITH li AS (
+  SELECT l_orderkey, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(date_diff('day', DATE '1970-01-01', date_trunc('day', l_shipdate))
+              AS BIGINT) AS d
+  FROM lineitem
+),
+sp AS (SELECT min(d) AS mn, max(d) AS mx FROM li),
+h AS (
+  SELECT cu.c_nationkey AS nk,
+         CASE WHEN 2 * (li.d - mn) < (mx - mn) THEN 0 ELSE 1 END AS half,
+         li.cents
+  FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
+  JOIN customer cu ON o.o_custkey = cu.c_custkey, sp
+),
+s AS (SELECT half, nk, CAST(sum(cents) AS BIGINT) AS rev FROM h GROUP BY 1, 2),
+r AS (
+  SELECT half, nk,
+         CAST(row_number() OVER (PARTITION BY half ORDER BY rev DESC, nk)
+              AS BIGINT) AS rk
+  FROM s
+),
+mh AS (
+  SELECT a.nk, greatest(a.rk, b.rk) AS m
+  FROM (SELECT nk, rk FROM r WHERE half = 0 AND rk <= {_RBO_K}) a
+  JOIN (SELECT nk, rk FROM r WHERE half = 1 AND rk <= {_RBO_K}) b
+    ON a.nk = b.nk
+),
+xd AS (
+  SELECT g.d, CAST(count(mh.m) AS BIGINT) AS x
+  FROM (SELECT unnest(generate_series(1, {_RBO_K})) AS d) g
+  LEFT JOIN mh ON mh.m <= g.d
+  GROUP BY g.d
+),
+fold AS (
+  SELECT list_reduce(list_prepend(0.0, list(
+             x * (CASE d {" ".join(f"WHEN {i + 1} THEN {w!r}" for i, w in enumerate(_RBO_W))} END)
+             ORDER BY d)), (p, q) -> p + q) AS rbo,
+         max(CASE WHEN d = {_RBO_K} THEN x END) AS overlap_k
+  FROM xd
+)
+SELECT CAST({_RBO_K} AS BIGINT) AS k,
+       CAST({_RBO_P!r} AS DOUBLE) AS p,
+       floor(rbo * 1000000 + 0.5) / 1000000.0 AS rbo,
+       CAST(overlap_k AS BIGINT) AS overlap_at_k,
+       floor(CAST(overlap_k AS DOUBLE) / (2 * {_RBO_K} - overlap_k)
+             * 1000000 + 0.5) / 1000000.0 AS jaccard_at_k
+FROM fold
+""",
+)
+def ext_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK-BIASED OVERLAP (Webber et al.) between the top-{k}
+    nation-revenue rankings of the window's two halves: how STABLE is
+    the leaderboard, weighted so the top ranks dominate (p = {p})?
+    RBO is the ranking-drift metric that NDCG cannot provide (NDCG
+    needs relevance labels; RBO compares two rankings directly) — the
+    monitoring companion every "top sellers" dashboard needs, and the
+    same statistic retrieval teams use to compare ranker versions.
+
+    RBO@k = sum_d (1-p) p^(d-1) X_d / d with X_d = |prefix_d(A) n
+    prefix_d(B)|.  X_d comes from the histogram of m = max(rank_A,
+    rank_B) joined against the 1..k depth grid (k^2 bounded pairs, no
+    per-depth set intersection); the depth weights are Python literals
+    spliced into both engines; the fold runs in depth order.  Ranks are
+    exact-revenue ordered with nation tiebreak.  Scale: everything past
+    the (half, nation) combine is k-sized."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.datediff(
+            F.date_trunc("day", "l_shipdate"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d"),
+    )
+    sp = li.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    h = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(cu, o["o_custkey"] == cu["c_custkey"])
+        .crossJoin(F.broadcast(sp))
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            F.when(2 * (F.col("d") - F.col("mn")) < (F.col("mx") - F.col("mn")), 0)
+            .otherwise(1)
+            .alias("half"),
+            "cents",
+        )
+    )
+    s = h.groupBy("half", "nk").agg(F.sum("cents").cast("long").alias("rev"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("half").orderBy(F.desc("rev"), "nk")
+    r = s.select("half", "nk", F.row_number().over(w).cast("long").alias("rk"))
+    a = r.filter((F.col("half") == 0) & (F.col("rk") <= _RBO_K)).select(
+        "nk", F.col("rk").alias("ra")
+    )
+    b = r.filter((F.col("half") == 1) & (F.col("rk") <= _RBO_K)).select(
+        F.col("nk").alias("nkb"), F.col("rk").alias("rb")
+    )
+    mh = a.join(F.broadcast(b), F.col("nk") == F.col("nkb")).select(
+        F.greatest("ra", "rb").alias("m")
+    )
+    grid = spark.range(1, _RBO_K + 1).select(F.col("id").alias("d"))
+    xd = (
+        grid.join(F.broadcast(mh), F.col("m") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count("m").cast("long").alias("x"))
+    )
+    wexpr = F.col("x").cast("double") * F.lit(0.0)
+    weight = None
+    for i, wt in enumerate(_RBO_W):
+        t = F.when(F.col("d") == i + 1, F.lit(wt))
+        weight = t if weight is None else weight.when(F.col("d") == i + 1, F.lit(wt))
+    from ..operators.monitoring import _ordfold
+
+    fold = xd.agg(
+        _ordfold(F.col("d"), F.col("x") * weight).alias("rbo"),
+        F.max(F.when(F.col("d") == _RBO_K, F.col("x"))).cast("long").alias(
+            "overlap_k"
+        ),
+    )
+    q6 = lambda x: F.floor(x * 1000000 + 0.5) / 1000000.0  # noqa: E731
+    return fold.select(
+        F.lit(_RBO_K).cast("long").alias("k"),
+        F.lit(_RBO_P).alias("p"),
+        q6(F.col("rbo")).alias("rbo"),
+        F.col("overlap_k").alias("overlap_at_k"),
+        q6(
+            F.col("overlap_k").cast("double") / (2 * _RBO_K - F.col("overlap_k"))
+        ).alias("jaccard_at_k"),
+    )

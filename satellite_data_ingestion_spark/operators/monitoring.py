@@ -1966,3 +1966,109 @@ def agg_inequality_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
             "atkinson_1"
         ),
     )
+
+
+_ESD_ROUNDS = 3
+
+
+def _esd_oracle() -> str:
+    """Unrolled generalized-ESD rounds: each round computes exact int
+    moments of the REMAINING days, flags the max-|z| day, removes it."""
+    parts = [
+        f"""WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', date_trunc('day', ts))
+              AS BIGINT) AS d,
+         CAST(sum({_CENTS}) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+r1 AS (SELECT d, y FROM daily)"""
+    ]
+    for j in range(1, _ESD_ROUNDS + 1):
+        parts.append(
+            f""",
+m{j} AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s,
+         CAST(sum(y * y) AS BIGINT) AS ss
+  FROM r{j}
+),
+z{j} AS (
+  SELECT r{j}.d, r{j}.y,
+         abs(CAST(r{j}.y AS DOUBLE) - CAST(s AS DOUBLE) / n)
+           / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))
+           AS r_stat
+  FROM r{j}, m{j}
+),
+o{j} AS (SELECT d, y, r_stat FROM z{j} ORDER BY r_stat DESC, d LIMIT 1),
+r{j + 1} AS (SELECT d, y FROM r{j} WHERE d <> (SELECT d FROM o{j}))"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({j} AS BIGINT) AS round, d AS day_index,"
+        f" floor(CAST(y AS DOUBLE) / 100.0 * 10000 + 0.5) / 10000.0 AS value_dollars,"
+        f" floor(r_stat * 1000000 + 0.5) / 1000000.0 AS r_stat FROM o{j}"
+        for j in range(1, _ESD_ROUNDS + 1)
+    )
+    parts.append(f"\nSELECT * FROM ({sel}) ORDER BY round")
+    return "".join(parts)
+
+
+@register("agg_esd_outliers", oracle=_esd_oracle())
+def agg_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERALIZED ESD (extreme studentized deviate, {r} rounds) on
+    daily revenue: iteratively flag the most extreme day, REMOVE it,
+    and re-studentize — the masking-proof upgrade of ``agg_grubbs_test``
+    (a second outlier inflates the variance and hides the first from a
+    single-shot test; ESD re-estimates after every removal).  Reports
+    each round's flagged day and its R statistic (statistic-only, the
+    welch_t convention — the lambda critical values are t-quantiles).
+
+    Each round's mean/sd come from EXACT int64 moments of the remaining
+    days (no folds needed); the argmax is ordered by the pinned double
+    ratio with day tiebreak; rounds unroll as chained CTEs in the
+    oracle and chained anti-filters in the DataFrame plan.  Scale:
+    {r} x calendar-bounded algebra."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("y"))
+    cur = daily
+    outs = []
+    for j in range(1, _ESD_ROUNDS + 1):
+        m = cur.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("s"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("ss"),
+        )
+        z = cur.crossJoin(F.broadcast(m)).select(
+            "d",
+            "y",
+            (
+                F.abs(F.col("y").cast("double") - F.col("s").cast("double") / F.col("n"))
+                / F.sqrt(
+                    (
+                        F.col("ss").cast("double")
+                        - F.col("s").cast("double") * F.col("s") / F.col("n")
+                    )
+                    / (F.col("n") - 1)
+                )
+            ).alias("r_stat"),
+        )
+        top = z.orderBy(F.desc("r_stat"), "d").limit(1).localCheckpoint(eager=True)
+        outs.append(
+            top.select(
+                F.lit(j).cast("long").alias("round"),
+                F.col("d").alias("day_index"),
+                q4(F.col("y").cast("double") / 100.0).alias("value_dollars"),
+                r6(F.col("r_stat")).alias("r_stat"),
+            )
+        )
+        flagged = top.select(F.col("d").alias("fd"))
+        cur = cur.join(F.broadcast(flagged), cur["d"] == F.col("fd"), "left_anti")
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.orderBy("round")
+
+
+agg_esd_outliers.__doc__ = agg_esd_outliers.__doc__.format(r=_ESD_ROUNDS)

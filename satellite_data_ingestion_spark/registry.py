@@ -73,6 +73,7 @@ _QUERY_MODULES = [
     "satellite_data_ingestion_spark.llm.lm",
     "satellite_data_ingestion_spark.llm.unigram",
     "satellite_data_ingestion_spark.llm.wordpiece",
+    "satellite_data_ingestion_spark.llm.classifier",
     "satellite_data_ingestion_spark.llm.shaping",
     "satellite_data_ingestion_spark.llm.sampling",
     "satellite_data_ingestion_spark.llm.urlfilter",
