@@ -137,6 +137,8 @@ NEW_THIS_ROUND = [
     "ext_rank_biased_overlap",
     "ext_auc_delong",
     "ext_platt_scaling",
+    "stream_page_hinkley",
+    "ext_classifier_mcc",
 ]
 
 CORE = [

@@ -348,3 +348,78 @@ def ext_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ext_platt_scaling.__doc__ = ext_platt_scaling.__doc__.format(it=_PLATT_ITERS)
+
+
+_MCC_THRESHOLD = 100  # dollars: predict "purchase" when value > this
+
+
+@register(
+    "ext_classifier_mcc",
+    oracle=f"""
+WITH cm AS (
+  SELECT CAST(sum(CASE WHEN value > {_MCC_THRESHOLD} AND event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN value > {_MCC_THRESHOLD} AND event_type <> 'purchase'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN value <= {_MCC_THRESHOLD} AND event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN value <= {_MCC_THRESHOLD} AND event_type <> 'purchase'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM events
+)
+SELECT tp, fp, fn, tn,
+       floor((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+             / sqrt((CAST(tp + fp AS DOUBLE)) * (tp + fn) * (tn + fp)
+                    * (tn + fn))
+             * 1000000 + 0.5) / 1000000.0 AS mcc,
+       floor(2.0 * tp / (2.0 * tp + fp + fn) * 1000000 + 0.5) / 1000000.0
+         AS f1,
+       floor((CAST(tp AS DOUBLE) / (tp + fn)
+              + CAST(tn AS DOUBLE) / (tn + fp)) / 2.0 * 1000000 + 0.5)
+         / 1000000.0 AS balanced_accuracy
+FROM cm
+""",
+)
+def ext_classifier_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MCC / F1 / BALANCED ACCURACY at a fixed operating point (predict
+    purchase when value > {th}): the single-threshold confusion panel
+    that complements ``ext_auc_delong``'s threshold-free ranking view
+    and ``ext_quality_threshold_sweep``'s curve — MCC because it is the
+    one single-number summary that survives the 4:1 class imbalance
+    here (accuracy and even F1 reward the majority class; MCC is the
+    2x2 Pearson phi and does not).
+
+    The confusion matrix is ONE conditional aggregate of exact int64
+    counts; each metric is a pinned double closed form (the MCC
+    denominator product crosses int64 at sf1, hence double in identical
+    order).  Scale: one map-side-combined corpus pass, 1-row output."""
+    ev = table(spark, sf_dir, "events")
+    pred = F.col("value") > _MCC_THRESHOLD
+    pos = F.col("event_type") == "purchase"
+    cm = ev.agg(
+        F.sum(F.when(pred & pos, 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(pred & ~pos, 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(~pred & pos, 1).otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when(~pred & ~pos, 1).otherwise(0)).cast("long").alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
+    q6 = lambda x: F.floor(x * 1000000 + 0.5) / 1000000.0  # noqa: E731
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        q6(
+            (tp.cast("double") * tn - fp.cast("double") * fn)
+            / F.sqrt(
+                (tp + fp).cast("double") * (tp + fn) * (tn + fp) * (tn + fn)
+            )
+        ).alias("mcc"),
+        q6(2.0 * tp / (2.0 * tp + fp + fn)).alias("f1"),
+        q6(
+            (tp.cast("double") / (tp + fn) + tn.cast("double") / (tn + fp)) / 2.0
+        ).alias("balanced_accuracy"),
+    )
+
+
+ext_classifier_mcc.__doc__ = ext_classifier_mcc.__doc__.format(th=_MCC_THRESHOLD)

@@ -746,7 +746,6 @@ def ext_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d")
         .agg(F.count("m").cast("long").alias("x"))
     )
-    wexpr = F.col("x").cast("double") * F.lit(0.0)
     weight = None
     for i, wt in enumerate(_RBO_W):
         t = F.when(F.col("d") == i + 1, F.lit(wt))

@@ -1009,6 +1009,12 @@ def agg_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     alarm day], identical in both engines; the running mean inside the
     fold is the exact same left-associated double algebra."""
     cal, arr = _drift_daily(spark, sf_dir)
+    return _ph_report(cal, arr)
+
+
+def _ph_report(cal: DataFrame, arr: DataFrame) -> DataFrame:
+    """The Page-Hinkley fold + report over (cal, arr) — shared by the
+    batch op above and its streaming twin ``stream_page_hinkley``."""
     one = arr.crossJoin(F.broadcast(cal))
 
     def step(acc, x):
@@ -2072,3 +2078,93 @@ def agg_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 agg_esd_outliers.__doc__ = agg_esd_outliers.__doc__.format(r=_ESD_ROUNDS)
+
+
+from ..registry import spec as _spec  # noqa: E402  (registered above)
+
+
+@register("stream_page_hinkley", oracle=_spec("agg_page_hinkley").oracle)
+def stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING PAGE-HINKLEY: the self-calibrating drift detector
+    maintained as a stateful streaming aggregate — the running-mean
+    sibling of ``stream_cusum_drift`` (CUSUM needs a frozen baseline;
+    PH tracks the mean it drifts FROM, so the streaming deployment
+    needs no calibration warm-start).  Events arrive in three
+    round-robin micro-batches; each trigger merges partial day-grain
+    moments into the complete-mode state; after the drain the exact
+    ``agg_page_hinkley`` fold runs over the FINAL state, so the batch
+    oracle verifies the incremental build — a lost or double-counted
+    micro-batch shifts a daily mean and fails the hash.
+
+    Scale: per-trigger shuffle <= |days| x 3 longs after map-side
+    partial aggregation regardless of arrival volume; the detector fold
+    is calendar-bounded (the stream_cusum_drift state argument)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.state import _few_shuffle_partitions
+
+    staging = os.path.join(tempfile.gettempdir(), f"sdis_staging_sph_{os.getpid()}")
+    shutil.rmtree(staging, ignore_errors=True)
+    ev = table(spark, sf_dir, "events").select(
+        F.col("ts"), F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    ev.repartition(3).write.mode("overwrite").parquet(staging)
+
+    sink = f"sph_sink_{os.getpid()}"
+    with _few_shuffle_partitions(spark):
+        q = (
+            spark.readStream.schema("ts timestamp, c long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+            .groupBy(
+                F.datediff(
+                    F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date")
+                )
+                .cast("long")
+                .alias("d")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("c").cast("long").alias("s"),
+                F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
+            .start()
+        )
+        q.awaitTermination(180)
+    daily = spark.table(sink)
+
+    base = (
+        daily.orderBy("d")
+        .limit(_DRIFT_BASE_DAYS)
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("s").cast("long").alias("s"),
+            F.sum("ss").cast("long").alias("ss"),
+        )
+    )
+    cal = base.select(
+        (F.col("s").cast("double") / F.col("n")).alias("mu0"),
+        F.sqrt(_css() / (F.col("n") - 1)).alias("sd"),
+    )
+    arr = daily.agg(
+        F.array_sort(
+            F.collect_list(
+                F.array(
+                    F.col("d").cast("double"),
+                    F.col("s").cast("double") / F.col("n"),
+                )
+            )
+        ).alias("a"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    out = _ph_report(cal, arr)
+    result = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(staging, ignore_errors=True)
+    return result

@@ -174,3 +174,31 @@ def test_platt_scaling_matches_reference(spark):
     p0 = len(pos) / nn
     base = -(p0 * math.log(p0) + (1 - p0) * math.log(1 - p0))
     assert r.log_loss <= base + 1e-9
+
+
+def test_stream_page_hinkley_matches_batch_twin(spark):
+    sr = registry.spec("stream_page_hinkley").fn(spark, SF).collect()
+    br = registry.spec("agg_page_hinkley").fn(spark, SF).collect()
+    assert len(sr) == len(br) == 1
+    s, b = sr[0], br[0]
+    # the streaming build must land on the exact batch state
+    assert (s.n_days, s.alarm_day) == (b.n_days, b.alarm_day)
+    assert abs(s.delta - b.delta) < 1e-9
+    assert abs(s.ph_stat - b.ph_stat) < 1e-9
+
+
+def test_classifier_mcc_matches_reference(spark):
+    (r,) = registry.spec("ext_classifier_mcc").fn(spark, SF).collect()
+    rows = table(spark, SF, "events").select("event_type", "value").collect()
+    tp = sum(1 for x in rows if x.value > 100 and x.event_type == "purchase")
+    fp = sum(1 for x in rows if x.value > 100 and x.event_type != "purchase")
+    fn = sum(1 for x in rows if x.value <= 100 and x.event_type == "purchase")
+    tn = sum(1 for x in rows if x.value <= 100 and x.event_type != "purchase")
+    assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn)
+    mcc = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    assert abs(r.mcc - mcc) < 2e-6
+    assert abs(r.f1 - 2 * tp / (2 * tp + fp + fn)) < 2e-6
+    assert abs(r.balanced_accuracy - (tp / (tp + fn) + tn / (tn + fp)) / 2) < 2e-6
+    assert -1.0 <= r.mcc <= 1.0
