@@ -139,6 +139,11 @@ NEW_THIS_ROUND = [
     "ext_platt_scaling",
     "stream_page_hinkley",
     "ext_classifier_mcc",
+    # round-15 wave J (robust estimators, variance stability, LIS)
+    "agg_hodges_lehmann",
+    "agg_qn_scale",
+    "ext_cusum_squares",
+    "ext_lis_trend",
 ]
 
 CORE = [

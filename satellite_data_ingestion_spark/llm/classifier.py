@@ -34,6 +34,11 @@ from ..registry import register
 _Z95 = 1.959963984540054  # exact two-sided 5% normal quantile literal
 
 
+def _q6(x):
+    """Module-shared half-up micro-quantize (the hypothesis.r6 form)."""
+    return F.floor(x * 1000000 + 0.5) / 1000000.0
+
+
 @register(
     "ext_auc_delong",
     oracle=f"""
@@ -189,14 +194,13 @@ def ext_auc_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("s20") / (4.0 * (n1.cast("double") * n1) * n0)
         ).alias("se"),
     )
-    q6 = lambda x: F.floor(x * 1000000 + 0.5) / 1000000.0  # noqa: E731
     return zz.select(
         F.col("n1").alias("n_pos"),
         F.col("n0").alias("n_neg"),
-        q6(F.col("auc")).alias("auc"),
-        q6(F.col("se")).alias("se"),
-        q6(F.greatest(F.lit(0.0), F.col("auc") - _Z95 * F.col("se"))).alias("ci_lo"),
-        q6(F.least(F.lit(1.0), F.col("auc") + _Z95 * F.col("se"))).alias("ci_hi"),
+        _q6(F.col("auc")).alias("auc"),
+        _q6(F.col("se")).alias("se"),
+        _q6(F.greatest(F.lit(0.0), F.col("auc") - _Z95 * F.col("se"))).alias("ci_lo"),
+        _q6(F.least(F.lit(1.0), F.col("auc") + _Z95 * F.col("se"))).alias("ci_hi"),
     )
 
 
@@ -336,14 +340,13 @@ def ext_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
             -(F.col("np") * F.log(m) + (F.col("n") - F.col("np")) * F.log(1.0 - m)),
         ).alias("nll")
     )
-    q6 = lambda x: F.floor(x * 1000000 + 0.5) / 1000000.0  # noqa: E731
     out = loss.crossJoin(F.broadcast(tot))
     return out.select(
         F.col("nn").alias("n"),
         F.col("npos").alias("n_pos"),
-        q6(F.col("a")).alias("slope"),
-        q6(F.col("b")).alias("intercept"),
-        q6(F.col("nll") / F.col("nn")).alias("log_loss"),
+        _q6(F.col("a")).alias("slope"),
+        _q6(F.col("b")).alias("intercept"),
+        _q6(F.col("nll") / F.col("nn")).alias("log_loss"),
     )
 
 
@@ -403,20 +406,19 @@ def ext_classifier_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~pred & ~pos, 1).otherwise(0)).cast("long").alias("tn"),
     )
     tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
-    q6 = lambda x: F.floor(x * 1000000 + 0.5) / 1000000.0  # noqa: E731
     return cm.select(
         "tp",
         "fp",
         "fn",
         "tn",
-        q6(
+        _q6(
             (tp.cast("double") * tn - fp.cast("double") * fn)
             / F.sqrt(
                 (tp + fp).cast("double") * (tp + fn) * (tn + fp) * (tn + fn)
             )
         ).alias("mcc"),
-        q6(2.0 * tp / (2.0 * tp + fp + fn)).alias("f1"),
-        q6(
+        _q6(2.0 * tp / (2.0 * tp + fp + fn)).alias("f1"),
+        _q6(
             (tp.cast("double") / (tp + fn) + tn.cast("double") / (tn + fp)) / 2.0
         ).alias("balanced_accuracy"),
     )

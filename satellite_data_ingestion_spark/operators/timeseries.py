@@ -4458,3 +4458,129 @@ def win_stochastic_osc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 win_stochastic_osc.__doc__ = win_stochastic_osc.__doc__.format(n=_STOCH_N)
+
+
+_LIS_MAX_ROUNDS = 29  # LIS length is bounded by the calendar day count
+
+
+@register(
+    "ext_lis_trend",
+    oracle="""
+WITH RECURSIVE daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', date_trunc('day', ts))
+              AS BIGINT) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+              AS BIGINT) AS i,
+         y
+  FROM daily
+),
+pr AS (
+  SELECT a.event_type, a.i AS i, b.i AS j
+  FROM idx a JOIN idx b
+    ON a.event_type = b.event_type AND a.i < b.i AND a.y < b.y
+),
+lis(event_type, i, len) AS (
+  SELECT event_type, i, CAST(1 AS BIGINT) FROM idx
+  UNION
+  SELECT pr.event_type, pr.j, l.len + 1
+  FROM lis l JOIN pr ON pr.event_type = l.event_type AND pr.i = l.i
+),
+agg AS (
+  SELECT event_type, CAST(max(i) AS BIGINT) AS n_days,
+         CAST(max(len) AS BIGINT) AS lis_len
+  FROM lis GROUP BY 1
+)
+SELECT event_type, n_days, lis_len,
+       floor(CAST(lis_len AS DOUBLE) / n_days * 1000000 + 0.5) / 1000000.0
+         AS persistence
+FROM agg ORDER BY event_type
+""",
+)
+def ext_lis_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LONGEST INCREASING SUBSEQUENCE of each event type's daily
+    revenue: the maximum number of days you can pick, in order, with
+    strictly rising revenue — the TREND-PERSISTENCE length that is
+    immune to any single crash day (one bad day costs an up-trend at
+    most one element, where runs (``win_runs``) and drawdowns reset
+    entirely).  persistence = LIS/n ~ 1 means a near-monotone month;
+    ~0.5 is what an i.i.d. shuffle gives.
+
+    The classic DP runs as a DISTRIBUTED frontier iteration: the
+    predecessor relation (i < j, y_i < y_j) is precomputed on the
+    calendar-bounded frame, and each round extends only chains that
+    IMPROVED last round (join frontier x predecessors, keep strict
+    improvements, union into best) — rounds = LIS length, work per
+    round bounded by the pair relation, the graph_bfs shape.  The
+    oracle is the same fixpoint as a recursive CTE with UNION dedup.
+    Float discipline: everything is exact integers until the final
+    persistence ratio."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("y"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    idx = daily.select(
+        "event_type", F.row_number().over(w).cast("long").alias("i"), "y"
+    ).localCheckpoint(eager=True)
+    a = idx.select(F.col("event_type").alias("et"), F.col("i").alias("pi"), F.col("y").alias("ya"))
+    b = idx.select(F.col("event_type").alias("etb"), F.col("i").alias("pj"), F.col("y").alias("yb"))
+    pr = (
+        a.join(
+            b,
+            (F.col("et") == F.col("etb"))
+            & (F.col("pi") < F.col("pj"))
+            & (F.col("ya") < F.col("yb")),
+        )
+        .select("et", "pi", "pj")
+        .localCheckpoint(eager=True)
+    )
+    best = idx.select(
+        F.col("event_type").alias("et"), "i", F.lit(1).cast("long").alias("len")
+    )
+    frontier = best
+    for _ in range(_LIS_MAX_ROUNDS):
+        nxt = (
+            frontier.join(pr, (frontier["et"] == pr["et"]) & (frontier["i"] == pr["pi"]))
+            .select(pr["et"].alias("et"), F.col("pj").alias("i"), (F.col("len") + 1).alias("len"))
+            .groupBy("et", "i")
+            .agg(F.max("len").alias("len"))
+        )
+        cur = best.select("et", "i", F.col("len").alias("blen"))
+        imp = (
+            nxt.join(cur, ["et", "i"])
+            .filter(F.col("len") > F.col("blen"))
+            .select("et", "i", "len")
+            .localCheckpoint(eager=True)
+        )
+        if imp.isEmpty():
+            break
+        best = (
+            best.unionByName(imp)
+            .groupBy("et", "i")
+            .agg(F.max("len").alias("len"))
+        )
+        frontier = imp
+    agg = best.groupBy("et").agg(
+        F.max("i").cast("long").alias("n_days"),
+        F.max("len").cast("long").alias("lis_len"),
+    )
+    return agg.select(
+        F.col("et").alias("event_type"),
+        "n_days",
+        "lis_len",
+        (
+            F.floor(
+                F.col("lis_len").cast("double") / F.col("n_days") * 1000000 + 0.5
+            )
+            / 1000000.0
+        ).alias("persistence"),
+    ).orderBy("event_type")
