@@ -144,6 +144,10 @@ NEW_THIS_ROUND = [
     "agg_qn_scale",
     "ext_cusum_squares",
     "ext_lis_trend",
+    # round-15 wave K (EDF trio completion + range-weighted Friedman)
+    "agg_cvm_test",
+    "agg_ad_2sample",
+    "agg_quade_test",
 ]
 
 CORE = [

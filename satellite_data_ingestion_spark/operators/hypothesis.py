@@ -5731,3 +5731,356 @@ def agg_pca_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("l1") / (F.col("l1") + F.col("l2"))).alias("var_explained_1"),
         r6(F.atan2(F.col("l1") - F.col("vx"), F.col("cxy"))).alias("principal_angle"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample EDF tests beyond KS (round 15, wave K).  Shared float
+# discipline: per-distinct-value terms are PINNED doubles of exact-int
+# cumulative counts, then PICO-QUANTIZED (floor(term * 1e12 + 0.5)) and
+# summed as exact int64 — order-free at ANY value cardinality (the
+# centroid quantize-then-sum argument taken to the data-grain sum; the
+# int sum stays < ~2e18 at the sf1 twin, and both engines derive the
+# identical quantized integer per value, so the hash matches no matter
+# what the true real-valued tail digits are).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_cvm_test",
+    oracle="""
+WITH pts AS (
+  SELECT value, CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS in_a
+  FROM events
+), g AS (
+  SELECT value,
+         CAST(sum(in_a) AS BIGINT) AS ca,
+         CAST(sum(1 - in_a) AS BIGINT) AS cb
+  FROM pts GROUP BY 1
+), n AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM g
+), c AS (
+  SELECT ca, cb,
+         CAST(sum(ca) OVER w AS BIGINT) AS cum_a,
+         CAST(sum(cb) OVER w AS BIGINT) AS cum_b
+  FROM g
+  WINDOW w AS (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+), s AS (
+  SELECT CAST(sum(CAST(floor(
+           (ca + cb) * (((CAST(cum_a AS DOUBLE) * nb - CAST(cum_b AS DOUBLE) * na)
+                         / (CAST(na AS DOUBLE) * nb))
+                        * ((CAST(cum_a AS DOUBLE) * nb - CAST(cum_b AS DOUBLE) * na)
+                           / (CAST(na AS DOUBLE) * nb)))
+           * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sp
+  FROM c, n
+)
+SELECT n.na, n.nb,
+       floor((CAST(na AS DOUBLE) * nb / ((na + nb) * (CAST(na AS DOUBLE) + nb)))
+             * (CAST(sp AS DOUBLE) / 1000000000000.0) * 1000000 + 0.5)
+         / 1000000.0 AS cvm_t,
+       floor((1.0 + 1.0 / (na + nb)) / 6.0 * 1000000 + 0.5) / 1000000.0
+         AS e_t,
+       CASE WHEN (CAST(na AS DOUBLE) * nb / ((na + nb) * (CAST(na AS DOUBLE) + nb)))
+                 * (CAST(sp AS DOUBLE) / 1000000000000.0) > 0.461
+            THEN 'distributions_differ' ELSE 'no_difference' END AS verdict
+FROM s, n
+""",
+)
+def agg_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-SAMPLE CRAMER-VON MISES: T = (na*nb/N^2) * sum over pooled
+    points of (F_A - F_B)^2 between the even/odd event_id halves — the
+    INTEGRATED companion to ``agg_ks_test``'s supremum (KS sees only
+    the single worst gap; CvM accumulates every gap, so many small
+    persistent deviations that KS misses move T).  Reports T, its null
+    mean (1 + 1/N)/6, and the verdict vs the 5% asymptotic critical
+    value 0.461 (Anderson & Darling 1952 — literal in both engines).
+
+    Tie-exact: the ECDF gap is constant within a tie group, so the sum
+    weights each distinct value by its pooled count.  The per-value
+    term is a pinned double of exact cumulative counts, PICO-QUANTIZED
+    and summed as int64 (order-free at any value cardinality — see the
+    wave-K banner above); the Spark side reuses the KS machinery's
+    single distributed_rank pass (no single-task window)."""
+    ev = table(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            "value",
+            F.when(F.col("event_id") % 2 == 0, 1).otherwise(0).alias("in_a"),
+        )
+        .groupBy("value")
+        .agg(
+            F.sum("in_a").cast("long").alias("ca"),
+            F.sum(1 - F.col("in_a")).cast("long").alias("cb"),
+        )
+    )
+    c = distributed_rank(g, ["value"], sum_cols=("ca", "cb"))
+    na, nb = F.col("_tot_ca"), F.col("_tot_cb")
+    gap = (
+        F.col("_cum_ca").cast("double") * nb - F.col("_cum_cb").cast("double") * na
+    ) / (na.cast("double") * nb)
+    term = (F.col("ca") + F.col("cb")) * (gap * gap)
+    s = c.select(
+        na.alias("na"),
+        nb.alias("nb"),
+        F.floor(term * 1000000000000.0 + 0.5).cast("long").alias("tq"),
+    ).groupBy("na", "nb").agg(F.sum("tq").cast("long").alias("sp"))
+    nn = F.col("na") + F.col("nb")
+    t = (
+        F.col("na").cast("double")
+        * F.col("nb")
+        / (nn * (F.col("na").cast("double") + F.col("nb")))
+    ) * (F.col("sp").cast("double") / 1000000000000.0)
+    return s.select(
+        "na",
+        "nb",
+        r6(t).alias("cvm_t"),
+        r6((1.0 + 1.0 / nn) / 6.0).alias("e_t"),
+        F.when(t > 0.461, "distributions_differ")
+        .otherwise("no_difference")
+        .alias("verdict"),
+    )
+
+
+@register(
+    "agg_ad_2sample",
+    oracle="""
+WITH pts AS (
+  SELECT value, CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS in_a
+  FROM events
+), g AS (
+  SELECT value,
+         CAST(sum(in_a) AS BIGINT) AS ca,
+         CAST(sum(1 - in_a) AS BIGINT) AS cb
+  FROM pts GROUP BY 1
+), n AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM g
+), c AS (
+  SELECT ca, cb,
+         CAST(sum(ca) OVER w AS BIGINT) AS cum_a,
+         CAST(sum(cb) OVER w AS BIGINT) AS cum_b
+  FROM g
+  WINDOW w AS (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+), s AS (
+  SELECT CAST(sum(CASE WHEN cum_a + cum_b < na + nb THEN
+           CAST(floor(
+             (ca + cb)
+             * (((CAST(na + nb AS DOUBLE) * cum_a - CAST(na AS DOUBLE) * (cum_a + cum_b))
+                 * (CAST(na + nb AS DOUBLE) * cum_a - CAST(na AS DOUBLE) * (cum_a + cum_b)))
+                / (CAST(cum_a + cum_b AS DOUBLE)
+                   * ((na + nb) - (cum_a + cum_b))))
+             * 1000000.0 + 0.5) AS BIGINT)
+           ELSE 0 END) AS BIGINT) AS sq
+  FROM c, n
+)
+SELECT n.na, n.nb,
+       floor(((1.0 / na + 1.0 / nb)
+              * (CAST(sq AS DOUBLE) / 1000000.0) / (na + nb))
+             * 1000000 + 0.5) / 1000000.0 AS ad_stat,
+       CASE WHEN ((1.0 / na + 1.0 / nb)
+                  * (CAST(sq AS DOUBLE) / 1000000.0) / (na + nb)) > 2.492
+            THEN 'distributions_differ' ELSE 'no_difference' END AS verdict
+FROM s, n
+""",
+)
+def agg_ad_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-SAMPLE ANDERSON-DARLING (Scholz-Stephens A2_kN, k = 2,
+    right-continuous-ECDF form): the tail-weighted EDF test — the
+    1/(H(1-H)) weight makes deviations in the DISTRIBUTION TAILS count
+    where CvM weighs uniformly and KS sees one point, so this is the
+    member of the EDF trio that catches tail-only drift (exactly the
+    failure mode of heavy-tailed value corpora).  For k = 2 the two
+    sample terms coincide algebraically, so A2 = (1/na + 1/nb)/N *
+    sum_v t_v (N cumA - na cum)^2 / (cum (N - cum)) over values below
+    the pooled maximum.  Verdict vs the 5% asymptotic critical value
+    2.492 (Scholz-Stephens Table 1, literal).
+
+    Same pico/micro-quantize-then-int-sum discipline as
+    ``agg_cvm_test`` (micro here — the weighted terms are O(t_v), so
+    1e6 keeps the int sum < 2^63 at the sf1 twin while both engines
+    still derive the identical quantized integer per value); one
+    distributed_rank pass, no single-task window."""
+    ev = table(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            "value",
+            F.when(F.col("event_id") % 2 == 0, 1).otherwise(0).alias("in_a"),
+        )
+        .groupBy("value")
+        .agg(
+            F.sum("in_a").cast("long").alias("ca"),
+            F.sum(1 - F.col("in_a")).cast("long").alias("cb"),
+        )
+    )
+    c = distributed_rank(g, ["value"], sum_cols=("ca", "cb"))
+    na, nb = F.col("_tot_ca"), F.col("_tot_cb")
+    nn = na + nb
+    cum = F.col("_cum_ca") + F.col("_cum_cb")
+    d = (
+        nn.cast("double") * F.col("_cum_ca")
+        - na.cast("double") * cum
+    )
+    term = (F.col("ca") + F.col("cb")) * (
+        (d * d) / (cum.cast("double") * (nn - cum))
+    )
+    s = (
+        c.select(
+            na.alias("na"),
+            nb.alias("nb"),
+            F.when(cum < nn, F.floor(term * 1000000.0 + 0.5).cast("long"))
+            .otherwise(F.lit(0))
+            .alias("tq"),
+        )
+        .groupBy("na", "nb")
+        .agg(F.sum("tq").cast("long").alias("sq"))
+    )
+    ad = (
+        (1.0 / F.col("na") + 1.0 / F.col("nb"))
+        * (F.col("sq").cast("double") / 1000000.0)
+        / (F.col("na") + F.col("nb"))
+    )
+    return s.select(
+        "na",
+        "nb",
+        r6(ad).alias("ad_stat"),
+        F.when(ad > 2.492, "distributions_differ")
+        .otherwise("no_difference")
+        .alias("verdict"),
+    )
+
+
+@register(
+    "agg_quade_test",
+    oracle="""
+WITH cell AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', date_trunc('day', ts))
+              AS BIGINT) AS b,
+         event_type AS tr,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+r2 AS (
+  SELECT a.b, a.tr,
+         2 * CAST(sum(CASE WHEN x.y < a.y THEN 1 ELSE 0 END) AS BIGINT)
+         + CAST(sum(CASE WHEN x.y = a.y THEN 1 ELSE 0 END) AS BIGINT) + 1
+           AS rr2
+  FROM cell a JOIN cell x ON x.b = a.b
+  GROUP BY a.b, a.tr
+),
+kk AS (SELECT CAST(count(DISTINCT tr) AS BIGINT) AS k,
+              CAST(count(DISTINCT b) AS BIGINT) AS nb FROM cell),
+rng AS (
+  SELECT b, CAST(max(y) - min(y) AS BIGINT) AS w FROM cell GROUP BY 1
+),
+q2 AS (
+  SELECT a.b,
+         2 * CAST(sum(CASE WHEN x.w < a.w THEN 1 ELSE 0 END) AS BIGINT)
+         + CAST(sum(CASE WHEN x.w = a.w THEN 1 ELSE 0 END) AS BIGINT) + 1
+           AS qq2
+  FROM rng a JOIN rng x ON 1 = 1
+  GROUP BY a.b, a.w
+),
+s4 AS (
+  SELECT r2.b, r2.tr, q2.qq2 * (r2.rr2 - (kk.k + 1)) AS s
+  FROM r2 JOIN q2 ON r2.b = q2.b, kk
+),
+tot AS (
+  SELECT CAST(sum(s * s) AS BIGINT) AS a24 FROM s4
+),
+tj AS (
+  SELECT tr, CAST(sum(s) AS BIGINT) AS sj FROM s4 GROUP BY 1
+),
+bb AS (SELECT CAST(sum(sj * sj) AS BIGINT) AS sb4 FROM tj)
+SELECT nb AS n_blocks, k AS n_treatments,
+       floor(CAST((nb - 1) AS DOUBLE) * sb4 / (CAST(nb AS DOUBLE) * a24 - sb4)
+             * 1000000 + 0.5) / 1000000.0 AS f_stat,
+       CAST(k - 1 AS BIGINT) AS df1,
+       CAST((nb - 1) * (k - 1) AS BIGINT) AS df2
+FROM kk, tot, bb
+""",
+)
+def agg_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUADE TEST: the range-weighted Friedman — do the event types
+    differ in daily revenue when each DAY is its own block, with days
+    that show a WIDER spread counting more?  Friedman
+    (``agg_friedman``) throws away how big each block's differences
+    are; Quade weights each block by the rank of its range, recovering
+    most of the parametric F test's power on well-behaved data while
+    staying rank-based.  F = (b-1) B / (A - B), reported with its
+    (k-1, (b-1)(k-1)) dfs — statistic + df, no p (the anova_f
+    convention for F outputs).
+
+    EVERYTHING is exact int64: within-block midranks (k = 5 values) and
+    block-range midranks (b days) come from bounded self-joins in
+    doubled form; the weighted centered scores S = Q2*(r2 - (k+1)) are
+    quadrupled-scale ints whose scaling cancels in F, which evaluates
+    as the exact ratio (b-1)*sum(Sj^2) / (b*sum(S^2) - sum(Sj^2)) with
+    one pinned double division.  Scale: day x type bounded cells."""
+    ev = table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("b"),
+        F.col("event_type").alias("tr"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("y"))
+    a = cell.select(F.col("b").alias("ba"), F.col("tr").alias("tra"), F.col("y").alias("ya"))
+    x = cell.select(F.col("b").alias("bx"), F.col("y").alias("yx"))
+    r2 = (
+        a.join(F.broadcast(x), F.col("bx") == F.col("ba"))
+        .groupBy("ba", "tra")
+        .agg(
+            (
+                2 * F.sum(F.when(F.col("yx") < F.col("ya"), 1).otherwise(0))
+                + F.sum(F.when(F.col("yx") == F.col("ya"), 1).otherwise(0))
+                + 1
+            )
+            .cast("long")
+            .alias("rr2")
+        )
+    )
+    kk = cell.agg(
+        F.countDistinct("tr").cast("long").alias("k"),
+        F.countDistinct("b").cast("long").alias("nb"),
+    )
+    rng = cell.groupBy("b").agg((F.max("y") - F.min("y")).cast("long").alias("w"))
+    ra = rng.select(F.col("b").alias("rb"), F.col("w").alias("wa"))
+    rx = rng.select(F.col("w").alias("wx"))
+    q2 = (
+        ra.crossJoin(F.broadcast(rx))
+        .groupBy("rb", "wa")
+        .agg(
+            (
+                2 * F.sum(F.when(F.col("wx") < F.col("wa"), 1).otherwise(0))
+                + F.sum(F.when(F.col("wx") == F.col("wa"), 1).otherwise(0))
+                + 1
+            )
+            .cast("long")
+            .alias("qq2")
+        )
+        .select(F.col("rb").alias("b"), "qq2")
+    )
+    s4 = (
+        r2.select(F.col("ba").alias("b"), F.col("tra").alias("tr"), "rr2")
+        .join(F.broadcast(q2), "b")
+        .crossJoin(F.broadcast(kk))
+        .select(
+            "b",
+            "tr",
+            (F.col("qq2") * (F.col("rr2") - (F.col("k") + 1))).alias("s"),
+        )
+    )
+    tot = s4.agg(F.sum(F.col("s") * F.col("s")).cast("long").alias("a24"))
+    tj = s4.groupBy("tr").agg(F.sum("s").cast("long").alias("sj"))
+    bb = tj.agg(F.sum(F.col("sj") * F.col("sj")).cast("long").alias("sb4"))
+    out = kk.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(bb))
+    return out.select(
+        F.col("nb").alias("n_blocks"),
+        F.col("k").alias("n_treatments"),
+        r6(
+            (F.col("nb") - 1).cast("double")
+            * F.col("sb4")
+            / (F.col("nb").cast("double") * F.col("a24") - F.col("sb4"))
+        ).alias("f_stat"),
+        (F.col("k") - 1).cast("long").alias("df1"),
+        ((F.col("nb") - 1) * (F.col("k") - 1)).cast("long").alias("df2"),
+    )
