@@ -148,6 +148,11 @@ NEW_THIS_ROUND = [
     "agg_cvm_test",
     "agg_ad_2sample",
     "agg_quade_test",
+    # round-15 wave L (spectrum, burstiness, ARCH, pass@k)
+    "ext_embedding_effective_dim",
+    "ext_term_burstiness",
+    "ext_ts_arch_test",
+    "ext_pass_at_k",
 ]
 
 CORE = [

@@ -425,3 +425,107 @@ def ext_classifier_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ext_classifier_mcc.__doc__ = ext_classifier_mcc.__doc__.format(th=_MCC_THRESHOLD)
+
+
+_PASS_K = 5
+_PASS_SUCCESS = 200  # dollars: an attempt "passes" when value > this
+
+
+def _passk_prod_sql(k: int) -> str:
+    """Unrolled unbiased pass@k product Pi_i max(n-c-i,0)/(n-i)."""
+    return " * ".join(
+        f"(CAST(greatest(n - c - {i}, 0) AS DOUBLE) / (n - {i}))"
+        for i in range(k)
+    )
+
+
+@register(
+    "ext_pass_at_k",
+    oracle=f"""
+WITH att AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN value > {_PASS_SUCCESS} THEN 1 ELSE 0 END)
+              AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+el AS (SELECT user_id, n, c FROM att WHERE n >= {_PASS_K}),
+pq AS (
+  SELECT CAST(floor((1.0 - CAST(n - c AS DOUBLE) / n) * 1000000 + 0.5)
+              AS BIGINT) AS p1q,
+         CAST(floor((1.0 - {_passk_prod_sql(_PASS_K)}) * 1000000 + 0.5)
+              AS BIGINT) AS pkq,
+         n, c
+  FROM el
+)
+SELECT CAST(count(*) AS BIGINT) AS n_problems,
+       CAST(sum(n) AS BIGINT) AS n_attempts,
+       CAST(sum(c) AS BIGINT) AS n_successes,
+       floor(CAST(sum(p1q) AS DOUBLE) / count(*) / 1000000.0 * 1000000 + 0.5)
+         / 1000000.0 AS pass_at_1,
+       floor(CAST(sum(pkq) AS DOUBLE) / count(*) / 1000000.0 * 1000000 + 0.5)
+         / 1000000.0 AS pass_at_{_PASS_K}
+FROM pq
+""",
+)
+def ext_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PASS@K (Chen et al., HumanEval): treating each user as a
+    "problem" and their events as attempts (success = value > {th}),
+    the unbiased estimator pass@k = 1 - C(n-c, k)/C(n, k) averaged over
+    problems — THE metric for sampled-generation eval, computed with
+    the numerically-stable product form Pi_i (n-c-i)/(n-i) (the
+    binomial-ratio form overflows; the product never does), zero-
+    clamped so any exhausted factor collapses the product exactly.
+    Problems with fewer than k attempts are excluded (the estimator is
+    undefined there); attempt/success totals are reported so the
+    exclusion is auditable.
+
+    Per-problem estimates are pinned doubles of exact counts,
+    MICRO-QUANTIZED then exact-int summed across problems (order-free
+    at any problem count — the corpus-grain discipline).  Scale: one
+    user-grain combine, then a 1-row reduce."""
+    ev = table(spark, sf_dir, "events")
+    att = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("value") > _PASS_SUCCESS, 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    el = att.filter(F.col("n") >= _PASS_K)
+    prod = None
+    for i in range(_PASS_K):
+        f = F.greatest(F.col("n") - F.col("c") - i, F.lit(0)).cast("double") / (
+            F.col("n") - i
+        )
+        prod = f if prod is None else prod * f
+    pq = el.select(
+        "n",
+        "c",
+        F.floor((1.0 - (F.col("n") - F.col("c")).cast("double") / F.col("n")) * 1000000 + 0.5)
+        .cast("long")
+        .alias("p1q"),
+        F.floor((1.0 - prod) * 1000000 + 0.5).cast("long").alias("pkq"),
+    )
+    out = pq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_problems"),
+        F.sum("n").cast("long").alias("n_attempts"),
+        F.sum("c").cast("long").alias("n_successes"),
+        (
+            F.floor(
+                F.sum("p1q").cast("double") / F.count(F.lit(1)) / 1000000.0 * 1000000
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("pass_at_1"),
+        (
+            F.floor(
+                F.sum("pkq").cast("double") / F.count(F.lit(1)) / 1000000.0 * 1000000
+                + 0.5
+            )
+            / 1000000.0
+        ).alias(f"pass_at_{_PASS_K}"),
+    )
+    return out
+
+
+ext_pass_at_k.__doc__ = ext_pass_at_k.__doc__.format(th=_PASS_SUCCESS)

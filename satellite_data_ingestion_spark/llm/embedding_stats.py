@@ -714,3 +714,88 @@ def ext_sim_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ext_sim_hamming.__doc__ = ext_sim_hamming.__doc__.format(k=_HAMMING_TOP_K)
+
+
+@register(
+    "ext_embedding_effective_dim",
+    oracle=f"""
+WITH {_CENTROID_CTE},
+dm AS (
+  SELECT pos, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q) AS BIGINT) AS sq,
+         CAST(sum(q * q) AS BIGINT) AS sqq
+  FROM pv GROUP BY 1
+),
+vr AS (
+  SELECT pos,
+         (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n) / (n - 1) AS v
+  FROM dm
+),
+tot AS (
+  SELECT list_reduce(list_prepend(0.0, list(v ORDER BY pos)),
+                     (a, b) -> a + b) AS sv,
+         list_reduce(list_prepend(0.0, list(v * v ORDER BY pos)),
+                     (a, b) -> a + b) AS sv2,
+         CAST(count(*) AS BIGINT) AS dim
+  FROM vr
+),
+ent AS (
+  SELECT dim, sv, sv2,
+         list_reduce(list_prepend(0.0, list(
+             (v / sv) * ln(sv / v) ORDER BY pos)), (a, b) -> a + b) AS h
+  FROM vr, tot GROUP BY dim, sv, sv2
+)
+SELECT dim,
+       floor(exp(h) * 1000000 + 0.5) / 1000000.0 AS effective_dim,
+       floor((sv * sv / sv2) * 1000000 + 0.5) / 1000000.0
+         AS participation_ratio,
+       floor(exp(h) / dim * 1000000 + 0.5) / 1000000.0 AS dim_utilization
+FROM ent
+""",
+)
+def ext_embedding_effective_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EFFECTIVE DIMENSIONALITY of the embedding space from its per-dim
+    variance spectrum: exp(H(p)) with p = var_i / sum(var) (the
+    entropy-based effective rank, diagonal form) and the participation
+    ratio (sum var)^2 / sum(var^2) — the two "how many dimensions is
+    this 64-dim space REALLY using" numbers that catch dimensional
+    collapse (the contrastive-learning failure mode) before a retrieval
+    index inherits it.  utilization = effective/nominal.
+
+    Per-dim variances are pinned closed forms of the EXACT micro-int
+    moments (the whitening discipline); the spectrum folds (sum, sum of
+    squares, entropy) run in dimension order — 64 terms.  Scale: one
+    posexplode combine; everything after is dimension-sized."""
+    dm = _pv(spark, sf_dir).groupBy("pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
+    )
+    vr = dm.select(
+        "pos",
+        (
+            (F.col("sqq").cast("double") - F.col("sq").cast("double") * F.col("sq") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("v"),
+    )
+    tot = vr.agg(
+        _fold_by_pos(F.col("v")).alias("sv"),
+        _fold_by_pos(F.col("v") * F.col("v")).alias("sv2"),
+        F.count(F.lit(1)).cast("long").alias("dim"),
+    )
+    ent = (
+        vr.crossJoin(F.broadcast(tot))
+        .groupBy("dim", "sv", "sv2")
+        .agg(
+            _fold_by_pos(
+                (F.col("v") / F.col("sv")) * F.log(F.col("sv") / F.col("v"))
+            ).alias("h")
+        )
+    )
+    r6 = lambda c: F.floor(c * 1000000 + 0.5) / 1000000.0  # noqa: E731
+    return ent.select(
+        "dim",
+        r6(F.exp(F.col("h"))).alias("effective_dim"),
+        r6(F.col("sv") * F.col("sv") / F.col("sv2")).alias("participation_ratio"),
+        r6(F.exp(F.col("h")) / F.col("dim")).alias("dim_utilization"),
+    )

@@ -3614,3 +3614,85 @@ def ext_keyword_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
 ext_keyword_textrank.__doc__ = ext_keyword_textrank.__doc__.format(
     d=_TR_DAMPING, it=_TR_ITERS, top=_TR_TOP, r=_TR_ROUND
 )
+
+
+@register(
+    "ext_term_burstiness",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, w AS word
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'))
+                 AS w
+        FROM documents)
+  WHERE w <> ''
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+dw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+       FROM toks GROUP BY 1, 2),
+st AS (
+  SELECT word,
+         CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(c) AS BIGINT) AS cf,
+         CAST(sum(c * c) AS BIGINT) AS cf2
+  FROM dw GROUP BY 1
+)
+SELECT word, df, cf,
+       floor((CAST(cf2 AS DOUBLE) - CAST(cf AS DOUBLE) * cf / n_docs)
+             / (n_docs - 1)
+             / (CAST(cf AS DOUBLE) / n_docs) * 1000000 + 0.5) / 1000000.0
+         AS burstiness,
+       floor(CAST(cf AS DOUBLE) / df * 1000000 + 0.5) / 1000000.0
+         AS adaptation,
+       floor(ln(CAST(n_docs AS DOUBLE) / df) * 1000000 + 0.5) / 1000000.0
+         AS idf
+FROM st, nd
+ORDER BY word
+""",
+)
+def ext_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TERM BURSTINESS (Church-Gale): per vocabulary word, the
+    variance-to-mean ratio of its per-document count INCLUDING the
+    zero-count documents — a Poisson word scores ~1, a bursty word
+    (content terms that pile into few docs) scores far above, and
+    function words sit near 1.  Plus adaptation (mean count GIVEN the
+    word appears, cf/df) and IDF — the trio that separates content from
+    filler better than frequency alone, and the statistic behind
+    burstiness-aware dedup and topic-shift monitors.
+
+    The zero-including variance needs only (df, cf, sum c^2) per word
+    and the corpus doc count — the zeros enter through the closed form
+    (sum over all docs of c^2 equals sum over PRESENT docs), so nothing
+    materializes the doc x vocab grid.  All moments exact int64; one
+    pinned division chain per word.  Scale: one (doc, word) combine to
+    the bounded vocabulary grain."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    dw = toks.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    st = dw.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("cf"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("cf2"),
+    )
+    j = st.crossJoin(F.broadcast(nd))
+    ndc = F.col("n_docs")
+    var = (
+        F.col("cf2").cast("double") - F.col("cf").cast("double") * F.col("cf") / ndc
+    ) / (ndc - 1)
+    q6 = lambda c: F.floor(c * 1000000 + 0.5) / 1000000.0  # noqa: E731
+    return j.select(
+        "word",
+        "df",
+        "cf",
+        q6(var / (F.col("cf").cast("double") / ndc)).alias("burstiness"),
+        q6(F.col("cf").cast("double") / F.col("df")).alias("adaptation"),
+        q6(F.log(ndc.cast("double") / F.col("df"))).alias("idf"),
+    ).orderBy("word")

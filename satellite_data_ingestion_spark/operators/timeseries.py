@@ -4584,3 +4584,112 @@ def ext_lis_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("persistence"),
     ).orderBy("event_type")
+
+
+from .monitoring import _wh_p as _arch_wh_p  # noqa: E402
+from .monitoring import _wh_p_sql as _arch_wh_p_sql  # noqa: E402
+
+
+@register(
+    "ext_ts_arch_test",
+    oracle=f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hr,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT x, CAST(row_number() OVER (ORDER BY hr) AS BIGINT) AS t FROM hourly
+),
+mu AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx
+       FROM idx),
+u AS (
+  SELECT t,
+         CAST(floor((CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / n)
+                    * (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / n)
+                    / 100000000.0 + 0.5) AS BIGINT) AS uq
+  FROM idx, mu
+),
+pr AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(a.uq) AS BIGINT) AS sa,
+         CAST(sum(b.uq) AS BIGINT) AS sb,
+         CAST(sum(a.uq * a.uq) AS BIGINT) AS saa,
+         CAST(sum(b.uq * b.uq) AS BIGINT) AS sbb,
+         CAST(sum(a.uq * b.uq) AS BIGINT) AS sab
+  FROM u a JOIN u b ON b.t = a.t - 1
+),
+rr AS (
+  SELECT m,
+         (CAST(m AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+           / sqrt((CAST(m AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
+                  * (CAST(m AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)) AS r1
+  FROM pr
+),
+lm AS (SELECT m, r1, m * (r1 * r1) AS lmstat FROM rr)
+SELECT m + 1 AS n_hours,
+       floor(r1 * 1000000 + 0.5) / 1000000.0 AS r1_squares,
+       floor(lmstat * 1000000 + 0.5) / 1000000.0 AS lm,
+       floor({_arch_wh_p_sql("lmstat", "1.0")} * 1000000 + 0.5) / 1000000.0
+         AS p,
+       CASE WHEN {_arch_wh_p_sql("lmstat", "1.0")} < 0.05
+            THEN 'arch_effects' ELSE 'no_arch' END AS verdict
+FROM lm
+""",
+)
+def ext_ts_arch_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGLE'S ARCH LM TEST (1 lag) on hourly revenue: does VOLATILITY
+    cluster — is this hour's squared deviation predictable from the
+    last hour's?  Mean-watching detectors assume it is not; if LM
+    rejects, every fixed-sigma threshold in the monitoring battery
+    (CUSUM, EWMA bands, Bollinger) is mis-calibrated in bursts and
+    should move to a conditional-volatility scale.  LM = m * r1^2 of
+    the demeaned-squares series, chi2(1) under the null via the shared
+    Wilson-Hilferty + Phi.
+
+    The squared deviations quantize at 1e-8 of a cent^2 (one identical
+    floor in both engines — the quantize-then-sum stance, keeping every
+    later moment an exact int64 through the sf1 twin); r1 is the plain
+    Pearson closed form over the lag-1 pair join on the bounded hourly
+    spine."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("x")
+    )
+    w = Window.orderBy("hr")
+    idx = hourly.select("x", F.row_number().over(w).cast("long").alias("t"))
+    mu = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    dev = F.col("x").cast("double") - F.col("sx").cast("double") / F.col("n")
+    u = idx.crossJoin(F.broadcast(mu)).select(
+        "t",
+        F.floor(dev * dev / 100000000.0 + 0.5).cast("long").alias("uq"),
+    )
+    a = u.select(F.col("t").alias("ta"), F.col("uq").alias("ua"))
+    b = u.select(F.col("t").alias("tb"), F.col("uq").alias("ub"))
+    pr = a.join(b, F.col("tb") == F.col("ta") - 1).agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("ua").cast("long").alias("sa"),
+        F.sum("ub").cast("long").alias("sb"),
+        F.sum(F.col("ua") * F.col("ua")).cast("long").alias("saa"),
+        F.sum(F.col("ub") * F.col("ub")).cast("long").alias("sbb"),
+        F.sum(F.col("ua") * F.col("ub")).cast("long").alias("sab"),
+    )
+    m = F.col("m").cast("double")
+    r1 = (m * F.col("sab") - F.col("sa").cast("double") * F.col("sb")) / F.sqrt(
+        (m * F.col("saa") - F.col("sa").cast("double") * F.col("sa"))
+        * (m * F.col("sbb") - F.col("sb").cast("double") * F.col("sb"))
+    )
+    rr = pr.select("m", r1.alias("r1"))
+    lm = rr.select("m", "r1", (F.col("m") * (F.col("r1") * F.col("r1"))).alias("lmstat"))
+    pv = _arch_wh_p(F.col("lmstat"), F.lit(1.0))
+    r6l = lambda c: F.floor(c * 1000000 + 0.5) / 1000000.0  # noqa: E731
+    return lm.select(
+        (F.col("m") + 1).alias("n_hours"),
+        r6l(F.col("r1")).alias("r1_squares"),
+        r6l(F.col("lmstat")).alias("lm"),
+        r6l(pv).alias("p"),
+        F.when(pv < 0.05, "arch_effects").otherwise("no_arch").alias("verdict"),
+    )
