@@ -1018,3 +1018,59 @@ def test_kneser_ney_vocab_side_broadcasts(spark):
     — the corpus-derived bigram frame is never reshuffled for them."""
     plan = plan_of(spark, "ext_ngram_kneser_ney")
     assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2, plan[:1500]
+
+
+def _all_windows_pid_partitioned(plan: str) -> bool:
+    """True iff every window spec in the plan partitions by the
+    distributed_rank range-partition key (no global single-task
+    window over the value grain)."""
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    return all(spec.lstrip().startswith("_pid") for spec in specs)
+
+
+def test_cvm_no_single_task_window(spark):
+    """The EDF cumulatives must come from distributed_rank's
+    range-partitioned local windows, never a global empty-partition
+    window over the value grain."""
+    plan = plan_of(spark, "agg_cvm_test")
+    assert "windowspecdefinition" in plan  # the cumulative pass exists
+    assert _all_windows_pid_partitioned(plan), plan[:1500]
+
+
+def test_ad_2sample_no_single_task_window(spark):
+    plan = plan_of(spark, "agg_ad_2sample")
+    assert "windowspecdefinition" in plan
+    assert _all_windows_pid_partitioned(plan), plan[:1500]
+
+
+def test_sim_hamming_broadcast_shape(spark):
+    """Per-dim thresholds and the query bits broadcast; the corpus side
+    never shuffles for the join."""
+    plan = plan_of(spark, "ext_sim_hamming")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, tree
+    # the top-k is a heap, not a global sort-all
+    assert "TakeOrderedAndProject" in tree, tree
+
+
+def test_pass_at_k_single_exchange(spark):
+    """One user-grain combine; the pass@k algebra is projection-only."""
+    plan = plan_of(spark, "ext_pass_at_k")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 2, tree  # user groupBy + final 1-row agg
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_softdedup_fixed_width_group_key(spark):
+    """The duplicate-group key must be the 16-byte unhex(md5), not raw
+    text (O(1) exchange compare cost at 100 TB)."""
+    plan = plan_of(spark, "ext_softdedup_weights")
+    assert "unhex" in plan and "md5" in plan, plan[:2000]
+
+
+def test_kappa_weighted_broadcast_margins(spark):
+    """All margin/cell frames are broadcast — no shuffle joins past the
+    customer-grain combine."""
+    plan = plan_of(spark, "agg_kappa_weighted")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree, tree
