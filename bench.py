@@ -153,6 +153,9 @@ NEW_THIS_ROUND = [
     "ext_term_burstiness",
     "ext_ts_arch_test",
     "ext_pass_at_k",
+    # round-15 wave M (randomness screen + calibration test)
+    "agg_turning_points",
+    "ext_calibration_spiegelhalter",
 ]
 
 CORE = [

@@ -207,18 +207,23 @@ def ext_auc_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PLATT_ITERS = 3
 
 
-def _platt_oracle() -> str:
-    """Unrolled Newton iterations for the 2-parameter logistic fit."""
+def _mu_sql(a: str, b: str) -> str:
+    return f"(1.0 / (1.0 + exp(-(({a}) * v + ({b})))))"
 
-    def mu(a: str, b: str) -> str:
-        return f"(1.0 / (1.0 + exp(-(({a}) * v + ({b})))))"
 
-    def fold(expr: str) -> str:
-        return (
-            f"list_reduce(list_prepend(0.0, list({expr} ORDER BY v)), "
-            f"(p, q) -> p + q)"
-        )
+def _fold_sql(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list({expr} ORDER BY v)), "
+        f"(p, q) -> p + q)"
+    )
 
+
+def _platt_prelude() -> str:
+    """Shared oracle prelude: score cells + the unrolled Newton chain
+    ending at it{N} — consumed by ext_platt_scaling and the
+    Spiegelhalter calibration test."""
+    mu = _mu_sql
+    fold = _fold_sql
     parts = [
         """WITH cells AS (
   SELECT CAST(round(value) AS BIGINT) AS v,
@@ -255,6 +260,13 @@ it{j} AS (
   FROM f{j}
 )"""
         )
+    return "".join(parts)
+
+
+def _platt_oracle() -> str:
+    mu = _mu_sql
+    fold = _fold_sql
+    parts = [_platt_prelude()]
     m = mu("a", "b")
     parts.append(
         f""",
@@ -274,30 +286,24 @@ FROM loss"""
     return "".join(parts)
 
 
-@register("ext_platt_scaling", oracle=_platt_oracle())
-def ext_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PLATT SCALING: fit P(purchase | value) = sigmoid(a*value + b) by
-    {it} unrolled Newton-Raphson steps — the parametric calibration map
-    next to ``ext_isotonic_calibration``'s monotone-step fit (Platt
-    gives a smooth two-parameter sigmoid; isotonic gives a free-form
-    staircase), reporting the fitted slope/intercept and the final
-    mean log-loss.
-
-    The 2x2 Newton system has a closed-form inverse, so each step is
-    five value-ordered folds (gradient + Hessian) over the BOUNDED
-    dollar-bucket histogram plus pinned double algebra — no
-    optimization loop touches the corpus, and 3 steps from the
-    log-odds-prior start are quadratically convergent for this 1-D
-    feature.  The oracle unrolls the identical three steps as chained
-    CTEs; sigmoids/logs are the same pinned expressions in both
-    engines."""
+def _score_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(v, n, np): dollar-bucket histogram with positive counts."""
     ev = table(spark, sf_dir, "events")
-    cells = ev.groupBy(F.round("value").cast("long").alias("v")).agg(
+    return ev.groupBy(F.round("value").cast("long").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
         .cast("long")
         .alias("np"),
     )
+
+
+def _platt_mu():
+    return 1.0 / (1.0 + F.exp(-(F.col("a") * F.col("v") + F.col("b"))))
+
+
+def _platt_ab(cells: DataFrame) -> DataFrame:
+    """One row (a, b): the unrolled Newton fit — the Spark twin of the
+    oracle prelude's it{N} CTE."""
     tot = cells.agg(
         F.sum("n").cast("long").alias("nn"), F.sum("np").cast("long").alias("npos")
     )
@@ -307,13 +313,9 @@ def ext_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b"
         ),
     )
-
-    def mu_col():
-        return 1.0 / (1.0 + F.exp(-(F.col("a") * F.col("v") + F.col("b"))))
-
     for _ in range(_PLATT_ITERS):
         j = cells.crossJoin(F.broadcast(ab))
-        m = mu_col()
+        m = _platt_mu()
         f = j.groupBy("a", "b").agg(
             _ordfold(F.col("v"), (F.col("np") - F.col("n") * m) * F.col("v")).alias(
                 "g1"
@@ -332,8 +334,33 @@ def ext_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a") + (F.col("h22") * F.col("g1") - F.col("h12") * F.col("g2")) / det).alias("a"),
             (F.col("b") + (F.col("h11") * F.col("g2") - F.col("h12") * F.col("g1")) / det).alias("b"),
         )
+    return ab
+
+
+@register("ext_platt_scaling", oracle=_platt_oracle())
+def ext_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLATT SCALING: fit P(purchase | value) = sigmoid(a*value + b) by
+    {it} unrolled Newton-Raphson steps — the parametric calibration map
+    next to ``ext_isotonic_calibration``'s monotone-step fit (Platt
+    gives a smooth two-parameter sigmoid; isotonic gives a free-form
+    staircase), reporting the fitted slope/intercept and the final
+    mean log-loss.
+
+    The 2x2 Newton system has a closed-form inverse, so each step is
+    five value-ordered folds (gradient + Hessian) over the BOUNDED
+    dollar-bucket histogram plus pinned double algebra — no
+    optimization loop touches the corpus, and 3 steps from the
+    log-odds-prior start are quadratically convergent for this 1-D
+    feature.  The oracle unrolls the identical three steps as chained
+    CTEs; sigmoids/logs are the same pinned expressions in both
+    engines."""
+    cells = _score_cells(spark, sf_dir)
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("nn"), F.sum("np").cast("long").alias("npos")
+    )
+    ab = _platt_ab(cells)
     j = cells.crossJoin(F.broadcast(ab))
-    m = mu_col()
+    m = _platt_mu()
     loss = j.groupBy("a", "b").agg(
         _ordfold(
             F.col("v"),
@@ -529,3 +556,74 @@ def ext_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ext_pass_at_k.__doc__ = ext_pass_at_k.__doc__.format(th=_PASS_SUCCESS)
+
+
+def _spiegelhalter_oracle() -> str:
+    mu = _mu_sql("a", "b")
+    parts = [_platt_prelude()]
+    parts.append(
+        f""",
+zf AS (
+  SELECT a, b,
+         {_fold_sql(f"(np - n * {mu}) * (1.0 - 2.0 * {mu})")} AS num,
+         {_fold_sql(f"n * ((1.0 - 2.0 * {mu}) * (1.0 - 2.0 * {mu})) * ({mu} * (1.0 - {mu}))")} AS den
+  FROM cells, it{_PLATT_ITERS}
+  GROUP BY a, b
+),
+zz AS (SELECT num / sqrt(den) AS z FROM zf)
+SELECT (SELECT nn FROM tot) AS n, (SELECT npos FROM tot) AS n_pos,
+       floor(z * 1000000 + 0.5) / 1000000.0 AS z,
+       floor(2.0 * (1.0 - {_norm_cdf_sql_import("abs(z)")}) * 1000000 + 0.5)
+         / 1000000.0 AS p,
+       CASE WHEN 2.0 * (1.0 - {_norm_cdf_sql_import("abs(z)")}) < 0.05
+            THEN 'miscalibrated' ELSE 'calibrated' END AS verdict
+FROM zz"""
+    )
+    return "".join(parts)
+
+
+from ..operators.hypothesis import _norm_cdf as _norm_cdf_import  # noqa: E402
+from ..operators.hypothesis import _norm_cdf_sql as _norm_cdf_sql_import  # noqa: E402
+
+
+@register("ext_calibration_spiegelhalter", oracle=_spiegelhalter_oracle())
+def ext_calibration_spiegelhalter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPIEGELHALTER'S Z TEST on the Platt-calibrated probabilities:
+    after fitting P(purchase | value) = sigmoid(a*value + b)
+    (``ext_platt_scaling``'s exact Newton fit, shared code), is the
+    REMAINING miscalibration more than chance?  Z = sum (y - p)(1 - 2p)
+    / sqrt(sum (1-2p)^2 p(1-p)) — the decomposition-based test that
+    completes the calibration battery (ECE/MCE bin the error;
+    isotonic/Platt fix it; Spiegelhalter TESTS whether anything
+    fixable remains), with the shared-Phi two-sided p.
+
+    Per-bucket terms are pinned sigmoid expressions of the shared
+    (a, b) over exact counts, folded in value order; the oracle reuses
+    the Platt prelude's unrolled Newton chain verbatim.  Scale: bounded
+    dollar-bucket histogram throughout."""
+    cells = _score_cells(spark, sf_dir)
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("nn"), F.sum("np").cast("long").alias("npos")
+    )
+    ab = _platt_ab(cells)
+    j = cells.crossJoin(F.broadcast(ab))
+    m = _platt_mu()
+    zf = j.groupBy("a", "b").agg(
+        _ordfold(
+            F.col("v"), (F.col("np") - F.col("n") * m) * (1.0 - 2.0 * m)
+        ).alias("num"),
+        _ordfold(
+            F.col("v"),
+            F.col("n") * ((1.0 - 2.0 * m) * (1.0 - 2.0 * m)) * (m * (1.0 - m)),
+        ).alias("den"),
+    )
+    zz = zf.select((F.col("num") / F.sqrt(F.col("den"))).alias("z"))
+    pv = 2.0 * (1.0 - _norm_cdf_import(F.abs(F.col("z"))))
+    out = zz.crossJoin(F.broadcast(tot))
+    return out.select(
+        F.col("nn").alias("n"),
+        F.col("npos").alias("n_pos"),
+        _q6(F.col("z")).alias("z"),
+        _q6(pv).alias("p"),
+        F.when(pv < 0.05, "miscalibrated").otherwise("calibrated").alias("verdict"),
+    )

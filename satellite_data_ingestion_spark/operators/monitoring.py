@@ -2469,3 +2469,98 @@ def ext_cusum_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("at_day"),
         r6(F.col("dev")).alias("max_dev"),
     )
+
+
+@register(
+    "agg_turning_points",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', date_trunc('day', ts))
+              AS BIGINT) AS d,
+         CAST(sum({_CENTS}) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+tp AS (
+  SELECT CAST(count(*) AS BIGINT) AS t
+  FROM daily a
+  JOIN daily p ON p.d = a.d - 1
+  JOIN daily q ON q.d = a.d + 1
+  WHERE (a.y > p.y AND a.y > q.y) OR (a.y < p.y AND a.y < q.y)
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+zz AS (
+  SELECT n, t,
+         2.0 * (n - 2) / 3.0 AS e_t,
+         (16.0 * n - 29.0) / 90.0 AS var_t,
+         (CAST(t AS DOUBLE) - 2.0 * (n - 2) / 3.0)
+           / sqrt((16.0 * n - 29.0) / 90.0) AS z
+  FROM tp, nn
+)
+SELECT n AS n_days, t AS turning_points,
+       floor(e_t * 10000 + 0.5) / 10000.0 AS expected,
+       floor(z * 1000000 + 0.5) / 1000000.0 AS z,
+       floor(2.0 * (1.0 - {_norm_cdf_sql("abs(z)")}) * 1000000 + 0.5)
+         / 1000000.0 AS p,
+       CASE WHEN 2.0 * (1.0 - {_norm_cdf_sql("abs(z)")}) < 0.05 AND z < 0
+              THEN 'too_smooth'
+            WHEN 2.0 * (1.0 - {_norm_cdf_sql("abs(z)")}) < 0.05 AND z > 0
+              THEN 'too_oscillatory'
+            ELSE 'random' END AS verdict
+FROM zz
+""",
+)
+def agg_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TURNING-POINT TEST (Kendall) on daily revenue: count the local
+    peaks and troughs — an i.i.d. series turns at 2(n-2)/3 of its
+    interior points; significantly FEWER turns means trend/persistence
+    (the series glides), significantly MORE means oscillation
+    (negative autocorrelation, e.g. a weekly see-saw).  The
+    cheapest-possible randomness screen next to ``agg_runs_test``
+    (runs look at signs vs the median; turning points at local
+    geometry), Var = (16n-29)/90 exact.
+
+    The triple (prev, here, next) comes from two exact-int day-offset
+    joins on the dense calendar grid; count/mean/variance/z are pinned
+    closed forms; shared-Phi two-sided p.  Scale: calendar-bounded."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("y"))
+    a = daily.select(F.col("d").alias("da"), F.col("y").alias("ya"))
+    p = daily.select(F.col("d").alias("dp"), F.col("y").alias("yp"))
+    q = daily.select(F.col("d").alias("dq"), F.col("y").alias("yq"))
+    tp = (
+        a.join(F.broadcast(p), F.col("dp") == F.col("da") - 1)
+        .join(F.broadcast(q), F.col("dq") == F.col("da") + 1)
+        .filter(
+            ((F.col("ya") > F.col("yp")) & (F.col("ya") > F.col("yq")))
+            | ((F.col("ya") < F.col("yp")) & (F.col("ya") < F.col("yq")))
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    n = F.col("n")
+    zz = tp.crossJoin(F.broadcast(nn)).select(
+        n,
+        F.col("t"),
+        (2.0 * (n - 2) / 3.0).alias("e_t"),
+        ((16.0 * n - 29.0) / 90.0).alias("var_t"),
+        (
+            (F.col("t").cast("double") - 2.0 * (n - 2) / 3.0)
+            / F.sqrt((16.0 * n - 29.0) / 90.0)
+        ).alias("z"),
+    )
+    pv = 2.0 * (1.0 - _norm_cdf(F.abs(F.col("z"))))
+    return zz.select(
+        F.col("n").alias("n_days"),
+        F.col("t").alias("turning_points"),
+        q4(F.col("e_t")).alias("expected"),
+        r6(F.col("z")).alias("z"),
+        r6(pv).alias("p"),
+        F.when((pv < 0.05) & (F.col("z") < 0), "too_smooth")
+        .when((pv < 0.05) & (F.col("z") > 0), "too_oscillatory")
+        .otherwise("random")
+        .alias("verdict"),
+    )
