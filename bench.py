@@ -156,6 +156,10 @@ NEW_THIS_ROUND = [
     # round-15 wave M (randomness screen + calibration test)
     "agg_turning_points",
     "ext_calibration_spiegelhalter",
+    # round-15 wave N (label-free thresholds + demand curve)
+    "ext_otsu_threshold",
+    "ext_knee_point",
+    "agg_price_elasticity",
 ]
 
 CORE = [

@@ -627,3 +627,181 @@ def ext_calibration_spiegelhalter(spark: SparkSession, sf_dir: str) -> DataFrame
         _q6(pv).alias("p"),
         F.when(pv < 0.05, "miscalibrated").otherwise("calibrated").alias("verdict"),
     )
+
+
+@register(
+    "ext_otsu_threshold",
+    oracle="""
+WITH vh AS (
+  SELECT CAST(round(value) AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS t,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
+  FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(sum(t) AS BIGINT) AS n, CAST(sum(sc) AS BIGINT) AS s
+        FROM vh),
+cum AS (
+  SELECT a.v,
+         CAST(sum(b.t) AS BIGINT) AS w0,
+         CAST(sum(b.sc) AS BIGINT) AS s0
+  FROM vh a JOIN vh b ON b.v <= a.v GROUP BY a.v
+),
+sc_ AS (
+  SELECT v, w0, s0,
+         (CAST(s0 AS DOUBLE) * (n - w0) - CAST(s - s0 AS DOUBLE) * w0)
+         * (CAST(s0 AS DOUBLE) * (n - w0) - CAST(s - s0 AS DOUBLE) * w0)
+         / (CAST(w0 AS DOUBLE) * (n - w0)) AS crit
+  FROM cum, tot WHERE w0 > 0 AND w0 < n
+),
+best AS (SELECT v, crit FROM sc_ ORDER BY crit DESC, v LIMIT 1)
+SELECT (SELECT n FROM tot) AS n,
+       v AS threshold_dollars,
+       floor(crit / 10000.0 / (SELECT CAST(n AS DOUBLE) * n FROM tot)
+             * 10000 + 0.5) / 10000.0 AS between_var
+FROM best
+""",
+)
+def ext_otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTSU'S THRESHOLD on the event-value histogram: the cut that
+    MAXIMIZES between-class variance — the unsupervised operating-point
+    picker (image binarization's workhorse, equally standard for
+    auto-thresholding quality scores when no labels exist; the
+    label-free complement to ``ext_classifier_mcc``'s fixed cut and
+    ``ext_quality_threshold_sweep``'s labeled curve).
+
+    Between-class variance w0 w1 (mu0 - mu1)^2 is evaluated in the
+    cross-multiplied form (s0(n-w0) - (s-s0)w0)^2 / (w0(n-w0)) so every
+    ingredient is an exact int64 cumulative (cents sums ~1e10 at the
+    sf1 twin; the one squared product rides double in identical order);
+    the argmax ties break on the threshold value.  Scale: one combine
+    to the <= 561-dollar histogram, then histogram^2-bounded cumsums."""
+    ev = table(spark, sf_dir, "events")
+    # The tiny histogram feeds four consumers (a, b, tot, the argmax
+    # lineage) — materialize ONCE so the corpus is scanned once, not 4x.
+    vh = ev.groupBy(F.round("value").cast("long").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("sc"),
+    ).localCheckpoint(eager=True)
+    tot = vh.agg(
+        F.sum("t").cast("long").alias("n"), F.sum("sc").cast("long").alias("s")
+    )
+    a = vh.select(F.col("v").alias("va"))
+    b = vh.select(F.col("v").alias("vb"), "t", "sc")
+    cum = (
+        a.join(F.broadcast(b), F.col("vb") <= F.col("va"))
+        .groupBy("va")
+        .agg(
+            F.sum("t").cast("long").alias("w0"),
+            F.sum("sc").cast("long").alias("s0"),
+        )
+    )
+    j = cum.crossJoin(F.broadcast(tot)).filter(
+        (F.col("w0") > 0) & (F.col("w0") < F.col("n"))
+    )
+    num = F.col("s0").cast("double") * (F.col("n") - F.col("w0")) - (
+        F.col("s") - F.col("s0")
+    ).cast("double") * F.col("w0")
+    crit = num * num / (F.col("w0").cast("double") * (F.col("n") - F.col("w0")))
+    sc_ = j.select(F.col("va").alias("v"), "w0", "s0", crit.alias("crit"))
+    best = sc_.orderBy(F.desc("crit"), "v").limit(1)
+    out = best.crossJoin(F.broadcast(tot))
+    return out.select(
+        "n",
+        F.col("v").alias("threshold_dollars"),
+        (
+            F.floor(
+                F.col("crit")
+                / 10000.0
+                / (F.col("n").cast("double") * F.col("n"))
+                * 10000
+                + 0.5
+            )
+            / 10000.0
+        ).alias("between_var"),
+    )
+
+
+_KNEE_GRID = 100  # normalized-curve evaluation points
+
+
+@register(
+    "ext_knee_point",
+    oracle="""
+WITH vh AS (
+  SELECT CAST(round(value) AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS t
+  FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+               CAST(min(v) AS BIGINT) AS vmin,
+               CAST(max(v) AS BIGINT) AS vmax FROM vh),
+cum AS (
+  SELECT a.v, CAST(sum(b.t) AS BIGINT) AS c
+  FROM vh a JOIN vh b ON b.v <= a.v GROUP BY a.v
+),
+norm AS (
+  SELECT v, c,
+         CAST(v - vmin AS DOUBLE) / (vmax - vmin) AS x,
+         CAST(c AS DOUBLE) / n AS y
+  FROM cum, tot
+),
+dist AS (SELECT v, c, y - x AS d FROM norm),
+best AS (SELECT v, c, d FROM dist ORDER BY d DESC, v LIMIT 1)
+SELECT (SELECT n FROM tot) AS n,
+       v AS knee_dollars,
+       c AS docs_below,
+       floor(d * 1000000 + 0.5) / 1000000.0 AS chord_distance,
+       floor(CAST(c AS DOUBLE) / (SELECT n FROM tot) * 1000000 + 0.5)
+         / 1000000.0 AS mass_below
+FROM best
+""",
+)
+def ext_knee_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNEE/ELBOW DETECTION (Kneedle, chord form) on the event-value
+    CDF: normalize the (value, cumulative-mass) curve to the unit
+    square and return the point FARTHEST ABOVE the corner-to-corner
+    chord — the "diminishing returns start here" cutoff used to pick
+    retention thresholds from a score distribution without labels (the
+    curve-geometry sibling of ``ext_otsu_threshold``'s variance
+    criterion; the two disagreeing flags a multi-modal distribution).
+
+    For a concave CDF the chord distance is (y - x) up to the constant
+    sqrt(2) factor, so the argmax needs one pinned subtraction per
+    histogram bucket over exact int cumulatives; ties break on the
+    value.  Scale: histogram-bounded."""
+    ev = table(spark, sf_dir, "events")
+    vh = ev.groupBy(F.round("value").cast("long").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    ).localCheckpoint(eager=True)  # one corpus scan for the three consumers
+    tot = vh.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.min("v").cast("long").alias("vmin"),
+        F.max("v").cast("long").alias("vmax"),
+    )
+    a = vh.select(F.col("v").alias("va"))
+    b = vh.select(F.col("v").alias("vb"), "t")
+    cum = (
+        a.join(F.broadcast(b), F.col("vb") <= F.col("va"))
+        .groupBy("va")
+        .agg(F.sum("t").cast("long").alias("c"))
+    )
+    norm = cum.crossJoin(F.broadcast(tot)).select(
+        F.col("va").alias("v"),
+        "c",
+        (
+            (F.col("va") - F.col("vmin")).cast("double")
+            / (F.col("vmax") - F.col("vmin"))
+        ).alias("x"),
+        (F.col("c").cast("double") / F.col("n")).alias("y"),
+    )
+    dist = norm.select("v", "c", (F.col("y") - F.col("x")).alias("d"))
+    best = dist.orderBy(F.desc("d"), "v").limit(1)
+    out = best.crossJoin(F.broadcast(tot))
+    return out.select(
+        "n",
+        F.col("v").alias("knee_dollars"),
+        F.col("c").alias("docs_below"),
+        (F.floor(F.col("d") * 1000000 + 0.5) / 1000000.0).alias("chord_distance"),
+        (
+            F.floor(F.col("c").cast("double") / F.col("n") * 1000000 + 0.5)
+            / 1000000.0
+        ).alias("mass_below"),
+    )

@@ -704,3 +704,84 @@ def ext_ts_engle_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("not_cointegrated")
         .alias("verdict"),
     )
+
+
+@register(
+    "agg_price_elasticity",
+    oracle="""
+WITH pts AS (
+  SELECT CAST(floor(ln(l_extendedprice / l_quantity) * 10000 + 0.5)
+              AS BIGINT) AS x,
+         CAST(floor(ln(l_quantity) * 10000 + 0.5) AS BIGINT) AS y
+  FROM lineitem
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pts
+),
+cen AS (
+  SELECT n,
+         CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS dxx,
+         CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS dyy,
+         CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS dxy,
+         CAST(sx AS DOUBLE) / n / 10000.0 AS mx,
+         CAST(sy AS DOUBLE) / n / 10000.0 AS my
+  FROM mom
+)
+SELECT n,
+       floor(dxy / dxx * 1000000 + 0.5) / 1000000.0 AS elasticity,
+       floor((my - dxy / dxx * mx) * 10000 + 0.5) / 10000.0 AS intercept,
+       floor(dxy / sqrt(dxx * dyy) * (dxy / sqrt(dxx * dyy))
+             * 1000000 + 0.5) / 1000000.0 AS r2,
+       floor(exp(mx) * 10000 + 0.5) / 10000.0 AS geomean_unit_price
+FROM cen
+""",
+)
+def agg_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE ELASTICITY OF DEMAND: the log-log OLS slope of quantity on
+    unit price (l_extendedprice / l_quantity) across all line items —
+    the canonical demand-curve readout (elasticity < -1 = elastic,
+    -1..0 = inelastic), with R^2 and the geometric-mean unit price for
+    context.  The engine's first corpus-grain LOG regression: both log
+    coordinates are QUANTIZED to exact 1e-4 ints at the row level (one
+    identical floor in both engines — the quantize-then-sum stance), so
+    every OLS moment is an exact int64 sum with map-side combine
+    (sum x^2 ~7e16 at the sf1 twin, inside int64) and the slope /
+    R^2 / intercept are pinned double closed forms of those moments —
+    no data-grain float accumulation anywhere.  Scale: one combine."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.floor(
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")) * 10000 + 0.5
+    ).cast("long")
+    y = F.floor(F.log("l_quantity") * 10000 + 0.5).cast("long")
+    pts = li.select(x.alias("x"), y.alias("y"))
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cen = mom.select(
+        "n",
+        (n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")).alias("dxx"),
+        (n * F.col("syy") - F.col("sy").cast("double") * F.col("sy")).alias("dyy"),
+        (n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")).alias("dxy"),
+        (F.col("sx").cast("double") / F.col("n") / 10000.0).alias("mx"),
+        (F.col("sy").cast("double") / F.col("n") / 10000.0).alias("my"),
+    )
+    slope = F.col("dxy") / F.col("dxx")
+    rr = F.col("dxy") / F.sqrt(F.col("dxx") * F.col("dyy"))
+    return cen.select(
+        "n",
+        r6(slope).alias("elasticity"),
+        q4(F.col("my") - slope * F.col("mx")).alias("intercept"),
+        r6(rr * rr).alias("r2"),
+        q4(F.exp(F.col("mx"))).alias("geomean_unit_price"),
+    )
