@@ -160,6 +160,9 @@ NEW_THIS_ROUND = [
     "ext_otsu_threshold",
     "ext_knee_point",
     "agg_price_elasticity",
+    # round-15 wave O (third streaming drift twin + diversity spectrum)
+    "stream_ewma_monitor",
+    "ext_diversity_indices",
 ]
 
 CORE = [

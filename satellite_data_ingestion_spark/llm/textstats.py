@@ -3696,3 +3696,93 @@ def ext_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(F.col("cf").cast("double") / F.col("df")).alias("adaptation"),
         q6(F.log(ndc.cast("double") / F.col("df"))).alias("idf"),
     ).orderBy("word")
+
+
+@register(
+    "ext_diversity_indices",
+    oracle="""
+WITH toks AS (
+  SELECT w AS word
+  FROM (SELECT unnest(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'))
+                 AS w
+        FROM documents)
+  WHERE w <> ''
+),
+vh AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS s,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(c * c) AS BIGINT) AS c2,
+         CAST(max(c) AS BIGINT) AS cmax
+  FROM vh
+),
+ent AS (
+  SELECT s, n, c2, cmax,
+         list_reduce(list_prepend(0.0, list(
+             (CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c)
+             ORDER BY word)), (a, b) -> a + b) AS h
+  FROM vh, tot GROUP BY s, n, c2, cmax
+)
+SELECT s AS richness, n AS tokens,
+       floor(h * 1000000 + 0.5) / 1000000.0 AS shannon_h,
+       floor(h / ln(CAST(s AS DOUBLE)) * 1000000 + 0.5) / 1000000.0
+         AS evenness,
+       floor((1.0 - CAST(c2 AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+             * 1000000 + 0.5) / 1000000.0 AS simpson_d,
+       floor((CAST(n AS DOUBLE) * n) / c2 * 1000000 + 0.5) / 1000000.0
+         AS inv_simpson,
+       floor(CAST(cmax AS DOUBLE) / n * 1000000 + 0.5) / 1000000.0
+         AS berger_parker
+FROM ent
+""",
+)
+def ext_diversity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY DIVERSITY PANEL: Shannon H with Pielou evenness
+    (H/ln S), Simpson's D = 1 - sum p^2 with its inverse (the Renyi-2
+    effective vocabulary — the hill number a mixture audit compares
+    against nominal richness), and Berger-Parker dominance (share of
+    the single top word) — the ecology-standard panel applied to the
+    token distribution, complementing ``agg_entropy``'s per-user H and
+    ``ext_vocab_richness``'s type counts with the full order-0/1/2/inf
+    diversity spectrum in one pass.
+
+    Simpson/Berger-Parker are pinned closed forms of exact int64
+    moments (sum c^2 ~1e16 at the sf1 twin); the single
+    order-sensitive sum (Shannon) folds over the bounded word order.
+    Scale: one token combine to the vocabulary grain."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+        ).alias("word")
+    ).filter(F.col("word") != "")
+    vh = toks.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = vh.agg(
+        F.count(F.lit(1)).cast("long").alias("s"),
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("c2"),
+        F.max("c").cast("long").alias("cmax"),
+    )
+    from ..operators.monitoring import _ordfold
+
+    term = (F.col("c").cast("double") / F.col("n")) * F.log(
+        F.col("n").cast("double") / F.col("c")
+    )
+    ent = (
+        vh.crossJoin(F.broadcast(tot))
+        .groupBy("s", "n", "c2", "cmax")
+        .agg(_ordfold(F.col("word"), term).alias("h"))
+    )
+    n, s = F.col("n"), F.col("s")
+    q6 = lambda x: F.floor(x * 1000000 + 0.5) / 1000000.0  # noqa: E731
+    return ent.select(
+        s.alias("richness"),
+        n.alias("tokens"),
+        q6(F.col("h")).alias("shannon_h"),
+        q6(F.col("h") / F.log(s.cast("double"))).alias("evenness"),
+        q6(1.0 - F.col("c2").cast("double") / (n.cast("double") * n)).alias(
+            "simpson_d"
+        ),
+        q6((n.cast("double") * n) / F.col("c2")).alias("inv_simpson"),
+        q6(F.col("cmax").cast("double") / n).alias("berger_parker"),
+    )

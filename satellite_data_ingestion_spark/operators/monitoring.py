@@ -1620,6 +1620,12 @@ def win_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     call), and the baseline mean/sd come from exact first-week int
     moments.  Day grain is calendar-bounded."""
     cal, arr = _drift_daily(spark, sf_dir)
+    return _ewma_chart_report(cal, arr)
+
+
+def _ewma_chart_report(cal: DataFrame, arr: DataFrame) -> DataFrame:
+    """The EWMA chart fold + limits over (cal, arr) — shared by the
+    batch op above and its streaming twin ``stream_ewma_monitor``."""
     one = arr.crossJoin(F.broadcast(cal))
     zfold = one.select(
         "mu0",
@@ -2564,3 +2570,88 @@ def agg_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("random")
         .alias("verdict"),
     )
+
+
+@register("stream_ewma_monitor", oracle=_spec("win_ewma_control").oracle)
+def stream_ewma_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING EWMA CONTROL CHART: the Roberts chart maintained as a
+    stateful streaming aggregate — the third member of the streaming
+    drift-twin family (``stream_cusum_drift``, ``stream_page_hinkley``),
+    covering the 0.5-1.5 sigma shift band those two bracket.  Three
+    round-robin micro-batches merge partial day-grain moments in
+    complete mode; after the drain the exact ``win_ewma_control`` fold
+    and time-varying limits run over the FINAL state, so the batch
+    oracle verifies the incremental build bit-for-bit.
+
+    Scale: per-trigger shuffle <= |days| x 3 longs after map-side
+    partial aggregation regardless of arrival volume; the chart fold is
+    calendar-bounded."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.state import _few_shuffle_partitions
+
+    staging = os.path.join(tempfile.gettempdir(), f"sdis_staging_sewma_{os.getpid()}")
+    shutil.rmtree(staging, ignore_errors=True)
+    ev = table(spark, sf_dir, "events").select(
+        F.col("ts"), F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    ev.repartition(3).write.mode("overwrite").parquet(staging)
+
+    sink = f"sewma_sink_{os.getpid()}"
+    with _few_shuffle_partitions(spark):
+        q = (
+            spark.readStream.schema("ts timestamp, c long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+            .groupBy(
+                F.datediff(
+                    F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date")
+                )
+                .cast("long")
+                .alias("d")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("c").cast("long").alias("s"),
+                F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(staging, "_checkpoint"))
+            .start()
+        )
+        q.awaitTermination(180)
+    daily = spark.table(sink)
+
+    base = (
+        daily.orderBy("d")
+        .limit(_DRIFT_BASE_DAYS)
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("s").cast("long").alias("s"),
+            F.sum("ss").cast("long").alias("ss"),
+        )
+    )
+    cal = base.select(
+        (F.col("s").cast("double") / F.col("n")).alias("mu0"),
+        F.sqrt(_css() / (F.col("n") - 1)).alias("sd"),
+    )
+    arr = daily.agg(
+        F.array_sort(
+            F.collect_list(
+                F.array(
+                    F.col("d").cast("double"),
+                    F.col("s").cast("double") / F.col("n"),
+                )
+            )
+        ).alias("a"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    out = _ewma_chart_report(cal, arr)
+    result = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(staging, ignore_errors=True)
+    return result
