@@ -93,42 +93,12 @@ NEW_THIS_ROUND = [
     "win_ewma_control",
     "agg_westgard_rules",
     # round-15 ordinal-association wave (operators/association.py)
-    "agg_goodman_kruskal_gamma",
-    "agg_somers_d",
-    "agg_bowker_test",
-    "agg_theil_u",
-    "agg_jonckheere_terpstra",
-    "agg_cuzick_trend",
     # round-15 regression-diagnostics wave (operators/regression.py)
-    "agg_breusch_pagan",
-    "agg_chow_test",
-    "agg_cooks_distance",
-    "ext_ts_variance_ratio",
-    "ext_ts_engle_granger",
     # round-15 embedding/tokenizer/graph wave
-    "ext_embedding_whitening",
-    "ext_embedding_isotropy",
-    "ext_sim_hamming",
-    "ext_wordpiece_tokenize",
-    "graph_katz",
     # round-15 agreement & stratified-effect wave (operators/agreement.py)
-    "agg_kappa_weighted",
-    "agg_lin_ccc",
-    "agg_deming_regression",
-    "agg_woolf_homogeneity",
-    "agg_brunner_munzel",
-    "agg_ansari_bradley",
     # round-15 wave F (graph links/centrality, wordpiece fertility,
     # DoReMi step, BY correction, inequality indices)
-    "graph_jaccard_links",
-    "graph_closeness",
-    "ext_wordpiece_fertility",
-    "ext_domain_mixture_doremi",
-    "agg_benjamini_yekutieli",
-    "agg_inequality_indices",
     # round-15 wave G (financial indicators + LLM curation)
-    "win_atr",
-    "win_macd",
     "win_stochastic_osc",
     "ext_softdedup_weights",
     "ext_perplexity_buckets",
@@ -230,6 +200,37 @@ CORE = [
 ]
 
 ROTATION = [
+    # rolled in from the round-15 session-3 NEW tier (budget retier)
+    "agg_goodman_kruskal_gamma",
+    "agg_somers_d",
+    "agg_bowker_test",
+    "agg_theil_u",
+    "agg_jonckheere_terpstra",
+    "agg_cuzick_trend",
+    "agg_breusch_pagan",
+    "agg_chow_test",
+    "agg_cooks_distance",
+    "ext_ts_variance_ratio",
+    "ext_ts_engle_granger",
+    "ext_embedding_whitening",
+    "ext_embedding_isotropy",
+    "ext_sim_hamming",
+    "ext_wordpiece_tokenize",
+    "graph_katz",
+    "agg_kappa_weighted",
+    "agg_lin_ccc",
+    "agg_deming_regression",
+    "agg_woolf_homogeneity",
+    "agg_brunner_munzel",
+    "agg_ansari_bradley",
+    "graph_jaccard_links",
+    "graph_closeness",
+    "ext_wordpiece_fertility",
+    "ext_domain_mixture_doremi",
+    "agg_benjamini_yekutieli",
+    "agg_inequality_indices",
+    "win_atr",
+    "win_macd",
     "ext_hybrid_rrf",
     "agg_ks_test",
     "agg_mann_whitney",
