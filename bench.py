@@ -133,6 +133,10 @@ NEW_THIS_ROUND = [
     # round-15 wave O (third streaming drift twin + diversity spectrum)
     "stream_ewma_monitor",
     "ext_diversity_indices",
+    # round-15 wave P (circular stats, forensic digits, Markov chains)
+    "agg_rayleigh_test",
+    "agg_benford_2digit",
+    "ext_markov_transitions",
 ]
 
 CORE = [

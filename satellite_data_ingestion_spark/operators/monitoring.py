@@ -2655,3 +2655,310 @@ def stream_ewma_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.createDataFrame(out.collect(), out.schema)
     shutil.rmtree(staging, ignore_errors=True)
     return result
+
+
+import math as _m
+
+_RAYLEIGH_COS = [(1.0 * _m.cos(2 * _m.pi * h / 24)) for h in range(24)]
+_RAYLEIGH_SIN = [(1.0 * _m.sin(2 * _m.pi * h / 24)) for h in range(24)]
+
+
+def _rayleigh_case(vals: list, col: str) -> str:
+    return (
+        "CASE " + " ".join(f"WHEN {col} = {h} THEN {v!r}" for h, v in enumerate(vals))
+        + " END"
+    )
+
+
+@register(
+    "agg_rayleigh_test",
+    oracle=f"""
+WITH hh AS (
+  SELECT CAST(extract(hour FROM ts) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+fold AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn,
+         list_reduce(list_prepend(0.0, list(
+             n * ({_rayleigh_case(_RAYLEIGH_COS, "h")}) ORDER BY h)),
+           (a, b) -> a + b) AS sc,
+         list_reduce(list_prepend(0.0, list(
+             n * ({_rayleigh_case(_RAYLEIGH_SIN, "h")}) ORDER BY h)),
+           (a, b) -> a + b) AS ss
+  FROM hh
+),
+st AS (
+  SELECT nn, sc, ss,
+         sqrt(sc * sc + ss * ss) / nn AS rbar,
+         atan2(ss, sc) AS theta
+  FROM fold
+),
+zz AS (
+  SELECT nn, rbar, theta, nn * (rbar * rbar) AS z FROM st
+)
+SELECT nn AS n,
+       floor((CASE WHEN theta < 0 THEN theta + 2 * {_m.pi!r} ELSE theta END)
+             / (2 * {_m.pi!r}) * 24 * 10000 + 0.5) / 10000.0 AS mean_hour,
+       floor(rbar * 1000000 + 0.5) / 1000000.0 AS resultant,
+       floor(z * 1000000 + 0.5) / 1000000.0 AS rayleigh_z,
+       floor(exp(-z) * (1.0 + (2.0 * z - z * z) / (4.0 * nn)) * 1000000 + 0.5)
+         / 1000000.0 AS p,
+       CASE WHEN exp(-z) * (1.0 + (2.0 * z - z * z) / (4.0 * nn)) < 0.05
+            THEN 'directional' ELSE 'uniform' END AS verdict
+FROM zz
+""",
+)
+def agg_rayleigh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAYLEIGH TEST for hour-of-day uniformity (circular statistics):
+    do events cluster around a preferred time of day, or spread
+    uniformly around the 24-hour clock?  Treating each hour as an angle
+    2 pi h/24, the mean resultant length Rbar measures concentration
+    and z = n Rbar^2 tests uniformity (p via the standard small-sample
+    correction exp(-z)(1 + (2z - z^2)/4n)); the mean DIRECTION converts
+    back to the peak hour — a statistic a linear mean of hours gets
+    WRONG across midnight (23h and 1h average to noon linearly, to
+    midnight circularly), which is exactly why the circular family
+    exists.
+
+    The 24 cos/sin weights are Python literals spliced into both
+    engines; resultant components fold over the hour-bounded histogram
+    in hour order; everything after is pinned double algebra (atan2 is
+    the same libm call).  Scale: one combine to <= 24 cells."""
+    ev = table(spark, sf_dir, "events")
+    hh = ev.groupBy(F.hour("ts").cast("long").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    cos_expr = None
+    sin_expr = None
+    for h in range(24):
+        c = F.when(F.col("h") == h, F.lit(_RAYLEIGH_COS[h]))
+        s = F.when(F.col("h") == h, F.lit(_RAYLEIGH_SIN[h]))
+        cos_expr = c if cos_expr is None else cos_expr.when(F.col("h") == h, F.lit(_RAYLEIGH_COS[h]))
+        sin_expr = s if sin_expr is None else sin_expr.when(F.col("h") == h, F.lit(_RAYLEIGH_SIN[h]))
+    fold = hh.agg(
+        F.sum("n").cast("long").alias("nn"),
+        _ordfold(F.col("h"), F.col("n") * cos_expr).alias("sc"),
+        _ordfold(F.col("h"), F.col("n") * sin_expr).alias("ss"),
+    )
+    st = fold.select(
+        "nn",
+        "sc",
+        "ss",
+        (F.sqrt(F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss")) / F.col("nn")).alias("rbar"),
+        F.atan2(F.col("ss"), F.col("sc")).alias("theta"),
+    )
+    zz = st.select(
+        "nn", "rbar", "theta", (F.col("nn") * (F.col("rbar") * F.col("rbar"))).alias("z")
+    )
+    two_pi = 2 * _m.pi
+    theta_pos = F.when(F.col("theta") < 0, F.col("theta") + two_pi).otherwise(
+        F.col("theta")
+    )
+    pv = F.exp(-F.col("z")) * (
+        1.0 + (2.0 * F.col("z") - F.col("z") * F.col("z")) / (4.0 * F.col("nn"))
+    )
+    return zz.select(
+        F.col("nn").alias("n"),
+        q4(theta_pos / two_pi * 24).alias("mean_hour"),
+        r6(F.col("rbar")).alias("resultant"),
+        r6(F.col("z")).alias("rayleigh_z"),
+        r6(pv).alias("p"),
+        F.when(pv < 0.05, "directional").otherwise("uniform").alias("verdict"),
+    )
+
+
+_B2_EXP = [
+    sum(_m.log10(1 + 1 / (10 * d1 + d2)) for d1 in range(1, 10))
+    for d2 in range(10)
+]
+
+
+@register(
+    "agg_benford_2digit",
+    oracle=f"""
+WITH dd AS (
+  SELECT CAST(floor(CAST(round(value * 100) AS BIGINT)
+              / pow(10.0, floor(log10(CAST(round(value * 100) AS BIGINT))) - 1))
+              AS BIGINT) % 10 AS d2,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events
+  WHERE CAST(round(value * 100) AS BIGINT) >= 10
+  GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM dd),
+chi AS (
+  SELECT nn,
+         list_reduce(list_prepend(0.0, list(
+             (n - nn * (CASE d2 {" ".join(f"WHEN {i} THEN {e!r}" for i, e in enumerate(_B2_EXP))} END))
+             * (n - nn * (CASE d2 {" ".join(f"WHEN {i} THEN {e!r}" for i, e in enumerate(_B2_EXP))} END))
+             / (nn * (CASE d2 {" ".join(f"WHEN {i} THEN {e!r}" for i, e in enumerate(_B2_EXP))} END))
+             ORDER BY d2)), (a, b) -> a + b) AS chi2
+  FROM dd, tot GROUP BY nn
+)
+SELECT nn AS n,
+       floor(chi2 * 10000 + 0.5) / 10000.0 AS chi2,
+       CAST(9 AS BIGINT) AS df,
+       floor({_wh_p_sql("chi2", "9.0")} * 1000000 + 0.5) / 1000000.0 AS p,
+       CASE WHEN {_wh_p_sql("chi2", "9.0")} < 0.05
+            THEN 'deviates' ELSE 'conforms' END AS verdict
+FROM chi
+""",
+)
+def agg_benford_2digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND-DIGIT BENFORD TEST on value cents: the forensic
+    escalation of the first-digit screen (``agg_benford_test``) —
+    manipulated numbers often pass first-digit Benford (people learn
+    it) but fail the flatter second-digit law P(d2) = sum_d1 log10(1 +
+    1/(10 d1 + d2)), and rounding artifacts (psychological pricing)
+    light up specifically here.  chi2 over the 10 second-digit cells
+    with the Wilson-Hilferty p at df = 9.
+
+    The second digit extracts by integer algebra on exact cents
+    (floor(c / 10^(floor(log10 c) - 1)) % 10, amounts >= 10 cents);
+    the ten expected shares are Python literals spliced into both
+    engines; the chi2 folds digit-ordered.  Scale: one combine to 10
+    cells."""
+    ev = table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    d2 = (
+        F.floor(
+            c / F.pow(F.lit(10.0), F.floor(F.log10(c)) - 1)
+        ).cast("long")
+        % 10
+    )
+    dd = (
+        ev.filter(c >= 10)
+        .groupBy(d2.alias("d2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = dd.agg(F.sum("n").cast("long").alias("nn"))
+    exp_expr = None
+    for i, e in enumerate(_B2_EXP):
+        w = F.when(F.col("d2") == i, F.lit(e))
+        exp_expr = w if exp_expr is None else exp_expr.when(F.col("d2") == i, F.lit(e))
+    term = (
+        (F.col("n") - F.col("nn") * exp_expr)
+        * (F.col("n") - F.col("nn") * exp_expr)
+        / (F.col("nn") * exp_expr)
+    )
+    chi = (
+        dd.crossJoin(F.broadcast(tot))
+        .groupBy("nn")
+        .agg(_ordfold(F.col("d2"), term).alias("chi2"))
+    )
+    pv = _wh_p(F.col("chi2"), F.lit(9.0))
+    return chi.select(
+        F.col("nn").alias("n"),
+        q4(F.col("chi2")).alias("chi2"),
+        F.lit(9).cast("long").alias("df"),
+        r6(pv).alias("p"),
+        F.when(pv < 0.05, "deviates").otherwise("conforms").alias("verdict"),
+    )
+
+
+_MARKOV_ITERS = 5
+
+
+def _markov_oracle() -> str:
+    parts = [
+        """WITH pr AS (
+  SELECT event_type AS b,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS a
+  FROM events
+),
+cells AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS c
+  FROM pr WHERE a IS NOT NULL GROUP BY 1, 2
+),
+rows_ AS (SELECT a, CAST(sum(c) AS BIGINT) AS na FROM cells GROUP BY 1),
+p AS (
+  SELECT cells.a, cells.b, CAST(cells.c AS DOUBLE) / rows_.na AS pab
+  FROM cells JOIN rows_ USING (a)
+),
+states AS (SELECT DISTINCT a AS s FROM cells),
+kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
+pi0 AS (SELECT s, 1.0 / k AS pi FROM states, kk)"""
+    ]
+    for i in range(1, _MARKOV_ITERS + 1):
+        parts.append(
+            f""",
+pi{i} AS (
+  SELECT p.b AS s,
+         list_reduce(list_prepend(0.0, list(pi{i - 1}.pi * p.pab ORDER BY p.a)),
+                     (x, y) -> x + y) AS pi
+  FROM p JOIN pi{i - 1} ON p.a = pi{i - 1}.s GROUP BY p.b
+)"""
+        )
+    parts.append(
+        f"""
+SELECT pi{_MARKOV_ITERS}.s AS state,
+       rows_.na AS n_out,
+       floor(pi{_MARKOV_ITERS}.pi * 1000000 + 0.5) / 1000000.0 AS pi_stationary,
+       floor(coalesce(sp.pab, 0.0) * 1000000 + 0.5) / 1000000.0 AS self_prob
+FROM pi{_MARKOV_ITERS}
+JOIN rows_ ON rows_.a = pi{_MARKOV_ITERS}.s
+LEFT JOIN (SELECT a, pab FROM p WHERE a = b) sp ON sp.a = pi{_MARKOV_ITERS}.s
+ORDER BY state"""
+    )
+    return "".join(parts)
+
+
+@register("ext_markov_transitions", oracle=_markov_oracle())
+def ext_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-ORDER MARKOV CHAIN of per-user event types: the transition
+    matrix from each user's (ts, event_id)-ordered event sequence, its
+    STATIONARY DISTRIBUTION by {it} unrolled power iterations from
+    uniform, and each state's self-loop probability — the user-behavior
+    model behind next-event prediction and the "where does engagement
+    settle" question (the stationary mass is where sessions spend their
+    long-run time, which the raw event-type frequencies only approximate
+    when the chain mixes slowly).
+
+    The lag runs per-user partitioned (the distributed sequence shape —
+    no global ordering anywhere); transition counts and row sums are
+    exact int64; each power iteration folds the 25-cell matrix-vector
+    product in source-state order; the oracle unrolls the identical
+    {it} iterations as chained CTEs.  Scale: one user-partitioned
+    window pass, then state-domain-bounded algebra."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pr = ev.select(
+        F.col("event_type").alias("b"), F.lag("event_type").over(w).alias("a")
+    ).filter(F.col("a").isNotNull())
+    cells = pr.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    rows_ = cells.groupBy("a").agg(F.sum("c").cast("long").alias("na"))
+    p = cells.join(rows_, "a").select(
+        "a", "b", (F.col("c").cast("double") / F.col("na")).alias("pab")
+    ).localCheckpoint(eager=True)
+    states = cells.select(F.col("a").alias("s")).distinct()
+    kk = states.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    pi = states.crossJoin(F.broadcast(kk)).select(
+        "s", (F.lit(1.0) / F.col("k")).alias("pi")
+    )
+    for _ in range(_MARKOV_ITERS):
+        pi = (
+            p.join(pi, p["a"] == pi["s"])
+            .groupBy(F.col("b").alias("s2"))
+            .agg(_ordfold(F.col("a"), F.col("pi") * F.col("pab")).alias("pi"))
+            .select(F.col("s2").alias("s"), "pi")
+        )
+    sp = p.filter(F.col("a") == F.col("b")).select(
+        F.col("a").alias("ssp"), F.col("pab").alias("self_pab")
+    )
+    out = (
+        pi.join(rows_, pi["s"] == rows_["a"])
+        .join(F.broadcast(sp), pi["s"] == F.col("ssp"), "left")
+    )
+    return out.select(
+        F.col("s").alias("state"),
+        F.col("na").alias("n_out"),
+        r6(F.col("pi")).alias("pi_stationary"),
+        r6(F.coalesce(F.col("self_pab"), F.lit(0.0))).alias("self_prob"),
+    ).orderBy("state")
+
+
+ext_markov_transitions.__doc__ = ext_markov_transitions.__doc__.format(
+    it=_MARKOV_ITERS
+)
