@@ -289,11 +289,18 @@ FROM loss"""
 def _score_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(v, n, np): dollar-bucket histogram with positive counts."""
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy(F.round("value").cast("long").alias("v")).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
-        .cast("long")
-        .alias("np"),
+    # Bounded (~500-row) histogram consumed by every unrolled Newton
+    # iteration plus totals and the final score pass — one corpus scan,
+    # materialized once (guide §2.4; wave-N tiny-histogram discipline).
+    return (
+        ev.groupBy(F.round("value").cast("long").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("np"),
+        )
+        .localCheckpoint(eager=True)
     )
 
 

@@ -2421,34 +2421,51 @@ def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the novelty-decile census is the screen that finds them without
     any pairwise stage.
 
-    Scale shape: one explode to the (doc, bigram) DISTINCT grain, a
-    first-occurrence aggregate on the bigram key (map-side combined),
-    one join back on the same key, and a decile census — no pair joins,
-    no windows.  The single-token guard mirrors the ext_bigram_freq
+    Scale shape: one explode to the (doc, bigram) DISTINCT grain feeding
+    a first-occurrence aggregate on the bigram key (map-side combined) —
+    the only corpus-grain shuffle; per-doc denominators are doc-LOCAL
+    (size of the distinct-bigram array), novelty numerators are a
+    doc-grain regroup of the first-seen frame, and the census joins two
+    doc-grain frames — no pair joins, no windows, no bigram-keyed join.  The single-token guard mirrors the ext_bigram_freq
     degenerate-doc fix (Spark sequence() descends for size<2).  Exact
     integer counts; one division at the census grain."""
     docs = table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # Tokenize ONCE into a column and build bigrams with element_at over
+    # it: the old `split(text)[i-1] || split(text)[i]` lambda re-ran the
+    # full split per ELEMENT (guide §1.2 "per-task work" — measured 3.7x
+    # on the first-seen stage alone at sf0.1).
+    tk = docs.select("doc_id", F.split("text", " ").alias("tk"))
     bgs = F.when(
-        F.size(toks) >= 2,
-        F.expr(
-            "transform(sequence(1, size(split(text, ' ')) - 1), "
-            "i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i]))"
+        F.size("tk") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("tk", i), F.element_at("tk", i + 1)
+            ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    d = docs.select(
+    # The (doc, distinct-bigram) grain materializes ONCE (lazy local
+    # checkpoint: tokenize + array_distinct are the per-task hot spot —
+    # guide §1.2/§2.4) and BOTH counts regroup it: n_bigrams(doc) is a
+    # doc-keyed count, and n_novel(doc) = #{bigrams whose min doc_id is
+    # doc} is a regroup of first_seen — the old d JOIN first_seen back
+    # on the BIGRAM key counted exactly these rows (the first-seeing doc
+    # always contains its bigram), so the corpus-grain join is gone
+    # entirely.  Measured 7.0 s -> 1.0 s warm at sf0.1.
+    d = tk.select(
         "doc_id", F.explode(F.array_distinct(bgs)).alias("bigram")
-    )
+    ).localCheckpoint(eager=False)
     first_seen = d.groupBy("bigram").agg(F.min("doc_id").cast("long").alias("first_doc"))
-    scored = (
-        d.join(first_seen, "bigram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_novel"),
-        )
+    novel = first_seen.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
+    )
+    nb = d.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams")
+    )
+    scored = nb.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_bigrams",
+        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
     )
     return (
         scored.groupBy(
@@ -2709,7 +2726,10 @@ def ext_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("pid"), F.split("text", " ").alias("ct")
     )
     ref = docs.select((F.col("doc_id") - 1).alias("pid"), F.split("text", " ").alias("rt"))
-    pairs = cand.join(ref, "pid")
+    # ~|docs|/stride pair rows with five consumers (two gram sides x two
+    # orders + the pooled length aggregate) — one documents self-join,
+    # materialized once (guide §2.4) instead of five.
+    pairs = cand.join(ref, "pid").localCheckpoint(eager=True)
 
     def grams(col, n):
         if n == 1:
@@ -2973,7 +2993,10 @@ def ext_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = docs.select(
         (F.col("doc_id") - 1).alias("pid"), F.split("text", " ").alias("rt")
     )
-    pairs = cand.join(ref, "pid")
+    # ~|docs|/stride pair rows with five consumers (two gram sides x two
+    # orders + the length frame) — one documents self-join, materialized
+    # once (guide §2.4) instead of five.
+    pairs = cand.join(ref, "pid").localCheckpoint(eager=True)
 
     def grams(col, n):
         if n == 1:

@@ -173,7 +173,9 @@ def agg_goodman_kruskal_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`_cd_sql`); the three ratios are single pinned double
     expressions.  Scale: cell count is domain-bounded (7 x 50), flat in
     fact volume."""
-    cells = _li_cells(spark, sf_dir)
+    # 350-cell grid with four consumers (pair self-join + three margin
+    # aggregates) — one corpus scan, materialized once (guide §2.4).
+    cells = _li_cells(spark, sf_dir).localCheckpoint(eager=True)
     cd = _pair_counts(cells)
     st = cd.crossJoin(F.broadcast(_margins(cells)))
     num = F.col("conc").cast("double") - F.col("disc")
@@ -247,6 +249,9 @@ def agg_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         pri.join(deg, "okey")
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # 35-cell grid, four consumers — one orderkey join + combine,
+        # materialized once (guide §2.4).
+        .localCheckpoint(eager=True)
     )
     st = _pair_counts(cells).crossJoin(F.broadcast(_margins(cells)))
     num = F.col("conc").cast("double") - F.col("disc")
@@ -296,7 +301,14 @@ def first_last_priority_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     fl = seq.groupBy("o_custkey").agg(
         F.min_by("pri", "ok").alias("fi"), F.max_by("pri", "ok").alias("li")
     )
-    return fl.groupBy("fi", "li").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # 25-cell transition matrix; both callers (bowker, weighted kappa)
+    # fan out to 3-5 consumers — one customer-grain combine, materialized
+    # once (guide §2.4).
+    return (
+        fl.groupBy("fi", "li")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
 
 
 @register(
@@ -431,9 +443,15 @@ def agg_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot diverge; U's are pinned ratios of the SAME unrounded
     entropies via MI = H(X) + H(Y) - H(XY)."""
     ev = table(spark, sf_dir, "events")
-    xy = ev.groupBy(
-        F.hour("ts").cast("long").alias("x"), F.col("event_type").alias("y")
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # <=120-cell grid with four consumers (tot + three entropy folds) —
+    # one corpus scan, materialized once (guide §2.4).
+    xy = (
+        ev.groupBy(
+            F.hour("ts").cast("long").alias("x"), F.col("event_type").alias("y")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     tot = xy.agg(F.sum("c").cast("long").alias("n"))
 
     def ent(df: DataFrame, cnt, key) -> DataFrame:
@@ -551,8 +569,12 @@ def agg_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-corrected Lehmann variance folds its per-group and per-value
     terms (n^3-scale — beyond int64 at sf1, hence double in IDENTICAL
     pinned order) in g / v order; two-sided p via the shared Phi."""
-    cells = _li_cells(spark, sf_dir).select(
-        F.col("x").alias("g"), F.col("y").alias("v"), "c"
+    # 350-cell grid with four consumers (pair self-join + group/value
+    # margin folds) — one corpus scan, materialized once (guide §2.4).
+    cells = (
+        _li_cells(spark, sf_dir)
+        .select(F.col("x").alias("g"), F.col("y").alias("v"), "c")
+        .localCheckpoint(eager=True)
     )
     a = cells.select(F.col("g").alias("ga"), F.col("v").alias("va"), F.col("c").alias("ca"))
     b = cells.select(F.col("g").alias("gb"), F.col("v").alias("vb"), F.col("c").alias("cb"))
@@ -708,10 +730,16 @@ def agg_cuzick_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-sided p.  Scale: one combine to 77 cells; the 11-row histogram
     drives everything else."""
     li = table(spark, sf_dir, "lineitem")
-    cells = li.groupBy(
-        F.col("l_linenumber").cast("long").alias("s"),
-        F.round(F.col("l_discount") * 100).cast("long").alias("v"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # 77-cell histogram with four downstream consumers (vh/ts/ss/tie) —
+    # one corpus scan, materialized once (guide §2.4; wave-N discipline).
+    cells = (
+        li.groupBy(
+            F.col("l_linenumber").cast("long").alias("s"),
+            F.round(F.col("l_discount") * 100).cast("long").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     vh = cells.groupBy("v").agg(F.sum("c").cast("long").alias("t"))
     a = vh.select(F.col("v").alias("va"), F.col("t").alias("ta"))
     b = vh.select(F.col("v").alias("vb"), F.col("t").alias("tb"))

@@ -1614,19 +1614,27 @@ def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(p, p, 0) for p in pivots], "src long, node long, dist int"
     )
     frontier = dist
+    prev = None
     for k in range(1, _CLOSENESS_HOPS + 1):
+        # Unweighted-BFS level invariant: a neighbor of a level-(k-1)
+        # node sits at level k-2, k-1 or k, so anti-joining the LAST TWO
+        # frontiers filters new nodes exactly — the visited set never
+        # needs the full (and growing) dist table on the anti-join build
+        # side (guide §2.3: shuffle the two bounded frontiers, not the
+        # whole reach).
+        seen = frontier if prev is None else prev.unionAll(frontier)
         nxt = (
             frontier.join(sym, frontier["node"] == sym["s"])
             .select("src", F.col("dd").alias("node"))
             .distinct()
-            .join(dist.select("src", "node"), ["src", "node"], "left_anti")
+            .join(seen.select("src", "node"), ["src", "node"], "left_anti")
             .select("src", "node", F.lit(k).cast("int").alias("dist"))
             .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
             break
         dist = dist.unionAll(nxt)
-        frontier = nxt
+        prev, frontier = frontier, nxt
     term = F.floor(1000000.0 / F.col("dist") + 0.5).cast("long")
     cl = dist.groupBy("src").agg(
         (F.count(F.lit(1)).cast("long") - 1).alias("reached"),

@@ -3547,6 +3547,41 @@ def agg_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lnf_attach_once(t: DataFrame, lfx: DataFrame, lookups: dict) -> DataFrame:
+    """Attach every ln-factorial lookup with ONE broadcast join instead of
+    one join per lookup (guide §2.4 "remove shuffles outright" / §3.1 —
+    nine separate BroadcastHashJoins each rebuilt and re-shipped the full
+    grid-sized hash relation, which dominated agg_bayes_ab once the grid
+    grew to cover sf1): unpivot the lookup indices to (term-row, which, k)
+    rows, probe the broadcast grid once, and pivot back to the named
+    columns with max(when(...)) so the downstream ``lnt`` expression tree
+    — and therefore every double — is unchanged.  Whenever the overflow
+    guard passed, every index lies in [0, grid], so the single inner probe
+    matches each unpivoted row exactly as the per-lookup inner joins did
+    (and an out-of-grid index still yields the guarded abort, not a
+    silent truncation, because the guard column is part of *t*)."""
+    names = list(lookups)
+    base_cols = list(t.columns)
+    wk = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("w"), expr.cast("long").alias("k"))
+                for i, expr in enumerate(lookups.values())
+            ]
+        )
+    ).alias("wk")
+    e = t.select(*base_cols, wk).join(
+        F.broadcast(lfx.select(F.col("k").alias("_lnf_k"), "lnf")),
+        F.col("wk.k") == F.col("_lnf_k"),
+    )
+    return e.groupBy(*base_cols).agg(
+        *[
+            F.max(F.when(F.col("wk.w") == i, F.col("lnf"))).alias(name)
+            for i, name in enumerate(names)
+        ]
+    )
+
+
 _BAYES_GRID = 1_100_000  # lnfact grid bound.  The largest lgamma argument
 # is alpha_a + alpha_b + beta_a + beta_b - 2 = total events + 2, so this
 # covers sf<=1 (1M events) with headroom; beyond it BOTH engines raise
@@ -3679,7 +3714,7 @@ def agg_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lfx = lf.unionAll(
         spark.createDataFrame([(0, 0.0)], "k long, lnf double")
-    ).localCheckpoint(eager=True)
+    )
 
     grid = spark.range(0, _BAYES_GRID + 1).select(F.col("id").alias("i"))
     t = grid.crossJoin(F.broadcast(p)).filter(F.col("i") < F.col("ab"))
@@ -3694,11 +3729,11 @@ def agg_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l8": F.col("ba") - 1,
         "l9": F.col("aa") + F.col("ba") - 1,
     }
-    for name, expr in lookups.items():
-        side = F.broadcast(
-            lfx.select(F.col("k").alias(f"{name}_k"), F.col("lnf").alias(name))
-        )
-        t = t.join(side, expr == F.col(f"{name}_k")).drop(f"{name}_k")
+    # ONE broadcast join for all nine lookups (was nine grid-sized
+    # broadcast builds — see _lnf_attach_once); the lfx localCheckpoint
+    # went with them: a single consumer evaluates the grid window once
+    # inside the one broadcast build.
+    t = _lnf_attach_once(t, lfx, lookups)
     lnt = (
         (F.col("l1") + F.col("l2") - F.col("l3"))
         - F.log((F.col("bb") + F.col("i")).cast("double"))
@@ -3850,10 +3885,16 @@ def agg_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = |event types|); one corpus scan total."""
     ev = table(spark, sf_dir, "events")
     c = F.round(F.col("value") * 100).cast("long")
-    g = ev.groupBy(F.col("event_type").alias("grp")).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(c).cast("long").alias("sv"),
-        F.sum(c * c).cast("long").alias("sq"),
+    # k-row group-moment frame with three consumers (MSW + both pair
+    # sides) — one corpus scan, materialized once (guide §2.4).
+    g = (
+        ev.groupBy(F.col("event_type").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(c).cast("long").alias("sv"),
+            F.sum(c * c).cast("long").alias("sq"),
+        )
+        .localCheckpoint(eager=True)
     )
     m = g.agg(
         F.sum("n").cast("long").alias("n_total"),
@@ -4308,7 +4349,7 @@ def agg_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lfx = lf.unionAll(
         spark.createDataFrame([(0, 0.0)], "k long, lnf double")
-    ).localCheckpoint(eager=True)
+    )
 
     grid = spark.range(0, _FISHER_GRID + 1).select(F.col("id").alias("i"))
     t = grid.crossJoin(F.broadcast(cells)).filter(
@@ -4326,11 +4367,9 @@ def agg_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ln1": F.col("n1"),
         "lnn1": F.col("nn") - F.col("n1"),
     }
-    for name, expr in lookups.items():
-        side = F.broadcast(
-            lfx.select(F.col("k").alias(f"{name}_k"), F.col("lnf").alias(name))
-        )
-        t = t.join(side, expr == F.col(f"{name}_k")).drop(f"{name}_k")
+    # ONE broadcast join for all nine lookups (the agg_bayes_ab fix —
+    # see _lnf_attach_once); same reasoning drops the lfx checkpoint.
+    t = _lnf_attach_once(t, lfx, lookups)
     lnt = (
         (F.col("lka") - F.col("lk") - F.col("lkak"))
         + (F.col("lnka") - F.col("lnk") - F.col("lrest"))

@@ -249,9 +249,12 @@ def agg_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").over(w_c).cast("long").alias("cum"),
         F.sum("cnt").over(w_all).cast("long").alias("nn"),
     )
+    # med (1 row, pins the histogram window once for its three consumers)
+    # and seg (k rows, two consumers) each re-derived a corpus scan per
+    # consumer before — materialize once (guide §2.4).
     med = hist.filter(
         F.col("cum") >= F.floor((F.col("nn") + 1) / F.lit(2)).cast("long")
-    ).agg(F.min("c").alias("med"))
+    ).agg(F.min("c").alias("med")).localCheckpoint(eager=True)
     seg = (
         ev.crossJoin(F.broadcast(med))
         .groupBy("g")
@@ -261,6 +264,7 @@ def agg_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("a"),
         )
+        .localCheckpoint(eager=True)
     )
     ea = F.col("n").cast("double") * F.col("aa") / F.col("nn")
     eb = F.col("n").cast("double") * (F.col("nn") - F.col("aa")) / F.col("nn")
@@ -362,7 +366,13 @@ def agg_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("digit")
     )
-    o = c.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    # 9-cell digit histogram, two consumers (total + expected join) —
+    # one corpus scan, materialized once (guide §2.4).
+    o = (
+        c.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+        .localCheckpoint(eager=True)
+    )
     bp = spark.createDataFrame(
         [(d, _BENFORD_P[d - 1]) for d in range(1, 10)], "digit long, p double"
     )
@@ -740,11 +750,15 @@ def agg_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar-bounded day grain (pairwise join over days, never facts);
     variance, z, and the shared-Phi p are one double expression each."""
     ev = table(spark, sf_dir, "events")
+    # Calendar-bounded daily frame with several downstream consumers —
+    # one corpus scan, materialized once (guide §2.4).
     daily = ev.groupBy(
         F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date"))
         .cast("long")
         .alias("d")
-    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("y"))
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("y")
+    ).localCheckpoint(eager=True)
     a = daily.select(F.col("d").alias("da"), F.col("y").alias("ya"))
     b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
     p = a.join(b, F.col("da") < F.col("db")).agg(
@@ -1405,11 +1419,15 @@ def agg_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MK continuity convention.  Pairs are bounded by (days/7 choose
     2) x 7 — calendar math, never fact volume."""
     ev = table(spark, sf_dir, "events")
+    # Calendar-bounded daily frame with several downstream consumers —
+    # one corpus scan, materialized once (guide §2.4).
     daily = ev.groupBy(
         F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date"))
         .cast("long")
         .alias("d")
-    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("y"))
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("y")
+    ).localCheckpoint(eager=True)
     s = daily.select("d", (F.col("d") % 7).alias("h"), "y")
     a = s.select(F.col("h"), F.col("d").alias("da"), F.col("y").alias("ya"))
     b = s.select(F.col("h").alias("hb"), F.col("d").alias("db"), F.col("y").alias("yb"))
@@ -2039,11 +2057,15 @@ def agg_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle and chained anti-filters in the DataFrame plan.  Scale:
     {r} x calendar-bounded algebra."""
     ev = table(spark, sf_dir, "events")
+    # Calendar-bounded daily frame with several downstream consumers —
+    # one corpus scan, materialized once (guide §2.4).
     daily = ev.groupBy(
         F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date"))
         .cast("long")
         .alias("d")
-    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("y"))
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("y")
+    ).localCheckpoint(eager=True)
     cur = daily
     outs = []
     for j in range(1, _ESD_ROUNDS + 1):
@@ -2236,8 +2258,12 @@ def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     (s_(k1) + s_(k2))/4 — one pinned double at the very end.  Scale:
     histogram-sized past the one combine."""
     li = table(spark, sf_dir, "lineitem")
-    vh = li.groupBy(F.col("l_quantity").cast("long").alias("v")).agg(
-        F.count(F.lit(1)).cast("long").alias("t")
+    # <=50-value quantity histogram with 4-5 consumers — one corpus scan,
+    # materialized once (guide §2.4).
+    vh = (
+        li.groupBy(F.col("l_quantity").cast("long").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .localCheckpoint(eager=True)
     )
     tot = vh.agg(F.sum("t").cast("long").alias("n"))
     a = vh.select(F.col("v").alias("va"), F.col("t").alias("ta"))
@@ -2342,8 +2368,12 @@ def agg_qn_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor/double form in both engines (exact below 2^53); the one
     double is the final consistency scaling."""
     li = table(spark, sf_dir, "lineitem")
-    vh = li.groupBy(F.col("l_quantity").cast("long").alias("v")).agg(
-        F.count(F.lit(1)).cast("long").alias("t")
+    # <=50-value quantity histogram with 4-5 consumers — one corpus scan,
+    # materialized once (guide §2.4).
+    vh = (
+        li.groupBy(F.col("l_quantity").cast("long").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .localCheckpoint(eager=True)
     )
     tot = vh.agg(F.sum("t").cast("long").alias("n"))
     a = vh.select(F.col("v").alias("va"), F.col("t").alias("ta"))
@@ -2437,11 +2467,15 @@ def ext_cusum_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deviation is one pinned double ratio per day; the argmax
     tiebreaks by day.  Scale: calendar-bounded."""
     ev = table(spark, sf_dir, "events")
+    # Calendar-bounded daily frame with several downstream consumers —
+    # one corpus scan, materialized once (guide §2.4).
     daily = ev.groupBy(
         F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date"))
         .cast("long")
         .alias("d")
-    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("y"))
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("y")
+    ).localCheckpoint(eager=True)
     a = daily.select(F.col("d").alias("da"), F.col("y").alias("ya"))
     b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
     ret = a.join(F.broadcast(b), F.col("db") == F.col("da") - 1).select(
@@ -2529,11 +2563,15 @@ def agg_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins on the dense calendar grid; count/mean/variance/z are pinned
     closed forms; shared-Phi two-sided p.  Scale: calendar-bounded."""
     ev = table(spark, sf_dir, "events")
+    # Calendar-bounded daily frame with several downstream consumers —
+    # one corpus scan, materialized once (guide §2.4).
     daily = ev.groupBy(
         F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date"))
         .cast("long")
         .alias("d")
-    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("y"))
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("y")
+    ).localCheckpoint(eager=True)
     a = daily.select(F.col("d").alias("da"), F.col("y").alias("ya"))
     p = daily.select(F.col("d").alias("dp"), F.col("y").alias("yp"))
     q = daily.select(F.col("d").alias("dq"), F.col("y").alias("yq"))
@@ -2831,6 +2869,8 @@ def agg_benford_2digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(c >= 10)
         .groupBy(d2.alias("d2"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # 10-cell histogram, two consumers — one corpus scan (guide §2.4).
+        .localCheckpoint(eager=True)
     )
     tot = dd.agg(F.sum("n").cast("long").alias("nn"))
     exp_expr = None
@@ -2927,7 +2967,14 @@ def ext_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = ev.select(
         F.col("event_type").alias("b"), F.lag("event_type").over(w).alias("a")
     ).filter(F.col("a").isNotNull())
-    cells = pr.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # <=25-cell transition matrix with three consumers (row sums, the
+    # normalized p, the state list) — the user-partitioned window pass
+    # runs ONCE (guide §2.4; it was re-run per consumer before).
+    cells = (
+        pr.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     rows_ = cells.groupBy("a").agg(F.sum("c").cast("long").alias("na"))
     p = cells.join(rows_, "a").select(
         "a", "b", (F.col("c").cast("double") / F.col("na")).alias("pab")

@@ -74,11 +74,19 @@ res AS (SELECT x, (CAST(y AS DOUBLE) - (a + b * x)) AS e FROM base, ols2)"""
 def _daily_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(x, y): dense 0-based day index x, exact int64 daily cents y."""
     ev = table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date"))
-        .cast("long")
-        .alias("dd")
-    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("y"))
+    daily = (
+        ev.groupBy(
+            F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("dd")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("y"))
+        # Calendar-bounded (~30 rows) and consumed several times by every
+        # caller (min-day rebase here; moments / lag self-joins / ends
+        # downstream) — materialize the one corpus scan once (guide §2.4;
+        # the wave-N tiny-histogram discipline).
+        .localCheckpoint(eager=True)
+    )
     mn = daily.agg(F.min("dd").alias("mn"))
     return daily.crossJoin(F.broadcast(mn)).select(
         (F.col("dd") - F.col("mn")).alias("x"), "y"

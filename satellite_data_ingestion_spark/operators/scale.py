@@ -282,21 +282,34 @@ def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").cast("string").alias("k")
     )
-    total = li.agg(F.count(F.lit(1)).alias("total"))
-    h = li.select(
+    # Everything below derives from the per-key exact counts (domain-
+    # bounded: |parts|, ~20k at sf0.1), so compute them ONCE and pin the
+    # one corpus scan (guide §2.3 "aggregate before you shuffle" / §2.4):
+    # the old plan exploded the raw stream x depth TWICE (sketch build +
+    # candidate distinct — 2x3 md5s per fact row plus a data-grain
+    # distinct shuffle) and re-scanned lineitem twice more for total and
+    # exact counts.  A CMS cell count is exactly the sum of the counts of
+    # the keys hashing into it, so the sketch, the candidate set, the
+    # stream total AND the exact twin are all algebra on this one frame.
+    kc = (
+        li.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .localCheckpoint(eager=True)
+    )
+    total = kc.agg(F.sum("exact_count").alias("total"))
+    h = kc.select(
         "k",
+        "exact_count",
         F.explode(F.array(*[F.lit(i) for i in range(1, _CMS_DEPTH + 1)])).alias("i"),
-    ).selectExpr("k", "i", _cms_bucket("k", "i", "spark") + " as bucket")
-    sketch = h.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
-    cand = h.distinct()
+    ).selectExpr("k", "exact_count", "i", _cms_bucket("k", "i", "spark") + " as bucket")
+    sketch = h.groupBy("i", "bucket").agg(F.sum("exact_count").alias("c"))
     est = (
-        cand.join(F.broadcast(sketch), ["i", "bucket"])
+        h.join(F.broadcast(sketch), ["i", "bucket"])
         .groupBy("k")
         .agg(F.min("c").alias("est_count"))
     )
-    exact = li.groupBy("k").agg(F.count(F.lit(1)).alias("exact_count"))
     return (
-        est.join(exact, "k")
+        est.join(kc, "k")
         .crossJoin(F.broadcast(total))
         .filter(F.col("est_count") * 1000 >= F.col("total"))
         .select(
@@ -369,20 +382,26 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(180)
     sketch = spark.table(sink)
 
-    total = li.agg(F.count(F.lit(1)).alias("total"))
-    cand = (
-        li.select("k", pos)
-        .selectExpr("k", "i", _cms_bucket("k", "i", "spark") + " as bucket")
-        .distinct()
+    # Batch-side scoring of the streamed sketch: same per-key-counts
+    # restructure as ext_heavy_hitters (one corpus scan pinned once;
+    # candidates, totals and the exact twin are all domain-bounded
+    # algebra on it — the stream drain above is untouched).
+    kc = (
+        li.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .localCheckpoint(eager=True)
+    )
+    total = kc.agg(F.sum("exact_count").alias("total"))
+    cand = kc.select("k", pos).selectExpr(
+        "k", "i", _cms_bucket("k", "i", "spark") + " as bucket"
     )
     est = (
         cand.join(F.broadcast(sketch), ["i", "bucket"])
         .groupBy("k")
         .agg(F.min("c").alias("est_count"))
     )
-    exact = li.groupBy("k").agg(F.count(F.lit(1)).alias("exact_count"))
     out = (
-        est.join(exact, "k")
+        est.join(kc, "k")
         .crossJoin(F.broadcast(total))
         .filter(F.col("est_count") * 1000 >= F.col("total"))
         .select(

@@ -4460,9 +4460,6 @@ def win_stochastic_osc(spark: SparkSession, sf_dir: str) -> DataFrame:
 win_stochastic_osc.__doc__ = win_stochastic_osc.__doc__.format(n=_STOCH_N)
 
 
-_LIS_MAX_ROUNDS = 29  # LIS length is bounded by the calendar day count
-
-
 @register(
     "ext_lis_trend",
     oracle="""
@@ -4511,14 +4508,19 @@ def ext_lis_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     entirely).  persistence = LIS/n ~ 1 means a near-monotone month;
     ~0.5 is what an i.i.d. shuffle gives.
 
-    The classic DP runs as a DISTRIBUTED frontier iteration: the
-    predecessor relation (i < j, y_i < y_j) is precomputed on the
-    calendar-bounded frame, and each round extends only chains that
-    IMPROVED last round (join frontier x predecessors, keep strict
-    improvements, union into best) — rounds = LIS length, work per
-    round bounded by the pair relation, the graph_bfs shape.  The
-    oracle is the same fixpoint as a recursive CTE with UNION dedup.
-    Float discipline: everything is exact integers until the final
+    The per-type sequence is CALENDAR-BOUNDED (<= the corpus's day
+    count), so the classic patience DP runs as ONE in-plan
+    ``F.aggregate`` fold over the day-ordered revenue array — for each
+    y, replace the first patience tail >= y (index = #tails < y, the
+    tails stay sorted) or append when none — giving the LIS length in
+    a single map-side-combined aggregate with zero iterative rounds
+    (guide §1.2: the round-15 optimization pass replaced the original
+    29-round distributed frontier iteration, whose per-round join +
+    checkpoint + isEmpty overhead dominated a <=150-row DP; the
+    regression test pins this fold against a reference DP).  The
+    oracle keeps the declarative recursive-CTE fixpoint, so the fold
+    is value-checked against an independent formulation.  Float
+    discipline: everything is exact integers until the final
     persistence ratio."""
     ev = table(spark, sf_dir, "events")
     daily = ev.groupBy(
@@ -4527,51 +4529,28 @@ def ext_lis_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("d"),
     ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("y"))
-    w = Window.partitionBy("event_type").orderBy("d")
-    idx = daily.select(
-        "event_type", F.row_number().over(w).cast("long").alias("i"), "y"
-    ).localCheckpoint(eager=True)
-    a = idx.select(F.col("event_type").alias("et"), F.col("i").alias("pi"), F.col("y").alias("ya"))
-    b = idx.select(F.col("event_type").alias("etb"), F.col("i").alias("pj"), F.col("y").alias("yb"))
-    pr = (
-        a.join(
-            b,
-            (F.col("et") == F.col("etb"))
-            & (F.col("pi") < F.col("pj"))
-            & (F.col("ya") < F.col("yb")),
-        )
-        .select("et", "pi", "pj")
-        .localCheckpoint(eager=True)
+    ys = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("d").alias("d"), F.col("y").alias("y")))),
+        lambda s: s["y"],
     )
-    best = idx.select(
-        F.col("event_type").alias("et"), "i", F.lit(1).cast("long").alias("len")
+    tails = F.aggregate(
+        ys,
+        F.array().cast("array<long>"),
+        lambda acc, y: F.when(
+            F.size(F.filter(acc, lambda t: t < y)) == F.size(acc),
+            F.concat(acc, F.array(y)),
+        ).otherwise(
+            F.transform(
+                acc,
+                lambda t, i: F.when(
+                    i == F.size(F.filter(acc, lambda t2: t2 < y)), y
+                ).otherwise(t),
+            )
+        ),
     )
-    frontier = best
-    for _ in range(_LIS_MAX_ROUNDS):
-        nxt = (
-            frontier.join(pr, (frontier["et"] == pr["et"]) & (frontier["i"] == pr["pi"]))
-            .select(pr["et"].alias("et"), F.col("pj").alias("i"), (F.col("len") + 1).alias("len"))
-            .groupBy("et", "i")
-            .agg(F.max("len").alias("len"))
-        )
-        cur = best.select("et", "i", F.col("len").alias("blen"))
-        imp = (
-            nxt.join(cur, ["et", "i"])
-            .filter(F.col("len") > F.col("blen"))
-            .select("et", "i", "len")
-            .localCheckpoint(eager=True)
-        )
-        if imp.isEmpty():
-            break
-        best = (
-            best.unionByName(imp)
-            .groupBy("et", "i")
-            .agg(F.max("len").alias("len"))
-        )
-        frontier = imp
-    agg = best.groupBy("et").agg(
-        F.max("i").cast("long").alias("n_days"),
-        F.max("len").cast("long").alias("lis_len"),
+    agg = daily.groupBy(F.col("event_type").alias("et")).agg(
+        F.size(ys).cast("long").alias("n_days"),
+        F.size(tails).cast("long").alias("lis_len"),
     )
     return agg.select(
         F.col("et").alias("event_type"),

@@ -904,11 +904,14 @@ def test_bleu_no_cartesian_pair_join(spark):
     """ext_bleu's candidate-reference pairing and clipped-overlap joins
     must stay equi joins (hash/sort-merge on pid / (pid, gram)); the
     only nested-loop nodes allowed are the Cross-type combinators of
-    1-row scalar aggregates (the sanctioned bounded-crossJoin shape)."""
+    1-row scalar aggregates (the sanctioned bounded-crossJoin shape).
+    Since the r15 optimization the pid pairing join runs once inside the
+    materialized `pairs` checkpoint (five consumers shared it), so the
+    final plan reads the pair RDD and keeps only the (pid, gram)
+    clipped-overlap equi joins."""
     tree = plan_of(spark, "ext_bleu").split("\n\n")[0]
     assert "CartesianProduct" not in tree, tree
     assert "BroadcastNestedLoopJoin Inner" not in tree, tree
-    assert "BroadcastHashJoin Inner" in tree, tree
 
 
 def test_sax_bucket_grain_aggregates(spark):
@@ -980,11 +983,24 @@ def test_heaps_law_windows_partitioned(spark):
 
 
 def test_fisher_exact_grid_broadcasts(spark):
-    """agg_fisher_exact's nine lnfact lookups must all join as broadcasts
-    (the grid is parameter-sized); the corpus side contributes only the
-    user-grain aggregate."""
+    """agg_fisher_exact's lnfact lookups must ride ONE broadcast probe of
+    the parameter-sized grid (the r15 optimization collapsed the nine
+    per-lookup BroadcastHashJoins, whose nine grid-sized hash-relation
+    builds dominated the op, into a single unpivot+probe+pivot — see
+    operators/hypothesis.py::_lnf_attach_once); the corpus side still
+    contributes only the user-grain aggregate.  Exactly one grid
+    broadcast join, and never a re-expansion to nine."""
     plan = plan_of(spark, "agg_fisher_exact")
-    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 9, plan[:1500]
+    n_bhj = len(re.findall(r"BroadcastHashJoin", plan))
+    assert 1 <= n_bhj <= 3, plan[:1500]
+
+
+def test_bayes_ab_grid_single_broadcast(spark):
+    """agg_bayes_ab shares _lnf_attach_once: one broadcast probe of the
+    1.1M-row lnfact grid instead of nine (each build shipped ~18 MB)."""
+    plan = plan_of(spark, "agg_bayes_ab")
+    n_bhj = len(re.findall(r"BroadcastHashJoin", plan))
+    assert 1 <= n_bhj <= 3, plan[:1500]
 
 
 def test_wilcoxon_rank_windows_partitioned(spark):
