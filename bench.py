@@ -137,6 +137,23 @@ NEW_THIS_ROUND = [
     "agg_rayleigh_test",
     "agg_benford_2digit",
     "ext_markov_transitions",
+    # round-15 OPTIMIZATION pass: materially re-planned ops not already
+    # in NEW/CORE (single-probe lnfact lookups, single-scan bounded
+    # frames, BFS anti-join bound — see OPTIMIZATION_r15.md); their
+    # first post-replan bench signal belongs in the always-run tier.
+    # (mood_median/benford_test/platt/hodges_lehmann/qn_scale were also
+    # re-planned but already sit in the wave entries above.)
+    "agg_bayes_ab",
+    "agg_fisher_exact",
+    "ext_heavy_hitters",
+    "graph_closeness",
+    "agg_theil_u",
+    "agg_somers_d",
+    "agg_goodman_kruskal_gamma",
+    "agg_jonckheere_terpstra",
+    "ext_rouge_n",
+    "ext_bleu",
+    "agg_tukey_hsd",
 ]
 
 CORE = [

@@ -3591,7 +3591,12 @@ def ext_keyword_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     links = agg.join(wsum, "s").select(
         "s", "d", (F.col("wt").cast("double") / F.col("tw")).alias("frac")
     ).localCheckpoint(eager=True)
-    ranks = wsum.select(F.col("s").alias("node"), F.lit(1.0).alias("tr"))
+    # Init from the materialized links (same node set: wsum's keys all
+    # appear in agg by construction) — deriving from wsum re-ran the
+    # corpus-grain pair aggregate a second time (guide §2.4).
+    ranks = links.select("s").distinct().select(
+        F.col("s").alias("node"), F.lit(1.0).alias("tr")
+    )
     for _ in range(_TR_ITERS):
         # Deterministic neighbor sum: fold contributions in sorted
         # source-node order (array_sort + aggregate == the oracle's
