@@ -548,6 +548,30 @@ ROTATION = [
 PROBE_REF_SEC = 0.13
 
 
+def _cleanup_query_state(spark) -> None:
+    """Release executor blocks a finished query leaked (VERDICT r15 task 1).
+
+    Many operators materialize bounded intermediates with
+    ``localCheckpoint(eager=True)`` inside the query path.  Those blocks
+    are only freed when the JVM GCs the RDD object and the ContextCleaner
+    drains its reference queue — in a 220-query session the backlog
+    accumulated until UNTOUCHED sub-second queries sporadically inflated
+    2–15× (agg_anova_two_way 0.33→7.0 s in the r15 driver run).  Explicitly
+    unpersisting every still-persisted RDD after each query is
+    deterministic and costs ~10 ms; between queries nothing legitimate is
+    persisted (base-table caching is banned), so this can only drop leaked
+    checkpoint blocks.  A Python gc.collect() drops the py4j refs so the
+    every-30-queries System.gc() can reap the JVM side too."""
+    import gc
+
+    try:
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist(False)
+    except Exception:  # pragma: no cover - private JVM surface
+        pass
+    gc.collect()
+
+
 def _probe(spark) -> float:
     """Median-of-3 fixed workload: a 30M-row generated aggregate through
     the noop sink — no file I/O, no SF dependence, whole-stage codegen
@@ -588,11 +612,41 @@ def main() -> None:
     # (or skips a round) would otherwise silently shift the rotation and
     # skip a tranche (VERDICT r13 task 7).  max-round is stable under
     # re-runs within a round and under missing rounds.
-    rounds = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
-        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
-    ]
+    #
+    # Prefer the COMMITTED artifact set over a directory glob (VERDICT r15
+    # task 2): the driver writes BENCH_r{N}.json to the working tree BETWEEN
+    # its main bench run and its low-core scaling run, so a glob advances
+    # the rotation tranche mid-round and the two runs time DIFFERENT query
+    # sets (r15: the 8-core run drew tranche 2 vs the main run's tranche 1,
+    # leaving only the NEW+CORE overlap comparable).  The git index only
+    # gains the new artifact at round close, so every bench run within a
+    # round derives the same round number — and therefore the same tranche —
+    # from it.  Falls back to the glob when git is unavailable (e.g. an
+    # exported tree).
+    def _recorded_rounds() -> list[int]:
+        import subprocess
+
+        names: list[str] = []
+        try:
+            out = subprocess.run(
+                ["git", "-C", repo, "ls-files", "BENCH_r*.json"],
+                capture_output=True,
+                text=True,
+                timeout=10,
+            )
+            if out.returncode == 0:
+                names = out.stdout.split()
+        except Exception:
+            names = []
+        if not names:
+            names = glob.glob(os.path.join(repo, "BENCH_r*.json"))
+        return [
+            int(m.group(1))
+            for p in names
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+
+    rounds = _recorded_rounds()
     if os.environ.get("SPARK_GRAFT_BENCH_TRANCHE"):
         tranche = int(os.environ["SPARK_GRAFT_BENCH_TRANCHE"]) % ROTATION_TRANCHES
     else:
@@ -696,9 +750,13 @@ def main() -> None:
             # Record the failure, keep the artifact.
             errors[name] = repr(ex)[:300]
             print(f"[bench] {name} ERROR {ex!r}", file=sys.stderr)
+            _cleanup_query_state(spark)
             continue
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
+        # Outside the timed region: drop the blocks this query's
+        # localCheckpoints left behind before the next query runs.
+        _cleanup_query_state(spark)
         if over_budget:
             degraded.append(name)
         # Progress to stderr (stdout carries ONLY the one JSON line): a
@@ -731,6 +789,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "probe_first_sec": probe_first,
         "probe_last_sec": probe_last,
@@ -747,7 +806,14 @@ def main() -> None:
     }
     # Scoped runs (SPARK_GRAFT_BENCH_ONLY) must not clobber the round's
     # full per-query sidecar — they write a _scoped variant instead.
+    # Likewise a non-default-core scaling run gets its own sidecar (with
+    # tranche derivation now stable within a round, the low-core run would
+    # otherwise overwrite the main run's map); the compact line's
+    # queries_sidecar field always names the file actually written.
     suffix = "_scoped" if os.environ.get("SPARK_GRAFT_BENCH_ONLY") else ""
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if not suffix and cpus_env != "32":
+        suffix = f"_c{cpus_env}"
     sidecar = os.path.join(
         repo, "tools", f"bench_r{bench_round}_full{suffix}.json"
     )

@@ -1597,12 +1597,33 @@ def pipeline_minhash_index_maintain(spark: SparkSession, sf_dir: str) -> DataFra
     app = "sdis-minhash-maintain"
     all_docs = _token_sets(spark, sf_dir).select("doc_id", "toks")
     out = None
+    tick_frames: list[tuple[DataFrame, DataFrame]] = []
     for i in range(3):
         batch = all_docs.filter(F.col("doc_id") % 3 == i)
-        batch_hs = batch.select(
-            "doc_id", F.expr("transform(toks, t -> xxhash64(t))").alias("hs")
+        # Materialize each tick's signature work ONCE (guide §2.4): both
+        # frames are consumed twice per tick — the commit writes them
+        # eagerly AND the lazily-evaluated probe/verify output re-derives
+        # them at the final action — so without the checkpoint the
+        # tokenize + 16-minhash aggregate ran twice per tick.  Both are
+        # bounded (|docs|/3 rows / ×bands rows — the r15 checkpoint-size
+        # rule), and the repartition(1) sizes the commit to ONE data file
+        # per tick instead of one tiny file per shuffle partition (§6:
+        # a few-hundred-KB maintenance batch is a single file at any
+        # cluster size; the downstream probe then replays 1 file per
+        # committed tick, not shuffle.partitions of them).
+        batch_hs = (
+            batch.select(
+                "doc_id", F.expr("transform(toks, t -> xxhash64(t))").alias("hs")
+            )
+            .repartition(1)
+            .localCheckpoint(eager=True)
         )
-        batch_bands = _band_rows(minhash_signatures(batch))
+        batch_bands = (
+            _band_rows(minhash_signatures(batch))
+            .repartition(1)
+            .localCheckpoint(eager=True)
+        )
+        tick_frames.append((batch_hs, batch_bands))
         if index_t.latest_version() >= 0:
             probe = batch_bands.select(
                 F.col("doc_id").alias("doc_b"), "band_id", "band_key"
@@ -1642,14 +1663,11 @@ def pipeline_minhash_index_maintain(spark: SparkSession, sf_dir: str) -> DataFra
         corpus_t.commit_append(batch_hs, txn=(app, i))
         index_t.commit_append(batch_bands, txn=(app, i))
     head_c, head_i = corpus_t.latest_version(), index_t.latest_version()
-    last = all_docs.filter(F.col("doc_id") % 3 == 2)
-    corpus_t.commit_append(
-        last.select(
-            "doc_id", F.expr("transform(toks, t -> xxhash64(t))").alias("hs")
-        ),
-        txn=(app, 2),
-    )
-    index_t.commit_append(_band_rows(minhash_signatures(last)), txn=(app, 2))
+    # Crash-replay of the final tick: same epoch, same (already
+    # materialized) frames — the txn watermark must swallow both appends.
+    last_hs, last_bands = tick_frames[2]
+    corpus_t.commit_append(last_hs, txn=(app, 2))
+    index_t.commit_append(last_bands, txn=(app, 2))
     if (corpus_t.latest_version(), index_t.latest_version()) != (head_c, head_i):
         raise RuntimeError("replayed maintenance tick double-applied")
     return out.orderBy("tick", "doc_a", "doc_b")

@@ -1888,11 +1888,18 @@ def pipeline_ivf_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(list(top))
 
     out = None
+    batch = None
     for i in range(3):
         batch = emb.filter(F.col("vec_id") % 3 == i).select(
             "vec_id", vec.alias("v"), nearest_cell(vec).alias("cid")
         )
         if index_t.latest_version() >= 0:
+            # Materialize the probe rows ONCE (guide §2.4/§4): this frame
+            # is consumed twice — the touched-cell collect below AND the
+            # lazily-evaluated hits at the final action — so without the
+            # checkpoint the probe_cells pandas UDF (argsort GEMM over the
+            # whole batch) ran twice per tick.  Bounded: batch × nprobe
+            # rows (the r15 checkpoint-size rule).
             probes = (
                 emb.filter(F.col("vec_id") % 3 == i)
                 .select(
@@ -1900,6 +1907,7 @@ def pipeline_ivf_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
                     vec.alias("qv"),
                     F.explode(probe_cells(vec)).alias("cid"),
                 )
+                .localCheckpoint(eager=True)
             )
             touched = [
                 r.cid
@@ -1925,10 +1933,10 @@ def pipeline_ivf_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = hits if out is None else out.unionByName(hits)
         index_t.commit_append(batch, partition_by=["cid"], txn=(app, i))
     head = index_t.latest_version()
-    last = emb.filter(F.col("vec_id") % 3 == 2).select(
-        "vec_id", vec.alias("v"), nearest_cell(vec).alias("cid")
-    )
-    index_t.commit_append(last, partition_by=["cid"], txn=(app, 2))
+    # Crash-replay of the final tick: same epoch, same frame — the txn
+    # watermark must swallow the append (re-deriving the assignment UDF
+    # plan buys nothing: an honest replayer re-sends the batch it has).
+    index_t.commit_append(batch, partition_by=["cid"], txn=(app, 2))
     if index_t.latest_version() != head:
         raise RuntimeError("replayed maintenance tick double-applied")
     return out.orderBy("tick", "vec_id")

@@ -250,15 +250,50 @@ def test_bench_tranche_derived_from_max_round_not_artifact_count():
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     src = open(os.path.join(root, "bench.py")).read()
-    # r15 hoisted the rounds scan above the tranche if/else (the sidecar
-    # name also needs it), so inspect from the scan through the tranche
+    # r16 wrapped the rounds scan in _recorded_rounds() (the sidecar name
+    # also needs it), so inspect from the scan through the tranche
     # derivation to the full-list escape hatch.
-    tranche_block = src.split("rounds = [")[1].split("SPARK_GRAFT_BENCH_FULL")[0]
+    tranche_block = src.split("def _recorded_rounds")[1].split(
+        "SPARK_GRAFT_BENCH_FULL"
+    )[0]
     assert "BENCH_r(\\d+)" in tranche_block, (
         "tranche fallback must parse round numbers from BENCH_r{N}.json names"
     )
     assert "max(rounds)" in tranche_block
     assert "len(glob" not in tranche_block, "tranche must not depend on artifact count"
+    # VERDICT r15 task 2: the round number must come from the COMMITTED
+    # artifact set first (git ls-files), so the driver writing
+    # BENCH_r{N}.json between its main and low-core runs cannot advance
+    # the rotation tranche mid-round and decohere the scaling comparison.
+    assert "ls-files" in tranche_block, (
+        "round derivation must prefer committed BENCH artifacts (git ls-files)"
+    )
+
+
+def test_bench_cleanup_unpersists_leaked_checkpoints(spark):
+    """VERDICT r15 task 1: after each timed query, bench.py must release
+    the executor blocks the query's ``localCheckpoint(eager=True)``
+    intermediates left behind — the r15 driver session accumulated enough
+    cleaner backlog that untouched sub-second queries sporadically
+    inflated 2–15× late in the 223-query loop.  Pin the helper's
+    behavior: a leaked checkpoint's blocks are persisted before the call
+    and gone after it."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "sdis_bench_under_test", os.path.join(root, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    df = spark.range(1000).localCheckpoint(eager=True)
+    persistent = spark.sparkContext._jsc.getPersistentRDDs()
+    assert persistent.size() > 0, "localCheckpoint should persist blocks"
+    mod._cleanup_query_state(spark)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    del df
 
 
 def test_every_query_has_committed_correctness_evidence():

@@ -1,10 +1,10 @@
 #!/usr/bin/env python
-"""Dump .explain("formatted") for named queries to plans/r15/<name>_<tag>.txt.
+"""Dump .explain("formatted") for named queries to plans/<round>/<name>_<tag>.txt (round from SPARK_GRAFT_PLAN_ROUND, default r16).
 
 Usage: python tools/plan_dump.py <tag> <query1,query2,...>
 
 The judge cannot run Spark: these committed plan files are the evidence
-for every plan-shape claim in OPTIMIZATION_r15.md (Exchange counts, join
+for every plan-shape claim in OPTIMIZATION_r{N}.md (Exchange counts, join
 strategies, PushedFilters, Python-boundary nodes).  Plans are captured in
 the same engine session bench.py uses (get_spark), at the bench SF
 (default sf0.1), AFTER one full execution of the query so AQE-final
@@ -28,7 +28,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r15",
+        os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r16"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="sdis-plan-dump")
